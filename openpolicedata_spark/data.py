@@ -1,0 +1,385 @@
+"""User-facing API: ``Source`` (catalog handle + loading) and ``Table``
+(a loaded result wrapping a lazy Spark DataFrame).
+
+Parity target: /root/reference/openpolicedata/data.py — `Source` ctor +
+disambiguation (data.py:795-867, 1266-1369), `load` (data.py:1165-1219),
+discovery (`get_tables_types`/`get_years`/`get_agencies`/`get_count`,
+data.py:869-1100), `Table` (data.py:43-213), save/re-load (data.py:397-501,
+1438-1626), `merge` (data.py:312-389), `expand` (data.py:578-679).
+
+Spark mapping: `Table.table` is a *lazy* DataFrame — filters, joins,
+standardization, and expansion compose into one Catalyst plan; nothing
+executes until count/save/collect. At 100 TB this is the difference between
+one scan and five.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import re
+from typing import Any, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from openpolicedata_spark import defs
+from openpolicedata_spark.catalog import Catalog
+from openpolicedata_spark.sources.base import DataLoader, clean_date_input
+from openpolicedata_spark.sources.combined import CombinedLoader
+from openpolicedata_spark.sources.file import CsvLoader, ParquetLoader
+
+
+def _make_loader(spark: SparkSession, row: pd.Series) -> DataLoader:
+    """Loader factory from a catalog row (reference data.py:1819-1857
+    `__get_loader`, with a per-source cache kept in Source)."""
+    dt = row["DataType"]
+    kwargs = dict(
+        url=row["URL"],
+        date_field=row["date_field"],
+        agency_field=row["agency_field"],
+        query=row["query"],
+    )
+    if dt == defs.DataType.PARQUET.value:
+        return ParquetLoader(spark, **kwargs)
+    if dt == defs.DataType.CSV.value:
+        return CsvLoader(spark, **kwargs)
+    if dt == defs.DataType.EXCEL.value:
+        from openpolicedata_spark.sources.excel import ExcelLoader
+
+        return ExcelLoader(spark, **kwargs)
+    if dt == defs.DataType.SOCRATA.value:
+        from openpolicedata_spark.sources.socrata import SocrataLoader
+
+        return SocrataLoader(spark, url=row["URL"], data_set=row["dataset_id"],
+                             date_field=row["date_field"])
+    if dt in (defs.DataType.ARCGIS.value, defs.DataType.CKAN.value,
+              defs.DataType.CARTO.value, defs.DataType.OPENDATASOFT.value):
+        from openpolicedata_spark.sources import rest
+
+        return rest.make_rest_loader(spark, dt, row)
+    raise ValueError(f"Unsupported DataType: {dt}")
+
+
+class Table:
+    """A loaded dataset: lazy Spark DataFrame + catalog metadata +
+    standardization state (reference data.py:43-213)."""
+
+    def __init__(
+        self,
+        table: DataFrame,
+        *,
+        state: Optional[str] = None,
+        source_name: Optional[str] = None,
+        agency: Optional[str] = None,
+        table_type: Optional[str] = None,
+        year: Any = None,
+        date_field: Optional[str] = None,
+        agency_field: Optional[str] = None,
+        url: Optional[str] = None,
+    ):
+        self.table = table
+        self.state = state
+        self.source_name = source_name
+        self.agency = agency
+        self.table_type = table_type
+        self.year = year
+        self.date_field = date_field
+        self.agency_field = agency_field
+        self.url = url
+        self.is_std = False
+        self.transforms: list = []  # DataMapping audit log (reference _preproc_utils.py:10-15)
+
+    # ------------------------------------------------------------- basic ops
+    def count(self) -> int:
+        return self.table.count()
+
+    def to_pandas(self) -> pd.DataFrame:
+        return self.table.toPandas()
+
+    # ------------------------------------------------------------ transforms
+    def standardize(self, **kwargs) -> "Table":
+        """Standardize columns/values into the canonical schema
+        (reference data.py:682-792 → preproc.standardize). Lazy: appends
+        Column expressions, no job runs."""
+        from openpolicedata_spark.standardize import standardize
+
+        self.table, self.transforms = standardize(
+            self.table,
+            table_type=self.table_type,
+            source_name=self.source_name,
+            state=self.state,
+            **kwargs,
+        )
+        self.is_std = True
+        return self
+
+    def merge(self, other: "Table", *, on=None, left_on=None, right_on=None,
+              how: str = "inner", std_id: bool = False) -> "Table":
+        """Join two related tables (reference data.py:312-389); incident-ID
+        key auto-detection when no keys given (preproc.py:140-265)."""
+        from openpolicedata_spark.operators.merge import merge_tables
+
+        merged_df = merge_tables(
+            self.table, other.table, on=on, left_on=left_on,
+            right_on=right_on, how=how, std_id=std_id,
+        )
+        out = Table(
+            merged_df,
+            state=self.state,
+            source_name=self.source_name,
+            agency=self.agency,
+            table_type=f"{self.table_type}+{other.table_type}",
+            year=self.year,
+            date_field=self.date_field,
+            agency_field=self.agency_field,
+        )
+        out.is_std = self.is_std and other.is_std
+        out.transforms = list(self.transforms) + list(other.transforms)
+        return out
+
+    def expand(self, cols: Optional[list[str]] = None, mismatch: str = "nan") -> "Table":
+        """One row per person for multi-person array columns
+        (reference data.py:578-679)."""
+        from openpolicedata_spark.operators.expand import expand
+
+        self.table = expand(self.table, cols=cols, mismatch=mismatch)
+        return self
+
+    # ------------------------------------------------------------------ save
+    def get_filename(self, ext: str, output_dir: str = ".") -> str:
+        """Deterministic filename from identity metadata
+        (reference data.py:2105-2157)."""
+        parts = [
+            self.state, self.source_name, self.agency, self.table_type,
+            str(self.year) if self.year is not None else None,
+        ]
+        stem = "_".join(re.sub(r"[^A-Za-z0-9]+", "-", p) for p in parts if p)
+        return os.path.join(output_dir, f"{stem}.{ext}")
+
+    def to_parquet(self, path: Optional[str] = None, output_dir: str = ".",
+                   mode: str = "overwrite", partition_by: Optional[list[str]] = None) -> str:
+        """reference data.py:446-464; partition_by is the scale upgrade —
+        writing 100 TB unpartitioned is an anti-pattern."""
+        path = path or self.get_filename("parquet", output_dir)
+        w = self.table.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return path
+
+    def to_csv(self, path: Optional[str] = None, output_dir: str = ".",
+               mode: str = "overwrite") -> str:
+        """reference data.py:397-444."""
+        path = path or self.get_filename("csv", output_dir)
+        self.table.write.mode(mode).option("header", True).csv(path)
+        return path
+
+
+class Source:
+    """Handle on one source's catalog rows: discovery + loading
+    (reference data.py:795-867)."""
+
+    def __init__(
+        self,
+        source_name: str,
+        state: Optional[str] = None,
+        agency: Optional[str] = None,
+        *,
+        catalog: Catalog,
+        spark: SparkSession,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.datasets = catalog.query(source_name=source_name, state=state, agency=agency)
+        if len(self.datasets) == 0:
+            raise ValueError(f"No source found matching '{source_name}'")
+        states = self.datasets["State"].unique()
+        if state is None and len(states) > 1:  # reference data.py:857-865
+            raise ValueError(
+                f"Source '{source_name}' exists in multiple states {list(states)}; "
+                "pass `state=` to disambiguate"
+            )
+        self.source_name = source_name
+        self.state = states[0]
+        self._loader_cache: dict[tuple, DataLoader] = {}
+
+    # -------------------------------------------------------------- discovery
+    def get_tables_types(self) -> list[str]:
+        """reference data.py:869-883."""
+        return sorted(self.datasets["TableType"].dropna().unique())
+
+    def get_years(self, table_type: str, *, force: bool = False) -> list[int]:
+        """Years available for a table type (reference data.py:885-960).
+        Catalog Year rows give the fast answer; MULTI datasets are resolved
+        with ONE distinct-year aggregate instead of the reference's
+        per-year count-probe loop with sleeps (data_loader.py:324-378)."""
+        rows = self.datasets[self.datasets["TableType"] == table_type]
+        years: set[int] = set()
+        for _, row in rows.iterrows():
+            if isinstance(row["Year"], int):
+                years.add(row["Year"])
+            elif row["Year"] == defs.MULTI and row["date_field"]:
+                loader = self._get_loader(row)
+                years.update(loader.get_years(row["date_field"], force=force))
+        return sorted(years)
+
+    def get_agencies(self, table_type: Optional[str] = None,
+                     partial_name: Optional[str] = None) -> list[str]:
+        """Distinct agencies (reference data.py:963-1053)."""
+        rows = self._rows_for(table_type)
+        agencies: set[str] = set()
+        for _, row in rows.iterrows():
+            if row["Agency"] != defs.MULTI:
+                if partial_name is None or partial_name.lower() in str(row["Agency"]).lower():
+                    agencies.add(row["Agency"])
+            elif row["agency_field"]:
+                loader = self._get_loader(row)
+                agencies.update(loader.get_agencies(row["agency_field"], partial_name))
+        return sorted(agencies)
+
+    def get_count(self, table_type: str, date=None, *, agency: Optional[str] = None,
+                  force: bool = False) -> int:
+        """reference data.py:1056-1100."""
+        row = self.filter(table_type, date)
+        return self._get_loader(row).get_count(date, agency=agency, force=force)
+
+    # ------------------------------------------------------------ dataset pick
+    def filter(self, table_type: str, date=None, *, url: Optional[str] = None,
+               id: Optional[str] = None) -> pd.Series:
+        """Pick exactly one catalog row (reference data.py:1266-1369):
+        TableType match, then Year match or coverage-interval containment
+        (data.py:1337-1356), then url-substring / dataset-id tiebreaks."""
+        rows = self.datasets[self.datasets["TableType"] == table_type]
+        if url is not None:
+            rows = rows[rows["URL"].astype(str).str.contains(re.escape(url), na=False)]
+        if id is not None:
+            rows = rows[rows["dataset_id"].astype(str) == str(id)]
+        if len(rows) > 1 and date is not None:
+            rng = clean_date_input(date)
+            if rng is not None:
+                year_rows = rows[rows["Year"].isin(
+                    range(rng[0].year, rng[1].year + 1))]
+                if len(year_rows) == 0:
+                    # coverage interval containment (data.py:1337-1356)
+                    cov = rows[
+                        rows["Year"].isin([defs.MULTI])
+                        & (
+                            rows["coverage_start"].isna()
+                            | (rows["coverage_start"] <= rng[1])
+                        )
+                        & (
+                            rows["coverage_end"].isna()
+                            | (rows["coverage_end"] >= rng[0])
+                        )
+                    ]
+                    rows = cov if len(cov) else rows
+                else:
+                    rows = year_rows
+        if len(rows) == 0:
+            raise ValueError(
+                f"No dataset for table_type='{table_type}' date={date} in "
+                f"source '{self.source_name}'. Available: {self.get_tables_types()}"
+            )
+        if len(rows) > 1:
+            multi = rows[rows["Year"] == defs.MULTI]
+            if len(multi) == 1:
+                rows = multi
+            else:
+                raise ValueError(
+                    f"Multiple datasets match table_type='{table_type}' date={date}; "
+                    f"disambiguate with url= or id=. Candidates:\n{rows[['Year','URL']]}"
+                )
+        return rows.iloc[0]
+
+    def _rows_for(self, table_type: Optional[str]) -> pd.DataFrame:
+        if table_type is None:
+            return self.datasets
+        return self.datasets[self.datasets["TableType"] == table_type]
+
+    def _get_loader(self, row: pd.Series) -> DataLoader:
+        key = (row["DataType"], row["URL"], str(row["dataset_id"]), row["date_field"])
+        if key not in self._loader_cache:
+            self._loader_cache[key] = _make_loader(self.spark, row)
+        return self._loader_cache[key]
+
+    # ---------------------------------------------------------------- loading
+    def load(
+        self,
+        table_type: str,
+        date=None,
+        *,
+        agency: Optional[str] = None,
+        nrows: Optional[int] = None,
+        offset: int = 0,
+        select: Optional[list[str]] = None,
+        sortby: Optional[str] = None,
+        url: Optional[str] = None,
+        id: Optional[str] = None,
+    ) -> Table:
+        """Main query path (reference data.py:1165-1219 → __load
+        data.py:1372-1436): catalog row → loader → lazy filtered DataFrame →
+        Table."""
+        row = self.filter(table_type, date, url=url, id=id)
+        loader = self._get_loader(row)
+        df = loader.load(
+            date=date, nrows=nrows, offset=offset, agency=agency,
+            select=select, sortby=sortby,
+        )
+        year = date if date is not None else row["Year"]
+        return Table(
+            df,
+            state=row["State"],
+            source_name=row["SourceName"],
+            agency=agency or row["Agency"],
+            table_type=table_type,
+            year=year,
+            date_field=row["date_field"],
+            agency_field=row["agency_field"],
+            url=row["URL"],
+        )
+
+    def load_iter(self, table_type: str, date=None, nbatch: int = 100_000, **kwargs):
+        """Batched iteration (reference data.py:1102-1162). In Spark this is
+        rarely needed — `toLocalIterator` streams partitions without
+        collecting the whole result on the driver."""
+        t = self.load(table_type, date, **kwargs)
+        schema = t.table.schema
+        it = t.table.toLocalIterator(prefetchPartitions=True)
+        batch: list = []
+        for r in it:
+            batch.append(r)
+            if len(batch) >= nbatch:
+                yield Table(self.spark.createDataFrame(batch, schema),
+                            table_type=table_type, year=date)
+                batch = []
+        if batch:
+            yield Table(self.spark.createDataFrame(batch, schema),
+                        table_type=table_type, year=date)
+
+    # --------------------------------------------------------------- re-load
+    def load_parquet(self, path: str, table_type: Optional[str] = None,
+                     date=None) -> Table:
+        """reference data.py:1540-1587."""
+        df = self.spark.read.parquet(path)
+        return Table(df, state=self.state, source_name=self.source_name,
+                     table_type=table_type, year=date)
+
+    def load_csv(self, path: str, table_type: Optional[str] = None, date=None) -> Table:
+        """reference data.py:1438-1538."""
+        df = self.spark.read.csv(path, header=True, inferSchema=True)
+        return Table(df, state=self.state, source_name=self.source_name,
+                     table_type=table_type, year=date)
+
+    def find_related_tables(self, table_type: str) -> list[str]:
+        """Sibling split tables, e.g. 'X - SUBJECTS' ↔ 'X - OFFICERS'
+        (reference data.py:1629-1680)."""
+        m = re.match(r"^(.*?)(?:\s*-\s*(SUBJECTS|OFFICERS|INCIDENTS|SUBJECTS/OFFICERS|"
+                     r"VEHICLES|NONMOTORIST|ALLEGATIONS|PENALTIES|BACKGROUND|"
+                     r"BODY WORN CAMERA|ADDITIONAL))?$", table_type)
+        family = m.group(1).strip() if m else table_type
+        out = [
+            tt for tt in self.get_tables_types()
+            if tt != table_type and (tt == family or tt.startswith(family + " -"))
+        ]
+        return out
