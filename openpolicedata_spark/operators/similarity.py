@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>) — beyond the
+reference (BASELINE.json north star).
+
+- cosine / dot product: expression-only (`F.zip_with` + `F.aggregate`),
+  double accumulation in index order → deterministic, engine-portable.
+- brute_force_topk: exact top-k for one query vector. Plan: broadcast the
+  query literal, map-side score, ONE TopK (orderBy+limit → Spark plans
+  TakeOrderedAndProject — no full sort shuffle).
+- knn_join: exact top-k for many query vectors via crossJoin + window rank
+  (small query side broadcast).
+- ivf_topk: the scale path — k-means-lite (random projection LSH buckets),
+  probe only matching buckets; at 100 TB this turns a full scan per query
+  into a bucket-pruned scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, double accumulation in index order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k for one query vector. The query ships as an array literal
+    in the plan (broadcast by value); scoring is map-side; orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-k + driver merge,
+    no global sort shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = (
+        cosine_expr(F.col(vec_col), q)
+        if metric == "cosine"
+        else dot_expr(F.col(vec_col), q)
+    )
+    return (
+        df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join: each query row gets its k nearest corpus rows.
+    The query side is broadcast (it is the small side by construction);
+    ranking is a per-query window over map-side scores."""
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_expr(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (the 100 TB path)
+# --------------------------------------------------------------------------
+
+
+def _rp_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane packed into a long."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot_expr(vec, plane) >= 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def make_random_planes(dim: int, num_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def ann_index(corpus: DataFrame, planes: list[list[float]],
+              vec_col: str = "embedding") -> DataFrame:
+    """Assign each corpus row an LSH bucket. At scale, write this out
+    partitioned/bucketed by `bucket` so probes prune partitions."""
+    return corpus.withColumn("bucket", _rp_bucket_expr(F.col(vec_col), planes))
+
+
+def ann_topk(
+    indexed: DataFrame,
+    query_vec: Sequence[float],
+    planes: list[list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket plus all buckets within
+    `multiprobe_hamming` bit flips (multi-probe LSH — recovers recall lost
+    to quantization without scanning everything)."""
+    import itertools
+
+    # driver-side: compute query bucket + probe set
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    qb = 0
+    for i, p in enumerate(planes):
+        if dot(query_vec, p) >= 0:
+            qb |= 1 << i
+    probes = {qb}
+    nbits = len(planes)
+    for r in range(1, multiprobe_hamming + 1):
+        for flip in itertools.combinations(range(nbits), r):
+            b = qb
+            for f in flip:
+                b ^= 1 << f
+            probes.add(b)
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        indexed.where(F.col("bucket").isin(list(probes)))  # partition-prunable
+        .select(F.col(id_col), cosine_expr(F.col(vec_col), q).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup: bucket self-join then exact cosine verify —
+    same blocking pattern as MinHash LSH but in embedding space."""
+    idx = ann_index(corpus, planes, vec_col).select(id_col, vec_col, "bucket")
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
