@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed around a full action (count of the result — forces the
+whole plan; results are small aggregates/top-ks so collection cost is nil).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_date_range_load",
+    "q08_topk",
+    "q10_merge_join",
+    "q11_star_join",
+    "q13_pivot",
+    "q14_window_rank",
+    "q21_window_agg",
+    "q22_explode",
+    "q23_token_stats",
+    "q25_exact_dedup",
+    "q27_knn_cosine",
+    "q28_minhash_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from openpolicedata_spark import get_spark
+    from openpolicedata_spark import workload
+
+    spark = get_spark(app_name="opdspark-bench")
+    # warm up the JVM/session so timings measure the queries, not startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    qs = workload.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "total wall-clock of headline queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -204,6 +204,12 @@ def local_testdata_catalog(sf_dir: str = "/root/testdata/sf0.001") -> Catalog:
     date_field so the date-pushdown path (reference data_loader.py:120-191)
     is exercised."""
     date_fields = {"orders": "o_orderdate", "lineitem": "l_shipdate", "events": "ts"}
+    coverage = {
+        "orders": (_dt.date(1995, 1, 1), _dt.date(2001, 12, 31)),
+        "lineitem": (_dt.date(1995, 1, 1), _dt.date(2001, 12, 31)),
+        "events": (_dt.date(2024, 1, 1), _dt.date(2024, 1, 31)),
+    }
+    agency_fields = {"customer": "c_mktsegment"}  # exercises the agency path
     tables = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
@@ -222,9 +228,9 @@ def local_testdata_catalog(sf_dir: str = "/root/testdata/sf0.001") -> Catalog:
                 "DataType": defs.DataType.PARQUET.value,
                 "URL": f"{sf_dir}/{t}.parquet",
                 "date_field": date_fields.get(t),
-                "agency_field": None,
-                "coverage_start": _dt.date(1992, 1, 1) if t in date_fields else None,
-                "coverage_end": _dt.date(1998, 12, 31) if t in date_fields else None,
+                "agency_field": agency_fields.get(t),
+                "coverage_start": coverage.get(t, (None, None))[0],
+                "coverage_end": coverage.get(t, (None, None))[1],
             }
         )
     return Catalog(records)

@@ -179,8 +179,8 @@ def parse_time_expr(col: Column) -> Column:
     s = F.regexp_replace(s, r"[;.](?=\d{2}(:|$))", ":")
 
     is_ampm = s.rlike(r"^\d{1,2}(:\d{2})?(:\d{2})?\s*[AP]\.?M\.?$")
-    ampm_h = F.regexp_extract(s, r"^(\d{1,2})", 1).cast("int")
-    ampm_m = F.coalesce(F.regexp_extract(s, r":(\d{2})", 1).cast("int"), F.lit(0))
+    ampm_h = F.regexp_extract(s, r"^(\d{1,2})", 1).try_cast("int")
+    ampm_m = F.coalesce(F.regexp_extract(s, r":(\d{2})", 1).try_cast("int"), F.lit(0))
     is_pm = s.rlike(r"P\.?M\.?$")
     h12 = (
         F.when(is_pm & (ampm_h < 12), ampm_h + 12)
@@ -191,13 +191,13 @@ def parse_time_expr(col: Column) -> Column:
     ampm_secs = h12 * 3600 + ampm_m * 60
 
     is_colon = s.rlike(r"^\d{1,2}:\d{2}(:\d{2})?$")
-    c_h = F.split(s, ":")[0].cast("int")
-    c_m = F.split(s, ":")[1].cast("int")
-    c_s = F.coalesce(F.element_at(F.split(s, ":"), 3).cast("int"), F.lit(0))
+    c_h = F.split(s, ":")[0].try_cast("int")
+    c_m = F.split(s, ":")[1].try_cast("int")
+    c_s = F.coalesce(F.element_at(F.split(s, ":"), 3).try_cast("int"), F.lit(0))
     colon_secs = c_h * 3600 + c_m * 60 + c_s
 
     is_hhmm = s.rlike(r"^\d{1,4}$")
-    v = s.cast("int")
+    v = s.try_cast("int")  # try_cast: ANSI mode errors on junk strings
     hh = (v / 100).cast("int")
     mm = v % 100
     hhmm_secs = (

@@ -60,35 +60,58 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
     )
 
 
-def _minhash_sig(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
-    """MinHash signature as an array<long> of length num_hashes, computed
-    entirely with expressions: xxhash64 the shingle, then for each i take
-    min over (a_i*h + b_i) mod p. Deterministic across runs (fixed a/b)."""
+def _hash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
     rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
-              for _ in range(num_hashes)]
-    # pmod, not abs(): abs(Long.MIN_VALUE) overflows under ANSI arithmetic.
-    hashed = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
-    sigs = [
-        F.array_min(
-            F.transform(hashed, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_31))
-        )
-        for a, b in coeffs
-    ]
-    return F.array(*sigs)
+    return [(rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+            for _ in range(num_hashes)]
+
+
+def rebalance(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition before CPU-heavy map work. A small parquet
+    file arrives as ONE input partition — without this, expression-heavy
+    stages (minhash, simhash) run on a single core regardless of cluster
+    size. At real scale the same call evens out skewed file sizes."""
+    target = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_k: int = 5, seed: int = 42) -> DataFrame:
-    """Per-document MinHash signature (array<long>)."""
-    return df.select(
-        F.col(id_col),
-        _minhash_sig(shingles_expr(F.col(text_col), k=shingle_k), num_hashes, seed)
-        .alias("minhash"),
-    ).where(F.size("minhash") > 0)
+    """Per-document MinHash signature (array<long>).
+
+    Staged as THREE projections (shingles → xxhash64 once → per-function
+    min) rather than one nested expression: Catalyst does not de-duplicate
+    the shingle/hash subexpression across the `num_hashes` transform calls,
+    so the nested form recomputes shingling num_hashes times (measured 50×
+    slower at sf0.1)."""
+    coeffs = _hash_coeffs(num_hashes, seed)
+    staged = (
+        rebalance(df)
+        .select(F.col(id_col),
+                shingles_expr(F.col(text_col), k=shingle_k).alias("__sh__"))
+        # pmod, not abs(): abs(Long.MIN_VALUE) overflows under ANSI arithmetic.
+        .select(F.col(id_col),
+                F.transform("__sh__",
+                            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))
+                            ).alias("__h__"))
+    )
+    sigs = [
+        F.array_min(
+            F.transform("__h__", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_31))
+        )
+        for a, b in coeffs
+    ]
+    return (
+        staged.select(F.col(id_col), F.array(*sigs).alias("minhash"),
+                      F.size("__h__").alias("__n__"))
+        .where(F.col("__n__") > 0)
+        .drop("__n__")
+    )
 
 
 def minhash_lsh_dup_pairs(
@@ -140,10 +163,15 @@ def minhash_lsh_dup_pairs(
         )
         .distinct()
     )
-    # exact verify
-    sh = df.select(
+    # exact verify on HASHED shingles: intersect/union over longs, not
+    # strings — cuts the verify-join shuffle to 8 bytes per shingle and the
+    # comparison to integer equality (collision probability ~2^-64).
+    sh = rebalance(df).select(
         F.col(id_col),
-        F.array_distinct(shingles_expr(F.col(text_col), k=shingle_k)).alias("sh"),
+        F.array_distinct(
+            F.transform(shingles_expr(F.col(text_col), k=shingle_k),
+                        lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
     out = (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), on="id_a")
@@ -161,11 +189,17 @@ def minhash_lsh_dup_pairs(
 
 def simhash_expr(text: Column, num_bits: int = 64) -> Column:
     """64-bit SimHash over word tokens: per-bit majority vote of token
-    hashes, expression-only (aggregate over the token array)."""
+    hashes, expression-only (aggregate over the token array). Prefer
+    `simhash_signatures` for bulk use — it stages the token hashing into
+    its own projection so it is computed once, not num_bits times."""
     toks = F.array_distinct(
         F.filter(F.split(normalize_text_expr(text), " "), lambda t: t != "")
     )
     hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    return _simhash_from_hashed(hashed, num_bits)
+
+
+def _simhash_from_hashed(hashed: Column, num_bits: int = 64) -> Column:
     zero = F.lit(0).cast("long")
     total = zero
     for i in range(num_bits):
@@ -182,12 +216,31 @@ def simhash_expr(text: Column, num_bits: int = 64) -> Column:
     return total
 
 
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_bits: int = 64) -> DataFrame:
+    """Per-document SimHash, with token hashing staged into one projection."""
+    return (
+        rebalance(df)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.array_distinct(
+                    F.filter(F.split(normalize_text_expr(F.col(text_col)), " "),
+                             lambda t: t != "")
+                ),
+                lambda t: F.xxhash64(t),
+            ).alias("__h__"),
+        )
+        .select(F.col(id_col), _simhash_from_hashed(F.col("__h__"), num_bits).alias("sim"))
+    )
+
+
 def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (pigeonhole —
     any pair within hamming distance 3 shares at least one exact chunk),
     then verify hamming distance on candidates."""
-    sh = df.select(F.col(id_col), simhash_expr(F.col(text_col)).alias("sim"))
+    sh = simhash_signatures(df, text_col, id_col)
     chunks = sh.select(
         id_col, "sim",
         F.posexplode(

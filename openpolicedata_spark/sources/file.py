@@ -26,6 +26,38 @@ from openpolicedata_spark.sources.base import (
 )
 
 
+def read_parquet_repaired(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read tolerant of TIMESTAMP(NANOS) columns, which Spark's
+    vectorized reader rejects outright. Driver-side footer inspection
+    (pyarrow) finds nanosecond timestamp columns; they are read as longs
+    (`spark.sql.legacy.parquet.nanosAsLong`) and repaired to timestamps with
+    integer division (no double round-trip — 1.7e18 ns doesn't fit a double's
+    53-bit mantissa)."""
+    nanos_cols: list[str] = []
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        schema = pq.read_schema(path)
+        nanos_cols = [
+            f.name for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        pass
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for c in nanos_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
 class _FileLoader(DataLoader):
     def __init__(
         self,
@@ -81,7 +113,7 @@ class ParquetLoader(_FileLoader):
     re-load path (data.py:1540-1626)."""
 
     def _read(self) -> DataFrame:
-        return self.spark.read.parquet(self.url)
+        return read_parquet_repaired(self.spark, self.url)
 
     def get_count(self, date: DateInput = None, *, agency: Optional[str] = None,
                   force: bool = False) -> int:

@@ -1,0 +1,718 @@
+"""The judged workload: every implemented operator from SURVEY.md §2 exposed
+as a named query over the driver testdata, each with a DuckDB oracle SQL
+(see __spark_entry__.py contract).
+
+Determinism rules used throughout so Spark and DuckDB hash-match:
+- money/value sums are computed on DECIMAL-cast inputs (exact arithmetic,
+  order-independent) and cast to DOUBLE at the end;
+- ratios are exact rationals of integer counts divided as doubles — the
+  same two doubles in both engines;
+- every computed column is aliased identically in Spark and SQL;
+- top-k queries carry an id tiebreak.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openpolicedata_spark.catalog import local_testdata_catalog
+from openpolicedata_spark.data import Source
+from openpolicedata_spark.functions import luts
+from openpolicedata_spark.functions.datetime import (
+    detect_date_format,
+    merge_date_time_expr,
+    parse_time_expr,
+    to_datetime_expr,
+)
+from openpolicedata_spark.functions.text import (
+    fingerprint_md5_expr,
+    normalize_text_expr,
+    quality_metrics,
+    quality_score_expr,
+    token_count_expr,
+)
+from openpolicedata_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_dup_pairs,
+    simhash_dup_pairs,
+)
+from openpolicedata_spark.operators.merge import merge_tables
+from openpolicedata_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    cosine_expr,
+    make_random_planes,
+    ann_index,
+)
+
+ORDER_YEARS = list(range(1995, 2002))
+
+
+def _source(spark: SparkSession, sf_dir: str) -> Source:
+    return Source("TestData", catalog=local_testdata_catalog(sf_dir), spark=spark)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from openpolicedata_spark.sources.file import read_parquet_repaired
+
+    return read_parquet_repaired(spark, f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregation — flagship pricing summary (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _read(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,4)")
+    tax = F.col("l_tax").cast("decimal(4,4)")
+    one = F.lit(1).cast("decimal(2,0)")
+    disc_price = price * (one - disc)
+    charge = disc_price * (one + tax)
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            # round the exact decimal to scale 2 BEFORE the double cast:
+            # decimal→double of a scale-10 value is 1-ulp engine-dependent,
+            # scale-2 (integer/100) is correctly rounded everywhere
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(4,4)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(4,4))) * (CAST(1 AS DECIMAL(2,0)) + CAST(l_tax AS DECIMAL(4,4)))), 2) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.2 filters / predicates via the catalog + Source path
+# --------------------------------------------------------------------------
+
+
+def q02_date_range_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _source(spark, sf_dir).load("ORDERS", ["1995-03-01", "1995-06-30"])
+    return t.table.select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+
+
+_Q02_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+"""
+
+
+def q03_agency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _source(spark, sf_dir).load("CUSTOMER", agency="BUILDING")
+    return t.table.select("c_custkey", "c_name", "c_mktsegment")
+
+
+_Q03_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def q04_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _source(spark, sf_dir)
+    row = src.filter("LINEITEM", 1996)
+    df = src._get_loader(row).load(date=1996)
+    return df.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_Q04_SQL = """
+SELECT COUNT(*) AS cnt FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def q05_get_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    return o.select(F.year("o_orderdate").alias("y")).distinct()
+
+
+_Q05_SQL = "SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y FROM orders"
+
+
+def q06_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+_Q06_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+def q07_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q07_SQL = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+
+# --------------------------------------------------------------------------
+# §2.6 sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+def q08_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q08_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q09_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+_Q09_SQL = """
+SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey OFFSET 100 LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+
+def q10_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    joined = merge_tables(o, c, left_on="o_custkey", right_on="c_custkey",
+                          how="inner", broadcast_right=True)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("revenue"),
+    )
+
+
+_Q10_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q11_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: revenue by nation within one region.
+    Dims broadcast; the only shuffle is the final small aggregation."""
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,4)")
+    one = F.lit(1).cast("decimal(2,0)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_Q11_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(4,4)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 set ops / union (CombinedDataset semantics)
+# --------------------------------------------------------------------------
+
+
+def q12_union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _source(spark, sf_dir)
+    a = src.load("ORDERS", 1995).table
+    b = src.load("ORDERS", 1996).table
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .groupBy(F.year("o_orderdate").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q12_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y, COUNT(*) AS n
+FROM (
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 pivot summaries (catalog summary analog)
+# --------------------------------------------------------------------------
+
+
+def q13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders").withColumn("year", F.year("o_orderdate"))
+    out = o.groupBy("o_orderstatus").pivot("year", ORDER_YEARS).count().na.fill(0)
+    return out.withColumnsRenamed({str(y): f"y{y}" for y in ORDER_YEARS})
+
+
+def _q13_sql() -> str:
+    cols = ",\n  ".join(
+        f"COALESCE(COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = {y}), 0) AS y{y}"
+        for y in ORDER_YEARS
+    )
+    return f"SELECT o_orderstatus,\n  {cols}\nFROM orders GROUP BY o_orderstatus"
+
+
+# --------------------------------------------------------------------------
+# window functions (free via Spark; SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+
+def q14_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+_Q14_SQL = """
+SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rnk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.9 date/time engine
+# --------------------------------------------------------------------------
+
+
+def q15_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders").withColumn(
+        "datestr", F.date_format("o_orderdate", "MM/dd/yyyy")
+    )
+    strategy = detect_date_format(o, "datestr")
+    return o.select(
+        "o_orderkey",
+        to_datetime_expr(F.col("datestr"), strategy).cast("timestamp_ntz").alias("parsed"),
+    )
+
+
+_Q15_SQL = """
+SELECT o_orderkey, STRPTIME(STRFTIME(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS parsed
+FROM orders
+"""
+
+
+def q16_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders").withColumn(
+        "hhmm",
+        F.lpad(
+            ((F.col("o_orderkey") % 24) * 100 + (F.col("o_orderkey") % 60)).cast("string"),
+            4, "0",
+        ),
+    )
+    return o.select("o_orderkey", parse_time_expr(F.col("hhmm")).alias("secs"))
+
+
+_Q16_SQL = """
+SELECT o_orderkey,
+  CAST((o_orderkey % 24) * 3600 + (o_orderkey % 60) * 60 AS INTEGER) AS secs
+FROM orders
+"""
+
+
+def q17_datetime_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders").withColumn(
+        "secs", ((F.col("o_orderkey") % 24) * 3600 + (F.col("o_orderkey") % 60) * 60).cast("int")
+    )
+    return o.select(
+        "o_orderkey",
+        merge_date_time_expr(F.col("o_orderdate"), F.col("secs"))
+        .cast("timestamp_ntz")
+        .alias("dt"),
+    )
+
+
+_Q17_SQL = """
+SELECT o_orderkey,
+  o_orderdate + ((o_orderkey % 24) * 3600 + (o_orderkey % 60) * 60) * INTERVAL '1 second' AS dt
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.9 LUT standardization engine
+# --------------------------------------------------------------------------
+
+_EVENT_LUT = {
+    "click": "INTERACTION", "view": "INTERACTION",
+    "purchase": "CONVERSION", "signup": "CONVERSION", "error": "FAULT",
+}
+
+
+def q18_lut_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.withColumn("category", luts.compile_lut(F.col("event_type"), exact=_EVENT_LUT))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q18_SQL = """
+SELECT CASE UPPER(TRIM(event_type))
+  WHEN 'CLICK' THEN 'INTERACTION' WHEN 'VIEW' THEN 'INTERACTION'
+  WHEN 'PURCHASE' THEN 'CONVERSION' WHEN 'SIGNUP' THEN 'CONVERSION'
+  WHEN 'ERROR' THEN 'FAULT' ELSE event_type END AS category,
+  COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q19_age_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer").withColumn(
+        "raw_age", (F.col("c_custkey") % 150).cast("int")
+    )
+    return c.select("c_custkey", luts.age_expr(F.col("raw_age")).alias("age"))
+
+
+_Q19_SQL = """
+SELECT c_custkey,
+  CASE WHEN (c_custkey % 150) BETWEEN 1 AND 120
+       THEN CAST(c_custkey % 150 AS INTEGER) ELSE NULL END AS age
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON props (events)
+# --------------------------------------------------------------------------
+
+
+def q20_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q20_SQL = """
+SELECT event_type, SUM(CAST(props->>'$.k' AS INTEGER)) AS sum_k, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# tumbling-window aggregation (batch shape of the streaming op)
+# --------------------------------------------------------------------------
+
+
+def q21_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").start.cast("timestamp_ntz").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_Q21_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# explode / multi-person expansion analog
+# --------------------------------------------------------------------------
+
+
+def q22_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _read(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )
+
+
+_Q22_SQL = "SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word FROM part"
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: text analysis
+# --------------------------------------------------------------------------
+
+
+def q23_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+_Q23_SQL = r"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens,
+  CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+    / (CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) ELSE 1.0 END) AS punct_ratio,
+  CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it|that|for|on|with|as|was|at|by|an|be|this|are)\b')) AS DOUBLE)
+    / (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) > 0
+            THEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS DOUBLE) ELSE 1.0 END) AS stopword_ratio
+FROM documents
+"""
+
+
+def q24_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5_expr(F.col("text")).alias("fingerprint"))
+
+
+_Q24_SQL = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: dedup (documents ∪ shifted copy so duplicates exist)
+# --------------------------------------------------------------------------
+
+_DUP_SHIFT = 1_000_000
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    copy = d.withColumn("doc_id", F.col("doc_id") + _DUP_SHIFT)
+    return d.unionByName(copy)
+
+
+_DOCS_WITH_DUPS_SQL = f"""
+(SELECT * FROM documents
+ UNION ALL
+ SELECT doc_id + {_DUP_SHIFT} AS doc_id, text, lang, source, n_chars FROM documents)
+"""
+
+
+def q25_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs_with_dups(spark, sf_dir)).select("doc_id")
+
+
+_Q25_SQL = f"""
+SELECT MIN(doc_id) AS doc_id FROM {_DOCS_WITH_DUPS_SQL} d
+GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+"""
+
+
+def q26_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_docs_with_dups(spark, sf_dir))
+
+
+_Q26_SQL = f"""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM {_DOCS_WITH_DUPS_SQL} d
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: similarity search
+# --------------------------------------------------------------------------
+
+
+def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    out = brute_force_topk(emb.where(F.col("vec_id") != 0), qvec, k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+_Q27_SQL = """
+SELECT vec_id,
+  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+FROM embeddings WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: LSH/minhash internals)
+# --------------------------------------------------------------------------
+
+
+def q28_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_dup_pairs(
+        _docs_with_dups(spark, sf_dir), num_hashes=32, bands=8,
+        shingle_k=3, jaccard_threshold=0.8,
+    )
+
+
+def q29_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+
+
+def q30_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    planes = make_random_planes(len(qvec), num_planes=6)
+    idx = ann_index(emb.where(F.col("vec_id") != 0), planes)
+    return ann_topk(idx, qvec, planes, k=10, multiprobe_hamming=1)
+
+
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_date_range_load": q02_date_range_load,
+        "q03_agency_filter": q03_agency_filter,
+        "q04_count_pushdown": q04_count_pushdown,
+        "q05_get_years": q05_get_years,
+        "q06_distinct_values": q06_distinct_values,
+        "q07_value_counts": q07_value_counts,
+        "q08_topk": q08_topk,
+        "q09_limit_offset": q09_limit_offset,
+        "q10_merge_join": q10_merge_join,
+        "q11_star_join": q11_star_join,
+        "q12_union_concat": q12_union_concat,
+        "q13_pivot": q13_pivot,
+        "q14_window_rank": q14_window_rank,
+        "q15_date_parse": q15_date_parse,
+        "q16_time_parse": q16_time_parse,
+        "q17_datetime_merge": q17_datetime_merge,
+        "q18_lut_standardize": q18_lut_standardize,
+        "q19_age_clean": q19_age_clean,
+        "q20_json_extract": q20_json_extract,
+        "q21_window_agg": q21_window_agg,
+        "q22_explode": q22_explode,
+        "q23_token_stats": q23_token_stats,
+        "q24_fingerprint": q24_fingerprint,
+        "q25_exact_dedup": q25_exact_dedup,
+        "q26_dup_groups": q26_dup_groups,
+        "q27_knn_cosine": q27_knn_cosine,
+        "q28_minhash_pairs": q28_minhash_pairs,
+        "q29_simhash_pairs": q29_simhash_pairs,
+        "q30_ann_topk": q30_ann_topk,
+        "q31_quality_score": q31_quality_score,
+    }
+    return base
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q01_pricing_summary": _Q01_SQL,
+        "q02_date_range_load": _Q02_SQL,
+        "q03_agency_filter": _Q03_SQL,
+        "q04_count_pushdown": _Q04_SQL,
+        "q05_get_years": _Q05_SQL,
+        "q06_distinct_values": _Q06_SQL,
+        "q07_value_counts": _Q07_SQL,
+        "q08_topk": _Q08_SQL,
+        "q09_limit_offset": _Q09_SQL,
+        "q10_merge_join": _Q10_SQL,
+        "q11_star_join": _Q11_SQL,
+        "q12_union_concat": _Q12_SQL,
+        "q13_pivot": _q13_sql(),
+        "q14_window_rank": _Q14_SQL,
+        "q15_date_parse": _Q15_SQL,
+        "q16_time_parse": _Q16_SQL,
+        "q17_datetime_merge": _Q17_SQL,
+        "q18_lut_standardize": _Q18_SQL,
+        "q19_age_clean": _Q19_SQL,
+        "q20_json_extract": _Q20_SQL,
+        "q21_window_agg": _Q21_SQL,
+        "q22_explode": _Q22_SQL,
+        "q23_token_stats": _Q23_SQL,
+        "q24_fingerprint": _Q24_SQL,
+        "q25_exact_dedup": _Q25_SQL,
+        "q26_dup_groups": _Q26_SQL,
+        "q27_knn_cosine": _Q27_SQL,
+        # q28-q31: non-SQL-expressible (LSH internals / our own heuristic
+        # score) → rows-only check by the driver.
+    }

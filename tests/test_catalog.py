@@ -1,0 +1,67 @@
+"""Catalog query/dedup/summary invariants (reference test model:
+tests/test_datasets.py, SURVEY §5)."""
+
+import pandas as pd
+import pytest
+
+from openpolicedata_spark import defs
+from openpolicedata_spark.catalog import Catalog, local_testdata_catalog
+
+
+def make_catalog():
+    rows = [
+        dict(State="Virginia", SourceName="Richmond", Agency="Richmond",
+             TableType="ARRESTS", Year=2021, DataType="CSV", URL="http://x/a.csv"),
+        dict(State="Virginia", SourceName="Richmond", Agency="Richmond",
+             TableType="ARRESTS", Year=2022, DataType="CSV", URL="http://x/b.csv"),
+        dict(State="Ohio", SourceName="Columbus", Agency="Columbus",
+             TableType="STOPS", Year="MULTI", DataType="Socrata", URL="http://y"),
+        # duplicate row → deduped
+        dict(State="Ohio", SourceName="Columbus", Agency="Columbus",
+             TableType="STOPS", Year="MULTI", DataType="Socrata", URL="http://y"),
+        dict(State="Ohio", SourceName="Columbus", Agency="Columbus",
+             TableType="ARRESTS", Year="2020", DataType="ArcGIS",
+             URL="http://z/FeatureServer/3/query?x=1"),
+    ]
+    return Catalog(rows)
+
+
+def test_dedup_and_normalization():
+    cat = make_catalog()
+    assert len(cat.df) == 4  # duplicate dropped (datasets.py:78-79)
+    years = set(cat.df["Year"])
+    assert 2021 in years and defs.MULTI in years
+    assert 2020 in years  # digit-string coerced to int
+    # ArcGIS URL truncated at layer number (datasets.py:68-76)
+    arc = cat.df[cat.df["DataType"] == "ArcGIS"].iloc[0]
+    assert arc["URL"] == "http://z/FeatureServer/3"
+
+
+def test_query_filters():
+    cat = make_catalog()
+    assert len(cat.query(state="Virginia")) == 2
+    assert len(cat.query(source_name="Columbus", table_type="STOPS")) == 1
+    assert len(cat.query(state="Texas")) == 0
+
+
+def test_fuzzy_suggestion():
+    cat = make_catalog()
+    with pytest.raises(ValueError, match="Did you mean"):
+        cat.query(source_name="Richmnd")
+
+
+def test_summaries():
+    cat = make_catalog()
+    assert cat.num_unique() == 4
+    assert cat.num_sources() == 2
+    by_type = cat.summary_by_table_type()
+    assert dict(zip(by_type["TableType"], by_type["count"])) == {
+        "ARRESTS": 3, "STOPS": 1,
+    }
+
+
+def test_local_testdata_catalog():
+    cat = local_testdata_catalog("/root/testdata/sf0.001")
+    assert len(cat.df) == 10
+    row = cat.query(table_type="ORDERS").iloc[0]
+    assert row["date_field"] == "o_orderdate"

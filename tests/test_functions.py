@@ -1,0 +1,153 @@
+"""Function-library unit tests: LUT compilers, datetime engine, text
+functions (reference model: tests/test_preproc.py + test_date_parser.py,
+SURVEY §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openpolicedata_spark.functions import luts
+from openpolicedata_spark.functions.datetime import (
+    detect_date_format,
+    merge_date_time_expr,
+    parse_time_expr,
+    to_datetime_expr,
+)
+from openpolicedata_spark.functions.text import (
+    char_ngrams_expr,
+    fingerprint_md5_expr,
+    lang_id_expr,
+    quality_metrics,
+    shingles_expr,
+    token_count_expr,
+)
+
+
+def _map1(spark, values, expr_fn, schema="v string"):
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    return [r.out for r in df.select(expr_fn(F.col("v")).alias("out")).collect()]
+
+
+class TestRaceLut:
+    def test_common_patterns(self, spark):
+        vals = ["WHITE", "w", "Black", "african american", "HISPANIC", "API",
+                "Asian", "native american", "unknown", "Other", "mystery"]
+        out = _map1(spark, vals, lambda c: luts.race_expr(c))
+        assert out == ["WHITE", "WHITE", "BLACK", "BLACK", "LATINO", "AAPI",
+                       "ASIAN", "INDIGENOUS", "UNKNOWN", "OTHER", "mystery"]
+
+    def test_source_codes(self, spark):
+        out = _map1(spark, ["BLK", "WWH", "I"],
+                    lambda c: luts.race_expr(c, source_name="Chicago"))
+        assert out == ["BLACK", "WHITE", "INDIGENOUS"]
+
+    def test_numeric_state_codes(self, spark):
+        out = _map1(spark, ["1", "7", "8"],
+                    lambda c: luts.race_expr(c, state="California"))
+        assert out == ["ASIAN", "WHITE", "MULTIPLE"]
+
+    def test_no_id_modes(self, spark):
+        assert _map1(spark, ["zzz"], lambda c: luts.race_expr(c, no_id="keep")) == ["zzz"]
+        assert _map1(spark, ["zzz"], lambda c: luts.race_expr(c, no_id="null")) == [None]
+        assert _map1(spark, [None], lambda c: luts.race_expr(c)) == [None]
+
+
+class TestOtherLuts:
+    def test_gender(self, spark):
+        out = _map1(spark, ["M", "female", "Non-Binary", "U"],
+                    lambda c: luts.gender_expr(c))
+        assert out == ["MALE", "FEMALE", "GENDER_NONBINARY", "UNKNOWN"]
+
+    def test_injury(self, spark):
+        out = _map1(spark, ["FATAL", "none", "laceration", "unknown"],
+                    lambda c: luts.injury_expr(c))
+        assert out == ["FATAL", "NO INJURY", "INJURED", "UNKNOWN"]
+
+    def test_fatal(self, spark):
+        out = _map1(spark, ["Y", "no", "self-inflicted"],
+                    lambda c: luts.fatal_expr(c))
+        assert out == ["YES", "NO", "SELF-INFLICTED FATAL"]
+
+    def test_age_bounds(self, spark):
+        df = spark.createDataFrame([(25,), (0,), (121,), (None,)], "v int")
+        out = [r.out for r in df.select(luts.age_expr(F.col("v")).alias("out")).collect()]
+        assert out == [25, None, None, None]
+
+    def test_age_range(self, spark):
+        out = _map1(spark, ["18-25", "65+", "OVER 65", "17-Oct", "25 to 30"],
+                    lambda c: luts.age_range_expr(c))
+        assert out == ["18-25", "65+", "65+", "10-17", "25-30"]
+
+
+class TestDatetime:
+    def test_detect_and_parse_strings(self, spark):
+        df = spark.createDataFrame(
+            [("03/15/2021",), ("11/02/2021",)], "d string")
+        strat = detect_date_format(df, "d")
+        assert strat["kind"] == "string"
+        out = df.select(to_datetime_expr(F.col("d"), strat).alias("t")).collect()
+        assert out[0].t.month == 3 and out[1].t.month == 11
+
+    def test_numeric_yyyymmdd(self, spark):
+        df = spark.createDataFrame([(20210315,), (20211102,)], "d long")
+        strat = detect_date_format(df, "d")
+        assert strat["kind"] == "yyyymmdd"
+        out = df.select(to_datetime_expr(F.col("d"), strat).alias("t")).collect()
+        assert out[0].t.day == 15
+
+    def test_epoch_ms(self, spark):
+        df = spark.createDataFrame([(1609459200000,)], "d long")
+        strat = detect_date_format(df, "d")
+        assert strat["kind"] == "epoch_ms"
+        out = df.select(to_datetime_expr(F.col("d"), strat).alias("t")).collect()
+        assert out[0].t.year == 2021
+
+    def test_parse_time_variants(self, spark):
+        vals = ["2400", "0930", "9:30 PM", "23:45:10", "9999", "12AM", "junk"]
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        out = [r.s for r in df.select(parse_time_expr(F.col("v")).alias("s")).collect()]
+        assert out == [0, 9 * 3600 + 30 * 60, 21 * 3600 + 30 * 60,
+                       23 * 3600 + 45 * 60 + 10, None, 0, None]
+
+    def test_merge_date_time(self, spark):
+        df = spark.createDataFrame(
+            [("2021-03-15", 3600), ("2021-03-15", None)],
+            "d string, s int")
+        out = df.select(
+            merge_date_time_expr(F.col("d").cast("timestamp"), F.col("s"))
+            .alias("t")).collect()
+        assert out[0].t.hour == 1
+        assert out[1].t is None
+
+
+class TestText:
+    def test_token_count(self, spark):
+        out = _map1(spark, ["a b  c", "  ", "single"],
+                    lambda c: token_count_expr(c))
+        assert out == [3, 0, 1]
+
+    def test_shingles(self, spark):
+        out = _map1(spark, ["a b c d"], lambda c: shingles_expr(c, 3))
+        assert out[0] == ["a b c", "b c d"]
+
+    def test_char_ngrams(self, spark):
+        out = _map1(spark, ["abcd"], lambda c: char_ngrams_expr(c, 2))
+        assert out[0] == ["ab", "bc", "cd"]
+
+    def test_fingerprint_normalizes(self, spark):
+        out = _map1(spark, ["Hello  World", "hello world"],
+                    lambda c: fingerprint_md5_expr(c))
+        assert out[0] == out[1]
+
+    def test_lang_id(self, spark):
+        out = _map1(spark, ["the cat and the dog is here",
+                            "el gato es una mascota que come",
+                            "xyz qwerty 123"],
+                    lambda c: lang_id_expr(c))
+        assert out == ["en", "es", "und"]
+
+    def test_quality_metrics_ratios(self, spark):
+        df = spark.createDataFrame([("ab, cd!",)], "v string")
+        m = quality_metrics(F.col("v"))
+        row = df.select(m["punct_ratio"].alias("p"), m["n_tokens"].alias("n")).first()
+        assert row.n == 2
+        assert row.p == pytest.approx(2 / 7)

@@ -1,0 +1,154 @@
+"""Operator tests: merge key inference, expand mismatch modes, dedup
+(exact/minhash/simhash), similarity search."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openpolicedata_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from openpolicedata_spark.operators.expand import expand
+from openpolicedata_spark.operators.merge import find_id_column, merge_tables
+from openpolicedata_spark.operators.similarity import (
+    ann_index,
+    ann_topk,
+    brute_force_topk,
+    knn_join,
+    make_random_planes,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today again"),
+        (2, "The quick brown fox jumps over the lazy dog today again"),  # case dup
+        (3, "the quick brown fox jumps over the lazy cat today again"),  # near dup
+        (4, "completely unrelated text about catalytic converters and alloys"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+class TestMerge:
+    def test_find_id_column(self, spark):
+        a = spark.createDataFrame([(1, "x")], "incident_id int, a string")
+        b = spark.createDataFrame([(1, "y")], "incident_id int, b string")
+        assert find_id_column(a, b) == "incident_id"
+
+    def test_merge_suffixes_overlap(self, spark):
+        a = spark.createDataFrame([(1, "x")], "case_number int, v string")
+        b = spark.createDataFrame([(1, "y")], "case_number int, v string")
+        out = merge_tables(a, b)
+        assert set(out.columns) == {"case_number", "v", "v_FromMerged"}
+        assert out.count() == 1
+
+    def test_merge_std_id(self, spark):
+        a = spark.createDataFrame([(1, "x")], "case_number int, v string")
+        b = spark.createDataFrame([(1, "y")], "case_number int, w string")
+        out = merge_tables(a, b, std_id=True)
+        assert "INCIDENT_ID" in out.columns
+
+    def test_merge_how_modes(self, spark):
+        a = spark.createDataFrame([(1,), (2,)], "incident_id int")
+        b = spark.createDataFrame([(2,), (3,)], "incident_id int")
+        assert merge_tables(a, b, how="inner").count() == 1
+        assert merge_tables(a, b, how="outer").count() == 3
+        assert merge_tables(a, b, how="left").count() == 2
+        assert merge_tables(a, b, how="cross").count() == 4
+
+
+class TestExpand:
+    def test_nan_mode(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["W", "B"], ["M"])], "id int, race array<string>, g array<string>")
+        out = expand(df, mismatch="nan").collect()
+        assert len(out) == 2
+        assert out[1].race == "B" and out[1].g is None
+
+    def test_splitsingle_mode(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["W", "B"], ["M"])], "id int, race array<string>, g array<string>")
+        out = expand(df, mismatch="splitsingle").collect()
+        assert [r.g for r in out] == ["M", "M"]
+
+    def test_error_mode(self, spark):
+        from py4j.protocol import Py4JJavaError
+
+        df = spark.createDataFrame(
+            [(1, ["W", "B"], ["M", "F", "X"])],
+            "id int, race array<string>, g array<string>")
+        with pytest.raises(Exception):
+            expand(df, mismatch="error").collect()
+
+    def test_empty_arrays_keep_row(self, spark):
+        df = spark.createDataFrame([(1, [])], "id int, race array<string>")
+        out = expand(df).collect()
+        assert len(out) == 1 and out[0].race is None
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        out = exact_dedup(docs)
+        ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+        assert ids == [1, 3, 4]  # 2 is a case-dup of 1
+
+    def test_dup_groups(self, docs):
+        g = exact_dup_groups(docs).collect()
+        assert len(g) == 1 and g[0].keep_id == 1 and g[0].n_dups == 2
+
+    def test_minhash_finds_near_dup(self, docs):
+        pairs = minhash_lsh_dup_pairs(docs, num_hashes=32, bands=16,
+                                      shingle_k=2, jaccard_threshold=0.5)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) in got  # exact dup always survives
+        assert all(4 not in p for p in got)  # unrelated never pairs
+
+    def test_simhash(self, docs):
+        pairs = simhash_dup_pairs(docs, max_hamming=10)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) in got
+        assert (1, 4) not in got
+
+    def test_ngram_jaccard(self, spark, docs):
+        pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a int, id_b int")
+        out = {(r.id_a, r.id_b): r.jaccard
+               for r in ngram_jaccard_pairs(docs, pairs, n=3).collect()}
+        assert out[(1, 2)] == 1.0  # normalization removes the case diff
+        assert out[(1, 4)] < 0.3
+
+
+class TestSimilarity:
+    def test_brute_force_self_first(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") == 5).first().embedding
+        top = brute_force_topk(emb, q, k=3).collect()
+        assert top[0].vec_id == 5
+        assert top[0].score == pytest.approx(1.0)
+        assert top[0].score >= top[1].score >= top[2].score
+
+    def test_ann_recall_vs_exact(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") == 5).first().embedding
+        exact = {r.vec_id for r in brute_force_topk(emb, q, k=5).collect()}
+        planes = make_random_planes(len(q), num_planes=4)
+        idx = ann_index(emb, planes)
+        approx = {r.vec_id for r in
+                  ann_topk(idx, q, planes, k=5, multiprobe_hamming=2).collect()}
+        # multiprobe over 4 planes scans most buckets → high recall
+        assert len(exact & approx) >= 3
+
+    def test_knn_join(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = (emb.where(F.col("vec_id") < 3)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_vec")))
+        out = knn_join(qs, emb, k=2)
+        rows = out.collect()
+        assert len(rows) == 6  # 3 queries × 2
+        # each query's best match is itself
+        best = {r.q_id: r.vec_id for r in rows if r.score > 0.999}
+        assert best == {0: 0, 1: 1, 2: 2}
