@@ -191,9 +191,10 @@ def parse_time_expr(col: Column) -> Column:
     ampm_secs = h12 * 3600 + ampm_m * 60
 
     is_colon = s.rlike(r"^\d{1,2}:\d{2}(:\d{2})?$")
-    c_h = F.split(s, ":")[0].try_cast("int")
-    c_m = F.split(s, ":")[1].try_cast("int")
-    c_s = F.coalesce(F.element_at(F.split(s, ":"), 3).try_cast("int"), F.lit(0))
+    parts = F.split(s, ":")
+    c_h = F.try_element_at(parts, F.lit(1)).try_cast("int")
+    c_m = F.coalesce(F.try_element_at(parts, F.lit(2)).try_cast("int"), F.lit(0))
+    c_s = F.coalesce(F.try_element_at(parts, F.lit(3)).try_cast("int"), F.lit(0))
     colon_secs = c_h * 3600 + c_m * 60 + c_s
 
     is_hhmm = s.rlike(r"^\d{1,4}$")

@@ -1,0 +1,419 @@
+"""Schema-inference + standardization pipeline.
+
+Parity target: /root/reference/openpolicedata/preproc.py — orchestration
+(`standardize`, preproc.py:70-137), column matching (`_find_col_matches`,
+preproc.py:520-649), demographic role attribution (`_id_demographic_column`,
+preproc.py:1141-1365), validators (preproc.py:2154-2477), multi-person
+detection (`check_for_multiple`, preproc.py:1623-1944), cleanup/reorder
+(preproc.py:1475-1488), and _preproc_utils.py:10-15 (`DataMapping`).
+
+Spark architecture (SURVEY §2.10 mapping): column *identification* is
+driver-side Python over ``df.schema`` plus ONE sample job
+(``df.limit(N).toPandas()``) — heuristics never scan the data. The chosen
+mappings are then *applied* as compiled Column expressions in a single
+``withColumns`` — one lazy projection, fully codegen'd, no Python at
+execution time.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openpolicedata_spark import defs
+from openpolicedata_spark.defs import Columns
+from openpolicedata_spark.functions import luts
+from openpolicedata_spark.functions.datetime import (
+    detect_date_format,
+    merge_date_time_expr,
+    parse_time_expr,
+    to_datetime_expr,
+)
+
+SAMPLE_N = 1000
+
+OFFICER_TERMS = ["officer", "deputy", "empl", "personnel"]  # preproc.py:549
+CIVILIAN_TERMS = ["citizen", "subject", "suspect", "civilian", "cit", "offender"]  # preproc.py:565
+
+
+@dataclass
+class DataMapping:
+    """Per-column transform audit record (reference _preproc_utils.py:10-15)."""
+
+    orig_column_name: Optional[str]
+    new_column_name: str
+    data_maps: Optional[dict] = None
+    orig_value_counts: Optional[pd.Series] = None
+
+
+@dataclass
+class ColumnMap:
+    """canonical name → raw column(s) (reference `_ColMapDict`, preproc.py:25-67)."""
+
+    mapping: dict[str, str] = field(default_factory=dict)
+
+    def __setitem__(self, k: str, v: str) -> None:
+        self.mapping[k] = v
+
+    def __getitem__(self, k: str) -> str:
+        return self.mapping[k]
+
+    def __contains__(self, k: str) -> bool:
+        return k in self.mapping
+
+    def items(self):
+        return self.mapping.items()
+
+
+def _words(name: str) -> list[str]:
+    """Split a column name into lowercase words: camelCase, snake_case,
+    spaces, punctuation (reference utils.py:3-52 split_words)."""
+    s = re.sub(r"([a-z0-9])([A-Z])", r"\1 \2", str(name))
+    return [w for w in re.split(r"[^A-Za-z0-9]+", s.lower()) if w]
+
+
+def _contains_term(name: str, terms: list[str]) -> bool:
+    w = _words(name)
+    return any(t in w or any(t in x for x in w if len(t) > 3) for t in terms)
+
+
+class ColumnIdentifier:
+    """Driver-side column identification over schema + one pandas sample."""
+
+    def __init__(self, df: DataFrame, table_type: Optional[str] = None,
+                 source_name: Optional[str] = None,
+                 known_cols: Optional[dict[str, str]] = None):
+        self.df = df
+        self.table_type = table_type or ""
+        self.source_name = source_name
+        self.known_cols = known_cols or {}
+        self._sample: Optional[pd.DataFrame] = None
+
+    @property
+    def sample(self) -> pd.DataFrame:
+        if self._sample is None:
+            self._sample = self.df.limit(SAMPLE_N).toPandas()
+        return self._sample
+
+    # ---------------------------------------------------------------- search
+    def find_matches(
+        self,
+        substrs: list[str],
+        exclude_substrs: Optional[list[str]] = None,
+        validator: Optional[Callable[[pd.Series], bool]] = None,
+    ) -> list[str]:
+        """Word-boundary substring search with exclusions + data validation
+        (reference `_find_col_matches` preproc.py:520-649, condensed: the
+        word-split requirement avoids matching inside longer words)."""
+        exclude_substrs = exclude_substrs or []
+        out = []
+        for c in self.df.columns:
+            lc = str(c).lower()
+            words = _words(c)
+            hit = False
+            for s in substrs:
+                s = s.lower()
+                if s == lc or s in words or (s + "s") in words:
+                    hit = True
+                elif len(words) == 1 and s in lc:
+                    hit = True
+                elif " " in s and s in " ".join(words):
+                    hit = True
+            if not hit:
+                continue
+            if any(e.lower() in lc for e in exclude_substrs):
+                continue
+            if validator is not None and not validator(self.sample[c]):
+                continue
+            out.append(c)
+        return out
+
+    def attribute_roles(self, cols: list[str]) -> dict[str, Optional[str]]:
+        """Assign each matched column to OFFICER / SUBJECT / both
+        (reference `_id_demographic_column` preproc.py:1141-1365):
+        explicit terms in the name win; '- OFFICERS'/'- SUBJECTS' table
+        types imply the role for unmarked columns."""
+        roles: dict[str, Optional[str]] = {}
+        tt = self.table_type.upper()
+        default = None
+        if tt.endswith("- OFFICERS"):
+            default = "OFFICER"
+        elif tt.endswith("- SUBJECTS") or tt.endswith("- NONMOTORIST"):
+            default = "SUBJECT"
+        for c in cols:
+            if _contains_term(c, OFFICER_TERMS):
+                roles[c] = "OFFICER"
+            elif _contains_term(c, CIVILIAN_TERMS):
+                roles[c] = "SUBJECT"
+            else:
+                roles[c] = default
+        return roles
+
+    # ------------------------------------------------------------ validators
+    def validate_date(self, s: pd.Series) -> bool:
+        """Date validator (reference datetime_parser.py:230-272): at least
+        half of the sampled non-null values must parse as plausible dates."""
+        v = s.dropna()
+        if len(v) == 0:
+            return False
+        if pd.api.types.is_datetime64_any_dtype(v):
+            return True
+        parsed = pd.to_datetime(v.astype(str), errors="coerce", format="mixed")
+        ok = parsed.notna() & (parsed.dt.year >= 1900) & (parsed.dt.year <= 2200)
+        return ok.mean() >= 0.5
+
+    def validate_time(self, s: pd.Series) -> bool:
+        """Time validator (reference datetime_parser.py:275-379): HHMM ints
+        or HH:MM strings; must NOT look like a date."""
+        v = s.dropna().astype(str).str.strip()
+        if len(v) == 0:
+            return False
+        time_like = v.str.match(r"^\d{1,2}:\d{2}(:\d{2})?( ?[AaPp]\.?[Mm]\.?)?$") | \
+            v.str.match(r"^\d{1,4}$")
+        date_like = v.str.match(r"^\d{4}-\d{2}-\d{2}") | v.str.match(r"^\d{1,2}/\d{1,2}/\d{2,4}$")
+        return time_like.mean() >= 0.5 and not date_like.any()
+
+    def validate_race(self, s: pd.Series) -> bool:
+        """Race validator (reference preproc.py:2217-2300): ≥1/3 of values
+        convert to known categories and WHITE or BLACK is present."""
+        v = s.dropna().astype(str).str.strip().str.upper()
+        if len(v) == 0:
+            return False
+        known = {"WHITE", "BLACK", "ASIAN", "HISPANIC", "LATINO", "W", "B",
+                 "A", "H", "AAPI", "CAUCASIAN", "AFRICAN AMERICAN", "UNKNOWN",
+                 "OTHER", "INDIGENOUS", "NATIVE AMERICAN", "PACIFIC ISLANDER"}
+        frac = v.isin(known).mean()
+        has_wb = v.isin({"WHITE", "W", "CAUCASIAN", "BLACK", "B",
+                         "AFRICAN AMERICAN"}).any()
+        return frac >= 1 / 3 and has_wb
+
+    def validate_gender(self, s: pd.Series) -> bool:
+        v = s.dropna().astype(str).str.strip().str.upper()
+        if len(v) == 0:
+            return False
+        known = {"M", "F", "MALE", "FEMALE", "UNKNOWN", "U", "NONBINARY",
+                 "NON-BINARY", "TRANSGENDER", "OTHER", "X", "W", "MAN", "WOMAN"}
+        return v.isin(known).mean() >= 0.5
+
+    def validate_age(self, s: pd.Series) -> bool:
+        v = pd.to_numeric(s.dropna(), errors="coerce").dropna()
+        if len(v) == 0:
+            return False
+        return ((v >= 0) & (v <= 120)).mean() >= 0.75
+
+    def validate_zip(self, s: pd.Series) -> bool:
+        v = s.dropna().astype(str).str.strip()
+        return len(v) > 0 and v.str.match(r"^\d{5}(-\d{4})?$").mean() >= 0.75
+
+
+def _role_col(role: Optional[str], subject_name: str, officer_name: str,
+              both_name: str) -> str:
+    if role == "OFFICER":
+        return officer_name
+    if role == "SUBJECT":
+        return subject_name
+    return both_name
+
+
+def standardize(
+    df: DataFrame,
+    table_type: Optional[str] = None,
+    source_name: Optional[str] = None,
+    state: Optional[str] = None,
+    *,
+    known_cols: Optional[dict[str, str]] = None,
+    no_id: str = "keep",
+    keep_raw: bool = True,
+    merge_date_time: bool = True,
+    race_eth_combo: str = "merge",
+    collect_value_counts: bool = False,
+) -> tuple[DataFrame, list[DataMapping]]:
+    """Standardize a loaded table into the canonical schema
+    (reference preproc.standardize, preproc.py:70-137).
+
+    Pipeline order mirrors the reference: id columns → date → time →
+    datetime merge → race → ethnicity → combo → gender → age → age range →
+    injury → fatal → zip. Identification = driver-side heuristics on one
+    sample; application = ONE ``withColumns`` projection.
+
+    Returns (standardized DataFrame, transform audit list).
+    """
+    if table_type and table_type.lower().startswith("calls for service"):
+        # reference skip list (preproc.py:20): CFS tables aren't standardized
+        return df, []
+
+    ident = ColumnIdentifier(df, table_type, source_name, known_cols)
+    known_cols = known_cols or {}
+    col_map = ColumnMap()
+    # (canonical, raw, builder) — applied AFTER raw columns are renamed
+    # RAW_*: Spark resolves column names case-insensitively, so adding
+    # SUBJECT_RACE while subject_race exists would silently overwrite it.
+    specs: list[tuple[str, str, Callable[[Column], Column]]] = []
+    post_cols: dict[str, Column] = {}  # built from canonical columns
+    transforms: list[DataMapping] = []
+
+    def pick(canonical: str, candidates: list[str]) -> Optional[str]:
+        if canonical in known_cols:
+            c = known_cols[canonical]
+            if c not in df.columns:
+                raise ValueError(f"Known column {c} not in DataFrame")
+            return c
+        return candidates[0] if candidates else None
+
+    # ------------------------------------------------------------------ date
+    date_col = pick(Columns.DATE, ident.find_matches(
+        ["datetime", "date", "occurred"],
+        exclude_substrs=["as_of", "last_reported", "objectid", "modified",
+                         "created", "received", "update"],
+        validator=ident.validate_date,
+    ))
+    if date_col:
+        col_map[Columns.DATE] = date_col
+        strat = detect_date_format(df, date_col)
+        specs.append((Columns.DATE, date_col,
+                      lambda c, s=strat: to_datetime_expr(c, s)))
+        transforms.append(DataMapping(date_col, Columns.DATE,
+                                      {"strategy": strat}))
+
+    # ------------------------------------------------------------------ time
+    time_col = pick(Columns.TIME, [
+        c for c in ident.find_matches(["time"], exclude_substrs=["datetime", "times"],
+                                      validator=ident.validate_time)
+        if c != date_col
+    ])
+    if time_col:
+        col_map[Columns.TIME] = time_col
+        specs.append((Columns.TIME, time_col, parse_time_expr))
+        transforms.append(DataMapping(time_col, Columns.TIME))
+
+    if merge_date_time and date_col and time_col:
+        post_cols[Columns.DATETIME] = merge_date_time_expr(
+            F.col(Columns.DATE), F.col(Columns.TIME)
+        )
+        transforms.append(DataMapping(None, Columns.DATETIME))
+
+    # ----------------------------------------------------- demographic columns
+    def std_demographic(substrs, validator, canonical_triplet, expr_fn,
+                        exclude=None):
+        cols = ident.find_matches(substrs, exclude_substrs=exclude,
+                                  validator=validator)
+        roles = ident.attribute_roles(cols)
+        used = []
+        for c in cols:
+            canonical = _role_col(roles[c], *canonical_triplet)
+            if canonical in col_map:  # first match wins per canonical slot
+                continue
+            col_map[canonical] = c
+            specs.append((canonical, c, expr_fn))
+            transforms.append(DataMapping(c, canonical))
+            used.append((canonical, c))
+        return used
+
+    std_demographic(
+        ["race", "ethnicity race", "race ethnicity"], ident.validate_race,
+        (Columns.RACE_SUBJECT, Columns.RACE_OFFICER, Columns.RACE_OFF_SUB),
+        lambda c: luts.race_expr(c, source_name=source_name, state=state, no_id=no_id),
+        exclude=["ethnicity"],
+    )
+    eth_used = std_demographic(
+        ["ethnicity", "hispanic"], None,
+        (Columns.ETHNICITY_SUBJECT, Columns.ETHNICITY_OFFICER, Columns.ETHNICITY_OFF_SUB),
+        lambda c: luts.ethnicity_expr(c, source_name=source_name, no_id=no_id),
+    )
+    std_demographic(
+        ["gender", "sex"], ident.validate_gender,
+        (Columns.GENDER_SUBJECT, Columns.GENDER_OFFICER, Columns.GENDER_OFF_SUB),
+        lambda c: luts.gender_expr(c, source_name=source_name, state=state, no_id=no_id),
+    )
+    std_demographic(
+        ["age"], ident.validate_age,
+        (Columns.AGE_SUBJECT, Columns.AGE_OFFICER, Columns.AGE_OFF_SUB),
+        lambda c: luts.age_expr(c),
+        exclude=["agency", "range", "group", "bracket"],
+    )
+    std_demographic(
+        ["age range", "age group", "age bracket"], None,
+        (Columns.AGE_RANGE_SUBJECT, Columns.AGE_RANGE_OFFICER, Columns.AGE_RANGE_OFF_SUB),
+        lambda c: luts.age_range_expr(c, no_id=no_id),
+    )
+    std_demographic(
+        ["injury", "injured"], None,
+        (Columns.INJURY_SUBJECT, Columns.INJURY_OFFICER, Columns.INJURY_OFF_SUB),
+        lambda c: luts.injury_expr(c, no_id=no_id),
+    )
+    std_demographic(
+        ["fatal", "deceased"], None,
+        (Columns.FATAL_SUBJECT, Columns.FATAL_OFFICER, Columns.FATAL_OFF_SUB),
+        lambda c: luts.fatal_expr(c, no_id=no_id),
+    )
+
+    # ---------------------------------------------------- race/ethnicity combo
+    # (reference preproc.py:1533-1620): merged column where ethnicity wins
+    # if LATINO; RE_GROUP convenience alias.
+    spec_names = {canonical for canonical, _, _ in specs}
+    for race_c, eth_c, combo_c, group_c in [
+        (Columns.RACE_SUBJECT, Columns.ETHNICITY_SUBJECT,
+         Columns.RACE_ETHNICITY_SUBJECT, Columns.RE_GROUP_SUBJECT),
+        (Columns.RACE_OFFICER, Columns.ETHNICITY_OFFICER,
+         Columns.RACE_ETHNICITY_OFFICER, Columns.RE_GROUP_OFFICER),
+    ]:
+        if race_c in spec_names and eth_c in spec_names and race_eth_combo:
+            if race_eth_combo == "merge":
+                combo = F.when(
+                    F.col(eth_c) == defs.Ethnicity.LATINO,
+                    F.lit(defs.Race.LATINO),
+                ).otherwise(F.col(race_c))
+            else:  # 'concat'
+                combo = F.concat_ws(" ", F.col(race_c), F.col(eth_c))
+            post_cols[combo_c] = combo
+            post_cols[group_c] = combo
+            transforms.append(DataMapping(None, combo_c))
+        elif race_c in spec_names:
+            post_cols[group_c] = F.col(race_c)
+
+    # ------------------------------------------------------------------ zip
+    zips = ident.find_matches(["zip", "zipcode", "zip code"],
+                              validator=ident.validate_zip)
+    if zips:
+        col_map[Columns.ZIP_CODE] = zips[0]
+        specs.append((Columns.ZIP_CODE, zips[0], lambda c: c.cast("string")))
+        transforms.append(DataMapping(zips[0], Columns.ZIP_CODE))
+
+    # ------------------------------------------------------------ apply once
+    # 1. rename every mapped raw column RAW_* (avoids the case-insensitive
+    #    overwrite described above and matches reference cleanup,
+    #    preproc.py:1475-1488);
+    # 2. one projection for raw→canonical; 3. one for derived columns.
+    raw_renames = {
+        raw: f"RAW_{raw}"
+        for raw in {raw for _, raw, _ in specs}
+        if not raw.startswith("RAW_")
+    }
+    out = df.withColumnsRenamed(raw_renames)
+    out = out.withColumns({
+        canonical: builder(F.col(raw_renames.get(raw, raw)))
+        for canonical, raw, builder in specs
+    })
+    if post_cols:
+        out = out.withColumns(post_cols)
+
+    if collect_value_counts:
+        # audit head-5 value counts (reference _preproc_utils.py:15) — one
+        # small job per mapped column, opt-in.
+        for t in transforms:
+            if t.orig_column_name:
+                t.orig_value_counts = (
+                    out.groupBy(raw_renames.get(t.orig_column_name,
+                                                t.orig_column_name)).count()
+                    .orderBy(F.desc("count")).limit(5).toPandas()
+                )
+
+    if not keep_raw:
+        out = out.drop(*[raw_renames.get(raw, raw) for _, raw in col_map.items()])
+
+    return out, transforms

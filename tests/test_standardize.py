@@ -1,0 +1,138 @@
+"""Standardization pipeline tests on a seeded synthetic STOPS table
+(reference test model: tests/test_preproc.py:39-366)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from openpolicedata_spark.defs import Columns
+from openpolicedata_spark.standardize import ColumnIdentifier, standardize
+
+
+@pytest.fixture(scope="module")
+def stops_df(spark):
+    rng = random.Random(42)
+    races = ["WHITE", "BLACK", "HISPANIC", "ASIAN", "UNKNOWN", "W", "B"]
+    genders = ["M", "F", "MALE", "FEMALE", "U"]
+    rows = []
+    for i in range(1000):
+        rows.append((
+            i,
+            f"2021-{rng.randint(1,12):02d}-{rng.randint(1,28):02d}",
+            f"{rng.randint(0,23):02d}:{rng.randint(0,59):02d}",
+            rng.choice(races),
+            rng.choice(races),
+            rng.choice(genders),
+            rng.randint(15, 80) if rng.random() > 0.05 else 999,
+            rng.choice(["Y", "N"]),
+            f"{rng.randint(10000, 99999)}",
+        ))
+    return spark.createDataFrame(
+        rows,
+        "incident_id int, incident_date string, stop_time string, "
+        "subject_race string, officer_race string, sex string, "
+        "subject_age int, injury string, zip_code string",
+    )
+
+
+class TestColumnIdentification:
+    def test_finds_date_and_time(self, stops_df):
+        ident = ColumnIdentifier(stops_df, "STOPS")
+        assert ident.find_matches(["date"], validator=ident.validate_date) == ["incident_date"]
+        assert ident.find_matches(["time"], validator=ident.validate_time) == ["stop_time"]
+
+    def test_role_attribution(self, stops_df):
+        ident = ColumnIdentifier(stops_df, "STOPS")
+        roles = ident.attribute_roles(["subject_race", "officer_race", "race"])
+        assert roles["subject_race"] == "SUBJECT"
+        assert roles["officer_race"] == "OFFICER"
+        assert roles["race"] is None
+
+    def test_table_type_default_role(self, stops_df):
+        ident = ColumnIdentifier(stops_df, "USE OF FORCE - OFFICERS")
+        assert ident.attribute_roles(["race"])["race"] == "OFFICER"
+
+    def test_validators_reject_wrong_data(self, stops_df):
+        ident = ColumnIdentifier(stops_df, "STOPS")
+        s = ident.sample
+        assert not ident.validate_race(s["incident_date"])
+        assert not ident.validate_time(s["incident_date"])
+        assert ident.validate_zip(s["zip_code"])
+        assert not ident.validate_zip(s["stop_time"])
+
+
+class TestStandardize:
+    def test_full_pipeline(self, stops_df):
+        out, transforms = standardize(stops_df, table_type="STOPS")
+        cols = out.columns
+        assert Columns.DATE in cols
+        assert Columns.TIME in cols
+        assert Columns.DATETIME in cols
+        assert Columns.RACE_SUBJECT in cols
+        assert Columns.RACE_OFFICER in cols
+        assert Columns.GENDER_OFF_SUB in cols  # 'sex' has no role marker
+        assert Columns.AGE_SUBJECT in cols
+        assert Columns.ZIP_CODE in cols
+        # raw columns renamed RAW_*
+        assert "RAW_subject_race" in cols and "subject_race" not in cols
+
+    def test_values_standardized(self, stops_df):
+        out, _ = standardize(stops_df, table_type="STOPS")
+        races = {r.v for r in out.select(
+            F.col(Columns.RACE_SUBJECT).alias("v")).distinct().collect()}
+        assert races <= {"WHITE", "BLACK", "LATINO", "ASIAN", "UNKNOWN"}
+        ages = out.select(F.min(Columns.AGE_SUBJECT).alias("lo"),
+                          F.max(Columns.AGE_SUBJECT).alias("hi")).first()
+        assert lo_hi_ok(ages.lo, ages.hi)
+        # 999 error codes nulled
+        n_null = out.where(F.col(Columns.AGE_SUBJECT).isNull()).count()
+        assert n_null > 0
+
+    def test_datetime_merge(self, stops_df):
+        out, _ = standardize(stops_df, table_type="STOPS")
+        row = out.select(Columns.DATE, Columns.TIME, Columns.DATETIME).first()
+        assert row[Columns.DATETIME].hour * 3600 + row[Columns.DATETIME].minute * 60 \
+            == row[Columns.TIME]
+
+    def test_known_cols_override(self, stops_df):
+        out, _ = standardize(
+            stops_df, table_type="STOPS",
+            known_cols={Columns.DATE: "incident_date"},
+        )
+        assert Columns.DATE in out.columns
+
+    def test_known_cols_missing_raises(self, stops_df):
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            standardize(stops_df, known_cols={Columns.DATE: "nope"})
+
+    def test_keep_raw_false_drops(self, stops_df):
+        out, _ = standardize(stops_df, table_type="STOPS", keep_raw=False)
+        assert "subject_race" not in out.columns
+        assert "RAW_subject_race" not in out.columns
+
+    def test_no_id_null(self, stops_df):
+        out, _ = standardize(stops_df, table_type="STOPS", no_id="null")
+        races = {r.v for r in out.select(
+            F.col(Columns.RACE_SUBJECT).alias("v")).distinct().collect()}
+        assert None not in races  # all sample values are known codes
+
+    def test_calls_for_service_skipped(self, stops_df):
+        out, transforms = standardize(stops_df, table_type="CALLS FOR SERVICE")
+        assert transforms == [] and out is stops_df
+
+    def test_transform_log(self, stops_df):
+        _, transforms = standardize(stops_df, table_type="STOPS")
+        by_new = {t.new_column_name: t for t in transforms}
+        assert by_new[Columns.RACE_SUBJECT].orig_column_name == "subject_race"
+        assert "strategy" in by_new[Columns.DATE].data_maps
+
+    def test_standardize_is_lazy(self, stops_df):
+        """Standardization must not launch jobs beyond the one sample read."""
+        out, _ = standardize(stops_df, table_type="STOPS")
+        # plan exists; executing it works
+        assert out.count() == 1000
+
+
+def lo_hi_ok(lo, hi):
+    return lo >= 1 and hi <= 120
