@@ -24,6 +24,15 @@ def get_spark(
     On a real cluster, pass ``master=None`` and let spark-submit decide;
     locally we default to ``local[N]`` with N from $SPARK_GRAFT_CPUS.
     """
+    # Executor python workers must be able to import this package (custom
+    # DataSource readers / pandas UDFs are pickled by reference). Local
+    # workers inherit the JVM's env, so extend PYTHONPATH before launch.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + py_path if py_path else ""))
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
@@ -40,6 +49,8 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for pandas interchange (planning samples, pandas UDFs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Catalyst filter pushdown into our portal Python Data Sources.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Local-mode memory headroom; harmless on a cluster (overridden).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -1,0 +1,328 @@
+"""Shared machinery for the portal Python Data Sources.
+
+Spark-first re-expression of the reference's serial page-fetch loop
+(/root/reference/openpolicedata/data_loaders/socrata.py:313-319 and
+data_loader.py:381-446): planning (count probe → offset windows) happens
+once on the driver, then **each page window becomes an input partition**
+and executors fetch pages in parallel. The reference's `Where.accurate`
+flag maps onto Spark's pushed-filter contract: an inaccurate clause means
+the source returns a superset and the exact filter is re-applied above
+the scan.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Iterator, Optional, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from openpolicedata_spark.sources.portals.transport import resolve_transport
+from openpolicedata_spark.sources.portals.where import (
+    DateFormat,
+    Dialect,
+    Where,
+    and_wheres,
+    build_date_where,
+    build_equals_where,
+)
+
+_ISO_FORMATS = ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d")
+
+
+def parse_portal_timestamp(v: Any) -> Optional[_dt.datetime]:
+    if v is None or v == "":
+        return None
+    if isinstance(v, _dt.datetime):
+        return v
+    s = str(v).rstrip("Z")
+    if "." in s:
+        s = s.split(".", 1)[0]
+    for fmt in _ISO_FORMATS:
+        try:
+            return _dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+def _looks_timestamp(v: Any) -> bool:
+    return isinstance(v, str) and parse_portal_timestamp(v) is not None and len(v) >= 10
+
+
+def infer_schema_from_rows(rows: Sequence[dict], epoch_ms_fields: set[str],
+                           drop: set[str] = frozenset()) -> StructType:
+    """Schema-on-read over a driver-side sample (the reference lets pandas
+    infer, e.g. socrata.py:474-521; we sniff long/double/bool/timestamp and
+    default to string). Column order = first-seen order."""
+    cols: dict[str, set] = {}
+    for r in rows:
+        for k, v in r.items():
+            if k in drop:
+                continue
+            kinds = cols.setdefault(k, set())
+            if v is None or v == "":
+                continue
+            if k in epoch_ms_fields:
+                kinds.add("ts")
+            elif isinstance(v, bool):
+                kinds.add("bool")
+            elif isinstance(v, int):
+                kinds.add("long")
+            elif isinstance(v, float):
+                kinds.add("double")
+            elif _looks_timestamp(v):
+                kinds.add("ts")
+            else:
+                kinds.add("str")
+    fields = []
+    for name, kinds in cols.items():
+        if kinds == {"ts"}:
+            t = TimestampNTZType()
+        elif kinds == {"bool"}:
+            t = BooleanType()
+        elif kinds == {"long"}:
+            t = LongType()
+        elif kinds and kinds <= {"long", "double"}:
+            t = DoubleType()
+        else:
+            t = StringType()
+        fields.append(StructField(name, t, nullable=True))
+    return StructType(fields)
+
+
+def convert_row(r: dict, schema: StructType, epoch_ms_fields: set[str]) -> tuple:
+    out = []
+    for f in schema.fields:
+        v = r.get(f.name)
+        if v is None or v == "":
+            out.append(None)
+        elif isinstance(f.dataType, TimestampNTZType):
+            if f.name in epoch_ms_fields and isinstance(v, (int, float)):
+                out.append(_dt.datetime.utcfromtimestamp(v / 1000.0))
+            else:
+                out.append(parse_portal_timestamp(v))
+        elif isinstance(f.dataType, LongType):
+            try:
+                out.append(int(v))
+            except (TypeError, ValueError):
+                out.append(None)
+        elif isinstance(f.dataType, DoubleType):
+            try:
+                out.append(float(v))
+            except (TypeError, ValueError):
+                out.append(None)
+        elif isinstance(f.dataType, BooleanType):
+            out.append(v if isinstance(v, bool) else str(v).lower() in ("true", "t", "1"))
+        else:
+            out.append(str(v))
+    return tuple(out)
+
+
+@dataclass
+class PortalClient(ABC):
+    """Picklable portal protocol: knows how to count and fetch one page.
+    Subclasses add url/dataset fields. `transport` rides along in the
+    reader pickle so executors can fetch."""
+
+    transport: Any
+    dialect: Dialect = dc_field(init=False)
+    epoch_ms_fields: set = dc_field(default_factory=set, init=False)
+    drop_fields: set = dc_field(default_factory=set, init=False)
+    max_page: int = dc_field(default=100_000, init=False)  # reference data_loader.py:33
+
+    @abstractmethod
+    def count(self, where: Optional[str]) -> int: ...
+
+    @abstractmethod
+    def fetch(self, offset: int, limit: int, where: Optional[str],
+              select: Optional[str] = None) -> list[dict]: ...
+
+
+@dataclass
+class PageSpec(InputPartition):
+    where: Optional[str]
+    offset: int
+    limit: int
+
+
+class PortalReader(DataSourceReader):
+    """One input partition per page window; count-probe planning on the
+    driver (reference `_setup_records_request` data_loader.py:381-439 →
+    partition planning; serial loop → parallel fetch)."""
+
+    def __init__(self, client: PortalClient, schema: StructType,
+                 wheres: list[Where], page_size: int,
+                 nrows: Optional[int] = None, offset: int = 0,
+                 select: Optional[str] = None):
+        self._client = client
+        self._schema = schema
+        self._wheres = wheres or [Where(None)]  # type: ignore[arg-type]
+        self._page = min(page_size, client.max_page)
+        self._nrows = nrows
+        self._offset = offset
+        self._select = select
+        self._pushed: list[str] = []
+
+    # -- filter pushdown ----------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Translate Catalyst filters into portal WHERE fragments.
+        Anything we can't express exactly is yielded back as residual."""
+        for flt in filters:
+            clause = self._translate(flt)
+            if clause is None:
+                yield flt
+            else:
+                self._pushed.append(clause)
+
+    def _translate(self, flt: Filter) -> Optional[str]:
+        try:
+            attr = flt.attribute
+        except AttributeError:
+            return None
+        if len(attr) != 1:
+            return None
+        col = attr[0]
+        d = self._client.dialect
+        if isinstance(flt, EqualTo):
+            return build_equals_where(col, flt.value, d).clause
+        ident = f'"{col}"' if d == Dialect.SQL else col
+        if isinstance(flt, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)):
+            op = {GreaterThan: ">", GreaterThanOrEqual: ">=",
+                  LessThan: "<", LessThanOrEqual: "<="}[type(flt)]
+            v = flt.value
+            if isinstance(v, _dt.datetime):
+                return f"{ident} {op} " + _ts(v, d)
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return f"{ident} {op} {v}"
+            if isinstance(v, str):
+                return f"{ident} {op} '{v.replace(chr(39), chr(39) * 2)}'"
+        return None
+
+    # -- planning -----------------------------------------------------------
+    def partitions(self) -> list[PageSpec]:
+        pushed = and_wheres(*self._pushed) if self._pushed else None
+        specs: list[PageSpec] = []
+        remaining = self._nrows
+        skip = self._offset
+        for w in self._wheres:
+            full = and_wheres(w.clause, pushed)
+            n = self._client.count(full)
+            # reference offset/nrows bookkeeping across WHERE clauses
+            # (_setup_records_request data_loader.py:381-439)
+            if skip >= n:
+                skip -= n
+                continue
+            avail = n - skip
+            take = avail if remaining is None else min(avail, remaining)
+            if remaining is not None:
+                remaining -= take
+            base = skip
+            skip = 0
+            for i in range(math.ceil(take / self._page)):
+                off = base + i * self._page
+                lim = min(self._page, base + take - off)
+                specs.append(PageSpec(where=full, offset=off, limit=lim))
+            if remaining == 0:
+                break
+        if not specs:
+            specs.append(PageSpec(where=and_wheres(self._wheres[0].clause, pushed),
+                                  offset=0, limit=0))
+        return specs
+
+    # -- execution ----------------------------------------------------------
+    def read(self, partition: PageSpec) -> Iterator[tuple]:
+        if partition.limit == 0:
+            return
+        rows = self._client.fetch(partition.offset, partition.limit,
+                                  partition.where, self._select)
+        schema = self._schema
+        epoch = self._client.epoch_ms_fields
+        for r in rows:
+            yield convert_row(r, schema, epoch)
+
+
+def _ts(v: _dt.datetime, d: Dialect) -> str:
+    from openpolicedata_spark.sources.portals.where import _ts_lit
+
+    return _ts_lit(v, d)
+
+
+class PortalDataSource(DataSource):
+    """Base DataSource: subclasses provide `make_client` + `name`.
+
+    Options (all strings, per the Python DS contract):
+      url, dataset, date_field, date_format, page_size, nrows, offset,
+      select, where (pre-built clause), transport_key (tests).
+    """
+
+    _drop: set = frozenset()
+
+    @classmethod
+    def make_client(cls, options: dict, transport: Any) -> PortalClient:
+        raise NotImplementedError
+
+    def __init__(self, options: dict):
+        super().__init__(options)
+        self._transport = resolve_transport(options)
+        self._client = self.make_client(options, self._transport)
+
+    def _wheres(self) -> list[Where]:
+        o = self.options
+        if o.get("wheres_json"):
+            import json as _json
+
+            return [Where(c, bool(a)) for c, a in _json.loads(o["wheres_json"])]
+        parts: list[Where] = []
+        if o.get("where"):
+            parts.append(Where(o["where"], accurate=o.get("where_accurate", "true") == "true"))
+        if o.get("date_start") and o.get("date_stop"):
+            fmt = DateFormat(o.get("date_format", "timestamp"))
+            start = _dt.datetime.fromisoformat(o["date_start"])
+            stop = _dt.datetime.fromisoformat(o["date_stop"])
+            dws = build_date_where(o["date_field"], start, stop, fmt, self._client.dialect)
+            if parts:
+                base = parts[0]
+                return [Where(and_wheres(base.clause, w.clause), base.accurate and w.accurate)
+                        for w in dws]
+            return dws
+        return parts
+
+    def schema(self) -> StructType:
+        sample = self._client.fetch(0, int(self.options.get("sample_rows", 50)), None)
+        return infer_schema_from_rows(sample, self._client.epoch_ms_fields,
+                                      set(self._drop))
+
+    def reader(self, schema: StructType) -> PortalReader:
+        o = self.options
+        return PortalReader(
+            self._client,
+            schema,
+            self._wheres(),
+            page_size=int(o.get("page_size", self._client.max_page)),
+            nrows=int(o["nrows"]) if o.get("nrows") else None,
+            offset=int(o.get("offset", 0)),
+            select=o.get("select"),
+        )

@@ -1,0 +1,227 @@
+"""Offline end-to-end tests for the five REST portal data sources.
+
+Mirrors the reference's per-portal load/count/filter-consistency oracles
+(reference tests/1_unit_data_source_loading/*, SURVEY.md §5) with the
+network replaced by in-package fake portal servers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from openpolicedata_spark.sources.portals.testing import FakePortal, make_rows
+from openpolicedata_spark.sources.portals.transport import FakeTransport
+from openpolicedata_spark.sources.portals.where import (
+    DateFormat,
+    Dialect,
+    Where,
+    build_date_where,
+)
+from openpolicedata_spark.sources.rest import RestLoader
+
+PORTALS = [
+    ("opd_socrata", "socrata", "https://fake.portal.test", "abcd-1234"),
+    ("opd_arcgis", "arcgis", "https://fake.portal.test/FeatureServer/0", ""),
+    ("opd_ckan", "ckan", "https://fake.portal.test", "resource-1"),
+    ("opd_carto", "carto", "https://fake.portal.test", "incidents"),
+    ("opd_ods", "ods", "https://fake.portal.test", "incidents"),
+]
+
+
+def _loader(spark, fmt, portal, url, ds, date_text="iso", **kw):
+    date_format = {
+        "iso": DateFormat.TIMESTAMP,
+        "epoch_ms": DateFormat.EPOCH_MS,
+        "yyyymmdd": DateFormat.YYYYMMDD_TEXT,
+        "mmddyyyy": DateFormat.MMDDYYYY_TEXT,
+        "month_abbrev": DateFormat.MONTH_ABBREV_TEXT,
+        "yyyyq": DateFormat.YYYYQ_TEXT,
+        "year": DateFormat.YEAR_NUMERIC,
+    }[date_text]
+    server = FakePortal(portal, date_text=date_text)
+    loader = RestLoader(
+        spark,
+        format_name=fmt,
+        url=url,
+        dataset=ds,
+        date_field="incident_date",
+        agency_field="agency",
+        date_format=date_format.value,
+        transport=FakeTransport(handler=server),
+        **kw,
+    )
+    return loader, server
+
+
+def _year(r, date_text):
+    d = r["incident_date"]
+    if date_text == "epoch_ms":
+        return dt.datetime.utcfromtimestamp(d / 1000).year
+    if date_text == "iso":
+        return int(str(d)[:4])
+    raise NotImplementedError
+
+
+@pytest.mark.parametrize("fmt,portal,url,ds", PORTALS)
+def test_portal_full_load(spark, fmt, portal, url, ds):
+    loader, server = _loader(spark, fmt, portal, url, ds)
+    df = loader.load()
+    assert df.count() == len(server.rows)
+    got = {r.case_id for r in df.select("case_id").collect()}
+    assert got == {r["case_id"] for r in server.rows}
+    # schema inference: value → numeric, date → timestamp (iso portals)
+    dtypes = dict(df.dtypes)
+    assert dtypes["value"] in ("bigint", "double")
+    assert dtypes["incident_date"].startswith("timestamp")
+
+
+@pytest.mark.parametrize("fmt,portal,url,ds", PORTALS)
+def test_portal_year_filter_and_count(spark, fmt, portal, url, ds):
+    date_text = "epoch_ms" if portal == "arcgis" else "iso"
+    loader, server = _loader(spark, fmt, portal, url, ds, date_text=date_text)
+    expected = [r for r in server.rows if _year(r, date_text) == 2020]
+    df = loader.load(2020)
+    assert df.count() == len(expected) > 0
+    # count fast-path (no Spark job) must agree with the loaded count
+    assert loader.get_count(2020, force=True) == len(expected)
+    # consistency oracle: with-filter result ⊆ without-filter result
+    full_ids = {r["case_id"] for r in server.rows}
+    got_ids = {r.case_id for r in df.select("case_id").collect()}
+    assert got_ids <= full_ids
+
+
+@pytest.mark.parametrize("fmt,portal,url,ds", PORTALS)
+def test_portal_paging_partitions(spark, fmt, portal, url, ds):
+    loader, server = _loader(spark, fmt, portal, url, ds, page_size=75)
+    df = loader.load()
+    # 300 rows at page 75 → 4 page partitions fetched in parallel
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 300
+    ids = sorted(r.case_id for r in df.collect())
+    assert ids == sorted(r["case_id"] for r in server.rows)
+
+
+def test_portal_nrows_offset(spark):
+    loader, server = _loader(spark, *PORTALS[0][:1], "socrata",
+                             "https://fake.portal.test", "abcd-1234")
+    df = loader.load(nrows=20, offset=10)
+    rows = sorted(r.case_id for r in df.collect())
+    assert rows == sorted(r["case_id"] for r in server.rows[10:30])
+
+
+def test_portal_agency_pushdown(spark):
+    fmt, portal, url, ds = PORTALS[2]
+    loader, server = _loader(spark, fmt, portal, url, ds)
+    df = loader.load(agency="Springfield PD")
+    expected = [r for r in server.rows if r["agency"] == "Springfield PD"]
+    assert df.count() == len(expected)
+    assert loader.get_count(agency="Springfield PD", force=True) == len(expected)
+
+
+def test_portal_get_years_probe(spark):
+    loader, _ = _loader(spark, *PORTALS[0][:1], "socrata",
+                        "https://fake.portal.test", "abcd-1234")
+    assert loader.get_years("incident_date") == [2019, 2020, 2021]
+
+
+def test_portal_get_agencies_distinct_fastpath(spark):
+    loader, server = _loader(spark, *PORTALS[0][:1], "socrata",
+                             "https://fake.portal.test", "abcd-1234")
+    assert loader.get_agencies("agency") == sorted(
+        {r["agency"] for r in server.rows})
+    assert loader.get_agencies("agency", partial="spring") == ["Springfield PD"]
+
+
+@pytest.mark.parametrize("date_text", ["yyyymmdd", "mmddyyyy", "month_abbrev", "yyyyq"])
+def test_text_date_pushdown_with_residual(spark, date_text):
+    """Inaccurate text-date WHERE over-selects; the residual local filter
+    must restore exact [start, stop] semantics (reference
+    data_loader.py:41-66)."""
+    loader, server = _loader(spark, "opd_socrata", "socrata",
+                             "https://fake.portal.test", "abcd-1234",
+                             date_text=date_text)
+    iso_rows = make_rows(date_text="iso")
+    # full-year query
+    expected_2020 = {r["case_id"] for r in iso_rows if str(r["incident_date"]).startswith("2020")}
+    got = {r.case_id for r in loader.load(2020).select("case_id").collect()}
+    assert got == expected_2020
+    # sub-year range forces residual filtering for non-lexicographic formats
+    rng = ["2020-03-01", "2020-06-30"]
+    if date_text == "yyyyq":
+        # quarter precision → period-overlap semantics: Q1 (Jan-Mar)
+        # intersects a range starting Mar 1 (reference pd.Period behavior)
+        expected = {r["case_id"] for r in iso_rows
+                    if "2020-01-01" <= str(r["incident_date"])[:10] <= "2020-06-30"}
+    else:
+        expected = {r["case_id"] for r in iso_rows
+                    if "2020-03-01" <= str(r["incident_date"])[:10] <= "2020-06-30"}
+    got = {r.case_id for r in loader.load(rng).select("case_id").collect()}
+    assert got == expected
+
+
+def test_where_builder_accuracy_flags():
+    start, stop = dt.datetime(2020, 3, 1), dt.datetime(2020, 6, 30)
+    ws = build_date_where("d", start, stop, DateFormat.MMDDYYYY_TEXT, Dialect.SOQL)
+    assert all(not w.accurate for w in ws)
+    ws = build_date_where("d", dt.datetime(2020, 1, 1), dt.datetime(2021, 12, 31),
+                          DateFormat.MMDDYYYY_TEXT, Dialect.SOQL)
+    assert [w.accurate for w in ws] == [True, True]
+    ws = build_date_where("d", start, stop, DateFormat.YYYYMMDD_TEXT, Dialect.SQL)
+    assert len(ws) == 1 and ws[0].accurate
+    ws = build_date_where("d", start, stop, DateFormat.TIMESTAMP, Dialect.ARCGIS)
+    assert "TIMESTAMP '2020-03-01 00:00:00'" in ws[0].clause
+
+
+def test_reader_pushfilters_translation(spark):
+    """Catalyst filters on a portal scan → WHERE fragments; unsupported
+    filters come back as residuals (driver-side unit)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull
+
+    from openpolicedata_spark.sources.portals.core import PortalReader
+    from openpolicedata_spark.sources.portals.socrata import SocrataClient
+
+    client = SocrataClient(transport=FakeTransport(handler=FakePortal("socrata")),
+                           url="https://x", dataset="d")
+    reader = PortalReader(client, None, [Where(None)], page_size=100)
+    residual = list(reader.pushFilters([
+        EqualTo(("agency",), "Springfield PD"),
+        GreaterThan(("value",), 50),
+        IsNotNull(("category",)),
+    ]))
+    assert reader._pushed == ["agency = 'Springfield PD'", "value > 50"]
+    assert len(residual) == 1 and isinstance(residual[0], IsNotNull)
+
+
+def test_reader_multi_where_offset_bookkeeping():
+    """nrows/offset split across multiple WHERE clauses (reference
+    _setup_records_request data_loader.py:381-439)."""
+    from openpolicedata_spark.sources.portals.core import PortalReader
+    from openpolicedata_spark.sources.portals.socrata import SocrataClient
+
+    server = FakePortal("socrata", date_text="mmddyyyy")
+    client = SocrataClient(transport=FakeTransport(handler=server),
+                           url="https://x", dataset="d")
+    wheres = [Where("incident_date LIKE '%/2019'", False),
+              Where("incident_date LIKE '%/2020'", False)]
+    n2019 = sum(1 for r in server.rows if str(r["incident_date"]).endswith("/2019"))
+    reader = PortalReader(client, None, wheres, page_size=50,
+                          nrows=60, offset=n2019 - 10)
+    specs = reader.partitions()
+    # 10 rows left in clause 1, 50 from clause 2
+    assert sum(s.limit for s in specs) == 60
+    assert specs[0].offset == n2019 - 10 and specs[0].limit == 10
+    assert specs[1].offset == 0 and specs[1].limit == 50
+
+
+def test_spark_sql_filter_on_portal_scan(spark):
+    """Full pushFilters round trip through Catalyst: a .filter on the scan
+    returns exactly the matching rows."""
+    loader, server = _loader(spark, *PORTALS[0][:1], "socrata",
+                             "https://fake.portal.test", "abcd-1234")
+    from pyspark.sql import functions as F
+
+    df = loader.load().filter((F.col("value") > 50) & (F.col("agency") == "Shelbyville PD"))
+    expected = [r for r in server.rows
+                if r["value"] > 50 and r["agency"] == "Shelbyville PD"]
+    assert df.count() == len(expected)
