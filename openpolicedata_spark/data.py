@@ -48,6 +48,10 @@ def _make_loader(spark: SparkSession, row: pd.Series) -> DataLoader:
         from openpolicedata_spark.sources.excel import ExcelLoader
 
         return ExcelLoader(spark, **kwargs)
+    if dt == defs.DataType.HTML.value:
+        from openpolicedata_spark.sources.html import HtmlLoader
+
+        return HtmlLoader(spark, **kwargs)
     if dt == defs.DataType.SOCRATA.value:
         from openpolicedata_spark.sources.socrata import SocrataLoader
 

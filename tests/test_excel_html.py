@@ -1,0 +1,103 @@
+"""Excel grid-repair + year-sheet + HTML loader tests (offline: pre-parsed
+grids injected; mirrors reference excel.py/html.py behaviors, SURVEY §2.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from openpolicedata_spark.sources.excel import (
+    ExcelLoader,
+    detect_year_sheets,
+    reconcile_columns,
+    repair_sheet,
+)
+from openpolicedata_spark.sources.html import HtmlLoader
+
+
+def _grid(rows):
+    return pd.DataFrame(rows)
+
+
+def test_repair_title_row_and_single_header():
+    raw = _grid([
+        ["Use of Force Report", None, None],
+        ["Case", "Date", "Officer"],
+        ["C1", "2020-01-01", "Smith"],
+        ["C2", "2020-02-01", "Jones"],
+    ])
+    out = repair_sheet(raw)
+    assert list(out.columns) == ["Case", "Date", "Officer"]
+    assert len(out) == 2
+
+
+def test_repair_merged_two_row_header():
+    # merged parent 'Subject' spans two child columns (NaN under the span)
+    raw = _grid([
+        ["Case", "Subject", None, "Officer"],
+        [None, "Race", "Sex", "Race"],
+        ["C1", "WHITE", "M", "BLACK"],
+    ])
+    out = repair_sheet(raw)
+    assert list(out.columns) == ["Case", "Subject Race", "Subject Sex", "Officer Race"]
+    assert out.iloc[0].tolist() == ["C1", "WHITE", "M", "BLACK"]
+
+
+def test_repair_repeated_headers_and_footers():
+    raw = _grid([
+        ["Case", "Date"],
+        ["C1", "2020-01-01"],
+        ["Case", "Date"],          # repeated page header
+        ["C2", "2020-02-01"],
+        [None, None],              # trailing blank
+        ["Total: 2", None],        # footer (>75% null? 50%... only_num? no)
+    ])
+    out = repair_sheet(raw)
+    assert out["Case"].tolist()[:2] == ["C1", "C2"]
+    assert "Case" not in out["Case"].tolist()
+
+
+def test_detect_year_sheets_with_typo():
+    assert detect_year_sheets(["2019", "2020", "2104"]) == {
+        "2019": 2019, "2020": 2020, "2104": 2014}
+    assert detect_year_sheets(["2019", "Notes"]) is None
+
+
+def test_reconcile_columns_fuzzy():
+    frames = {
+        "2019": pd.DataFrame({"Officer Race": ["A"], "Case Number": ["1"]}),
+        "2020": pd.DataFrame({"Officer Race ": ["B"], "Case Nmber": ["2"]}),
+    }
+    out = reconcile_columns(frames)
+    assert list(out["2020"].columns) == ["Officer Race", "Case Number"]
+
+
+def test_excel_loader_year_sheets_union_and_filter(spark):
+    sheets = {
+        "2019": _grid([["Case", "Amount"], ["A1", "10"], ["A2", "20"]]),
+        "2020": _grid([["Case", "Amont"], ["B1", "30"]]),  # typo'd column
+    }
+    loader = ExcelLoader(spark, url="fake.xlsx", sheets=sheets)
+    df = loader.load()
+    assert df.count() == 3
+    assert set(df.columns) == {"Case", "Amount", "Year"}
+    df20 = loader.load(2020)
+    assert [r.Case for r in df20.collect()] == ["B1"]
+    assert loader.get_count(2019, force=True) == 2
+
+
+def test_html_loader(spark):
+    t = pd.DataFrame({"case": ["C1", "C2", "C3"],
+                      "agency": ["X PD", "Y PD", "X PD"]})
+    loader = HtmlLoader(spark, url="http://fake", agency_field="agency",
+                        tables=[t])
+    assert loader.load().count() == 3
+    assert loader.load(agency="X PD").count() == 2
+    with pytest.raises(ValueError, match="exactly 1"):
+        HtmlLoader(spark, url="u", tables=[t, t]).load()
+
+
+def test_excel_loader_requires_backend_without_injection(spark):
+    with pytest.raises(ImportError, match="openpyxl"):
+        ExcelLoader(spark, url="nope.xlsx").load()
