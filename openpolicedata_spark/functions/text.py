@@ -172,3 +172,43 @@ def char_ngrams_expr(col: Column, n: int = 3) -> Column:
     return F.when(ln >= n,
                   F.transform(idx, lambda i: F.substring(s, i, n))
                   ).otherwise(F.array())
+
+
+# --------------------------------------------------------------------------
+# language identification (stopword-hit heuristic)
+# --------------------------------------------------------------------------
+
+# Small per-language stopword inventories. A hit-count argmax over these is
+# the classic cheap language-ID baseline (n-gram/stopword heuristics); kept
+# deliberately SQL-expressible so the DuckDB oracle can replicate it exactly.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"],
+    "en": ["the", "a", "an", "and", "is", "not", "of", "to", "in", "that"],
+    "es": ["el", "la", "los", "las", "es", "y", "de", "que", "un", "una"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "que", "pas"],
+}
+
+
+def lang_hits_expr(col: Column, stopwords: list[str]) -> Column:
+    """Number of tokens that are stopwords of one language (not distinct —
+    frequency matters)."""
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens_expr(normalize_text_expr(col)),
+                           lambda t: F.array_contains(stops, t)))
+
+
+def language_id_expr(col: Column,
+                     langs: dict[str, list[str]] | None = None) -> Column:
+    """Detected language code, or 'und' when no stopword hits.
+
+    Argmax over per-language stopword hit counts; ties break to the
+    alphabetically smallest code (langs iterated sorted, first WHEN wins).
+    """
+    langs = langs or LANG_STOPWORDS
+    codes = sorted(langs)
+    hits = {c: lang_hits_expr(col, langs[c]) for c in codes}
+    mx = F.greatest(*hits.values()) if len(hits) > 1 else list(hits.values())[0]
+    expr = F.lit("und")
+    for c in reversed(codes):
+        expr = F.when(hits[c] == mx, F.lit(c)).otherwise(expr)
+    return F.when(mx > 0, expr).otherwise(F.lit("und"))

@@ -1,0 +1,152 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines — beyond the reference (BASELINE.json north star).
+
+Design for 100 TB: media rides as an opaque ``binary`` column plus a typed
+metadata struct; all per-item work (decode, feature extraction, resize,
+frame sampling) runs as Arrow-batched ``mapInPandas`` so bytes stream
+through in columnar batches and never materialize on the driver. The
+actual codec step is STUBBED (image/audio libraries are not in this
+container): ``decode_image`` raises NotImplementedError by design, and
+``fake_decode`` is the deterministic stand-in used by tests so the
+Spark-side plumbing — schema, batch shape, partitioning — is real and
+tested end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Canonical media-table schema: content is opaque bytes; metadata is typed.
+MEDIA_META_SCHEMA = StructType([
+    StructField("mime", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+])
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("content", BinaryType()),
+    StructField("meta", MEDIA_META_SCHEMA),
+])
+
+
+def attach_payload(df: DataFrame, src_col: str, media_id_col: str,
+                   mime: str = "application/octet-stream") -> DataFrame:
+    """Wrap an existing column as an opaque binary payload + metadata struct
+    (how a real pipeline ingests raw fetched bytes)."""
+    return df.select(
+        F.col(media_id_col).cast("long").alias("media_id"),
+        F.col(src_col).cast("binary").alias("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(content: bytes, mime: str) -> "np.ndarray":
+    """REAL decode — requires an image codec (Pillow/cv2), not present in
+    this container. Clearly-marked stub per the build contract."""
+    raise NotImplementedError(
+        "image decode requires Pillow/cv2; use fake_decode for offline "
+        "testing of the Spark plumbing")
+
+
+def fake_decode(content: bytes, h: int = 8, w: int = 8) -> "np.ndarray":
+    """Deterministic stand-in decoder: pseudo-pixels derived from the md5
+    stream of the bytes. Same contract as decode_image (HxWx3 uint8)."""
+    need = h * w * 3
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.md5(content + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(h, w, 3)
+
+
+BINARY_FEATURES_SCHEMA = "media_id long, byte_len long, digest string, mean_pixel double"
+
+
+def binary_features(df: DataFrame, content_col: str = "content",
+                    id_col: str = "media_id") -> DataFrame:
+    """Per-item features over the binary payload via Arrow-batched
+    mapInPandas: exact byte length + md5 digest (both independently
+    computable by the SQL oracle) + mean pseudo-pixel from the fake decode
+    (exercises the decode→ndarray→feature path)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf[content_col]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "byte_len": content.map(lambda b: len(b) if b is not None else 0),
+                "digest": content.map(
+                    lambda b: hashlib.md5(b).hexdigest() if b is not None else None),
+                "mean_pixel": content.map(
+                    lambda b: float(fake_decode(bytes(b)).mean()) if b is not None else None),
+            })
+
+    return df.select(id_col, content_col).mapInPandas(
+        compute, schema=BINARY_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, height int, width int, pixels binary"
+
+
+def resize_images(df: DataFrame, h: int, w: int, content_col: str = "content",
+                  id_col: str = "media_id") -> DataFrame:
+    """Decode → resize → re-emit pixel buffers (fake decode backend).
+    Batch shape and output schema match what a real Pillow-backed version
+    would produce; only the codec is substituted."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = pdf[content_col].map(
+                lambda b: fake_decode(bytes(b), h, w).tobytes()
+                if b is not None else None)
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "height": h,
+                "width": w,
+                "pixels": px,
+            })
+
+    return df.select(id_col, content_col).mapInPandas(compute, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, content_col: str = "content",
+                  id_col: str = "media_id",
+                  n_frames_col: str = "meta.n_frames") -> DataFrame:
+    """Video frame sampling: one output row per kept frame index. The frame
+    *indices* are computed from metadata JVM-side (explode of a sequence —
+    no Python in the hot path); only the per-frame decode would call a
+    codec, stubbed like decode_image."""
+    n = F.coalesce(F.col(n_frames_col), F.lit(0))
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_n)))
+                .otherwise(F.array())
+            ).alias("frame_index"),
+        )
+    )

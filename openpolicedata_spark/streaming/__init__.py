@@ -1,0 +1,122 @@
+"""Structured Streaming over the `events` table — additive (the reference
+has no streaming; SURVEY.md §2.11) but first-class here: the same windowed
+aggregations and sessionization a large-scale event pipeline needs, written
+once and usable in both batch and streaming (identical DataFrame
+expressions; Spark plans the incremental version under a stream).
+
+Scale notes:
+- watermarks bound state: late events beyond the watermark are dropped,
+  so state size is O(active windows × keys), not O(history);
+- `session_window` is Spark's native gap-based session operator — no
+  custom stateful UDF needed (applyInPandasWithState stays the escape
+  hatch for bespoke state machines);
+- file-source streams list new files incrementally; at 100 TB the same
+  code points at a Kafka source with no query changes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ts arrives as a raw nanosecond long (the testdata parquet stores
+# TIMESTAMP(NANOS), which Spark's reader rejects as a timestamp — see
+# sources/file.py read_parquet_repaired) and is repaired below.
+EVENTS_SCHEMA = ("event_id long, ts long, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    """File-source stream over the events parquet directory/file."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the file stream source wants a DIRECTORY to watch; a single-file path
+    # becomes parent dir + glob filter
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    # nanos long → TIMESTAMP (watermarks require the tz-aware type; session
+    # tz is pinned UTC so values match the batch ntz reads). Integer div,
+    # not a double round-trip: 1.7e18 ns overflows a double's mantissa.
+    return reader.parquet(path).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp"))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "6 hours",
+                          watermark: str = "1 day") -> DataFrame:
+    """Tumbling-window counts + exact value sums per event_type.
+
+    Works identically on a batch DataFrame (no watermark applied) and a
+    stream (watermark bounds state / handles late data). Sums accumulate
+    on DECIMAL so results are order-independent."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value_dec"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "1 day") -> DataFrame:
+    """Gap-based sessions per user via native session_window: session
+    closes after `gap` of inactivity. Streaming state is bounded by the
+    watermark; batch mode plans the same expression as a regular agg."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("s"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str,
+                      timeout_s: int = 120) -> DataFrame:
+    """Drain everything currently available through the streaming engine
+    into an in-memory table and return it as a DataFrame (test/backfill
+    helper; trigger(availableNow) = incremental batches then stop)."""
+    with tempfile.TemporaryDirectory(prefix="opd_ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream
+            .format("memory")
+            .queryName(query_name)
+            .outputMode("complete" if _has_agg(stream_df) else "append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(query_name)
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

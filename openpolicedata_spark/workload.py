@@ -643,6 +643,141 @@ def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LLM-pipeline: language-ID / multimodal plumbing / embedding near-dup
+# --------------------------------------------------------------------------
+
+
+def q32_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language ID (functions.text.language_id_expr), staged
+    so per-language hit counts are computed once in a codegen projection."""
+    from openpolicedata_spark.functions.text import LANG_STOPWORDS, lang_hits_expr
+
+    d = _read(spark, sf_dir, "documents")
+    codes = sorted(LANG_STOPWORDS)
+    staged = d.select(
+        "doc_id",
+        *[lang_hits_expr(F.col("text"), LANG_STOPWORDS[c]).alias(f"h_{c}")
+          for c in codes],
+    )
+    mx = F.greatest(*[F.col(f"h_{c}") for c in codes])
+    pick = F.lit("und")
+    for c in reversed(codes):
+        pick = F.when(F.col(f"h_{c}") == mx, F.lit(c)).otherwise(pick)
+    return staged.select(
+        "doc_id", F.when(mx > 0, pick).otherwise(F.lit("und")).alias("lang_id"))
+
+
+def _q32_sql() -> str:
+    from openpolicedata_spark.functions.text import LANG_STOPWORDS
+
+    codes = sorted(LANG_STOPWORDS)
+    toks = r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')"
+    hit_cols = ",\n    ".join(
+        "len(list_filter({t}, x -> list_contains([{sw}], x))) AS h_{c}".format(
+            t=toks, c=c,
+            sw=", ".join(f"'{w}'" for w in LANG_STOPWORDS[c]))
+        for c in codes
+    )
+    mx = f"greatest({', '.join('h_' + c for c in codes)})"
+    whens = "\n    ".join(f"WHEN h_{c} = {mx} THEN '{c}'" for c in codes)
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+    {hit_cols}
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN {mx} = 0 THEN 'und'
+    {whens}
+    ELSE 'und' END AS lang_id
+FROM h
+"""
+
+
+def q33_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets + exact
+    cosine verify (rows-only check: LSH internals aren't SQL)."""
+    from openpolicedata_spark.operators.similarity import embedding_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dups = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + _DUP_SHIFT))
+    planes = make_random_planes(64, num_planes=8)
+    return (
+        embedding_dup_pairs(dups, planes, threshold=0.999)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: text bytes wrapped as opaque media content,
+    features extracted via Arrow-batched mapInPandas. byte_len and md5
+    digest are independently computable by the oracle."""
+    from openpolicedata_spark.operators.multimodal import attach_payload, binary_features
+
+    d = _read(spark, sf_dir, "documents")
+    media = attach_payload(d, "text", "doc_id", mime="text/plain")
+    return binary_features(media).select("media_id", "byte_len", "digest")
+
+
+_Q34_SQL = """
+SELECT doc_id AS media_id,
+  octet_length(encode(text)) AS byte_len,
+  md5(text) AS digest
+FROM documents
+"""
+
+
+def q35_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rollup — the batch face of
+    streaming.windowed_event_counts (same expression runs incrementally
+    under a stream with a watermark)."""
+    from openpolicedata_spark.streaming import windowed_event_counts
+
+    e = _read(spark, sf_dir, "events")
+    return windowed_event_counts(e, window="6 hours")
+
+
+_Q35_SQL = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via native session_window (30 min gap);
+    oracle reproduces it with lag + cumulative-sum session ids."""
+    from openpolicedata_spark.streaming import sessionize
+
+    e = _read(spark, sf_dir, "events")
+    return sessionize(e, gap="30 minutes")
+
+
+_Q36_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+  COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -680,6 +815,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_simhash_pairs": q29_simhash_pairs,
         "q30_ann_topk": q30_ann_topk,
         "q31_quality_score": q31_quality_score,
+        "q32_language_id": q32_language_id,
+        "q33_embedding_dups": q33_embedding_dups,
+        "q34_multimodal_features": q34_multimodal_features,
+        "q35_event_window_agg": q35_event_window_agg,
+        "q36_sessionize": q36_sessionize,
     }
     return base
 
@@ -713,6 +853,10 @@ def oracle_sql() -> dict[str, str]:
         "q25_exact_dedup": _Q25_SQL,
         "q26_dup_groups": _Q26_SQL,
         "q27_knn_cosine": _Q27_SQL,
-        # q28-q31: non-SQL-expressible (LSH internals / our own heuristic
-        # score) → rows-only check by the driver.
+        # q28-q31, q33: non-SQL-expressible (LSH internals / our own
+        # heuristic score) → rows-only check by the driver.
+        "q32_language_id": _q32_sql(),
+        "q34_multimodal_features": _Q34_SQL,
+        "q35_event_window_agg": _Q35_SQL,
+        "q36_sessionize": _Q36_SQL,
     }

@@ -1,0 +1,122 @@
+"""Streaming (batch↔stream equivalence), multimodal plumbing, and
+language-ID tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from openpolicedata_spark.operators.multimodal import (
+    attach_payload,
+    binary_features,
+    decode_image,
+    fake_decode,
+    resize_images,
+    sample_frames,
+)
+from openpolicedata_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    sessionize,
+    windowed_event_counts,
+)
+
+
+# -- streaming ---------------------------------------------------------------
+
+def _events_path(sf_dir):
+    return f"{sf_dir}/events.parquet"
+
+
+def _events_batch(spark, sf_dir):
+    from openpolicedata_spark.sources.file import read_parquet_repaired
+
+    return read_parquet_repaired(spark, _events_path(sf_dir))
+
+
+def test_stream_windowed_agg_equals_batch(spark, sf_dir):
+    """The SAME expression computed incrementally (availableNow stream with
+    watermark) must equal the batch aggregation."""
+    batch = _events_batch(spark, sf_dir)
+    expected = {
+        (r.w_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_counts(batch, window="6 hours").collect()
+    }
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    assert stream.isStreaming
+    got_df = run_available_now(
+        windowed_event_counts(stream, window="6 hours"), "win_counts")
+    got = {(r.w_start, r.event_type): (r.n_events, r.sum_value)
+           for r in got_df.collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_stream_sessionize_equals_batch(spark, sf_dir):
+    batch = _events_batch(spark, sf_dir)
+    expected = {(r.user_id, r.session_start): (r.session_end, r.n_events)
+                for r in sessionize(batch, gap="30 minutes").collect()}
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    got_df = run_available_now(sessionize(stream, gap="30 minutes"), "sessions")
+    got = {(r.user_id, r.session_start): (r.session_end, r.n_events)
+           for r in got_df.collect()}
+    assert got == expected and len(got) > 0
+
+
+# -- multimodal --------------------------------------------------------------
+
+def test_attach_payload_and_features(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark at scale"), (3, None)],
+        "media_id long, text string")
+    media = attach_payload(df, "text", "media_id", mime="text/plain")
+    assert [f.name for f in media.schema.fields] == ["media_id", "content", "meta"]
+    assert media.schema["content"].dataType.simpleString() == "binary"
+    feats = {r.media_id: r for r in binary_features(media).collect()}
+    assert feats[1].byte_len == len(b"hello world")
+    assert feats[1].digest == hashlib.md5(b"hello world").hexdigest()
+    assert feats[1].mean_pixel == pytest.approx(
+        float(fake_decode(b"hello world").mean()))
+    assert feats[3].byte_len == 0 and feats[3].digest is None
+
+
+def test_resize_images_batch_shape(spark):
+    df = spark.createDataFrame([(1, bytearray(b"imgbytes"))],
+                               "media_id long, content binary")
+    out = resize_images(df, h=4, w=6).collect()[0]
+    assert (out.height, out.width) == (4, 6)
+    assert len(out.pixels) == 4 * 6 * 3
+    assert bytes(out.pixels) == fake_decode(b"imgbytes", 4, 6).tobytes()
+
+
+def test_sample_frames_jvm_side(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"v"), ("video/mp4", None, None, 25, None)),
+         (2, bytearray(b"w"), ("video/mp4", None, None, 0, None))],
+        "media_id long, content binary, "
+        "meta struct<mime:string,width:int,height:int,n_frames:int,sample_rate:int>")
+    got = sample_frames(df, every_n=10).collect()
+    assert [(r.media_id, r.frame_index) for r in got] == [(1, 0), (1, 10), (1, 20)]
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"x", "image/png")
+
+
+# -- language id -------------------------------------------------------------
+
+def test_language_id_expr(spark):
+    from openpolicedata_spark.functions.text import language_id_expr
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is in that house"),
+         (2, "el perro y la casa es que un dia"),
+         (3, "der hund und die katze ist nicht ein"),
+         (4, "zzz qqq xxx"),
+         (5, "le chat est un animal de la maison pas")],
+        "id long, text string")
+    got = {r.id: r.lang for r in
+           df.select("id", language_id_expr(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und", 5: "fr"}
