@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import json
 import os
+
+import pandas as pd
 import re
 import sys
 import time
@@ -32,6 +34,10 @@ BENCH_QUERIES = [
     "q25_exact_dedup",
     "q27_knn_cosine",
     "q28_minhash_pairs",
+    "q32_language_id",
+    "q34_multimodal_features",
+    "q35_event_window_agg",
+    "q36_sessionize",
 ]
 
 
@@ -44,8 +50,16 @@ def main() -> None:
     from openpolicedata_spark import workload
 
     spark = get_spark(app_name="opdspark-bench")
-    # warm up the JVM/session so timings measure the queries, not startup
+    # warm up the JVM/session AND the Python UDF workers so timings measure
+    # the queries, not interpreter startup (32 workers each import
+    # pyspark/pandas/numpy on first use — one-time cost, not query cost)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+    spark.range(1000).repartition(64).select(_warm("id")).collect()
 
     qs = workload.queries()
     timings: dict[str, float] = {}

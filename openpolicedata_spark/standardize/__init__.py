@@ -155,6 +155,15 @@ class ColumnIdentifier:
         return roles
 
     # ------------------------------------------------------------ validators
+    @staticmethod
+    def _tokens(s: pd.Series) -> pd.Series:
+        """Values exploded on person delimiters: validators must accept
+        multi-person cells ('WHITE, BLACK'), whose raw values are not in
+        any category inventory (reference validators run the converter,
+        which handles MultType; splitting first is the equivalent)."""
+        v = s.dropna().astype(str).str.strip()
+        return v.str.split(r"[,|;/\n]", regex=True).explode().str.strip()
+
     def validate_date(self, s: pd.Series) -> bool:
         """Date validator (reference datetime_parser.py:230-272): at least
         half of the sampled non-null values must parse as plausible dates."""
@@ -181,7 +190,7 @@ class ColumnIdentifier:
     def validate_race(self, s: pd.Series) -> bool:
         """Race validator (reference preproc.py:2217-2300): ≥1/3 of values
         convert to known categories and WHITE or BLACK is present."""
-        v = s.dropna().astype(str).str.strip().str.upper()
+        v = self._tokens(s).str.upper()
         if len(v) == 0:
             return False
         known = {"WHITE", "BLACK", "ASIAN", "HISPANIC", "LATINO", "W", "B",
@@ -193,7 +202,7 @@ class ColumnIdentifier:
         return frac >= 1 / 3 and has_wb
 
     def validate_gender(self, s: pd.Series) -> bool:
-        v = s.dropna().astype(str).str.strip().str.upper()
+        v = self._tokens(s).str.upper()
         if len(v) == 0:
             return False
         known = {"M", "F", "MALE", "FEMALE", "UNKNOWN", "U", "NONBINARY",
@@ -201,7 +210,7 @@ class ColumnIdentifier:
         return v.isin(known).mean() >= 0.5
 
     def validate_age(self, s: pd.Series) -> bool:
-        v = pd.to_numeric(s.dropna(), errors="coerce").dropna()
+        v = pd.to_numeric(self._tokens(s), errors="coerce").dropna()
         if len(v) == 0:
             return False
         return ((v >= 0) & (v <= 120)).mean() >= 0.75
@@ -298,8 +307,20 @@ def standardize(
         transforms.append(DataMapping(None, Columns.DATETIME))
 
     # ----------------------------------------------------- demographic columns
+    # multi-person cell candidates: raw col → MultData (reference
+    # check_for_multiple, preproc.py:1623-1944); validated by cross-column
+    # person-count agreement after all families are identified.
+    from openpolicedata_spark.standardize.multi import (
+        MultType,
+        agreement,
+        detect_multi,
+        multi_expr,
+    )
+
+    mult_candidates: dict[str, Any] = {}
+
     def std_demographic(substrs, validator, canonical_triplet, expr_fn,
-                        exclude=None):
+                        exclude=None, allow_multi=False):
         cols = ident.find_matches(substrs, exclude_substrs=exclude,
                                   validator=validator)
         roles = ident.attribute_roles(cols)
@@ -309,6 +330,10 @@ def standardize(
             if canonical in col_map:  # first match wins per canonical slot
                 continue
             col_map[canonical] = c
+            if allow_multi:
+                mult = detect_multi(ident.sample[c])
+                if mult.type != MultType.SINGLE:
+                    mult_candidates[c] = mult
             specs.append((canonical, c, expr_fn))
             transforms.append(DataMapping(c, canonical))
             used.append((canonical, c))
@@ -318,23 +343,25 @@ def standardize(
         ["race", "ethnicity race", "race ethnicity"], ident.validate_race,
         (Columns.RACE_SUBJECT, Columns.RACE_OFFICER, Columns.RACE_OFF_SUB),
         lambda c: luts.race_expr(c, source_name=source_name, state=state, no_id=no_id),
-        exclude=["ethnicity"],
+        exclude=["ethnicity"], allow_multi=True,
     )
     eth_used = std_demographic(
         ["ethnicity", "hispanic"], None,
         (Columns.ETHNICITY_SUBJECT, Columns.ETHNICITY_OFFICER, Columns.ETHNICITY_OFF_SUB),
         lambda c: luts.ethnicity_expr(c, source_name=source_name, no_id=no_id),
+        allow_multi=True,
     )
     std_demographic(
         ["gender", "sex"], ident.validate_gender,
         (Columns.GENDER_SUBJECT, Columns.GENDER_OFFICER, Columns.GENDER_OFF_SUB),
         lambda c: luts.gender_expr(c, source_name=source_name, state=state, no_id=no_id),
+        allow_multi=True,
     )
     std_demographic(
         ["age"], ident.validate_age,
         (Columns.AGE_SUBJECT, Columns.AGE_OFFICER, Columns.AGE_OFF_SUB),
         lambda c: luts.age_expr(c),
-        exclude=["agency", "range", "group", "bracket"],
+        exclude=["agency", "range", "group", "bracket"], allow_multi=True,
     )
     std_demographic(
         ["age range", "age group", "age bracket"], None,
@@ -394,9 +421,24 @@ def standardize(
         for raw in {raw for _, raw, _ in specs}
         if not raw.startswith("RAW_")
     }
+    # multi-person election: keep candidates only if person counts agree
+    # across columns (reference preproc.py:1861-1923); a lone candidate
+    # stands on its own
+    if mult_candidates and not agreement(
+            ident.sample, {c: m.delim for c, m in mult_candidates.items()}):
+        mult_candidates = {}
+    for t in transforms:
+        if t.orig_column_name in mult_candidates:
+            t.data_maps = {**(t.data_maps or {}),
+                           "multi": mult_candidates[t.orig_column_name].type.value}
     out = df.withColumnsRenamed(raw_renames)
     out = out.withColumns({
-        canonical: builder(F.col(raw_renames.get(raw, raw)))
+        canonical: (
+            multi_expr(F.col(raw_renames.get(raw, raw)),
+                       mult_candidates[raw], builder)
+            if raw in mult_candidates
+            else builder(F.col(raw_renames.get(raw, raw)))
+        )
         for canonical, raw, builder in specs
     })
     if post_cols:

@@ -136,3 +136,86 @@ class TestStandardize:
 
 def lo_hi_ok(lo, hi):
     return lo >= 1 and hi <= 120
+
+
+# -- multi-person cells (SURVEY §2.8; reference preproc.py:1623-1944) --------
+
+def _std(spark, rows, schema, **kw):
+    from openpolicedata_spark.standardize import standardize
+
+    return standardize(spark.createDataFrame(rows, schema), **kw)
+
+
+def test_multi_person_delimited_to_arrays_and_expand(spark):
+    rows = [
+        ("C1", "WHITE, BLACK", "M, F", "25, 31"),
+        ("C2", "ASIAN", "F", "40"),
+        ("C3", None, None, None),
+    ]
+    out, tf = _std(spark, rows, "case string, subject_race string, "
+                                "subject_sex string, subject_age string")
+    from pyspark.sql import types as T
+
+    assert isinstance(out.schema["SUBJECT_RACE"].dataType, T.ArrayType)
+    got = {r.case: r for r in out.collect()}
+    assert got["C1"].SUBJECT_RACE == ["WHITE", "BLACK"]
+    assert got["C1"].SUBJECT_GENDER == ["MALE", "FEMALE"]
+    assert got["C1"].SUBJECT_AGE == [25, 31]
+    assert got["C2"].SUBJECT_RACE == ["ASIAN"]
+    multi_marked = [t for t in tf if t.data_maps and "multi" in t.data_maps]
+    assert len(multi_marked) == 3
+
+    from openpolicedata_spark.operators.expand import expand
+
+    ex = expand(out, ["SUBJECT_RACE", "SUBJECT_GENDER", "SUBJECT_AGE"])
+    per_case = {}
+    for r in ex.collect():
+        per_case.setdefault(r.case, []).append(
+            (r.PERSON_INDEX, r.SUBJECT_RACE, r.SUBJECT_GENDER, r.SUBJECT_AGE))
+    assert sorted(per_case["C1"]) == [(0, "WHITE", "MALE", 25),
+                                      (1, "BLACK", "FEMALE", 31)]
+    assert per_case["C2"] == [(0, "ASIAN", "F".replace("F", "FEMALE"), 40)]
+
+
+def test_multi_person_counts_syntax(spark):
+    from openpolicedata_spark.standardize.multi import (
+        MultData, MultType, detect_multi, multi_expr)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    s = pd.Series(["2 - White, 1 - Black", "1 - Asian", None])
+    m = detect_multi(s)
+    assert m.type == MultType.COUNTS and m.delim == ","
+    df = spark.createDataFrame([("2 - WHITE, 1 - BLACK",), ("1 - ASIAN",)], "v string")
+    out = df.select(multi_expr(F.col("v"), m, lambda c: c).alias("a")).collect()
+    assert out[0].a == ["WHITE", "WHITE", "BLACK"]
+    assert out[1].a == ["ASIAN"]
+
+
+def test_multi_person_multiplier_syntax(spark):
+    from openpolicedata_spark.standardize.multi import (
+        MultType, detect_multi, multi_expr)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    s = pd.Series(["Mx3 / F", "M / F", "Fx2"])
+    m = detect_multi(s)
+    assert m.type == MultType.MULTIPLIER and m.delim == "/"
+    df = spark.createDataFrame([("Mx3 / F",), ("F",)], "v string")
+    out = df.select(multi_expr(F.col("v"), m, lambda c: c).alias("a")).collect()
+    assert out[0].a == ["M", "M", "M", "F"]
+    assert out[1].a == ["F"]
+
+
+def test_multi_person_agreement_veto(spark):
+    """A delimiter that appears in only one column with disagreeing person
+    counts must NOT trigger array conversion (reference cross-column
+    agreement, preproc.py:1861-1923)."""
+    import pandas as pd
+    from openpolicedata_spark.standardize.multi import agreement
+
+    sample = pd.DataFrame({
+        "subject_race": ["WHITE, BLACK", "ASIAN, WHITE, BLACK"],
+        "subject_sex": ["M, F, F", "M"],
+    })
+    assert not agreement(sample, {"subject_race": ",", "subject_sex": ","})
