@@ -1,0 +1,74 @@
+"""Plan-audit tests: the scale guarantees (pushdown, pruning, broadcast,
+shuffle budget, JVM-only hot paths) asserted on real plans — per the
+'would this survive 100×' review loop."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openpolicedata_spark import workload
+from openpolicedata_spark.plans import (
+    formatted_plan,
+    assert_broadcast_join,
+    assert_column_pruned,
+    assert_filter_pushed,
+    assert_max_exchanges,
+    assert_no_python_in_plan,
+    summarize_plan,
+)
+
+
+def test_source_load_pushes_date_filter(source):
+    """Source.load(ORDERS, 1995) must push the date range into the parquet
+    scan (reference pushes it into the portal WHERE; Catalyst must do the
+    same for files)."""
+    t = source.load("ORDERS", 1995)
+    s = assert_filter_pushed(t.table, "o_orderdate")
+    assert any("GreaterThanOrEqual" in p or "GreaterThan" in p
+               for p in s.pushed_filters)
+
+
+def test_q01_pushdown_pruning_and_codegen(spark, sf_dir):
+    df = workload.queries()["q01_pricing_summary"](spark, sf_dir)
+    assert_filter_pushed(df, "l_shipdate")
+    # Q1 touches 7 of 16 lineitem columns; the scan must not read keys
+    assert_column_pruned(df, "l_orderkey")
+    s = summarize_plan(df, execute=True)
+    assert s.has_codegen
+    # map-side combine: partial aggregation before the shuffle
+    assert "partial_sum" in s.text or "partial_sum" in formatted_plan(df)
+    assert_no_python_in_plan(df)
+    # single aggregation: partial agg (map-side) + one shuffle + final agg
+    assert_max_exchanges(df, 2)
+
+
+def test_q11_star_join_broadcasts_dims(spark, sf_dir):
+    """Star join: region/nation/customer are small → every dim join must be
+    a broadcast; the fact table must not shuffle for the joins."""
+    df = workload.queries()["q11_star_join"](spark, sf_dir)
+    assert_broadcast_join(df, min_joins=2)
+
+
+def test_q02_date_range_prunes_columns(spark, sf_dir):
+    df = workload.queries()["q02_date_range_load"](spark, sf_dir)
+    assert_filter_pushed(df, "o_orderdate")
+
+
+def test_projection_prunes_parquet_scan(spark, sf_dir):
+    from openpolicedata_spark.sources.file import read_parquet_repaired
+
+    df = read_parquet_repaired(spark, f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity")
+    s = summarize_plan(df)
+    assert len(s.read_schemas) == 1
+    assert "l_comment" not in s.read_schemas[0]
+
+
+def test_exact_dedup_shuffle_budget(spark, sf_dir):
+    """exact_dedup = one groupBy shuffle + one semi-join; AQE may add a
+    broadcast, but the plan must never exceed 4 exchanges."""
+    from openpolicedata_spark.operators.dedup import exact_dedup
+    from openpolicedata_spark.sources.file import read_parquet_repaired
+
+    df = exact_dedup(read_parquet_repaired(spark, f"{sf_dir}/documents.parquet"))
+    assert_max_exchanges(df, 4)
