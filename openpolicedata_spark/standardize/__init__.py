@@ -92,6 +92,7 @@ class ColumnIdentifier:
         self.table_type = table_type or ""
         self.source_name = source_name
         self.known_cols = known_cols or {}
+        self.excluded: set[str] = set()   # columns consumed by a pre-pass
         self._sample: Optional[pd.DataFrame] = None
 
     @property
@@ -113,6 +114,8 @@ class ColumnIdentifier:
         exclude_substrs = exclude_substrs or []
         out = []
         for c in self.df.columns:
+            if c in self.excluded:
+                continue
             lc = str(c).lower()
             words = _words(c)
             hit = False
@@ -257,7 +260,23 @@ def standardize(
         return df, []
 
     ident = ColumnIdentifier(df, table_type, source_name, known_cols)
-    known_cols = known_cols or {}
+    known_cols = dict(known_cols or {})
+
+    from openpolicedata_spark.standardize.extras import (
+        detect_gender_race_swap,
+        find_onehot_group,
+        fold_onehot_expr,
+        validate_name,
+    )
+
+    # boolean one-hot race columns → synthesize one categorical raw column
+    # (reference _converters.py:37-124) when no named race column exists
+    if not any("race" in c.lower() for c in df.columns):
+        group = find_onehot_group(df.columns, ident.sample)
+        if group:
+            df = df.withColumn("race_onehot", fold_onehot_expr(group))
+            ident = ColumnIdentifier(df, table_type, source_name, known_cols)
+            ident.excluded = set(group)  # consumed: don't re-identify members
     col_map = ColumnMap()
     # (canonical, raw, builder) — applied AFTER raw columns are renamed
     # RAW_*: Spark resolves column names case-insensitively, so adding
@@ -316,14 +335,40 @@ def standardize(
         detect_multi,
         multi_expr,
     )
-
     mult_candidates: dict[str, Any] = {}
+
+    # publisher swapped race↔gender columns? (reference preproc.py:972-993)
+    _race_named = [c for c in df.columns if "race" in str(c).lower()]
+    _gender_named = [c for c in df.columns
+                     if any(t in _words(c) for t in ("gender", "sex"))]
+    if len(_race_named) == 1 and len(_gender_named) == 1:
+        if detect_gender_race_swap(ident.sample, _race_named[0],
+                                   _gender_named[0], ident.validate_race,
+                                   ident.validate_gender):
+            roles0 = ident.attribute_roles([_race_named[0], _gender_named[0]])
+            known_cols.setdefault(
+                _role_col(roles0[_gender_named[0]], Columns.RACE_SUBJECT,
+                          Columns.RACE_OFFICER, Columns.RACE_OFF_SUB),
+                _gender_named[0])
+            known_cols.setdefault(
+                _role_col(roles0[_race_named[0]], Columns.GENDER_SUBJECT,
+                          Columns.GENDER_OFFICER, Columns.GENDER_OFF_SUB),
+                _race_named[0])
 
     def std_demographic(substrs, validator, canonical_triplet, expr_fn,
                         exclude=None, allow_multi=False):
         cols = ident.find_matches(substrs, exclude_substrs=exclude,
                                   validator=validator)
         roles = ident.attribute_roles(cols)
+        # explicit known_cols win over heuristics (reference data.py:682-757)
+        for canonical in canonical_triplet:
+            if canonical in known_cols and known_cols[canonical] in df.columns:
+                c = known_cols[canonical]
+                if c not in cols:
+                    cols.insert(0, c)
+                roles[c] = ("SUBJECT" if canonical == canonical_triplet[0]
+                            else "OFFICER" if canonical == canonical_triplet[1]
+                            else None)
         used = []
         for c in cols:
             canonical = _role_col(roles[c], *canonical_triplet)
@@ -402,6 +447,14 @@ def standardize(
             transforms.append(DataMapping(None, combo_c))
         elif race_c in spec_names:
             post_cols[group_c] = F.col(race_c)
+
+    # ----------------------------------------------------------------- names
+    std_demographic(
+        ["name", "full name"], validate_name,
+        (Columns.NAME_SUBJECT, Columns.NAME_OFFICER, Columns.NAME_OFF_SUB),
+        lambda c: c.cast("string"),
+        exclude=["agency", "street", "file", "court"],
+    )
 
     # ------------------------------------------------------------------ zip
     zips = ident.find_matches(["zip", "zipcode", "zip code"],

@@ -219,3 +219,62 @@ def test_multi_person_agreement_veto(spark):
         "subject_sex": ["M, F, F", "M"],
     })
     assert not agreement(sample, {"subject_race": ",", "subject_sex": ","})
+
+
+# -- extras: names, swap repair, one-hot fold, code lookup -------------------
+
+def test_name_column_standardized(spark):
+    rows = [("C1", "SMITH, JOHN", "WHITE"), ("C2", "Jane Doe", "BLACK")]
+    out, _ = _std(spark, rows, "case string, officer_name string, subject_race string")
+    got = {r.case: r for r in out.collect()}
+    assert got["C1"].OFFICER_NAME == "SMITH, JOHN"
+
+
+def test_gender_race_swap_repair(spark):
+    """Publisher put genders in 'race' and races in 'sex' — the swap must be
+    detected and repaired (reference preproc.py:972-993)."""
+    rows = [("M", "WHITE"), ("F", "BLACK"), ("M", "ASIAN"), ("F", "WHITE")] * 5
+    out, _ = _std(spark, rows, "race string, sex string")
+    r0 = out.collect()
+    races = {r["OFFICER/SUBJECT_RACE"] for r in r0}
+    genders = {r["OFFICER/SUBJECT_GENDER"] for r in r0}
+    assert races == {"WHITE", "BLACK", "ASIAN"}
+    assert genders == {"MALE", "FEMALE"}
+
+
+def test_onehot_race_fold(spark):
+    """Bloomington-style per-race boolean columns fold into one categorical
+    (reference _converters.py:37-124)."""
+    rows = [("C1", "true", "false", "false"),
+            ("C2", "false", "true", "false"),
+            ("C3", "true", "true", "false"),
+            ("C4", "false", "false", "false")]
+    out, _ = _std(spark, rows,
+                  "case string, white string, black string, hispanic string")
+    got = {r.case: r["OFFICER/SUBJECT_RACE"] for r in out.collect()}
+
+    def scalar_or_arr(v):
+        return v if not isinstance(v, list) else v
+    # multi-true rows go through the multi-person parser → arrays
+    assert got["C1"] in ("WHITE", ["WHITE"])
+    assert got["C2"] in ("BLACK", ["BLACK"])
+    assert got["C3"] in ("WHITE, BLACK", ["WHITE", "BLACK"])
+    assert got["C4"] is None
+    # the consumed boolean columns must not re-identify as other demographics
+    assert "OFFICER/SUBJECT_ETHNICITY" not in out.columns
+
+
+def test_agency_code_lookup_broadcast(spark):
+    from openpolicedata_spark.standardize.extras import apply_code_lookup
+    from openpolicedata_spark.plans import summarize_plan
+
+    df = spark.createDataFrame([("CA0010000", 1), ("CA0020000", 2), ("XX", 3)],
+                               "ori string, n int")
+    lookup = spark.createDataFrame(
+        [("CA0010000", "Alameda County Sheriff"), ("CA0020000", "Berkeley PD")],
+        "code string, value string")
+    out = apply_code_lookup(df, lookup, "ori", "AGENCY")
+    got = {r.n: r.AGENCY for r in out.collect()}
+    assert got == {1: "Alameda County Sheriff", 2: "Berkeley PD", 3: None}
+    assert summarize_plan(out).n_broadcast_joins >= 1
+    assert summarize_plan(out).n_sortmerge_joins == 0
