@@ -21,6 +21,8 @@ Architecture (see SURVEY.md for the full blueprint):
                   driver-side column identification over schema + samples,
                   distributed application of the chosen mappings.
 - ``streaming`` — Structured Streaming ingestion (beyond reference).
+- ``plans``     — physical-plan audit: assertions for pushdown, pruning,
+                  broadcast joins, shuffle budgets, JVM-only hot paths.
 """
 
 from openpolicedata_spark.session import get_spark
