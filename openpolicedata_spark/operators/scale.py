@@ -1,0 +1,113 @@
+"""Scale techniques: bucketed co-located joins and skew salting.
+
+SURVEY.md §4 maps the reference's hand-coded optimizations onto Catalyst;
+these helpers cover the two levers Catalyst does NOT apply automatically:
+
+- **Bucketing**: a join between two tables bucketed on the join key by the
+  same bucket count needs NO exchange — at 100 TB this turns the nightly
+  "join incidents to subjects" from a multi-TB shuffle into a local merge.
+  (`df.write.bucketBy` + saveAsTable; asserted shuffle-free in tests.)
+- **Salting**: when one key dominates (one agency = half the data), a
+  shuffle sends that key to one task. Salted aggregation computes partial
+  aggregates on (key, salt) then merges; salted broadcast-join replicates
+  the small side per salt. AQE's skew-join handles *sort-merge* skew at
+  runtime; salting is the explicit tool for aggregations and for forcing
+  balanced parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# bucketing
+# ---------------------------------------------------------------------------
+
+def write_bucketed(df: DataFrame, table: str, key: str | Sequence[str],
+                   buckets: int = 32, sort: bool = True,
+                   mode: str = "overwrite") -> None:
+    """Persist as a bucketed (and bucket-sorted) managed table. Joins and
+    aggregations on `key` against tables bucketed the same way require no
+    exchange; sorting inside buckets additionally removes the Sort below a
+    sort-merge join."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# salting
+# ---------------------------------------------------------------------------
+
+def with_salt(df: DataFrame, n_salts: int = 16,
+              salt_col: str = "__salt__") -> DataFrame:
+    """Uniform random salt in [0, n_salts). Deterministic per task attempt
+    (Spark seeds rand per partition), used only as a shuffle-spreading key."""
+    return df.withColumn(salt_col, (F.rand(seed=42) * n_salts).cast("int"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    merges: dict[str, Callable[[Column], Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed keys.
+
+    Stage 1 groups on (keys, salt) — the hot key spreads over `n_salts`
+    tasks; stage 2 merges the partials. `aggs` computes the partial
+    (e.g. ``F.sum("x")``), `merges` re-aggregates it (e.g. ``F.sum``).
+    Counts merge with sum; min/max are idempotent. Averages must be
+    decomposed as sum+count by the caller.
+    """
+    partial = (
+        with_salt(df, n_salts)
+        .groupBy(*keys, "__salt__")
+        .agg(*[a.alias(name) for name, a in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[merges[name](F.col(name)).alias(name) for name in aggs]
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof join: salt the big side, replicate the (broadcast) small
+    side once per salt, join on (key, salt). The hot key's rows land in
+    `n_salts` different tasks instead of one."""
+    salted_big = with_salt(big, n_salts)
+    exploded_small = small.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_big.join(F.broadcast(exploded_small), on=[on, "__salt__"], how=how)
+    return out.drop("__salt__")
+
+
+def repartition_by_key_bounded(df: DataFrame, key: str, max_per_partition: int,
+                               count_col: str = "__n__") -> DataFrame:
+    """Repartition so no partition holds more than ~max_per_partition rows
+    of one key: keys are split into ceil(n/max) salted sub-keys computed
+    from an aggregate pass (explicit skew flattening for writes)."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias(count_col))
+    with_counts = df.join(F.broadcast(counts), on=key)
+    n_splits = F.greatest(
+        F.ceil(F.col(count_col) / max_per_partition).cast("int"), F.lit(1))
+    salted = with_counts.withColumn(
+        "__salt__", (F.rand(seed=42) * n_splits).cast("int")).drop(count_col)
+    return salted.repartition(F.col(key), F.col("__salt__")).drop("__salt__")
