@@ -76,7 +76,10 @@ class RestLoader(DataLoader):
         self.dataset = dataset or ""
         self.date_field = date_field
         self.agency_field = agency_field
-        self.date_format = DateFormat(date_format)
+        # 'auto' defers to a one-page driver-side probe (portals/probe.py,
+        # the reference's __date_format_search re-expressed)
+        self._date_format: Optional[DateFormat] = (
+            None if date_format == "auto" else DateFormat(date_format))
         self.query = query or {}
         self.page_size = page_size
         self.transport_pickle: Optional[str] = (
@@ -84,6 +87,17 @@ class RestLoader(DataLoader):
 
     def isfile(self) -> bool:
         return False
+
+    @property
+    def date_format(self) -> DateFormat:
+        if self._date_format is None:
+            from openpolicedata_spark.sources.portals.probe import probe_date_format
+
+            fmt = None
+            if self.date_field:
+                fmt = probe_date_format(self._client(), self.date_field)
+            self._date_format = fmt or DateFormat.TIMESTAMP
+        return self._date_format
 
     # -- client (driver-side fast paths) ------------------------------------
     def _client(self):
@@ -272,8 +286,9 @@ def make_rest_loader(spark: SparkSession, data_type: str, row: pd.Series,
         dataset=ds,
         date_field=row.get("date_field"),
         agency_field=row.get("agency_field"),
-        date_format=row.get("date_format", DateFormat.TIMESTAMP.value)
-        if isinstance(row.get("date_format"), str) else DateFormat.TIMESTAMP.value,
+        date_format=(row.get("date_format")
+                     if isinstance(row.get("date_format"), str)
+                     and row.get("date_format") else "auto"),
         query=q if isinstance(q, dict) else None,
         transport=transport,
     )

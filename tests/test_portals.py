@@ -225,3 +225,41 @@ def test_spark_sql_filter_on_portal_scan(spark):
     expected = [r for r in server.rows
                 if r["value"] > 50 and r["agency"] == "Shelbyville PD"]
     assert df.count() == len(expected)
+
+
+def test_probe_date_format_classifies_all_portal_formats(spark):
+    """Driver-side date-format probe (reference __date_format_search /
+    _find_string_type_date_query_format) over one sampled page."""
+    from openpolicedata_spark.sources.portals.probe import probe_date_format
+    from openpolicedata_spark.sources.portals.socrata import SocrataClient
+
+    expected = {
+        "iso": DateFormat.TIMESTAMP,
+        "epoch_ms": DateFormat.EPOCH_MS,
+        "yyyymmdd": DateFormat.YYYYMMDD_TEXT,
+        "mmddyyyy": DateFormat.MMDDYYYY_TEXT,
+        "month_abbrev": DateFormat.MONTH_ABBREV_TEXT,
+        "yyyyq": DateFormat.YYYYQ_TEXT,
+        "year": DateFormat.YEAR_NUMERIC,
+    }
+    for date_text, fmt in expected.items():
+        client = SocrataClient(
+            transport=FakeTransport(handler=FakePortal("socrata", date_text=date_text)),
+            url="https://x", dataset="d")
+        got = probe_date_format(client, "incident_date")
+        assert got == fmt, f"{date_text}: got {got}"
+
+
+def test_rest_loader_auto_probes_date_format(spark):
+    """A RestLoader constructed without date_format probes the portal and
+    still answers an exact year query over a text-date column."""
+    server = FakePortal("socrata", date_text="yyyymmdd")
+    loader = RestLoader(
+        spark, format_name="opd_socrata", url="https://x", dataset="d",
+        date_field="incident_date", date_format="auto",
+        transport=FakeTransport(handler=server),
+    )
+    iso = make_rows(date_text="iso")
+    expected = {r["case_id"] for r in iso if str(r["incident_date"]).startswith("2020")}
+    got = {r.case_id for r in loader.load(2020).select("case_id").collect()}
+    assert got == expected
