@@ -639,7 +639,26 @@ def q30_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+    return d.select(
+        "doc_id", F.round(quality_score_expr(F.col("text")), 6).alias("quality"))
+
+
+_Q31_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) AS n_punct,
+    CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it|that|for|on|with|as|was|at|by|an|be|this|are)\b')) AS DOUBLE) AS n_stop
+  FROM documents)
+SELECT doc_id,
+  ROUND(
+    LEAST(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4
+    + LEAST((n_stop / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) ELSE 1.0 END))*4.0, 1.0)*0.4
+    + (1.0 - LEAST((n_punct / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) ELSE 1.0 END))*5.0, 1.0))*0.2
+  , 6) AS quality
+FROM m
+"""
 
 
 # --------------------------------------------------------------------------
@@ -853,8 +872,9 @@ def oracle_sql() -> dict[str, str]:
         "q25_exact_dedup": _Q25_SQL,
         "q26_dup_groups": _Q26_SQL,
         "q27_knn_cosine": _Q27_SQL,
-        # q28-q31, q33: non-SQL-expressible (LSH internals / our own
-        # heuristic score) → rows-only check by the driver.
+        # q28-q30, q33: non-SQL-expressible (LSH/minhash internals) →
+        # rows-only check by the driver.
+        "q31_quality_score": _Q31_SQL,
         "q32_language_id": _q32_sql(),
         "q34_multimodal_features": _Q34_SQL,
         "q35_event_window_agg": _Q35_SQL,
