@@ -239,3 +239,42 @@ def epoch_expr(col: Column, unit: str = "ms") -> Column:
         if unit == "ms"
         else F.timestamp_seconds(col.cast("long"))
     )
+
+
+def date_precision_expr(strategy: Optional[dict] = None) -> Column:
+    """Companion DATE_PRECISION value for the (date, precision) encoding of
+    pd.Period semantics (SURVEY §1.3; reference stores Period('Y'/'M'/'Q')
+    for partial dates, data.py:1881-1894). Precision is a property of the
+    detected column strategy: 'year' and 'year_month' columns floor to
+    Jan-1 / day-1, everything else is day-or-finer."""
+    kind = (strategy or {}).get("kind", "unknown")
+    if kind == "year":
+        return F.lit("year")
+    if kind == "year_month":
+        return F.lit("month")
+    return F.lit("day")
+
+
+_PRECISION_MONTHS = {"day": 0, "month": 1, "quarter": 3, "year": 12}
+
+
+def period_overlap_filter(date_col: Column, precision_col: Column,
+                          start: str, stop: str) -> Column:
+    """Filter respecting period semantics: a year-precision value
+    2020-01-01 matches any range intersecting calendar-2020 (reference
+    interval containment, data.py:1337-1356). The period END is
+    date + precision-length - 1s; overlap = p_start <= stop AND
+    p_end >= start. Day precision degenerates to a plain between."""
+    start_ts = F.lit(start).cast("timestamp_ntz")
+    stop_ts = F.lit(stop).cast("timestamp_ntz")
+    months = F.coalesce(
+        *[F.when(precision_col == k, F.lit(v))
+          for k, v in _PRECISION_MONTHS.items()],
+        F.lit(0),
+    )
+    p_end = F.when(
+        months > 0,
+        F.timestamp_add("SECOND", F.lit(-1),
+                        F.timestamp_add("MONTH", months, date_col)),
+    ).otherwise(F.timestamp_add("SECOND", F.lit(86399), date_col))
+    return (date_col <= stop_ts) & (p_end >= start_ts)

@@ -29,6 +29,7 @@ from openpolicedata_spark import defs
 from openpolicedata_spark.defs import Columns
 from openpolicedata_spark.functions import luts
 from openpolicedata_spark.functions.datetime import (
+    date_precision_expr,
     detect_date_format,
     merge_date_time_expr,
     parse_time_expr,
@@ -305,6 +306,10 @@ def standardize(
         strat = detect_date_format(df, date_col)
         specs.append((Columns.DATE, date_col,
                       lambda c, s=strat: to_datetime_expr(c, s)))
+        # (date, precision) pair = the reference's pd.Period encoding
+        # (SURVEY §1.3): partial dates floor + carry their granularity
+        if strat.get("kind") in ("year", "year_month"):
+            post_cols[Columns.DATE_PRECISION] = date_precision_expr(strat)
         transforms.append(DataMapping(date_col, Columns.DATE,
                                       {"strategy": strat}))
 

@@ -796,6 +796,62 @@ GROUP BY user_id, sid
 """
 
 
+def q37_combined_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file dataset load: CombinedLoader unions per-file reads with
+    per-year date filters pushed into each child scan (reference
+    CombinedDataset, combine_dataset.py:9-172)."""
+    from openpolicedata_spark.sources.combined import CombinedLoader
+    from openpolicedata_spark.sources.file import ParquetLoader
+
+    children = [
+        ParquetLoader(spark, url=f"{sf_dir}/orders.parquet",
+                      date_field="o_orderdate")
+        for _ in range(2)
+    ]
+    loader = CombinedLoader(spark, children)
+    df1 = children[0].load(date=1995)
+    df2 = children[1].load(date=1996)
+    out = df1.unionByName(df2)
+    # also exercise the loader's own concat path on a shared filter
+    assert loader.load(date=1995).columns == out.columns
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.cast("double", F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("total"),
+    )
+
+
+_Q37_SQL = """
+WITH u AS (
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM u GROUP BY o_orderstatus
+"""
+
+
+def q38_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation (operators.scale.salted_agg) — must
+    equal the plain one-stage GROUP BY, which is exactly the oracle."""
+    from openpolicedata_spark.operators.scale import salted_agg
+
+    l = _read(spark, sf_dir, "lineitem")
+    return salted_agg(
+        l, ["l_returnflag"],
+        aggs={"n": F.count(F.lit(1)),
+              "qty": F.sum(F.col("l_quantity").cast("decimal(12,2)"))},
+        merges={"n": F.sum, "qty": F.sum},
+    ).select("l_returnflag", "n", F.col("qty").cast("double").alias("qty"))
+
+
+_Q38_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -839,6 +895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_multimodal_features": q34_multimodal_features,
         "q35_event_window_agg": q35_event_window_agg,
         "q36_sessionize": q36_sessionize,
+        "q37_combined_union": q37_combined_union,
+        "q38_salted_agg": q38_salted_agg,
     }
     return base
 
@@ -879,4 +937,6 @@ def oracle_sql() -> dict[str, str]:
         "q34_multimodal_features": _Q34_SQL,
         "q35_event_window_agg": _Q35_SQL,
         "q36_sessionize": _Q36_SQL,
+        "q37_combined_union": _Q37_SQL,
+        "q38_salted_agg": _Q38_SQL,
     }

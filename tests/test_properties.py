@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) — an upgrade over the reference's
+example-only suite (SURVEY §5). Each property batches all generated
+examples into ONE Spark job."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(deadline=None, max_examples=15)
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(0, 23), st.integers(0, 59), st.integers(0, 59)),
+    min_size=1, max_size=30))
+def test_parse_time_roundtrip(spark, hms):
+    """Any (h, m, s) rendered as HH:MM:SS, H:MM, or HHMM-int must parse to
+    the same seconds-since-midnight."""
+    from openpolicedata_spark.functions.datetime import parse_time_expr
+
+    rows = []
+    for i, (h, m, s) in enumerate(hms):
+        rows.append((i * 3 + 0, f"{h:02d}:{m:02d}:{s:02d}", h * 3600 + m * 60 + s))
+        rows.append((i * 3 + 1, f"{h}:{m:02d}", h * 3600 + m * 60))
+        rows.append((i * 3 + 2, str(h * 100 + m), h * 3600 + m * 60))
+    df = spark.createDataFrame(rows, "id long, v string, want long")
+    got = df.select("id", "want",
+                    parse_time_expr(F.col("v")).alias("got")).collect()
+    for r in got:
+        assert r.got == r.want, r
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs")),
+    min_size=0, max_size=80), min_size=1, max_size=25))
+def test_fingerprint_whitespace_invariant(spark, texts):
+    """The md5 fingerprint is invariant under leading/trailing space and
+    whitespace-run collapsing (the normalization contract)."""
+    from openpolicedata_spark.functions.text import fingerprint_md5_expr
+
+    rows = [(i, t, f"  {t}  ".replace(" ", "   ")) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    got = df.select(
+        (fingerprint_md5_expr(F.col("a")) == fingerprint_md5_expr(F.col("b")))
+        .alias("eq")).collect()
+    assert all(r.eq for r in got)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.sampled_from(
+    ["WHITE", "W", "BLACK", "B", "ASIAN", "A", "HISPANIC", "ZORBLAX", "???"]),
+    min_size=1, max_size=30))
+def test_race_lut_no_id_contract(spark, vals):
+    """no_id='keep' passes unknown values through (uppercased); 'null'
+    nulls them; known codes always map to canonical categories
+    (reference no_id handling, _converters.py:592-607)."""
+    from openpolicedata_spark.functions import luts
+
+    known = {"WHITE": "WHITE", "W": "WHITE", "BLACK": "BLACK", "B": "BLACK",
+             "ASIAN": "ASIAN", "A": "ASIAN", "HISPANIC": "LATINO"}
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, v string")
+    out = df.select(
+        "id", "v",
+        luts.race_expr(F.col("v"), no_id="keep").alias("keep"),
+        luts.race_expr(F.col("v"), no_id="null").alias("nulled"),
+    ).collect()
+    for r in out:
+        if r.v in known:
+            assert r.keep == known[r.v] and r.nulled == known[r.v]
+        else:
+            assert r.keep == r.v.upper()
+            assert r.nulled is None
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.tuples(st.lists(st.integers(0, 9), max_size=4),
+              st.lists(st.integers(0, 9), max_size=4)),
+    min_size=1, max_size=20))
+def test_expand_row_count_property(spark, pairs):
+    """expand() emits exactly max(1, max array length) rows per input row
+    in 'nan' mode, nulls padded."""
+    from openpolicedata_spark.operators.expand import expand
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, a array<int>, b array<int>")
+    out = expand(df, ["a", "b"])
+    got = {}
+    for r in out.collect():
+        got[r.id] = got.get(r.id, 0) + 1
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == max(1, len(a), len(b)), (i, a, b)
+
+
+@settings(deadline=None, max_examples=8)
+@given(st.lists(st.text(alphabet="ab ", min_size=20, max_size=60),
+                min_size=2, max_size=10))
+def test_minhash_identical_texts_identical_signatures(spark, texts):
+    """Signatures are a pure function of normalized text: duplicated docs
+    always collide in every band."""
+    from openpolicedata_spark.operators.dedup import minhash_signatures
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(i + 1000, t) for i, t in enumerate(texts)]  # exact dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r.doc_id: tuple(r.minhash)
+           for r in minhash_signatures(df, num_hashes=16, shingle_k=2).collect()}
+    for i in range(len(texts)):
+        if i in sig and i + 1000 in sig:
+            assert sig[i] == sig[i + 1000]

@@ -278,3 +278,21 @@ def test_agency_code_lookup_broadcast(spark):
     assert got == {1: "Alameda County Sheriff", 2: "Berkeley PD", 3: None}
     assert summarize_plan(out).n_broadcast_joins >= 1
     assert summarize_plan(out).n_sortmerge_joins == 0
+
+
+def test_date_precision_period_semantics(spark):
+    """Year-only date columns floor to Jan-1 and carry DATE_PRECISION;
+    period-overlap filtering matches the reference's Period semantics."""
+    from pyspark.sql import functions as F
+
+    from openpolicedata_spark.functions.datetime import period_overlap_filter
+
+    rows = [("C1", "2019"), ("C2", "2020"), ("C3", "2021")]
+    out, _ = _std(spark, rows, "case string, incident_date string")
+    assert "DATE_PRECISION" in out.columns
+    got = {r.case: (r.DATE, r.DATE_PRECISION) for r in out.collect()}
+    assert got["C2"][0].year == 2020 and got["C2"][1] == "year"
+    # a mid-2020 range must still match the year-2020 period
+    hit = out.where(period_overlap_filter(
+        F.col("DATE"), F.col("DATE_PRECISION"), "2020-06-01", "2020-07-01"))
+    assert [r.case for r in hit.collect()] == ["C2"]
