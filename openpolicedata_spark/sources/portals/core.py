@@ -39,6 +39,28 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
+# geometry: struct<lon,lat> per SURVEY §1.3 (no geopandas at scale);
+# covers Socrata `geolocation` dicts and GeoJSON Point values
+_POINT_TYPE = StructType([StructField("lon", DoubleType()),
+                          StructField("lat", DoubleType())])
+
+
+def _as_point(v) -> object:
+    """Normalize a portal geometry value to (lon, lat) or None.
+    Socrata: {'latitude': '..', 'longitude': '..'} or
+    {'type': 'Point', 'coordinates': [lon, lat]} (socrata.py:476-504)."""
+    if not isinstance(v, dict):
+        return None
+    try:
+        if "longitude" in v and "latitude" in v:
+            return (float(v["longitude"]), float(v["latitude"]))
+        if v.get("type") == "Point" and isinstance(v.get("coordinates"), (list, tuple)):
+            lon, lat = v["coordinates"][:2]
+            return (float(lon), float(lat))
+    except (TypeError, ValueError):
+        return None
+    return None
+
 from openpolicedata_spark.sources.portals.transport import resolve_transport
 from openpolicedata_spark.sources.portals.where import (
     DateFormat,
@@ -87,6 +109,8 @@ def infer_schema_from_rows(rows: Sequence[dict], epoch_ms_fields: set[str],
                 continue
             if k in epoch_ms_fields:
                 kinds.add("ts")
+            elif isinstance(v, dict) and _as_point(v) is not None:
+                kinds.add("point")
             elif isinstance(v, bool):
                 kinds.add("bool")
             elif isinstance(v, int):
@@ -99,7 +123,9 @@ def infer_schema_from_rows(rows: Sequence[dict], epoch_ms_fields: set[str],
                 kinds.add("str")
     fields = []
     for name, kinds in cols.items():
-        if kinds == {"ts"}:
+        if kinds == {"point"}:
+            t = _POINT_TYPE
+        elif kinds == {"ts"}:
             t = TimestampNTZType()
         elif kinds == {"bool"}:
             t = BooleanType()
@@ -119,6 +145,8 @@ def convert_row(r: dict, schema: StructType, epoch_ms_fields: set[str]) -> tuple
         v = r.get(f.name)
         if v is None or v == "":
             out.append(None)
+        elif isinstance(f.dataType, StructType):
+            out.append(_as_point(v))
         elif isinstance(f.dataType, TimestampNTZType):
             if f.name in epoch_ms_fields and isinstance(v, (int, float)):
                 out.append(_dt.datetime.utcfromtimestamp(v / 1000.0))

@@ -263,3 +263,22 @@ def test_rest_loader_auto_probes_date_format(spark):
     expected = {r["case_id"] for r in iso if str(r["incident_date"]).startswith("2020")}
     got = {r.case_id for r in loader.load(2020).select("case_id").collect()}
     assert got == expected
+
+
+def test_socrata_geolocation_to_point_struct(spark):
+    """Socrata geolocation dicts become struct<lon,lat> columns (SURVEY
+    §1.3 geometry mapping; reference builds GeoDataFrames,
+    socrata.py:476-504)."""
+    server = FakePortal("socrata")
+    for i, r in enumerate(server.rows):
+        r["geolocation"] = ({"latitude": str(30 + i % 10), "longitude": str(-90 - i % 10)}
+                            if i % 3 else {"type": "Point",
+                                           "coordinates": [-90 - i % 10, 30 + i % 10]})
+    loader = RestLoader(
+        spark, format_name="opd_socrata", url="https://x", dataset="d",
+        transport=FakeTransport(handler=server),
+    )
+    df = loader.load()
+    assert dict(df.dtypes)["geolocation"] == "struct<lon:double,lat:double>"
+    row = df.where(df.case_id == "C00004").first()
+    assert row.geolocation.lat == 34.0 and row.geolocation.lon == -94.0
