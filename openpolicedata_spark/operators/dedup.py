@@ -109,11 +109,30 @@ def _minhash_udf(coeffs: list[tuple[int, int]]):
             if hv.size == 0:
                 out.append(sentinel)
                 continue
-            # a < p < 2^31 and h < p, so a*h + b < 2^62: no int64 overflow.
+            # raw xxhash64 → universe [0, p) first (numpy % with a positive
+            # divisor is non-negative, same as Spark's pmod), then the
+            # universal hashes: a < p < 2^31 and h' < p keep a*h'+b < 2^62,
+            # no int64 overflow.
+            hv = hv % _MERSENNE_31
             out.append(((A * hv + B) % _MERSENNE_31).min(axis=1))
         return pd.Series(out)
 
     return mh
+
+
+def hashed_shingles(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", shingle_k: int = 5) -> DataFrame:
+    """ONE codegen'd projection shared by the signature and verify paths:
+    shingle → raw xxhash64 longs. Signatures reduce these through the
+    universal-hash family (mod p applied in the UDF); the Jaccard verify
+    uses the distinct raw hashes directly."""
+    return (
+        rebalance(df)
+        .select(F.col(id_col),
+                shingles_expr(F.col(text_col), k=shingle_k).alias("__sh__"))
+        .select(F.col(id_col),
+                F.transform("__sh__", lambda s: F.xxhash64(s)).alias("__hraw__"))
+    )
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -122,25 +141,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """Per-document MinHash signature (array<long>).
 
     Staged projections: shingles → xxhash64 (JVM, codegen) → numpy
-    pandas_udf for the num_hashes universal-hash mins (see _minhash_udf).
-    Deterministic: signature depends only on (text, num_hashes, k, seed)."""
-    staged = (
-        rebalance(df)
-        .select(F.col(id_col),
-                shingles_expr(F.col(text_col), k=shingle_k).alias("__sh__"))
-        # pmod, not abs(): abs(Long.MIN_VALUE) overflows under ANSI arithmetic.
-        .select(F.col(id_col),
-                F.transform("__sh__",
-                            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31))
-                            ).alias("__h__"))
-        # repartition AFTER the projection: the exchange materializes __h__,
-        # so the shingle expression runs once in a codegen'd Project (with
-        # subexpression elimination) instead of interpreted inside
-        # ArrowEvalPython's input projection — measured 8× faster at sf0.1.
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    )
+    pandas_udf for the mod-p reduction + num_hashes universal-hash mins
+    (see _minhash_udf). Deterministic: signature depends only on
+    (text, num_hashes, k, seed)."""
+    return _signatures_from_hashed(
+        hashed_shingles(df, text_col, id_col, shingle_k),
+        id_col, num_hashes, seed)
+
+
+def _signatures_from_hashed(hashed: DataFrame, id_col: str,
+                            num_hashes: int, seed: int) -> DataFrame:
+    # repartition AFTER the projection: the exchange materializes __hraw__,
+    # so the shingle expression runs once in a codegen'd Project (with
+    # subexpression elimination) instead of interpreted inside
+    # ArrowEvalPython's input projection — measured 8× faster at sf0.1.
+    staged = hashed.repartition(
+        hashed.sparkSession.sparkContext.defaultParallelism)
     mh = _minhash_udf(_hash_coeffs(num_hashes, seed))
-    return staged.select(F.col(id_col), mh(F.col("__h__")).alias("minhash"))
+    return staged.select(F.col(id_col), mh(F.col("__hraw__")).alias("minhash"))
 
 
 def minhash_lsh_dup_pairs(
@@ -164,7 +182,12 @@ def minhash_lsh_dup_pairs(
          second join back to shingles]
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    # ONE definition of the hashed-shingle projection feeds both the
+    # signature and verify paths. Deliberately NOT persisted: building the
+    # columnar cache for array<long> columns costs more than recomputing
+    # the codegen'd projection (measured 2.4× slower end-to-end at sf0.1).
+    hashed = hashed_shingles(df, text_col, id_col, shingle_k)
+    sig = _signatures_from_hashed(hashed, id_col, num_hashes, seed)
     banded = sig.select(
         F.col(id_col),
         F.posexplode(
@@ -195,13 +218,8 @@ def minhash_lsh_dup_pairs(
     # exact verify on HASHED shingles: intersect/union over longs, not
     # strings — cuts the verify-join shuffle to 8 bytes per shingle and the
     # comparison to integer equality (collision probability ~2^-64).
-    sh = rebalance(df).select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(shingles_expr(F.col(text_col), k=shingle_k),
-                        lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    )
+    sh = hashed.select(F.col(id_col),
+                       F.array_distinct(F.col("__hraw__")).alias("sh"))
     out = (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), on="id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), on="id_b")
