@@ -40,6 +40,8 @@ STRING_FORMATS: list[tuple[str, str]] = [
     (r"^[A-Za-z]{3} \d{1,2}, \d{4}$", "MMM d, yyyy"),
     (r"^[A-Za-z]{3,9} \d{1,2}, \d{4}$", "MMMM d, yyyy"),
     (r"^\d{1,2} [A-Za-z]{3} \d{4}$", "d MMM yyyy"),
+    # '11/05/2025 1430 hours' (reference datetime_parser.py:562-571)
+    (r"(?i)^\d{1,2}/\d{1,2}/\d{4} \d{3,4} *(hours|hrs)\.?$", "__hours__"),
 ]
 
 
@@ -95,13 +97,30 @@ def detect_date_format(df: DataFrame, col: str, sample_n: int = 1000) -> dict:
     # string column: vote across candidate formats
     fmts: list[str] = []
     svals = [str(v).strip() for v in vals if str(v).strip()]
+    # glued 8-digit strings are ambiguous (yyyymmdd vs mmddyyyy): decide by
+    # digit-range validity, like the numeric branch (datetime_parser.py:44-118)
+    if svals and all(re.match(r"^\d{8}$", v) for v in svals):
+        def ok_ymd(v):
+            return (1900 <= int(v[:4]) <= 2200 and 1 <= int(v[4:6]) <= 12
+                    and 1 <= int(v[6:]) <= 31)
+
+        def ok_mdy(v):
+            return (1 <= int(v[:2]) <= 12 and 1 <= int(v[2:4]) <= 31
+                    and 1900 <= int(v[4:]) <= 2200)
+
+        # digit-position validity, on the STRING (leading zeros survive)
+        if all(ok_ymd(v) for v in svals):
+            return {"kind": "yyyymmdd"}
+        if all(ok_mdy(v) for v in svals):
+            return {"kind": "mmddyyyy"}
     for rx, fmt in STRING_FORMATS:
         p = re.compile(rx)
         n = sum(1 for v in svals if p.match(v))
         if n and n >= 0.5 * len(svals):
             fmts.append(fmt)
-    if fmts:
-        return {"kind": "string", "formats": fmts}
+    masked = any(re.match(r"^\d{4}[-/]_+[-/]_+", v) for v in svals)
+    if fmts or masked:
+        return {"kind": "string", "formats": fmts, "masked": masked}
     if svals and all(re.match(r"^\d{4}$", v) for v in svals):
         return {"kind": "year"}
     if svals and all(re.match(r"^\d{4}-\d{2}$", v) for v in svals):
@@ -148,8 +167,26 @@ def to_datetime_expr(col: Column, strategy: Optional[dict] = None,
     # string with known formats, or unknown → try the whole candidate list
     fmts = strategy.get("formats") or [f for _, f in STRING_FORMATS]
     s = F.trim(col.cast("string"))
-    attempts = [F.try_to_timestamp(s, F.lit(f)) for f in fmts]
+    # comma-separated date LISTS take the first entry (reference
+    # datetime_parser.py:698-706)
+    s = F.when(s.rlike(r"^[^,]+,\s*\d"), F.trim(F.split(s, ",")[0])).otherwise(s)
+    attempts = []
+    for f in fmts:
+        if f == "__hours__":
+            # '11/05/2025 1430 hours' → strip suffix, parse M/d/yyyy HHmm
+            cleaned = F.regexp_replace(s, r"(?i)\s*(hours|hrs)\.?$", "")
+            attempts.append(F.try_to_timestamp(cleaned, F.lit("M/d/yyyy HHmm")))
+        else:
+            attempts.append(F.try_to_timestamp(s, F.lit(f)))
     attempts.append(F.try_to_timestamp(s))  # ISO fallback
+    # masked partial dates '2023-__-__' floor to Jan-1 (year precision;
+    # reference datetime_parser.py:643-652 → Period)
+    attempts.append(
+        F.when(s.rlike(r"^\d{4}[-/]_+[-/]_+"),
+               F.make_timestamp(F.substring(s, 1, 4).cast("int"), F.lit(1),
+                                F.lit(1), F.lit(0), F.lit(0), F.lit(0))))
+    # trailing Z / fractional seconds: normalize then ISO-parse
+    attempts.append(F.try_to_timestamp(F.regexp_replace(s, r"[Zz]$", "")))
     return F.coalesce(*attempts)
 
 
@@ -239,6 +276,15 @@ def epoch_expr(col: Column, unit: str = "ms") -> Column:
         if unit == "ms"
         else F.timestamp_seconds(col.cast("long"))
     )
+
+
+def date_precision_row_expr(raw: Column, strategy: Optional[dict] = None) -> Column:
+    """PER-ROW precision for string columns that mix full and masked dates:
+    '2023-__-__' rows are year-precision, the rest day-precision."""
+    base = date_precision_expr(strategy)
+    return F.when(
+        F.trim(raw.cast("string")).rlike(r"^\d{4}[-/]_+[-/]_+"), F.lit("year")
+    ).otherwise(base)
 
 
 def date_precision_expr(strategy: Optional[dict] = None) -> Column:

@@ -151,3 +151,53 @@ class TestText:
         row = df.select(m["punct_ratio"].alias("p"), m["n_tokens"].alias("n")).first()
         assert row.n == 2
         assert row.p == pytest.approx(2 / 7)
+
+
+# -- exotic date recovery (reference datetime_parser.py:530-757) -------------
+
+def test_exotic_date_recovery(spark):
+    from openpolicedata_spark.functions.datetime import (
+        date_precision_row_expr,
+        detect_date_format,
+        to_datetime_expr,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "11/05/2025 1430 hours"),
+        (2, "2023-__-__"),
+        (3, "1/2/2020, 1/3/2020"),
+        (4, "2021-06-01T10:00:00Z"),
+        (5, "3/4/2019"),
+    ]
+    df = spark.createDataFrame(rows, "id long, d string")
+    out = {r.id: r.ts for r in df.select(
+        "id", to_datetime_expr(F.col("d")).alias("ts")).collect()}
+    assert out[1].strftime("%Y-%m-%d %H:%M") == "2025-11-05 14:30"
+    assert out[2].strftime("%Y-%m-%d") == "2023-01-01"
+    assert out[3].strftime("%Y-%m-%d") == "2020-01-02"
+    assert out[4].strftime("%Y-%m-%d %H") == "2021-06-01 10"
+    assert out[5].strftime("%Y-%m-%d") == "2019-03-04"
+    strat = {"kind": "string", "masked": True}
+    prec = {r.id: r.p for r in df.select(
+        "id", date_precision_row_expr(F.col("d"), strat).alias("p")).collect()}
+    assert prec[2] == "year" and prec[5] == "day"
+
+
+def test_glued_digit_string_disambiguation(spark):
+    """8-digit date strings classify as yyyymmdd vs mmddyyyy by digit-range
+    validity (reference datetime_parser.py:44-118) even when stored as
+    strings."""
+    from openpolicedata_spark.functions.datetime import (
+        detect_date_format,
+        to_datetime_expr,
+    )
+    from pyspark.sql import functions as F
+
+    mmdd = spark.createDataFrame(
+        [("11052025",), ("01312024",)], "d string")  # MMDDYYYY only
+    strat = detect_date_format(mmdd, "d")
+    assert strat["kind"] == "mmddyyyy"
+    got = [r.ts.strftime("%Y-%m-%d") for r in
+           mmdd.select(to_datetime_expr(F.col("d"), strat).alias("ts")).collect()]
+    assert got == ["2025-11-05", "2024-01-31"]
