@@ -138,6 +138,9 @@ class Columns:
     NAME_SUBJECT = "SUBJECT_NAME"
     NAME_OFFICER = "OFFICER_NAME"
     NAME_OFF_SUB = "OFFICER/SUBJECT_NAME"
+    FIREARM_SUBJECT = "SUBJECT_FIREARM_USED"
+    FIREARM_OFFICER = "OFFICER_FIREARM_USED"
+    FIREARM_OFF_SUB = "OFFICER/SUBJECT_FIREARM_USED"
     ZIP_CODE = "ZIP_CODE"
 
     @classmethod

@@ -428,6 +428,23 @@ def standardize(
         (Columns.FATAL_SUBJECT, Columns.FATAL_OFFICER, Columns.FATAL_OFF_SUB),
         lambda c: luts.fatal_expr(c, no_id=no_id),
     )
+    std_demographic(
+        ["firearm", "firearm used", "weapon discharged"], None,
+        (Columns.FIREARM_SUBJECT, Columns.FIREARM_OFFICER, Columns.FIREARM_OFF_SUB),
+        lambda c: luts.firearm_expr(c, no_id=no_id),
+    )
+
+    # role column: SUBJECT vs OFFICER per row (reference convert_off_or_civ
+    # via standardize_columns, preproc.py:1491-1530); stays a scalar string
+    role_cols = ident.find_matches(
+        ["subject or officer", "civilian or officer", "person type", "role"],
+        exclude_substrs=["patrol"],
+    )
+    if role_cols and Columns.SUBJECT_OR_OFFICER not in col_map:
+        col_map[Columns.SUBJECT_OR_OFFICER] = role_cols[0]
+        specs.append((Columns.SUBJECT_OR_OFFICER, role_cols[0],
+                      lambda c: luts.role_expr(c, no_id=no_id)))
+        transforms.append(DataMapping(role_cols[0], Columns.SUBJECT_OR_OFFICER))
 
     # ---------------------------------------------------- race/ethnicity combo
     # (reference preproc.py:1533-1620): merged column where ethnicity wins

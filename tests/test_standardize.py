@@ -296,3 +296,15 @@ def test_date_precision_period_semantics(spark):
     hit = out.where(period_overlap_filter(
         F.col("DATE"), F.col("DATE_PRECISION"), "2020-06-01", "2020-07-01"))
     assert [r.case for r in hit.collect()] == ["C2"]
+
+
+def test_role_and_firearm_standardized(spark):
+    rows = [("C1", "Officer", "Y"), ("C2", "Civilian", "NO"),
+            ("C3", "unknown", "FIREARM DISCHARGED")]
+    out, _ = _std(spark, rows,
+                  "case string, person_type string, firearm_used string")
+    got = {r.case: r for r in out.collect()}
+    assert got["C1"].SUBJECT_OR_OFFICER == "OFFICER"
+    assert got["C2"].SUBJECT_OR_OFFICER == "SUBJECT"
+    fire = {r.case: r["OFFICER/SUBJECT_FIREARM_USED"] for r in out.collect()}
+    assert fire == {"C1": "YES", "C2": "NO", "C3": "YES"}
