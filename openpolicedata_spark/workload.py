@@ -852,6 +852,39 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q39_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard over all pairs of the first 30 docs —
+    the verify primitive of every blocking scheme, fully SQL-expressible."""
+    from openpolicedata_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    ids = d.select(F.col("doc_id"))
+    pairs = (ids.alias("a").crossJoin(ids.alias("b"))
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    out = ngram_jaccard_pairs(d, pairs, n=3)
+    return out.where(F.col("jaccard") >= 0.1).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_Q39_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) - 1),
+      i -> substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), CAST(i AS INT), 3)
+    )) AS grams
+  FROM documents WHERE doc_id < 30)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -897,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_sessionize": q36_sessionize,
         "q37_combined_union": q37_combined_union,
         "q38_salted_agg": q38_salted_agg,
+        "q39_ngram_jaccard": q39_ngram_jaccard,
     }
     return base
 
@@ -939,4 +973,5 @@ def oracle_sql() -> dict[str, str]:
         "q36_sessionize": _Q36_SQL,
         "q37_combined_union": _Q37_SQL,
         "q38_salted_agg": _Q38_SQL,
+        "q39_ngram_jaccard": _Q39_SQL,
     }
