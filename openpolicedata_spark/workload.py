@@ -816,7 +816,7 @@ def q37_combined_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert loader.load(date=1995).columns == out.columns
     return out.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.cast("double", F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
     )
 
 
