@@ -115,6 +115,10 @@ def run_available_now(stream_df: DataFrame, query_name: str,
             .start()
         )
         q.awaitTermination(timeout_s)
+        if q.isActive:
+            # don't delete the checkpoint under a still-running query
+            q.stop()
+            q.awaitTermination(30)
     return stream_df.sparkSession.table(query_name)
 
 
