@@ -358,3 +358,50 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
              / F.size(F.array_union("g_a", "g_b"))).alias("jaccard"),
         )
     )
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id, cluster_id)
+    with cluster_id = min doc id in the component (the canonical survivor).
+
+    Iterative smallest-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converges in O(component
+    diameter) rounds — near-dup components are tiny (pairs of fuzzy
+    copies), so 3-4 rounds in practice. Each round is ONE shuffle join on
+    (node) plus a groupBy; convergence is checked with a count of changed
+    labels so the loop runs no longer than the data needs."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                  F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, on=[edges.dst == labels.node])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on=[labels.node == neighbor_min.src], how="left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("changed"),
+            )
+        )
+        # materialize once per round: reused by BOTH the convergence count
+        # and the next iteration's join (otherwise lineage doubles per round)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -185,4 +187,70 @@ def embedding_dup_pairs(
             cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + probed lists
+# --------------------------------------------------------------------------
+
+
+def train_ivf_centroids(corpus: DataFrame, n_lists: int = 16,
+                        vec_col: str = "embedding", sample_n: int = 4096,
+                        iters: int = 10, seed: int = 42) -> list[list[float]]:
+    """Driver-side k-means on a bounded sample (numpy, deterministic):
+    the coarse quantizer is tiny state — centroids broadcast into every
+    assignment/probe expression; the DATA never leaves executors except
+    this one bounded sample."""
+    rows = corpus.select(vec_col).limit(sample_n).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cent)):
+            members = X[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent.tolist()
+
+
+def ivf_assign(corpus: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid list assignment via one Arrow-batched numpy UDF
+    (argmin over the broadcast centroid matrix). At scale, write the
+    result partitioned by `list_id` so probes prune partitions."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)            # (L, dim)
+    C_sq = (C ** 2).sum(axis=1)                          # (L,)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        X = np.array(list(vs), dtype=np.float64)          # (n, dim)
+        # argmin ||x-c||² = argmin (||c||² - 2x·c); ||x||² is constant per row
+        d = C_sq[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return corpus.withColumn("list_id", assign(F.col(vec_col)))
+
+
+def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
+             query_vec: Sequence[float], k: int = 10, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Probe the `nprobe` nearest lists, exact cosine inside them, one
+    TakeOrdered. nprobe = len(centroids) degenerates to exact search (same
+    result as brute force — the correctness oracle); smaller nprobe trades
+    recall for scanning only nprobe/L of the data."""
+    C = np.array(centroids, dtype=np.float64)
+    q = np.array(query_vec, dtype=np.float64)
+    d = ((C - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in d.argsort()[:nprobe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        indexed.where(F.col("list_id").isin(probes))   # partition-prunable
+        .select(F.col(id_col), cosine_expr(F.col(vec_col), qcol).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
     )

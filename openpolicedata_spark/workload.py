@@ -885,6 +885,28 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 """
 
 
+def q40_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with exhaustive probe: k-means coarse quantizer, list
+    assignment, probe ALL lists → identical to brute force (the oracle);
+    smaller nprobe is the production path (scans nprobe/L of the data)."""
+    from openpolicedata_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    corpus = emb.where(F.col("vec_id") != 0)
+    cents = train_ivf_centroids(corpus, n_lists=8)
+    idx = ivf_assign(corpus, cents)
+    out = ivf_topk(idx, cents, qvec, k=10, nprobe=8)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+_Q40_SQL = _Q27_SQL
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -931,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_combined_union": q37_combined_union,
         "q38_salted_agg": q38_salted_agg,
         "q39_ngram_jaccard": q39_ngram_jaccard,
+        "q40_ivf_topk": q40_ivf_topk,
     }
     return base
 
@@ -974,4 +997,5 @@ def oracle_sql() -> dict[str, str]:
         "q37_combined_union": _Q37_SQL,
         "q38_salted_agg": _Q38_SQL,
         "q39_ngram_jaccard": _Q39_SQL,
+        "q40_ivf_topk": _Q40_SQL,
     }

@@ -152,3 +152,39 @@ class TestSimilarity:
         # each query's best match is itself
         best = {r.q_id: r.vec_id for r in rows if r.score > 0.999}
         assert best == {0: 0, 1: 1, 2: 2}
+
+
+def test_dup_clusters_connected_components(spark):
+    """Chained pairs (a-b, b-c) must land in ONE cluster labeled by the
+    min id; disjoint pairs stay separate."""
+    from openpolicedata_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain → cluster 1
+         (10, 11),                    # pair → cluster 10
+         (20, 21), (21, 22)],         # chain → cluster 20
+        "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    from openpolicedata_spark.operators.similarity import (
+        brute_force_topk, ivf_assign, ivf_topk, train_ivf_centroids)
+    from openpolicedata_spark.sources.file import read_parquet_repaired
+
+    emb = read_parquet_repaired(spark, f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(emb.vec_id == 0).first()["embedding"]
+    corpus = emb.where(emb.vec_id != 0)
+    cents = train_ivf_centroids(corpus, n_lists=8)
+    idx = ivf_assign(corpus, cents)
+    exact = [(r.vec_id, round(r.score, 6)) for r in
+             brute_force_topk(corpus, qvec, k=10).collect()]
+    full = [(r.vec_id, round(r.score, 6)) for r in
+            ivf_topk(idx, cents, qvec, k=10, nprobe=8).collect()]
+    assert full == exact
+    # partial probe: scans a fraction of lists, keeps decent recall
+    part = {r.vec_id for r in ivf_topk(idx, cents, qvec, k=10, nprobe=3).collect()}
+    assert len(part & {v for v, _ in exact}) >= 5
