@@ -907,6 +907,36 @@ def q40_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q40_SQL = _Q27_SQL
 
 
+def q41_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact-duplicate pairs → canonical-survivor
+    labels. The pair graph comes from fingerprint equality, so the oracle
+    is a window MIN over fingerprint groups (restricted to docs that have
+    a duplicate, since only they appear in the pair graph)."""
+    from openpolicedata_spark.operators.dedup import dup_clusters
+
+    d = _docs_with_dups(spark, sf_dir)
+    fp = d.select("doc_id", fingerprint_md5_expr(F.col("text")).alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (a.join(b, on=[F.col("a.fp") == F.col("b.fp"),
+                           F.col("a.doc_id") < F.col("b.doc_id")])
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    return dup_clusters(pairs)
+
+
+_Q41_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM {_DOCS_WITH_DUPS_SQL.strip()} AS u
+),
+grouped AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS cluster_id,
+         COUNT(*) OVER (PARTITION BY fp) AS n
+  FROM docs)
+SELECT doc_id, cluster_id FROM grouped WHERE n > 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -954,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_salted_agg": q38_salted_agg,
         "q39_ngram_jaccard": q39_ngram_jaccard,
         "q40_ivf_topk": q40_ivf_topk,
+        "q41_dup_clusters": q41_dup_clusters,
     }
     return base
 
@@ -998,4 +1029,5 @@ def oracle_sql() -> dict[str, str]:
         "q38_salted_agg": _Q38_SQL,
         "q39_ngram_jaccard": _Q39_SQL,
         "q40_ivf_topk": _Q40_SQL,
+        "q41_dup_clusters": _Q41_SQL,
     }
