@@ -937,6 +937,31 @@ SELECT doc_id, cluster_id FROM grouped WHERE n > 1
 """
 
 
+def q42_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (year → month → grand total) in ONE pass —
+    the pre-aggregation cube a time-series pipeline materializes; grouping
+    sets are free in Spark (the reference has no grouping sets, SURVEY
+    §2.4)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.rollup(F.year("ts").alias("y"), F.month("ts").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+             .alias("sum_value"))
+    )
+
+
+_Q42_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM ts) AS INTEGER) AS y,
+       CAST(EXTRACT(MONTH FROM ts) AS INTEGER) AS m,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (CAST(EXTRACT(YEAR FROM ts) AS INTEGER),
+                 CAST(EXTRACT(MONTH FROM ts) AS INTEGER))
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -985,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_ngram_jaccard": q39_ngram_jaccard,
         "q40_ivf_topk": q40_ivf_topk,
         "q41_dup_clusters": q41_dup_clusters,
+        "q42_time_rollup": q42_time_rollup,
     }
     return base
 
@@ -1030,4 +1056,5 @@ def oracle_sql() -> dict[str, str]:
         "q39_ngram_jaccard": _Q39_SQL,
         "q40_ivf_topk": _Q40_SQL,
         "q41_dup_clusters": _Q41_SQL,
+        "q42_time_rollup": _Q42_SQL,
     }
