@@ -962,6 +962,73 @@ GROUP BY ROLLUP (CAST(EXTRACT(YEAR FROM ts) AS INTEGER),
 """
 
 
+def q43_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, element-wise: posexplode the vector,
+    aggregate per (label, position) on DECIMAL (order-independent exact
+    sums), reassemble downstream as needed. The embedding-aggregation
+    primitive of class-prototype / cluster-centroid pipelines."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1)), 6
+            ).alias("c")
+        )
+    )
+
+
+_Q43_SQL = """
+SELECT label, i AS pos,
+  ROUND(CAST(SUM(CAST(embedding[CAST(i AS INT)] AS DECIMAL(20,10))) AS DOUBLE)
+        / COUNT(*), 6) AS c
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i
+"""
+
+
+def q44_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no 1995 orders — left_anti join (set-difference coverage;
+    the reference has no anti/semi joins, SURVEY §2.7)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1995)
+    return (
+        c.join(o, on=[c.c_custkey == o.o_custkey], how="left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_Q44_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND EXTRACT(YEAR FROM o.o_orderdate) = 1995)
+"""
+
+
+def q45_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-equal after rounding)."""
+    l = _read(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+_Q45_SQL = """
+SELECT l_linestatus,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+  ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1011,6 +1078,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_ivf_topk": q40_ivf_topk,
         "q41_dup_clusters": q41_dup_clusters,
         "q42_time_rollup": q42_time_rollup,
+        "q43_label_centroids": q43_label_centroids,
+        "q44_anti_join": q44_anti_join,
+        "q45_percentiles": q45_percentiles,
     }
     return base
 
@@ -1057,4 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         "q40_ivf_topk": _Q40_SQL,
         "q41_dup_clusters": _Q41_SQL,
         "q42_time_rollup": _Q42_SQL,
+        "q43_label_centroids": _Q43_SQL,
+        "q44_anti_join": _Q44_SQL,
+        "q45_percentiles": _Q45_SQL,
     }
