@@ -109,7 +109,7 @@ def run_available_now(stream_df: DataFrame, query_name: str,
             stream_df.writeStream
             .format("memory")
             .queryName(query_name)
-            .outputMode("complete" if _has_agg(stream_df) else "append")
+            .outputMode(_output_mode(stream_df))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -122,5 +122,53 @@ def run_available_now(stream_df: DataFrame, query_name: str,
     return stream_df.sparkSession.table(query_name)
 
 
-def _has_agg(df: DataFrame) -> bool:
-    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+def _output_mode(df: DataFrame) -> str:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if "FlatMapGroupsInPandasWithState" in plan:
+        return "update"   # applyInPandasWithState(update) requires it
+    if "Aggregate" in plan:
+        return "complete"
+    return "append"
+
+
+def running_user_totals(events: DataFrame,
+                        watermark: str = "1 day") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total maintained across micro-batches —
+    the escape hatch for state machines session_window can't express.
+    State is one (count, total) pair per user: O(users), bounded.
+
+    In batch mode (non-streaming input) the same aggregation is computed
+    with a plain groupBy — one code path for tests/backfill parity."""
+    import pandas as pd
+
+    if not events.isStreaming:
+        return (events.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("total_value")))
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 2)]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

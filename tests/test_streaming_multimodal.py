@@ -120,3 +120,20 @@ def test_language_id_expr(spark):
     got = {r.id: r.lang for r in
            df.select("id", language_id_expr(F.col("text")).alias("lang")).collect()}
     assert got == {1: "en", 2: "es", 3: "de", 4: "und", 5: "fr"}
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    """applyInPandasWithState custom operator: a single availableNow drain
+    must equal the batch groupBy (same rounding)."""
+    from openpolicedata_spark.streaming import running_user_totals
+
+    batch = _events_batch(spark, sf_dir)
+    expected = {r.user_id: (r.n_events, r.total_value)
+                for r in running_user_totals(batch).collect()}
+    stream = read_events_stream(spark, _events_path(sf_dir))
+    got_df = run_available_now(running_user_totals(stream), "user_totals")
+    got = {r.user_id: (r.n_events, r.total_value) for r in got_df.collect()}
+    assert set(got) == set(expected) and len(got) > 0
+    for u, (n, t) in expected.items():
+        gn, gt = got[u]
+        assert gn == n and abs(gt - t) < 0.05, (u, (n, t), (gn, gt))
