@@ -212,3 +212,16 @@ def language_id_expr(col: Column,
     for c in reversed(codes):
         expr = F.when(hits[c] == mx, F.lit(c)).otherwise(expr)
     return F.when(mx > 0, expr).otherwise(F.lit("und"))
+
+
+# GPT-2-style pretokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs — each with an optional leading space.
+# Deliberately ASCII-classed so Java (Spark) and RE2 (DuckDB) agree exactly.
+BPE_ISH_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count_expr(col: Column) -> Column:
+    """Pretokenizer-level token count — the standard proxy for LLM token
+    budgets when the real BPE vocab isn't loadable (whitespace counts
+    undercount punctuation-heavy text badly)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))

@@ -1029,6 +1029,27 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+def q46_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretokenizer token counts vs whitespace counts per doc -
+    the LLM token-budget estimate (functions.text.bpe_token_count_expr)."""
+    from openpolicedata_spark.functions.text import bpe_token_count_expr
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("ws_tokens"),
+        bpe_token_count_expr(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+_Q46_SQL = r"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS INTEGER) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS INTEGER) AS bpe_tokens
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1081,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_label_centroids": q43_label_centroids,
         "q44_anti_join": q44_anti_join,
         "q45_percentiles": q45_percentiles,
+        "q46_bpe_token_count": q46_bpe_token_count,
     }
     return base
 
@@ -1130,4 +1152,5 @@ def oracle_sql() -> dict[str, str]:
         "q43_label_centroids": _Q43_SQL,
         "q44_anti_join": _Q44_SQL,
         "q45_percentiles": _Q45_SQL,
+        "q46_bpe_token_count": _Q46_SQL,
     }
