@@ -285,6 +285,25 @@ class Source:
                 f"No dataset for table_type='{table_type}' date={date} in "
                 f"source '{self.source_name}'. Available: {self.get_tables_types()}"
             )
+        # min_version gate (reference _check_version, data.py:2249-2273):
+        # catalog rows may require a newer library than this one
+        from openpolicedata_spark import __version__ as _ver
+
+        def _too_old(mv):
+            if mv is None or (isinstance(mv, float) and pd.isna(mv)) or str(mv).strip() in ("", "-1"):
+                return False
+            try:
+                cur = tuple(int(x) for x in _ver.split("."))
+                need = tuple(int(x) for x in str(mv).split("."))
+                return cur < need
+            except ValueError:
+                return False
+
+        rows = rows[~rows["min_version"].map(_too_old)] if "min_version" in rows.columns else rows
+        if len(rows) == 0:
+            raise ValueError(
+                f"Dataset for table_type='{table_type}' requires a newer "
+                f"openpolicedata_spark than {_ver} (catalog min_version gate)")
         if len(rows) > 1:
             multi = rows[rows["Year"] == defs.MULTI]
             if len(multi) == 1:

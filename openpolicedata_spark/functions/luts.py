@@ -152,10 +152,25 @@ RACE_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+# Census-style aggregation of fine-grained ancestry answers into the
+# canonical buckets (reference agg_cat branch, _converters.py:500-560):
+# applied BEFORE the standard patterns when agg_cat=True.
+AGG_RACE_PATTERNS: list[tuple[str, str]] = [
+    (r"(EAST AFRICAN|SOMALI|ETHIOPIAN|ERITREAN|KENYAN|NIGERIAN|GHANAIAN|HAITIAN|JAMAICAN|WEST INDIAN)", Race.BLACK),
+    (r"(BOSNIAN|ALBANIAN|RUSSIAN|UKRAIN|POLISH|ITALIAN|IRISH|GERMAN|FRENCH|EUROPEAN)", Race.WHITE),
+    (r"(MEXICAN|PUERTO RIC|CUBAN|GUATEMALAN|SALVADORAN|HONDURAN|COLOMBIAN|PERUVIAN|SOUTH AMERICAN|CENTRAL AMERICAN|DOMINICAN)", Race.LATINO),
+    (r"(CHINESE|JAPANESE|KOREAN|VIETNAMESE|FILIPINO|CAMBODIAN|LAOTIAN|THAI|HMONG|TAIWANESE)", Race.ASIAN),
+    (r"(ARAB|LEBANESE|SYRIAN|EGYPTIAN|IRAQI|IRANIAN|PERSIAN|TURKISH)", Race.MIDDLE_EASTERN),
+    (r"(ASIAN INDIAN|PAKISTANI|BANGLADESH|SRI LANKAN|NEPALI)", Race.SOUTH_ASIAN),
+]
+
+
 def race_expr(col: Column, source_name: Optional[str] = None,
-              state: Optional[str] = None, no_id: str = "keep") -> Column:
+              state: Optional[str] = None, no_id: str = "keep",
+              agg_cat: bool = False) -> Column:
     """Compile the race LUT for one source into a Column expression
-    (reference `_create_race_lut`, _converters.py:293-617)."""
+    (reference `_create_race_lut`, _converters.py:293-617). ``agg_cat``
+    folds census ancestry answers into the canonical buckets first."""
     exact: dict[str, str] = {}
     if state in NUMERIC_RACE_CODES:
         exact.update(NUMERIC_RACE_CODES[state])
@@ -163,7 +178,8 @@ def race_expr(col: Column, source_name: Optional[str] = None,
         exact.update(NUMERIC_RACE_CODES[source_name])
     if source_name in SOURCE_RACE_CODES:
         exact.update(SOURCE_RACE_CODES[source_name])
-    return compile_lut(col, exact=exact, patterns=RACE_PATTERNS, no_id=no_id)
+    patterns = (AGG_RACE_PATTERNS + RACE_PATTERNS) if agg_cat else RACE_PATTERNS
+    return compile_lut(col, exact=exact, patterns=patterns, no_id=no_id)
 
 
 # --------------------------------------------------------------------------

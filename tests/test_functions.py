@@ -201,3 +201,36 @@ def test_glued_digit_string_disambiguation(spark):
     got = [r.ts.strftime("%Y-%m-%d") for r in
            mmdd.select(to_datetime_expr(F.col("d"), strat).alias("ts")).collect()]
     assert got == ["2025-11-05", "2024-01-31"]
+
+
+def test_race_agg_cat_census_aggregation(spark):
+    """agg_cat folds census ancestry answers into canonical buckets
+    (reference _converters.py agg_cat branch)."""
+    from pyspark.sql import functions as F
+
+    from openpolicedata_spark.functions import luts
+
+    df = spark.createDataFrame(
+        [("SOMALI",), ("BOSNIAN",), ("MEXICAN",), ("HMONG",),
+         ("LEBANESE",), ("WHITE",)], "v string")
+    agg = [r.r for r in df.select(
+        luts.race_expr(F.col("v"), agg_cat=True).alias("r")).collect()]
+    assert agg == ["BLACK", "WHITE", "LATINO", "ASIAN",
+                   "MIDDLE_EASTERN", "WHITE"]
+    # without agg_cat the ancestry answers fall through to no_id handling
+    keep = [r.r for r in df.select(
+        luts.race_expr(F.col("v")).alias("r")).collect()]
+    assert keep[0] == "SOMALI" and keep[-1] == "WHITE"
+
+
+def test_min_version_gate(spark, sf_dir):
+    from openpolicedata_spark import Source
+    from openpolicedata_spark.catalog import Catalog, local_testdata_catalog
+    import pytest
+
+    cat = local_testdata_catalog(sf_dir)
+    rec = cat.df.copy()
+    rec.loc[rec["TableType"] == "ORDERS", "min_version"] = "99.0.0"
+    src = Source("TestData", catalog=Catalog(rec), spark=spark)
+    with pytest.raises(ValueError, match="min_version|newer"):
+        src.filter("ORDERS", 1995)
