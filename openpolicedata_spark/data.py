@@ -44,6 +44,10 @@ def _make_loader(spark: SparkSession, row: pd.Series) -> DataLoader:
         return ParquetLoader(spark, **kwargs)
     if dt == defs.DataType.CSV.value:
         return CsvLoader(spark, **kwargs)
+    if dt == defs.DataType.JSON.value:
+        from openpolicedata_spark.sources.file import JsonLoader
+
+        return JsonLoader(spark, **kwargs)
     if dt == defs.DataType.EXCEL.value:
         from openpolicedata_spark.sources.excel import ExcelLoader
 

@@ -122,6 +122,15 @@ class ParquetLoader(_FileLoader):
         return super().get_count(date, agency=agency, force=force)
 
 
+class JsonLoader(_FileLoader):
+    """JSON-lines loader (Spark-native extension: the reference has no JSON
+    source, but portals increasingly export NDJSON). Catalyst handles
+    filter pushdown/pruning as with any file scan."""
+
+    def _read(self) -> DataFrame:
+        return self.spark.read.json(self.url)
+
+
 class CsvLoader(_FileLoader):
     """CSV scan (reference csv_class.py:130-420). Local/`file://` paths read
     distributed; remote URLs are prefetched to a local spool path on the
