@@ -1050,6 +1050,26 @@ FROM documents
 """
 
 
+def q47_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers WITH 1995 orders — left_semi join (the EXISTS dual of
+    q44; completes set-membership join coverage)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1995)
+    return (
+        c.join(o, on=[c.c_custkey == o.o_custkey], how="left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+_Q47_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND EXTRACT(YEAR FROM o.o_orderdate) = 1995)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1103,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_anti_join": q44_anti_join,
         "q45_percentiles": q45_percentiles,
         "q46_bpe_token_count": q46_bpe_token_count,
+        "q47_semi_join": q47_semi_join,
     }
     return base
 
@@ -1153,4 +1174,5 @@ def oracle_sql() -> dict[str, str]:
         "q44_anti_join": _Q44_SQL,
         "q45_percentiles": _Q45_SQL,
         "q46_bpe_token_count": _Q46_SQL,
+        "q47_semi_join": _Q47_SQL,
     }
