@@ -112,7 +112,11 @@ def eval_where(row: dict, where: Optional[str],
     if not where:
         return True
     for cond in re.split(r"\s+AND\s+", where):
-        cond = cond.strip().strip("()")
+        cond = cond.strip()
+        # strip only MATCHED wrapping parens — a bare strip("()") would eat
+        # the closing paren of "f in (2019)"
+        while cond.startswith("(") and cond.endswith(")"):
+            cond = cond[1:-1].strip()
         if cond.replace(" ", "") == "1=1":
             continue
         if not _eval_cond(row, cond, epoch_fields):

@@ -113,3 +113,43 @@ def test_minhash_identical_texts_identical_signatures(spark, texts):
     for i in range(len(texts)):
         if i in sig and i + 1000 in sig:
             assert sig[i] == sig[i + 1000]
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    st.sampled_from(["iso", "yyyymmdd", "mmddyyyy", "yyyyq", "year"]),
+    st.dates(min_value=dt.date(2019, 1, 1), max_value=dt.date(2021, 12, 31)),
+    st.integers(0, 700),
+)
+def test_where_builder_superset_property(date_text, start, ndays):
+    """For ANY date range and storage format, the generated portal WHERE
+    must select a SUPERSET of the exactly-matching rows (pushed filters
+    may over-select, never under-select) — and accurate clauses select
+    exactly. Pure driver-side: fake-portal evaluator, no Spark."""
+    from openpolicedata_spark.sources.portals.testing import FakePortal, eval_where, make_rows
+    from openpolicedata_spark.sources.portals.where import (
+        DateFormat, Dialect, build_date_where)
+
+    fmt = {"iso": DateFormat.TIMESTAMP, "yyyymmdd": DateFormat.YYYYMMDD_TEXT,
+           "mmddyyyy": DateFormat.MMDDYYYY_TEXT, "yyyyq": DateFormat.YYYYQ_TEXT,
+           "year": DateFormat.YEAR_NUMERIC}[date_text]
+    stop = min(start + dt.timedelta(days=ndays), dt.date(2021, 12, 31))
+    rows = make_rows(date_text=date_text)
+    iso = make_rows(date_text="iso")
+    exact = {
+        r["case_id"] for r in iso
+        if start.isoformat() <= str(r["incident_date"])[:10] <= stop.isoformat()
+    }
+    wheres = build_date_where(
+        "incident_date",
+        dt.datetime(start.year, start.month, start.day),
+        dt.datetime(stop.year, stop.month, stop.day),
+        fmt, Dialect.SOQL)
+    selected = set()
+    for w in wheres:
+        selected |= {r["case_id"] for r in rows if eval_where(r, w.clause)}
+    assert exact <= selected, (fmt, start, stop, sorted(exact - selected)[:5])
+    if all(w.accurate for w in wheres) and fmt not in (
+            DateFormat.YYYYQ_TEXT, DateFormat.YEAR_NUMERIC):
+        # accurate day-precision clauses are EXACT
+        assert selected == exact, (fmt, start, stop)
