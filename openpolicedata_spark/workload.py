@@ -1070,6 +1070,32 @@ WHERE EXISTS (
 """
 
 
+def q48_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window: 4-event moving average of value per user plus
+    the lag delta, ordered by (ts, event_id) so ties are deterministic.
+    Restricted to users < 50 to keep the compare set small."""
+    e = _read(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-3, 0)
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.avg(F.col("value").cast("decimal(12,2)")).over(frame), 4)
+        .cast("double").alias("ma4"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 2).alias("delta"),
+    )
+
+
+_Q48_SQL = """
+SELECT user_id, event_id,
+  CAST(ROUND(AVG(CAST(value AS DECIMAL(12,2)))
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS ma4,
+  ROUND(value - lag(value, 1)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+FROM events WHERE user_id < 50
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1124,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_percentiles": q45_percentiles,
         "q46_bpe_token_count": q46_bpe_token_count,
         "q47_semi_join": q47_semi_join,
+        "q48_moving_average": q48_moving_average,
     }
     return base
 
@@ -1175,4 +1202,5 @@ def oracle_sql() -> dict[str, str]:
         "q45_percentiles": _Q45_SQL,
         "q46_bpe_token_count": _Q46_SQL,
         "q47_semi_join": _Q47_SQL,
+        "q48_moving_average": _Q48_SQL,
     }
