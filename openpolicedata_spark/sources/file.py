@@ -150,14 +150,40 @@ class CsvLoader(_FileLoader):
 
             spool = os.path.join("/tmp", "opdspark_spool")
             os.makedirs(spool, exist_ok=True)
-            dest = os.path.join(spool, hashlib.sha1(url.encode()).hexdigest() + ".csv")
+            ext = ".zip" if url.lower().endswith(".zip") else ".csv"
+            dest = os.path.join(spool, hashlib.sha1(url.encode()).hexdigest() + ext)
             if not os.path.exists(dest):
                 # Browser-ish UA fallback mirrors reference csv_class.py
                 req = urllib.request.Request(url, headers={"User-Agent": "Mozilla/5.0"})
                 with urllib.request.urlopen(req) as r, open(dest, "wb") as f:
                     f.write(r.read())
-            return dest
+            url = dest
+        if url.lower().endswith(".zip"):
+            url = self._unzip(url)
         return url
+
+    @staticmethod
+    def _unzip(path: str) -> str:
+        """Zipped CSV support (reference csv_class.py:64-87): extract the
+        single inner CSV to the spool dir; multi-member archives extract
+        every CSV into one directory (Spark reads the directory)."""
+        import hashlib
+        import zipfile
+
+        spool = os.path.join("/tmp", "opdspark_spool",
+                             hashlib.sha1(path.encode()).hexdigest())
+        if not os.path.exists(spool):
+            os.makedirs(spool, exist_ok=True)
+            with zipfile.ZipFile(path) as z:
+                members = [m for m in z.namelist()
+                           if m.lower().endswith(".csv") and not m.endswith("/")]
+                if not members:
+                    raise ValueError(f"no CSV member inside {path}")
+                for m in members:
+                    base = os.path.basename(m)
+                    with z.open(m) as src, open(os.path.join(spool, base), "wb") as out:
+                        out.write(src.read())
+        return spool
 
     def _read(self) -> DataFrame:
         path = self._prefetch()

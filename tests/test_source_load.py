@@ -96,3 +96,20 @@ class TestSourceLoad:
     def test_load_iter(self, source):
         batches = list(source.load_iter("ORDERS", 1995, nbatch=100))
         assert sum(b.count() for b in batches) == source.get_count("ORDERS", 1995)
+
+
+def test_csv_loader_reads_zip(spark, tmp_path):
+    """Zipped CSVs extract to a spool dir and read distributed
+    (reference csv_class.py:64-87)."""
+    import zipfile
+
+    csv_text = "case,val\nC1,1\nC2,2\nC3,3\n"
+    zpath = tmp_path / "data.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("inner/archive.csv", csv_text)
+    from openpolicedata_spark.sources.file import CsvLoader
+
+    loader = CsvLoader(spark, url=str(zpath))
+    df = loader.load()
+    assert df.count() == 3
+    assert {r.case for r in df.collect()} == {"C1", "C2", "C3"}
