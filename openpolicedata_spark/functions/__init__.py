@@ -34,7 +34,8 @@ from openpolicedata_spark.functions.text import (
     fingerprint_md5_expr,
     rolling_hash_expr,
     shingles_expr,
-    lang_id_expr,
+    language_id_expr,
+    bpe_token_count_expr,
 )
 
 __all__ = [
@@ -43,5 +44,5 @@ __all__ = [
     "to_datetime_expr", "detect_date_format", "parse_time_expr",
     "merge_date_time_expr", "epoch_expr",
     "token_count_expr", "tokens_expr", "quality_metrics",
-    "fingerprint_md5_expr", "rolling_hash_expr", "shingles_expr", "lang_id_expr",
+    "fingerprint_md5_expr", "rolling_hash_expr", "shingles_expr", "language_id_expr", "bpe_token_count_expr",
 ]

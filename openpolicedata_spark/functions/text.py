@@ -88,40 +88,6 @@ def quality_score_expr(col: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
-# language ID (n-gram/stopword heuristic)
-# --------------------------------------------------------------------------
-
-_LANG_MARKERS: dict[str, list[str]] = {
-    "en": ["the", "and", "is", "of", "to", "that", "with"],
-    "es": ["el", "la", "los", "las", "es", "una", "que", "para"],
-    "fr": ["le", "la", "les", "est", "une", "que", "dans", "pour"],
-    "de": ["der", "die", "das", "ist", "und", "nicht", "mit", "ein"],
-    "it": ["il", "la", "che", "di", "è", "per", "una", "sono"],
-    "pt": ["o", "a", "os", "as", "é", "uma", "que", "para", "não"],
-}
-
-
-def lang_id_expr(col: Column) -> Column:
-    """Heuristic language ID: count stopword hits per language, take the
-    argmax (ties → earlier language in the marker table; no hits → 'und').
-    Pure expression — a map-side scan, no shuffle, no UDF."""
-    scores = []
-    for lang, words in _LANG_MARKERS.items():
-        rx = r"(?i)\b(" + "|".join(words) + r")\b"
-        scores.append((lang, F.size(F.regexp_extract_all(col, F.lit(rx), 0))))
-    best = None
-    best_score = None
-    for lang, score in scores:
-        if best is None:
-            best, best_score = F.lit(lang), score
-        else:
-            is_better = score > best_score
-            best = F.when(is_better, F.lit(lang)).otherwise(best)
-            best_score = F.when(is_better, score).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
-
-
-# --------------------------------------------------------------------------
 # fingerprinting & shingling
 # --------------------------------------------------------------------------
 

@@ -15,7 +15,7 @@ from openpolicedata_spark.functions.datetime import (
 from openpolicedata_spark.functions.text import (
     char_ngrams_expr,
     fingerprint_md5_expr,
-    lang_id_expr,
+    language_id_expr,
     quality_metrics,
     shingles_expr,
     token_count_expr,
@@ -142,7 +142,7 @@ class TestText:
         out = _map1(spark, ["the cat and the dog is here",
                             "el gato es una mascota que come",
                             "xyz qwerty 123"],
-                    lambda c: lang_id_expr(c))
+                    lambda c: language_id_expr(c))
         assert out == ["en", "es", "und"]
 
     def test_quality_metrics_ratios(self, spark):
