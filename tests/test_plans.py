@@ -72,3 +72,43 @@ def test_exact_dedup_shuffle_budget(spark, sf_dir):
 
     df = exact_dedup(read_parquet_repaired(spark, f"{sf_dir}/documents.parquet"))
     assert_max_exchanges(df, 4)
+
+
+def test_q44_anti_join_is_broadcast_or_hash(spark, sf_dir):
+    """The anti-join must not degrade to a nested-loop over the fact side."""
+    df = workload.queries()["q44_anti_join"](spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_broadcast_nl_joins == 0, s.text
+
+
+def test_q35_window_agg_partial_aggregation(spark, sf_dir):
+    """Windowed event rollup must map-side combine before its single
+    shuffle."""
+    df = workload.queries()["q35_event_window_agg"](spark, sf_dir)
+    s = summarize_plan(df)
+    assert "partial_" in s.text
+    assert_max_exchanges(df, 2)
+
+
+def test_q43_centroids_single_shuffle(spark, sf_dir):
+    """posexplode + one groupBy = exactly one exchange (the explode is
+    narrow)."""
+    df = workload.queries()["q43_label_centroids"](spark, sf_dir)
+    assert_max_exchanges(df, 1)
+
+
+def test_portal_scan_no_extra_exchange(spark):
+    """A portal read with a pushed filter plans as scan (+ Python eval) —
+    no shuffle just to apply pushed predicates."""
+    from openpolicedata_spark.sources.portals.testing import FakePortal
+    from openpolicedata_spark.sources.portals.transport import FakeTransport
+    from openpolicedata_spark.sources.rest import RestLoader
+
+    loader = RestLoader(
+        spark, format_name="opd_socrata", url="https://x", dataset="d",
+        date_field="incident_date",
+        transport=FakeTransport(handler=FakePortal("socrata")),
+    )
+    df = loader.load(2020)
+    s = summarize_plan(df)
+    assert s.n_exchanges == 0, s.text
