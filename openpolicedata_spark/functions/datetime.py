@@ -168,8 +168,11 @@ def to_datetime_expr(col: Column, strategy: Optional[dict] = None,
     fmts = strategy.get("formats") or [f for _, f in STRING_FORMATS]
     s = F.trim(col.cast("string"))
     # comma-separated date LISTS take the first entry (reference
-    # datetime_parser.py:698-706)
-    s = F.when(s.rlike(r"^[^,]+,\s*\d"), F.trim(F.split(s, ",")[0])).otherwise(s)
+    # datetime_parser.py:698-706). Only trigger on an actual list of
+    # slash/dash dates — a loose `anything,digit` test would truncate
+    # 'Jan 15, 2024' to 'Jan 15' and break the MMM d, yyyy formats.
+    is_date_list = s.rlike(r"^\d{1,4}[-/]\d{1,2}[-/]\d{1,4}\s*,\s*\d{1,4}[-/]")
+    s = F.when(is_date_list, F.trim(F.split(s, ",")[0])).otherwise(s)
     attempts = []
     for f in fmts:
         if f == "__hours__":

@@ -206,13 +206,12 @@ def ethnicity_expr(col: Column, source_name: Optional[str] = None,
 # --------------------------------------------------------------------------
 
 NUMERIC_GENDER_CODES: dict[str, dict[str, str]] = {
-    # Lincoln numeric gender codes (_converters.py:654-668)
-    "Lincoln": {"1": Gender.MALE, "2": Gender.FEMALE, "3": Gender.UNKNOWN,
-                "4": Gender.TRANSGENDER, "5": Gender.GENDER_NONCONFORMING},
     # California stops data codes (_converters.py:640-652)
     "California": {"1": Gender.MALE, "2": Gender.FEMALE,
                    "3": Gender.TRANSGENDER_MALE, "4": Gender.TRANSGENDER_FEMALE,
                    "5": Gender.GENDER_NONCONFORMING},
+    # Lincoln numeric gender codes: reference maps only 1/2
+    # (_converters.py Lincoln branch)
     "Lincoln": {"1": Gender.MALE, "2": Gender.FEMALE},
 }
 

@@ -40,7 +40,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     collapses duplicates BEFORE the shuffle — with duplication rate d the
     wire carries ~unique rows, not all rows; one stage, one shuffle.
     (Measured 2× faster than the groupBy + semi-join formulation at sf0.1,
-    which shuffles the full rows through the join anyway under SMJ.)"""
+    which shuffles the full rows through the join anyway under SMJ.)
+
+    Assumes `id_col` is unique and non-null per row (true for doc_id in all
+    our tables): min_by ignores null-id rows and keeps one arbitrary row on
+    tied minimum ids, where the old semi-join formulation kept all ties."""
     cols = df.columns
     return (
         df.groupBy(fingerprint_md5_expr(F.col(text_col)).alias("__fp__"))

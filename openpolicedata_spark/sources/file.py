@@ -173,16 +173,40 @@ class CsvLoader(_FileLoader):
         spool = os.path.join("/tmp", "opdspark_spool",
                              hashlib.sha1(path.encode()).hexdigest())
         if not os.path.exists(spool):
-            os.makedirs(spool, exist_ok=True)
-            with zipfile.ZipFile(path) as z:
-                members = [m for m in z.namelist()
-                           if m.lower().endswith(".csv") and not m.endswith("/")]
-                if not members:
-                    raise ValueError(f"no CSV member inside {path}")
-                for m in members:
-                    base = os.path.basename(m)
-                    with z.open(m) as src, open(os.path.join(spool, base), "wb") as out:
-                        out.write(src.read())
+            # Extract into a temp dir and atomically rename into place, so a
+            # mid-extraction failure never leaves a partial dir that later
+            # calls would treat as a complete cached extraction.
+            import shutil
+            import tempfile
+
+            tmp = tempfile.mkdtemp(dir=os.path.dirname(spool) or "/tmp")
+            try:
+                with zipfile.ZipFile(path) as z:
+                    members = [m for m in z.namelist()
+                               if m.lower().endswith(".csv") and not m.endswith("/")]
+                    if not members:
+                        raise ValueError(f"no CSV member inside {path}")
+                    seen: set[str] = set()
+                    for m in members:
+                        base = os.path.basename(m)
+                        if base in seen:
+                            # disambiguate equal basenames from different
+                            # subdirs instead of silently overwriting
+                            base = m.replace("/", "__")
+                        seen.add(base)
+                        with z.open(m) as src, \
+                                open(os.path.join(tmp, base), "wb") as out:
+                            out.write(src.read())
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            try:
+                os.rename(tmp, spool)
+            except OSError:
+                # lost the rename race to a concurrent extractor: theirs wins
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.isdir(spool):
+                    raise
         return spool
 
     def _read(self) -> DataFrame:

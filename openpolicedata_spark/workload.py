@@ -462,7 +462,9 @@ def q20_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q20_SQL = """
-SELECT event_type, SUM(CAST(props->>'$.k' AS INTEGER)) AS sum_k, COUNT(*) AS n
+SELECT event_type,
+  CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+  COUNT(*) AS n
 FROM events GROUP BY event_type
 """
 

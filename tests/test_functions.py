@@ -184,6 +184,25 @@ def test_exotic_date_recovery(spark):
     assert prec[2] == "year" and prec[5] == "day"
 
 
+def test_month_name_dates_not_truncated(spark):
+    """'Jan 15, 2024' / 'January 5, 2021' contain a comma but are NOT
+    comma-separated date lists — the list-split must not truncate them to
+    'Jan 15' (ADVICE r1: the old ^[^,]+,\\s*\\d condition broke every
+    MMM d, yyyy / MMMM d, yyyy parse)."""
+    from openpolicedata_spark.functions.datetime import to_datetime_expr
+    from pyspark.sql import functions as F
+
+    rows = [(1, "Jan 15, 2024"), (2, "January 5, 2021"),
+            (3, "1/2/2020, 1/3/2020")]
+    df = spark.createDataFrame(rows, "id long, d string")
+    out = {r.id: r.ts for r in df.select(
+        "id", to_datetime_expr(F.col("d")).alias("ts")).collect()}
+    assert out[1] is not None and out[1].strftime("%Y-%m-%d") == "2024-01-15"
+    assert out[2] is not None and out[2].strftime("%Y-%m-%d") == "2021-01-05"
+    # real date lists still take the first entry
+    assert out[3].strftime("%Y-%m-%d") == "2020-01-02"
+
+
 def test_glued_digit_string_disambiguation(spark):
     """8-digit date strings classify as yyyymmdd vs mmddyyyy by digit-range
     validity (reference datetime_parser.py:44-118) even when stored as
