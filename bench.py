@@ -58,7 +58,8 @@ def main() -> None:
 
     @_pudf("long")
     def _warm(x: pd.Series) -> pd.Series:
-        return x
+        import numpy as _np  # worker-side import: the dedup/similarity UDFs
+        return x + _np.int64(0)  # pay numpy's first-use cost here, once
     spark.range(1000).repartition(64).select(_warm("id")).collect()
 
     qs = workload.queries()
