@@ -1,0 +1,240 @@
+"""Training-data pipeline operators (beyond the reference — BASELINE.json
+north star): as-of joins, document packing, chunking, contamination checks,
+and deterministic weighted mixing.
+
+All are DataFrame-native and shuffle-conscious:
+
+- asof_join            : union-merge as-of join — ONE shuffle on the key,
+                         no range self-join blowup.
+- pack_documents       : greedy sequential packing of docs into
+                         ~target-token bins (window cumsum).
+- chunk_documents      : overlapping fixed-size token chunks (RAG/pretrain
+                         chunking) via sequence + slice — narrow op.
+- contamination_pairs  : train docs sharing word-shingles with a benchmark
+                         set (decontamination audit) via shingle join.
+- weighted_mix         : deterministic per-source sampling by multiplicative
+                         id hash — reproducible without RNG state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from openpolicedata_spark.functions.text import (
+    normalize_text_expr,
+    token_count_expr,
+    tokens_expr,
+)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Optional[Sequence[str]] = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: each left row gets the payload of the LATEST right row
+    with `right_ts <= left_ts` for the same key (backward direction, the
+    trade/quote classic; DuckDB's `ASOF JOIN` semantics).
+
+    Spark has no native as-of join. The naive range self-join
+    (`l.key = r.key AND r.ts <= l.ts` + max) explodes to O(|matches|)
+    intermediate rows. This is the scalable union-merge form instead:
+
+      1. union both sides, right rows carrying a payload struct
+      2. ONE shuffle: window over (key) ordered by (ts, side) — right rows
+         sort before left rows at equal ts, so `<=` holds
+      3. last(payload, ignoreNulls) over rows UNBOUNDED PRECEDING carries
+         the latest right payload forward; filter back to left rows
+
+    Cost: one exchange on the key + one in-partition sort — same plan shape
+    as any windowed aggregation, independent of match fan-out. Left rows
+    with no prior right row get nulls (left-join semantics).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = list(right_cols if right_cols is not None
+                      else [c for c in right.columns
+                            if c not in keys and c != right_ts])
+    payload = F.struct(
+        F.col(right_ts).alias(prefix + right_ts),
+        *[F.col(c).alias(prefix + c) for c in right_cols],
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        payload.alias("__payload__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        F.lit(None).cast(
+            r.schema["__payload__"].dataType).alias("__payload__"),
+        *[F.col(c) for c in left.columns if c not in keys],
+    )
+    # __payload__ as the final sort key makes ties between right rows with
+    # equal (key, ts) deterministic (struct ordering; left rows have null
+    # payloads and are unaffected).
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col("__ts__"), F.col("__side__"), F.col("__payload__"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (
+        r.unionByName(l)
+        .withColumn("__match__", F.last("__payload__", ignorenulls=True).over(w))
+        .where(F.col("__side__") == 1)
+    )
+    out_cols = (
+        keys
+        + [c for c in left.columns if c not in keys]
+        + [F.col("__match__")[prefix + right_ts].alias(prefix + right_ts)]
+        + [F.col("__match__")[prefix + c].alias(prefix + c) for c in right_cols]
+    )
+    return carried.select(*out_cols)
+
+
+def pack_documents(
+    df: DataFrame,
+    target_tokens: int = 512,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequential packing: within each `by` group, walk docs in
+    id order accumulating token counts; a doc starts at running offset
+    `cumsum - n`, and its bin is `floor(offset / target_tokens)` — the
+    standard "concat docs to ~N-token training rows" step.
+
+    One window cumsum per group = one shuffle. NOTE the scale caveat: a
+    global ordered cumsum serializes within each group, so at 100 TB pack
+    per PARTITION (e.g. by = date bucket or shard id), not per corpus —
+    the operator takes any `by` column precisely so the caller picks the
+    granularity; packing quality only needs local order, not global.
+    """
+    n = token_count_expr(F.col(text_col))
+    w = (Window.partitionBy(by).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = df.select(by, id_col, n.alias("__n__"))
+    return (
+        toks.withColumn("__cum__", F.sum("__n__").over(w))
+        .select(
+            F.col(by),
+            F.col(id_col),
+            F.floor((F.col("__cum__") - F.col("__n__")) / target_tokens)
+            .alias("bin_id"),
+            F.col("__n__").alias("n_tokens"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size token chunks (RAG / pretraining windows):
+    doc → (doc_id, chunk_id, n_tokens, chunk_text). Chunks start every
+    `stride` tokens; the final partial chunk is kept iff it adds new
+    tokens. Narrow op (no shuffle): sequence + slice + posexplode over a
+    materialized token array."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toked = df.select(
+        F.col(id_col),
+        tokens_expr(normalize_text_expr(F.col(text_col))).alias("__toks__"),
+    )
+    toks = F.col("__toks__")
+    n = F.size(toks)
+    # start offsets 0, stride, 2*stride, ... while start < n
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens) / stride) + 1)
+    starts = F.sequence(F.lit(0), n_chunks.cast("int") - 1)
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s * stride + 1, chunk_tokens))
+    return (
+        toked.where(n > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__c__"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__c__").alias("n_tokens"),
+            F.concat_ws(" ", "__c__").alias("chunk_text"),
+        )
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination audit: per train doc, how many of its distinct word
+    k-shingles also occur in ANY benchmark doc. Standard n-gram-overlap
+    contamination check (the PaLM/GPT-3 style audit) as a shingle
+    equi-join: explode distinct shingle digests per side, inner-join on
+    the digest, count per train doc.
+
+    Digests are md5 strings so an external engine can reproduce the join
+    exactly; at 100 TB swap fingerprint for xxhash64 (8-byte keys) — the
+    plan shape is identical. The benchmark side is typically tiny →
+    Catalyst broadcasts the digest set; the train side never shuffles."""
+    def shingle_digests(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            F.col(id_col),
+            tokens_expr(normalize_text_expr(F.col(text_col))).alias("__toks__"),
+        )
+        toks = F.col("__toks__")
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(0)))
+        sh = F.when(
+            n >= shingle_k,
+            F.transform(idx, lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i, shingle_k)))),
+        ).otherwise(F.array().cast("array<string>"))
+        return toked.select(
+            F.col(id_col), F.explode(F.array_distinct(sh)).alias("digest"))
+
+    bench_digests = (shingle_digests(benchmark)
+                     .select("digest").distinct())
+    return (
+        shingle_digests(train)
+        .join(F.broadcast(bench_digests), on="digest")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Deterministic per-source downsampling: keep a row iff
+    `(id * 2654435761) mod 100 < pct(source)` (Knuth multiplicative hash —
+    id-uniform, reproducible in any engine with 64-bit arithmetic, no RNG
+    state to coordinate across executors). The standard "mix sources at
+    fixed ratios" step of corpus assembly; a pure narrow filter."""
+    for pct in list(weights.values()) + [default_pct]:
+        if not 0 <= pct <= 100:
+            raise ValueError(f"weights must be percentages in [0,100]: {pct}")
+    pct_expr: Column = F.lit(default_pct)
+    for src, pct in sorted(weights.items()):
+        pct_expr = F.when(F.col(source_col) == src, F.lit(pct)).otherwise(pct_expr)
+    keep = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761),
+                  F.lit(100)) < pct_expr
+    return df.where(keep)

@@ -1099,6 +1099,148 @@ FROM events WHERE user_id < 50
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline ops (operators/textpipe.py)
+# --------------------------------------------------------------------------
+
+
+def q49_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's latest prior-or-equal
+    click (backward direction). Union-merge implementation — one shuffle
+    on user_id, no range-join blowup; see operators/textpipe.asof_join."""
+    from openpolicedata_spark.operators.textpipe import asof_join
+
+    e = _read(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click")
+    # no-match sentinels instead of nulls: value-hash comparators disagree
+    # on null encodings across engines; the epoch/-1 sentinels are
+    # unambiguous in both
+    return asof_join(
+        purchases, clicks, on="user_id", right_cols=["event_id", "value"],
+    ).select(
+        "event_id", "user_id", "ts",
+        F.coalesce("asof_ts", F.lit("1970-01-01").cast("timestamp_ntz"))
+        .alias("asof_ts"),
+        F.coalesce("asof_event_id", F.lit(-1)).alias("asof_event_id"),
+        F.coalesce(F.round("asof_value", 2), F.lit(-1.0)).alias("asof_value"),
+    )
+
+
+_Q49_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+  COALESCE(c.ts, TIMESTAMP '1970-01-01') AS asof_ts,
+  COALESCE(c.event_id, -1) AS asof_event_id,
+  COALESCE(ROUND(c.value, 2), -1.0) AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q50_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of docs into ~512-token bins per
+    language (window cumsum binning)."""
+    from openpolicedata_spark.operators.textpipe import pack_documents
+
+    d = _read(spark, sf_dir, "documents")
+    return pack_documents(d, target_tokens=512, by="lang")
+
+
+_Q50_SQL = r"""
+WITH t AS (
+  SELECT lang, doc_id,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens
+  FROM documents)
+SELECT lang, doc_id,
+  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+             / 512.0) AS BIGINT) AS bin_id,
+  n_tokens
+FROM t
+"""
+
+
+def q51_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunks (size 32, stride 24) for the first 200
+    docs — the RAG/pretraining windowing step; narrow op, no shuffle."""
+    from openpolicedata_spark.operators.textpipe import chunk_documents
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return chunk_documents(d, chunk_tokens=32, stride=24)
+
+
+_Q51_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 200),
+c AS (
+  SELECT doc_id, len(toks) AS n, toks,
+    CASE WHEN len(toks) <= 32 THEN 1
+         ELSE CAST(CEIL((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+  CAST(len(toks[i*24+1 : i*24+32]) AS INTEGER) AS n_tokens,
+  array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text
+FROM c, LATERAL unnest(range(0, n_chunks)) AS u(i)
+"""
+
+
+def q52_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: count 5-shingle overlaps between
+    train docs (doc_id % 5 != 0) and a benchmark set (doc_id % 5 = 0)
+    via a broadcast digest join."""
+    from openpolicedata_spark.operators.textpipe import contamination_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 5 != 0)
+    bench = d.where(F.col("doc_id") % 5 == 0)
+    return contamination_pairs(train, bench, shingle_k=5)
+
+
+_Q52_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id, digest FROM (
+    SELECT doc_id,
+      list_distinct(list_transform(
+        range(1, greatest(len(toks) - 4, 0) + 1),
+        i -> md5(array_to_string(toks[i : i+4], ' ')))) AS digests
+    FROM toked WHERE len(toks) >= 5),
+  LATERAL unnest(digests) AS u(digest))
+SELECT t.doc_id, COUNT(*) AS n_shared
+FROM (SELECT * FROM sh WHERE doc_id % 5 <> 0) t
+JOIN (SELECT DISTINCT digest FROM sh WHERE doc_id % 5 = 0) b USING (digest)
+GROUP BY t.doc_id
+"""
+
+
+def q53_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-weighted corpus mixing: per-source keep
+    percentages via multiplicative id hash — reproducible sampling with
+    no RNG state."""
+    from openpolicedata_spark.operators.textpipe import weighted_mix
+
+    d = _read(spark, sf_dir, "documents")
+    return weighted_mix(
+        d, {"web": 75, "books": 50, "code": 25}, default_pct=100,
+    ).select("doc_id", "source")
+
+
+_Q53_SQL = """
+SELECT doc_id, source FROM documents
+WHERE ((doc_id * 2654435761) % 100 + 100) % 100 <
+  CASE source WHEN 'web' THEN 75 WHEN 'books' THEN 50 WHEN 'code' THEN 25
+       ELSE 100 END
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1153,6 +1295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_bpe_token_count": q46_bpe_token_count,
         "q47_semi_join": q47_semi_join,
         "q48_moving_average": q48_moving_average,
+        "q49_asof_join": q49_asof_join,
+        "q50_pack_documents": q50_pack_documents,
+        "q51_chunk_documents": q51_chunk_documents,
+        "q52_contamination": q52_contamination,
+        "q53_weighted_mix": q53_weighted_mix,
     }
     return base
 
@@ -1205,4 +1352,9 @@ def oracle_sql() -> dict[str, str]:
         "q46_bpe_token_count": _Q46_SQL,
         "q47_semi_join": _Q47_SQL,
         "q48_moving_average": _Q48_SQL,
+        "q49_asof_join": _Q49_SQL,
+        "q50_pack_documents": _Q50_SQL,
+        "q51_chunk_documents": _Q51_SQL,
+        "q52_contamination": _Q52_SQL,
+        "q53_weighted_mix": _Q53_SQL,
     }

@@ -1,0 +1,181 @@
+"""Unit tests for operators/textpipe.py — the training-data pipeline ops
+(as-of join, packing, chunking, contamination audit, weighted mixing)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from openpolicedata_spark.operators.textpipe import (
+    asof_join,
+    chunk_documents,
+    contamination_pairs,
+    pack_documents,
+    weighted_mix,
+)
+from openpolicedata_spark.plans import summarize_plan
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),
+            (1, _ts("2024-01-01T10:05:00"), 101.0),
+            (1, _ts("2024-01-01T09:00:00"), 99.0),   # before any quote
+            (2, _ts("2024-01-01T10:00:00"), 200.0),  # key with no quotes
+        ],
+        "k long, ts timestamp, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), 10.0),
+            (1, _ts("2024-01-01T10:00:00"), 20.0),  # equal ts → counts (<=)
+            (1, _ts("2024-01-01T10:04:00"), 30.0),
+        ],
+        "k long, ts timestamp, bid double",
+    )
+
+
+def test_asof_backward_semantics(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="k")
+    got = {(r.k, r.ts): (r.asof_ts, r.asof_bid) for r in out.collect()}
+    assert len(got) == 4  # every left row survives exactly once
+    # equal timestamp matches (<=)
+    assert got[(1, _ts("2024-01-01T10:00:00"))] == (
+        _ts("2024-01-01T10:00:00"), 20.0)
+    # latest prior quote wins
+    assert got[(1, _ts("2024-01-01T10:05:00"))] == (
+        _ts("2024-01-01T10:04:00"), 30.0)
+    # left row before all right rows → nulls
+    assert got[(1, _ts("2024-01-01T09:00:00"))] == (None, None)
+    # key absent on the right → nulls
+    assert got[(2, _ts("2024-01-01T10:00:00"))] == (None, None)
+
+
+def test_asof_single_shuffle(spark, trades, quotes):
+    s = summarize_plan(asof_join(trades, quotes, on="k"))
+    # union-merge: exactly one exchange (the window partitionBy), no join node
+    assert s.n_exchanges == 1, s.text
+    assert s.n_sortmerge_joins == 0 and s.n_broadcast_joins == 0, s.text
+
+
+def test_asof_right_cols_subset_and_prefix(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="k", right_cols=[], prefix="q_")
+    assert set(out.columns) == {"k", "ts", "px", "q_ts"}
+
+
+def test_pack_documents_greedy_bins(spark):
+    # 5 docs of 30 tokens each, target 64 → offsets 0,30,60,90,120
+    # → bins 0,0,0,1,1
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 30), "en") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    out = pack_documents(docs, target_tokens=64, by="lang")
+    got = {r.doc_id: (r.bin_id, r.n_tokens) for r in out.collect()}
+    assert got == {0: (0, 30), 1: (0, 30), 2: (0, 30), 3: (1, 30), 4: (1, 30)}
+
+
+def test_pack_documents_partitions_by_group(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en"), (1, "d e f", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = pack_documents(docs, target_tokens=4, by="lang")
+    got = {(r.lang, r.doc_id): r.bin_id for r in out.collect()}
+    # each lang group starts at bin 0
+    assert got == {("en", 0): 0, ("fr", 1): 0}
+
+
+def test_chunk_documents_overlap(spark):
+    # 10 tokens, chunk 4, stride 3 → starts 0,3,6 (ceil((10-4)/3)+1 = 3)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3)
+    rows = sorted(out.collect(), key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in rows] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert [r.n_tokens for r in rows] == [4, 4, 4]
+
+
+def test_chunk_documents_short_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=32, stride=24)
+    rows = out.collect()
+    # short doc → one partial chunk; empty doc dropped entirely
+    assert len(rows) == 1
+    assert rows[0].doc_id == 1 and rows[0].n_tokens == 3
+
+
+def test_chunk_documents_validates_args(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0, stride=3)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, stride=0)
+
+
+def test_contamination_counts(spark):
+    # train doc 1 shares its entire 6-token text with bench (2 distinct
+    # 5-shingles); train doc 2 shares nothing; train doc 3 too short.
+    train = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "q r s t u v"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g")],  # contains shingles abcde, bcdef (+cdefg)
+        "doc_id long, text string",
+    )
+    out = contamination_pairs(train, bench, shingle_k=5)
+    got = {r.doc_id: r.n_shared for r in out.collect()}
+    assert got == {1: 2}
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    train = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(10)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id long, text string")
+    s = summarize_plan(contamination_pairs(train, bench))
+    assert s.n_broadcast_joins >= 1 and s.n_sortmerge_joins == 0, s.text
+
+
+def test_weighted_mix_deterministic_and_exact(spark):
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else "books") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = weighted_mix(docs, {"web": 40, "books": 0}, default_pct=0)
+    ids = sorted(r.doc_id for r in out.collect())
+    expected = [i for i in range(200)
+                if i % 2 == 0 and (i * 2654435761) % 100 < 40]
+    assert ids == expected
+    # deterministic: rerun gives the identical set
+    ids2 = sorted(r.doc_id for r in
+                  weighted_mix(docs, {"web": 40, "books": 0}).collect())
+    assert ids2 == ids
+
+
+def test_weighted_mix_default_pct_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(i, "other") for i in range(50)], "doc_id long, source string")
+    assert weighted_mix(docs, {"web": 50}, default_pct=100).count() == 50
+    assert weighted_mix(docs, {"web": 50}, default_pct=0).count() == 0
+    with pytest.raises(ValueError):
+        weighted_mix(docs, {"web": 101})

@@ -61,6 +61,9 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         else:
             eq = (av.astype(object).where(pd.notna(av), None)
                   == bv.astype(object).where(pd.notna(bv), None))
+            # pandas object-equality treats missing == missing as False;
+            # both-null cells are a match
+            eq = eq | (av.isna() & bv.isna())
             if not eq.all():
                 i = (~eq).idxmax()
                 problems.append(f"col {c}: values differ (e.g. {av[i]!r} vs {bv[i]!r})")
