@@ -105,6 +105,30 @@ def fingerprint_md5_expr(col: Column) -> Column:
     return F.md5(normalize_text_expr(col))
 
 
+# (pattern, token) pairs applied in order; every regex is written in the
+# common Java-regex ∩ RE2 dialect so external engines (DuckDB, Go tooling)
+# reproduce the redaction byte-for-byte. Order matters: SSN before PHONE so
+# ddd-dd-dddd is not half-eaten by a looser phone pattern.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "[IP]"),
+    (r"\d{3}-\d{2}-\d{4}", "[SSN]"),
+    (r"(\(\d{3}\) ?|\d{2,3}[-. ])\d{3}[-. ]\d{3,4}([-. ]\d{4})?", "[PHONE]"),
+]
+
+
+def pii_redact_expr(col: Column) -> Column:
+    """Regex PII scrub (emails, IPs, SSNs, phone numbers) — the standard
+    pre-release redaction pass of a training-data pipeline. Pure
+    regexp_replace chain: JVM-side, codegen-friendly, no UDF; patterns are
+    engine-portable (see PII_PATTERNS) so an external audit can verify the
+    scrub exactly."""
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def rolling_hash_expr(col: Column, base: int = 257, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash of the normalized text (Rabin-Karp style),
     computed with F.aggregate over the character codes — deterministic,

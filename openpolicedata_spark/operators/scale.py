@@ -99,6 +99,54 @@ def salted_broadcast_join(
     return out.drop("__salt__")
 
 
+def bucketed_interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 1800,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join that scales: match each fact row
+    to every interval of the same key with `start <= ts < end`.
+
+    Spark's native plan for `f.key = i.key AND f.ts >= i.start AND
+    f.ts < i.end` is a sort-merge join on the key alone with the range as
+    a post-join filter — per-key quadratic when keys have many rows (and
+    without an equi-key it degrades to BroadcastNestedLoop). Standard fix
+    (the Databricks "bin the range join" trick): quantize time into
+    fixed-width buckets, explode each interval into the buckets it covers,
+    and equi-join on (key, bucket) before applying the exact predicate.
+    Cost: one shuffle each side on (key, bucket); interval replication is
+    ceil(span/bucket)+1 rows — pick `bucket_seconds` ≈ median interval
+    span.
+
+    Fact rows matching k intervals emit k rows (true join semantics);
+    `how='left_outer'` keeps unmatched facts with null interval columns.
+    """
+    def to_bucket(c: str) -> Column:
+        return F.floor(F.unix_timestamp(F.col(c)) / bucket_seconds)
+
+    # explicit aliases: facts and intervals often derive from the SAME
+    # source table, and dataset-id disambiguation of f[key] == i[key] is
+    # fragile for self-joins
+    i = intervals.withColumn(
+        "__bucket__",
+        F.explode(F.sequence(to_bucket(start_col), to_bucket(end_col))),
+    ).alias("__i__")
+    f = facts.withColumn("__bucket__", to_bucket(ts_col)).alias("__f__")
+    fc = lambda c: F.col(f"__f__.{c}")  # noqa: E731
+    ic = lambda c: F.col(f"__i__.{c}")  # noqa: E731
+    cond = ((fc(key) == ic(key))
+            & (fc("__bucket__") == ic("__bucket__"))
+            & (fc(ts_col) >= ic(start_col)) & (fc(ts_col) < ic(end_col)))
+    out_cols = ([fc(c) for c in facts.columns]
+                + [ic(c) for c in intervals.columns if c != key])
+    return f.join(i, cond, how).select(*out_cols)
+
+
 def repartition_by_key_bounded(df: DataFrame, key: str, max_per_partition: int,
                                count_col: str = "__n__") -> DataFrame:
     """Repartition so no partition holds more than ~max_per_partition rows

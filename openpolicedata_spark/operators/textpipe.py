@@ -12,6 +12,8 @@ All are DataFrame-native and shuffle-conscious:
                          chunking) via sequence + slice — narrow op.
 - contamination_pairs  : train docs sharing word-shingles with a benchmark
                          set (decontamination audit) via shingle join.
+- repetition_stats     : Gopher-style repetition quality signals
+                         (distinct-token ratio, top-bigram fraction).
 - weighted_mix         : deterministic per-source sampling by multiplicative
                          id hash — reproducible without RNG state.
 """
@@ -214,6 +216,64 @@ def contamination_pairs(
         .join(F.broadcast(bench_digests), on="digest")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+      n_tokens          total tokens
+      distinct_ratio    distinct tokens / total (low → repetitive doc)
+      top_bigram_frac   occurrences of the most frequent bigram / (n-1)
+                        (high → boilerplate / TTTT-spam)
+
+    Both are standard pretraining quality filters (Gopher rules table A1).
+    The bigram mode is computed distributed: explode bigrams → two-level
+    groupBy. Partial (map-side) aggregation collapses each doc's repeated
+    bigrams before the shuffle, so the wire carries ~distinct bigrams; the
+    second agg and the stats join are both on id_col so AQE coalesces
+    them into one exchange chain — no driver-side loops anywhere.
+    """
+    toked = df.select(
+        F.col(id_col),
+        tokens_expr(normalize_text_expr(F.col(text_col))).alias("__toks__"),
+    ).where(F.size("__toks__") > 0)
+    toks = F.col("__toks__")
+    n = F.size(toks)
+    base = toked.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / n).alias("__dr__"),
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                      F.element_at(toks, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("__bgs__"),
+    )
+    top = (
+        base.select(id_col, F.explode("__bgs__").alias("__bg__"))
+        .groupBy(id_col, "__bg__").agg(F.count(F.lit(1)).alias("__c__"))
+        .groupBy(id_col).agg(F.max("__c__").alias("__top__"))
+    )
+    return (
+        base.join(top, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round("__dr__", 6).alias("distinct_ratio"),
+            F.round(
+                F.coalesce(F.col("__top__"), F.lit(0))
+                / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
     )
 
 

@@ -1228,15 +1228,148 @@ def q53_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _read(spark, sf_dir, "documents")
     return weighted_mix(
-        d, {"web": 75, "books": 50, "code": 25}, default_pct=100,
+        d, {"src0": 75, "src1": 50, "src2": 25, "src3": 0}, default_pct=60,
     ).select("doc_id", "source")
 
 
 _Q53_SQL = """
 SELECT doc_id, source FROM documents
 WHERE ((doc_id * 2654435761) % 100 + 100) % 100 <
-  CASE source WHEN 'web' THEN 75 WHEN 'books' THEN 50 WHEN 'code' THEN 25
-       ELSE 100 END
+  CASE source WHEN 'src0' THEN 75 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25
+       WHEN 'src3' THEN 0 ELSE 60 END
+"""
+
+
+def q54_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: distinct-token ratio and
+    top-bigram fraction per document (distributed bigram mode via
+    explode + two-level groupBy with map-side combine)."""
+    from openpolicedata_spark.operators.textpipe import repetition_stats
+
+    d = _read(spark, sf_dir, "documents")
+    return repetition_stats(d)
+
+
+_Q54_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                x -> x <> '') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd, toks
+  FROM t WHERE len(toks) > 0),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+  FROM base, LATERAL unnest(range(1, n)) AS u(i)
+  WHERE n >= 2),
+top AS (
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+  GROUP BY doc_id)
+SELECT b.doc_id,
+  CAST(b.n AS INTEGER) AS n_tokens,
+  ROUND(b.nd / b.n, 6) AS distinct_ratio,
+  ROUND(COALESCE(top.topc, 0) / GREATEST(b.n - 1, 1), 6) AS top_bigram_frac
+FROM base b LEFT JOIN top USING (doc_id)
+"""
+
+
+def q55_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: pure regexp_replace chain, JVM-side, no UDF. The
+    testdata has no free-text PII columns, so the contact string is
+    derived deterministically from customer keys (identical printf on the
+    oracle side) — the redaction pass itself is the operator under test."""
+    from openpolicedata_spark.functions.text import pii_redact_expr
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    contact = F.concat_ws(
+        " ", F.col("c_name"), F.lit("call"),
+        F.format_string("%02d-%03d-%03d-%04d",
+                        F.col("c_nationkey") + 10, k % 1000,
+                        (k * 7) % 1000, (k * 13) % 10000),
+        F.lit("mail"),
+        F.concat(F.lit("user"), k, F.lit("@mail.example.org")),
+        F.lit("from"),
+        F.format_string("10.%d.%d.%d", F.col("c_nationkey") % 256,
+                        (k * 3) % 256, (k * 11) % 256),
+    )
+    return c.select(
+        "c_custkey",
+        pii_redact_expr(contact).alias("redacted"),
+    )
+
+
+_Q55_SQL = r"""
+SELECT c_custkey,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          concat_ws(' ', c_name, 'call',
+            printf('%02d-%03d-%03d-%04d', c_nationkey + 10, c_custkey % 1000,
+                   (c_custkey * 7) % 1000, (c_custkey * 13) % 10000),
+            'mail', 'user' || c_custkey || '@mail.example.org',
+            'from',
+            printf('10.%d.%d.%d', c_nationkey % 256, (c_custkey * 3) % 256,
+                   (c_custkey * 11) % 256)),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
+      '\d{3}-\d{2}-\d{4}', '[SSN]', 'g'),
+    '(\(\d{3}\) ?|\d{2,3}[-. ])\d{3}[-. ]\d{3,4}([-. ]\d{4})?', '[PHONE]', 'g')
+    AS redacted
+FROM customer
+"""
+
+
+def q56_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within ±30 min of each purchase (same user) via the bucketed
+    range join — equi-join on (user, time-bucket) before the exact range
+    predicate; no per-key quadratic blowup. See
+    operators/scale.bucketed_interval_join."""
+    from openpolicedata_spark.operators.scale import bucketed_interval_join
+
+    e = _read(spark, sf_dir, "events")
+    half = F.expr("INTERVAL 30 MINUTES")
+    windows = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            (F.col("ts") - half).alias("start"),
+            (F.col("ts") + half).alias("end"),
+        )
+    )
+    clicks = (e.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    counts = (
+        bucketed_interval_join(clicks, windows, key="user_id",
+                               bucket_seconds=1800)
+        .groupBy("p_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    return (
+        windows.join(counts, on="p_id", how="left")
+        .select(
+            F.col("p_id").alias("event_id"),
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+    )
+
+
+_Q56_SQL = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id,
+    ts - INTERVAL 30 MINUTE AS w_start, ts + INTERVAL 30 MINUTE AS w_end
+  FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.p_id AS event_id, p.user_id,
+  COUNT(c.ts) AS n_clicks
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id AND c.ts >= p.w_start AND c.ts < p.w_end
+GROUP BY p.p_id, p.user_id
 """
 
 
@@ -1300,6 +1433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_chunk_documents": q51_chunk_documents,
         "q52_contamination": q52_contamination,
         "q53_weighted_mix": q53_weighted_mix,
+        "q54_repetition_stats": q54_repetition_stats,
+        "q55_pii_redact": q55_pii_redact,
+        "q56_interval_join": q56_interval_join,
     }
     return base
 
@@ -1357,4 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "q51_chunk_documents": _Q51_SQL,
         "q52_contamination": _Q52_SQL,
         "q53_weighted_mix": _Q53_SQL,
+        "q54_repetition_stats": _Q54_SQL,
+        "q55_pii_redact": _Q55_SQL,
+        "q56_interval_join": _Q56_SQL,
     }

@@ -156,6 +156,82 @@ def test_contamination_broadcasts_benchmark(spark):
     assert s.n_broadcast_joins >= 1 and s.n_sortmerge_joins == 0, s.text
 
 
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 6 tokens, 2 distinct, top bigram "a b"×3 / 5
+            (2, "u v w x y z"),      # all distinct, every bigram unique
+            (3, "solo"),             # single token: no bigrams
+            (4, "  "),               # empty after tokenize: dropped
+        ],
+        "doc_id long, text string",
+    )
+    from openpolicedata_spark.operators.textpipe import repetition_stats
+
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_tokens == 6
+    assert out[1].distinct_ratio == pytest.approx(2 / 6, abs=1e-6)
+    assert out[1].top_bigram_frac == pytest.approx(3 / 5, abs=1e-6)
+    assert out[2].distinct_ratio == 1.0
+    assert out[2].top_bigram_frac == pytest.approx(1 / 5, abs=1e-6)
+    assert out[3].n_tokens == 1 and out[3].top_bigram_frac == 0.0
+
+
+def test_pii_redact(spark):
+    from openpolicedata_spark.functions.text import pii_redact_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com now"),
+            (2, "host 192.168.1.17 port"),
+            (3, "ssn 123-45-6789 ok"),
+            (4, "tel 25-989-741-2988 or (415) 555-0199"),
+            (5, "clean text, no pii at all"),
+        ],
+        "id long, s string",
+    )
+    got = {r.id: r.red for r in
+           df.select("id", pii_redact_expr(F.col("s")).alias("red")).collect()}
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "host [IP] port"
+    assert got[3] == "ssn [SSN] ok"
+    assert got[4] == "tel [PHONE] or [PHONE]"
+    assert got[5] == "clean text, no pii at all"
+
+
+def test_bucketed_interval_join(spark):
+    from openpolicedata_spark.operators.scale import bucketed_interval_join
+
+    facts = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:15:00"), "in_a"),
+            (1, _ts("2024-01-01T11:59:00"), "in_b_edge"),
+            (1, _ts("2024-01-01T12:00:00"), "out_exclusive_end"),
+            (2, _ts("2024-01-01T10:15:00"), "wrong_key"),
+            (1, _ts("2024-01-01T09:00:00"), "before_all"),
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    ivals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T10:30:00"), "A"),
+            (1, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T12:00:00"), "B"),
+        ],
+        "k long, start timestamp, end timestamp, name string",
+    )
+    out = bucketed_interval_join(facts, ivals, key="k",
+                                 bucket_seconds=1800)
+    got = sorted((r.tag, r.name) for r in out.collect())
+    # in_a falls in both intervals; edge row only in B; end is exclusive
+    assert got == [("in_a", "A"), ("in_a", "B"), ("in_b_edge", "B")]
+    # left-outer keeps unmatched facts
+    left = bucketed_interval_join(facts, ivals, key="k",
+                                  bucket_seconds=1800, how="left_outer")
+    tags = sorted(r.tag for r in left.collect() if r.name is None)
+    assert tags == ["before_all", "out_exclusive_end", "wrong_key"]
+
+
 def test_weighted_mix_deterministic_and_exact(spark):
     docs = spark.createDataFrame(
         [(i, "web" if i % 2 == 0 else "books") for i in range(200)],
