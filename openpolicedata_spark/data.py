@@ -105,6 +105,66 @@ class Table:
     def to_pandas(self) -> pd.DataFrame:
         return self.table.toPandas()
 
+    # ------------------------------------------- standardized-column lookup
+    def _first_present(self, *candidates: str) -> Optional[str]:
+        cols = set(self.table.columns)
+        for c in candidates:
+            if c in cols:
+                return c
+        return None
+
+    def get_race_col(self, role: str = "SUBJECT") -> Optional[str]:
+        """Name of the standardized race (RE_GROUP) column for a role
+        (reference data.py:215-243): role-specific column first, then the
+        combined OFFICER/SUBJECT variant."""
+        role = role.upper()
+        assert role in ("OFFICER", "SUBJECT")
+        C = defs.Columns
+        own = C.RE_GROUP_OFFICER if role == "OFFICER" else C.RE_GROUP_SUBJECT
+        return self._first_present(own, C.RE_GROUP_OFF_SUB)
+
+    def get_gender_col(self, role: str = "SUBJECT") -> Optional[str]:
+        """Name of the standardized gender column for a role
+        (reference data.py:245-272)."""
+        role = role.upper()
+        assert role in ("OFFICER", "SUBJECT")
+        C = defs.Columns
+        own = C.GENDER_OFFICER if role == "OFFICER" else C.GENDER_SUBJECT
+        return self._first_present(own, C.GENDER_OFF_SUB)
+
+    def get_age_col(self, role: str = "SUBJECT") -> Optional[str]:
+        """Name of the standardized age column for a role (reference
+        data.py:274-310): exact age first, then combined, then age-range
+        fallbacks."""
+        role = role.upper()
+        assert role in ("OFFICER", "SUBJECT")
+        C = defs.Columns
+        if role == "OFFICER":
+            return self._first_present(C.AGE_OFFICER, C.AGE_OFF_SUB,
+                                       C.AGE_RANGE_OFFICER, C.AGE_RANGE_OFF_SUB)
+        return self._first_present(C.AGE_SUBJECT, C.AGE_OFF_SUB,
+                                   C.AGE_RANGE_SUBJECT, C.AGE_RANGE_OFF_SUB)
+
+    def get_transform_map(self, orig: Optional[str] = None,
+                          new: Optional[str] = None, minimize: bool = False):
+        """Standardization audit: the DataMapping records produced by
+        standardize() (reference data.py:548-576). With `orig`/`new`,
+        returns the first matching record (or None); otherwise the full
+        list. `minimize=True` drops the original value counts."""
+        import copy
+
+        result = copy.deepcopy(self.transforms)
+        if minimize:
+            for r in result:
+                r.orig_value_counts = None
+        if orig is not None or new is not None:
+            for r in result:
+                if ((orig is None or r.orig_column_name == orig)
+                        and (new is None or r.new_column_name == new)):
+                    return r
+            return None
+        return result
+
     # ------------------------------------------------------------ transforms
     def standardize(self, **kwargs) -> "Table":
         """Standardize columns/values into the canonical schema

@@ -308,3 +308,45 @@ def test_role_and_firearm_standardized(spark):
     assert got["C2"].SUBJECT_OR_OFFICER == "SUBJECT"
     fire = {r.case: r["OFFICER/SUBJECT_FIREARM_USED"] for r in out.collect()}
     assert fire == {"C1": "YES", "C2": "NO", "C3": "YES"}
+
+
+class TestTableAccessors:
+    """Table.get_race_col/get_gender_col/get_age_col/get_transform_map
+    (reference data.py:215-310, 548-576)."""
+
+    @pytest.fixture(scope="class")
+    def std_table(self, stops_df):
+        from openpolicedata_spark.data import Table
+
+        t = Table(stops_df, table_type="STOPS", source_name="Test",
+                  state="TS")
+        return t.standardize()
+
+    def test_role_column_lookup(self, std_table):
+        # RE_GROUP (race/ethnicity group) outranks plain RACE, as in the
+        # reference's priority chain
+        assert std_table.get_race_col("SUBJECT") == Columns.RE_GROUP_SUBJECT
+        assert std_table.get_race_col("OFFICER") == Columns.RE_GROUP_OFFICER
+        # 'sex' had no role marker → combined column serves both roles
+        assert std_table.get_gender_col("SUBJECT") == Columns.GENDER_OFF_SUB
+        assert std_table.get_gender_col("OFFICER") == Columns.GENDER_OFF_SUB
+        assert std_table.get_age_col("SUBJECT") == Columns.AGE_SUBJECT
+        assert std_table.get_age_col("OFFICER") is None
+
+    def test_role_lookup_unstandardized_is_none(self, stops_df):
+        from openpolicedata_spark.data import Table
+
+        t = Table(stops_df, table_type="STOPS")
+        assert t.get_race_col() is None and t.get_age_col() is None
+
+    def test_transform_map(self, std_table):
+        all_maps = std_table.get_transform_map()
+        assert any(m.new_column_name == Columns.RACE_SUBJECT for m in all_maps)
+        one = std_table.get_transform_map(new=Columns.RACE_SUBJECT)
+        assert one is not None and one.orig_column_name == "subject_race"
+        assert std_table.get_transform_map(new="NOPE") is None
+        # minimize drops value counts but not the mapping itself
+        slim = std_table.get_transform_map(minimize=True)
+        assert all(m.orig_value_counts is None for m in slim)
+        # the original audit list is untouched (deep copy)
+        assert std_table.get_transform_map(new=Columns.RACE_SUBJECT) is not None
