@@ -104,6 +104,13 @@ class Catalog:
             df[col] = pd.to_datetime(df[col], errors="coerce")
         self.df = df
 
+    @classmethod
+    def from_csv(cls, path_or_buf) -> "Catalog":
+        """Build the catalog from a CSV file (reference datasets.reload,
+        datasets.py:94-104): same normalization as the constructor; the
+        reference's published catalog CSV round-trips through here."""
+        return cls(pd.read_csv(path_or_buf))
+
     # ------------------------------------------------------------------ query
     def query(
         self,
@@ -161,14 +168,30 @@ class Catalog:
         """Count of unique sources (reference datasets.py:168-182)."""
         return len(self.df.drop_duplicates(subset=["State", "SourceName", "Agency"]))
 
-    def summary_by_table_type(self) -> pd.DataFrame:
-        """Datasets per table type (reference datasets.py:248-315)."""
+    def get_table_types(self, contains: Optional[str] = None) -> list[str]:
+        """Sorted unique table types, optionally filtered by substring
+        (reference datasets.get_table_types, datasets.py:317-330)."""
+        tts = sorted(set(self.df["TableType"].dropna()))
+        if contains is not None:
+            tts = [t for t in tts if contains in t]
+        return tts
+
+    def summary_by_table_type(self, by_year: bool = False) -> pd.DataFrame:
+        """Datasets per table type, optionally pivoted by year
+        (reference datasets.py:248-315)."""
+        if not by_year:
+            return (
+                self.df.groupby("TableType")
+                .size()
+                .rename("count")
+                .reset_index()
+                .sort_values("TableType", ignore_index=True)
+            )
         return (
-            self.df.groupby("TableType")
-            .size()
-            .rename("count")
+            self.df.assign(Year=self.df["Year"].astype(str))
+            .pivot_table(index="TableType", columns="Year",
+                         aggfunc="size", fill_value=0)
             .reset_index()
-            .sort_values("TableType", ignore_index=True)
         )
 
     def summary_by_state(self, by_year: bool = False) -> pd.DataFrame:

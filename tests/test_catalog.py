@@ -65,3 +65,25 @@ def test_local_testdata_catalog():
     assert len(cat.df) == 10
     row = cat.query(table_type="ORDERS").iloc[0]
     assert row["date_field"] == "o_orderdate"
+
+
+def test_get_table_types_and_year_pivot():
+    cat = make_catalog()
+    assert cat.get_table_types() == ["ARRESTS", "STOPS"]
+    assert cat.get_table_types(contains="STOP") == ["STOPS"]
+    piv = cat.summary_by_table_type(by_year=True)
+    assert "TableType" in piv.columns and len(piv) == 2
+    # every dataset is accounted for in the year pivot
+    year_cols = [c for c in piv.columns if c != "TableType"]
+    assert int(piv[year_cols].to_numpy().sum()) == len(cat.df)
+
+
+def test_from_csv_round_trip(tmp_path):
+    cat = make_catalog()
+    p = tmp_path / "catalog.csv"
+    cat.df.to_csv(p, index=False)
+    cat2 = type(cat).from_csv(p)
+    assert len(cat2.df) == len(cat.df)
+    assert cat2.get_table_types() == cat.get_table_types()
+    # Year normalization survives the string round trip
+    assert set(cat2.df["Year"]) == set(cat.df["Year"])
