@@ -99,6 +99,23 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_events(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
+                 watermark: str = "1 day") -> DataFrame:
+    """Exactly-once repair for at-least-once transports: drop redundant
+    deliveries of the same event key.
+
+    Streaming: `dropDuplicatesWithinWatermark` — state holds each key only
+    until the watermark passes it, so memory is O(keys per watermark
+    window), not O(all keys ever) as plain streaming dropDuplicates would
+    be. Batch: plain dropDuplicates over the same keys (the backfill path
+    computes the same result the live path converged to)."""
+    ks = list(keys)
+    if events.isStreaming:
+        return (events.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(ks))
+    return events.dropDuplicates(ks)
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       timeout_s: int = 120) -> DataFrame:
     """Drain everything currently available through the streaming engine

@@ -137,3 +137,27 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     for u, (n, t) in expected.items():
         gn, gt = got[u]
         assert gn == n and abs(gt - t) < 0.05, (u, (n, t), (gn, gt))
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """At-least-once delivery simulated by duplicating the events file in
+    the watched directory; dedup_events must restore exactly-once (same
+    result as batch dropDuplicates on the single copy)."""
+    import shutil
+
+    from openpolicedata_spark.streaming import dedup_events
+
+    watch = tmp_path / "events_dup"
+    watch.mkdir()
+    shutil.copy(_events_path(sf_dir), watch / "a.parquet")
+    shutil.copy(_events_path(sf_dir), watch / "b.parquet")
+
+    batch = _events_batch(spark, sf_dir)
+    n_expected = dedup_events(batch).count()
+    assert n_expected == batch.count()  # event_id unique in the source
+
+    stream = read_events_stream(spark, str(watch))
+    out = run_available_now(dedup_events(stream), "dedup_events")
+    assert out.count() == n_expected
+    # every event survives exactly once
+    assert out.select("event_id").distinct().count() == n_expected
