@@ -73,9 +73,11 @@ class ColumnMap:
 
 def _words(name: str) -> list[str]:
     """Split a column name into lowercase words: camelCase, snake_case,
-    spaces, punctuation (reference utils.py:3-52 split_words)."""
+    spaces, punctuation, digits (reference utils.py:19-32 split_words
+    splits on `[^A-Za-z]+` — so `race1` and `subject_race2` contain the
+    word `race`)."""
     s = re.sub(r"([a-z0-9])([A-Z])", r"\1 \2", str(name))
-    return [w for w in re.split(r"[^A-Za-z0-9]+", s.lower()) if w]
+    return [w for w in re.split(r"[^A-Za-z]+", s.lower()) if w]
 
 
 def _contains_term(name: str, terms: list[str]) -> bool:
@@ -360,11 +362,57 @@ def standardize(
                           Columns.GENDER_OFFICER, Columns.GENDER_OFF_SUB),
                 _race_named[0])
 
+    def _numbered_merge(cols: list[str], roles: dict) -> list[str]:
+        """Merge `race1..raceN`-style column families into ONE positional
+        array column (reference preproc.py:1266-1317: several columns for
+        the same role whose names differ only by an incrementing 1..N are
+        one table of people merged sideways). Trailing empties are
+        trimmed; interior nulls become '' to preserve person positions."""
+        nonlocal df
+        by_role: dict[Any, list[str]] = {}
+        for c in cols:
+            by_role.setdefault(roles[c], []).append(c)
+        out_cols = list(cols)
+        for role, group in by_role.items():
+            if len(group) < 2:
+                continue
+            bases, nums = [], []
+            for c in group:
+                bases.append("".join(ch for ch in c if not ch.isdigit()))
+                digits = "".join(ch for ch in c if ch.isdigit())
+                nums.append(int(digits) if digits else None)
+            if (None in nums or len(set(bases)) != 1
+                    or set(nums) != set(range(1, len(group) + 1))):
+                continue
+            ordered = [c for _, c in sorted(zip(nums, group))]
+            merged = bases[0].strip("_ ") + "_merged"
+            arr = F.array(*[F.col(c).cast("string") for c in ordered])
+            n = len(ordered)
+            last = F.aggregate(
+                F.sequence(F.lit(1), F.lit(n)), F.lit(0),
+                lambda acc, i: F.when(
+                    F.element_at(arr, i).isNotNull()
+                    & (F.trim(F.element_at(arr, i)) != ""), i).otherwise(acc),
+            )
+            df = df.withColumn(merged, F.transform(
+                F.slice(arr, 1, last),
+                lambda x: F.coalesce(F.trim(x), F.lit(""))))
+            transforms.append(DataMapping(
+                str(ordered), merged, {"numbered_merge": ordered}))
+            out_cols = [c for c in out_cols if c not in group]
+            out_cols.append(merged)
+            roles[merged] = role
+            _merged_arrays[merged] = ordered
+        return out_cols
+
+    _merged_arrays: dict[str, list[str]] = {}
+
     def std_demographic(substrs, validator, canonical_triplet, expr_fn,
                         exclude=None, allow_multi=False):
         cols = ident.find_matches(substrs, exclude_substrs=exclude,
                                   validator=validator)
         roles = ident.attribute_roles(cols)
+        cols = _numbered_merge(cols, roles)
         # explicit known_cols win over heuristics (reference data.py:682-757)
         for canonical in canonical_triplet:
             if canonical in known_cols and known_cols[canonical] in df.columns:
@@ -380,6 +428,14 @@ def standardize(
             if canonical in col_map:  # first match wins per canonical slot
                 continue
             col_map[canonical] = c
+            if c in _merged_arrays:
+                # numbered-merge output is already array<string>: apply the
+                # scalar standardizer per person, positions preserved
+                specs.append((canonical, c,
+                              lambda col, fn=expr_fn: F.transform(col, fn)))
+                transforms.append(DataMapping(c, canonical))
+                used.append((canonical, c))
+                continue
             if allow_multi:
                 mult = detect_multi(ident.sample[c])
                 if mult.type != MultType.SINGLE:
@@ -496,6 +552,11 @@ def standardize(
         for raw in {raw for _, raw, _ in specs}
         if not raw.startswith("RAW_")
     }
+    # numbered-merge source columns (race1..raceN) are consumed too
+    # (reference renames each via _cleanup_old_column, preproc.py:1310-1313)
+    for merged, sources in _merged_arrays.items():
+        for s in sources:
+            raw_renames.setdefault(s, f"RAW_{s}")
     # multi-person election: keep candidates only if person counts agree
     # across columns (reference preproc.py:1861-1923); a lone candidate
     # stands on its own
@@ -531,6 +592,9 @@ def standardize(
                 )
 
     if not keep_raw:
-        out = out.drop(*[raw_renames.get(raw, raw) for _, raw in col_map.items()])
+        drop = [raw_renames.get(raw, raw) for _, raw in col_map.items()]
+        drop += [raw_renames[s] for srcs in _merged_arrays.values()
+                 for s in srcs]
+        out = out.drop(*drop)
 
     return out, transforms

@@ -350,3 +350,48 @@ class TestTableAccessors:
         assert all(m.orig_value_counts is None for m in slim)
         # the original audit list is untouched (deep copy)
         assert std_table.get_transform_map(new=Columns.RACE_SUBJECT) is not None
+
+
+def test_numbered_columns_merged_to_array(spark):
+    """race1..race3 (one table of people merged sideways) → ONE positional
+    array column (reference preproc.py:1266-1317): trailing empties
+    trimmed, interior nulls kept as '' so persons stay aligned."""
+    rows = [
+        ("C1", "WHITE", "BLACK", None),     # trailing null trimmed
+        ("C2", "BLACK", None, "ASIAN"),     # interior null → '' placeholder
+        ("C3", None, None, None),           # all empty → empty array
+        ("C4", "HISPANIC", "WHITE", "BLACK"),
+        ("C5", "ASIAN", "WHITE", "WHITE"),
+        ("C6", "WHITE", None, None),
+    ]
+    out, transforms = _std(
+        spark, rows,
+        "case string, subject_race1 string, subject_race2 string, "
+        "subject_race3 string",
+        table_type="USE OF FORCE")
+    assert "SUBJECT_RACE" in out.columns
+    got = {r.case: r.SUBJECT_RACE for r in out.collect()}
+    assert got["C1"] == ["WHITE", "BLACK"]
+    assert got["C2"][0] == "BLACK" and got["C2"][2] == "ASIAN"
+    assert len(got["C2"]) == 3
+    assert got["C3"] == []
+    assert got["C4"] == ["LATINO", "WHITE", "BLACK"]
+    assert got["C6"] == ["WHITE"]
+    # sources consumed: renamed RAW_*, merged column recorded in the audit
+    assert "subject_race1" not in out.columns
+    assert "RAW_subject_race1" in out.columns
+    assert any(m.data_maps and "numbered_merge" in m.data_maps
+               for m in transforms)
+
+
+def test_numbered_merge_requires_full_sequence(spark):
+    """race1 + race3 (gap) must NOT merge — they are independent columns
+    and the reference's set(nums)==range check rejects them."""
+    rows = [("C1", "WHITE", "BLACK")]
+    out, _ = _std(spark, rows, "case string, race1 string, race3 string",
+                  table_type="USE OF FORCE")
+    # no merged array column was synthesized
+    assert not any(isinstance(f.dataType, type(out.schema["case"].dataType))
+                   is False and f.name.endswith("_merged")
+                   for f in out.schema.fields)
+    assert not any(f.name.endswith("_merged") for f in out.schema.fields)
