@@ -247,6 +247,11 @@ def standardize(
     merge_date_time: bool = True,
     race_eth_combo: str = "merge",
     collect_value_counts: bool = False,
+    race_cats: Optional[dict[str, str]] = None,
+    eth_cats: Optional[dict[str, str]] = None,
+    gender_cats: Optional[dict[str, str]] = None,
+    agg_race_cat: bool = False,
+    empty_time: str = "nat",
 ) -> tuple[DataFrame, list[DataMapping]]:
     """Standardize a loaded table into the canonical schema
     (reference preproc.standardize, preproc.py:70-137).
@@ -256,11 +261,36 @@ def standardize(
     injury → fatal → zip. Identification = driver-side heuristics on one
     sample; application = ONE ``withColumns`` projection.
 
+    ``race_cats``/``eth_cats``/``gender_cats`` relabel canonical output
+    categories (reference data.py:682-757: keys must be known category
+    values, else BadCategoryDict); ``agg_race_cat`` enables the census-based
+    aggressive race mapping; ``empty_time`` controls DATETIME for null
+    times ('nat' → null, 'ignore' → date only).
+
     Returns (standardized DataFrame, transform audit list).
     """
     if table_type and table_type.lower().startswith("calls for service"):
         # reference skip list (preproc.py:20): CFS tables aren't standardized
         return df, []
+
+    def _cat_values(cls) -> set[str]:
+        return {v for k, v in vars(cls).items()
+                if not k.startswith("_") and isinstance(v, str)}
+
+    def _relabel(expr_fn, cats: Optional[dict], valid: set[str], what: str):
+        """Wrap a scalar standardizer so canonical categories map to the
+        caller's labels (reference data.py:682-757; invalid keys raise
+        like BadCategoryDict, exceptions.py:65)."""
+        if not cats:
+            return expr_fn
+        bad = set(cats) - valid
+        if bad:
+            raise ValueError(
+                f"Invalid {what} category keys: {sorted(bad)} "
+                f"(must be a subset of the known {what} categories)")
+        m = F.create_map(*[F.lit(x) for kv in cats.items() for x in kv])
+        return lambda c: (lambda base: F.coalesce(F.element_at(m, base),
+                                                  base))(expr_fn(c))
 
     ident = ColumnIdentifier(df, table_type, source_name, known_cols)
     known_cols = dict(known_cols or {})
@@ -328,7 +358,7 @@ def standardize(
 
     if merge_date_time and date_col and time_col:
         post_cols[Columns.DATETIME] = merge_date_time_expr(
-            F.col(Columns.DATE), F.col(Columns.TIME)
+            F.col(Columns.DATE), F.col(Columns.TIME), empty_time=empty_time
         )
         transforms.append(DataMapping(None, Columns.DATETIME))
 
@@ -448,19 +478,27 @@ def standardize(
     std_demographic(
         ["race", "ethnicity race", "race ethnicity"], ident.validate_race,
         (Columns.RACE_SUBJECT, Columns.RACE_OFFICER, Columns.RACE_OFF_SUB),
-        lambda c: luts.race_expr(c, source_name=source_name, state=state, no_id=no_id),
+        _relabel(
+            lambda c: luts.race_expr(c, source_name=source_name, state=state,
+                                     no_id=no_id, agg_cat=agg_race_cat),
+            race_cats, _cat_values(defs.Race), "race"),
         exclude=["ethnicity"], allow_multi=True,
     )
     eth_used = std_demographic(
         ["ethnicity", "hispanic"], None,
         (Columns.ETHNICITY_SUBJECT, Columns.ETHNICITY_OFFICER, Columns.ETHNICITY_OFF_SUB),
-        lambda c: luts.ethnicity_expr(c, source_name=source_name, no_id=no_id),
+        _relabel(
+            lambda c: luts.ethnicity_expr(c, source_name=source_name, no_id=no_id),
+            eth_cats, _cat_values(defs.Ethnicity), "ethnicity"),
         allow_multi=True,
     )
     std_demographic(
         ["gender", "sex"], ident.validate_gender,
         (Columns.GENDER_SUBJECT, Columns.GENDER_OFFICER, Columns.GENDER_OFF_SUB),
-        lambda c: luts.gender_expr(c, source_name=source_name, state=state, no_id=no_id),
+        _relabel(
+            lambda c: luts.gender_expr(c, source_name=source_name, state=state,
+                                       no_id=no_id),
+            gender_cats, _cat_values(defs.Gender), "gender"),
         allow_multi=True,
     )
     std_demographic(

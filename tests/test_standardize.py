@@ -395,3 +395,47 @@ def test_numbered_merge_requires_full_sequence(spark):
                    is False and f.name.endswith("_merged")
                    for f in out.schema.fields)
     assert not any(f.name.endswith("_merged") for f in out.schema.fields)
+
+
+def test_custom_category_dicts(spark):
+    """race_cats/gender_cats relabel canonical outputs; invalid keys raise
+    (reference data.py:682-757 + BadCategoryDict)."""
+    rows = [("C1", "WHITE", "M"), ("C2", "BLACK", "F")]
+    schema = "case string, subject_race string, subject_sex string"
+    out, _ = _std(spark, rows, schema,
+                  race_cats={"WHITE": "Caucasian"},
+                  gender_cats={"MALE": "Man", "FEMALE": "Woman"})
+    got = {r.case: (r.SUBJECT_RACE, r.SUBJECT_GENDER) for r in out.collect()}
+    assert got["C1"] == ("Caucasian", "Man")
+    assert got["C2"] == ("BLACK", "Woman")  # unmapped categories unchanged
+    with pytest.raises(ValueError, match="Invalid race category"):
+        _std(spark, rows, schema, race_cats={"NOT_A_CATEGORY": "X"})
+
+
+def test_agg_race_cat(spark):
+    """agg_race_cat=True applies the census-based aggregation (e.g. East
+    African → BLACK); False leaves the value unmapped (no_id=keep)."""
+    rows = [("C1", "EAST AFRICAN"), ("C2", "WHITE"), ("C3", "BLACK"),
+            ("C4", "WHITE")]
+    schema = "case string, subject_race string"
+    out_plain, _ = _std(spark, rows, schema)
+    out_agg, _ = _std(spark, rows, schema, agg_race_cat=True)
+    plain = {r.case: r.SUBJECT_RACE for r in out_plain.collect()}
+    agg = {r.case: r.SUBJECT_RACE for r in out_agg.collect()}
+    assert plain["C1"] == "EAST AFRICAN"
+    assert agg["C1"] == "BLACK"
+    assert plain["C2"] == agg["C2"] == "WHITE"
+
+
+def test_empty_time_ignore(spark):
+    """empty_time='ignore': DATETIME falls back to the bare date for null
+    times instead of null (reference datetime_parser.py:206-228)."""
+    rows = [("C1", "2021-03-04", "12:30"), ("C2", "2021-03-05", None)]
+    schema = "case string, incident_date string, stop_time string"
+    out_nat, _ = _std(spark, rows, schema)
+    out_ign, _ = _std(spark, rows, schema, empty_time="ignore")
+    nat = {r.case: r.DATETIME for r in out_nat.collect()}
+    ign = {r.case: r.DATETIME for r in out_ign.collect()}
+    assert nat["C2"] is None
+    assert ign["C2"] is not None and ign["C2"].day == 5
+    assert nat["C1"] == ign["C1"]
