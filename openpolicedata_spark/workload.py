@@ -1373,6 +1373,109 @@ GROUP BY p.p_id, p.user_id
 """
 
 
+def q57_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with counts and document frequency — the
+    tokenizer-training prerequisite. One explode + groupBy (map-side
+    combine collapses each partition's repeats before the shuffle); rank
+    window for deterministic top-k with token tiebreak."""
+    from openpolicedata_spark.functions.text import (
+        normalize_text_expr,
+        tokens_expr,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(tokens_expr(normalize_text_expr(F.col("text")))).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps + driver merge — no single-task global sort of the whole
+    # vocab), THEN rank the 100 survivors with a window
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(100)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "token", "n_occurrences", "doc_freq")
+    )
+
+
+_Q57_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+    x -> x <> '')) AS token
+  FROM documents),
+counts AS (
+  SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM tok GROUP BY token)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS INTEGER)
+         AS rank,
+       token, n_occurrences, doc_freq
+FROM counts
+QUALIFY rank <= 100
+"""
+
+
+def q58_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (first 100 docs): term counts →
+    per-doc tf, corpus df, smoothed idf = ln((N+1)/(df+1))+1; rank window
+    per doc with term tiebreak. Two shuffles total ((doc,term) agg + term
+    df join where the df side aggregates first)."""
+    from openpolicedata_spark.functions.text import (
+        normalize_text_expr,
+        tokens_expr,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id",
+        F.explode(tokens_expr(normalize_text_expr(F.col("text")))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(df_, on="term")
+        .where(F.col("doc_id") < 100)
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").alias("rank"), "term", "tf", "df", "tfidf")
+    )
+
+
+_Q58_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+    x -> x <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (term), n
+  WHERE tf.doc_id < 100)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank,
+  term, tf, df, tfidf
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1436,6 +1539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_repetition_stats": q54_repetition_stats,
         "q55_pii_redact": q55_pii_redact,
         "q56_interval_join": q56_interval_join,
+        "q57_vocabulary": q57_vocabulary,
+        "q58_tfidf_top_terms": q58_tfidf_top_terms,
     }
     return base
 
@@ -1496,4 +1601,6 @@ def oracle_sql() -> dict[str, str]:
         "q54_repetition_stats": _Q54_SQL,
         "q55_pii_redact": _Q55_SQL,
         "q56_interval_join": _Q56_SQL,
+        "q57_vocabulary": _Q57_SQL,
+        "q58_tfidf_top_terms": _Q58_SQL,
     }
