@@ -62,10 +62,19 @@ def _best_delim(vals: pd.Series) -> tuple[Optional[str], float]:
     return None, 0.0
 
 
+def _drop_marsy_exempt(v: pd.Series) -> pd.Series:
+    """Florida PDs fill cells with Marsy's-law exemption boilerplate
+    (reference preproc.py:284-288, 1812-1816); the prose contains commas
+    and must not vote in delimiter election or person counts."""
+    return v[~(v.str.contains("Marsy", case=False)
+               & v.str.contains("Exempt", case=False))]
+
+
 def detect_multi(sample: pd.Series) -> MultData:
     """Classify one demographic column's encoding from sampled values."""
     v = sample.dropna().astype(str).str.strip()
     v = v[v != ""]
+    v = _drop_marsy_exempt(v)
     if len(v) == 0:
         return MultData(MultType.SINGLE)
     delim, _ = _best_delim(v)
@@ -92,7 +101,8 @@ def agreement(sample: pd.DataFrame, cols_delims: dict[str, str],
     if len(cols_delims) < 2:
         return True
     counts = pd.DataFrame({
-        c: sample[c].dropna().astype(str).str.split(re.escape(d)).str.len()
+        c: _drop_marsy_exempt(sample[c].dropna().astype(str))
+        .str.split(re.escape(d)).str.len()
         for c, d in cols_delims.items()
     })
     multi = counts[(counts > 1).any(axis=1)].dropna()

@@ -439,3 +439,19 @@ def test_empty_time_ignore(spark):
     assert nat["C2"] is None
     assert ign["C2"] is not None and ign["C2"].day == 5
     assert nat["C1"] == ign["C1"]
+
+
+def test_marsy_exempt_cells_do_not_vote(spark):
+    """Marsy's-law boilerplate contains commas; it must not trigger
+    multi-person detection (reference preproc.py:284-288, 1812-1816)."""
+    import pandas as pd
+
+    from openpolicedata_spark.standardize.multi import MultType, detect_multi
+
+    vals = pd.Series(
+        ["WHITE", "BLACK", "ASIAN"] * 5
+        + ["Exempt per Marsy's Law, FL Const., Art. I, s. 16"] * 5)
+    assert detect_multi(vals).type == MultType.SINGLE
+    # but genuine delimiters still win
+    vals2 = pd.Series(["WHITE, BLACK"] * 5 + ["ASIAN"] * 5)
+    assert detect_multi(vals2).type == MultType.DELIMITED
