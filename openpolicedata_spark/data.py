@@ -243,6 +243,16 @@ class Table:
         self.table.write.mode(mode).option("header", True).csv(path)
         return path
 
+    def to_feather(self, path: Optional[str] = None,
+                   output_dir: str = ".") -> str:
+        """Feather sink for reference parity (data.py:425-444). Feather is
+        a single-machine format, so this materializes on the driver
+        (Arrow-batched toPandas) — use to_parquet for anything large;
+        parquet is the distributed path."""
+        path = path or self.get_filename("feather", output_dir)
+        self.table.toPandas().to_feather(path)
+        return path
+
 
 class Source:
     """Handle on one source's catalog rows: discovery + loading
@@ -455,6 +465,17 @@ class Source:
     def load_csv(self, path: str, table_type: Optional[str] = None, date=None) -> Table:
         """reference data.py:1438-1538."""
         df = self.spark.read.csv(path, header=True, inferSchema=True)
+        return Table(df, state=self.state, source_name=self.source_name,
+                     table_type=table_type, year=date)
+
+    def load_feather(self, path: str, table_type: Optional[str] = None,
+                     date=None) -> Table:
+        """Re-load a feather file saved by Table.to_feather (reference
+        data.py:1490-1538). Driver-side read (feather is single-machine);
+        the resulting DataFrame is distributed as usual."""
+        import pandas as _pd
+
+        df = self.spark.createDataFrame(_pd.read_feather(path))
         return Table(df, state=self.state, source_name=self.source_name,
                      table_type=table_type, year=date)
 

@@ -66,3 +66,16 @@ def test_json_loader(spark, tmp_path):
     loader = JsonLoader(spark, url=p, date_field="d")
     assert loader.load().count() == 3
     assert loader.get_count(2020, force=True) == 2
+
+
+def test_feather_round_trip(spark, tmp_path, source):
+    """Table.to_feather → Source.load_feather preserves rows and schema
+    (reference data.py:425-444, 1490-1538; driver-side by design)."""
+    t = source.load("NATION")
+    p = t.to_feather(str(tmp_path / "nation.feather"))
+    back = source.load_feather(p, table_type="NATION")
+    assert back.count() == t.count()
+    assert set(back.table.columns) == set(t.table.columns)
+    orig = {r.n_nationkey: r.n_name for r in t.table.collect()}
+    got = {r.n_nationkey: r.n_name for r in back.table.collect()}
+    assert got == orig
