@@ -153,3 +153,77 @@ def test_where_builder_superset_property(date_text, start, ndays):
             DateFormat.YYYYQ_TEXT, DateFormat.YEAR_NUMERIC):
         # accurate day-precision clauses are EXACT
         assert selected == exact, (fmt, start, stop)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 500)),
+             min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 500),
+                       st.integers(0, 100)),
+             min_size=0, max_size=25),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join (union-merge window form) equals the brute-force
+    definition: latest right row with ts <= left ts per key; null when
+    none exists. Random keys/times, including equal timestamps."""
+    import datetime as _dt
+
+    from openpolicedata_spark.operators.textpipe import asof_join
+
+    base = _dt.datetime(2024, 1, 1)
+    lrows = [(k, base + _dt.timedelta(minutes=m), i)
+             for i, (k, m) in enumerate(lefts)]
+    rrows = [(k, base + _dt.timedelta(minutes=m), v)
+             for (k, m, v) in rights]
+    ldf = spark.createDataFrame(lrows, "k long, ts timestamp, lid long")
+    rdf = spark.createDataFrame(rrows, "k long, ts timestamp, payload long")
+    out = {r.lid: (r.asof_ts, r.asof_payload)
+           for r in asof_join(ldf, rdf, on="k").collect()}
+    assert len(out) == len(lrows)
+    for (k, lts, lid) in lrows:
+        cand = [(rts, v) for (rk, rts, v) in rrows if rk == k and rts <= lts]
+        if not cand:
+            assert out[lid] == (None, None), (lid, out[lid])
+        else:
+            best_ts = max(rts for rts, _ in cand)
+            got_ts, got_v = out[lid]
+            assert got_ts == best_ts
+            # ties on (key, ts): payload must be one of the tied rows'
+            # (deterministic: the struct-max, asserted elsewhere)
+            assert got_v in {v for rts, v in cand if rts == best_ts}
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 2000)),
+             min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 2000),
+                       st.integers(0, 600)),
+             min_size=1, max_size=10),
+    st.sampled_from([60, 300, 1800]),
+)
+def test_interval_join_matches_bruteforce(spark, facts, ivals, bucket_s):
+    """bucketed_interval_join equals the naive containment predicate for
+    any bucket width (bucketing is an optimization, never semantics)."""
+    import datetime as _dt
+
+    from openpolicedata_spark.operators.scale import bucketed_interval_join
+
+    base = _dt.datetime(2024, 1, 1)
+    frows = [(k, base + _dt.timedelta(minutes=m), i)
+             for i, (k, m) in enumerate(facts)]
+    irows = [(k, base + _dt.timedelta(minutes=s),
+              base + _dt.timedelta(minutes=s + dur), j)
+             for j, (k, s, dur) in enumerate(ivals)]
+    fdf = spark.createDataFrame(frows, "k long, ts timestamp, fid long")
+    idf = spark.createDataFrame(
+        irows, "k long, start timestamp, end timestamp, iid long")
+    got = sorted((r.fid, r.iid) for r in bucketed_interval_join(
+        fdf, idf, key="k", bucket_seconds=bucket_s).collect())
+    want = sorted(
+        (fid, iid)
+        for (fk, fts, fid) in frows
+        for (ik, s, e, iid) in irows
+        if fk == ik and s <= fts < e)
+    assert got == want
