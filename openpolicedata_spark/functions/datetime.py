@@ -262,11 +262,14 @@ def merge_date_time_expr(date_col: Column, time_secs: Column,
                          empty_time: str = "nat") -> Column:
     """date + seconds-since-midnight → timestamp (reference
     `merge_date_and_time` datetime_parser.py:206-228). ``empty_time='nat'``
-    nulls rows lacking a time; ``'date'`` keeps the bare date."""
+    nulls rows lacking a time; ``'ignore'`` keeps the bare date."""
+    if empty_time.lower() not in ("nat", "ignore"):
+        raise ValueError(
+            f"empty_time must be 'nat' or 'ignore', got {empty_time!r}")
     merged = F.timestamp_seconds(
         F.unix_timestamp(date_col.cast("timestamp")) + time_secs.cast("long")
     )
-    if empty_time == "nat":
+    if empty_time.lower() == "nat":
         return F.when(time_secs.isNull(), None).otherwise(merged)
     return F.when(time_secs.isNull(), date_col.cast("timestamp")).otherwise(merged)
 

@@ -108,6 +108,7 @@ def bucketed_interval_join(
     end_col: str = "end",
     bucket_seconds: int = 1800,
     how: str = "inner",
+    suffix: str = "_interval",
 ) -> DataFrame:
     """Range (interval-containment) join that scales: match each fact row
     to every interval of the same key with `start <= ts < end`.
@@ -142,8 +143,13 @@ def bucketed_interval_join(
     cond = ((fc(key) == ic(key))
             & (fc("__bucket__") == ic("__bucket__"))
             & (fc(ts_col) >= ic(start_col)) & (fc(ts_col) < ic(end_col)))
+    # interval columns colliding with fact columns get `suffix` — both
+    # sides often derive from the same table, and duplicate output names
+    # make every downstream reference ambiguous
+    fact_cols = set(facts.columns)
     out_cols = ([fc(c) for c in facts.columns]
-                + [ic(c) for c in intervals.columns if c != key])
+                + [ic(c).alias(c + suffix) if c in fact_cols else ic(c)
+                   for c in intervals.columns if c != key])
     return f.join(i, cond, how).select(*out_cols)
 
 

@@ -285,16 +285,22 @@ def weighted_mix(
     default_pct: int = 0,
 ) -> DataFrame:
     """Deterministic per-source downsampling: keep a row iff
-    `(id * 2654435761) mod 100 < pct(source)` (Knuth multiplicative hash —
-    id-uniform, reproducible in any engine with 64-bit arithmetic, no RNG
-    state to coordinate across executors). The standard "mix sources at
-    fixed ratios" step of corpus assembly; a pure narrow filter."""
+    `((id * 2654435761) mod p) mod 100 < pct(source)` with p = 1e9+7 —
+    reproducible in any engine with 64-bit arithmetic, no RNG state to
+    coordinate across executors. The intermediate prime modulus matters:
+    a bare `(id * C) mod 100` is a bijection on Z_100 (C coprime to 100),
+    so structured id spaces (all ids multiples of 100, say) would keep
+    100% or 0% regardless of pct. Requires ids < ~3.4e9 (the product must
+    fit a long under ANSI arithmetic); for wider keyspaces use xxhash64
+    and drop oracle portability. A pure narrow filter."""
     for pct in list(weights.values()) + [default_pct]:
         if not 0 <= pct <= 100:
             raise ValueError(f"weights must be percentages in [0,100]: {pct}")
     pct_expr: Column = F.lit(default_pct)
     for src, pct in sorted(weights.items()):
         pct_expr = F.when(F.col(source_col) == src, F.lit(pct)).otherwise(pct_expr)
-    keep = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761),
-                  F.lit(100)) < pct_expr
+    keep = F.pmod(
+        F.pmod(F.col(id_col).cast("long") * F.lit(2654435761),
+               F.lit(1_000_000_007)),
+        F.lit(100)) < pct_expr
     return df.where(keep)

@@ -179,6 +179,7 @@ class CsvLoader(_FileLoader):
             import shutil
             import tempfile
 
+            os.makedirs(os.path.dirname(spool), exist_ok=True)
             tmp = tempfile.mkdtemp(dir=os.path.dirname(spool) or "/tmp")
             try:
                 with zipfile.ZipFile(path) as z:

@@ -540,30 +540,6 @@ def standardize(
                       lambda c: luts.role_expr(c, no_id=no_id)))
         transforms.append(DataMapping(role_cols[0], Columns.SUBJECT_OR_OFFICER))
 
-    # ---------------------------------------------------- race/ethnicity combo
-    # (reference preproc.py:1533-1620): merged column where ethnicity wins
-    # if LATINO; RE_GROUP convenience alias.
-    spec_names = {canonical for canonical, _, _ in specs}
-    for race_c, eth_c, combo_c, group_c in [
-        (Columns.RACE_SUBJECT, Columns.ETHNICITY_SUBJECT,
-         Columns.RACE_ETHNICITY_SUBJECT, Columns.RE_GROUP_SUBJECT),
-        (Columns.RACE_OFFICER, Columns.ETHNICITY_OFFICER,
-         Columns.RACE_ETHNICITY_OFFICER, Columns.RE_GROUP_OFFICER),
-    ]:
-        if race_c in spec_names and eth_c in spec_names and race_eth_combo:
-            if race_eth_combo == "merge":
-                combo = F.when(
-                    F.col(eth_c) == defs.Ethnicity.LATINO,
-                    F.lit(defs.Race.LATINO),
-                ).otherwise(F.col(race_c))
-            else:  # 'concat'
-                combo = F.concat_ws(" ", F.col(race_c), F.col(eth_c))
-            post_cols[combo_c] = combo
-            post_cols[group_c] = combo
-            transforms.append(DataMapping(None, combo_c))
-        elif race_c in spec_names:
-            post_cols[group_c] = F.col(race_c)
-
     # ----------------------------------------------------------------- names
     std_demographic(
         ["name", "full name"], validate_name,
@@ -605,6 +581,65 @@ def standardize(
         if t.orig_column_name in mult_candidates:
             t.data_maps = {**(t.data_maps or {}),
                            "multi": mult_candidates[t.orig_column_name].type.value}
+
+    # ---------------------------------------------------- race/ethnicity combo
+    # (reference preproc.py:1533-1620): merged column where ethnicity wins
+    # if LATINO; RE_GROUP convenience alias. Runs AFTER the multi-person
+    # election so it knows which canonical columns are array<string>
+    # (numbered merges / multi-person cells) and can combine element-wise.
+    spec_names = {canonical for canonical, _, _ in specs}
+    array_canonicals = {
+        canonical for canonical, raw, _ in specs
+        if raw in mult_candidates or raw in _merged_arrays
+    }
+
+    def _latino_merge(r: Column, e: Column) -> Column:
+        return F.when(e == defs.Ethnicity.LATINO,
+                      F.lit(defs.Race.LATINO)).otherwise(r)
+
+    for race_c, eth_c, combo_c, group_c in [
+        (Columns.RACE_SUBJECT, Columns.ETHNICITY_SUBJECT,
+         Columns.RACE_ETHNICITY_SUBJECT, Columns.RE_GROUP_SUBJECT),
+        (Columns.RACE_OFFICER, Columns.ETHNICITY_OFFICER,
+         Columns.RACE_ETHNICITY_OFFICER, Columns.RE_GROUP_OFFICER),
+        (Columns.RACE_OFF_SUB, Columns.ETHNICITY_OFF_SUB,
+         Columns.RACE_ETHNICITY_OFF_SUB, Columns.RE_GROUP_OFF_SUB),
+    ]:
+        if race_c in spec_names and eth_c in spec_names and race_eth_combo:
+            r_arr, e_arr = race_c in array_canonicals, eth_c in array_canonicals
+            if race_eth_combo == "merge":
+                if r_arr and e_arr:
+                    combo = F.zip_with(F.col(race_c), F.col(eth_c),
+                                       _latino_merge)
+                elif r_arr:
+                    combo = F.transform(
+                        F.col(race_c),
+                        lambda r: _latino_merge(r, F.col(eth_c)))
+                elif e_arr:
+                    # scalar race + per-person ethnicity: apply per person
+                    combo = F.transform(
+                        F.col(eth_c),
+                        lambda e: _latino_merge(F.col(race_c), e))
+                else:
+                    combo = _latino_merge(F.col(race_c), F.col(eth_c))
+            else:  # 'concat'
+                if r_arr or e_arr:
+                    # element-wise concat only when shapes match; otherwise
+                    # fall back to the race column (no silent type mix)
+                    if r_arr and e_arr:
+                        combo = F.zip_with(
+                            F.col(race_c), F.col(eth_c),
+                            lambda r, e: F.concat_ws(" ", r, e))
+                    else:
+                        combo = F.col(race_c)
+                else:
+                    combo = F.concat_ws(" ", F.col(race_c), F.col(eth_c))
+            post_cols[combo_c] = combo
+            post_cols[group_c] = combo
+            transforms.append(DataMapping(None, combo_c))
+        elif race_c in spec_names:
+            post_cols[group_c] = F.col(race_c)
+
     out = df.withColumnsRenamed(raw_renames)
     out = out.withColumns({
         canonical: (
@@ -622,12 +657,17 @@ def standardize(
         # audit head-5 value counts (reference _preproc_utils.py:15) — one
         # small job per mapped column, opt-in.
         for t in transforms:
-            if t.orig_column_name:
-                t.orig_value_counts = (
-                    out.groupBy(raw_renames.get(t.orig_column_name,
-                                                t.orig_column_name)).count()
-                    .orderBy(F.desc("count")).limit(5).toPandas()
-                )
+            if not t.orig_column_name:
+                continue
+            src = raw_renames.get(t.orig_column_name, t.orig_column_name)
+            if src not in out.columns:
+                # synthetic records (e.g. the numbered-merge audit row whose
+                # orig_column_name is the str(list) of source columns)
+                continue
+            t.orig_value_counts = (
+                out.groupBy(src).count()
+                .orderBy(F.desc("count")).limit(5).toPandas()
+            )
 
     if not keep_raw:
         drop = [raw_renames.get(raw, raw) for _, raw in col_map.items()]

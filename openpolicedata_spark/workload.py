@@ -1111,7 +1111,16 @@ def q49_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _read(spark, sf_dir, "events")
     purchases = e.where(F.col("event_type") == "purchase")
-    clicks = e.where(F.col("event_type") == "click")
+    # one click per (user, ts), max event_id wins: DuckDB's ASOF JOIN
+    # picks an ARBITRARY row among equal-ts matches, so parity must be
+    # tie-free by construction (CLAUDE.md oracle-determinism rule)
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .withColumn("__rn__", F.row_number().over(w_dedup))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
     # no-match sentinels instead of nulls: value-hash comparators disagree
     # on null encodings across engines; the epoch/-1 sentinels are
     # unambiguous in both
@@ -1132,7 +1141,10 @@ SELECT p.event_id, p.user_id, p.ts,
   COALESCE(c.event_id, -1) AS asof_event_id,
   COALESCE(ROUND(c.value, 2), -1.0) AS asof_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  SELECT * FROM events WHERE event_type = 'click'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+) c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
@@ -1234,7 +1246,7 @@ def q53_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q53_SQL = """
 SELECT doc_id, source FROM documents
-WHERE ((doc_id * 2654435761) % 100 + 100) % 100 <
+WHERE (((doc_id * 2654435761) % 1000000007 + 1000000007) % 1000000007) % 100 <
   CASE source WHEN 'src0' THEN 75 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25
        WHEN 'src3' THEN 0 ELSE 60 END
 """

@@ -455,3 +455,38 @@ def test_marsy_exempt_cells_do_not_vote(spark):
     # but genuine delimiters still win
     vals2 = pd.Series(["WHITE, BLACK"] * 5 + ["ASIAN"] * 5)
     assert detect_multi(vals2).type == MultType.DELIMITED
+
+
+def test_numbered_merge_with_ethnicity_combo(spark):
+    """Array-valued race (numbered merge) + scalar ethnicity must combine
+    element-wise, not crash with a string/array type mismatch."""
+    rows = [
+        ("C1", "WHITE", "BLACK", "HISPANIC"),
+        ("C2", "BLACK", "WHITE", "NOT HISPANIC"),
+        ("C3", "ASIAN", None, "NOT HISPANIC"),
+        ("C4", "WHITE", "BLACK", "HISPANIC"),
+    ]
+    out, _ = _std(
+        spark, rows,
+        "case string, subject_race1 string, subject_race2 string, "
+        "subject_ethnicity string",
+        table_type="USE OF FORCE")
+    assert Columns.RE_GROUP_SUBJECT in out.columns
+    got = {r.case: r[Columns.RE_GROUP_SUBJECT] for r in out.collect()}
+    # Latino ethnicity overrides every person's race in the combo
+    assert got["C1"] == ["LATINO", "LATINO"]
+    assert got["C2"] == ["BLACK", "WHITE"]
+
+
+def test_collect_value_counts_with_numbered_merge(spark):
+    """collect_value_counts must skip the synthetic numbered-merge audit
+    record (its orig_column_name is a str(list), not a real column)."""
+    rows = [("C1", "WHITE", "BLACK"), ("C2", "BLACK", None),
+            ("C3", "WHITE", "WHITE")]
+    out, transforms = _std(
+        spark, rows, "case string, subject_race1 string, subject_race2 string",
+        table_type="USE OF FORCE", collect_value_counts=True)
+    assert out.count() == 3
+    merged = [t for t in transforms
+              if t.data_maps and "numbered_merge" in t.data_maps]
+    assert merged and merged[0].orig_value_counts is None

@@ -240,12 +240,25 @@ def test_weighted_mix_deterministic_and_exact(spark):
     out = weighted_mix(docs, {"web": 40, "books": 0}, default_pct=0)
     ids = sorted(r.doc_id for r in out.collect())
     expected = [i for i in range(200)
-                if i % 2 == 0 and (i * 2654435761) % 100 < 40]
+                if i % 2 == 0
+                and ((i * 2654435761) % 1_000_000_007) % 100 < 40]
     assert ids == expected
     # deterministic: rerun gives the identical set
     ids2 = sorted(r.doc_id for r in
                   weighted_mix(docs, {"web": 40, "books": 0}).collect())
     assert ids2 == ids
+
+
+def test_weighted_mix_unbiased_for_structured_ids(spark):
+    """ids that are all multiples of 100 (shard-prefixed keyspaces) must
+    still sample ≈pct, not 0%/100% — the prime intermediate modulus breaks
+    the Z_100 bijection of a bare multiplicative hash."""
+    docs = spark.createDataFrame(
+        [(i * 100, "web") for i in range(500)], "doc_id long, source string")
+    n = weighted_mix(docs, {"web": 50}).count()
+    expected = sum(1 for i in range(500)
+                   if ((i * 100 * 2654435761) % 1_000_000_007) % 100 < 50)
+    assert n == expected and 150 <= n <= 350  # ≈250; degenerate 0/500 fails
 
 
 def test_weighted_mix_default_pct_and_validation(spark):
