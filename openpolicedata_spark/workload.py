@@ -1488,6 +1488,98 @@ QUALIFY rank <= 3
 """
 
 
+def q59_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for one region and one order
+    year, where supplier and customer share the nation. Five-way join —
+    every dimension (region→nation→supplier) broadcasts; only the
+    orders⋈lineitem fact join shuffles. Decimal revenue for
+    order-independent sums."""
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(2,0)")
+              - F.col("l_discount").cast("decimal(4,4)")))
+    dims = (F.broadcast(n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                               n.n_regionkey == r.r_regionkey)))
+    return (
+        o.where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select(F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+_Q59_SQL = """
+SELECT n_name AS nation,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,4)))), 2) AS DOUBLE)
+    AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q60_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (o_shippriority → o_orderpriority, which this
+    schema has): unshipped BUILDING-segment orders ranked by revenue.
+    Customer broadcasts; top-10 via orderBy+limit
+    (TakeOrderedAndProject); orderkey tiebreak for determinism."""
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(2,0)")
+              - F.col("l_discount").cast("decimal(4,4)")))
+    return (
+        o.where(F.col("o_orderdate") < cutoff)
+        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+              o.o_custkey == c.c_custkey)
+        .join(l.where(F.col("l_shipdate") > cutoff),
+              o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q60_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,4)))), 2) AS DOUBLE)
+    AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1553,6 +1645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_interval_join": q56_interval_join,
         "q57_vocabulary": q57_vocabulary,
         "q58_tfidf_top_terms": q58_tfidf_top_terms,
+        "q59_local_supplier_volume": q59_local_supplier_volume,
+        "q60_shipping_priority": q60_shipping_priority,
     }
     return base
 
@@ -1615,4 +1709,6 @@ def oracle_sql() -> dict[str, str]:
         "q56_interval_join": _Q56_SQL,
         "q57_vocabulary": _Q57_SQL,
         "q58_tfidf_top_terms": _Q58_SQL,
+        "q59_local_supplier_volume": _Q59_SQL,
+        "q60_shipping_priority": _Q60_SQL,
     }

@@ -112,3 +112,14 @@ def test_portal_scan_no_extra_exchange(spark):
     df = loader.load(2020)
     s = summarize_plan(df)
     assert s.n_exchanges == 0, s.text
+
+
+def test_q59_q60_tpch_shapes_broadcast_dims(spark, sf_dir):
+    """TPC-H Q5/Q3 shapes: every dimension join broadcasts and the whole
+    query needs at most the aggregation exchange (+AQE reads)."""
+    q5 = workload.queries()["q59_local_supplier_volume"](spark, sf_dir)
+    assert_broadcast_join(q5, min_joins=3)
+    assert_max_exchanges(q5, 2)
+    q3 = workload.queries()["q60_shipping_priority"](spark, sf_dir)
+    assert_broadcast_join(q3, min_joins=2)
+    assert_max_exchanges(q3, 2)
