@@ -125,6 +125,10 @@ def detect_date_format(df: DataFrame, col: str, sample_n: int = 1000) -> dict:
         return {"kind": "year"}
     if svals and all(re.match(r"^\d{4}-\d{2}$", v) for v in svals):
         return {"kind": "year_month"}
+    # 'YYYY Q#' quarters (reference datetime_parser.py:600-616 → Period Q;
+    # also the Socrata yyyyq WHERE dialect, socrata.py:404-419)
+    if svals and all(re.match(r"^\d{4}\s*Q[1-4]$", v, re.I) for v in svals):
+        return {"kind": "year_quarter"}
     return {"kind": "unknown"}
 
 
@@ -148,6 +152,12 @@ def to_datetime_expr(col: Column, strategy: Optional[dict] = None,
             F.substring(s, 1, 4).cast("int"), F.substring(s, 6, 2).cast("int"),
             F.lit(1), F.lit(0), F.lit(0), F.lit(0),
         )
+    if kind == "year_quarter":
+        s_q = F.upper(F.trim(col.cast("string")))
+        q = F.regexp_extract(s_q, r"Q([1-4])$", 1).cast("int")
+        return F.make_timestamp(
+            F.substring(s_q, 1, 4).cast("int"),
+            (q - 1) * 3 + 1, F.lit(1), F.lit(0), F.lit(0), F.lit(0))
     if kind == "yyyymmdd":
         v = col.cast("long")
         return F.make_timestamp((v / 10000).cast("int"),
@@ -304,6 +314,8 @@ def date_precision_expr(strategy: Optional[dict] = None) -> Column:
         return F.lit("year")
     if kind == "year_month":
         return F.lit("month")
+    if kind == "year_quarter":
+        return F.lit("quarter")
     return F.lit("day")
 
 

@@ -340,7 +340,7 @@ def standardize(
                       lambda c, s=strat: to_datetime_expr(c, s)))
         # (date, precision) pair = the reference's pd.Period encoding
         # (SURVEY §1.3): partial dates floor + carry their granularity
-        if strat.get("kind") in ("year", "year_month"):
+        if strat.get("kind") in ("year", "year_month", "year_quarter"):
             post_cols[Columns.DATE_PRECISION] = date_precision_expr(strat)
         transforms.append(DataMapping(date_col, Columns.DATE,
                                       {"strategy": strat}))

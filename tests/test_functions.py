@@ -253,3 +253,24 @@ def test_min_version_gate(spark, sf_dir):
     src = Source("TestData", catalog=Catalog(rec), spark=spark)
     with pytest.raises(ValueError, match="min_version|newer"):
         src.filter("ORDERS", 1995)
+
+
+def test_year_quarter_parsing(spark):
+    """'YYYY Q#' columns floor to the quarter start with quarter precision
+    (reference datetime_parser.py:600-616 Period Q)."""
+    from openpolicedata_spark.functions.datetime import (
+        date_precision_expr,
+        detect_date_format,
+        to_datetime_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("2021 Q1",), ("2021 Q2",), ("2022 Q4",), ("2023q3",)],
+        "d string")
+    strat = detect_date_format(df, "d")
+    assert strat["kind"] == "year_quarter"
+    got = [r.ts for r in df.select(
+        to_datetime_expr(F.col("d"), strat).alias("ts")).collect()]
+    assert [(t.year, t.month, t.day) for t in got] == [
+        (2021, 1, 1), (2021, 4, 1), (2022, 10, 1), (2023, 7, 1)]
+    assert df.select(date_precision_expr(strat).alias("p")).first().p == "quarter"
