@@ -99,6 +99,42 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def enrich_within_window(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    window: str = "30 minutes",
+    watermark: str = "1 day",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream (or batch-batch) time-bounded enrichment: every right
+    row within ±`window` of a left row for the same key — the
+    streaming-legal form of an as-of/interval join.
+
+    In streaming, Spark requires BOTH watermarks and a time-range join
+    condition so each side's buffered state can be evicted once the
+    watermark passes the window (state is O(rows per window × keys), not
+    O(stream)). An unbounded as-of join cannot stream — the bounded window
+    is the standard production substitute; widen `window` to trade state
+    for recall. Batch mode plans the same expression as a plain range
+    join (use `scale.bucketed_interval_join` for big batch sides).
+    """
+    if left.isStreaming:
+        left = left.withWatermark("ts", watermark)
+    if right.isStreaming:
+        right = right.withWatermark("ts", watermark)
+    r = right.select(
+        F.col(key),
+        *[F.col(c).alias(f"{right_prefix}{c}")
+          for c in right.columns if c != key],
+    )
+    w = F.expr(f"INTERVAL {window}")
+    cond = ((left[key] == r[key])
+            & (r[f"{right_prefix}ts"] >= left["ts"] - w)
+            & (r[f"{right_prefix}ts"] < left["ts"] + w))
+    return left.join(r, cond, "inner").drop(r[key])
+
+
 def dedup_events(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
                  watermark: str = "1 day") -> DataFrame:
     """Exactly-once repair for at-least-once transports: drop redundant

@@ -161,3 +161,27 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     assert out.count() == n_expected
     # every event survives exactly once
     assert out.select("event_id").distinct().count() == n_expected
+
+
+def test_stream_stream_window_join_equals_batch(spark, sf_dir):
+    """Stream-stream time-bounded join (watermarks + range condition, the
+    streaming-legal as-of substitute) must equal the batch range join."""
+    from openpolicedata_spark.streaming import enrich_within_window
+
+    batch = _events_batch(spark, sf_dir)
+    purchases = batch.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id")
+    clicks = batch.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    expected = {(r.event_id, r.r_event_id) for r in enrich_within_window(
+        purchases, clicks, window="30 minutes").collect()}
+
+    s = read_events_stream(spark, _events_path(sf_dir))
+    sp = s.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id")
+    sc = s.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    got_df = run_available_now(
+        enrich_within_window(sp, sc, window="30 minutes"), "ss_join")
+    got = {(r.event_id, r.r_event_id) for r in got_df.collect()}
+    assert got == expected and len(got) > 0
