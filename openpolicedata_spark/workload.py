@@ -1580,6 +1580,68 @@ LIMIT 10
 """
 
 
+def q61_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile of the events table: one
+    aggregation computes rows/nulls/distincts/min/max for every column —
+    at 100 TB this is ONE scan, where a per-column loop would be
+    O(columns) scans. Long (column, metric) output shape."""
+    e = _read(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = e.agg(*aggs)
+    profile_rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ])
+    return wide.select(F.explode(profile_rows).alias("p")).select("p.*")
+
+
+_Q61_SQL = """
+WITH w AS (
+  SELECT COUNT(*) AS n_rows,
+    SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS eid_nulls,
+    COUNT(DISTINCT event_id) AS eid_distinct,
+    MIN(CAST(event_id AS VARCHAR)) AS eid_min,
+    MAX(CAST(event_id AS VARCHAR)) AS eid_max,
+    SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS uid_nulls,
+    COUNT(DISTINCT user_id) AS uid_distinct,
+    MIN(CAST(user_id AS VARCHAR)) AS uid_min,
+    MAX(CAST(user_id AS VARCHAR)) AS uid_max,
+    SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS et_nulls,
+    COUNT(DISTINCT event_type) AS et_distinct,
+    MIN(CAST(event_type AS VARCHAR)) AS et_min,
+    MAX(CAST(event_type AS VARCHAR)) AS et_max,
+    SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS v_nulls,
+    COUNT(DISTINCT value) AS v_distinct,
+    MIN(CAST(value AS VARCHAR)) AS v_min,
+    MAX(CAST(value AS VARCHAR)) AS v_max
+  FROM events)
+SELECT 'event_id' AS "column", n_rows, eid_nulls AS n_nulls,
+       eid_distinct AS n_distinct, eid_min AS min_value, eid_max AS max_value
+FROM w
+UNION ALL
+SELECT 'user_id', n_rows, uid_nulls, uid_distinct, uid_min, uid_max FROM w
+UNION ALL
+SELECT 'event_type', n_rows, et_nulls, et_distinct, et_min, et_max FROM w
+UNION ALL
+SELECT 'value', n_rows, v_nulls, v_distinct, v_min, v_max FROM w
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1647,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_tfidf_top_terms": q58_tfidf_top_terms,
         "q59_local_supplier_volume": q59_local_supplier_volume,
         "q60_shipping_priority": q60_shipping_priority,
+        "q61_column_profile": q61_column_profile,
     }
     return base
 
@@ -1711,4 +1774,5 @@ def oracle_sql() -> dict[str, str]:
         "q58_tfidf_top_terms": _Q58_SQL,
         "q59_local_supplier_volume": _Q59_SQL,
         "q60_shipping_priority": _Q60_SQL,
+        "q61_column_profile": _Q61_SQL,
     }
