@@ -252,6 +252,7 @@ def standardize(
     gender_cats: Optional[dict[str, str]] = None,
     agg_race_cat: bool = False,
     empty_time: str = "nat",
+    verbose: bool | str = False,
 ) -> tuple[DataFrame, list[DataMapping]]:
     """Standardize a loaded table into the canonical schema
     (reference preproc.standardize, preproc.py:70-137).
@@ -272,6 +273,17 @@ def standardize(
     if table_type and table_type.lower().startswith("calls for service"):
         # reference skip list (preproc.py:20): CFS tables aren't standardized
         return df, []
+
+    if verbose:
+        # reference data.py:735-741: True → INFO; a level name sets that
+        # level on this module's logger
+        import logging
+
+        level = (verbose.upper() if isinstance(verbose, str)
+                 else "INFO")
+        logging.getLogger(__name__).setLevel(level)
+        if not logging.getLogger(__name__).handlers:
+            logging.basicConfig()
 
     def _cat_values(cls) -> set[str]:
         return {v for k, v in vars(cls).items()
