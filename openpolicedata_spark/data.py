@@ -22,6 +22,7 @@ from typing import Any, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from openpolicedata_spark import defs
 from openpolicedata_spark.catalog import Catalog
@@ -238,9 +239,19 @@ class Table:
 
     def to_csv(self, path: Optional[str] = None, output_dir: str = ".",
                mode: str = "overwrite") -> str:
-        """reference data.py:397-444."""
+        """reference data.py:397-444. Complex-typed columns (the
+        array-valued multi-person columns) are JSON-stringified first —
+        the Spark CSV writer rejects arrays/maps, and the reference
+        likewise coerces dict cells to strings on CSV save
+        (data.py:405-420)."""
+        from pyspark.sql import types as T
+
         path = path or self.get_filename("csv", output_dir)
-        self.table.write.mode(mode).option("header", True).csv(path)
+        df = self.table
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                df = df.withColumn(f.name, F.to_json(F.col(f.name)))
+        df.write.mode(mode).option("header", True).csv(path)
         return path
 
     def to_feather(self, path: Optional[str] = None,

@@ -79,3 +79,19 @@ def test_feather_round_trip(spark, tmp_path, source):
     orig = {r.n_nationkey: r.n_name for r in t.table.collect()}
     got = {r.n_nationkey: r.n_name for r in back.table.collect()}
     assert got == orig
+
+
+def test_to_csv_stringifies_array_columns(spark, tmp_path):
+    """Standardized tables hold array-valued multi-person columns; the CSV
+    sink must JSON-stringify them (Spark's CSV writer rejects arrays),
+    mirroring the reference's dict coercion (data.py:405-420)."""
+    from openpolicedata_spark.data import Table
+
+    df = spark.createDataFrame(
+        [("C1", ["WHITE", "BLACK"]), ("C2", ["ASIAN"])],
+        "case string, SUBJECT_RACE array<string>")
+    t = Table(df, table_type="UOF", source_name="T", state="TS")
+    p = t.to_csv(str(tmp_path / "out.csv"))
+    back = spark.read.csv(p, header=True)
+    got = {r.case: r.SUBJECT_RACE for r in back.collect()}
+    assert got["C1"] == '["WHITE","BLACK"]'
