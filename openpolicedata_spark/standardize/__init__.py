@@ -17,9 +17,12 @@ execution time.
 
 from __future__ import annotations
 
+import logging
 import re
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
+
+_log = logging.getLogger(__name__)
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -276,14 +279,14 @@ def standardize(
 
     if verbose:
         # reference data.py:735-741: True → INFO; a level name sets that
-        # level on this module's logger
+        # level on this module's logger (mapping decisions are logged at
+        # the end of identification, below)
         import logging
 
         level = (verbose.upper() if isinstance(verbose, str)
                  else "INFO")
+        logging.basicConfig()  # no-op if the root logger is configured
         logging.getLogger(__name__).setLevel(level)
-        if not logging.getLogger(__name__).handlers:
-            logging.basicConfig()
 
     def _cat_values(cls) -> set[str]:
         return {v for k, v in vars(cls).items()
@@ -635,15 +638,18 @@ def standardize(
                 else:
                     combo = _latino_merge(F.col(race_c), F.col(eth_c))
             else:  # 'concat'
-                if r_arr or e_arr:
-                    # element-wise concat only when shapes match; otherwise
-                    # fall back to the race column (no silent type mix)
-                    if r_arr and e_arr:
-                        combo = F.zip_with(
-                            F.col(race_c), F.col(eth_c),
-                            lambda r, e: F.concat_ws(" ", r, e))
-                    else:
-                        combo = F.col(race_c)
+                if r_arr and e_arr:
+                    combo = F.zip_with(
+                        F.col(race_c), F.col(eth_c),
+                        lambda r, e: F.concat_ws(" ", r, e))
+                elif r_arr:
+                    combo = F.transform(
+                        F.col(race_c),
+                        lambda r: F.concat_ws(" ", r, F.col(eth_c)))
+                elif e_arr:
+                    combo = F.transform(
+                        F.col(eth_c),
+                        lambda e: F.concat_ws(" ", F.col(race_c), e))
                 else:
                     combo = F.concat_ws(" ", F.col(race_c), F.col(eth_c))
             post_cols[combo_c] = combo
@@ -687,4 +693,9 @@ def standardize(
                  for s in srcs]
         out = out.drop(*drop)
 
+    for t in transforms:
+        # the reference logs each mapping decision at INFO
+        # (preproc.py:1264-1266 "Column X will be mapped to Y")
+        _log.info("Column %s will be mapped to %s",
+                  t.orig_column_name, t.new_column_name)
     return out, transforms

@@ -103,6 +103,7 @@ def enrich_within_window(
     left: DataFrame,
     right: DataFrame,
     key: str = "user_id",
+    ts_col: str = "ts",
     window: str = "30 minutes",
     watermark: str = "1 day",
     right_prefix: str = "r_",
@@ -119,10 +120,16 @@ def enrich_within_window(
     for recall. Batch mode plans the same expression as a plain range
     join (use `scale.bucketed_interval_join` for big batch sides).
     """
+    clash = [f"{right_prefix}{c}" for c in right.columns
+             if c != key and f"{right_prefix}{c}" in left.columns]
+    if clash:
+        raise ValueError(
+            f"right_prefix {right_prefix!r} collides with left columns "
+            f"{clash}; pass a different right_prefix")
     if left.isStreaming:
-        left = left.withWatermark("ts", watermark)
+        left = left.withWatermark(ts_col, watermark)
     if right.isStreaming:
-        right = right.withWatermark("ts", watermark)
+        right = right.withWatermark(ts_col, watermark)
     r = right.select(
         F.col(key),
         *[F.col(c).alias(f"{right_prefix}{c}")
@@ -130,8 +137,8 @@ def enrich_within_window(
     )
     w = F.expr(f"INTERVAL {window}")
     cond = ((left[key] == r[key])
-            & (r[f"{right_prefix}ts"] >= left["ts"] - w)
-            & (r[f"{right_prefix}ts"] < left["ts"] + w))
+            & (r[f"{right_prefix}{ts_col}"] >= left[ts_col] - w)
+            & (r[f"{right_prefix}{ts_col}"] < left[ts_col] + w))
     return left.join(r, cond, "inner").drop(r[key])
 
 

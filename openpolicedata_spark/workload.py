@@ -234,6 +234,15 @@ GROUP BY c_mktsegment
 """
 
 
+def _revenue_expr() -> Column:
+    """Shared TPC-H revenue term `extendedprice * (1 - discount)` on exact
+    decimals (order-independent sums; oracle-stable). One definition so a
+    precision tweak can't drift between q11/q59/q60."""
+    return (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(2,0)")
+               - F.col("l_discount").cast("decimal(4,4)")))
+
+
 def q11_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped star join: revenue by nation within one region.
     Dims broadcast; the only shuffle is the final small aggregation."""
@@ -242,16 +251,13 @@ def q11_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _read(spark, sf_dir, "customer")
     n = _read(spark, sf_dir, "nation")
     r = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(4,4)")
-    one = F.lit(1).cast("decimal(2,0)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"),
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
 
@@ -1500,9 +1506,7 @@ def q59_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _read(spark, sf_dir, "supplier")
     n = _read(spark, sf_dir, "nation")
     r = _read(spark, sf_dir, "region")
-    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
-           * (F.lit(1).cast("decimal(2,0)")
-              - F.col("l_discount").cast("decimal(4,4)")))
+    rev = _revenue_expr()
     dims = (F.broadcast(n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
                                n.n_regionkey == r.r_regionkey)))
     return (
@@ -1547,9 +1551,7 @@ def q60_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _read(spark, sf_dir, "orders")
     c = _read(spark, sf_dir, "customer")
     cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
-    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
-           * (F.lit(1).cast("decimal(2,0)")
-              - F.col("l_discount").cast("decimal(4,4)")))
+    rev = _revenue_expr()
     return (
         o.where(F.col("o_orderdate") < cutoff)
         .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
@@ -1587,13 +1589,25 @@ def q61_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(columns) scans. Long (column, metric) output shape."""
     e = _read(spark, sf_dir, "events")
     cols = ["event_id", "user_id", "event_type", "value"]
+
+    def render(c: Column, dtype: str) -> Column:
+        # engine-portable string rendering: doubles go through a fixed
+        # decimal scale (Java prints 1e7 as '1.0E7', DuckDB as
+        # '10000000.0'); integers and strings agree natively
+        if dtype == "double":
+            return c.cast("decimal(18,6)").cast("string")
+        return c.cast("string")
+
+    dtypes = dict(e.dtypes)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            # min/max on the NATIVE type (lexicographic string order would
+            # put '10' before '9'), rendered portably afterwards
+            render(F.min(F.col(c)), dtypes[c]).alias(f"{c}__min"),
+            render(F.max(F.col(c)), dtypes[c]).alias(f"{c}__max"),
         ]
     wide = e.agg(*aggs)
     profile_rows = F.array(*[
@@ -1615,20 +1629,20 @@ WITH w AS (
   SELECT COUNT(*) AS n_rows,
     SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS eid_nulls,
     COUNT(DISTINCT event_id) AS eid_distinct,
-    MIN(CAST(event_id AS VARCHAR)) AS eid_min,
-    MAX(CAST(event_id AS VARCHAR)) AS eid_max,
+    CAST(MIN(event_id) AS VARCHAR) AS eid_min,
+    CAST(MAX(event_id) AS VARCHAR) AS eid_max,
     SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS uid_nulls,
     COUNT(DISTINCT user_id) AS uid_distinct,
-    MIN(CAST(user_id AS VARCHAR)) AS uid_min,
-    MAX(CAST(user_id AS VARCHAR)) AS uid_max,
+    CAST(MIN(user_id) AS VARCHAR) AS uid_min,
+    CAST(MAX(user_id) AS VARCHAR) AS uid_max,
     SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS et_nulls,
     COUNT(DISTINCT event_type) AS et_distinct,
-    MIN(CAST(event_type AS VARCHAR)) AS et_min,
-    MAX(CAST(event_type AS VARCHAR)) AS et_max,
+    MIN(event_type) AS et_min,
+    MAX(event_type) AS et_max,
     SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS v_nulls,
     COUNT(DISTINCT value) AS v_distinct,
-    MIN(CAST(value AS VARCHAR)) AS v_min,
-    MAX(CAST(value AS VARCHAR)) AS v_max
+    CAST(CAST(MIN(value) AS DECIMAL(18,6)) AS VARCHAR) AS v_min,
+    CAST(CAST(MAX(value) AS DECIMAL(18,6)) AS VARCHAR) AS v_max
   FROM events)
 SELECT 'event_id' AS "column", n_rows, eid_nulls AS n_nulls,
        eid_distinct AS n_distinct, eid_min AS min_value, eid_max AS max_value

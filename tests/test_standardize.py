@@ -490,3 +490,20 @@ def test_collect_value_counts_with_numbered_merge(spark):
     merged = [t for t in transforms
               if t.data_maps and "numbered_merge" in t.data_maps]
     assert merged and merged[0].orig_value_counts is None
+
+
+def test_numbered_merge_concat_combo_keeps_ethnicity(spark):
+    """race_eth_combo='concat' with array race + scalar ethnicity must
+    concat per person, not silently drop the ethnicity."""
+    rows = [("C1", "WHITE", "BLACK", "HISPANIC"),
+            ("C2", "BLACK", "WHITE", "NOT HISPANIC"),
+            ("C3", "WHITE", None, "NOT HISPANIC"),
+            ("C4", "ASIAN", "WHITE", "HISPANIC")]
+    out, _ = _std(
+        spark, rows,
+        "case string, subject_race1 string, subject_race2 string, "
+        "subject_ethnicity string",
+        table_type="USE OF FORCE", race_eth_combo="concat")
+    got = {r.case: r[Columns.RE_GROUP_SUBJECT] for r in out.collect()}
+    assert got["C1"] == ["WHITE LATINO", "BLACK LATINO"]
+    assert got["C2"] == ["BLACK NON-LATINO", "WHITE NON-LATINO"]

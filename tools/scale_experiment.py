@@ -7,9 +7,12 @@ Usage:
     python tools/scale_experiment.py            # build + print bench cmd
     SPARK_GRAFT_SF_DIR=/tmp/opdspark_sf1 python bench.py
 
-Ids are shifted by k*10_000_000 per copy so keys stay unique (and each
+Only PRIMARY keys (and self-contained grouping keys like events.user_id)
+are shifted per copy — foreign keys into the unshifted dimension tables
+(o_custkey, l_suppkey, l_partkey) keep their values so referential
+integrity holds and every join query processes all 10 copies. Each
 document text appears 10x — a realistic duplication rate for the dedup
-operators). Dimension tables are copied as-is.
+operators. Dimension tables are copied as-is.
 """
 
 from __future__ import annotations
@@ -25,9 +28,9 @@ COPIES = 10
 SHIFT = 10_000_000
 
 FACT_TABLES = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey"],          # matches shifted o_orderkey
+    "orders": ["o_orderkey"],            # o_custkey stays: FK to customer
+    "events": ["event_id", "user_id"],   # user_id is self-contained
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
