@@ -47,7 +47,8 @@ MEDIA_SCHEMA = StructType([
 
 
 def attach_payload(df: DataFrame, src_col: str, media_id_col: str,
-                   mime: str = "application/octet-stream") -> DataFrame:
+                   mime: str = "application/octet-stream",
+                   sample_rate: int | None = None) -> DataFrame:
     """Wrap an existing column as an opaque binary payload + metadata struct
     (how a real pipeline ingests raw fetched bytes)."""
     return df.select(
@@ -58,7 +59,7 @@ def attach_payload(df: DataFrame, src_col: str, media_id_col: str,
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("int").alias("n_frames"),
-            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(sample_rate).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
 
@@ -131,6 +132,57 @@ def resize_images(df: DataFrame, h: int, w: int, content_col: str = "content",
             })
 
     return df.select(id_col, content_col).mapInPandas(compute, schema=RESIZE_SCHEMA)
+
+
+def decode_audio(content: bytes, mime: str) -> "np.ndarray":
+    """REAL compressed-audio decode (mp3/flac/ogg) — requires an audio
+    codec (soundfile/librosa/ffmpeg), not present in this container.
+    Clearly-marked stub per the build contract; raw PCM needs no codec —
+    see pcm_features."""
+    raise NotImplementedError(
+        "compressed audio decode requires soundfile/ffmpeg; raw PCM "
+        "(audio/L16) is handled codec-free by pcm_features")
+
+
+PCM_FEATURES_SCHEMA = ("media_id long, n_samples long, duration_s double, "
+                       "rms double, peak int, n_frames int")
+
+
+def pcm_features(df: DataFrame, frame_ms: int = 25,
+                 content_col: str = "content",
+                 id_col: str = "media_id",
+                 sample_rate_col: str = "meta.sample_rate") -> DataFrame:
+    """Audio feature extraction over raw 16-bit little-endian PCM — REAL
+    math (no codec involved): per-item sample count, duration, global RMS,
+    peak amplitude, and the number of `frame_ms` analysis frames. Arrow
+    batches → numpy int16 views, vectorized per payload; the compressed
+    formats would route through decode_audio (stubbed) first."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf, sr in zip(pdf[id_col], pdf[content_col],
+                                    pdf["__sr__"]):
+                if buf is None or sr is None or sr <= 0:
+                    rows.append((mid, 0, 0.0, None, None, 0))
+                    continue
+                x = np.frombuffer(bytes(buf)[: (len(buf) // 2) * 2],
+                                  dtype="<i2").astype(np.float64)
+                n = x.size
+                frame = max(int(sr * frame_ms / 1000), 1)
+                rows.append((
+                    mid, n, n / sr,
+                    float(np.sqrt(np.mean(x * x))) if n else None,
+                    int(np.abs(x).max()) if n else None,
+                    -(-n // frame) if n else 0,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "duration_s", "rms", "peak",
+                "n_frames"])
+
+    return df.select(
+        id_col, content_col, F.col(sample_rate_col).alias("__sr__")
+    ).mapInPandas(compute, schema=PCM_FEATURES_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, content_col: str = "content",

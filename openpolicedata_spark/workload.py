@@ -1656,6 +1656,34 @@ SELECT 'value', n_rows, v_nulls, v_distinct, v_min, v_max FROM w
 """
 
 
+def q62_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: document bytes treated as raw 16-bit PCM
+    at 16 kHz (codec-free — real signal math in an Arrow-batched
+    mapInPandas; compressed formats would route through the stubbed
+    decode_audio). Oracle covers the byte-derivable columns; the RMS/peak
+    math is pinned by unit tests."""
+    from openpolicedata_spark.operators.multimodal import (
+        attach_payload,
+        pcm_features,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    media = attach_payload(d, "text", "doc_id", mime="audio/L16",
+                           sample_rate=16_000)
+    return pcm_features(media, frame_ms=25).select(
+        "media_id", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"), "n_frames")
+
+
+_Q62_SQL = """
+SELECT doc_id AS media_id,
+  octet_length(encode(text)) // 2 AS n_samples,
+  ROUND((octet_length(encode(text)) // 2) / 16000.0, 6) AS duration_s,
+  CAST(CEIL((octet_length(encode(text)) // 2) / 400.0) AS INTEGER) AS n_frames
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1724,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_local_supplier_volume": q59_local_supplier_volume,
         "q60_shipping_priority": q60_shipping_priority,
         "q61_column_profile": q61_column_profile,
+        "q62_audio_features": q62_audio_features,
     }
     return base
 
@@ -1789,4 +1818,5 @@ def oracle_sql() -> dict[str, str]:
         "q59_local_supplier_volume": _Q59_SQL,
         "q60_shipping_priority": _Q60_SQL,
         "q61_column_profile": _Q61_SQL,
+        "q62_audio_features": _Q62_SQL,
     }

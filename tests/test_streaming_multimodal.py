@@ -185,3 +185,38 @@ def test_stream_stream_window_join_equals_batch(spark, sf_dir):
         enrich_within_window(sp, sc, window="30 minutes"), "ss_join")
     got = {(r.event_id, r.r_event_id) for r in got_df.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_pcm_features_exact(spark):
+    """Raw-PCM audio features are REAL math: a known int16 buffer yields
+    the analytically-computed sample count, duration, RMS, and peak."""
+    import struct
+
+    import numpy as np
+
+    from openpolicedata_spark.operators.multimodal import (
+        attach_payload,
+        pcm_features,
+    )
+
+    samples = [0, 1000, -1000, 2000, -2000, 30000, -30000, 0]
+    buf = struct.pack(f"<{len(samples)}h", *samples)
+    df = spark.createDataFrame([(1, bytearray(buf))], "id long, raw binary")
+    media = attach_payload(df, "raw", "id", mime="audio/L16",
+                           sample_rate=8000)
+    row = pcm_features(media, frame_ms=25).first()
+    x = np.array(samples, dtype=np.float64)
+    assert row.n_samples == 8
+    assert row.duration_s == 8 / 8000
+    assert row.rms == float(np.sqrt(np.mean(x * x)))
+    assert row.peak == 30000
+    assert row.n_frames == 1  # 25ms @ 8kHz = 200-sample frames, 8 samples
+
+
+def test_decode_audio_is_stubbed():
+    import pytest as _pytest
+
+    from openpolicedata_spark.operators.multimodal import decode_audio
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"\x00", "audio/mpeg")
