@@ -415,19 +415,32 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exact character-n-gram Jaccard similarity for given (id_a, id_b)
-    pairs — the verify step of any blocking scheme."""
+    pairs — the verify step of any blocking scheme.
+
+    Melt form (same rationale as the MinHash verify): pairs explode to
+    (pair, member) rows and join the n-gram projection ONCE — a two-side
+    join would evaluate the corpus-wide n-gram expression once per side;
+    here only the candidates' gram arrays shuffle through the regroup."""
     g = df.select(
-        F.col(id_col),
-        F.array_distinct(char_ngrams_expr(F.col(text_col), n)).alias("g"),
+        F.col(id_col).alias("__sid__"),
+        F.array_distinct(char_ngrams_expr(F.col(text_col), n)).alias("__g__"),
     )
-    return (
-        pairs.join(g.withColumnsRenamed({id_col: "id_a", "g": "g_a"}), on="id_a")
-        .join(g.withColumnsRenamed({id_col: "id_b", "g": "g_b"}), on="id_b")
-        .select(
-            "id_a", "id_b",
-            (F.size(F.array_intersect("g_a", "g_b"))
-             / F.size(F.array_union("g_a", "g_b"))).alias("jaccard"),
-        )
+    melted = (
+        pairs.select("id_a", "id_b", F.col("id_a").alias("__sid__"))
+        .unionByName(pairs.select("id_a", "id_b",
+                                  F.col("id_b").alias("__sid__")))
+        .join(g, on="__sid__")
+    )
+    per_pair = melted.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("__sid__") == F.col("id_a"),
+                     F.col("__g__"))).alias("g_a"),
+        F.max(F.when(F.col("__sid__") == F.col("id_b"),
+                     F.col("__g__"))).alias("g_b"),
+    )
+    return per_pair.select(
+        "id_a", "id_b",
+        (F.size(F.array_intersect("g_a", "g_b"))
+         / F.size(F.array_union("g_a", "g_b"))).alias("jaccard"),
     )
 
 
