@@ -1,8 +1,29 @@
 """Relational conveniences (merge/expand — reference data.py) and
 at-scale operators beyond the reference (dedup, similarity search,
-multimodal plumbing) for LLM-data pipelines."""
+multimodal plumbing, training-data pipeline, scale techniques) for
+LLM-data pipelines."""
 
-from openpolicedata_spark.operators.merge import merge_tables, find_id_column
 from openpolicedata_spark.operators.expand import expand
+from openpolicedata_spark.operators.merge import find_id_column, merge_tables
+from openpolicedata_spark.operators.scale import (
+    bucketed_interval_join,
+    salted_agg,
+    salted_broadcast_join,
+    write_bucketed,
+)
+from openpolicedata_spark.operators.textpipe import (
+    asof_join,
+    chunk_documents,
+    contamination_pairs,
+    pack_documents,
+    repetition_stats,
+    weighted_mix,
+)
 
-__all__ = ["merge_tables", "find_id_column", "expand"]
+__all__ = [
+    "merge_tables", "find_id_column", "expand",
+    "asof_join", "pack_documents", "chunk_documents",
+    "contamination_pairs", "repetition_stats", "weighted_mix",
+    "bucketed_interval_join", "salted_agg", "salted_broadcast_join",
+    "write_bucketed",
+]
