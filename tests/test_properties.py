@@ -227,3 +227,54 @@ def test_interval_join_matches_bruteforce(spark, facts, ivals, bucket_s):
         for (ik, s, e, iid) in irows
         if fk == ik and s <= fts < e)
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(1, 120), min_size=1, max_size=30),
+    st.sampled_from([32, 64, 128]),
+)
+def test_pack_documents_invariants(spark, doc_lens, target):
+    """Greedy packing invariants for any doc-length sequence: bins are
+    contiguous starting at 0, every bin but the last holds ≥ target
+    tokens once closed, and no bin's START offset crosses a bin boundary
+    mid-doc (the cumsum definition)."""
+    from openpolicedata_spark.operators.textpipe import pack_documents
+
+    rows = [(i, " ".join(["w"] * n), "en") for i, n in enumerate(doc_lens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sorted(pack_documents(docs, target_tokens=target, by="lang").collect(),
+                 key=lambda r: r.doc_id)
+    # bin of each doc equals floor(prefix_sum / target)
+    run = 0
+    for r in out:
+        assert r.bin_id == run // target, (r, run)
+        run += r.n_tokens
+    bins = [r.bin_id for r in out]
+    assert bins[0] == 0
+    assert all(b2 - b1 >= 0 for b1, b2 in zip(bins, bins[1:]))  # monotone
+
+
+@settings(**SETTINGS)
+@given(
+    st.integers(1, 60),
+    st.tuples(st.integers(2, 12), st.integers(1, 12)),
+)
+def test_chunk_documents_reconstruction(spark, n_tokens, size_stride):
+    """Chunks cover every token: the union of [start, start+len) windows
+    equals [0, n); consecutive chunk starts differ by exactly stride."""
+    chunk, stride = size_stride
+    stride = min(stride, chunk)  # overlap requires stride <= chunk
+    from openpolicedata_spark.operators.textpipe import chunk_documents
+
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(chunk_documents(df, chunk_tokens=chunk, stride=stride).collect(),
+                  key=lambda r: r.chunk_id)
+    covered = set()
+    for r in rows:
+        got = r.chunk_text.split(" ")
+        start = r.chunk_id * stride
+        assert got == toks[start:start + chunk], (r.chunk_id, got)
+        covered.update(range(start, start + len(got)))
+    assert covered == set(range(n_tokens))
