@@ -256,6 +256,7 @@ def standardize(
     agg_race_cat: bool = False,
     empty_time: str = "nat",
     verbose: bool | str = False,
+    sample_df: Optional[DataFrame] = None,
 ) -> tuple[DataFrame, list[DataMapping]]:
     """Standardize a loaded table into the canonical schema
     (reference preproc.standardize, preproc.py:70-137).
@@ -270,6 +271,14 @@ def standardize(
     values, else BadCategoryDict); ``agg_race_cat`` enables the census-based
     aggressive race mapping; ``empty_time`` controls DATETIME for null
     times ('nat' → null, 'ignore' → date only).
+
+    ``sample_df``: identification probes read THIS frame instead of ``df``
+    — identification on a bounded batch sample, application to anything
+    with the same schema, including a Structured Streaming DataFrame
+    (the compiled plan is stateless projections, so it runs incrementally
+    unchanged; identify once, apply to the live stream and the 100 TB
+    backfill alike). Required when ``df`` is streaming (streams can't be
+    sampled at plan time).
 
     Returns (standardized DataFrame, transform audit list).
     """
@@ -307,7 +316,14 @@ def standardize(
         return lambda c: (lambda base: F.coalesce(F.element_at(m, base),
                                                   base))(expr_fn(c))
 
-    ident = ColumnIdentifier(df, table_type, source_name, known_cols)
+    if df.isStreaming and sample_df is None:
+        raise ValueError(
+            "standardize(df) on a streaming DataFrame needs sample_df= (a "
+            "bounded batch frame with the same schema) for identification")
+    if collect_value_counts and df.isStreaming:
+        raise ValueError("collect_value_counts is batch-only")
+    probe = sample_df if sample_df is not None else df
+    ident = ColumnIdentifier(probe, table_type, source_name, known_cols)
     known_cols = dict(known_cols or {})
 
     from openpolicedata_spark.standardize.extras import (
@@ -322,8 +338,10 @@ def standardize(
     if not any("race" in c.lower() for c in df.columns):
         group = find_onehot_group(df.columns, ident.sample)
         if group:
-            df = df.withColumn("race_onehot", fold_onehot_expr(group))
-            ident = ColumnIdentifier(df, table_type, source_name, known_cols)
+            onehot = fold_onehot_expr(group)
+            df = df.withColumn("race_onehot", onehot)
+            probe = probe.withColumn("race_onehot", onehot)
+            ident = ColumnIdentifier(probe, table_type, source_name, known_cols)
             ident.excluded = set(group)  # consumed: don't re-identify members
     col_map = ColumnMap()
     # (canonical, raw, builder) — applied AFTER raw columns are renamed
@@ -350,7 +368,7 @@ def standardize(
     ))
     if date_col:
         col_map[Columns.DATE] = date_col
-        strat = detect_date_format(df, date_col)
+        strat = detect_date_format(probe, date_col)
         specs.append((Columns.DATE, date_col,
                       lambda c, s=strat: to_datetime_expr(c, s)))
         # (date, precision) pair = the reference's pd.Period encoding

@@ -220,3 +220,37 @@ def test_decode_audio_is_stubbed():
 
     with _pytest.raises(NotImplementedError):
         decode_audio(b"\x00", "audio/mpeg")
+
+
+def test_streaming_standardize_equals_batch(spark, tmp_path):
+    """standardize(stream, sample_df=batch): identification runs on the
+    bounded batch sample, the compiled plan applies incrementally to the
+    stream — results must equal batch standardization row-for-row."""
+    from openpolicedata_spark.streaming import run_available_now
+    from openpolicedata_spark.standardize import standardize
+
+    rows = [(i, f"2021-0{1 + i % 9}-1{i % 8}", ["WHITE", "BLACK", "W", "ASIAN"][i % 4],
+             ["M", "F"][i % 2], 20 + i % 50)
+            for i in range(200)]
+    schema = ("incident_id int, incident_date string, subject_race string, "
+              "sex string, subject_age int")
+    batch = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "stops_parquet")
+    batch.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    want_df, want_tf = standardize(batch, table_type="STOPS")
+    want = {r.incident_id: (r.DATE, r.SUBJECT_RACE, r["OFFICER/SUBJECT_GENDER"],
+                            r.SUBJECT_AGE) for r in want_df.collect()}
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    assert stream.isStreaming
+    with pytest.raises(ValueError, match="sample_df"):
+        standardize(stream, table_type="STOPS")
+    got_df, got_tf = standardize(stream, table_type="STOPS", sample_df=batch)
+    out = run_available_now(got_df, "std_stream")
+    got = {r.incident_id: (r.DATE, r.SUBJECT_RACE, r["OFFICER/SUBJECT_GENDER"],
+                           r.SUBJECT_AGE) for r in out.collect()}
+    assert got == want and len(got) == 200
+    assert [t.new_column_name for t in got_tf] == \
+        [t.new_column_name for t in want_tf]
