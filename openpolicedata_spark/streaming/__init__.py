@@ -159,6 +159,27 @@ def dedup_events(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
     return events.dropDuplicates(ks)
 
 
+def dedup_by_content(df: DataFrame, text_col: str = "text",
+                     ts_col: str = "ts",
+                     watermark: str = "1 day") -> DataFrame:
+    """Streaming EXACT-TEXT dedup: fingerprint the normalized text (md5,
+    16 bytes of state per doc — functions.text.fingerprint_md5_expr) and
+    drop later deliveries of the same content within the watermark. The
+    streaming face of operators.dedup.exact_dedup: same fingerprint
+    expression, so the live filter and the batch backfill agree on what
+    is a duplicate. State is O(distinct fingerprints per watermark
+    window)."""
+    from openpolicedata_spark.functions.text import fingerprint_md5_expr
+
+    with_fp = df.withColumn("__fp__", fingerprint_md5_expr(F.col(text_col)))
+    if df.isStreaming:
+        out = (with_fp.withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark(["__fp__"]))
+    else:
+        out = with_fp.dropDuplicates(["__fp__"])
+    return out.drop("__fp__")
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       timeout_s: int = 120) -> DataFrame:
     """Drain everything currently available through the streaming engine

@@ -254,3 +254,26 @@ def test_streaming_standardize_equals_batch(spark, tmp_path):
     assert got == want and len(got) == 200
     assert [t.new_column_name for t in got_tf] == \
         [t.new_column_name for t in want_tf]
+
+
+def test_stream_content_dedup(spark, tmp_path):
+    """Streaming exact-text dedup keeps one row per distinct normalized
+    text across duplicated deliveries (whitespace variants collapse)."""
+    import datetime as dt
+
+    from openpolicedata_spark.streaming import dedup_by_content
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, ["alpha beta", "ALPHA  beta", "gamma", "delta"][i % 4])
+            for i in range(40)]
+    batch = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    src = str(tmp_path / "docs_stream")
+    batch.write.mode("overwrite").parquet(src)
+
+    n_batch = dedup_by_content(spark.read.parquet(src)).count()
+    assert n_batch == 3  # 'alpha beta' and 'ALPHA  beta' are one content
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = run_available_now(dedup_by_content(stream), "content_dedup")
+    assert out.count() == n_batch
+    assert "__fp__" not in out.columns
