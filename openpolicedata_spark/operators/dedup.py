@@ -420,7 +420,12 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     Melt form (same rationale as the MinHash verify): pairs explode to
     (pair, member) rows and join the n-gram projection ONCE — a two-side
     join would evaluate the corpus-wide n-gram expression once per side;
-    here only the candidates' gram arrays shuffle through the regroup."""
+    here only the candidates' gram arrays shuffle through the regroup.
+
+    Pairs are treated as a SET (duplicates collapse to one output row);
+    pairs whose ids are absent from `df` are dropped, matching inner-join
+    semantics."""
+    pairs = pairs.select("id_a", "id_b").distinct()
     g = df.select(
         F.col(id_col).alias("__sid__"),
         F.array_distinct(char_ngrams_expr(F.col(text_col), n)).alias("__g__"),
@@ -437,10 +442,14 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
         F.max(F.when(F.col("__sid__") == F.col("id_b"),
                      F.col("__g__"))).alias("g_b"),
     )
-    return per_pair.select(
-        "id_a", "id_b",
-        (F.size(F.array_intersect("g_a", "g_b"))
-         / F.size(F.array_union("g_a", "g_b"))).alias("jaccard"),
+    return (
+        per_pair
+        .where(F.col("g_a").isNotNull() & F.col("g_b").isNotNull())
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("g_a", "g_b"))
+             / F.size(F.array_union("g_a", "g_b"))).alias("jaccard"),
+        )
     )
 
 

@@ -163,19 +163,25 @@ def pcm_features(df: DataFrame, frame_ms: int = 25,
             rows = []
             for mid, buf, sr in zip(pdf[id_col], pdf[content_col],
                                     pdf["__sr__"]):
-                if buf is None or sr is None or sr <= 0:
-                    rows.append((mid, 0, 0.0, None, None, 0))
+                # Arrow→pandas renders a nullable int sample_rate as
+                # float64 NaN — `is None` never fires, use pd.isna.
+                # Null content → all-null metrics (matches SQL NULL
+                # propagation, e.g. octet_length(encode(NULL))).
+                if buf is None:
+                    rows.append((mid, None, None, None, None, None))
                     continue
                 x = np.frombuffer(bytes(buf)[: (len(buf) // 2) * 2],
                                   dtype="<i2").astype(np.float64)
                 n = x.size
+                rms = float(np.sqrt(np.mean(x * x))) if n else None
+                peak = int(np.abs(x).max()) if n else None
+                if sr is None or pd.isna(sr) or sr <= 0:
+                    # rms/peak need no clock; duration/frames do
+                    rows.append((mid, n, None, rms, peak, None))
+                    continue
                 frame = max(int(sr * frame_ms / 1000), 1)
-                rows.append((
-                    mid, n, n / sr,
-                    float(np.sqrt(np.mean(x * x))) if n else None,
-                    int(np.abs(x).max()) if n else None,
-                    -(-n // frame) if n else 0,
-                ))
+                rows.append((mid, n, n / sr, rms, peak,
+                             -(-n // frame) if n else 0))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "n_samples", "duration_s", "rms", "peak",
                 "n_frames"])

@@ -320,6 +320,9 @@ def standardize(
         raise ValueError(
             "standardize(df) on a streaming DataFrame needs sample_df= (a "
             "bounded batch frame with the same schema) for identification")
+    if sample_df is not None and sample_df.isStreaming:
+        raise ValueError("sample_df must be a batch DataFrame (streams "
+                         "can't be sampled at plan time)")
     if collect_value_counts and df.isStreaming:
         raise ValueError("collect_value_counts is batch-only")
     probe = sample_df if sample_df is not None else df

@@ -188,3 +188,18 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     # partial probe: scans a fraction of lists, keeps decent recall
     part = {r.vec_id for r in ivf_topk(idx, cents, qvec, k=10, nprobe=3).collect()}
     assert len(part & {v for v, _ in exact}) >= 5
+
+
+def test_ngram_jaccard_pairs_inner_join_and_set_semantics(spark):
+    """Pairs referencing ids absent from the corpus are dropped (inner-join
+    semantics) and duplicate input pairs collapse to one output row."""
+    from openpolicedata_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdxy")], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 99)], "id_a long, id_b long")
+    rows = ngram_jaccard_pairs(docs, pairs, n=3).collect()
+    assert len(rows) == 1
+    assert (rows[0].id_a, rows[0].id_b) == (1, 2)
+    assert rows[0].jaccard is not None

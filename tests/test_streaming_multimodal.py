@@ -277,3 +277,36 @@ def test_stream_content_dedup(spark, tmp_path):
     out = run_available_now(dedup_by_content(stream), "content_dedup")
     assert out.count() == n_batch
     assert "__fp__" not in out.columns
+
+
+def test_pcm_features_null_content_and_null_rate(spark):
+    """Null content → all-null metrics (SQL NULL propagation); null
+    sample_rate (arrives as NaN through Arrow) → clockless metrics only."""
+    import struct
+
+    from openpolicedata_spark.operators.multimodal import (
+        attach_payload,
+        pcm_features,
+    )
+
+    buf = struct.pack("<4h", 0, 100, -100, 200)
+    df = spark.createDataFrame(
+        [(1, bytearray(buf)), (2, None)], "id long, raw binary")
+    # default attach_payload: sample_rate stays null
+    out = {r.media_id: r for r in
+           pcm_features(attach_payload(df, "raw", "id")).collect()}
+    assert out[1].n_samples == 4 and out[1].peak == 200
+    assert out[1].duration_s is None and out[1].n_frames is None
+    assert out[2].n_samples is None and out[2].rms is None
+
+
+def test_streaming_standardize_rejects_streaming_sample(spark, tmp_path):
+    from openpolicedata_spark.standardize import standardize
+
+    batch = spark.createDataFrame([(1, "2021-01-01")],
+                                  "incident_id int, incident_date string")
+    src = str(tmp_path / "p")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    with pytest.raises(ValueError, match="sample_df must be a batch"):
+        standardize(stream, table_type="STOPS", sample_df=stream)
