@@ -1684,6 +1684,34 @@ FROM documents
 """
 
 
+def q63_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based outlier trimming — the 'drop the tails' quality
+    step of a pretraining pipeline: keep docs whose n_chars lies within
+    [p05, p95]. The percentile pair is ONE tiny aggregate broadcast into
+    the filter (cross-join of a 1-row frame → BroadcastNestedLoop over a
+    single row): no second scan, no driver round-trip in the plan."""
+    d = _read(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .where(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "n_chars")
+    )
+
+
+_Q63_SQL = """
+WITH b AS (
+  SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+  FROM documents)
+SELECT doc_id, n_chars
+FROM documents, b
+WHERE n_chars BETWEEN b.lo AND b.hi
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1753,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_shipping_priority": q60_shipping_priority,
         "q61_column_profile": q61_column_profile,
         "q62_audio_features": q62_audio_features,
+        "q63_length_outliers": q63_length_outliers,
     }
     return base
 
@@ -1819,4 +1848,5 @@ def oracle_sql() -> dict[str, str]:
         "q60_shipping_priority": _Q60_SQL,
         "q61_column_profile": _Q61_SQL,
         "q62_audio_features": _Q62_SQL,
+        "q63_length_outliers": _Q63_SQL,
     }
