@@ -498,3 +498,45 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             break
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def dedup_cascade(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Production dedup cascade — the composition a real corpus runs:
+
+      1. exact dedup (digest groupBy): identical copies drop FIRST, so
+         the expensive stages never see them (and no exact-dup bucket can
+         blow up the LSH pair generation);
+      2. MinHash-LSH near-dup pairs on the exact survivors;
+      3. connected components over the pairs; each component keeps its
+         minimum id.
+
+    Returns one row per input id: (id_col, status) with status in
+    {'kept', 'exact_dup', 'near_dup'} — the keep-list plus drop
+    attribution an audit needs. Cost: the exact stage's one digest
+    shuffle + the LSH pipeline on the deduplicated (smaller) corpus.
+    """
+    ids = df.select(id_col)
+    survivors = exact_dedup(df, text_col, id_col)
+    exact_dropped = ids.join(survivors.select(id_col), on=id_col,
+                             how="left_anti")
+    pairs = minhash_lsh_dup_pairs(
+        survivors, text_col, id_col,
+        jaccard_threshold=jaccard_threshold, **lsh_kwargs)
+    near_dropped = (
+        dup_clusters(pairs)
+        .where(F.col("cluster_id") != F.col("doc_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    dropped = (
+        exact_dropped.withColumn("status", F.lit("exact_dup"))
+        .unionByName(near_dropped.withColumn("status", F.lit("near_dup")))
+    )
+    kept = (ids.join(dropped.select(id_col), on=id_col, how="left_anti")
+            .withColumn("status", F.lit("kept")))
+    return kept.unionByName(dropped)

@@ -203,3 +203,23 @@ def test_ngram_jaccard_pairs_inner_join_and_set_semantics(spark):
     assert len(rows) == 1
     assert (rows[0].id_a, rows[0].id_b) == (1, 2)
     assert rows[0].jaccard is not None
+
+
+def test_dedup_cascade_statuses(spark):
+    """Cascade attribution: identical copies drop as exact_dup, fuzzy
+    copies as near_dup (min id survives each group), the rest keep."""
+    from openpolicedata_spark.operators.dedup import dedup_cascade
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " changed"
+    rows = [
+        (1, base), (2, base),          # 2 is an exact dup of 1
+        (3, near),                     # near dup of 1 (39/41 shingles)
+        (4, " ".join(f"other{i}" for i in range(40))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.status
+           for r in dedup_cascade(docs, jaccard_threshold=0.5).collect()}
+    assert got == {1: "kept", 2: "exact_dup", 3: "near_dup", 4: "kept"}
+    # exactly one row per input id
+    assert len(got) == 4
