@@ -1712,6 +1712,40 @@ WHERE n_chars BETWEEN b.lo AND b.hi
 """
 
 
+def q64_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: 5 query vectors each get their 3 nearest corpus
+    vectors by cosine. Query side broadcast, map-side scoring, per-query
+    rank window with id tiebreak — the multi-query sibling of q27."""
+    from openpolicedata_spark.operators.similarity import knn_join
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    corpus = emb.where(F.col("vec_id") >= 5)
+    out = knn_join(queries, corpus, k=3)
+    return out.select("q_id", "vec_id", F.round("score", 6).alias("score"))
+
+
+_Q64_SQL = """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id < 5),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+    ROUND(list_cosine_similarity(c.emb, q.q_vec), 6) AS score,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.q_id
+      ORDER BY list_cosine_similarity(c.emb, q.q_vec) DESC,
+               c.vec_id ASC) AS rk
+  FROM c CROSS JOIN q)
+SELECT q_id, vec_id, score FROM scored WHERE rk <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1782,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_column_profile": q61_column_profile,
         "q62_audio_features": q62_audio_features,
         "q63_length_outliers": q63_length_outliers,
+        "q64_knn_join": q64_knn_join,
     }
     return base
 
@@ -1849,4 +1884,5 @@ def oracle_sql() -> dict[str, str]:
         "q61_column_profile": _Q61_SQL,
         "q62_audio_features": _Q62_SQL,
         "q63_length_outliers": _Q63_SQL,
+        "q64_knn_join": _Q64_SQL,
     }
