@@ -123,3 +123,21 @@ def test_q59_q60_tpch_shapes_broadcast_dims(spark, sf_dir):
     q3 = workload.queries()["q60_shipping_priority"](spark, sf_dir)
     assert_broadcast_join(q3, min_joins=2)
     assert_max_exchanges(q3, 2)
+
+
+def test_q56_interval_join_is_equi_join(spark, sf_dir):
+    """Bucketed range join: the time-range predicate must ride an
+    EQUI-join on (key, bucket) — never a BroadcastNestedLoopJoin."""
+    df = workload.queries()["q56_interval_join"](spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_broadcast_nl_joins == 0, s.text
+    assert s.n_sortmerge_joins + s.n_broadcast_joins >= 1, s.text
+
+
+def test_q64_knn_join_broadcasts_queries(spark, sf_dir):
+    """k-NN join: the query side broadcasts (BNLJ over 5 rows is the
+    cross-join shape) and corpus scoring happens map-side — no sort-merge
+    shuffle of the corpus."""
+    df = workload.queries()["q64_knn_join"](spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_sortmerge_joins == 0, s.text
