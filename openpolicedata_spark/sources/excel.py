@@ -199,6 +199,34 @@ class ExcelLoader(DataLoader):
     def isfile(self) -> bool:
         return True
 
+    @staticmethod
+    def _maybe_decrypt(path_or_buf):
+        """Excel's legacy default-password encryption: workbooks saved with
+        password 'VelvetSweatshop' open transparently in Excel, so public
+        agencies publish them thinking they're plain files (reference
+        excel.py:128-153 decrypts via msoffcrypto). Import-gated like the
+        parse itself; plain workbooks pass through untouched."""
+        try:
+            import io
+
+            import msoffcrypto
+        except ImportError:
+            return path_or_buf  # no codec available: let pandas try as-is
+        try:
+            f = (open(path_or_buf, "rb")
+                 if isinstance(path_or_buf, (str, bytes)) else path_or_buf)
+            office = msoffcrypto.OfficeFile(f)
+            if not office.is_encrypted():
+                f.seek(0)
+                return f
+            office.load_key(password="VelvetSweatshop")
+            out = io.BytesIO()
+            office.decrypt(out)
+            out.seek(0)
+            return out
+        except Exception:
+            return path_or_buf
+
     def _raw_sheets(self) -> dict[str, pd.DataFrame]:
         if self._sheets is not None:
             return self._sheets
@@ -208,7 +236,7 @@ class ExcelLoader(DataLoader):
             raise ImportError(
                 "Excel parsing requires openpyxl; install it or pass "
                 "pre-parsed grids via ExcelLoader(sheets=...)") from e
-        xl = pd.ExcelFile(self.url)
+        xl = pd.ExcelFile(self._maybe_decrypt(self.url))
         return {name: xl.parse(name, header=None) for name in xl.sheet_names}
 
     def load(self, date: DateInput = None, nrows: Optional[int] = None,

