@@ -334,6 +334,22 @@ class Source:
         return self._get_loader(row).get_count(date, agency=agency, force=force)
 
     # ------------------------------------------------------------ dataset pick
+    def check_simple_dataset_filter(self, table_type: str, date=None):
+        """Whether url / dataset-id tiebreaks are needed to pick ONE
+        dataset for (table_type, date) (reference data.py:1232-1263).
+        Returns (url_filter_required, id_filter_required, matched_rows)."""
+        rows = self.datasets[self.datasets["TableType"] == table_type]
+        if date is not None and len(rows) > 1:
+            rng = clean_date_input(date)
+            if rng is not None:
+                year_rows = rows[rows["Year"].isin(
+                    range(rng[0].year, rng[1].year + 1))]
+                if len(year_rows):
+                    rows = year_rows
+        url_diff = rows["URL"].nunique(dropna=False) > 1
+        id_diff = rows["dataset_id"].nunique(dropna=False) > 1
+        return url_diff, id_diff, rows
+
     def filter(self, table_type: str, date=None, *, url: Optional[str] = None,
                id: Optional[str] = None) -> pd.Series:
         """Pick exactly one catalog row (reference data.py:1266-1369):

@@ -87,3 +87,12 @@ def test_from_csv_round_trip(tmp_path):
     assert cat2.get_table_types() == cat.get_table_types()
     # Year normalization survives the string round trip
     assert set(cat2.df["Year"]) == set(cat.df["Year"])
+
+
+def test_check_simple_dataset_filter(spark):
+    from openpolicedata_spark import Source, local_testdata_catalog
+
+    src = Source("TestData", catalog=local_testdata_catalog(), spark=spark)
+    url_diff, id_diff, rows = src.check_simple_dataset_filter("ORDERS")
+    # one catalog row per table here: no extra filter needed
+    assert url_diff is False and id_diff is False and len(rows) == 1
