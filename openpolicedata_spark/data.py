@@ -226,6 +226,18 @@ class Table:
         stem = "_".join(re.sub(r"[^A-Za-z0-9]+", "-", p) for p in parts if p)
         return os.path.join(output_dir, f"{stem}.{ext}")
 
+    def get_csv_filename(self, output_dir: str = ".") -> str:
+        """reference data.py:504-514."""
+        return self.get_filename("csv", output_dir)
+
+    def get_feather_filename(self, output_dir: str = ".") -> str:
+        """reference data.py:516-530."""
+        return self.get_filename("feather", output_dir)
+
+    def get_parquet_filename(self, output_dir: str = ".") -> str:
+        """reference data.py:532-546."""
+        return self.get_filename("parquet", output_dir)
+
     def to_parquet(self, path: Optional[str] = None, output_dir: str = ".",
                    mode: str = "overwrite", partition_by: Optional[list[str]] = None) -> str:
         """reference data.py:446-464; partition_by is the scale upgrade —
