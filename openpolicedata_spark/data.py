@@ -297,7 +297,9 @@ class Source:
             raise ValueError(f"No source found matching '{source_name}'")
         states = self.datasets["State"].unique()
         if state is None and len(states) > 1:  # reference data.py:857-865
-            raise ValueError(
+            from openpolicedata_spark.exceptions import MultiAgencySourceError
+
+            raise MultiAgencySourceError(
                 f"Source '{source_name}' exists in multiple states {list(states)}; "
                 "pass `state=` to disambiguate"
             )
@@ -414,7 +416,9 @@ class Source:
 
         rows = rows[~rows["min_version"].map(_too_old)] if "min_version" in rows.columns else rows
         if len(rows) == 0:
-            raise ValueError(
+            from openpolicedata_spark.exceptions import OPD_MinVersionError
+
+            raise OPD_MinVersionError(
                 f"Dataset for table_type='{table_type}' requires a newer "
                 f"openpolicedata_spark than {_ver} (catalog min_version gate)")
         if len(rows) > 1:

@@ -77,7 +77,9 @@ def merge_tables(
     if on is None and left_on is None:
         on = find_id_column(left, right)
         if on is None:
-            raise ValueError(
+            from openpolicedata_spark.exceptions import AutoMergeError
+
+            raise AutoMergeError(
                 "No join key given and none could be inferred; pass on=/left_on=/right_on="
             )
 

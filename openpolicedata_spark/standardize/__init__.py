@@ -309,7 +309,9 @@ def standardize(
             return expr_fn
         bad = set(cats) - valid
         if bad:
-            raise ValueError(
+            from openpolicedata_spark.exceptions import BadCategoryDict
+
+            raise BadCategoryDict(
                 f"Invalid {what} category keys: {sorted(bad)} "
                 f"(must be a subset of the known {what} categories)")
         m = F.create_map(*[F.lit(x) for kv in cats.items() for x in kv])

@@ -96,3 +96,22 @@ def test_check_simple_dataset_filter(spark):
     url_diff, id_diff, rows = src.check_simple_dataset_filter("ORDERS")
     # one catalog row per table here: no extra filter needed
     assert url_diff is False and id_diff is False and len(rows) == 1
+
+
+def test_exception_hierarchy_parity(spark):
+    """Reference-compatible exception classes, dual-inheriting the builtin
+    types this package raised before the hierarchy existed."""
+    import pytest as _pytest
+
+    from openpolicedata_spark import exceptions as ex
+    from openpolicedata_spark.operators.merge import merge_tables
+
+    assert issubclass(ex.BadCategoryDict, ValueError)
+    assert issubclass(ex.OPD_MinVersionError, ex.OPD_GeneralError)
+    # auto-merge failure raises the parity class (and still a ValueError)
+    l = spark.createDataFrame([(1, "a")], "x int, y string")
+    r = spark.createDataFrame([(2, "b")], "p int, q string")
+    with _pytest.raises(ex.AutoMergeError):
+        merge_tables(l, r)
+    with _pytest.raises(ValueError):
+        merge_tables(l, r)
