@@ -30,8 +30,20 @@ _BROWSER_UA = (
 )
 
 
-class TransportError(RuntimeError):
-    pass
+from openpolicedata_spark.exceptions import (
+    OPD_DataUnavailableError,
+    OPD_TooManyRequestsError,
+)
+
+
+class TransportError(OPD_DataUnavailableError):
+    """HTTP/parse failure talking to a portal. Subclasses the reference's
+    OPD_DataUnavailableError (which is a RuntimeError, preserving this
+    class's original base)."""
+
+
+class RateLimitError(TransportError, OPD_TooManyRequestsError):
+    """Retries exhausted on HTTP 429."""
 
 
 @dataclass
@@ -80,6 +92,9 @@ class HttpTransport:
                     raise TransportError(f"HTTP {e.code} from {url}") from e
             except urllib.error.URLError as e:
                 last = e
+        if getattr(last, "code", None) == 429:
+            raise RateLimitError(
+                f"rate-limited by {url} after {self.retries} retries") from last
         raise TransportError(f"giving up on {url} after {self.retries} retries: {last}")
 
 
