@@ -28,6 +28,9 @@ Architecture (see SURVEY.md for the full blueprint):
 from openpolicedata_spark.session import get_spark
 from openpolicedata_spark.catalog import Catalog, local_testdata_catalog
 from openpolicedata_spark.data import Source, Table
+from openpolicedata_spark import defs
+from openpolicedata_spark import exceptions
+from openpolicedata_spark.defs import TableType, DataType
 
 __version__ = "0.1.0"
 
@@ -37,5 +40,9 @@ __all__ = [
     "local_testdata_catalog",
     "Source",
     "Table",
+    "defs",
+    "exceptions",
+    "TableType",
+    "DataType",
     "__version__",
 ]
