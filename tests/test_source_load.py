@@ -113,3 +113,60 @@ def test_csv_loader_reads_zip(spark, tmp_path):
     df = loader.load()
     assert df.count() == 3
     assert {r.case for r in df.collect()} == {"C1", "C2", "C3"}
+
+
+def test_combined_loader_join_mode(spark, tmp_path, sf_dir):
+    """Multi-file datasets declared as a join (reference dataset_id
+    list-of-lists with `on`; combine_dataset.py:135-138 raises
+    NotImplementedError — implemented here as an outer equi-join)."""
+    from openpolicedata_spark.sources.combined import CombinedLoader
+    from openpolicedata_spark.sources.file import (
+        ParquetLoader,
+        read_parquet_repaired,
+    )
+
+    ev = read_parquet_repaired(spark, f"{sf_dir}/events.parquet").limit(100)
+    left = str(tmp_path / "left.parquet")
+    right = str(tmp_path / "right.parquet")
+    ev.select("event_id", "user_id").write.mode("overwrite").parquet(left)
+    ev.select("event_id", "event_type", "value").write.mode("overwrite") \
+        .parquet(right)
+
+    combined = CombinedLoader(
+        spark,
+        [ParquetLoader(spark, url=left), ParquetLoader(spark, url=right)],
+        how="join", on=["event_id"],
+    )
+    out = combined.load()
+    assert set(out.columns) == {"event_id", "user_id", "event_type", "value"}
+    assert out.count() == 100
+    assert out.where(F.col("user_id").isNull()).count() == 0
+
+    # declared-but-missing `on` keys fail loudly
+    import pytest as _pytest
+
+    bad = CombinedLoader(
+        spark, [ParquetLoader(spark, url=left)], how="join")
+    with _pytest.raises(ValueError, match="join requires"):
+        bad.load()
+
+
+def test_combined_loader_rename_drift(spark, tmp_path):
+    """Known drifting column names across files are renamed before the
+    union (reference combine_dataset.py Albemarle renames)."""
+    from openpolicedata_spark.sources.combined import CombinedLoader
+    from openpolicedata_spark.sources.file import ParquetLoader
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame([(1, "x")], "id int, offence string") \
+        .write.mode("overwrite").parquet(a)
+    spark.createDataFrame([(2, "y")], "id int, offense string") \
+        .write.mode("overwrite").parquet(b)
+    out = CombinedLoader(
+        spark,
+        [ParquetLoader(spark, url=a), ParquetLoader(spark, url=b)],
+        rename={"offence": "offense"},
+    ).load()
+    assert out.columns.count("offense") == 1
+    assert {r.offense for r in out.collect()} == {"x", "y"}
