@@ -1746,6 +1746,29 @@ SELECT q_id, vec_id, score FROM scored WHERE rk <= 3
 """
 
 
+def q65_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-per-group sample (3 docs per source by id order) —
+    the 'pull a few examples of every slice for inspection' step. One rank
+    window per group; at scale the partial sort is per-key and the filter
+    truncates early."""
+    d = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("source", F.col("rk").alias("rank"), "doc_id", "n_chars")
+    )
+
+
+_Q65_SQL = """
+SELECT source, CAST(rk AS INTEGER) AS rank, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1817,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_audio_features": q62_audio_features,
         "q63_length_outliers": q63_length_outliers,
         "q64_knn_join": q64_knn_join,
+        "q65_sample_per_group": q65_sample_per_group,
     }
     return base
 
@@ -1885,4 +1909,5 @@ def oracle_sql() -> dict[str, str]:
         "q62_audio_features": _Q62_SQL,
         "q63_length_outliers": _Q63_SQL,
         "q64_knn_join": _Q64_SQL,
+        "q65_sample_per_group": _Q65_SQL,
     }
