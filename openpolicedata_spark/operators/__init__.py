@@ -3,6 +3,7 @@ at-scale operators beyond the reference (dedup, similarity search,
 multimodal plumbing, training-data pipeline, scale techniques) for
 LLM-data pipelines."""
 
+from openpolicedata_spark.operators.dedup import dedup_cascade, exact_dedup
 from openpolicedata_spark.operators.expand import expand
 from openpolicedata_spark.operators.merge import find_id_column, merge_tables
 from openpolicedata_spark.operators.scale import (
@@ -22,6 +23,7 @@ from openpolicedata_spark.operators.textpipe import (
 
 __all__ = [
     "merge_tables", "find_id_column", "expand",
+    "exact_dedup", "dedup_cascade",
     "asof_join", "pack_documents", "chunk_documents",
     "contamination_pairs", "repetition_stats", "weighted_mix",
     "bucketed_interval_join", "salted_agg", "salted_broadcast_join",

@@ -10,6 +10,8 @@ reference; BASELINE.json north star). All designed shuffle-light for 100 TB:
 - simhash_expr     : 64-bit SimHash fingerprint per document.
 - ngram_jaccard_pairs : exact Jaccard on character n-grams for given pairs.
 - embedding_dup_pairs : near-dup by embedding cosine over LSH buckets.
+- dedup_cascade    : exact → MinHash-LSH → connected components, one row
+                     per input id with keep/drop attribution.
 """
 
 from __future__ import annotations
