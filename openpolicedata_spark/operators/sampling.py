@@ -1,0 +1,101 @@
+"""Deterministic sampling / splitting / ordering for training-data curation.
+
+Everything here is keyed on a portable content hash (md5 of a stable key
+rendered as lowercase hex — identical in Spark, DuckDB, Trino, pandas), not
+on `rand()`: reruns, retried tasks, and other engines reproduce the exact
+same assignment, which is what makes train/val/test membership auditable.
+
+All operators are narrow (no shuffle) except where a global order is
+genuinely requested; those use TakeOrderedAndProject (per-partition heaps)
+rather than a full sort.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_hash_expr(key: Column, seed: str = "") -> Column:
+    """2-hex-digit bucket in ['00'..'ff'] from the md5 of the key (plus an
+    optional seed prefix). Lexicographic comparison of lowercase hex equals
+    numeric comparison of the first byte, so thresholds are plain string
+    literals and every engine agrees."""
+    return F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 2)
+
+
+def _thresholds(weights: Sequence[float]) -> list[str]:
+    """Cumulative weight boundaries as 2-digit hex strings over 256 buckets."""
+    total = float(sum(weights))
+    bounds, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(format(min(255, int(round(acc * 256))), "02x"))
+    return bounds
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[str] = ("train", "val", "test"),
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    seed: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = first byte of
+    md5(seed || key), split = interval of the cumulative weights.
+
+    Row-local (no shuffle, no state); assignment depends only on the key,
+    so adding or removing OTHER rows never reassigns a document — the
+    property that keeps eval sets stable as a 100 TB corpus grows.
+    Reference has no analog (beyond-reference training-pipeline operator).
+    """
+    if len(splits) != len(weights):
+        raise ValueError("splits and weights must align")
+    b = split_hash_expr(F.col(key_col), seed)
+    expr = F.lit(splits[-1])
+    for name, bound in reversed(list(zip(splits[:-1], _thresholds(weights)))):
+        expr = F.when(b < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def shuffle_key_expr(key: Column, seed: str = "epoch0") -> Column:
+    """Deterministic per-epoch shuffle key: md5(seed || ':' || key).
+    Changing `seed` reshuffles; the same seed replays the same order."""
+    return F.md5(F.concat(F.lit(seed), F.lit(":"), key.cast("string")))
+
+
+def train_shuffle(df: DataFrame, key_col: str, seed: str = "epoch0",
+                  key_out: str = "shuffle_key") -> DataFrame:
+    """Global deterministic shuffle for training-order randomization:
+    ORDER BY md5(seed:key). Spark executes this as a range-partitioned
+    distributed sort (sampled boundaries), so no single task ever holds
+    the corpus; writers downstream preserve the order per output file."""
+    return (df.withColumn(key_out, shuffle_key_expr(F.col(key_col), seed))
+            .orderBy(key_out))
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Compaction: keep the single latest row per key, ordered by
+    `order_cols` (last wins; ties broken by the later columns — make the
+    last one unique for determinism).
+
+    One `max_by(struct(*row), struct(*order))` aggregation: the map-side
+    partial keeps one candidate row per key per partition, so the shuffle
+    carries |keys| rows, not |rows| — the scale-right shape for upsert-log
+    compaction, vs. the window row_number formulation which sorts every
+    group's full history after a full-width shuffle."""
+    cols = df.columns
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.max_by(
+            F.struct(*[c for c in cols if c not in key_cols]),
+            F.struct(*[F.col(c) for c in order_cols])).alias("__row__"))
+        .select(*key_cols, "__row__.*")
+    )

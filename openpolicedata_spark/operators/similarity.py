@@ -42,6 +42,28 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def int8_quantize_cols(vec: Column) -> dict[str, Column]:
+    """Symmetric int8 quantization of an embedding: scale = 127/max|x|,
+    q_i = round(x_i * scale) ∈ [-127, 127]. Returns the summary columns a
+    curation pipeline audits (scale + quantized checksum/extrema) — the
+    quantized array itself is `F.transform(vec, quantize)` with the same
+    lambda. All arithmetic in double on the deterministic element order;
+    an all-zero vector gets scale 0 and all-zero codes (no NaN).
+
+    Beyond-reference op: shrinks an f32 embedding column 4× before an ANN
+    index build or export — at 100 TB of vectors the win is wire/storage,
+    and row-local math keeps it fully narrow (no shuffle)."""
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    q = F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("int"))
+    return {
+        "scale": scale,
+        "q_sum": F.aggregate(q, F.lit(0), lambda a, v: a + v),
+        "q_min": F.array_min(q),
+        "q_max": F.array_max(q),
+    }
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: Sequence[float],

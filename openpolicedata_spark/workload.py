@@ -1769,6 +1769,304 @@ WHERE rk <= 3
 """
 
 
+def q66_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) keyed on
+    md5(seed||doc_id) — membership depends only on the key, so the split
+    is stable as the corpus grows and reproducible across engines. The
+    assignment itself is row-local (narrow); this audit view aggregates
+    per (source, split)."""
+    from openpolicedata_spark.operators.sampling import hash_split
+
+    d = _read(spark, sf_dir, "documents")
+    s = hash_split(d, "doc_id", seed="v1")
+    return s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_Q66_SQL = """
+WITH s AS (
+  SELECT source, n_chars,
+    CASE WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+           THEN 'train'
+         WHEN substring(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+           THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents)
+SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM s GROUP BY source, split
+"""
+
+
+def q67_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-log compaction: one latest row per user (order ts, then
+    event_id for a unique tiebreak). max_by(struct) keeps ONE candidate
+    per key per partition map-side, so the shuffle carries |users| rows
+    instead of |events| — unlike the row_number-window formulation, which
+    shuffles and sorts every row."""
+    from openpolicedata_spark.operators.sampling import latest_per_key
+
+    e = _read(spark, sf_dir, "events")
+    out = latest_per_key(e, ["user_id"], ["ts", "event_id"])
+    return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+_Q67_SQL = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events)
+WHERE rk = 1
+"""
+
+
+def q68_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (50-char bins) with exact and cumulative
+    shares — the length-distribution snapshot behind truncation / packing
+    decisions. One groupBy over the corpus; the window cumsum runs on the
+    post-aggregate frame (≤ thousands of buckets), never on raw rows."""
+    d = _read(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy((F.floor(F.col("n_chars") / 50) * 50).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return counts.select(
+        "bucket",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w_all), 6).alias("share"),
+        F.round(F.sum("n_docs").over(w_cum) / F.sum("n_docs").over(w_all), 6)
+        .alias("cum_share"),
+    )
+
+
+_Q68_SQL = """
+WITH c AS (
+  SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY 1)
+SELECT bucket, n_docs,
+  ROUND(n_docs / SUM(n_docs) OVER (), 6) AS share,
+  ROUND(SUM(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+          / SUM(n_docs) OVER (), 6) AS cum_share
+FROM c
+"""
+
+
+def q69_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams — the n-gram frequency pass of tokenizer /
+    contamination work. Shingle k=2 (JVM expression) → explode → count
+    with map-side combine; TakeOrderedAndProject for the top-k (no global
+    sort), then a rank window over the 20 survivors."""
+    from openpolicedata_spark.functions.text import shingles_expr
+
+    d = _read(spark, sf_dir, "documents")
+    bg = d.select(F.explode(shingles_expr(F.col("text"), 2)).alias("bigram"))
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "bigram", "n")
+
+
+_Q69_SQL = r"""
+WITH toked AS (
+  SELECT list_filter(
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+    x -> x <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT unnest(list_transform(
+    range(1, greatest(len(toks) - 1, 0) + 1),
+    i -> array_to_string(toks[i : i+1], ' '))) AS bigram
+  FROM toked WHERE len(toks) >= 2),
+counts AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS INTEGER) AS rank,
+       bigram, n
+FROM counts
+QUALIFY rank <= 20
+"""
+
+
+def q70_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source share of token occurrences covered by the global top-100
+    vocabulary — the 'how well does a fixed vocab fit each slice' check
+    before tokenizer training. The vocab is a tiny top-k aggregate joined
+    back BROADCAST, so the token stream is never shuffled for the probe."""
+    from openpolicedata_spark.functions.text import (
+        normalize_text_expr,
+        tokens_expr,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(tokens_expr(normalize_text_expr(F.col("text")))).alias("token"),
+    )
+    vocab = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token")).limit(100)
+        .select("token", F.lit(1).alias("__in_vocab__"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), on="token", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__in_vocab__"), F.lit(0))).alias("n_covered"),
+        )
+        .select(
+            "source", "n_tokens", "n_covered",
+            F.round(F.col("n_covered") / F.col("n_tokens"), 6).alias("coverage"),
+        )
+    )
+
+
+_Q70_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(list_filter(
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+    x -> x <> '')) AS token
+  FROM documents),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
+    FROM tok GROUP BY token)
+  WHERE rk <= 100)
+SELECT source, COUNT(*) AS n_tokens,
+  SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS n_covered,
+  ROUND(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
+    AS coverage
+FROM tok LEFT JOIN vocab v USING (token)
+GROUP BY source
+"""
+
+
+def q71_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit per vector: scale and quantized
+    checksum/extrema. Row-local double arithmetic in a fixed element
+    order — the 4× storage shrink step before exporting an ANN index."""
+    from openpolicedata_spark.operators.similarity import int8_quantize_cols
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = int8_quantize_cols(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(q["scale"], 6).alias("scale"),
+        q["q_sum"].alias("q_sum"),
+        q["q_min"].alias("q_min"),
+        q["q_max"].alias("q_max"),
+    )
+
+
+_Q71_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, emb,
+    CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+         THEN 127.0 / list_max(list_transform(emb, x -> abs(x)))
+         ELSE 0.0 END AS scale
+  FROM v)
+SELECT vec_id, ROUND(scale, 6) AS scale,
+  CAST(list_sum(list_transform(emb, x -> CAST(ROUND(x * scale) AS INTEGER)))
+       AS INTEGER) AS q_sum,
+  CAST(list_min(list_transform(emb, x -> CAST(ROUND(x * scale) AS INTEGER)))
+       AS INTEGER) AS q_min,
+  CAST(list_max(list_transform(emb, x -> CAST(ROUND(x * scale) AS INTEGER)))
+       AS INTEGER) AS q_max
+FROM s
+"""
+
+
+def q72_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof enrichment join: documents (source is a ~20-value hot
+    key — at corpus scale a handful of crawls dominate) joined to a
+    per-source dimension via salted broadcast join. The hot key's rows
+    spread over 8 salts; result = each doc with its source-mean deviation.
+    Oracle is the plain join (salting must not change semantics)."""
+    from openpolicedata_spark.operators.scale import salted_broadcast_join
+
+    d = _read(spark, sf_dir, "documents")
+    dim = d.groupBy("source").agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("src_avg"))
+    out = salted_broadcast_join(
+        d.select("doc_id", "source", "n_chars"), dim, on="source", n_salts=8)
+    return out.select(
+        "doc_id", "source",
+        F.round(F.col("n_chars") - F.col("src_avg"), 6).alias("char_dev"))
+
+
+_Q72_SQL = """
+WITH dim AS (
+  SELECT source, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS src_avg
+  FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, ROUND(d.n_chars - dim.src_avg, 6) AS char_dev
+FROM documents d JOIN dim USING (source)
+"""
+
+
+def q73_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: order by md5(epoch_seed:doc_id), take
+    the first 100 with their positions. The top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort shuffle);
+    the full-corpus variant is a range-partitioned distributed sort.
+    Replaying the same seed replays the exact batch order."""
+    from openpolicedata_spark.operators.sampling import shuffle_key_expr
+
+    d = _read(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        shuffle_key_expr(F.col("doc_id"), "epoch0").alias("shuffle_key"))
+    top = keyed.orderBy("shuffle_key").limit(100)
+    w = Window.orderBy("shuffle_key")
+    return top.withColumn("position", F.row_number().over(w)).select(
+        "position", "doc_id", "shuffle_key")
+
+
+_Q73_SQL = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)))
+       AS INTEGER) AS position,
+       doc_id,
+       md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+QUALIFY position <= 100
+"""
+
+
+def q74_code_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agency/ORI-style code lookup (reference preproc.py:2498-2565 maps
+    ORI codes through an external CSV with `col.map`): enrich each doc's
+    source code with its display name via a BROADCAST dimension join —
+    the fact side never shuffles. Unmatched codes keep NULL (reference
+    yields NaN). Aggregated per name for a compact audit."""
+    from openpolicedata_spark.standardize.extras import apply_code_lookup
+
+    d = _read(spark, sf_dir, "documents")
+    lookup = spark.createDataFrame(
+        [(f"src{i}", f"Agency {i:02d}") for i in range(0, 10)],
+        "code string, value string")
+    out = apply_code_lookup(d, lookup, "source", "agency_name")
+    return (
+        out.groupBy("agency_name")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("first_doc"))
+    )
+
+
+_Q74_SQL = """
+WITH lookup(code, value) AS (
+  SELECT 'src' || CAST(i AS VARCHAR), 'Agency ' || lpad(CAST(i AS VARCHAR), 2, '0')
+  FROM range(0, 10) t(i))
+SELECT l.value AS agency_name, COUNT(*) AS n_docs, MIN(d.doc_id) AS first_doc
+FROM documents d LEFT JOIN lookup l ON d.source = l.code
+GROUP BY l.value
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1841,6 +2139,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_length_outliers": q63_length_outliers,
         "q64_knn_join": q64_knn_join,
         "q65_sample_per_group": q65_sample_per_group,
+        "q66_hash_split": q66_hash_split,
+        "q67_latest_per_key": q67_latest_per_key,
+        "q68_length_histogram": q68_length_histogram,
+        "q69_bigram_topk": q69_bigram_topk,
+        "q70_vocab_coverage": q70_vocab_coverage,
+        "q71_embedding_quantize": q71_embedding_quantize,
+        "q72_salted_join": q72_salted_join,
+        "q73_train_shuffle": q73_train_shuffle,
+        "q74_code_lookup": q74_code_lookup,
     }
     return base
 
@@ -1910,4 +2217,13 @@ def oracle_sql() -> dict[str, str]:
         "q63_length_outliers": _Q63_SQL,
         "q64_knn_join": _Q64_SQL,
         "q65_sample_per_group": _Q65_SQL,
+        "q66_hash_split": _Q66_SQL,
+        "q67_latest_per_key": _Q67_SQL,
+        "q68_length_histogram": _Q68_SQL,
+        "q69_bigram_topk": _Q69_SQL,
+        "q70_vocab_coverage": _Q70_SQL,
+        "q71_embedding_quantize": _Q71_SQL,
+        "q72_salted_join": _Q72_SQL,
+        "q73_train_shuffle": _Q73_SQL,
+        "q74_code_lookup": _Q74_SQL,
     }

@@ -1,0 +1,125 @@
+"""Deterministic sampling / splitting / compaction operators
+(operators/sampling.py) and the int8 quantization expression."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from openpolicedata_spark.operators.sampling import (
+    hash_split,
+    latest_per_key,
+    shuffle_key_expr,
+    train_shuffle,
+)
+from openpolicedata_spark.operators.similarity import int8_quantize_cols
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"doc number {i}", 100 + i) for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+
+
+class TestHashSplit:
+    def test_assignment_matches_python_md5(self, spark, docs):
+        out = {r["doc_id"]: r["split"]
+               for r in hash_split(docs, "doc_id", seed="v1").collect()}
+        for i in range(400):
+            b = hashlib.md5(f"v1{i}".encode()).hexdigest()[:2]
+            want = "train" if b < "cd" else ("val" if b < "e6" else "test")
+            assert out[i] == want
+
+    def test_proportions_roughly_weighted(self, spark, docs):
+        counts = {r["split"]: r["n"] for r in
+                  hash_split(docs, "doc_id").groupBy("split")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts["train"] > counts["val"]
+        assert counts["train"] > counts["test"]
+        assert sum(counts.values()) == 400
+
+    def test_stable_under_corpus_growth(self, spark, docs):
+        full = {r["doc_id"]: r["split"]
+                for r in hash_split(docs, "doc_id").collect()}
+        half = {r["doc_id"]: r["split"]
+                for r in hash_split(docs.where(F.col("doc_id") < 200),
+                                    "doc_id").collect()}
+        assert all(full[k] == v for k, v in half.items())
+
+    def test_custom_splits_and_seed(self, spark, docs):
+        two = hash_split(docs, "doc_id", splits=("a", "b"), weights=(1, 1),
+                         seed="s2")
+        vals = {r["split"] for r in two.select("split").distinct().collect()}
+        assert vals <= {"a", "b"} and len(vals) == 2
+        # different seed reassigns some documents
+        a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", seed="x").collect()}
+        b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", seed="y").collect()}
+        assert any(a[k] != b[k] for k in a)
+
+    def test_mismatched_weights_raise(self, docs):
+        with pytest.raises(ValueError):
+            hash_split(docs, "doc_id", splits=("a", "b"), weights=(1, 1, 1))
+
+
+class TestTrainShuffle:
+    def test_order_is_md5_order_and_deterministic(self, spark, docs):
+        got = [r["doc_id"] for r in
+               train_shuffle(docs, "doc_id", seed="e1").limit(50).collect()]
+        want = sorted(range(400),
+                      key=lambda i: hashlib.md5(f"e1:{i}".encode()).hexdigest())[:50]
+        assert got == want
+
+    def test_seed_changes_order(self, spark, docs):
+        k1 = docs.select(shuffle_key_expr(F.col("doc_id"), "e1").alias("k"))
+        k2 = docs.select(shuffle_key_expr(F.col("doc_id"), "e2").alias("k"))
+        assert k1.collect() != k2.collect()
+
+
+class TestLatestPerKey:
+    def test_keeps_max_order_row(self, spark):
+        rows = [
+            (1, 10, "a"), (1, 30, "c"), (1, 20, "b"),
+            (2, 5, "x"),
+        ]
+        df = spark.createDataFrame(rows, "k int, ts int, v string")
+        out = {r["k"]: r["v"]
+               for r in latest_per_key(df, ["k"], ["ts"]).collect()}
+        assert out == {1: "c", 2: "x"}
+
+    def test_tiebreak_by_second_order_col(self, spark):
+        rows = [(1, 10, 1, "first"), (1, 10, 2, "second")]
+        df = spark.createDataFrame(rows, "k int, ts int, seq int, v string")
+        out = latest_per_key(df, ["k"], ["ts", "seq"]).collect()
+        assert len(out) == 1 and out[0]["v"] == "second"
+
+    def test_all_columns_survive(self, spark):
+        df = spark.createDataFrame([(1, 2, 3, 4)], "k int, a int, b int, c int")
+        out = latest_per_key(df, ["k"], ["a"])
+        assert set(out.columns) == {"k", "a", "b", "c"}
+
+
+class TestInt8Quantize:
+    def test_known_vector(self, spark):
+        df = spark.createDataFrame([(1, [1.0, -2.0, 0.5])],
+                                   "id int, v array<double>")
+        q = int8_quantize_cols(F.col("v"))
+        row = df.select(*[v.alias(k) for k, v in q.items()]).collect()[0]
+        # scale = 127/2; q = [64, -127, 32] (63.5 rounds half-up to 64)
+        assert row["q_min"] == -127 and row["q_max"] == 64
+        assert row["q_sum"] == 64 - 127 + 32
+        assert abs(row["scale"] - 63.5) < 1e-9
+
+    def test_zero_vector_no_nan(self, spark):
+        df = spark.createDataFrame([(1, [0.0, 0.0])], "id int, v array<double>")
+        q = int8_quantize_cols(F.col("v"))
+        row = df.select(*[v.alias(k) for k, v in q.items()]).collect()[0]
+        assert row["scale"] == 0.0 and row["q_sum"] == 0
+
+    def test_codes_bounded(self, spark, docs):
+        emb = docs.select(
+            F.array(*[(F.col("doc_id") * i % 17 - 8).cast("double")
+                      for i in range(1, 9)]).alias("v"))
+        q = int8_quantize_cols(F.col("v"))
+        bad = emb.select(q["q_min"].alias("mn"), q["q_max"].alias("mx")) \
+                 .where((F.col("mn") < -127) | (F.col("mx") > 127)).count()
+        assert bad == 0
