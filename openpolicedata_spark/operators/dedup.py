@@ -3,10 +3,11 @@ reference; BASELINE.json north star). All designed shuffle-light for 100 TB:
 
 - exact_dedup      : group on a 16-byte md5 digest, not the document text —
                      the shuffle carries the digest + doc_id only.
-- minhash_lsh_dup_pairs : shingle → minhash signature (expression-only) →
-                     band → bucket self-join → candidate pairs → exact
-                     Jaccard verify. The classic MinHash+LSH pipeline; the
-                     only wide ops are the bucket groupBy and the verify join.
+- minhash_lsh_dup_pairs : tokenize (JVM) → one Arrow pass for shingle set +
+                     minhash signature → band → bucket → candidate pairs →
+                     exact Jaccard verify. The classic MinHash+LSH pipeline;
+                     the only wide ops are the bucket groupBy and the verify
+                     join, both fed from one materialized projection.
 - simhash_expr     : 64-bit SimHash fingerprint per document.
 - ngram_jaccard_pairs : exact Jaccard on character n-grams for given pairs.
 - embedding_dup_pairs : near-dup by embedding cosine over LSH buckets.
@@ -85,14 +86,26 @@ def rebalance(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     return df
 
 
-def _minhash_udf(coeffs: list[tuple[int, int]]):
-    """Vectorized (Arrow/numpy) minhash over pre-hashed shingle arrays.
+def _minhash_shingle_udf(coeffs: list[tuple[int, int]], shingle_k: int):
+    """Vectorized (Arrow/numpy) shingling + minhash over per-token hashes.
 
-    The per-hash-function min is the one step Catalyst can't run fast:
-    higher-order `transform` lambdas execute interpreted (no codegen), so
-    64 transforms over ~300-element arrays cost ~3 ms/doc. One numpy
-    broadcast `(A*h + B) % p → min(axis=1)` per document does the same
-    arithmetic ~50× faster; shingling + xxhash64 stay JVM-side."""
+    Input: one array<long> of xxhash64 token hashes per document. The UDF
+    rolls a window of `shingle_k` token hashes into one 64-bit shingle hash
+    (odd-multiplier polynomial, bijective per position mod 2^64, then a
+    splitmix64-style avalanche), dedups with np.unique, and takes the
+    `num_hashes` universal-hash minima — all in a handful of numpy
+    broadcasts per document.
+
+    Why here and not Catalyst: higher-order `transform` lambdas execute
+    interpreted (no codegen, no CSE), so per-shingle `slice`+`concat_ws`+
+    `xxhash64` costs O(k) string work per shingle (~3.5 s for 10k docs at
+    sf0.1), and the per-hash-function min costs another 64 interpreted
+    passes. This UDF replaces both with vectorized integer math, and the
+    Arrow transfer carries n_tokens longs instead of n_shingles strings.
+
+    Returns struct<shingles, minhash>: the distinct shingle set feeds the
+    exact-Jaccard verify, the signature feeds LSH banding — one pass, one
+    materialization for both consumers."""
     from pyspark.sql.functions import pandas_udf
 
     A = np.array([c[0] for c in coeffs], dtype=np.int64)[:, None]
@@ -100,85 +113,88 @@ def _minhash_udf(coeffs: list[tuple[int, int]]):
 
     # Shingle-less (tiny) docs get the all-sentinel signature instead of a
     # null + filter: ANY predicate on the signature column gets pushed below
-    # the exchange and re-evaluates the shingle expression (or the UDF)
-    # twice. Sentinel docs collide only with each other and are dropped by
-    # the Jaccard verify (0/0 → null similarity).
+    # the exchange and re-evaluates the UDF twice. Sentinel docs collide
+    # only with each other and are dropped by the Jaccard verify (0/0 →
+    # null similarity).
     sentinel = np.full(A.shape[0], _MERSENNE_31, dtype=np.int64)
+    empty = np.empty(0, dtype=np.int64)
+    # odd constant → every power is odd → multiplication is a bijection
+    # mod 2^64; numpy uint64 arithmetic wraps, which is exactly mod 2^64.
+    P = np.uint64(0x9E3779B97F4A7C15)
+    powers = P ** np.arange(shingle_k - 1, -1, -1, dtype=np.uint64)
 
-    @pandas_udf("array<long>")
-    def mh(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
-            hv = np.asarray(h, dtype=np.int64)
-            if hv.size == 0:
-                out.append(sentinel)
+    def _avalanche(x: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer: spreads the polynomial sums so the later
+        # mod-p projection sees uniform bits.
+        x = x.copy()
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x
+
+    @pandas_udf("struct<shingles: array<long>, minhash: array<long>>")
+    def mh(ths: pd.Series) -> pd.DataFrame:
+        shingles_out, minhash_out = [], []
+        for th in ths:
+            t = np.asarray(th, dtype=np.int64).view(np.uint64)
+            n_sh = t.size - (shingle_k - 1)
+            if n_sh <= 0:
+                shingles_out.append(empty)
+                minhash_out.append(sentinel)
                 continue
-            # raw xxhash64 → universe [0, p) first (numpy % with a positive
-            # divisor is non-negative, same as Spark's pmod), then the
-            # universal hashes: a < p < 2^31 and h' < p keep a*h'+b < 2^62,
-            # no int64 overflow.
-            hv = hv % _MERSENNE_31
-            out.append(((A * hv + B) % _MERSENNE_31).min(axis=1))
-        return pd.Series(out)
+            acc = t[0:n_sh] * powers[0]
+            for j in range(1, shingle_k):
+                acc = acc + t[j:j + n_sh] * powers[j]
+            uniq = np.unique(_avalanche(acc))
+            # universe [0, p): a < p < 2^31 and h' < p keep a*h'+b < 2^62,
+            # no int64 overflow in the universal hashes.
+            hv = (uniq % np.uint64(_MERSENNE_31)).astype(np.int64)
+            shingles_out.append(uniq.view(np.int64))
+            minhash_out.append(((A * hv + B) % _MERSENNE_31).min(axis=1))
+        return pd.DataFrame({"shingles": shingles_out, "minhash": minhash_out})
 
     return mh
 
 
-def hashed_shingles(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", shingle_k: int = 5) -> DataFrame:
-    """Shared projection for the signature and verify paths: tokenize →
-    shingle → raw xxhash64 longs.
+def shingle_minhash(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", num_hashes: int = 64,
+                    shingle_k: int = 5, seed: int = 42) -> DataFrame:
+    """One-pass shingle set + MinHash signature per document:
+    (id, __sh__: sorted distinct shingle hashes, minhash: signature).
 
-    Tokenization is materialized at the rebalance exchange BEFORE the
-    shingling lambda runs. Higher-order lambdas evaluate interpreted with
-    no common-subexpression elimination, so `slice(toks, i, k)` re-runs
-    its `toks` subtree per element: with tokens inlined as an expression,
-    tokenization executed once per SHINGLE (~n_tokens× per row — measured
-    2.9s of q28's sf0.1 runtime); as a materialized column it's an O(1)
-    attribute read."""
+    Stage split (reference-free design; the reference has no dedup —
+    BASELINE.json north star): tokenize + per-token xxhash64 stay JVM-side
+    (one interpreted lambda over n_tokens — cheap integer work), then ONE
+    Arrow round trip computes shingle rolling-hashes, the distinct shingle
+    set, and the signature together (`_minhash_shingle_udf`). The token
+    projection is materialized at the rebalance exchange, so ArrowEvalPython
+    reads attributes instead of re-evaluating the tokenizer.
+
+    Deterministic: output depends only on (text, num_hashes, k, seed)."""
     toked = rebalance(
         df.select(
             F.col(id_col),
             tokens_expr(normalize_text_expr(F.col(text_col))).alias("__toks__"),
         )
     )
-    toks = F.col("__toks__")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(0)))
-    shingle_hashes = F.when(
-        n >= shingle_k,
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, shingle_k))),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    return toked.select(F.col(id_col), shingle_hashes.alias("__hraw__"))
+    th = F.transform(F.col("__toks__"), lambda t: F.xxhash64(t))
+    mh = _minhash_shingle_udf(_hash_coeffs(num_hashes, seed), shingle_k)
+    return (
+        toked.select(F.col(id_col), th.alias("__th__"))
+        .select(F.col(id_col), mh(F.col("__th__")).alias("__ms__"))
+        .select(F.col(id_col), F.col("__ms__.shingles").alias("__sh__"),
+                F.col("__ms__.minhash").alias("minhash"))
+    )
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_k: int = 5, seed: int = 42) -> DataFrame:
-    """Per-document MinHash signature (array<long>).
-
-    Staged projections: shingles → xxhash64 (JVM, codegen) → numpy
-    pandas_udf for the mod-p reduction + num_hashes universal-hash mins
-    (see _minhash_udf). Deterministic: signature depends only on
-    (text, num_hashes, k, seed)."""
-    return _signatures_from_hashed(
-        hashed_shingles(df, text_col, id_col, shingle_k),
-        id_col, num_hashes, seed)
-
-
-def _signatures_from_hashed(hashed: DataFrame, id_col: str,
-                            num_hashes: int, seed: int) -> DataFrame:
-    # repartition AFTER the projection: the exchange materializes __hraw__,
-    # so the shingle expression runs once in a codegen'd Project (with
-    # subexpression elimination) instead of interpreted inside
-    # ArrowEvalPython's input projection — measured 8× faster at sf0.1.
-    staged = hashed.repartition(
-        hashed.sparkSession.sparkContext.defaultParallelism)
-    mh = _minhash_udf(_hash_coeffs(num_hashes, seed))
-    return staged.select(F.col(id_col), mh(F.col("__hraw__")).alias("minhash"))
+    """Per-document MinHash signature (array<long>) — see shingle_minhash."""
+    return shingle_minhash(df, text_col, id_col, num_hashes,
+                           shingle_k, seed).select(id_col, "minhash")
 
 
 def minhash_lsh_dup_pairs(
@@ -191,19 +207,30 @@ def minhash_lsh_dup_pairs(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     max_bucket_size: Optional[int] = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
     Plan shape (the thing that matters at 100 TB):
-      1. map-side: shingle → signature → explode into `bands` (band_id,
-         band_hash) keys                      [narrow]
-      2. groupBy bucket → collect_list(id)    [ONE shuffle on small keys]
+      1. map-side: tokenize → one Arrow pass for shingle set + signature
+         (`shingle_minhash`), materialized ONCE    [narrow]
+      2. explode signature into `bands` (band_id, band_hash) keys,
+         groupBy bucket → collect_list(id)    [ONE shuffle on small keys]
       3. generate i<j pairs inside each bucket (narrow expression), distinct
-      4. exact Jaccard verify on the pair's shingle sets [broadcast-able
-         second join back to shingles]
+      4. exact Jaccard verify on the pair's shingle sets, joined back to
+         the SAME materialized projection
     Bucketing via collect_list instead of a band self-join evaluates the
     signature pipeline once, not once per join side — measured 8.8s → 3.2s
     cold at sf0.1 with identical output.
+
+    `materialize=True` localCheckpoints the shingle+signature projection so
+    the banding and verify branches share one computation instead of each
+    recomputing the tokenize→UDF pipeline (measured: the projection costs
+    ~3 s at sf0.1, reuse ~0.4 s). localCheckpoint stores MEMORY_AND_DISK on
+    the executors; on a real cluster an executor loss forces a recompute
+    from the start, so long multi-hour jobs should either accept that or
+    set a reliable `spark.sparkContext.setCheckpointDir` and swap in
+    `.checkpoint()` — for a dedup pass (minutes per wave) local is right.
 
     `max_bucket_size`: optional skew guard for real corpora — a bucket of B
     ids emits B(B-1)/2 pairs on one task, so one degenerate bucket (B~10^4
@@ -211,13 +238,14 @@ def minhash_lsh_dup_pairs(
     are dropped (run exact_dedup first so identical docs never form one).
     """
     rows_per_band = num_hashes // bands
-    # ONE definition of the hashed-shingle projection feeds both the
-    # signature and verify paths. Deliberately NOT persisted: building the
-    # columnar cache for array<long> columns costs more than recomputing
-    # the codegen'd projection (measured 2.4× slower end-to-end at sf0.1).
-    hashed = hashed_shingles(df, text_col, id_col, shingle_k)
-    sig = _signatures_from_hashed(hashed, id_col, num_hashes, seed)
-    banded = sig.select(
+    # ONE materialization feeds both the signature and verify branches.
+    # (The columnar .persist() cache is NOT used: building the columnar
+    # cache for array<long> columns measured 2.4× slower than recompute;
+    # localCheckpoint stores serialized rows and avoids that build cost.)
+    ms = shingle_minhash(df, text_col, id_col, num_hashes, shingle_k, seed)
+    if materialize:
+        ms = ms.localCheckpoint(eager=False)
+    banded = ms.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -258,14 +286,12 @@ def minhash_lsh_dup_pairs(
     # strings — cuts the verify-join shuffle to 8 bytes per shingle and the
     # comparison to integer equality (collision probability ~2^-64).
     # Melt form: pairs are exploded to (pair, member-id) rows and joined to
-    # the shingle projection ONCE, then regrouped per pair. The two-join
-    # alternative evaluates the corpus-wide shingle pipeline once per join
-    # side (broadcast-cand joins recompute it map-side over the FULL
-    # corpus); here it runs once, and only the candidates' shingle arrays
-    # shuffle through the pair regroup — candidates ≪ corpus by
-    # construction. Measured 5.1s → 2.6s cold, 1.9s → 1.6s warm at sf0.1.
-    sh = hashed.select(F.col(id_col).alias("__sid__"),
-                       F.array_distinct(F.col("__hraw__")).alias("__sh__"))
+    # the materialized shingle projection ONCE, then regrouped per pair.
+    # The two-join alternative evaluates the projection once per join side;
+    # here only the candidates' shingle arrays shuffle through the pair
+    # regroup — candidates ≪ corpus by construction. Measured 5.1s → 2.6s
+    # cold, 1.9s → 1.6s warm at sf0.1 (pre-checkpoint numbers).
+    sh = ms.select(F.col(id_col).alias("__sid__"), F.col("__sh__"))
     melted = (
         cand.select("id_a", "id_b", F.col("id_a").alias("__sid__"))
         .unionByName(cand.select("id_a", "id_b", F.col("id_b").alias("__sid__")))
