@@ -2067,6 +2067,238 @@ GROUP BY l.value
 """
 
 
+def q75_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (priority, status) with GROUPING disambiguation —
+    grouping sets in one pass (the reference has none, SURVEY §2.4; Spark
+    executes the cube as ONE Expand + aggregate, not 4 scans). grouping_id
+    bits tell a real NULL group from a rolled-up one."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
+             .alias("sum_price"))
+        .select("gid", "o_orderpriority", "o_orderstatus",
+                "n_orders", "sum_price")
+    )
+
+
+_Q75_SQL = """
+SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+       o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q76_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. Both nation dims broadcast onto the fact joins; only
+    orders⋈lineitem shuffles. The (n1,n2)|(n2,n1) pair filter rides the
+    broadcast hash join as an ordinary predicate."""
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(_revenue_expr()), 2).cast("double").alias("revenue"))
+    )
+
+
+_Q76_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,4)))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER)
+"""
+
+
+def q77_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with customer attribution — top 100 by price. The HAVING subquery is a
+    map-side-combined groupBy on the fact's join key (so the aggregate is
+    already co-partitioned with the orders join: AQE reuses the exchange);
+    customer broadcasts; top-k is TakeOrderedAndProject."""
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__q__"))
+        .where(F.col("__q__") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+                F.col("__q__").cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q77_SQL = """
+SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q78_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class profile (alpha/digit/space/other shares)
+    — the byte-level corpus audit before tokenizer training. Length
+    deltas after class-targeted regexp_replace: pure codegen string ops,
+    one narrow pass + one tiny groupBy."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.length(t)
+    alpha = n - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    digit = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    space = n - F.length(F.regexp_replace(t, " ", ""))
+    per = d.select(
+        "source", n.alias("__n__"), alpha.alias("__a__"),
+        digit.alias("__d__"), space.alias("__s__"))
+    return (
+        per.groupBy("source")
+        .agg(F.sum("__n__").alias("n_chars"),
+             F.round(F.sum("__a__") / F.sum("__n__"), 6).alias("alpha_share"),
+             F.round(F.sum("__d__") / F.sum("__n__"), 6).alias("digit_share"),
+             F.round(F.sum("__s__") / F.sum("__n__"), 6).alias("space_share"))
+    )
+
+
+_Q78_SQL = """
+SELECT source, SUM(LENGTH(text)) AS n_chars,
+  ROUND(SUM(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g')))
+          / SUM(LENGTH(text)), 6) AS alpha_share,
+  ROUND(SUM(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+          / SUM(LENGTH(text)), 6) AS digit_share,
+  ROUND(SUM(LENGTH(text) - LENGTH(replace(text, ' ', '')))
+          / SUM(LENGTH(text)), 6) AS space_share
+FROM documents GROUP BY source
+"""
+
+
+def q79_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix Shannon entropy per source — the balance diagnostic of
+    a training-mix config. Two cheap aggregations ((source,lang) counts →
+    per-source entropy); all log math on the post-aggregate frame."""
+    d = _read(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("source")
+    p = F.col("n") / F.sum("n").over(tot)
+    return (
+        counts.select("source", F.col("n"), (-p * F.log(p)).alias("__h__"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_docs"),
+             F.round(F.sum("__h__"), 6).alias("lang_entropy"))
+    )
+
+
+_Q79_SQL = """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang),
+p AS (
+  SELECT source, n, CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY source) AS p
+  FROM c)
+SELECT source, SUM(n) AS n_docs, ROUND(SUM(-p * LN(p)), 6) AS lang_entropy
+FROM p GROUP BY source
+"""
+
+
+def q80_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length deciles (NTILE over a unique ordering) with per-decile
+    stats — the distribution sketch behind curriculum/packing decisions.
+    The window sorts once on (n_chars, doc_id); the decile aggregate is
+    map-side combined."""
+    d = _read(spark, sf_dir, "documents")
+    w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"),
+             F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("avg_chars"))
+    )
+
+
+_Q80_SQL = """
+SELECT decile, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       ROUND(SUM(n_chars) / COUNT(*), 6) AS avg_chars
+FROM (SELECT n_chars,
+             NTILE(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
+      FROM documents)
+GROUP BY decile
+"""
+
+
+def q81_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication audit on the dup-injected corpus: distinct
+    normalized fingerprints vs rows. count(DISTINCT md5) keeps the shuffle
+    at 16 bytes/row; the md5 normalization matches exact_dedup's digest,
+    so this is the 'how much will dedup shrink each source' estimate."""
+    d = _docs_with_dups(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.count_distinct(fingerprint_md5_expr(F.col("text")))
+             .alias("n_unique"))
+        .select(
+            "source", "n_docs", "n_unique",
+            F.round(F.lit(1) - F.col("n_unique") / F.col("n_docs"), 6)
+            .alias("dup_share"))
+    )
+
+
+_Q81_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+         AS n_unique,
+       ROUND(1 - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                 / COUNT(*), 6) AS dup_share
+FROM {_DOCS_WITH_DUPS_SQL} d
+GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2148,6 +2380,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_salted_join": q72_salted_join,
         "q73_train_shuffle": q73_train_shuffle,
         "q74_code_lookup": q74_code_lookup,
+        "q75_cube_order_stats": q75_cube_order_stats,
+        "q76_volume_shipping": q76_volume_shipping,
+        "q77_large_orders": q77_large_orders,
+        "q78_char_classes": q78_char_classes,
+        "q79_mix_entropy": q79_mix_entropy,
+        "q80_decile_profile": q80_decile_profile,
+        "q81_dup_rate_by_source": q81_dup_rate_by_source,
     }
     return base
 
@@ -2226,4 +2465,11 @@ def oracle_sql() -> dict[str, str]:
         "q72_salted_join": _Q72_SQL,
         "q73_train_shuffle": _Q73_SQL,
         "q74_code_lookup": _Q74_SQL,
+        "q75_cube_order_stats": _Q75_SQL,
+        "q76_volume_shipping": _Q76_SQL,
+        "q77_large_orders": _Q77_SQL,
+        "q78_char_classes": _Q78_SQL,
+        "q79_mix_entropy": _Q79_SQL,
+        "q80_decile_profile": _Q80_SQL,
+        "q81_dup_rate_by_source": _Q81_SQL,
     }
