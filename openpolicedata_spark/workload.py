@@ -2299,6 +2299,112 @@ GROUP BY source
 """
 
 
+def q82_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step: per-label centroids (exact DECIMAL
+    mean per position), then nearest-centroid per vector by squared L2.
+    Exact-oracle formulation: posexplode vector+centroid, per-position
+    (v-c)^2 cast to DECIMAL so the distance sum is order-independent, then
+    a rank-1 window with a label tiebreak. The centroid frame broadcasts
+    (K x dim rows). At corpus scale the same step runs through
+    `operators.similarity.ivf_assign` (numpy argmin per Arrow batch, no
+    explode) — this query pins its semantics to an engine-portable oracle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pe = emb.select("vec_id", "label",
+                    F.posexplode("embedding").alias("pos0", "v"))
+    cent = (
+        pe.groupBy(F.col("label").alias("c_label"),
+                   F.col("pos0").alias("c_pos"))
+        .agg((F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+              / F.count(F.lit(1))).alias("c"))
+    )
+    dists = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
+        .join(F.broadcast(cent), F.col("pos0") == F.col("c_pos"))
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum(((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+                   .cast("decimal(30,12)")).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("c_label").alias("centroid"),
+                F.round(F.col("d2").cast("double"), 6).alias("dist2"))
+    )
+
+
+_Q82_SQL = """
+WITH pe AS (
+  SELECT vec_id, label, i AS pos,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(i)),
+cent AS (
+  SELECT label AS c_label, pos AS c_pos,
+         CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM pe GROUP BY label, pos),
+dists AS (
+  SELECT pe.vec_id, cent.c_label,
+         SUM(CAST((pe.v - cent.c) * (pe.v - cent.c) AS DECIMAL(30,12))) AS d2
+  FROM pe JOIN cent ON pe.pos = cent.c_pos
+  GROUP BY pe.vec_id, cent.c_label)
+SELECT vec_id, c_label AS centroid, ROUND(CAST(d2 AS DOUBLE), 6) AS dist2
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rk
+      FROM dists)
+WHERE rk = 1
+"""
+
+
+def q83_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based corpus filter with attribution — the keep/drop decision
+    step of a curation pipeline (each doc gets its FIRST failing rule as
+    the reason, or 'keep'). All rules are codegen string expressions; the
+    decision is row-local (narrow), so the filter costs one scan at any
+    corpus size."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = F.size(F.filter(F.split(F.trim(t), r"\s+"),
+                               lambda x: x != ""))
+    alpha_share = (
+        (n_chars - F.length(F.regexp_replace(t, "[A-Za-z]", ""))).cast("double")
+        / F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0)))
+    reason = (
+        F.when(n_tokens < 10, "too_short")
+        .when(n_chars > 3000, "too_long")
+        .when(alpha_share < F.lit(0.6), "low_alpha")
+        .otherwise("keep")
+    )
+    return d.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
+_Q83_SQL = r"""
+WITH m AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+      AS n_tokens,
+    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))
+         AS DOUBLE)
+      / (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) AS DOUBLE)
+              ELSE 1.0 END) AS alpha_share
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN n_tokens < 10 THEN 'too_short'
+       WHEN n_chars > 3000 THEN 'too_long'
+       WHEN alpha_share < 0.6 THEN 'low_alpha'
+       ELSE 'keep' END AS reason,
+  (CASE WHEN n_tokens < 10 THEN 'too_short'
+        WHEN n_chars > 3000 THEN 'too_long'
+        WHEN alpha_share < 0.6 THEN 'low_alpha'
+        ELSE 'keep' END) = 'keep' AS keep
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2387,6 +2493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_mix_entropy": q79_mix_entropy,
         "q80_decile_profile": q80_decile_profile,
         "q81_dup_rate_by_source": q81_dup_rate_by_source,
+        "q82_kmeans_assign": q82_kmeans_assign,
+        "q83_quality_filter": q83_quality_filter,
     }
     return base
 
@@ -2472,4 +2580,6 @@ def oracle_sql() -> dict[str, str]:
         "q79_mix_entropy": _Q79_SQL,
         "q80_decile_profile": _Q80_SQL,
         "q81_dup_rate_by_source": _Q81_SQL,
+        "q82_kmeans_assign": _Q82_SQL,
+        "q83_quality_filter": _Q83_SQL,
     }
