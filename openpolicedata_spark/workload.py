@@ -2245,8 +2245,13 @@ FROM p GROUP BY source
 def q80_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length deciles (NTILE over a unique ordering) with per-decile
     stats — the distribution sketch behind curriculum/packing decisions.
-    The window sorts once on (n_chars, doc_id); the decile aggregate is
-    map-side combined."""
+
+    Scale note: a global NTILE funnels every row through ONE window task —
+    exact and fine up to ~10^8 rows, but at 100 TB the production path is
+    two narrow passes instead: approx_percentile(n_chars, [0.1..0.9]) for
+    the boundaries, then a row-local `width_bucket`-style binning. This
+    query keeps the exact formulation because it is the oracle-checkable
+    semantics the approximate path is validated against."""
     d = _read(spark, sf_dir, "documents")
     w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
     return (
