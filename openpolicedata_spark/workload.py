@@ -2410,6 +2410,49 @@ FROM m
 """
 
 
+def q84_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial profile over the events table (reference loads portal
+    geometry as Points, socrata.py:476-504 / arcgis_class.py:516-546; at
+    scale geometry is a struct<lon,lat> column and spatial ops are codegen
+    arithmetic — functions/geo.py). Coordinates are derived
+    deterministically from user_id (the testdata carries no geometry;
+    the derivation exercises the same expressions a real point column
+    takes): haversine distance to a fixed origin + 10-degree longitude
+    bands. Everything row-local except the final tiny groupBy."""
+    from openpolicedata_spark.functions.geo import haversine_km_expr
+
+    e = _read(spark, sf_dir, "events")
+    lon = ((F.col("user_id") * 7919) % 36000) / 100.0 - 180.0
+    lat = ((F.col("user_id") * 4409) % 18000) / 100.0 - 90.0
+    d = haversine_km_expr(lon, lat, F.lit(0.0), F.lit(0.0))
+    return (
+        e.select(F.floor(lon / 10).cast("int").alias("lon_band"),
+                 d.alias("__d__"))
+        .groupBy("lon_band")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.min("__d__"), 6).alias("min_km"),
+             F.round(F.max("__d__"), 6).alias("max_km"))
+    )
+
+
+_Q84_SQL = """
+WITH pts AS (
+  SELECT ((user_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+         ((user_id * 4409) % 18000) / 100.0 - 90.0 AS lat
+  FROM events)
+SELECT CAST(FLOOR(lon / 10) AS INTEGER) AS lon_band, COUNT(*) AS n_events,
+  ROUND(MIN(2 * 6371.0088 * ASIN(SQRT(
+      POW(SIN(RADIANS(0.0 - lat) / 2), 2)
+      + COS(RADIANS(lat)) * COS(RADIANS(0.0))
+        * POW(SIN(RADIANS(0.0 - lon) / 2), 2)))), 6) AS min_km,
+  ROUND(MAX(2 * 6371.0088 * ASIN(SQRT(
+      POW(SIN(RADIANS(0.0 - lat) / 2), 2)
+      + COS(RADIANS(lat)) * COS(RADIANS(0.0))
+        * POW(SIN(RADIANS(0.0 - lon) / 2), 2)))), 6) AS max_km
+FROM pts GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2500,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_dup_rate_by_source": q81_dup_rate_by_source,
         "q82_kmeans_assign": q82_kmeans_assign,
         "q83_quality_filter": q83_quality_filter,
+        "q84_geo_distance": q84_geo_distance,
     }
     return base
 
@@ -2587,4 +2631,5 @@ def oracle_sql() -> dict[str, str]:
         "q81_dup_rate_by_source": _Q81_SQL,
         "q82_kmeans_assign": _Q82_SQL,
         "q83_quality_filter": _Q83_SQL,
+        "q84_geo_distance": _Q84_SQL,
     }

@@ -274,3 +274,63 @@ def test_year_quarter_parsing(spark):
     assert [(t.year, t.month, t.day) for t in got] == [
         (2021, 1, 1), (2021, 4, 1), (2022, 10, 1), (2023, 7, 1)]
     assert df.select(date_precision_expr(strat).alias("p")).first().p == "quarter"
+
+
+class TestGeo:
+    def test_haversine_known_distance(self, spark):
+        """Paris→London ≈ 343.5 km (great-circle, spherical earth)."""
+        from openpolicedata_spark.functions.geo import haversine_km_expr
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [(2.3522, 48.8566, -0.1276, 51.5072)],
+            "lon1 double, lat1 double, lon2 double, lat2 double")
+        km = df.select(haversine_km_expr(
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+        ).alias("km")).first()["km"]
+        assert abs(km - 343.5) < 1.0
+        # symmetric + zero on identical points
+        km2 = df.select(haversine_km_expr(
+            F.col("lon2"), F.col("lat2"), F.col("lon1"), F.col("lat1")
+        ).alias("km")).first()["km"]
+        assert abs(km - km2) < 1e-9
+        zero = df.select(haversine_km_expr(
+            F.col("lon1"), F.col("lat1"), F.col("lon1"), F.col("lat1")
+        ).alias("km")).first()["km"]
+        assert zero == 0.0
+
+    def test_bbox_and_grid_cell(self, spark):
+        from openpolicedata_spark.functions.geo import (
+            grid_cell_expr, in_bbox_expr)
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [(0, -122.42, 37.77), (1, 2.35, 48.85), (2, 180.0, 90.0),
+             (3, -0.5, -0.5)],
+            "id long, lon double, lat double")
+        inside = {r.id for r in df.where(in_bbox_expr(
+            F.col("lon"), F.col("lat"), -123.0, 37.0, -122.0, 38.0)).collect()}
+        assert inside == {0}
+        cells = {r.id: (r.cell.cx, r.cell.cy) for r in df.select(
+            "id", grid_cell_expr(F.col("lon"), F.col("lat")).alias("cell")
+        ).collect()}
+        assert cells[0] == (-123, 37)      # floor, not trunc, for negatives
+        assert cells[1] == (2, 48)
+        assert cells[3] == (-1, -1)
+
+    def test_grid_cell_radius_join_candidates(self, spark):
+        """Grid bucketing: points within cell_deg of each other always land
+        in the same or adjacent cells (the binned-join invariant)."""
+        from openpolicedata_spark.functions.geo import grid_cell_expr
+        import pyspark.sql.functions as F
+
+        pts = [(i, -1.0 + 0.3 * i, 0.5 + 0.2 * i) for i in range(8)]
+        df = spark.createDataFrame(pts, "id long, lon double, lat double")
+        rows = df.select("id", "lon", "lat", grid_cell_expr(
+            F.col("lon"), F.col("lat"), 1.0).alias("c")).collect()
+        by_id = {r.id: r for r in rows}
+        for a in rows:
+            for b in rows:
+                if abs(a.lon - b.lon) < 1.0 and abs(a.lat - b.lat) < 1.0:
+                    assert abs(a.c.cx - b.c.cx) <= 1
+                    assert abs(a.c.cy - b.c.cy) <= 1
