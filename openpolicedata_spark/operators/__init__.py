@@ -8,6 +8,7 @@ from openpolicedata_spark.operators.expand import expand
 from openpolicedata_spark.operators.merge import find_id_column, merge_tables
 from openpolicedata_spark.operators.scale import (
     bucketed_interval_join,
+    radius_join,
     salted_agg,
     salted_broadcast_join,
     write_bucketed,
@@ -26,6 +27,6 @@ __all__ = [
     "exact_dedup", "dedup_cascade",
     "asof_join", "pack_documents", "chunk_documents",
     "contamination_pairs", "repetition_stats", "weighted_mix",
-    "bucketed_interval_join", "salted_agg", "salted_broadcast_join",
+    "bucketed_interval_join", "radius_join", "salted_agg", "salted_broadcast_join",
     "write_bucketed",
 ]

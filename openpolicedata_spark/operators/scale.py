@@ -165,3 +165,96 @@ def repartition_by_key_bounded(df: DataFrame, key: str, max_per_partition: int,
     salted = with_counts.withColumn(
         "__salt__", (F.rand(seed=42) * n_splits).cast("int")).drop(count_col)
     return salted.repartition(F.col(key), F.col("__salt__")).drop("__salt__")
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    how: str = "inner",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Spatial radius join that scales: pair every left row with every
+    right row whose point lies within `radius_km` great-circle km.
+
+    The naive plan is a cross join + haversine filter — O(|L|*|R|) and a
+    BroadcastNestedLoop at any real size. Same cure as the interval join
+    above: bucket space into a fixed grid of `radius_km`-sized cells
+    (functions/geo.grid-cell pattern), explode the RIGHT side into the
+    neighbor cells that could contain a match, equi-join on the cell id,
+    then verify the exact haversine distance. One shuffle per side on
+    small integer cell keys; no nested loop.
+
+    Replication math: latitude cells are constant-width, so dy ∈ {-1,0,1}
+    always suffices when the cell edge equals the radius in degrees.
+    Longitude degrees shrink by cos(lat), so the per-row lon fan-out is
+    ceil(1/cos(lat_safe)) cells each way — 3x3 near the equator, wider
+    near the poles (rows at |lat| > 89.9 - radius fall back to a wide but
+    finite fan-out via the cos floor). Put the SMALLER relation on the
+    right: it carries the ~9x explosion.
+
+    Antimeridian wrap (lon ±180 adjacency) is handled: right rows whose
+    fan-out reaches the seam get one extra copy shifted ±360°, and the
+    exact verify requires the raw lon delta to the *stored* (possibly
+    shifted) copy to lie in (-180, 180] — haversine is 360°-periodic, so
+    the distance is unchanged, and the half-open band guarantees each
+    in-radius pair matches through exactly one copy (no double rows).
+
+    Output: all left columns, right columns (colliding names get
+    `suffix`), plus `distance_km`. `how` ∈ inner/left_outer — left_outer
+    keeps unmatched left rows with null right columns.
+    """
+    from ..functions.geo import haversine_km_expr
+
+    cell_deg = radius_km / 111.0  # ≥ true degrees/km on the sphere: safe
+    radius_deg = cell_deg
+
+    def cx(lon):
+        return F.floor(lon / F.lit(cell_deg)).cast("long")
+
+    def cy(lat):
+        return F.floor(lat / F.lit(cell_deg)).cast("long")
+
+    l_ = (left.withColumn("__cx__", cx(F.col(lon_col)))
+              .withColumn("__cy__", cy(F.col(lat_col))).alias("__l__"))
+
+    # lon fan-out: enough cells to cover radius_km at this row's latitude
+    # (take the latitude nearest the pole reachable within the radius)
+    lat_safe = F.least(F.abs(F.col(lat_col)) + F.lit(radius_deg), F.lit(89.9))
+    cos_safe = F.greatest(F.cos(F.radians(lat_safe)), F.lit(1e-4))
+    # cap at the globe's width in cells: past that the extra cells are
+    # empty by construction (lon ∈ [-180, 180)), only join-input bloat
+    n_cap = F.lit(int(-(-180.0 // cell_deg)))
+    n_lon = F.least(F.ceil(F.lit(1.0) / cos_safe), n_cap).cast("int")
+    # antimeridian copies: a row whose lon fan-out crosses ±180 also
+    # joins from the far side, stored at lon ± 360 (same physical point)
+    reach_deg = (n_lon.cast("double") + 1) * F.lit(cell_deg)
+    shifts = F.array_compact(F.array(
+        F.lit(0.0),
+        F.when(F.col(lon_col) + reach_deg > 180.0, F.lit(-360.0)),
+        F.when(F.col(lon_col) - reach_deg < -180.0, F.lit(360.0))))
+    r_ = (right
+          .withColumn("__shift__", F.explode(shifts))
+          .withColumn("__lon__", F.col(lon_col) + F.col("__shift__"))
+          .withColumn("__dx__", F.explode(F.sequence(-n_lon, n_lon)))
+          .withColumn("__dy__", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+          .withColumn("__cx__", cx(F.col("__lon__")) + F.col("__dx__"))
+          .withColumn("__cy__", cy(F.col(lat_col)) + F.col("__dy__"))
+          .drop("__dx__", "__dy__", "__shift__").alias("__r__"))
+
+    lc = lambda c: F.col(f"__l__.{c}")  # noqa: E731
+    rc = lambda c: F.col(f"__r__.{c}")  # noqa: E731
+    dist = haversine_km_expr(lc(lon_col), lc(lat_col),
+                             rc("__lon__"), rc(lat_col))
+    dlon = lc(lon_col) - rc("__lon__")
+    cond = ((lc("__cx__") == rc("__cx__")) & (lc("__cy__") == rc("__cy__"))
+            & (dlon > F.lit(-180.0)) & (dlon <= F.lit(180.0))
+            & (dist <= F.lit(float(radius_km))))
+    left_cols = set(left.columns)
+    out = ([lc(c) for c in left.columns]
+           + [rc(c).alias(c + suffix) if c in left_cols else rc(c)
+              for c in right.columns]
+           + [dist.alias("distance_km")])
+    return l_.join(r_, cond, how).select(*out)

@@ -2453,6 +2453,59 @@ FROM pts GROUP BY 1
 """
 
 
+
+def q85_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join: events within 1500 km of each station
+    (reference geometry workflows filter portal Points near an agency HQ;
+    socrata.py:476-504 / arcgis_class.py:516-546 build the Points). The
+    naive cross-join + distance filter is O(|E|*|S|); operators/
+    scale.radius_join grid-bins space into radius-sized cells, explodes
+    only the 25-row station side into neighbor cells, and equi-joins on
+    the cell id before the exact haversine check — the oracle is the
+    brute-force form, proving the binned plan loses no pairs."""
+    from openpolicedata_spark.operators.scale import radius_join
+
+    e = _read(spark, sf_dir, "events")
+    ev = e.select(
+        (((F.col("user_id") * 7919) % 36000) / 100.0 - 180.0).alias("lon"),
+        (((F.col("user_id") * 4409) % 18000) / 100.0 - 90.0).alias("lat"))
+    n = _read(spark, sf_dir, "nation")
+    st = n.select(
+        F.col("n_name").alias("station"),
+        (((F.col("n_nationkey") * 137) % 360) - 180 + 0.5).cast("double").alias("lon"),
+        (((F.col("n_nationkey") * 73) % 120) - 60 + 0.5).cast("double").alias("lat"))
+    joined = radius_join(ev, st, radius_km=1500.0)
+    return (joined.groupBy("station")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.min("distance_km"), 6).alias("min_km"),
+                 F.round(F.max("distance_km"), 6).alias("max_km"))
+            .orderBy("station"))
+
+
+_Q85_SQL = """
+WITH ev AS (
+  SELECT ((user_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+         ((user_id * 4409) % 18000) / 100.0 - 90.0 AS lat
+  FROM events),
+st AS (
+  SELECT n_name AS station,
+         CAST(((n_nationkey * 137) % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+         CAST(((n_nationkey * 73) % 120) - 60 + 0.5 AS DOUBLE) AS lat
+  FROM nation),
+pairs AS (
+  SELECT st.station,
+         2 * 6371.0088 * ASIN(SQRT(
+             POW(SIN(RADIANS(st.lat - ev.lat) / 2), 2)
+             + COS(RADIANS(ev.lat)) * COS(RADIANS(st.lat))
+               * POW(SIN(RADIANS(st.lon - ev.lon) / 2), 2))) AS d
+  FROM ev CROSS JOIN st)
+SELECT station, COUNT(*) AS n_events,
+       ROUND(MIN(d), 6) AS min_km, ROUND(MAX(d), 6) AS max_km
+FROM pairs WHERE d <= 1500.0
+GROUP BY station ORDER BY station
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2544,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_kmeans_assign": q82_kmeans_assign,
         "q83_quality_filter": q83_quality_filter,
         "q84_geo_distance": q84_geo_distance,
+        "q85_radius_join": q85_radius_join,
     }
     return base
 
@@ -2632,4 +2686,5 @@ def oracle_sql() -> dict[str, str]:
         "q82_kmeans_assign": _Q82_SQL,
         "q83_quality_filter": _Q83_SQL,
         "q84_geo_distance": _Q84_SQL,
+        "q85_radius_join": _Q85_SQL,
     }

@@ -64,3 +64,55 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
     assert j.count() == 1000
     spark.sql("DROP TABLE IF EXISTS t_left_bkt")
     spark.sql("DROP TABLE IF EXISTS t_right_bkt")
+
+
+# --------------------------------------------------------------------------
+# radius_join
+# --------------------------------------------------------------------------
+
+
+def test_radius_join_matches_brute_force(spark):
+    """Grid-binned radius join vs cross-join+filter on an adversarial
+    point set: antimeridian seam pairs, high latitudes, exact-boundary
+    distances, and a pole-adjacent point."""
+    import random
+
+    from openpolicedata_spark.functions.geo import haversine_km_expr
+    from openpolicedata_spark.operators.scale import radius_join
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(-180.0, 180.0), rng.uniform(-88.0, 88.0))
+           for i in range(120)]
+    # seam + pole adversaries
+    pts += [(200, -179.9, 10.0), (201, 179.8, 10.5), (202, -179.5, -60.0),
+            (203, 179.1, -60.2), (204, 0.0, 89.5), (205, 120.0, 89.6),
+            (206, -120.0, 89.4), (207, 0.3, 89.9)]
+    left = spark.createDataFrame(pts, "id long, lon double, lat double")
+    right = spark.createDataFrame([(j + 1000, lo, la) for j, lo, la in pts],
+                                  "rid long, lon double, lat double")
+    for radius in (300.0, 2000.0):
+        bf = (left.alias("l").crossJoin(right.alias("r"))
+              .filter(haversine_km_expr(
+                  F.col("l.lon"), F.col("l.lat"),
+                  F.col("r.lon"), F.col("r.lat")) <= radius)
+              .select("id", "rid"))
+        expected = {(r.id, r.rid) for r in bf.collect()}
+        got = [(r.id, r.rid) for r in
+               radius_join(left, right, radius).collect()]
+        assert len(got) == len(set(got)), "duplicate pairs emitted"
+        assert set(got) == expected
+
+
+def test_radius_join_left_outer_and_collisions(spark):
+    from openpolicedata_spark.operators.scale import radius_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 100.0, 50.0)], "id long, lon double, lat double")
+    right = spark.createDataFrame(
+        [(9, 0.5, 0.5)], "id long, lon double, lat double")
+    out = radius_join(left, right, 200.0, how="left_outer")
+    assert set(out.columns) == {"id", "lon", "lat", "id_r", "lon_r",
+                                "lat_r", "distance_km"}
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].id_r == 9 and rows[1].distance_km < 200.0
+    assert rows[2].id_r is None and rows[2].distance_km is None
