@@ -27,10 +27,20 @@ Architecture (see SURVEY.md for the full blueprint):
 
 from openpolicedata_spark.session import get_spark
 from openpolicedata_spark.catalog import Catalog, local_testdata_catalog
-from openpolicedata_spark.data import Source, Table
+from openpolicedata_spark.data import (
+    Source,
+    Table,
+    get_csv_filename,
+    get_feather_filename,
+    get_parquet_filename,
+)
 from openpolicedata_spark import defs
 from openpolicedata_spark import exceptions
 from openpolicedata_spark.defs import TableType, DataType
+
+# reference parity: `opd.datasets.query(...)` module surface
+# (reference datasets.py); our catalog module carries the same functions.
+from openpolicedata_spark import catalog as datasets
 
 __version__ = "0.1.0"
 
@@ -40,9 +50,13 @@ __all__ = [
     "local_testdata_catalog",
     "Source",
     "Table",
+    "datasets",
     "defs",
     "exceptions",
     "TableType",
     "DataType",
+    "get_csv_filename",
+    "get_feather_filename",
+    "get_parquet_filename",
     "__version__",
 ]

@@ -257,3 +257,132 @@ def local_testdata_catalog(sf_dir: str = "/root/testdata/sf0.001") -> Catalog:
             }
         )
     return Catalog(records)
+
+
+# --------------------------------------------------------------------------
+# module-level default-catalog API (reference datasets.py:94-330)
+#
+# Reference users call `opd.datasets.query(...)` against a module-global
+# catalog loaded at import. The engine mirrors that surface here; the
+# default catalog is the offline testdata catalog (no network at import —
+# the reference fetches its CSV from GitHub, we stay hermetic).
+# --------------------------------------------------------------------------
+
+_default_catalog: Optional[Catalog] = None
+
+
+def default_catalog() -> Catalog:
+    global _default_catalog
+    if _default_catalog is None:
+        _default_catalog = local_testdata_catalog()
+    return _default_catalog
+
+
+def reload(csvfile: Any = None) -> None:
+    """Replace the module default catalog (reference datasets.py:94-104:
+    `reload(csvfile)` re-reads the datasets CSV). Accepts a CSV path,
+    a pandas DataFrame, an existing Catalog, or None for the built-in
+    testdata catalog."""
+    global _default_catalog
+    if csvfile is None:
+        _default_catalog = local_testdata_catalog()
+    elif isinstance(csvfile, Catalog):
+        _default_catalog = csvfile
+    elif isinstance(csvfile, pd.DataFrame):
+        _default_catalog = Catalog(csvfile)
+    else:
+        _default_catalog = Catalog.from_csv(csvfile)
+
+
+def _partial_ratio(a: str, b: str) -> float:
+    """rapidfuzz.fuzz.partial_ratio with a difflib fallback (reference
+    depends on rapidfuzz, datasets.py:11; this container may not have it)."""
+    try:
+        from rapidfuzz import fuzz
+
+        return float(fuzz.partial_ratio(a, b))
+    except ImportError:
+        import difflib
+
+        a, b = a.lower(), b.lower()
+        short, long_ = (a, b) if len(a) <= len(b) else (b, a)
+        if short in long_:
+            return 100.0
+        best = 0.0
+        for i in range(len(long_) - len(short) + 1):
+            r = difflib.SequenceMatcher(
+                None, short, long_[i:i + len(short)]).ratio()
+            best = max(best, r)
+        return best * 100.0
+
+
+def query(
+    source_name: Optional[str] = None,
+    state: Optional[str] = None,
+    agency: Optional[str] = None,
+    table_type: Any = None,
+    fuzzy_source: bool = False,
+) -> pd.DataFrame:
+    """Filter the default catalog (reference datasets.py:107-157).
+    `fuzzy_source=True` keeps rows whose SourceName fuzzy-matches > 90
+    instead of requiring equality."""
+    cat = default_catalog()
+    if fuzzy_source and source_name is not None:
+        out = cat.query(state=state, agency=agency, table_type=table_type)
+        keep = out["SourceName"].map(
+            lambda s: _partial_ratio(str(s), source_name) > 90)
+        return out[keep].reset_index(drop=True)
+    return cat.query(source_name=source_name, state=state, agency=agency,
+                     table_type=table_type)
+
+
+def num_unique() -> int:
+    """reference datasets.py:160-166 (unique on State/Source/Agency/Type)."""
+    return len(query().drop_duplicates(
+        subset=["State", "SourceName", "Agency", "TableType"]))
+
+
+def num_sources(full_states_only: bool = False) -> int:
+    """reference datasets.py:168-182."""
+    d = query().drop_duplicates(subset=["State", "SourceName", "Agency"])
+    if full_states_only:
+        return int(((d["State"] == d["SourceName"])
+                    & (d["Agency"] == defs.MULTI)).sum())
+    return len(d)
+
+
+def get_table_types(contains: Optional[str] = None) -> list[str]:
+    """reference datasets.py:317-330 (case-insensitive contains)."""
+    tts = sorted(set(query()["TableType"].dropna()))
+    if contains is not None:
+        tts = [t for t in tts if contains.lower() in t.lower()]
+    return tts
+
+
+def summary_by_state(by: Optional[str] = None) -> pd.DataFrame:
+    """Datasets per state with optional per-year / per-table breakdown
+    (reference datasets.py:184-246). Returns a 'Total' column indexed by
+    State; `by='year'` / `by='table'` append unstacked counts."""
+    df = query()
+    uniq = df.drop_duplicates(["State", "SourceName", "Agency", "TableType"])
+    out = pd.DataFrame(uniq.groupby("State").size(), columns=["Total"])
+    by_l = by.lower() if isinstance(by, str) else None
+    if by_l not in (None, "year", "table"):
+        raise ValueError("by must be None, 'year', or 'table'")
+    if by_l == "year":
+        s = (df.drop_duplicates(
+                ["State", "SourceName", "Agency", "TableType", "Year"])
+             .groupby(["State", "Year"]).size().unstack().fillna(0)
+             .convert_dtypes(convert_integer=True))
+        s = s.rename(columns={"NONE": "N/A", defs.MULTI: "MULTI-YEAR"})
+        out = pd.concat([out, s], axis=1)
+    elif by_l == "table":
+        s = (uniq.groupby(["State", "TableType"]).size().unstack().fillna(0)
+             .convert_dtypes(convert_integer=True))
+        out = pd.concat([out, s], axis=1)
+    return out
+
+
+def summary_by_table_type(by_year: bool = False) -> pd.DataFrame:
+    """reference datasets.py:248-315 on the default catalog."""
+    return default_catalog().summary_by_table_type(by_year=by_year)

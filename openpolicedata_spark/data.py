@@ -534,3 +534,148 @@ class Source:
             if tt != table_type and (tt == family or tt.startswith(family + " -"))
         ]
         return out
+
+    # ------------------------------------------------------- filename helpers
+    def _filename(self, ext: str, date=None, output_dir=None, table_type=None,
+                  agency=None, url=None, id=None, geo: bool = False) -> str:
+        """reference data.py:1683-1806 (`Source.get_*_filename` →
+        `__get_filename`): resolve the one matching catalog row, then build
+        the deterministic filename without loading any data."""
+        row = self.filter(table_type, date, url=url, id=id)
+        name = _build_filename(
+            ext, self.state, self.source_name,
+            agency or row.get("Agency"), table_type, date,
+            url=url if url is not None else row.get("URL"),
+            id=id if id is not None else row.get("dataset_id"),
+            source=self)
+        return os.path.join(output_dir, name) if output_dir else name
+
+    def get_csv_filename(self, date=None, output_dir=None, table_type=None,
+                         agency=None, url=None, id=None) -> str:
+        """reference data.py:1683-1719."""
+        return self._filename(".csv", date, output_dir, table_type, agency,
+                              url, id)
+
+    def get_feather_filename(self, date=None, output_dir=None,
+                             table_type=None, agency=None, url=None, id=None,
+                             geo: bool = False) -> str:
+        """reference data.py:1722-1761."""
+        return self._filename(".geofeather" if geo else ".feather", date,
+                              output_dir, table_type, agency, url, id)
+
+    def get_parquet_filename(self, date=None, output_dir=None,
+                             table_type=None, agency=None, url=None, id=None,
+                             geo: bool = False) -> str:
+        """reference data.py:1764-1803."""
+        return self._filename(".geoparquet" if geo else ".parquet", date,
+                              output_dir, table_type, agency, url, id)
+
+
+# --------------------------------------------------------------------------
+# module-level filename builders (reference data.py:2105-2222)
+# --------------------------------------------------------------------------
+
+
+def _unique_url_sub(matches, url, id) -> str:
+    """Shortest URL-segment combo unique to the requested dataset row
+    (reference data.py:2188-2222). `matches` is the catalog subset that
+    shares (table_type, date)."""
+    is_req = matches["URL"] == url
+    if id is None or (isinstance(id, float) and pd.isna(id)):
+        is_req &= matches["dataset_id"].isna()
+    else:
+        is_req &= matches["dataset_id"].astype(str) == str(id)
+    if not is_req.any():
+        raise ValueError(f"Unable to find match to dataset ID {id} and URL {url}")
+    if is_req.sum() > 1:
+        raise ValueError("More than 1 match found")
+    req_idx = is_req[is_req].index[0]
+    for split in (r"[\:\/\_\.]", r"[\:\/\.]"):
+        segs = matches["URL"].map(
+            lambda x: [s for s in dict.fromkeys(re.split(split, str(x)))
+                       if s not in ("", "http", "https")])
+        unique = list(segs.loc[req_idx])
+        for k in segs.index:
+            if k == req_idx:
+                continue
+            unique = [s for s in unique if s not in segs.loc[k]]
+        if unique:
+            return "_".join(unique[:3])
+    raise ValueError("Unable to find unique URL segments")
+
+
+def _unique_id_sub(matches, url, id) -> str:
+    """Dataset-id (or unique 10-char prefix) disambiguator
+    (reference data.py:2160-2185)."""
+    ids = matches["dataset_id"].astype(str)
+    id = str(id)
+    if (ids == id).sum() == 1:
+        if len(id) < 10:
+            return id
+        short = id[:10]
+        if ids.str.contains(re.escape(short)).sum() == 1:
+            return short
+    raise ValueError("Unable to find unique filename from dataset id")
+
+
+def _build_filename(ext: str, state, source_name, agency, table_type, date,
+                    url=None, id=None, source: "Source" = None) -> str:
+    """reference data.py:2105-2157 (`_get_filename`): stem =
+    state_source[_agency]_tabletype_date, plus url/id 'contains'
+    disambiguators when several catalog rows share (table_type, date)."""
+    from openpolicedata_spark import defs as _defs
+
+    if hasattr(table_type, "value"):
+        table_type = table_type.value
+    filename = f"{state}_{source_name}"
+    if source_name != agency and agency:
+        filename += f"_{agency}"
+    filename += f"_{table_type}"
+    if isinstance(date, list):
+        filename += f"_{date[0]}_{date[-1]}"
+    elif date is not None:
+        filename += f"_{date}"
+    if source is not None:
+        url_req, id_req, matches = source.check_simple_dataset_filter(
+            table_type, date)
+        if url_req or id_req:
+            addon = ""
+            if url_req:
+                if url is None:
+                    raise ValueError(
+                        "URL input must be set to create unique filename")
+                addon = _unique_url_sub(matches, url, id)
+            if addon:
+                filename += "_urlcontains_" + addon
+            elif id_req:
+                filename += "_idcontains_" + _unique_id_sub(matches, url, id)
+            else:
+                raise ValueError("Unable to find unique filename")
+    filename = (filename.replace(",", "_").replace(" ", "_")
+                .replace("__", "_").replace("/", "_"))
+    return filename + ext
+
+
+def get_csv_filename(state, source_name, agency, table_type, date,
+                     url=None, id=None, source: "Source" = None) -> str:
+    """reference data.py module-level get_csv_filename."""
+    return _build_filename(".csv", state, source_name, agency, table_type,
+                           date, url, id, source)
+
+
+def get_feather_filename(state, source_name, agency, table_type, date,
+                         url=None, id=None, source: "Source" = None,
+                         geo: bool = False) -> str:
+    """reference data.py module-level get_feather_filename."""
+    ext = ".geofeather" if geo else ".feather"
+    return _build_filename(ext, state, source_name, agency, table_type,
+                           date, url, id, source)
+
+
+def get_parquet_filename(state, source_name, agency, table_type, date,
+                         url=None, id=None, source: "Source" = None,
+                         geo: bool = False) -> str:
+    """reference data.py module-level get_parquet_filename."""
+    ext = ".geoparquet" if geo else ".parquet"
+    return _build_filename(ext, state, source_name, agency, table_type,
+                           date, url, id, source)

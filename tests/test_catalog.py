@@ -115,3 +115,60 @@ def test_exception_hierarchy_parity(spark):
         merge_tables(l, r)
     with _pytest.raises(ValueError):
         merge_tables(l, r)
+
+
+# --------------------------------------------------------------------------
+# module-level default-catalog API (reference datasets.py:94-330)
+# --------------------------------------------------------------------------
+
+
+def test_module_level_catalog_api():
+    from openpolicedata_spark import catalog as datasets
+
+    datasets.reload(make_catalog())  # swap in a known catalog
+    try:
+        assert len(datasets.query()) == 4  # deduped
+        assert len(datasets.query(state="Ohio")) == 2
+        assert len(datasets.query(source_name="Richmond")) == 2
+        # fuzzy: close-but-wrong name still finds the source
+        fz = datasets.query(source_name="richmond", fuzzy_source=True)
+        assert set(fz["SourceName"]) == {"Richmond"}
+        assert datasets.num_unique() == 3  # State/Source/Agency/Type combos
+        assert datasets.num_sources() == 2
+        assert datasets.num_sources(full_states_only=True) == 0
+        assert datasets.get_table_types(contains="stop") == ["STOPS"]
+        st = datasets.summary_by_state()
+        assert st.loc["Ohio", "Total"] == 2
+        by_tab = datasets.summary_by_state(by="table")
+        assert by_tab.loc["Virginia", "ARRESTS"] == 1
+        with pytest.raises(ValueError):
+            datasets.summary_by_state(by="bogus")
+    finally:
+        datasets.reload()  # restore default testdata catalog
+    assert datasets.num_sources() >= 1
+
+
+def test_module_level_filename_builders():
+    import openpolicedata_spark as ops
+
+    assert ops.get_csv_filename(
+        "VA", "Police Dept", "Police Dept", "ARRESTS", 2021) == \
+        "VA_Police_Dept_ARRESTS_2021.csv"
+    # agency differs from source → included; list date → start_stop
+    assert ops.get_parquet_filename(
+        "VA", "Src", "Agency A", "STOPS", [2020, 2022]) == \
+        "VA_Src_Agency_A_STOPS_2020_2022.parquet"
+    assert ops.get_feather_filename(
+        "VA", "Src", "Src", "STOPS", 2021, geo=True).endswith(".geofeather")
+
+
+def test_source_filename_methods(spark):
+    from openpolicedata_spark import Source
+
+    cat = local_testdata_catalog("/root/testdata/sf0.001")
+    src = Source("TestData", catalog=cat, spark=spark)
+    csv = src.get_csv_filename(date=1995, table_type="ORDERS")
+    pq = src.get_parquet_filename(date=1995, table_type="ORDERS",
+                                  output_dir="/tmp/x")
+    assert csv.endswith("ORDERS_1995.csv")
+    assert pq.startswith("/tmp/x/") and pq.endswith("ORDERS_1995.parquet")
