@@ -568,3 +568,71 @@ def dedup_cascade(
     kept = (ids.join(dropped.select(id_col), on=id_col, how="left_anti")
             .withColumn("status", F.lit("kept")))
     return kept.unionByName(dropped)
+
+
+# --------------------------------------------------------------------------
+# winnowing (rolling-hash document fingerprints)
+# --------------------------------------------------------------------------
+
+
+def _winnow_udf(k: int, w: int, base: int, mod: int):
+    """Arrow-batched winnowing: char k-gram polynomial rolling hashes +
+    sliding window-min selection (Schleimer/Wilkerson/Aiken MOSS scheme).
+
+    Same split as the minhash pipeline above: Spark higher-order functions
+    would run this per-character interpreted; here each Arrow batch does
+    k vectorized numpy passes for the rolling hashes and one
+    sliding_window_view min for the selection. The hash is mod-2^31-1
+    polynomial over the stripped [a-z0-9] text — small enough to express
+    verbatim in ANSI SQL list lambdas, which is what the q86 DuckDB
+    oracle does (the distributed plan must lose no fingerprints)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    POW = np.empty(k, dtype=np.int64)
+    POW[k - 1] = 1
+    for j in range(k - 2, -1, -1):
+        POW[j] = (POW[j + 1] * base) % mod
+
+    @pandas_udf("array<long>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            s = _re.sub(r"[^a-z0-9]", "", t.lower())
+            n = len(s)
+            if n < k:
+                out.append([])
+                continue
+            codes = np.frombuffer(
+                s.encode("ascii", "ignore"), dtype=np.uint8).astype(np.int64)
+            m = n - k + 1
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                h = (h + codes[j:j + m] * POW[j]) % mod
+            if m >= w:
+                sel = np.lib.stride_tricks.sliding_window_view(
+                    h, w).min(axis=1)
+            else:  # short doc: one window over everything
+                sel = h.min(keepdims=True)
+            out.append(np.unique(sel).tolist())
+        return pd.Series(out)
+
+    return _winnow
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        k: int = 8, w: int = 4,
+                        base: int = 257, mod: int = _MERSENNE_31) -> DataFrame:
+    """Add `fingerprints: array<long>` — the distinct winnowing-selected
+    k-gram rolling hashes of each document. Guarantee (the reason MOSS
+    uses it): any shared substring of length >= k + w - 1 between two
+    documents produces at least one shared fingerprint, so a fingerprint
+    equi-join finds all such overlaps with ~1/w of the k-gram volume.
+    Row-local (zero shuffle); join/dedup consumers shuffle only the
+    selected longs, never the text."""
+    return df.withColumn(
+        "fingerprints", _winnow_udf(k, w, base, mod)(F.col(text_col)))

@@ -2506,6 +2506,50 @@ GROUP BY station ORDER BY station
 """
 
 
+
+def q86_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS scheme): char 8-gram
+    polynomial rolling hashes, window-4 min selection, distinct per doc.
+    The numpy Arrow pass (operators/dedup.winnow_fingerprints) must
+    produce the exact hash set the ANSI-SQL list-lambda form does — any
+    lost fingerprint breaks the shared-substring guarantee the dedup
+    join relies on. Row-local; downstream joins shuffle selected longs,
+    never text."""
+    from openpolicedata_spark.operators.dedup import winnow_fingerprints
+
+    d = _read(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d.select("doc_id", "text"))
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fp"),
+        F.array_min("fingerprints").alias("min_fp"),
+        F.array_max("fingerprints").alias("max_fp"))
+
+
+_Q86_SQL = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents),
+hashes AS (
+  SELECT doc_id, CASE WHEN length(s) >= 8 THEN
+    list_transform(range(1, length(s)-8+2), i ->
+      list_reduce(list_transform(range(i, i+8),
+                                 j -> CAST(unicode(s[j:j]) AS BIGINT)),
+                  (a,b) -> (a*257+b) % 2147483647))
+    ELSE [] END AS hs
+  FROM norm),
+sel AS (
+  SELECT doc_id, CASE WHEN len(hs)=0 THEN CAST([] AS BIGINT[])
+      WHEN len(hs) >= 4 THEN list_distinct(list_transform(
+          range(1, len(hs)-4+2), p -> list_min(hs[p:p+3])))
+      ELSE [list_min(hs)] END AS fps
+  FROM hashes)
+SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp
+FROM sel
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2598,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_quality_filter": q83_quality_filter,
         "q84_geo_distance": q84_geo_distance,
         "q85_radius_join": q85_radius_join,
+        "q86_winnow_fingerprints": q86_winnow_fingerprints,
     }
     return base
 
@@ -2687,4 +2732,5 @@ def oracle_sql() -> dict[str, str]:
         "q83_quality_filter": _Q83_SQL,
         "q84_geo_distance": _Q84_SQL,
         "q85_radius_join": _Q85_SQL,
+        "q86_winnow_fingerprints": _Q86_SQL,
     }
