@@ -22,11 +22,37 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# ts arrives as a raw nanosecond long (the testdata parquet stores
-# TIMESTAMP(NANOS), which Spark's reader rejects as a timestamp — see
-# sources/file.py read_parquet_repaired) and is repaired below.
-EVENTS_SCHEMA = ("event_id long, ts long, user_id long, "
-                 "event_type string, value double, props string")
+# When the events parquet stores ts as TIMESTAMP(NANOS) (Spark's reader
+# rejects that as a timestamp — see sources/file.py read_parquet_repaired)
+# ts is read as a raw long and repaired below. Other units read natively.
+EVENTS_SCHEMA_NANOS = ("event_id long, ts long, user_id long, "
+                       "event_type string, value double, props string")
+EVENTS_SCHEMA_NATIVE = ("event_id long, ts timestamp, user_id long, "
+                        "event_type string, value double, props string")
+
+
+def _ts_is_nanos(path: str) -> bool:
+    """Driver-side footer probe: does this parquet store ts at ns unit?
+    Mirrors read_parquet_repaired's detection so the stream keeps working
+    when the testdata generator switches units (it has: ns in round 1,
+    us in round 4)."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        probe = path
+        if os.path.isdir(path):
+            files = glob.glob(os.path.join(path, "*.parquet"))
+            if not files:
+                return False
+            probe = files[0]
+        f = pq.read_schema(probe).field("ts")
+        return pat.is_timestamp(f.type) and f.type.unit == "ns"
+    except Exception:
+        return False
 
 
 def read_events_stream(spark: SparkSession, path: str,
@@ -34,8 +60,11 @@ def read_events_stream(spark: SparkSession, path: str,
     """File-source stream over the events parquet directory/file."""
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    nanos = _ts_is_nanos(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(
+        EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA_NATIVE)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # the file stream source wants a DIRECTORY to watch; a single-file path
@@ -43,11 +72,15 @@ def read_events_stream(spark: SparkSession, path: str,
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    # nanos long → TIMESTAMP (watermarks require the tz-aware type; session
-    # tz is pinned UTC so values match the batch ntz reads). Integer div,
-    # not a double round-trip: 1.7e18 ns overflows a double's mantissa.
-    return reader.parquet(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp"))
+    df = reader.parquet(path)
+    if nanos:
+        # nanos long → TIMESTAMP (watermarks require the tz-aware type;
+        # session tz is pinned UTC so values match the batch ntz reads).
+        # Integer div, not a double round-trip: 1.7e18 ns overflows a
+        # double's 53-bit mantissa.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp"))
+    return df
 
 
 def windowed_event_counts(events: DataFrame, window: str = "6 hours",
