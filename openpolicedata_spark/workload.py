@@ -2550,6 +2550,292 @@ FROM sel
 """
 
 
+def q87_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build over the events log: collapse each user's
+    consecutive same-event_type runs into validity intervals
+    [valid_from, valid_to) — the standard islands construction
+    (lag → change flag → running segment id → per-segment min/count,
+    then lead for the closing edge). Everything stays inside ONE
+    partitioning by user_id: the two windows and the groupBy all share
+    the user_id hash partitioning, so Spark plans a single exchange for
+    the whole query regardless of corpus size."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")), 1).otherwise(0)
+    seg = e.select(
+        "user_id", "event_type", "ts",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("seg"),
+    )
+    runs = seg.groupBy("user_id", "seg").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seg")
+    return runs.select(
+        "user_id", "event_type", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
+_Q87_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+segged AS (
+  SELECT user_id, event_type, ts,
+    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS seg
+  FROM flagged),
+runs AS (
+  SELECT user_id, seg, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM segged GROUP BY user_id, seg)
+SELECT user_id, event_type, valid_from,
+  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to,
+  n_events
+FROM runs
+"""
+
+
+def q88_rare_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token share per document — a curation quality signal (docs
+    dominated by corpus-hapax tokens are OCR noise / mangled text). Pass 1
+    builds corpus token frequencies (map-side combine collapses repeats
+    before the shuffle); pass 2 joins tokens back to their frequency and
+    re-aggregates per doc. The token-frequency side is Zipf-skewed but the
+    join key is the token itself, so AQE's skew-join split handles hot
+    tokens; n_rare/n_tokens is an int ratio → bit-exact across engines."""
+    from openpolicedata_spark.functions.text import (
+        normalize_text_expr,
+        tokens_expr,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(tokens_expr(normalize_text_expr(F.col("text")))).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        tok.join(freq, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("cf") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_rare",
+            F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias("rare_share"),
+        )
+    )
+
+
+_Q88_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+    x -> x <> '')) AS token
+  FROM documents),
+freq AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY token)
+SELECT doc_id, COUNT(*) AS n_tokens,
+  SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS n_rare,
+  ROUND(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS rare_share
+FROM tok JOIN freq USING (token)
+GROUP BY doc_id
+"""
+
+
+def q89_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (entity resolution): self-match part names
+    by edit distance, but only WITHIN a blocking key (first two words) —
+    the classic blocking trick that turns O(n²) fuzzy matching into
+    per-block cross products. The block key equi-join shuffles both sides
+    on the key; levenshtein runs only on within-block candidates. Spark's
+    levenshtein(l, r) and DuckDB's agree exactly (classic DP edit
+    distance), so the pair set is oracle-checkable."""
+    p = _read(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    named = p.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("name"),
+        F.concat_ws(" ", words[0], words[1]).alias("block"),
+    )
+    a, b = named.alias("a"), named.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(b, on=[F.col("a.block") == F.col("b.block"),
+                      F.col("a.pk") < F.col("b.pk")])
+        .where(lev <= 12)
+        .select(
+            F.col("a.pk").alias("pk_a"),
+            F.col("b.pk").alias("pk_b"),
+            lev.cast("int").alias("distance"),
+        )
+    )
+
+
+_Q89_SQL = """
+WITH named AS (
+  SELECT p_partkey AS pk, p_name AS name,
+    concat_ws(' ', string_split(p_name, ' ')[1], string_split(p_name, ' ')[2])
+      AS block
+  FROM part)
+SELECT a.pk AS pk_a, b.pk AS pk_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+FROM named a JOIN named b ON a.block = b.block AND a.pk < b.pk
+WHERE levenshtein(a.name, b.name) <= 12
+"""
+
+
+def q90_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration (assign + centroid update): init centroids
+    from per-label means, assign each vector to its nearest centroid by
+    squared L2, then recompute each centroid as the exact DECIMAL mean of
+    its members. Complements q82 (assignment only) — together they pin the
+    semantics of the iterative loop `operators.similarity` runs with numpy
+    at corpus scale. The update groupBy reuses the assignment's vec_id
+    partitioning; centroid frames stay broadcast-sized (K × dim)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pe = emb.select("vec_id", "label",
+                    F.posexplode("embedding").alias("pos0", "v"))
+    cent = (
+        pe.groupBy(F.col("label").alias("c_label"),
+                   F.col("pos0").alias("c_pos"))
+        .agg((F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+              / F.count(F.lit(1))).alias("c"))
+    )
+    dists = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "v"))
+        .join(F.broadcast(cent), F.col("pos0") == F.col("c_pos"))
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum(((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+                   .cast("decimal(30,12)")).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    assign = (
+        dists.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("c_label").alias("centroid"))
+    )
+    members = assign.join(
+        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "v")),
+        on="vec_id",
+    )
+    return (
+        members.groupBy("centroid", F.col("pos0").alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("c_new"),
+            # one row per member vector lands in each (centroid, pos) group
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+_Q90_SQL = """
+WITH pe AS (
+  SELECT vec_id, label, i - 1 AS pos,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(i)),
+cent AS (
+  SELECT label AS c_label, pos AS c_pos,
+         CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM pe GROUP BY label, pos),
+dists AS (
+  SELECT pe.vec_id, cent.c_label,
+         SUM(CAST((pe.v - cent.c) * (pe.v - cent.c) AS DECIMAL(30,12))) AS d2
+  FROM pe JOIN cent ON pe.pos = cent.c_pos
+  GROUP BY pe.vec_id, cent.c_label),
+assign AS (
+  SELECT vec_id, c_label AS centroid
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rk
+        FROM dists)
+  WHERE rk = 1)
+SELECT centroid, pos,
+  ROUND(CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c_new,
+  COUNT(*) AS n_members
+FROM assign JOIN pe USING (vec_id)
+GROUP BY centroid, pos
+"""
+
+
+def q91_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector from the event log — the
+    feature-engineering step before training: activity counts, type
+    diversity, activity span, mean inter-event gap, and the dominant
+    event type (count-desc, name-asc tiebreak). Two-level aggregation:
+    the raw events shuffle ONCE (partial-combined per (user, type));
+    everything else — totals, span, and the argmax via min_by over a
+    (-count, type) struct — reduces over the per-(user, type) rows,
+    which are smaller than the input by the per-user event count. No
+    join, no window, no second pass over raw data."""
+    e = _read(spark, sf_dir, "events")
+    # ntz → tz-aware (session tz is pinned UTC) → epoch seconds; a direct
+    # ntz → long cast is rejected by the analyzer
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    per_type = (
+        e.select("user_id", "event_type", ts_s.alias("ts_s"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("ts_s").alias("min_ts"),
+             F.max("ts_s").alias("max_ts"))
+    )
+    feats = per_type.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        (F.max("max_ts") - F.min("min_ts")).alias("span_seconds"),
+        # lexicographic min of (-n, type) = max count, ties to min type;
+        # (n, type) is unique per user (type is part of the child key)
+        F.min_by("event_type",
+                 F.struct((-F.col("n")).alias("neg_n"),
+                          F.col("event_type"))).alias("top_type"),
+    )
+    return feats.select(
+        "user_id", "n_events", "n_types", "span_seconds",
+        F.when(
+            F.col("n_events") > 1,
+            F.round(F.col("span_seconds") / (F.col("n_events") - 1), 6),
+        ).alias("avg_gap_s"),
+        "top_type",
+    )
+
+
+_Q91_SQL = """
+WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type),
+top AS (
+  SELECT user_id, event_type AS top_type
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rk
+        FROM per_type)
+  WHERE rk = 1),
+base AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         COUNT(DISTINCT event_type) AS n_types,
+         date_diff('second', MIN(ts), MAX(ts)) AS span_seconds
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events, n_types, span_seconds,
+  CASE WHEN n_events > 1
+       THEN ROUND(span_seconds / CAST(n_events - 1 AS DOUBLE), 6)
+       END AS avg_gap_s,
+  top_type
+FROM base JOIN top USING (user_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2643,6 +2929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_geo_distance": q84_geo_distance,
         "q85_radius_join": q85_radius_join,
         "q86_winnow_fingerprints": q86_winnow_fingerprints,
+        "q87_scd2_intervals": q87_scd2_intervals,
+        "q88_rare_token_share": q88_rare_token_share,
+        "q89_blocked_linkage": q89_blocked_linkage,
+        "q90_kmeans_update": q90_kmeans_update,
+        "q91_user_features": q91_user_features,
     }
     return base
 
@@ -2733,4 +3024,9 @@ def oracle_sql() -> dict[str, str]:
         "q84_geo_distance": _Q84_SQL,
         "q85_radius_join": _Q85_SQL,
         "q86_winnow_fingerprints": _Q86_SQL,
+        "q87_scd2_intervals": _Q87_SQL,
+        "q88_rare_token_share": _Q88_SQL,
+        "q89_blocked_linkage": _Q89_SQL,
+        "q90_kmeans_update": _Q90_SQL,
+        "q91_user_features": _Q91_SQL,
     }

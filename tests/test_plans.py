@@ -141,3 +141,41 @@ def test_q64_knn_join_broadcasts_queries(spark, sf_dir):
     df = workload.queries()["q64_knn_join"](spark, sf_dir)
     s = summarize_plan(df)
     assert s.n_sortmerge_joins == 0, s.text
+
+
+def test_q87_scd2_single_partitioning(spark, sf_dir):
+    """Islands construction: both windows and the run groupBy must share
+    ONE user_id exchange — hash(user_id) satisfies the clustered
+    distribution of every downstream operator (subset rule)."""
+    df = workload.queries()["q87_scd2_intervals"](spark, sf_dir)
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+
+
+def test_q89_blocked_linkage_is_equi_join(spark, sf_dir):
+    """Blocking must turn fuzzy matching into an equi-join on the block
+    key — never a cartesian/nested-loop product of the full table."""
+    df = workload.queries()["q89_blocked_linkage"](spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_broadcast_nl_joins == 0, s.text
+    assert "CartesianProduct" not in s.text, s.text
+    assert s.n_broadcast_joins + s.n_sortmerge_joins >= 1, s.text
+    assert_no_python_in_plan(df)
+
+
+def test_q90_kmeans_update_broadcasts_centroids(spark, sf_dir):
+    """Lloyd iteration: the K×dim centroid frame must broadcast; the
+    vector side must never shuffle for the distance join."""
+    df = workload.queries()["q90_kmeans_update"](spark, sf_dir)
+    assert_broadcast_join(df, min_joins=1)
+
+
+def test_q91_user_features_two_level_agg(spark, sf_dir):
+    """Per-user features: raw events shuffle once (partial-combined per
+    (user, type)); the reduce over per-type rows is the only other
+    exchange. No join, no window."""
+    df = workload.queries()["q91_user_features"](spark, sf_dir)
+    assert_max_exchanges(df, 2)
+    s = summarize_plan(df)
+    assert s.n_broadcast_joins + s.n_sortmerge_joins == 0, s.text
+    assert_no_python_in_plan(df)
