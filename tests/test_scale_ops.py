@@ -116,3 +116,79 @@ def test_radius_join_left_outer_and_collisions(spark):
     rows = {r.id: r for r in out.collect()}
     assert rows[1].id_r == 9 and rows[1].distance_km < 200.0
     assert rows[2].id_r is None and rows[2].distance_km is None
+
+
+# ---------------------------------------------------------------------------
+# file-layout optimization
+# ---------------------------------------------------------------------------
+
+
+def _per_file_coverage(path, col):
+    """For each parquet file written under `path`: (max-min) extent of
+    `col` as a fraction of the global extent. Small avg fraction ⇒ a
+    filter on `col` can skip most files via footer stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans, los, his = [], [], []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        t = pq.read_table(f, columns=[col])
+        c = t.column(col).to_pylist()
+        lo, hi = min(c), max(c)
+        spans.append((lo, hi))
+        los.append(lo)
+        his.append(hi)
+    g_lo, g_hi = min(los), max(his)
+    width = (g_hi - g_lo) or 1
+    return [(hi - lo) / width for lo, hi in spans]
+
+
+def test_range_cluster_layout_makes_stats_selective(spark, sf_dir, tmp_path):
+    from openpolicedata_spark.operators.scale import range_cluster_layout
+    from openpolicedata_spark.sources.file import read_parquet_repaired
+
+    e = read_parquet_repaired(spark, f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id")
+    out = str(tmp_path / "clustered")
+    range_cluster_layout(e, ["event_id"], num_files=8).write.parquet(out)
+
+    cov = _per_file_coverage(out, "event_id")
+    assert len(cov) >= 8
+    # disjoint ranges: each file covers ~1/8 of the key space
+    assert sum(cov) / len(cov) < 0.3, cov
+    # row set preserved
+    assert spark.read.parquet(out).count() == e.count()
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    from openpolicedata_spark.operators.scale import (
+        range_cluster_layout,
+        zorder_layout,
+    )
+    from openpolicedata_spark.sources.file import read_parquet_repaired
+
+    e = read_parquet_repaired(spark, f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id", "value")
+    n_files = 16
+
+    zout = str(tmp_path / "zorder")
+    zorder_layout(e, "event_id", "user_id", bits=10,
+                  num_files=n_files).write.parquet(zout)
+    z_ev = _per_file_coverage(zout, "event_id")
+    z_us = _per_file_coverage(zout, "user_id")
+    # z-order: EVERY file has bounded extent in BOTH dimensions
+    # (~1/sqrt(16) = 0.25 of each axis, plus curve-seam slack)
+    assert sum(z_ev) / len(z_ev) < 0.6, z_ev
+    assert sum(z_us) / len(z_us) < 0.6, z_us
+
+    # contrast: single-column clustering nails its column but leaves the
+    # other dimension at full width
+    rout = str(tmp_path / "bycol")
+    range_cluster_layout(e, ["event_id"], num_files=n_files) \
+        .write.parquet(rout)
+    r_us = _per_file_coverage(rout, "user_id")
+    assert sum(r_us) / len(r_us) > 0.9, r_us
+
+    # row set preserved
+    assert spark.read.parquet(zout).count() == e.count()
