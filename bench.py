@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "q34_multimodal_features",
     "q35_event_window_agg",
     "q36_sessionize",
+    "q88_rare_token_share",
+    "q91_user_features",
 ]
 
 

@@ -2618,8 +2618,12 @@ def q88_rare_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_text_expr,
         tokens_expr,
     )
+    from openpolicedata_spark.operators.dedup import rebalance
 
-    d = _read(spark, sf_dir, "documents")
+    # a single-row-group parquet file arrives as ONE input partition; the
+    # regex tokenize + explode would run on one core without the rebalance
+    # (the tiny raw-row exchange is reused by both consumer branches)
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = d.select(
         "doc_id",
         F.explode(tokens_expr(normalize_text_expr(F.col("text")))).alias("token"),
@@ -2786,7 +2790,11 @@ def q91_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ntz → long cast is rejected by the analyzer
     ts_s = F.col("ts").cast("timestamp").cast("long")
     per_type = (
+        # explicit hash(user_id) repartition: parallelizes the aggregate
+        # over a single-row-group scan AND satisfies (subset rule) the
+        # clustered distribution of BOTH groupBys — still one raw shuffle
         e.select("user_id", "event_type", ts_s.alias("ts_s"))
+        .repartition("user_id")
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
              F.min("ts_s").alias("min_ts"),
@@ -2833,6 +2841,47 @@ SELECT user_id, n_events, n_types, span_seconds,
        END AS avg_gap_s,
   top_type
 FROM base JOIN top USING (user_id)
+"""
+
+
+def q92_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users who did view → click → purchase in
+    temporal order, with each stage's timestamp being the EARLIEST event
+    that strictly follows the previous stage (greedy matching — the
+    standard product-analytics funnel). Three chained per-user min
+    aggregations; after the first shuffle every frame is per-user sized,
+    so stages 2-3 reduce tiny inputs. Strict inequalities make the match
+    unambiguous under timestamp ties."""
+    e = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (e.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (e.where(F.col("event_type") == "click")
+         .join(v, on="user_id")
+         .where(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id", "t_view").agg(F.min("ts").alias("t_click")))
+    p = (e.where(F.col("event_type") == "purchase")
+         .join(c, on="user_id")
+         .where(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id", "t_view", "t_click")
+         .agg(F.min("ts").alias("t_purchase")))
+    return p.select("user_id", "t_view", "t_click", "t_purchase")
+
+
+_Q92_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id, v.t_view),
+p AS (
+  SELECT e.user_id, c.t_view, c.t_click, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id, c.t_view, c.t_click)
+SELECT user_id, t_view, t_click, t_purchase FROM p
 """
 
 
@@ -2934,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_blocked_linkage": q89_blocked_linkage,
         "q90_kmeans_update": q90_kmeans_update,
         "q91_user_features": q91_user_features,
+        "q92_funnel": q92_funnel,
     }
     return base
 
@@ -3029,4 +3079,5 @@ def oracle_sql() -> dict[str, str]:
         "q89_blocked_linkage": _Q89_SQL,
         "q90_kmeans_update": _Q90_SQL,
         "q91_user_features": _Q91_SQL,
+        "q92_funnel": _Q92_SQL,
     }
