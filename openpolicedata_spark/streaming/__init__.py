@@ -286,3 +286,65 @@ def running_user_totals(events: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def upsert_sink(stream_df: DataFrame, path: str,
+                key_cols: tuple[str, ...],
+                order_cols: tuple[str, ...],
+                query_name: str = "upsert",
+                timeout_s: int = 120) -> None:
+    """Streaming upsert (merge-on-key) materialization via foreachBatch:
+    each micro-batch is compacted to its latest row per key
+    (`operators.sampling.latest_per_key` — max_by, map-side combined) and
+    merged into the parquet table at `path`, last-writer-wins by
+    `order_cols`.
+
+    foreachBatch is THE escape hatch for sinks the streaming engine has
+    no native writer for; the batch handle is a plain DataFrame, so any
+    batch operator composes. Parquet has no in-place merge, so the body
+    does read-merge-rewrite — O(table) per batch, which is fine for
+    bounded dimension tables (users, agencies). For a 100 TB fact table
+    the SAME body targets a format with real MERGE (Delta/Iceberg
+    `MERGE INTO` keyed on `key_cols`) and becomes O(touched files);
+    nothing upstream of the sink changes.
+
+    Runs with trigger(availableNow) and blocks until drained (test /
+    backfill semantics). Exactly-once: foreachBatch may redeliver a batch
+    on failure-recovery, but the merge is idempotent (same keys, same
+    last-writer order), so replays converge."""
+    import os
+
+    from openpolicedata_spark.operators.sampling import latest_per_key
+
+    spark = stream_df.sparkSession
+    ks, order = list(key_cols), list(order_cols)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        compact = latest_per_key(batch, ks, order)
+        if os.path.isdir(path):
+            prev = spark.read.parquet(path)
+            compact = latest_per_key(
+                prev.unionByName(compact), ks, order)
+        # write-then-swap: never read and overwrite the same files in one
+        # job (Spark would delete inputs before reading them)
+        tmp = path.rstrip("/") + f".__stage_{batch_id}__"
+        compact.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    with tempfile.TemporaryDirectory(prefix="opd_ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream
+            .foreachBatch(merge_batch)
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+            q.awaitTermination(30)

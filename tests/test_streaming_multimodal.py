@@ -310,3 +310,37 @@ def test_streaming_standardize_rejects_streaming_sample(spark, tmp_path):
     stream = spark.readStream.schema(batch.schema).parquet(src)
     with pytest.raises(ValueError, match="sample_df must be a batch"):
         standardize(stream, table_type="STOPS", sample_df=stream)
+
+
+def test_upsert_sink_merges_batches_last_writer_wins(spark, tmp_path):
+    """foreachBatch upsert: two micro-batches with overlapping keys must
+    leave exactly one row per key in the sink, last writer (by ts) wins —
+    including across batches and on redelivered rows within a batch."""
+    from openpolicedata_spark.operators.sampling import latest_per_key
+    from openpolicedata_spark.streaming import upsert_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "k long, v string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (2, "b", "2024-01-01 01:00:00"),
+         (2, "b2", "2024-01-01 02:00:00")],
+        "k long, v string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [(2, "c", "2024-01-02 00:00:00"), (3, "d", "2024-01-02 01:00:00"),
+         (1, "stale", "2023-12-31 00:00:00")],
+        "k long, v string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*/"))
+    out = str(tmp_path / "sink")
+    upsert_sink(stream, out, key_cols=("k",), order_cols=("ts", "v"))
+
+    got = {r.k: (r.v, r.ts) for r in spark.read.parquet(out).collect()}
+    want = {r.k: (r.v, r.ts) for r in latest_per_key(
+        b1.unionByName(b2), ["k"], ["ts", "v"]).collect()}
+    assert got == want
+    assert got[1][0] == "a" and got[2][0] == "c" and got[3][0] == "d"
