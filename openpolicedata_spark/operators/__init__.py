@@ -4,10 +4,13 @@ multimodal plumbing, training-data pipeline, scale techniques) for
 LLM-data pipelines."""
 
 from openpolicedata_spark.operators.dedup import dedup_cascade, exact_dedup
+from openpolicedata_spark.operators.events import funnel
 from openpolicedata_spark.operators.expand import expand
 from openpolicedata_spark.operators.merge import find_id_column, merge_tables
 from openpolicedata_spark.operators.scale import (
     bucketed_interval_join,
+    range_cluster_layout,
+    zorder_layout,
     radius_join,
     salted_agg,
     salted_broadcast_join,
@@ -28,5 +31,6 @@ __all__ = [
     "asof_join", "pack_documents", "chunk_documents",
     "contamination_pairs", "repetition_stats", "weighted_mix",
     "bucketed_interval_join", "radius_join", "salted_agg", "salted_broadcast_join",
+    "funnel", "range_cluster_layout", "zorder_layout",
     "write_bucketed",
 ]

@@ -2851,20 +2851,12 @@ def q92_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard product-analytics funnel). Three chained per-user min
     aggregations; after the first shuffle every frame is per-user sized,
     so stages 2-3 reduce tiny inputs. Strict inequalities make the match
-    unambiguous under timestamp ties."""
+    unambiguous under timestamp ties (operators/events.funnel; the
+    greedy semantics are property-tested against a brute-force scan)."""
+    from openpolicedata_spark.operators.events import funnel
+
     e = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (e.where(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
-    c = (e.where(F.col("event_type") == "click")
-         .join(v, on="user_id")
-         .where(F.col("ts") > F.col("t_view"))
-         .groupBy("user_id", "t_view").agg(F.min("ts").alias("t_click")))
-    p = (e.where(F.col("event_type") == "purchase")
-         .join(c, on="user_id")
-         .where(F.col("ts") > F.col("t_click"))
-         .groupBy("user_id", "t_view", "t_click")
-         .agg(F.min("ts").alias("t_purchase")))
-    return p.select("user_id", "t_view", "t_click", "t_purchase")
+    return funnel(e, ["view", "click", "purchase"])
 
 
 _Q92_SQL = """

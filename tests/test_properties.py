@@ -278,3 +278,81 @@ def test_chunk_documents_reconstruction(spark, n_tokens, size_stride):
         assert got == toks[start:start + chunk], (r.chunk_id, got)
         covered.update(range(start, start + len(got)))
     assert covered == set(range(n_tokens))
+
+
+def test_zorder_key_bijective_and_per_axis_monotone(spark):
+    """Morton interleave: on the full 32x32 grid the key is a bijection,
+    equals the arithmetic definition, and is monotone along each axis
+    when the other coordinate is fixed (the property that gives every
+    z-range a bounded extent in both dimensions)."""
+    from openpolicedata_spark.operators.scale import zorder_key_expr
+
+    bits = 5
+    grid = (spark.range(1 << bits).select(F.col("id").alias("x"))
+            .crossJoin(spark.range(1 << bits).select(F.col("id").alias("y"))))
+    rows = grid.select(
+        "x", "y", zorder_key_expr(F.col("x"), F.col("y"), bits).alias("z")
+    ).collect()
+
+    def morton(x, y):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    zs = {}
+    for r in rows:
+        assert r.z == morton(r.x, r.y)
+        zs[(r.x, r.y)] = r.z
+    assert len(set(zs.values())) == len(zs)  # bijection
+    for fixed in range(1 << bits):
+        xs = [zs[(x, fixed)] for x in range(1 << bits)]
+        ys = [zs[(fixed, y)] for y in range(1 << bits)]
+        assert xs == sorted(xs) and ys == sorted(ys)
+
+
+@settings(deadline=None, max_examples=10)
+@given(st.lists(
+    st.tuples(st.integers(0, 3),                 # user
+              st.sampled_from(["view", "click", "purchase", "other"]),
+              st.integers(0, 20)),               # ts offset seconds
+    min_size=0, max_size=30))
+def test_funnel_matches_greedy_reference(spark, events):
+    """q92's chained-min funnel must equal the obvious greedy scan:
+    earliest view, then earliest later click, then earliest later
+    purchase — per user, for arbitrary event soups (incl. ties, missing
+    stages, out-of-order arrivals)."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [(u, t, base + _dt.timedelta(seconds=s)) for u, t, s in events]
+
+    def greedy():
+        out = {}
+        for u in {r[0] for r in rows}:
+            evs = sorted([r for r in rows if r[0] == u], key=lambda r: r[2])
+            t1 = min((r[2] for r in evs if r[1] == "view"), default=None)
+            if t1 is None:
+                continue
+            t2 = min((r[2] for r in evs if r[1] == "click" and r[2] > t1),
+                     default=None)
+            if t2 is None:
+                continue
+            t3 = min((r[2] for r in evs if r[1] == "purchase" and r[2] > t2),
+                     default=None)
+            if t3 is None:
+                continue
+            out[u] = (t1, t2, t3)
+        return out
+
+    from openpolicedata_spark.operators.events import funnel
+
+    df = spark.createDataFrame(
+        [(u, t, ts) for u, t, ts in rows] or [(0, "other", base)],
+        "user_id long, event_type string, ts timestamp")
+    out = funnel(df, ["view", "click", "purchase"])
+    got = {r.user_id: (r.t_view, r.t_click, r.t_purchase)
+           for r in out.collect()}
+    want = greedy() if rows else {}
+    assert got == want
