@@ -348,3 +348,92 @@ def upsert_sink(stream_df: DataFrame, path: str,
         if q.isActive:
             q.stop()
             q.awaitTermination(30)
+
+
+def near_dedup_sink(stream_df: DataFrame, out_path: str, index_path: str,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_hashes: int = 32, bands: int = 8,
+                    shingle_k: int = 3, seed: int = 42,
+                    query_name: str = "near_dedup",
+                    timeout_s: int = 300) -> None:
+    """Streaming NEAR-duplicate suppression via a persistent LSH band
+    index (foreachBatch): each micro-batch MinHash-signs its documents
+    (`operators.dedup.shingle_minhash` — the same signature family as the
+    batch dedup, so live and backfill agree on what is near-duplicate),
+    drops docs whose band hash collides with the index (seen content) or
+    with an earlier doc in the same batch, appends survivors to
+    `out_path`, and appends their bands to `index_path`.
+
+    Recall-oriented approximation: a band collision alone marks a
+    duplicate (no exact-Jaccard verify — that would require storing every
+    doc's shingle set in the index). False-positive rate is the LSH
+    s-curve at (num_hashes/bands) rows per band; the batch
+    `minhash_lsh_dup_pairs` pass over the accumulated output remains the
+    exact ground truth for backfill. State is the band index: `bands`
+    longs per unique doc, appended as parquet — O(corpus), but 8 longs
+    per doc, not the text.
+
+    Within-batch ties keep the smallest `id_col`. Failure-recovery batch
+    replay re-appends: redundant index bands are harmless (semi-join),
+    but the parquet output would duplicate rows — production targets an
+    idempotent sink (Delta/Iceberg MERGE on `id_col`, as in
+    `upsert_sink`) or dedups downstream. At 100 TB the index join is a
+    shuffle on (band_id, band_hash) longs — the same plan the batch LSH
+    bucket groupBy uses."""
+    import os
+
+    from openpolicedata_spark.operators.dedup import shingle_minhash
+
+    spark = stream_df.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        ms = shingle_minhash(batch, text_col, id_col,
+                             num_hashes, shingle_k, seed)
+        rows_per_band = num_hashes // bands
+        banded = ms.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.slice(F.col("minhash"),
+                                b * rows_per_band + 1, rows_per_band)),
+                )
+            ).alias("band_id", "band_hash"),
+        ).localCheckpoint(eager=False)
+        # seen before: collide with the persisted index
+        if os.path.isdir(index_path):
+            idx = spark.read.parquet(index_path)
+            seen = (banded.join(idx, on=["band_id", "band_hash"],
+                                how="left_semi")
+                    .select(id_col).distinct())
+        else:
+            seen = banded.select(id_col).where(F.lit(False))
+        # seen within this batch: same band bucket, smaller id survives
+        w_min = (banded.groupBy("band_id", "band_hash")
+                 .agg(F.min(id_col).alias("__keep__")))
+        intra = (banded.join(w_min, on=["band_id", "band_hash"])
+                 .where(F.col(id_col) != F.col("__keep__"))
+                 .select(id_col).distinct())
+        drop = seen.unionByName(intra).distinct()
+        survivors = batch.join(drop, on=id_col, how="left_anti")
+        survivors.write.mode("append").parquet(out_path)
+        (banded.join(drop, on=id_col, how="left_anti")
+         .select("band_id", "band_hash")
+         .write.mode("append").parquet(index_path))
+
+    with tempfile.TemporaryDirectory(prefix="opd_ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream
+            .foreachBatch(body)
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+            q.awaitTermination(30)

@@ -344,3 +344,44 @@ def test_upsert_sink_merges_batches_last_writer_wins(spark, tmp_path):
         b1.unionByName(b2), ["k"], ["ts", "v"]).collect()}
     assert got == want
     assert got[1][0] == "a" and got[2][0] == "c" and got[3][0] == "d"
+
+
+def test_near_dedup_sink_drops_cross_batch_near_dups(spark, tmp_path):
+    """Streaming LSH dedup: a batch-2 document that is a near-copy of a
+    batch-1 document (one word changed) must be dropped via the
+    persisted band index; fresh content must survive; within-batch
+    near-copies keep the smallest id."""
+    from openpolicedata_spark.streaming import near_dedup_sink
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill every day")
+    near = base.replace("warm", "cold")          # near-dup of base
+    fresh = ("completely different content about spark partitions and "
+             "shuffle boundaries with nothing shared at the shingle level "
+             "beyond stopwords maybe")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([(1, base), (2, fresh)], schema)
+    # 3 = near-dup of 1 (cross-batch); 4 = brand new; 5 = near-dup of 4
+    # (within-batch, larger id loses)
+    fresh2 = ("yet another unrelated document listing parquet row groups "
+              "footers statistics and column chunk encodings in detail "
+              "for the reader")
+    b2 = spark.createDataFrame(
+        [(3, near), (4, fresh2), (5, fresh2 + " extra")], schema)
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*/"))
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    near_dedup_sink(stream, out, idx, num_hashes=32, bands=8, shingle_k=3)
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 4], kept
+    # the index holds bands only for survivors
+    n_idx = spark.read.parquet(idx).count()
+    assert n_idx == 3 * 8
