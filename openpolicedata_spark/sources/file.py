@@ -155,8 +155,27 @@ class CsvLoader(_FileLoader):
             if not os.path.exists(dest):
                 # Browser-ish UA fallback mirrors reference csv_class.py
                 req = urllib.request.Request(url, headers={"User-Agent": "Mozilla/5.0"})
-                with urllib.request.urlopen(req) as r, open(dest, "wb") as f:
-                    f.write(r.read())
+                try:
+                    with urllib.request.urlopen(req) as r, open(dest, "wb") as f:
+                        f.write(r.read())
+                except Exception as e:  # legacy-SSL retry below
+                    if "SSL" not in type(e).__name__ and "ssl" not in str(e).lower():
+                        raise
+                    # Legacy-renegotiation fallback (reference
+                    # csv_class.py: old municipal portals run TLS stacks
+                    # OpenSSL 3 rejects by default — retry once with
+                    # OP_LEGACY_SERVER_CONNECT and relaxed seclevel)
+                    import ssl
+
+                    ctx = ssl.create_default_context()
+                    ctx.options |= getattr(ssl, "OP_LEGACY_SERVER_CONNECT", 0x4)
+                    try:
+                        ctx.set_ciphers("DEFAULT@SECLEVEL=1")
+                    except ssl.SSLError:
+                        pass
+                    with urllib.request.urlopen(req, context=ctx) as r, \
+                            open(dest, "wb") as f:
+                        f.write(r.read())
             url = dest
         if url.lower().endswith(".zip"):
             url = self._unzip(url)
@@ -210,6 +229,24 @@ class CsvLoader(_FileLoader):
                     raise
         return spool
 
+    @staticmethod
+    def _detect_charset(path: str, sample_bytes: int = 1 << 20) -> str:
+        """Driver-side probe for non-UTF-8 exports (reference csv_class.py
+        opens with errors='surrogateescape' so undecodable bytes survive).
+        Spark needs a declared charset instead: if a strict UTF-8 decode of
+        the head fails, read as ISO-8859-1 — a total byte→char mapping, so
+        like surrogateescape it loses nothing and never throws."""
+        try:
+            with open(path, "rb") as f:
+                f.read(sample_bytes).decode("utf-8")
+            return "UTF-8"
+        except UnicodeDecodeError:
+            return "ISO-8859-1"
+        except OSError:
+            return "UTF-8"   # directories (unzipped multi-file) default
+
     def _read(self) -> DataFrame:
         path = self._prefetch()
-        return self.spark.read.csv(path, header=self.header, inferSchema=True)
+        charset = self._detect_charset(path) if os.path.isfile(path) else "UTF-8"
+        return self.spark.read.csv(path, header=self.header,
+                                   inferSchema=True, encoding=charset)

@@ -170,3 +170,20 @@ def test_combined_loader_rename_drift(spark, tmp_path):
     ).load()
     assert out.columns.count("offense") == 1
     assert {r.offense for r in out.collect()} == {"x", "y"}
+
+
+def test_csv_loader_detects_non_utf8_charset(spark, tmp_path):
+    """Reference csv_class.py reads with errors='surrogateescape' so
+    broken-encoding exports never fail; the Spark analog probes the head
+    bytes and declares ISO-8859-1 when strict UTF-8 decode fails (total
+    byte→char mapping — lossless, never throws)."""
+    from openpolicedata_spark.sources.file import CsvLoader
+
+    p = tmp_path / "latin1.csv"
+    p.write_bytes(b"name,city\nRen\xe9e,Montr\xe9al\nJoe,Boston\n")
+    rows = CsvLoader(spark, url=str(p))._read().collect()
+    assert rows[0].name == "Renée" and rows[0].city == "Montréal"
+
+    q = tmp_path / "utf8.csv"
+    q.write_bytes("name\nRenée\n".encode("utf-8"))
+    assert CsvLoader(spark, url=str(q))._read().collect()[0].name == "Renée"
