@@ -208,3 +208,100 @@ def sample_frames(df: DataFrame, every_n: int = 10, content_col: str = "content"
             ).alias("frame_index"),
         )
     )
+
+
+AHASH_SCHEMA = "media_id long, ahash long"
+
+
+def image_ahash(df: DataFrame, content_col: str = "content",
+                id_col: str = "media_id", grid: int = 8,
+                decode=None) -> DataFrame:
+    """Perceptual average-hash per image: decode → grayscale `grid`×`grid`
+    → threshold each cell against the image mean → 64-bit hash. Visually
+    near-identical images (re-encodes, small crops/edits with a real
+    decoder) land within a few hamming bits; `image_dup_pairs` below
+    turns that into a blocked near-dup join.
+
+    Arrow-batched mapInPandas (numpy per batch); `decode` is injectable —
+    defaults to `fake_decode` (the md5 stand-in: only byte-identical
+    payloads collide) so the plumbing is testable without codecs, and a
+    Pillow-backed decoder drops in unchanged."""
+    dec = decode or fake_decode
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def ah(b):
+                if b is None:
+                    return None
+                px = dec(bytes(b), grid, grid).astype(np.float64)
+                g = px.mean(axis=2).ravel()[:64]
+                bits = g > g.mean()
+                v = 0
+                for i, bit in enumerate(bits):
+                    if bit:
+                        v |= 1 << i
+                return v - (1 << 64) if v >= 1 << 63 else v  # signed long
+
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "ahash": pdf[content_col].map(ah).astype("Int64"),
+            })
+
+    return df.select(id_col, content_col).mapInPandas(
+        compute, schema=AHASH_SCHEMA)
+
+
+def image_dup_pairs(df: DataFrame, max_hamming: int = 3,
+                    content_col: str = "content",
+                    id_col: str = "media_id", grid: int = 8,
+                    decode=None) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash hamming distance —
+    the image face of the text near-dedup family. Pigeonhole blocking
+    (same shape as `dedup.simhash_dup_pairs`): split the 64-bit hash into
+    `max_hamming + 1` chunks — any pair within the distance budget shares
+    at least one exact chunk — bucket on (chunk_id, chunk), generate i<j
+    pairs in-bucket, verify with bit_count(xor). The hash UDF runs once;
+    the shuffle carries (chunk, id, hash) longs, never pixels."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    ah = image_ahash(df, content_col, id_col, grid, decode)
+    mask = (1 << width) - 1
+    chunks = ah.select(
+        id_col, "ahash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("ahash"), k * width)
+                 .bitwiseAND(F.lit(mask))
+                for k in range(n_chunks)
+            ])
+        ).alias("chunk_id", "chunk"),
+    )
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "ahash"))
+        ).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(F.transform(
+                    ms,
+                    lambda x, i: F.transform(
+                        F.slice(ms, i + F.lit(2), F.size(ms)),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"), y["id"].alias("id_b"),
+                            x["ahash"].alias("ha"), y["ahash"].alias("hb")),
+                    ),
+                ))
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.ha", "p.hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -385,3 +385,62 @@ def test_near_dedup_sink_drops_cross_batch_near_dups(spark, tmp_path):
     # the index holds bands only for survivors
     n_idx = spark.read.parquet(idx).count()
     assert n_idx == 3 * 8
+
+
+# -- perceptual image hashing -------------------------------------------------
+
+def _payload_decoder():
+    """Build a test decoder where payload bytes ARE the pixel intensities
+    (tiled), so controlled byte edits produce controlled pixel/hash
+    changes. Defined as a nested closure: cloudpickle ships it by VALUE —
+    a module-level function would be pickled by reference and fail to
+    import on executors (the tests package is not on their PYTHONPATH)."""
+    def decode(b, h, w):
+        import numpy as np
+
+        need = h * w * 3
+        buf = (b * (need // len(b) + 1))[:need]
+        return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w, 3)
+    return decode
+
+
+def test_image_ahash_deterministic_and_payload_sensitive(spark):
+    from openpolicedata_spark.operators.multimodal import image_ahash
+
+    rows = [(1, bytes([10] * 32 + [200] * 32)),
+            (2, bytes([10] * 32 + [200] * 32)),   # identical
+            (3, bytes([200] * 32 + [10] * 32))]   # inverted
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r.ahash for r in
+           image_ahash(df, decode=_payload_decoder()).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_image_dup_pairs_finds_near_but_not_far(spark):
+    from openpolicedata_spark.operators.multimodal import (
+        image_ahash,
+        image_dup_pairs,
+    )
+
+    base = bytes(range(0, 256, 4)) * 3          # 192 bytes, varied pixels
+    near = bytearray(base)
+    near[0] = 255                                # flip a few cells' worth
+    far = bytes(reversed(base))
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(near)), (3, far), (4, base)],
+        "media_id long, content binary")
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in image_dup_pairs(
+        df, max_hamming=6, decode=_payload_decoder()).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0       # exact copy
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6       # near copy
+    assert (1, 3) not in pairs and (3, 4) not in pairs  # far apart
+
+    # blocking is exact w.r.t. brute force at this budget
+    hs = {r.media_id: r.ahash for r in
+          image_ahash(df, decode=_payload_decoder()).collect()}
+    mask = (1 << 64) - 1
+    brute = {(a, b) for a in hs for b in hs if a < b
+             and bin((hs[a] ^ hs[b]) & mask).count("1") <= 6}
+    assert set(pairs) == brute
