@@ -276,3 +276,45 @@ def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def kmeans_fit(corpus: DataFrame, k: int = 16, vec_col: str = "embedding",
+               iters: int = 5, seed: int = 42) -> list[list[float]]:
+    """Distributed Lloyd's k-means over the FULL corpus (the upgrade from
+    `train_ivf_centroids`' driver-side sample when the corpus is too
+    skewed for a 4k sample to see every mode).
+
+    Per iteration: one Arrow-batched assignment pass (`ivf_assign` —
+    centroids broadcast as a k×dim numpy constant) and one element-wise
+    mean via posexplode + groupBy(list_id, pos). The explode looks like a
+    64× blow-up, but the partial (map-side) aggregate collapses each
+    partition to ≤ k×dim rows BEFORE the exchange, so the shuffle carries
+    k×dim×partitions tiny rows per iteration — never the vectors. Driver
+    state is the k×dim centroid matrix; the data never collects.
+
+    Deterministic: init picks the k rows with the smallest xxhash64 of
+    the vector bytes (seeded), ties impossible for distinct vectors;
+    empty clusters keep their previous centroid. Returns plain
+    `list[list[float]]` ready for `ivf_assign` / `ivf_topk`."""
+    init_rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)).asc())
+        .limit(k)
+        .collect()
+    )
+    cent = [list(map(float, r[0])) for r in init_rows]
+    dim = len(cent[0])
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cent, vec_col)
+        stats = (
+            assigned.select("list_id",
+                            F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("v").alias("c"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [row[:] for row in cent]
+        for r in stats:
+            new[r.list_id][r.pos] = float(r.c)
+        cent = new
+    return cent

@@ -223,3 +223,32 @@ def test_dedup_cascade_statuses(spark):
     assert got == {1: "kept", 2: "exact_dup", 3: "near_dup", 4: "kept"}
     # exactly one row per input id
     assert len(got) == 4
+
+
+def test_kmeans_fit_recovers_separated_clusters(spark):
+    """Distributed Lloyd over three well-separated blobs must place one
+    centroid near each true center, deterministically."""
+    import numpy as np
+
+    from openpolicedata_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 8.0]])
+    pts = [(i, (centers[i % 3] + rng.normal(0, 0.3, 2)).tolist())
+           for i in range(300)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+
+    cent = kmeans_fit(df, k=3, iters=6)
+    got = sorted(tuple(round(x) for x in c) for c in cent)
+    assert got == [(-10, 8), (0, 0), (10, 10)], cent
+    # determinism
+    assert kmeans_fit(df, k=3, iters=6) == cent
+    # every point lands with its own blob
+    a = {r.vec_id: r.list_id for r in ivf_assign(df, cent).collect()}
+    blobs = {}
+    for i, lid in a.items():
+        blobs.setdefault(i % 3, set()).add(lid)
+    assert all(len(s) == 1 for s in blobs.values())
