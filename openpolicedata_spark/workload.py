@@ -2877,6 +2877,79 @@ SELECT user_id, t_view, t_click, t_purchase FROM p
 """
 
 
+def q93_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding — the text→token-id step of a pretraining
+    pipeline: rank the corpus vocabulary by frequency (id = dense rank,
+    most frequent = 0, token tiebreak), then encode each document as its
+    id sequence; out-of-vocab tokens (rank ≥ vocab_size) drop to an OOV
+    count. Join-based encoding: (doc, pos, token) rows left-join the
+    broadcast vocab frame, regroup per doc with ids ordered by position —
+    the shuffle carries int ids, not tokens, and the vocab side stays
+    broadcast-sized at any corpus scale. Output keeps the first 8 ids so
+    the oracle row stays flat."""
+    from openpolicedata_spark.functions.text import (
+        normalize_text_expr,
+        tokens_expr,
+    )
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    vocab_size = 100
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = d.select(
+        "doc_id",
+        F.posexplode(tokens_expr(normalize_text_expr(F.col("text"))))
+        .alias("pos", "token"),
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    vocab = (counts.select("token",
+                           (F.row_number().over(w) - 1).alias("tok_id"))
+             .where(F.col("tok_id") < vocab_size))
+    enc = tok.join(F.broadcast(vocab), on="token", how="left")
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tok_id").isNull(), 1).otherwise(0))
+            .alias("n_oov"),
+            # flat string, not array<int>: the driver's comparator sorts
+            # column values and list cells are unhashable there
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.collect_list(
+                        F.struct("pos", F.coalesce("tok_id", F.lit(-1))
+                                 .alias("tid"))
+                    )).tid, 1, 8),
+                " ").alias("head_ids"),
+        )
+    )
+
+
+_Q93_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+    x -> x <> '') AS arr
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(range(0, len(arr))) AS pos, unnest(arr) AS token
+  FROM arrs),
+vocab AS (
+  SELECT token, tok_id FROM (
+    SELECT token,
+      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) - 1 AS tok_id
+    FROM tok GROUP BY token)
+  WHERE tok_id < 100)
+SELECT doc_id, COUNT(*) AS n_tokens,
+  SUM(CASE WHEN vocab.tok_id IS NULL THEN 1 ELSE 0 END) AS n_oov,
+  array_to_string((list_transform(
+     list_sort(list_zip(list(tok.pos), list(COALESCE(vocab.tok_id, -1)))),
+     p -> p[2]))[1:8], ' ') AS head_ids
+FROM tok LEFT JOIN vocab USING (token)
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2976,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_kmeans_update": q90_kmeans_update,
         "q91_user_features": q91_user_features,
         "q92_funnel": q92_funnel,
+        "q93_encode_tokens": q93_encode_tokens,
     }
     return base
 
@@ -3072,4 +3146,5 @@ def oracle_sql() -> dict[str, str]:
         "q90_kmeans_update": _Q90_SQL,
         "q91_user_features": _Q91_SQL,
         "q92_funnel": _Q92_SQL,
+        "q93_encode_tokens": _Q93_SQL,
     }
