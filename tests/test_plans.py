@@ -179,3 +179,28 @@ def test_q91_user_features_two_level_agg(spark, sf_dir):
     s = summarize_plan(df)
     assert s.n_broadcast_joins + s.n_sortmerge_joins == 0, s.text
     assert_no_python_in_plan(df)
+
+
+def test_q92_funnel_pushes_stage_filters(spark, sf_dir):
+    """Each funnel stage reads only its own event type — the equality
+    filter must reach the parquet scan."""
+    df = workload.queries()["q92_funnel"](spark, sf_dir)
+    s = assert_filter_pushed(df, "event_type")
+    assert any("EqualTo" in p for p in s.pushed_filters), s.pushed_filters
+    assert_no_python_in_plan(df)
+
+
+def test_q93_encode_broadcasts_vocab(spark, sf_dir):
+    """Token encoding: the ranked-vocab side must broadcast; documents
+    never shuffle for the encode join."""
+    df = workload.queries()["q93_encode_tokens"](spark, sf_dir)
+    assert_broadcast_join(df, min_joins=1)
+    assert_no_python_in_plan(df)
+
+
+def test_q88_rare_token_share_shuffle_budget(spark, sf_dir):
+    """Two-pass frequency join: rebalance + token groupBy + join + doc
+    regroup — the whole query fits a 5-exchange budget with no Python."""
+    df = workload.queries()["q88_rare_token_share"](spark, sf_dir)
+    assert_max_exchanges(df, 5)
+    assert_no_python_in_plan(df)
