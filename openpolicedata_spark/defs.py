@@ -245,3 +245,102 @@ STATES = {
     "Tennessee", "Texas", "Utah", "Vermont", "Virginia", "Washington",
     "West Virginia", "Wisconsin", "Wyoming",
 }
+
+
+# --------------------------------------------------------------------------
+# Category-dict getters (reference defs.py:565-591): the user-facing API
+# for building custom category dicts to pass into standardization
+# (Table.standardize(race_cats=..., eth_cats=..., gender_cats=...)).
+# Keys are the canonical category constants; values are display labels
+# (full, or one-letter/compact with compact=True), mirroring the
+# reference's _Label(full, compact) tables at defs.py:491-556.
+# --------------------------------------------------------------------------
+
+def _ns_copy(cls):
+    """Mutation-safe attribute namespace (reference returns deepcopies)."""
+    from types import SimpleNamespace
+
+    return SimpleNamespace(**{k: v for k, v in vars(cls).items()
+                              if not k.startswith("_") and isinstance(v, str)})
+
+
+def get_roles():
+    return _ns_copy(PersonType)
+
+
+def get_race_keys():
+    return _ns_copy(Race)
+
+
+def get_eth_keys():
+    return _ns_copy(Ethnicity)
+
+
+def get_gender_keys():
+    return _ns_copy(Gender)
+
+
+_RACE_CATS_BASIC = {
+    Race.AAPI: ("ASIAN/PACIFIC ISLANDER", "AAPI"),
+    Race.ASIAN: ("ASIAN", "A"),
+    Race.BLACK: ("BLACK", "B"),
+    Race.LATINO: ("HISPANIC/LATINO", "H"),
+    Race.MULTIPLE: ("MULTIPLE", "MULTIPLE"),
+    Race.INDIGENOUS: ("INDIGENOUS", "I"),
+    Race.OTHER: ("OTHER", "O"),
+    Race.OTHER_UNKNOWN: ("OTHER OR UNKNOWN", "OTHER OR UNKNOWN"),
+    Race.UNKNOWN: ("UNKNOWN", "UNKNOWN"),
+    Race.UNSPECIFIED: ("UNSPECIFIED", "UNSPECIFIED"),
+    Race.WHITE: ("WHITE", "W"),
+}
+
+_RACE_CATS_EXPANDED = {
+    **_RACE_CATS_BASIC,
+    Race.PACIFIC_ISLANDER: ("HAWAIIAN/PACIFIC ISLANDER", "H/PI"),
+    Race.MIDDLE_EASTERN: ("MIDDLE EASTERN", "ME"),
+    Race.MIDDLE_EASTERN_SOUTH_ASIAN: ("MIDDLE EASTERN/SOUTH ASIAN", "ME/SA"),
+    Race.SOUTH_ASIAN: ("SOUTH ASIAN", "SA"),
+}
+
+_ETH_CATS = {
+    Ethnicity.LATINO: ("HISPANIC/LATINO", "H"),
+    Ethnicity.MIDDLE_EASTERN: ("MIDDLE EASTERN", "ME"),
+    Ethnicity.NONLATINO: ("NON-HISPANIC/NON-LATINO", "NH"),
+    Ethnicity.UNKNOWN: ("UNKNOWN", "UNKNOWN"),
+    Ethnicity.UNSPECIFIED: ("UNSPECIFIED", "UNSPECIFIED"),
+}
+
+_GENDER_CATS = {
+    Gender.MALE: ("MALE", "M"),
+    Gender.FEMALE: ("FEMALE", "F"),
+    Gender.TRANSGENDER_MALE: ("TRANSGENDER MALE", "TM"),
+    Gender.TRANSGENDER_FEMALE: ("TRANSGENDER FEMALE", "TF"),
+    Gender.TRANSGENDER: ("TRANSGENDER", "T"),
+    Gender.GENDER_NONCONFORMING: ("GENDER NON-CONFORMING", "GNC"),
+    Gender.TRANSGENDER_OR_GENDER_NONCONFORMING:
+        ("TRANSGENDER OR GENDER NON-CONFORMING", "T/GNC"),
+    Gender.GENDER_NONBINARY: ("GENDER NON-BINARY", "GNB"),
+    Gender.OTHER: ("OTHER", "O"),
+    Gender.UNKNOWN: ("UNKNOWN", "UNKNOWN"),
+    Gender.UNSPECIFIED: ("UNSPECIFIED", "UNSPECIFIED"),
+    Gender.UNSPECIFIED_OR_ANOTHER:
+        ("UNSPECIFIED_OR_ANOTHER_GENDER_IDENTITY", "X"),
+}
+
+
+def _cats(table: dict, compact: bool) -> dict:
+    out = {k: (v[1] if compact else v[0]) for k, v in table.items()}
+    assert len(out) == len(set(out.values()))
+    return out
+
+
+def get_race_cats(expand: bool = False, compact: bool = False) -> dict:
+    return _cats(_RACE_CATS_EXPANDED if expand else _RACE_CATS_BASIC, compact)
+
+
+def get_eth_cats(compact: bool = False) -> dict:
+    return _cats(_ETH_CATS, compact)
+
+
+def get_gender_cats(compact: bool = False) -> dict:
+    return _cats(_GENDER_CATS, compact)

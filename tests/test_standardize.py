@@ -507,3 +507,31 @@ def test_numbered_merge_concat_combo_keeps_ethnicity(spark):
     got = {r.case: r[Columns.RE_GROUP_SUBJECT] for r in out.collect()}
     assert got["C1"] == ["WHITE LATINO", "BLACK LATINO"]
     assert got["C2"] == ["BLACK NON-LATINO", "WHITE NON-LATINO"]
+
+
+def test_defs_category_getters_feed_standardize(spark):
+    """Reference defs.py getters (get_race_cats/get_eth_cats/
+    get_gender_cats/get_*_keys/get_roles) exist with the reference's
+    label tables, and their dicts flow into standardize's relabeling."""
+    from openpolicedata_spark import defs
+    from openpolicedata_spark.standardize import standardize
+
+    assert len(defs.get_race_cats()) == 11
+    assert len(defs.get_race_cats(expand=True)) == 15
+    assert defs.get_race_cats()["WHITE"] == "WHITE"
+    assert defs.get_race_cats(compact=True)["WHITE"] == "W"
+    assert defs.get_eth_cats()["NON-LATINO"] == "NON-HISPANIC/NON-LATINO"
+    assert defs.get_gender_cats(compact=True)["FEMALE"] == "F"
+    assert defs.get_race_keys().AAPI == "AAPI"
+    assert defs.get_roles().OFFICER == "OFFICER"
+    # keys objects are mutation-safe copies
+    k = defs.get_race_keys()
+    k.WHITE = "tampered"
+    assert defs.get_race_keys().WHITE == "WHITE"
+
+    df = spark.createDataFrame(
+        [(1, "W"), (2, "BLACK"), (3, "H")], "id long, subject_race string")
+    out, _ = standardize(df, table_type="STOPS",
+                         race_cats=defs.get_race_cats(compact=True))
+    got = {r.id: r.SUBJECT_RACE for r in out.select("id", "SUBJECT_RACE").collect()}
+    assert got == {1: "W", 2: "B", 3: "H"}
