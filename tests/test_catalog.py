@@ -172,3 +172,54 @@ def test_source_filename_methods(spark):
                                   output_dir="/tmp/x")
     assert csv.endswith("ORDERS_1995.csv")
     assert pq.startswith("/tmp/x/") and pq.endswith("ORDERS_1995.parquet")
+
+
+# -- dataset_id normalization (reference dataset_id.py:40-141) ---------------
+
+def test_parse_id_json_and_curly_quotes():
+    from openpolicedata_spark.sources.dataset_id import parse_id
+
+    assert parse_id("abcd-1234") == "abcd-1234"
+    assert parse_id('{"files": "a.csv"}') == {"files": "a.csv"}
+    assert parse_id('{“files”: “a.csv”}') == {"files": "a.csv"}
+    assert parse_id('[{"urls": ["u1", "u2"]}]') == [{"urls": ["u1", "u2"]}]
+
+
+def test_expand_broadcasts_parallel_arrays():
+    from openpolicedata_spark.sources.dataset_id import expand
+
+    got = expand({"urls": ["u1", "u2"], "files": "f.xlsx",
+                  "sheets": "2020", "on": ["id"]})
+    assert got == [
+        {"url": "u1", "file": "f.xlsx", "sheets": ["2020"], "on": ["id"]},
+        {"url": "u2", "file": "f.xlsx", "sheets": ["2020"], "on": ["id"]},
+    ]
+    # join declaration: nested lists expand per side
+    got = expand([[{"urls": "a"}], [{"urls": "b"}]])
+    assert got == [[{"url": "a"}], [{"url": "b"}]]
+    # passthrough
+    assert expand("plain-id") == "plain-id"
+    assert expand(None) is None
+
+
+def test_is_combined_dataset():
+    from openpolicedata_spark.sources.dataset_id import (
+        expand,
+        is_combined_dataset,
+    )
+
+    assert is_combined_dataset(expand({"urls": ["u1", "u2"]}))
+    assert is_combined_dataset(expand([[{"urls": "a"}], [{"urls": "b"}]]))
+    assert not is_combined_dataset(expand({"files": "one.xlsx"}))
+    assert not is_combined_dataset("plain")
+
+
+def test_parse_excel_dataset():
+    from openpolicedata_spark.sources.dataset_id import parse_excel_dataset
+
+    assert parse_excel_dataset(False, "Sheet1") == (["Sheet1"], None)
+    assert parse_excel_dataset(True, "inner.xlsx") == (None, "inner.xlsx")
+    # quoted sheet names keep leading zeros
+    assert parse_excel_dataset(False, '"0123"') == (["0123"], None)
+    assert parse_excel_dataset(False, {"sheets": ["a", "b"], "file": "f.xlsx"}) \
+        == (["a", "b"], "f.xlsx")
