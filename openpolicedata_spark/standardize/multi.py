@@ -37,6 +37,18 @@ class MultType(str, Enum):
     DELIMITED = "delimited"      # "WHITE, BLACK"
     COUNTS = "counts"            # "2 - White, 1 - Black"
     MULTIPLIER = "multiplier"    # "Mx3 / F"
+    WITH_NAME = "with_name"      # "Doe, John W/M Smith, Jane B/F"
+    DEMO_COL = "demo_col"        # "(White, Male) (Black, Female)"
+    WITH_COUNTS = "with_counts"  # "2 Injured 1 Deceased"
+
+
+# "Name CC/C" demographic code pairs embedded in prose
+# (reference std_with_names _converters.py:1009-1012)
+_NAME_PAIR_RE = re.compile(r"[\sÊ](\w{1,2}/\w)\b")
+# parenthesized per-person demographic groups (reference std_demo_col)
+_PAREN_GROUP_RE = re.compile(r"\([^)]*[,/][^)]*\)")
+# digit-prefixed category words (reference std_with_counts)
+_DIGIT_WORD_RE = re.compile(r"(?:^|\s)\d+\s+[A-Za-z]")
 
 
 @dataclass
@@ -77,6 +89,15 @@ def detect_multi(sample: pd.Series) -> MultData:
     v = _drop_marsy_exempt(v)
     if len(v) == 0:
         return MultData(MultType.SINGLE)
+    # specialized encodings outrank plain-delimiter election: their cells
+    # CONTAIN commas/slashes that would mis-elect a person delimiter
+    if v.str.contains(_NAME_PAIR_RE.pattern, regex=True).mean() >= 0.3:
+        return MultData(MultType.WITH_NAME)
+    if v.str.contains(_PAREN_GROUP_RE.pattern, regex=True).mean() >= 0.3:
+        return MultData(MultType.DEMO_COL)
+    if v.str.contains(_DIGIT_WORD_RE.pattern, regex=True).mean() >= 0.3 \
+            and not v.str.match(_COUNTS_RE.pattern).any():
+        return MultData(MultType.WITH_COUNTS)
     delim, _ = _best_delim(v)
     if delim is None:
         return MultData(MultType.SINGLE)
@@ -113,18 +134,64 @@ def agreement(sample: pd.DataFrame, cols_delims: dict[str, str],
 
 
 def multi_expr(col: Column, mult: MultData,
-               item_fn: Callable[[Column], Column]) -> Column:
+               item_fn: Callable[[Column], Column],
+               item_num: int = 0,
+               vocab: Optional[list[str]] = None) -> Column:
     """Compile a multi-person cell into ``array<T>`` applying the scalar
     standardizer ``item_fn`` per person. Expression-only — no UDF.
 
-    DELIMITED  : split → transform(item_fn)
-    COUNTS     : split → per token "N - CAT" → array_repeat(item_fn(CAT), N)
-                 → flatten (reference std_counts _converters.py:1000-1040)
-    MULTIPLIER : split → per token "CATxN" → array_repeat → flatten
-                 (reference std_demo_col multiplier syntax)
+    DELIMITED   : split → transform(item_fn)
+    COUNTS      : split → per token "N - CAT" → array_repeat(item_fn(CAT), N)
+                  → flatten (reference std_counts _converters.py:1000-1040)
+    MULTIPLIER  : split → per token "CATxN" → array_repeat → flatten
+                  (reference std_demo_col multiplier syntax)
+    WITH_NAME   : extract embedded "CC/C" code pairs, take side `item_num`
+                  (0 = race code, 1 = gender code; reference std_with_names
+                  _converters.py:1009-1043)
+    DEMO_COL    : parenthesized per-person groups; field `item_num` of each
+                  group's ','/'/'-separated attributes (reference
+                  std_demo_col _converters.py:927-1006)
+    WITH_COUNTS : optional leading count + category phrase from `vocab`
+                  (longest-first alternation — the expression analog of the
+                  reference's try-the-converter-incrementally loop,
+                  _converters.py:1089-1142); "2 Injured" → two INJURED
     """
     if mult.type == MultType.SINGLE:
         raise ValueError("multi_expr called for a single-valued column")
+    if mult.type == MultType.WITH_NAME:
+        pairs = F.regexp_extract_all(
+            col.cast("string"), F.lit(r"[\s](\w{1,2}/\w)\b"), 1)
+        return F.transform(
+            pairs,
+            lambda t: item_fn(
+                F.trim(F.element_at(F.split(t, "/"), item_num + 1))),
+        )
+    if mult.type == MultType.DEMO_COL:
+        groups = F.regexp_extract_all(
+            col.cast("string"), F.lit(r"\(([^)]+)\)"), 1)
+        return F.transform(
+            groups,
+            lambda g: item_fn(
+                F.trim(F.element_at(F.split(g, "[,/]"), item_num + 1))),
+        )
+    if mult.type == MultType.WITH_COUNTS:
+        if not vocab:
+            raise ValueError(
+                "WITH_COUNTS needs the category vocabulary (the reference "
+                "resolves phrases by probing its converter)")
+        # longest phrase first so 'SELF-INFLICTED FATAL' beats 'FATAL'
+        alt = "|".join(re.escape(p) for p in
+                       sorted(vocab, key=len, reverse=True))
+        toks = F.regexp_extract_all(
+            col.cast("string"), F.lit(rf"(?i)((?:\d+\s+)?(?:{alt}))"), 1)
+        def expand_tok(t: Column) -> Column:
+            n = F.regexp_extract(t, r"^(\d+)\s", 1)
+            cat = F.trim(F.regexp_replace(t, r"^\d+\s+", ""))
+            return F.when(
+                n != "",
+                F.array_repeat(item_fn(cat), n.cast("int")),
+            ).otherwise(F.array(item_fn(t)))
+        return F.flatten(F.transform(toks, expand_tok))
     toks = F.transform(
         F.split(col.cast("string"), re.escape(mult.delim or ",")),
         lambda t: F.trim(t),
@@ -151,3 +218,12 @@ def multi_expr(col: Column, mult: MultData,
             ).otherwise(F.array(item_fn(t)))
         return F.flatten(F.transform(toks, expand_tok))
     raise ValueError(f"unsupported MultType {mult.type}")
+
+
+def dict_expr(col: Column, item_fn: Callable[[Column], Column]) -> Column:
+    """Standardize a MapType column of {person_idx: raw value} — the
+    encoding merge round trips produce (reference std_dict
+    _converters.py:908-924). `transform_values` applies the SAME scalar
+    LUT per entry, expression-only; `Table.expand` consumes either this
+    map form or the array form."""
+    return F.transform_values(col, lambda _, v: item_fn(v))

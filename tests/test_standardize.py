@@ -535,3 +535,96 @@ def test_defs_category_getters_feed_standardize(spark):
                          race_cats=defs.get_race_cats(compact=True))
     got = {r.id: r.SUBJECT_RACE for r in out.select("id", "SUBJECT_RACE").collect()}
     assert got == {1: "W", 2: "B", 3: "H"}
+
+
+def test_multi_with_name_mode(spark):
+    """'Name CC/C' cells (reference std_with_names): extract embedded
+    race/gender code pairs; item_num picks the side."""
+    from openpolicedata_spark.functions import luts
+    from openpolicedata_spark.standardize.multi import (
+        MultData,
+        MultType,
+        detect_multi,
+        multi_expr,
+    )
+    import pandas as pd
+
+    vals = ["Doe, John W/M Smith, Jane B/F", "Brown, Ann A/F"]
+    assert detect_multi(pd.Series(vals)).type == MultType.WITH_NAME
+
+    df = spark.createDataFrame([(1, vals[0]), (2, vals[1])], "id long, raw string")
+    races = multi_expr(F.col("raw"), MultData(MultType.WITH_NAME),
+                       lambda c: luts.race_expr(c), item_num=0)
+    genders = multi_expr(F.col("raw"), MultData(MultType.WITH_NAME),
+                         lambda c: luts.gender_expr(c), item_num=1)
+    got = {r.id: (r.r, r.g) for r in
+           df.select("id", races.alias("r"), genders.alias("g")).collect()}
+    assert got[1] == (["WHITE", "BLACK"], ["MALE", "FEMALE"])
+    assert got[2] == (["ASIAN"], ["FEMALE"])
+
+
+def test_multi_demo_col_mode(spark):
+    """'(White, Male) (Black, Female)' cells (reference std_demo_col)."""
+    from openpolicedata_spark.functions import luts
+    from openpolicedata_spark.standardize.multi import (
+        MultData,
+        MultType,
+        detect_multi,
+        multi_expr,
+    )
+    import pandas as pd
+
+    vals = ["(White, Male) (Black, Female)", "(Asian / Female)"]
+    assert detect_multi(pd.Series(vals)).type == MultType.DEMO_COL
+
+    df = spark.createDataFrame([(1, vals[0]), (2, vals[1])], "id long, raw string")
+    races = multi_expr(F.col("raw"), MultData(MultType.DEMO_COL),
+                       lambda c: luts.race_expr(c), item_num=0)
+    genders = multi_expr(F.col("raw"), MultData(MultType.DEMO_COL),
+                         lambda c: luts.gender_expr(c), item_num=1)
+    got = {r.id: (r.r, r.g) for r in
+           df.select("id", races.alias("r"), genders.alias("g")).collect()}
+    assert got[1] == (["WHITE", "BLACK"], ["MALE", "FEMALE"])
+    assert got[2] == (["ASIAN"], ["FEMALE"])
+
+
+def test_multi_with_counts_mode(spark):
+    """'2 Injured 1 Deceased' / 'Deceased Injured' cells (reference
+    std_with_counts): vocabulary-driven phrase extraction with optional
+    leading counts."""
+    from openpolicedata_spark.functions import luts
+    from openpolicedata_spark.standardize.multi import (
+        MultData,
+        MultType,
+        detect_multi,
+        multi_expr,
+    )
+    import pandas as pd
+
+    vals = ["2 Injured 1 Deceased", "Deceased Injured", "3 Injured"]
+    assert detect_multi(pd.Series(vals)).type == MultType.WITH_COUNTS
+
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, raw string")
+    arr = multi_expr(F.col("raw"), MultData(MultType.WITH_COUNTS),
+                     lambda c: luts.injury_expr(c),
+                     vocab=["Injured", "Deceased"])
+    got = {r.id: r.a for r in df.select("id", arr.alias("a")).collect()}
+    assert got[0] == ["INJURED", "INJURED", "FATAL"]
+    assert got[1] == ["FATAL", "INJURED"]
+    assert got[2] == ["INJURED", "INJURED", "INJURED"]
+
+
+def test_dict_expr_maptype_cells(spark):
+    """MapType {person_idx: raw} cells standardize in place (reference
+    std_dict)."""
+    from openpolicedata_spark.functions import luts
+    from openpolicedata_spark.standardize.multi import dict_expr
+
+    df = spark.createDataFrame(
+        [(1, {0: "W", 1: "BLACK"}), (2, {0: "H"})],
+        "id long, raw map<int,string>")
+    out = df.select("id", dict_expr(F.col("raw"),
+                                    lambda c: luts.race_expr(c)).alias("m"))
+    got = {r.id: dict(r.m) for r in out.collect()}
+    assert got[1] == {0: "WHITE", 1: "BLACK"}
+    assert got[2] == {0: "LATINO"}
