@@ -2950,6 +2950,58 @@ GROUP BY doc_id
 """
 
 
+def q94_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization (z-score of doc length within its
+    source) — the feature-scaling step before training. Determinism
+    trick: mean/std come from DECIMAL sum and sum-of-squares aggregates
+    (order-independent), then the final arithmetic runs in double from
+    those exact inputs — bit-identical across engines, unlike native
+    STDDEV whose accumulation order varies. Plan: one tiny per-source
+    aggregate broadcast back onto the scan — the data shuffles zero
+    times."""
+    d = _read(spark, sf_dir, "documents")
+    x = F.length("text").cast("long")
+    stats = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast("decimal(20,4)")).cast("double").alias("s"),
+            F.sum((x * x).cast("decimal(30,4)")).cast("double").alias("ss"),
+        )
+        .select(
+            "source",
+            (F.col("s") / F.col("n")).alias("mu"),
+            F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                   / (F.col("n") - 1)).alias("sd"),
+        )
+    )
+    return (
+        d.select("doc_id", "source", x.alias("n_chars"))
+        .join(F.broadcast(stats), on="source")
+        .select(
+            "doc_id", "source", "n_chars",
+            F.round((F.col("n_chars") - F.col("mu")) / F.col("sd"), 6)
+            .alias("z"),
+        )
+    )
+
+
+_Q94_SQL = """
+WITH stats AS (
+  SELECT source, COUNT(*) AS n,
+    CAST(SUM(CAST(LENGTH(text) AS DECIMAL(20,4))) AS DOUBLE) AS s,
+    CAST(SUM(CAST(LENGTH(text) * LENGTH(text) AS DECIMAL(30,4))) AS DOUBLE)
+      AS ss
+  FROM documents GROUP BY source),
+m AS (
+  SELECT source, s / n AS mu, SQRT((ss - s * s / n) / (n - 1)) AS sd
+  FROM stats)
+SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+  ROUND((LENGTH(text) - mu) / sd, 6) AS z
+FROM documents JOIN m USING (source)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3050,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_user_features": q91_user_features,
         "q92_funnel": q92_funnel,
         "q93_encode_tokens": q93_encode_tokens,
+        "q94_zscore_normalize": q94_zscore_normalize,
     }
     return base
 
@@ -3147,4 +3200,5 @@ def oracle_sql() -> dict[str, str]:
         "q91_user_features": _Q91_SQL,
         "q92_funnel": _Q92_SQL,
         "q93_encode_tokens": _Q93_SQL,
+        "q94_zscore_normalize": _Q94_SQL,
     }
