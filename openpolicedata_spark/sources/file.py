@@ -236,6 +236,13 @@ class CsvLoader(_FileLoader):
         Spark needs a declared charset instead: if a strict UTF-8 decode of
         the head fails, read as ISO-8859-1 — a total byte→char mapping, so
         like surrogateescape it loses nothing and never throws."""
+        import glob
+
+        if os.path.isdir(path):
+            members = sorted(glob.glob(os.path.join(path, "*.csv")))
+            if not members:
+                return "UTF-8"
+            path = members[0]   # zip members share the publisher's encoding
         try:
             with open(path, "rb") as f:
                 f.read(sample_bytes).decode("utf-8")
@@ -243,10 +250,10 @@ class CsvLoader(_FileLoader):
         except UnicodeDecodeError:
             return "ISO-8859-1"
         except OSError:
-            return "UTF-8"   # directories (unzipped multi-file) default
+            return "UTF-8"
 
     def _read(self) -> DataFrame:
         path = self._prefetch()
-        charset = self._detect_charset(path) if os.path.isfile(path) else "UTF-8"
         return self.spark.read.csv(path, header=self.header,
-                                   inferSchema=True, encoding=charset)
+                                   inferSchema=True,
+                                   encoding=self._detect_charset(path))

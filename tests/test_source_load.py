@@ -187,3 +187,17 @@ def test_csv_loader_detects_non_utf8_charset(spark, tmp_path):
     q = tmp_path / "utf8.csv"
     q.write_bytes("name\nRenée\n".encode("utf-8"))
     assert CsvLoader(spark, url=str(q))._read().collect()[0].name == "Renée"
+
+
+def test_csv_loader_detects_charset_inside_zip(spark, tmp_path):
+    """Zipped latin-1 CSVs get the same charset repair: detection probes
+    the first extracted member."""
+    import zipfile
+
+    from openpolicedata_spark.sources.file import CsvLoader
+
+    z = tmp_path / "data.zip"
+    with zipfile.ZipFile(z, "w") as f:
+        f.writestr("inner.csv", b"name\nRen\xe9e\n")
+    rows = CsvLoader(spark, url=str(z))._read().collect()
+    assert rows[0].name == "Renée"
