@@ -210,9 +210,6 @@ def sample_frames(df: DataFrame, every_n: int = 10, content_col: str = "content"
     )
 
 
-AHASH_SCHEMA = "media_id long, ahash long"
-
-
 def image_ahash(df: DataFrame, content_col: str = "content",
                 id_col: str = "media_id", grid: int = 8,
                 decode=None) -> DataFrame:
@@ -243,12 +240,12 @@ def image_ahash(df: DataFrame, content_col: str = "content",
                 return v - (1 << 64) if v >= 1 << 63 else v  # signed long
 
             yield pd.DataFrame({
-                "media_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "ahash": pdf[content_col].map(ah).astype("Int64"),
             })
 
     return df.select(id_col, content_col).mapInPandas(
-        compute, schema=AHASH_SCHEMA)
+        compute, schema=f"{id_col} long, ahash long")
 
 
 def image_dup_pairs(df: DataFrame, max_hamming: int = 3,
@@ -265,16 +262,20 @@ def image_dup_pairs(df: DataFrame, max_hamming: int = 3,
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     ah = image_ahash(df, content_col, id_col, grid, decode)
-    mask = (1 << width) - 1
+    if n_chunks == 1:
+        # max_hamming=0: exact-hash equality; the full 64-bit "chunk" is
+        # the hash itself (a (1<<64)-1 mask would overflow a long literal)
+        chunk_exprs = [F.col("ahash")]
+    else:
+        mask = (1 << width) - 1
+        chunk_exprs = [
+            F.shiftrightunsigned(F.col("ahash"), k * width)
+             .bitwiseAND(F.lit(mask))
+            for k in range(n_chunks)
+        ]
     chunks = ah.select(
         id_col, "ahash",
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col("ahash"), k * width)
-                 .bitwiseAND(F.lit(mask))
-                for k in range(n_chunks)
-            ])
-        ).alias("chunk_id", "chunk"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk"),
     )
     buckets = (
         chunks.groupBy("chunk_id", "chunk")

@@ -303,14 +303,13 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, vec_col: str = "embedding",
         .collect()
     )
     cent = [list(map(float, r[0])) for r in init_rows]
-    dim = len(cent[0])
     for _ in range(iters):
         assigned = ivf_assign(corpus, cent, vec_col)
         stats = (
             assigned.select("list_id",
                             F.posexplode(F.col(vec_col)).alias("pos", "v"))
             .groupBy("list_id", "pos")
-            .agg(F.avg("v").alias("c"), F.count(F.lit(1)).alias("n"))
+            .agg(F.avg("v").alias("c"))
             .collect()
         )
         new = [row[:] for row in cent]

@@ -153,29 +153,44 @@ class CsvLoader(_FileLoader):
             ext = ".zip" if url.lower().endswith(".zip") else ".csv"
             dest = os.path.join(spool, hashlib.sha1(url.encode()).hexdigest() + ext)
             if not os.path.exists(dest):
-                # Browser-ish UA fallback mirrors reference csv_class.py
+                # Browser-ish UA fallback mirrors reference csv_class.py.
+                # Download to a temp path and rename on success — a
+                # mid-download failure must never leave a partial file the
+                # cache check would treat as complete (same discipline as
+                # _unzip below).
                 req = urllib.request.Request(url, headers={"User-Agent": "Mozilla/5.0"})
-                try:
-                    with urllib.request.urlopen(req) as r, open(dest, "wb") as f:
-                        f.write(r.read())
-                except Exception as e:  # legacy-SSL retry below
-                    if "SSL" not in type(e).__name__ and "ssl" not in str(e).lower():
-                        raise
-                    # Legacy-renegotiation fallback (reference
-                    # csv_class.py: old municipal portals run TLS stacks
-                    # OpenSSL 3 rejects by default — retry once with
-                    # OP_LEGACY_SERVER_CONNECT and relaxed seclevel)
-                    import ssl
+                tmp = dest + ".part"
 
-                    ctx = ssl.create_default_context()
-                    ctx.options |= getattr(ssl, "OP_LEGACY_SERVER_CONNECT", 0x4)
-                    try:
-                        ctx.set_ciphers("DEFAULT@SECLEVEL=1")
-                    except ssl.SSLError:
-                        pass
+                def _fetch(ctx=None):
                     with urllib.request.urlopen(req, context=ctx) as r, \
-                            open(dest, "wb") as f:
+                            open(tmp, "wb") as f:
                         f.write(r.read())
+
+                try:
+                    try:
+                        _fetch()
+                    except Exception as e:  # legacy-SSL retry below
+                        if ("SSL" not in type(e).__name__
+                                and "ssl" not in str(e).lower()):
+                            raise
+                        # Legacy-renegotiation fallback (reference
+                        # csv_class.py: old municipal portals run TLS
+                        # stacks OpenSSL 3 rejects by default — retry once
+                        # with OP_LEGACY_SERVER_CONNECT + relaxed seclevel)
+                        import ssl
+
+                        ctx = ssl.create_default_context()
+                        ctx.options |= getattr(ssl, "OP_LEGACY_SERVER_CONNECT", 0x4)
+                        try:
+                            ctx.set_ciphers("DEFAULT@SECLEVEL=1")
+                        except ssl.SSLError:
+                            pass
+                        _fetch(ctx)
+                    os.replace(tmp, dest)
+                except BaseException:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+                    raise
             url = dest
         if url.lower().endswith(".zip"):
             url = self._unzip(url)
@@ -244,8 +259,15 @@ class CsvLoader(_FileLoader):
                 return "UTF-8"
             path = members[0]   # zip members share the publisher's encoding
         try:
+            import codecs
+
             with open(path, "rb") as f:
-                f.read(sample_bytes).decode("utf-8")
+                head = f.read(sample_bytes)
+            # incremental decoder (final=False) buffers a trailing
+            # incomplete multibyte sequence instead of raising, so a valid
+            # UTF-8 char straddling the sample boundary can't misclassify
+            # the whole file as latin-1
+            codecs.getincrementaldecoder("utf-8")().decode(head, False)
             return "UTF-8"
         except UnicodeDecodeError:
             return "ISO-8859-1"

@@ -171,7 +171,11 @@ class ColumnIdentifier:
         any category inventory (reference validators run the converter,
         which handles MultType; splitting first is the equivalent)."""
         v = s.dropna().astype(str).str.strip()
-        return v.str.split(r"[,|;/\n]", regex=True).explode().str.strip()
+        # parens delimit per-person groups in DEMO_COL cells
+        # ('(White, Male) (Black, Female)') — split them too, or the
+        # validators see '(White' and reject the column
+        t = v.str.split(r"[,|;/\n()]", regex=True).explode().str.strip()
+        return t[t != ""]
 
     def validate_date(self, s: pd.Series) -> bool:
         """Date validator (reference datetime_parser.py:230-272): at least
@@ -411,6 +415,7 @@ def standardize(
         multi_expr,
     )
     mult_candidates: dict[str, Any] = {}
+    mult_kwargs: dict[str, dict] = {}
 
     # publisher swapped race↔gender columns? (reference preproc.py:972-993)
     _race_named = [c for c in df.columns if "race" in str(c).lower()]
@@ -476,7 +481,8 @@ def standardize(
     _merged_arrays: dict[str, list[str]] = {}
 
     def std_demographic(substrs, validator, canonical_triplet, expr_fn,
-                        exclude=None, allow_multi=False):
+                        exclude=None, allow_multi=False,
+                        item_num=0, counts_vocab=None):
         cols = ident.find_matches(substrs, exclude_substrs=exclude,
                                   validator=validator)
         roles = ident.attribute_roles(cols)
@@ -505,9 +511,16 @@ def standardize(
                 used.append((canonical, c))
                 continue
             if allow_multi:
-                mult = detect_multi(ident.sample[c])
+                mult = detect_multi(
+                    ident.sample[c],
+                    counts_vocab_available=counts_vocab is not None)
                 if mult.type != MultType.SINGLE:
                     mult_candidates[c] = mult
+                    # mode parameters per column FAMILY: which side of a
+                    # "W/M" / "(White, Male)" person group this family
+                    # reads, and the phrase vocabulary for WITH_COUNTS
+                    mult_kwargs[c] = {"item_num": item_num,
+                                      "vocab": counts_vocab}
             specs.append((canonical, c, expr_fn))
             transforms.append(DataMapping(c, canonical))
             used.append((canonical, c))
@@ -538,6 +551,8 @@ def standardize(
                                        no_id=no_id),
             gender_cats, _cat_values(defs.Gender), "gender"),
         allow_multi=True,
+        # "W/M" pairs and "(White, Male)" groups list gender second
+        item_num=1,
     )
     std_demographic(
         ["age"], ident.validate_age,
@@ -550,10 +565,16 @@ def standardize(
         (Columns.AGE_RANGE_SUBJECT, Columns.AGE_RANGE_OFFICER, Columns.AGE_RANGE_OFF_SUB),
         lambda c: luts.age_range_expr(c, no_id=no_id),
     )
+    # injury phrase vocabulary for '2 Injured 1 Deceased' cells (reference
+    # std_with_counts probes its converter; the expression path needs the
+    # phrases declared — these are the keywords the injury LUT recognizes)
+    _injury_vocab = ["Injured", "Deceased", "Killed", "Fatal", "Wounded",
+                     "No Injury", "None"]
     std_demographic(
         ["injury", "injured"], None,
         (Columns.INJURY_SUBJECT, Columns.INJURY_OFFICER, Columns.INJURY_OFF_SUB),
         lambda c: luts.injury_expr(c, no_id=no_id),
+        allow_multi=True, counts_vocab=_injury_vocab,
     )
     std_demographic(
         ["fatal", "deceased"], None,
@@ -611,10 +632,13 @@ def standardize(
             raw_renames.setdefault(s, f"RAW_{s}")
     # multi-person election: keep candidates only if person counts agree
     # across columns (reference preproc.py:1861-1923); a lone candidate
-    # stands on its own
-    if mult_candidates and not agreement(
-            ident.sample, {c: m.delim for c, m in mult_candidates.items()}):
-        mult_candidates = {}
+    # stands on its own. Only DELIMITER modes vote — the specialized
+    # encodings (WITH_NAME/DEMO_COL/WITH_COUNTS) carry no person delimiter
+    # (m.delim is None, which would crash the split) and are self-evident.
+    delim_cands = {c: m.delim for c, m in mult_candidates.items() if m.delim}
+    if delim_cands and not agreement(ident.sample, delim_cands):
+        for c in delim_cands:
+            mult_candidates.pop(c, None)
     for t in transforms:
         if t.orig_column_name in mult_candidates:
             t.data_maps = {**(t.data_maps or {}),
@@ -685,7 +709,8 @@ def standardize(
     out = out.withColumns({
         canonical: (
             multi_expr(F.col(raw_renames.get(raw, raw)),
-                       mult_candidates[raw], builder)
+                       mult_candidates[raw], builder,
+                       **mult_kwargs.get(raw, {}))
             if raw in mult_candidates
             else builder(F.col(raw_renames.get(raw, raw)))
         )

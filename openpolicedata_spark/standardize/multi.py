@@ -44,7 +44,8 @@ class MultType(str, Enum):
 
 # "Name CC/C" demographic code pairs embedded in prose
 # (reference std_with_names _converters.py:1009-1012)
-_NAME_PAIR_RE = re.compile(r"[\sÊ](\w{1,2}/\w)\b")
+_NAME_PAIR_RE = re.compile(r"[\sÊ](?:\w{1,2}/\w)\b")  # non-capturing: used
+# only for detection via str.contains (a group would warn in pandas)
 # parenthesized per-person demographic groups (reference std_demo_col)
 _PAREN_GROUP_RE = re.compile(r"\([^)]*[,/][^)]*\)")
 # digit-prefixed category words (reference std_with_counts)
@@ -82,8 +83,14 @@ def _drop_marsy_exempt(v: pd.Series) -> pd.Series:
                & v.str.contains("Exempt", case=False))]
 
 
-def detect_multi(sample: pd.Series) -> MultData:
-    """Classify one demographic column's encoding from sampled values."""
+def detect_multi(sample: pd.Series,
+                 counts_vocab_available: bool = True) -> MultData:
+    """Classify one demographic column's encoding from sampled values.
+
+    ``counts_vocab_available=False`` disables the WITH_COUNTS class —
+    that mode needs a category vocabulary at apply time, so callers
+    without one (every family except injury/fatal) must fall through to
+    plain delimiter election instead of electing an unapplicable mode."""
     v = sample.dropna().astype(str).str.strip()
     v = v[v != ""]
     v = _drop_marsy_exempt(v)
@@ -95,7 +102,8 @@ def detect_multi(sample: pd.Series) -> MultData:
         return MultData(MultType.WITH_NAME)
     if v.str.contains(_PAREN_GROUP_RE.pattern, regex=True).mean() >= 0.3:
         return MultData(MultType.DEMO_COL)
-    if v.str.contains(_DIGIT_WORD_RE.pattern, regex=True).mean() >= 0.3 \
+    if counts_vocab_available \
+            and v.str.contains(_DIGIT_WORD_RE.pattern, regex=True).mean() >= 0.3 \
             and not v.str.match(_COUNTS_RE.pattern).any():
         return MultData(MultType.WITH_COUNTS)
     delim, _ = _best_delim(v)
@@ -159,8 +167,10 @@ def multi_expr(col: Column, mult: MultData,
     if mult.type == MultType.SINGLE:
         raise ValueError("multi_expr called for a single-valued column")
     if mult.type == MultType.WITH_NAME:
+        # same separator class as detection ([\sÊ] — the reference's
+        # Ê-delimited exports), or a mode-positive cell extracts nothing
         pairs = F.regexp_extract_all(
-            col.cast("string"), F.lit(r"[\s](\w{1,2}/\w)\b"), 1)
+            col.cast("string"), F.lit(r"[\sÊ](\w{1,2}/\w)\b"), 1)
         return F.transform(
             pairs,
             lambda t: item_fn(
@@ -179,11 +189,13 @@ def multi_expr(col: Column, mult: MultData,
             raise ValueError(
                 "WITH_COUNTS needs the category vocabulary (the reference "
                 "resolves phrases by probing its converter)")
-        # longest phrase first so 'SELF-INFLICTED FATAL' beats 'FATAL'
+        # longest phrase first so 'SELF-INFLICTED FATAL' beats 'FATAL';
+        # word boundaries so 'Injured' can't match inside 'Uninjured'
         alt = "|".join(re.escape(p) for p in
                        sorted(vocab, key=len, reverse=True))
         toks = F.regexp_extract_all(
-            col.cast("string"), F.lit(rf"(?i)((?:\d+\s+)?(?:{alt}))"), 1)
+            col.cast("string"),
+            F.lit(rf"(?i)\b((?:\d+\s+)?(?:{alt}))\b"), 1)
         def expand_tok(t: Column) -> Column:
             n = F.regexp_extract(t, r"^(\d+)\s", 1)
             cat = F.trim(F.regexp_replace(t, r"^\d+\s+", ""))

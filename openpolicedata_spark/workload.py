@@ -2971,8 +2971,11 @@ def q94_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             (F.col("s") / F.col("n")).alias("mu"),
+            # n=1 → divisor 0: Spark's non-ANSI divide yields NULL here
+            # but DuckDB (IEEE default) yields inf — nullify explicitly
+            # on BOTH sides so degenerate groups agree (z NULL)
             F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
-                   / (F.col("n") - 1)).alias("sd"),
+                   / F.nullif(F.col("n") - 1, F.lit(0))).alias("sd"),
         )
     )
     return (
@@ -2980,7 +2983,9 @@ def q94_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(stats), on="source")
         .select(
             "doc_id", "source", "n_chars",
-            F.round((F.col("n_chars") - F.col("mu")) / F.col("sd"), 6)
+            # sd=0 (constant group) → NULL z, not ±inf
+            F.round((F.col("n_chars") - F.col("mu"))
+                    / F.nullif(F.col("sd"), F.lit(0.0)), 6)
             .alias("z"),
         )
     )
@@ -2994,10 +2999,11 @@ WITH stats AS (
       AS ss
   FROM documents GROUP BY source),
 m AS (
-  SELECT source, s / n AS mu, SQRT((ss - s * s / n) / (n - 1)) AS sd
+  SELECT source, s / n AS mu,
+    SQRT((ss - s * s / n) / NULLIF(n - 1, 0)) AS sd
   FROM stats)
 SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS n_chars,
-  ROUND((LENGTH(text) - mu) / sd, 6) AS z
+  ROUND((LENGTH(text) - mu) / NULLIF(sd, 0), 6) AS z
 FROM documents JOIN m USING (source)
 """
 

@@ -628,3 +628,39 @@ def test_dict_expr_maptype_cells(spark):
     got = {r.id: dict(r.m) for r in out.collect()}
     assert got[1] == {0: "WHITE", 1: "BLACK"}
     assert got[2] == {0: "LATINO"}
+
+
+def test_standardize_plumbs_item_num_and_counts_vocab(spark):
+    """Production-path regression for the review findings: a DEMO_COL
+    gender column must read field 1 (not the race field), an injury
+    column with '2 Injured 1 Deceased' cells must standardize via the
+    counts vocabulary instead of crashing, and a race column with
+    digit-word cells (no vocabulary available) must NOT elect
+    WITH_COUNTS."""
+    from openpolicedata_spark.standardize import standardize
+
+    df = spark.createDataFrame(
+        [(1, "(White, Male) (Black, Female)", "2 Injured 1 Deceased"),
+         (2, "(Asian / Female)", "Uninjured")],
+        "id long, subject_demographics_race string, subject_injury string")
+    out, info = standardize(df, table_type="USE OF FORCE")
+    rows = {r.id: r.asDict() for r in out.collect()}
+    assert rows[1]["SUBJECT_RACE"] == ["WHITE", "BLACK"]
+    assert rows[1]["SUBJECT_INJURY"] == ["INJURED", "INJURED", "FATAL"]
+    # word boundary: 'Uninjured' must not match the 'Injured' phrase
+    assert rows[2]["SUBJECT_INJURY"] == []
+
+    # gender family reads side 1 of the same demo-col encoding
+    df2 = spark.createDataFrame(
+        [(1, "(White, Male) (Black, Female)")],
+        "id long, subject_gender string")
+    out2, _ = standardize(df2, table_type="USE OF FORCE")
+    assert out2.collect()[0]["SUBJECT_GENDER"] == ["MALE", "FEMALE"]
+
+    # race cells like '2 White 1 Black' (digit-words, no vocab for the
+    # race family): must not crash; delimiter election proceeds instead
+    df3 = spark.createDataFrame(
+        [(1, "2 White 1 Black"), (2, "White")],
+        "id long, subject_race string")
+    out3, _ = standardize(df3, table_type="USE OF FORCE")
+    assert "SUBJECT_RACE" in out3.columns  # reached apply without error

@@ -444,3 +444,18 @@ def test_image_dup_pairs_finds_near_but_not_far(spark):
     brute = {(a, b) for a in hs for b in hs if a < b
              and bin((hs[a] ^ hs[b]) & mask).count("1") <= 6}
     assert set(pairs) == brute
+
+
+def test_image_ahash_respects_custom_id_col(spark):
+    from openpolicedata_spark.operators.multimodal import (
+        image_ahash,
+        image_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(7, bytes(range(64))), (8, bytes(range(64)))],
+        "img_id long, content binary")
+    got = image_ahash(df, id_col="img_id").collect()
+    assert {r.img_id for r in got} == {7, 8}
+    pairs = image_dup_pairs(df, id_col="img_id", max_hamming=0).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(7, 8, 0)]
