@@ -317,3 +317,56 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, vec_col: str = "embedding",
             new[r.list_id][r.pos] = float(r.c)
         cent = new
     return cent
+
+
+def mmr_select(corpus: DataFrame, query_vec: Sequence[float], k: int = 10,
+               lam: float = 0.7, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> list[tuple]:
+    """Maximal Marginal Relevance selection: greedily pick `k` items
+    maximizing `lam * sim(query, x) - (1 - lam) * max_{s in S} sim(s, x)`
+    — the standard diversity-aware curation step (dedup-aware few-shot /
+    eval-set selection). lam=1 degenerates to plain top-k by query
+    similarity; lam=0 ignores the query entirely after the first pick.
+
+    Distributed shape: the selected set S stays driver-side (k vectors,
+    broadcast into each pass's expression); every iteration is ONE scan
+    computing the penalty `max sim(s, x)` against the current S plus a
+    TakeOrdered(1) — no pairwise corpus join ever materializes, so the
+    cost is k scans at any corpus size (k is small by construction).
+    Ties break on ascending id for determinism.
+
+    Returns [(id, mmr_score), ...] in selection order — driver-sized
+    output by design (k rows), ready to semi-join back for the payload.
+    """
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    base = corpus.select(
+        F.col(id_col).alias("__id__"),
+        F.col(vec_col).alias("__v__"),
+        cosine_expr(F.col(vec_col), qcol).alias("__qsim__"),
+    )
+    selected: list[tuple] = []
+    sel_vecs: list[list[float]] = []
+    for _ in range(k):
+        if sel_vecs:
+            penalty = F.greatest(*[
+                cosine_expr(F.col("__v__"),
+                            F.array(*[F.lit(float(x)) for x in s]))
+                for s in sel_vecs
+            ]) if len(sel_vecs) > 1 else cosine_expr(
+                F.col("__v__"),
+                F.array(*[F.lit(float(x)) for x in sel_vecs[0]]))
+        else:
+            penalty = F.lit(0.0)
+        scored = base.where(
+            ~F.col("__id__").isin([i for i, _ in selected])
+        ).select(
+            "__id__", "__v__",
+            (F.lit(lam) * F.col("__qsim__")
+             - F.lit(1.0 - lam) * penalty).alias("__mmr__"),
+        )
+        top = scored.orderBy(F.desc("__mmr__"), F.asc("__id__")).first()
+        if top is None:
+            break
+        selected.append((top["__id__"], float(top["__mmr__"])))
+        sel_vecs.append([float(x) for x in top["__v__"]])
+    return selected

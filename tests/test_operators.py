@@ -252,3 +252,33 @@ def test_kmeans_fit_recovers_separated_clusters(spark):
     for i, lid in a.items():
         blobs.setdefault(i % 3, set()).add(lid)
     assert all(len(s) == 1 for s in blobs.values())
+
+
+def test_mmr_select_balances_relevance_and_diversity(spark):
+    """MMR: lam=1 equals plain top-k by query similarity; lam<1 must skip
+    a near-duplicate of an already-selected item in favor of a diverse
+    one; selection is deterministic."""
+    from openpolicedata_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_select,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),      # relevant, redundant with 2
+        (2, [0.999, 0.01, 0.0]),   # most relevant, near-dup of 1
+        (3, [0.0, 1.0, 0.0]),      # equally relevant to q, diverse from 2
+        (4, [-1.0, 0.2, 0.0]),     # anti-relevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 1.0, 0.0]
+
+    top = [r.vec_id for r in brute_force_topk(df, q, k=2).collect()]
+    lam1 = [i for i, _ in mmr_select(df, q, k=2, lam=1.0)]
+    assert lam1 == top == [2, 1]
+
+    lam5 = [i for i, _ in mmr_select(df, q, k=2, lam=0.5)]
+    assert lam5[0] == 2 and lam5[1] == 3   # near-dup 1 penalized away
+    assert lam5 == [i for i, _ in mmr_select(df, q, k=2, lam=0.5)]
+
+    # k > corpus: selects everything, no crash
+    assert len(mmr_select(df, q, k=10, lam=0.5)) == 4
