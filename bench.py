@@ -38,8 +38,10 @@ BENCH_QUERIES = [
     "q34_multimodal_features",
     "q35_event_window_agg",
     "q36_sessionize",
+    "q87_scd2_intervals",
     "q88_rare_token_share",
     "q91_user_features",
+    "q92_funnel",
 ]
 
 
