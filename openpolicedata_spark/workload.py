@@ -3008,6 +3008,69 @@ FROM documents JOIN m USING (source)
 """
 
 
+def q95_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling — the multilingual-pretraining
+    knob: per-source sampling probability ∝ share^(1/T) (T=2 here), so
+    low-resource sources are up-weighted relative to their natural share.
+    Per-doc keep decisions use a Knuth multiplicative hash of doc_id
+    (pure BIGINT arithmetic — identical in every engine, unlike native
+    rand/hash functions), compared against the source's computed keep
+    probability. Output is the per-source audit: natural share, adjusted
+    probability, realized sample. Two tiny aggregates + one broadcast
+    join back — the corpus itself never shuffles."""
+    d = _read(spark, sf_dir, "documents")
+    # u in [0,1): Knuth multiplicative hash over the 32-bit ring
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) \
+        / F.lit(4294967296.0)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(F.sum("n_s").alias("n_total"),
+                     F.sum(F.sqrt(F.col("n_s"))).alias("z"))
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        # p_s ∝ (n_s/N)^(1/2); target sample M = N/2 docs overall
+        .select(
+            "source", "n_s", "n_total",
+            F.least(
+                F.lit(1.0),
+                (F.col("n_total") / 2.0)
+                * (F.sqrt(F.col("n_s")) / F.col("z")) / F.col("n_s"),
+            ).alias("keep_prob"),
+        )
+    )
+    return (
+        d.select("source", u.alias("u"))
+        .join(F.broadcast(rates), on="source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.first("n_s") / F.first("n_total"), 6)
+            .alias("natural_share"),
+            F.round(F.first("keep_prob"), 6).alias("keep_prob"),
+            F.sum(F.when(F.col("u") < F.col("keep_prob"), 1).otherwise(0))
+            .alias("n_sampled"),
+        )
+    )
+
+
+_Q95_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+tot AS (
+  SELECT SUM(n_s) AS n_total, SUM(SQRT(n_s)) AS z FROM counts),
+rates AS (
+  SELECT source, n_s, n_total,
+    LEAST(1.0, (n_total / 2.0) * (SQRT(n_s) / z) / n_s) AS keep_prob
+  FROM counts CROSS JOIN tot)
+SELECT source, COUNT(*) AS n_docs,
+  ROUND(MIN(n_s) / CAST(MIN(n_total) AS DOUBLE), 6) AS natural_share,
+  ROUND(MIN(keep_prob), 6) AS keep_prob,
+  SUM(CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+             < keep_prob THEN 1 ELSE 0 END) AS n_sampled
+FROM documents JOIN rates USING (source)
+GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3109,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_funnel": q92_funnel,
         "q93_encode_tokens": q93_encode_tokens,
         "q94_zscore_normalize": q94_zscore_normalize,
+        "q95_temperature_mix": q95_temperature_mix,
     }
     return base
 
@@ -3207,4 +3271,5 @@ def oracle_sql() -> dict[str, str]:
         "q92_funnel": _Q92_SQL,
         "q93_encode_tokens": _Q93_SQL,
         "q94_zscore_normalize": _Q94_SQL,
+        "q95_temperature_mix": _Q95_SQL,
     }
