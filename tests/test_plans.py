@@ -204,3 +204,14 @@ def test_q88_rare_token_share_shuffle_budget(spark, sf_dir):
     df = workload.queries()["q88_rare_token_share"](spark, sf_dir)
     assert_max_exchanges(df, 5)
     assert_no_python_in_plan(df)
+
+
+def test_q94_q95_broadcast_stats_no_corpus_shuffle(spark, sf_dir):
+    """Normalization/mixing: the tiny per-source stats frames broadcast
+    back onto the scan — the corpus itself must never sort-merge."""
+    for name in ("q94_zscore_normalize", "q95_temperature_mix"):
+        df = workload.queries()[name](spark, sf_dir)
+        s = summarize_plan(df)
+        assert s.n_broadcast_joins >= 1, (name, s.text)
+        assert s.n_sortmerge_joins == 0, (name, s.text)
+        assert_no_python_in_plan(df)
