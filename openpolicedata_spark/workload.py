@@ -3071,6 +3071,62 @@ GROUP BY source
 """
 
 
+def q96_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the CONTENT
+    fingerprint, not the row id, so exact duplicates can never straddle
+    splits (the classic eval-leakage bug — a test doc whose duplicate
+    sits in train). Same md5-hex-bucket thresholds as q66's row split
+    (operators/sampling.split_hash_expr), keyed on the normalized-text
+    digest; the audit verifies the invariant by counting distinct splits
+    per fingerprint (must be 1 for every duplicate group). Row-local
+    hashing + one aggregation — no join against a cluster table needed
+    for exact dups."""
+    from openpolicedata_spark.operators.sampling import split_hash_expr
+
+    d = _docs_with_dups(spark, sf_dir)
+    fp = fingerprint_md5_expr(F.col("text"))
+    h = split_hash_expr(fp, seed="v1")
+    split = (F.when(h < "cd", "train")      # 205/256 ≈ 80%
+             .when(h < "e6", "val")          # 25/256 ≈ 10%
+             .otherwise("test"))
+    per_fp = (
+        d.select(fp.alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.countDistinct("split").alias("n_splits"),
+             F.min("split").alias("split"))
+    )
+    return (
+        per_fp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_copies").alias("n_docs"),
+            # the leakage invariant: every group lives in ONE split
+            F.max("n_splits").alias("max_splits_per_group"),
+        )
+    )
+
+
+_Q96_SQL = f"""
+WITH fps AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM {_DOCS_WITH_DUPS_SQL} d),
+marked AS (
+  SELECT fp,
+    CASE WHEN substring(md5('v1' || fp), 1, 2) < 'cd' THEN 'train'
+         WHEN substring(md5('v1' || fp), 1, 2) < 'e6' THEN 'val'
+         ELSE 'test' END AS split
+  FROM fps),
+per_fp AS (
+  SELECT fp, COUNT(*) AS n_copies, COUNT(DISTINCT split) AS n_splits,
+         MIN(split) AS split
+  FROM marked GROUP BY fp)
+SELECT split, COUNT(*) AS n_groups, SUM(n_copies) AS n_docs,
+       MAX(n_splits) AS max_splits_per_group
+FROM per_fp GROUP BY split
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3173,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_encode_tokens": q93_encode_tokens,
         "q94_zscore_normalize": q94_zscore_normalize,
         "q95_temperature_mix": q95_temperature_mix,
+        "q96_leakage_safe_split": q96_leakage_safe_split,
     }
     return base
 
@@ -3272,4 +3329,5 @@ def oracle_sql() -> dict[str, str]:
         "q93_encode_tokens": _Q93_SQL,
         "q94_zscore_normalize": _Q94_SQL,
         "q95_temperature_mix": _Q95_SQL,
+        "q96_leakage_safe_split": _Q96_SQL,
     }
