@@ -170,7 +170,13 @@ class ColumnIdentifier:
         multi-person cells ('WHITE, BLACK'), whose raw values are not in
         any category inventory (reference validators run the converter,
         which handles MultType; splitting first is the equivalent)."""
-        v = s.dropna().astype(str).str.strip()
+        v = s.dropna()
+        if v.map(lambda x: isinstance(x, dict)).any():
+            # MapType {person_idx: value} cells: validate the dict VALUES
+            # (stringifying the dict would hide them inside '{0: ...}')
+            v = v.map(lambda x: list(x.values())
+                      if isinstance(x, dict) else [x]).explode().dropna()
+        v = v.astype(str).str.strip()
         # parens delimit per-person groups in DEMO_COL cells
         # ('(White, Male) (Black, Female)') — split them too, or the
         # validators see '(White' and reject the column
@@ -412,6 +418,7 @@ def standardize(
         MultType,
         agreement,
         detect_multi,
+        dict_expr,
         multi_expr,
     )
     mult_candidates: dict[str, Any] = {}
@@ -508,6 +515,19 @@ def standardize(
                 specs.append((canonical, c,
                               lambda col, fn=expr_fn: F.transform(col, fn)))
                 transforms.append(DataMapping(c, canonical))
+                used.append((canonical, c))
+                continue
+            from pyspark.sql.types import MapType as _MapType
+
+            if isinstance(df.schema[c].dataType, _MapType):
+                # dict-encoded {person_idx: value} cells (reference
+                # std_dict — the form merge round trips produce):
+                # standardize values in place; text-mode detection would
+                # misread the rendered dict as a delimited string
+                specs.append((canonical, c,
+                              lambda col, fn=expr_fn: dict_expr(col, fn)))
+                transforms.append(DataMapping(c, canonical,
+                                              {"multi": "dict"}))
                 used.append((canonical, c))
                 continue
             if allow_multi:

@@ -664,3 +664,20 @@ def test_standardize_plumbs_item_num_and_counts_vocab(spark):
         "id long, subject_race string")
     out3, _ = standardize(df3, table_type="USE OF FORCE")
     assert "SUBJECT_RACE" in out3.columns  # reached apply without error
+
+
+def test_standardize_maptype_dict_cells(spark):
+    """A MapType {person_idx: raw} race column (the form merge round
+    trips produce — reference std_dict) must be identified, validated on
+    its dict VALUES, and standardized in place via transform_values."""
+    from openpolicedata_spark.standardize import standardize
+
+    df = spark.createDataFrame(
+        [(1, {0: "W", 1: "BLACK"}), (2, {0: "H"}), (3, {0: "B"})],
+        "id long, subject_race map<int,string>")
+    out, info = standardize(df, table_type="STOPS")
+    got = {r.id: dict(r.SUBJECT_RACE) for r in
+           out.select("id", "SUBJECT_RACE").collect()}
+    assert got == {1: {0: "WHITE", 1: "BLACK"}, 2: {0: "LATINO"},
+                   3: {0: "BLACK"}}
+    assert any((t.data_maps or {}).get("multi") == "dict" for t in info)
