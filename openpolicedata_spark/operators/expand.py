@@ -32,12 +32,22 @@ def expand(df: DataFrame, cols: Optional[list[str]] = None,
     based — the explode is a narrow map-side op, no shuffle.
     """
     if cols is None:
-        cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)]
+        cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType))]
     if not cols:
         return df
+    # MapType {person_idx: value} cells (reference dict encoding,
+    # data.py:578-679 converts dicts → value lists before explode):
+    # key-ordered values become the array form, then one code path
+    for c in cols:
+        if isinstance(df.schema[c].dataType, T.MapType):
+            df = df.withColumn(
+                c,
+                F.transform(F.array_sort(F.map_keys(F.col(c))),
+                            lambda k: F.element_at(F.col(c), k)))
     for c in cols:
         if not isinstance(df.schema[c].dataType, T.ArrayType):
-            raise ValueError(f"Column {c} is not an array column")
+            raise ValueError(f"Column {c} is not an array or map column")
 
     sizes = [F.size(F.col(c)) for c in cols]
     n = F.greatest(*sizes) if len(sizes) > 1 else sizes[0]

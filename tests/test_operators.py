@@ -282,3 +282,16 @@ def test_mmr_select_balances_relevance_and_diversity(spark):
 
     # k > corpus: selects everything, no crash
     assert len(mmr_select(df, q, k=10, lam=0.5)) == 4
+
+
+def test_expand_maptype_dict_columns(spark):
+    """MapType person columns (the reference's dict encoding) expand like
+    arrays: key-ordered values, one row per person, scalars replicated."""
+    from openpolicedata_spark.operators import expand
+
+    df = spark.createDataFrame(
+        [(1, {0: "WHITE", 1: "BLACK"}, "x"), (2, {0: "ASIAN"}, "y")],
+        "id long, race map<int,string>, note string")
+    out = expand(df).orderBy("id", "PERSON_INDEX").collect()
+    assert [(r.id, r.PERSON_INDEX, r.race, r.note) for r in out] == [
+        (1, 0, "WHITE", "x"), (1, 1, "BLACK", "x"), (2, 0, "ASIAN", "y")]
