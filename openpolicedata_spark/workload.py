@@ -3127,6 +3127,86 @@ FROM per_fp GROUP BY split
 """
 
 
+def q97_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (data selection via importance
+    resampling): score every document by how target-like its hashed
+    n-gram features are — here word unigrams bucketed into 256 md5
+    buckets, target = the English slice, raw = the whole corpus. Weight =
+    Σ_buckets count_in_doc(b) · log(p_target(b)/p_raw(b)) with add-one
+    smoothing; per-bucket contributions are DECIMAL-accumulated so the
+    sum is order-independent. Plan: one token pass builds BOTH 256-row
+    probability tables (map-side combined), they broadcast back onto the
+    token stream, one per-doc reduce — the corpus shuffles once as
+    (doc, bucket) partial counts."""
+    from openpolicedata_spark.functions.text import (
+        normalize_text_expr,
+        tokens_expr,
+    )
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    d = rebalance(_read(spark, sf_dir, "documents")
+                  .select("doc_id", "lang", "text"))
+    tok = d.select(
+        "doc_id", "lang",
+        F.explode(tokens_expr(normalize_text_expr(F.col("text"))))
+        .alias("token"),
+    ).withColumn("b", F.substring(F.md5("token"), 1, 2))
+    per_bucket = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+    )
+    tot = per_bucket.agg(F.sum("n_raw").alias("t_raw"),
+                         F.sum("n_tgt").alias("t_tgt"))
+    ratios = (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.log(((F.col("n_tgt") + 1) / (F.col("t_tgt") + 256))
+                  / ((F.col("n_raw") + 1) / (F.col("t_raw") + 256)))
+            .alias("log_ratio"),
+        )
+    )
+    doc_buckets = tok.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("n_b"))
+    return (
+        doc_buckets.join(F.broadcast(ratios), on="b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_b").alias("n_tokens"),
+            F.round(
+                F.sum((F.col("n_b") * F.col("log_ratio"))
+                      .cast("decimal(28,12)")).cast("double"), 6)
+            .alias("dsir_weight"),
+        )
+    )
+
+
+_Q97_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+    substring(md5(unnest(list_filter(
+      regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+      x -> x <> ''))), 1, 2) AS b
+  FROM documents),
+per_bucket AS (
+  SELECT b, COUNT(*) AS n_raw,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+  FROM tok GROUP BY b),
+tot AS (SELECT SUM(n_raw) AS t_raw, SUM(n_tgt) AS t_tgt FROM per_bucket),
+ratios AS (
+  SELECT b, LN(((n_tgt + 1) / CAST(t_tgt + 256 AS DOUBLE))
+             / ((n_raw + 1) / CAST(t_raw + 256 AS DOUBLE))) AS log_ratio
+  FROM per_bucket CROSS JOIN tot),
+doc_buckets AS (
+  SELECT doc_id, b, COUNT(*) AS n_b FROM tok GROUP BY doc_id, b)
+SELECT doc_id, SUM(n_b) AS n_tokens,
+  ROUND(CAST(SUM(CAST(n_b * log_ratio AS DECIMAL(28,12))) AS DOUBLE), 6)
+    AS dsir_weight
+FROM doc_buckets JOIN ratios USING (b)
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3230,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_zscore_normalize": q94_zscore_normalize,
         "q95_temperature_mix": q95_temperature_mix,
         "q96_leakage_safe_split": q96_leakage_safe_split,
+        "q97_dsir_weights": q97_dsir_weights,
     }
     return base
 
@@ -3330,4 +3411,5 @@ def oracle_sql() -> dict[str, str]:
         "q94_zscore_normalize": _Q94_SQL,
         "q95_temperature_mix": _Q95_SQL,
         "q96_leakage_safe_split": _Q96_SQL,
+        "q97_dsir_weights": _Q97_SQL,
     }
