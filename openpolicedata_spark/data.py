@@ -267,12 +267,26 @@ class Table:
         return path
 
     def to_feather(self, path: Optional[str] = None,
-                   output_dir: str = ".") -> str:
+                   output_dir: str = ".",
+                   max_rows: Optional[int] = 10_000_000) -> str:
         """Feather sink for reference parity (data.py:425-444). Feather is
         a single-machine format, so this materializes on the driver
         (Arrow-batched toPandas) — use to_parquet for anything large;
-        parquet is the distributed path."""
+        parquet is the distributed path.
+
+        `max_rows` guards the driver: materializing an unbounded table
+        OOMs the driver JVM long before the write starts. The default
+        (10M rows) is roomy for every reference-shaped table; pass
+        `max_rows=None` to explicitly accept the risk on a big driver."""
         path = path or self.get_filename("feather", output_dir)
+        if max_rows is not None:
+            n = self.table.count()
+            if n > max_rows:
+                raise ValueError(
+                    f"to_feather materializes the whole table on the "
+                    f"driver; this table has {n} rows (> max_rows="
+                    f"{max_rows}). Use to_parquet for large tables, or "
+                    f"pass max_rows=None to override.")
         self.table.toPandas().to_feather(path)
         return path
 

@@ -330,7 +330,12 @@ _GENDER_CATS = {
 
 def _cats(table: dict, compact: bool) -> dict:
     out = {k: (v[1] if compact else v[0]) for k, v in table.items()}
-    assert len(out) == len(set(out.values()))
+    if len(out) != len(set(out.values())):
+        # a bare assert would vanish under `python -O`, silently allowing
+        # duplicate display labels in user-provided category tables
+        dupes = sorted({v for v in out.values()
+                        if list(out.values()).count(v) > 1})
+        raise ValueError(f"duplicate category labels: {dupes}")
     return out
 
 

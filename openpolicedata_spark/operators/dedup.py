@@ -391,7 +391,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      max_bucket_size: Optional[int] = None) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (pigeonhole —
     any pair within hamming distance 3 shares at least one exact chunk),
     then verify hamming distance on candidates.
@@ -399,7 +400,12 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     Same bucket-pairs shape as `minhash_lsh_dup_pairs`: groupBy chunk →
     collect_list(struct(id, sim)) → in-bucket i<j pairs, so the signature
     UDF runs once instead of once per self-join side, and the verify needs
-    no join at all (`sim` rides along in the bucket, 8 bytes per id)."""
+    no join at all (`sim` rides along in the bucket, 8 bytes per id).
+
+    `max_bucket_size` (same contract as `minhash_lsh_dup_pairs`):
+    boilerplate-heavy corpora collapse into few 16-bit chunks — one
+    degenerate bucket of B docs emits B(B-1)/2 pairs on one task;
+    oversized buckets are dropped rather than stalling the stage."""
     sh = simhash_signatures(df, text_col, id_col)
     chunks = sh.select(
         id_col, "sim",
@@ -417,6 +423,8 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         ).alias("ms"))
         .where(F.size("ms") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ms") <= max_bucket_size)
     ms = F.col("ms")
     cand = (
         buckets.select(

@@ -222,7 +222,16 @@ def image_ahash(df: DataFrame, content_col: str = "content",
     Arrow-batched mapInPandas (numpy per batch); `decode` is injectable —
     defaults to `fake_decode` (the md5 stand-in: only byte-identical
     payloads collide) so the plumbing is testable without codecs, and a
-    Pillow-backed decoder drops in unchanged."""
+    Pillow-backed decoder drops in unchanged.
+
+    The hash has exactly `grid*grid` bits, stored in one signed long —
+    grid > 8 would need more than 64 bits and raises rather than
+    silently hashing only the first 64 cells."""
+    nbits = grid * grid
+    if nbits > 64:
+        raise ValueError(
+            f"grid={grid} needs {nbits} hash bits but the hash is one "
+            "64-bit long; use grid <= 8")
     dec = decode or fake_decode
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -231,7 +240,7 @@ def image_ahash(df: DataFrame, content_col: str = "content",
                 if b is None:
                     return None
                 px = dec(bytes(b), grid, grid).astype(np.float64)
-                g = px.mean(axis=2).ravel()[:64]
+                g = px.mean(axis=2).ravel()[:nbits]
                 bits = g > g.mean()
                 v = 0
                 for i, bit in enumerate(bits):
@@ -251,18 +260,32 @@ def image_ahash(df: DataFrame, content_col: str = "content",
 def image_dup_pairs(df: DataFrame, max_hamming: int = 3,
                     content_col: str = "content",
                     id_col: str = "media_id", grid: int = 8,
-                    decode=None) -> DataFrame:
+                    decode=None,
+                    max_bucket_size: Optional[int] = None) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash hamming distance —
     the image face of the text near-dedup family. Pigeonhole blocking
-    (same shape as `dedup.simhash_dup_pairs`): split the 64-bit hash into
-    `max_hamming + 1` chunks — any pair within the distance budget shares
-    at least one exact chunk — bucket on (chunk_id, chunk), generate i<j
-    pairs in-bucket, verify with bit_count(xor). The hash UDF runs once;
-    the shuffle carries (chunk, id, hash) longs, never pixels."""
+    (same shape as `dedup.simhash_dup_pairs`): split the `grid*grid`-bit
+    hash into `max_hamming + 1` chunks — any pair within the distance
+    budget shares at least one exact chunk — bucket on (chunk_id, chunk),
+    generate i<j pairs in-bucket, verify with bit_count(xor). The hash
+    UDF runs once; the shuffle carries (chunk, id, hash) longs, never
+    pixels.
+
+    `max_bucket_size`: skew guard (same contract as
+    `dedup.minhash_lsh_dup_pairs`) — a bucket of B images emits B(B-1)/2
+    candidate pairs on one task, and corpora dominated by one template
+    (letterheads, thumbnails of a default image) collapse into few
+    chunks; oversized buckets are dropped rather than stalling the
+    stage."""
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
+    nbits = grid * grid
+    width = nbits // n_chunks
+    if width < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks but the "
+            f"hash has only {nbits} bits")
     ah = image_ahash(df, content_col, id_col, grid, decode)
-    if n_chunks == 1:
+    if n_chunks == 1 and nbits == 64:
         # max_hamming=0: exact-hash equality; the full 64-bit "chunk" is
         # the hash itself (a (1<<64)-1 mask would overflow a long literal)
         chunk_exprs = [F.col("ahash")]
@@ -284,6 +307,8 @@ def image_dup_pairs(df: DataFrame, max_hamming: int = 3,
         ).alias("ms"))
         .where(F.size("ms") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ms") <= max_bucket_size)
     ms = F.col("ms")
     cand = (
         buckets.select(

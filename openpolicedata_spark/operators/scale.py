@@ -317,9 +317,20 @@ def zorder_layout(df: DataFrame, col_x: str, col_y: str, bits: int = 16,
     skewed columns trade some balance for that (the range partitioner on
     z restores file-size balance regardless).
     """
-    lo_x, hi_x, lo_y, hi_y = df.select(
+    row = df.select(
         F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
     ).first()
+    if row is None or row[0] is None or row[2] is None:
+        return df  # empty (or all-null) input: nothing to lay out
+    lo_x, hi_x, lo_y, hi_y = row
+    if lo_x == hi_x and lo_y == hi_y:
+        return df  # both columns constant: every z key identical
+    if lo_x == hi_x or lo_y == hi_y:
+        # one constant dimension: width_bucket(lo==hi) yields NULL z keys
+        # everywhere, silently collapsing the layout to one range — fall
+        # back to single-column range clustering on the varying column.
+        return range_cluster_layout(
+            df, [col_x if lo_x != hi_x else col_y], num_files=num_files)
     n_cells = 1 << bits
     bx = (F.width_bucket(F.col(col_x), F.lit(lo_x), F.lit(hi_x),
                          F.lit(n_cells - 1)) - 1).cast("long")

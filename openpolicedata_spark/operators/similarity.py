@@ -189,25 +189,83 @@ def ann_topk(
     )
 
 
+def recommended_num_planes(n_rows: int, target_bucket_size: int = 64) -> int:
+    """Scale hyperplane count with corpus size: 2^planes buckets sized so
+    the EXPECTED bucket population is ~`target_bucket_size` (the
+    within-bucket join is quadratic per bucket, so expected pair work per
+    bucket is ~target²/2). 60k rows → 10 planes; 10^9 rows → 24. Callers
+    growing a corpus 100× should re-derive planes, not keep round-1's 8."""
+    import math
+
+    return max(1, math.ceil(
+        math.log2(max(2.0, n_rows / max(1, target_bucket_size)))))
+
+
 def embedding_dup_pairs(
     corpus: DataFrame,
     planes: list[list[float]],
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bands: int = 1,
+    max_bucket_size: Optional[int] = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup: bucket self-join then exact cosine verify —
-    same blocking pattern as MinHash LSH but in embedding space."""
-    idx = ann_index(corpus, planes, vec_col).select(id_col, vec_col, "bucket")
+    same blocking pattern as MinHash LSH but in embedding space.
+
+    Scale controls (the difference between a plan that survives 100× and
+    one that melts down on one task):
+      - size `planes` with `recommended_num_planes(n_rows)` — fixed 8
+        planes means ~N/256 rows per bucket and quadratic per-bucket work;
+      - `bands` > 1 splits the planes into independent plane sets and
+        takes the union of per-band collisions (an OR over narrower
+        codes) — recall recovery for borderline-angle pairs, same move as
+        MinHash banding;
+      - `max_bucket_size` drops degenerate buckets (a zero-vector cluster,
+        an all-boilerplate embedding mode) instead of letting one bucket
+        emit B²/2 pairs on a single task — identical contract to
+        `dedup.minhash_lsh_dup_pairs`;
+      - `materialize` localCheckpoints the banded index so the self-join's
+        two sides share ONE evaluation of the `len(planes)` dot-product
+        expressions instead of recomputing them per side.
+    """
+    nb = len(planes)
+    if bands < 1 or nb % bands != 0:
+        raise ValueError(f"bands={bands} must divide len(planes)={nb}")
+    per = nb // bands
+    band_exprs = [
+        _rp_bucket_expr(F.col(vec_col), planes[b * per:(b + 1) * per])
+        for b in range(bands)
+    ]
+    idx = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(F.array(*band_exprs)).alias("band_id", "bucket"),
+    )
+    if materialize:
+        idx = idx.localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        sizes = (
+            idx.groupBy("band_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bn__"))
+            .where((F.col("__bn__") > 1) & (F.col("__bn__") <= max_bucket_size))
+        )
+        idx = idx.join(sizes.select("band_id", "bucket"),
+                       on=["band_id", "bucket"])
     a, b = idx.alias("a"), idx.alias("b")
     return (
-        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
+        a.join(b, on=[F.col("a.band_id") == F.col("b.band_id"),
+                      F.col("a.bucket") == F.col("b.bucket"),
                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
         )
+        # a pair colliding in several bands must surface once; cosine is a
+        # deterministic double (index-ordered accumulation), so the full
+        # row deduplicates exactly
+        .distinct()
         .where(F.col("cosine") >= threshold)
     )
 

@@ -331,9 +331,20 @@ def upsert_sink(stream_df: DataFrame, path: str,
         compact.write.mode("overwrite").parquet(tmp)
         import shutil
 
+        # Swap via rename-aside so a crash never loses the table: the
+        # old copy survives (as path.__old__) until the new one is in
+        # place. Readers can still observe a brief missing-directory
+        # window between the two renames — a real table format
+        # (Delta/Iceberg) closes that with atomic metadata commits.
         if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+            old = path.rstrip("/") + ".__old__"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, path)
 
     with tempfile.TemporaryDirectory(prefix="opd_ckpt_") as ckpt:
         q = (

@@ -3019,9 +3019,12 @@ def q95_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability, realized sample. Two tiny aggregates + one broadcast
     join back — the corpus itself never shuffles."""
     d = _read(spark, sf_dir, "documents")
-    # u in [0,1): Knuth multiplicative hash over the 32-bit ring
-    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) \
-        / F.lit(4294967296.0)
+    # u in [0,1): Knuth multiplicative hash over the 32-bit ring. Mask
+    # doc_id to 32 bits BEFORE the multiply: ids above ~3.5e9 would
+    # overflow int64, which Spark wraps silently but DuckDB raises on —
+    # the engines must agree at 100 TB id ranges, not just testdata's.
+    u = (((F.col("doc_id") % F.lit(4294967296)) * F.lit(2654435761))
+         % F.lit(4294967296)) / F.lit(4294967296.0)
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     tot = counts.agg(F.sum("n_s").alias("n_total"),
                      F.sum(F.sqrt(F.col("n_s"))).alias("z"))
@@ -3064,7 +3067,8 @@ rates AS (
 SELECT source, COUNT(*) AS n_docs,
   ROUND(MIN(n_s) / CAST(MIN(n_total) AS DOUBLE), 6) AS natural_share,
   ROUND(MIN(keep_prob), 6) AS keep_prob,
-  SUM(CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+  SUM(CASE WHEN (((doc_id % 4294967296) * 2654435761) % 4294967296)
+               / 4294967296.0
              < keep_prob THEN 1 ELSE 0 END) AS n_sampled
 FROM documents JOIN rates USING (source)
 GROUP BY source

@@ -334,3 +334,16 @@ class TestGeo:
                 if abs(a.lon - b.lon) < 1.0 and abs(a.lat - b.lat) < 1.0:
                     assert abs(a.c.cx - b.c.cx) <= 1
                     assert abs(a.c.cy - b.c.cy) <= 1
+
+
+def test_category_tables_reject_duplicate_labels():
+    """_cats must raise (not assert — asserts vanish under python -O) on
+    duplicate display labels; the shipped tables are all unique."""
+    import pytest
+
+    from openpolicedata_spark import defs
+
+    with pytest.raises(ValueError, match="duplicate"):
+        defs._cats({"A": ("SAME", "S"), "B": ("SAME", "T")}, compact=False)
+    assert defs.get_race_cats() and defs.get_gender_cats() \
+        and defs.get_eth_cats()

@@ -5,6 +5,7 @@ multi-person rows → save parquet → reload — one lazy plan per action."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 
 def test_full_lifecycle(spark, tmp_path):
@@ -79,6 +80,17 @@ def test_feather_round_trip(spark, tmp_path, source):
     orig = {r.n_nationkey: r.n_name for r in t.table.collect()}
     got = {r.n_nationkey: r.n_name for r in back.table.collect()}
     assert got == orig
+
+
+def test_to_feather_guards_driver_oom(spark, tmp_path, source):
+    """to_feather materializes on the driver; a table above max_rows must
+    refuse with a clear error instead of OOMing, and max_rows=None is the
+    explicit escape hatch."""
+    t = source.load("NATION")
+    with pytest.raises(ValueError, match="max_rows"):
+        t.to_feather(str(tmp_path / "n.feather"), max_rows=3)
+    p = t.to_feather(str(tmp_path / "n.feather"), max_rows=None)
+    assert pd.read_feather(p).shape[0] == t.count()
 
 
 def test_to_csv_stringifies_array_columns(spark, tmp_path):

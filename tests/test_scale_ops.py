@@ -228,3 +228,121 @@ def test_ivf_index_written_partitioned_prunes(spark, sf_dir, tmp_path):
     want = [(r.vec_id, round(r.score, 9)) for r in
             ivf_topk(indexed, cents, q, k=5, nprobe=2).collect()]
     assert [(r.vec_id, round(r.score, 9)) for r in got.collect()] == want
+
+
+# --------------------------------------------------------------------------
+# Degenerate-bucket skew guards (max_bucket_size) for the blocking family
+# --------------------------------------------------------------------------
+
+
+def test_simhash_bucket_cap_drops_degenerate_bucket(spark):
+    """A boilerplate mode (many identical docs) collapses into one bucket
+    per chunk; the cap must drop those buckets while unrelated small
+    buckets keep producing pairs."""
+    from openpolicedata_spark.operators.dedup import simhash_dup_pairs
+
+    boiler = [(i, "standard boilerplate header exactly the same text")
+              for i in range(30)]
+    near = [(100, "a genuinely unique document about spark shuffles"),
+            (101, "a genuinely unique document about spark shuffles")]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+
+    uncapped = {(r.id_a, r.id_b)
+                for r in simhash_dup_pairs(docs, max_hamming=10).collect()}
+    assert (100, 101) in uncapped
+    assert (0, 1) in uncapped  # the boilerplate quadratic blow-up
+
+    capped = {(r.id_a, r.id_b) for r in simhash_dup_pairs(
+        docs, max_hamming=10, max_bucket_size=5).collect()}
+    assert (100, 101) in capped          # small buckets unaffected
+    assert all(a >= 100 for a, _ in capped)  # 30-doc bucket dropped
+
+
+def test_embedding_dup_pairs_cap_bands_and_planes(spark):
+    """The embedding blocker's three scale controls: max_bucket_size
+    drops a degenerate vector mode, bands>1 is a recall superset of the
+    banded codes' intersection, and recommended_num_planes scales with
+    corpus size."""
+    from openpolicedata_spark.operators.similarity import (
+        embedding_dup_pairs,
+        make_random_planes,
+        recommended_num_planes,
+    )
+
+    # 40 identical vectors (one degenerate bucket) + one near pair
+    mode = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    near = [(100, [0.0, 1.0, 0.05, 0.0]), (101, [0.0, 1.0, 0.0, 0.05])]
+    emb = spark.createDataFrame(mode + near,
+                                "vec_id long, embedding array<float>")
+    planes = make_random_planes(4, num_planes=8)
+
+    uncapped = {(r.id_a, r.id_b) for r in embedding_dup_pairs(
+        emb, planes, threshold=0.99).collect()}
+    assert (100, 101) in uncapped and (0, 1) in uncapped
+
+    capped = {(r.id_a, r.id_b) for r in embedding_dup_pairs(
+        emb, planes, threshold=0.99, max_bucket_size=10).collect()}
+    assert (100, 101) in capped
+    assert all(a >= 100 for a, _ in capped)  # 40-vector bucket dropped
+
+    # banding: 2 bands of 4 planes can only ADD collisions vs the 8-plane
+    # intersection code, never lose the pairs it found
+    banded = {(r.id_a, r.id_b) for r in embedding_dup_pairs(
+        emb, planes, threshold=0.99, bands=2).collect()}
+    assert uncapped <= banded
+
+    with pytest.raises(ValueError):
+        embedding_dup_pairs(emb, planes, bands=3)  # 3 doesn't divide 8
+
+    assert recommended_num_planes(60_000, 64) == 10
+    assert recommended_num_planes(10**9, 64) == 24
+    assert recommended_num_planes(10, 64) == 1
+
+
+def test_image_dup_pairs_cap_and_grid(spark):
+    """image_dup_pairs: the bucket cap drops a degenerate payload mode;
+    grid must size the hash (grid>8 raises instead of silently hashing
+    64 of grid² cells)."""
+    from openpolicedata_spark.operators.multimodal import (
+        fake_decode,
+        image_ahash,
+        image_dup_pairs,
+    )
+
+    same = [(i, b"identical-bytes-payload") for i in range(25)]
+    other = [(100, b"unique-payload-a")]
+    df = spark.createDataFrame(same + other, "media_id long, content binary")
+
+    uncapped = image_dup_pairs(df, max_hamming=0).collect()
+    assert len(uncapped) == 25 * 24 // 2  # quadratic in the mode
+
+    capped = image_dup_pairs(df, max_hamming=0, max_bucket_size=10).collect()
+    assert capped == []  # the only dup bucket was degenerate → dropped
+
+    with pytest.raises(ValueError):
+        image_ahash(df, grid=9)
+    # grid=4 → 16-bit hash; max_hamming=3 → 4 chunks of 4 bits; exact dups
+    # still pair up and hamming is 0
+    small = image_dup_pairs(df.where(F.col("media_id").isin(0, 1)),
+                            max_hamming=3, grid=4).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in small] == [(0, 1, 0)]
+
+
+def test_zorder_layout_degenerate_inputs(spark):
+    """Empty frame, both-constant, and one-constant inputs must not
+    TypeError / NULL-out the z keys (width_bucket(lo==hi) yields NULL)."""
+    from openpolicedata_spark.operators.scale import zorder_layout
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)], "x double, y double")
+    empty = df.where(F.lit(False))
+    assert zorder_layout(empty, "x", "y").count() == 0
+
+    const = spark.createDataFrame([(1.0, 1.0)] * 4, "x double, y double")
+    assert zorder_layout(const, "x", "y").count() == 4
+
+    one_const = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(8)], "x double, y double")
+    out = zorder_layout(one_const, "x", "y", num_files=2)
+    assert out.count() == 8
+    assert set(out.columns) == {"x", "y"}  # no leaked __z__ column
