@@ -105,6 +105,20 @@ def fingerprint_md5_expr(col: Column) -> Column:
     return F.md5(normalize_text_expr(col))
 
 
+def md5lower64_expr(col: Column) -> Column:
+    """Lower 64 bits of md5(col) as a signed long — the ENGINE-PORTABLE
+    64-bit string hash: equals DuckDB's `md5_number_lower` reinterpreted
+    as signed (bytes 8..16 of the digest, little-endian), verified
+    cross-engine including non-ASCII. Used where a hash must be
+    recomputable by an external oracle; `xxhash64` stays the default in
+    the hot paths (JVM-native, ~3× cheaper than md5 + hex juggling)."""
+    h = F.md5(col)
+    # digest bytes 8..15 are hex chars 17..32; little-endian means byte 8
+    # is least significant, so emit the byte pairs in reverse order
+    le = F.concat(*[F.substring(h, 31 - 2 * i, 2) for i in range(8)])
+    return F.conv(le, 16, -10).cast("long")
+
+
 # (pattern, token) pairs applied in order; every regex is written in the
 # common Java-regex ∩ RE2 dialect so external engines (DuckDB, Go tooling)
 # reproduce the redaction byte-for-byte. Order matters: SSN before PHONE so

@@ -27,9 +27,21 @@ from pyspark.sql import functions as F
 from openpolicedata_spark.functions.text import (
     char_ngrams_expr,
     fingerprint_md5_expr,
+    md5lower64_expr,
     normalize_text_expr,
     tokens_expr,
 )
+
+
+def _token_hash_expr(tok: Column, token_hash: str) -> Column:
+    """Per-token 64-bit hash. `xxhash64` (default) is JVM-native and
+    fastest; `md5lower64` is engine-portable (DuckDB `md5_number_lower`)
+    so an external oracle can replay the whole signature pipeline."""
+    if token_hash == "xxhash64":
+        return F.xxhash64(tok)
+    if token_hash == "md5lower64":
+        return md5lower64_expr(tok)
+    raise ValueError(f"unknown token_hash {token_hash!r}")
 
 # Universal-hash family h_i(x) = (a_i*x + b_i) mod p with p = 2^31-1 (prime):
 # keeps every intermediate product under 2^62, safe for ANSI long arithmetic.
@@ -160,7 +172,8 @@ def _minhash_shingle_udf(coeffs: list[tuple[int, int]], shingle_k: int):
 
 def shingle_minhash(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", num_hashes: int = 64,
-                    shingle_k: int = 5, seed: int = 42) -> DataFrame:
+                    shingle_k: int = 5, seed: int = 42,
+                    token_hash: str = "xxhash64") -> DataFrame:
     """One-pass shingle set + MinHash signature per document:
     (id, __sh__: sorted distinct shingle hashes, minhash: signature).
 
@@ -179,7 +192,8 @@ def shingle_minhash(df: DataFrame, text_col: str = "text",
             tokens_expr(normalize_text_expr(F.col(text_col))).alias("__toks__"),
         )
     )
-    th = F.transform(F.col("__toks__"), lambda t: F.xxhash64(t))
+    th = F.transform(F.col("__toks__"),
+                     lambda t: _token_hash_expr(t, token_hash))
     mh = _minhash_shingle_udf(_hash_coeffs(num_hashes, seed), shingle_k)
     return (
         toked.select(F.col(id_col), th.alias("__th__"))
@@ -208,6 +222,7 @@ def minhash_lsh_dup_pairs(
     seed: int = 42,
     max_bucket_size: Optional[int] = None,
     materialize: bool = True,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -242,7 +257,8 @@ def minhash_lsh_dup_pairs(
     # (The columnar .persist() cache is NOT used: building the columnar
     # cache for array<long> columns measured 2.4× slower than recompute;
     # localCheckpoint stores serialized rows and avoids that build cost.)
-    ms = shingle_minhash(df, text_col, id_col, num_hashes, shingle_k, seed)
+    ms = shingle_minhash(df, text_col, id_col, num_hashes, shingle_k, seed,
+                         token_hash=token_hash)
     if materialize:
         ms = ms.localCheckpoint(eager=False)
     banded = ms.select(
@@ -369,10 +385,12 @@ def _simhash_udf(num_bits: int = 64):
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", num_bits: int = 64) -> DataFrame:
-    """Per-document SimHash: tokenize + xxhash64 JVM-side, bit votes in one
-    Arrow-batched numpy UDF (the 64 `aggregate` lambdas of the expression
-    form run interpreted — measured ~40× slower at sf0.1)."""
+                       id_col: str = "doc_id", num_bits: int = 64,
+                       token_hash: str = "xxhash64") -> DataFrame:
+    """Per-document SimHash: tokenize + 64-bit token hash JVM-side
+    (`token_hash`: xxhash64 default, md5lower64 for oracle replay), bit
+    votes in one Arrow-batched numpy UDF (the 64 `aggregate` lambdas of
+    the expression form run interpreted — measured ~40× slower at sf0.1)."""
     sh = _simhash_udf(num_bits)
     return (
         rebalance(df)
@@ -383,7 +401,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
                     F.filter(F.split(normalize_text_expr(F.col(text_col)), " "),
                              lambda t: t != "")
                 ),
-                lambda t: F.xxhash64(t),
+                lambda t: _token_hash_expr(t, token_hash),
             ).alias("__h__"),
         )
         .select(F.col(id_col), sh(F.col("__h__")).alias("sim"))
@@ -392,7 +410,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3,
-                      max_bucket_size: Optional[int] = None) -> DataFrame:
+                      max_bucket_size: Optional[int] = None,
+                      token_hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (pigeonhole —
     any pair within hamming distance 3 shares at least one exact chunk),
     then verify hamming distance on candidates.
@@ -406,7 +425,7 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     boilerplate-heavy corpora collapse into few 16-bit chunks — one
     degenerate bucket of B docs emits B(B-1)/2 pairs on one task;
     oversized buckets are dropped rather than stalling the stage."""
-    sh = simhash_signatures(df, text_col, id_col)
+    sh = simhash_signatures(df, text_col, id_col, token_hash=token_hash)
     chunks = sh.select(
         id_col, "sim",
         F.posexplode(

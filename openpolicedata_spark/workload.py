@@ -622,27 +622,198 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
-# rows-only queries (non-SQL-expressible: LSH/minhash internals)
+# LSH / minhash / simhash / ANN queries with FULL oracle replay: the token
+# hash is md5-lower-64 (identical in Spark and DuckDB), every other step is
+# integer/float arithmetic both engines express exactly, so the oracles
+# below replicate the whole signature pipeline — not just row counts.
 # --------------------------------------------------------------------------
 
 
 def q28_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the engine-portable token hash so
+    the DuckDB oracle can replay shingling, the splitmix64 avalanche, the
+    universal-hash minima, banding (band equality vs Spark's
+    xxhash64-of-slice — identical modulo a ~2^-64 collision), and the
+    exact-Jaccard verify."""
     return minhash_lsh_dup_pairs(
         _docs_with_dups(spark, sf_dir), num_hashes=32, bands=8,
-        shingle_k=3, jaccard_threshold=0.8,
-    )
+        shingle_k=3, jaccard_threshold=0.8, token_hash="md5lower64",
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_MULMOD = ("((({a} // 4294967296 * {c}) % 4294967296) * 4294967296"
+           " + ({a} % 4294967296) * {c}) % 18446744073709551616")
+
+
+def _q28_sql() -> str:
+    from openpolicedata_spark.operators.dedup import _MERSENNE_31, _hash_coeffs
+
+    coeffs = _hash_coeffs(32, 42)
+    P = 0x9E3779B97F4A7C15
+    pw2, pw1 = (P * P) % (1 << 64), P
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    p31 = _MERSENNE_31
+    mins = ",\n    ".join(
+        "CASE WHEN len(hv)=0 THEN {p} ELSE list_min(list_transform(hv, "
+        "x -> ({a}*x + {b}) % {p})) END AS m{i}".format(
+            p=p31, a=a, b=b, i=i)
+        for i, (a, b) in enumerate(coeffs))
+    band_sigs = " ".join(
+        "WHEN {b} THEN m{j0}||'_'||m{j1}||'_'||m{j2}||'_'||m{j3}".format(
+            b=b, j0=4 * b, j1=4 * b + 1, j2=4 * b + 2, j3=4 * b + 3)
+        for b in range(8))
+    roll = ("({t1} + {t2} + h[i+2]) % 18446744073709551616".format(
+        t1=_MULMOD.format(a="h[i]", c=pw2),
+        t2=_MULMOD.format(a="h[i+1]", c=pw1)))
+    return f"""
+WITH docs AS (SELECT * FROM {_DOCS_WITH_DUPS_SQL} d),
+toks AS (
+  SELECT doc_id, list_filter(
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+    x -> x <> '') AS tk
+  FROM docs),
+th AS (
+  SELECT doc_id,
+    list_transform(tk, t -> CAST(md5_number_lower(t) AS HUGEINT)) AS h
+  FROM toks),
+rolled AS (
+  SELECT doc_id, CASE WHEN len(h) >= 3 THEN
+      list_transform(range(1, len(h) - 1), i -> {roll})
+    ELSE CAST([] AS HUGEINT[]) END AS acc
+  FROM th),
+a1 AS (SELECT doc_id, list_transform(acc, x -> xor(x, x >> 30)) AS v FROM rolled),
+a2 AS (SELECT doc_id, list_transform(v, x -> {_MULMOD.format(a='x', c=C1)}) AS v FROM a1),
+a3 AS (SELECT doc_id, list_transform(v, x -> xor(x, x >> 27)) AS v FROM a2),
+a4 AS (SELECT doc_id, list_transform(v, x -> {_MULMOD.format(a='x', c=C2)}) AS v FROM a3),
+a5 AS (SELECT doc_id, list_distinct(list_transform(v, x -> xor(x, x >> 31))) AS sh FROM a4),
+hvs AS (
+  SELECT doc_id, sh, list_transform(sh, u -> CAST(u % {p31} AS BIGINT)) AS hv
+  FROM a5),
+mins AS (
+  SELECT doc_id, sh,
+    {mins}
+  FROM hvs),
+bands AS (
+  SELECT doc_id, r.range AS band_id,
+    CASE r.range {band_sigs} END AS sig
+  FROM mins, range(8) r),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+verify AS (
+  SELECT c.id_a, c.id_b,
+    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      / NULLIF(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 0)
+      AS j
+  FROM cand c
+  JOIN mins x ON c.id_a = x.doc_id
+  JOIN mins y ON c.id_b = y.doc_id)
+SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM verify WHERE j >= 0.8
+"""
 
 
 def q29_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+    """SimHash near-dup pairs, portable token hash. Pigeonhole blocking is
+    LOSSLESS (any pair within hamming 3 shares one of the 4 16-bit
+    chunks), so the oracle's brute-force all-pairs hamming scan is the
+    exact same set — the oracle replays the bit-majority votes per doc and
+    compares every pair."""
+    return simhash_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3,
+                             token_hash="md5lower64")
+
+
+def _q29_sql() -> str:
+    powers = "[" + ", ".join(
+        f"CAST({1 << i} AS HUGEINT)" for i in range(64)) + "]"
+    return f"""
+WITH docs AS (SELECT * FROM {_DOCS_WITH_DUPS_SQL} d),
+toks AS (
+  SELECT doc_id, list_distinct(list_filter(
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+    x -> x <> '')) AS tk
+  FROM docs),
+tokh AS (
+  SELECT doc_id, unnest(list_transform(tk, t -> md5_number_lower(t))) AS th
+  FROM toks),
+votes AS (
+  SELECT doc_id, r.range AS i,
+    SUM(CASE WHEN (th >> CAST(r.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tokh, range(64) r
+  GROUP BY doc_id, r.range),
+sig0 AS (
+  SELECT doc_id,
+    SUM(CASE WHEN v > 0 THEN ({powers})[CAST(i AS INT) + 1]
+        ELSE CAST(0 AS HUGEINT) END) AS s
+  FROM votes GROUP BY doc_id),
+sigs AS (
+  SELECT t.doc_id,
+    CAST(COALESCE(s.s, 0)
+         - CASE WHEN COALESCE(s.s, 0) >= 9223372036854775808
+                THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+         AS BIGINT) AS sim
+  FROM toks t LEFT JOIN sig0 s USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+def _dotvv_sql(a: str, b: str, dim: int = 64) -> str:
+    """Left-associative literal dot product — matches Spark's
+    `F.aggregate` fold bit-for-bit (same IEEE ops, same order)."""
+    return "(" + " + ".join(
+        f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1)) + ")"
+
+
+def _dotvl_sql(a: str, lits: list[float], cond: str = ">= 0") -> str:
+    return "(" + " + ".join(
+        f"{a}[{i + 1}]*{lits[i]!r}" for i in range(len(lits))) + f") {cond}"
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    return (f"{_dotvv_sql(a, b, dim)} / "
+            f"(sqrt({_dotvv_sql(a, a, dim)}) * sqrt({_dotvv_sql(b, b, dim)}))")
+
+
+def _bucket_sql(v: str, planes: list[list[float]]) -> str:
+    bits = " + ".join(
+        f"CASE WHEN {_dotvl_sql(v, p)} THEN CAST({1 << i} AS BIGINT) "
+        "ELSE 0 END"
+        for i, p in enumerate(planes))
+    return f"({bits})"
 
 
 def q30_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN top-k. The probe set {qb plus 1-bit flips} is
+    exactly the buckets within hamming 1 of the query bucket, so the
+    oracle expresses it as bit_count(xor(bucket, qbucket)) <= 1; bucket
+    signs and cosines use literal-expansion dot products that match
+    Spark's fold order bit-for-bit."""
     emb = _read(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
     planes = make_random_planes(len(qvec), num_planes=6)
     idx = ann_index(emb.where(F.col("vec_id") != 0), planes)
-    return ann_topk(idx, qvec, planes, k=10, multiprobe_hamming=1)
+    out = ann_topk(idx, qvec, planes, k=10, multiprobe_hamming=1)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _q30_sql() -> str:
+    planes = make_random_planes(64, num_planes=6)
+    cos = _cos_sql("c.v", "q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv, {_bucket_sql("v", planes)} AS qb
+      FROM e WHERE vec_id = 0),
+c AS (SELECT vec_id, v, {_bucket_sql("v", planes)} AS bucket
+      FROM e WHERE vec_id <> 0)
+SELECT c.vec_id, ROUND({cos}, 6) AS score
+FROM c, q
+WHERE bit_count(xor(c.bucket, q.qb)) <= 1
+ORDER BY {cos} DESC, c.vec_id ASC
+LIMIT 10
+"""
 
 
 def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,7 +893,9 @@ FROM h
 
 def q33_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH buckets + exact
-    cosine verify (rows-only check: LSH internals aren't SQL)."""
+    cosine verify. The oracle replays the bucket signs and the cosine with
+    literal-expansion dot products (same IEEE ops, same fold order), so
+    the blocked pair set and the verified values are checked exactly."""
     from openpolicedata_spark.operators.similarity import embedding_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -732,6 +905,21 @@ def q33_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_dup_pairs(dups, planes, threshold=0.999)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _q33_sql() -> str:
+    planes = make_random_planes(64, num_planes=8)
+    cos = _cos_sql("a.v", "b.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_DUP_SHIFT}, CAST(embedding AS DOUBLE[]) FROM embeddings),
+cb AS (SELECT vec_id, v, {_bucket_sql("v", planes)} AS bucket FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS cosine
+FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.999
+"""
 
 
 def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3348,10 +3536,15 @@ def oracle_sql() -> dict[str, str]:
         "q25_exact_dedup": _Q25_SQL,
         "q26_dup_groups": _Q26_SQL,
         "q27_knn_cosine": _Q27_SQL,
-        # q28-q30, q33: non-SQL-expressible (LSH/minhash internals) →
-        # rows-only check by the driver.
+        # q28-q30, q33: full pipeline replay — portable md5 token hash +
+        # HUGEINT mod-2^64 arithmetic (q28/q29), literal-expansion float
+        # dot products (q30/q33). Generated SQL: see _q28_sql etc.
+        "q28_minhash_pairs": _q28_sql(),
+        "q29_simhash_pairs": _q29_sql(),
+        "q30_ann_topk": _q30_sql(),
         "q31_quality_score": _Q31_SQL,
         "q32_language_id": _q32_sql(),
+        "q33_embedding_dups": _q33_sql(),
         "q34_multimodal_features": _Q34_SQL,
         "q35_event_window_agg": _Q35_SQL,
         "q36_sessionize": _Q36_SQL,

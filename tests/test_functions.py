@@ -347,3 +347,25 @@ def test_category_tables_reject_duplicate_labels():
         defs._cats({"A": ("SAME", "S"), "B": ("SAME", "T")}, compact=False)
     assert defs.get_race_cats() and defs.get_gender_cats() \
         and defs.get_eth_cats()
+
+
+def test_md5lower64_matches_duckdb(spark):
+    """The engine-portable token hash: Spark's md5lower64_expr must equal
+    DuckDB's md5_number_lower (signed view) — the q28/q29 oracles replay
+    the whole signature pipeline on top of this equivalence."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from openpolicedata_spark.functions.text import md5lower64_expr
+
+    vals = ["abc", "", "hello world", "café", "UPPER lower 123", "日本語",
+            "x" * 300]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = {r.t: r.h
+           for r in df.select("t", md5lower64_expr(F.col("t")).alias("h"))
+           .collect()}
+    con = duckdb.connect()
+    for v in vals:
+        u = con.sql("SELECT md5_number_lower(?)", params=[v]).fetchone()[0]
+        assert got[v] == (u - (1 << 64) if u >= 1 << 63 else u), v
