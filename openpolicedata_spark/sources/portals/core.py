@@ -340,8 +340,20 @@ class PortalDataSource(DataSource):
 
     def schema(self) -> StructType:
         sample = self._client.fetch(0, int(self.options.get("sample_rows", 50)), None)
-        return infer_schema_from_rows(sample, self._client.epoch_ms_fields,
-                                      set(self._drop))
+        st = infer_schema_from_rows(sample, self._client.epoch_ms_fields,
+                                    set(self._drop))
+        # CRS propagation: geometry columns carry the client's probed CRS
+        # (converted Web-Mercator → "EPSG:4326"; raw projections keep
+        # their authority:code) so a consumer can tell meters from degrees
+        crs = getattr(self._client, "geo_crs", None)
+        if crs:
+            st = StructType([
+                StructField(f.name, f.dataType, f.nullable, {"crs": crs})
+                if f.name in ("geo_x", "geo_y")
+                or isinstance(f.dataType, StructType) else f
+                for f in st.fields
+            ])
+        return st
 
     def reader(self, schema: StructType) -> PortalReader:
         o = self.options

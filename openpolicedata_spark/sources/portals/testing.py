@@ -181,11 +181,15 @@ class FakePortal:
     in-memory row list. Use with FakeTransport(handler=FakePortal(...))."""
 
     def __init__(self, portal: str, rows: Optional[list[dict]] = None,
-                 date_text: str = "iso", max_record_count: int = 1000):
+                 date_text: str = "iso", max_record_count: int = 1000,
+                 wkid: Optional[int] = None):
         self.portal = portal
         self.rows = rows if rows is not None else make_rows(date_text=date_text)
         self.date_text = date_text
         self.max_record_count = max_record_count
+        # arcgis only: layer CRS; row keys _geo_x/_geo_y are served as
+        # feature geometry in that CRS (stripped from attributes)
+        self.wkid = wkid
         self.epoch_fields = frozenset(
             {"incident_date"} if date_text == "epoch_ms" else set())
 
@@ -220,14 +224,28 @@ class FakePortal:
         if not url.rstrip("/").endswith("/query"):
             fields = [{"name": "incident_date", "type": "esriFieldTypeDate"}] \
                 if self.date_text == "epoch_ms" else []
-            return {"maxRecordCount": self.max_record_count, "fields": fields}
+            meta = {"maxRecordCount": self.max_record_count, "fields": fields}
+            if self.wkid is not None:
+                meta["extent"] = {"spatialReference": {"wkid": self.wkid}}
+            return meta
         rows = self._filtered(p.get("where"))
         if str(p.get("returnCountOnly", "")).lower() == "true":
             return {"count": len(rows)}
         lo = int(p.get("resultOffset", 0))
         hi = lo + int(p.get("resultRecordCount", len(rows)))
         out = self._project(rows[lo:hi], p.get("outFields"))
-        return {"features": [{"attributes": r} for r in out]}
+        feats = []
+        for r in out:
+            attrs = {k: v for k, v in r.items()
+                     if k not in ("_geo_x", "_geo_y")}
+            feat: dict = {"attributes": attrs}
+            if "_geo_x" in r:
+                feat["geometry"] = {"x": r["_geo_x"], "y": r["_geo_y"]}
+            feats.append(feat)
+        resp: dict = {"features": feats}
+        if self.wkid is not None:
+            resp["spatialReference"] = {"wkid": self.wkid}
+        return resp
 
     def _handle_ckan(self, url: str, p: dict) -> Any:
         sql = p["sql"]

@@ -282,3 +282,69 @@ def test_socrata_geolocation_to_point_struct(spark):
     assert dict(df.dtypes)["geolocation"] == "struct<lon:double,lat:double>"
     row = df.where(df.case_id == "C00004").first()
     assert row.geolocation.lat == 34.0 and row.geolocation.lon == -94.0
+
+
+def test_arcgis_web_mercator_converted_to_lonlat(spark):
+    """A Web-Mercator layer (wkid 102100) serves x/y in METERS; the client
+    must convert to lon/lat degrees (reference carries the wkid into a
+    GeoDataFrame CRS, arcgis_class.py:485,516-546) and record EPSG:4326
+    in the geometry columns' metadata."""
+    import math
+
+    R = 6378137.0
+
+    def fwd(lon, lat):  # forward spherical mercator
+        return (R * math.radians(lon),
+                R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)))
+
+    pts = {1: (-122.3321, 47.6062), 2: (2.3522, 48.8566), 3: (0.0, 0.0)}
+    rows = [dict(case_id=i, agency="A", value=i,
+                 _geo_x=fwd(*p)[0], _geo_y=fwd(*p)[1])
+            for i, p in pts.items()]
+    server = FakePortal("arcgis", rows=rows, wkid=102100)
+    loader = RestLoader(
+        spark, format_name="opd_arcgis",
+        url="https://fake.portal.test/FeatureServer/0", dataset="",
+        date_field=None, agency_field="agency",
+        transport=FakeTransport(handler=server))
+    df = loader.load()
+    got = {r.case_id: (r.geo_x, r.geo_y) for r in df.collect()}
+    for i, (lon, lat) in pts.items():
+        assert got[i][0] == pytest.approx(lon, abs=1e-9)
+        assert got[i][1] == pytest.approx(lat, abs=1e-9)
+    meta = {f.name: f.metadata for f in df.schema.fields}
+    assert meta["geo_x"].get("crs") == "EPSG:4326"
+    assert meta["geo_y"].get("crs") == "EPSG:4326"
+
+
+def test_arcgis_wgs84_layer_passthrough(spark):
+    """A wkid-4326 layer's x/y are already degrees — passed through
+    untouched, metadata EPSG:4326; an exotic projected layer passes raw
+    values with its authority code so meters are never mislabeled."""
+    rows = [dict(case_id=1, agency="A", value=1, _geo_x=-71.06, _geo_y=42.36)]
+    server = FakePortal("arcgis", rows=rows, wkid=4326)
+    loader = RestLoader(
+        spark, format_name="opd_arcgis",
+        url="https://fake.portal.test/FeatureServer/0", dataset="",
+        date_field=None, agency_field="agency",
+        transport=FakeTransport(handler=server))
+    df = loader.load()
+    r = df.collect()[0]
+    assert (r.geo_x, r.geo_y) == (-71.06, 42.36)
+    assert {f.name: f.metadata for f in df.schema.fields}["geo_x"][
+        "crs"] == "EPSG:4326"
+
+    # state-plane-ish ESRI wkid: raw passthrough, ESRI authority recorded
+    server2 = FakePortal("arcgis", rows=[dict(
+        case_id=1, agency="A", value=1, _geo_x=398156.2, _geo_y=136874.1)],
+        wkid=102685)
+    loader2 = RestLoader(
+        spark, format_name="opd_arcgis",
+        url="https://fake.portal.test/FeatureServer/0", dataset="",
+        date_field=None, agency_field="agency",
+        transport=FakeTransport(handler=server2))
+    df2 = loader2.load()
+    r2 = df2.collect()[0]
+    assert (r2.geo_x, r2.geo_y) == (398156.2, 136874.1)
+    assert {f.name: f.metadata for f in df2.schema.fields}["geo_x"][
+        "crs"] == "ESRI:102685"
