@@ -230,13 +230,19 @@ class ExcelLoader(DataLoader):
     def _raw_sheets(self) -> dict[str, pd.DataFrame]:
         if self._sheets is not None:
             return self._sheets
+        src = self._maybe_decrypt(self.url)
         try:
             import openpyxl  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "Excel parsing requires openpyxl; install it or pass "
-                "pre-parsed grids via ExcelLoader(sheets=...)") from e
-        xl = pd.ExcelFile(self._maybe_decrypt(self.url))
+        except ImportError:
+            # stdlib fallback: .xlsx is a ZIP of SpreadsheetML — parse it
+            # directly (sources/xlsx.py). Legacy .xls still needs an engine.
+            if str(self.url).lower().endswith((".xls",)):
+                raise ImportError(
+                    "legacy .xls parsing requires xlrd; install it or pass "
+                    "pre-parsed grids via ExcelLoader(sheets=...)")
+            from openpolicedata_spark.sources.xlsx import read_xlsx
+            return read_xlsx(src)
+        xl = pd.ExcelFile(src)
         return {name: xl.parse(name, header=None) for name in xl.sheet_names}
 
     def load(self, date: DateInput = None, nrows: Optional[int] = None,

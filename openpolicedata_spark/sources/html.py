@@ -39,16 +39,36 @@ class HtmlLoader(DataLoader):
     def isfile(self) -> bool:
         return True
 
+    def _fetch(self) -> str:
+        """Page bytes → text. Local paths read directly; http(s) URLs go
+        through urllib with a browser UA (reference html.py sends one —
+        agency sites 403 the default Python UA)."""
+        url = str(self.url)
+        if url.startswith(("http://", "https://")):
+            import urllib.request
+
+            req = urllib.request.Request(
+                url, headers={"User-Agent": "Mozilla/5.0"})
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                charset = resp.headers.get_content_charset() or "utf-8"
+                return resp.read().decode(charset, errors="replace")
+        with open(url, encoding="utf-8", errors="replace") as f:
+            return f.read()
+
     def _parse(self) -> pd.DataFrame:
         tables = self._tables
         if tables is None:
             try:
                 import lxml  # noqa: F401
-            except ImportError as e:
-                raise ImportError(
-                    "HTML parsing requires lxml/bs4; install one or pass "
-                    "pre-parsed tables via HtmlLoader(tables=...)") from e
-            tables = pd.read_html(self.url)
+
+                tables = pd.read_html(self.url)
+            except ImportError:
+                # stdlib fallback: html.parser-based table extraction
+                # (sources/htmltable.py) — same list-of-frames contract.
+                from openpolicedata_spark.sources.htmltable import (
+                    read_html_tables,
+                )
+                tables = read_html_tables(self._fetch())
         if len(tables) != 1:
             # reference html.py expects exactly one table per page
             raise ValueError(f"expected exactly 1 HTML table, got {len(tables)}")

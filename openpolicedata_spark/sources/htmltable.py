@@ -1,0 +1,176 @@
+"""Stdlib HTML table extractor (html.parser) — no lxml/bs4 needed.
+
+Parity: /root/reference/openpolicedata/data_loaders/html.py:10-194 parses
+pages with ``pd.read_html`` (lxml engine). That engine isn't in this
+container; this module extracts ``<table>`` elements with the stdlib
+``html.parser`` instead, covering what agency pages actually use:
+
+- ``<th>``/``<td>`` cells, ``<thead>``/``<tbody>`` sections
+- ``colspan``/``rowspan`` (values replicated across the span, matching
+  pandas' behavior)
+- nested tables (each table is returned separately; inner text is not
+  duplicated into the outer table's cell)
+- a first-row-of-``<th>`` header, falling back to the first row when no
+  ``<th>`` is present (pd.read_html ``header=0`` behavior)
+
+Returns ``list[pd.DataFrame]`` like ``pd.read_html``; ``HtmlLoader``
+asserts exactly one table, as the reference does.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+
+
+class _TableBuilder:
+    """Accumulates cells into sparse {col: value} rows. Rowspan cells park
+    in ``_pending`` and occupy their column in later rows, so new cells in
+    those rows flow AROUND the spanned column (pandas semantics)."""
+
+    def __init__(self):
+        self.rows: list[dict[int, object]] = []
+        self.header_flags: list[dict[int, bool]] = []
+        self._row: dict[int, object] | None = None
+        self._flags: dict[int, bool] | None = None
+        self._cursor = 0
+        # col → [remaining_rows, value, is_th]
+        self._pending: dict[int, list] = {}
+
+    def open_row(self):
+        self._row, self._flags = {}, {}
+        self._cursor = 0
+
+    def close_row(self):
+        if self._row is None:
+            return
+        # columns still claimed by rowspans fill in even past the last cell
+        for col, (rem, val, is_th) in list(self._pending.items()):
+            self._row[col] = val
+            self._flags[col] = is_th
+            if rem - 1 <= 0:
+                del self._pending[col]
+            else:
+                self._pending[col][0] = rem - 1
+        if self._row:
+            self.rows.append(self._row)
+            self.header_flags.append(self._flags)
+        self._row = self._flags = None
+
+    def add_cell(self, text: str, colspan: int, rowspan: int, is_th: bool):
+        if self._row is None:  # malformed: cell outside <tr>
+            self.open_row()
+        val = text.strip()
+        val = val if val else None
+        placed = 0
+        while placed < colspan:
+            col = self._cursor
+            if col in self._pending:  # spanned from above — skip over it
+                self._cursor += 1
+                continue
+            self._row[col] = val
+            self._flags[col] = is_th
+            if rowspan > 1:
+                self._pending[col] = [rowspan, val, is_th]
+            self._cursor += 1
+            placed += 1
+
+    def to_frame(self) -> pd.DataFrame:
+        if not self.rows:
+            return pd.DataFrame()
+        width = max(max(r) + 1 for r in self.rows if r)
+        rows = [[r.get(c) for c in range(width)] for r in self.rows]
+        header_idx = None
+        for i, flags in enumerate(self.header_flags):
+            if flags and all(flags.values()):
+                header_idx = i
+                break
+        if header_idx is None:
+            header_idx = 0
+        cols = [str(c) if c is not None else f"col_{i}"
+                for i, c in enumerate(rows[header_idx])]
+        body = rows[header_idx + 1:]
+        return pd.DataFrame(body, columns=cols, dtype=object)
+
+
+class _TableParser(HTMLParser):
+    _SKIP = {"script", "style"}
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.tables: list[pd.DataFrame] = []
+        self._stack: list[_TableBuilder] = []
+        self._cell_text: list[str] = []
+        self._in_cell: list[bool] = []  # per table on the stack
+        self._cell_attrs: list[tuple[int, int, bool]] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip_depth += 1
+            return
+        if tag == "table":
+            self._stack.append(_TableBuilder())
+            self._in_cell.append(False)
+            return
+        if not self._stack:
+            return
+        t = self._stack[-1]
+        if tag == "tr":
+            t.open_row()
+        elif tag in ("td", "th"):
+            if self._in_cell[-1]:
+                self._flush_cell()
+            d = dict(attrs)
+            self._cell_attrs.append((
+                max(1, int(d.get("colspan") or 1)),
+                max(1, int(d.get("rowspan") or 1)),
+                tag == "th",
+            ))
+            self._cell_text.append("")
+            self._in_cell[-1] = True
+        elif tag == "br" and self._in_cell[-1]:
+            self._cell_text[-1] += " "
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if not self._stack:
+            return
+        if tag in ("td", "th"):
+            if self._in_cell[-1]:
+                self._flush_cell()
+        elif tag == "tr":
+            if self._in_cell[-1]:
+                self._flush_cell()
+            self._stack[-1].close_row()
+        elif tag == "table":
+            if self._in_cell[-1]:
+                self._flush_cell()
+            self._stack[-1].close_row()
+            done = self._stack.pop()
+            self._in_cell.pop()
+            self.tables.append(done.to_frame())
+
+    def _flush_cell(self):
+        text = self._cell_text.pop()
+        colspan, rowspan, is_th = self._cell_attrs.pop()
+        self._stack[-1].add_cell(text, colspan, rowspan, is_th)
+        self._in_cell[-1] = False
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._stack and self._in_cell and self._in_cell[-1]:
+            self._cell_text[-1] += data
+
+
+def read_html_tables(html: str) -> list[pd.DataFrame]:
+    """Extract every ``<table>`` from an HTML document as a DataFrame
+    (innermost tables first for nested markup, matching parse order)."""
+    p = _TableParser()
+    p.feed(html)
+    p.close()
+    return [t for t in p.tables if not t.empty or len(t.columns)]

@@ -99,8 +99,13 @@ def test_html_loader(spark):
 
 
 def test_excel_loader_requires_backend_without_injection(spark):
-    with pytest.raises(ImportError, match="openpyxl"):
+    # .xlsx no longer needs openpyxl (stdlib zip+XML reader); a missing
+    # file surfaces as FileNotFoundError from the real parse path.
+    with pytest.raises(FileNotFoundError):
         ExcelLoader(spark, url="nope.xlsx").load()
+    # legacy .xls (BIFF) still requires an engine
+    with pytest.raises(ImportError, match="xlrd"):
+        ExcelLoader(spark, url="legacy.xls").load()
 
 
 def test_maybe_decrypt_passthrough_without_codec():
