@@ -560,6 +560,7 @@ def dedup_cascade(
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
+    max_bucket_size: Optional[int] = 4096,
     **lsh_kwargs,
 ) -> DataFrame:
     """Production dedup cascade — the composition a real corpus runs:
@@ -575,6 +576,12 @@ def dedup_cascade(
     {'kept', 'exact_dup', 'near_dup'} — the keep-list plus drop
     attribution an audit needs. Cost: the exact stage's one digest
     shuffle + the LSH pipeline on the deduplicated (smaller) corpus.
+
+    `max_bucket_size` defaults to 4096 here (unlike the raw pair
+    operator): the sf5 boilerplate experiment (SCALE.md "Skew guard")
+    measured an uncapped mega-bucket OOMing the wave while a cap ≫ the
+    p99 bucket (87) lost no family recall. Pass None for exhaustive
+    small-corpus runs.
     """
     ids = df.select(id_col)
     survivors = exact_dedup(df, text_col, id_col)
@@ -582,7 +589,8 @@ def dedup_cascade(
                              how="left_anti")
     pairs = minhash_lsh_dup_pairs(
         survivors, text_col, id_col,
-        jaccard_threshold=jaccard_threshold, **lsh_kwargs)
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size, **lsh_kwargs)
     near_dropped = (
         dup_clusters(pairs)
         .where(F.col("cluster_id") != F.col("doc_id"))

@@ -17,8 +17,11 @@ operators. Dimension tables are copied as-is.
 
 from __future__ import annotations
 
+import argparse
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,7 +40,8 @@ FACT_TABLES = {
 DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
 
-def main() -> None:
+def build(out_dir: str, copies: int, near_dup_docs: bool,
+          boilerplate_frac: float) -> None:
     from pyspark.sql import functions as F
 
     from openpolicedata_spark import get_spark
@@ -46,18 +50,122 @@ def main() -> None:
     spark = get_spark(app_name="opdspark-scaleup")
     for t, idcols in FACT_TABLES.items():
         df = read_parquet_repaired(spark, f"{SRC}/{t}.parquet")
-        copies = None
-        for k in range(COPIES):
+        parts = []
+        for k in range(copies):
             shifted = df
             for c in idcols:
                 shifted = shifted.withColumn(c, F.col(c) + F.lit(k * SHIFT))
-            copies = shifted if copies is None else copies.unionByName(shifted)
-        copies.write.mode("overwrite").parquet(f"{OUT_DIR}/{t}.parquet")
-        print(f"# {t}: x{COPIES}")
+            if t == "documents" and near_dup_docs and k > 0:
+                # copies k>0 get a distinct appended token: different digest
+                # (survives exact dedup) but shingle-Jaccard ~ (L-k+1)/(L+1)
+                # vs the original — a realistic crawl-revision near-dup.
+                shifted = shifted.withColumn(
+                    "text", F.concat("text", F.lit(f" revision{k} tail{k}")))
+            parts.append(shifted)
+        copies_df = parts[0]
+        for p in parts[1:]:
+            copies_df = copies_df.unionByName(p)
+        if t == "documents" and boilerplate_frac > 0:
+            # give a deterministic slice of docs one shared long preamble —
+            # the boilerplate mode that collapses LSH bands into mega-
+            # buckets, which is exactly what max_bucket_size must absorb
+            boiler = F.lit(" ".join(f"standard disclaimer clause {i}"
+                                    for i in range(120)))
+            hit = (F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1000))
+                   < F.lit(int(boilerplate_frac * 1000)))
+            copies_df = copies_df.withColumn(
+                "text",
+                F.when(hit, F.concat(boiler, F.lit(" "), F.col("text")))
+                .otherwise(F.col("text")))
+        (copies_df.repartition(32)
+         .write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet"))
+        print(f"# {t}: x{copies}")
     for t in DIM_TABLES:
         read_parquet_repaired(spark, f"{SRC}/{t}.parquet") \
-            .write.mode("overwrite").parquet(f"{OUT_DIR}/{t}.parquet")
-    print(f"# done. Run: SPARK_GRAFT_SF_DIR={OUT_DIR} python bench.py")
+            .write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    print(f"# done. Run: SPARK_GRAFT_SF_DIR={out_dir} python bench.py")
+
+
+def lsh_run(out_dir: str, max_bucket_size: int | None,
+            jaccard_threshold: float = 0.5) -> dict:
+    """Measure the LSH wave at the built scale: wall time, bucket-size
+    distribution from the same banding the operator uses, and the
+    verified-pair count — with the given max_bucket_size guard. Prints one
+    JSON line per invocation (a SCALE.md row)."""
+    from pyspark.sql import functions as F
+
+    from openpolicedata_spark import get_spark
+    from openpolicedata_spark.operators.dedup import (
+        minhash_lsh_dup_pairs,
+        minhash_signatures,
+    )
+
+    spark = get_spark(app_name="opdspark-lsh-scale")
+    docs = spark.read.parquet(f"{out_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    # bucket-size distribution (diagnostic pass, same banding parameters)
+    ms = minhash_signatures(docs)
+    banded = ms.select(
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(15)),
+                        lambda b: F.xxhash64(F.slice("minhash",
+                                                     b * 4 + 1, 4)))
+        ).alias("band_id", "band_hash"))
+    sizes = (banded.groupBy("band_id", "band_hash").count()
+             .where(F.col("count") > 1)
+             .agg(F.count("*").alias("buckets"),
+                  F.max("count").alias("max_bucket"),
+                  F.expr("percentile_approx(count, 0.99)").alias("p99"),
+                  F.sum(F.when(F.col("count") > max_bucket_size, 1)
+                        .otherwise(0)).alias("dropped_buckets")
+                  if max_bucket_size else
+                  F.lit(0).alias("dropped_buckets"))
+             .first())
+
+    t0 = time.time()
+    pairs = minhash_lsh_dup_pairs(
+        docs, jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size)
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+
+    row = {
+        "docs": n_docs,
+        "max_bucket_size": max_bucket_size,
+        "collision_buckets": sizes["buckets"],
+        "max_bucket": sizes["max_bucket"],
+        "p99_bucket": sizes["p99"],
+        "dropped_buckets": int(sizes["dropped_buckets"] or 0),
+        "verified_pairs": n_pairs,
+        "lsh_wall_sec": round(wall, 2),
+    }
+    print(json.dumps(row))
+    return row
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=COPIES,
+                    help="sf0.1 multiples to materialize (10 => ~sf1)")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--near-dup-docs", action="store_true",
+                    help="perturb each document copy so it survives exact "
+                         "dedup and exercises the LSH wave")
+    ap.add_argument("--boilerplate-frac", type=float, default=0.0,
+                    help="fraction of docs given one shared long preamble "
+                         "(mega-bucket stress for max_bucket_size)")
+    ap.add_argument("--lsh", action="store_true",
+                    help="skip the build; run the timed LSH wave against "
+                         "--out and print a JSON row")
+    ap.add_argument("--max-bucket-size", type=int, default=None)
+    args = ap.parse_args()
+    out = args.out or (OUT_DIR if args.copies == COPIES
+                       else f"/tmp/opdspark_sf{args.copies / 10:g}")
+    if args.lsh:
+        lsh_run(out, args.max_bucket_size)
+    else:
+        build(out, args.copies, args.near_dup_docs, args.boilerplate_frac)
 
 
 if __name__ == "__main__":
