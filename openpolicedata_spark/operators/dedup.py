@@ -671,3 +671,78 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     selected longs, never the text."""
     return df.withColumn(
         "fingerprints", _winnow_udf(k, w, base, mod)(F.col(text_col)))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 24,
+    length_bucket: int = 64,
+    max_dist: int = 20,
+    max_bucket_size: Optional[int] = 1024,
+) -> DataFrame:
+    """Near-duplicate pairs by bounded edit distance — the character-level
+    complement to the token-set (MinHash) and bit-vector (SimHash) paths:
+    catches small in-place edits (typo fixes, number bumps) that token
+    shingles can over- or under-weight.
+
+    Blocking: two docs within `max_dist` edits share a normalized prefix
+    unless the edit touches the first characters, and their lengths
+    differ by at most `max_dist` — so candidates are generated per
+    (normalized-prefix, ⌊len/length_bucket⌋) block plus the adjacent
+    length block, never all-pairs. Same bucket pattern as
+    `minhash_lsh_dup_pairs`: collect ids per block, explode i<j pairs,
+    `max_bucket_size` drops degenerate blocks (boilerplate prefixes).
+    The verify join fetches the two texts and runs the JVM
+    `levenshtein` — O(len²) per pair, bounded by candidates, not corpus.
+    Levenshtein is engine-portable (DuckDB `levenshtein` agrees), so an
+    external oracle can replay the whole operator."""
+    norm = normalize_text_expr(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        norm.alias("__nt__"),
+        F.substring(norm, 1, prefix_len).alias("__pfx__"),
+        F.floor(F.length(norm) / length_bucket).alias("__lb__"),
+    ).localCheckpoint(eager=False)
+    # each doc lands in its own length block AND the next one down, so a
+    # pair straddling a block boundary still collides (|len_a - len_b| <=
+    # max_dist <= length_bucket required for the guarantee)
+    if max_dist > length_bucket:
+        raise ValueError("length_bucket must be >= max_dist for the "
+                         "adjacent-block guarantee")
+    blocked = base.select(
+        id_col, "__pfx__",
+        F.explode(F.array_distinct(F.array(
+            F.col("__lb__"), F.greatest(F.col("__lb__") - 1, F.lit(0))
+        ))).alias("__blk__"),
+    )
+    buckets = (
+        blocked.groupBy("__pfx__", "__blk__")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    ids = F.col("ids")
+    cand = (
+        buckets.select(F.explode(F.flatten(F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        ))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    ta = base.select(F.col(id_col).alias("id_a"), F.col("__nt__").alias("__ta__"))
+    tb = base.select(F.col(id_col).alias("id_b"), F.col("__nt__").alias("__tb__"))
+    return (
+        cand.join(ta, on="id_a").join(tb, on="id_b")
+        # cheap length pre-filter before the O(len^2) distance
+        .where(F.abs(F.length("__ta__") - F.length("__tb__")) <= max_dist)
+        .select("id_a", "id_b",
+                F.levenshtein("__ta__", "__tb__").alias("edit_dist"))
+        .where(F.col("edit_dist") <= max_dist)
+    )

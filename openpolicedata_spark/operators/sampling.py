@@ -99,3 +99,35 @@ def latest_per_key(
             F.struct(*[F.col(c) for c in order_cols])).alias("__row__"))
         .select(*key_cols, "__row__.*")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    key_col: str,
+    seed: str = "",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exact-size deterministic stratified sample: the `n_per_stratum`
+    rows with the smallest md5(seed:key) per stratum (ties impossible for
+    distinct keys; the key itself is the final tiebreak). Unlike
+    `df.sampleBy` (Bernoulli — approximate counts, rand()-seeded per
+    task) this yields exactly min(n, |stratum|) rows per stratum and the
+    SAME rows on every rerun and every engine.
+
+    Shape: one shuffle on the strata key for the per-stratum top-n
+    window. For strata small enough to matter (the usual case: sampling
+    k docs per source/language for eval or annotation), the window sort
+    is per-group and the output is Σ min(n, |s|) rows. A skewed mega-
+    stratum still sorts only within itself; cap via pre-filter if a
+    stratum approaches executor memory."""
+    from pyspark.sql import Window
+
+    h = shuffle_key_expr(F.col(key_col), seed)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= n_per_stratum)
+    )

@@ -428,3 +428,62 @@ def mmr_select(corpus: DataFrame, query_vec: Sequence[float], k: int = 10,
         selected.append((top["__id__"], float(top["__mmr__"])))
         sel_vecs.append([float(x) for x in top["__v__"]])
     return selected
+
+
+def power_iteration_step(corpus: DataFrame, v: Sequence[float],
+                         vec_col: str = "embedding",
+                         decimal_sums: bool = False) -> DataFrame:
+    """One power-iteration step over the Gram matrix: w = Xᵀ(X·v) for a
+    driver-held direction `v` — the building block of distributed PCA /
+    top-singular-direction extraction (embedding whitening, spectral
+    curation scores).
+
+    Distributed shape: `v` broadcasts as a literal array; the per-row
+    score ⟨x, v⟩ is a row-local left-associative fold (`dot_expr`), and
+    the output reduction posexplodes into (pos, score·x) pairs whose
+    map-side partial collapses each partition to ≤ dim rows before the
+    exchange — the shuffle carries dim×partitions rows, never vectors
+    (same shape as `kmeans_fit`'s centroid update). Driver state is the
+    dim-length result.
+
+    `decimal_sums=True` runs the cross-row sum in DECIMAL(30,12) so the
+    result is independent of partitioning / reduction order — the
+    validation mode an external SQL oracle can replay bit-for-bit (the
+    float path is ~2× cheaper and is what production loops use).
+    Returns a (pos, w) DataFrame with dim rows."""
+    vcol = F.array(*[F.lit(float(x)) for x in v])
+    pe = (
+        corpus.select(dot_expr(F.col(vec_col), vcol).alias("__score__"),
+                      F.posexplode(vec_col).alias("pos", "x"))
+    )
+    prod = F.col("__score__") * F.col("x").cast("double")
+    agg = (F.sum(prod.cast("decimal(30,12)")).cast("double")
+           if decimal_sums else F.sum(prod))
+    return pe.groupBy("pos").agg(agg.alias("w"))
+
+
+def power_iteration(corpus: DataFrame, vec_col: str = "embedding",
+                    dim: int | None = None, iters: int = 10) -> list[float]:
+    """Top principal direction of the (uncentered) Gram matrix XᵀX by
+    power iteration: v ← normalize(Xᵀ(X·v)). Each iteration is one scan +
+    one dim-bounded shuffle (`power_iteration_step`); driver state is one
+    dim-length vector. Deterministic: starts from the uniform direction.
+    Center the vectors beforehand for true PCA."""
+    if dim is None:
+        first = corpus.select(F.size(vec_col)).first()
+        if first is None:
+            raise ValueError("power_iteration on an empty corpus")
+        dim = first[0]
+    import math
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iters):
+        rows = power_iteration_step(corpus, v, vec_col).collect()
+        w = [0.0] * dim
+        for r in rows:
+            w[r["pos"]] = float(r["w"])
+        nrm = math.sqrt(sum(x * x for x in w))
+        if nrm == 0.0:
+            return w
+        v = [x / nrm for x in w]
+    return v
