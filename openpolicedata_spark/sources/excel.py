@@ -201,17 +201,40 @@ class ExcelLoader(DataLoader):
 
     @staticmethod
     def _maybe_decrypt(path_or_buf):
-        """Excel's legacy default-password encryption: workbooks saved with
+        """Excel's default-password encryption: workbooks saved with
         password 'VelvetSweatshop' open transparently in Excel, so public
         agencies publish them thinking they're plain files (reference
-        excel.py:128-153 decrypts via msoffcrypto). Import-gated like the
-        parse itself; plain workbooks pass through untouched."""
-        try:
-            import io
+        excel.py:128-153 decrypts via msoffcrypto). msoffcrypto handles
+        every scheme when installed; without it, the stdlib decryptor
+        (sources/msoffice_crypto.py) covers ECMA-376 standard encryption
+        (AES + SHA-1) — the scheme Excel's default save uses for .xlsx.
+        Plain workbooks pass through untouched."""
+        import io
 
+        try:
             import msoffcrypto
         except ImportError:
-            return path_or_buf  # no codec available: let pandas try as-is
+            # stdlib path: sniff the CFB magic (a plain .xlsx is a zip,
+            # never CFB), decrypt standard-encrypted containers in-process
+            from openpolicedata_spark.sources.msoffice_crypto import (
+                decrypt_standard,
+                is_encrypted_office,
+            )
+
+            if isinstance(path_or_buf, (str, bytes)):
+                with open(path_or_buf, "rb") as f:
+                    head = f.read(8)
+                    if head[:4] != b"\xd0\xcf\x11\xe0":
+                        return path_or_buf
+                    data = head + f.read()
+            else:
+                data = path_or_buf.read()
+                path_or_buf.seek(0)
+                if data[:4] != b"\xd0\xcf\x11\xe0":
+                    return path_or_buf
+            if is_encrypted_office(data):
+                return io.BytesIO(decrypt_standard(data))
+            return path_or_buf
         try:
             f = (open(path_or_buf, "rb")
                  if isinstance(path_or_buf, (str, bytes)) else path_or_buf)

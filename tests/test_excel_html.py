@@ -98,27 +98,35 @@ def test_html_loader(spark):
         HtmlLoader(spark, url="u", tables=[t, t]).load()
 
 
-def test_excel_loader_requires_backend_without_injection(spark):
+def test_excel_loader_requires_backend_without_injection(spark, tmp_path):
     # .xlsx no longer needs openpyxl (stdlib zip+XML reader); a missing
     # file surfaces as FileNotFoundError from the real parse path.
     with pytest.raises(FileNotFoundError):
         ExcelLoader(spark, url="nope.xlsx").load()
-    # legacy .xls (BIFF) still requires an engine
+    # legacy .xls (BIFF = an unencrypted CFB container) still requires an
+    # engine; the decrypt sniff must pass it through to the clear error
+    from tests.test_msoffice_crypto import write_cfb
+
+    xls = tmp_path / "legacy.xls"
+    xls.write_bytes(write_cfb({"Workbook": b"\x09\x08" + bytes(30)}))
     with pytest.raises(ImportError, match="xlrd"):
-        ExcelLoader(spark, url="legacy.xls").load()
+        ExcelLoader(spark, url=str(xls)).load()
 
 
-def test_maybe_decrypt_passthrough_without_codec():
-    """Without msoffcrypto installed the decrypt hook must pass the input
-    through untouched (import-gated like the parse itself)."""
-    import sys
+def test_maybe_decrypt_passthrough_without_codec(tmp_path):
+    """Without msoffcrypto installed the decrypt hook passes plain
+    (non-CFB) content through untouched — path or buffer."""
+    import io
 
     from openpolicedata_spark.sources.excel import ExcelLoader
 
-    assert "msoffcrypto" not in sys.modules or True  # env has no codec
-    sentinel = object()
     try:
         import msoffcrypto  # noqa: F401
         # codec present (not in this container): behavior covered upstream
     except ImportError:
-        assert ExcelLoader._maybe_decrypt(sentinel) is sentinel
+        buf = io.BytesIO(b"PK\x03\x04 plain zip bytes")
+        assert ExcelLoader._maybe_decrypt(buf) is buf
+        assert buf.tell() == 0  # sniff must rewind
+        p = tmp_path / "plain.xlsx"
+        p.write_bytes(b"PK\x03\x04 plain zip bytes")
+        assert ExcelLoader._maybe_decrypt(str(p)) == str(p)
