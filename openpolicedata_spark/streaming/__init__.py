@@ -448,3 +448,76 @@ def near_dedup_sink(stream_df: DataFrame, out_path: str, index_path: str,
         if q.isActive:
             q.stop()
             q.awaitTermination(30)
+
+
+def countmin_sink(stream_df: DataFrame, key: str, path: str,
+                  depth: int = 4, width: int = 1024,
+                  query_name: str = "countmin",
+                  timeout_s: int = 300) -> None:
+    """Streaming frequency tracking: maintain a Count-Min sketch of a
+    key column over an unbounded stream (foreachBatch + merge).
+
+    Sketches are the streaming-native frequency state: a CMS merge is
+    cell-wise ADDITION, so each micro-batch contributes its own bounded
+    partial (`operators.sketch.countmin_table` — ≤ depth×width rows
+    regardless of batch size) and the running sketch never exceeds
+    depth×width cells. Compare with exact per-key counts, whose state
+    grows with the key cardinality — the reason heavy-hitter monitoring
+    at 100 TB/day uses a sketch. Estimates come from
+    `operators.sketch.countmin_lookup` over the persisted table.
+
+    Exactly-once: addition is NOT idempotent, so a replayed batch would
+    double-count. The sink records applied batch ids in a sidecar
+    parquet and skips batches it has already merged — the manual
+    transaction log a real table format (Delta/Iceberg txn version)
+    provides natively. Write-then-swap as in `upsert_sink`."""
+    import os
+    import shutil
+
+    from openpolicedata_spark.operators.sketch import countmin_table
+
+    spark = stream_df.sparkSession
+    applied_path = path.rstrip("/") + ".__applied__"
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        if os.path.isdir(applied_path):
+            seen = {r["batch_id"] for r in
+                    spark.read.parquet(applied_path).collect()}
+            if batch_id in seen:
+                return  # failure-recovery replay: already merged
+        partial = countmin_table(batch, key, depth=depth, width=width)
+        if os.path.isdir(path):
+            prev = spark.read.parquet(path)
+            partial = (prev.unionByName(partial)
+                       .groupBy("row", "bucket")
+                       .agg(F.sum("cnt").alias("cnt")))
+        tmp = path.rstrip("/") + f".__stage_{batch_id}__"
+        # the running sketch is ≤ depth×width rows — one file is right
+        partial.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            old = path.rstrip("/") + ".__old__"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, path)
+        (spark.createDataFrame([(batch_id,)], "batch_id long")
+         .write.mode("append").parquet(applied_path))
+
+    with tempfile.TemporaryDirectory(prefix="opd_ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream
+            .foreachBatch(body)
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+            q.awaitTermination(30)

@@ -459,3 +459,50 @@ def test_image_ahash_respects_custom_id_col(spark):
     assert {r.img_id for r in got} == {7, 8}
     pairs = image_dup_pairs(df, id_col="img_id", max_hamming=0).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(7, 8, 0)]
+
+
+def test_countmin_sink_stream_equals_batch_sketch(spark, tmp_path):
+    """Micro-batched CMS merge must equal the one-shot batch sketch —
+    cell-wise addition is the merge law the sink relies on. Also checks
+    the replay guard: re-running the drained stream must not
+    double-count."""
+    from openpolicedata_spark.operators.sketch import (
+        countmin_lookup,
+        countmin_table,
+    )
+    from openpolicedata_spark.streaming import countmin_sink
+
+    rows = ([("a",)] * 30 + [("b",)] * 12 + [("c",)] * 4
+            + [(chr(ord("d") + i),) for i in range(8)])
+    full = spark.createDataFrame(rows, "token string")
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    full.where(F.col("token") == "a").coalesce(1).write.parquet(
+        src, mode="append")
+    full.where(F.col("token") != "a").coalesce(1).write.parquet(
+        src, mode="append")
+    sketch_path = str(tmp_path / "cms")
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    countmin_sink(stream, "token", sketch_path, depth=3, width=256)
+
+    merged = spark.read.parquet(sketch_path)
+    expected = countmin_table(full, "token", depth=3, width=256)
+    assert (merged.exceptAll(expected).count() == 0
+            and expected.exceptAll(merged).count() == 0)
+
+    # estimates from the persisted sketch match true counts (wide sketch)
+    keys = full.distinct()
+    est = {r["token"]: r["cm_est"]
+           for r in countmin_lookup(merged, keys, "token", depth=3,
+                                    width=256).collect()}
+    assert est["a"] == 30 and est["b"] == 12 and est["c"] == 4
+
+    # drain again from a fresh checkpoint: same batches re-delivered;
+    # the applied-batch log must make the merge a no-op
+    stream2 = (spark.readStream.schema(full.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    countmin_sink(stream2, "token", sketch_path, depth=3, width=256)
+    merged2 = spark.read.parquet(sketch_path)
+    assert (merged2.exceptAll(expected).count() == 0
+            and expected.exceptAll(merged2).count() == 0)
