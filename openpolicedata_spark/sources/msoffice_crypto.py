@@ -128,8 +128,7 @@ def _mix_columns(s: bytearray) -> None:
         s[4 * c + 3] = _mul(a[0], 3) ^ a[1] ^ a[2] ^ _mul(a[3], 2)
 
 
-def aes_decrypt_block(key: bytes, block: bytes) -> bytes:
-    rks = _expand_key(key)
+def _decrypt_block_rks(rks: list[bytes], block: bytes) -> bytes:
     s = bytearray(block)
     _add_round_key(s, rks[-1])
     for rk in reversed(rks[1:-1]):
@@ -145,8 +144,11 @@ def aes_decrypt_block(key: bytes, block: bytes) -> bytes:
     return bytes(s)
 
 
-def aes_encrypt_block(key: bytes, block: bytes) -> bytes:
-    rks = _expand_key(key)
+def aes_decrypt_block(key: bytes, block: bytes) -> bytes:
+    return _decrypt_block_rks(_expand_key(key), block)
+
+
+def _encrypt_block_rks(rks: list[bytes], block: bytes) -> bytes:
     s = bytearray(block)
     _add_round_key(s, rks[0])
     for rk in rks[1:-1]:
@@ -162,11 +164,19 @@ def aes_encrypt_block(key: bytes, block: bytes) -> bytes:
     return bytes(s)
 
 
+def aes_encrypt_block(key: bytes, block: bytes) -> bytes:
+    return _encrypt_block_rks(_expand_key(key), block)
+
+
 def _ecb(key: bytes, data: bytes, fn) -> bytes:
-    # precompute the schedule once for bulk work
+    # expand the key schedule ONCE for the whole stream (real workbooks
+    # run to megabytes = tens of thousands of blocks)
+    rks = _expand_key(key)
+    block_fn = (_decrypt_block_rks if fn is aes_decrypt_block
+                else _encrypt_block_rks)
     out = bytearray()
     for off in range(0, len(data), 16):
-        out += fn(key, data[off:off + 16])
+        out += block_fn(rks, data[off:off + 16])
     return bytes(out)
 
 
