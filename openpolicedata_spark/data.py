@@ -280,14 +280,19 @@ class Table:
         `max_rows=None` to explicitly accept the risk on a big driver."""
         path = path or self.get_filename("feather", output_dir)
         if max_rows is not None:
-            n = self.table.count()
-            if n > max_rows:
+            # ONE pass: pull max_rows+1 rows; overflow by even one row
+            # means the table is too big. (A separate count() would run
+            # the full plan twice and still not bound driver memory.)
+            pdf = self.table.limit(max_rows + 1).toPandas()
+            if len(pdf) > max_rows:
                 raise ValueError(
                     f"to_feather materializes the whole table on the "
-                    f"driver; this table has {n} rows (> max_rows="
-                    f"{max_rows}). Use to_parquet for large tables, or "
-                    f"pass max_rows=None to override.")
-        self.table.toPandas().to_feather(path)
+                    f"driver; this table exceeds max_rows={max_rows}. "
+                    f"Use to_parquet for large tables, or pass "
+                    f"max_rows=None to override.")
+        else:
+            pdf = self.table.toPandas()
+        pdf.to_feather(path)
         return path
 
 

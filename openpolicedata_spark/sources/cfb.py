@@ -55,7 +55,11 @@ class CfbReader:
     # -- sector plumbing ---------------------------------------------------
 
     def _sector(self, n: int) -> bytes:
-        off = 512 + n * self.sector_size
+        # [MS-CFB] §2.1: sector n starts at (n+1) * sector_size — the
+        # header occupies "sector -1" and is itself padded to the sector
+        # size in version-4 (4096-byte-sector) files. For v3 (512) this
+        # equals the familiar 512 + n*512.
+        off = (n + 1) * self.sector_size
         return self.data[off:off + self.sector_size]
 
     def _load_fat(self) -> list[int]:

@@ -58,17 +58,23 @@ class HtmlLoader(DataLoader):
     def _parse(self) -> pd.DataFrame:
         tables = self._tables
         if tables is None:
+            # fetch ONCE with the browser UA (agency sites 403 the
+            # default Python UA — pd.read_html(url) would hit exactly
+            # that), then hand the text to whichever parser exists
+            text = self._fetch()
             try:
+                import io
+
                 import lxml  # noqa: F401
 
-                tables = pd.read_html(self.url)
+                tables = pd.read_html(io.StringIO(text))
             except ImportError:
                 # stdlib fallback: html.parser-based table extraction
                 # (sources/htmltable.py) — same list-of-frames contract.
                 from openpolicedata_spark.sources.htmltable import (
                     read_html_tables,
                 )
-                tables = read_html_tables(self._fetch())
+                tables = read_html_tables(text)
         if len(tables) != 1:
             # reference html.py expects exactly one table per page
             raise ValueError(f"expected exactly 1 HTML table, got {len(tables)}")

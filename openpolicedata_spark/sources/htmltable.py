@@ -24,6 +24,16 @@ from html.parser import HTMLParser
 import pandas as pd
 
 
+def _span(val) -> int:
+    """Tolerant colspan/rowspan parse: hand-written agency HTML carries
+    values like '100%' or '2 ' — pd.read_html tolerates them, so we fall
+    back to 1 instead of crashing the whole page parse."""
+    try:
+        return max(1, int(str(val).strip()))
+    except (TypeError, ValueError):
+        return 1
+
+
 class _TableBuilder:
     """Accumulates cells into sparse {col: value} rows. Rowspan cells park
     in ``_pending`` and occupy their column in later rows, so new cells in
@@ -124,8 +134,8 @@ class _TableParser(HTMLParser):
                 self._flush_cell()
             d = dict(attrs)
             self._cell_attrs.append((
-                max(1, int(d.get("colspan") or 1)),
-                max(1, int(d.get("rowspan") or 1)),
+                _span(d.get("colspan")),
+                _span(d.get("rowspan")),
                 tag == "th",
             ))
             self._cell_text.append("")
@@ -169,8 +179,12 @@ class _TableParser(HTMLParser):
 
 def read_html_tables(html: str) -> list[pd.DataFrame]:
     """Extract every ``<table>`` from an HTML document as a DataFrame
-    (innermost tables first for nested markup, matching parse order)."""
+    (innermost tables first for nested markup, matching parse order).
+    Tables whose ``</table>`` is missing at EOF are flushed, not dropped
+    (html.parser does not synthesize close tags)."""
     p = _TableParser()
     p.feed(html)
     p.close()
+    while p._stack:  # unclosed <table> at EOF
+        p.handle_endtag("table")
     return [t for t in p.tables if not t.empty or len(t.columns)]

@@ -288,6 +288,39 @@ def running_user_totals(events: DataFrame,
     )
 
 
+def _recover_dir(path: str) -> None:
+    """Crash recovery for the rename-aside swap: if a previous process
+    died between the two renames (table moved aside, replacement not yet
+    in place), the `.__old__` copy is the only table — restore it before
+    reading state. Called at the top of every merging batch."""
+    import os
+
+    old = path.rstrip("/") + ".__old__"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+
+
+def _swap_dir(tmp: str, path: str) -> None:
+    """Swap `tmp` into `path` via rename-aside. The old copy survives (as
+    path.__old__) until the new one is in place, and `_recover_dir`
+    restores it if a crash lands between the renames — so no crash point
+    loses the table. Readers can still observe a brief missing-directory
+    window between the two renames; a real table format (Delta/Iceberg)
+    closes that with atomic metadata commits."""
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        old = path.rstrip("/") + ".__old__"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
+
+
 def upsert_sink(stream_df: DataFrame, path: str,
                 key_cols: tuple[str, ...],
                 order_cols: tuple[str, ...],
@@ -320,6 +353,7 @@ def upsert_sink(stream_df: DataFrame, path: str,
     ks, order = list(key_cols), list(order_cols)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        _recover_dir(path)
         compact = latest_per_key(batch, ks, order)
         if os.path.isdir(path):
             prev = spark.read.parquet(path)
@@ -329,22 +363,7 @@ def upsert_sink(stream_df: DataFrame, path: str,
         # job (Spark would delete inputs before reading them)
         tmp = path.rstrip("/") + f".__stage_{batch_id}__"
         compact.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        # Swap via rename-aside so a crash never loses the table: the
-        # old copy survives (as path.__old__) until the new one is in
-        # place. Readers can still observe a brief missing-directory
-        # window between the two renames — a real table format
-        # (Delta/Iceberg) closes that with atomic metadata commits.
-        if os.path.isdir(path):
-            old = path.rstrip("/") + ".__old__"
-            if os.path.isdir(old):
-                shutil.rmtree(old)
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, path)
+        _swap_dir(tmp, path)
 
     with tempfile.TemporaryDirectory(prefix="opd_ckpt_") as ckpt:
         q = (
@@ -452,6 +471,7 @@ def near_dedup_sink(stream_df: DataFrame, out_path: str, index_path: str,
 
 def countmin_sink(stream_df: DataFrame, key: str, path: str,
                   depth: int = 4, width: int = 1024,
+                  checkpoint_dir: Optional[str] = None,
                   query_name: str = "countmin",
                   timeout_s: int = 300) -> None:
     """Streaming frequency tracking: maintain a Count-Min sketch of a
@@ -467,22 +487,29 @@ def countmin_sink(stream_df: DataFrame, key: str, path: str,
     `operators.sketch.countmin_lookup` over the persisted table.
 
     Exactly-once: addition is NOT idempotent, so a replayed batch would
-    double-count. The sink records applied batch ids in a sidecar
-    parquet and skips batches it has already merged — the manual
-    transaction log a real table format (Delta/Iceberg txn version)
-    provides natively. Write-then-swap as in `upsert_sink`."""
+    double-count. Pass a persistent `checkpoint_dir` for production:
+    Spark's source offsets make batch ids monotonic across runs, and the
+    sink's applied-batch-id sidecar then skips foreachBatch redeliveries
+    (the manual form of a table format's transaction version). With the
+    default ephemeral checkpoint every invocation restarts batch
+    numbering at 0, so the sidecar guard is DISABLED — ids from a
+    previous run would wrongly mask new data; each ephemeral run merges
+    everything the source lists. Write-then-swap with crash recovery as
+    in `upsert_sink`."""
+    import contextlib
     import os
-    import shutil
 
     from openpolicedata_spark.operators.sketch import countmin_table
 
     spark = stream_df.sparkSession
     applied_path = path.rstrip("/") + ".__applied__"
+    guarded = checkpoint_dir is not None
 
     def body(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
-        if os.path.isdir(applied_path):
+        _recover_dir(path)
+        if guarded and os.path.isdir(applied_path):
             seen = {r["batch_id"] for r in
                     spark.read.parquet(applied_path).collect()}
             if batch_id in seen:
@@ -496,19 +523,14 @@ def countmin_sink(stream_df: DataFrame, key: str, path: str,
         tmp = path.rstrip("/") + f".__stage_{batch_id}__"
         # the running sketch is ≤ depth×width rows — one file is right
         partial.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            old = path.rstrip("/") + ".__old__"
-            if os.path.isdir(old):
-                shutil.rmtree(old)
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, path)
-        (spark.createDataFrame([(batch_id,)], "batch_id long")
-         .write.mode("append").parquet(applied_path))
+        _swap_dir(tmp, path)
+        if guarded:
+            (spark.createDataFrame([(batch_id,)], "batch_id long")
+             .write.mode("append").parquet(applied_path))
 
-    with tempfile.TemporaryDirectory(prefix="opd_ckpt_") as ckpt:
+    ctx = (contextlib.nullcontext(checkpoint_dir) if guarded
+           else tempfile.TemporaryDirectory(prefix="opd_ckpt_"))
+    with ctx as ckpt:
         q = (
             stream_df.writeStream
             .foreachBatch(body)

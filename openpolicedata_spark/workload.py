@@ -3217,12 +3217,20 @@ def q95_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability, realized sample. Two tiny aggregates + one broadcast
     join back — the corpus itself never shuffles."""
     d = _read(spark, sf_dir, "documents")
-    # u in [0,1): Knuth multiplicative hash over the 32-bit ring. Mask
-    # doc_id to 32 bits BEFORE the multiply: ids above ~3.5e9 would
-    # overflow int64, which Spark wraps silently but DuckDB raises on —
-    # the engines must agree at 100 TB id ranges, not just testdata's.
-    u = (((F.col("doc_id") % F.lit(4294967296)) * F.lit(2654435761))
-         % F.lit(4294967296)) / F.lit(4294967296.0)
+    # u in [0,1): Knuth multiplicative hash over the 32-bit ring,
+    # SPLIT-MULTIPLIED so no intermediate exceeds int64: even a masked
+    # 32-bit id times 2654435761 reaches ~1.1e19 > 2^63-1 (DuckDB raises
+    # on bigint overflow where Spark wraps — the engines must agree at
+    # 100 TB id ranges, not just testdata's). With x = id mod 2^32 split
+    # as x_lo + 2^16·x_hi: (x·C) mod 2^32 =
+    # (x_lo·C + ((x_hi·C) mod 2^16)·2^16) mod 2^32, every term < 2^48.
+    x = F.col("doc_id") % F.lit(4294967296)
+    x_lo, x_hi = x % F.lit(65536), x / F.lit(65536)
+    x_hi = x_hi.cast("long")  # floor division
+    h = ((x_lo * F.lit(2654435761)
+          + ((x_hi * F.lit(2654435761)) % F.lit(65536)) * F.lit(65536))
+         % F.lit(4294967296))
+    u = h / F.lit(4294967296.0)
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     tot = counts.agg(F.sum("n_s").alias("n_total"),
                      F.sum(F.sqrt(F.col("n_s"))).alias("z"))
@@ -3265,7 +3273,9 @@ rates AS (
 SELECT source, COUNT(*) AS n_docs,
   ROUND(MIN(n_s) / CAST(MIN(n_total) AS DOUBLE), 6) AS natural_share,
   ROUND(MIN(keep_prob), 6) AS keep_prob,
-  SUM(CASE WHEN (((doc_id % 4294967296) * 2654435761) % 4294967296)
+  SUM(CASE WHEN (((doc_id % 4294967296) % 65536) * 2654435761
+                 + ((((doc_id % 4294967296) // 65536) * 2654435761)
+                    % 65536) * 65536) % 4294967296
                / 4294967296.0
              < keep_prob THEN 1 ELSE 0 END) AS n_sampled
 FROM documents JOIN rates USING (source)

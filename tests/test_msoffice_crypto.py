@@ -52,9 +52,12 @@ def _dir_entry(name: str, typ: int, start: int, size: int,
     return bytes(ent)
 
 
-def write_cfb(streams: dict[str, bytes]) -> bytes:
-    """Valid-enough CFB v3: small streams (<4096) go through the mini
-    stream + mini-FAT; large ones get FAT chains — both reader paths."""
+def write_cfb(streams: dict[str, bytes], sector_size: int = 512) -> bytes:
+    """Valid-enough CFB (v3 with 512-byte sectors, v4 with 4096): small
+    streams (<4096) go through the mini stream + mini-FAT; large ones
+    get FAT chains — both reader paths. In v4 the 512-byte header is
+    padded to a full sector ([MS-CFB] §2.2) and sector n starts at
+    (n+1)*sector_size."""
     small = {k: v for k, v in streams.items() if len(v) < 4096}
     large = {k: v for k, v in streams.items() if len(v) >= 4096}
 
@@ -70,8 +73,9 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
     ministream = b"".join(mini_parts)
 
     # sector plan: [dir][minifat][ministream][large streams][fat]
+    S = sector_size
     def n_sectors(nbytes):
-        return max(1, -(-nbytes // 512))
+        return max(1, -(-nbytes // S))
 
     n_dir_entries = 1 + len(streams)
     dir_secs = n_sectors(n_dir_entries * 128)
@@ -98,7 +102,7 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
     assert fat_secs == 1, "fixture stays small"
 
     # FAT: chain within each contiguous run
-    fat = [FREESECT] * (fat_secs * 128)
+    fat = [FREESECT] * (fat_secs * (S // 4))
     def chain(start, count):
         for i in range(count - 1):
             fat[start + i] = start + i + 1
@@ -122,15 +126,15 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
         else:
             entries.append(_dir_entry(name, 2, large_starts[name], len(data)))
     dir_bytes = b"".join(entries)
-    dir_bytes += b"\x00" * (dir_secs * 512 - len(dir_bytes))
+    dir_bytes += b"\x00" * (dir_secs * S - len(dir_bytes))
 
     # header
     head = bytearray(512)
     head[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
     struct.pack_into("<H", head, 24, 0x3E)     # minor
-    struct.pack_into("<H", head, 26, 3)        # major (512B sectors)
+    struct.pack_into("<H", head, 26, 3 if S == 512 else 4)
     struct.pack_into("<H", head, 28, 0xFFFE)   # byte order
-    struct.pack_into("<H", head, 30, 9)        # sector shift
+    struct.pack_into("<H", head, 30, 9 if S == 512 else 12)
     struct.pack_into("<H", head, 32, 6)        # mini shift
     struct.pack_into("<I", head, 44, fat_secs)
     struct.pack_into("<I", head, 48, dir_start)
@@ -144,11 +148,12 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
     struct.pack_into("<109I", head, 76, *difat)
 
     body = {"dir": dir_bytes,
-            "minifat": minifat_bytes + b"\x00" * (minifat_secs * 512
+            "minifat": minifat_bytes + b"\x00" * (minifat_secs * S
                                                   - len(minifat_bytes)),
-            "mini": ministream + b"\x00" * (mini_secs * 512
+            "mini": ministream + b"\x00" * (mini_secs * S
                                             - len(ministream))}
-    out = bytes(head)
+    # v4: the 512-byte header is padded with zeros to a full sector
+    out = bytes(head) + b"\x00" * (S - 512)
     emitted = set()
     for tag in layout:
         if tag == "fat":
@@ -160,7 +165,7 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
         else:  # a large stream
             if tag not in emitted:
                 data = large[tag]
-                out += data + b"\x00" * (large_secs[tag] * 512 - len(data))
+                out += data + b"\x00" * (large_secs[tag] * S - len(data))
                 emitted.add(tag)
     return out
 
@@ -264,3 +269,16 @@ def test_excel_loader_decrypts_velvetsweatshop_end_to_end(spark, tmp_path):
     plain_path = tmp_path / "plain.xlsx"
     plain_path.write_bytes(plain)
     assert ExcelLoader(spark, str(plain_path)).load().count() == 2
+
+
+def test_cfb_v4_4096_byte_sectors():
+    """Version-4 containers (4096-byte sectors, header padded to a full
+    sector): sector n starts at (n+1)*sector_size — the offset formula
+    that breaks if the header is assumed to always be 512 bytes."""
+    small = b"mini stream payload"
+    big = bytes(range(256)) * 24                 # >= 4096: FAT path
+    data = write_cfb({"Small": small, "Big": big}, sector_size=4096)
+    r = CfbReader(data)
+    assert r.sector_size == 4096
+    assert r.read_stream("Small") == small
+    assert r.read_stream("Big") == big

@@ -354,3 +354,19 @@ def test_html_loader_multiple_tables_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="exactly 1"):
         HtmlLoader(spark, str(page)).load()
+
+
+def test_read_html_tables_tolerates_bad_spans_and_unclosed_table():
+    # hand-written agency HTML: junk span values + missing </table>
+    html = """
+    <table>
+      <tr><th colspan="100%">Report</th></tr>
+      <tr><td colspan="abc">1</td><td rowspan=" 2 ">x</td></tr>
+      <tr><td>2</td>
+    """
+    (t,) = read_html_tables(html)
+    # header has 1 cell, data rows have 2 -> padded synthetic column
+    assert list(t.columns) == ["Report", "col_1"]
+    assert t.iloc[0].tolist() == ["1", "x"]   # colspan="abc" -> 1
+    assert t.iloc[1, 1] == "x"   # rowspan=" 2 " parsed as 2, carried down
+    assert len(t) == 2

@@ -463,9 +463,10 @@ def test_image_ahash_respects_custom_id_col(spark):
 
 def test_countmin_sink_stream_equals_batch_sketch(spark, tmp_path):
     """Micro-batched CMS merge must equal the one-shot batch sketch —
-    cell-wise addition is the merge law the sink relies on. Also checks
-    the replay guard: re-running the drained stream must not
-    double-count."""
+    cell-wise addition is the merge law the sink relies on. With a
+    PERSISTENT checkpoint, re-invoking after new data arrives merges
+    only the new files (offsets + the applied-batch sidecar), never
+    double-counting the old ones."""
     from openpolicedata_spark.operators.sketch import (
         countmin_lookup,
         countmin_table,
@@ -476,33 +477,60 @@ def test_countmin_sink_stream_equals_batch_sketch(spark, tmp_path):
             + [(chr(ord("d") + i),) for i in range(8)])
     full = spark.createDataFrame(rows, "token string")
     src = str(tmp_path / "src")
-    # two files -> two micro-batches with maxFilesPerTrigger=1
+    ckpt = str(tmp_path / "ckpt")
+    # first wave: two files -> two micro-batches with maxFilesPerTrigger=1
     full.where(F.col("token") == "a").coalesce(1).write.parquet(
         src, mode="append")
-    full.where(F.col("token") != "a").coalesce(1).write.parquet(
-        src, mode="append")
+    full.where((F.col("token") != "a") & (F.col("token") != "b")) \
+        .coalesce(1).write.parquet(src, mode="append")
     sketch_path = str(tmp_path / "cms")
-    stream = (spark.readStream.schema(full.schema)
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    countmin_sink(stream, "token", sketch_path, depth=3, width=256)
 
-    merged = spark.read.parquet(sketch_path)
-    expected = countmin_table(full, "token", depth=3, width=256)
-    assert (merged.exceptAll(expected).count() == 0
-            and expected.exceptAll(merged).count() == 0)
+    def drain():
+        stream = (spark.readStream.schema(full.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        countmin_sink(stream, "token", sketch_path, depth=3, width=256,
+                      checkpoint_dir=ckpt)
+
+    drain()
+    wave1 = full.where(F.col("token") != "b")
+    expected1 = countmin_table(wave1, "token", depth=3, width=256)
+    merged1 = spark.read.parquet(sketch_path)
+    assert (merged1.exceptAll(expected1).count() == 0
+            and expected1.exceptAll(merged1).count() == 0)
+
+    # second wave: new file appears; re-invocation with the SAME
+    # checkpoint merges it exactly once on top
+    full.where(F.col("token") == "b").coalesce(1).write.parquet(
+        src, mode="append")
+    drain()
+    merged2 = spark.read.parquet(sketch_path)
+    expected2 = countmin_table(full, "token", depth=3, width=256)
+    assert (merged2.exceptAll(expected2).count() == 0
+            and expected2.exceptAll(merged2).count() == 0)
 
     # estimates from the persisted sketch match true counts (wide sketch)
-    keys = full.distinct()
     est = {r["token"]: r["cm_est"]
-           for r in countmin_lookup(merged, keys, "token", depth=3,
-                                    width=256).collect()}
+           for r in countmin_lookup(merged2, full.distinct(), "token",
+                                    depth=3, width=256).collect()}
     assert est["a"] == 30 and est["b"] == 12 and est["c"] == 4
 
-    # drain again from a fresh checkpoint: same batches re-delivered;
-    # the applied-batch log must make the merge a no-op
-    stream2 = (spark.readStream.schema(full.schema)
-               .option("maxFilesPerTrigger", 1).parquet(src))
-    countmin_sink(stream2, "token", sketch_path, depth=3, width=256)
-    merged2 = spark.read.parquet(sketch_path)
-    assert (merged2.exceptAll(expected).count() == 0
-            and expected.exceptAll(merged2).count() == 0)
+
+def test_swap_dir_crash_recovery(tmp_path):
+    """If a crash lands between the two swap renames (table moved aside,
+    replacement not in place), _recover_dir restores the .__old__ copy."""
+    import os
+
+    from openpolicedata_spark.streaming import _recover_dir
+
+    path = str(tmp_path / "table")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0"), "w") as f:
+        f.write("v1")
+    # simulate the crash window: path renamed aside, new copy never landed
+    os.rename(path, path + ".__old__")
+    _recover_dir(path)
+    assert os.path.isdir(path)
+    assert open(os.path.join(path, "part-0")).read() == "v1"
+    # no-op when the table is healthy
+    _recover_dir(path)
+    assert os.path.isdir(path)
