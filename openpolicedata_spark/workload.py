@@ -641,6 +641,20 @@ def q28_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q28_minhash_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of q28: identical pipeline, parameters, and
+    plan shape, but xxhash64 token hashing (JVM-native, ~3× cheaper than
+    md5 + hex juggling). q28 itself hashes with md5lower64 ONLY so the
+    DuckDB oracle can replay the signatures; no production run would.
+    bench.py times THIS variant (under the q28 label, matching what
+    rounds 1-2 measured) — the oracle variant pins correctness of the
+    same code path, the prod variant carries the cost that matters."""
+    return minhash_lsh_dup_pairs(
+        _docs_with_dups(spark, sf_dir), num_hashes=32, bands=8,
+        shingle_k=3, jaccard_threshold=0.8, token_hash="xxhash64",
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 _MULMOD = ("((({a} // 4294967296 * {c}) % 4294967296) * 4294967296"
            " + ({a} % 4294967296) * {c}) % 18446744073709551616")
 

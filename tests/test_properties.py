@@ -356,3 +356,87 @@ def test_funnel_matches_greedy_reference(spark, events):
            for r in out.collect()}
     want = greedy() if rows else {}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# stdlib parser round-trips (no Spark)
+# ---------------------------------------------------------------------------
+
+_cell = st.one_of(
+    st.none(),
+    st.integers(min_value=-2**40, max_value=2**40),
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+            whitelist_characters="&<>'\"",
+        ),
+        min_size=0, max_size=20),
+    st.booleans(),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(_cell, min_size=1, max_size=6),
+                min_size=1, max_size=8))
+def test_xlsx_writer_reader_roundtrip(rows):
+    """Any grid written as a real .xlsx archive parses back cell-exact
+    (strings that are pure whitespace or empty serialize as shared
+    strings and return verbatim; trailing all-None rows/cols have no XML
+    and therefore no coordinates to restore)."""
+    from tests.test_native_parsers import make_xlsx
+
+    from openpolicedata_spark.sources.xlsx import read_xlsx
+
+    grids = read_xlsx(make_xlsx({"S": rows}))
+    g = grids["S"]
+    width = max((max((i for i, v in enumerate(r) if v is not None),
+                     default=-1) + 1) for r in rows)
+    height = max((ri for ri, r in enumerate(rows)
+                  if any(v is not None for v in r)), default=-1) + 1
+    if height == 0:
+        assert g.empty
+        return
+    assert g.shape == (height, width)
+    for ri in range(height):
+        for ci in range(width):
+            want = rows[ri][ci] if ci < len(rows[ri]) else None
+            got = g.iloc[ri, ci]
+            if want is None:
+                assert got is None
+            else:
+                assert got == want and type(got) is type(want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.lists(st.text(alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"),
+        whitelist_characters=" &"), min_size=1, max_size=12),
+        min_size=2, max_size=5),
+    min_size=2, max_size=6).filter(
+        lambda rows: len({len(r) for r in rows}) == 1))
+def test_htmltable_render_parse_roundtrip(rows):
+    """A rectangular table rendered as plain th/td HTML parses back with
+    the first row as header and every cell intact (entities escaped on
+    the way in, decoded on the way out)."""
+    import html as html_mod
+
+    from openpolicedata_spark.sources.htmltable import read_html_tables
+
+    head = "".join(f"<th>{html_mod.escape(c)}</th>" for c in rows[0])
+    body = "".join(
+        "<tr>" + "".join(f"<td>{html_mod.escape(c)}</td>" for c in r)
+        + "</tr>" for r in rows[1:])
+    (t,) = read_html_tables(
+        f"<table><tr>{head}</tr>{body}</table>")
+    # cell text is stripped on parse (HTML ignores edge whitespace);
+    # empty header cells synthesize col_<i> placeholders
+    assert list(t.columns) == [
+        c.strip() if c.strip() else f"col_{i}"
+        for i, c in enumerate(rows[0])]
+    assert len(t) == len(rows) - 1
+    for ri, r in enumerate(rows[1:]):
+        for ci, c in enumerate(r):
+            want = c.strip()
+            got = t.iloc[ri, ci]
+            assert (got is None and want == "") or got == want
