@@ -42,6 +42,12 @@ BENCH_QUERIES = [
     "q88_rare_token_share",
     "q91_user_features",
     "q92_funnel",
+    # round-3 additions (sketches + LM stats + curriculum): all
+    # map-side-combine-bounded or broadcast designs — flat-ish vs SF
+    "q98_countmin_freq",
+    "q100_bigram_lm",
+    "q102_curriculum_bins",
+    "q105_linear_count",
 ]
 
 
