@@ -215,3 +215,50 @@ def test_q94_q95_broadcast_stats_no_corpus_shuffle(spark, sf_dir):
         assert s.n_broadcast_joins >= 1, (name, s.text)
         assert s.n_sortmerge_joins == 0, (name, s.text)
         assert_no_python_in_plan(df)
+
+
+def test_q98_countmin_sketch_broadcasts_into_lookup(spark, sf_dir):
+    """The CMS table is ≤ depth×width rows — the lookup join must
+    broadcast it, and the whole pipeline stays JVM-side."""
+    df = workload.queries()["q98_countmin_freq"](spark, sf_dir)
+    assert_broadcast_join(df, min_joins=1)
+    assert_no_python_in_plan(df)
+    s = summarize_plan(df)
+    assert s.n_sortmerge_joins == 0
+
+
+def test_q102_curriculum_bins_has_no_global_window(spark, sf_dir):
+    """Decile binning must come from broadcast percentile boundaries, NOT
+    a global ntile window (which sorts the corpus on one task)."""
+    df = workload.queries()["q102_curriculum_bins"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert "Window" not in t
+    assert_no_python_in_plan(df)
+
+
+def test_q99_power_step_single_exchange(spark, sf_dir):
+    """w = Xᵀ(Xv): one groupBy(pos) shuffle whose map side is partially
+    aggregated — the shuffle carries ≤ dim rows per partition."""
+    df = workload.queries()["q99_power_iteration"](spark, sf_dir)
+    assert_max_exchanges(df, 1)
+    s = summarize_plan(df)
+    assert "partial" in s.text.lower()
+
+
+def test_q104_stratified_sample_one_exchange_per_stratum_window(
+        spark, sf_dir):
+    """Per-stratum top-n: ONE hash exchange on the strata key feeding a
+    partitioned window — no global sort."""
+    df = workload.queries()["q104_stratified_sample"](spark, sf_dir)
+    assert_max_exchanges(df, 1)
+    t = formatted_plan(df)
+    assert "Window" in t
+
+
+def test_q105_linear_count_no_python_and_partial_distinct(spark, sf_dir):
+    df = workload.queries()["q105_linear_count"](spark, sf_dir)
+    assert_no_python_in_plan(df)
+    s = summarize_plan(df)
+    # two aggregations (occupancy + truth) then a join on 20 sources:
+    # the join side must not sort-merge a 20-row frame
+    assert s.n_sortmerge_joins == 0
