@@ -304,3 +304,68 @@ def weighted_mix(
                F.lit(1_000_000_007)),
         F.lit(100)) < pct_expr
     return df.where(keep)
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_frac: float = 0.2,
+    min_line_chars: int = 1,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the CCNet/RefinedWeb step):
+    drop every line that appears in more than `max_doc_frac` of the
+    documents — cookie banners, nav menus, license footers — and
+    reassemble the remaining lines in their original order.
+
+    Distributed shape: posexplode lines (narrow) → line-digest document
+    frequency (ONE groupBy on a 16-byte md5, map-side combined — the
+    shuffle carries digests, not lines) → broadcast-able frequency join
+    back (boilerplate lines are FEW by definition: join against only the
+    over-threshold digests, anti-join semantics) → per-doc ordered
+    reassembly via sort_array(collect_list(struct(pos, line))). The
+    reassembly groupBy reuses the doc key; nothing ever sorts globally.
+    Lines are matched on their trimmed form; `min_line_chars` exempts
+    short separators from the frequency count (they'd always trip the
+    threshold).
+
+    Returns (id_col, out_col) — join back to the source for the payload.
+    Docs whose every line is boilerplate yield an empty string.
+    """
+    n_docs = df.count()
+    threshold = max(1, int(max_doc_frac * n_docs))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("__lt__", F.trim(F.col("line")))
+    # document frequency per line digest: distinct (doc, digest) first so
+    # a line repeated within one doc counts once
+    boiler = (
+        lines.where(F.length("__lt__") >= min_line_chars)
+        .select(id_col, F.md5(F.col("__lt__")).alias("__d__"))
+        .distinct()
+        .groupBy("__d__").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > threshold)
+        .select("__d__")
+    )
+    kept = lines.join(
+        F.broadcast(boiler),
+        F.md5(F.col("__lt__")) == F.col("__d__"),
+        how="left_anti",
+    )
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ), "\n").alias(out_col))
+    )
+    # a doc whose every line was boilerplate has no kept rows — restore
+    # it as an empty string so the output stays one row per input doc
+    return (
+        df.select(id_col)
+        .join(reassembled, on=id_col, how="left")
+        .select(id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
+    )

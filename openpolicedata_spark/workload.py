@@ -3784,6 +3784,74 @@ FROM occ JOIN tr USING (source)
 """
 
 
+def q106_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal (operators/textpipe.
+    remove_boilerplate_lines — the CCNet/RefinedWeb cleanup step). The
+    testdata documents are single-line, so the query first synthesizes a
+    lined corpus deterministically: two content lines sliced from each
+    doc's own text, one footer injected into EVERY doc, and one banner
+    injected into every third doc. Both injected lines exceed the 20%
+    document-frequency threshold and must vanish; the content lines are
+    unique and must survive in order. Output is (doc_id, n_chars, md5)
+    of the cleaned text — an exact content pin without shipping the
+    text through the comparator."""
+    from openpolicedata_spark.operators.textpipe import (
+        remove_boilerplate_lines,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 60),
+            F.lit("all rights reserved - city police department"),
+            F.substring("text", 61, 60),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("subscribe for alerts")),
+        ).alias("text"),
+    )
+    clean = remove_boilerplate_lines(lined, max_doc_frac=0.2)
+    return clean.select(
+        "doc_id",
+        F.length("clean_text").alias("n_chars"),
+        F.md5("clean_text").alias("content_md5"),
+    )
+
+
+_Q106_SQL = """
+WITH lined AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      substring(text, 1, 60),
+      'all rights reserved - city police department',
+      substring(text, 61, 60),
+      CASE WHEN doc_id % 3 = 0 THEN 'subscribe for alerts' END) AS text
+  FROM documents),
+lines AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+         string_split(text, chr(10))[CAST(i AS INT)] AS line
+  FROM lined, unnest(range(1, len(string_split(text, chr(10))) + 1)) r(i)),
+lt AS (SELECT doc_id, pos, line, trim(line) AS t FROM lines),
+thresh AS (
+  SELECT GREATEST(1, CAST(FLOOR(0.2 * COUNT(*)) AS BIGINT)) AS k
+  FROM documents),
+boiler AS (
+  SELECT md5(t) AS d
+  FROM (SELECT DISTINCT doc_id, t FROM lt WHERE length(t) >= 1)
+  GROUP BY md5(t)
+  HAVING COUNT(*) > (SELECT k FROM thresh)),
+kept AS (
+  SELECT doc_id, pos, line FROM lt
+  WHERE md5(t) NOT IN (SELECT d FROM boiler)),
+clean AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT doc_id, length(clean_text) AS n_chars, md5(clean_text) AS content_md5
+FROM clean
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3891,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_feature_hashing": q103_feature_hashing,
         "q104_stratified_sample": q104_stratified_sample,
         "q105_linear_count": q105_linear_count,
+        "q106_boilerplate_lines": q106_boilerplate_lines,
     }
     return base
 
@@ -4005,4 +4074,5 @@ def oracle_sql() -> dict[str, str]:
         "q103_feature_hashing": _Q103_SQL,
         "q104_stratified_sample": _Q104_SQL,
         "q105_linear_count": _Q105_SQL,
+        "q106_boilerplate_lines": _Q106_SQL,
     }

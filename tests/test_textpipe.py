@@ -268,3 +268,41 @@ def test_weighted_mix_default_pct_and_validation(spark):
     assert weighted_mix(docs, {"web": 50}, default_pct=0).count() == 0
     with pytest.raises(ValueError):
         weighted_mix(docs, {"web": 101})
+
+
+def test_remove_boilerplate_lines(spark):
+    from openpolicedata_spark.operators.textpipe import (
+        remove_boilerplate_lines,
+    )
+
+    footer = "copyright city pd"
+    docs = [
+        (1, f"unique one\n{footer}\nalpha"),
+        (2, f"unique two\n{footer}"),
+        (3, f"unique three\n{footer}\nalpha"),
+        (4, f"unique four\n{footer}\n\nbeta"),
+        (5, "unique five"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"]
+           for r in remove_boilerplate_lines(
+               df, max_doc_frac=0.5).collect()}
+    # footer in 4/5 docs (>50%) -> dropped everywhere; 'alpha' in 2/5
+    # (40% <= threshold) -> kept; order preserved; empty line kept
+    assert out[1] == "unique one\nalpha"
+    assert out[2] == "unique two"
+    assert out[3] == "unique three\nalpha"
+    assert out[4] == "unique four\n\nbeta"
+    assert out[5] == "unique five"
+
+
+def test_remove_boilerplate_lines_all_boiler_doc_empty(spark):
+    from openpolicedata_spark.operators.textpipe import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same line") for i in range(4)], "doc_id long, text string")
+    out = remove_boilerplate_lines(df, max_doc_frac=0.2).collect()
+    assert len(out) == 4
+    assert all(r["clean_text"] == "" for r in out)
