@@ -3852,6 +3852,53 @@ FROM clean
 """
 
 
+def q107_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing audit: assign each doc to a token-count
+    quartile bucket (boundaries from the exact `percentile` aggregate,
+    broadcast — q102's no-global-window technique) and report per-bucket
+    padding waste if each bucket were padded to its max length — the
+    number that justifies length-bucketed batching over random batching
+    in a training loader. Waste fraction = 1 - sum(len)/(n·max_len)."""
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select("doc_id", token_count_expr(F.col("text")).alias("n_tok"))
+    bounds = scored.agg(F.percentile(
+        "n_tok", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("bs"))
+    binned = scored.crossJoin(F.broadcast(bounds)).select(
+        "n_tok",
+        (F.lit(1) + F.size(F.filter(
+            F.col("bs"), lambda b: b < F.col("n_tok")))).alias("bucket"),
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("max_tok"),
+        F.sum("n_tok").alias("sum_tok"),
+        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+        .alias("pad_tokens"),
+        F.round(F.lit(1.0) - F.sum("n_tok")
+                / (F.count(F.lit(1)) * F.max("n_tok")).cast("double"), 6)
+        .alias("waste_frac"),
+    )
+
+
+_Q107_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents),
+b AS (SELECT quantile_cont(n_tok, [0.25, 0.5, 0.75]) AS bs FROM m),
+binned AS (
+  SELECT n_tok, 1 + len(list_filter(bs, x -> x < n_tok)) AS bucket
+  FROM m, b)
+SELECT bucket, COUNT(*) AS n_docs, MAX(n_tok) AS max_tok,
+  SUM(n_tok) AS sum_tok,
+  COUNT(*) * MAX(n_tok) - SUM(n_tok) AS pad_tokens,
+  ROUND(1.0 - SUM(n_tok) / CAST(COUNT(*) * MAX(n_tok) AS DOUBLE), 6)
+    AS waste_frac
+FROM binned GROUP BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3960,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_stratified_sample": q104_stratified_sample,
         "q105_linear_count": q105_linear_count,
         "q106_boilerplate_lines": q106_boilerplate_lines,
+        "q107_padding_waste": q107_padding_waste,
     }
     return base
 
@@ -4075,4 +4123,5 @@ def oracle_sql() -> dict[str, str]:
         "q104_stratified_sample": _Q104_SQL,
         "q105_linear_count": _Q105_SQL,
         "q106_boilerplate_lines": _Q106_SQL,
+        "q107_padding_waste": _Q107_SQL,
     }
