@@ -134,7 +134,11 @@ NUMERIC_RACE_CODES: dict[str, dict[str, str]] = {
 # (_converters.py:434-610, condensed into one ordered rule table).
 RACE_PATTERNS: list[tuple[str, str]] = [
     (r"^(W|WHITE|CAUCASIAN|WN|WHITE[ -]NON[ -]?HISPANIC)$", Race.WHITE),
-    (r"^(B|BLACK|AFRICAN[ -]?AMERICAN|AFR AMERICAN|BLK)", Race.BLACK),
+    # anchored BOTH ends like every sibling rule: an open tail made any
+    # B-prefixed value BLACK ('BIRACIAL' belongs to MULTI below, 'BLANK'
+    # to unspecified; reference _converters.py:502-505 word-bounds BLACK)
+    (r"^(B|BLACK|AFRICAN[ -]?AMERICAN|AFR AMERICAN|BLK)$", Race.BLACK),
+    (r"^BLACK[^A-Z]", Race.BLACK),
     (r"^(H|HISPANIC|LATINO|LATINA|LATIN|HISPANIC OR LATINO|HIS)$", Race.LATINO),
     (r"(HISPANIC|LATIN)", Race.LATINO),
     (r"^(A|ASIAN|AS)$", Race.ASIAN),

@@ -48,6 +48,65 @@ def _token_hash_expr(tok: Column, token_hash: str) -> Column:
 _MERSENNE_31 = (1 << 31) - 1
 
 
+def check_banding(num_hashes: int, bands: int) -> int:
+    """Validate the LSH banding config and return rows_per_band.
+
+    bands > num_hashes would make rows_per_band 0 — every band slice is
+    the empty array, every doc hashes into ONE bucket, and the pair
+    explosion goes quadratic in the corpus (in the streaming sink it
+    instead silently drops every doc after the first batch as a
+     'duplicate'). A non-divisor silently ignores the trailing hashes.
+    Both are config bugs worth an error, not a degraded run."""
+    if bands < 1 or bands > num_hashes:
+        raise ValueError(f"bands must be in [1, num_hashes]; got bands="
+                         f"{bands}, num_hashes={num_hashes}")
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) — "
+            f"otherwise {num_hashes % bands} signature hashes are "
+            "silently unused")
+    return num_hashes // bands
+
+
+def band_hash_col(minhash: Column, bands: int, rows_per_band: int) -> Column:
+    """(band_id, band_hash) pairs for LSH banding: xxhash64 of each
+    rows_per_band slice of the signature. Shared by the batch LSH pair
+    generator and the streaming near-dedup sink so live and backfill
+    can never disagree on what collides."""
+    return F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
+                F.slice(minhash, b * rows_per_band + 1, rows_per_band)),
+        )
+    )
+
+
+def bucket_pairs(buckets: DataFrame, list_col: str, make_pair) -> DataFrame:
+    """All i<j pairs within each bucket's sorted list: the shared
+    explosion behind every blocked near-dup operator (minhash, simhash,
+    edit-distance, image ahash). `make_pair(x, y)` builds the output
+    struct from two list elements; its fields become the columns.
+    Buckets are capped upstream (`max_bucket_size`), so the interpreted
+    higher-order lambdas stay off the critical path."""
+    ms = F.col(list_col)
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(F.transform(
+                    ms,
+                    lambda x, i: F.transform(
+                        F.slice(ms, i + F.lit(2), F.size(ms)),
+                        lambda y: make_pair(x, y),
+                    ),
+                ))
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one row (min id) per distinct normalized text, as a single
@@ -252,7 +311,7 @@ def minhash_lsh_dup_pairs(
     boilerplate near-identical docs) can stall the stage; oversized buckets
     are dropped (run exact_dedup first so identical docs never form one).
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = check_banding(num_hashes, bands)
     # ONE materialization feeds both the signature and verify branches.
     # (The columnar .persist() cache is NOT used: building the columnar
     # cache for array<long> columns measured 2.4× slower than recompute;
@@ -263,14 +322,8 @@ def minhash_lsh_dup_pairs(
         ms = ms.localCheckpoint(eager=False)
     banded = ms.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
-        ).alias("band_id", "band_hash"),
+        band_hash_col(F.col("minhash"), bands, rows_per_band)
+        .alias("band_id", "band_hash"),
     )
     buckets = (
         banded.groupBy("band_id", "band_hash")
@@ -280,24 +333,10 @@ def minhash_lsh_dup_pairs(
     if max_bucket_size is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket_size)
     # all i<j pairs within a bucket; ids sorted → id_a < id_b by
-    # construction. Buckets are small, so the interpreted higher-order
-    # lambdas stay off the critical path.
-    ids = F.col("ids")
-    cand = (
-        buckets.select(
-            F.explode(
-                F.flatten(F.transform(
-                    ids,
-                    lambda x, i: F.transform(
-                        F.slice(ids, i + F.lit(2), F.size(ids)),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                ))
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    # construction (shared bucket_pairs helper).
+    cand = bucket_pairs(
+        buckets, "ids",
+        lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")))
     # exact verify on HASHED shingles: intersect/union over longs, not
     # strings — cuts the verify-join shuffle to 8 bytes per shingle and the
     # comparison to integer equality (collision probability ~2^-64).
@@ -444,26 +483,11 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
     if max_bucket_size is not None:
         buckets = buckets.where(F.size("ms") <= max_bucket_size)
-    ms = F.col("ms")
-    cand = (
-        buckets.select(
-            F.explode(
-                F.flatten(F.transform(
-                    ms,
-                    lambda x, i: F.transform(
-                        F.slice(ms, i + F.lit(2), F.size(ms)),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"), y["id"].alias("id_b"),
-                            F.bit_count(x["sim"].bitwiseXOR(y["sim"]))
-                            .alias("hamming"),
-                        ),
-                    ),
-                ))
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b", "p.hamming")
-        .distinct()
-    )
+    cand = bucket_pairs(
+        buckets, "ms",
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"), y["id"].alias("id_b"),
+            F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming")))
     return cand.where(F.col("hamming") <= max_hamming)
 
 
@@ -551,6 +575,14 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels.drop("changed")
         if changed == 0:
             break
+    else:
+        # silent non-convergence would hand dedup_cascade WRONG labels: a
+        # >max_iterations-diameter chain (long boilerplate families) would
+        # keep several 'kept' survivors per component. Fail loudly instead.
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iterations} rounds — "
+            "a component's diameter exceeds max_iterations; raise "
+            "max_iterations (rounds are O(diameter), one shuffle each)")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
@@ -724,18 +756,9 @@ def edit_distance_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket_size)
-    ids = F.col("ids")
-    cand = (
-        buckets.select(F.explode(F.flatten(F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        ))).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    cand = bucket_pairs(
+        buckets, "ids",
+        lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")))
     ta = base.select(F.col(id_col).alias("id_a"), F.col("__nt__").alias("__ta__"))
     tb = base.select(F.col(id_col).alias("id_b"), F.col("__nt__").alias("__tb__"))
     return (

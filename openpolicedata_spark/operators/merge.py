@@ -83,8 +83,16 @@ def merge_tables(
                 "No join key given and none could be inferred; pass on=/left_on=/right_on="
             )
 
-    lk = [left_on] if isinstance(left_on, str) else (left_on or [on] if isinstance(on, str) else on)
+    # normalize every spelling to a key LIST; `on` may be str, list, or
+    # None (None only when left_on was given)
+    lk = ([left_on] if isinstance(left_on, str)
+          else left_on or ([on] if isinstance(on, str) else on))
     rk = [right_on] if isinstance(right_on, str) else (right_on or lk)
+    if not lk:
+        raise ValueError("merge_tables needs on= or left_on=")
+    if len(lk) != len(rk):
+        raise ValueError(
+            f"left_on/right_on length mismatch: {len(lk)} vs {len(rk)}")
 
     # Suffix overlapping non-key right columns (reference data.py:352-370).
     overlap = (set(left.columns) & set(right.columns)) - set(rk)

@@ -99,7 +99,11 @@ def binary_features(df: DataFrame, content_col: str = "content",
             content = pdf[content_col]
             yield pd.DataFrame({
                 "media_id": pdf[id_col],
-                "byte_len": content.map(lambda b: len(b) if b is not None else 0),
+                # NULL content → NULL length (SQL octet_length semantics;
+                # an empty-but-present payload is byte_len 0, a missing
+                # one is NULL — pcm_features makes the same distinction)
+                "byte_len": content.map(
+                    lambda b: len(b) if b is not None else None),
                 "digest": content.map(
                     lambda b: hashlib.md5(b).hexdigest() if b is not None else None),
                 "mean_pixel": content.map(
@@ -309,24 +313,13 @@ def image_dup_pairs(df: DataFrame, max_hamming: int = 3,
     )
     if max_bucket_size is not None:
         buckets = buckets.where(F.size("ms") <= max_bucket_size)
-    ms = F.col("ms")
-    cand = (
-        buckets.select(
-            F.explode(
-                F.flatten(F.transform(
-                    ms,
-                    lambda x, i: F.transform(
-                        F.slice(ms, i + F.lit(2), F.size(ms)),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"), y["id"].alias("id_b"),
-                            x["ahash"].alias("ha"), y["ahash"].alias("hb")),
-                    ),
-                ))
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b", "p.ha", "p.hb")
-        .distinct()
-    )
+    from openpolicedata_spark.operators.dedup import bucket_pairs
+
+    cand = bucket_pairs(
+        buckets, "ms",
+        lambda x, y: F.struct(
+            x["id"].alias("id_a"), y["id"].alias("id_b"),
+            x["ahash"].alias("ha"), y["ahash"].alias("hb")))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (cand.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)

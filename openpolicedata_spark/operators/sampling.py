@@ -27,12 +27,18 @@ def split_hash_expr(key: Column, seed: str = "") -> Column:
 
 
 def _thresholds(weights: Sequence[float]) -> list[str]:
-    """Cumulative weight boundaries as 2-digit hex strings over 256 buckets."""
+    """Cumulative weight boundaries as 2-digit hex strings over 256
+    buckets. A cumulative weight that rounds to the full 256 must absorb
+    EVERY bucket including 'ff' — capping it at 'ff' with the strict
+    `bucket < bound` comparison would leak the 0xff bucket (~1/256 of
+    keys) into the next split even at weight 0. 'g' sorts after every
+    hex digit, so it is the lexicographic +infinity for 2-hex buckets."""
     total = float(sum(weights))
     bounds, acc = [], 0.0
     for w in weights[:-1]:
         acc += w / total
-        bounds.append(format(min(255, int(round(acc * 256))), "02x"))
+        v = int(round(acc * 256))
+        bounds.append("g" if v >= 256 else format(v, "02x"))
     return bounds
 
 

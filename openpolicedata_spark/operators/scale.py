@@ -90,7 +90,18 @@ def salted_broadcast_join(
 ) -> DataFrame:
     """Skew-proof join: salt the big side, replicate the (broadcast) small
     side once per salt, join on (key, salt). The hot key's rows land in
-    `n_salts` different tasks instead of one."""
+    `n_salts` different tasks instead of one.
+
+    Only inner/left semantics are salt-safe: in a right/full outer join
+    an unmatched small-side key survives once PER SALT COPY (n_salts
+    null-extended duplicates), so those modes are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_broadcast_join cannot run how={how!r}: the small "
+            "side is replicated n_salts times, so right/full-outer "
+            "semantics would emit one duplicate per salt for unmatched "
+            "small-side keys")
     salted_big = with_salt(big, n_salts)
     exploded_small = small.withColumn(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -335,23 +335,26 @@ def remove_boilerplate_lines(
     """
     n_docs = df.count()
     threshold = max(1, int(max_doc_frac * n_docs))
+    # digest projected ONCE: both the frequency groupBy and the anti-join
+    # consume the attribute instead of re-hashing every line per use
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("__lt__", F.trim(F.col("line")))
+    ).withColumn("__lt__", F.trim(F.col("line"))) \
+     .withColumn("__d__", F.md5(F.col("__lt__")))
     # document frequency per line digest: distinct (doc, digest) first so
     # a line repeated within one doc counts once
     boiler = (
         lines.where(F.length("__lt__") >= min_line_chars)
-        .select(id_col, F.md5(F.col("__lt__")).alias("__d__"))
+        .select(id_col, "__d__")
         .distinct()
         .groupBy("__d__").agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > threshold)
-        .select("__d__")
+        .select(F.col("__d__").alias("__bd__"))
     )
     kept = lines.join(
         F.broadcast(boiler),
-        F.md5(F.col("__lt__")) == F.col("__d__"),
+        F.col("__d__") == F.col("__bd__"),
         how="left_anti",
     )
     reassembled = (

@@ -412,26 +412,24 @@ def near_dedup_sink(stream_df: DataFrame, out_path: str, index_path: str,
     bucket groupBy uses."""
     import os
 
-    from openpolicedata_spark.operators.dedup import shingle_minhash
+    from openpolicedata_spark.operators.dedup import (
+        band_hash_col,
+        check_banding,
+        shingle_minhash,
+    )
 
     spark = stream_df.sparkSession
+    rows_per_band = check_banding(num_hashes, bands)
 
     def body(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
         ms = shingle_minhash(batch, text_col, id_col,
                              num_hashes, shingle_k, seed)
-        rows_per_band = num_hashes // bands
         banded = ms.select(
             F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.xxhash64(
-                        F.slice(F.col("minhash"),
-                                b * rows_per_band + 1, rows_per_band)),
-                )
-            ).alias("band_id", "band_hash"),
+            band_hash_col(F.col("minhash"), bands, rows_per_band)
+            .alias("band_id", "band_hash"),
         ).localCheckpoint(eager=False)
         # seen before: collide with the persisted index
         if os.path.isdir(index_path):
@@ -489,34 +487,40 @@ def countmin_sink(stream_df: DataFrame, key: str, path: str,
     Exactly-once: addition is NOT idempotent, so a replayed batch would
     double-count. Pass a persistent `checkpoint_dir` for production:
     Spark's source offsets make batch ids monotonic across runs, and the
-    sink's applied-batch-id sidecar then skips foreachBatch redeliveries
-    (the manual form of a table format's transaction version). With the
-    default ephemeral checkpoint every invocation restarts batch
-    numbering at 0, so the sidecar guard is DISABLED — ids from a
-    previous run would wrongly mask new data; each ephemeral run merges
-    everything the source lists. Write-then-swap with crash recovery as
-    in `upsert_sink`."""
+    sink then records each applied batch id as a MARKER ROW inside the
+    sketch table itself (row = -1, bucket = batch_id, cnt = 0) — the
+    marker commits in the SAME atomic directory swap as the counts it
+    describes, so no crash point can separate them (a sidecar written
+    after the swap would leave a double-count window; written before, a
+    data-loss window). Lookups never see markers: `countmin_lookup`
+    probes rows 0..depth-1 only. With the default ephemeral checkpoint
+    every invocation restarts batch numbering at 0, so the guard is
+    DISABLED — ids from a previous run would wrongly mask new data; each
+    ephemeral run merges everything the source lists. Write-then-swap
+    with crash recovery as in `upsert_sink`."""
     import contextlib
     import os
 
     from openpolicedata_spark.operators.sketch import countmin_table
 
     spark = stream_df.sparkSession
-    applied_path = path.rstrip("/") + ".__applied__"
     guarded = checkpoint_dir is not None
 
     def body(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
         _recover_dir(path)
-        if guarded and os.path.isdir(applied_path):
-            seen = {r["batch_id"] for r in
-                    spark.read.parquet(applied_path).collect()}
-            if batch_id in seen:
+        prev = spark.read.parquet(path) if os.path.isdir(path) else None
+        if guarded and prev is not None:
+            applied = {r["bucket"] for r in
+                       prev.where(F.col("row") == -1).collect()}
+            if batch_id in applied:
                 return  # failure-recovery replay: already merged
         partial = countmin_table(batch, key, depth=depth, width=width)
-        if os.path.isdir(path):
-            prev = spark.read.parquet(path)
+        if guarded:
+            partial = partial.unionByName(spark.createDataFrame(
+                [(-1, batch_id, 0)], "row int, bucket long, cnt long"))
+        if prev is not None:
             partial = (prev.unionByName(partial)
                        .groupBy("row", "bucket")
                        .agg(F.sum("cnt").alias("cnt")))
@@ -524,9 +528,6 @@ def countmin_sink(stream_df: DataFrame, key: str, path: str,
         # the running sketch is ≤ depth×width rows — one file is right
         partial.coalesce(1).write.mode("overwrite").parquet(tmp)
         _swap_dir(tmp, path)
-        if guarded:
-            (spark.createDataFrame([(batch_id,)], "batch_id long")
-             .write.mode("append").parquet(applied_path))
 
     ctx = (contextlib.nullcontext(checkpoint_dir) if guarded
            else tempfile.TemporaryDirectory(prefix="opd_ckpt_"))

@@ -295,3 +295,54 @@ def test_expand_maptype_dict_columns(spark):
     out = expand(df).orderBy("id", "PERSON_INDEX").collect()
     assert [(r.id, r.PERSON_INDEX, r.race, r.note) for r in out] == [
         (1, 0, "WHITE", "x"), (1, 1, "BLACK", "x"), (2, 0, "ASIAN", "y")]
+
+
+def test_merge_tables_list_keys(spark):
+    """left_on/right_on as LISTS (the pd.merge parity case that used to
+    crash on an operator-precedence bug in key normalization)."""
+    from openpolicedata_spark.operators.merge import merge_tables
+
+    l = spark.createDataFrame([(1, "x", 10), (2, "y", 20)],
+                              "a long, b string, v long")
+    r = spark.createDataFrame([(1, "x", "m1"), (2, "z", "m2")],
+                              "c long, d string, w string")
+    out = merge_tables(l, r, left_on=["a", "b"], right_on=["c", "d"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 10 and rows[0]["w"] == "m1"
+    # same-name list keys
+    r2 = spark.createDataFrame([(1, "x", "m1")], "a long, b string, w string")
+    assert merge_tables(l, r2, left_on=["a", "b"]).count() == 1
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mismatch"):
+        merge_tables(l, r, left_on=["a", "b"], right_on=["c"])
+
+
+def test_lsh_banding_validation(spark):
+    from openpolicedata_spark.operators.dedup import (
+        check_banding,
+        minhash_lsh_dup_pairs,
+    )
+    import pytest as _pt
+
+    assert check_banding(64, 16) == 4
+    with _pt.raises(ValueError, match="bands must be in"):
+        check_banding(64, 100)
+    with _pt.raises(ValueError, match="divide"):
+        check_banding(64, 24)
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        minhash_lsh_dup_pairs(df, num_hashes=32, bands=33).count()
+
+
+def test_dup_clusters_raises_on_non_convergence(spark):
+    from openpolicedata_spark.operators.dedup import dup_clusters
+    import pytest as _pt
+
+    # a 6-node chain has diameter 5 > max_iterations=2
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long")
+    with _pt.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iterations=2)
+    # enough rounds: one component labeled by its minimum
+    ok = dup_clusters(chain, max_iterations=10)
+    assert {r["cluster_id"] for r in ok.collect()} == {1}

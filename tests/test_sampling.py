@@ -123,3 +123,17 @@ class TestInt8Quantize:
         bad = emb.select(q["q_min"].alias("mn"), q["q_max"].alias("mx")) \
                  .where((F.col("mn") < -127) | (F.col("mx") > 127)).count()
         assert bad == 0
+
+
+def test_hash_split_zero_weight_gets_nothing(spark):
+    """weights=(1, 0): the 0xff md5 bucket must NOT leak into the
+    zero-weight split (the boundary saturates past 'ff')."""
+    from openpolicedata_spark.operators.sampling import hash_split
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", splits=("train", "test"),
+                     weights=(1.0, 0.0))
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert counts.get("test", 0) == 0
+    assert counts["train"] == 4000

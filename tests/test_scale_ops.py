@@ -346,3 +346,16 @@ def test_zorder_layout_degenerate_inputs(spark):
     out = zorder_layout(one_const, "x", "y", num_files=2)
     assert out.count() == 8
     assert set(out.columns) == {"x", "y"}  # no leaked __z__ column
+
+
+def test_salted_broadcast_join_rejects_outer_modes(spark):
+    from openpolicedata_spark.operators.scale import salted_broadcast_join
+    import pytest as _pt
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "d")], "k long, d string")
+    with _pt.raises(ValueError, match="salted_broadcast_join"):
+        salted_broadcast_join(big, small, on="k", how="full_outer")
+    # semi/anti stay legal: membership is salt-independent
+    assert salted_broadcast_join(big, small, on="k",
+                                 how="left_semi").count() == 1

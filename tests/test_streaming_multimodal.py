@@ -78,7 +78,9 @@ def test_attach_payload_and_features(spark):
     assert feats[1].digest == hashlib.md5(b"hello world").hexdigest()
     assert feats[1].mean_pixel == pytest.approx(
         float(fake_decode(b"hello world").mean()))
-    assert feats[3].byte_len == 0 and feats[3].digest is None
+    # NULL payload → NULL everywhere (SQL octet_length semantics); a
+    # present-but-empty payload would be byte_len 0 with a real digest
+    assert feats[3].byte_len is None and feats[3].digest is None
 
 
 def test_resize_images_batch_shape(spark):
@@ -494,7 +496,11 @@ def test_countmin_sink_stream_equals_batch_sketch(spark, tmp_path):
     drain()
     wave1 = full.where(F.col("token") != "b")
     expected1 = countmin_table(wave1, "token", depth=3, width=256)
-    merged1 = spark.read.parquet(sketch_path)
+    raw1 = spark.read.parquet(sketch_path)
+    # applied-batch markers (row = -1) ride inside the swapped table so
+    # they commit atomically with the counts they describe
+    assert raw1.where(F.col("row") == -1).count() == 2
+    merged1 = raw1.where(F.col("row") >= 0)
     assert (merged1.exceptAll(expected1).count() == 0
             and expected1.exceptAll(merged1).count() == 0)
 
@@ -503,14 +509,16 @@ def test_countmin_sink_stream_equals_batch_sketch(spark, tmp_path):
     full.where(F.col("token") == "b").coalesce(1).write.parquet(
         src, mode="append")
     drain()
-    merged2 = spark.read.parquet(sketch_path)
+    raw2 = spark.read.parquet(sketch_path)
+    merged2 = raw2.where(F.col("row") >= 0)
     expected2 = countmin_table(full, "token", depth=3, width=256)
     assert (merged2.exceptAll(expected2).count() == 0
             and expected2.exceptAll(merged2).count() == 0)
 
-    # estimates from the persisted sketch match true counts (wide sketch)
+    # estimates read the RAW persisted table: lookups probe rows
+    # 0..depth-1 only, so the markers are invisible to them
     est = {r["token"]: r["cm_est"]
-           for r in countmin_lookup(merged2, full.distinct(), "token",
+           for r in countmin_lookup(raw2, full.distinct(), "token",
                                     depth=3, width=256).collect()}
     assert est["a"] == 30 and est["b"] == 12 and est["c"] == 4
 
