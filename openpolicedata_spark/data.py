@@ -31,6 +31,59 @@ from openpolicedata_spark.sources.combined import CombinedLoader
 from openpolicedata_spark.sources.file import CsvLoader, ParquetLoader
 
 
+def _resolve_child_url(base: Optional[str], child: dict) -> Optional[str]:
+    """Child URL = explicit url override, else base; a `file` entry joins
+    onto it (absolute file URLs win via urljoin semantics)."""
+    from urllib.parse import urljoin
+
+    u = child.get("url") or base
+    f = child.get("file")
+    if f:
+        b = (u or "").rstrip("/") + "/"
+        return urljoin(b, f)
+    return u
+
+
+def _maybe_combined_loader(spark: SparkSession, dt: str, row: pd.Series,
+                           kwargs: dict) -> Optional[DataLoader]:
+    """Route a multi-file dataset_id to CombinedLoader (reference parses
+    dataset_id at catalog build, datasets.py:62, and multi-file ids load
+    through CombinedDataset, combine_dataset.py:9-172). Returns None for
+    scalar/single-file ids."""
+    from openpolicedata_spark.sources import dataset_id as did
+
+    try:
+        expanded = did.expand(did.parse_id(row.get("dataset_id")))
+    except (ValueError, TypeError):
+        return None
+    if not did.is_combined_dataset(expanded):
+        return None
+
+    base = row["URL"]
+
+    def make_child(child: dict) -> DataLoader:
+        ckw = dict(kwargs, url=_resolve_child_url(base, child))
+        if dt == defs.DataType.EXCEL.value:
+            from openpolicedata_spark.sources.excel import ExcelLoader
+
+            return ExcelLoader(spark, sheet_filter=child.get("sheets"),
+                               **ckw)
+        return CsvLoader(spark, **ckw)
+
+    def make_side(side) -> DataLoader:
+        kids = [make_child(c) for c in side]
+        return kids[0] if len(kids) == 1 else CombinedLoader(
+            spark, kids, how="concat")
+
+    if expanded and isinstance(expanded[0], list):  # join declaration
+        sides = [make_side(s) for s in expanded]
+        on = next((c.get("on") for s in expanded for c in s
+                   if isinstance(c, dict) and c.get("on")), None)
+        return CombinedLoader(spark, sides, how="join", on=on)
+    return CombinedLoader(spark, [make_child(c) for c in expanded],
+                          how="concat")
+
+
 def _make_loader(spark: SparkSession, row: pd.Series) -> DataLoader:
     """Loader factory from a catalog row (reference data.py:1819-1857
     `__get_loader`, with a per-source cache kept in Source)."""
@@ -41,6 +94,13 @@ def _make_loader(spark: SparkSession, row: pd.Series) -> DataLoader:
         agency_field=row["agency_field"],
         query=row["query"],
     )
+    if dt in (defs.DataType.CSV.value, defs.DataType.EXCEL.value):
+        # multi-file dataset_ids (lists of {urls/files/sheets/on} dicts,
+        # reference datasets.py:62 → CombinedDataset) route to
+        # CombinedLoader; scalar ids fall through to the plain loaders
+        combined = _maybe_combined_loader(spark, dt, row, kwargs)
+        if combined is not None:
+            return combined
     if dt == defs.DataType.PARQUET.value:
         return ParquetLoader(spark, **kwargs)
     if dt == defs.DataType.CSV.value:
@@ -336,11 +396,16 @@ class Source:
         Catalog Year rows give the fast answer; MULTI datasets are resolved
         with ONE distinct-year aggregate instead of the reference's
         per-year count-probe loop with sleeps (data_loader.py:324-378)."""
+        import numbers
+
         rows = self.datasets[self.datasets["TableType"] == table_type]
         years: set[int] = set()
         for _, row in rows.iterrows():
-            if isinstance(row["Year"], int):
-                years.add(row["Year"])
+            # numbers.Integral, not int: a csv-loaded catalog's Year column
+            # is int64 dtype and row values are np.int64 (isinstance(...,
+            # int) is False — every per-year row would be silently skipped)
+            if isinstance(row["Year"], numbers.Integral):
+                years.add(int(row["Year"]))
             elif row["Year"] == defs.MULTI and row["date_field"]:
                 loader = self._get_loader(row)
                 years.update(loader.get_years(row["date_field"], force=force))
@@ -457,7 +522,14 @@ class Source:
         return self.datasets[self.datasets["TableType"] == table_type]
 
     def _get_loader(self, row: pd.Series) -> DataLoader:
-        key = (row["DataType"], row["URL"], str(row["dataset_id"]), row["date_field"])
+        # the key must cover EVERY row attribute a loader bakes in: two
+        # catalog rows can share one portal dataset split only by static
+        # `query` predicates (or differ in agency_field) — omitting those
+        # from the key would hand one table's loader to the other and
+        # silently serve the wrong rows
+        key = (row["DataType"], row["URL"], str(row["dataset_id"]),
+               row["date_field"], row.get("agency_field"),
+               repr(row.get("query")))
         if key not in self._loader_cache:
             self._loader_cache[key] = _make_loader(self.spark, row)
         return self._loader_cache[key]
@@ -561,10 +633,14 @@ class Source:
         `__get_filename`): resolve the one matching catalog row, then build
         the deterministic filename without loading any data."""
         row = self.filter(table_type, date, url=url, id=id)
+        # pass the RESOLVED row URL, not the user's partial: filter()
+        # matches url= as a substring, but the disambiguation helper
+        # downstream (_unique_url_sub) compares catalog URLs exactly — a
+        # partial that filter() accepted would fail to re-match there
         name = _build_filename(
             ext, self.state, self.source_name,
             agency or row.get("Agency"), table_type, date,
-            url=url if url is not None else row.get("URL"),
+            url=row.get("URL"),
             id=id if id is not None else row.get("dataset_id"),
             source=self)
         return os.path.join(output_dir, name) if output_dir else name

@@ -159,7 +159,11 @@ class CsvLoader(_FileLoader):
                 # cache check would treat as complete (same discipline as
                 # _unzip below).
                 req = urllib.request.Request(url, headers={"User-Agent": "Mozilla/5.0"})
-                tmp = dest + ".part"
+                # UNIQUE temp name per fetch: two concurrent loads of the
+                # same URL must not interleave writes into one .part file
+                # and promote corrupt bytes into the cache (os.replace
+                # below stays atomic; last complete download wins)
+                tmp = f"{dest}.part.{os.getpid()}.{id(self)}"
 
                 def _fetch(ctx=None):
                     with urllib.request.urlopen(req, context=ctx) as r, \

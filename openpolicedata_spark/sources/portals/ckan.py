@@ -52,7 +52,14 @@ class CkanClient(PortalClient):
                 for r in rows]
 
     def distinct(self, field: str, partial: Optional[str] = None) -> list[str]:
-        w = f" WHERE \"{field}\" LIKE '%{partial}%'" if partial else ""
+        # case-insensitive like the Socrata client and the base loader
+        # (PostgreSQL LIKE is case-sensitive); quotes in the partial are
+        # doubled so they can't break out of the literal
+        if partial:
+            p = partial.replace("'", "''").lower()
+            w = f" WHERE lower(\"{field}\") LIKE '%{p}%'"
+        else:
+            w = ""
         rows = self._sql(f'SELECT DISTINCT "{field}" FROM "{self.dataset}"{w}')
         return sorted(r[field] for r in rows if r.get(field) is not None)
 

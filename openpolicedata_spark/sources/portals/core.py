@@ -235,6 +235,11 @@ class PortalReader(DataSourceReader):
         col = attr[0]
         d = self._client.dialect
         if isinstance(flt, EqualTo):
+            if isinstance(flt.value, bool):
+                # boolean literal syntax differs per portal (and the
+                # string fallback would render `= 'True'`, matching
+                # nothing while CONSUMING the filter) — leave it to Spark
+                return None
             return build_equals_where(col, flt.value, d).clause
         ident = f'"{col}"' if d == Dialect.SQL else col
         if isinstance(flt, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)):

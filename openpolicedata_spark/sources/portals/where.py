@@ -122,9 +122,16 @@ def build_date_where(
     if fmt == DateFormat.MONTH_ABBREV_TEXT:
         # reference __month_abbrev_where_query socrata.py:381-401: one LIKE
         # per (month, year) at month granularity
+        import calendar
+
         clauses = []
         cur = _dt.datetime(start.year, start.month, 1)
-        exact_months = start.day == 1 and stop.day >= 28
+        # exact only when stop is the TRUE last day of its month — the old
+        # `stop.day >= 28` heuristic claimed accuracy for e.g. Mar 28 and
+        # let Mar 29-31 rows leak past the skipped residual filter
+        exact_months = (start.day == 1 and
+                        stop.day == calendar.monthrange(stop.year,
+                                                        stop.month)[1])
         while cur <= stop:
             clauses.append(Where(
                 _like(f, f"%{_MONTH_ABBREV[cur.month - 1].title()}%{cur.year}%", dialect),
@@ -137,7 +144,13 @@ def build_date_where(
     if fmt == DateFormat.YYYYQ_TEXT:
         # reference __yyyyq_where_query socrata.py:404-419
         q_lo, q_hi = (start.month - 1) // 3 + 1, (stop.month - 1) // 3 + 1
-        exact = (start.month - 1) % 3 == 0 and start.day == 1 and stop.month % 3 == 0 and stop.day >= 28
+        import calendar
+
+        # quarter-exact requires stop to be the true quarter-end day
+        exact = ((start.month - 1) % 3 == 0 and start.day == 1
+                 and stop.month % 3 == 0
+                 and stop.day == calendar.monthrange(stop.year,
+                                                     stop.month)[1])
         clauses = []
         for y in range(start.year, stop.year + 1):
             qs = range(q_lo if y == start.year else 1,

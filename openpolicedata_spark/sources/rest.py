@@ -153,8 +153,14 @@ class RestLoader(DataLoader):
             # each gets its own count + partitions; encode as JSON
             opts["wheres_json"] = json.dumps(
                 [[w.clause, w.accurate] for w in clauses])
-        if select:
-            opts["select"] = ", ".join(select)
+        pushed_select = select
+        if (select and not accurate and self.date_field
+                and self.date_field not in select):
+            # the residual exact date filter needs the date column even
+            # when the caller didn't select it — fetch it, drop it below
+            pushed_select = list(select) + [self.date_field]
+        if pushed_select:
+            opts["select"] = ", ".join(pushed_select)
         if self.page_size:
             opts["page_size"] = str(self.page_size)
         # push nrows/offset into the reader ONLY when exact (accurate
@@ -169,6 +175,12 @@ class RestLoader(DataLoader):
         if not accurate:
             df = self._residual_date_filter(df, date)
             df = apply_limit_offset(df, nrows, offset)
+        if select:
+            # the portal projected server-side, but the sampled schema
+            # covers every column — without this the result would keep the
+            # non-selected columns as silent all-null fields (and the
+            # residual path above may have fetched an extra date column)
+            df = df.select(*select)
         if sortby == "date" and self.date_field:
             df = df.orderBy(self.date_field)
         return df
@@ -220,13 +232,19 @@ class RestLoader(DataLoader):
         if field is None:
             raise ValueError("date_field required")
         client = self._client()
+        # the probe must carry the same static catalog predicates count()
+        # and load() apply: a dataset shared by several table types via
+        # query={'type': ...} would otherwise report years where ANY type
+        # has rows, and load(year) for this type then returns empty
+        static = self._static_where(client.dialect)
         years: list[int] = []
         misses, year = 0, _dt.date.today().year
         while misses < (20 if not years else 10) and year >= 1900:
             wheres = build_date_where(field, _dt.datetime(year, 1, 1),
                                       _dt.datetime(year, 12, 31),
                                       self.date_format, client.dialect)
-            n = sum(client.count(w.clause) for w in wheres)
+            n = sum(client.count(and_wheres(w.clause, static))
+                    for w in wheres)
             if n > 0:
                 years.append(year)
                 misses = 0

@@ -348,3 +348,80 @@ def test_arcgis_wgs84_layer_passthrough(spark):
     assert (r2.geo_x, r2.geo_y) == (398156.2, 136874.1)
     assert {f.name: f.metadata for f in df2.schema.fields}["geo_x"][
         "crs"] == "ESRI:102685"
+
+
+def test_rest_load_select_projects_result(spark):
+    """select= must project the RESULT, not only push $select: the
+    sampled schema covers every column, so without the projection the
+    non-selected columns come back as silent all-null fields."""
+    loader, _ = _loader(spark, "opd_socrata", "socrata",
+                        "https://fake.portal.test", "abcd-1234")
+    df = loader.load(select=["case_id", "agency"])
+    assert set(df.columns) == {"case_id", "agency"}
+    assert df.count() > 0
+
+
+def test_rest_load_select_with_inaccurate_date_still_filters(spark):
+    """Inaccurate text-date pushdown + a select that omits the date
+    column: the residual filter must still apply exactly (the date column
+    is fetched internally, then dropped)."""
+    loader, server = _loader(spark, "opd_socrata", "socrata",
+                             "https://fake.portal.test", "abcd-1234",
+                             date_text="mmddyyyy")
+    df = loader.load(date=2020, select=["case_id"])
+    assert df.columns == ["case_id"]
+    want = sum(1 for r in server.rows
+               if r["incident_date"].endswith("/2020"))
+    assert df.count() == want
+
+
+def test_month_abbrev_partial_month_is_not_marked_accurate(spark):
+    """date range ending Mar 28: the old stop.day >= 28 heuristic claimed
+    month-accuracy and leaked Mar 29-31 rows past the skipped residual
+    filter."""
+    loader, server = _loader(spark, "opd_socrata", "socrata",
+                             "https://fake.portal.test", "abcd-1234",
+                             date_text="month_abbrev")
+    rng = ["2020-01-01", "2020-03-28"]
+    df = loader.load(date=rng)
+    import pandas as _pd
+
+    lo, hi = _pd.Timestamp("2020-01-01"), _pd.Timestamp("2020-03-28")
+    # the portal's month-abbrev values carry day precision
+    # ('Mar 29, 2020'), so the residual filter is day-exact: Mar 29-31
+    # rows matched by the '%Mar%2020%' LIKE must be filtered back out —
+    # which only happens because the clause is no longer marked accurate
+    want = 0
+    for r in server.rows:
+        d = _pd.to_datetime(r["incident_date"], format="%b %d, %Y")
+        if lo <= d <= hi:
+            want += 1
+    n_mar = sum(1 for r in server.rows
+                if "Mar" in r["incident_date"]
+                and ", 2020" in r["incident_date"])
+    assert n_mar > want - sum(
+        1 for r in server.rows
+        if _pd.to_datetime(r["incident_date"], format="%b %d, %Y")
+        < _pd.Timestamp("2020-03-01"))  # some Mar 29-31 rows exist
+    assert df.count() == want
+
+
+def test_boolean_filter_not_pushed_as_string(spark):
+    """A boolean == filter must stay a Spark-side residual (portals have
+    no universal boolean literal; the string fallback would render
+    = 'True' and silently match nothing)."""
+    import pyspark.sql.functions as _F
+
+    rows = make_rows(40)
+    for i, r in enumerate(rows):
+        r["resolved"] = (i % 3 == 0)
+    server = FakePortal("socrata", rows=rows)
+    loader = RestLoader(
+        spark, format_name="opd_socrata", url="https://fake.portal.test",
+        dataset="abcd-1234", date_field="incident_date",
+        agency_field="agency",
+        date_format=DateFormat.TIMESTAMP.value,
+        transport=FakeTransport(handler=server),
+    )
+    df = loader.load().filter(_F.col("resolved") == True)  # noqa: E712
+    assert df.count() == sum(1 for r in rows if r["resolved"])

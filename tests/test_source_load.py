@@ -201,3 +201,37 @@ def test_csv_loader_detects_charset_inside_zip(spark, tmp_path):
         f.writestr("inner.csv", b"name\nRen\xe9e\n")
     rows = CsvLoader(spark, url=str(z))._read().collect()
     assert rows[0].name == "Renée"
+
+
+def test_multi_file_dataset_id_routes_to_combined_loader(spark, tmp_path):
+    """A list-valued dataset_id (reference multi-file datasets) must build
+    a CombinedLoader over per-file children, not treat the list as a
+    portal key (previously the routing existed only as a dead import)."""
+    import pandas as pd
+
+    from openpolicedata_spark.data import _make_loader
+    from openpolicedata_spark.sources.combined import CombinedLoader
+
+    (tmp_path / "a.csv").write_text("case,agency\n1,X\n2,Y\n")
+    (tmp_path / "b.csv").write_text("case,agency\n3,Z\n")
+    row = pd.Series({
+        "DataType": "CSV",
+        "URL": str(tmp_path),
+        "dataset_id": '[{"files": ["a.csv", "b.csv"]}]',
+        "date_field": None,
+        "agency_field": "agency",
+        "query": None,
+    })
+    loader = _make_loader(spark, row)
+    assert isinstance(loader, CombinedLoader)
+    df = loader.load()
+    assert df.count() == 3
+    assert loader.load(agency="Z").count() == 1
+
+    # scalar ids still build the plain loader
+    row2 = row.copy()
+    row2["dataset_id"] = None
+    row2["URL"] = str(tmp_path / "a.csv")
+    from openpolicedata_spark.sources.file import CsvLoader
+
+    assert isinstance(_make_loader(spark, row2), CsvLoader)
