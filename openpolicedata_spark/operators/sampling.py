@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -105,6 +105,111 @@ def latest_per_key(
             F.struct(*[F.col(c) for c in order_cols])).alias("__row__"))
         .select(*key_cols, "__row__.*")
     )
+
+
+def budget_hash_expr(key: Column, seed: str = "") -> Column:
+    """Non-negative portable numeric shuffle key: md5lower64(seed:key)
+    taken mod 2^62. The power-of-two modulus makes Spark's signed
+    `pmod` equal DuckDB's unsigned `md5_number_lower % 2^62` (2^62
+    divides 2^64, so the signed reinterpretation cancels), giving both
+    engines the SAME numeric sort order — unlike the raw signed long,
+    whose sign bit reorders rows relative to an unsigned engine."""
+    from openpolicedata_spark.functions.text import md5lower64_expr
+
+    return F.pmod(
+        md5lower64_expr(F.concat(F.lit(seed), F.lit(":"), key.cast("string"))),
+        F.lit(1 << 62))
+
+
+def global_running_total(
+    df: DataFrame,
+    weight_col: str,
+    order_col: str | Column,
+    tiebreak_cols: Sequence[str] = (),
+    n_buckets: int = 64,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """EXCLUSIVE global running total of `weight_col` in (`order_col`,
+    `tiebreak_cols`) order — without the single-task global window that
+    `SUM() OVER (ORDER BY …)` plans (Spark puts an un-PARTITION BY'd
+    window on ONE partition; at 100 TB that task never finishes).
+
+    Distributed prefix-sum in three bounded steps:
+    1. exact percentile boundaries of `order_col` (one aggregate,
+       `n_buckets`-1 doubles on the driver) split the order into
+       contiguous ranges — same broadcast-boundaries pattern as q102;
+    2. per-bucket weight totals (map-side-combined agg, `n_buckets`
+       rows) become exclusive bucket offsets via one tiny collect
+       (bounded driver state, like any range-partitioner plan);
+    3. a window PARTITIONED by bucket computes the within-bucket
+       exclusive cumsum; `offset[bucket] + within` is the global total.
+    The only full-data shuffle is the bucket window, and the hash-
+    uniform `order_col` keeps buckets even. Size `n_buckets` ≈ cluster
+    cores. `order_col` must be numeric (percentile boundaries);
+    equal order values never straddle buckets, and `tiebreak_cols`
+    order rows within an equal-value run deterministically."""
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    d = df.withColumn("__ord__", oc)
+    if n_buckets > 1:
+        bounds = d.agg(F.percentile(
+            "__ord__",
+            F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)]),
+        ).alias("__bs__"))
+        d = d.crossJoin(F.broadcast(bounds)).withColumn(
+            "__bucket__",
+            F.lit(1) + F.size(F.filter(
+                F.col("__bs__"), lambda b: b < F.col("__ord__"))),
+        ).drop("__bs__")
+    else:
+        d = d.withColumn("__bucket__", F.lit(1))
+    totals = {
+        r["__bucket__"]: r["t"]
+        for r in d.groupBy("__bucket__")
+        .agg(F.sum(weight_col).alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(1, n_buckets + 1):
+        offsets.append(acc)
+        acc += totals.get(b, 0) or 0
+    off = F.element_at(F.array(*[F.lit(int(o)) for o in offsets]),
+                       F.col("__bucket__"))
+    w = (Window.partitionBy("__bucket__")
+         .orderBy(F.col("__ord__").asc(),
+                  *[F.col(c).asc() for c in tiebreak_cols])
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        d.withColumn(out_col,
+                     off + F.coalesce(F.sum(weight_col).over(w), F.lit(0)))
+        .drop("__ord__", "__bucket__")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    weight_col: str,
+    key_col: str,
+    seed: str = "",
+    n_buckets: int = 64,
+    cum_col: str = "cum_before",
+) -> DataFrame:
+    """Deterministic token-budget subsample: order the corpus by the
+    portable hash of `key_col` (an unbiased, rerun-stable shuffle) and
+    keep documents until their cumulative `weight_col` (token count)
+    fills `budget` — the "give me exactly ~N tokens of this corpus"
+    primitive behind every training-mix recipe. A document is kept iff
+    the tokens BEFORE it in hash order leave room for it to start
+    (`cum_before < budget`), so the output overshoots by at most one
+    document and membership is stable under reruns and engines.
+
+    Built on `global_running_total` (bucketed distributed prefix sum) —
+    no single-task window, no driver materialization beyond `n_buckets`
+    offsets."""
+    d = df.withColumn("__h__", budget_hash_expr(F.col(key_col), seed))
+    out = global_running_total(
+        d, weight_col, "__h__", tiebreak_cols=(key_col,),
+        n_buckets=n_buckets, out_col=cum_col)
+    return out.where(F.col(cum_col) < budget).drop("__h__")
 
 
 def stratified_sample(

@@ -487,3 +487,71 @@ def power_iteration(corpus: DataFrame, vec_col: str = "embedding",
             return w
         v = [x / nrm for x in w]
     return v
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: Optional[int] = 65536,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = cluster the embeddings, then inside each cluster drop
+    every item whose cosine to an EARLIER (smaller-id) cluster-mate is
+    ≥ `threshold` — one representative survives per semantic near-dup
+    set without any corpus-wide pairwise join.
+
+    Output: corpus columns + `list_id`, `max_cos_prev` (max cosine to a
+    lower-id mate, null when none), `keep` (max_cos_prev below
+    threshold). Smallest id wins, matching `dedup.exact_dedup`'s min_by
+    contract.
+
+    Scale shape: `ivf_assign` broadcasts the centroid matrix and tags
+    rows map-side (no shuffle); the ONLY shuffle is the groupBy(list_id)
+    feeding one Arrow pass per cluster. Inside `applyInPandas` the
+    pairwise cosine runs CHUNKED (`chunk_rows` × cluster_size matmul per
+    step), so executor memory is bounded by chunk_rows·|cluster| floats,
+    not |cluster|². Clusters above `max_cluster_size` — the degenerate
+    mode the LSH family guards with max_bucket_size — skip the pairwise
+    step and pass through with keep=true/max_cos_prev=null (conservative:
+    under-dedup, never a B² task); size the quantizer so clusters stay
+    under the cap (`recommended_num_planes` logic applies: more
+    centroids, smaller clusters).
+    """
+    import pyspark.sql.types as T
+
+    assigned = ivf_assign(corpus, centroids, vec_col)
+    fields = assigned.schema.fields
+    out_schema = T.StructType(
+        list(fields)
+        + [T.StructField("max_cos_prev", T.DoubleType(), True),
+           T.StructField("keep", T.BooleanType(), False)]
+    )
+    cap = max_cluster_size
+    vname, iname = vec_col, id_col
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(iname, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        max_cos = np.full(n, np.nan)
+        if n > 1 and (cap is None or n <= cap):
+            X = np.array(list(pdf[vname]), dtype=np.float64)
+            nrm = np.linalg.norm(X, axis=1)
+            nrm[nrm == 0.0] = 1.0
+            X = X / nrm[:, None]
+            for s in range(1, n, chunk_rows):
+                e = min(s + chunk_rows, n)
+                sims = X[s:e] @ X[:e].T          # rows s..e vs all earlier+self
+                for r in range(s, e):
+                    max_cos[r] = sims[r - s, :r].max()
+        pdf["max_cos_prev"] = max_cos
+        pdf["keep"] = ~(max_cos >= threshold)
+        return pdf
+
+    return (
+        assigned.groupBy("list_id")
+        .applyInPandas(dedup_cluster, schema=out_schema)
+    )

@@ -114,6 +114,64 @@ def countmin_lookup(
     )
 
 
+def bloom_build(
+    df: DataFrame,
+    key: str | Column,
+    k: int = 3,
+    m: int = 65536,
+    hash_fn: Optional[Callable[[Column], Column]] = None,
+) -> DataFrame:
+    """Build a Bloom filter as a distinct-positions table: each build key
+    sets `k` bits ``pos_i = h_i(key) mod m``; the filter is the set of
+    set positions (≤ min(k·|keys|, m) rows — far smaller than the keyed
+    data, and broadcastable into probes).
+
+    A positions TABLE instead of a packed bitmap keeps the filter a
+    first-class DataFrame: unionable across builds (bloom union = set
+    union), persistable as parquet, and replayable by an external SQL
+    oracle — none of which the JVM-internal `bloom_filter_agg` bytes
+    offer. Deterministic for a fixed hash_fn. Use a power-of-two `m`
+    so signed pmod matches unsigned mod across engines."""
+    col = F.col(key) if isinstance(key, str) else key
+    h = _salted(hash_fn)
+    poss = F.array(*[F.pmod(h(col, i), F.lit(m)) for i in range(k)])
+    return df.select(F.explode(poss).alias("pos")).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key: str,
+    k: int = 3,
+    m: int = 65536,
+    hash_fn: Optional[Callable[[Column], Column]] = None,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """Probe a `bloom_build` filter: a key is a (possible) member iff ALL
+    `k` of its positions are set. Classic Bloom semantics — no false
+    negatives, false positives when unrelated keys happen to cover all k
+    positions (rate ≈ (1 - e^{-k·n/m})^k).
+
+    Shape: `k` broadcast LEFT joins against the (distinct, tiny)
+    positions table — the probe side NEVER shuffles and its row count
+    never changes (each join matches at most one position row). This is
+    the decontamination shape for 100 TB: the benchmark/eval side builds
+    a small filter once; the training corpus streams past it map-side."""
+    h = _salted(hash_fn)
+    col = F.col(key)
+    out = keys
+    hit = F.lit(True)
+    for i in range(k):
+        b = bloom.select(F.col("pos").alias(f"__p{i}__"),
+                         F.lit(1).alias(f"__m{i}__"))
+        out = out.join(F.broadcast(b),
+                       F.pmod(h(col, i), F.lit(m)) == F.col(f"__p{i}__"),
+                       "left")
+        hit = hit & F.col(f"__m{i}__").isNotNull()
+    return out.withColumn(hit_col, hit).drop(
+        *[c for i in range(k) for c in (f"__p{i}__", f"__m{i}__")])
+
+
 def linear_count(
     df: DataFrame,
     key: str | Column,

@@ -346,3 +346,57 @@ def test_dup_clusters_raises_on_non_convergence(spark):
     # enough rounds: one component labeled by its minimum
     ok = dup_clusters(chain, max_iterations=10)
     assert {r["cluster_id"] for r in ok.collect()} == {1}
+
+
+class TestSemDeDup:
+    CENTROIDS = [[1.0, 0.0], [0.0, 1.0]]
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_keeps_one_representative_per_near_dup_set(self, spark):
+        from openpolicedata_spark.operators.similarity import semdedup
+
+        rows = [
+            (1, [1.0, 0.05]),    # cluster 0
+            (2, [1.0, 0.05]),    # exact dup of 1 -> dropped
+            (3, [1.0, -0.9]),    # cluster 0 but far from 1 -> kept
+            (4, [0.1, 1.0]),     # cluster 1, alone -> kept
+        ]
+        out = {r["vec_id"]: (r["keep"], r["max_cos_prev"], r["list_id"])
+               for r in semdedup(self._df(spark, rows), self.CENTROIDS,
+                                 threshold=0.95).collect()}
+        assert out[1][0] and out[1][1] is None
+        assert not out[2][0] and abs(out[2][1] - 1.0) < 1e-9
+        assert out[3][0] and out[3][1] < 0.95
+        assert out[4][0] and out[4][1] is None
+        assert out[1][2] == out[2][2] == out[3][2] == 0
+        assert out[4][2] == 1
+
+    def test_smallest_id_wins_and_chunking(self, spark):
+        from openpolicedata_spark.operators.similarity import semdedup
+
+        rows = [(i, [1.0, 0.0]) for i in range(7, 0, -1)]
+        out = semdedup(self._df(spark, rows), self.CENTROIDS,
+                       threshold=0.99, chunk_rows=2)
+        kept = sorted(r["vec_id"] for r in out.collect() if r["keep"])
+        assert kept == [1]
+
+    def test_oversized_cluster_passes_through(self, spark):
+        from openpolicedata_spark.operators.similarity import semdedup
+
+        rows = [(i, [1.0, 0.0]) for i in range(5)]
+        out = semdedup(self._df(spark, rows), self.CENTROIDS,
+                       threshold=0.9, max_cluster_size=3).collect()
+        assert all(r["keep"] for r in out)
+        assert all(r["max_cos_prev"] is None for r in out)
+
+    def test_zero_vectors_no_nan(self, spark):
+        from openpolicedata_spark.operators.similarity import semdedup
+
+        rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])]
+        out = {r["vec_id"]: r for r in
+               semdedup(self._df(spark, rows), self.CENTROIDS,
+                        threshold=0.5).collect()}
+        # zero vectors have cosine 0 to everything (guarded norm) -> kept
+        assert out[1]["keep"] and out[2]["keep"]

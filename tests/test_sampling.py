@@ -137,3 +137,82 @@ def test_hash_split_zero_weight_gets_nothing(spark):
               for r in out.groupBy("split").count().collect()}
     assert counts.get("test", 0) == 0
     assert counts["train"] == 4000
+
+
+class TestTokenBudgetSample:
+    @staticmethod
+    def _py_hash(key, seed=""):
+        import hashlib
+
+        d = hashlib.md5(f"{seed}:{key}".encode()).digest()
+        return int.from_bytes(d[8:16], "little") % (1 << 62)
+
+    def test_matches_single_order_cumsum(self, spark):
+        from openpolicedata_spark.operators.sampling import token_budget_sample
+
+        rows = [(i, 10 + (i * 7) % 50) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        budget = 3000
+        out = token_budget_sample(df, budget, "n_tokens", "doc_id",
+                                  seed="e0", n_buckets=7)
+        got = {r["doc_id"]: r["cum_before"] for r in out.collect()}
+        # reference: plain python cumsum in hash order
+        order = sorted(rows, key=lambda r: (self._py_hash(r[0], "e0"), r[0]))
+        cum, want = 0, {}
+        for doc_id, w in order:
+            if cum < budget:
+                want[doc_id] = cum
+            cum += w
+        assert got == want
+
+    def test_bucket_count_invariance_and_edges(self, spark):
+        from openpolicedata_spark.operators.sampling import token_budget_sample
+
+        df = spark.createDataFrame([(i, 5) for i in range(100)],
+                                   "doc_id long, w long")
+        a = {(r["doc_id"], r["cum_before"]) for r in
+             token_budget_sample(df, 200, "w", "doc_id", n_buckets=1).collect()}
+        b = {(r["doc_id"], r["cum_before"]) for r in
+             token_budget_sample(df, 200, "w", "doc_id", n_buckets=16).collect()}
+        assert a == b and len(a) == 40
+        assert token_budget_sample(df, 0, "w", "doc_id").count() == 0
+        assert token_budget_sample(df, 10**9, "w", "doc_id").count() == 100
+
+    def test_membership_stable_under_corpus_growth(self, spark):
+        """Hash-ordered prefix: adding docs can only push the tail out —
+        kept docs that remain under budget keep their relative order."""
+        from openpolicedata_spark.operators.sampling import token_budget_sample
+
+        small = spark.createDataFrame([(i, 10) for i in range(50)],
+                                      "doc_id long, w long")
+        big = spark.createDataFrame([(i, 10) for i in range(100)],
+                                    "doc_id long, w long")
+        ks = sorted(r["doc_id"] for r in
+                    token_budget_sample(small, 200, "w", "doc_id").collect())
+        kb = {r["doc_id"] for r in
+              token_budget_sample(big, 200, "w", "doc_id").collect()}
+        # every id kept from the bigger corpus that also exists in the
+        # smaller one was kept there too (prefix property)
+        assert all(i in ks for i in kb if i < 50)
+
+    def test_no_single_task_window(self, spark):
+        """The full-data Window must be partitioned by the bucket key —
+        NOT the SinglePartition global window `SUM() OVER (ORDER BY …)`
+        plans. (A SinglePartition exchange still exists for the one-row
+        percentile/offset aggregates; those carry bytes, not the data.)"""
+        from openpolicedata_spark.operators.sampling import global_running_total
+        from openpolicedata_spark.plans import formatted_plan
+
+        df = spark.createDataFrame([(i, 1) for i in range(100)],
+                                   "doc_id long, w long")
+        out = global_running_total(df, "w", F.col("doc_id").cast("double"),
+                                   tiebreak_cols=("doc_id",), n_buckets=8)
+        t = formatted_plan(out)
+        assert "hashpartitioning(__bucket__" in t, t
+        # the naive single-task formulation for contrast: its window input
+        # exchange IS SinglePartition
+        from pyspark.sql import Window
+
+        naive = df.withColumn("c", F.sum("w").over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)))
+        assert "SinglePartition" in formatted_plan(naive)

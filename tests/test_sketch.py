@@ -159,3 +159,72 @@ def test_stratified_sample_exact_and_stable(spark):
             stratified_sample(df, ["lang"], 10, "doc_id", seed="s2").collect()}
     assert ids1 == ids2
     assert ids1 != ids3
+
+
+class TestBloom:
+    def test_no_false_negatives_and_determinism(self, spark):
+        from openpolicedata_spark.operators.sketch import bloom_build, bloom_probe
+
+        build = spark.range(100).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"))
+        bloom = bloom_build(build, "key", k=3, m=1 << 16)
+        probe = spark.range(200).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"))
+        out = bloom_probe(bloom, probe, "key", k=3, m=1 << 16)
+        got = {r["key"]: r["bloom_hit"] for r in out.collect()}
+        # members always hit
+        assert all(got[f"k{i}"] for i in range(100))
+        # with m=65536 >> 300 set bits, non-members overwhelmingly miss
+        misses = sum(not got[f"k{i}"] for i in range(100, 200))
+        assert misses >= 95
+        # probe preserves the row count (joins match at most one position)
+        assert out.count() == 200
+        got2 = {r["key"]: r["bloom_hit"]
+                for r in bloom_probe(bloom, probe, "key", k=3, m=1 << 16).collect()}
+        assert got == got2
+
+    def test_tiny_filter_false_positives(self, spark):
+        """m=16 with 3x20 set bits saturates -> non-members collide (the
+        classic FP mode); still no false negatives."""
+        from openpolicedata_spark.operators.sketch import bloom_build, bloom_probe
+
+        build = spark.range(20).select(F.col("id").cast("string").alias("key"))
+        bloom = bloom_build(build, "key", k=3, m=16)
+        probe = spark.range(40).select(F.col("id").cast("string").alias("key"))
+        got = {r["key"]: r["bloom_hit"]
+               for r in bloom_probe(bloom, probe, "key", k=3, m=16).collect()}
+        assert all(got[str(i)] for i in range(20))
+        assert sum(got[str(i)] for i in range(20, 40)) > 0  # FPs happen
+
+    def test_probe_side_never_shuffles(self, spark):
+        from openpolicedata_spark.operators.sketch import bloom_build, bloom_probe
+        from openpolicedata_spark.plans import summarize_plan
+
+        build = spark.range(50).select(F.col("id").cast("string").alias("key"))
+        bloom = bloom_build(build, "key", k=3, m=1 << 12)
+        # materialize the filter so its own build shuffle is out of the plan
+        bloom = bloom.localCheckpoint(eager=True)
+        probe = spark.range(500).select(F.col("id").cast("string").alias("key"))
+        s = summarize_plan(bloom_probe(bloom, probe, "key", k=3, m=1 << 12))
+        assert s.n_broadcast_joins == 3
+        assert s.n_exchanges == 0, s.text
+
+    def test_portable_hash_matches_duckdb(self, spark):
+        """With hash_fn=md5lower64_expr and power-of-two m, DuckDB replays
+        the exact positions set."""
+        import duckdb
+
+        from openpolicedata_spark.functions.text import md5lower64_expr
+        from openpolicedata_spark.operators.sketch import bloom_build
+
+        build = spark.range(30).select(F.col("id").cast("string").alias("key"))
+        bloom = bloom_build(build, "key", k=3, m=1 << 10,
+                            hash_fn=md5lower64_expr)
+        got = sorted(r["pos"] for r in bloom.collect())
+        want = sorted(r[0] for r in duckdb.sql("""
+            SELECT DISTINCT CAST(
+                md5_number_lower(CAST(r.range AS VARCHAR) || ':' || CAST(i AS VARCHAR))
+                % 1024 AS BIGINT) AS pos
+            FROM range(30) t(i), range(3) r
+        """).fetchall())
+        assert got == want
