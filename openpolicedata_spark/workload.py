@@ -3899,6 +3899,364 @@ FROM binned GROUP BY bucket
 """
 
 
+def q108_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering signal: per-document cross-entropy
+    under the corpus's own add-one-smoothed bigram LM — the classic
+    quality score that ranks fluent text low and gibberish high
+    (Wenzek et al. 2020 use a KenLM 5-gram; the bigram form is the same
+    pipeline shape). ce = -Σ m(w1,w2)·ln((c(w1,w2)+1)/(c(w1)+V)) / Σ m.
+
+    Plan: the corpus explodes to bigrams ONCE and shuffles twice — (w1,w2)
+    for corpus counts and (doc,w1,w2) for per-doc multiplicities; the
+    count table is enriched with its w1 totals BEFORE rejoining the
+    per-doc stream (cab⋈ca is vocab²-sized, far smaller than the doc
+    stream), so the big side shuffles on (w1,w2) exactly once. Zipf-
+    skewed bigram keys ride AQE's skew split like q88. Per-bucket log
+    terms are deterministic doubles (one ln per DISTINCT bigram); the
+    per-doc reduction is DECIMAL so partitioning can't move it."""
+    from openpolicedata_spark.functions.text import tokens_expr
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    d = rebalance(_read(spark, sf_dir, "documents"))
+    toks = tokens_expr(normalize_text_expr(F.col("text")))
+    n = F.size(toks)
+    big = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    db = d.select("doc_id", F.explode(big).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    per_doc = db.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m"))
+    cab = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = cab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    vocab = d.select(F.explode(toks).alias("t")).agg(
+        F.count_distinct("t").alias("v"))
+    lm = (cab.join(ca, on="w1")
+          .crossJoin(F.broadcast(vocab))
+          .select("w1", "w2",
+                  F.log((F.col("c_ab") + 1)
+                        / (F.col("c_a") + F.col("v")).cast("double"))
+                  .alias("logp")))
+    return (
+        per_doc.join(lm, on=["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.round(
+                (-F.sum((F.col("m") * F.col("logp")).cast("decimal(28,12)"))
+                 / F.sum("m")).cast("double"), 6).alias("ce"),
+        )
+    )
+
+
+_Q108_SQL = f"""
+WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM tk, unnest(range(1, len(t))) r(i)),
+per_doc AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS m FROM bg GROUP BY doc_id, w1, w2),
+cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY w1, w2),
+ca AS (SELECT w1, SUM(c_ab) AS c_a FROM cab GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT x) AS v FROM tk, unnest(t) u(x)),
+lm AS (
+  SELECT w1, w2, ln((c_ab + 1) / CAST(c_a + v AS DOUBLE)) AS logp
+  FROM cab JOIN ca USING (w1) CROSS JOIN vocab)
+SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+  ROUND(CAST(-SUM(CAST(m * logp AS DECIMAL(28,12))) / SUM(m) AS DOUBLE), 6)
+    AS ce
+FROM per_doc JOIN lm USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantics pinned to an exact oracle: assign each vector to
+    its nearest per-label centroid (q82's DECIMAL-distance formulation),
+    then within each cluster flag every vector whose max cosine to a
+    SMALLER-id cluster-mate reaches the threshold — smallest id survives,
+    the `dedup.exact_dedup` min-wins contract. Runs on the vec_id%5
+    deterministic subset so the all-pairs-within-cluster oracle stays
+    replayable at sf0.1.
+
+    This query pins the SEMANTICS; the production path is
+    `operators.similarity.semdedup` (ivf_assign broadcast argmin + one
+    chunked-matmul Arrow pass per cluster, max_cluster_size guard) —
+    tested for the same keep-set in tests/test_operators.py. All cross-row
+    sums (centroids, dots, norms) are DECIMAL so partitioning cannot move
+    them; cosines divide as doubles and round to 6."""
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    pe = emb.select("vec_id", "label",
+                    F.posexplode("embedding").alias("pos0", "v"))
+    cent = (
+        pe.groupBy(F.col("label").alias("c_label"),
+                   F.col("pos0").alias("c_pos"))
+        .agg((F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+              / F.count(F.lit(1))).alias("c"))
+    )
+    dists = (
+        pe.join(F.broadcast(cent), F.col("pos0") == F.col("c_pos"))
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum(((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+                   .cast("decimal(30,12)")).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    assign = (dists.withColumn("rk", F.row_number().over(w))
+              .where(F.col("rk") == 1)
+              .select("vec_id", F.col("c_label").alias("centroid")))
+    pa = pe.select("vec_id", "pos0", F.col("v").cast("double").alias("v")) \
+           .join(assign, on="vec_id")
+    n2 = pa.groupBy("vec_id").agg(
+        F.sum((F.col("v") * F.col("v")).cast("decimal(30,12)")).alias("n2"))
+    a, b = pa.alias("a"), pa.alias("b")
+    dots = (
+        a.join(b, on=[F.col("a.centroid") == F.col("b.centroid"),
+                      F.col("a.pos0") == F.col("b.pos0"),
+                      F.col("a.vec_id") < F.col("b.vec_id")])
+        .groupBy(F.col("a.vec_id").alias("id_a"),
+                 F.col("b.vec_id").alias("id_b"))
+        .agg(F.sum((F.col("a.v") * F.col("b.v")).cast("decimal(30,12)"))
+             .alias("dot"))
+    )
+    cos = dots.join(n2.select(F.col("vec_id").alias("id_a"),
+                              F.col("n2").alias("n2a")), on="id_a") \
+              .join(n2.select(F.col("vec_id").alias("id_b"),
+                              F.col("n2").alias("n2b")), on="id_b") \
+              .select("id_b",
+                      F.when(
+                          (F.col("n2a") > 0) & (F.col("n2b") > 0),
+                          F.col("dot").cast("double")
+                          / (F.sqrt(F.col("n2a").cast("double"))
+                             * F.sqrt(F.col("n2b").cast("double"))))
+                      .otherwise(F.lit(0.0)).alias("cos"))
+    pairmax = cos.groupBy("id_b").agg(F.max("cos").alias("mc"))
+    return (
+        assign.join(pairmax, assign["vec_id"] == pairmax["id_b"], "left")
+        .select(
+            "vec_id", "centroid",
+            F.round("mc", 6).alias("max_cos_prev"),
+            F.coalesce(F.col("mc") < 0.9, F.lit(True)).alias("keep"),
+        )
+    )
+
+
+_Q109_SQL = """
+WITH sub AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+pe AS (
+  SELECT vec_id, label, i AS pos,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM sub, range(1, 65) t(i)),
+cent AS (
+  SELECT label AS c_label, pos AS c_pos,
+         CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM pe GROUP BY label, pos),
+dists AS (
+  SELECT pe.vec_id, cent.c_label,
+         SUM(CAST((pe.v - cent.c) * (pe.v - cent.c) AS DECIMAL(30,12))) AS d2
+  FROM pe JOIN cent ON pe.pos = cent.c_pos
+  GROUP BY pe.vec_id, cent.c_label),
+assign AS (
+  SELECT vec_id, c_label AS centroid
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rk
+        FROM dists)
+  WHERE rk = 1),
+pa AS (
+  SELECT pe.vec_id, pe.pos, pe.v, assign.centroid
+  FROM pe JOIN assign USING (vec_id)),
+n2 AS (
+  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(30,12))) AS n2
+  FROM pa GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(CAST(a.v * b.v AS DECIMAL(30,12))) AS dot
+  FROM pa a JOIN pa b
+    ON a.centroid = b.centroid AND a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+cosines AS (
+  SELECT id_b,
+    CASE WHEN na.n2 > 0 AND nb.n2 > 0
+         THEN CAST(dot AS DOUBLE)
+              / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         ELSE 0.0 END AS cos
+  FROM dots
+  JOIN n2 na ON na.vec_id = dots.id_a
+  JOIN n2 nb ON nb.vec_id = dots.id_b),
+pairmax AS (SELECT id_b, MAX(cos) AS mc FROM cosines GROUP BY id_b)
+SELECT assign.vec_id, assign.centroid,
+  ROUND(mc, 6) AS max_cos_prev,
+  COALESCE(mc < 0.9, TRUE) AS keep
+FROM assign LEFT JOIN pairmax ON pairmax.id_b = assign.vec_id
+"""
+
+
+def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-training step (Sennrich et al. 2016): the 20 most
+    frequent adjacent character pairs over the frequency-weighted word
+    vocabulary — the pair the tokenizer trainer would merge next, plus
+    runners-up. The corpus collapses to its vocabulary FIRST (one
+    map-side-combined shuffle on the word), so the character-pair explode
+    runs over |vocab| short strings, not the 100 TB token stream — the
+    reason real BPE trainers operate on word-count tables. The guarded
+    `sequence(1, len-1)` avoids Spark's descending-sequence trap for
+    1-char words."""
+    from openpolicedata_spark.functions.text import tokens_expr
+
+    d = _read(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens_expr(normalize_text_expr(F.col("text"))))
+                 .alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    )
+    nw = F.length(F.col("w"))
+    pairs = F.when(
+        nw >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nw - 1),
+            lambda i: F.struct(
+                F.substring(F.col("w"), i, F.lit(1)).alias("c1"),
+                F.substring(F.col("w"), i + 1, F.lit(1)).alias("c2")),
+        ),
+    ).otherwise(F.array())
+    return (
+        vocab.select("wc", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.c1").alias("c1"), F.col("p.c2").alias("c2"))
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), F.asc("c1"), F.asc("c2"))
+        .limit(20)
+    )
+
+
+_Q110_SQL = f"""
+WITH vocab AS (
+  SELECT x AS w, COUNT(*) AS wc
+  FROM (SELECT {_SQL_TOKENS} AS t FROM documents), unnest(t) u(x)
+  GROUP BY x),
+pairs AS (
+  SELECT substring(w, CAST(i AS INT), 1) AS c1,
+         substring(w, CAST(i AS INT) + 1, 1) AS c2, wc
+  FROM vocab, unnest(range(1, length(w))) r(i))
+SELECT c1, c2, CAST(SUM(wc) AS BIGINT) AS n
+FROM pairs GROUP BY c1, c2
+ORDER BY n DESC, c1 ASC, c2 ASC LIMIT 20
+"""
+
+
+def q111_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination audit: the benchmark slice
+    (doc_id%7=0) builds a 3-hash/65536-bit Bloom filter over its distinct
+    5-shingles; every training document reports how many of its shingles
+    the filter flags (true overlaps PLUS the filter's false positives —
+    the operating point a real pipeline accepts to avoid shipping the
+    benchmark text itself). The probe is `sketch.bloom_probe`: three
+    broadcast left joins, training side unshuffled until the per-doc
+    rollup; the portable md5lower64 hash with power-of-two m lets the
+    oracle replay the exact bit positions."""
+    from openpolicedata_spark.functions.text import (
+        md5lower64_expr,
+        shingles_expr,
+    )
+    from openpolicedata_spark.operators.sketch import bloom_build, bloom_probe
+
+    d = _read(spark, sf_dir, "documents")
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(shingles_expr(F.col("text"), 5)))
+                  .alias("shingle"))
+    bench = sh.where(F.col("doc_id") % 7 == 0).select("shingle").distinct()
+    train = sh.where(F.col("doc_id") % 7 != 0)
+    bloom = bloom_build(bench, "shingle", k=3, m=65536,
+                        hash_fn=md5lower64_expr)
+    probed = bloom_probe(bloom, train, "shingle", k=3, m=65536,
+                         hash_fn=md5lower64_expr)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("n_hits"),
+            F.round(F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+                    / F.count(F.lit(1)).cast("double"), 6).alias("hit_share"),
+        )
+    )
+
+
+_Q111_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id,
+      list_distinct(list_transform(
+        range(1, greatest(len(toks) - 4, 0) + 1),
+        i -> array_to_string(toks[i : i+4], ' '))) AS shset
+    FROM toked WHERE len(toks) >= 5),
+  LATERAL unnest(shset) AS u(shingle)),
+pos AS (
+  SELECT DISTINCT CAST(md5_number_lower(CAST(r.range AS VARCHAR) || ':' || shingle)
+                       % 65536 AS BIGINT) AS pos
+  FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0), range(3) r),
+trainpos AS (
+  SELECT doc_id, shingle,
+         CAST(md5_number_lower(CAST(r.range AS VARCHAR) || ':' || shingle)
+              % 65536 AS BIGINT) AS p
+  FROM (SELECT * FROM sh WHERE doc_id % 7 <> 0), range(3) r),
+hits AS (
+  SELECT doc_id, shingle, COUNT(pos.pos) = 3 AS hit
+  FROM trainpos LEFT JOIN pos ON pos.pos = trainpos.p
+  GROUP BY doc_id, shingle)
+SELECT doc_id, COUNT(*) AS n_shingles,
+  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+  ROUND(SUM(CASE WHEN hit THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS hit_share
+FROM hits GROUP BY doc_id
+"""
+
+
+def q112_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus subsample: hash-order the documents and keep
+    them until 20k tokens are claimed (`sampling.token_budget_sample` —
+    the "exactly ~N tokens of this mix" primitive). The global exclusive
+    cumsum runs as a bucketed distributed prefix sum (percentile
+    boundaries + per-bucket offsets + a bucket-partitioned window), NOT
+    the single-task `SUM() OVER (ORDER BY …)` the oracle uses — same
+    answer, scale-safe plan; the order key is md5lower64 mod 2^62 so the
+    unsigned oracle sorts identically."""
+    from openpolicedata_spark.operators.sampling import token_budget_sample
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tok"))
+    return token_budget_sample(d, 20000, "n_tok", "doc_id", seed="mix1",
+                               n_buckets=16)
+
+
+_Q112_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents),
+h AS (
+  SELECT doc_id, n_tok,
+    CAST(md5_number_lower('mix1:' || CAST(doc_id AS VARCHAR))
+         % 4611686018427387904 AS BIGINT) AS hk
+  FROM m),
+c AS (
+  SELECT doc_id, n_tok,
+    CAST(COALESCE(SUM(n_tok) OVER (
+      ORDER BY hk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS BIGINT) AS cum_before
+  FROM h)
+SELECT doc_id, n_tok, cum_before FROM c WHERE cum_before < 20000
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4008,6 +4366,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_linear_count": q105_linear_count,
         "q106_boilerplate_lines": q106_boilerplate_lines,
         "q107_padding_waste": q107_padding_waste,
+        "q108_perplexity_filter": q108_perplexity_filter,
+        "q109_semantic_dedup": q109_semantic_dedup,
+        "q110_bpe_merges": q110_bpe_merges,
+        "q111_bloom_decontaminate": q111_bloom_decontaminate,
+        "q112_token_budget": q112_token_budget,
     }
     return base
 
@@ -4124,4 +4487,9 @@ def oracle_sql() -> dict[str, str]:
         "q105_linear_count": _Q105_SQL,
         "q106_boilerplate_lines": _Q106_SQL,
         "q107_padding_waste": _Q107_SQL,
+        "q108_perplexity_filter": _Q108_SQL,
+        "q109_semantic_dedup": _Q109_SQL,
+        "q110_bpe_merges": _Q110_SQL,
+        "q111_bloom_decontaminate": _Q111_SQL,
+        "q112_token_budget": _Q112_SQL,
     }
