@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "q100_bigram_lm",
     "q102_curriculum_bins",
     "q105_linear_count",
+    # round-3 batch 2: the corpus-shuffle LM scorer, the broadcast-probe
+    # Bloom decontaminator, and the bucketed distributed prefix sum
+    "q108_perplexity_filter",
+    "q111_bloom_decontaminate",
+    "q112_token_budget",
 ]
 
 
@@ -80,6 +85,7 @@ def main() -> None:
     # bench) use xxhash64. Same operator, same plan shape, same params —
     # only the hash primitive differs (see q28_minhash_pairs_prod).
     qs["q28_minhash_pairs"] = workload.q28_minhash_pairs_prod
+    qs["q111_bloom_decontaminate"] = workload.q111_bloom_decontaminate_prod
     timings: dict[str, float] = {}
     total = 0.0
     # Each query is timed twice and the MIN is recorded: the first run pays

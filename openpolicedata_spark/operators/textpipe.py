@@ -372,3 +372,88 @@ def remove_boilerplate_lines(
         .join(reassembled, on=id_col, how="left")
         .select(id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
     )
+
+
+def mask_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+    broadcast_cuts: bool = True,
+) -> DataFrame:
+    """Approximate cross-document SUBSTRING dedup (the span-level
+    counterpart of Lee et al. 2022's suffix-array dedup, arXiv:2107.06499):
+    every k-token span that occurs in ≥ `min_docs` distinct documents is
+    masked out of every document, and the surviving tokens are
+    reassembled in order. Catches copied paragraphs inside otherwise
+    unique pages — the case document-level MinHash misses. (Suffix arrays
+    remove all-but-one occurrence; this masks all occurrences, the same
+    conservative choice as `remove_boilerplate_lines`.)
+
+    Distributed shape — the corpus itself NEVER shuffles:
+    1. shingle digests aggregate by md5 (map-side combined; the wire
+       carries 16-byte digests, not text) → the over-threshold `hot` set
+       broadcasts (repeated spans are few by definition);
+    2. hot span START positions per doc survive a broadcast semi-join,
+       explode to covered token positions, and collapse to one small
+       per-doc cut-set (the only other shuffle — proportional to the
+       duplicated volume, not the corpus);
+    3. the cut-sets broadcast back and each document filters its own
+       tokens ROW-LOCALLY. Set `broadcast_cuts=False` on a heavily
+       duplicated corpus to turn step 3 into a shuffle join on the id.
+    Positions are 1-based over the normalized token stream; the output
+    is the kept tokens space-joined (normalized casing/whitespace, like
+    every shingle-space operator here).
+    """
+    from openpolicedata_spark.functions.text import (
+        normalize_text_expr,
+        shingles_expr,
+        tokens_expr,
+    )
+
+    toks = tokens_expr(normalize_text_expr(F.col(text_col)))
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(shingles_expr(F.col(text_col), k)).alias("i0", "s"),
+    ).select(id_col, "i0", F.md5("s").alias("__d__"))
+    hot = (
+        sh.select(id_col, "__d__").distinct()
+        .groupBy("__d__").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select(F.col("__d__").alias("__hd__"))
+    )
+    cov = (
+        sh.join(F.broadcast(hot), F.col("__d__") == F.col("__hd__"))
+        .select(id_col,
+                F.explode(F.sequence(F.col("i0") + 1,
+                                     F.col("i0") + k)).alias("pos"))
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__cuts__"))
+    )
+    if broadcast_cuts:
+        cov = F.broadcast(cov)
+    n = F.size(F.col("__toks__"))
+    kept_idx = F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: ~F.array_contains(
+                F.coalesce(F.col("__cuts__"), F.array().cast("array<int>")),
+                i.cast("int")),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks__"))
+        .join(cov, on=id_col, how="left")
+        .select(
+            id_col,
+            F.concat_ws(
+                " ",
+                F.transform(kept_idx,
+                            lambda i: F.element_at(F.col("__toks__"), i)),
+            ).alias(out_col),
+            F.size(kept_idx).cast("long").alias("n_kept"),
+        )
+    )

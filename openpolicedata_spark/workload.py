@@ -4157,22 +4157,28 @@ def q111_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast left joins, training side unshuffled until the per-doc
     rollup; the portable md5lower64 hash with power-of-two m lets the
     oracle replay the exact bit positions."""
-    from openpolicedata_spark.functions.text import (
-        md5lower64_expr,
-        shingles_expr,
-    )
+    from openpolicedata_spark.functions.text import md5lower64_expr
+
+    return _bloom_decontaminate(spark, sf_dir, hash_fn=md5lower64_expr)
+
+
+def _bloom_decontaminate(spark: SparkSession, sf_dir: str, hash_fn):
+    from openpolicedata_spark.functions.text import shingles_expr
+    from openpolicedata_spark.operators.dedup import rebalance
     from openpolicedata_spark.operators.sketch import bloom_build, bloom_probe
 
-    d = _read(spark, sf_dir, "documents")
+    # rebalance BEFORE the expression-heavy shingle explode + 3×hash probe:
+    # the single-row-group scan otherwise runs the whole pipeline on one
+    # core (q88 precedent)
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = d.select("doc_id",
                   F.explode(F.array_distinct(shingles_expr(F.col("text"), 5)))
                   .alias("shingle"))
     bench = sh.where(F.col("doc_id") % 7 == 0).select("shingle").distinct()
     train = sh.where(F.col("doc_id") % 7 != 0)
-    bloom = bloom_build(bench, "shingle", k=3, m=65536,
-                        hash_fn=md5lower64_expr)
+    bloom = bloom_build(bench, "shingle", k=3, m=65536, hash_fn=hash_fn)
     probed = bloom_probe(bloom, train, "shingle", k=3, m=65536,
-                         hash_fn=md5lower64_expr)
+                         hash_fn=hash_fn)
     return (
         probed.groupBy("doc_id")
         .agg(
@@ -4182,6 +4188,16 @@ def q111_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.count(F.lit(1)).cast("double"), 6).alias("hit_share"),
         )
     )
+
+
+def q111_bloom_decontaminate_prod(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Production-hash twin of q111 (q28-prod precedent): identical
+    pipeline and plan shape but the default xxhash64 position hash
+    (JVM-native) instead of the oracle-portable md5lower64. bench.py
+    times THIS under the q111 label; the md5 variant exists so DuckDB
+    can replay the exact bit positions."""
+    return _bloom_decontaminate(spark, sf_dir, hash_fn=None)
 
 
 _Q111_SQL = r"""
@@ -4254,6 +4270,51 @@ c AS (
       0) AS BIGINT) AS cum_before
   FROM h)
 SELECT doc_id, n_tok, cum_before FROM c WHERE cum_before < 20000
+"""
+
+
+def q113_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring dedup, approximate form: mask every
+    5-token span that occurs in ≥2 distinct documents
+    (`textpipe.mask_repeated_spans` — the span-level step document-level
+    MinHash misses; Lee et al. 2022 do it exactly with suffix arrays).
+    The corpus never shuffles: hot-span digests and per-doc cut-sets
+    both broadcast; only 16-byte digests and the duplicated spans'
+    positions ever cross the wire."""
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.textpipe import mask_repeated_spans
+
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return mask_repeated_spans(d, k=5, min_docs=2)
+
+
+_Q113_SQL = f"""
+WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         md5(array_to_string(toks[CAST(i AS INT) : CAST(i AS INT) + 4], ' ')) AS d
+  FROM toked, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) r(i)
+  WHERE len(toks) >= 5),
+hot AS (
+  SELECT d FROM (SELECT d, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY d)
+  WHERE df >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, i + o.o AS pos
+  FROM sh JOIN hot USING (d)
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS o) o),
+kept AS (
+  SELECT t.doc_id, CAST(p AS BIGINT) AS pos,
+         t.toks[CAST(p AS INT)] AS tok
+  FROM toked t, unnest(range(1, len(toks) + 1)) r(p)
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = t.doc_id AND c.pos = p)),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM toked t LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -4371,6 +4432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_bpe_merges": q110_bpe_merges,
         "q111_bloom_decontaminate": q111_bloom_decontaminate,
         "q112_token_budget": q112_token_budget,
+        "q113_repeated_spans": q113_repeated_spans,
     }
     return base
 
@@ -4492,4 +4554,5 @@ def oracle_sql() -> dict[str, str]:
         "q110_bpe_merges": _Q110_SQL,
         "q111_bloom_decontaminate": _Q111_SQL,
         "q112_token_budget": _Q112_SQL,
+        "q113_repeated_spans": _Q113_SQL,
     }

@@ -262,3 +262,50 @@ def test_q105_linear_count_no_python_and_partial_distinct(spark, sf_dir):
     # two aggregations (occupancy + truth) then a join on 20 sources:
     # the join side must not sort-merge a 20-row frame
     assert s.n_sortmerge_joins == 0
+
+
+def test_q110_bpe_merges_runs_on_vocab_not_corpus(spark, sf_dir):
+    """Char-pair counting must happen AFTER the corpus collapses to its
+    vocabulary: exactly the vocab shuffle + the pair shuffle, top-k via
+    TakeOrdered (no sort exchange), all JVM-side."""
+    df = workload.queries()["q110_bpe_merges"](spark, sf_dir)
+    assert_max_exchanges(df, 2)
+    assert_no_python_in_plan(df)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_q111_bloom_probe_is_three_broadcast_joins(spark, sf_dir):
+    """The probe side must never shuffle for membership: 3 broadcast
+    left joins against the positions table, zero sort-merge."""
+    df = workload.queries()["q111_bloom_decontaminate"](spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_broadcast_joins == 3, s.text
+    assert s.n_sortmerge_joins == 0
+    assert_no_python_in_plan(df)
+
+
+def test_q112_token_budget_window_is_bucket_partitioned(spark, sf_dir):
+    """The full-data window must hash-partition on the prefix-sum bucket
+    — never the SinglePartition global-order window."""
+    df = workload.queries()["q112_token_budget"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert "hashpartitioning(__bucket__" in t
+    assert_no_python_in_plan(df)
+
+
+def test_q108_q109_pure_expression_pipelines(spark, sf_dir):
+    """The oracle-replayable LM/semantic-dedup formulations stay entirely
+    JVM-side (their production twins own the Arrow stages)."""
+    for name in ("q108_perplexity_filter", "q109_semantic_dedup"):
+        df = workload.queries()[name](spark, sf_dir)
+        assert_no_python_in_plan(df)
+
+
+def test_q113_repeated_spans_corpus_never_sortmerges(spark, sf_dir):
+    """Hot spans and cut-sets broadcast; the corpus side must never
+    sort-merge, and the pipeline stays JVM-side."""
+    df = workload.queries()["q113_repeated_spans"](spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_broadcast_joins >= 2, s.text
+    assert s.n_sortmerge_joins == 0, s.text
+    assert_no_python_in_plan(df)

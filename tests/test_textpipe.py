@@ -306,3 +306,57 @@ def test_remove_boilerplate_lines_all_boiler_doc_empty(spark):
     out = remove_boilerplate_lines(df, max_doc_frac=0.2).collect()
     assert len(out) == 4
     assert all(r["clean_text"] == "" for r in out)
+
+
+class TestMaskRepeatedSpans:
+    def test_masks_shared_span_only(self, spark):
+        from openpolicedata_spark.operators.textpipe import mask_repeated_spans
+
+        shared = "alpha beta gamma delta epsilon"
+        rows = [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} four five six"),
+            (3, "seven eight nine ten eleven twelve"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               mask_repeated_spans(df, k=5, min_docs=2).collect()}
+        assert out[1]["clean_text"] == "one two three"
+        assert out[2]["clean_text"] == "four five six"
+        assert out[3]["clean_text"] == "seven eight nine ten eleven twelve"
+        assert out[1]["n_kept"] == 3 and out[3]["n_kept"] == 6
+
+    def test_overlapping_spans_union_and_full_mask(self, spark):
+        from openpolicedata_spark.operators.textpipe import mask_repeated_spans
+
+        # doc 2 == doc 1 entirely -> every position covered -> empty
+        t = "a b c d e f g"
+        df = spark.createDataFrame([(1, t), (2, t), (3, "x y z")],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               mask_repeated_spans(df, k=5, min_docs=2).collect()}
+        assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+        assert out[2]["clean_text"] == ""
+        assert out[3]["clean_text"] == "x y z"
+
+    def test_short_and_empty_docs_pass_through(self, spark):
+        from openpolicedata_spark.operators.textpipe import mask_repeated_spans
+
+        df = spark.createDataFrame(
+            [(1, "only four tokens here"), (2, ""), (3, "   ")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               mask_repeated_spans(df, k=5, min_docs=2).collect()}
+        assert out[1]["clean_text"] == "only four tokens here"
+        assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+        assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+
+    def test_min_docs_threshold(self, spark):
+        from openpolicedata_spark.operators.textpipe import mask_repeated_spans
+
+        t = "p q r s t u"
+        df = spark.createDataFrame([(1, t), (2, t), (3, t)],
+                                   "doc_id long, text string")
+        # threshold above the duplication level -> nothing masked
+        out = mask_repeated_spans(df, k=5, min_docs=4).collect()
+        assert all(r["clean_text"] == "p q r s t u" for r in out)
