@@ -171,7 +171,9 @@ def global_running_total(
     for b in range(1, n_buckets + 1):
         offsets.append(acc)
         acc += totals.get(b, 0) or 0
-    off = F.element_at(F.array(*[F.lit(int(o)) for o in offsets]),
+    # keep the collected python numerics as-is: int weights stay exact
+    # longs, float weights must NOT truncate through int()
+    off = F.element_at(F.array(*[F.lit(o) for o in offsets]),
                        F.col("__bucket__"))
     w = (Window.partitionBy("__bucket__")
          .orderBy(F.col("__ord__").asc(),

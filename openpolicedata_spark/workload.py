@@ -3930,6 +3930,11 @@ def q108_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array())
     db = d.select("doc_id", F.explode(big).alias("bg")).select(
         "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # both the per-doc multiplicities and the corpus counts consume this
+    # stream: checkpoint so the tokenize+zip explode runs ONCE, not once
+    # per branch (measured 1.95 -> 1.81 s warm at sf0.1; at corpus scale
+    # the explode is the heaviest stage)
+    db = db.localCheckpoint(eager=False)
     per_doc = db.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("m"))
     cab = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))

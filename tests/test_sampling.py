@@ -216,3 +216,16 @@ class TestTokenBudgetSample:
         naive = df.withColumn("c", F.sum("w").over(
             Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)))
         assert "SinglePartition" in formatted_plan(naive)
+
+
+def test_global_running_total_float_weights_not_truncated(spark):
+    """Offsets collected from float weights must keep their fraction —
+    int() truncation would shift every later bucket's cumsum."""
+    from openpolicedata_spark.operators.sampling import global_running_total
+
+    df = spark.createDataFrame([(i, 0.5) for i in range(40)],
+                               "doc_id long, w double")
+    out = global_running_total(df, "w", F.col("doc_id").cast("double"),
+                               tiebreak_cols=("doc_id",), n_buckets=4)
+    got = {r["doc_id"]: r["cum_before"] for r in out.collect()}
+    assert got == {i: i * 0.5 for i in range(40)}
