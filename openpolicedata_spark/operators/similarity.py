@@ -555,3 +555,47 @@ def semdedup(
         assigned.groupBy("list_id")
         .applyInPandas(dedup_cluster, schema=out_schema)
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 1,
+    max_bucket_size: Optional[int] = None,
+    round_scores: Optional[int] = None,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: every vector's top-k most
+    similar bucket-mates — the input to graph-based semantic clustering
+    (connected components over high-cosine edges, SemDeDup variants,
+    diversity analysis). Reuses `embedding_dup_pairs`' banded LSH
+    candidate generation (threshold -1: keep all collisions), then
+    symmetrizes the pairs and ranks per source node.
+
+    Recall is bounded by bucketing — vectors sharing no band bucket are
+    never candidates (raise `bands` to recover borderline angles, size
+    planes with `recommended_num_planes`); a node may have fewer than k
+    edges. Shape at scale: candidate pairs are bucket-bounded (guard
+    degenerate buckets with `max_bucket_size`), and the rank is a
+    per-node window on the symmetrized edge list — the shuffle carries
+    edges, never vectors. `round_scores` quantizes cosines before
+    ranking so the edge set is reproducible across engines/partitionings
+    (ties then break on the neighbor id); leave None to rank on full
+    doubles."""
+    pairs = embedding_dup_pairs(
+        corpus, planes, threshold=-1.0, vec_col=vec_col, id_col=id_col,
+        bands=bands, max_bucket_size=max_bucket_size)
+    score = (F.round("cosine", round_scores) if round_scores is not None
+             else F.col("cosine"))
+    pairs = pairs.select("id_a", "id_b", score.alias("score"))
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "score"
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "score"))
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -544,3 +544,60 @@ def countmin_sink(stream_df: DataFrame, key: str, path: str,
         if q.isActive:
             q.stop()
             q.awaitTermination(30)
+
+
+def bloom_sink(stream_df: DataFrame, key: str, path: str,
+               k: int = 3, m: int = 65536,
+               checkpoint_dir: Optional[str] = None,
+               query_name: str = "bloom",
+               timeout_s: int = 300) -> None:
+    """Streaming Bloom-filter maintenance: keep a membership filter of
+    every key ever seen on an unbounded stream (foreachBatch + merge) —
+    the streaming half of decontamination: the benchmark/blocklist
+    stream feeds this sink, and batch (or other streaming) jobs probe
+    the persisted positions table with `operators.sketch.bloom_probe`.
+
+    Each micro-batch contributes its `bloom_build` positions (≤ min(k·
+    batch_keys, m) rows); the merge is DISTINCT UNION — set union is
+    IDEMPOTENT, so a failure-recovery replay of a micro-batch is
+    harmless and no batch-id marker is needed (contrast countmin_sink,
+    whose additive merge must guard replays with marker rows). State
+    never exceeds m rows regardless of stream length. Write-then-swap
+    with the same crash recovery as `upsert_sink`; readers always see a
+    complete filter."""
+    import contextlib
+    import os
+
+    from openpolicedata_spark.operators.sketch import bloom_build
+
+    spark = stream_df.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        _recover_dir(path)
+        partial = bloom_build(batch, key, k=k, m=m)
+        if os.path.isdir(path):
+            partial = (spark.read.parquet(path)
+                       .unionByName(partial).distinct())
+        tmp = path.rstrip("/") + f".__stage_{batch_id}__"
+        # the filter is ≤ m rows — one file is right
+        partial.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap_dir(tmp, path)
+
+    ctx = (contextlib.nullcontext(checkpoint_dir)
+           if checkpoint_dir is not None
+           else tempfile.TemporaryDirectory(prefix="opd_ckpt_"))
+    with ctx as ckpt:
+        q = (
+            stream_df.writeStream
+            .foreachBatch(body)
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+            q.awaitTermination(30)

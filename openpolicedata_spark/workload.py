@@ -4323,6 +4323,44 @@ FROM toked t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q114_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph (`similarity.knn_graph`): LSH-bucketed
+    candidate pairs symmetrized into per-node top-3 edges — the input to
+    graph-based semantic clustering. The oracle replays the hyperplane
+    signs and cosines with the literal-expansion dot products that match
+    Spark's fold order bit-for-bit (q33 machinery); scores quantize to 6
+    decimals BEFORE ranking on both sides so edge order is
+    engine-reproducible (ties break on the neighbor id)."""
+    from openpolicedata_spark.operators.similarity import knn_graph
+
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = make_random_planes(64, num_planes=8)
+    return knn_graph(emb, planes, k=3, round_scores=6).withColumn(
+        "rank", F.col("rank").cast("int"))
+
+
+def _q114_sql() -> str:
+    planes = make_random_planes(64, num_planes=8)
+    cos = _cos_sql("a.v", "b.v")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT vec_id, v, {_bucket_sql("v", planes)} AS bucket FROM e),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({cos}, 6) AS score
+  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+sym AS (
+  SELECT id_a AS src, id_b AS dst, score FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, score FROM pairs)
+SELECT src, dst, score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY src ORDER BY score DESC, dst ASC) AS rank
+      FROM sym)
+WHERE rank <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4438,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_bloom_decontaminate": q111_bloom_decontaminate,
         "q112_token_budget": q112_token_budget,
         "q113_repeated_spans": q113_repeated_spans,
+        "q114_knn_graph": q114_knn_graph,
     }
     return base
 
@@ -4560,4 +4599,5 @@ def oracle_sql() -> dict[str, str]:
         "q111_bloom_decontaminate": _Q111_SQL,
         "q112_token_budget": _Q112_SQL,
         "q113_repeated_spans": _Q113_SQL,
+        "q114_knn_graph": _q114_sql(),
     }

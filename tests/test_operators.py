@@ -400,3 +400,70 @@ class TestSemDeDup:
                         threshold=0.5).collect()}
         # zero vectors have cosine 0 to everything (guarded norm) -> kept
         assert out[1]["keep"] and out[2]["keep"]
+
+
+class TestKnnGraph:
+    def test_topk_edges_within_buckets(self, spark):
+        from openpolicedata_spark.operators.similarity import (
+            knn_graph,
+            make_random_planes,
+        )
+
+        # two tight clusters far apart: edges stay within a cluster
+        rows = ([(i, [1.0, 0.01 * i]) for i in range(4)]
+                + [(10 + i, [-1.0, -0.01 * i]) for i in range(4)])
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        g = knn_graph(df, make_random_planes(2, 4), k=2).collect()
+        assert all(
+            (r["src"] < 10) == (r["dst"] < 10) for r in g), g
+        by_src = {}
+        for r in g:
+            by_src.setdefault(r["src"], []).append(r)
+        for src, edges in by_src.items():
+            assert len(edges) <= 2
+            assert [e["rank"] for e in sorted(edges, key=lambda e: e["rank"])] \
+                == list(range(1, len(edges) + 1))
+
+    def test_symmetrization_and_cap(self, spark):
+        from openpolicedata_spark.operators.similarity import (
+            knn_graph,
+            make_random_planes,
+        )
+
+        rows = [(i, [1.0, 0.0]) for i in range(5)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        g = knn_graph(df, make_random_planes(2, 4), k=10).collect()
+        # identical vectors: complete graph, both directions present
+        assert len(g) == 5 * 4
+        # max_bucket_size below the cluster: no edges at all
+        g2 = knn_graph(df, make_random_planes(2, 4), k=10,
+                       max_bucket_size=3).collect()
+        assert g2 == []
+
+
+def test_semdedup_operator_matches_q109_keep_set(spark):
+    """The production Arrow path (ivf_assign argmin + chunked matmul) and
+    q109's DECIMAL expression formulation must agree on the keep set for
+    the same centroids/threshold on the real testdata subset."""
+    import numpy as np
+
+    from openpolicedata_spark import workload
+    from openpolicedata_spark.operators.similarity import semdedup
+
+    sf = "/root/testdata/sf0.001"
+    ref = {r["vec_id"]: r["keep"]
+           for r in workload.queries()["q109_semantic_dedup"](spark, sf).collect()}
+
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .where(F.col("vec_id") % 5 == 0))
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64))
+    labels = sorted(by_label)
+    cents = [np.mean(np.stack(by_label[l]), axis=0).tolist() for l in labels]
+    got_rows = semdedup(emb, cents, threshold=0.9).collect()
+    # semdedup's list_id indexes into cents == position in sorted labels
+    got = {r["vec_id"]: r["keep"] for r in got_rows}
+    assert got == ref

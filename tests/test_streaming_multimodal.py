@@ -542,3 +542,43 @@ def test_swap_dir_crash_recovery(tmp_path):
     # no-op when the table is healthy
     _recover_dir(path)
     assert os.path.isdir(path)
+
+
+def test_bloom_sink_stream_equals_batch_filter(spark, tmp_path):
+    """Micro-batched Bloom union must equal the one-shot batch filter
+    (set union is the merge law — idempotent, so replays need no
+    guard), and the persisted positions table must serve bloom_probe."""
+    from openpolicedata_spark.operators.sketch import bloom_build, bloom_probe
+    from openpolicedata_spark.streaming import bloom_sink
+
+    rows = [(f"k{i}",) for i in range(40)]
+    full = spark.createDataFrame(rows, "key string")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    full.where(F.col("key") < "k2").coalesce(1).write.parquet(
+        src, mode="append")
+    full.where(F.col("key") >= "k2").coalesce(1).write.parquet(
+        src, mode="append")
+    bloom_path = str(tmp_path / "bloom")
+
+    def drain():
+        stream = (spark.readStream.schema(full.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        bloom_sink(stream, "key", bloom_path, k=3, m=4096,
+                   checkpoint_dir=ckpt)
+
+    drain()
+    got = spark.read.parquet(bloom_path)
+    want = bloom_build(full, "key", k=3, m=4096)
+    assert (got.exceptAll(want).count() == 0
+            and want.exceptAll(got).count() == 0)
+
+    # re-invocation with nothing new is a no-op (idempotent union +
+    # offset tracking)
+    drain()
+    again = spark.read.parquet(bloom_path)
+    assert again.count() == got.count()
+
+    # the persisted table serves probes: members all hit
+    probe = bloom_probe(again, full, "key", k=3, m=4096)
+    assert probe.where(~F.col("bloom_hit")).count() == 0
