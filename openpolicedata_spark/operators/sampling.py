@@ -135,37 +135,55 @@ def global_running_total(
     window on ONE partition; at 100 TB that task never finishes).
 
     Distributed prefix-sum in three bounded steps:
-    1. exact percentile boundaries of `order_col` (one aggregate,
-       `n_buckets`-1 doubles on the driver) split the order into
-       contiguous ranges — same broadcast-boundaries pattern as q102;
+    1. APPROXIMATE percentile boundaries of `order_col` (GK sketch —
+       bounded aggregation state; `F.percentile` keeps a per-distinct-
+       value map whose single-task final merge is O(N) on an
+       all-distinct hash key, the very bottleneck this operator removes)
+       split the order into contiguous ranges. The OUTPUT never depends
+       on where the cuts fall: offsets come from the real per-bucket
+       totals below, so any monotone cut is correct — approximation
+       costs only balance, never the answer;
     2. per-bucket weight totals (map-side-combined agg, `n_buckets`
        rows) become exclusive bucket offsets via one tiny collect
-       (bounded driver state, like any range-partitioner plan);
+       (bounded driver state, like any range-partitioner plan) — both
+       planning jobs run on a checkpointed SLIM (order, weight)
+       projection, so the full rows and the order-key expression are
+       touched once, in the output pass;
     3. a window PARTITIONED by bucket computes the within-bucket
        exclusive cumsum; `offset[bucket] + within` is the global total.
     The only full-data shuffle is the bucket window, and the hash-
     uniform `order_col` keeps buckets even. Size `n_buckets` ≈ cluster
-    cores. `order_col` must be numeric (percentile boundaries);
-    equal order values never straddle buckets, and `tiebreak_cols`
+    cores. `order_col` must be numeric; equal order values never
+    straddle buckets (boundaries compare strictly), and `tiebreak_cols`
     order rows within an equal-value run deterministically."""
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
-    d = df.withColumn("__ord__", oc)
+    bounds: list = []
     if n_buckets > 1:
-        bounds = d.agg(F.percentile(
+        slim = df.select(oc.alias("__ord__"),
+                         F.col(weight_col).alias("__w__"))
+        slim = slim.localCheckpoint(eager=False)
+        row = slim.agg(F.approx_percentile(
             "__ord__",
             F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)]),
-        ).alias("__bs__"))
-        d = d.crossJoin(F.broadcast(bounds)).withColumn(
-            "__bucket__",
-            F.lit(1) + F.size(F.filter(
-                F.col("__bs__"), lambda b: b < F.col("__ord__"))),
-        ).drop("__bs__")
+            F.lit(10000),
+        ).alias("__bs__")).first()
+        bounds = list(row["__bs__"] or [])
     else:
-        d = d.withColumn("__bucket__", F.lit(1))
+        slim = df.select(oc.alias("__ord__"),
+                         F.col(weight_col).alias("__w__"))
+
+    def bucket_of(ord_col: Column) -> Column:
+        if not bounds:
+            return F.lit(1)
+        b = F.lit(1)
+        for v in bounds:
+            b = b + F.when(F.lit(v) < ord_col, 1).otherwise(0)
+        return b
+
     totals = {
         r["__bucket__"]: r["t"]
-        for r in d.groupBy("__bucket__")
-        .agg(F.sum(weight_col).alias("t")).collect()
+        for r in slim.groupBy(bucket_of(F.col("__ord__")).alias("__bucket__"))
+        .agg(F.sum("__w__").alias("t")).collect()
     }
     offsets, acc = [], 0
     for b in range(1, n_buckets + 1):
@@ -175,6 +193,8 @@ def global_running_total(
     # longs, float weights must NOT truncate through int()
     off = F.element_at(F.array(*[F.lit(o) for o in offsets]),
                        F.col("__bucket__"))
+    d = (df.withColumn("__ord__", oc)
+         .withColumn("__bucket__", bucket_of(F.col("__ord__"))))
     w = (Window.partitionBy("__bucket__")
          .orderBy(F.col("__ord__").asc(),
                   *[F.col(c).asc() for c in tiebreak_cols])

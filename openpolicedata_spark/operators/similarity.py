@@ -583,7 +583,8 @@ def knn_graph(
     edges, never vectors. `round_scores` quantizes cosines before
     ranking so the edge set is reproducible across engines/partitionings
     (ties then break on the neighbor id); leave None to rank on full
-    doubles."""
+    doubles. Zero-norm vectors have NULL cosine to everything — their
+    candidate pairs are dropped (no edges), never NaN-ranked."""
     pairs = embedding_dup_pairs(
         corpus, planes, threshold=-1.0, vec_col=vec_col, id_col=id_col,
         bands=bands, max_bucket_size=max_bucket_size)

@@ -467,6 +467,31 @@ def near_dedup_sink(stream_df: DataFrame, out_path: str, index_path: str,
             q.awaitTermination(30)
 
 
+def _run_merge_sink(stream_df: DataFrame, body, checkpoint_dir: Optional[str],
+                    query_name: str, timeout_s: int) -> None:
+    """Shared foreachBatch runner for the merge sinks (countmin/bloom):
+    persistent checkpoint when given, ephemeral otherwise; availableNow
+    drain; bounded stop."""
+    import contextlib
+
+    ctx = (contextlib.nullcontext(checkpoint_dir)
+           if checkpoint_dir is not None
+           else tempfile.TemporaryDirectory(prefix="opd_ckpt_"))
+    with ctx as ckpt:
+        q = (
+            stream_df.writeStream
+            .foreachBatch(body)
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+            q.awaitTermination(30)
+
+
 def countmin_sink(stream_df: DataFrame, key: str, path: str,
                   depth: int = 4, width: int = 1024,
                   checkpoint_dir: Optional[str] = None,
@@ -529,21 +554,7 @@ def countmin_sink(stream_df: DataFrame, key: str, path: str,
         partial.coalesce(1).write.mode("overwrite").parquet(tmp)
         _swap_dir(tmp, path)
 
-    ctx = (contextlib.nullcontext(checkpoint_dir) if guarded
-           else tempfile.TemporaryDirectory(prefix="opd_ckpt_"))
-    with ctx as ckpt:
-        q = (
-            stream_df.writeStream
-            .foreachBatch(body)
-            .queryName(query_name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(timeout_s)
-        if q.isActive:
-            q.stop()
-            q.awaitTermination(30)
+    _run_merge_sink(stream_df, body, checkpoint_dir, query_name, timeout_s)
 
 
 def bloom_sink(stream_df: DataFrame, key: str, path: str,
@@ -565,7 +576,6 @@ def bloom_sink(stream_df: DataFrame, key: str, path: str,
     never exceeds m rows regardless of stream length. Write-then-swap
     with the same crash recovery as `upsert_sink`; readers always see a
     complete filter."""
-    import contextlib
     import os
 
     from openpolicedata_spark.operators.sketch import bloom_build
@@ -585,19 +595,4 @@ def bloom_sink(stream_df: DataFrame, key: str, path: str,
         partial.coalesce(1).write.mode("overwrite").parquet(tmp)
         _swap_dir(tmp, path)
 
-    ctx = (contextlib.nullcontext(checkpoint_dir)
-           if checkpoint_dir is not None
-           else tempfile.TemporaryDirectory(prefix="opd_ckpt_"))
-    with ctx as ckpt:
-        q = (
-            stream_df.writeStream
-            .foreachBatch(body)
-            .queryName(query_name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(timeout_s)
-        if q.isActive:
-            q.stop()
-            q.awaitTermination(30)
+    _run_merge_sink(stream_df, body, checkpoint_dir, query_name, timeout_s)

@@ -4111,8 +4111,11 @@ def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sequence(1, len-1)` avoids Spark's descending-sequence trap for
     1-char words."""
     from openpolicedata_spark.functions.text import tokens_expr
+    from openpolicedata_spark.operators.dedup import rebalance
 
-    d = _read(spark, sf_dir, "documents")
+    # rebalance: the regex tokenize + explode feeding the vocab groupBy
+    # is the expression-heavy stage (single-row-group gotcha, q88)
+    d = rebalance(_read(spark, sf_dir, "documents").select("text"))
     vocab = (
         d.select(F.explode(tokens_expr(normalize_text_expr(F.col("text"))))
                  .alias("w"))
@@ -4205,11 +4208,9 @@ def q111_bloom_decontaminate_prod(spark: SparkSession,
     return _bloom_decontaminate(spark, sf_dir, hash_fn=None)
 
 
-_Q111_SQL = r"""
+_Q111_SQL = f"""
 WITH toked AS (
-  SELECT doc_id,
-    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
-                x -> x <> '') AS toks
+  SELECT doc_id, {_SQL_TOKENS} AS toks
   FROM documents),
 sh AS (
   SELECT doc_id, shingle FROM (
@@ -4346,9 +4347,13 @@ def _q114_sql() -> str:
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cb AS (SELECT vec_id, v, {_bucket_sql("v", planes)} AS bucket FROM e),
 pairs AS (
+  -- NOT isnan: a zero-norm vector's 0/0 cosine is NULL in Spark (the
+  -- operator's >= -1 filter drops the pair) but NaN here, and NaN would
+  -- sort ABOVE every real score — drop it to match "no edge"
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          ROUND({cos}, 6) AS score
-  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE NOT isnan({cos})),
 sym AS (
   SELECT id_a AS src, id_b AS dst, score FROM pairs
   UNION ALL

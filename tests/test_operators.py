@@ -441,7 +441,7 @@ class TestKnnGraph:
         assert g2 == []
 
 
-def test_semdedup_operator_matches_q109_keep_set(spark):
+def test_semdedup_operator_matches_q109_keep_set(spark, sf_dir):
     """The production Arrow path (ivf_assign argmin + chunked matmul) and
     q109's DECIMAL expression formulation must agree on the keep set for
     the same centroids/threshold on the real testdata subset."""
@@ -450,7 +450,7 @@ def test_semdedup_operator_matches_q109_keep_set(spark):
     from openpolicedata_spark import workload
     from openpolicedata_spark.operators.similarity import semdedup
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     ref = {r["vec_id"]: r["keep"]
            for r in workload.queries()["q109_semantic_dedup"](spark, sf).collect()}
 
