@@ -264,3 +264,56 @@ def stratified_sample(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= n_per_stratum)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    weight_col: str,
+    key_col: str,
+    seed: str = "epoch0",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Export a curated corpus as deterministic TRAINING SHARDS — the
+    last step of the pipeline, shaped for a data loader:
+
+    - shard assignment = portable hash of the key mod `n_shards` —
+      SEED-INDEPENDENT (stable under reruns, corpus growth, and epoch
+      changes, like `hash_split`), so re-exporting an epoch rewrites the
+      same membership with a new order and shard-level bookkeeping
+      (caches, size budgets) survives across epochs;
+    - WITHIN each shard, rows are written in the per-epoch shuffle order
+      (`shuffle_key_expr(seed)`) — a loader streaming shard files in
+      order replays the exact same example sequence every run, and a new
+      `seed` reshuffles the order only;
+    - layout: `path/shard=N/*.parquet` via partitionBy — one write job,
+      each task sorts only its own shard (`repartition(shard)` +
+      `sortWithinPartitions`), nothing global.
+
+    Returns the MANIFEST (shard, n_docs, n_tokens) that was also written
+    to `path/_manifest` — the loader's unit of bookkeeping (length-aware
+    sampling, resumable epochs). Shard sizes concentrate tightly
+    (multinomial with uniform hash) so per-shard token budgets stay
+    within a few percent of corpus/n_shards."""
+    d = (
+        df.withColumn(
+            "shard",
+            F.pmod(budget_hash_expr(F.col(key_col), "shard"),
+                   F.lit(n_shards)).cast("int"))
+        .withColumn("__sk__", shuffle_key_expr(F.col(key_col), seed))
+    )
+    (
+        d.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__sk__")
+        .drop("__sk__")
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+    )
+    manifest = (
+        d.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(weight_col).alias("n_tokens"))
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/_manifest")
+    return manifest

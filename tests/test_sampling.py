@@ -229,3 +229,60 @@ def test_global_running_total_float_weights_not_truncated(spark):
                                tiebreak_cols=("doc_id",), n_buckets=4)
     got = {r["doc_id"]: r["cum_before"] for r in out.collect()}
     assert got == {i: i * 0.5 for i in range(40)}
+
+
+class TestWriteTrainingShards:
+    def test_shards_deterministic_and_ordered(self, spark, tmp_path):
+        from openpolicedata_spark.operators.sampling import (
+            shuffle_key_expr,
+            write_training_shards,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"text {i}", 10 + i % 7) for i in range(200)],
+            "doc_id long, text string, n_tok long")
+        out = str(tmp_path / "shards")
+        man = write_training_shards(df, out, "n_tok", "doc_id",
+                                    seed="e1", n_shards=8).collect()
+        assert sorted(r["shard"] for r in man) == sorted(
+            set(r["shard"] for r in man))
+        assert sum(r["n_docs"] for r in man) == 200
+        assert sum(r["n_tokens"] for r in man) == sum(
+            10 + i % 7 for i in range(200))
+        # written layout: partition dirs, manifest parquet matches
+        back = spark.read.parquet(out)
+        assert back.count() == 200
+        man_back = {r["shard"]: (r["n_docs"], r["n_tokens"])
+                    for r in spark.read.parquet(out + "/_manifest").collect()}
+        assert man_back == {r["shard"]: (r["n_docs"], r["n_tokens"])
+                            for r in man}
+        # within-shard file order is the epoch shuffle order
+        import glob
+
+        for d in glob.glob(out + "/shard=*"):
+            rows = spark.read.parquet(d).collect()
+            keys = [r["doc_id"] for r in rows]
+            ordered = [r["doc_id"] for r in
+                       spark.createDataFrame([(k,) for k in keys], "doc_id long")
+                       .withColumn("sk", shuffle_key_expr(F.col("doc_id"), "e1"))
+                       .orderBy("sk").collect()]
+            assert keys == ordered
+
+    def test_reshuffle_changes_order_not_assignment(self, spark, tmp_path):
+        from openpolicedata_spark.operators.sampling import write_training_shards
+
+        df = spark.createDataFrame([(i, 5) for i in range(100)],
+                                   "doc_id long, n_tok long")
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        write_training_shards(df, a, "n_tok", "doc_id", seed="e1", n_shards=4)
+        write_training_shards(df, b, "n_tok", "doc_id", seed="e2", n_shards=4)
+        any_reordered = False
+        for s in range(4):
+            ra = [r["doc_id"] for r in
+                  spark.read.parquet(f"{a}/shard={s}").collect()]
+            rb = [r["doc_id"] for r in
+                  spark.read.parquet(f"{b}/shard={s}").collect()]
+            assert set(ra) == set(rb)   # membership is seed-independent
+            any_reordered = any_reordered or ra != rb
+        assert any_reordered            # ...but the epoch order changed
