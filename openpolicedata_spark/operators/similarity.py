@@ -600,3 +600,68 @@ def knn_graph(
         sym.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _fd_shrink(B: "np.ndarray", ell: int) -> "np.ndarray":
+    """One Frequent-Directions shrink: SVD, subtract the ell-th squared
+    singular value from every direction's energy, keep ell rows."""
+    _, s, Vt = np.linalg.svd(B, full_matrices=False)
+    if len(s) <= ell:
+        return B
+    delta = s[ell - 1] ** 2
+    s2 = np.sqrt(np.maximum(s ** 2 - delta, 0.0))[:ell]
+    return s2[:, None] * Vt[:ell]
+
+
+def frequent_directions(
+    corpus: DataFrame,
+    ell: int = 16,
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Frequent Directions matrix sketch of the embedding matrix A
+    (Liberty 2013 / Ghashami et al. 2016): a small B (ℓ×dim) with the
+    deterministic guarantee ‖AᵀA − BᵀB‖₂ ≤ ‖A‖²_F / ℓ — the covariance/
+    PCA summary of a 100 TB embedding column in ℓ·dim driver floats.
+    The matrix analog of the Count-Min story: bounded state, mergeable
+    partials, error that shrinks as the sketch grows.
+
+    Distributed shape: ONE Arrow pass (`mapInPandas`) streams each
+    partition's batches through a local 2ℓ-row FD buffer and emits that
+    partition's ℓ×dim partial; the driver stacks the ≤ num_partitions
+    partials and shrinks pairwise (FD sketches merge by concatenation +
+    shrink — the mergeability theorem). The wire carries
+    partitions × ℓ × dim floats, never the vectors; no shuffle at all.
+
+    The sketch is APPROXIMATE and partition-dependent (different splits
+    give different B within the same error bound) — use it for spectral
+    summaries (top directions, whitening, energy), not for exact-oracle
+    queries; the error bound itself is asserted in tests."""
+    import pyspark.sql.types as T
+
+    def partial(batches):
+        buf = np.zeros((0, 0))
+        for pdf in batches:
+            if vec_col not in pdf or not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if buf.size == 0:
+                buf = np.zeros((0, X.shape[1]))
+            buf = np.vstack([buf, X])
+            if len(buf) >= 2 * ell:
+                buf = _fd_shrink(buf, ell)
+        if buf.size:
+            buf = _fd_shrink(buf, ell)
+            yield pd.DataFrame({"r": list(range(len(buf))),
+                                "v": [row.tolist() for row in buf]})
+
+    schema = T.StructType([
+        T.StructField("r", T.IntegerType()),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+    ])
+    rows = corpus.select(vec_col).mapInPandas(partial, schema).collect()
+    if not rows:
+        raise ValueError("frequent_directions on an empty corpus")
+    B = np.array([r["v"] for r in rows], dtype=np.float64)
+    while len(B) > ell:
+        B = _fd_shrink(B, ell)
+    return B

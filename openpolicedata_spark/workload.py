@@ -4366,6 +4366,56 @@ WHERE rank <= 3
 """
 
 
+def q115_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty / memorization audit: per document, the share of
+    its DISTINCT 5-token shingles that occur in no other document —
+    q88's hapax analysis lifted from tokens to spans, the standard probe
+    for how much of a doc is corpus-unique vs boilerplate/copied. One
+    digest shuffle (16-byte md5, map-side combined) + a broadcast-able
+    doc-frequency join back; the q113 masking op REMOVES the non-novel
+    spans, this query MEASURES them."""
+    from openpolicedata_spark.functions.text import shingles_expr
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_expr(F.col("text"), 5)))
+        .alias("s"),
+    ).select("doc_id", F.md5("s").alias("dg"))
+    freq = sh.groupBy("dg").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(freq, on="dg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+            F.round(F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                    / F.count(F.lit(1)).cast("double"), 6).alias("novelty"),
+        )
+    )
+
+
+_Q115_SQL = f"""
+WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, dg FROM (
+    SELECT doc_id,
+      list_distinct(list_transform(
+        range(1, greatest(len(toks) - 4, 0) + 1),
+        i -> md5(array_to_string(toks[i : i+4], ' ')))) AS dgs
+    FROM toked WHERE len(toks) >= 5),
+  LATERAL unnest(dgs) AS u(dg)),
+freq AS (SELECT dg, COUNT(*) AS df FROM sh GROUP BY dg)
+SELECT doc_id, COUNT(*) AS n_ngrams,
+  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS novelty
+FROM sh JOIN freq USING (dg)
+GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4482,6 +4532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_token_budget": q112_token_budget,
         "q113_repeated_spans": q113_repeated_spans,
         "q114_knn_graph": q114_knn_graph,
+        "q115_ngram_novelty": q115_ngram_novelty,
     }
     return base
 
@@ -4605,4 +4656,5 @@ def oracle_sql() -> dict[str, str]:
         "q112_token_budget": _Q112_SQL,
         "q113_repeated_spans": _Q113_SQL,
         "q114_knn_graph": _q114_sql(),
+        "q115_ngram_novelty": _Q115_SQL,
     }

@@ -467,3 +467,54 @@ def test_semdedup_operator_matches_q109_keep_set(spark, sf_dir):
     # semdedup's list_id indexes into cents == position in sorted labels
     got = {r["vec_id"]: r["keep"] for r in got_rows}
     assert got == ref
+
+
+class TestFrequentDirections:
+    def test_error_bound_and_energy(self, spark):
+        import numpy as np
+
+        from openpolicedata_spark.operators.similarity import (
+            frequent_directions,
+        )
+
+        rng = np.random.RandomState(7)
+        A = rng.randn(300, 16) * np.array([10.0] * 4 + [1.0] * 12)
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(A)],
+            "vec_id long, embedding array<double>").repartition(4)
+        ell = 8
+        B = frequent_directions(df, ell=ell)
+        assert B.shape == (ell, 16)
+        err = np.linalg.norm(A.T @ A - B.T @ B, 2)
+        bound = (np.linalg.norm(A, "fro") ** 2) / ell
+        assert err <= bound + 1e-6
+        # the sketch keeps the dominant subspace: top-4 energy mostly there
+        top = np.linalg.svd(B, full_matrices=False)[2][:4]
+        proj = np.linalg.norm(A @ top.T, "fro") ** 2
+        assert proj > 0.8 * np.linalg.norm(A, "fro") ** 2
+
+    def test_exact_when_rank_fits(self, spark):
+        import numpy as np
+
+        from openpolicedata_spark.operators.similarity import (
+            frequent_directions,
+        )
+
+        # rows <= ell per the whole corpus: BᵀB must equal AᵀA exactly
+        A = np.arange(12, dtype=np.float64).reshape(4, 3)
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(A)],
+            "vec_id long, embedding array<double>")
+        B = frequent_directions(df, ell=6)
+        assert np.allclose(A.T @ A, B.T @ B, atol=1e-8)
+
+    def test_empty_raises(self, spark):
+        import pytest as _pytest
+
+        from openpolicedata_spark.operators.similarity import (
+            frequent_directions,
+        )
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with _pytest.raises(ValueError):
+            frequent_directions(df, ell=4)
