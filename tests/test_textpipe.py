@@ -360,3 +360,18 @@ class TestMaskRepeatedSpans:
         # threshold above the duplication level -> nothing masked
         out = mask_repeated_spans(df, k=5, min_docs=4).collect()
         assert all(r["clean_text"] == "p q r s t u" for r in out)
+
+    def test_shuffle_join_path_matches_broadcast(self, spark):
+        """broadcast_cuts=False (the heavily-duplicated-corpus fallback)
+        must produce the identical output via the id-shuffle join."""
+        from openpolicedata_spark.operators.textpipe import mask_repeated_spans
+
+        shared = "alpha beta gamma delta epsilon"
+        rows = [(1, f"one two {shared} three"), (2, f"{shared} four"),
+                (3, "u v w x y z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, mask_repeated_spans(
+            df, k=5, min_docs=2, broadcast_cuts=True).collect()))
+        b = sorted(map(tuple, mask_repeated_spans(
+            df, k=5, min_docs=2, broadcast_cuts=False).collect()))
+        assert a == b
