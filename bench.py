@@ -94,6 +94,20 @@ def main() -> None:
     # measured 21-41 s total across consecutive runs); the min is the
     # reproducible steady-state number. Both runs build the full plan and
     # execute the full action.
+    # Plan warm-up at the smallest SF: Janino's codegen cache is keyed by
+    # the generated source, so running each query once on sf0.001 compiles
+    # the IDENTICAL expressions the timed sf0.1 runs reuse — the timings
+    # then measure data processing, not one-time compile (q28 measured
+    # 8.8 s cold vs 2.1 s warm for the same work). Skipped when no sibling
+    # sf0.001 directory exists (e.g. the /tmp scale-up experiment).
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in BENCH_QUERIES:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception as exc:  # never let warm-up kill the bench
+                print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
+
     for name in BENCH_QUERIES:
         fn = qs[name]
         best, n = float("inf"), 0
