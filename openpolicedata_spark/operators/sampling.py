@@ -303,13 +303,22 @@ def write_training_shards(
         .withColumn("__sk__", shuffle_key_expr(F.col(key_col), seed))
     )
     (
-        d.repartition(n_shards, F.col("shard"))
+        # repartitionByRange: ~1:1 shard→task (plain hash-repartition of
+        # 64 distinct ids leaves ~1/e of the tasks empty and the busiest
+        # writing 2-3 shards); the in-partition sort still leads with
+        # shard for the boundary tasks that straddle two ids
+        d.repartitionByRange(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "__sk__")
         .drop("__sk__")
         .write.mode("overwrite").partitionBy("shard").parquet(path)
     )
+    # manifest from the WRITTEN shards, not a second source scan: the
+    # column-pruned read touches only the weight column + the partition
+    # value, and the manifest can never diverge from what was written
+    spark = df.sparkSession
     manifest = (
-        d.groupBy("shard")
+        spark.read.parquet(path)
+        .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum(weight_col).alias("n_tokens"))
         .orderBy("shard")

@@ -604,10 +604,15 @@ def knn_graph(
 
 def _fd_shrink(B: "np.ndarray", ell: int) -> "np.ndarray":
     """One Frequent-Directions shrink: SVD, subtract the ell-th squared
-    singular value from every direction's energy, keep ell rows."""
+    singular value from every direction's energy, keep ell rows. When
+    the spectrum already fits (min(rows, dim) <= ell) no energy is
+    subtracted, but the matrix is still RANK-COMPACTED to its s·Vt form
+    (<= dim rows, identical BᵀB) — returning B unchanged here made the
+    caller's shrink-until-<=ell loop spin forever whenever dim <= ell
+    (row count can exceed ell while the spectrum never does)."""
     _, s, Vt = np.linalg.svd(B, full_matrices=False)
     if len(s) <= ell:
-        return B
+        return s[:, None] * Vt
     delta = s[ell - 1] ** 2
     s2 = np.sqrt(np.maximum(s ** 2 - delta, 0.0))[:ell]
     return s2[:, None] * Vt[:ell]

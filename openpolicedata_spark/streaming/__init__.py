@@ -452,19 +452,7 @@ def near_dedup_sink(stream_df: DataFrame, out_path: str, index_path: str,
          .select("band_id", "band_hash")
          .write.mode("append").parquet(index_path))
 
-    with tempfile.TemporaryDirectory(prefix="opd_ckpt_") as ckpt:
-        q = (
-            stream_df.writeStream
-            .foreachBatch(body)
-            .queryName(query_name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(timeout_s)
-        if q.isActive:
-            q.stop()
-            q.awaitTermination(30)
+    _run_merge_sink(stream_df, body, None, query_name, timeout_s)
 
 
 def _run_merge_sink(stream_df: DataFrame, body, checkpoint_dir: Optional[str],
@@ -523,7 +511,6 @@ def countmin_sink(stream_df: DataFrame, key: str, path: str,
     DISABLED — ids from a previous run would wrongly mask new data; each
     ephemeral run merges everything the source lists. Write-then-swap
     with crash recovery as in `upsert_sink`."""
-    import contextlib
     import os
 
     from openpolicedata_spark.operators.sketch import countmin_table

@@ -518,3 +518,21 @@ class TestFrequentDirections:
         df = spark.createDataFrame([], "vec_id long, embedding array<double>")
         with _pytest.raises(ValueError):
             frequent_directions(df, ell=4)
+
+
+def test_frequent_directions_terminates_when_dim_le_ell(spark):
+    """dim <= ell regression: the shrink must rank-compact (never return
+    the buffer unchanged) or the driver merge loop spins forever."""
+    import numpy as np
+
+    from openpolicedata_spark.operators.similarity import frequent_directions
+
+    rng = np.random.RandomState(3)
+    A = rng.randn(200, 8)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(A)],
+        "vec_id long, embedding array<double>").repartition(4)
+    B = frequent_directions(df, ell=16)   # ell > dim
+    assert B.shape[0] <= 16
+    # nothing to subtract in this regime: BᵀB is exact
+    assert np.allclose(A.T @ A, B.T @ B, atol=1e-6)
