@@ -457,3 +457,63 @@ def mask_repeated_spans(
             F.size(kept_idx).cast("long").alias("n_kept"),
         )
     )
+
+
+def pack_fixed_sequences(
+    df: DataFrame,
+    seq_len: int,
+    weight_col: str,
+    key_col: str,
+    seed: str = "",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """GPT-style pretraining layout: conceptually concatenate every
+    document (in deterministic hash order) into one token stream and cut
+    it every `seq_len` tokens — each document becomes one or more
+    FRAGMENT rows (doc_id × sequence) a loader can slice tokens with:
+
+      seq_id         which fixed-length sequence the fragment lands in
+      doc_offset     first token of the fragment within ITS document
+      frag_len       fragment length (a doc spanning a cut yields
+                     several rows; Σ frag_len per doc = its token count)
+      seq_offset     where the fragment starts within the sequence
+
+    Unlike `pack_documents` (greedy per-shard bins, no doc splitting),
+    this is the exact concat-then-chunk layout: zero padding waste,
+    documents split across sequence boundaries. Distributed shape: the
+    global token offset comes from `sampling.global_running_total`
+    (bucketed prefix sum — no single-task window); the fragment explode
+    is ROW-LOCAL (each doc knows its [cum, cum+n) interval and emits
+    ceil-bounded fragments). Deterministic: order is the portable hash
+    of `key_col`, so every rerun and engine cuts identical sequences."""
+    from openpolicedata_spark.operators.sampling import (
+        budget_hash_expr,
+        global_running_total,
+    )
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    d = (df.where(F.col(weight_col) > 0)
+         .withColumn("__h__", budget_hash_expr(F.col(key_col), seed)))
+    cum = global_running_total(
+        d, weight_col, "__h__", tiebreak_cols=(key_col,),
+        n_buckets=n_buckets, out_col="__cum__")
+    n = F.col(weight_col).cast("long")
+    c = F.col("__cum__").cast("long")
+    L = F.lit(seq_len).cast("long")
+    first_seq = F.floor(c / L)
+    last_seq = F.floor((c + n - 1) / L)
+    out = cum.select(
+        *df.columns,
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        c.alias("__c__"),
+    )
+    gstart = F.greatest(F.col("__c__"), F.col("seq_id") * L)
+    gend = F.least(F.col("__c__") + n, (F.col("seq_id") + 1) * L)
+    return out.select(
+        *df.columns,
+        "seq_id",
+        (gstart - F.col("__c__")).alias("doc_offset"),
+        (gend - gstart).alias("frag_len"),
+        (gstart - F.col("seq_id") * L).alias("seq_offset"),
+    )

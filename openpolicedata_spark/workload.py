@@ -4416,6 +4416,62 @@ GROUP BY doc_id
 """
 
 
+def q116_sequence_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk layout audit
+    (`textpipe.pack_fixed_sequences`): concatenate the corpus in hash
+    order, cut every 512 tokens, report per-sequence composition —
+    document count, token total (exactly 512 except the tail), and how
+    many fragments continue a document split from an earlier sequence.
+    The global offsets come from the bucketed distributed prefix sum
+    (q112's machinery); the fragment explode is row-local. The oracle
+    replays it with a single window cumsum + unnest."""
+    from openpolicedata_spark.operators.textpipe import pack_fixed_sequences
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tok"))
+    frags = pack_fixed_sequences(d, 512, "n_tok", "doc_id",
+                                 seed="lay1", n_buckets=16)
+    return frags.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("frag_len").alias("n_tokens"),
+        F.sum(F.when(F.col("doc_offset") > 0, 1).otherwise(0))
+        .alias("n_continuations"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_Q116_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents),
+h AS (
+  SELECT doc_id, n_tok,
+    CAST(md5_number_lower('lay1:' || CAST(doc_id AS VARCHAR))
+         % 4611686018427387904 AS BIGINT) AS hk
+  FROM m WHERE n_tok > 0),
+c AS (
+  SELECT doc_id, n_tok,
+    CAST(COALESCE(SUM(n_tok) OVER (
+      ORDER BY hk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS BIGINT) AS cum
+  FROM h),
+frag AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS seq_id,
+    GREATEST(cum, CAST(s AS BIGINT) * 512) - cum AS doc_offset,
+    LEAST(cum + n_tok, (CAST(s AS BIGINT) + 1) * 512)
+      - GREATEST(cum, CAST(s AS BIGINT) * 512) AS frag_len
+  FROM c, unnest(range(cum // 512, (cum + n_tok - 1) // 512 + 1)) r(s))
+SELECT seq_id, COUNT(*) AS n_docs,
+  CAST(SUM(frag_len) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN doc_offset > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_continuations,
+  MIN(doc_id) AS first_doc
+FROM frag GROUP BY seq_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4533,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_repeated_spans": q113_repeated_spans,
         "q114_knn_graph": q114_knn_graph,
         "q115_ngram_novelty": q115_ngram_novelty,
+        "q116_sequence_layout": q116_sequence_layout,
     }
     return base
 
@@ -4657,4 +4714,5 @@ def oracle_sql() -> dict[str, str]:
         "q113_repeated_spans": _Q113_SQL,
         "q114_knn_graph": _q114_sql(),
         "q115_ngram_novelty": _Q115_SQL,
+        "q116_sequence_layout": _Q116_SQL,
     }

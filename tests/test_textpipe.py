@@ -375,3 +375,56 @@ class TestMaskRepeatedSpans:
         b = sorted(map(tuple, mask_repeated_spans(
             df, k=5, min_docs=2, broadcast_cuts=False).collect()))
         assert a == b
+
+
+class TestPackFixedSequences:
+    @staticmethod
+    def _py_hash(key, seed=""):
+        import hashlib
+
+        d = hashlib.md5(f"{seed}:{key}".encode()).digest()
+        return int.from_bytes(d[8:16], "little") % (1 << 62)
+
+    def test_matches_python_concat_model(self, spark):
+        from openpolicedata_spark.operators.textpipe import pack_fixed_sequences
+
+        rows = [(i, 3 + (i * 5) % 11) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        L = 16
+        got = sorted(
+            (r["doc_id"], r["seq_id"], r["doc_offset"], r["frag_len"],
+             r["seq_offset"])
+            for r in pack_fixed_sequences(df, L, "n_tok", "doc_id",
+                                          seed="s", n_buckets=5).collect())
+        # python model: concat in hash order, cut every L
+        order = sorted(rows, key=lambda r: (self._py_hash(r[0], "s"), r[0]))
+        want, cum = [], 0
+        for doc_id, n in order:
+            pos = 0
+            while pos < n:
+                g = cum + pos
+                seq = g // L
+                take = min(n - pos, (seq + 1) * L - g)
+                want.append((doc_id, seq, pos, take, g - seq * L))
+                pos += take
+            cum += n
+        assert got == sorted(want)
+        # invariants: every full sequence holds exactly L tokens
+        total = sum(n for _, n in rows)
+        per_seq = {}
+        for _, seq, _, fl, _ in got:
+            per_seq[seq] = per_seq.get(seq, 0) + fl
+        for seq, tok in per_seq.items():
+            assert tok == L or seq == max(per_seq)
+        assert sum(per_seq.values()) == total
+
+    def test_zero_weight_docs_dropped_and_bad_seq_len(self, spark):
+        import pytest as _p
+
+        from openpolicedata_spark.operators.textpipe import pack_fixed_sequences
+
+        df = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, n_tok long")
+        out = pack_fixed_sequences(df, 4, "n_tok", "doc_id").collect()
+        assert {r["doc_id"] for r in out} == {2}
+        with _p.raises(ValueError):
+            pack_fixed_sequences(df, 0, "n_tok", "doc_id")
