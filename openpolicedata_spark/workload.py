@@ -4472,6 +4472,62 @@ FROM frag GROUP BY seq_id
 """
 
 
+_Q117_WEIGHTS = {"stopword_ratio": 3.0, "punct_ratio": -4.0,
+                 "digit_share": -5.0, "log_len": 0.3}
+_Q117_INTERCEPT = -1.2
+
+
+def q117_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mlfilter INFERENCE path pinned cross-engine: score every doc
+    with a fixed dense-weight linear model over the quality features
+    (`operators/mlfilter.quality_feature_cols`) — the compiled-expression
+    form corpus-scale filtering uses, with a hand-fixed coefficient dict
+    standing in for a trained one (training itself is pinned by the
+    compiled-scorer == mllib-probabilities test to 1e-9). The output is
+    the LOGIT, not the sigmoid: keep ⟺ z ≥ 0 is the same decision and
+    pure rational arithmetic both engines reproduce bit-for-bit (no exp
+    in the oracle path). Row-local codegen projection — one scan."""
+    from openpolicedata_spark.operators.mlfilter import quality_feature_cols
+
+    d = _read(spark, sf_dir, "documents")
+    feats = quality_feature_cols(F.col("text"))
+    z = F.lit(_Q117_INTERCEPT)
+    for name, w in _Q117_WEIGHTS.items():
+        z = z + F.lit(w) * feats[name]
+    return d.select(
+        "doc_id",
+        F.round(z, 6).alias("logit"),
+        (z >= 0).alias("keep"),
+    )
+
+
+_Q117_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+      AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+         AS DOUBLE) AS n_punct,
+    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         AS DOUBLE) AS n_digit,
+    CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it|that|for|on|with|as|was|at|by|an|be|this|are)\b')) AS DOUBLE) AS n_stop
+  FROM documents),
+z AS (
+  SELECT doc_id,
+    -1.2
+    + 3.0 * (n_stop / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE)
+                            ELSE 1.0 END))
+    - 4.0 * (n_punct / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE)
+                             ELSE 1.0 END))
+    - 5.0 * (n_digit / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE)
+                             ELSE 1.0 END))
+    + 0.3 * ln(1 + CAST(n_chars AS DOUBLE)) AS zv
+  FROM m)
+SELECT doc_id, ROUND(zv, 6) AS logit, zv >= 0 AS keep FROM z
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4590,6 +4646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_knn_graph": q114_knn_graph,
         "q115_ngram_novelty": q115_ngram_novelty,
         "q116_sequence_layout": q116_sequence_layout,
+        "q117_model_score": q117_model_score,
     }
     return base
 
@@ -4715,4 +4772,5 @@ def oracle_sql() -> dict[str, str]:
         "q114_knn_graph": _q114_sql(),
         "q115_ngram_novelty": _Q115_SQL,
         "q116_sequence_layout": _Q116_SQL,
+        "q117_model_score": _Q117_SQL,
     }
