@@ -4528,6 +4528,132 @@ SELECT doc_id, ROUND(zv, 6) AS logit, zv >= 0 AS keep FROM z
 """
 
 
+def q118_small_quantity_revenue(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated SCALAR subquery: revenue from lines
+    whose quantity is below half the PART's average quantity, for one
+    brand's small parts. Written as SQL so Catalyst's subquery
+    DECORRELATION does the work: the correlated `avg(l_quantity)` per
+    part rewrites into an aggregate + join (no per-row re-execution);
+    the brand filter prunes `part` before anything joins. DECIMAL sum
+    for the order-independent total."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q118_l")
+    _read(spark, sf_dir, "part").createOrReplaceTempView("q118_p")
+    return spark.sql("""
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          / 7.0, 2) AS DOUBLE) AS avg_yearly
+        FROM q118_l JOIN q118_p ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13' AND p_size <= 10
+          AND l_quantity < (
+            SELECT 0.5 * AVG(l_quantity) FROM q118_l
+            WHERE l_partkey = p_partkey)
+    """)
+
+
+_Q118_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  / 7.0, 2) AS DOUBLE) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13' AND p_size <= 10
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l_quantity) FROM lineitem
+    WHERE l_partkey = p_partkey)
+"""
+
+
+def q119_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — correlated EXISTS + NOT EXISTS: suppliers who
+    were the ONLY late shipper (ship > order date + 90 days) in a
+    multi-supplier order. Catalyst decorrelates both predicates into
+    left-semi / left-anti joins on l_orderkey — the plan a hand-written
+    pipeline would build, derived from declarative SQL. Top-20 with a
+    name tiebreak."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q119_l")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q119_o")
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("q119_s")
+    return spark.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM q119_l l1
+        JOIN q119_o ON o_orderkey = l1.l_orderkey
+        JOIN q119_s ON s_suppkey = l1.l_suppkey
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAYS
+          AND EXISTS (
+            SELECT 1 FROM q119_l l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM q119_l l3
+            JOIN q119_o o3 ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAYS)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
+    """)
+
+
+_Q119_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def q120_parts_supplier_counts(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT IN subquery + COUNT DISTINCT: how many
+    distinct suppliers offer each (brand, type, size) combination,
+    excluding one brand and excluding "complaint" suppliers (negative
+    account balance stands in for the comment scan). The NOT IN rewrites
+    to a null-aware anti join; the count-distinct is a two-phase
+    aggregate. Top-20 by breadth."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q120_l")
+    _read(spark, sf_dir, "part").createOrReplaceTempView("q120_p")
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("q120_s")
+    return spark.sql("""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM q120_l
+        JOIN q120_p ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13' AND p_size IN (1, 5, 9, 14, 23)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM q120_s WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+        LIMIT 20
+    """)
+
+
+_Q120_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_size IN (1, 5, 9, 14, 23)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4647,6 +4773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_ngram_novelty": q115_ngram_novelty,
         "q116_sequence_layout": q116_sequence_layout,
         "q117_model_score": q117_model_score,
+        "q118_small_quantity_revenue": q118_small_quantity_revenue,
+        "q119_waiting_supplier": q119_waiting_supplier,
+        "q120_parts_supplier_counts": q120_parts_supplier_counts,
     }
     return base
 
@@ -4773,4 +4902,7 @@ def oracle_sql() -> dict[str, str]:
         "q115_ngram_novelty": _Q115_SQL,
         "q116_sequence_layout": _Q116_SQL,
         "q117_model_score": _Q117_SQL,
+        "q118_small_quantity_revenue": _Q118_SQL,
+        "q119_waiting_supplier": _Q119_SQL,
+        "q120_parts_supplier_counts": _Q120_SQL,
     }

@@ -310,3 +310,16 @@ def test_q113_repeated_spans_corpus_never_sortmerges(spark, sf_dir):
     assert s.n_broadcast_joins >= 2, s.text
     assert s.n_sortmerge_joins == 0, s.text
     assert_no_python_in_plan(df)
+
+
+def test_q118_q120_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """Correlated scalar / EXISTS / NOT-IN subqueries must rewrite into
+    joins: zero BroadcastNestedLoopJoin (the fallback a failed
+    decorrelation plans) and zero Python anywhere."""
+    for name in ("q118_small_quantity_revenue", "q119_waiting_supplier",
+                 "q120_parts_supplier_counts"):
+        df = workload.queries()[name](spark, sf_dir)
+        s = summarize_plan(df)
+        assert s.n_broadcast_nl_joins == 0, (name, s.text)
+        assert s.n_broadcast_joins + s.n_sortmerge_joins >= 2, (name, s.text)
+        assert_no_python_in_plan(df)
