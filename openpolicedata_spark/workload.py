@@ -4654,6 +4654,36 @@ LIMIT 20
 """
 
 
+def q121_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame: each user event's trailing
+    6-hour event count and value sum — a VALUE-based frame (all rows
+    within the interval), not the row-count frames q48 uses; the frame
+    width varies per row with event density. Spark's rangeBetween is
+    numeric, so the frame rides epoch seconds; DECIMAL value sums keep
+    the moving total order-independent. One user_id exchange; the
+    per-user sort is the window's own."""
+    e = _read(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    sec = F.unix_timestamp(F.col("ts"))
+    w = (Window.partitionBy("user_id").orderBy(sec)
+         .rangeBetween(-6 * 3600, 0))
+    return e.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("n_6h"),
+        F.sum(F.col("value").cast("decimal(14,2)")).over(w)
+        .cast("double").alias("sum_6h"),
+    )
+
+
+_Q121_SQL = """
+SELECT user_id, event_id,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_6h,
+  CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS sum_6h
+FROM events WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4776,6 +4806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_small_quantity_revenue": q118_small_quantity_revenue,
         "q119_waiting_supplier": q119_waiting_supplier,
         "q120_parts_supplier_counts": q120_parts_supplier_counts,
+        "q121_trailing_window": q121_trailing_window,
     }
     return base
 
@@ -4905,4 +4936,5 @@ def oracle_sql() -> dict[str, str]:
         "q118_small_quantity_revenue": _Q118_SQL,
         "q119_waiting_supplier": _Q119_SQL,
         "q120_parts_supplier_counts": _Q120_SQL,
+        "q121_trailing_window": _Q121_SQL,
     }
