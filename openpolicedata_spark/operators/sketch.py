@@ -201,3 +201,57 @@ def linear_count(
                 * F.log(F.lit(1.0) - F.col("occupied") / F.lit(float(m))), 6),
     )
     return occupied.select(*gb, "occupied", est.alias(est_col))
+
+
+def bottomk_signature(
+    df: DataFrame,
+    key: str | Column,
+    k: int = 256,
+    hash_fn: Optional[Callable[[Column], Column]] = None,
+) -> DataFrame:
+    """Bottom-k sketch of a column's VALUE SET: the k smallest hash
+    values over the distinct values, mapped into [0, 2^62) so the order
+    is portable (power-of-two pmod — signed Spark == unsigned oracle).
+    `orderBy().limit(k)` plans TakeOrderedAndProject: per-partition
+    heaps + driver merge, never a full sort. Mergeable: the bottom-k of
+    a union is the bottom-k of the concatenated signatures — so
+    per-partition/per-day signatures roll up without touching the data
+    again. The k-bounded signature replaces exact distincts in
+    join-discovery (q122) and cardinality estimation at 100 TB."""
+    col = F.col(key) if isinstance(key, str) else key
+    h = _salted(hash_fn)
+    return (
+        df.select(F.pmod(h(col, 0), F.lit(1 << 62)).alias("h"))
+        .distinct()
+        .orderBy(F.asc("h"))
+        .limit(k)
+    )
+
+
+def bottomk_estimates(sig_a, sig_b, k: int) -> dict:
+    """Driver-side estimates from two collected bottom-k signatures
+    (each a list of ints from `bottomk_signature` — 2k longs of driver
+    state, the whole point of sketching):
+
+    - jaccard  ≈ |bottomk(A∪B) ∩ sigA ∩ sigB| / min(k, |union sketch|)
+    - n_a/n_b/n_union ≈ (k-1)·2^62 / h_k (order-statistic cardinality;
+      exact count when the set is smaller than k).
+    Deterministic for a fixed hash."""
+    M = float(1 << 62)
+    a, b = sorted(sig_a), sorted(sig_b)
+    sa, sb = set(a), set(b)
+    union = sorted(sa | sb)[:k]
+    shared = sum(1 for h in union if h in sa and h in sb)
+    denom = min(k, len(union)) or 1
+
+    def card(s):
+        if len(s) < k:
+            return float(len(s))
+        return (k - 1) * M / float(s[k - 1])
+
+    return {
+        "jaccard": shared / denom,
+        "n_a": card(a),
+        "n_b": card(b),
+        "n_union": card(union) if len(union) >= k else float(len(union)),
+    }

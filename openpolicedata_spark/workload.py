@@ -4684,6 +4684,92 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
 """
 
 
+_Q122_COLS = [
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("customer.c_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("part.p_partkey", "part", "p_partkey"),
+    ("supplier.s_suppkey", "supplier", "s_suppkey"),
+]
+
+
+def q122_join_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key DISCOVERY (data-lake joinability search, à la Joinable
+    Search over Multi-Source Datasets, ICDE'25): for every pair of
+    candidate key columns across the warehouse, the exact value-set
+    containment |A∩B|/|A| — the signal that ranks which columns join
+    which. One pass: every column's distinct values union into a tall
+    (column_id, value) frame (map-side-combined distinct), the pair
+    intersection is ONE self-join on the value, and per-column
+    cardinalities broadcast back. Emits pairs with any overlap; the
+    PK→FK pairs rank at containment 1.0. At 100 TB use the bottom-k
+    sketch (`sketch.bottomk_signature`) instead of exact distincts —
+    same ranking, k-bounded state per column."""
+    frames = []
+    for cid, table, col in _Q122_COLS:
+        t = _read(spark, sf_dir, table)
+        frames.append(t.select(F.lit(cid).alias("src"),
+                               F.col(col).cast("long").alias("val")).distinct())
+    vals = frames[0]
+    for fr in frames[1:]:
+        vals = vals.unionByName(fr)
+    card = vals.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a, b = vals.alias("a"), vals.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.val") == F.col("b.val"),
+                      F.col("a.src") < F.col("b.src")])
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(card.withColumnRenamed("src", "src_a")
+                               .withColumnRenamed("n", "n_a")), on="src_a")
+        .join(F.broadcast(card.withColumnRenamed("src", "src_b")
+                          .withColumnRenamed("n", "n_b")), on="src_b")
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "n_common",
+            F.round(F.col("n_common") / F.col("n_a").cast("double"), 6)
+            .alias("containment_a"),
+            F.round(F.col("n_common") / F.col("n_b").cast("double"), 6)
+            .alias("containment_b"),
+        )
+    )
+
+
+_Q122_SQL = """
+WITH vals AS (
+  SELECT 'orders.o_orderkey' AS src, CAST(o_orderkey AS BIGINT) AS val FROM orders GROUP BY 2
+  UNION ALL
+  SELECT 'orders.o_custkey', CAST(o_custkey AS BIGINT) FROM orders GROUP BY 2
+  UNION ALL
+  SELECT 'customer.c_custkey', CAST(c_custkey AS BIGINT) FROM customer GROUP BY 2
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS BIGINT) FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'lineitem.l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'part.p_partkey', CAST(p_partkey AS BIGINT) FROM part GROUP BY 2
+  UNION ALL
+  SELECT 'supplier.s_suppkey', CAST(s_suppkey AS BIGINT) FROM supplier GROUP BY 2),
+card AS (SELECT src, COUNT(*) AS n FROM vals GROUP BY src),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_common
+  FROM vals a JOIN vals b ON a.val = b.val AND a.src < b.src
+  GROUP BY a.src, b.src)
+SELECT src_a, src_b, ca.n AS n_a, cb.n AS n_b, n_common,
+  ROUND(n_common / CAST(ca.n AS DOUBLE), 6) AS containment_a,
+  ROUND(n_common / CAST(cb.n AS DOUBLE), 6) AS containment_b
+FROM inter
+JOIN card ca ON ca.src = src_a
+JOIN card cb ON cb.src = src_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4807,6 +4893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_waiting_supplier": q119_waiting_supplier,
         "q120_parts_supplier_counts": q120_parts_supplier_counts,
         "q121_trailing_window": q121_trailing_window,
+        "q122_join_discovery": q122_join_discovery,
     }
     return base
 
@@ -4937,4 +5024,5 @@ def oracle_sql() -> dict[str, str]:
         "q119_waiting_supplier": _Q119_SQL,
         "q120_parts_supplier_counts": _Q120_SQL,
         "q121_trailing_window": _Q121_SQL,
+        "q122_join_discovery": _Q122_SQL,
     }

@@ -228,3 +228,48 @@ class TestBloom:
             FROM range(30) t(i), range(3) r
         """).fetchall())
         assert got == want
+
+
+class TestBottomK:
+    def test_jaccard_and_cardinality_estimates(self, spark):
+        from openpolicedata_spark.operators.sketch import (
+            bottomk_estimates,
+            bottomk_signature,
+        )
+
+        a = spark.range(0, 2000).select(F.col("id").cast("string").alias("v"))
+        b = spark.range(1000, 3000).select(
+            F.col("id").cast("string").alias("v"))
+        k = 256
+        sa = [r["h"] for r in bottomk_signature(a, "v", k).collect()]
+        sb = [r["h"] for r in bottomk_signature(b, "v", k).collect()]
+        est = bottomk_estimates(sa, sb, k)
+        # true jaccard = 1000/3000
+        assert abs(est["jaccard"] - 1 / 3) < 0.08
+        assert abs(est["n_a"] - 2000) / 2000 < 0.2
+        assert abs(est["n_union"] - 3000) / 3000 < 0.2
+
+    def test_exact_when_small_and_mergeable(self, spark):
+        from openpolicedata_spark.operators.sketch import (
+            bottomk_estimates,
+            bottomk_signature,
+        )
+
+        a = spark.range(0, 50).select(F.col("id").cast("string").alias("v"))
+        sa = [r["h"] for r in bottomk_signature(a, "v", 256).collect()]
+        est = bottomk_estimates(sa, sa, 256)
+        assert est["jaccard"] == 1.0 and est["n_a"] == 50.0
+        # mergeability: signature of a union == bottom-k of concatenated sigs
+        b = spark.range(25, 75).select(F.col("id").cast("string").alias("v"))
+        sb = [r["h"] for r in bottomk_signature(b, "v", 256).collect()]
+        su = [r["h"] for r in bottomk_signature(
+            a.unionByName(b), "v", 256).collect()]
+        assert sorted(set(sa) | set(sb))[:256] == su
+
+    def test_takeordered_plan(self, spark):
+        from openpolicedata_spark.operators.sketch import bottomk_signature
+        from openpolicedata_spark.plans import formatted_plan
+
+        df = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+        t = formatted_plan(bottomk_signature(df, "v", 64))
+        assert "TakeOrderedAndProject" in t
