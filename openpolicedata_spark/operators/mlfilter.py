@@ -35,15 +35,12 @@ def quality_feature_cols(text: Column) -> dict[str, Column]:
     from openpolicedata_spark.functions.text import quality_metrics
 
     m = quality_metrics(text)
-    n = F.length(text)
-    safe_n = F.when(n > 0, n.cast("double")).otherwise(F.lit(1.0))
+    # NOTE: digit_ratio/upper_ratio already live in quality_metrics —
+    # re-deriving them here would both duplicate the regexp work and
+    # train on perfectly collinear feature pairs
     return {
         **{k: v.cast("double") for k, v in m.items()},
-        "digit_share": (n - F.length(F.regexp_replace(text, r"[0-9]", "")))
-        / safe_n,
-        "upper_share": (n - F.length(F.regexp_replace(text, r"[A-Z]", "")))
-        / safe_n,
-        "log_len": F.log1p(n.cast("double")),
+        "log_len": F.log1p(F.length(text).cast("double")),
     }
 
 
@@ -55,12 +52,18 @@ def featurize(df: DataFrame, text_col: str = "text",
     dense = quality_feature_cols(F.col(text_col))
     from openpolicedata_spark.functions.text import char_ngrams_expr
 
-    with_tri = df.withColumn("__tri__", char_ngrams_expr(F.col(text_col), 3))
-    total = F.greatest(F.size(F.col("__tri__")), F.lit(1)).cast("double")
+    # hash every trigram ONCE into its bucket id (a projected attribute),
+    # then each of the n_buckets features scans the small int array — the
+    # per-bucket F.filter-with-rehash form hashed each trigram n_buckets
+    # times inside interpreted HOFs
+    with_tri = df.withColumn(
+        "__th__",
+        F.transform(char_ngrams_expr(F.col(text_col), 3),
+                    lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets))))
+    total = F.greatest(F.size(F.col("__th__")), F.lit(1)).cast("double")
     hashed = [
-        (F.size(F.filter(F.col("__tri__"),
-                         lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets))
-                         == F.lit(i))) / total).alias(f"f_h{i}")
+        (F.size(F.filter(F.col("__th__"), lambda x: x == F.lit(i)))
+         / total).alias(f"f_h{i}")
         for i in range(n_buckets)
     ]
     # features carry an f_ prefix so they can never collide with the
@@ -76,8 +79,7 @@ def feature_names(n_buckets: int = N_HASH_BUCKETS) -> list[str]:
     from openpolicedata_spark.functions.text import quality_metrics
 
     dense = list(quality_metrics(F.lit("x")).keys())
-    return ([f"f_{n}" for n in dense]
-            + ["f_digit_share", "f_upper_share", "f_log_len"]
+    return ([f"f_{n}" for n in dense] + ["f_log_len"]
             + [f"f_h{i}" for i in range(n_buckets)])
 
 
@@ -125,24 +127,35 @@ def quality_score_model_expr(model: dict, text_col: str = "text") -> Column:
     dense = quality_feature_cols(F.col(text_col))
     from openpolicedata_spark.functions.text import char_ngrams_expr
 
-    tri = char_ngrams_expr(F.col(text_col), 3)
-    total = F.greatest(F.size(tri), F.lit(1)).cast("double")
     z = F.lit(model["intercept"])
+    bucket_w = {}
     for name, w in model["coefficients"].items():
         if w == 0.0:
             continue
         if name.startswith("f_h") and name[3:].isdigit():
-            i = int(name[3:])
-            # single-arg lambda ONLY: a 2-arg lambda makes F.filter pass
-            # the ELEMENT INDEX as the second argument (shadowing any
-            # captured default), and F.filter evaluates the lambda
-            # eagerly, so the loop variable needs no default-arg pinning
-            feat = F.size(F.filter(
-                tri, lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets))
-                == F.lit(i))) / total
+            bucket_w[int(name[3:])] = w
         else:
-            feat = dense[name.removeprefix("f_")]
-        z = z + F.lit(w) * feat
+            z = z + F.lit(w) * dense[name.removeprefix("f_")]
+    if bucket_w:
+        # ONE pass over the trigrams: each contributes its bucket's
+        # weight via a when-chain over the SURVIVING buckets (elastic-net
+        # zeros keep the chain short) — one hash per trigram, instead of
+        # re-filtering (and re-hashing) the array once per bucket.
+        # Single-arg lambdas only: a 2-arg HOF lambda receives the
+        # element INDEX as arg 2.
+        def w_of(bucket):
+            expr = F.lit(0.0)
+            for i, w in bucket_w.items():
+                expr = F.when(bucket == F.lit(i), F.lit(w)).otherwise(expr)
+            return expr
+
+        tri = char_ngrams_expr(F.col(text_col), 3)
+        total = F.greatest(F.size(tri), F.lit(1)).cast("double")
+        z = z + F.aggregate(
+            tri, F.lit(0.0),
+            lambda acc, t: acc + w_of(F.pmod(F.xxhash64(t),
+                                             F.lit(n_buckets))),
+        ) / total
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 

@@ -253,5 +253,5 @@ def bottomk_estimates(sig_a, sig_b, k: int) -> dict:
         "jaccard": shared / denom,
         "n_a": card(a),
         "n_b": card(b),
-        "n_union": card(union) if len(union) >= k else float(len(union)),
+        "n_union": card(union),
     }

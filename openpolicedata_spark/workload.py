@@ -4473,7 +4473,7 @@ FROM frag GROUP BY seq_id
 
 
 _Q117_WEIGHTS = {"stopword_ratio": 3.0, "punct_ratio": -4.0,
-                 "digit_share": -5.0, "log_len": 0.3}
+                 "digit_ratio": -5.0, "log_len": 0.3}
 _Q117_INTERCEPT = -1.2
 
 
@@ -4659,7 +4659,11 @@ def q121_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-hour event count and value sum — a VALUE-based frame (all rows
     within the interval), not the row-count frames q48 uses; the frame
     width varies per row with event density. Spark's rangeBetween is
-    numeric, so the frame rides epoch seconds; DECIMAL value sums keep
+    numeric, so the frame rides epoch seconds — and since
+    `unix_timestamp` TRUNCATES to whole seconds, the oracle floors
+    epoch(ts) too (DuckDB's epoch is fractional: sub-second events in
+    one wall-clock second must be RANGE peers on BOTH engines, and
+    21600-boundary gaps must land identically). DECIMAL value sums keep
     the moving total order-independent. One user_id exchange; the
     per-user sort is the window's own."""
     e = _read(spark, sf_dir, "events").where(F.col("user_id") < 50)
@@ -4679,7 +4683,8 @@ SELECT user_id, event_id,
   CAST(COUNT(*) OVER w AS BIGINT) AS n_6h,
   CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS sum_6h
 FROM events WHERE user_id < 50
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
 """
 
