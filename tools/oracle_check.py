@@ -9,6 +9,7 @@ Usage: python tools/oracle_check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -77,7 +78,13 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from openpolicedata_spark import get_spark
 
-    spark = get_spark(shuffle_partitions=8, master="local[8]")
+    # OPD_ORACLE_CORES / OPD_ORACLE_PARTITIONS override the session shape
+    # for partitioning-invariance sweeps: every query's answer must be
+    # identical under any parallelism (the DECIMAL-sum / tiebreak design
+    # guarantee) — run once with e.g. OPD_ORACLE_PARTITIONS=17 to prove it
+    cores = os.environ.get("OPD_ORACLE_CORES", "8")
+    parts = int(os.environ.get("OPD_ORACLE_PARTITIONS", "8"))
+    spark = get_spark(shuffle_partitions=parts, master=f"local[{cores}]")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
