@@ -323,3 +323,23 @@ def test_q118_q120_subqueries_decorrelate_to_joins(spark, sf_dir):
         assert s.n_broadcast_nl_joins == 0, (name, s.text)
         assert s.n_broadcast_joins + s.n_sortmerge_joins >= 2, (name, s.text)
         assert_no_python_in_plan(df)
+
+
+def test_q121_range_frame_single_user_exchange(spark, sf_dir):
+    """The RANGE-frame window needs exactly the user_id hash exchange;
+    everything else is the window's own in-partition sort."""
+    df = workload.queries()["q121_trailing_window"](spark, sf_dir)
+    assert_max_exchanges(df, 1)
+    t = formatted_plan(df)
+    assert "Window" in t
+    assert_no_python_in_plan(df)
+
+
+def test_q122_join_discovery_broadcasts_cardinalities(spark, sf_dir):
+    """The per-column cardinality frames (8 rows) must broadcast into the
+    pair results; the value self-join must not nested-loop."""
+    df = workload.queries()["q122_join_discovery"](spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_broadcast_joins >= 2, s.text
+    assert s.n_broadcast_nl_joins == 0, s.text
+    assert_no_python_in_plan(df)
