@@ -100,7 +100,9 @@ def main() -> None:
     # then measure data processing, not one-time compile (q28 measured
     # 8.8 s cold vs 2.1 s warm for the same work). Skipped when no sibling
     # sf0.001 directory exists (e.g. the /tmp scale-up experiment).
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR",
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"))
     if os.path.isdir(warm_dir):
         for name in BENCH_QUERIES:
             try:
