@@ -3631,8 +3631,12 @@ def q102_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont), broadcast into a row-local bin expression. Per-bin
     means run in DECIMAL so partitioning can't move them."""
     d = _read(spark, sf_dir, "documents")
+    # both the percentile planning agg and the binning pass consume the
+    # scored projection — checkpoint so the regex-heavy quality score
+    # evaluates once (measured 1.6 -> 1.2 s at sf0.1)
     scored = d.select(
-        "doc_id", F.round(quality_score_expr(F.col("text")), 6).alias("q"))
+        "doc_id", F.round(quality_score_expr(F.col("text")), 6).alias("q"),
+    ).localCheckpoint(eager=False)
     bounds = scored.agg(F.percentile(
         "q", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])).alias("bs"))
     binned = scored.crossJoin(F.broadcast(bounds)).select(
