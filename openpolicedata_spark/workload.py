@@ -4779,6 +4779,109 @@ JOIN card cb ON cb.src = src_b
 """
 
 
+def q123_sketch_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q122's SCALE PATH pinned exactly: bottom-k value-set signatures
+    (k=128, portable md5lower64 mod 2^62 hash) per key column, then
+    pairwise Jaccard ESTIMATES from the sketches alone — the form that
+    reads each table once and compares k-long signatures instead of
+    joining full value sets. The whole pipeline (hashing, per-column
+    bottom-k, per-pair union bottom-k, the |∩|/min(k,|u|) estimator) is
+    deterministic integer/float arithmetic both engines replay, so the
+    ESTIMATES themselves hash-match — not just the exact counts they
+    approximate. Long→double casts round identically (IEEE nearest), so
+    even the order-statistic arithmetic is portable."""
+    from openpolicedata_spark.functions.text import md5lower64_expr
+
+    K = 128
+    frames = []
+    for cid, table, col in _Q122_COLS:
+        t = _read(spark, sf_dir, table)
+        frames.append(t.select(
+            F.lit(cid).alias("src"),
+            F.pmod(md5lower64_expr(
+                F.concat(F.lit("0:"), F.col(col).cast("long").cast("string"))),
+                F.lit(1 << 62)).alias("h")).distinct())
+    vals = frames[0]
+    for fr in frames[1:]:
+        vals = vals.unionByName(fr)
+    w = Window.partitionBy("src").orderBy(F.asc("h"))
+    sig = (vals.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= K)).localCheckpoint(eager=False)
+    pairs = (sig.select(F.col("src").alias("src_a")).distinct()
+             .join(sig.select(F.col("src").alias("src_b")).distinct(),
+                   F.col("src_a") < F.col("src_b")))
+    # union bottom-k per pair: all signature hashes of both sides,
+    # dedup, rank, keep K
+    u = (pairs.join(sig.select("src", "h"),
+                    (F.col("src") == F.col("src_a"))
+                    | (F.col("src") == F.col("src_b")))
+         .select("src_a", "src_b", "h").distinct())
+    wu = Window.partitionBy("src_a", "src_b").orderBy(F.asc("h"))
+    ub = u.withColumn("urn", F.row_number().over(wu)).where(F.col("urn") <= K)
+    ina = sig.select(F.col("src").alias("src_a"), F.col("h").alias("h"),
+                     F.lit(1).alias("__ina__"))
+    inb = sig.select(F.col("src").alias("src_b"), F.col("h").alias("h"),
+                     F.lit(1).alias("__inb__"))
+    marked = (ub.join(ina, on=["src_a", "h"], how="left")
+              .join(inb, on=["src_b", "h"], how="left"))
+    return (
+        marked.groupBy("src_a", "src_b")
+        .agg(
+            F.max("urn").alias("u_size"),
+            F.sum(F.when(F.col("__ina__").isNotNull()
+                         & F.col("__inb__").isNotNull(), 1).otherwise(0))
+            .alias("shared"),
+        )
+        .select(
+            "src_a", "src_b", "u_size", "shared",
+            F.round(F.col("shared")
+                    / F.least(F.lit(K), F.col("u_size")).cast("double"), 6)
+            .alias("est_jaccard"),
+        )
+    )
+
+
+def _q123_sql() -> str:
+    cols = "\n  UNION ALL\n".join(
+        f"  SELECT '{cid}' AS src, CAST(md5_number_lower('0:' || "
+        f"CAST(CAST({col} AS BIGINT) AS VARCHAR)) % 4611686018427387904 "
+        f"AS BIGINT) AS h FROM {table} GROUP BY 2"
+        for cid, table, col in _Q122_COLS)
+    return f"""
+WITH vals AS (
+{cols}),
+sig AS (
+  SELECT src, h, rn FROM (
+    SELECT src, h, ROW_NUMBER() OVER (PARTITION BY src ORDER BY h) AS rn
+    FROM vals) WHERE rn <= 128),
+pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b
+  FROM (SELECT DISTINCT src FROM sig) a
+  JOIN (SELECT DISTINCT src FROM sig) b ON a.src < b.src),
+u AS (
+  SELECT DISTINCT src_a, src_b, s.h
+  FROM pairs JOIN sig s ON s.src = src_a OR s.src = src_b),
+ub AS (
+  SELECT src_a, src_b, h, urn FROM (
+    SELECT src_a, src_b, h,
+      ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS urn
+    FROM u) WHERE urn <= 128),
+marked AS (
+  SELECT ub.src_a, ub.src_b, ub.urn,
+    CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END
+      AS both_have
+  FROM ub
+  LEFT JOIN sig sa ON sa.src = ub.src_a AND sa.h = ub.h
+  LEFT JOIN sig sb ON sb.src = ub.src_b AND sb.h = ub.h)
+SELECT src_a, src_b,
+  CAST(MAX(urn) AS BIGINT) AS u_size,
+  CAST(SUM(both_have) AS BIGINT) AS shared,
+  ROUND(SUM(both_have) / CAST(LEAST(128, MAX(urn)) AS DOUBLE), 6)
+    AS est_jaccard
+FROM marked GROUP BY src_a, src_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4903,6 +5006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_parts_supplier_counts": q120_parts_supplier_counts,
         "q121_trailing_window": q121_trailing_window,
         "q122_join_discovery": q122_join_discovery,
+        "q123_sketch_containment": q123_sketch_containment,
     }
     return base
 
@@ -5034,4 +5138,5 @@ def oracle_sql() -> dict[str, str]:
         "q120_parts_supplier_counts": _Q120_SQL,
         "q121_trailing_window": _Q121_SQL,
         "q122_join_discovery": _Q122_SQL,
+        "q123_sketch_containment": _q123_sql(),
     }

@@ -273,3 +273,20 @@ class TestBottomK:
         df = spark.range(1000).select(F.col("id").cast("string").alias("v"))
         t = formatted_plan(bottomk_signature(df, "v", 64))
         assert "TakeOrderedAndProject" in t
+
+
+def test_q123_estimates_track_q122_exact(spark, sf_dir):
+    """The sketch containment estimates must track the exact pairwise
+    jaccards from q122 within bottom-k error (k=128)."""
+    from openpolicedata_spark import workload
+
+    exact = {(r["src_a"], r["src_b"]):
+             r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"])
+             for r in workload.queries()["q122_join_discovery"](
+                 spark, sf_dir).collect()}
+    est = {(r["src_a"], r["src_b"]): r["est_jaccard"]
+           for r in workload.queries()["q123_sketch_containment"](
+               spark, sf_dir).collect()}
+    assert set(est) == set(exact)
+    for pair, j in exact.items():
+        assert abs(est[pair] - j) < 0.15, (pair, j, est[pair])
