@@ -4882,6 +4882,63 @@ FROM marked GROUP BY src_a, src_b
 """
 
 
+def q124_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix: users grouped by FIRST-activity week,
+    tracked by how many are still active N weeks later — the standard
+    product-analytics rollup. Both engines truncate to Monday-start
+    weeks, so the offset (days/7 between week starts) is exact integer
+    arithmetic. Shape: one min-agg for cohorts (map-side combined), one
+    distinct over (user, week), one shuffle join on user_id, and the
+    cohort sizes broadcast back onto the matrix — no window, no
+    self-join over events."""
+    e = _read(spark, sf_dir, "events")
+    cohort = (e.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    active = (e.select("user_id",
+                       F.date_trunc("week", F.col("ts")).alias("week"))
+              .distinct())
+    joined = active.join(cohort, on="user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("int").alias("week_offset"),
+    )
+    matrix = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        matrix.join(F.broadcast(sizes), on="cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_active", "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size").cast("double"),
+                    6).alias("retention"),
+        )
+    )
+
+
+_Q124_SQL = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+joined AS (
+  SELECT cohort_week,
+         CAST(datediff('day', cohort_week, week) / 7 AS INTEGER)
+           AS week_offset
+  FROM active JOIN cohort USING (user_id)),
+matrix AS (
+  SELECT cohort_week, week_offset, COUNT(*) AS n_active
+  FROM joined GROUP BY cohort_week, week_offset),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort
+  GROUP BY cohort_week)
+SELECT cohort_week, week_offset, n_active, cohort_size,
+  ROUND(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention
+FROM matrix JOIN sizes USING (cohort_week)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5007,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_trailing_window": q121_trailing_window,
         "q122_join_discovery": q122_join_discovery,
         "q123_sketch_containment": q123_sketch_containment,
+        "q124_retention_cohorts": q124_retention_cohorts,
     }
     return base
 
@@ -5139,4 +5197,5 @@ def oracle_sql() -> dict[str, str]:
         "q121_trailing_window": _Q121_SQL,
         "q122_join_discovery": _Q122_SQL,
         "q123_sketch_containment": _q123_sql(),
+        "q124_retention_cohorts": _Q124_SQL,
     }
