@@ -4939,6 +4939,76 @@ FROM matrix JOIN sizes USING (cohort_week)
 """
 
 
+def q125_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One damped PageRank step over the q114 kNN similarity graph —
+    centrality on the semantic graph ranks prototypical vs peripheral
+    examples (graph-based data selection). r₁(v) = (1-d)/N + d·Σ_{u→v}
+    r₀(u)/outdeg(u) with uniform r₀ = 1/N, d = 0.85; dangling mass is
+    dropped (documented, same choice both engines). Contributions
+    accumulate in DECIMAL so partitioning can't move the sums; isolated
+    nodes keep the teleport term via a left join from the full node
+    set. One edge shuffle + one broadcast of out-degrees."""
+    from openpolicedata_spark.operators.similarity import knn_graph
+
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = make_random_planes(64, num_planes=8)
+    n_nodes = emb.count()
+    edges = knn_graph(emb, planes, k=3, round_scores=6).select("src", "dst")
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    contrib = (
+        edges.join(F.broadcast(outdeg), on="src")
+        .groupBy("dst")
+        .agg(F.sum((F.lit(1.0 / n_nodes) / F.col("deg"))
+                   .cast("decimal(30,15)")).alias("mass"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(contrib, emb["vec_id"] == contrib["dst"], "left")
+        .select(
+            "vec_id",
+            F.round(
+                F.lit(0.15 / n_nodes)
+                + F.lit(0.85)
+                * F.coalesce(F.col("mass").cast("double"), F.lit(0.0)),
+                9).alias("pr"),
+        )
+    )
+
+
+def _q125_sql() -> str:
+    planes = make_random_planes(64, num_planes=8)
+    cos = _cos_sql("a.v", "b.v")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT COUNT(*) AS n_nodes FROM e),
+cb AS (SELECT vec_id, v, {_bucket_sql("v", planes)} AS bucket FROM e),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({cos}, 6) AS score
+  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE NOT isnan({cos})),
+sym AS (
+  SELECT id_a AS src, id_b AS dst, score FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, score FROM pairs),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (
+      PARTITION BY src ORDER BY score DESC, dst ASC) AS rank
+    FROM sym) WHERE rank <= 3),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+contrib AS (
+  SELECT dst, SUM(CAST((1.0 / n_nodes) / deg AS DECIMAL(30,15))) AS mass
+  FROM edges JOIN outdeg USING (src) CROSS JOIN n
+  GROUP BY dst)
+SELECT e.vec_id,
+  ROUND(0.15 / n_nodes
+        + 0.85 * COALESCE(CAST(mass AS DOUBLE), 0.0), 9) AS pr
+FROM e CROSS JOIN n
+LEFT JOIN contrib ON contrib.dst = e.vec_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5065,6 +5135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_join_discovery": q122_join_discovery,
         "q123_sketch_containment": q123_sketch_containment,
         "q124_retention_cohorts": q124_retention_cohorts,
+        "q125_pagerank_step": q125_pagerank_step,
     }
     return base
 
@@ -5198,4 +5269,5 @@ def oracle_sql() -> dict[str, str]:
         "q122_join_discovery": _Q122_SQL,
         "q123_sketch_containment": _q123_sql(),
         "q124_retention_cohorts": _Q124_SQL,
+        "q125_pagerank_step": _q125_sql(),
     }
