@@ -4804,6 +4804,9 @@ def q123_sketch_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = frames[0]
     for fr in frames[1:]:
         vals = vals.unionByName(fr)
+    # NULL keys hash to NULL: Spark window-sorts nulls FIRST, DuckDB
+    # ROW_NUMBER sorts them LAST — drop them identically on both sides
+    vals = vals.where(F.col("h").isNotNull())
     w = Window.partitionBy("src").orderBy(F.asc("h"))
     sig = (vals.withColumn("rn", F.row_number().over(w))
            .where(F.col("rn") <= K)).localCheckpoint(eager=False)
@@ -4853,7 +4856,7 @@ WITH vals AS (
 sig AS (
   SELECT src, h, rn FROM (
     SELECT src, h, ROW_NUMBER() OVER (PARTITION BY src ORDER BY h) AS rn
-    FROM vals) WHERE rn <= 128),
+    FROM vals WHERE h IS NOT NULL) WHERE rn <= 128),
 pairs AS (
   SELECT a.src AS src_a, b.src AS src_b
   FROM (SELECT DISTINCT src FROM sig) a
@@ -4953,7 +4956,11 @@ def q125_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     planes = make_random_planes(64, num_planes=8)
     n_nodes = emb.count()
-    edges = knn_graph(emb, planes, k=3, round_scores=6).select("src", "dst")
+    # checkpoint: the outdeg agg and the contrib join both consume the
+    # expensive LSH-candidate + window pipeline, and their pruned
+    # subtrees differ, so ReuseExchange would compute it twice
+    edges = (knn_graph(emb, planes, k=3, round_scores=6)
+             .select("src", "dst").localCheckpoint(eager=False))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     contrib = (
         edges.join(F.broadcast(outdeg), on="src")

@@ -78,6 +78,9 @@ def _run_pipeline(spark, docs):
         "n_train": train.count(),
         "n_budget": budgeted.count(),
         "budget_tokens": budgeted.agg(F.sum("n_tok")).first()[0],
+        "budget_n_tok": {r["doc_id"]: r["n_tok"]
+                         for r in budgeted.select("doc_id", "n_tok")
+                         .collect()},
         "frags": sorted(
             (r["doc_id"], r["seq_id"], r["doc_offset"], r["frag_len"])
             for r in frags.collect()),
@@ -93,11 +96,14 @@ def test_pipeline_stages_compose_and_conserve(spark, docs):
     assert r["n_contaminated"] > 0
     # the budget cut bounds: everything kept STARTED under 10k tokens
     assert r["budget_tokens"] > 0
-    # every fragment belongs to a budgeted doc and sums back to its n_tok
+    # every fragment belongs to a budgeted doc and sums back to its
+    # n_tok EXACTLY (conservation through the sequence cut); docs that
+    # tokenize to 0 legitimately emit no fragments
     per_doc = {}
     for doc_id, _, _, fl in r["frags"]:
         per_doc[doc_id] = per_doc.get(doc_id, 0) + fl
-    assert len(per_doc) == r["n_budget"]
+    want = {d: n for d, n in r["budget_n_tok"].items() if n > 0}
+    assert per_doc == want
 
 
 def test_pipeline_is_deterministic(spark, docs):
