@@ -582,3 +582,33 @@ def test_bloom_sink_stream_equals_batch_filter(spark, tmp_path):
     # the persisted table serves probes: members all hit
     probe = bloom_probe(again, full, "key", k=3, m=4096)
     assert probe.where(~F.col("bloom_hit")).count() == 0
+
+
+def test_compiled_model_scorer_stream_equals_batch(spark, tmp_path):
+    """The mlfilter compiled scoring expression is stateless, so the
+    same column scores a STREAM identically to the batch pass — the
+    live-scoring half of model-based filtering (train offline, score
+    the firehose)."""
+    from openpolicedata_spark.operators.mlfilter import (
+        quality_score_model_expr,
+        train_quality_filter,
+    )
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    lab = docs.withColumn("label", (F.col("doc_id") % 3 == 0).cast("int"))
+    model = train_quality_filter(lab.limit(120))
+    src = str(tmp_path / "docs")
+    docs.coalesce(2).write.parquet(src)
+    want = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id", quality_score_model_expr(model).alias("s")).collect()}
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.select("doc_id", quality_score_model_expr(model).alias("s"))
+         .writeStream.format("memory").queryName("mscore")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["s"] for r in spark.sql(
+        "SELECT * FROM mscore").collect()}
+    assert got == want
