@@ -326,3 +326,36 @@ def write_training_shards(
     manifest.coalesce(1).write.mode("overwrite").parquet(
         path.rstrip("/") + "/_manifest")
     return manifest
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    seed: str = "",
+    es_col: str = "es_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items, one pass —
+    Efraimidis–Spirakis A-Res with the deterministic hash in place of
+    rand(): u = (h+1)/2^62 ∈ (0,1] from the portable key hash, priority
+    = -ln(u)/w, keep the k SMALLEST priorities (equivalent to the
+    classic largest-u^(1/w) form). Inclusion probability rises with
+    weight; membership is a pure function of (key, seed), so reruns,
+    retries, and other engines draw the SAME sample — rand()-based
+    reservoirs can't promise any of that.
+
+    Shape: priorities are row-local; `orderBy().limit(k)` plans
+    TakeOrderedAndProject (per-partition k-heaps + driver merge — no
+    sort shuffle), so the cost is one scan at any corpus size. Rows
+    with weight <= 0 are excluded (zero-weight items are never
+    sampled; negative weights are undefined)."""
+    h = budget_hash_expr(F.col(key_col), seed)
+    u = (h + 1).cast("double") / F.lit(float(1 << 62))
+    pri = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn(es_col, pri)
+        .orderBy(F.asc(es_col), F.asc(key_col))
+        .limit(k)
+    )

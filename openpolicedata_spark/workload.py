@@ -5016,6 +5016,40 @@ LEFT JOIN contrib ON contrib.dst = e.vec_id
 """
 
 
+def q126_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (`sampling.weighted_sample`): 100 documents drawn with probability
+    proportional to token count via deterministic Efraimidis–Spirakis
+    priorities (-ln(u)/w, u from the portable key hash) — the
+    length-weighted subcorpus draw a mixture recipe uses. One scan +
+    TakeOrderedAndProject; the oracle replays the hash, the ln, and the
+    top-k ordering exactly (both engines compute ln on identical
+    doubles — the q97/q108 precedent)."""
+    from openpolicedata_spark.operators.sampling import weighted_sample
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tok"))
+    out = weighted_sample(d, 100, "n_tok", "doc_id", seed="ws1")
+    return out.select("doc_id", "n_tok", F.round("es_key", 9).alias("es_key"))
+
+
+_Q126_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents),
+pri AS (
+  SELECT doc_id, n_tok,
+    -ln((CAST(md5_number_lower('ws1:' || CAST(doc_id AS VARCHAR))
+              % 4611686018427387904 AS BIGINT) + 1)
+        / 4611686018427387904.0) / CAST(n_tok AS DOUBLE) AS p
+  FROM m WHERE n_tok > 0)
+SELECT doc_id, n_tok, ROUND(p, 9) AS es_key
+FROM pri ORDER BY p ASC, doc_id ASC LIMIT 100
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5143,6 +5177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_sketch_containment": q123_sketch_containment,
         "q124_retention_cohorts": q124_retention_cohorts,
         "q125_pagerank_step": q125_pagerank_step,
+        "q126_weighted_sample": q126_weighted_sample,
     }
     return base
 
@@ -5277,4 +5312,5 @@ def oracle_sql() -> dict[str, str]:
         "q123_sketch_containment": _q123_sql(),
         "q124_retention_cohorts": _Q124_SQL,
         "q125_pagerank_step": _q125_sql(),
+        "q126_weighted_sample": _Q126_SQL,
     }

@@ -286,3 +286,40 @@ class TestWriteTrainingShards:
             assert set(ra) == set(rb)   # membership is seed-independent
             any_reordered = any_reordered or ra != rb
         assert any_reordered            # ...but the epoch order changed
+
+
+class TestWeightedSample:
+    @staticmethod
+    def _pri(key, w, seed="s"):
+        import hashlib
+        import math
+
+        d = hashlib.md5(f"{seed}:{key}".encode()).digest()
+        h = int.from_bytes(d[8:16], "little") % (1 << 62)
+        return -math.log((h + 1) / float(1 << 62)) / w
+
+    def test_matches_python_model_and_weight_bias(self, spark):
+        from openpolicedata_spark.operators.sampling import weighted_sample
+
+        rows = ([(i, 100.0) for i in range(50)]        # heavy
+                + [(100 + i, 1.0) for i in range(50)])  # light
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = weighted_sample(df, 20, "w", "doc_id", seed="s")
+        got = [r["doc_id"] for r in out.collect()]
+        want = sorted(rows, key=lambda r: (self._pri(r[0], r[1]), r[0]))[:20]
+        assert got == [d for d, _ in want]
+        # heavy items dominate a weight-proportional draw
+        heavy = sum(1 for d in got if d < 100)
+        assert heavy >= 15
+
+    def test_zero_weight_never_sampled_and_deterministic(self, spark):
+        from openpolicedata_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, 5.0), (3, 5.0)], "doc_id long, w double")
+        got = {r["doc_id"] for r in
+               weighted_sample(df, 10, "w", "doc_id").collect()}
+        assert got == {2, 3}
+        again = {r["doc_id"] for r in
+                 weighted_sample(df, 10, "w", "doc_id").collect()}
+        assert got == again
