@@ -355,3 +355,40 @@ def zorder_layout(df: DataFrame, col_x: str, col_y: str, bits: int = 16,
         .sortWithinPartitions("__z__")
         .drop("__z__")
     )
+
+
+def compact_parquet_dir(spark: SparkSession, path: str,
+                        target_mb: int = 128) -> tuple[int, int]:
+    """Small-file maintenance for append-mode sinks: streaming writers
+    (`near_dedup_sink`, micro-batch appends) accumulate one file per
+    batch, and a 100 TB table of kilobyte files dies on open() overhead
+    and footer reads long before it dies on data volume. Rewrites the
+    directory to ≈`target_mb` files via `coalesce` (NARROW — no shuffle;
+    compaction only needs fewer files, not a new distribution) and swaps
+    atomically with the streaming module's write-then-swap (crash
+    recovery included: an interrupted compaction leaves either the old
+    or the new directory, never neither).
+
+    Returns (files_before, files_after). Run it out-of-band on sink
+    output directories — the same cadence a lakehouse's OPTIMIZE job
+    runs."""
+    import glob as _glob
+    import math
+    import os
+
+    from openpolicedata_spark.streaming import _recover_dir, _swap_dir
+
+    _recover_dir(path)
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return (0, 0)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if n_out >= len(files):
+        return (len(files), len(files))  # already compact enough
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__stage_compact__"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    _swap_dir(tmp, path)
+    return (len(files),
+            len(_glob.glob(os.path.join(path, "*.parquet"))))

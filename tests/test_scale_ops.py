@@ -359,3 +359,31 @@ def test_salted_broadcast_join_rejects_outer_modes(spark):
     # semi/anti stay legal: membership is salt-independent
     assert salted_broadcast_join(big, small, on="k",
                                  how="left_semi").count() == 1
+
+
+def test_compact_parquet_dir_preserves_content(spark, tmp_path):
+    from openpolicedata_spark.operators.scale import compact_parquet_dir
+
+    path = str(tmp_path / "sink_out")
+    for i in range(12):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1) \
+            .write.mode("append").parquet(path)
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) >= 12
+    n_in, n_out = compact_parquet_dir(spark, path, target_mb=128)
+    assert n_in >= 12 and n_out < n_in
+    after = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after == before == list(range(120))
+    # idempotent: already compact -> untouched
+    n_in2, n_out2 = compact_parquet_dir(spark, path, target_mb=128)
+    assert n_in2 == n_out2 == n_out
+
+
+def test_compact_parquet_dir_empty_dir(spark, tmp_path):
+    from openpolicedata_spark.operators.scale import compact_parquet_dir
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    assert compact_parquet_dir(spark, str(d)) == (0, 0)

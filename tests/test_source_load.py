@@ -235,3 +235,55 @@ def test_multi_file_dataset_id_routes_to_combined_loader(spark, tmp_path):
     from openpolicedata_spark.sources.file import CsvLoader
 
     assert isinstance(_make_loader(spark, row2), CsvLoader)
+
+
+def test_read_parquet_repaired_microsecond_units_native(spark, tmp_path):
+    """Round-4 insurance: the testdata generator switches ts units
+    between rounds (ns in rounds 1-3, us in round 4). Microsecond
+    timestamps must read NATIVELY (no nanosAsLong repair) with correct
+    values, and the streaming probe must agree."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openpolicedata_spark.sources.file import read_parquet_repaired
+    from openpolicedata_spark.streaming import _ts_is_nanos
+
+    ts = [datetime.datetime(2024, 1, 1, 0, 0, i, 123456) for i in range(5)]
+    table = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * 5, pa.int64()),
+    })
+    p = str(tmp_path / "events_us.parquet")
+    pq.write_table(table, p)
+    df = read_parquet_repaired(spark, p)
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    rows = sorted(r["ts"] for r in df.select("ts").collect())
+    assert rows[0].microsecond == 123456
+    assert not _ts_is_nanos(p)
+
+
+def test_read_parquet_repaired_nanosecond_units_repaired(spark, tmp_path):
+    """And the ns form keeps repairing (rounds 1-3 testdata)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openpolicedata_spark.sources.file import read_parquet_repaired
+    from openpolicedata_spark.streaming import _ts_is_nanos
+
+    base_ns = 1_704_067_200_000_000_000  # 2024-01-01 UTC
+    table = pa.table({
+        "event_id": pa.array(range(3), pa.int64()),
+        "ts": pa.array([base_ns + i * 1_000_000_000 + 123_456_789
+                        for i in range(3)], pa.timestamp("ns")),
+    })
+    p = str(tmp_path / "events_ns.parquet")
+    pq.write_table(table, p)
+    df = read_parquet_repaired(spark, p)
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    r0 = min(r["ts"] for r in df.select("ts").collect())
+    # ns truncates to us on repair
+    assert r0.year == 2024 and r0.microsecond == 123_456
+    assert _ts_is_nanos(p)
