@@ -348,13 +348,14 @@ def weighted_sample(
     Shape: priorities are row-local; `orderBy().limit(k)` plans
     TakeOrderedAndProject (per-partition k-heaps + driver merge — no
     sort shuffle), so the cost is one scan at any corpus size. Rows
-    with weight <= 0 are excluded (zero-weight items are never
-    sampled; negative weights are undefined)."""
+    with weight <= 0 or a NULL key are excluded (a NULL key hashes to a
+    NULL priority, which Spark's ASC sort would otherwise place FIRST —
+    promoting exactly the rows with no valid priority)."""
     h = budget_hash_expr(F.col(key_col), seed)
     u = (h + 1).cast("double") / F.lit(float(1 << 62))
     pri = -F.log(u) / F.col(weight_col).cast("double")
     return (
-        df.where(F.col(weight_col) > 0)
+        df.where((F.col(weight_col) > 0) & F.col(key_col).isNotNull())
         .withColumn(es_col, pri)
         .orderBy(F.asc(es_col), F.asc(key_col))
         .limit(k)

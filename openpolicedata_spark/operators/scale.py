@@ -371,24 +371,39 @@ def compact_parquet_dir(spark: SparkSession, path: str,
 
     Returns (files_before, files_after). Run it out-of-band on sink
     output directories — the same cadence a lakehouse's OPTIMIZE job
-    runs."""
+    runs. Concurrent-append guard: the staged copy reads an explicit
+    file SNAPSHOT, and the swap is skipped (tmp discarded, input
+    untouched) if the directory changed while staging — a sink that
+    appended mid-compaction loses nothing; only the tiny final
+    check-to-swap window remains unguarded (serialize compaction with
+    the sink for hard guarantees). Partitioned layouts (nested
+    part dirs) are refused rather than silently skipped."""
     import glob as _glob
     import math
     import os
+    import shutil
 
     from openpolicedata_spark.streaming import _recover_dir, _swap_dir
 
     _recover_dir(path)
-    files = _glob.glob(os.path.join(path, "*.parquet"))
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    nested = _glob.glob(os.path.join(path, "*", "*.parquet"))
+    if nested:
+        raise ValueError(
+            f"{path} is a partitioned layout ({len(nested)} nested files) "
+            "— compact each partition directory individually")
     if not files:
         return (0, 0)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     if n_out >= len(files):
         return (len(files), len(files))  # already compact enough
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(*files)     # explicit snapshot, not the dir
     tmp = path.rstrip("/") + ".__stage_compact__"
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    if sorted(_glob.glob(os.path.join(path, "*.parquet"))) != files:
+        shutil.rmtree(tmp)              # sink appended meanwhile: abort
+        return (len(files), len(files))
     _swap_dir(tmp, path)
     return (len(files),
             len(_glob.glob(os.path.join(path, "*.parquet"))))

@@ -5030,7 +5030,7 @@ def q126_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents").select(
         "doc_id", token_count_expr(F.col("text")).alias("n_tok"))
     out = weighted_sample(d, 100, "n_tok", "doc_id", seed="ws1")
-    return out.select("doc_id", "n_tok", F.round("es_key", 9).alias("es_key"))
+    return out.select("doc_id", "n_tok", F.round("es_key", 6).alias("es_key"))
 
 
 _Q126_SQL = r"""
@@ -5045,7 +5045,7 @@ pri AS (
               % 4611686018427387904 AS BIGINT) + 1)
         / 4611686018427387904.0) / CAST(n_tok AS DOUBLE) AS p
   FROM m WHERE n_tok > 0)
-SELECT doc_id, n_tok, ROUND(p, 9) AS es_key
+SELECT doc_id, n_tok, ROUND(p, 6) AS es_key
 FROM pri ORDER BY p ASC, doc_id ASC LIMIT 100
 """
 

@@ -323,3 +323,12 @@ class TestWeightedSample:
         again = {r["doc_id"] for r in
                  weighted_sample(df, 10, "w", "doc_id").collect()}
         assert got == again
+
+    def test_null_keys_excluded(self, spark):
+        from openpolicedata_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(None, 5.0), (1, 5.0), (2, 5.0)], "doc_id long, w double")
+        got = {r["doc_id"] for r in
+               weighted_sample(df, 1, "w", "doc_id").collect()}
+        assert None not in got and len(got) == 1

@@ -584,7 +584,7 @@ def test_bloom_sink_stream_equals_batch_filter(spark, tmp_path):
     assert probe.where(~F.col("bloom_hit")).count() == 0
 
 
-def test_compiled_model_scorer_stream_equals_batch(spark, tmp_path):
+def test_compiled_model_scorer_stream_equals_batch(spark, tmp_path, sf_dir):
     """The mlfilter compiled scoring expression is stateless, so the
     same column scores a STREAM identically to the batch pass — the
     live-scoring half of model-based filtering (train offline, score
@@ -594,7 +594,7 @@ def test_compiled_model_scorer_stream_equals_batch(spark, tmp_path):
         train_quality_filter,
     )
 
-    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text"))
     lab = docs.withColumn("label", (F.col("doc_id") % 3 == 0).cast("int"))
     model = train_quality_filter(lab.limit(120))
@@ -608,7 +608,7 @@ def test_compiled_model_scorer_stream_equals_batch(spark, tmp_path):
     q = (stream.select("doc_id", quality_score_model_expr(model).alias("s"))
          .writeStream.format("memory").queryName("mscore")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in time"
     got = {r["doc_id"]: r["s"] for r in spark.sql(
         "SELECT * FROM mscore").collect()}
     assert got == want
