@@ -769,3 +769,54 @@ def edit_distance_pairs(
                 F.levenshtein("__ta__", "__tb__").alias("edit_dist"))
         .where(F.col("edit_dist") <= max_dist)
     )
+
+
+def exact_dedup_incremental(
+    batch: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_index: bool = True,
+) -> DataFrame:
+    """Incremental exact dedup for a daily/continuous INGEST: drop batch
+    rows whose content digest already exists in the persisted index
+    (everything ever admitted), dedup within the batch (min-id wins,
+    same contract as `exact_dedup`), and append the admitted digests.
+    The batch counterpart of `streaming.near_dedup_sink`'s exact stage:
+    each increment joins only against a 16-byte-digest index, never the
+    historical corpus.
+
+    Shape: the index side is digests only (16 B/row forever); the batch
+    anti-joins it (broadcast while the index is small, SMJ beyond), then
+    one min_by collapse. Index append may write duplicate digests on
+    retry — harmless, membership is a semi-join — and the update runs
+    AFTER the survivors exist, so a crash between the two re-admits the
+    same content next run (at-least-once; dedup the downstream on
+    `id_col`, or wrap both writes in a table format's transaction for
+    exactly-once).
+
+    Returns the admitted rows. Call pattern:
+        kept = exact_dedup_incremental(batch, idx)
+        kept.write...   # caller persists survivors FIRST
+    (with update_index=True the index append happens eagerly here —
+    pass False to sequence it manually after the survivor write)."""
+    import os
+
+    spark = batch.sparkSession
+    fp = fingerprint_md5_expr(F.col(text_col))
+    tagged = batch.withColumn("__fp__", fp)
+    if os.path.isdir(index_path):
+        seen = spark.read.parquet(index_path)
+        tagged = tagged.join(
+            seen.withColumnRenamed("fingerprint", "__fp__"),
+            on="__fp__", how="left_anti")
+    cols = batch.columns
+    kept = (
+        tagged.groupBy("__fp__")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row__"))
+        .select(F.col("__fp__"), F.col("__row__.*"))
+    )
+    if update_index:
+        kept.select(F.col("__fp__").alias("fingerprint")) \
+            .write.mode("append").parquet(index_path)
+    return kept.drop("__fp__")

@@ -536,3 +536,44 @@ def test_frequent_directions_terminates_when_dim_le_ell(spark):
     assert B.shape[0] <= 16
     # nothing to subtract in this regime: BᵀB is exact
     assert np.allclose(A.T @ A, B.T @ B, atol=1e-6)
+
+
+class TestExactDedupIncremental:
+    def test_increments_never_readmit(self, spark, tmp_path):
+        from openpolicedata_spark.operators.dedup import (
+            exact_dedup_incremental,
+        )
+
+        idx = str(tmp_path / "digest_index")
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")],
+            "doc_id long, text string")
+        k1 = sorted(r["doc_id"] for r in
+                    exact_dedup_incremental(b1, idx).collect())
+        assert k1 == [1, 3]   # min-id wins within the batch
+        # second increment: one repeat (different id), one new
+        b2 = spark.createDataFrame(
+            [(10, "alpha beta"), (11, "delta")],
+            "doc_id long, text string")
+        k2 = sorted(r["doc_id"] for r in
+                    exact_dedup_incremental(b2, idx).collect())
+        assert k2 == [11]
+        # third increment repeats everything: nothing admitted
+        assert exact_dedup_incremental(b1.unionByName(b2), idx).count() == 0
+        # index holds one digest per admitted content (append-mode may
+        # duplicate on retry; here there were no retries)
+        assert spark.read.parquet(idx).distinct().count() == 3
+
+    def test_update_index_false_leaves_index(self, spark, tmp_path):
+        from openpolicedata_spark.operators.dedup import (
+            exact_dedup_incremental,
+        )
+
+        idx = str(tmp_path / "idx2")
+        b = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+        exact_dedup_incremental(b, idx, update_index=False)
+        import os
+
+        assert not os.path.isdir(idx)
+        # and the same content is admitted again (index never learned it)
+        assert exact_dedup_incremental(b, idx).count() == 1
