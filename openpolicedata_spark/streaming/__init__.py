@@ -583,3 +583,90 @@ def bloom_sink(stream_df: DataFrame, key: str, path: str,
         _swap_dir(tmp, path)
 
     _run_merge_sink(stream_df, body, checkpoint_dir, query_name, timeout_s)
+
+
+def semantic_dedup_sink(stream_df: DataFrame, out_path: str,
+                        index_path: str,
+                        centroids: list[list[float]],
+                        threshold: float = 0.95,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        query_name: str = "semdedup",
+                        timeout_s: int = 300) -> None:
+    """Streaming SemDeDup: drop vectors semantically near anything ever
+    admitted. Per micro-batch: `similarity.semdedup` dedups WITHIN the
+    batch (smallest id survives per near-dup set), then survivors are
+    checked against the persisted REPRESENTATIVES index — same-cluster
+    members only, max-cosine threshold — and only genuinely novel
+    vectors append to both the output and the index.
+
+    State = the representatives index: one row per admitted vector,
+    read cluster-bounded (the batch joins it on list_id, so only the
+    clusters the batch touches load). Unlike the exact/minhash indexes
+    (16/8-byte digests) this one stores vectors — the price of semantic
+    membership; int8-quantize the index (`int8_quantize_cols`) when it
+    outgrows comfort. The centroids are FIXED state shared by all
+    batches (retrain offline, version the index with the quantizer).
+    Appends are idempotent-unsafe on replay (same novel vector appended
+    twice double-represents its neighborhood — harmless for dedup
+    semantics: dups of it still match the first copy), so no batch
+    marker is kept."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from openpolicedata_spark.operators.similarity import ivf_assign, semdedup
+
+    spark = stream_df.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        intra = (semdedup(batch, centroids, threshold,
+                          vec_col=vec_col, id_col=id_col)
+                 .where(F.col("keep"))
+                 .drop("max_cos_prev", "keep"))
+        if os.path.isdir(index_path):
+            reps = spark.read.parquet(index_path)
+            joined = intra.join(
+                reps.select(F.col("list_id"),
+                            F.col(vec_col).alias("__rep__")),
+                on="list_id", how="left")
+            th = threshold
+            vname = vec_col
+
+            schema = T.StructType(
+                [f for f in intra.schema.fields]
+                + [T.StructField("novel", T.BooleanType(), False)])
+
+            def check(pdf: pd.DataFrame) -> pd.DataFrame:
+                # grouped by id: one vector, one row per same-cluster rep
+                first = pdf.head(1).copy()
+                mr = [list(r) for r in pdf["__rep__"] if r is not None]
+                if mr:
+                    x = np.array(list(first.iloc[0][vname]),
+                                 dtype=np.float64)
+                    xn = np.linalg.norm(x) or 1.0
+                    M = np.array(mr, dtype=np.float64)
+                    Mn = np.linalg.norm(M, axis=1)
+                    Mn[Mn == 0.0] = 1.0
+                    sims = (M / Mn[:, None]) @ (x / xn)
+                    first["novel"] = [bool(sims.max() < th)]
+                else:
+                    first["novel"] = [True]
+                return first.drop(columns=["__rep__"])
+
+            novel = (joined.groupBy(id_col)
+                     .applyInPandas(
+                         lambda pdf: check(pdf),
+                         schema=schema)
+                     .where(F.col("novel")).drop("novel"))
+        else:
+            novel = intra
+        novel = novel.localCheckpoint(eager=True)
+        novel.drop("list_id").write.mode("append").parquet(out_path)
+        novel.write.mode("append").parquet(index_path)
+
+    _run_merge_sink(stream_df, body, None, query_name, timeout_s)

@@ -612,3 +612,39 @@ def test_compiled_model_scorer_stream_equals_batch(spark, tmp_path, sf_dir):
     got = {r["doc_id"]: r["s"] for r in spark.sql(
         "SELECT * FROM mscore").collect()}
     assert got == want
+
+
+def test_semantic_dedup_sink_cross_batch(spark, tmp_path):
+    """Streaming SemDeDup: within-batch near-dups collapse, and later
+    batches never re-admit vectors semantically near the index."""
+    from openpolicedata_spark.streaming import semantic_dedup_sink
+
+    CENTS = [[1.0, 0.0], [0.0, 1.0]]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.01]), (2, [1.0, 0.01]),   # near-dups, 1 survives
+         (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    b2 = spark.createDataFrame(
+        [(10, [1.0, 0.012]),                    # ~dup of admitted 1
+         (11, [1.0, -0.9])],                    # same cluster, far: novel
+        "vec_id long, embedding array<double>")
+    b1.coalesce(1).write.parquet(src, mode="append")
+    import time as _time
+
+    _time.sleep(1.1)   # distinct mtimes: b1 must be micro-batch 1
+    b2.coalesce(1).write.parquet(src, mode="append")
+
+    semantic_dedup_sink(
+        (spark.readStream.schema("vec_id long, embedding array<double>")
+         .option("maxFilesPerTrigger", 1).parquet(src)),
+        out, idx, CENTS, threshold=0.95)
+
+    admitted = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    assert 3 in admitted and 11 in admitted
+    assert (1 in admitted) != (2 in admitted)   # exactly one of the pair
+    assert 10 not in admitted                    # caught by the index
+    assert sorted(r["vec_id"] for r in
+                  spark.read.parquet(idx).collect()) == admitted
