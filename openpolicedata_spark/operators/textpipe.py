@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -517,3 +518,112 @@ def pack_fixed_sequences(
         (gend - gstart).alias("frag_len"),
         (gstart - F.col("seq_id") * L).alias("seq_offset"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    max_vocab: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Train a byte-pair-encoding merge list (Sennrich et al. 2016) the
+    way production tokenizer trainers do: ONE distributed pass collapses
+    the corpus to its word-frequency table (the only corpus-sized work —
+    map-side-combined groupBy), the driver keeps the `max_vocab` most
+    frequent words (TakeOrdered; the standard RAM-bounding cap), and the
+    merge loop runs driver-side over that bounded table — n_merges
+    iterations of weighted adjacent-pair counting + lexicographic-
+    tiebroken argmax, exactly q110's statistic applied iteratively.
+    Returns the ordered merge list for `bpe_apply`. Deterministic:
+    frequency ties break on the word / pair text."""
+    from openpolicedata_spark.functions.text import (
+        normalize_text_expr,
+        tokens_expr,
+    )
+
+    rows = (
+        df.select(F.explode(tokens_expr(normalize_text_expr(
+            F.col(text_col)))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab = {tuple(r["w"]): r["c"] for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for a, b in zip(word, word[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break   # nothing repeats: further merges are memorization
+        (a, b), _ = best
+        merges.append((a, b))
+        merged = a + b
+        new_vocab: dict[tuple, int] = {}
+        for word, c in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Segment text with a trained merge list: per word, apply the
+    merges in training order (the standard greedy BPE encoder). Runs as
+    ONE Arrow-batched pandas UDF with a per-batch word cache — word
+    frequency follows Zipf, so the cache hits for almost every token
+    and the per-word merge loop runs once per DISTINCT word per batch,
+    not per occurrence. Row-local: no shuffle at any corpus size."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            sym = list(w)
+            while len(sym) > 1:
+                cand = [(ranks.get((sym[i], sym[i + 1])), i)
+                        for i in range(len(sym) - 1)]
+                cand = [(r, i) for r, i in cand if r is not None]
+                if not cand:
+                    break
+                _, i = min(cand)
+                sym = sym[:i] + [sym[i] + sym[i + 1]] + sym[i + 2:]
+            cache[w] = sym
+            return sym
+
+        out = []
+        for t in texts:
+            toks = [] if t is None else " ".join(t.lower().split()).split()
+            flat: list[str] = []
+            for w in toks:
+                if w:
+                    flat.extend(enc_word(w))
+            out.append(flat)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, encode(F.col(text_col)))

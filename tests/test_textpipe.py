@@ -428,3 +428,50 @@ class TestPackFixedSequences:
         assert {r["doc_id"] for r in out} == {2}
         with _p.raises(ValueError):
             pack_fixed_sequences(df, 0, "n_tok", "doc_id")
+
+
+class TestBpeTrainApply:
+    def test_merge_sequence_hand_computed(self, spark):
+        from openpolicedata_spark.operators.textpipe import bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "aaab aaab aaab aab aab")], "doc_id long, text string")
+        merges = bpe_train(df, n_merges=10)
+        assert merges == [("a", "a"), ("aa", "a"), ("aaa", "b"),
+                          ("aa", "b")]
+
+    def test_apply_greedy_by_rank_and_unseen_words(self, spark):
+        from openpolicedata_spark.operators.textpipe import (
+            bpe_apply,
+            bpe_train,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "aaab aaab aaab aab aab")], "doc_id long, text string")
+        merges = bpe_train(train, n_merges=10)
+        test = spark.createDataFrame(
+            [(1, "aaab aab ab zq"), (2, None)], "doc_id long, text string")
+        out = {r["doc_id"]: r["bpe_tokens"]
+               for r in bpe_apply(test, merges).collect()}
+        assert out[1] == ["aaab", "aab", "a", "b", "z", "q"]
+        assert out[2] == []
+
+    def test_trains_on_real_docs_and_merges_are_productive(self, spark,
+                                                          sf_dir):
+        from openpolicedata_spark.operators.textpipe import (
+            bpe_apply,
+            bpe_train,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        merges = bpe_train(docs, n_merges=50)
+        assert len(merges) == 50
+        enc = bpe_apply(docs.limit(50), merges)
+        from pyspark.sql import functions as F
+
+        stats = enc.select(
+            F.size("bpe_tokens").alias("n_bpe"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+        ).agg(F.sum("n_bpe").alias("b"), F.sum("n_words").alias("w")).first()
+        # merges compress: fewer than pure chars, at least one per word
+        assert stats["b"] >= stats["w"]
