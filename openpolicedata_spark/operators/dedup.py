@@ -118,12 +118,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
     Assumes `id_col` is unique and non-null per row (true for doc_id in all
     our tables): min_by ignores null-id rows and keeps one arbitrary row on
-    tied minimum ids, where the old semi-join formulation kept all ties."""
-    cols = df.columns
+    tied minimum ids, where the old semi-join formulation kept all ties.
+    NULL text fingerprints as the empty string (all null/empty texts are
+    one dup group), so no row can carry a NULL join key downstream."""
+    return _exact_dedup_fp(df, text_col, id_col).drop("__fp__")
+
+
+def _exact_dedup_fp(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """exact_dedup retaining the `__fp__` digest column — the single
+    implementation of the min-id-wins contract (shared by the
+    incremental variant so the semantics can never diverge)."""
+    fp = fingerprint_md5_expr(F.coalesce(F.col(text_col), F.lit("")))
+    return _collapse_by_fp(df.withColumn("__fp__", fp), df.columns, id_col)
+
+
+def _collapse_by_fp(tagged: DataFrame, cols: list, id_col: str) -> DataFrame:
+    """One min_by collapse per `__fp__` group (map-side combined)."""
     return (
-        df.groupBy(fingerprint_md5_expr(F.col(text_col)).alias("__fp__"))
+        tagged.groupBy("__fp__")
         .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row__"))
-        .select("__row__.*")
+        .select("__fp__", F.col("__row__.*"))
     )
 
 
@@ -776,47 +790,67 @@ def exact_dedup_incremental(
     index_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    update_index: bool = True,
+    update_index: bool = False,
 ) -> DataFrame:
     """Incremental exact dedup for a daily/continuous INGEST: drop batch
     rows whose content digest already exists in the persisted index
-    (everything ever admitted), dedup within the batch (min-id wins,
-    same contract as `exact_dedup`), and append the admitted digests.
-    The batch counterpart of `streaming.near_dedup_sink`'s exact stage:
-    each increment joins only against a 16-byte-digest index, never the
-    historical corpus.
+    (everything ever admitted), dedup within the batch (min-id wins —
+    literally `exact_dedup`'s shared implementation), and return the
+    admitted rows (localCheckpointed: computed once however many times
+    the caller reuses them). The batch counterpart of
+    `streaming.near_dedup_sink`'s exact stage: each increment joins only
+    a 16-byte-digest index, never the historical corpus.
 
-    Shape: the index side is digests only (16 B/row forever); the batch
-    anti-joins it (broadcast while the index is small, SMJ beyond), then
-    one min_by collapse. Index append may write duplicate digests on
-    retry — harmless, membership is a semi-join — and the update runs
-    AFTER the survivors exist, so a crash between the two re-admits the
-    same content next run (at-least-once; dedup the downstream on
-    `id_col`, or wrap both writes in a table format's transaction for
-    exactly-once).
+    Durability contract — the ORDER of the two writes decides the
+    failure mode, so the caller controls it:
 
-    Returns the admitted rows. Call pattern:
-        kept = exact_dedup_incremental(batch, idx)
-        kept.write...   # caller persists survivors FIRST
-    (with update_index=True the index append happens eagerly here —
-    pass False to sequence it manually after the survivor write)."""
+        kept = exact_dedup_incremental(batch, idx)     # no index write
+        kept.write...                                  # persist FIRST
+        append_digest_index(kept, idx, text_col)       # then admit
+
+    gives AT-LEAST-ONCE (a crash between the writes re-admits the same
+    content next run — dedup downstream on id). `update_index=True`
+    appends EAGERLY inside this call, which is AT-MOST-ONCE: a crash
+    before the caller persists loses that content forever (the index
+    says admitted, nothing holds the rows). Duplicate digests in the
+    index from retries are harmless (membership is an anti-join). A
+    half-written index directory (no parquet files) reads as empty
+    rather than wedging every later increment."""
+    spark = batch.sparkSession
+    tagged = batch.withColumn(
+        "__fp__", fingerprint_md5_expr(F.coalesce(F.col(text_col),
+                                                  F.lit(""))))
+    idx = _read_digest_index(spark, index_path)
+    if idx is not None:
+        tagged = tagged.join(
+            idx.withColumnRenamed("fingerprint", "__fp__"),
+            on="__fp__", how="left_anti")
+    kept = _collapse_by_fp(tagged, batch.columns, id_col) \
+        .localCheckpoint(eager=True)
+    if update_index:
+        kept.select(F.col("__fp__").alias("fingerprint"))             .write.mode("append").parquet(index_path)
+    return kept.drop("__fp__")
+
+
+def _read_digest_index(spark, index_path: str):
+    """The digest index, or None when absent OR when a crashed first
+    append left the directory without data files (read.parquet would
+    throw 'unable to infer schema' forever otherwise)."""
+    import glob as _glob
     import os
 
-    spark = batch.sparkSession
-    fp = fingerprint_md5_expr(F.col(text_col))
-    tagged = batch.withColumn("__fp__", fp)
-    if os.path.isdir(index_path):
-        seen = spark.read.parquet(index_path)
-        tagged = tagged.join(
-            seen.withColumnRenamed("fingerprint", "__fp__"),
-            on="__fp__", how="left_anti")
-    cols = batch.columns
-    kept = (
-        tagged.groupBy("__fp__")
-        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row__"))
-        .select(F.col("__fp__"), F.col("__row__.*"))
-    )
-    if update_index:
-        kept.select(F.col("__fp__").alias("fingerprint")) \
-            .write.mode("append").parquet(index_path)
-    return kept.drop("__fp__")
+    if not os.path.isdir(index_path):
+        return None
+    if not _glob.glob(os.path.join(index_path, "*.parquet")):
+        return None
+    return spark.read.parquet(index_path)
+
+
+def append_digest_index(admitted: DataFrame, index_path: str,
+                        text_col: str = "text") -> None:
+    """Admit rows into the digest index — call AFTER persisting them
+    (the at-least-once ordering `exact_dedup_incremental` documents)."""
+    admitted.select(
+        fingerprint_md5_expr(F.coalesce(F.col(text_col), F.lit("")))
+        .alias("fingerprint")
+    ).write.mode("append").parquet(index_path)

@@ -598,6 +598,12 @@ def bpe_apply(
 
     @pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        # EXACTLY tokens_expr's whitespace: Java \s is ASCII-only,
+        # while python str.split() splits on Unicode whitespace — an
+        # NBSP would make apply see words the trainer never learned
+        ws = _re.compile("[ \t\n\x0b\f\r]+")
         cache: dict[str, list[str]] = {}
 
         def enc_word(w: str) -> list[str]:
@@ -618,7 +624,7 @@ def bpe_apply(
 
         out = []
         for t in texts:
-            toks = [] if t is None else " ".join(t.lower().split()).split()
+            toks = [] if t is None else ws.split(t.lower().strip())
             flat: list[str] = []
             for w in toks:
                 if w:

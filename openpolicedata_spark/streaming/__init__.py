@@ -596,28 +596,32 @@ def semantic_dedup_sink(stream_df: DataFrame, out_path: str,
     """Streaming SemDeDup: drop vectors semantically near anything ever
     admitted. Per micro-batch: `similarity.semdedup` dedups WITHIN the
     batch (smallest id survives per near-dup set), then survivors are
-    checked against the persisted REPRESENTATIVES index — same-cluster
-    members only, max-cosine threshold — and only genuinely novel
-    vectors append to both the output and the index.
+    checked against the persisted REPRESENTATIVES index — cluster by
+    cluster via a COGROUP on list_id (ships batch+reps rows once and
+    runs ONE matmul per cluster; the join-per-rep formulation would
+    shuffle B·R duplicated embeddings) — and only genuinely novel
+    vectors append to the output and the index.
 
     State = the representatives index: one row per admitted vector,
-    read cluster-bounded (the batch joins it on list_id, so only the
-    clusters the batch touches load). Unlike the exact/minhash indexes
-    (16/8-byte digests) this one stores vectors — the price of semantic
-    membership; int8-quantize the index (`int8_quantize_cols`) when it
-    outgrows comfort. The centroids are FIXED state shared by all
-    batches (retrain offline, version the index with the quantizer).
-    Appends are idempotent-unsafe on replay (same novel vector appended
-    twice double-represents its neighborhood — harmless for dedup
-    semantics: dups of it still match the first copy), so no batch
-    marker is kept."""
+    read cluster-bounded. Unlike the exact/minhash digest indexes this
+    one stores vectors — the price of semantic membership;
+    int8-quantize it when it outgrows comfort. Centroids are FIXED
+    state shared by all batches (retrain offline; version the index
+    with the quantizer). Failure semantics: output is written before
+    the index, so a crash/replay between the two writes can DUPLICATE
+    the batch's novel rows in out_path (same at-least-once window
+    near_dedup_sink documents — dedup downstream on the id, or use a
+    transactional table format); index-side duplicates only
+    double-represent a neighborhood, which is harmless. A half-written
+    index directory (no data files) reads as empty instead of wedging
+    the stream."""
+    import glob as _glob
     import os
 
     import numpy as np
-    import pandas as pd
     import pyspark.sql.types as T
 
-    from openpolicedata_spark.operators.similarity import ivf_assign, semdedup
+    from openpolicedata_spark.operators.similarity import semdedup
 
     spark = stream_df.sparkSession
 
@@ -628,41 +632,33 @@ def semantic_dedup_sink(stream_df: DataFrame, out_path: str,
                           vec_col=vec_col, id_col=id_col)
                  .where(F.col("keep"))
                  .drop("max_cos_prev", "keep"))
-        if os.path.isdir(index_path):
+        have_index = (os.path.isdir(index_path)
+                      and _glob.glob(os.path.join(index_path, "*.parquet")))
+        if have_index:
             reps = spark.read.parquet(index_path)
-            joined = intra.join(
-                reps.select(F.col("list_id"),
-                            F.col(vec_col).alias("__rep__")),
-                on="list_id", how="left")
-            th = threshold
-            vname = vec_col
+            th, vname = threshold, vec_col
+            schema = T.StructType(list(intra.schema.fields))
 
-            schema = T.StructType(
-                [f for f in intra.schema.fields]
-                + [T.StructField("novel", T.BooleanType(), False)])
+            def novel_in_cluster(left, right):
+                # left: this cluster's batch survivors; right: its reps
+                if not len(left):
+                    return left
+                if not len(right):
+                    return left
+                X = np.array(list(left[vname]), dtype=np.float64)
+                Xn = np.linalg.norm(X, axis=1)
+                Xn[Xn == 0.0] = 1.0
+                R = np.array(list(right[vname]), dtype=np.float64)
+                Rn = np.linalg.norm(R, axis=1)
+                Rn[Rn == 0.0] = 1.0
+                sims = (X / Xn[:, None]) @ (R / Rn[:, None]).T
+                return left[sims.max(axis=1) < th]
 
-            def check(pdf: pd.DataFrame) -> pd.DataFrame:
-                # grouped by id: one vector, one row per same-cluster rep
-                first = pdf.head(1).copy()
-                mr = [list(r) for r in pdf["__rep__"] if r is not None]
-                if mr:
-                    x = np.array(list(first.iloc[0][vname]),
-                                 dtype=np.float64)
-                    xn = np.linalg.norm(x) or 1.0
-                    M = np.array(mr, dtype=np.float64)
-                    Mn = np.linalg.norm(M, axis=1)
-                    Mn[Mn == 0.0] = 1.0
-                    sims = (M / Mn[:, None]) @ (x / xn)
-                    first["novel"] = [bool(sims.max() < th)]
-                else:
-                    first["novel"] = [True]
-                return first.drop(columns=["__rep__"])
-
-            novel = (joined.groupBy(id_col)
-                     .applyInPandas(
-                         lambda pdf: check(pdf),
-                         schema=schema)
-                     .where(F.col("novel")).drop("novel"))
+            novel = (
+                intra.groupBy("list_id")
+                .cogroup(reps.groupBy("list_id"))
+                .applyInPandas(novel_in_cluster, schema=schema)
+            )
         else:
             novel = intra
         novel = novel.localCheckpoint(eager=True)

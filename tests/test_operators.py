@@ -541,6 +541,7 @@ def test_frequent_directions_terminates_when_dim_le_ell(spark):
 class TestExactDedupIncremental:
     def test_increments_never_readmit(self, spark, tmp_path):
         from openpolicedata_spark.operators.dedup import (
+            append_digest_index,
             exact_dedup_incremental,
         )
 
@@ -548,32 +549,48 @@ class TestExactDedupIncremental:
         b1 = spark.createDataFrame(
             [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")],
             "doc_id long, text string")
-        k1 = sorted(r["doc_id"] for r in
-                    exact_dedup_incremental(b1, idx).collect())
-        assert k1 == [1, 3]   # min-id wins within the batch
-        # second increment: one repeat (different id), one new
+        k1 = exact_dedup_incremental(b1, idx)
+        assert sorted(r["doc_id"] for r in k1.collect()) == [1, 3]
+        # at-least-once pattern: persist first, then admit
+        append_digest_index(k1, idx)
         b2 = spark.createDataFrame(
             [(10, "alpha beta"), (11, "delta")],
             "doc_id long, text string")
-        k2 = sorted(r["doc_id"] for r in
-                    exact_dedup_incremental(b2, idx).collect())
-        assert k2 == [11]
+        k2 = exact_dedup_incremental(b2, idx, update_index=True)  # eager
+        assert sorted(r["doc_id"] for r in k2.collect()) == [11]
         # third increment repeats everything: nothing admitted
         assert exact_dedup_incremental(b1.unionByName(b2), idx).count() == 0
-        # index holds one digest per admitted content (append-mode may
-        # duplicate on retry; here there were no retries)
         assert spark.read.parquet(idx).distinct().count() == 3
 
-    def test_update_index_false_leaves_index(self, spark, tmp_path):
+    def test_default_leaves_index_and_null_text_collapses(self, spark,
+                                                          tmp_path):
         from openpolicedata_spark.operators.dedup import (
+            append_digest_index,
             exact_dedup_incremental,
         )
 
         idx = str(tmp_path / "idx2")
-        b = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
-        exact_dedup_incremental(b, idx, update_index=False)
+        b = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "x")], "doc_id long, text string")
+        k = exact_dedup_incremental(b, idx)   # default: no index write
+        # NULL and empty text share one dup group (min id 1 wins)
+        assert sorted(r["doc_id"] for r in k.collect()) == [1, 3]
         import os
 
         assert not os.path.isdir(idx)
-        # and the same content is admitted again (index never learned it)
+        append_digest_index(k, idx)
+        # null-text content is now indexed: never re-admitted
+        again = exact_dedup_incremental(b, idx)
+        assert again.count() == 0
+
+    def test_half_written_index_reads_as_empty(self, spark, tmp_path):
+        import os
+
+        from openpolicedata_spark.operators.dedup import (
+            exact_dedup_incremental,
+        )
+
+        idx = str(tmp_path / "idx3")
+        os.makedirs(idx)                      # dir exists, no data files
+        b = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         assert exact_dedup_incremental(b, idx).count() == 1

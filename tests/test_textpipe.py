@@ -472,6 +472,10 @@ class TestBpeTrainApply:
         stats = enc.select(
             F.size("bpe_tokens").alias("n_bpe"),
             F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
-        ).agg(F.sum("n_bpe").alias("b"), F.sum("n_words").alias("w")).first()
-        # merges compress: fewer than pure chars, at least one per word
+            F.length(F.regexp_replace("text", r"\s", "")).alias("n_chars"),
+        ).agg(F.sum("n_bpe").alias("b"), F.sum("n_words").alias("w"),
+              F.sum("n_chars").alias("c")).first()
+        # at least one token per word, and STRICTLY fewer than pure
+        # characters — broken merges would degrade to char output
         assert stats["b"] >= stats["w"]
+        assert stats["b"] < stats["c"]
