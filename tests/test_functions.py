@@ -369,3 +369,37 @@ def test_md5lower64_matches_duckdb(spark):
     for v in vals:
         u = con.sql("SELECT md5_number_lower(?)", params=[v]).fetchone()[0]
         assert got[v] == (u - (1 << 64) if u >= 1 << 63 else u), v
+
+
+def test_md5lower64_matches_python_on_nasty_strings(spark):
+    """The portable-hash foundation every oracle rests on: Spark's
+    md5lower64 (hex-slice + conv) must equal the little-endian signed
+    reinterpretation of md5 digest bytes 8..16 for ALL inputs — ASCII,
+    unicode (multi-byte UTF-8), empty, long, control chars, digits —
+    and its pmod-2^62 form must equal the unsigned value mod 2^62
+    (the power-of-two law the DuckDB replays depend on)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from openpolicedata_spark.functions.text import md5lower64_expr
+
+    nasty = (
+        ["", " ", "a", "0:", "1:", "é", "héllo wörld", "日本語テキスト",
+         "emoji 🙂 test", "tab\tnewline\n", "x" * 5000,
+         "\x01\x02 control", "ünïcödé mix 123", "ASCII only words"]
+        + [f"token{i}" for i in range(200)]
+        + [f"{i}:{'w' * (i % 17)}" for i in range(200)]
+    )
+    df = spark.createDataFrame([(s,) for s in nasty], "s string")
+    got = {r["s"]: (r["h"], r["m"]) for r in df.select(
+        "s",
+        md5lower64_expr(F.col("s")).alias("h"),
+        F.pmod(md5lower64_expr(F.col("s")), F.lit(1 << 62)).alias("m"),
+    ).collect()}
+    for s in nasty:
+        d = hashlib.md5(s.encode("utf-8")).digest()
+        unsigned = int.from_bytes(d[8:16], "little")
+        signed = unsigned - (1 << 64) if unsigned >= (1 << 63) else unsigned
+        assert got[s][0] == signed, s
+        assert got[s][1] == unsigned % (1 << 62), s
