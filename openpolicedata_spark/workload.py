@@ -5050,6 +5050,63 @@ FROM pri ORDER BY p ASC, doc_id ASC LIMIT 100
 """
 
 
+_Q127_MERGES = [("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"),
+                ("o", "n"), ("a", "n"), ("r", "e"), ("o", "r")]
+
+
+def q127_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING pinned in SQL: apply a fixed merge list to every
+    word as Sennrich's original sequential form — space-join the
+    characters, then one literal replace per merge in training order —
+    and report per-doc token counts. Sequential in-order replacement is
+    equivalent to the rank-greedy encoder `textpipe.bpe_apply` uses
+    (asserted for this merge list in tests/test_textpipe.py), and
+    unlike the greedy loop it is a pure expression BOTH engines
+    evaluate identically: regexp char-split + a replace chain. Entirely
+    row-local — one scan, no shuffle before the final projection."""
+    from openpolicedata_spark.functions.text import tokens_expr
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = tokens_expr(normalize_text_expr(F.col("text")))
+
+    def seg_count(w):
+        s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for a, b in _Q127_MERGES:
+            s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
+        return F.size(F.split(s, " "))
+
+    n_words = F.size(toks)
+    n_bpe = F.aggregate(F.transform(toks, seg_count), F.lit(0),
+                        lambda acc, v: acc + v)
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_bpe.cast("long").alias("n_bpe"),
+        F.round(F.when(n_words > 0, n_bpe / n_words.cast("double"))
+                .otherwise(F.lit(0.0)), 6).alias("bpe_per_word"),
+    )
+
+
+def _q127_sql() -> str:
+    expr = r"trim(regexp_replace(w, '(.)', '\1 ', 'g'))"
+    for a, b in _Q127_MERGES:
+        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+    return f"""
+WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+seg AS (
+  SELECT doc_id, len(t) AS n_words,
+    COALESCE(CAST(list_sum(list_transform(t,
+      w -> len(string_split({expr}, ' ')))) AS BIGINT), 0) AS n_bpe
+  FROM tk)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+  CAST(n_bpe AS BIGINT) AS n_bpe,
+  ROUND(CASE WHEN n_words > 0 THEN n_bpe / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END, 6) AS bpe_per_word
+FROM seg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5178,6 +5235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_retention_cohorts": q124_retention_cohorts,
         "q125_pagerank_step": q125_pagerank_step,
         "q126_weighted_sample": q126_weighted_sample,
+        "q127_bpe_segmentation": q127_bpe_segmentation,
     }
     return base
 
@@ -5313,4 +5371,5 @@ def oracle_sql() -> dict[str, str]:
         "q124_retention_cohorts": _Q124_SQL,
         "q125_pagerank_step": _q125_sql(),
         "q126_weighted_sample": _Q126_SQL,
+        "q127_bpe_segmentation": _q127_sql(),
     }

@@ -479,3 +479,35 @@ class TestBpeTrainApply:
         # characters — broken merges would degrade to char output
         assert stats["b"] >= stats["w"]
         assert stats["b"] < stats["c"]
+
+    def test_sequential_replace_equals_greedy_encoder(self, spark, sf_dir):
+        """q127's sequential in-order replace chain (the SQL-expressible
+        Sennrich form) must segment identically to bpe_apply's
+        rank-greedy encoder for the same merge list — the equivalence
+        the q127 oracle rests on, checked word-for-word on real docs."""
+        from openpolicedata_spark.operators.textpipe import bpe_apply
+        from openpolicedata_spark.workload import _Q127_MERGES
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+        greedy = {r["doc_id"]: r["bpe_tokens"]
+                  for r in bpe_apply(docs, _Q127_MERGES).collect()}
+
+        from pyspark.sql import functions as F
+
+        def seg(w):
+            s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+            for a, b in _Q127_MERGES:
+                s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
+            return F.split(s, " ")
+
+        from openpolicedata_spark.functions.text import (
+            normalize_text_expr,
+            tokens_expr,
+        )
+
+        seq = {r["doc_id"]: [t for arr in r["segs"] for t in arr]
+               for r in docs.select(
+                   "doc_id",
+                   F.transform(tokens_expr(normalize_text_expr(F.col("text"))),
+                               seg).alias("segs")).collect()}
+        assert greedy == seq
