@@ -5107,6 +5107,64 @@ FROM seg
 """
 
 
+_Q128_COLS = [
+    ("events.user_id", "events", "user_id"),
+    ("events.event_type", "events", "event_type"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("documents.source", "documents", "source"),
+    ("documents.lang", "documents", "lang"),
+]
+
+
+def q128_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew audit: for every shuffle-key candidate in the warehouse,
+    the concentration numbers that decide whether a join/agg on it needs
+    salting or AQE skew handling — row count, distinct keys, and the
+    share of rows held by the hottest 1 and 10 keys. One
+    map-side-combined groupBy per column plus a per-column top-k window
+    (tiny after the agg); the per-column summaries union into one audit
+    table. This is the measurement `salted_agg`/`salted_broadcast_join`
+    act on."""
+    frames = []
+    for cid, table, col in _Q128_COLS:
+        t = _read(spark, sf_dir, table)
+        counts = (t.groupBy(F.col(col).cast("string").alias("k"))
+                  .agg(F.count(F.lit(1)).alias("c")))
+        w = Window.orderBy(F.desc("c"), F.asc("k"))
+        ranked = counts.withColumn("rk", F.row_number().over(w))
+        frames.append(ranked.agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum(F.when(F.col("rk") <= 1, F.col("c")).otherwise(0))
+                    / F.sum("c").cast("double"), 6).alias("top1_share"),
+            F.round(F.sum(F.when(F.col("rk") <= 10, F.col("c")).otherwise(0))
+                    / F.sum("c").cast("double"), 6).alias("top10_share"),
+        ).select(F.lit(cid).alias("src"), "*"))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def _q128_sql() -> str:
+    parts = []
+    for cid, table, col in _Q128_COLS:
+        parts.append(f"""
+SELECT '{cid}' AS src, CAST(SUM(c) AS BIGINT) AS n_rows,
+  COUNT(*) AS n_keys,
+  ROUND(SUM(CASE WHEN rk <= 1 THEN c ELSE 0 END)
+        / CAST(SUM(c) AS DOUBLE), 6) AS top1_share,
+  ROUND(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END)
+        / CAST(SUM(c) AS DOUBLE), 6) AS top10_share
+FROM (
+  SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS rk
+  FROM (SELECT CAST({col} AS VARCHAR) AS k, COUNT(*) AS c
+        FROM {table} GROUP BY 1))""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5236,6 +5294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_pagerank_step": q125_pagerank_step,
         "q126_weighted_sample": q126_weighted_sample,
         "q127_bpe_segmentation": q127_bpe_segmentation,
+        "q128_skew_audit": q128_skew_audit,
     }
     return base
 
@@ -5372,4 +5431,5 @@ def oracle_sql() -> dict[str, str]:
         "q125_pagerank_step": _q125_sql(),
         "q126_weighted_sample": _Q126_SQL,
         "q127_bpe_segmentation": _q127_sql(),
+        "q128_skew_audit": _q128_sql(),
     }
