@@ -5131,17 +5131,26 @@ def q128_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for cid, table, col in _Q128_COLS:
         t = _read(spark, sf_dir, table)
         counts = (t.groupBy(F.col(col).cast("string").alias("k"))
-                  .agg(F.count(F.lit(1)).alias("c")))
-        w = Window.orderBy(F.desc("c"), F.asc("k"))
-        ranked = counts.withColumn("rk", F.row_number().over(w))
-        frames.append(ranked.agg(
-            F.sum("c").alias("n_rows"),
-            F.count(F.lit(1)).alias("n_keys"),
-            F.round(F.sum(F.when(F.col("rk") <= 1, F.col("c")).otherwise(0))
-                    / F.sum("c").cast("double"), 6).alias("top1_share"),
-            F.round(F.sum(F.when(F.col("rk") <= 10, F.col("c")).otherwise(0))
-                    / F.sum("c").cast("double"), 6).alias("top10_share"),
-        ).select(F.lit(cid).alias("src"), "*"))
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .localCheckpoint(eager=False))
+        # top-10 via TakeOrderedAndProject (per-partition heaps), NOT a
+        # global row_number window — an un-partitioned window would put
+        # every distinct key on ONE task, the exact anti-pattern the
+        # audit exists to prevent
+        top10 = (counts.orderBy(F.desc("c"), F.asc("k")).limit(10)
+                 .agg(F.max("c").alias("c_top1"),
+                      F.sum("c").alias("c_top10")))
+        totals = counts.agg(F.sum("c").alias("n_rows"),
+                            F.count(F.lit(1)).alias("n_keys"))
+        frames.append(
+            totals.crossJoin(F.broadcast(top10)).select(
+                F.lit(cid).alias("src"),
+                "n_rows", "n_keys",
+                F.round(F.col("c_top1") / F.col("n_rows").cast("double"), 6)
+                .alias("top1_share"),
+                F.round(F.col("c_top10") / F.col("n_rows").cast("double"), 6)
+                .alias("top10_share"),
+            ))
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)

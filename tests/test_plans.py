@@ -343,3 +343,13 @@ def test_q122_join_discovery_broadcasts_cardinalities(spark, sf_dir):
     assert s.n_broadcast_joins >= 2, s.text
     assert s.n_broadcast_nl_joins == 0, s.text
     assert_no_python_in_plan(df)
+
+
+def test_q128_skew_audit_no_global_window(spark, sf_dir):
+    """The top-10 must come from TakeOrderedAndProject, never an
+    un-partitioned window (which puts every distinct key on one task)."""
+    df = workload.queries()["q128_skew_audit"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert "Window" not in t, t
+    assert "TakeOrderedAndProject" in t
+    assert_no_python_in_plan(df)
