@@ -5054,16 +5054,39 @@ _Q127_MERGES = [("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"),
                 ("o", "n"), ("a", "n"), ("r", "e"), ("o", "r")]
 
 
+def _q127_seg_expr(w):
+    """Space-joined chars + BOUNDARY-GUARDED sequential merge replaces -
+    the Sennrich apply-in-order form as a portable expression. Each
+    merge is a captured-boundary regexp ('(^| )a b( |$)' -> '$1ab$2')
+    applied TWICE: an unguarded literal replace would merge ACROSS
+    symbol boundaries ('the r e' contains 'e r'), and a single guarded
+    pass misses every second occurrence in an adjacent run because the
+    scan consumes the shared delimiter - two passes provably catch the
+    alternation (odd occurrences, then the rest). RE2 has no
+    lookarounds, so the capture-reinsert form is the portable guard.
+    SHARED by the query and the equivalence test so they can never
+    drift. Interpreted-HOF cost is the accepted price of a pure
+    expression both engines replay (vs the Arrow path `bpe_apply`
+    production uses)."""
+    s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+    for a, b in _Q127_MERGES:
+        pat = f"(^| ){a} {b}( |$)"
+        rep = "$1" + a + b + "$2"
+        s = F.regexp_replace(F.regexp_replace(s, pat, rep), pat, rep)
+    return s
+
+
 def q127_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODING pinned in SQL: apply a fixed merge list to every
-    word as Sennrich's original sequential form — space-join the
-    characters, then one literal replace per merge in training order —
-    and report per-doc token counts. Sequential in-order replacement is
-    equivalent to the rank-greedy encoder `textpipe.bpe_apply` uses
-    (asserted for this merge list in tests/test_textpipe.py), and
-    unlike the greedy loop it is a pure expression BOTH engines
-    evaluate identically: regexp char-split + a replace chain. Entirely
-    row-local — one scan, no shuffle before the final projection."""
+    word as Sennrich's original sequential form - boundary-guarded
+    in-order replaces over the space-joined characters
+    (`_q127_seg_expr`) - and report per-doc token counts. Guarded
+    sequential replacement is equivalent to the rank-greedy encoder
+    `textpipe.bpe_apply` uses (asserted on adversarial boundary words
+    AND real docs in tests/test_textpipe.py), and unlike the greedy
+    loop it is a pure expression BOTH engines evaluate identically.
+    Entirely row-local - one scan, no shuffle before the final
+    projection."""
     from openpolicedata_spark.functions.text import tokens_expr
     from openpolicedata_spark.operators.dedup import rebalance
 
@@ -5071,10 +5094,7 @@ def q127_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens_expr(normalize_text_expr(F.col("text")))
 
     def seg_count(w):
-        s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
-        for a, b in _Q127_MERGES:
-            s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
-        return F.size(F.split(s, " "))
+        return F.size(F.split(_q127_seg_expr(w), " "))
 
     n_words = F.size(toks)
     n_bpe = F.aggregate(F.transform(toks, seg_count), F.lit(0),
@@ -5091,7 +5111,10 @@ def q127_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q127_sql() -> str:
     expr = r"trim(regexp_replace(w, '(.)', '\1 ', 'g'))"
     for a, b in _Q127_MERGES:
-        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+        pat = f"(^| ){a} {b}( |$)"
+        rep = "\\1" + a + b + "\\2"
+        inner = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+        expr = f"regexp_replace({inner}, '{pat}', '{rep}', 'g')"
     return f"""
 WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
 seg AS (
@@ -5137,7 +5160,7 @@ def q128_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # global row_number window — an un-partitioned window would put
         # every distinct key on ONE task, the exact anti-pattern the
         # audit exists to prevent
-        top10 = (counts.orderBy(F.desc("c"), F.asc("k")).limit(10)
+        top10 = (counts.orderBy(F.desc("c"), F.asc_nulls_last("k")).limit(10)
                  .agg(F.max("c").alias("c_top1"),
                       F.sum("c").alias("c_top10")))
         totals = counts.agg(F.sum("c").alias("n_rows"),
@@ -5168,7 +5191,7 @@ SELECT '{cid}' AS src, CAST(SUM(c) AS BIGINT) AS n_rows,
   ROUND(SUM(CASE WHEN rk <= 10 THEN c ELSE 0 END)
         / CAST(SUM(c) AS DOUBLE), 6) AS top10_share
 FROM (
-  SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS rk
+  SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k ASC NULLS LAST) AS rk
   FROM (SELECT CAST({col} AS VARCHAR) AS k, COUNT(*) AS c
         FROM {table} GROUP BY 1))""")
     return "\nUNION ALL\n".join(parts)

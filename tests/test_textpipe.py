@@ -481,33 +481,40 @@ class TestBpeTrainApply:
         assert stats["b"] < stats["c"]
 
     def test_sequential_replace_equals_greedy_encoder(self, spark, sf_dir):
-        """q127's sequential in-order replace chain (the SQL-expressible
-        Sennrich form) must segment identically to bpe_apply's
-        rank-greedy encoder for the same merge list — the equivalence
-        the q127 oracle rests on, checked word-for-word on real docs."""
-        from openpolicedata_spark.operators.textpipe import bpe_apply
-        from openpolicedata_spark.workload import _Q127_MERGES
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
-        greedy = {r["doc_id"]: r["bpe_tokens"]
-                  for r in bpe_apply(docs, _Q127_MERGES).collect()}
-
+        """q127's boundary-guarded sequential replace chain (the
+        SQL-expressible Sennrich form, via the SAME _q127_seg_expr the
+        query uses) must segment identically to bpe_apply's rank-greedy
+        encoder — checked on ADVERSARIAL boundary words (where an
+        unguarded replace merges across symbols: 'there' contains
+        'e r' across 'the|r') and word-for-word on real docs."""
         from pyspark.sql import functions as F
-
-        def seg(w):
-            s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
-            for a, b in _Q127_MERGES:
-                s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
-            return F.split(s, " ")
 
         from openpolicedata_spark.functions.text import (
             normalize_text_expr,
             tokens_expr,
         )
+        from openpolicedata_spark.operators.textpipe import bpe_apply
+        from openpolicedata_spark.workload import (
+            _Q127_MERGES,
+            _q127_seg_expr,
+        )
 
-        seq = {r["doc_id"]: [t for arr in r["segs"] for t in arr]
-               for r in docs.select(
-                   "doc_id",
-                   F.transform(tokens_expr(normalize_text_expr(F.col("text"))),
-                               seg).alias("segs")).collect()}
-        assert greedy == seq
+        def seq_segments(df):
+            return {r["doc_id"]: [t for arr in r["segs"] for t in arr]
+                    for r in df.select(
+                        "doc_id",
+                        F.transform(
+                            tokens_expr(normalize_text_expr(F.col("text"))),
+                            lambda w: F.split(_q127_seg_expr(w), " "))
+                        .alias("segs")).collect()}
+
+        adversarial = spark.createDataFrame(
+            [(1, "there here were other mother rere ererer ananan"),
+             (2, "thththth onon inin thethe")],
+            "doc_id long, text string")
+        for df in (adversarial,
+                   spark.read.parquet(f"{sf_dir}/documents.parquet")
+                   .limit(100)):
+            greedy = {r["doc_id"]: r["bpe_tokens"]
+                      for r in bpe_apply(df, _Q127_MERGES).collect()}
+            assert greedy == seq_segments(df)
