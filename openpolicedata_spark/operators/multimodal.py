@@ -4,12 +4,14 @@ pipelines — beyond the reference (BASELINE.json north star).
 Design for 100 TB: media rides as an opaque ``binary`` column plus a typed
 metadata struct; all per-item work (decode, feature extraction, resize,
 frame sampling) runs as Arrow-batched ``mapInPandas`` so bytes stream
-through in columnar batches and never materialize on the driver. The
-actual codec step is STUBBED (image/audio libraries are not in this
-container): ``decode_image`` raises NotImplementedError by design, and
-``fake_decode`` is the deterministic stand-in used by tests so the
-Spark-side plumbing — schema, batch shape, partitioning — is real and
-tested end-to-end.
+through in columnar batches and never materialize on the driver.
+
+Codecs: PNG decodes for real via the stdlib codec in sources/png.py
+(``decode_image`` / ``real_decode``); JPEG and compressed audio remain
+clearly-marked gates (they need DCT/audio libraries not in this
+container). ``fake_decode`` stays as the deterministic stand-in for
+tests that only exercise the Spark-side plumbing — schema, batch shape,
+partitioning — independent of any codec.
 """
 
 from __future__ import annotations
@@ -65,11 +67,57 @@ def attach_payload(df: DataFrame, src_col: str, media_id_col: str,
 
 
 def decode_image(content: bytes, mime: str) -> "np.ndarray":
-    """REAL decode — requires an image codec (Pillow/cv2), not present in
-    this container. Clearly-marked stub per the build contract."""
+    """REAL image decode → HxWx3 uint8.
+
+    PNG decodes fully in-repo via the stdlib codec (sources/png.py —
+    zlib inflate + filter reconstruction; all color types, Adam7), the
+    same replace-the-dependency pattern as the xlsx/html readers.
+    JPEG/WebP/… would need a DCT codec (Pillow/cv2, not in this
+    container) and still raise — clearly-marked gate, not a silent
+    fallback. Dispatch is by magic bytes, not the mime hint, so a
+    mislabeled payload can't route to the wrong parser."""
+    from openpolicedata_spark.sources import png as _png
+
+    b = bytes(content)
+    if b[:8] == _png.PNG_SIGNATURE:
+        return _png.to_rgb(_png.decode_png(b))
     raise NotImplementedError(
-        "image decode requires Pillow/cv2; use fake_decode for offline "
-        "testing of the Spark plumbing")
+        f"no stdlib codec for {mime!r} (magic {b[:4]!r}); PNG is "
+        "supported natively, other formats need Pillow/cv2")
+
+
+def box_resize(img: "np.ndarray", h: int, w: int) -> "np.ndarray":
+    """Exact area-average resize (H,W,3)→(h,w,3) via a summed-area table —
+    pure numpy, no codec. Downscale averages each source box; upscale
+    degenerates to nearest-neighbor (each target bin clamped to ≥1 source
+    pixel). This is the resample behind the perceptual ahash grid."""
+    H, W = img.shape[:2]
+    x = img.astype(np.float64)
+
+    def edges(n: int, m: int):
+        e = (np.arange(m + 1) * n) // m
+        lo = np.minimum(e[:-1], n - 1)
+        hi = np.minimum(np.maximum(e[1:], lo + 1), n)
+        return lo, hi
+
+    ylo, yhi = edges(H, h)
+    xlo, xhi = edges(W, w)
+    sat = np.zeros((H + 1, W + 1) + x.shape[2:], dtype=np.float64)
+    sat[1:, 1:] = x.cumsum(axis=0).cumsum(axis=1)
+    s = (sat[yhi][:, xhi] - sat[ylo][:, xhi]
+         - sat[yhi][:, xlo] + sat[ylo][:, xlo])
+    area = ((yhi - ylo)[:, None] * (xhi - xlo)[None, :]).astype(np.float64)
+    if x.ndim == 3:
+        area = area[..., None]
+    return np.clip(np.rint(s / area), 0, 255).astype(np.uint8)
+
+
+def real_decode(content: bytes, h: int = 8, w: int = 8) -> "np.ndarray":
+    """Drop-in for `fake_decode` backed by the real PNG codec: decode the
+    actual pixels, then area-resize to (h, w). Pass as the `decode=` arg
+    of image_ahash / image_dup_pairs to run the perceptual near-dup
+    family on real image bytes."""
+    return box_resize(decode_image(content, "image/png"), h, w)
 
 
 def fake_decode(content: bytes, h: int = 8, w: int = 8) -> "np.ndarray":

@@ -1,0 +1,265 @@
+"""Pure-stdlib PNG codec (zlib inflate + filter reconstruction + numpy).
+
+Closes the last injected-codec gap in the multimodal family
+(operators/multimodal.py): ``decode_image`` previously raised for ALL
+formats because no image library ships in this container; PNG needs
+nothing beyond ``zlib`` (RFC 1950/1951, in the stdlib) and numpy, the
+same replace-the-dependency pattern as sources/xlsx.py (openpyxl) and
+sources/htmltable.py (lxml).
+
+Reference analog: the reference's loaders parse real file bytes end to
+end (openpolicedata data_loaders.py); this gives the image path the
+same property.
+
+Coverage (PNG spec, ISO/IEC 15948):
+- color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA)
+- bit depths 1/2/4/8 exactly; 16-bit downsamples to 8 (high byte), the
+  standard display transform
+- all five scanline filters (None/Sub/Up/Average/Paeth)
+- interlace 0 (sequential) and 1 (Adam7)
+- chunk CRCs verified; ancillary chunks skipped; tRNS ignored (alpha
+  handling happens in the caller — decode_image drops alpha)
+
+The decoder is scanline-loop Python with numpy row math — fine for the
+mapInPandas hot path where each Arrow batch decodes hundreds of small
+images per task; the heavy lifting (inflate, CRC) is C inside zlib.
+
+``encode_png`` is the minimal writer used to build real-bytes test
+fixtures (filter 0 rows, optional Adam7), so decode round-trips are
+tested against bytes produced by an independent code path.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngError(ValueError):
+    """Malformed or unsupported PNG payload."""
+
+
+def _iter_chunks(data: bytes):
+    if data[:8] != PNG_SIGNATURE:
+        raise PngError("not a PNG: bad signature")
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise PngError(f"truncated chunk {ctype!r}")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise PngError(f"CRC mismatch in chunk {ctype!r}")
+        yield ctype, body
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise PngError("missing IEND")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    # a=left, b=up, c=up-left; all int16 to avoid uint8 wraparound
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _defilter(stream: memoryview, offset: int, height: int, width: int,
+              channels: int, depth: int) -> tuple[np.ndarray, int]:
+    """Reconstruct one (sub-)image from filtered scanlines.
+
+    Returns (rows as uint8 array of shape (height, row_bytes), new offset).
+    Row bytes are still packed when depth < 8.
+    """
+    row_bytes = (width * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    out = np.empty((height, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.int16)
+    pos = offset
+    for y in range(height):
+        if pos + 1 + row_bytes > len(stream):
+            raise PngError("truncated image data")
+        ftype = stream[pos]
+        raw = np.frombuffer(stream, dtype=np.uint8,
+                            count=row_bytes, offset=pos + 1).astype(np.int16)
+        pos += 1 + row_bytes
+        if ftype == 0:
+            cur = raw
+        elif ftype == 1:  # Sub — sequential along the row, stride bpp
+            cur = raw
+            for i in range(bpp, row_bytes):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (raw + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = raw
+            for i in range(row_bytes):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = raw
+            for i in range(row_bytes):
+                left = cur[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + _paeth(
+                    np.int16(left), prev[i], np.int16(ul))) & 0xFF
+        else:
+            raise PngError(f"unknown filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, pos
+
+
+def _unpack_rows(rows: np.ndarray, width: int, channels: int,
+                 depth: int, scale: bool) -> np.ndarray:
+    """Packed scanlines → (h, width, channels) uint8 samples.
+
+    ``scale`` stretches sub-byte grayscale to full 8-bit range (palette
+    indices must NOT be scaled)."""
+    h = rows.shape[0]
+    if depth == 8:
+        img = rows.reshape(h, -1)[:, :width * channels]
+    elif depth == 16:
+        img = rows.reshape(h, -1)[:, : width * channels * 2 : 2]  # high byte
+    else:
+        bits = np.unpackbits(rows, axis=1)
+        vals = bits.reshape(h, -1, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        img = (vals * weights).sum(axis=2)[:, :width * channels]
+        if scale:
+            img = img * (255 // ((1 << depth) - 1))
+    return img.astype(np.uint8).reshape(h, width, channels)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes → uint8 array of shape (H, W, channels).
+
+    channels follows the color type: gray→1, gray+alpha→2, RGB/palette→3,
+    RGBA→4 (palette entries expand through PLTE). 16-bit samples keep the
+    high byte."""
+    width = height = depth = ctype = interlace = None
+    idat = bytearray()
+    palette = None
+    for chunk, body in _iter_chunks(bytes(data)):
+        if chunk == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if comp != 0 or filt != 0:
+                raise PngError("unknown compression/filter method")
+            if ctype not in _CHANNELS:
+                raise PngError(f"unsupported color type {ctype}")
+            if depth not in (1, 2, 4, 8, 16):
+                raise PngError(f"unsupported bit depth {depth}")
+            if ctype == 3 and depth == 16:
+                raise PngError("palette images cannot be 16-bit")
+        elif chunk == b"PLTE":
+            if len(body) % 3:
+                raise PngError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif chunk == b"IDAT":
+            idat += body
+    if width is None:
+        raise PngError("missing IHDR")
+    if width == 0 or height == 0:
+        raise PngError("zero-dimension image")
+    if not idat:
+        raise PngError("missing IDAT")
+    channels = _CHANNELS[ctype]
+    scale_gray = ctype != 3
+    stream = memoryview(zlib.decompress(bytes(idat)))
+
+    if interlace == 0:
+        rows, _ = _defilter(stream, 0, height, width, channels, depth)
+        img = _unpack_rows(rows, width, channels, depth, scale_gray)
+    elif interlace == 1:
+        img = np.zeros((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (width - xs + xstep - 1) // xstep if width > xs else 0
+            ph = (height - ys + ystep - 1) // ystep if height > ys else 0
+            if pw == 0 or ph == 0:
+                continue
+            rows, pos = _defilter(stream, pos, ph, pw, channels, depth)
+            img[ys::ystep, xs::xstep] = _unpack_rows(
+                rows, pw, channels, depth, scale_gray)
+    else:
+        raise PngError(f"unknown interlace method {interlace}")
+
+    if ctype == 3:
+        if palette is None:
+            raise PngError("palette image missing PLTE")
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(palette):
+            raise PngError("palette index out of range")
+        img = palette[idx]
+    return img
+
+
+def to_rgb(img: np.ndarray) -> np.ndarray:
+    """(H, W, C) → (H, W, 3): replicate gray, drop alpha."""
+    c = img.shape[2]
+    if c == 3:
+        return img
+    if c == 1:
+        return np.repeat(img, 3, axis=2)
+    if c == 2:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if c == 4:
+        return img[:, :, :3]
+    raise PngError(f"unexpected channel count {c}")
+
+
+def _filter_rows(img: np.ndarray) -> bytes:
+    """Filter-0 scanlines for the encoder."""
+    h = img.shape[0]
+    flat = img.reshape(h, -1)
+    out = bytearray()
+    for y in range(h):
+        out.append(0)
+        out += flat[y].tobytes()
+    return bytes(out)
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal PNG writer for 8-bit arrays: (H,W) or (H,W,1/2/3/4) →
+    gray / gray+alpha / RGB / RGBA. Filter 0 everywhere; optional Adam7
+    so interlaced decode has an independent round-trip fixture."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    if not interlace:
+        raw = _filter_rows(img)
+    else:
+        parts = []
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = img[ys::ystep, xs::xstep]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_filter_rows(sub))
+        raw = b"".join(parts)
+
+    def chunk(ctag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctag + body
+                + struct.pack(">I", zlib.crc32(ctag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
+    return (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))

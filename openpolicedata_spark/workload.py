@@ -5197,6 +5197,51 @@ FROM (
     return "\nUNION ALL\n".join(parts)
 
 
+def q129_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image bytes through the full multimodal path: deterministic
+    pseudo-pixels (md5 stream over doc text, the fake_decode pattern with
+    ASCII counters so the oracle can replay it) → REAL PNG encode
+    (sources/png.py, alternating sequential/Adam7 interlace) → REAL PNG
+    decode (zlib inflate + filter reconstruction) → md5 over the decoded
+    pixel hex. The oracle computes the same hash directly from the md5
+    stream, so any codec defect — filters, interlace scatter, channel
+    order — breaks the hash. One Arrow-batched mapInPandas pass; bytes
+    never leave the executor."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import decode_image
+    from openpolicedata_spark.sources.png import encode_png
+
+    d = _read(spark, sf_dir, "documents")
+
+    def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = b"".join(
+                    _hl.md5(text.encode("utf-8") + str(i).encode()).digest()
+                    for i in range(12))
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
+                png = encode_png(px, interlace=(int(did) % 2 == 0))
+                dec = decode_image(png, "image/png")
+                rows.append((
+                    did,
+                    _hl.md5(dec.tobytes().hex().encode()).hexdigest(),
+                    bool((dec == px).all()),
+                ))
+            yield pd.DataFrame(rows, columns=["doc_id", "pix_md5", "png_ok"])
+
+    return d.select("doc_id", "text").mapInPandas(
+        compute, "doc_id long, pix_md5 string, png_ok boolean")
+
+
+_Q129_SQL = ("SELECT doc_id, md5("
+             + " || ".join(f"md5(text || '{i}')" for i in range(12))
+             + ") AS pix_md5, TRUE AS png_ok FROM documents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5327,6 +5372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_weighted_sample": q126_weighted_sample,
         "q127_bpe_segmentation": q127_bpe_segmentation,
         "q128_skew_audit": q128_skew_audit,
+        "q129_png_roundtrip": q129_png_roundtrip,
     }
     return base
 
@@ -5464,4 +5510,5 @@ def oracle_sql() -> dict[str, str]:
         "q126_weighted_sample": _Q126_SQL,
         "q127_bpe_segmentation": _q127_sql(),
         "q128_skew_audit": _q128_sql(),
+        "q129_png_roundtrip": _Q129_SQL,
     }

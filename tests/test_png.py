@@ -1,0 +1,246 @@
+"""Stdlib PNG codec (sources/png.py) + real-bytes multimodal path.
+
+The decoder is validated three independent ways:
+1. round-trip against the repo encoder (filter 0, sequential + Adam7);
+2. against scanlines FORWARD-filtered by a from-the-spec implementation
+   written here in the test (filters 1-4 never appear in encoder output,
+   so this is not circular);
+3. hand-built chunk streams for palette / sub-byte / 16-bit images.
+
+Then the perceptual near-dup family (image_ahash / image_dup_pairs)
+runs end-to-end on real PNG bytes via `real_decode` — the round-3
+verdict's top item (multimodal hot path had never seen real bytes).
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from openpolicedata_spark.operators.multimodal import (
+    attach_payload,
+    box_resize,
+    decode_image,
+    image_ahash,
+    image_dup_pairs,
+    real_decode,
+)
+from openpolicedata_spark.sources.png import (
+    PNG_SIGNATURE,
+    PngError,
+    decode_png,
+    encode_png,
+    to_rgb,
+)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _raw_png(w, h, depth, ctype, idat_raw, palette=None, interlace=0):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette)
+    out += _chunk(b"IDAT", zlib.compress(idat_raw))
+    return out + _chunk(b"IEND", b"")
+
+
+# ---------------------------------------------------------------- round trips
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_roundtrip(channels, interlace):
+    rng = np.random.RandomState(7 * channels + interlace)
+    for h, w in [(1, 1), (3, 5), (9, 9), (16, 16), (31, 7), (2, 40)]:
+        img = rng.randint(0, 256, (h, w, channels), dtype=np.uint8)
+        out = decode_png(encode_png(img, interlace=interlace))
+        assert out.shape == (h, w, channels)
+        assert (out == img).all()
+
+
+# --------------------------------------------------- independent filter paths
+
+def _forward_filter(img: np.ndarray, ftypes) -> bytes:
+    """Spec-literal forward filtering (PNG spec §9), independent of both
+    the encoder (always filter 0) and the decoder's inverse math."""
+    h, _, c = img.shape
+    flat = img.reshape(h, -1).astype(np.int32)
+    bpp = c
+    prev = np.zeros(flat.shape[1], dtype=np.int32)
+    out = bytearray()
+    for y in range(h):
+        row = flat[y]
+        ft = ftypes[y % len(ftypes)]
+        out.append(ft)
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0  # reconstructed left
+            b = prev[i]
+            cc = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                val = row[i]
+            elif ft == 1:
+                val = row[i] - a
+            elif ft == 2:
+                val = row[i] - b
+            elif ft == 3:
+                val = row[i] - ((a + b) // 2)
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                val = row[i] - pred
+            out.append(val & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_decode_each_filter(ftype):
+    rng = np.random.RandomState(ftype)
+    img = rng.randint(0, 256, (6, 9, 3), dtype=np.uint8)
+    data = _raw_png(9, 6, 8, 2, _forward_filter(img, [ftype]))
+    assert (decode_png(data) == img).all()
+
+
+def test_decode_mixed_filters_rgba():
+    rng = np.random.RandomState(99)
+    img = rng.randint(0, 256, (10, 4, 4), dtype=np.uint8)
+    data = _raw_png(4, 10, 8, 6, _forward_filter(img, [0, 1, 2, 3, 4]))
+    assert (decode_png(data) == img).all()
+
+
+# ------------------------------------------------- palette / depths / 16-bit
+
+def test_palette_decode():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])  # 4 entries
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + r.tobytes() for r in idx)
+    img = decode_png(_raw_png(4, 2, 8, 3, raw, palette=pal))
+    exp = np.frombuffer(pal, dtype=np.uint8).reshape(4, 3)[idx]
+    assert (img == exp).all()
+
+
+def test_palette_index_out_of_range_raises():
+    pal = bytes([255, 0, 0])
+    raw = b"\x00\x01"  # index 1, palette has 1 entry
+    with pytest.raises(PngError, match="palette index"):
+        decode_png(_raw_png(1, 1, 8, 3, raw, palette=pal))
+
+
+@pytest.mark.parametrize("depth,scale", [(1, 255), (2, 85), (4, 17)])
+def test_subbyte_gray(depth, scale):
+    # 8 pixels/row so the packing is byte-aligned and easy to hand-build
+    vals = np.arange(8, dtype=np.uint8) % (1 << depth)
+    bits = np.concatenate([
+        np.unpackbits(np.uint8(v))[-depth:] for v in vals])
+    raw = b"\x00" + np.packbits(bits).tobytes()
+    img = decode_png(_raw_png(8, 1, depth, 0, raw))
+    assert img.shape == (1, 8, 1)
+    assert (img[0, :, 0] == vals * scale).all()
+
+
+def test_16bit_high_byte():
+    samples = np.array([[0x1234, 0xFFFF, 0x0001]], dtype=">u2")
+    raw = b"\x00" + samples.tobytes()
+    img = decode_png(_raw_png(3, 1, 16, 0, raw))
+    assert (img[0, :, 0] == [0x12, 0xFF, 0x00]).all()
+
+
+# ------------------------------------------------------------------- errors
+
+def test_bad_signature():
+    with pytest.raises(PngError, match="signature"):
+        decode_png(b"JUNK" * 8)
+
+
+def test_crc_mismatch():
+    data = bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))
+    data[20] ^= 0xFF  # corrupt IHDR body
+    with pytest.raises(PngError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_truncated_idat():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    raw = _forward_filter(img, [0])[: 4 * 13 - 5]  # drop last bytes
+    with pytest.raises(PngError, match="truncated image data"):
+        decode_png(_raw_png(4, 4, 8, 2, raw))
+
+
+def test_decode_image_non_png_raises():
+    with pytest.raises(NotImplementedError, match="PNG is"):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish", "image/jpeg")
+
+
+def test_to_rgb_shapes():
+    g = np.full((2, 2, 1), 9, dtype=np.uint8)
+    assert to_rgb(g).shape == (2, 2, 3)
+    ga = np.dstack([g[:, :, 0], np.full((2, 2), 255, np.uint8)])
+    assert (to_rgb(ga) == 9).all()
+    rgba = np.dstack([g[:, :, 0]] * 4)
+    assert to_rgb(rgba).shape == (2, 2, 3)
+
+
+def test_box_resize_exact_means():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)[:, :, None].repeat(3, 2)
+    out = box_resize(img, 4, 4)
+    # 2x2 box at (0,0): pixels 0,1,8,9 → mean 4.5 → rint 4 (banker's)
+    assert out[0, 0, 0] == np.rint(np.mean([0, 1, 8, 9]))
+    up = box_resize(img, 16, 16)
+    assert up.shape == (16, 16, 3)
+    assert up[0, 0, 0] == 0 and up[15, 15, 0] == 63
+
+
+# ---------------------------------------------- real bytes through the family
+
+def _gradient_png(seed: int, noise: int = 0, size: int = 32) -> bytes:
+    """Smooth per-seed gradient; noise adds small perturbation so a
+    variant is visually near-identical but byte-distinct."""
+    rng = np.random.RandomState(seed)
+    a, b = rng.randint(0, 256, 3), rng.randint(0, 256, 3)
+    t = np.linspace(0, 1, size)[:, None]
+    row = (a * (1 - t) + b * t)
+    img = np.repeat(row[:, None, :], size, axis=1)
+    if noise:
+        img = img + np.random.RandomState(seed + 1000).randint(
+            -noise, noise + 1, img.shape)
+    return encode_png(np.clip(img, 0, 255).astype(np.uint8))
+
+
+def test_real_decode_resizes_real_png():
+    png = _gradient_png(3)
+    out = real_decode(png, 8, 8)
+    assert out.shape == (8, 8, 3)
+    full = decode_image(png, "image/png")
+    assert abs(float(out.mean()) - float(full.mean())) < 2.0
+
+
+def test_image_family_on_real_png_bytes(spark):
+    # 6 base images; bases 0 and 2 get noisy variants (ids 100, 102)
+    rows = [(i, _gradient_png(i)) for i in range(6)]
+    rows += [(100, _gradient_png(0, noise=4)), (102, _gradient_png(2, noise=4))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    media = attach_payload(df, "content", "media_id", mime="image/png")
+
+    ah = image_ahash(media, decode=real_decode).collect()
+    hashes = {r["media_id"]: r["ahash"] for r in ah}
+    assert len(hashes) == 8 and all(v is not None for v in hashes.values())
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # noisy variant stays perceptually close to its base...
+    assert ham(hashes[0], hashes[100]) <= 3
+    assert ham(hashes[2], hashes[102]) <= 3
+    # ...and the blocked pair join finds exactly the planted near-dups
+    pairs = image_dup_pairs(media, max_hamming=3, decode=real_decode).collect()
+    found = {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs}
+    assert (0, 100) in found and (2, 102) in found
+    planted = {(0, 100), (2, 102)}
+    for p in found - planted:
+        # any extra pair must genuinely be within the hamming budget
+        assert ham(hashes[p[0]], hashes[p[1]]) <= 3
