@@ -206,9 +206,9 @@ class ExcelLoader(DataLoader):
         agencies publish them thinking they're plain files (reference
         excel.py:128-153 decrypts via msoffcrypto). msoffcrypto handles
         every scheme when installed; without it, the stdlib decryptor
-        (sources/msoffice_crypto.py) covers ECMA-376 standard encryption
-        (AES + SHA-1) — the scheme Excel's default save uses for .xlsx.
-        Plain workbooks pass through untouched."""
+        (sources/msoffice_crypto.py) covers both ECMA-376 schemes —
+        standard (AES-ECB + SHA-1) and agile (4.4 XML descriptor,
+        AES-CBC segments). Plain workbooks pass through untouched."""
         import io
 
         try:
@@ -217,7 +217,7 @@ class ExcelLoader(DataLoader):
             # stdlib path: sniff the CFB magic (a plain .xlsx is a zip,
             # never CFB), decrypt standard-encrypted containers in-process
             from openpolicedata_spark.sources.msoffice_crypto import (
-                decrypt_standard,
+                decrypt_office,
                 is_encrypted_office,
             )
 
@@ -233,7 +233,7 @@ class ExcelLoader(DataLoader):
                 if data[:4] != b"\xd0\xcf\x11\xe0":
                     return path_or_buf
             if is_encrypted_office(data):
-                return io.BytesIO(decrypt_standard(data))
+                return io.BytesIO(decrypt_office(data))
             return path_or_buf
         try:
             f = (open(path_or_buf, "rb")

@@ -20,15 +20,21 @@ over the salted UTF-16LE password, a block-0 finalization, then the
 (verified against the FIPS-197 appendix vector in tests — workbooks are
 small, so pure-Python speed is irrelevant).
 
-Agile encryption (version 4.4, XML descriptor, AES-CBC per segment) and
-legacy .xls RC4 are NOT implemented — they raise with a clear message
-(msoffcrypto still covers them when installed).
+Agile encryption ([MS-OFFCRYPTO] §2.3.4.10, EncryptionInfo version 4.4:
+XML descriptor, SHA-512 key spin, AES-CBC in 4096-byte segments) is
+implemented below (`decrypt_agile`); `decrypt_office` dispatches on the
+version word so both schemes open through one entry point. Legacy .xls
+RC4 is NOT implemented — it raises with a clear message (msoffcrypto
+still covers it when installed).
 """
 
 from __future__ import annotations
 
+import base64
 import hashlib
+import hmac as _hmac
 import struct
+import xml.etree.ElementTree as ET
 
 from openpolicedata_spark.sources.cfb import CfbReader, is_cfb
 
@@ -207,8 +213,8 @@ def parse_encryption_info(blob: bytes) -> dict:
     vmajor, vminor, flags = struct.unpack_from("<HHI", blob, 0)
     if vminor == 4:
         raise EncryptionError(
-            "agile encryption (4.4) not supported by the stdlib decryptor; "
-            "install msoffcrypto-tool")
+            "agile encryption (4.4): use decrypt_agile/decrypt_office, "
+            "not the standard-scheme parser")
     if vminor != 2 or vmajor not in (2, 3, 4):
         raise EncryptionError(f"unknown EncryptionInfo version "
                               f"{vmajor}.{vminor}")
@@ -255,6 +261,194 @@ def decrypt_standard(data: bytes,
     if len(body) % 16:
         body = body[:len(body) - len(body) % 16]
     return _ecb(key, body, aes_decrypt_block)[:orig_size]
+
+
+# --------------------------------------------------------------------------
+# [MS-OFFCRYPTO] §2.3.4.10-15 agile encryption (EncryptionInfo 4.4)
+# --------------------------------------------------------------------------
+
+_HASH_ALGS = {"SHA1": "sha1", "SHA256": "sha256", "SHA384": "sha384",
+              "SHA512": "sha512", "MD5": "md5"}
+
+# fixed block keys, §2.3.4.13-14 (hex from the spec)
+BLOCK_VERIFIER_INPUT = bytes.fromhex("fea7d2763b4b9e79")
+BLOCK_VERIFIER_VALUE = bytes.fromhex("d7aa0f6d3061344e")
+BLOCK_KEY_VALUE = bytes.fromhex("146e0be7abacd0d6")
+BLOCK_HMAC_KEY = bytes.fromhex("5fb2ad010cb9e1f6")
+BLOCK_HMAC_VALUE = bytes.fromhex("a0677f02b22c8433")
+
+AGILE_SEGMENT = 4096
+
+
+def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(data), 16):
+        blk = data[off:off + 16]
+        out += bytes(x ^ y for x, y in
+                     zip(_decrypt_block_rks(rks, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(data), 16):
+        blk = bytes(x ^ y for x, y in zip(data[off:off + 16], prev))
+        prev = _encrypt_block_rks(rks, blk)
+        out += prev
+    return bytes(out)
+
+
+def _fit(b: bytes, size: int) -> bytes:
+    """§2.3.4.11 sizing rule: truncate if longer, pad with 0x36 if shorter."""
+    return b[:size] if len(b) >= size else b + b"\x36" * (size - len(b))
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_agile_info(blob: bytes) -> dict:
+    """EncryptionInfo stream, version 4.4: 8-byte header then the XML
+    EncryptionDescriptor. Namespace-agnostic parse (local names only) —
+    producers disagree on prefixes. Returns keyData + the password
+    keyEncryptor + optional dataIntegrity, attributes decoded."""
+    vmajor, vminor, _flags = struct.unpack_from("<HHI", blob, 0)
+    if (vmajor, vminor) != (4, 4):
+        raise EncryptionError(
+            f"not agile EncryptionInfo: version {vmajor}.{vminor}")
+    root = ET.fromstring(blob[8:].decode("utf-8"))
+
+    def grab(el) -> dict:
+        out = {}
+        for k, v in el.attrib.items():
+            out[_localname(k)] = v
+        return out
+
+    key_data = password_key = integrity = None
+    for el in root.iter():
+        name = _localname(el.tag)
+        if name == "keyData":
+            key_data = grab(el)
+        elif name == "dataIntegrity":
+            integrity = grab(el)
+        elif name == "encryptedKey":
+            password_key = grab(el)
+    if key_data is None or password_key is None:
+        raise EncryptionError("agile descriptor missing keyData/encryptedKey")
+    for d in (key_data, password_key):
+        if d.get("cipherAlgorithm") != "AES":
+            raise EncryptionError(
+                f"unsupported cipherAlgorithm {d.get('cipherAlgorithm')!r}")
+        if d.get("cipherChaining") != "ChainingModeCBC":
+            raise EncryptionError(
+                f"unsupported cipherChaining {d.get('cipherChaining')!r}")
+        if d.get("hashAlgorithm") not in _HASH_ALGS:
+            raise EncryptionError(
+                f"unsupported hashAlgorithm {d.get('hashAlgorithm')!r}")
+    return {"keyData": key_data, "passwordKey": password_key,
+            "dataIntegrity": integrity}
+
+
+def derive_agile_key(password: str, salt: bytes, spin_count: int,
+                     hash_name: str, block_key: bytes,
+                     key_bytes: int) -> bytes:
+    """§2.3.4.11: iterated hash over the salted UTF-16LE password (counter
+    PREPENDED, unlike standard encryption's layout), finalized with the
+    purpose-specific block key, sized to the cipher key length."""
+    H = lambda b: hashlib.new(hash_name, b).digest()  # noqa: E731
+    h = H(salt + password.encode("utf-16-le"))
+    for i in range(spin_count):
+        h = H(struct.pack("<I", i) + h)
+    return _fit(H(h + block_key), key_bytes)
+
+
+def decrypt_agile(data: bytes, password: str = "VelvetSweatshop") -> bytes:
+    """Decrypt an agile-encrypted (ECMA-376 v4.4) Office container to its
+    OOXML zip bytes: verify the password against the verifier pair,
+    unwrap the intermediate key, check the HMAC over EncryptedPackage
+    when present, then AES-CBC-decrypt the 4096-byte segments with
+    per-segment IVs H(keyData.salt || LE32(segment))."""
+    cfb = CfbReader(data)
+    info = parse_agile_info(cfb.read_stream("EncryptionInfo"))
+    pk, kd = info["passwordKey"], info["keyData"]
+
+    pk_hash = _HASH_ALGS[pk["hashAlgorithm"]]
+    pk_salt = base64.b64decode(pk["saltValue"])
+    pk_block = int(pk["blockSize"])
+    pk_keybytes = int(pk["keyBits"]) // 8
+    spin = int(pk["spinCount"])
+    iv0 = _fit(pk_salt, pk_block)
+
+    def pw_key(block_key: bytes) -> bytes:
+        return derive_agile_key(password, pk_salt, spin, pk_hash,
+                                block_key, pk_keybytes)
+
+    ver_in = aes_cbc_decrypt(
+        pw_key(BLOCK_VERIFIER_INPUT), iv0,
+        base64.b64decode(pk["encryptedVerifierHashInput"]))[:len(pk_salt)]
+    ver_val = aes_cbc_decrypt(
+        pw_key(BLOCK_VERIFIER_VALUE), iv0,
+        base64.b64decode(pk["encryptedVerifierHashValue"]))
+    expect = hashlib.new(pk_hash, ver_in).digest()
+    if ver_val[:len(expect)] != expect:
+        raise EncryptionError("password verification failed")
+
+    kd_hash = _HASH_ALGS[kd["hashAlgorithm"]]
+    kd_salt = base64.b64decode(kd["saltValue"])
+    kd_block = int(kd["blockSize"])
+    kd_keybytes = int(kd["keyBits"]) // 8
+    secret = aes_cbc_decrypt(
+        pw_key(BLOCK_KEY_VALUE), iv0,
+        base64.b64decode(pk["encryptedKeyValue"]))[:kd_keybytes]
+
+    pkg = cfb.read_stream("EncryptedPackage")
+
+    def seg_iv(block_key: bytes) -> bytes:
+        return _fit(hashlib.new(kd_hash, kd_salt + block_key).digest(),
+                    kd_block)
+
+    di = info["dataIntegrity"]
+    if di is not None:
+        hmac_key = aes_cbc_decrypt(
+            secret, seg_iv(BLOCK_HMAC_KEY),
+            base64.b64decode(di["encryptedHmacKey"]))
+        hmac_key = hmac_key[:hashlib.new(kd_hash).digest_size]
+        hmac_val = aes_cbc_decrypt(
+            secret, seg_iv(BLOCK_HMAC_VALUE),
+            base64.b64decode(di["encryptedHmacValue"]))
+        got = _hmac.new(hmac_key, pkg, kd_hash).digest()
+        if hmac_val[:len(got)] != got:
+            raise EncryptionError("EncryptedPackage HMAC mismatch "
+                                  "(corrupt or tampered container)")
+
+    (orig_size,) = struct.unpack_from("<Q", pkg, 0)
+    body = pkg[8:]
+    if len(body) % 16:
+        body = body[:len(body) - len(body) % 16]
+    out = bytearray()
+    for seg in range(0, len(body), AGILE_SEGMENT):
+        iv = _fit(hashlib.new(
+            kd_hash, kd_salt + struct.pack("<I", seg // AGILE_SEGMENT)
+        ).digest(), kd_block)
+        out += aes_cbc_decrypt(secret, iv, body[seg:seg + AGILE_SEGMENT])
+    return bytes(out[:orig_size])
+
+
+def decrypt_office(data: bytes, password: str = "VelvetSweatshop") -> bytes:
+    """One entry point for both ECMA-376 schemes: dispatch standard (x.2)
+    vs agile (4.4) on the EncryptionInfo version word — the msoffcrypto
+    behavior the reference relies on (reference excel.py:132-150)."""
+    cfb = CfbReader(data)
+    blob = cfb.read_stream("EncryptionInfo")
+    vmajor, vminor = struct.unpack_from("<HH", blob, 0)
+    if (vmajor, vminor) == (4, 4):
+        return decrypt_agile(data, password)
+    return decrypt_standard(data, password)
 
 
 def is_encrypted_office(data: bytes) -> bool:
