@@ -254,15 +254,30 @@ class ExcelLoader(DataLoader):
         if self._sheets is not None:
             return self._sheets
         src = self._maybe_decrypt(self.url)
+        # legacy BIFF sniff: a plain .xls is a CFB container (an encrypted
+        # workbook has already been decrypted to OOXML zip bytes above)
+        if isinstance(src, str):
+            with open(src, "rb") as f:
+                head = f.read(4)
+        else:
+            head = src.read(4)
+            src.seek(0)
+        if head == b"\xd0\xcf\x11\xe0":
+            try:
+                import xlrd  # noqa: F401
+                xl = pd.ExcelFile(src, engine="xlrd")
+                return {name: xl.parse(name, header=None)
+                        for name in xl.sheet_names}
+            except ImportError:
+                # stdlib BIFF8 reader (sources/xls.py) — same raw-grid
+                # contract as read_xlsx
+                from openpolicedata_spark.sources.xls import read_xls
+                return read_xls(src)
         try:
             import openpyxl  # noqa: F401
         except ImportError:
             # stdlib fallback: .xlsx is a ZIP of SpreadsheetML — parse it
-            # directly (sources/xlsx.py). Legacy .xls still needs an engine.
-            if str(self.url).lower().endswith((".xls",)):
-                raise ImportError(
-                    "legacy .xls parsing requires xlrd; install it or pass "
-                    "pre-parsed grids via ExcelLoader(sheets=...)")
+            # directly (sources/xlsx.py)
             from openpolicedata_spark.sources.xlsx import read_xlsx
             return read_xlsx(src)
         xl = pd.ExcelFile(src)

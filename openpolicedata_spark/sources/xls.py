@@ -1,0 +1,371 @@
+"""Minimal BIFF8 (.xls) workbook reader — pure stdlib + the in-repo CFB
+parser, same contract as sources/xlsx.py's ``read_xlsx``.
+
+Reference analog: openpolicedata excel.py:15 reads legacy .xls via xlrd
+(XLRDError handling at :128). Agencies still publish .xls, so the repo
+needs a real parser rather than an ImportError gate; this covers the
+records that carry cell data in practice:
+
+- workbook globals: BOF, DATEMODE, FORMAT, XF, BOUNDSHEET, SST
+  (including strings split across CONTINUE records, where each split
+  resumes with a fresh grbit byte — the classic BIFF8 trap)
+- sheet substreams: NUMBER, RK, MULRK, LABELSST, LABEL, BOOLERR,
+  FORMULA (+ trailing STRING for cached string results), nested
+  BOF/EOF depth tracking for embedded charts
+
+Out of scope, raising clearly: BIFF5 and earlier (pre-unicode string
+layouts), and FILEPASS-encrypted workbooks (legacy RC4 — the modern
+schemes are covered by sources/msoffice_crypto.py).
+
+Dates follow the same rules as the xlsx reader: a numeric cell whose XF
+points at a date number-format (built-in ids or a format code with
+date tokens) converts from the 1900/1904 serial system.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import Union
+
+import pandas as pd
+
+from openpolicedata_spark.sources.cfb import CfbReader, is_cfb
+from openpolicedata_spark.sources.xlsx import (
+    _BUILTIN_DATE_FMTS,
+    _is_date_fmt,
+    _serial_to_datetime,
+)
+
+
+class XlsError(ValueError):
+    """Malformed or unsupported BIFF workbook."""
+
+
+# record opcodes
+_BOF = 0x0809
+_EOF = 0x000A
+_FILEPASS = 0x002F
+_DATEMODE = 0x0022
+_FORMAT = 0x041E
+_XF = 0x00E0
+_BOUNDSHEET = 0x0085
+_SST = 0x00FC
+_CONTINUE = 0x003C
+_NUMBER = 0x0203
+_RK = 0x027E
+_MULRK = 0x00BD
+_LABELSST = 0x00FD
+_LABEL = 0x0204
+_BOOLERR = 0x0205
+_FORMULA = 0x0006
+_STRING = 0x0207
+
+
+def _records(stream: bytes, start: int = 0):
+    """Yield (opcode, data, offset_of_next_record) from a BIFF stream."""
+    pos = start
+    n = len(stream)
+    while pos + 4 <= n:
+        opcode, length = struct.unpack_from("<HH", stream, pos)
+        data = stream[pos + 4:pos + 4 + length]
+        pos += 4 + length
+        yield opcode, data, pos
+
+
+class _SstReader:
+    """Byte reader over SST + CONTINUE fragments that understands the
+    continuation rule: when CHARACTER DATA is split across a record
+    boundary, the next fragment starts with a new grbit byte (the
+    encoding may flip compressed<->utf-16 mid-string); counts, rich
+    runs, and ext data continue raw."""
+
+    def __init__(self, fragments: list[bytes]):
+        self.frags = fragments
+        self.fi = 0
+        self.pos = 0
+
+    def _advance(self) -> None:
+        while self.fi < len(self.frags) and \
+                self.pos >= len(self.frags[self.fi]):
+            self.fi += 1
+            self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0:
+            self._advance()
+            if self.fi >= len(self.frags):
+                raise XlsError("truncated SST")
+            frag = self.frags[self.fi]
+            take = min(n, len(frag) - self.pos)
+            out += frag[self.pos:self.pos + take]
+            self.pos += take
+            n -= take
+        return bytes(out)
+
+    def read_chars(self, cch: int, high: bool) -> str:
+        out = []
+        while cch > 0:
+            self._advance()
+            if self.fi >= len(self.frags):
+                raise XlsError("truncated SST string")
+            frag = self.frags[self.fi]
+            if self.pos >= len(frag):
+                continue
+            avail = len(frag) - self.pos
+            if avail == 0:
+                continue
+            width = 2 if high else 1
+            take = min(cch, avail // width)
+            if take == 0:
+                # a char can't split across the boundary; fragment ends
+                # here and the next one re-declares the encoding
+                raise XlsError("misaligned SST continuation")
+            raw = frag[self.pos:self.pos + take * width]
+            self.pos += take * width
+            out.append(raw.decode("utf-16-le" if high else "latin-1"))
+            cch -= take
+            if cch > 0:
+                # crossing into the next fragment: fresh grbit byte
+                self._advance()
+                if self.fi >= len(self.frags):
+                    raise XlsError("truncated SST continuation")
+                high = bool(self.frags[self.fi][self.pos] & 1)
+                self.pos += 1
+        return "".join(out)
+
+    def read_string(self) -> str:
+        (cch,) = struct.unpack("<H", self.read(2))
+        flags = self.read(1)[0]
+        high = bool(flags & 0x01)
+        ext = bool(flags & 0x04)
+        rich = bool(flags & 0x08)
+        crun = struct.unpack("<H", self.read(2))[0] if rich else 0
+        cbext = struct.unpack("<i", self.read(4))[0] if ext else 0
+        s = self.read_chars(cch, high)
+        if crun:
+            self.read(4 * crun)
+        if cbext > 0:
+            self.read(cbext)
+        return s
+
+
+def _unicode_string(data: bytes, offset: int, short: bool = False) -> str:
+    """In-record XLUnicodeString (LABEL, STRING, FORMAT) or the short
+    form (BOUNDSHEET sheet names: 1-byte cch)."""
+    if short:
+        cch = data[offset]
+        offset += 1
+    else:
+        (cch,) = struct.unpack_from("<H", data, offset)
+        offset += 2
+    flags = data[offset]
+    offset += 1
+    high = bool(flags & 0x01)
+    if flags & 0x08:
+        offset += 2  # rich run count
+    if flags & 0x04:
+        offset += 4  # ext length
+    if high:
+        return data[offset:offset + 2 * cch].decode("utf-16-le")
+    return data[offset:offset + cch].decode("latin-1")
+
+
+def _decode_rk(v: int) -> float:
+    if v & 0x02:  # 30-bit signed integer
+        num = v >> 2
+        if num >= 1 << 29:
+            num -= 1 << 30
+        num = float(num)
+    else:  # top 30 bits of an IEEE double
+        (num,) = struct.unpack("<d", struct.pack("<Q", (v & ~0x3) << 32))
+    return num / 100.0 if v & 0x01 else num
+
+
+def _parse_sst(data: bytes, continues: list[bytes]) -> list[str]:
+    (_total, unique) = struct.unpack_from("<ii", data, 0)
+    rd = _SstReader([data[8:]] + continues)
+    return [rd.read_string() for _ in range(unique)]
+
+
+def _num_value(num: float, ixfe: int, date_xfs: set[int], datemode: int):
+    if ixfe in date_xfs and num >= 0:
+        return _serial_to_datetime(num + (1462 if datemode else 0))
+    if num == int(num) and abs(num) < 2 ** 52:
+        return int(num)
+    return num
+
+
+def read_xls(source: Union[str, bytes, io.IOBase]) -> dict[str, pd.DataFrame]:
+    """Parse a BIFF8 .xls file (path, bytes, or binary file object) into
+    raw unlabeled grids, one ``pd.DataFrame`` per worksheet in workbook
+    order — the same contract as ``read_xlsx``."""
+    if isinstance(source, str):
+        with open(source, "rb") as f:
+            data = f.read()
+    elif isinstance(source, bytes):
+        data = source
+    else:
+        data = source.read()
+        try:
+            source.seek(0)
+        except Exception:
+            pass
+    if not is_cfb(data):
+        raise XlsError("not a BIFF workbook (missing CFB signature)")
+    cfb = CfbReader(data)
+    streams = cfb.list_streams()
+    name = next((s for s in ("Workbook", "Book") if s in streams), None)
+    if name is None:
+        raise XlsError(f"no Workbook stream in container (has {streams})")
+    wb = cfb.read_stream(name)
+
+    # ---- globals substream -------------------------------------------------
+    datemode = 0
+    formats: dict[int, str] = {}
+    xf_fmts: list[int] = []
+    sheets: list[tuple[str, int]] = []  # (name, stream offset)
+    sst: list[str] = []
+    it = _records(wb)
+    opcode, body, _ = next(it, (None, b"", 0))
+    if opcode != _BOF:
+        raise XlsError("stream does not start with BOF")
+    (vers, _dt) = struct.unpack_from("<HH", body, 0)
+    if vers != 0x0600:
+        raise XlsError(
+            f"only BIFF8 is supported (BOF version 0x{vers:04x}); "
+            "install xlrd for older workbooks")
+    pending_sst = None
+    sst_cont: list[bytes] = []
+    for opcode, body, _pos in it:
+        if opcode == _CONTINUE and pending_sst is not None:
+            sst_cont.append(body)
+            continue
+        if pending_sst is not None:
+            sst = _parse_sst(pending_sst, sst_cont)
+            pending_sst = None
+        if opcode == _EOF:
+            break
+        if opcode == _FILEPASS:
+            raise XlsError(
+                "FILEPASS: legacy RC4-encrypted .xls not supported "
+                "(modern encrypted containers route through "
+                "msoffice_crypto)")
+        if opcode == _DATEMODE:
+            (datemode,) = struct.unpack_from("<H", body, 0)
+        elif opcode == _FORMAT:
+            (ifmt,) = struct.unpack_from("<H", body, 0)
+            formats[ifmt] = _unicode_string(body, 2)
+        elif opcode == _XF:
+            xf_fmts.append(struct.unpack_from("<H", body, 2)[0])
+        elif opcode == _BOUNDSHEET:
+            (pos32,) = struct.unpack_from("<I", body, 0)
+            hidden = body[4] & 0x03
+            dt = body[5]
+            sname = _unicode_string(body, 6, short=True)
+            if dt == 0 and hidden == 0:  # visible worksheet
+                sheets.append((sname, pos32))
+        elif opcode == _SST:
+            pending_sst = body
+            sst_cont = []
+    if pending_sst is not None:
+        sst = _parse_sst(pending_sst, sst_cont)
+
+    date_ids = set(_BUILTIN_DATE_FMTS)
+    date_ids |= {i for i, code in formats.items() if _is_date_fmt(code)}
+    date_xfs = {i for i, ifmt in enumerate(xf_fmts) if ifmt in date_ids}
+
+    # ---- worksheet substreams ---------------------------------------------
+    out: dict[str, pd.DataFrame] = {}
+    for sname, start in sheets:
+        cells: dict[int, dict[int, object]] = {}
+        ncols = 0
+
+        def put(r: int, c: int, v: object) -> None:
+            nonlocal ncols
+            if v is not None:
+                cells.setdefault(r, {})[c] = v
+                ncols = max(ncols, c + 1)
+
+        depth = 0
+        pending_formula: tuple[int, int] | None = None
+        for opcode, body, _pos in _records(wb, start):
+            if opcode == _BOF:
+                depth += 1
+                continue
+            if opcode == _EOF:
+                depth -= 1
+                if depth <= 0:
+                    break
+                continue
+            if depth != 1:
+                continue  # records of an embedded (chart) substream
+            if opcode == _STRING:
+                if pending_formula is not None:
+                    r, c = pending_formula
+                    put(r, c, _unicode_string(body, 0) or None)
+                pending_formula = None
+                continue
+            pending_formula = None
+            if opcode == _NUMBER:
+                r, c, ixfe = struct.unpack_from("<HHH", body, 0)
+                (num,) = struct.unpack_from("<d", body, 6)
+                put(r, c, _num_value(num, ixfe, date_xfs, datemode))
+            elif opcode == _RK:
+                r, c, ixfe, rk = struct.unpack_from("<HHHI", body, 0)
+                put(r, c, _num_value(_decode_rk(rk), ixfe, date_xfs,
+                                     datemode))
+            elif opcode == _MULRK:
+                r, c0 = struct.unpack_from("<HH", body, 0)
+                nrk = (len(body) - 6) // 6
+                for i in range(nrk):
+                    ixfe, rk = struct.unpack_from("<HI", body, 4 + 6 * i)
+                    put(r, c0 + i, _num_value(_decode_rk(rk), ixfe,
+                                              date_xfs, datemode))
+            elif opcode == _LABELSST:
+                r, c, _ixfe, isst = struct.unpack_from("<HHHI", body, 0)
+                if isst >= len(sst):
+                    raise XlsError(f"SST index {isst} out of range")
+                put(r, c, sst[isst] or None)
+            elif opcode == _LABEL:
+                r, c = struct.unpack_from("<HH", body, 0)
+                put(r, c, _unicode_string(body, 6) or None)
+            elif opcode == _BOOLERR:
+                r, c, _ixfe, val, is_err = struct.unpack_from(
+                    "<HHHBB", body, 0)
+                put(r, c, None if is_err else bool(val))
+            elif opcode == _FORMULA:
+                r, c, ixfe = struct.unpack_from("<HHH", body, 0)
+                res = body[6:14]
+                if res[6:8] == b"\xff\xff":
+                    kind = res[0]
+                    if kind == 0:  # cached string in the STRING that follows
+                        pending_formula = (r, c)
+                    elif kind == 1:
+                        put(r, c, bool(res[2]))
+                    # kind 2 (error) and 3 (empty string) → no value
+                else:
+                    (num,) = struct.unpack("<d", res)
+                    put(r, c, _num_value(num, ixfe, date_xfs, datemode))
+        if not cells:
+            out[sname] = pd.DataFrame()
+            continue
+        nrows = max(cells) + 1
+        grid = [[cells.get(r, {}).get(c) for c in range(ncols)]
+                for r in range(nrows)]
+        out[sname] = pd.DataFrame(grid, dtype=object)
+    return out
+
+
+def looks_like_xls(data: bytes) -> bool:
+    """CFB container with a BIFF Workbook stream (and NOT a modern
+    encrypted OOXML container, which is also CFB)."""
+    if not is_cfb(data):
+        return False
+    try:
+        names = CfbReader(data).list_streams()
+    except Exception:
+        return False
+    return ("Workbook" in names or "Book" in names) \
+        and "EncryptionInfo" not in names
