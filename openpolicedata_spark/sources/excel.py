@@ -263,6 +263,18 @@ class ExcelLoader(DataLoader):
             head = src.read(4)
             src.seek(0)
         if head == b"\xd0\xcf\x11\xe0":
+            from openpolicedata_spark.sources.xls import (
+                XlsError, looks_like_xls, read_xls)
+            if isinstance(src, str):
+                with open(src, "rb") as f:
+                    raw = f.read()
+            else:
+                raw = src.read()
+                src.seek(0)
+            if not looks_like_xls(raw):
+                raise XlsError(
+                    "CFB container has no BIFF Workbook stream "
+                    "(not a legacy .xls)")
             try:
                 import xlrd  # noqa: F401
                 xl = pd.ExcelFile(src, engine="xlrd")
@@ -271,8 +283,7 @@ class ExcelLoader(DataLoader):
             except ImportError:
                 # stdlib BIFF8 reader (sources/xls.py) — same raw-grid
                 # contract as read_xlsx
-                from openpolicedata_spark.sources.xls import read_xls
-                return read_xls(src)
+                return read_xls(raw)
         try:
             import openpyxl  # noqa: F401
         except ImportError:

@@ -60,6 +60,12 @@ _LABEL = 0x0204
 _BOOLERR = 0x0205
 _FORMULA = 0x0006
 _STRING = 0x0207
+# records that may legally sit between a FORMULA and its trailing STRING
+# ([MS-XLS] 2.4.127: SharedFmla / Array / Table follow the Formula they
+# belong to) — a cached-string result must survive them
+_SHRFMLA = 0x04BC
+_ARRAY = 0x0221
+_TABLE = 0x0236
 
 
 def _records(stream: bytes, start: int = 0):
@@ -229,8 +235,8 @@ def read_xls(source: Union[str, bytes, io.IOBase]) -> dict[str, pd.DataFrame]:
     sst: list[str] = []
     it = _records(wb)
     opcode, body, _ = next(it, (None, b"", 0))
-    if opcode != _BOF:
-        raise XlsError("stream does not start with BOF")
+    if opcode != _BOF or len(body) < 4:
+        raise XlsError("stream does not start with a well-formed BOF")
     (vers, _dt) = struct.unpack_from("<HH", body, 0)
     if vers != 0x0600:
         raise XlsError(
@@ -238,39 +244,44 @@ def read_xls(source: Union[str, bytes, io.IOBase]) -> dict[str, pd.DataFrame]:
             "install xlrd for older workbooks")
     pending_sst = None
     sst_cont: list[bytes] = []
-    for opcode, body, _pos in it:
-        if opcode == _CONTINUE and pending_sst is not None:
-            sst_cont.append(body)
-            continue
+    try:
+        for opcode, body, _pos in it:
+            if opcode == _CONTINUE and pending_sst is not None:
+                sst_cont.append(body)
+                continue
+            if pending_sst is not None:
+                sst = _parse_sst(pending_sst, sst_cont)
+                pending_sst = None
+            if opcode == _EOF:
+                break
+            if opcode == _FILEPASS:
+                raise XlsError(
+                    "FILEPASS: legacy RC4-encrypted .xls not supported "
+                    "(modern encrypted containers route through "
+                    "msoffice_crypto)")
+            if opcode == _DATEMODE:
+                (datemode,) = struct.unpack_from("<H", body, 0)
+            elif opcode == _FORMAT:
+                (ifmt,) = struct.unpack_from("<H", body, 0)
+                formats[ifmt] = _unicode_string(body, 2)
+            elif opcode == _XF:
+                xf_fmts.append(struct.unpack_from("<H", body, 2)[0])
+            elif opcode == _BOUNDSHEET:
+                (pos32,) = struct.unpack_from("<I", body, 0)
+                dt = body[5]
+                sname = _unicode_string(body, 6, short=True)
+                # hidden/very-hidden sheets are KEPT (dt==0 only filters
+                # charts/macros) so output matches xlrd and read_xlsx,
+                # which both return hidden worksheets
+                if dt == 0:
+                    sheets.append((sname, pos32))
+            elif opcode == _SST:
+                pending_sst = body
+                sst_cont = []
         if pending_sst is not None:
             sst = _parse_sst(pending_sst, sst_cont)
-            pending_sst = None
-        if opcode == _EOF:
-            break
-        if opcode == _FILEPASS:
-            raise XlsError(
-                "FILEPASS: legacy RC4-encrypted .xls not supported "
-                "(modern encrypted containers route through "
-                "msoffice_crypto)")
-        if opcode == _DATEMODE:
-            (datemode,) = struct.unpack_from("<H", body, 0)
-        elif opcode == _FORMAT:
-            (ifmt,) = struct.unpack_from("<H", body, 0)
-            formats[ifmt] = _unicode_string(body, 2)
-        elif opcode == _XF:
-            xf_fmts.append(struct.unpack_from("<H", body, 2)[0])
-        elif opcode == _BOUNDSHEET:
-            (pos32,) = struct.unpack_from("<I", body, 0)
-            hidden = body[4] & 0x03
-            dt = body[5]
-            sname = _unicode_string(body, 6, short=True)
-            if dt == 0 and hidden == 0:  # visible worksheet
-                sheets.append((sname, pos32))
-        elif opcode == _SST:
-            pending_sst = body
-            sst_cont = []
-    if pending_sst is not None:
-        sst = _parse_sst(pending_sst, sst_cont)
+    except (struct.error, IndexError) as e:
+        raise XlsError(f"malformed BIFF record in globals: {e}") from e
 
     date_ids = set(_BUILTIN_DATE_FMTS)
     date_ids |= {i for i, code in formats.items() if _is_date_fmt(code)}
@@ -290,7 +301,8 @@ def read_xls(source: Union[str, bytes, io.IOBase]) -> dict[str, pd.DataFrame]:
 
         depth = 0
         pending_formula: tuple[int, int] | None = None
-        for opcode, body, _pos in _records(wb, start):
+        try:
+          for opcode, body, _pos in _records(wb, start):
             if opcode == _BOF:
                 depth += 1
                 continue
@@ -307,6 +319,8 @@ def read_xls(source: Union[str, bytes, io.IOBase]) -> dict[str, pd.DataFrame]:
                     put(r, c, _unicode_string(body, 0) or None)
                 pending_formula = None
                 continue
+            if opcode in (_SHRFMLA, _ARRAY, _TABLE):
+                continue  # may sit between FORMULA and its STRING result
             pending_formula = None
             if opcode == _NUMBER:
                 r, c, ixfe = struct.unpack_from("<HHH", body, 0)
@@ -348,6 +362,9 @@ def read_xls(source: Union[str, bytes, io.IOBase]) -> dict[str, pd.DataFrame]:
                 else:
                     (num,) = struct.unpack("<d", res)
                     put(r, c, _num_value(num, ixfe, date_xfs, datemode))
+        except (struct.error, IndexError) as e:
+            raise XlsError(
+                f"malformed BIFF record in sheet {sname!r}: {e}") from e
         if not cells:
             out[sname] = pd.DataFrame()
             continue

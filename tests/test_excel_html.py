@@ -98,19 +98,27 @@ def test_html_loader(spark):
         HtmlLoader(spark, url="u", tables=[t, t]).load()
 
 
-def test_excel_loader_requires_backend_without_injection(spark, tmp_path):
+def test_excel_loader_xls_error_paths(spark, tmp_path):
     # .xlsx no longer needs openpyxl (stdlib zip+XML reader); a missing
     # file surfaces as FileNotFoundError from the real parse path.
     with pytest.raises(FileNotFoundError):
         ExcelLoader(spark, url="nope.xlsx").load()
-    # legacy .xls (BIFF = an unencrypted CFB container) still requires an
-    # engine; the decrypt sniff must pass it through to the clear error
+    # legacy .xls now parses via the stdlib BIFF8 reader (sources/xls.py);
+    # junk inside the Workbook stream must surface as a clean XlsError —
+    # never a raw struct.error (reference analog: excel.py:128 wraps
+    # XLRDError)
+    from openpolicedata_spark.sources.xls import XlsError
     from tests.test_msoffice_crypto import write_cfb
 
     xls = tmp_path / "legacy.xls"
     xls.write_bytes(write_cfb({"Workbook": b"\x09\x08" + bytes(30)}))
-    with pytest.raises(ImportError, match="xlrd"):
+    with pytest.raises(XlsError):
         ExcelLoader(spark, url=str(xls)).load()
+    # a CFB container that is not a workbook at all → clean XlsError too
+    other = tmp_path / "notawb.xls"
+    other.write_bytes(write_cfb({"SomeOtherStream": bytes(16)}))
+    with pytest.raises(XlsError, match="no BIFF Workbook stream"):
+        ExcelLoader(spark, url=str(other)).load()
 
 
 def test_maybe_decrypt_passthrough_without_codec(tmp_path):
