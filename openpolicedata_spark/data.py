@@ -163,7 +163,21 @@ class Table:
     def count(self) -> int:
         return self.table.count()
 
-    def to_pandas(self) -> pd.DataFrame:
+    def to_pandas(self, max_rows: Optional[int] = 10_000_000) -> pd.DataFrame:
+        """Driver-side materialization — same `max_rows` guard as
+        to_feather: collecting an unbounded table OOMs the driver long
+        before pandas sees it. Pass `max_rows=None` to explicitly accept
+        the risk (reference parity: Table.to_csv/pandas paths assume
+        single-machine frames)."""
+        if max_rows is not None:
+            pdf = self.table.limit(max_rows + 1).toPandas()
+            if len(pdf) > max_rows:
+                raise ValueError(
+                    f"to_pandas materializes the whole table on the "
+                    f"driver; this table exceeds max_rows={max_rows}. "
+                    f"Keep it distributed (Table.table) or pass "
+                    f"max_rows=None to override.")
+            return pdf
         return self.table.toPandas()
 
     # ------------------------------------------- standardized-column lookup

@@ -295,6 +295,15 @@ def write_training_shards(
     sampling, resumable epochs). Shard sizes concentrate tightly
     (multinomial with uniform hash) so per-shard token budgets stay
     within a few percent of corpus/n_shards."""
+    # a NULL key hashes to a NULL shard, which partitionBy would silently
+    # divert into __HIVE_DEFAULT_PARTITION__ — invisible to the manifest
+    # and to any loader globbing shard=N/. Fail loudly instead: a doc
+    # with no identity has no stable shard membership. The check is a
+    # null-pushdown limit-1 scan, negligible next to the export itself.
+    if df.where(F.col(key_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"write_training_shards: {key_col!r} contains NULLs; "
+            "drop or repair them before exporting shards")
     d = (
         df.withColumn(
             "shard",

@@ -161,6 +161,11 @@ def bloom_probe(
     col = F.col(key)
     out = keys
     hit = F.lit(True)
+    # defensively dedupe the (tiny) positions side: a caller-unioned
+    # filter (bloomA.union(bloomB)) carries duplicate positions, and a
+    # duplicated position would FAN OUT every probe row that hashes to
+    # it — the probe side's row count must never change
+    bloom = bloom.select("pos").distinct()
     for i in range(k):
         b = bloom.select(F.col("pos").alias(f"__p{i}__"),
                          F.lit(1).alias(f"__m{i}__"))

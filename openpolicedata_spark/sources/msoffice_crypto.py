@@ -329,15 +329,31 @@ def parse_agile_info(blob: bytes) -> dict:
             out[_localname(k)] = v
         return out
 
+    _PW_URI = "http://schemas.microsoft.com/office/2006/keyEncryptor/password"
     key_data = password_key = integrity = None
+    fallback_key = None
     for el in root.iter():
         name = _localname(el.tag)
         if name == "keyData":
             key_data = grab(el)
         elif name == "dataIntegrity":
             integrity = grab(el)
-        elif name == "encryptedKey":
-            password_key = grab(el)
+        elif name == "keyEncryptor" and el.get("uri") == _PW_URI:
+            # a container may also carry a certificate keyEncryptor (key
+            # escrow) whose child is ALSO named 'encryptedKey' — only the
+            # password keyEncryptor's child is password-derivable
+            for child in el.iter():
+                if _localname(child.tag) == "encryptedKey":
+                    password_key = grab(child)
+                    break
+        elif name == "encryptedKey" and "spinCount" in grab(el):
+            # fallback: the password variant is the one with a spinCount
+            # attribute (certificate encryptedKey has encryptedKeyValue +
+            # certVerifier only, §2.3.4.10)
+            if fallback_key is None:
+                fallback_key = grab(el)
+    if password_key is None:
+        password_key = fallback_key
     if key_data is None or password_key is None:
         raise EncryptionError("agile descriptor missing keyData/encryptedKey")
     for d in (key_data, password_key):

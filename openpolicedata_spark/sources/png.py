@@ -62,6 +62,8 @@ def _iter_chunks(data: bytes):
         body = data[pos + 8:pos + 8 + length]
         if len(body) != length:
             raise PngError(f"truncated chunk {ctype!r}")
+        if n < pos + 12 + length:
+            raise PngError(f"truncated chunk CRC in {ctype!r}")
         (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise PngError(f"CRC mismatch in chunk {ctype!r}")

@@ -647,11 +647,20 @@ def semantic_dedup_sink(stream_df: DataFrame, out_path: str,
                     return left
                 X = np.array(list(left[vname]), dtype=np.float64)
                 Xn = np.linalg.norm(X, axis=1)
-                Xn[Xn == 0.0] = 1.0
+                xz = Xn == 0.0
+                Xn[xz] = 1.0
                 R = np.array(list(right[vname]), dtype=np.float64)
                 Rn = np.linalg.norm(R, axis=1)
-                Rn[Rn == 0.0] = 1.0
+                rz = Rn == 0.0
+                Rn[rz] = 1.0
                 sims = (X / Xn[:, None]) @ (R / Rn[:, None]).T
+                # cosine is undefined for zero-norm vectors and the
+                # clamped form yields sim 0 — which would re-admit a
+                # zero-norm doc on EVERY micro-batch replay (its indexed
+                # copy never matches itself). Treat zero-norm as
+                # identical to any zero-norm rep instead.
+                if xz.any() and rz.any():
+                    sims[np.ix_(xz, rz)] = 1.0
                 return left[sims.max(axis=1) < th]
 
             novel = (

@@ -1201,11 +1201,13 @@ def q43_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q43_SQL = """
-SELECT label, i AS pos,
-  ROUND(CAST(SUM(CAST(embedding[CAST(i AS INT)] AS DECIMAL(20,10))) AS DOUBLE)
-        / COUNT(*), 6) AS c
-FROM embeddings, range(1, 65) t(i)
-GROUP BY label, i
+WITH pe AS (
+  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings)
+SELECT label, pos,
+  ROUND(CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c
+FROM pe GROUP BY label, pos
 """
 
 
@@ -2552,9 +2554,9 @@ def q82_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q82_SQL = """
 WITH pe AS (
-  SELECT vec_id, label, i AS pos,
-         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
-  FROM embeddings, range(1, 65) t(i)),
+  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
 cent AS (
   SELECT label AS c_label, pos AS c_pos,
          CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
@@ -2961,9 +2963,9 @@ def q90_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q90_SQL = """
 WITH pe AS (
-  SELECT vec_id, label, i - 1 AS pos,
-         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
-  FROM embeddings, range(1, 65) t(i)),
+  SELECT vec_id, label, unnest(range(0, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
 cent AS (
   SELECT label AS c_label, pos AS c_pos,
          CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
@@ -3503,29 +3505,38 @@ GROUP BY p.token, p.true_cnt
 
 def q99_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One power-iteration step w = Xᵀ(X·v) from the uniform direction
-    v = 1/√dim — the distributed-PCA building block
+    v = 0.125·1 — the distributed-PCA building block
     (operators/similarity.power_iteration). The per-row score is a
-    row-local left-associative fold (replayed verbatim as a 64-term SQL
-    expression); the cross-row reduction runs in DECIMAL(30,12) so the
-    result is independent of partitioning — q90's exact-decimal
-    technique applied to the spectral step. Shuffle carries ≤ dim rows
-    per partition (map-side partial), never vectors."""
+    row-local left-associative fold (replayed verbatim as a DuckDB
+    list_reduce in the oracle); the cross-row reduction runs in
+    DECIMAL(30,12) so the result is independent of partitioning — q90's
+    exact-decimal technique applied to the spectral step. Shuffle
+    carries ≤ dim rows per partition (map-side partial), never vectors.
+    The embedding dim is probed from the data (one limit-1 scan), never
+    hardcoded — the oracle derives its length from len(embedding) the
+    same way."""
     from openpolicedata_spark.operators.similarity import power_iteration_step
 
     emb = _read(spark, sf_dir, "embeddings")
-    step = power_iteration_step(emb, [0.125] * 64, decimal_sums=True)
+    dim = emb.select(F.size("embedding")).first()[0]
+    step = power_iteration_step(emb, [0.125] * dim, decimal_sums=True)
     return step.select("pos", F.round("w", 6).alias("w"))
 
 
-_Q99_DOT = " + ".join(
-    f"CAST(embedding[{j}] AS DOUBLE) * 0.125" for j in range(1, 65))
-_Q99_SQL = f"""
+_Q99_SQL = """
 WITH s AS (
-  SELECT vec_id, 0.0 + {_Q99_DOT} AS score FROM embeddings),
+  -- left-fold in index order over doubles = Spark's dot_expr
+  -- (F.aggregate from 0.0); 0.0 + x == x exactly in IEEE, so starting
+  -- the reduce at element 1 is bit-identical to the 0.0-seeded fold
+  SELECT vec_id,
+         list_reduce(list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE) * 0.125),
+                     (a, b) -> a + b) AS score
+  FROM embeddings),
 pe AS (
-  SELECT vec_id, i - 1 AS pos,
-         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-  FROM embeddings, range(1, 65) t(i))
+  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)
 SELECT pos,
   ROUND(CAST(SUM(CAST(s.score * pe.x AS DECIMAL(30,12))) AS DOUBLE), 6) AS w
 FROM pe JOIN s USING (vec_id)
@@ -4057,9 +4068,9 @@ def q109_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q109_SQL = """
 WITH sub AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
 pe AS (
-  SELECT vec_id, label, i AS pos,
-         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
-  FROM sub, range(1, 65) t(i)),
+  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM sub),
 cent AS (
   SELECT label AS c_label, pos AS c_pos,
          CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c

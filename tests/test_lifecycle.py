@@ -107,3 +107,13 @@ def test_to_csv_stringifies_array_columns(spark, tmp_path):
     back = spark.read.csv(p, header=True)
     got = {r.case: r.SUBJECT_RACE for r in back.collect()}
     assert got["C1"] == '["WHITE","BLACK"]'
+
+
+def test_to_pandas_guards_driver_oom(spark, source):
+    """to_pandas has the same max_rows contract as to_feather: refuse
+    above the bound, escape hatch via max_rows=None."""
+    t = source.load("NATION")
+    with pytest.raises(ValueError, match="max_rows"):
+        t.to_pandas(max_rows=3)
+    assert len(t.to_pandas(max_rows=None)) == t.count()
+    assert len(t.to_pandas()) == t.count()

@@ -167,3 +167,33 @@ def test_excel_loader_opens_agile_workbook_end_to_end(spark, tmp_path):
 
     pdf = ExcelLoader(spark, str(path)).load().toPandas()
     assert sorted(pdf["Case"]) == ["A1", "A2"]
+
+
+def test_agile_escrow_container_selects_password_encryptor():
+    """ADVICE r4: a container carrying BOTH a password keyEncryptor and a
+    certificate keyEncryptor (enterprise key-escrow) must decrypt via the
+    password one even when the certificate encryptor — whose child is
+    also named 'encryptedKey' — appears LAST in document order."""
+    from openpolicedata_spark.sources.cfb import CfbReader
+
+    package = b"PK\x03\x04 escrow " + bytes(range(128))
+    blob = encrypt_agile(package)
+    cfb = CfbReader(blob)
+    info = cfb.read_stream("EncryptionInfo")
+    pkg = cfb.read_stream("EncryptedPackage")
+    cert_ns = "http://schemas.microsoft.com/office/2006/keyEncryptor/certificate"
+    cert = (f'<keyEncryptor uri="{cert_ns}">'
+            f'<c:encryptedKey xmlns:c="{cert_ns}" '
+            'encryptedKeyValue="QUJD" X509Certificate="REVG" '
+            'certVerifier="R0hJ"/></keyEncryptor>')
+    xml = info[8:].decode("utf-8")
+    assert "</keyEncryptors>" in xml
+    patched = xml.replace("</keyEncryptors>", cert + "</keyEncryptors>")
+    blob2 = write_cfb({"EncryptionInfo": info[:8] + patched.encode("utf-8"),
+                       "EncryptedPackage": pkg})
+    assert decrypt_agile(blob2) == package
+    # and with the certificate encryptor FIRST (password one last)
+    patched2 = xml.replace("<keyEncryptors>", "<keyEncryptors>" + cert)
+    blob3 = write_cfb({"EncryptionInfo": info[:8] + patched2.encode("utf-8"),
+                       "EncryptedPackage": pkg})
+    assert decrypt_agile(blob3) == package

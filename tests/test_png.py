@@ -244,3 +244,14 @@ def test_image_family_on_real_png_bytes(spark):
     for p in found - planted:
         # any extra pair must genuinely be within the hamming budget
         assert ham(hashes[p[0]], hashes[p[1]]) <= 3
+
+
+def test_truncation_anywhere_raises_pngerror_not_struct_error():
+    """ADVICE r4: a stream cut inside a chunk's CRC field (or anywhere
+    else) must raise PngError, never a raw struct.error."""
+    from openpolicedata_spark.sources.png import decode_png
+
+    data = encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    for cut in range(8, len(data)):
+        with pytest.raises(PngError):
+            decode_png(data[:cut])

@@ -332,3 +332,16 @@ class TestWeightedSample:
         got = {r["doc_id"] for r in
                weighted_sample(df, 1, "w", "doc_id").collect()}
         assert None not in got and len(got) == 1
+
+
+def test_write_training_shards_rejects_null_keys(spark, tmp_path):
+    """ADVICE r3: a NULL key hashes to a NULL shard, which partitionBy
+    silently diverts into __HIVE_DEFAULT_PARTITION__ — invisible to the
+    manifest. The exporter must fail loudly instead."""
+    from openpolicedata_spark.operators.sampling import write_training_shards
+
+    df = spark.createDataFrame(
+        [(1, 10), (None, 11), (3, 12)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError, match="NULL"):
+        write_training_shards(df, str(tmp_path / "s"), "n_tok", "doc_id",
+                              n_shards=4)

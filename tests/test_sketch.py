@@ -207,7 +207,15 @@ class TestBloom:
         probe = spark.range(500).select(F.col("id").cast("string").alias("key"))
         s = summarize_plan(bloom_probe(bloom, probe, "key", k=3, m=1 << 12))
         assert s.n_broadcast_joins == 3
-        assert s.n_exchanges == 0, s.text
+        # the defensive distinct on the (tiny) positions side costs up to
+        # k bloom-side shuffles; the PROBE lineage must stay shuffle-free
+        # — every shuffle exchange partitions on the bloom 'pos' column,
+        # never on the probe 'key'
+        import re
+
+        for m_ in re.finditer(r"hashpartitioning\(([a-zA-Z_]+)#", s.text):
+            assert m_.group(1) == "pos", s.text
+        assert s.n_exchanges <= 3, s.text
 
     def test_portable_hash_matches_duckdb(self, spark):
         """With hash_fn=md5lower64_expr and power-of-two m, DuckDB replays
@@ -290,3 +298,23 @@ def test_q123_estimates_track_q122_exact(spark, sf_dir):
     assert set(est) == set(exact)
     for pair, j in exact.items():
         assert abs(est[pair] - j) < 0.15, (pair, j, est[pair])
+
+
+    def test_probe_survives_duplicate_positions(self, spark):
+        """ADVICE r3: a caller-unioned filter (bloomA ∪ bloomB without
+        distinct) carries duplicate positions; the probe must still
+        preserve the probe-side row count and hit set."""
+        from openpolicedata_spark.operators.sketch import bloom_build, bloom_probe
+
+        build = spark.range(50).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"))
+        bloom = bloom_build(build, "key", k=3, m=1 << 16)
+        dirty = bloom.union(bloom).union(bloom)  # 3x duplicated positions
+        probe = spark.range(100).select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"))
+        clean_out = bloom_probe(bloom, probe, "key", k=3, m=1 << 16)
+        dirty_out = bloom_probe(dirty, probe, "key", k=3, m=1 << 16)
+        assert dirty_out.count() == 100  # no fan-out
+        want = {r["key"]: r["bloom_hit"] for r in clean_out.collect()}
+        got = {r["key"]: r["bloom_hit"] for r in dirty_out.collect()}
+        assert got == want

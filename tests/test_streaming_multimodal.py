@@ -648,3 +648,37 @@ def test_semantic_dedup_sink_cross_batch(spark, tmp_path):
     assert 10 not in admitted                    # caught by the index
     assert sorted(r["vec_id"] for r in
                   spark.read.parquet(idx).collect()) == admitted
+
+
+def test_semantic_dedup_sink_zero_norm_not_readmitted(spark, tmp_path):
+    """ADVICE r3: cosine is undefined for zero-norm vectors, and the
+    clamped form scores 0 against everything — so an indexed zero-norm
+    doc would be re-admitted by every later batch (and every replay).
+    Zero-norm must dedupe against zero-norm reps."""
+    from openpolicedata_spark.streaming import semantic_dedup_sink
+
+    CENTS = [[1.0, 0.0], [0.0, 1.0]]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    b1 = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    b2 = spark.createDataFrame(
+        [(10, [0.0, 0.0]),   # zero-norm again → matches the indexed rep
+         (11, [0.0, 1.0])],  # other cluster: novel
+        "vec_id long, embedding array<double>")
+    b1.coalesce(1).write.parquet(src, mode="append")
+    import time as _time
+
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(src, mode="append")
+
+    semantic_dedup_sink(
+        (spark.readStream.schema("vec_id long, embedding array<double>")
+         .option("maxFilesPerTrigger", 1).parquet(src)),
+        out, idx, CENTS, threshold=0.95)
+
+    admitted = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    assert 10 not in admitted, "zero-norm re-admitted across batches"
+    assert 1 in admitted and 2 in admitted and 11 in admitted
