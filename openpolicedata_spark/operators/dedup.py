@@ -743,7 +743,17 @@ def edit_distance_pairs(
     The verify join fetches the two texts and runs the JVM
     `levenshtein` — O(len²) per pair, bounded by candidates, not corpus.
     Levenshtein is engine-portable (DuckDB `levenshtein` agrees), so an
-    external oracle can replay the whole operator."""
+    external oracle can replay the whole operator.
+
+    QUANTIFIED RECALL (tests/test_edit_distance_recall.py): an edit
+    inside the first `prefix_len` normalized characters moves the doc to
+    a different block, so single-edit recall is exactly
+    1 − prefix_len/E[len] for uniform edit positions — measured 0.908 on
+    the seeded corpus (prefix 24, len ≈ 200, 109/120 pairs), with every
+    miss verified to be an in-prefix edit and zero out-of-prefix misses.
+    Mitigation when front edits matter: a second pass over
+    `F.reverse(text)` blocks on the suffix; the union reaches 1.0 on
+    single-edit pairs (tested) at 2× the blocking cost."""
     norm = normalize_text_expr(F.col(text_col))
     base = df.select(
         F.col(id_col),
@@ -832,10 +842,12 @@ def exact_dedup_incremental(
     return kept.drop("__fp__")
 
 
-def _read_digest_index(spark, index_path: str):
+def _read_digest_index(spark, index_path: str, merge_schema: bool = False):
     """The digest index, or None when absent OR when a crashed first
     append left the directory without data files (read.parquet would
-    throw 'unable to infer schema' forever otherwise)."""
+    throw 'unable to infer schema' forever otherwise). `merge_schema`
+    unions old single-column files with marker-carrying (fingerprint,
+    batch_id) files from `exact_dedup_ingest`."""
     import glob as _glob
     import os
 
@@ -843,7 +855,10 @@ def _read_digest_index(spark, index_path: str):
         return None
     if not _glob.glob(os.path.join(index_path, "*.parquet")):
         return None
-    return spark.read.parquet(index_path)
+    rd = spark.read
+    if merge_schema:
+        rd = rd.option("mergeSchema", "true")
+    return rd.parquet(index_path)
 
 
 def append_digest_index(admitted: DataFrame, index_path: str,
@@ -854,3 +869,69 @@ def append_digest_index(admitted: DataFrame, index_path: str,
         fingerprint_md5_expr(F.coalesce(F.col(text_col), F.lit("")))
         .alias("fingerprint")
     ).write.mode("append").parquet(index_path)
+
+
+def exact_dedup_ingest(
+    batch: DataFrame,
+    index_path: str,
+    output_path: str,
+    batch_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY-ONCE incremental exact dedup: `exact_dedup_incremental`
+    with the survivor-write/index-append window closed by the
+    countmin_sink marker-row technique (streaming/__init__.py), for
+    callers that want the function to own both writes.
+
+    Protocol (idempotent under redelivery of the same `batch_id`):
+
+    1. if the index holds a MARKER row for `batch_id` (fingerprint IS
+       NULL — inert for membership, which anti-joins on fingerprint),
+       the batch already fully committed: return the persisted survivors
+       without recomputing or rewriting anything;
+    2. anti-join the batch against the index digests, collapse in-batch
+       duplicates (min-id wins);
+    3. OVERWRITE the survivors to `output_path/batch=<batch_id>/` —
+       rerunning after a crash rewrites the same rows, never appends;
+    4. append the survivors' digests AND the marker row in ONE job —
+       they commit together, so a crash can never record "admitted"
+       without the digests (which would silently re-admit content) or
+       digests without the survivor rows (which would silently drop the
+       batch on replay: the re-run would anti-join against its own
+       digests).
+
+    A crash between 3 and 4 replays 2–4 against an unchanged index —
+    same survivors, same overwrite, exactly-once output. The corpus
+    stays one readable dataset: `spark.read.parquet(output_path)` sees
+    a `batch` partition column. Old single-column indexes interoperate
+    (mergeSchema read; missing batch_id column means "no markers")."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9._-]+", batch_id):
+        raise ValueError(f"batch_id {batch_id!r} must be path-safe "
+                         "([A-Za-z0-9._-]+)")
+    spark = batch.sparkSession
+    part_path = f"{output_path}/batch={batch_id}"
+    idx = _read_digest_index(spark, index_path, merge_schema=True)
+    if idx is not None and "batch_id" in idx.columns:
+        done = idx.where(F.col("fingerprint").isNull()
+                         & (F.col("batch_id") == batch_id)).limit(1)
+        if done.count() > 0:
+            return spark.read.parquet(part_path)
+    tagged = batch.withColumn(
+        "__fp__", fingerprint_md5_expr(F.coalesce(F.col(text_col),
+                                                  F.lit(""))))
+    if idx is not None:
+        members = idx.where(F.col("fingerprint").isNotNull()) \
+            .select(F.col("fingerprint").alias("__fp__"))
+        tagged = tagged.join(members, on="__fp__", how="left_anti")
+    kept = _collapse_by_fp(tagged, batch.columns, id_col) \
+        .localCheckpoint(eager=True)
+    kept.drop("__fp__").write.mode("overwrite").parquet(part_path)
+    digests = kept.select(F.col("__fp__").alias("fingerprint"),
+                          F.lit(batch_id).alias("batch_id"))
+    marker = spark.createDataFrame(
+        [(None, batch_id)], "fingerprint string, batch_id string")
+    digests.unionByName(marker).write.mode("append").parquet(index_path)
+    return spark.read.parquet(part_path)

@@ -4725,38 +4725,19 @@ def q122_join_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     (column_id, value) frame (map-side-combined distinct), the pair
     intersection is ONE self-join on the value, and per-column
     cardinalities broadcast back. Emits pairs with any overlap; the
-    PK→FK pairs rank at containment 1.0. At 100 TB use the bottom-k
-    sketch (`sketch.bottomk_signature`) instead of exact distincts —
-    same ranking, k-bounded state per column."""
-    frames = []
-    for cid, table, col in _Q122_COLS:
-        t = _read(spark, sf_dir, table)
-        frames.append(t.select(F.lit(cid).alias("src"),
-                               F.col(col).cast("long").alias("val")).distinct())
-    vals = frames[0]
-    for fr in frames[1:]:
-        vals = vals.unionByName(fr)
-    card = vals.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
-    a, b = vals.alias("a"), vals.alias("b")
-    inter = (
-        a.join(b, on=[F.col("a.val") == F.col("b.val"),
-                      F.col("a.src") < F.col("b.src")])
-        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        inter.join(F.broadcast(card.withColumnRenamed("src", "src_a")
-                               .withColumnRenamed("n", "n_a")), on="src_a")
-        .join(F.broadcast(card.withColumnRenamed("src", "src_b")
-                          .withColumnRenamed("n", "n_b")), on="src_b")
-        .select(
-            "src_a", "src_b", "n_a", "n_b", "n_common",
-            F.round(F.col("n_common") / F.col("n_a").cast("double"), 6)
-            .alias("containment_a"),
-            F.round(F.col("n_common") / F.col("n_b").cast("double"), 6)
-            .alias("containment_b"),
-        )
-    )
+    PK→FK pairs rank at containment 1.0. `operators/discovery.
+    join_key_discovery(mode='auto')` is the production front door: it
+    probes per-column approx distinct counts and routes anything above
+    the threshold to the k-bounded bottom-k sketch path automatically
+    (the form q123 pins); this query pins the exact path."""
+    from openpolicedata_spark.operators.discovery import join_key_discovery
+
+    cols = [(cid, _read(spark, sf_dir, table), col)
+            for cid, table, col in _Q122_COLS]
+    # mode='exact' pins this query's oracle; production callers use
+    # mode='auto', which probes distinct counts and routes big frames to
+    # the k-bounded sketch (q123 pins that path's arithmetic)
+    return join_key_discovery(cols, mode="exact")
 
 
 _Q122_SQL = """
@@ -4801,58 +4782,11 @@ def q123_sketch_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ESTIMATES themselves hash-match — not just the exact counts they
     approximate. Long→double casts round identically (IEEE nearest), so
     even the order-statistic arithmetic is portable."""
-    from openpolicedata_spark.functions.text import md5lower64_expr
+    from openpolicedata_spark.operators.discovery import join_key_discovery
 
-    K = 128
-    frames = []
-    for cid, table, col in _Q122_COLS:
-        t = _read(spark, sf_dir, table)
-        frames.append(t.select(
-            F.lit(cid).alias("src"),
-            F.pmod(md5lower64_expr(
-                F.concat(F.lit("0:"), F.col(col).cast("long").cast("string"))),
-                F.lit(1 << 62)).alias("h")).distinct())
-    vals = frames[0]
-    for fr in frames[1:]:
-        vals = vals.unionByName(fr)
-    # NULL keys hash to NULL: Spark window-sorts nulls FIRST, DuckDB
-    # ROW_NUMBER sorts them LAST — drop them identically on both sides
-    vals = vals.where(F.col("h").isNotNull())
-    w = Window.partitionBy("src").orderBy(F.asc("h"))
-    sig = (vals.withColumn("rn", F.row_number().over(w))
-           .where(F.col("rn") <= K)).localCheckpoint(eager=False)
-    pairs = (sig.select(F.col("src").alias("src_a")).distinct()
-             .join(sig.select(F.col("src").alias("src_b")).distinct(),
-                   F.col("src_a") < F.col("src_b")))
-    # union bottom-k per pair: all signature hashes of both sides,
-    # dedup, rank, keep K
-    u = (pairs.join(sig.select("src", "h"),
-                    (F.col("src") == F.col("src_a"))
-                    | (F.col("src") == F.col("src_b")))
-         .select("src_a", "src_b", "h").distinct())
-    wu = Window.partitionBy("src_a", "src_b").orderBy(F.asc("h"))
-    ub = u.withColumn("urn", F.row_number().over(wu)).where(F.col("urn") <= K)
-    ina = sig.select(F.col("src").alias("src_a"), F.col("h").alias("h"),
-                     F.lit(1).alias("__ina__"))
-    inb = sig.select(F.col("src").alias("src_b"), F.col("h").alias("h"),
-                     F.lit(1).alias("__inb__"))
-    marked = (ub.join(ina, on=["src_a", "h"], how="left")
-              .join(inb, on=["src_b", "h"], how="left"))
-    return (
-        marked.groupBy("src_a", "src_b")
-        .agg(
-            F.max("urn").alias("u_size"),
-            F.sum(F.when(F.col("__ina__").isNotNull()
-                         & F.col("__inb__").isNotNull(), 1).otherwise(0))
-            .alias("shared"),
-        )
-        .select(
-            "src_a", "src_b", "u_size", "shared",
-            F.round(F.col("shared")
-                    / F.least(F.lit(K), F.col("u_size")).cast("double"), 6)
-            .alias("est_jaccard"),
-        )
-    )
+    cols = [(cid, _read(spark, sf_dir, table), col)
+            for cid, table, col in _Q122_COLS]
+    return join_key_discovery(cols, mode="sketch", k=128)
 
 
 def _q123_sql() -> str:

@@ -594,3 +594,90 @@ class TestExactDedupIncremental:
         os.makedirs(idx)                      # dir exists, no data files
         b = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         assert exact_dedup_incremental(b, idx).count() == 1
+
+
+class TestExactDedupIngest:
+    """Exactly-once ingest (VERDICT r3/r4 item: close the survivor-write/
+    index-append window with the countmin_sink marker technique)."""
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_redelivery_is_exactly_once(self, spark, tmp_path):
+        from openpolicedata_spark.operators.dedup import exact_dedup_ingest
+
+        idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+        b1 = self._batch(spark, [(1, "alpha"), (2, "alpha"), (3, "beta")])
+        k1 = exact_dedup_ingest(b1, idx, out, "day1")
+        assert sorted(r["doc_id"] for r in k1.collect()) == [1, 3]
+        # full redelivery of the SAME batch id: marker short-circuits —
+        # output unchanged, index digests not duplicated
+        k1b = exact_dedup_ingest(b1, idx, out, "day1")
+        assert sorted(r["doc_id"] for r in k1b.collect()) == [1, 3]
+        corpus = spark.read.parquet(out)
+        assert corpus.count() == 2
+        idx_rows = spark.read.parquet(idx)
+        assert idx_rows.where("fingerprint IS NOT NULL").count() == 2
+        assert idx_rows.where("fingerprint IS NULL").count() == 1
+        # a later batch with overlapping content dedups against day1
+        b2 = self._batch(spark, [(10, "alpha"), (11, "gamma")])
+        k2 = exact_dedup_ingest(b2, idx, out, "day2")
+        assert sorted(r["doc_id"] for r in k2.collect()) == [11]
+        assert spark.read.parquet(out).count() == 3
+        assert set(r["batch"] for r in
+                   spark.read.parquet(out).select("batch").collect()) \
+            == {"day1", "day2"}
+
+    def test_crash_between_output_and_index_replays_clean(self, spark,
+                                                          tmp_path):
+        """Simulate the crash window: survivors written, index append
+        never happened. The re-run must produce the SAME output rows
+        (not zero — the failure mode of appending digests first) and
+        then commit the index."""
+        from openpolicedata_spark.operators import dedup as D
+
+        idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+        b1 = self._batch(spark, [(1, "alpha"), (3, "beta")])
+        # first run: let the output write land, then die before append
+        tagged = b1.withColumn("__fp__", D.fingerprint_md5_expr(
+            F.coalesce(F.col("text"), F.lit(""))))
+        kept = D._collapse_by_fp(tagged, b1.columns, "doc_id")
+        kept.drop("__fp__").write.mode("overwrite").parquet(
+            out + "/batch=day1")
+        # (no index write — crashed here)
+        k = D.exact_dedup_ingest(b1, idx, out, "day1")
+        assert sorted(r["doc_id"] for r in k.collect()) == [1, 3]
+        assert spark.read.parquet(out).count() == 2
+        assert spark.read.parquet(idx).where(
+            "fingerprint IS NULL").count() == 1
+        # and now the marker exists: a further redelivery is a no-op
+        assert D.exact_dedup_ingest(b1, idx, out, "day1").count() == 2
+
+    def test_interop_with_legacy_single_column_index(self, spark,
+                                                     tmp_path):
+        from openpolicedata_spark.operators.dedup import (
+            append_digest_index,
+            exact_dedup_incremental,
+            exact_dedup_ingest,
+        )
+
+        idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+        legacy = self._batch(spark, [(1, "alpha")])
+        append_digest_index(legacy, idx)           # single-column file
+        k = exact_dedup_ingest(
+            self._batch(spark, [(2, "alpha"), (3, "beta")]),
+            idx, out, "day1")
+        assert sorted(r["doc_id"] for r in k.collect()) == [3]
+        # and the incremental (at-least-once) reader still works on the
+        # now-mixed-schema index
+        k2 = exact_dedup_incremental(
+            self._batch(spark, [(4, "beta"), (5, "delta")]), idx)
+        assert sorted(r["doc_id"] for r in k2.collect()) == [5]
+
+    def test_rejects_path_unsafe_batch_id(self, spark, tmp_path):
+        from openpolicedata_spark.operators.dedup import exact_dedup_ingest
+
+        with pytest.raises(ValueError, match="path-safe"):
+            exact_dedup_ingest(self._batch(spark, [(1, "x")]),
+                               str(tmp_path / "i"), str(tmp_path / "o"),
+                               "../escape")
