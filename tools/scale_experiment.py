@@ -144,6 +144,46 @@ def lsh_run(out_dir: str, max_bucket_size: int | None,
     return row
 
 
+def semdedup_run(out_dir: str, max_cluster_size: int | None,
+                 limit: int | None = None) -> dict:
+    """Adversarial SemDeDup validation (VERDICT r3 item 9): a DEGENERATE
+    single-cluster corpus — one centroid, so every embedding lands in
+    the same list — at the built scale. With the cluster above
+    `max_cluster_size` the operator must PASS THROUGH (keep=true,
+    max_cos_prev=null) in scan time, never attempt the |cluster|²
+    pairwise step on one task. Prints one JSON row for SCALE.md."""
+    from pyspark.sql import functions as F
+
+    from openpolicedata_spark import get_spark
+    from openpolicedata_spark.operators.similarity import semdedup
+
+    spark = get_spark(app_name="opdspark-semdedup-scale")
+    emb = spark.read.parquet(f"{out_dir}/embeddings.parquet")
+    if limit:
+        emb = emb.limit(limit)
+    dim = emb.select(F.size("embedding")).first()[0]
+    n = emb.count()
+    cents = [[1.0] + [0.0] * (dim - 1)]  # ONE centroid: degenerate cluster
+    t0 = time.time()
+    out = semdedup(emb, cents, threshold=0.95,
+                   max_cluster_size=max_cluster_size)
+    kept = out.where(F.col("keep")).count()
+    wall = time.time() - t0
+    passthrough = max_cluster_size is not None and n > max_cluster_size
+    row = {
+        "mode": "semdedup_degenerate_single_cluster",
+        "rows": n,
+        "max_cluster_size": max_cluster_size,
+        "passthrough_expected": passthrough,
+        "kept": kept,
+        "wall_sec": round(wall, 2),
+    }
+    assert not passthrough or kept == n, \
+        "pass-through must keep every row (conservative under-dedup)"
+    print(json.dumps(row))
+    return row
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=COPIES,
@@ -159,11 +199,24 @@ def main() -> None:
                     help="skip the build; run the timed LSH wave against "
                          "--out and print a JSON row")
     ap.add_argument("--max-bucket-size", type=int, default=None)
+    ap.add_argument("--semdedup", action="store_true",
+                    help="skip the build; run the degenerate single-"
+                         "cluster SemDeDup stress against --out")
+    ap.add_argument("--max-cluster-size", type=int, default=65536)
+    ap.add_argument("--no-cluster-cap", action="store_true",
+                    help="run --semdedup UNCAPPED (the |cluster|^2 "
+                         "single-task contrast row; use --limit)")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="row cap for --semdedup runs")
     args = ap.parse_args()
     out = args.out or (OUT_DIR if args.copies == COPIES
                        else f"/tmp/opdspark_sf{args.copies / 10:g}")
     if args.lsh:
         lsh_run(out, args.max_bucket_size)
+    elif args.semdedup:
+        semdedup_run(out,
+                     None if args.no_cluster_cap else args.max_cluster_size,
+                     args.limit)
     else:
         build(out, args.copies, args.near_dup_docs, args.boilerplate_frac)
 
