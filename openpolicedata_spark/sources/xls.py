@@ -13,9 +13,12 @@ records that carry cell data in practice:
   FORMULA (+ trailing STRING for cached string results), nested
   BOF/EOF depth tracking for embedded charts
 
-Out of scope, raising clearly: BIFF5 and earlier (pre-unicode string
-layouts), and FILEPASS-encrypted workbooks (legacy RC4 — the modern
-schemes are covered by sources/msoffice_crypto.py).
+RC4-encrypted workbooks (FILEPASS — both the Office-Binary MD5 scheme
+and RC4 CryptoAPI) decrypt transparently via sources/xls_crypto.py with
+the 'VelvetSweatshop' magic password, mirroring the reference's
+msoffcrypto path (excel.py:132-150). Out of scope, raising clearly:
+BIFF5 and earlier (pre-unicode string layouts) and XOR obfuscation
+(wEncryptionType 0).
 
 Dates follow the same rules as the xlsx reader: a numeric cell whose XF
 points at a date number-format (built-in ids or a format code with
@@ -203,10 +206,15 @@ def _num_value(num: float, ixfe: int, date_xfs: set[int], datemode: int):
     return num
 
 
-def read_xls(source: Union[str, bytes, io.IOBase]) -> dict[str, pd.DataFrame]:
+def read_xls(source: Union[str, bytes, io.IOBase],
+             password: str = "VelvetSweatshop") -> dict[str, pd.DataFrame]:
     """Parse a BIFF8 .xls file (path, bytes, or binary file object) into
     raw unlabeled grids, one ``pd.DataFrame`` per worksheet in workbook
-    order — the same contract as ``read_xlsx``."""
+    order — the same contract as ``read_xlsx``. RC4-encrypted workbooks
+    (FILEPASS, both Office-Binary and CryptoAPI schemes) decrypt
+    transparently via sources/xls_crypto — `password` defaults to
+    Excel's invisible 'VelvetSweatshop', matching the reference's
+    msoffcrypto path (excel.py:132-150)."""
     if isinstance(source, str):
         with open(source, "rb") as f:
             data = f.read()
@@ -226,6 +234,18 @@ def read_xls(source: Union[str, bytes, io.IOBase]) -> dict[str, pd.DataFrame]:
     if name is None:
         raise XlsError(f"no Workbook stream in container (has {streams})")
     wb = cfb.read_stream(name)
+
+    from openpolicedata_spark.sources.xls_crypto import (
+        BiffCryptoError,
+        decrypt_biff_workbook,
+        find_filepass,
+    )
+
+    if find_filepass(wb) is not None:
+        try:
+            wb = decrypt_biff_workbook(wb, password)
+        except BiffCryptoError as e:
+            raise XlsError(f"FILEPASS: {e}") from e
 
     # ---- globals substream -------------------------------------------------
     datemode = 0
@@ -255,10 +275,9 @@ def read_xls(source: Union[str, bytes, io.IOBase]) -> dict[str, pd.DataFrame]:
             if opcode == _EOF:
                 break
             if opcode == _FILEPASS:
-                raise XlsError(
-                    "FILEPASS: legacy RC4-encrypted .xls not supported "
-                    "(modern encrypted containers route through "
-                    "msoffice_crypto)")
+                # already decrypted above; the record is preserved in
+                # place so BoundSheet8 stream offsets stay valid
+                continue
             if opcode == _DATEMODE:
                 (datemode,) = struct.unpack_from("<H", body, 0)
             elif opcode == _FORMAT:
