@@ -70,20 +70,29 @@ def decode_image(content: bytes, mime: str) -> "np.ndarray":
     """REAL image decode → HxWx3 uint8.
 
     PNG decodes fully in-repo via the stdlib codec (sources/png.py —
-    zlib inflate + filter reconstruction; all color types, Adam7), the
-    same replace-the-dependency pattern as the xlsx/html readers.
-    JPEG/WebP/… would need a DCT codec (Pillow/cv2, not in this
-    container) and still raise — clearly-marked gate, not a silent
-    fallback. Dispatch is by magic bytes, not the mime hint, so a
-    mislabeled payload can't route to the wrong parser."""
+    zlib inflate + filter reconstruction; all color types, Adam7), and
+    baseline JPEG via the numpy DCT codec (sources/jpeg.py — Huffman
+    entropy decode + batched IDCT + chroma upsampling), the same
+    replace-the-dependency pattern as the xlsx/html readers. WebP/…
+    would need codecs not expressible over the stdlib and still
+    raise — clearly-marked gate, not a silent fallback. Dispatch is
+    by magic bytes, not the mime hint, so a mislabeled payload can't
+    route to the wrong parser."""
+    from openpolicedata_spark.sources import jpeg as _jpeg
     from openpolicedata_spark.sources import png as _png
 
     b = bytes(content)
     if b[:8] == _png.PNG_SIGNATURE:
         return _png.to_rgb(_png.decode_png(b))
+    if b[:2] == _jpeg.JPEG_SIGNATURE:
+        img = _jpeg.decode_jpeg(b)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        return img
     raise NotImplementedError(
-        f"no stdlib codec for {mime!r} (magic {b[:4]!r}); PNG is "
-        "supported natively, other formats need Pillow/cv2")
+        f"no stdlib codec for {mime!r} (magic {b[:4]!r}); PNG and "
+        "baseline JPEG are supported natively, other formats need "
+        "Pillow/cv2")
 
 
 def box_resize(img: "np.ndarray", h: int, w: int) -> "np.ndarray":

@@ -5187,6 +5187,65 @@ _Q129_SQL = ("SELECT doc_id, md5("
              + ") AS pix_md5, TRUE AS png_ok FROM documents")
 
 
+def q130_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG bytes through the full multimodal path: a deterministic
+    flat-block grayscale image per document (2x2 grid of constant 8x8
+    tiles drawn from md5(text)) → REAL baseline JPEG encode
+    (sources/jpeg.py, Annex K Huffman tables, unit quantization) → REAL
+    Huffman+IDCT decode via decode_image's magic-byte dispatch → md5
+    over the decoded pixel hex. Flat blocks have DC-only spectra, and
+    with unit quantization the DC path is bit-exact (S00 = 8*(v-128) is
+    an integer and the IDCT divides by 8 in float), so the oracle
+    replays the hash from the md5 stream directly: any defect in marker
+    parsing, Huffman code assignment, bit packing/stuffing,
+    dequantization, or the IDCT breaks the hash. One Arrow-batched
+    mapInPandas pass; bytes never leave the executor."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import decode_image
+    from openpolicedata_spark.sources.jpeg import encode_jpeg
+
+    d = _read(spark, sf_dir, "documents")
+
+    def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = _hl.md5(text.encode("utf-8") + b"0").digest()[:4]
+                tiles = np.frombuffer(raw, dtype=np.uint8).reshape(2, 2)
+                img = tiles.repeat(8, axis=0).repeat(8, axis=1)
+                jpg = encode_jpeg(img)
+                dec = decode_image(jpg, "image/jpeg")
+                gray = dec[:, :, 0]
+                ok = bool((gray == img).all()
+                          and (dec[:, :, 1] == gray).all()
+                          and (dec[:, :, 2] == gray).all())
+                rows.append((
+                    did,
+                    _hl.md5(gray.tobytes().hex().encode()).hexdigest(),
+                    ok,
+                ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "pix_md5", "jpeg_ok"])
+
+    return d.select("doc_id", "text").mapInPandas(
+        compute, "doc_id long, pix_md5 string, jpeg_ok boolean")
+
+
+# Replay: byte k of md5(text||'0') is hex digits 2k+1..2k+2; each byte
+# becomes a constant 8x8 tile, laid out row-major (top row pair then
+# bottom), so the pixel hex is two repeat() bands of 8 rows each.
+_Q130_SQL = (
+    "SELECT doc_id, md5("
+    " repeat(repeat(substr(md5(text || '0'), 1, 2), 8)"
+    "        || repeat(substr(md5(text || '0'), 3, 2), 8), 8)"
+    " || repeat(repeat(substr(md5(text || '0'), 5, 2), 8)"
+    "           || repeat(substr(md5(text || '0'), 7, 2), 8), 8)"
+    ") AS pix_md5, TRUE AS jpeg_ok FROM documents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5318,6 +5377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_bpe_segmentation": q127_bpe_segmentation,
         "q128_skew_audit": q128_skew_audit,
         "q129_png_roundtrip": q129_png_roundtrip,
+        "q130_jpeg_roundtrip": q130_jpeg_roundtrip,
     }
     return base
 
@@ -5456,4 +5516,5 @@ def oracle_sql() -> dict[str, str]:
         "q127_bpe_segmentation": _q127_sql(),
         "q128_skew_audit": _q128_sql(),
         "q129_png_roundtrip": _Q129_SQL,
+        "q130_jpeg_roundtrip": _Q130_SQL,
     }

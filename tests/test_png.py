@@ -171,9 +171,12 @@ def test_truncated_idat():
         decode_png(_raw_png(4, 4, 8, 2, raw))
 
 
-def test_decode_image_non_png_raises():
-    with pytest.raises(NotImplementedError, match="PNG is"):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish", "image/jpeg")
+def test_decode_image_unsupported_format_raises():
+    # JPEG is now a real codec (sources/jpeg.py); WebP/GIF stay gated
+    with pytest.raises(NotImplementedError, match="no stdlib codec"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp")
+    with pytest.raises(NotImplementedError, match="no stdlib codec"):
+        decode_image(b"GIF89a rest", "image/gif")
 
 
 def test_to_rgb_shapes():
