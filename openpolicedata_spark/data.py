@@ -62,13 +62,21 @@ def _maybe_combined_loader(spark: SparkSession, dt: str, row: pd.Series,
     base = row["URL"]
 
     def make_child(child: dict) -> DataLoader:
-        ckw = dict(kwargs, url=_resolve_child_url(base, child))
+        # a `file` entry under a zip URL is a zip MEMBER (reference
+        # csv_class.py:64-70 reads it via httpio Range requests), not a
+        # path segment to urljoin
+        member = None
+        child_url = _resolve_child_url(base, child)
+        if (child.get("file") and (base or "").lower().endswith(".zip")
+                and not (child.get("url") or "")):
+            child_url, member = base, child["file"]
         if dt == defs.DataType.EXCEL.value:
             from openpolicedata_spark.sources.excel import ExcelLoader
 
             return ExcelLoader(spark, sheet_filter=child.get("sheets"),
-                               **ckw)
-        return CsvLoader(spark, **ckw)
+                               **dict(kwargs, url=child_url))
+        return CsvLoader(spark, member=member,
+                         **dict(kwargs, url=child_url))
 
     def make_side(side) -> DataLoader:
         kids = [make_child(c) for c in side]

@@ -138,13 +138,58 @@ class CsvLoader(_FileLoader):
     on one thread)."""
 
     def __init__(self, spark, url, date_field=None, agency_field=None, query=None,
-                 header: bool = True):
+                 header: bool = True, member: Optional[str] = None):
         super().__init__(spark, url, date_field, agency_field, query)
         self.header = header
+        # zip member selection (dataset_id `file` entries — reference
+        # csv_class.py:64-70 reads just that member over HTTP ranges)
+        self.member = member
+
+    def _prefetch_member(self, url: str) -> Optional[str]:
+        """Range-request path for one member of a remote zip (reference
+        csv_class.py:64-70 via httpio): fetch only the central directory
+        + that member's span instead of the whole archive. Returns the
+        spooled path, or None when the server can't serve ranges (caller
+        falls back to the full-download path)."""
+        import hashlib
+
+        from openpolicedata_spark.sources.httpio import (
+            HttpIOError,
+            fetch_zip_member,
+        )
+
+        spool = os.path.join("/tmp", "opdspark_spool")
+        os.makedirs(spool, exist_ok=True)
+        key = hashlib.sha1(f"{url}|{self.member}".encode()).hexdigest()
+        dest = os.path.join(spool, key + ".csv")
+        if os.path.exists(dest):
+            return dest
+        try:
+            # 256 KiB blocks: zipfile's access pattern is the EOCD tail
+            # scan plus one member span — big blocks mostly fetch bytes
+            # the extraction never touches
+            data = fetch_zip_member(url, self.member,
+                                    block_size=256 * 1024)
+        except HttpIOError:
+            return None          # no range support: full download instead
+        tmp = f"{dest}.part.{os.getpid()}.{id(self)}"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, dest)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+        return dest
 
     def _prefetch(self) -> str:
         url = self.url
         if url.startswith(("http://", "https://")):
+            if self.member and url.lower().endswith(".zip"):
+                got = self._prefetch_member(url)
+                if got is not None:
+                    return got
             import hashlib
             import urllib.request
 
@@ -198,6 +243,18 @@ class CsvLoader(_FileLoader):
             url = dest
         if url.lower().endswith(".zip"):
             url = self._unzip(url)
+            if self.member:
+                # full-download fallback still selects just the member
+                # (basename-tolerant, matching fetch_zip_member)
+                base = os.path.basename(self.member).lower()
+                hits = [f for f in sorted(os.listdir(url))
+                        if f.lower() == base
+                        or f.lower().endswith("__" + base)]
+                if len(hits) != 1:
+                    raise ValueError(
+                        f"zip member {self.member!r} not found in "
+                        f"{self.url} (extracted: {sorted(os.listdir(url))})")
+                url = os.path.join(url, hits[0])
         return url
 
     @staticmethod
