@@ -195,14 +195,34 @@ def resize_images(df: DataFrame, h: int, w: int, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(compute, schema=RESIZE_SCHEMA)
 
 
-def decode_audio(content: bytes, mime: str) -> "np.ndarray":
-    """REAL compressed-audio decode (mp3/flac/ogg) — requires an audio
-    codec (soundfile/librosa/ffmpeg), not present in this container.
-    Clearly-marked stub per the build contract; raw PCM needs no codec —
-    see pcm_features."""
+def decode_audio(content: bytes, mime: str) -> "tuple[int, np.ndarray]":
+    """REAL audio decode → (sample_rate, float64 samples in [-1, 1],
+    shaped (n_frames, n_channels)).
+
+    WAV (RIFF PCM / IEEE float, incl. WAVE_FORMAT_EXTENSIBLE) decodes
+    fully in-repo via the stdlib codec (sources/wav.py). mp3/flac/ogg
+    would need a real audio codec (soundfile/ffmpeg, not in this
+    container) and still raise — clearly-marked gate. Dispatch is by
+    magic bytes, not the mime hint. Raw codec-free PCM (audio/L16)
+    bypasses this entirely via pcm_features."""
+    from openpolicedata_spark.sources import wav as _wav
+
+    b = bytes(content)
+    if b[:4] == _wav.WAV_SIGNATURE:
+        rate, samples = _wav.read_wav(b)
+        if samples.dtype == np.uint8:
+            norm = (samples.astype(np.float64) - 128.0) / 128.0
+        elif samples.dtype == np.int16:
+            norm = samples.astype(np.float64) / 32768.0
+        elif samples.dtype == np.int32:
+            norm = samples.astype(np.float64) / 2147483648.0
+        else:  # float32 / float64 are already nominal [-1, 1]
+            norm = samples.astype(np.float64)
+        return rate, norm
     raise NotImplementedError(
-        "compressed audio decode requires soundfile/ffmpeg; raw PCM "
-        "(audio/L16) is handled codec-free by pcm_features")
+        f"no stdlib codec for {mime!r} (magic {b[:4]!r}); WAV is "
+        "supported natively, compressed audio needs soundfile/ffmpeg; "
+        "raw PCM (audio/L16) is handled codec-free by pcm_features")
 
 
 PCM_FEATURES_SCHEMA = ("media_id long, n_samples long, duration_s double, "

@@ -5234,6 +5234,54 @@ def q130_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         compute, "doc_id long, pix_md5 string, jpeg_ok boolean")
 
 
+def q131_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio bytes through the full multimodal path: deterministic
+    int16 PCM from an md5 stream over doc text → REAL WAV encode
+    (sources/wav.py RIFF writer) → REAL decode via decode_audio's
+    magic-byte dispatch (parse chunks, reshape, normalize to [-1, 1]) →
+    de-normalize and md5 the recovered sample hex. int16/32768 is a
+    power-of-two divide, so normalize∘denormalize is bit-exact and the
+    oracle replays the hash directly from the md5 stream: any defect in
+    RIFF chunk layout, fmt parsing, byte order, or normalization breaks
+    it. One Arrow-batched mapInPandas pass."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import decode_audio
+    from openpolicedata_spark.sources.wav import encode_wav
+
+    d = _read(spark, sf_dir, "documents")
+
+    def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = b"".join(
+                    _hl.md5(text.encode("utf-8") + str(i).encode()).digest()
+                    for i in range(8))
+                pcm = np.frombuffer(raw, dtype="<i2")
+                wav = encode_wav(pcm, rate=16_000)
+                rate, norm = decode_audio(wav, "audio/wav")
+                back = np.rint(norm[:, 0] * 32768.0).astype("<i2")
+                ok = bool(rate == 16_000
+                          and back.tobytes() == raw)
+                rows.append((
+                    did,
+                    _hl.md5(back.tobytes().hex().encode()).hexdigest(),
+                    ok,
+                ))
+            yield pd.DataFrame(rows, columns=["doc_id", "pcm_md5", "wav_ok"])
+
+    return d.select("doc_id", "text").mapInPandas(
+        compute, "doc_id long, pcm_md5 string, wav_ok boolean")
+
+
+_Q131_SQL = ("SELECT doc_id, md5("
+             + " || ".join(f"md5(text || '{i}')" for i in range(8))
+             + ") AS pcm_md5, TRUE AS wav_ok FROM documents")
+
+
 # Replay: byte k of md5(text||'0') is hex digits 2k+1..2k+2; each byte
 # becomes a constant 8x8 tile, laid out row-major (top row pair then
 # bottom), so the pixel hex is two repeat() bands of 8 rows each.
@@ -5378,6 +5426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_skew_audit": q128_skew_audit,
         "q129_png_roundtrip": q129_png_roundtrip,
         "q130_jpeg_roundtrip": q130_jpeg_roundtrip,
+        "q131_wav_roundtrip": q131_wav_roundtrip,
     }
     return base
 
@@ -5517,4 +5566,5 @@ def oracle_sql() -> dict[str, str]:
         "q128_skew_audit": _q128_sql(),
         "q129_png_roundtrip": _Q129_SQL,
         "q130_jpeg_roundtrip": _Q130_SQL,
+        "q131_wav_roundtrip": _Q131_SQL,
     }
