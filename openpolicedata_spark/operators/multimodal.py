@@ -78,6 +78,7 @@ def decode_image(content: bytes, mime: str) -> "np.ndarray":
     raise — clearly-marked gate, not a silent fallback. Dispatch is
     by magic bytes, not the mime hint, so a mislabeled payload can't
     route to the wrong parser."""
+    from openpolicedata_spark.sources import gif as _gif
     from openpolicedata_spark.sources import jpeg as _jpeg
     from openpolicedata_spark.sources import png as _png
 
@@ -89,10 +90,32 @@ def decode_image(content: bytes, mime: str) -> "np.ndarray":
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
         return img
+    if b[:6] in _gif.GIF_SIGNATURES:
+        return _gif.decode_gif(b)[0][0]  # first frame as the still
     raise NotImplementedError(
-        f"no stdlib codec for {mime!r} (magic {b[:4]!r}); PNG and "
-        "baseline JPEG are supported natively, other formats need "
-        "Pillow/cv2")
+        f"no stdlib codec for {mime!r} (magic {b[:4]!r}); PNG, "
+        "baseline JPEG, and GIF are supported natively, other formats "
+        "need Pillow/cv2")
+
+
+def decode_video(content: bytes,
+                 mime: str) -> "tuple[list[np.ndarray], list[int]]":
+    """REAL multi-frame decode → (frames, delays_cs); each frame is the
+    composited (H, W, 3) uint8 canvas.
+
+    Animated GIF decodes fully in-repo (sources/gif.py — LZW +
+    disposal/transparency compositing), so the frame-sampling path
+    (``sample_frames``) can run on real container bytes. mp4/webm would
+    need ffmpeg (not in this container) and still raise — clearly-
+    marked gate. Dispatch is by magic bytes, not the mime hint."""
+    from openpolicedata_spark.sources import gif as _gif
+
+    b = bytes(content)
+    if b[:6] in _gif.GIF_SIGNATURES:
+        return _gif.decode_gif(b)
+    raise NotImplementedError(
+        f"no stdlib codec for {mime!r} (magic {b[:4]!r}); animated GIF "
+        "is supported natively, mp4/webm need ffmpeg")
 
 
 def box_resize(img: "np.ndarray", h: int, w: int) -> "np.ndarray":

@@ -5234,6 +5234,60 @@ def q130_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         compute, "doc_id long, pix_md5 string, jpeg_ok boolean")
 
 
+def q132_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multi-frame (video-ish) bytes through the full multimodal
+    path: two deterministic 16x8 index frames per document from an md5
+    stream → REAL animated-GIF encode (sources/gif.py, identity gray
+    palette, per-frame delays) → REAL decode via decode_video's
+    magic-byte dispatch (LZW, sub-block framing, GCE delays,
+    compositing) → md5 over the concatenated gray-channel hex. GIF is
+    palette-lossless, so the round trip is bit-exact and the oracle
+    replays the hash from the md5 stream: any defect in LZW bit
+    packing/widening, block framing, palette lookup, or frame order
+    breaks it. One Arrow-batched mapInPandas pass."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import decode_video
+    from openpolicedata_spark.sources.gif import encode_gif
+
+    d = _read(spark, sf_dir, "documents")
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = b"".join(
+                    _hl.md5(text.encode("utf-8") + str(i).encode()).digest()
+                    for i in range(16))
+                grids = [
+                    np.frombuffer(raw[k * 128:(k + 1) * 128],
+                                  dtype=np.uint8).reshape(16, 8)
+                    for k in range(2)]
+                blob = encode_gif(grids, pal, delays=[3, 7])
+                frames, delays = decode_video(blob, "image/gif")
+                back = b"".join(f[:, :, 0].tobytes() for f in frames)
+                ok = bool(delays == [3, 7] and back == raw
+                          and all((f[:, :, 1] == f[:, :, 0]).all()
+                                  for f in frames))
+                rows.append((
+                    did,
+                    _hl.md5(back.hex().encode()).hexdigest(),
+                    ok,
+                ))
+            yield pd.DataFrame(rows, columns=["doc_id", "idx_md5", "gif_ok"])
+
+    return d.select("doc_id", "text").mapInPandas(
+        compute, "doc_id long, idx_md5 string, gif_ok boolean")
+
+
+_Q132_SQL = ("SELECT doc_id, md5("
+             + " || ".join(f"md5(text || '{i}')" for i in range(16))
+             + ") AS idx_md5, TRUE AS gif_ok FROM documents")
+
+
 def q131_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio bytes through the full multimodal path: deterministic
     int16 PCM from an md5 stream over doc text → REAL WAV encode
@@ -5427,6 +5481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_png_roundtrip": q129_png_roundtrip,
         "q130_jpeg_roundtrip": q130_jpeg_roundtrip,
         "q131_wav_roundtrip": q131_wav_roundtrip,
+        "q132_gif_roundtrip": q132_gif_roundtrip,
     }
     return base
 
@@ -5567,4 +5622,5 @@ def oracle_sql() -> dict[str, str]:
         "q129_png_roundtrip": _Q129_SQL,
         "q130_jpeg_roundtrip": _Q130_SQL,
         "q131_wav_roundtrip": _Q131_SQL,
+        "q132_gif_roundtrip": _Q132_SQL,
     }
