@@ -902,10 +902,18 @@ def exact_dedup_ingest(
        digests).
 
     A crash between 3 and 4 replays 2–4 against an unchanged index —
-    same survivors, same overwrite, exactly-once output. The corpus
-    stays one readable dataset: `spark.read.parquet(output_path)` sees
-    a `batch` partition column. Old single-column indexes interoperate
-    (mergeSchema read; missing batch_id column means "no markers")."""
+    same survivors, same overwrite, exactly-once output. Step 2 also
+    EXCLUDES digests tagged with this `batch_id`: a multi-file append
+    job that dies mid-commit can leave some of its own digest files
+    visible without the marker, and without the exclusion the replay
+    would anti-join the batch against its own digests and overwrite the
+    partition with nothing. With it, any partial state of step 4
+    replays to identical survivors (own-batch digest rows may then
+    appear twice in the index — harmless for the left-anti membership
+    join). The corpus stays one readable dataset:
+    `spark.read.parquet(output_path)` sees a `batch` partition column.
+    Old single-column indexes interoperate (mergeSchema read; missing
+    batch_id column means "no markers")."""
     import re as _re
 
     if not _re.fullmatch(r"[A-Za-z0-9._-]+", batch_id):
@@ -923,8 +931,13 @@ def exact_dedup_ingest(
         "__fp__", fingerprint_md5_expr(F.coalesce(F.col(text_col),
                                                   F.lit(""))))
     if idx is not None:
-        members = idx.where(F.col("fingerprint").isNotNull()) \
-            .select(F.col("fingerprint").alias("__fp__"))
+        members = idx.where(F.col("fingerprint").isNotNull())
+        if "batch_id" in idx.columns:
+            # never anti-join a replay against its own partially
+            # committed digests (see the protocol note above)
+            members = members.where(F.col("batch_id").isNull()
+                                    | (F.col("batch_id") != batch_id))
+        members = members.select(F.col("fingerprint").alias("__fp__"))
         tagged = tagged.join(members, on="__fp__", how="left_anti")
     kept = _collapse_by_fp(tagged, batch.columns, id_col) \
         .localCheckpoint(eager=True)

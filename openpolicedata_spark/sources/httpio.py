@@ -66,14 +66,17 @@ class HttpRangeFile(io.BufferedIOBase):
 
     # ------------------------------------------------------------- wire
 
-    def _request(self, start: int, end: int) -> tuple[int, dict, bytes]:
+    def _request(self, start: int, end: int):
         req = urllib.request.Request(
             self.url, headers={**_UA, "Range": f"bytes={start}-{end}"})
         self.requests_made += 1
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
                 body = r.read()
-                return r.status, dict(r.headers), body
+                # r.headers is an email.message.Message — keep it so
+                # .get() stays case-insensitive (some CDNs send
+                # lowercase "content-range")
+                return r.status, r.headers, body
         except urllib.error.HTTPError as e:
             if e.code == 416:  # Range Not Satisfiable
                 raise HttpIOError(

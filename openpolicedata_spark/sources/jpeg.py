@@ -96,7 +96,6 @@ class _Huff:
                 code += 1
                 k += 1
             code <<= 1
-        self.max_len = max((l for l, _ in self.lut), default=0)
 
 
 class _BitReader:
@@ -294,7 +293,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     if not comps:
         raise JpegError("SOS before SOF")
-    if len(body) < 1 + 2 * body[0] + 3:
+    if not body or len(body) < 1 + 2 * body[0] + 3:
         raise JpegError("truncated SOS")
     ns = body[0]
     if ns != len(comps):

@@ -106,12 +106,16 @@ def _parse_filepass(body: bytes):
             "XOR obfuscation (wEncryptionType 0) not supported")
     if wtype != 0x0001:
         raise BiffCryptoError(f"unknown wEncryptionType 0x{wtype:04x}")
+    if len(body) < 6:
+        raise BiffCryptoError("truncated FILEPASS version info")
     vmaj, vmin = struct.unpack_from("<HH", body, 2)
     if (vmaj, vmin) == (1, 1):  # Office Binary RC4
         if len(body) < 6 + 48:
             raise BiffCryptoError("truncated RC4 FILEPASS")
         return ("std", body[6:22], body[22:38], body[38:54], 128)
     if vmin == 2 and vmaj in (2, 3, 4):  # RC4 CryptoAPI
+        if len(body) < 14:
+            raise BiffCryptoError("truncated CryptoAPI FILEPASS")
         (_flags, hsize) = struct.unpack_from("<II", body, 6)
         hdr = body[14:14 + hsize]
         if len(hdr) < 24:
@@ -125,6 +129,8 @@ def _parse_filepass(body: bytes):
                 f"CryptoAPI AlgIDHash 0x{alg_hash:08x} is not SHA-1")
         key_bits = key_bits or 40  # 0 means default 40-bit (§2.3.5.1)
         voff = 14 + hsize
+        if len(body) < voff + 40 + 20:
+            raise BiffCryptoError("truncated CryptoAPI verifier")
         (salt_size,) = struct.unpack_from("<I", body, voff)
         if salt_size != 16:
             raise BiffCryptoError(f"unexpected SaltSize {salt_size}")

@@ -499,3 +499,13 @@ def test_decode_image_magic_dispatch_jpeg():
     rgb = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
     out = decode_image(encode_jpeg(rgb), "mislabeled/png")  # magic wins
     assert out.shape == (8, 8, 3)
+
+
+def test_empty_sos_body_raises_jpeg_error():
+    img = flat_block_plane(8, 8, 18)
+    data = bytearray(spec_encode([img.astype(float)], 8, 8))
+    i = data.find(b"\xff\xda")
+    # replace the SOS segment with a zero-payload one (length=2)
+    out = bytes(data[:i]) + b"\xff\xda\x00\x02" + bytes(data[i:])[2:]
+    with pytest.raises(JpegError, match="truncated SOS"):
+        decode_jpeg(out)

@@ -653,6 +653,39 @@ class TestExactDedupIngest:
         # and now the marker exists: a further redelivery is a no-op
         assert D.exact_dedup_ingest(b1, idx, out, "day1").count() == 2
 
+    def test_crash_mid_index_commit_replays_clean(self, spark, tmp_path):
+        """Simulate the WORST crash window: the digest+marker append job
+        died mid-commit, leaving this batch's digest rows visible but no
+        marker. Without the own-batch exclusion, the replay anti-joins
+        the batch against its own digests and overwrites the partition
+        with NOTHING (data loss); with it, the replay recomputes
+        identical survivors."""
+        from openpolicedata_spark.operators import dedup as D
+
+        idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+        b1 = self._batch(spark, [(1, "alpha"), (3, "beta")])
+        tagged = b1.withColumn("__fp__", D.fingerprint_md5_expr(
+            F.coalesce(F.col("text"), F.lit(""))))
+        kept = D._collapse_by_fp(tagged, b1.columns, "doc_id")
+        kept.drop("__fp__").write.mode("overwrite").parquet(
+            out + "/batch=day1")
+        # partial step 4: digests landed, marker did NOT
+        kept.select(F.col("__fp__").alias("fingerprint"),
+                    F.lit("day1").alias("batch_id")) \
+            .write.mode("append").parquet(idx)
+        k = D.exact_dedup_ingest(b1, idx, out, "day1")
+        assert sorted(r["doc_id"] for r in k.collect()) == [1, 3]
+        assert spark.read.parquet(out).count() == 2
+        # marker now committed; a redelivery short-circuits
+        assert spark.read.parquet(idx).where(
+            "fingerprint IS NULL").count() == 1
+        assert D.exact_dedup_ingest(b1, idx, out, "day1").count() == 2
+        # membership for LATER batches is unaffected by the duplicate
+        # own-batch digest rows
+        b2 = self._batch(spark, [(10, "alpha"), (11, "gamma")])
+        assert sorted(r["doc_id"] for r in D.exact_dedup_ingest(
+            b2, idx, out, "day2").collect()) == [11]
+
     def test_interop_with_legacy_single_column_index(self, spark,
                                                      tmp_path):
         from openpolicedata_spark.operators.dedup import (

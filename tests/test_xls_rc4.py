@@ -244,3 +244,22 @@ def test_excel_loader_opens_rc4_workbook_end_to_end(spark, tmp_path):
     p.write_bytes(blob)
     df = ExcelLoader(spark, url=str(p)).load()
     assert df.count() == 3  # row 0 becomes the header
+
+
+def test_filepass_junk_fuzz_never_escapes_struct_error():
+    """Arbitrary FILEPASS bodies must fail with XlsError (wrapping
+    BiffCryptoError), never a raw struct.error/IndexError."""
+    import numpy as np
+
+    for seed in range(60):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(0, 60))
+        body = bytes(r.integers(0, 256, size=n, dtype=np.uint8))
+        # bias half the cases toward the real scheme prefixes
+        if seed % 2:
+            body = bytes([1, 0, seed % 5, 0, 2, 0]) + body
+        wb = bof(_BOF_WBGLOBALS) + rec(0x002F, body) + eof()
+        try:
+            read_xls(write_cfb({"Workbook": wb}))
+        except XlsError:
+            pass
