@@ -5288,6 +5288,109 @@ _Q132_SQL = ("SELECT doc_id, md5("
              + ") AS idx_md5, TRUE AS gif_ok FROM documents")
 
 
+def q133_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — IN-subquery whose inner query carries a
+    correlated SCALAR aggregate: suppliers that shipped more than half
+    of some part's total 1995 volume. Catalyst decorrelates the nested
+    structure into aggregate + joins (the scalar per-part total becomes
+    a grouped aggregate joined on l_partkey; the IN becomes a
+    left-semi) — no per-row re-execution, plus a volume floor so the
+    predicate actually rejects (without it every supplier dominates
+    some thin part). l_quantity is integer-valued, so the double sums
+    are exact and the 0.5x comparison is engine-portable."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q133_l")
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("q133_s")
+    return spark.sql("""
+        SELECT s_suppkey, s_name
+        FROM q133_s
+        WHERE s_suppkey IN (
+            SELECT l1.l_suppkey
+            FROM (SELECT l_suppkey, l_partkey,
+                         SUM(l_quantity) AS qty
+                  FROM q133_l
+                  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                    AND l_shipdate <  TIMESTAMP '1996-01-01'
+                  GROUP BY l_suppkey, l_partkey) l1
+            WHERE l1.qty >= 60 AND l1.qty > (
+                SELECT 0.5 * SUM(l2.l_quantity)
+                FROM q133_l l2
+                WHERE l2.l_partkey = l1.l_partkey
+                  AND l2.l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l2.l_shipdate <  TIMESTAMP '1996-01-01'))
+        ORDER BY s_suppkey
+    """)
+
+
+_Q133_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l1.l_suppkey
+    FROM (SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-01-01'
+          GROUP BY l_suppkey, l_partkey) l1
+    WHERE l1.qty >= 60 AND l1.qty > (
+        SELECT 0.5 * SUM(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l2.l_shipdate <  TIMESTAMP '1996-01-01'))
+ORDER BY s_suppkey
+"""
+
+
+def q134_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — uncorrelated scalar subquery + NOT EXISTS:
+    above-average-balance customers with no order since 2000, rolled up
+    by market segment. Catalyst turns the scalar average into a
+    one-row broadcast and the NOT EXISTS into a left-anti join on
+    o_custkey with the date filter pushed below it. The average is
+    computed over exact integer cents (ROUND(bal*100) summed as
+    BIGINT, then one double division), so the threshold double is
+    bit-identical across engines — no decimal-vs-double AVG drift."""
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("q134_c")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q134_o")
+    return spark.sql("""
+        SELECT c_mktsegment,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS totacctbal
+        FROM q134_c c
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS DOUBLE)
+                   / (100.0 * COUNT(*))
+            FROM q134_c WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM q134_o o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """)
+
+
+_Q134_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * COUNT(*))
+    FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def q131_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio bytes through the full multimodal path: deterministic
     int16 PCM from an md5 stream over doc text → REAL WAV encode
@@ -5482,6 +5585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_jpeg_roundtrip": q130_jpeg_roundtrip,
         "q131_wav_roundtrip": q131_wav_roundtrip,
         "q132_gif_roundtrip": q132_gif_roundtrip,
+        "q133_dominant_supplier": q133_dominant_supplier,
+        "q134_dormant_customers": q134_dormant_customers,
     }
     return base
 
@@ -5623,4 +5728,6 @@ def oracle_sql() -> dict[str, str]:
         "q130_jpeg_roundtrip": _Q130_SQL,
         "q131_wav_roundtrip": _Q131_SQL,
         "q132_gif_roundtrip": _Q132_SQL,
+        "q133_dominant_supplier": _Q133_SQL,
+        "q134_dormant_customers": _Q134_SQL,
     }

@@ -172,11 +172,12 @@ def test_truncated_idat():
 
 
 def test_decode_image_unsupported_format_raises():
-    # JPEG is now a real codec (sources/jpeg.py); WebP/GIF stay gated
+    # JPEG and GIF are real codecs now (sources/jpeg.py, sources/gif.py);
+    # WebP/BMP stay gated
     with pytest.raises(NotImplementedError, match="no stdlib codec"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp")
     with pytest.raises(NotImplementedError, match="no stdlib codec"):
-        decode_image(b"GIF89a rest", "image/gif")
+        decode_image(b"BM\x00\x00 bmp-ish", "image/bmp")
 
 
 def test_to_rgb_shapes():
