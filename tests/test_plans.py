@@ -316,12 +316,18 @@ def test_q118_q120_subqueries_decorrelate_to_joins(spark, sf_dir):
     """Correlated scalar / EXISTS / NOT-IN subqueries must rewrite into
     joins: zero BroadcastNestedLoopJoin (the fallback a failed
     decorrelation plans) and zero Python anywhere."""
-    for name in ("q118_small_quantity_revenue", "q119_waiting_supplier",
-                 "q120_parts_supplier_counts"):
+    for name, min_joins in (("q118_small_quantity_revenue", 2),
+                            ("q119_waiting_supplier", 2),
+                            ("q120_parts_supplier_counts", 2),
+                            ("q133_dominant_supplier", 2),
+                            # q134's scalar average runs as a one-row
+                            # subquery stage; the NOT EXISTS is the join
+                            ("q134_dormant_customers", 1)):
         df = workload.queries()[name](spark, sf_dir)
         s = summarize_plan(df)
         assert s.n_broadcast_nl_joins == 0, (name, s.text)
-        assert s.n_broadcast_joins + s.n_sortmerge_joins >= 2, (name, s.text)
+        assert s.n_broadcast_joins + s.n_sortmerge_joins >= min_joins, \
+            (name, s.text)
         assert_no_python_in_plan(df)
 
 
