@@ -74,6 +74,7 @@ def _maybe_combined_loader(spark: SparkSession, dt: str, row: pd.Series,
             from openpolicedata_spark.sources.excel import ExcelLoader
 
             return ExcelLoader(spark, sheet_filter=child.get("sheets"),
+                               member=member,
                                **dict(kwargs, url=child_url))
         return CsvLoader(spark, member=member,
                          **dict(kwargs, url=child_url))
@@ -118,9 +119,17 @@ def _make_loader(spark: SparkSession, row: pd.Series) -> DataLoader:
 
         return JsonLoader(spark, **kwargs)
     if dt == defs.DataType.EXCEL.value:
+        from openpolicedata_spark.sources.dataset_id import (
+            parse_excel_dataset,
+        )
         from openpolicedata_spark.sources.excel import ExcelLoader
 
-        return ExcelLoader(spark, **kwargs)
+        # scalar dataset_id = sheet name(s) or zip member (reference
+        # excel.py:70 parse_excel_dataset)
+        sheets, member = parse_excel_dataset(
+            ".zip" in (row["URL"] or "").lower(), row.get("dataset_id"))
+        return ExcelLoader(spark, sheet_filter=sheets, member=member,
+                           **kwargs)
     if dt == defs.DataType.HTML.value:
         from openpolicedata_spark.sources.html import HtmlLoader
 

@@ -187,7 +187,8 @@ class ExcelLoader(DataLoader):
                  agency_field: Optional[str] = None,
                  query: Optional[dict] = None,
                  sheets: Optional[dict[str, pd.DataFrame]] = None,
-                 sheet_filter: Optional[list[str]] = None):
+                 sheet_filter: Optional[list[str]] = None,
+                 member: Optional[str] = None):
         super().__init__(spark)
         self.url = url
         self.date_field = date_field
@@ -195,9 +196,63 @@ class ExcelLoader(DataLoader):
         self.query = query or {}
         self._sheets = sheets
         self.sheet_filter = sheet_filter
+        # workbook-inside-zip selection (reference excel.py:69-82:
+        # dataset_id names the member; a single-member archive needs no
+        # name; multiple members without one is an error)
+        self.member = member
 
     def isfile(self) -> bool:
         return True
+
+    def _workbook_from_zip(self):
+        """Workbook bytes out of a zip archive. Remote archives read the
+        one member over HTTP Range requests (sources/httpio, the
+        reference's UrlIoContextManager+ZipFile path) and fall back to a
+        full download when the server can't serve ranges."""
+        import io
+        import zipfile
+
+        def pick(names: list[str]) -> str:
+            if self.member:
+                if self.member in names:
+                    return self.member
+                base = self.member.lower()
+                hits = [n for n in names
+                        if n.rsplit("/", 1)[-1].lower() == base]
+                if len(hits) != 1:
+                    raise ValueError(
+                        f"Unable to find file {self.member} in {self.url}")
+                return hits[0]
+            if len(names) > 1:
+                raise ValueError(
+                    f"More than one file found in zip file at {self.url}."
+                    " One file must be specified if there is more than"
+                    " one file.")
+            if not names:
+                raise ValueError(f"empty zip archive at {self.url}")
+            return names[0]
+
+        if self.url.startswith(("http://", "https://")):
+            from openpolicedata_spark.sources.httpio import (
+                HttpIOError,
+                HttpRangeFile,
+            )
+
+            try:
+                with HttpRangeFile(self.url, block_size=256 * 1024) as f:
+                    with zipfile.ZipFile(f) as z:
+                        return io.BytesIO(z.read(pick(z.namelist())))
+            except HttpIOError:
+                import urllib.request
+
+                req = urllib.request.Request(
+                    self.url, headers={"User-Agent": "Mozilla/5.0"})
+                with urllib.request.urlopen(req) as r:
+                    blob = io.BytesIO(r.read())
+                with zipfile.ZipFile(blob) as z:
+                    return io.BytesIO(z.read(pick(z.namelist())))
+        with zipfile.ZipFile(self.url) as z:
+            return io.BytesIO(z.read(pick(z.namelist())))
 
     @staticmethod
     def _maybe_decrypt(path_or_buf):
@@ -253,7 +308,9 @@ class ExcelLoader(DataLoader):
     def _raw_sheets(self) -> dict[str, pd.DataFrame]:
         if self._sheets is not None:
             return self._sheets
-        src = self._maybe_decrypt(self.url)
+        source = (self._workbook_from_zip()
+                  if ".zip" in self.url.lower() else self.url)
+        src = self._maybe_decrypt(source)
         # legacy BIFF sniff: a plain .xls is a CFB container (an encrypted
         # workbook has already been decrypted to OOXML zip bytes above)
         if isinstance(src, str):

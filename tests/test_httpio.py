@@ -242,3 +242,88 @@ def test_dataset_id_zip_member_routes_to_csv_member(spark):
     kids = loader.children
     assert [k.member for k in kids] == ["a.csv", "b.csv"]
     assert all(k.url == "http://example.test/archive.zip" for k in kids)
+
+
+# ------------------------------------------------- ExcelLoader zip path
+
+def _xlsx_zip(members: dict[str, dict]) -> bytes:
+    """Zip archive whose members are real xlsx workbooks (built by the
+    test_native_parsers SpreadsheetML writer)."""
+    from tests.test_native_parsers import make_xlsx
+
+    return _zip_with({name: make_xlsx(sheets)
+                      for name, sheets in members.items()})
+
+
+_SHEET = {"Data": [["a", "b"], [1, 2], [3, 4]]}
+
+
+def test_excel_loader_zip_member_over_ranges(spark, serve):
+    from openpolicedata_spark.sources.excel import ExcelLoader
+
+    from tests.test_native_parsers import make_xlsx
+
+    rng_local = np.random.default_rng(9)
+    pad = rng_local.integers(0, 256, size=2_000_000,
+                             dtype=np.uint8).tobytes()
+    blob = _zip_with({"padding.bin": pad,
+                      "reports/Y2020.xlsx": make_xlsx(_SHEET)})
+    srv, url = serve(blob)
+    df = ExcelLoader(spark, url=url, member="Y2020.xlsx").load()
+    assert df.count() == 2
+    assert srv.bytes_served < 600_000  # ranges, not the 2 MB archive
+
+
+def test_excel_loader_zip_single_member_default(spark, serve):
+    from tests.test_native_parsers import make_xlsx
+
+    from openpolicedata_spark.sources.excel import ExcelLoader
+
+    blob = _zip_with({"only.xlsx": make_xlsx(_SHEET)})
+    srv, url = serve(blob)
+    assert ExcelLoader(spark, url=url).load().count() == 2
+
+
+def test_excel_loader_zip_multi_member_requires_selection(spark, serve):
+    from tests.test_native_parsers import make_xlsx
+
+    from openpolicedata_spark.sources.excel import ExcelLoader
+
+    blob = _zip_with({"a.xlsx": make_xlsx(_SHEET),
+                      "b.xlsx": make_xlsx(_SHEET)})
+    srv, url = serve(blob, allow_range=False)  # also covers the fallback
+    with pytest.raises(ValueError, match="More than one file"):
+        ExcelLoader(spark, url=url).load()
+    assert ExcelLoader(spark, url=url, member="b.xlsx").load().count() == 2
+    with pytest.raises(ValueError, match="Unable to find"):
+        ExcelLoader(spark, url=url, member="ghost.xlsx").load()
+
+
+def test_excel_loader_local_zip(spark, tmp_path):
+    from tests.test_native_parsers import make_xlsx
+
+    from openpolicedata_spark.sources.excel import ExcelLoader
+
+    p = tmp_path / "arch.zip"
+    p.write_bytes(_zip_with({"wb.xlsx": make_xlsx(_SHEET)}))
+    assert ExcelLoader(spark, url=str(p)).load().count() == 2
+
+
+def test_scalar_excel_dataset_id_routes_sheets_and_member(spark):
+    """Reference excel.py:70: a scalar dataset_id is a zip member name
+    for zip URLs and a sheet filter otherwise — previously dropped."""
+    import pandas as pd
+
+    from openpolicedata_spark.data import _make_loader
+
+    base = {"date_field": None, "agency_field": None, "query": None}
+    row = pd.Series({**base, "DataType": "Excel",
+                     "URL": "http://x.test/arch.zip",
+                     "dataset_id": "inner.xlsx"})
+    ld = _make_loader(spark, row)
+    assert ld.member == "inner.xlsx" and ld.sheet_filter is None
+    row = pd.Series({**base, "DataType": "Excel",
+                     "URL": "http://x.test/file.xlsx",
+                     "dataset_id": "2020"})
+    ld = _make_loader(spark, row)
+    assert ld.sheet_filter == ["2020"] and ld.member is None
