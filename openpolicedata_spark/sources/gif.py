@@ -344,6 +344,10 @@ def encode_gif(frames: list[np.ndarray], palette: np.ndarray,
     for fi, frame in enumerate(frames):
         if frame.shape != (h, w):
             raise GifError("all frames must share the canvas size")
+        if int(frame.max(initial=0)) >= n_colors:
+            raise GifError(
+                f"frame {fi} uses index {int(frame.max())} outside the "
+                f"{n_colors}-entry palette")
         if delays is not None:
             out += bytes([0x21, 0xF9, 4, 0x04])  # GCE, disposal=1
             out += struct.pack("<H", delays[fi] if fi < len(delays) else 0)

@@ -346,3 +346,9 @@ def test_decode_video_and_image_dispatch():
     assert np.array_equal(still[:, :, 0], fs[0])
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         decode_video(b"\x00\x00\x00\x20ftypisom rest", "video/mp4")
+
+
+def test_encode_gif_rejects_out_of_palette_indices():
+    pal = gray_palette(4)
+    with pytest.raises(GifError, match="outside"):
+        encode_gif([np.full((2, 2), 7, dtype=np.uint8)], pal)

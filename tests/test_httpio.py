@@ -327,3 +327,31 @@ def test_scalar_excel_dataset_id_routes_sheets_and_member(spark):
                      "dataset_id": "2020"})
     ld = _make_loader(spark, row)
     assert ld.sheet_filter == ["2020"] and ld.member is None
+
+
+def test_excel_loader_encrypted_workbook_inside_zip(spark, serve):
+    """Compose the layers: a VelvetSweatshop standard-encrypted workbook
+    inside a remote zip — range fetch → CFB sniff → AES decrypt →
+    stdlib xlsx parse → Spark."""
+    from tests.test_msoffice_crypto import encrypt_standard
+    from tests.test_native_parsers import make_xlsx
+
+    from openpolicedata_spark.sources.excel import ExcelLoader
+
+    enc = encrypt_standard(make_xlsx(_SHEET))
+    srv, url = serve(_zip_with({"enc.xlsx": enc}))
+    df = ExcelLoader(spark, url=url).load()
+    assert df.count() == 2
+
+
+def test_excel_loader_rc4_xls_inside_zip(spark, serve):
+    """Legacy RC4-encrypted .xls inside a remote zip — the deepest
+    nesting of the new paths (ranges → zip → CFB → RC4 → BIFF8)."""
+    from tests.test_xls_rc4 import _encrypted_workbook
+
+    from openpolicedata_spark.sources.excel import ExcelLoader
+
+    blob, _ = _encrypted_workbook(scheme="std", n_rows=4)
+    srv, url = serve(_zip_with({"legacy.xls": blob}))
+    df = ExcelLoader(spark, url=url).load()
+    assert df.count() == 3  # row 0 is the header
