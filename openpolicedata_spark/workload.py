@@ -5391,6 +5391,165 @@ ORDER BY c_mktsegment
 """
 
 
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def q135_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-rule quality filtering (Rae et al. 2021 §A1.1 —
+    the rule TABLE, not a blended score like q31): word-count bounds,
+    mean-word-length band, alphabetic-word fraction, stopword presence,
+    bullet-line fraction, symbol-to-word ratio, and the AND of all.
+    Pure expression pipeline (split/filter/transform HOFs + length
+    arithmetic), zero Python, no shuffle — one narrow projection per
+    document, which is the only shape that survives a 100 TB corpus.
+    All metrics are integer-derived, so the rule booleans replay
+    exactly in SQL."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda x: x != F.lit(""))
+    lines = F.filter(F.split(F.col("text"), "\n"),
+                     lambda x: F.trim(x) != F.lit(""))
+    t = d.select(
+        "doc_id", "text",
+        F.size(toks).alias("n_words"),
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+        .alias("n_alpha"),
+        F.size(F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]))).alias("n_stop"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.filter(lines, lambda x:
+                        F.ltrim(x).startswith("-")
+                        | F.ltrim(x).startswith("*"))).alias("n_bullet"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        .alias("n_nonspace"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"),
+                                               F.lit("")))).alias("n_hash"),
+        ((F.length("text")
+          - F.length(F.replace(F.col("text"), F.lit("..."), F.lit(""))))
+         / F.lit(3)).cast("long").alias("n_ellipsis"),
+    )
+    nw = F.col("n_words").cast("double")
+    mwl = F.col("n_nonspace") / nw
+    rules = {
+        "wc_ok": (F.col("n_words") >= 30) & (F.col("n_words") <= 100000),
+        "mwl_ok": (mwl >= 3.0) & (mwl <= 4.5),
+        "alpha_ok": (F.col("n_alpha") / nw) >= 0.8,
+        "stop_ok": F.col("n_stop") >= 1,
+        "bullet_ok": (F.col("n_bullet") / F.col("n_lines").cast("double"))
+        < 0.9,
+        "sym_ok": ((F.col("n_hash") + F.col("n_ellipsis")) / nw) < 0.1,
+    }
+    guarded = {k: F.coalesce(v, F.lit(False)).alias(k)
+               for k, v in rules.items()}
+    keep = F.lit(True)
+    for k in rules:
+        keep = keep & F.coalesce(rules[k], F.lit(False))
+    return t.select(
+        "doc_id", "n_words",
+        F.round(mwl, 6).alias("mean_word_len"),
+        *guarded.values(),
+        keep.alias("keep"),
+    )
+
+
+_Q135_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(trim(text), '\s+'),
+                x -> x <> '') AS toks,
+    list_filter(str_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_intersect(list_transform(toks, x -> lower(x)),
+        ['the','be','to','of','and','that','have','with'])) AS n_stop,
+    len(lines) AS n_lines,
+    len(list_filter(lines, x -> starts_with(ltrim(x), '-')
+                              OR starts_with(ltrim(x), '*'))) AS n_bullet,
+    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis
+  FROM t),
+r AS (
+  SELECT doc_id, n_words,
+    CASE WHEN n_words > 0
+         THEN CAST(n_nonspace AS DOUBLE) / n_words END AS mwl,
+    COALESCE(n_words >= 30 AND n_words <= 100000, FALSE) AS wc_ok,
+    COALESCE(CAST(n_nonspace AS DOUBLE) / n_words >= 3.0
+             AND CAST(n_nonspace AS DOUBLE) / n_words <= 4.5,
+             FALSE) AS mwl_ok,
+    COALESCE(CAST(n_alpha AS DOUBLE) / n_words >= 0.8, FALSE) AS alpha_ok,
+    COALESCE(n_stop >= 1, FALSE) AS stop_ok,
+    COALESCE(CAST(n_bullet AS DOUBLE) / n_lines < 0.9, FALSE)
+        AS bullet_ok,
+    COALESCE(CAST(n_hash + n_ellipsis AS DOUBLE) / n_words < 0.1, FALSE)
+        AS sym_ok
+  FROM m)
+SELECT doc_id, n_words, ROUND(mwl, 6) AS mean_word_len,
+       wc_ok, mwl_ok, alpha_ok, stop_ok, bullet_ok, sym_ok,
+       (wc_ok AND mwl_ok AND alpha_ok AND stop_ok AND bullet_ok
+        AND sym_ok) AS keep
+FROM r
+"""
+
+
+def q136_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multi-corpus sampling rule
+    behind Pile/ROOTS-style training mixes, alpha = 0.5): per-source
+    sampling rate ∝ sqrt(char mass) normalized by the largest source,
+    applied as a deterministic portable-hash threshold per document.
+    sqrt is IEEE-exact, so the rate doubles — and therefore every keep
+    decision — replay bit-identically in the oracle. Plan shape: one
+    20-row aggregate broadcast back onto the scan; the corpus itself
+    never shuffles (the groupBy aggregates map-side partials only)."""
+    from openpolicedata_spark.functions.text import md5lower64_expr
+
+    d = _read(spark, sf_dir, "documents")
+    mass = d.groupBy("source").agg(F.sum("n_chars").alias("mass"))
+    top = mass.agg(F.max("mass").alias("max_mass"))
+    rates = (mass.crossJoin(F.broadcast(top))
+             .select("source",
+                     (F.sqrt(F.col("mass").cast("double"))
+                      / F.sqrt(F.col("max_mass").cast("double")))
+                     .alias("rate")))
+    hk = F.pmod(md5lower64_expr(
+        F.concat(F.lit("tm1:"), F.col("doc_id").cast("string"))),
+        F.lit(1048576))
+    kept = (d.join(F.broadcast(rates), on="source")
+            .where(hk < F.floor(F.col("rate") * F.lit(1048576.0))
+                   .cast("long")))
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").alias("chars_kept"))
+            .join(F.broadcast(rates), on="source")
+            .select("source", "n_kept", "chars_kept",
+                    F.round("rate", 6).alias("rate"))
+            .orderBy("source"))
+
+
+_Q136_SQL = """
+WITH mass AS (
+  SELECT source, SUM(n_chars) AS mass FROM documents GROUP BY source),
+rates AS (
+  SELECT source,
+         sqrt(CAST(mass AS DOUBLE))
+           / sqrt(CAST((SELECT MAX(mass) FROM mass) AS DOUBLE)) AS rate
+  FROM mass),
+kept AS (
+  SELECT d.source, d.n_chars, r.rate
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE CAST(md5_number_lower('tm1:' || CAST(d.doc_id AS VARCHAR))
+             % 1048576 AS BIGINT)
+        < CAST(FLOOR(r.rate * 1048576.0) AS BIGINT))
+SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept,
+       ROUND(MAX(rate), 6) AS rate
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
 def q131_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio bytes through the full multimodal path: deterministic
     int16 PCM from an md5 stream over doc text → REAL WAV encode
@@ -5587,6 +5746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_gif_roundtrip": q132_gif_roundtrip,
         "q133_dominant_supplier": q133_dominant_supplier,
         "q134_dormant_customers": q134_dormant_customers,
+        "q135_gopher_rules": q135_gopher_rules,
+        "q136_temperature_mix": q136_temperature_mix,
     }
     return base
 
@@ -5730,4 +5891,6 @@ def oracle_sql() -> dict[str, str]:
         "q132_gif_roundtrip": _Q132_SQL,
         "q133_dominant_supplier": _Q133_SQL,
         "q134_dormant_customers": _Q134_SQL,
+        "q135_gopher_rules": _Q135_SQL,
+        "q136_temperature_mix": _Q136_SQL,
     }

@@ -359,3 +359,22 @@ def test_q128_skew_audit_no_global_window(spark, sf_dir):
     assert "Window" not in t, t
     assert "TakeOrderedAndProject" in t
     assert_no_python_in_plan(df)
+
+
+def test_q135_gopher_rules_zero_exchange_no_python(spark, sf_dir):
+    """The rule table is one narrow projection: no shuffle at any scale,
+    all HOF/regex expression work, zero Python."""
+    df = workload.queries()["q135_gopher_rules"](spark, sf_dir)
+    assert_max_exchanges(df, 0)
+    assert_no_python_in_plan(df)
+
+
+def test_q136_temperature_mix_corpus_never_shuffles_rows(spark, sf_dir):
+    """Rates broadcast onto the scan; the only exchanges carry 20-row
+    source aggregates / partials, never corpus rows: the corpus-side
+    joins must all be broadcast (no sort-merge), zero Python."""
+    df = workload.queries()["q136_temperature_mix"](spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_broadcast_joins >= 2, s.text
+    assert s.n_sortmerge_joins == 0, s.text
+    assert_no_python_in_plan(df)
