@@ -5550,6 +5550,89 @@ FROM kept GROUP BY source ORDER BY source
 """
 
 
+def q137_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup — the image face of the LSH dedup
+    family, pinned end to end through the REAL codec: deterministic
+    grayscale 8x8 images (64 md5-stream bytes per doc; docs sharing
+    `doc_id % 50` share a base image, and `doc_id % 5 != 0` gets one
+    cell blown to 255) → real PNG encode → `image_dup_pairs` with the
+    real decoder (decode → average-hash → pigeonhole-blocked hamming
+    join; the shuffle carries 64-bit hashes, never pixels).
+
+    Exactness: channels are equal, so the ahash grayscale values are
+    small integers and the mean is an exact power-of-two division —
+    every threshold bit, and therefore every hash and every hamming
+    pair, replays bit-identically in the oracle (which rebuilds the
+    pixels from the md5 hex and does the all-pairs bit_count join)."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import (
+        image_dup_pairs,
+        real_decode,
+    )
+    from openpolicedata_spark.sources.png import encode_png
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed = f"img:{did % 50}"
+                raw = b"".join(
+                    _hl.md5((seed + str(i)).encode()).digest()
+                    for i in range(4))
+                v = np.frombuffer(raw, dtype=np.uint8).copy().reshape(8, 8)
+                if did % 5:
+                    j = did % 64
+                    v[j // 8, j % 8] = 255
+                px = np.stack([v] * 3, axis=-1)
+                rows.append((did, encode_png(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.mapInPandas(gen, "media_id long, content binary")
+    return image_dup_pairs(media, max_hamming=3,
+                           decode=real_decode).orderBy("id_a", "id_b")
+
+
+_Q137_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    md5('img:' || CAST(doc_id % 50 AS VARCHAR) || '0')
+      || md5('img:' || CAST(doc_id % 50 AS VARCHAR) || '1')
+      || md5('img:' || CAST(doc_id % 50 AS VARCHAR) || '2')
+      || md5('img:' || CAST(doc_id % 50 AS VARCHAR) || '3') AS hex
+  FROM documents),
+cells AS (
+  SELECT b.doc_id, t.j,
+    CASE WHEN b.doc_id % 5 <> 0 AND t.j = b.doc_id % 64 THEN 255
+         ELSE CAST(('0x' || substr(b.hex, t.j * 2 + 1, 2)) AS INTEGER)
+    END AS v
+  FROM base b, range(64) t(j)),
+means AS (
+  SELECT doc_id, CAST(SUM(v) AS DOUBLE) / 64.0 AS m
+  FROM cells GROUP BY doc_id),
+hashes AS (
+  SELECT c.doc_id,
+    CAST(COALESCE(SUM(CASE WHEN c.v > m.m
+                           THEN CAST(1 AS HUGEINT) << c.j END), 0)
+         - CASE WHEN MAX(CASE WHEN c.v > m.m AND c.j = 63
+                              THEN 1 ELSE 0 END) = 1
+                THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END
+         AS BIGINT) AS h
+  FROM cells c JOIN means m ON c.doc_id = m.doc_id
+  GROUP BY c.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q131_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio bytes through the full multimodal path: deterministic
     int16 PCM from an md5 stream over doc text → REAL WAV encode
@@ -5748,6 +5831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_dormant_customers": q134_dormant_customers,
         "q135_gopher_rules": q135_gopher_rules,
         "q136_temperature_mix": q136_temperature_mix,
+        "q137_image_dup_pairs": q137_image_dup_pairs,
     }
     return base
 
@@ -5893,4 +5977,5 @@ def oracle_sql() -> dict[str, str]:
         "q134_dormant_customers": _Q134_SQL,
         "q135_gopher_rules": _Q135_SQL,
         "q136_temperature_mix": _Q136_SQL,
+        "q137_image_dup_pairs": _Q137_SQL,
     }
