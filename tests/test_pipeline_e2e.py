@@ -110,3 +110,66 @@ def test_pipeline_is_deterministic(spark, docs):
     a = _run_pipeline(spark, docs)
     b = _run_pipeline(spark, docs)
     assert a == b
+
+
+def test_pipeline_media_branch_real_codecs(spark, docs):
+    """The multimodal sibling of the text pipeline, on REAL codec bytes:
+    generate a PNG per doc (grayscale, shared base per doc_id%25 with a
+    per-doc perturbation), ride it through attach_payload →
+    image_dup_pairs(real decoder) → connected near-dup groups → keep
+    one representative per group — and assert the dedup actually
+    collapses the planted duplicate families while never inventing or
+    losing a media id."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from openpolicedata_spark.operators.multimodal import (
+        attach_payload,
+        image_dup_pairs,
+        real_decode,
+    )
+    from openpolicedata_spark.sources.png import encode_png
+
+    base = docs.select("doc_id").where(F.col("doc_id") < 200)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                raw = b"".join(
+                    hashlib.md5(f"e2e:{did % 25}{i}".encode()).digest()
+                    for i in range(4))
+                v = np.frombuffer(raw, np.uint8).copy().reshape(8, 8)
+                if did % 5:
+                    v[(did % 64) // 8, (did % 64) % 8] = 255
+                rows.append((did,
+                             encode_png(np.stack([v] * 3, axis=-1))))
+            yield pd.DataFrame(rows, columns=["raw_id", "payload"])
+
+    blobs = base.mapInPandas(gen, "raw_id long, payload binary")
+    media = attach_payload(blobs, "payload", "raw_id", mime="image/png")
+    n_media = media.count()
+    pairs = image_dup_pairs(media, max_hamming=3, decode=real_decode)
+
+    # group via the dedup family's connected components
+    from openpolicedata_spark.operators.dedup import dup_clusters
+
+    comp = dup_clusters(pairs)  # (doc_id, cluster_id = min of component)
+    # keep one representative per component; singletons keep themselves
+    reps = (media.select(F.col("media_id"))
+            .join(comp.withColumnRenamed("doc_id", "media_id"),
+                  on="media_id", how="left")
+            .withColumn("grp", F.coalesce("cluster_id", "media_id"))
+            .groupBy("grp").agg(F.min("media_id").alias("keep_id")))
+    n_groups = reps.count()
+    # the 25 base families must collapse far below the 200 inputs, and
+    # nothing is invented
+    assert n_media == 200
+    assert n_groups < n_media
+    assert n_groups >= 25  # can't collapse below the family count
+    kept_ids = {r["keep_id"] for r in reps.collect()}
+    all_ids = {r["media_id"] for r in media.select("media_id").collect()}
+    assert kept_ids <= all_ids
