@@ -5633,6 +5633,88 @@ ORDER BY id_a, id_b
 """
 
 
+def q138_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features THROUGH the real codec (q62 computes them over
+    raw codec-free PCM; this decodes actual WAV containers first):
+    md5-stream int16 PCM → encode_wav → decode_audio → de-normalize →
+    RMS / peak / zero-crossings. Exactness discipline: the energy sum
+    is an exact integer (Σ s² ≤ 64·2³⁰ < 2⁵³), so
+    rms = sqrt(Σs² / (64·2³⁰)) is one IEEE sqrt of one IEEE divide —
+    bit-identical in the oracle, which re-derives the samples from the
+    md5 hex (little-endian signed int16) and replays the integer
+    aggregates over an unnested position join."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import decode_audio
+    from openpolicedata_spark.sources.wav import encode_wav
+
+    d = _read(spark, sf_dir, "documents")
+
+    def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = b"".join(
+                    _hl.md5(text.encode("utf-8") + str(i).encode()).digest()
+                    for i in range(8))
+                pcm = np.frombuffer(raw, dtype="<i2")
+                rate, norm = decode_audio(encode_wav(pcm, 16_000),
+                                          "audio/wav")
+                s = np.rint(norm[:, 0] * 32768.0).astype(np.int64)
+                sum_sq = int((s * s).sum())
+                rms = float(np.sqrt(sum_sq / (64.0 * 1073741824.0)))
+                peak = int(np.abs(s).max())
+                signs = s >= 0
+                zc = int((signs[1:] != signs[:-1]).sum())
+                rows.append((did, len(s), round(len(s) / rate, 6),
+                             round(rms, 6), peak, zc))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "duration_s", "rms", "peak",
+                "zero_crossings"])
+
+    return d.select("doc_id", "text").mapInPandas(
+        compute, "doc_id long, n_samples int, duration_s double, "
+                 "rms double, peak long, zero_crossings long")
+
+
+_Q138_SQL = ("""
+WITH hexes AS (
+  SELECT doc_id, """
+             + " || ".join(f"md5(text || '{i}')" for i in range(8))
+             + """ AS hx
+  FROM documents),
+samples AS (
+  SELECT h.doc_id, t.j,
+    CASE WHEN CAST(('0x' || substr(h.hx, t.j * 4 + 1, 2)) AS INTEGER)
+              + 256 * CAST(('0x' || substr(h.hx, t.j * 4 + 3, 2))
+                           AS INTEGER) >= 32768
+         THEN CAST(('0x' || substr(h.hx, t.j * 4 + 1, 2)) AS INTEGER)
+              + 256 * CAST(('0x' || substr(h.hx, t.j * 4 + 3, 2))
+                           AS INTEGER) - 65536
+         ELSE CAST(('0x' || substr(h.hx, t.j * 4 + 1, 2)) AS INTEGER)
+              + 256 * CAST(('0x' || substr(h.hx, t.j * 4 + 3, 2))
+                           AS INTEGER)
+    END AS s
+  FROM hexes h, range(64) t(j)),
+lagged AS (
+  SELECT doc_id, j, s,
+    LAG(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev_s
+  FROM samples)
+SELECT doc_id,
+  CAST(64 AS INTEGER) AS n_samples,
+  ROUND(64.0 / 16000.0, 6) AS duration_s,
+  ROUND(sqrt(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE)
+             / (64.0 * 1073741824.0)), 6) AS rms,
+  CAST(MAX(abs(s)) AS BIGINT) AS peak,
+  CAST(SUM(CASE WHEN prev_s IS NOT NULL
+                 AND ((s >= 0) <> (prev_s >= 0)) THEN 1 ELSE 0 END)
+       AS BIGINT) AS zero_crossings
+FROM lagged GROUP BY doc_id
+""")
+
+
 def q131_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio bytes through the full multimodal path: deterministic
     int16 PCM from an md5 stream over doc text → REAL WAV encode
@@ -5832,6 +5914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_gopher_rules": q135_gopher_rules,
         "q136_temperature_mix": q136_temperature_mix,
         "q137_image_dup_pairs": q137_image_dup_pairs,
+        "q138_wav_features": q138_wav_features,
     }
     return base
 
@@ -5978,4 +6061,5 @@ def oracle_sql() -> dict[str, str]:
         "q135_gopher_rules": _Q135_SQL,
         "q136_temperature_mix": _Q136_SQL,
         "q137_image_dup_pairs": _Q137_SQL,
+        "q138_wav_features": _Q138_SQL,
     }
