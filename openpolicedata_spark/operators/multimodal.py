@@ -78,6 +78,7 @@ def decode_image(content: bytes, mime: str) -> "np.ndarray":
     raise — clearly-marked gate, not a silent fallback. Dispatch is
     by magic bytes, not the mime hint, so a mislabeled payload can't
     route to the wrong parser."""
+    from openpolicedata_spark.sources import bmp as _bmp
     from openpolicedata_spark.sources import gif as _gif
     from openpolicedata_spark.sources import jpeg as _jpeg
     from openpolicedata_spark.sources import png as _png
@@ -92,10 +93,12 @@ def decode_image(content: bytes, mime: str) -> "np.ndarray":
         return img
     if b[:6] in _gif.GIF_SIGNATURES:
         return _gif.decode_gif(b)[0][0]  # first frame as the still
+    if b[:2] == _bmp.BMP_SIGNATURE:
+        return _bmp.decode_bmp(b)
     raise NotImplementedError(
         f"no stdlib codec for {mime!r} (magic {b[:4]!r}); PNG, "
-        "baseline JPEG, and GIF are supported natively, other formats "
-        "need Pillow/cv2")
+        "baseline JPEG, GIF, and BMP are supported natively, other "
+        "formats need Pillow/cv2")
 
 
 def decode_video(content: bytes,

@@ -172,12 +172,12 @@ def test_truncated_idat():
 
 
 def test_decode_image_unsupported_format_raises():
-    # JPEG and GIF are real codecs now (sources/jpeg.py, sources/gif.py);
-    # WebP/BMP stay gated
+    # JPEG/GIF/BMP are real codecs now (sources/jpeg.py, gif.py,
+    # bmp.py); WebP/TIFF stay gated
     with pytest.raises(NotImplementedError, match="no stdlib codec"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp")
     with pytest.raises(NotImplementedError, match="no stdlib codec"):
-        decode_image(b"BM\x00\x00 bmp-ish", "image/bmp")
+        decode_image(b"II*\x00 tiff-ish", "image/tiff")
 
 
 def test_to_rgb_shapes():
