@@ -5178,7 +5178,11 @@ def q129_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ))
             yield pd.DataFrame(rows, columns=["doc_id", "pix_md5", "png_ok"])
 
-    return d.select("doc_id", "text").mapInPandas(
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    # single-row-group parquet arrives as ONE partition; codec
+    # work is exactly the per-row-heavy case the rebalance exists for
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
         compute, "doc_id long, pix_md5 string, png_ok boolean")
 
 
@@ -5230,7 +5234,11 @@ def q130_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=["doc_id", "pix_md5", "jpeg_ok"])
 
-    return d.select("doc_id", "text").mapInPandas(
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    # single-row-group parquet arrives as ONE partition; codec
+    # work is exactly the per-row-heavy case the rebalance exists for
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
         compute, "doc_id long, pix_md5 string, jpeg_ok boolean")
 
 
@@ -5279,7 +5287,11 @@ def q132_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ))
             yield pd.DataFrame(rows, columns=["doc_id", "idx_md5", "gif_ok"])
 
-    return d.select("doc_id", "text").mapInPandas(
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    # single-row-group parquet arrives as ONE partition; codec
+    # work is exactly the per-row-heavy case the rebalance exists for
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
         compute, "doc_id long, idx_md5 string, gif_ok boolean")
 
 
@@ -5593,7 +5605,10 @@ def q137_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((did, encode_png(px)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    media = d.mapInPandas(gen, "media_id long, content binary")
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    media = rebalance(d).mapInPandas(
+        gen, "media_id long, content binary")
     return image_dup_pairs(media, max_hamming=3,
                            decode=real_decode).orderBy("id_a", "id_b")
 
@@ -5674,7 +5689,11 @@ def q138_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id", "n_samples", "duration_s", "rms", "peak",
                 "zero_crossings"])
 
-    return d.select("doc_id", "text").mapInPandas(
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    # single-row-group parquet arrives as ONE partition; codec
+    # work is exactly the per-row-heavy case the rebalance exists for
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
         compute, "doc_id long, n_samples int, duration_s double, "
                  "rms double, peak long, zero_crossings long")
 
@@ -5754,7 +5773,11 @@ def q131_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ))
             yield pd.DataFrame(rows, columns=["doc_id", "pcm_md5", "wav_ok"])
 
-    return d.select("doc_id", "text").mapInPandas(
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    # single-row-group parquet arrives as ONE partition; codec
+    # work is exactly the per-row-heavy case the rebalance exists for
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
         compute, "doc_id long, pcm_md5 string, wav_ok boolean")
 
 
