@@ -364,11 +364,34 @@ def image_ahash(df: DataFrame, content_col: str = "content",
         compute, schema=f"{id_col} long, ahash long")
 
 
+def ahash_chunk_exprs(n_chunks: int, nbits: int = 64,
+                      col: str = "ahash") -> list[Column]:
+    """Pigeonhole chunk expressions over a 64-bit perceptual hash: any
+    pair within `n_chunks - 1` hamming bits shares at least one exact
+    chunk. Shared by `image_dup_pairs` and `streaming.media_dedup_sink`
+    so batch and stream block identically."""
+    width = nbits // n_chunks
+    if width < 1:
+        raise ValueError(
+            f"{n_chunks} chunks need at least {n_chunks} bits but the "
+            f"hash has only {nbits}")
+    if n_chunks == 1 and nbits == 64:
+        # exact-hash equality; the full 64-bit "chunk" is the hash
+        # itself (a (1<<64)-1 mask would overflow a long literal)
+        return [F.col(col)]
+    mask = (1 << width) - 1
+    return [
+        F.shiftrightunsigned(F.col(col), k * width).bitwiseAND(F.lit(mask))
+        for k in range(n_chunks)
+    ]
+
+
 def image_dup_pairs(df: DataFrame, max_hamming: int = 3,
                     content_col: str = "content",
                     id_col: str = "media_id", grid: int = 8,
                     decode=None,
-                    max_bucket_size: Optional[int] = None) -> DataFrame:
+                    max_bucket_size: Optional[int] = None,
+                    hashes: Optional[DataFrame] = None) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash hamming distance —
     the image face of the text near-dedup family. Pigeonhole blocking
     (same shape as `dedup.simhash_dup_pairs`): split the `grid*grid`-bit
@@ -391,18 +414,12 @@ def image_dup_pairs(df: DataFrame, max_hamming: int = 3,
         raise ValueError(
             f"max_hamming={max_hamming} needs {n_chunks} chunks but the "
             f"hash has only {nbits} bits")
-    ah = image_ahash(df, content_col, id_col, grid, decode)
-    if n_chunks == 1 and nbits == 64:
-        # max_hamming=0: exact-hash equality; the full 64-bit "chunk" is
-        # the hash itself (a (1<<64)-1 mask would overflow a long literal)
-        chunk_exprs = [F.col("ahash")]
-    else:
-        mask = (1 << width) - 1
-        chunk_exprs = [
-            F.shiftrightunsigned(F.col("ahash"), k * width)
-             .bitwiseAND(F.lit(mask))
-            for k in range(n_chunks)
-        ]
+    # `hashes` lets a caller that already paid the decode (e.g.
+    # streaming.media_dedup_sink, which also indexes the hash) pass the
+    # (id, ahash) frame instead of decoding every payload twice
+    ah = (hashes if hashes is not None
+          else image_ahash(df, content_col, id_col, grid, decode))
+    chunk_exprs = ahash_chunk_exprs(n_chunks, nbits)
     chunks = ah.select(
         id_col, "ahash",
         F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk"),

@@ -675,3 +675,95 @@ def semantic_dedup_sink(stream_df: DataFrame, out_path: str,
         novel.write.mode("append").parquet(index_path)
 
     _run_merge_sink(stream_df, body, None, query_name, timeout_s)
+
+
+def media_dedup_sink(stream_df: DataFrame, out_path: str,
+                     index_path: str, max_hamming: int = 3,
+                     content_col: str = "content",
+                     id_col: str = "media_id", grid: int = 8,
+                     decode=None,
+                     query_name: str = "mediadedup",
+                     timeout_s: int = 300) -> None:
+    """Streaming perceptual media dedup: drop images within
+    `max_hamming` bits of anything ever admitted — the multimodal face
+    of `semantic_dedup_sink`, with a 16-byte-per-item index instead of
+    stored vectors.
+
+    Per micro-batch: perceptual-hash every payload ONCE
+    (`multimodal.image_ahash`, real codecs via `decode=real_decode` or
+    the injectable test stand-in), dedup WITHIN the batch
+    (`image_dup_pairs` blocking on the hashes already computed →
+    `dedup.dup_clusters`, smallest id survives), then check survivors
+    against the persisted (id, ahash) index using the SAME pigeonhole
+    chunk blocking (`multimodal.ahash_chunk_exprs` — batch and stream
+    block identically): explode both sides into chunks, equi-join on
+    (chunk_id, chunk), verify bit_count(xor) ≤ budget. Only novel items
+    append to the output and the index.
+
+    Scale: the index holds one long per admitted item — hamming
+    membership at billions of items is a broadcast-or-shuffle of
+    hashes, never pixels, and per batch the decode cost dominates.
+    Replay safety: a redelivered batch re-matches its own indexed
+    hashes at hamming 0, so the index never re-admits (no zero-norm
+    analog — identical hashes always match); out_path duplicates in
+    the at-least-once window between the two appends are the same
+    documented semantics as semantic_dedup_sink (dedup downstream on
+    the id or use a transactional format). A half-written index
+    directory (no data files) reads as empty instead of wedging the
+    stream."""
+    import glob as _glob
+    import os
+
+    from openpolicedata_spark.operators.dedup import dup_clusters
+    from openpolicedata_spark.operators.multimodal import (
+        ahash_chunk_exprs,
+        image_ahash,
+        image_dup_pairs,
+    )
+
+    spark = stream_df.sparkSession
+    n_chunks = max_hamming + 1
+    nbits = grid * grid
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        batch = batch.localCheckpoint(eager=True)
+        # decode + hash every payload ONCE; everything downstream works
+        # off the 64-bit hashes
+        ah = image_ahash(batch, content_col, id_col, grid,
+                         decode).localCheckpoint(eager=True)
+        # within-batch: smallest id survives each near-dup cluster
+        pairs = image_dup_pairs(batch, max_hamming, content_col,
+                                id_col, grid, decode, hashes=ah)
+        clusters = dup_clusters(pairs)
+        drop = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
+                .select(F.col("doc_id").alias(id_col)))
+        hashed = (batch.join(drop, on=id_col, how="left_anti")
+                  .join(ah, on=id_col))
+        have_index = (os.path.isdir(index_path)
+                      and _glob.glob(os.path.join(index_path, "*.parquet")))
+        if have_index:
+            idx = spark.read.parquet(index_path)
+            chunks = ahash_chunk_exprs(n_chunks, nbits)
+            bc = hashed.select(
+                id_col, "ahash",
+                F.posexplode(F.array(*chunks)).alias("chunk_id", "chunk"))
+            ic = idx.select(
+                F.col("ahash").alias("iah"),
+                F.posexplode(F.array(*ahash_chunk_exprs(n_chunks, nbits)))
+                .alias("chunk_id", "chunk"))
+            matched = (bc.join(ic, on=["chunk_id", "chunk"])
+                       .where(F.bit_count(
+                           F.col("ahash").bitwiseXOR(F.col("iah")))
+                           <= max_hamming)
+                       .select(id_col).distinct())
+            hashed = hashed.join(matched, on=id_col, how="left_anti")
+        novel = hashed.localCheckpoint(eager=True)
+        if not novel.head(1):
+            return
+        novel.drop("ahash").write.mode("append").parquet(out_path)
+        novel.select(id_col, "ahash").write.mode("append") \
+            .parquet(index_path)
+
+    _run_merge_sink(stream_df, body, None, query_name, timeout_s)

@@ -102,7 +102,8 @@ def test_sample_frames_jvm_side(spark):
     assert [(r.media_id, r.frame_index) for r in got] == [(1, 0), (1, 10), (1, 20)]
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_unknown_magic_gated():
+    # PNG/JPEG/GIF/BMP decode for real now; unknown magic stays a gate
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(b"x", "image/png")
 
@@ -215,7 +216,8 @@ def test_pcm_features_exact(spark):
     assert row.n_frames == 1  # 25ms @ 8kHz = 200-sample frames, 8 samples
 
 
-def test_decode_audio_is_stubbed():
+def test_decode_audio_compressed_gated():
+    # WAV decodes for real now; mp3/flac/ogg stay a gate
     import pytest as _pytest
 
     from openpolicedata_spark.operators.multimodal import decode_audio
@@ -682,3 +684,102 @@ def test_semantic_dedup_sink_zero_norm_not_readmitted(spark, tmp_path):
     admitted = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
     assert 10 not in admitted, "zero-norm re-admitted across batches"
     assert 1 in admitted and 2 in admitted and 11 in admitted
+
+
+def test_media_dedup_sink_real_codec_cross_batch(spark, tmp_path):
+    """Streaming perceptual media dedup on REAL PNG bytes: a batch-2
+    image within the hamming budget of a batch-1 image is dropped via
+    the persisted ahash index; fresh content survives; within-batch
+    near-copies keep the smallest id; a FULL replay re-admits nothing
+    (every admitted item matches its own indexed hash at hamming 0)."""
+    import numpy as np
+
+    from openpolicedata_spark.operators.multimodal import real_decode
+    from openpolicedata_spark.sources.png import encode_png
+    from openpolicedata_spark.streaming import media_dedup_sink
+
+    def img(pattern):
+        v = np.array(pattern, dtype=np.uint8).reshape(8, 8)
+        return encode_png(np.stack([v] * 3, axis=-1))
+
+    check = [[100, 200] * 4, [200, 100] * 4] * 4  # checkerboard
+    base = [x for row in check for x in row]
+    near = list(base)
+    near[0] = 200                          # exactly one ahash bit flips
+    far = [300 - x for x in base]          # inverted: ~64 bits away
+    # horizontal stripes: hamming 32 from both checkerboard phases
+    new = [x for row in ([[90] * 8, [210] * 8] * 4) for x in row]
+    near_new = list(new)
+    near_new[5] = 210
+
+    schema = "media_id long, content binary"
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, img(base)), (2, img(far))], schema)
+    b2 = spark.createDataFrame(
+        [(3, img(near)), (4, img(new)), (5, img(near_new))], schema)
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(f"{src}/*/"))
+        media_dedup_sink(stream, out, idx, max_hamming=3,
+                         decode=real_decode)
+
+    run()
+    kept = sorted(r.media_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 4], kept
+    assert spark.read.parquet(idx).count() == 3
+    # full replay (fresh ephemeral checkpoint): nothing re-admitted
+    run()
+    assert sorted(r.media_id
+                  for r in spark.read.parquet(out).collect()) == [1, 2, 4]
+    assert spark.read.parquet(idx).count() == 3
+
+
+def test_media_dedup_sink_batch_stream_parity(spark, tmp_path):
+    """The sink's keep-set equals the batch-mode formulation
+    (image_dup_pairs + dup_clusters over ALL rows at once) when
+    everything arrives in one batch."""
+    import numpy as np
+
+    from openpolicedata_spark.operators.dedup import dup_clusters
+    from openpolicedata_spark.operators.multimodal import (
+        image_dup_pairs,
+        real_decode,
+    )
+    from openpolicedata_spark.sources.png import encode_png
+    from openpolicedata_spark.streaming import media_dedup_sink
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(12):
+        v = rng.integers(0, 2, size=(8, 8)).astype(np.uint8) * 180 + 40
+        if i % 3 == 2:
+            # near-copy of the previous image
+            v = rows[-1][2].copy()
+            v[0, 0] = 255 - v[0, 0]
+        rows.append((i, encode_png(np.stack([v] * 3, -1)), v))
+    schema = "media_id long, content binary"
+    df = spark.createDataFrame([(i, b) for i, b, _ in rows], schema)
+
+    pairs = image_dup_pairs(df, max_hamming=3, decode=real_decode)
+    clusters = dup_clusters(pairs)
+    dropped = {r.doc_id for r in clusters.where(
+        F.col("doc_id") != F.col("cluster_id")).collect()}
+    batch_keep = sorted(set(range(12)) - dropped)
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "all"))
+    stream = (spark.readStream.schema(schema).parquet(f"{src}/*/"))
+    out, idx = str(tmp_path / "out2"), str(tmp_path / "idx2")
+    media_dedup_sink(stream, out, idx, max_hamming=3, decode=real_decode)
+    stream_keep = sorted(r.media_id
+                         for r in spark.read.parquet(out).collect())
+    assert stream_keep == batch_keep
