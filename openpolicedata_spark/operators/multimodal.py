@@ -346,14 +346,7 @@ def image_ahash(df: DataFrame, content_col: str = "content",
             def ah(b):
                 if b is None:
                     return None
-                px = dec(bytes(b), grid, grid).astype(np.float64)
-                g = px.mean(axis=2).ravel()[:nbits]
-                bits = g > g.mean()
-                v = 0
-                for i, bit in enumerate(bits):
-                    if bit:
-                        v |= 1 << i
-                return v - (1 << 64) if v >= 1 << 63 else v  # signed long
+                return ahash_of_pixels(dec(bytes(b), grid, grid), nbits)
 
             yield pd.DataFrame({
                 id_col: pdf[id_col],
@@ -362,6 +355,22 @@ def image_ahash(df: DataFrame, content_col: str = "content",
 
     return df.select(id_col, content_col).mapInPandas(
         compute, schema=f"{id_col} long, ahash long")
+
+
+def ahash_of_pixels(px: "np.ndarray", nbits: int = 64) -> int:
+    """The average-hash bit math shared by `image_ahash` and the
+    video frame-signature path (q139): channel-mean each cell,
+    threshold against the image mean (strict >), pack bits low-to-high
+    in raveled cell order, return a SIGNED 64-bit value. When channels
+    are equal and cells are integers the mean is an exact /nbits, so
+    the hash replays bit-identically in an external SQL oracle."""
+    g = px.astype(np.float64).mean(axis=2).ravel()[:nbits]
+    bits = g > g.mean()
+    v = 0
+    for i, bit in enumerate(bits):
+        if bit:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
 
 
 def ahash_chunk_exprs(n_chunks: int, nbits: int = 64,

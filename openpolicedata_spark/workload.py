@@ -5734,6 +5734,115 @@ FROM lagged GROUP BY doc_id
 """)
 
 
+def q139_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup via frame signatures, through the REAL container
+    codec: each document carries a 4-frame animated GIF (videos sharing
+    `doc_id % 40` share base frames; `doc_id % 3 != 0` perturbs one
+    frame), decoded with `decode_video` and perceptually hashed
+    per frame (`multimodal.ahash_of_pixels` — the image_ahash math).
+    Two videos are near-dups when they share ≥ 3 of 4 exact frame
+    hashes — the standard frame-signature approach to video dedup:
+    the join carries (frame_hash, video_id) LONGS, never frames, so at
+    100 TB the shuffle is signature-sized; a degenerate hash shared by
+    a whole corpus would need the LSH family's bucket cap, not present
+    here because families are construction-bounded.
+
+    Exactness: identity-palette GIF decodes to equal channels and
+    integer cells, so every frame hash (and thus every pair) replays
+    bit-identically in the oracle's SQL reconstruction."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.multimodal import (
+        ahash_of_pixels,
+        decode_video,
+    )
+    from openpolicedata_spark.sources.gif import encode_gif
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def frame_hashes(batches: "Iterator[pd.DataFrame]") \
+            -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                grids = []
+                for f in range(4):
+                    raw = b"".join(
+                        _hl.md5(f"vid:{did % 40}:{f}{i}".encode())
+                        .digest() for i in range(4))
+                    g = np.frombuffer(raw, dtype=np.uint8).copy() \
+                        .reshape(8, 8)
+                    if did % 3 and f == did % 4:
+                        g[(did % 64) // 8, (did % 64) % 8] = 255
+                    grids.append(g)
+                blob = encode_gif(grids, pal)
+                frames, _delays = decode_video(blob, "image/gif")
+                for f, fr in enumerate(frames):
+                    rows.append((did, f, ahash_of_pixels(fr)))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "frame_idx", "fhash"])
+
+    fh = rebalance(d).mapInPandas(
+        frame_hashes, "doc_id long, frame_idx int, fhash long")
+    a = fh.select(F.col("doc_id").alias("id_a"),
+                  F.col("fhash")).distinct()
+    b = fh.select(F.col("doc_id").alias("id_b"),
+                  F.col("fhash")).distinct()
+    return (a.join(b, on="fhash")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_frames"))
+            .where(F.col("shared_frames") >= 3)
+            .orderBy("id_a", "id_b"))
+
+
+_Q139_SQL = """
+WITH hexes AS (
+  SELECT d.doc_id, f.f,
+    md5('vid:' || CAST(d.doc_id % 40 AS VARCHAR) || ':'
+        || CAST(f.f AS VARCHAR) || '0')
+    || md5('vid:' || CAST(d.doc_id % 40 AS VARCHAR) || ':'
+        || CAST(f.f AS VARCHAR) || '1')
+    || md5('vid:' || CAST(d.doc_id % 40 AS VARCHAR) || ':'
+        || CAST(f.f AS VARCHAR) || '2')
+    || md5('vid:' || CAST(d.doc_id % 40 AS VARCHAR) || ':'
+        || CAST(f.f AS VARCHAR) || '3') AS hx
+  FROM documents d, range(4) f(f)),
+cells AS (
+  SELECT doc_id, f, t.j,
+    CASE WHEN doc_id % 3 <> 0 AND f = doc_id % 4 AND t.j = doc_id % 64
+         THEN 255
+         ELSE CAST(('0x' || substr(hx, t.j * 2 + 1, 2)) AS INTEGER)
+    END AS v
+  FROM hexes, range(64) t(j)),
+means AS (
+  SELECT doc_id, f, CAST(SUM(v) AS DOUBLE) / 64.0 AS m
+  FROM cells GROUP BY doc_id, f),
+hashes AS (
+  SELECT c.doc_id, c.f,
+    CAST(COALESCE(SUM(CASE WHEN c.v > m.m
+                           THEN CAST(1 AS HUGEINT) << c.j END), 0)
+         - CASE WHEN MAX(CASE WHEN c.v > m.m AND c.j = 63
+                              THEN 1 ELSE 0 END) = 1
+                THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END
+         AS BIGINT) AS fhash
+  FROM cells c JOIN means m ON c.doc_id = m.doc_id AND c.f = m.f
+  GROUP BY c.doc_id, c.f),
+dist AS (SELECT DISTINCT doc_id, fhash FROM hashes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS shared_frames
+FROM dist a JOIN dist b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q131_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio bytes through the full multimodal path: deterministic
     int16 PCM from an md5 stream over doc text → REAL WAV encode
@@ -5938,6 +6047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_temperature_mix": q136_temperature_mix,
         "q137_image_dup_pairs": q137_image_dup_pairs,
         "q138_wav_features": q138_wav_features,
+        "q139_video_dup_pairs": q139_video_dup_pairs,
     }
     return base
 
@@ -6085,4 +6195,5 @@ def oracle_sql() -> dict[str, str]:
         "q136_temperature_mix": _Q136_SQL,
         "q137_image_dup_pairs": _Q137_SQL,
         "q138_wav_features": _Q138_SQL,
+        "q139_video_dup_pairs": _Q139_SQL,
     }
