@@ -213,6 +213,11 @@ class ExcelLoader(DataLoader):
         import zipfile
 
         def pick(names: list[str]) -> str:
+            if "[Content_Types].xml" in names:
+                # the ".zip" in the URL was part of the workbook's own
+                # name: an .xlsx IS a zip (OOXML package) — treat the
+                # whole archive as the workbook, not as a container
+                return None
             if self.member:
                 if self.member in names:
                     return self.member
@@ -232,6 +237,12 @@ class ExcelLoader(DataLoader):
                 raise ValueError(f"empty zip archive at {self.url}")
             return names[0]
 
+        def extract(z: "zipfile.ZipFile", whole) -> "io.BytesIO":
+            member = pick(z.namelist())
+            if member is None:
+                return whole()          # the archive IS the workbook
+            return io.BytesIO(z.read(member))
+
         if self.url.startswith(("http://", "https://")):
             from openpolicedata_spark.sources.httpio import (
                 HttpIOError,
@@ -241,7 +252,9 @@ class ExcelLoader(DataLoader):
             try:
                 with HttpRangeFile(self.url, block_size=256 * 1024) as f:
                     with zipfile.ZipFile(f) as z:
-                        return io.BytesIO(z.read(pick(z.namelist())))
+                        got = extract(
+                            z, lambda: (f.seek(0), io.BytesIO(f.read()))[1])
+                    return got
             except HttpIOError:
                 import urllib.request
 
@@ -250,9 +263,11 @@ class ExcelLoader(DataLoader):
                 with urllib.request.urlopen(req) as r:
                     blob = io.BytesIO(r.read())
                 with zipfile.ZipFile(blob) as z:
-                    return io.BytesIO(z.read(pick(z.namelist())))
+                    return extract(
+                        z, lambda: io.BytesIO(blob.getvalue()))
         with zipfile.ZipFile(self.url) as z:
-            return io.BytesIO(z.read(pick(z.namelist())))
+            return extract(
+                z, lambda: io.BytesIO(open(self.url, "rb").read()))
 
     @staticmethod
     def _maybe_decrypt(path_or_buf):

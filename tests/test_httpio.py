@@ -355,3 +355,26 @@ def test_excel_loader_rc4_xls_inside_zip(spark, serve):
     srv, url = serve(_zip_with({"legacy.xls": blob}))
     df = ExcelLoader(spark, url=url).load()
     assert df.count() == 3  # row 0 is the header
+
+
+def test_excel_loader_xlsx_named_dot_zip_not_treated_as_archive(
+        spark, tmp_path):
+    """A workbook whose own filename contains '.zip' (an .xlsx IS a zip)
+    must load as a workbook, not be misrouted into the member-archive
+    path — detected via the OOXML [Content_Types].xml marker."""
+    from tests.test_native_parsers import make_xlsx
+
+    from openpolicedata_spark.sources.excel import ExcelLoader
+
+    p = tmp_path / "export.zip.xlsx"
+    p.write_bytes(make_xlsx(_SHEET))
+    assert ExcelLoader(spark, url=str(p)).load().count() == 2
+
+
+def test_excel_loader_remote_xlsx_named_dot_zip(spark, serve):
+    from tests.test_native_parsers import make_xlsx
+
+    from openpolicedata_spark.sources.excel import ExcelLoader
+
+    srv, url = serve(make_xlsx(_SHEET))  # url ends .zip but IS an xlsx
+    assert ExcelLoader(spark, url=url).load().count() == 2
