@@ -440,3 +440,109 @@ def test_htmltable_render_parse_roundtrip(rows):
             want = c.strip()
             got = t.iloc[ri, ci]
             assert (got is None and want == "") or got == want
+
+
+# -- codec round trips (pure driver-side; no Spark job) ----------------------
+
+@settings(**SETTINGS)
+@given(st.integers(1, 24), st.integers(1, 24), st.booleans(),
+       st.booleans(), st.integers(0, 2**32 - 1))
+def test_png_roundtrip_property(h, w, gray, interlace, seed):
+    """encode_png → decode_png is the identity for ANY uint8 image,
+    both interlace modes, gray and RGB."""
+    import numpy as np
+
+    from openpolicedata_spark.sources.png import decode_png, encode_png
+
+    r = np.random.default_rng(seed)
+    if gray:
+        img = r.integers(0, 256, size=(h, w), dtype=np.uint8)
+        out = decode_png(encode_png(img[..., None], interlace=interlace))
+        assert np.array_equal(out if out.ndim == 2 else out[..., 0], img)
+    else:
+        img = r.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_png(encode_png(img, interlace=interlace))
+        assert np.array_equal(out, img)
+
+
+@settings(**SETTINGS)
+@given(st.sampled_from([2, 4, 16, 64, 256]), st.integers(1, 40),
+       st.integers(1, 40), st.integers(1, 3),
+       st.integers(0, 2**32 - 1))
+def test_gif_roundtrip_property(n_colors, h, w, n_frames, seed):
+    """encode_gif → decode_gif is the identity on index grids for ANY
+    palette size / canvas / frame count (GIF is lossless)."""
+    import numpy as np
+
+    from openpolicedata_spark.sources.gif import decode_gif, encode_gif
+
+    r = np.random.default_rng(seed)
+    steps = np.linspace(0, 255, n_colors).astype(np.uint8)
+    pal = np.stack([steps] * 3, axis=1)
+    frames = [r.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+              for _ in range(n_frames)]
+    out, _ = decode_gif(encode_gif(frames, pal))
+    assert len(out) == n_frames
+    for got, want in zip(out, frames):
+        assert np.array_equal(got, pal[want])
+
+
+@settings(**SETTINGS)
+@given(st.sampled_from(["uint8", "int16", "int32", "float32", "float64"]),
+       st.integers(1, 200), st.integers(1, 3), st.integers(0, 2**32 - 1))
+def test_wav_roundtrip_property(dtype, n, ch, seed):
+    import numpy as np
+
+    from openpolicedata_spark.sources.wav import encode_wav, read_wav
+
+    r = np.random.default_rng(seed)
+    if dtype == "uint8":
+        a = r.integers(0, 256, size=(n, ch)).astype(np.uint8)
+    elif dtype == "int16":
+        a = r.integers(-2**15, 2**15, size=(n, ch)).astype(np.int16)
+    elif dtype == "int32":
+        a = r.integers(-2**31, 2**31, size=(n, ch)).astype(np.int32)
+    else:
+        a = r.uniform(-1, 1, size=(n, ch)).astype(dtype)
+    rate, out = read_wav(encode_wav(a, 8000))
+    assert rate == 8000 and out.dtype == a.dtype
+    assert np.array_equal(out, a)
+
+
+@settings(**SETTINGS)
+@given(st.integers(1, 4), st.integers(1, 4), st.integers(0, 2**32 - 1))
+def test_jpeg_flat_blocks_bit_exact_property(bh, bw, seed):
+    """decode(encode(x)) is the IDENTITY for any flat-8x8-block gray
+    image under unit quantization (DC-only spectra are integers)."""
+    import numpy as np
+
+    from openpolicedata_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    r = np.random.default_rng(seed)
+    tiles = r.integers(0, 256, size=(bh, bw), dtype=np.uint8)
+    img = tiles.repeat(8, axis=0).repeat(8, axis=1)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+
+
+@settings(**SETTINGS)
+@given(st.sampled_from([1, 4, 8, 24, 32]), st.integers(1, 12),
+       st.integers(1, 12), st.booleans(), st.integers(0, 2**32 - 1))
+def test_bmp_decode_property(bpp, h, w, top_down, seed):
+    import numpy as np
+
+    from openpolicedata_spark.sources.bmp import decode_bmp
+    from tests.test_bmp import build_bmp
+
+    r = np.random.default_rng(seed)
+    if bpp > 8:
+        img = r.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        want = img
+        pal = None
+    else:
+        n = 1 << bpp if bpp < 8 else 256
+        pal = r.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        img = r.integers(0, n, size=(h, w), dtype=np.uint8)
+        want = pal[img]
+    out = decode_bmp(build_bmp(img, bpp=bpp, palette=pal,
+                               top_down=top_down))
+    assert np.array_equal(out, want)
