@@ -783,3 +783,18 @@ def test_media_dedup_sink_batch_stream_parity(spark, tmp_path):
     stream_keep = sorted(r.media_id
                          for r in spark.read.parquet(out).collect())
     assert stream_keep == batch_keep
+
+
+def test_attach_payload_matches_canonical_media_schema(spark):
+    """MEDIA_SCHEMA is the documented contract for media frames;
+    attach_payload must produce exactly it."""
+    from openpolicedata_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        attach_payload,
+    )
+
+    df = spark.createDataFrame([(1, b"bytes")], "doc_id long, raw binary")
+    media = attach_payload(df, "raw", "doc_id", mime="image/png")
+    # simpleString compares names+types; nullability legitimately
+    # differs (struct-of-literals planning marks meta non-nullable)
+    assert media.schema.simpleString() == MEDIA_SCHEMA.simpleString()
