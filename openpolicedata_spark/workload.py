@@ -5843,6 +5843,79 @@ ORDER BY id_a, id_b
 """
 
 
+def q140_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS: orders in one quarter with at
+    least one line shipped late, counted by priority. Catalyst
+    decorrelates the EXISTS into a left-semi join on l_orderkey with
+    the lateness predicate pushed below it — the orders date filter
+    prunes at the scan. Completes the decorrelation set (Q17/Q21/Q16 =
+    q118-q120, Q20/Q22 = q133/q134)."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q140_o")
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q140_l")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM q140_o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM q140_l
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAYS)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+_Q140_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAYS)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q141_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — join + two-way conditional aggregation: for
+    lines shipped in 1996, count high- vs low-priority orders per
+    return flag (the testdata lacks l_shipmode; l_returnflag plays its
+    role). One broadcast-or-shuffle join, one aggregation exchange with
+    map-side partials; the CASE arithmetic is pure codegen."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q141_o")
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q141_l")
+    return spark.sql("""
+        SELECT l_returnflag,
+          SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS high_line_count,
+          SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS low_line_count
+        FROM q141_l JOIN q141_o ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
+_Q141_SQL = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q131_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio bytes through the full multimodal path: deterministic
     int16 PCM from an md5 stream over doc text → REAL WAV encode
@@ -6048,6 +6121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_image_dup_pairs": q137_image_dup_pairs,
         "q138_wav_features": q138_wav_features,
         "q139_video_dup_pairs": q139_video_dup_pairs,
+        "q140_priority_count": q140_priority_count,
+        "q141_shipmode_priority": q141_shipmode_priority,
     }
     return base
 
@@ -6196,4 +6271,6 @@ def oracle_sql() -> dict[str, str]:
         "q137_image_dup_pairs": _Q137_SQL,
         "q138_wav_features": _Q138_SQL,
         "q139_video_dup_pairs": _Q139_SQL,
+        "q140_priority_count": _Q140_SQL,
+        "q141_shipmode_priority": _Q141_SQL,
     }

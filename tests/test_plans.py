@@ -322,7 +322,9 @@ def test_q118_q120_subqueries_decorrelate_to_joins(spark, sf_dir):
                             ("q133_dominant_supplier", 2),
                             # q134's scalar average runs as a one-row
                             # subquery stage; the NOT EXISTS is the join
-                            ("q134_dormant_customers", 1)):
+                            ("q134_dormant_customers", 1),
+                            # Q4 EXISTS -> left-semi on l_orderkey
+                            ("q140_priority_count", 1)):
         df = workload.queries()[name](spark, sf_dir)
         s = summarize_plan(df)
         assert s.n_broadcast_nl_joins == 0, (name, s.text)
