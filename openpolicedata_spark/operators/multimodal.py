@@ -82,6 +82,7 @@ def decode_image(content: bytes, mime: str) -> "np.ndarray":
     from openpolicedata_spark.sources import gif as _gif
     from openpolicedata_spark.sources import jpeg as _jpeg
     from openpolicedata_spark.sources import png as _png
+    from openpolicedata_spark.sources import tiff as _tiff
 
     b = bytes(content)
     if b[:8] == _png.PNG_SIGNATURE:
@@ -95,10 +96,15 @@ def decode_image(content: bytes, mime: str) -> "np.ndarray":
         return _gif.decode_gif(b)[0][0]  # first frame as the still
     if b[:2] == _bmp.BMP_SIGNATURE:
         return _bmp.decode_bmp(b)
+    if b[:4] in _tiff.TIFF_SIGNATURES:
+        img = _tiff.decode_tiff(b)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        return img
     raise NotImplementedError(
         f"no stdlib codec for {mime!r} (magic {b[:4]!r}); PNG, "
-        "baseline JPEG, GIF, and BMP are supported natively, other "
-        "formats need Pillow/cv2")
+        "baseline JPEG, GIF, BMP, and uncompressed TIFF are supported "
+        "natively, other formats need Pillow/cv2")
 
 
 def decode_video(content: bytes,

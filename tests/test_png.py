@@ -172,12 +172,9 @@ def test_truncated_idat():
 
 
 def test_decode_image_unsupported_format_raises():
-    # JPEG/GIF/BMP are real codecs now (sources/jpeg.py, gif.py,
-    # bmp.py); WebP/TIFF stay gated
+    # PNG/JPEG/GIF/BMP/TIFF are real codecs now; WebP stays gated
     with pytest.raises(NotImplementedError, match="no stdlib codec"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp")
-    with pytest.raises(NotImplementedError, match="no stdlib codec"):
-        decode_image(b"II*\x00 tiff-ish", "image/tiff")
 
 
 def test_to_rgb_shapes():
