@@ -10,8 +10,10 @@ Coverage (BITMAPINFOHEADER and the later V4/V5 headers):
 - 8/4/1-bit palette images (BGRX color table)
 - bottom-up (positive height) and top-down (negative height) rows
 - 4-byte row stride padding
-- BI_RGB only; RLE4/RLE8/BITFIELDS compression raises ``BmpError``
-  clearly (rare in the wild for published data)
+- BI_RLE8 / BI_RLE4 run-length decompression (encoded + absolute
+  runs, end-of-line/bitmap, delta escapes; skipped pixels show the
+  background = palette entry 0, the common renderer behavior)
+- BITFIELDS/JPEG/PNG compression raises ``BmpError`` clearly
 
 Everything is one ``np.frombuffer`` + reshape per image — memcpy-bound,
 no per-pixel Python anywhere (palette/bit-unpack paths are vectorized
@@ -33,6 +35,65 @@ class BmpError(ValueError):
     """Malformed or unsupported BMP payload."""
 
 
+def _decode_rle(stream: bytes, width: int, height: int,
+                four_bit: bool) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 → (height, width) palette-index grid in STORED
+    row order (bottom-up; the caller flips). Escapes: 00 00 = end of
+    line, 00 01 = end of bitmap, 00 02 dx dy = position delta; 00 n
+    (n>=3) = n absolute pixels (word-aligned); c v (c>=1) = run of c.
+    Unwritten pixels stay 0 (the background palette entry)."""
+    out = np.zeros((height, width), dtype=np.uint8)
+    x = y = 0
+    pos = 0
+    n = len(stream)
+    while True:
+        if pos + 2 > n:
+            raise BmpError("truncated RLE data")
+        count, val = stream[pos], stream[pos + 1]
+        pos += 2
+        if count:  # encoded run
+            if y >= height:
+                raise BmpError("RLE run past end of bitmap")
+            take = min(count, width - x)
+            if four_bit:
+                pair = [val >> 4, val & 0x0F]
+                for i in range(take):
+                    out[y, x + i] = pair[i & 1]
+            else:
+                out[y, x:x + take] = val
+            x += take
+            continue
+        if val == 0:      # end of line
+            x, y = 0, y + 1
+            continue
+        if val == 1:      # end of bitmap
+            return out
+        if val == 2:      # delta
+            if pos + 2 > n:
+                raise BmpError("truncated RLE delta")
+            x += stream[pos]
+            y += stream[pos + 1]
+            pos += 2
+            if x > width or y > height:
+                raise BmpError("RLE delta past end of bitmap")
+            continue
+        # absolute mode: `val` literal pixels, padded to a word boundary
+        cnt = val
+        nbytes = (cnt + 1) // 2 if four_bit else cnt
+        nbytes += nbytes & 1
+        if pos + nbytes > n:
+            raise BmpError("truncated RLE absolute run")
+        if y >= height:
+            raise BmpError("RLE absolute run past end of bitmap")
+        take = min(cnt, width - x)
+        for i in range(take):
+            b = stream[pos + (i // 2 if four_bit else i)]
+            out[y, x + i] = ((b >> 4) if i % 2 == 0 else (b & 0x0F)) \
+                if four_bit else b
+        x += take
+        pos += nbytes
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     """Decode BMP bytes → (H, W, 3) uint8 RGB."""
     if data[:2] != BMP_SIGNATURE:
@@ -49,9 +110,9 @@ def decode_bmp(data: bytes) -> np.ndarray:
     (clr_used,) = struct.unpack_from("<I", data, 46)
     if planes != 1:
         raise BmpError(f"planes={planes} (must be 1)")
-    if compression != 0:
+    if compression not in (0, 1, 2):
         raise BmpError(f"compression {compression} not supported "
-                       "(BI_RGB only; RLE/BITFIELDS are out of scope)")
+                       "(BI_RGB and RLE8/RLE4 only)")
     top_down = height < 0
     height = abs(height)
     if width <= 0 or height == 0:
@@ -69,6 +130,19 @@ def decode_bmp(data: bytes) -> np.ndarray:
         pal = np.frombuffer(data[pal_off:pal_end],
                             dtype=np.uint8).reshape(n_colors, 4)
         palette = pal[:, [2, 1, 0]]  # BGRX → RGB
+
+    if compression:  # RLE: decompress to an index grid, then palette
+        if (compression, bpp) not in ((1, 8), (2, 4)):
+            raise BmpError(
+                f"RLE{8 if compression == 1 else 4} requires "
+                f"{8 if compression == 1 else 4}-bit pixels, got {bpp}")
+        idx = _decode_rle(data[pixel_off:], width, height,
+                          four_bit=(compression == 2))
+        if not top_down:
+            idx = idx[::-1]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise BmpError("palette index out of range")
+        return np.ascontiguousarray(palette[idx].astype(np.uint8))
 
     stride = ((width * bpp + 31) // 32) * 4
     need = pixel_off + stride * height

@@ -101,7 +101,7 @@ def test_errors():
     with pytest.raises(BmpError, match="signature"):
         decode_bmp(b"PNG nope")
     with pytest.raises(BmpError, match="compression"):
-        decode_bmp(build_bmp(img, compression=1))  # RLE8
+        decode_bmp(build_bmp(img, compression=3))  # BITFIELDS
     with pytest.raises(BmpError, match="truncated"):
         decode_bmp(build_bmp(img)[:-5])
     blob = bytearray(build_bmp(img))
@@ -126,3 +126,117 @@ def test_decode_image_dispatch():
     img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
     out = decode_image(build_bmp(img), "mislabeled/gif")  # magic wins
     assert np.array_equal(out, img)
+
+
+# ------------------------------------------------------------ RLE paths
+
+def rle8_encode(rows: list[list[int]]) -> bytes:
+    """Independent BI_RLE8 writer: encoded runs, with an absolute run
+    whenever a row has >=3 distinct leading values (to exercise both
+    modes), EOL after each row, EOB at the end."""
+    out = bytearray()
+    for row in rows:
+        i = 0
+        while i < len(row):
+            run = 1
+            while i + run < len(row) and row[i + run] == row[i] \
+                    and run < 255:
+                run += 1
+            if run >= 2:
+                out += bytes([run, row[i]])
+                i += run
+            else:
+                j = i
+                while j < len(row) and (j + 1 >= len(row)
+                                        or row[j + 1] != row[j]) \
+                        and j - i < 255:
+                    j += 1
+                chunk = row[i:j]
+                if len(chunk) >= 3:
+                    out += bytes([0, len(chunk)]) + bytes(chunk)
+                    if len(chunk) % 2:
+                        out += b"\x00"
+                else:
+                    for v in chunk:
+                        out += bytes([1, v])
+                i = j
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"      # EOB
+    return bytes(out)
+
+
+def build_rle_bmp(idx: np.ndarray, palette: np.ndarray,
+                  payload: bytes, compression: int, bpp: int) -> bytes:
+    h, w = idx.shape
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+    pixel_off = 14 + 40 + len(pal)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                       len(payload), 2835, 2835, len(palette), 0)
+    head = b"BM" + struct.pack("<IHHI", pixel_off + len(payload), 0, 0,
+                               pixel_off)
+    return head + info + pal + payload
+
+
+def test_rle8_runs_absolute_eol():
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = np.array([
+        [7, 7, 7, 7, 1, 2, 3, 9],     # run + absolute
+        [5, 5, 5, 5, 5, 5, 5, 5],     # one run
+        [1, 2, 1, 2, 1, 2, 1, 2],     # absolute-ish singles
+    ], dtype=np.uint8)
+    payload = rle8_encode([list(r) for r in idx[::-1]])  # stored bottom-up
+    blob = build_rle_bmp(idx, pal, payload, compression=1, bpp=8)
+    assert np.array_equal(decode_bmp(blob), pal[idx])
+
+
+def test_rle8_delta_and_early_eob_leave_background():
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[0] = [9, 9, 9]      # background
+    pal[4] = [200, 0, 0]
+    # stored rows (bottom-up): write 2 px, delta (+3, +1), 2 px, EOB
+    payload = bytes([2, 4,                  # two red at (0,0)
+                     0, 2, 3, 1,            # delta to x=5, y=1
+                     2, 4,                  # two red at (5,1)
+                     0, 1])                 # end of bitmap
+    idx = np.zeros((3, 8), dtype=np.uint8)
+    idx[2, 0:2] = 4          # stored y=0 = display bottom row
+    idx[1, 5:7] = 4          # stored y=1
+    blob = build_rle_bmp(idx, pal, payload, compression=1, bpp=8)
+    assert np.array_equal(decode_bmp(blob), pal[idx])
+
+
+def test_rle4_nibble_runs():
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    # encoded run of 5 alternating (0xA1 -> 10,1,10,1,10), then EOL/EOB
+    payload = bytes([5, 0xA1, 0, 0, 0, 1])
+    idx = np.zeros((1, 5), dtype=np.uint8)
+    idx[0] = [10, 1, 10, 1, 10]
+    blob = build_rle_bmp(idx, pal, payload, compression=2, bpp=4)
+    assert np.array_equal(decode_bmp(blob), pal[idx])
+
+
+def test_rle4_absolute_word_alignment():
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    # absolute run of 5 nibbles = 3 bytes -> padded to 4
+    payload = bytes([0, 5, 0x12, 0x34, 0x50, 0x00, 0, 1])
+    idx = np.zeros((1, 6), dtype=np.uint8)
+    idx[0, :5] = [1, 2, 3, 4, 5]
+    blob = build_rle_bmp(idx, pal, payload, compression=2, bpp=4)
+    assert np.array_equal(decode_bmp(blob), pal[idx])
+
+
+def test_rle_truncation_raises():
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    idx = np.zeros((2, 4), dtype=np.uint8)
+    for payload in (bytes([5]), bytes([0, 4, 1, 2]), bytes([0, 2, 3])):
+        blob = build_rle_bmp(idx, pal, payload, compression=1, bpp=8)
+        with pytest.raises(BmpError, match="truncated RLE|RLE"):
+            decode_bmp(blob)
+
+
+def test_rle_wrong_bpp_combination_raises():
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    idx = np.zeros((1, 2), dtype=np.uint8)
+    blob = build_rle_bmp(idx, pal, bytes([0, 1]), compression=1, bpp=4)
+    with pytest.raises(BmpError, match="RLE8 requires"):
+        decode_bmp(blob)
