@@ -7,14 +7,15 @@ output, GIS exports), and it needs nothing beyond ``struct`` + numpy.
 Coverage (TIFF 6.0 baseline):
 - both byte orders (``II`` little-endian, ``MM`` big-endian)
 - IFD tag parsing with inline (≤4-byte) and offset-stored values
-- uncompressed (Compression=1) strip layout, any RowsPerStrip
+- Compression 1 (none), 5 (LZW — MSB-first, early code-width change),
+  and 32773 (PackBits) over any strip layout / RowsPerStrip
 - PhotometricInterpretation 0/1 (grayscale, both polarities),
   2 (RGB, extra samples e.g. alpha dropped), 3 (palette via ColorMap,
   16-bit entries downscaled to 8)
 - BitsPerSample 8 (and 1-bit bilevel for photometric 0/1)
 - multi-strip images; only the FIRST IFD (page) is decoded
-- LZW/PackBits/JPEG compression, tiled layout, planar configuration 2,
-  and 16-bit samples raise ``TiffError`` clearly
+- JPEG/deflate compression, tiled layout, planar configuration 2, and
+  16-bit samples raise ``TiffError`` clearly
 
 Decoding is ``np.frombuffer`` + reshape per strip — memcpy-bound, no
 per-pixel Python (bilevel rows go through vectorized ``unpackbits``).
@@ -62,6 +63,83 @@ def _read_values(data: bytes, e: str, typ: int, count: int,
     raise TiffError(f"IFD entry type {typ} not supported")
 
 
+def _unpackbits(raw: bytes, expect: int) -> bytes:
+    """TIFF §9 PackBits: n in 0..127 → copy n+1 literals; n in
+    -127..-1 → repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    n = len(raw)
+    while pos < n and len(out) < expect:
+        c = raw[pos]
+        pos += 1
+        if c < 128:
+            if pos + c + 1 > n:
+                raise TiffError("truncated PackBits literal run")
+            out += raw[pos:pos + c + 1]
+            pos += c + 1
+        elif c > 128:
+            if pos >= n:
+                raise TiffError("truncated PackBits repeat run")
+            out += bytes([raw[pos]]) * (257 - c)
+            pos += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+def _lzw_decode(raw: bytes, expect: int) -> bytes:
+    """TIFF §13 LZW: MSB-first bit packing, 9-bit initial codes,
+    Clear=256 / EOI=257, dictionary from 258, and the EARLY code-width
+    change (widen when the next entry would be 2^w - 1 — one step
+    sooner than GIF)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> None:
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in raw:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table) or code >= 256:
+                    raise TiffError("LZW: first code must be a literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]          # KwKwK
+            else:
+                raise TiffError("corrupt LZW code stream")
+            out += entry
+            if len(out) > expect:
+                raise TiffError("LZW output exceeds strip size")
+            if prev is not None:
+                table.append(prev + entry[:1])
+            # early change: widen when the NEXT code to assign is
+            # 2^width - 1
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+            prev = entry
+    return bytes(out)
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """Decode the first page of baseline TIFF bytes → uint8 array,
     (H, W) grayscale or (H, W, 3) RGB."""
@@ -95,9 +173,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if width == 0 or height == 0 or width * height > (1 << 28):
         raise TiffError("bad dimensions")
     compression = one(259, 1)
-    if compression != 1:
+    if compression not in (1, 5, 32773):
         raise TiffError(f"compression {compression} not supported "
-                        "(uncompressed baseline only)")
+                        "(uncompressed, LZW, or PackBits)")
     if 322 in tags or 323 in tags:
         raise TiffError("tiled TIFF not supported (stripped only)")
     if one(284, 1) != 1:
@@ -127,11 +205,17 @@ def decode_tiff(data: bytes) -> np.ndarray:
     for off, cnt in zip(offsets, counts):
         n_rows = min(rows_per_strip, height - y)
         need = n_rows * row_bytes
-        if cnt < need or off + need > len(data):
+        if off + cnt > len(data):
+            raise TiffError("truncated strip data")
+        raw = data[off:off + cnt]
+        if compression == 32773:
+            raw = _unpackbits(raw, need)
+        elif compression == 5:
+            raw = _lzw_decode(raw, need)
+        if len(raw) < need:
             raise TiffError("truncated strip data")
         rows[y:y + n_rows] = np.frombuffer(
-            data, dtype=np.uint8, count=need, offset=off
-        ).reshape(n_rows, row_bytes)
+            raw, dtype=np.uint8, count=need).reshape(n_rows, row_bytes)
         y += n_rows
     if y < height:
         raise TiffError("strips cover fewer rows than ImageLength")

@@ -126,7 +126,7 @@ def test_errors():
     with pytest.raises(TiffError, match="signature"):
         decode_tiff(b"BM nope")
     t = gray_tags(2, 2, 2)
-    t[259] = (3, [5])  # LZW
+    t[259] = (3, [7])  # JPEG-in-TIFF
     with pytest.raises(TiffError, match="compression"):
         decode_tiff(build_tiff([img.tobytes()], t))
     t = gray_tags(2, 2, 2)
@@ -160,3 +160,132 @@ def test_decode_image_dispatch():
     out = decode_image(blob, "mislabeled/png")
     assert out.shape == (4, 4, 3)
     assert np.array_equal(out[..., 0], img)
+
+
+# --------------------------------------------------- compressed strips
+
+def packbits_encode(raw: bytes) -> bytes:
+    """Independent PackBits writer (TIFF §9 pseudo-code form)."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        run = 1
+        while i + run < n and raw[i + run] == raw[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, raw[i]])
+            i += run
+        else:
+            j = i
+            while j < n and (j + 1 >= n or raw[j + 1] != raw[j]) \
+                    and j - i < 128:
+                j += 1
+            out += bytes([j - i - 1]) + raw[i:j]
+            i = j
+    return bytes(out)
+
+
+class _MsbPacker:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.n += width
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+            self.acc &= (1 << self.n) - 1
+
+    def done(self) -> bytes:
+        if self.n:
+            self.out.append((self.acc << (8 - self.n)) & 0xFF)
+        return bytes(self.out)
+
+
+def tiff_lzw_encode(raw: bytes) -> bytes:
+    """Independent TIFF-LZW writer: MSB-first packing, Clear/EOI, and
+    the early width change tracked by SIMULATING the decoder's table
+    growth (it adds one entry per code starting with the second after
+    a clear, and widens when the table reaches 2^w - 1)."""
+    p = _MsbPacker()
+    width = 9
+    p.put(256, width)  # Clear
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    dec_len = 258
+    first = True
+
+    def after_emit():
+        nonlocal dec_len, width, first
+        if not first:
+            dec_len += 1
+        first = False
+        if dec_len == (1 << width) - 1 and width < 12:
+            width += 1
+
+    w = b""
+    for b in raw:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        p.put(table[w], width)
+        after_emit()
+        if next_code < 4094:
+            table[wk] = next_code
+            next_code += 1
+        w = bytes([b])
+    if w:
+        p.put(table[w], width)
+        after_emit()
+    p.put(257, width)  # EOI
+    return p.done()
+
+
+def test_hand_packed_lzw_streams():
+    """Two streams bit-packed by hand in the comments (independent of
+    both LZW implementations): single literal, and the KwKwK case.
+    'A' → codes 256,65,257 @9 bits → 80 10 60 20;
+    'AAA' → codes 256,65,258,257 → 80 10 60 50 10."""
+    from openpolicedata_spark.sources.tiff import _lzw_decode
+
+    assert _lzw_decode(bytes([0x80, 0x10, 0x60, 0x20]), 1) == b"A"
+    assert _lzw_decode(bytes([0x80, 0x10, 0x60, 0x50, 0x10]), 3) == b"AAA"
+
+
+@pytest.mark.parametrize("compression", [5, 32773])
+def test_compressed_gray_multi_strip(compression):
+    img = rng.integers(0, 256, size=(9, 6), dtype=np.uint8)
+    img[2:5] = 7  # compressible region
+    enc = tiff_lzw_encode if compression == 5 else packbits_encode
+    strips = [enc(img[i:i + 3].tobytes()) for i in range(0, 9, 3)]
+    t = gray_tags(6, 9, 3)
+    t[259] = (3, [compression])
+    assert np.array_equal(decode_tiff(build_tiff(strips, t)), img)
+
+
+def test_lzw_rgb_large_enough_to_widen_codes():
+    # > 256 distinct pairs so the dictionary passes 511 and the early
+    # width change actually fires
+    img = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    tags = {256: (3, [40]), 257: (3, [40]), 258: (3, [8, 8, 8]),
+            259: (3, [5]), 262: (3, [2]), 277: (3, [3]),
+            278: (3, [40])}
+    strips = [tiff_lzw_encode(img.tobytes())]
+    assert np.array_equal(decode_tiff(build_tiff(strips, tags)), img)
+
+
+def test_packbits_noop_and_truncation():
+    from openpolicedata_spark.sources.tiff import _unpackbits
+
+    # 0x80 is a no-op between runs
+    assert _unpackbits(bytes([0x80, 0x00, 0x41, 0x80, 0xFF, 0x42]), 3) \
+        == b"ABB"
+    with pytest.raises(TiffError, match="truncated PackBits"):
+        _unpackbits(bytes([0x05, 0x41]), 6)
+    with pytest.raises(TiffError, match="truncated PackBits"):
+        _unpackbits(bytes([0xFE]), 3)
