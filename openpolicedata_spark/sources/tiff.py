@@ -8,13 +8,14 @@ Coverage (TIFF 6.0 baseline):
 - both byte orders (``II`` little-endian, ``MM`` big-endian)
 - IFD tag parsing with inline (≤4-byte) and offset-stored values
 - Compression 1 (none), 5 (LZW — MSB-first, early code-width change),
-  and 32773 (PackBits) over any strip layout / RowsPerStrip
+  8/32946 (Deflate via zlib), and 32773 (PackBits) over any strip
+  layout / RowsPerStrip
 - PhotometricInterpretation 0/1 (grayscale, both polarities),
   2 (RGB, extra samples e.g. alpha dropped), 3 (palette via ColorMap,
   16-bit entries downscaled to 8)
 - BitsPerSample 8 (and 1-bit bilevel for photometric 0/1)
 - multi-strip images; only the FIRST IFD (page) is decoded
-- JPEG/deflate compression, tiled layout, planar configuration 2, and
+- JPEG compression, tiled layout, planar configuration 2, and
   16-bit samples raise ``TiffError`` clearly
 
 Decoding is ``np.frombuffer`` + reshape per strip — memcpy-bound, no
@@ -173,9 +174,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if width == 0 or height == 0 or width * height > (1 << 28):
         raise TiffError("bad dimensions")
     compression = one(259, 1)
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise TiffError(f"compression {compression} not supported "
-                        "(uncompressed, LZW, or PackBits)")
+                        "(uncompressed, LZW, Deflate, or PackBits)")
     if 322 in tags or 323 in tags:
         raise TiffError("tiled TIFF not supported (stripped only)")
     if one(284, 1) != 1:
@@ -212,6 +213,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raw = _unpackbits(raw, need)
         elif compression == 5:
             raw = _lzw_decode(raw, need)
+        elif compression in (8, 32946):  # Deflate (new + legacy tag)
+            import zlib
+
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise TiffError(f"bad Deflate strip: {exc}") from exc
         if len(raw) < need:
             raise TiffError("truncated strip data")
         rows[y:y + n_rows] = np.frombuffer(

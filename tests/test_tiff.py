@@ -289,3 +289,22 @@ def test_packbits_noop_and_truncation():
         _unpackbits(bytes([0x05, 0x41]), 6)
     with pytest.raises(TiffError, match="truncated PackBits"):
         _unpackbits(bytes([0xFE]), 3)
+
+
+@pytest.mark.parametrize("tag", [8, 32946])
+def test_deflate_strips(tag):
+    import zlib
+
+    img = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    strips = [zlib.compress(img[i:i + 3].tobytes())
+              for i in range(0, 6, 3)]
+    t = gray_tags(5, 6, 3)
+    t[259] = (3, [tag])
+    assert np.array_equal(decode_tiff(build_tiff(strips, t)), img)
+
+
+def test_deflate_bad_stream_raises():
+    t = gray_tags(2, 2, 2)
+    t[259] = (3, [8])
+    with pytest.raises(TiffError, match="Deflate"):
+        decode_tiff(build_tiff([b"\x99\x99\x99\x99"], t))
