@@ -459,3 +459,53 @@ def image_dup_pairs(df: DataFrame, max_hamming: int = 3,
     return (cand.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def video_dup_pairs(frame_hashes: DataFrame, id_col: str = "doc_id",
+                    hash_col: str = "fhash", min_shared: int = 3,
+                    max_bucket_size: Optional[int] = None) -> DataFrame:
+    """Video near-dup pairs from per-frame perceptual signatures — the
+    video face of the blocked near-dedup family. Input is the
+    (video_id, frame_hash) frame produced by decoding each container
+    (`decode_video`) and hashing each frame (`ahash_of_pixels`); two
+    videos are near-dups when they share at least `min_shared` exact
+    frame hashes. The blocking key IS the frame hash: bucket on it,
+    generate i<j pairs in-bucket, then count distinct shared hashes per
+    pair. The shuffle carries (hash, id) longs, never frames.
+
+    `max_bucket_size` is the family-standard skew guard
+    (`dedup.minhash_lsh_dup_pairs` contract): real video corpora are
+    exactly where degenerate signatures live — an all-black or title
+    frame shared by a whole corpus collapses into ONE bucket whose
+    pair explosion is quadratic on a single task. Oversized buckets are
+    dropped rather than stalling the stage; a hash that common carries
+    no near-dup signal anyway (it is the stopword of frames).
+
+    Output: (id_a, id_b, shared_frames), id_a < id_b."""
+    vids = (frame_hashes
+            .select(F.col(id_col).alias("id"),
+                    F.col(hash_col).alias("fh"))
+            .distinct())
+    buckets = (vids.groupBy("fh")
+               .agg(F.sort_array(F.collect_list("id")).alias("ms"))
+               .where(F.size("ms") > 1))
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ms") <= max_bucket_size)
+    from openpolicedata_spark.operators.dedup import bucket_pairs
+
+    # the pair struct keeps the bucketing hash: bucket_pairs dedups the
+    # exploded structs, and (fh, id_a, id_b) triples are already unique
+    # (vids is distinct), so the downstream count sees every shared
+    # frame exactly once
+    cand = bucket_pairs(
+        buckets.withColumn(
+            "ms", F.transform(
+                F.col("ms"),
+                lambda x: F.struct(x.alias("id"), F.col("fh")))),
+        "ms",
+        lambda x, y: F.struct(
+            x["fh"].alias("fh"), x["id"].alias("id_a"),
+            y["id"].alias("id_b")))
+    return (cand.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_frames"))
+            .where(F.col("shared_frames") >= min_shared))

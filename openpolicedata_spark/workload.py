@@ -5741,11 +5741,17 @@ def q139_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame), decoded with `decode_video` and perceptually hashed
     per frame (`multimodal.ahash_of_pixels` — the image_ahash math).
     Two videos are near-dups when they share ≥ 3 of 4 exact frame
-    hashes — the standard frame-signature approach to video dedup:
-    the join carries (frame_hash, video_id) LONGS, never frames, so at
-    100 TB the shuffle is signature-sized; a degenerate hash shared by
-    a whole corpus would need the LSH family's bucket cap, not present
-    here because families are construction-bounded.
+    hashes — the standard frame-signature approach to video dedup via
+    `multimodal.video_dup_pairs`: the shuffle carries (frame_hash,
+    video_id) LONGS, never frames, so at 100 TB it is signature-sized.
+    The operator carries the family-standard `max_bucket_size` skew
+    guard (a degenerate all-black frame shared by a whole corpus makes
+    one bucket quadratic); this query leaves it unset because the
+    synthetic families are construction-bounded GENUINE dup groups
+    (~N/40 videos share base frames, so any fixed cap would drop real
+    dup pairs at some SF and break SF-invariance of the oracle) — a
+    real corpus run would pass the cap, and the degenerate-frame case
+    is pinned in tests/test_multimodal.py.
 
     Exactness: identity-palette GIF decodes to equal channels and
     integer cells, so every frame hash (and thus every pair) replays
@@ -5789,16 +5795,9 @@ def q139_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fh = rebalance(d).mapInPandas(
         frame_hashes, "doc_id long, frame_idx int, fhash long")
-    a = fh.select(F.col("doc_id").alias("id_a"),
-                  F.col("fhash")).distinct()
-    b = fh.select(F.col("doc_id").alias("id_b"),
-                  F.col("fhash")).distinct()
-    return (a.join(b, on="fhash")
-            .where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("shared_frames"))
-            .where(F.col("shared_frames") >= 3)
-            .orderBy("id_a", "id_b"))
+    from openpolicedata_spark.operators.multimodal import video_dup_pairs
+
+    return video_dup_pairs(fh, min_shared=3).orderBy("id_a", "id_b")
 
 
 _Q139_SQL = """

@@ -328,6 +328,63 @@ def test_image_dup_pairs_cap_and_grid(spark):
     assert [(r.id_a, r.id_b, r.hamming) for r in small] == [(0, 1, 0)]
 
 
+def test_video_dup_pairs_min_shared_and_repeats(spark):
+    """video_dup_pairs: pairs require >= min_shared DISTINCT shared frame
+    hashes; a frame hash repeated within one video counts once."""
+    from openpolicedata_spark.operators.multimodal import video_dup_pairs
+
+    rows = []
+    # videos 0,1 share all 4 frame hashes; video 2 shares only 2 with
+    # them; videos 3,4 share exactly 3
+    for vid in (0, 1):
+        rows += [(vid, h) for h in (10, 11, 12, 13)]
+    rows += [(2, h) for h in (10, 11, 20, 21)]
+    rows += [(3, h) for h in (30, 31, 32, 40)]
+    # video 4 carries hash 32 TWICE (still frames, e.g. a freeze) —
+    # must count once toward shared_frames
+    rows += [(4, h) for h in (30, 31, 32, 32)]
+    fh = spark.createDataFrame(rows, "doc_id long, fhash long")
+
+    out = {(r.id_a, r.id_b): r.shared_frames
+           for r in video_dup_pairs(fh, min_shared=3).collect()}
+    assert out == {(0, 1): 4, (3, 4): 3}
+
+
+def test_video_dup_pairs_degenerate_frame_cap(spark):
+    """The family-standard skew guard: an all-black frame hash shared by
+    the WHOLE corpus makes one quadratic bucket; `max_bucket_size` drops
+    it (documented contract) while genuine dup pairs — which share
+    non-degenerate frames — survive."""
+    from openpolicedata_spark.operators.multimodal import video_dup_pairs
+
+    black = 0  # every video opens on a black frame
+    rows = []
+    for vid in range(50):
+        rows.append((vid, black))
+        rows += [(vid, 1000 + 10 * vid + f) for f in range(3)]
+    # one genuine dup pair: videos 100 and 101 share 3 real frames
+    # (plus the black frame -> 4 shared uncapped, 3 capped)
+    for vid in (100, 101):
+        rows.append((vid, black))
+        rows += [(vid, 7001 + f) for f in range(3)]
+    fh = spark.createDataFrame(rows, "doc_id long, fhash long")
+
+    capped = {(r.id_a, r.id_b): r.shared_frames
+              for r in video_dup_pairs(
+                  fh, min_shared=3, max_bucket_size=16).collect()}
+    assert capped == {(100, 101): 3}  # black-frame bucket dropped
+
+    uncapped = video_dup_pairs(fh, min_shared=3).collect()
+    assert {(r.id_a, r.id_b): r.shared_frames for r in uncapped} \
+        == {(100, 101): 4}
+    # and with min_shared=1 the uncapped run would pair EVERYTHING via
+    # the degenerate frame — 52*51/2 pairs — exactly the quadratic blowup
+    # the cap exists to stop
+    assert video_dup_pairs(fh, min_shared=1).count() == 52 * 51 // 2
+    assert video_dup_pairs(
+        fh, min_shared=1, max_bucket_size=16).count() == 1
+
+
 def test_zorder_layout_degenerate_inputs(spark):
     """Empty frame, both-constant, and one-constant inputs must not
     TypeError / NULL-out the z keys (width_bucket(lo==hi) yields NULL)."""
