@@ -851,6 +851,13 @@ def _read_digest_index(spark, index_path: str, merge_schema: bool = False):
     import glob as _glob
     import os
 
+    from openpolicedata_spark.streaming import _recover_dir
+
+    # a compaction (streaming.compact_index / scale.compact_parquet_dir)
+    # that crashed between its two swap renames leaves the index only at
+    # `<path>.__old__`; without this restore the missing directory would
+    # read as an EMPTY index and silently re-admit everything
+    _recover_dir(index_path)
     if not os.path.isdir(index_path):
         return None
     if not _glob.glob(os.path.join(index_path, "*.parquet")):
@@ -878,6 +885,7 @@ def exact_dedup_ingest(
     batch_id: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_index_files: Optional[int] = 64,
 ) -> DataFrame:
     """EXACTLY-ONCE incremental exact dedup: `exact_dedup_incremental`
     with the survivor-write/index-append window closed by the
@@ -947,4 +955,13 @@ def exact_dedup_ingest(
     marker = spark.createDataFrame(
         [(None, batch_id)], "fingerprint string, batch_id string")
     digests.unionByName(marker).write.mode("append").parquet(index_path)
+    # the marker just committed, so this is the protocol's safe point:
+    # compaction preserves digests + markers row-for-row (mergeSchema
+    # unions old single-column index files; their NULL batch_id already
+    # means "no marker"), and a crash mid-compaction leaves old-or-new,
+    # restored by _recover_dir at the next index read
+    from openpolicedata_spark.streaming import compact_index
+
+    compact_index(spark, index_path, compact_index_files,
+                  merge_schema=True)
     return spark.read.parquet(part_path)

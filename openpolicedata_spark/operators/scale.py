@@ -358,7 +358,8 @@ def zorder_layout(df: DataFrame, col_x: str, col_y: str, bits: int = 16,
 
 
 def compact_parquet_dir(spark: SparkSession, path: str,
-                        target_mb: int = 128) -> tuple[int, int]:
+                        target_mb: int = 128,
+                        merge_schema: bool = False) -> tuple[int, int]:
     """Small-file maintenance for append-mode sinks: streaming writers
     (`near_dedup_sink`, micro-batch appends) accumulate one file per
     batch, and a 100 TB table of kilobyte files dies on open() overhead
@@ -398,7 +399,15 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     if n_out >= len(files):
         return (len(files), len(files))  # already compact enough
-    df = spark.read.parquet(*files)     # explicit snapshot, not the dir
+    rd = spark.read
+    if merge_schema:
+        # mixed-schema append dirs (e.g. exact_dedup_ingest's digest
+        # index: old single-column files + (fingerprint, batch_id)
+        # files) must union columns, not take the first file's schema —
+        # absent columns become NULL, which every reader treats as
+        # "no marker / no batch tag" already
+        rd = rd.option("mergeSchema", "true")
+    df = rd.parquet(*files)             # explicit snapshot, not the dir
     tmp = path.rstrip("/") + ".__stage_compact__"
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
     if sorted(_glob.glob(os.path.join(path, "*.parquet"))) != files:

@@ -321,6 +321,39 @@ def _swap_dir(tmp: str, path: str) -> None:
         os.rename(tmp, path)
 
 
+def compact_index(spark, index_path: str, max_files: Optional[int],
+                  target_mb: int = 128, merge_schema: bool = False) -> None:
+    """Opportunistic small-file maintenance for the append-per-batch
+    index sinks: every micro-batch appends one parquet file to
+    `index_path` forever, so at production batch counts the index read
+    at the head of every batch becomes listing/footer-bound long before
+    it is data-bound. When the directory holds >= `max_files` data
+    files, rewrite it with `operators.scale.compact_parquet_dir`
+    (explicit-snapshot read + write-then-swap: an interrupted compaction
+    leaves either the old or the new directory, never neither, and
+    `_recover_dir` at the head of every index read restores the
+    moved-aside copy if a crash landed between the two renames).
+    Contents are preserved row-for-row, so replay semantics are
+    untouched — a redelivered batch sees exactly the index it would
+    have seen uncompacted. `max_files=None` disables.
+
+    Called by the sinks AFTER their index append — inside foreachBatch,
+    which Structured Streaming serializes per query, so the compactor
+    never races its own sink's appends (its changed-while-staging abort
+    guards cross-process racers)."""
+    if max_files is None:
+        return
+    import glob as _glob
+    import os
+
+    if len(_glob.glob(os.path.join(index_path, "*.parquet"))) < max_files:
+        return
+    from openpolicedata_spark.operators.scale import compact_parquet_dir
+
+    compact_parquet_dir(spark, index_path, target_mb,
+                        merge_schema=merge_schema)
+
+
 def upsert_sink(stream_df: DataFrame, path: str,
                 key_cols: tuple[str, ...],
                 order_cols: tuple[str, ...],
@@ -385,7 +418,8 @@ def near_dedup_sink(stream_df: DataFrame, out_path: str, index_path: str,
                     num_hashes: int = 32, bands: int = 8,
                     shingle_k: int = 3, seed: int = 42,
                     query_name: str = "near_dedup",
-                    timeout_s: int = 300) -> None:
+                    timeout_s: int = 300,
+                    compact_index_files: Optional[int] = 64) -> None:
     """Streaming NEAR-duplicate suppression via a persistent LSH band
     index (foreachBatch): each micro-batch MinHash-signs its documents
     (`operators.dedup.shingle_minhash` — the same signature family as the
@@ -401,7 +435,9 @@ def near_dedup_sink(stream_df: DataFrame, out_path: str, index_path: str,
     `minhash_lsh_dup_pairs` pass over the accumulated output remains the
     exact ground truth for backfill. State is the band index: `bands`
     longs per unique doc, appended as parquet — O(corpus), but 8 longs
-    per doc, not the text.
+    per doc, not the text; `compact_index_files` bounds the one-file-
+    per-batch growth (`compact_index` rewrites the directory when it
+    exceeds that many files — contents identical, replay-safe).
 
     Within-batch ties keep the smallest `id_col`. Failure-recovery batch
     replay re-appends: redundant index bands are harmless (semi-join),
@@ -424,6 +460,7 @@ def near_dedup_sink(stream_df: DataFrame, out_path: str, index_path: str,
     def body(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
+        _recover_dir(index_path)
         ms = shingle_minhash(batch, text_col, id_col,
                              num_hashes, shingle_k, seed)
         banded = ms.select(
@@ -451,6 +488,7 @@ def near_dedup_sink(stream_df: DataFrame, out_path: str, index_path: str,
         (banded.join(drop, on=id_col, how="left_anti")
          .select("band_id", "band_hash")
          .write.mode("append").parquet(index_path))
+        compact_index(spark, index_path, compact_index_files)
 
     _run_merge_sink(stream_df, body, None, query_name, timeout_s)
 
@@ -592,7 +630,8 @@ def semantic_dedup_sink(stream_df: DataFrame, out_path: str,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         query_name: str = "semdedup",
-                        timeout_s: int = 300) -> None:
+                        timeout_s: int = 300,
+                        compact_index_files: Optional[int] = 64) -> None:
     """Streaming SemDeDup: drop vectors semantically near anything ever
     admitted. Per micro-batch: `similarity.semdedup` dedups WITHIN the
     batch (smallest id survives per near-dup set), then survivors are
@@ -605,7 +644,9 @@ def semantic_dedup_sink(stream_df: DataFrame, out_path: str,
     State = the representatives index: one row per admitted vector,
     read cluster-bounded. Unlike the exact/minhash digest indexes this
     one stores vectors — the price of semantic membership;
-    int8-quantize it when it outgrows comfort. Centroids are FIXED
+    int8-quantize it when it outgrows comfort, and
+    `compact_index_files` bounds its one-file-per-batch growth
+    (`compact_index`, contents preserved, replay-safe). Centroids are FIXED
     state shared by all batches (retrain offline; version the index
     with the quantizer). Failure semantics: output is written before
     the index, so a crash/replay between the two writes can DUPLICATE
@@ -628,6 +669,7 @@ def semantic_dedup_sink(stream_df: DataFrame, out_path: str,
     def body(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
+        _recover_dir(index_path)
         intra = (semdedup(batch, centroids, threshold,
                           vec_col=vec_col, id_col=id_col)
                  .where(F.col("keep"))
@@ -673,6 +715,7 @@ def semantic_dedup_sink(stream_df: DataFrame, out_path: str,
         novel = novel.localCheckpoint(eager=True)
         novel.drop("list_id").write.mode("append").parquet(out_path)
         novel.write.mode("append").parquet(index_path)
+        compact_index(spark, index_path, compact_index_files)
 
     _run_merge_sink(stream_df, body, None, query_name, timeout_s)
 
@@ -683,7 +726,8 @@ def media_dedup_sink(stream_df: DataFrame, out_path: str,
                      id_col: str = "media_id", grid: int = 8,
                      decode=None,
                      query_name: str = "mediadedup",
-                     timeout_s: int = 300) -> None:
+                     timeout_s: int = 300,
+                     compact_index_files: Optional[int] = 64) -> None:
     """Streaming perceptual media dedup: drop images within
     `max_hamming` bits of anything ever admitted — the multimodal face
     of `semantic_dedup_sink`, with a 16-byte-per-item index instead of
@@ -702,7 +746,9 @@ def media_dedup_sink(stream_df: DataFrame, out_path: str,
 
     Scale: the index holds one long per admitted item — hamming
     membership at billions of items is a broadcast-or-shuffle of
-    hashes, never pixels, and per batch the decode cost dominates.
+    hashes, never pixels, and per batch the decode cost dominates;
+    `compact_index_files` bounds the one-file-per-batch index growth
+    (`compact_index`, contents preserved, replay-safe).
     Replay safety: a redelivered batch re-matches its own indexed
     hashes at hamming 0, so the index never re-admits (no zero-norm
     analog — identical hashes always match); out_path duplicates in
@@ -728,6 +774,7 @@ def media_dedup_sink(stream_df: DataFrame, out_path: str,
     def body(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
+        _recover_dir(index_path)
         batch = batch.localCheckpoint(eager=True)
         # decode + hash every payload ONCE; everything downstream works
         # off the 64-bit hashes
@@ -765,5 +812,6 @@ def media_dedup_sink(stream_df: DataFrame, out_path: str,
         novel.drop("ahash").write.mode("append").parquet(out_path)
         novel.select(id_col, "ahash").write.mode("append") \
             .parquet(index_path)
+        compact_index(spark, index_path, compact_index_files)
 
     _run_merge_sink(stream_df, body, None, query_name, timeout_s)
