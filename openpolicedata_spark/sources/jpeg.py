@@ -11,17 +11,22 @@ Reference analog: the reference's loaders parse real file bytes end to
 end (openpolicedata data_loaders.py); this gives the JPEG image path
 the same property.
 
-Coverage (T.81 baseline process):
-- SOF0 (baseline) and SOF1 (extended sequential, 8-bit) frames
+Coverage (T.81 baseline + progressive Huffman processes):
+- SOF0 (baseline), SOF1 (extended sequential, 8-bit), and SOF2
+  (progressive) frames — progressive with spectral selection,
+  successive approximation (DC first/refine, AC first/refine with
+  EOBn block runs and correction bits, T.81 Annex G), interleaved
+  and non-interleaved scans, multi-scan sequential files, and DHT
+  redefinition between scans
 - grayscale (1 component) and YCbCr (3 components, JFIF color
   transform); arbitrary sampling factors incl. 4:4:4, 4:2:2, 4:2:0
   (chroma upsampled by pixel replication)
 - DQT 8- and 16-bit precision tables, multi-table segments
 - DHT multi-table segments, DC + AC classes
-- DRI restart intervals (RST0-7 resync + DC predictor reset)
+- DRI restart intervals (RST0-7 resync + DC predictor / EOB-run reset)
 - 0xFF00 byte stuffing; fill bytes before markers
-- progressive (SOF2), arithmetic coding, 12-bit precision, and
-  hierarchical processes raise ``JpegError`` clearly
+- arithmetic coding, 12-bit precision, lossless, and hierarchical
+  processes raise ``JpegError`` clearly
 
 The entropy (Huffman) loop is per-symbol Python — fine for the
 mapInPandas hot path where each Arrow batch decodes hundreds of small
@@ -46,7 +51,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["JpegError", "decode_jpeg", "encode_jpeg", "JPEG_SIGNATURE"]
+__all__ = ["JpegError", "decode_jpeg", "encode_jpeg",
+           "encode_jpeg_progressive", "JPEG_SIGNATURE"]
 
 JPEG_SIGNATURE = b"\xff\xd8"
 
@@ -181,10 +187,188 @@ class _Component:
         self.pred = 0
 
 
+def _decode_sequential_block(reader: _BitReader, c: _Component,
+                             dtab: _Huff, atab: _Huff, row: int) -> None:
+    """One full DC+AC block of a sequential (baseline) scan — T.81 F.2."""
+    coef = c.blocks[row]
+    s = reader.decode(dtab)
+    if s > 11:
+        raise JpegError("DC magnitude category > 11")
+    c.pred += _extend(reader.get_bits(s), s)
+    coef[0] = c.pred
+    k = 1
+    while k < 64:
+        rs = reader.decode(atab)
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:
+                k += 16              # ZRL
+                continue
+            break                    # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC run past end of block")
+        coef[_ZIGZAG[k]] = _extend(reader.get_bits(size), size)
+        k += 1
+
+
+class _Scan:
+    """One SOS scan's decode state + per-block decoders (T.81 F/G).
+
+    Sequential scans (ss=0, se=63, ah=al=0) decode full blocks;
+    progressive scans (SOF2) decode a spectral band at one bit of
+    successive approximation: DC-first shifts the diff-coded value by
+    Al, DC-refine appends one bit per block, AC-first run-length-codes
+    the band with EOBn block runs, AC-refine walks the band emitting
+    correction bits for already-nonzero coefficients (G.1.2.3 —
+    the algorithm libjpeg's decode_mcu_AC_refine implements)."""
+
+    def __init__(self, reader, scan, dc, ac, ss, se, ah, al, progressive):
+        self.reader = reader
+        self.scan = scan
+        self.ss, self.se, self.ah, self.al = ss, se, ah, al
+        self.eobrun = 0
+        if progressive:
+            if ss == 0:
+                if se != 0:
+                    raise JpegError(
+                        "progressive DC scan must have Se=0")
+                self.block = (self._dc_refine if ah else self._dc_first)
+            else:
+                if len(scan) != 1:
+                    raise JpegError(
+                        "progressive AC scan must be non-interleaved")
+                if not ss <= se <= 63:
+                    raise JpegError("bad spectral selection range")
+                self.block = (self._ac_refine if ah else self._ac_first)
+        else:
+            if (ss, se, ah, al) != (0, 63, 0, 0):
+                raise JpegError(
+                    "sequential scan must cover the full 0-63 band")
+            self.block = self._sequential
+        # resolve tables per scan component, per what this scan ACTUALLY
+        # reads: DC-refine reads raw bits (no table at all), AC scans
+        # read only the AC table, DC/sequential need DC (+AC) tables
+        self.tabs: dict[int, tuple] = {}
+        for c in scan:
+            dtab = dc.get(c.td)
+            atab = ac.get(c.ta)
+            # NB: bound-method access builds a fresh object each time, so
+            # compare with == (same func+instance), never `is`
+            if self.block == self._sequential and (dtab is None
+                                                   or atab is None):
+                raise JpegError("scan references missing DHT")
+            if self.block == self._dc_first and dtab is None:
+                raise JpegError("DC scan references missing DC DHT")
+            if self.block in (self._ac_first, self._ac_refine) \
+                    and atab is None:
+                raise JpegError("AC scan references missing AC DHT")
+            self.tabs[id(c)] = (dtab, atab)
+
+    def reset(self) -> None:
+        for c in self.scan:
+            c.pred = 0
+        self.eobrun = 0
+
+    def _sequential(self, c: _Component, row: int) -> None:
+        dtab, atab = self.tabs[id(c)]
+        _decode_sequential_block(self.reader, c, dtab, atab, row)
+
+    def _dc_first(self, c: _Component, row: int) -> None:
+        dtab, _ = self.tabs[id(c)]
+        s = self.reader.decode(dtab)
+        if s > 11:
+            raise JpegError("DC magnitude category > 11")
+        c.pred += _extend(self.reader.get_bits(s), s)
+        c.blocks[row, 0] = c.pred << self.al
+
+    def _dc_refine(self, c: _Component, row: int) -> None:
+        if self.reader.get_bits(1):
+            c.blocks[row, 0] |= 1 << self.al
+
+    def _ac_first(self, c: _Component, row: int) -> None:
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        reader = self.reader
+        _, atab = self.tabs[id(c)]
+        coef = c.blocks[row]
+        k = self.ss
+        while k <= self.se:
+            rs = reader.decode(atab)
+            r, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if r != 15:          # EOBn: this block + (eobrun) more
+                    self.eobrun = (1 << r) - 1
+                    if r:
+                        self.eobrun += reader.get_bits(r)
+                    break
+                k += 16              # ZRL
+                continue
+            k += r
+            if k > self.se:
+                raise JpegError("AC run past end of spectral band")
+            coef[_ZIGZAG[k]] = _extend(reader.get_bits(size),
+                                       size) << self.al
+            k += 1
+
+    def _ac_refine(self, c: _Component, row: int) -> None:
+        reader = self.reader
+        _, atab = self.tabs[id(c)]
+        coef = c.blocks[row]
+        p1 = 1 << self.al
+        m1 = -1 << self.al
+        k = self.ss
+        if self.eobrun == 0:
+            while k <= self.se:
+                rs = reader.decode(atab)
+                r, size = rs >> 4, rs & 0x0F
+                val = 0
+                if size == 0:
+                    if r != 15:      # EOBn
+                        self.eobrun = (1 << r)
+                        if r:
+                            self.eobrun += reader.get_bits(r)
+                        break
+                    # ZRL: skip 16 zero-HISTORY coefficients below
+                else:
+                    if size != 1:
+                        raise JpegError(
+                            "AC refinement symbol with size != 1")
+                    val = p1 if reader.get_bits(1) else m1
+                # advance past `r` zero-history coefficients, emitting
+                # correction bits for every nonzero one crossed
+                while k <= self.se:
+                    z = _ZIGZAG[k]
+                    if coef[z] != 0:
+                        if reader.get_bits(1) and not (coef[z] & p1):
+                            coef[z] += p1 if coef[z] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= self.se:
+                    coef[_ZIGZAG[k]] = val
+                k += 1
+        if self.eobrun > 0:
+            # EOB block: still owes correction bits for nonzero coeffs
+            while k <= self.se:
+                z = _ZIGZAG[k]
+                if coef[z] != 0:
+                    if reader.get_bits(1) and not (coef[z] & p1):
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                k += 1
+            self.eobrun -= 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes → uint8 array, (H, W) for grayscale or
-    (H, W, 3) RGB for YCbCr. Raises ``JpegError`` on malformed or
-    non-baseline input."""
+    """Decode JPEG bytes → uint8 array, (H, W) for grayscale or
+    (H, W, 3) RGB for YCbCr. Handles baseline/extended-sequential
+    (SOF0/SOF1, single- or multi-scan) and progressive (SOF2: spectral
+    selection + successive approximation, DC and AC first + refinement
+    scans, EOB runs, restarts). Raises ``JpegError`` on malformed or
+    unsupported input."""
     if data[:2] != JPEG_SIGNATURE:
         raise JpegError("not a JPEG: missing SOI")
     qt: dict[int, np.ndarray] = {}
@@ -193,6 +377,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
+    scans_done = 0
+    sized = False
     pos = 2
     n = len(data)
 
@@ -211,8 +398,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         need(2)
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:           # EOI with no scan
-            raise JpegError("no SOS scan before EOI")
+        if marker == 0xD9:           # EOI
+            if scans_done == 0:
+                raise JpegError("no SOS scan before EOI")
+            break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue                 # TEM / stray RST: no payload
         need(2)
@@ -223,7 +412,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         body = data[pos + 2:pos + seglen]
         pos += seglen
 
-        if marker in (0xC0, 0xC1):   # SOF0 / SOF1
+        if marker in (0xC0, 0xC1, 0xC2):   # SOF0 / SOF1 / SOF2
+            if comps:
+                raise JpegError("multiple SOF frames")
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise JpegError("truncated SOF")
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -243,13 +435,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if not (1 <= h <= 4 and 1 <= v <= 4):
                     raise JpegError(f"bad sampling factors {h}x{v}")
                 comps.append(_Component(cid, h, v, tq))
-        elif marker == 0xC2:
-            raise JpegError("progressive JPEG (SOF2) not supported "
-                            "(baseline only)")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegError(f"SOF marker 0xFF{marker:02X} process "
-                            "not supported (baseline only)")
+                            "not supported (sequential or progressive "
+                            "Huffman only)")
         elif marker == 0xC4:         # DHT
             b = 0
             while b < len(body):
@@ -285,82 +475,84 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if len(body) < 2:
                 raise JpegError("truncated DRI")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:         # SOS — decode the scan below
-            break
+        elif marker == 0xDA:         # SOS: decode one scan, keep parsing
+            if not comps:
+                raise JpegError("SOS before SOF")
+            if not body or len(body) < 1 + 2 * body[0] + 3:
+                raise JpegError("truncated SOS")
+            ns = body[0]
+            by_id = {c.cid: c for c in comps}
+            scan: list[_Component] = []
+            for i in range(ns):
+                cid, tables = body[1 + 2 * i], body[2 + 2 * i]
+                c = by_id.get(cid)
+                if c is None:
+                    raise JpegError(f"SOS references unknown component "
+                                    f"{cid}")
+                c.td, c.ta = tables >> 4, tables & 0x0F
+                scan.append(c)
+            if not scan:
+                raise JpegError("SOS with zero components")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            if not sized:
+                for c in comps:
+                    c.blocks_x = mcux * c.h
+                    c.blocks_y = mcuy * c.v
+                    c.blocks = np.zeros(
+                        (c.blocks_y * c.blocks_x, 64), dtype=np.int64)
+                    if c.tq not in qt:
+                        raise JpegError(
+                            f"component references missing DQT {c.tq}")
+                sized = True
+
+            reader = _BitReader(data, pos)
+            st = _Scan(reader, scan, dc, ac, ss, se, ah, al, progressive)
+            st.reset()
+            rst = 0
+            if len(scan) == 1 and (progressive or len(comps) > 1):
+                # non-interleaved: MCU = one block, over the
+                # component's OWN block grid (not the MCU-padded one)
+                c = scan[0]
+                cw = -(-width * c.h // hmax)
+                ch = -(-height * c.v // vmax)
+                nbx, nby = -(-cw // 8), -(-ch // 8)
+                for m in range(nbx * nby):
+                    if restart_interval and m \
+                            and m % restart_interval == 0:
+                        reader.restart(rst)
+                        rst = (rst + 1) & 7
+                        st.reset()
+                    y, x = divmod(m, nbx)
+                    st.block(c, y * c.blocks_x + x)
+            else:
+                for m in range(mcux * mcuy):
+                    if restart_interval and m \
+                            and m % restart_interval == 0:
+                        reader.restart(rst)
+                        rst = (rst + 1) & 7
+                        st.reset()
+                    my, mx = divmod(m, mcux)
+                    for c in scan:
+                        for by in range(c.v):
+                            for bx in range(c.h):
+                                st.block(c, (my * c.v + by) * c.blocks_x
+                                         + (mx * c.h + bx))
+            scans_done += 1
+            pos = reader.pos
+            # skip any stray padding up to the next marker byte
+            while pos < n and data[pos] != 0xFF:
+                pos += 1
         # APPn / COM / DNL / anything else: skipped
-    else:  # pragma: no cover
-        raise JpegError("unreachable")
 
-    if not comps:
-        raise JpegError("SOS before SOF")
-    if not body or len(body) < 1 + 2 * body[0] + 3:
-        raise JpegError("truncated SOS")
-    ns = body[0]
-    if ns != len(comps):
-        raise JpegError("partial (multi-scan) baseline files not supported")
-    by_id = {c.cid: c for c in comps}
-    scan: list[_Component] = []
-    for i in range(ns):
-        cid, tables = body[1 + 2 * i], body[2 + 2 * i]
-        c = by_id.get(cid)
-        if c is None:
-            raise JpegError(f"SOS references unknown component {cid}")
-        c.td, c.ta = tables >> 4, tables & 0x0F
-        scan.append(c)
-    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
-    if (ss, se) != (0, 63):
-        raise JpegError("non-full spectral selection in baseline scan")
-
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    for c in comps:
-        c.blocks_x = mcux * c.h
-        c.blocks_y = mcuy * c.v
-        c.blocks = np.zeros((c.blocks_y * c.blocks_x, 64), dtype=np.int64)
-        if c.tq not in qt:
-            raise JpegError(f"component references missing DQT {c.tq}")
-
-    reader = _BitReader(data, pos)
-    rst = 0
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.restart(rst)
-            rst = (rst + 1) & 7
-            for c in comps:
-                c.pred = 0
-        my, mx = divmod(m, mcux)
-        for c in scan:
-            dtab = dc.get(c.td)
-            atab = ac.get(c.ta)
-            if dtab is None or atab is None:
-                raise JpegError("scan references missing DHT")
-            for by in range(c.v):
-                for bx in range(c.h):
-                    coef = np.zeros(64, dtype=np.int64)
-                    s = reader.decode(dtab)
-                    if s > 11:
-                        raise JpegError("DC magnitude category > 11")
-                    c.pred += _extend(reader.get_bits(s), s)
-                    coef[0] = c.pred
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode(atab)
-                        r, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if r == 15:
-                                k += 16      # ZRL
-                                continue
-                            break            # EOB
-                        k += r
-                        if k > 63:
-                            raise JpegError("AC run past end of block")
-                        coef[_ZIGZAG[k]] = _extend(
-                            reader.get_bits(size), size)
-                        k += 1
-                    row = (my * c.v + by) * c.blocks_x + (mx * c.h + bx)
-                    c.blocks[row] = coef
+    if not sized:
+        raise JpegError("no frame decoded")  # pragma: no cover
 
     # Dequantize + one batched IDCT per component, then assemble planes.
     planes: list[np.ndarray] = []
@@ -434,6 +626,18 @@ _K_AC_LUMA_SYMS = bytes([
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
 
 
+# Progressive AC scans additionally need EOBn symbols (0x10..0xE0),
+# which Annex K's baseline table does not contain (real progressive
+# encoders emit Huffman-optimized tables). A flat 9-bit canonical table
+# over every symbol a progressive AC scan can code (EOB0..EOB14, ZRL,
+# all (run, size) pairs with size 1..10) is valid (176 codes < 511,
+# all-ones code unused) and trivially correct.
+_PROG_AC_SYMS = bytes(
+    [0x00] + [r << 4 for r in range(1, 15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_PROG_AC_COUNTS = bytes([0] * 8 + [len(_PROG_AC_SYMS)] + [0] * 7)
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -489,28 +693,46 @@ def _encode_block(w: _BitWriter, coef: np.ndarray, pred: int,
     return int(zz[0])
 
 
+def _planes_for_encode(img: np.ndarray) -> list[np.ndarray]:
+    if img.ndim == 2:
+        return [img.astype(np.float64)]
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    return [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+
+
+def _zz_block(plane: np.ndarray, my: int, mx: int,
+              quant: np.ndarray) -> np.ndarray:
+    """Quantized coefficients of one 8x8 tile, zigzag order (edge
+    tiles replicate so partial tiles stay flat-block exact)."""
+    blk = np.full((8, 8), 128.0)
+    ys, xs = my * 8, mx * 8
+    tile = plane[ys:ys + 8, xs:xs + 8]
+    blk[:tile.shape[0], :tile.shape[1]] = tile
+    if tile.shape[0] < 8:
+        blk[tile.shape[0]:, :] = blk[tile.shape[0] - 1, :]
+    if tile.shape[1] < 8:
+        blk[:, tile.shape[1]:] = blk[:, tile.shape[1] - 1][:, None]
+    spec = _C @ (blk - 128.0) @ _C.T
+    return np.rint(spec / quant).astype(np.int64).reshape(64)[_ZIGZAG]
+
+
 def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     """Encode a uint8 (H, W) grayscale or (H, W, 3) RGB array as baseline
     JPEG (4:4:4, Annex K Huffman tables). ``quant`` is an 8x8 table
     applied to every component; default all-ones (near-lossless: exact
     for flat 8x8 blocks, the q130 oracle's construction)."""
     img = np.asarray(img, dtype=np.uint8)
-    gray = img.ndim == 2
     h, w = img.shape[:2]
     if quant is None:
         quant = np.ones((8, 8), dtype=np.int64)
     quant = np.asarray(quant, dtype=np.int64).reshape(8, 8)
-    if gray:
-        planes = [img.astype(np.float64)]
-    else:
-        r = img[..., 0].astype(np.float64)
-        g = img[..., 1].astype(np.float64)
-        b = img[..., 2].astype(np.float64)
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
+    planes = _planes_for_encode(img)
     ncomp = len(planes)
 
     out = bytearray(b"\xff\xd8")
@@ -538,20 +760,195 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     for my in range(bw):
         for mx in range(bh_):
             for ci, plane in enumerate(planes):
-                blk = np.full((8, 8), 128.0)
-                ys, xs = my * 8, mx * 8
-                tile = plane[ys:ys + 8, xs:xs + 8]
-                blk[:tile.shape[0], :tile.shape[1]] = tile
-                # edge replicate so partial tiles stay flat-block exact
-                if tile.shape[0] < 8:
-                    blk[tile.shape[0]:, :] = blk[tile.shape[0] - 1, :]
-                if tile.shape[1] < 8:
-                    blk[:, tile.shape[1]:] = blk[:, tile.shape[1] - 1][:, None]
-                spec = _C @ (blk - 128.0) @ _C.T
-                coef = np.rint(spec / quant).astype(np.int64)
-                preds[ci] = _encode_block(writer, coef, preds[ci],
-                                          dc_enc, ac_enc)
+                zz = _zz_block(plane, my, mx, quant)
+                coef = np.zeros(64, dtype=np.int64)
+                coef[_ZIGZAG] = zz
+                preds[ci] = _encode_block(writer, coef.reshape(8, 8),
+                                          preds[ci], dc_enc, ac_enc)
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(img: np.ndarray,
+                            quant: np.ndarray | None = None) -> bytes:
+    """Encode a uint8 (H, W) grayscale or (H, W, 3) RGB array as a
+    PROGRESSIVE JPEG (SOF2, 4:4:4, Annex K Huffman tables) that
+    exercises every progressive scan type the decoder implements:
+
+      1. DC first      — interleaved, Ss=Se=0, Ah=0, Al=1
+      2. DC refine     — interleaved, Ss=Se=0, Ah=1, Al=0 (raw bits)
+      3. AC first      — per component, Ss=1, Se=63, Ah=0, Al=1,
+                         cross-block EOBn runs
+      4. AC refine     — per component, Ss=1, Se=63, Ah=1, Al=0,
+                         correction bits + per-block EOB flush
+
+    Successive approximation is value-preserving (DC: arithmetic
+    shift + low-bit refine; AC: magnitude shift + correction bit), so
+    the decoded coefficients equal the baseline writer's exactly —
+    decode(encode_jpeg_progressive(x)) == decode(encode_jpeg(x)) for
+    every image, and with flat 8x8 blocks + unit quantization the
+    round trip is bit-exact (the q142 oracle's construction, same
+    trick as q130)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if quant is None:
+        quant = np.ones((8, 8), dtype=np.int64)
+    quant = np.asarray(quant, dtype=np.int64).reshape(8, 8)
+    planes = _planes_for_encode(img)
+    ncomp = len(planes)
+    nby = -(-h // 8)
+    nbx = -(-w // 8)
+    # all coefficients up front (zigzag order), per component
+    zzs = [
+        [_zz_block(p, my, mx, quant)
+         for my in range(nby) for mx in range(nbx)]
+        for p in planes
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = quant.reshape(64)[_ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(zz_q)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += struct.pack(">BBB", i + 1, 0x11, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_counts, dc_syms = _K_DC_LUMA
+    dht = bytes([0x00]) + dc_counts + dc_syms \
+        + bytes([0x10]) + _PROG_AC_COUNTS + _PROG_AC_SYMS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    dc_enc = _build_huff_spec(*_K_DC_LUMA)
+    ac_enc = _build_huff_spec(_PROG_AC_COUNTS, _PROG_AC_SYMS)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int,
+            td: int = 0, ta: int = 0) -> bytes:
+        body = bytes([len(comp_ids)]) + b"".join(
+            struct.pack(">BB", cid, (td << 4) | ta) for cid in comp_ids)
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # -- scan 1: DC first (interleaved, Al=1) ------------------------------
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for m in range(nby * nbx):
+        for ci in range(ncomp):
+            v = int(zzs[ci][m][0]) >> 1          # arithmetic shift
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = abs(diff).bit_length()
+            code, ln = dc_enc[s]
+            wtr.put(code, ln)
+            if s:
+                wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    wtr.flush()
+    out += wtr.out
+
+    # -- scan 2: DC refine (interleaved, Al=0, raw bits) --------------------
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for m in range(nby * nbx):
+        for ci in range(ncomp):
+            wtr.put(int(zzs[ci][m][0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # -- per-component AC scans ---------------------------------------------
+    for ci in range(ncomp):
+        # AC first (Ss=1..63, Al=1): magnitude-shifted values,
+        # cross-block EOBn runs
+        out += sos([ci + 1], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob(wtr=None):
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            code, ln = ac_enc[r << 4]
+            wtr.put(code, ln)
+            if r:
+                wtr.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for m in range(nby * nbx):
+            zz = zzs[ci][m]
+            temps = [abs(int(zz[k])) >> 1 for k in range(64)]
+            last = max((k for k in range(1, 64) if temps[k]), default=0)
+            if last == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob(wtr)
+                continue
+            flush_eob(wtr)
+            run = 0
+            for k in range(1, last + 1):
+                t = temps[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]
+                    wtr.put(code, ln)
+                    run -= 16
+                s = t.bit_length()
+                code, ln = ac_enc[(run << 4) | s]
+                wtr.put(code, ln)
+                v = t if zz[k] > 0 else -t
+                wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                eobrun += 1
+        flush_eob(wtr)
+        wtr.flush()
+        out += wtr.out
+
+        # AC refine (Ss=1..63, Ah=1, Al=0): correction bits for
+        # already-nonzero coefficients, newly-nonzero at magnitude 1,
+        # per-block EOB(1) flush carrying the buffered correction bits
+        out += sos([ci + 1], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        for m in range(nby * nbx):
+            zz = zzs[ci][m]
+            temps = [abs(int(zz[k])) for k in range(64)]
+            eob = max((k for k in range(1, 64) if temps[k] == 1),
+                      default=0)
+            run = 0
+            br: list[int] = []
+            for k in range(1, 64):
+                t = temps[k]
+                if t == 0:
+                    run += 1
+                    continue
+                # flush ZRLs at EVERY nonzero (incl. history) so each
+                # ZRL's buffered correction bits are exactly the >1
+                # coefficients the decoder crosses in that span
+                while run > 15 and k <= eob:
+                    code, ln = ac_enc[0xF0]
+                    wtr.put(code, ln)
+                    run -= 16
+                    for bit in br:
+                        wtr.put(bit, 1)
+                    br = []
+                if t > 1:               # history: buffer the low bit
+                    br.append(t & 1)
+                    continue
+                code, ln = ac_enc[(run << 4) | 1]
+                wtr.put(code, ln)
+                wtr.put(1 if zz[k] > 0 else 0, 1)
+                for bit in br:
+                    wtr.put(bit, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                code, ln = ac_enc[0x00]   # EOB(1) terminates the block
+                wtr.put(code, ln)
+                for bit in br:
+                    wtr.put(bit, 1)
+        wtr.flush()
+        out += wtr.out
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -5915,6 +5915,71 @@ ORDER BY l_returnflag
 """
 
 
+def q142_progressive_jpeg_roundtrip(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Real PROGRESSIVE JPEG bytes (SOF2) through the full multimodal
+    path: a deterministic flat-block grayscale image per document (2x3
+    grid of constant 8x8 tiles from md5(text || 'p')) → REAL
+    progressive encode (sources/jpeg.py encode_jpeg_progressive: DC
+    first/refine + per-component AC first/refine scans, successive
+    approximation Al=1→0, EOBn runs) → REAL multi-scan decode via
+    decode_image's magic-byte dispatch → md5 over the decoded pixel
+    hex. Same flat-block/unit-quant exactness as q130 (DC-only integer
+    spectra), but the entropy path decoded here is T.81 Annex G: any
+    defect in scan sequencing, spectral selection, successive-
+    approximation bit assembly, EOB-run accounting, or refinement
+    correction bits breaks the hash. One Arrow-batched mapInPandas
+    pass; bytes never leave the executor."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import decode_image
+    from openpolicedata_spark.sources.jpeg import encode_jpeg_progressive
+
+    d = _read(spark, sf_dir, "documents")
+
+    def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = _hl.md5(text.encode("utf-8") + b"p").digest()[:6]
+                tiles = np.frombuffer(raw, dtype=np.uint8).reshape(2, 3)
+                img = tiles.repeat(8, axis=0).repeat(8, axis=1)
+                jpg = encode_jpeg_progressive(img)
+                dec = decode_image(jpg, "image/jpeg")
+                gray = dec[:, :, 0]
+                ok = bool((gray == img).all()
+                          and (dec[:, :, 1] == gray).all()
+                          and (dec[:, :, 2] == gray).all())
+                rows.append((
+                    did,
+                    _hl.md5(gray.tobytes().hex().encode()).hexdigest(),
+                    ok,
+                ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "pix_md5", "prog_ok"])
+
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
+        compute, "doc_id long, pix_md5 string, prog_ok boolean")
+
+
+# Replay (q130's recipe, 2x3 tiles): byte k of md5(text||'p') is hex
+# digits 2k+1..2k+2; each byte is a constant 8x8 tile, row-major —
+# each band of 8 image rows is (b0 b1 b2 each x8) repeated 8 times.
+_Q142_SQL = (
+    "SELECT doc_id, md5("
+    " repeat(repeat(substr(md5(text || 'p'), 1, 2), 8)"
+    "        || repeat(substr(md5(text || 'p'), 3, 2), 8)"
+    "        || repeat(substr(md5(text || 'p'), 5, 2), 8), 8)"
+    " || repeat(repeat(substr(md5(text || 'p'), 7, 2), 8)"
+    "           || repeat(substr(md5(text || 'p'), 9, 2), 8)"
+    "           || repeat(substr(md5(text || 'p'), 11, 2), 8), 8)"
+    ") AS pix_md5, TRUE AS prog_ok FROM documents")
+
+
 def q131_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio bytes through the full multimodal path: deterministic
     int16 PCM from an md5 stream over doc text → REAL WAV encode
@@ -6122,6 +6187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_video_dup_pairs": q139_video_dup_pairs,
         "q140_priority_count": q140_priority_count,
         "q141_shipmode_priority": q141_shipmode_priority,
+        "q142_progressive_jpeg": q142_progressive_jpeg_roundtrip,
     }
     return base
 
@@ -6272,4 +6338,5 @@ def oracle_sql() -> dict[str, str]:
         "q139_video_dup_pairs": _Q139_SQL,
         "q140_priority_count": _Q140_SQL,
         "q141_shipmode_priority": _Q141_SQL,
+        "q142_progressive_jpeg": _Q142_SQL,
     }

@@ -442,12 +442,14 @@ def test_not_a_jpeg():
         decode_jpeg(b"\x89PNG\r\n\x1a\nrest")
 
 
-def test_progressive_raises():
+def test_sof2_with_sequential_scan_shape_raises():
+    """SOF2 demands progressive scan headers: a full 0-63 'scan' under
+    a progressive frame is malformed (a DC scan must have Se=0)."""
     img = flat_block_plane(8, 8, 15)
     data = bytearray(spec_encode([img.astype(float)], 8, 8))
     i = data.find(b"\xff\xc0")
     data[i + 1] = 0xC2
-    with pytest.raises(JpegError, match="progressive"):
+    with pytest.raises(JpegError, match="Se=0"):
         decode_jpeg(bytes(data))
 
 
@@ -509,3 +511,327 @@ def test_empty_sos_body_raises_jpeg_error():
     out = bytes(data[:i]) + b"\xff\xda\x00\x02" + bytes(data[i:])[2:]
     with pytest.raises(JpegError, match="truncated SOS"):
         decode_jpeg(out)
+
+
+# ================================================== progressive (Annex G)
+# Forward progressive encoder from T.81 Annex G literals, independent of
+# sources/jpeg.py encode_jpeg_progressive: different Huffman code
+# assignment (make_table's sorted 9-bit codes), SPLIT spectral bands
+# (1-5 then 6-63), a THREE-level DC successive approximation (Al=2→1→0),
+# and cross-block EOB runs carried across the band. G.1.2.1: DC first
+# sends diff-coded (DC >> Al), DC refine one raw low bit per block.
+# G.1.2.2: AC first run-length-codes (|v| >> Al, re-signed) with EOBn =
+# (1 << n) + ext-bits block runs. G.1.2.3: AC refine emits one
+# correction bit per already-nonzero coefficient crossed, newly-nonzero
+# values at magnitude 1 with a sign bit.
+
+def _prog_tables():
+    dc_counts, dc_vals, dc_enc = make_table(list(range(12)))
+    ac_all = sorted(set(
+        [r << 4 for r in range(15)] + [0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]))
+    ac_counts, ac_vals, ac_enc = make_table(ac_all)
+    return (dc_counts, dc_vals, dc_enc), (ac_counts, ac_vals, ac_enc)
+
+
+def spec_encode_progressive(planes, width, height, sampling=None,
+                            quant=None, dc_als=(2, 1, 0),
+                            ac_bands=((1, 5), (6, 63))) -> bytes:
+    """T.81 Annex G forward encoder: interleaved DC scans over the MCU
+    grid, per-component AC scans over the component's OWN block grid
+    (G.1: non-interleaved scans are not MCU-padded)."""
+    ncomp = len(planes)
+    sampling = sampling or [(1, 1)] * ncomp
+    if quant is None:
+        quant = np.ones((8, 8), dtype=int)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    comp_blocks = []
+    for ci, plane in enumerate(planes):
+        h, v = sampling[ci]
+        bx, by = mcux * h, mcuy * v
+        padded = np.full((by * 8, bx * 8), 128.0)
+        padded[:plane.shape[0], :plane.shape[1]] = plane
+        blocks = {}
+        for r in range(by):
+            for c in range(bx):
+                blk = padded[r * 8:r * 8 + 8, c * 8:c * 8 + 8] - 128.0
+                q = np.rint(spec_fdct(blk) / quant).astype(int)
+                blocks[(r, c)] = [int(q[rr][cc]) for rr, cc in _ZZ_ORDER]
+        comp_blocks.append(blocks)
+
+    (dc_counts, dc_vals, dc_enc), (ac_counts, ac_vals, ac_enc) = \
+        _prog_tables()
+
+    out = bytearray(b"\xff\xd8")
+    zzq = [int(quant[r][c]) for r, c in _ZZ_ORDER]
+    out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + b"\x00" + bytes(zzq)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        h, v = sampling[ci]
+        sof += struct.pack(">BBB", ci + 1, (h << 4) | v, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + dc_counts + dc_vals \
+        + bytes([0x10]) + ac_counts + ac_vals
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos_hdr(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)]) + b"".join(
+            struct.pack(">BB", cid, 0x00) for cid in comp_ids)
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    mcu_order = []
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(ncomp):
+            h, v = sampling[ci]
+            for r in range(v):
+                for c in range(h):
+                    mcu_order.append((ci, (my * v + r, mx * h + c)))
+
+    # ---- DC scans: first at dc_als[0], then one refine per later level
+    out += sos_hdr(list(range(1, ncomp + 1)), 0, 0, 0, dc_als[0])
+    bits = Bits()
+    preds = [0] * ncomp
+    for ci, rc in mcu_order:
+        v = comp_blocks[ci][rc][0] >> dc_als[0]
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = mag_cat(diff)
+        bits.put(*dc_enc[s])
+        if s:
+            bits.put(mag_bits(diff, s), s)
+    bits.pad_align()
+    out += bits.buf
+    for ah, al in zip(dc_als, dc_als[1:]):
+        out += sos_hdr(list(range(1, ncomp + 1)), 0, 0, ah, al)
+        bits = Bits()
+        for ci, rc in mcu_order:
+            bits.put((comp_blocks[ci][rc][0] >> al) & 1, 1)
+        bits.pad_align()
+        out += bits.buf
+
+    # ---- AC scans: per component, split bands, first then refine
+    for ss, se in ac_bands:
+        for ci in range(ncomp):
+            h, v = sampling[ci]
+            cw = -(-width * h // hmax)
+            ch = -(-height * v // vmax)
+            nbx, nby = -(-cw // 8), -(-ch // 8)
+            grid = [(r, c) for r in range(nby) for c in range(nbx)]
+
+            # first (Al=1)
+            out += sos_hdr([ci + 1], ss, se, 0, 1)
+            bits = Bits()
+            eobrun = 0
+
+            def flush_eob(bits):
+                nonlocal eobrun
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    bits.put(*ac_enc[n << 4])
+                    if n:
+                        bits.put(eobrun - (1 << n), n)
+                    eobrun = 0
+
+            for rc in grid:
+                zz = comp_blocks[ci][rc]
+                band = [(k, abs(zz[k]) >> 1, zz[k] > 0)
+                        for k in range(ss, se + 1)]
+                nz = [k for k, t, _ in band if t]
+                if not nz:
+                    eobrun += 1
+                    continue
+                flush_eob(bits)
+                run = 0
+                for k, t, pos in band:
+                    if k > nz[-1]:
+                        break
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bits.put(*ac_enc[0xF0])
+                        run -= 16
+                    s = mag_cat(t)
+                    bits.put(*ac_enc[(run << 4) | s])
+                    bits.put(mag_bits(t if pos else -t, s), s)
+                    run = 0
+                if nz[-1] < se:
+                    eobrun += 1
+            flush_eob(bits)
+            bits.pad_align()
+            out += bits.buf
+
+            # refine (Ah=1, Al=0): per-block flush with buffered
+            # correction bits (G.1.2.3)
+            out += sos_hdr([ci + 1], ss, se, 1, 0)
+            bits = Bits()
+            for rc in grid:
+                zz = comp_blocks[ci][rc]
+                newly = [k for k in range(ss, se + 1) if abs(zz[k]) == 1]
+                eob = newly[-1] if newly else 0
+                run = 0
+                corr = []
+                for k in range(ss, se + 1):
+                    a = abs(zz[k])
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        bits.put(*ac_enc[0xF0])
+                        run -= 16
+                        for b in corr:
+                            bits.put(b, 1)
+                        corr = []
+                    if a > 1:
+                        corr.append(a & 1)
+                        continue
+                    bits.put(*ac_enc[(run << 4) | 1])
+                    bits.put(1 if zz[k] > 0 else 0, 1)
+                    for b in corr:
+                        bits.put(b, 1)
+                    corr = []
+                    run = 0
+                if run or corr:
+                    bits.put(*ac_enc[0x00])
+                    for b in corr:
+                        bits.put(b, 1)
+            bits.pad_align()
+            out += bits.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_flat_blocks_bit_exact():
+    img = flat_block_plane(24, 16, 40)
+    out = decode_jpeg(spec_encode_progressive([img.astype(float)], 16, 24))
+    assert np.array_equal(out, img)
+
+
+def test_progressive_equals_sequential_decode_gray():
+    """Same coefficients through the Annex G scan script must decode to
+    exactly the pixels of the Annex F (sequential) script."""
+    for seed in (1, 2, 3):
+        r = np.random.default_rng(seed)
+        h, w = int(r.integers(8, 40)), int(r.integers(8, 40))
+        img = r.integers(0, 256, size=(h, w)).astype(float)
+        seq = decode_jpeg(spec_encode([img], w, h))
+        prog = decode_jpeg(spec_encode_progressive([img], w, h))
+        assert np.array_equal(seq, prog), (seed, h, w)
+
+
+def test_progressive_color_420_non_interleaved_grid():
+    """4:2:0 color, width chosen so the luma's OWN block grid (3 wide)
+    differs from its MCU-padded grid (4 wide) — a decoder that walks
+    non-interleaved AC scans over the padded grid desyncs here."""
+    r = np.random.default_rng(7)
+    h, w = 24, 24
+    rgb = r.integers(0, 256, size=(h, w, 3)).astype(float)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+        + 0.5 * rgb[..., 2] + 128
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+        - 0.081312 * rgb[..., 2] + 128
+    planes = [y, box_down(cb, 2, 2), box_down(cr, 2, 2)]
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    seq = decode_jpeg(spec_encode(planes, w, h, sampling=sampling))
+    prog = decode_jpeg(
+        spec_encode_progressive(planes, w, h, sampling=sampling))
+    assert np.array_equal(seq, prog)
+
+
+def test_progressive_eob_runs_across_blocks():
+    """A mostly-flat image makes most blocks DC-only: every AC band is
+    one long cross-block EOBn run with extension bits."""
+    img = np.full((64, 64), 77.0)
+    img[0:8, 0:8] = np.arange(64).reshape(8, 8)  # one busy block
+    blob = spec_encode_progressive([img], 64, 64)
+    seq = decode_jpeg(spec_encode([img], 64, 64))
+    assert np.array_equal(decode_jpeg(blob), seq)
+
+
+def test_progressive_quantized_history_bits():
+    """quant=3 forces multi-bit AC magnitudes, so refinement scans carry
+    correction bits for already-nonzero history coefficients."""
+    q = np.full((8, 8), 3, dtype=int)
+    r = np.random.default_rng(9)
+    img = r.integers(0, 256, size=(24, 17)).astype(float)
+    seq = decode_jpeg(spec_encode([img], 17, 24, quant=q))
+    prog = decode_jpeg(spec_encode_progressive([img], 17, 24, quant=q))
+    assert np.array_equal(seq, prog)
+
+
+def test_repo_progressive_encoder_cross_validates():
+    """decode(encode_jpeg_progressive(x)) == decode(encode_jpeg(x)) —
+    and both equal the spec-literal encoders' decodes."""
+    from openpolicedata_spark.sources.jpeg import encode_jpeg_progressive
+
+    r = np.random.default_rng(11)
+    # odd size: repo baseline vs repo progressive (same edge replicate)
+    odd = r.integers(0, 256, size=(19, 23), dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(odd)),
+                          decode_jpeg(encode_jpeg_progressive(odd)))
+    # flat blocks: exact for every encoder, so all four must agree
+    # (random images hit FDCT-rounding ties between the repo's einsum
+    # DCT and the spec-literal double-loop DCT — same reason
+    # test_encoders_cross_validate pins flat blocks)
+    img = flat_block_plane(16, 24, 43)
+    base = decode_jpeg(encode_jpeg(img))
+    assert np.array_equal(base[..., 0] if base.ndim == 3 else base, img)
+    assert np.array_equal(base, decode_jpeg(encode_jpeg_progressive(img)))
+    assert np.array_equal(
+        base, decode_jpeg(spec_encode([img.astype(float)], 24, 16)))
+    assert np.array_equal(
+        base,
+        decode_jpeg(spec_encode_progressive([img.astype(float)], 24, 16)))
+    rgb = r.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(rgb)),
+                          decode_jpeg(encode_jpeg_progressive(rgb)))
+
+
+def test_progressive_interleaved_ac_scan_raises():
+    """An AC scan naming two components is malformed (G.1: progressive
+    AC scans are non-interleaved)."""
+    r = np.random.default_rng(13)
+    img = r.integers(0, 256, size=(8, 8, 3)).astype(float)
+    planes = [img[..., 0], img[..., 1], img[..., 2]]
+    blob = bytearray(spec_encode_progressive(planes, 8, 8))
+    # find the first AC SOS (Ss=1) and claim 2 components in it
+    i = 0
+    while True:
+        i = blob.find(b"\xff\xda", i + 1)
+        ns = blob[i + 4]
+        ss = blob[i + 5 + 2 * ns]
+        if ss == 1:
+            break
+    patched = (bytes(blob[:i]) + b"\xff\xda"
+               + struct.pack(">H", 2 + 1 + 4 + 3) + bytes([2])
+               + bytes([1, 0x00, 2, 0x00]) + bytes([1, 63, 0x01])
+               + bytes(blob[i + 2 + int.from_bytes(blob[i+2:i+4]):]))
+    with pytest.raises(JpegError, match="non-interleaved"):
+        decode_jpeg(patched)
+
+
+def test_progressive_truncation_raises_everywhere():
+    img = flat_block_plane(16, 16, 41)
+    data = spec_encode_progressive([img.astype(float)], 16, 16)
+    for cut in range(2, len(data), 11):
+        try:
+            decode_jpeg(data[:cut])
+        except JpegError:
+            pass  # the documented contract
+
+
+def test_progressive_decode_image_dispatch():
+    from openpolicedata_spark.operators.multimodal import decode_image
+    from openpolicedata_spark.sources.jpeg import encode_jpeg_progressive
+
+    img = flat_block_plane(16, 16, 42)
+    out = decode_image(encode_jpeg_progressive(img), "image/jpeg")
+    assert out.shape == (16, 16, 3)
+    assert np.array_equal(out[..., 0], img)
