@@ -13,12 +13,19 @@ records that carry cell data in practice:
   FORMULA (+ trailing STRING for cached string results), nested
   BOF/EOF depth tracking for embedded charts
 
-RC4-encrypted workbooks (FILEPASS — both the Office-Binary MD5 scheme
-and RC4 CryptoAPI) decrypt transparently via sources/xls_crypto.py with
-the 'VelvetSweatshop' magic password, mirroring the reference's
-msoffcrypto path (excel.py:132-150). Out of scope, raising clearly:
-BIFF5 and earlier (pre-unicode string layouts) and XOR obfuscation
-(wEncryptionType 0).
+BIFF5/BIFF7 workbooks (BOF version 0x0500 — Excel 5.0/95, the 'Book'
+stream) parse too: strings are code-page byte strings (CODEPAGE record
+selects the encoding, default cp1252) instead of XLUnicodeString, there
+is no SST/LABELSST (LABEL/RSTRING carry text inline), and FORMAT's
+format code uses a 1-byte length. Cell-record layouts (NUMBER, RK,
+MULRK, BOOLERR, FORMULA+STRING) are unchanged from BIFF8.
+
+Protected workbooks (FILEPASS) decrypt transparently via
+sources/xls_crypto.py with the 'VelvetSweatshop' magic password,
+mirroring the reference's msoffcrypto path (excel.py:132-150): both
+RC4 schemes (Office-Binary MD5 and RC4 CryptoAPI) and XOR obfuscation
+(wEncryptionType 0, the only FILEPASS form BIFF5 has). Out of scope,
+raising clearly: BIFF4 and earlier (raw non-CFB streams).
 
 Dates follow the same rules as the xlsx reader: a numeric cell whose XF
 points at a date number-format (built-in ids or a format code with
@@ -27,6 +34,7 @@ date tokens) converts from the 1900/1904 serial system.
 
 from __future__ import annotations
 
+import codecs
 import io
 import struct
 from typing import Union
@@ -50,7 +58,9 @@ _BOF = 0x0809
 _EOF = 0x000A
 _FILEPASS = 0x002F
 _DATEMODE = 0x0022
+_CODEPAGE = 0x0042
 _FORMAT = 0x041E
+_RSTRING = 0x00D6
 _XF = 0x00E0
 _BOUNDSHEET = 0x0085
 _SST = 0x00FC
@@ -181,6 +191,34 @@ def _unicode_string(data: bytes, offset: int, short: bool = False) -> str:
     return data[offset:offset + cch].decode("latin-1")
 
 
+def _byte_string(data: bytes, offset: int, enc: str,
+                 short: bool = False) -> str:
+    """BIFF5 byte string: 1- or 2-byte cch + code-page bytes (no grbit
+    flags, no unicode)."""
+    if short:
+        cch = data[offset]
+        offset += 1
+    else:
+        (cch,) = struct.unpack_from("<H", data, offset)
+        offset += 2
+    return data[offset:offset + cch].decode(enc, "replace")
+
+
+def _codepage_enc(cv: int) -> str:
+    """CODEPAGE record value → python codec. 1200 marks BIFF8 utf-16
+    (byte strings never use it); 32768/10000 are classic Mac Roman and
+    32769 is the Windows-ANSI alias."""
+    if cv in (10000, 32768):
+        return "mac_roman"
+    if cv in (1200, 32769):
+        return "cp1252"
+    try:
+        codecs.lookup(f"cp{cv}")
+        return f"cp{cv}"
+    except LookupError:
+        return "latin-1"
+
+
 def _decode_rk(v: int) -> float:
     if v & 0x02:  # 30-bit signed integer
         num = v >> 2
@@ -241,14 +279,27 @@ def read_xls(source: Union[str, bytes, io.IOBase],
         find_filepass,
     )
 
+    # the BOF record body is always plaintext, so the BIFF version is
+    # readable before decryption (XOR FILEPASS parsing needs it: BIFF5's
+    # FILEPASS has no wEncryptionType field)
+    if len(wb) < 10 or struct.unpack_from("<H", wb, 0)[0] != _BOF:
+        raise XlsError("stream does not start with a well-formed BOF")
+    vers = struct.unpack_from("<H", wb, 4)[0]
+    if vers not in (0x0600, 0x0500):
+        raise XlsError(
+            f"only BIFF5-BIFF8 are supported (BOF version 0x{vers:04x})")
+    biff5 = vers == 0x0500
+
     if find_filepass(wb) is not None:
         try:
-            wb = decrypt_biff_workbook(wb, password)
+            wb = decrypt_biff_workbook(wb, password,
+                                       biff_version=5 if biff5 else 8)
         except BiffCryptoError as e:
             raise XlsError(f"FILEPASS: {e}") from e
 
     # ---- globals substream -------------------------------------------------
     datemode = 0
+    enc = "cp1252"  # BIFF5 byte-string code page until CODEPAGE says else
     formats: dict[int, str] = {}
     xf_fmts: list[int] = []
     sheets: list[tuple[str, int]] = []  # (name, stream offset)
@@ -257,11 +308,6 @@ def read_xls(source: Union[str, bytes, io.IOBase],
     opcode, body, _ = next(it, (None, b"", 0))
     if opcode != _BOF or len(body) < 4:
         raise XlsError("stream does not start with a well-formed BOF")
-    (vers, _dt) = struct.unpack_from("<HH", body, 0)
-    if vers != 0x0600:
-        raise XlsError(
-            f"only BIFF8 is supported (BOF version 0x{vers:04x}); "
-            "install xlrd for older workbooks")
     pending_sst = None
     sst_cont: list[bytes] = []
     try:
@@ -280,15 +326,19 @@ def read_xls(source: Union[str, bytes, io.IOBase],
                 continue
             if opcode == _DATEMODE:
                 (datemode,) = struct.unpack_from("<H", body, 0)
+            elif opcode == _CODEPAGE:
+                enc = _codepage_enc(struct.unpack_from("<H", body, 0)[0])
             elif opcode == _FORMAT:
                 (ifmt,) = struct.unpack_from("<H", body, 0)
-                formats[ifmt] = _unicode_string(body, 2)
+                formats[ifmt] = (_byte_string(body, 2, enc, short=True)
+                                 if biff5 else _unicode_string(body, 2))
             elif opcode == _XF:
                 xf_fmts.append(struct.unpack_from("<H", body, 2)[0])
             elif opcode == _BOUNDSHEET:
                 (pos32,) = struct.unpack_from("<I", body, 0)
                 dt = body[5]
-                sname = _unicode_string(body, 6, short=True)
+                sname = (_byte_string(body, 6, enc, short=True) if biff5
+                         else _unicode_string(body, 6, short=True))
                 # hidden/very-hidden sheets are KEPT (dt==0 only filters
                 # charts/macros) so output matches xlrd and read_xlsx,
                 # which both return hidden worksheets
@@ -335,7 +385,9 @@ def read_xls(source: Union[str, bytes, io.IOBase],
             if opcode == _STRING:
                 if pending_formula is not None:
                     r, c = pending_formula
-                    put(r, c, _unicode_string(body, 0) or None)
+                    s = (_byte_string(body, 0, enc) if biff5
+                         else _unicode_string(body, 0))
+                    put(r, c, s or None)
                 pending_formula = None
                 continue
             if opcode in (_SHRFMLA, _ARRAY, _TABLE):
@@ -361,9 +413,13 @@ def read_xls(source: Union[str, bytes, io.IOBase],
                 if isst >= len(sst):
                     raise XlsError(f"SST index {isst} out of range")
                 put(r, c, sst[isst] or None)
-            elif opcode == _LABEL:
+            elif opcode == _LABEL or (biff5 and opcode == _RSTRING):
+                # BIFF5 RSTRING is a LABEL plus trailing format runs,
+                # which the cch-bounded slice never reads
                 r, c = struct.unpack_from("<HH", body, 0)
-                put(r, c, _unicode_string(body, 6) or None)
+                s = (_byte_string(body, 6, enc) if biff5
+                     else _unicode_string(body, 6))
+                put(r, c, s or None)
             elif opcode == _BOOLERR:
                 r, c, _ixfe, val, is_err = struct.unpack_from(
                     "<HHHBB", body, 0)

@@ -282,13 +282,17 @@ def test_multi_sheet_order_and_empty_sheet():
     assert out["A"].empty
 
 
-def test_filepass_and_biff5_raise_cleanly():
+def test_filepass_and_old_biff_raise_cleanly():
+    # an all-zero XOR FILEPASS: key/verifier 0 never match the default
+    # password, so this is now a clean wrong-password failure
     wb = bof(_BOF_WBGLOBALS) + rec(0x002F, bytes(6)) + eof()
     with pytest.raises(XlsError, match="FILEPASS"):
         read_xls(as_xls(wb))
     wb5 = bof(_BOF_WBGLOBALS, vers=0x0500) + eof()
-    with pytest.raises(XlsError, match="BIFF8"):
-        read_xls(as_xls(wb5))
+    assert read_xls(as_xls(wb5)) == {}  # BIFF5 parses (empty workbook)
+    wb4 = bof(_BOF_WBGLOBALS, vers=0x0400) + eof()
+    with pytest.raises(XlsError, match="BIFF5-BIFF8"):
+        read_xls(as_xls(wb4))
     with pytest.raises(XlsError, match="CFB"):
         read_xls(b"not a cfb container at all" + bytes(600))
     with pytest.raises(XlsError, match="no Workbook stream"):

@@ -197,9 +197,10 @@ def test_wrong_password_raises_before_parsing():
         read_xls(blob, password="nope")
 
 
-def test_xor_obfuscation_raises_clearly():
+def test_truncated_xor_filepass_raises_clearly():
+    # wEncryptionType 0 with no key/verifier bytes: truncated XOR record
     wb = bof(_BOF_WBGLOBALS) + rec(0x002F, struct.pack("<H", 0)) + eof()
-    with pytest.raises(XlsError, match="XOR obfuscation"):
+    with pytest.raises(XlsError, match="truncated XOR FILEPASS"):
         read_xls(write_cfb({"Workbook": wb}))
 
 
