@@ -15,11 +15,16 @@ Coverage (TIFF 6.0 baseline):
   16-bit entries downscaled to 8)
 - BitsPerSample 8 (and 1-bit bilevel for photometric 0/1)
 - multi-strip images; only the FIRST IFD (page) is decoded
-- JPEG compression, tiled layout, planar configuration 2, and
-  16-bit samples raise ``TiffError`` clearly
+- tiled layout (§15: TileWidth/TileLength/TileOffsets/TileByteCounts,
+  right/bottom edge tiles padded to full tile size and clipped on
+  placement)
+- planar configuration 2 (per-sample planes, strip or tile chunking:
+  the chunk list concatenates plane 0's chunks, then plane 1's, …)
+- JPEG compression and 16-bit samples raise ``TiffError`` clearly
 
-Decoding is ``np.frombuffer`` + reshape per strip — memcpy-bound, no
-per-pixel Python (bilevel rows go through vectorized ``unpackbits``).
+Decoding is ``np.frombuffer`` + reshape per strip/tile — memcpy-bound,
+no per-pixel Python (bilevel rows go through vectorized
+``unpackbits``).
 """
 
 from __future__ import annotations
@@ -177,38 +182,26 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if compression not in (1, 5, 8, 32773, 32946):
         raise TiffError(f"compression {compression} not supported "
                         "(uncompressed, LZW, Deflate, or PackBits)")
-    if 322 in tags or 323 in tags:
-        raise TiffError("tiled TIFF not supported (stripped only)")
-    if one(284, 1) != 1:
-        raise TiffError("planar configuration 2 not supported")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise TiffError(f"planar configuration {planar} not supported")
     photometric = one(262)
     spp = one(277, 1)
     bits = tags.get(258, [1 if photometric in (0, 1) else 8])
     if len(set(bits)) != 1:
         raise TiffError("mixed bits-per-sample not supported")
     bps = bits[0]
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise TiffError("missing strip offsets/byte counts")
-    rows_per_strip = one(278, height)
-
-    if bps == 1 and photometric in (0, 1) and spp == 1:
-        row_bytes = (width + 7) // 8
-    elif bps == 8:
-        row_bytes = width * spp
-    else:
+    tiled = 322 in tags or 323 in tags
+    bilevel = bps == 1 and photometric in (0, 1) and spp == 1
+    if not bilevel and bps != 8:
         raise TiffError(f"{bps}-bit samples not supported "
                         "(8-bit, or 1-bit bilevel)")
+    # samples carried per pixel by one chunk (strip or tile): planar 2
+    # stores each sample in its own chunk sequence
+    csamp = 1 if planar == 2 else spp
+    planes = spp if planar == 2 else 1
 
-    rows = np.empty((height, row_bytes), dtype=np.uint8)
-    y = 0
-    for off, cnt in zip(offsets, counts):
-        n_rows = min(rows_per_strip, height - y)
-        need = n_rows * row_bytes
-        if off + cnt > len(data):
-            raise TiffError("truncated strip data")
-        raw = data[off:off + cnt]
+    def _decompress(raw: bytes, need: int) -> bytes:
         if compression == 32773:
             raw = _unpackbits(raw, need)
         elif compression == 5:
@@ -219,17 +212,79 @@ def decode_tiff(data: bytes) -> np.ndarray:
             try:
                 raw = zlib.decompress(raw)
             except zlib.error as exc:
-                raise TiffError(f"bad Deflate strip: {exc}") from exc
+                raise TiffError(f"bad Deflate chunk: {exc}") from exc
         if len(raw) < need:
-            raise TiffError("truncated strip data")
-        rows[y:y + n_rows] = np.frombuffer(
-            raw, dtype=np.uint8, count=need).reshape(n_rows, row_bytes)
-        y += n_rows
-    if y < height:
-        raise TiffError("strips cover fewer rows than ImageLength")
+            raise TiffError("truncated chunk data")
+        return raw
 
-    if bps == 1:
-        bitsarr = np.unpackbits(rows, axis=1)[:, :width]
+    # decode into (planes, H, W*csamp) byte rows; bilevel unpacks later
+    if tiled:
+        tw = one(322)
+        tl = one(323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("missing tile offsets/byte counts")
+        if tw == 0 or tl == 0 or tw % 16 or tl % 16:
+            raise TiffError("tile size must be a positive multiple of 16")
+        across = (width + tw - 1) // tw
+        down = (height + tl - 1) // tl
+        if len(offsets) != across * down * planes:
+            raise TiffError(
+                f"expected {across * down * planes} tiles, "
+                f"IFD lists {len(offsets)}")
+        tile_row_bytes = (tw + 7) // 8 if bilevel else tw * csamp
+        need = tl * tile_row_bytes
+        if bilevel:
+            px = np.empty((1, height, width), dtype=np.uint8)
+        else:
+            px = np.empty((planes, height, width * csamp), dtype=np.uint8)
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise TiffError("truncated tile data")
+            p, t = divmod(i, across * down)
+            ty, tx = divmod(t, across)
+            y0, x0 = ty * tl, tx * tw
+            nr = min(tl, height - y0)
+            nc = min(tw, width - x0)
+            tile = np.frombuffer(_decompress(data[off:off + cnt], need),
+                                 dtype=np.uint8,
+                                 count=need).reshape(tl, tile_row_bytes)
+            if bilevel:
+                tpx = np.unpackbits(tile, axis=1)[:nr, :nc]
+                px[0, y0:y0 + nr, x0:x0 + nc] = tpx
+            else:
+                px[p, y0:y0 + nr, x0 * csamp:(x0 + nc) * csamp] = \
+                    tile[:nr, :nc * csamp]
+        if bilevel:
+            bitsarr = px[0]  # tiles unpacked to 0/1 pixels on placement
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("missing strip offsets/byte counts")
+        rows_per_strip = one(278, height)
+        per_plane = (height + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) != per_plane * planes:
+            raise TiffError(
+                f"expected {per_plane * planes} strips, "
+                f"IFD lists {len(offsets)}")
+        row_bytes = (width + 7) // 8 if bilevel else width * csamp
+        px = np.empty((planes, height, row_bytes), dtype=np.uint8)
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise TiffError("truncated strip data")
+            p, s = divmod(i, per_plane)
+            y = s * rows_per_strip
+            n_rows = min(rows_per_strip, height - y)
+            need = n_rows * row_bytes
+            raw = _decompress(data[off:off + cnt], need)
+            px[p, y:y + n_rows] = np.frombuffer(
+                raw, dtype=np.uint8, count=need).reshape(n_rows, row_bytes)
+        if bilevel:
+            bitsarr = np.unpackbits(px[0], axis=1)[:, :width]
+
+    if bilevel:
         img = (bitsarr * 255).astype(np.uint8)
         if photometric == 0:  # WhiteIsZero: 0 = white
             img = 255 - img
@@ -237,13 +292,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if photometric in (0, 1):
         if spp != 1:
             raise TiffError("grayscale with extra samples not supported")
-        img = rows.reshape(height, width)
+        img = px[0].reshape(height, width)
         return (255 - img) if photometric == 0 else img.copy()
     if photometric == 2:
         if spp < 3:
             raise TiffError("RGB needs SamplesPerPixel >= 3")
-        px = rows.reshape(height, width, spp)
-        return np.ascontiguousarray(px[:, :, :3])  # drop alpha/extras
+        if planar == 2:
+            return np.stack([px[p].reshape(height, width)
+                             for p in range(3)], axis=-1)
+        rgb = px[0].reshape(height, width, spp)
+        return np.ascontiguousarray(rgb[:, :, :3])  # drop alpha/extras
     if photometric == 3:
         cmap = tags.get(320)
         if not cmap or len(cmap) != 3 * (1 << bps):
@@ -253,7 +311,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
         # standard high-byte transform
         pal = (np.array(cmap, dtype=np.uint32).reshape(3, n).T
                >> 8).astype(np.uint8)
-        idx = rows.reshape(height, width)
+        idx = px[0].reshape(height, width)
         return pal[idx]
     raise TiffError(f"photometric interpretation {photometric} "
                     "not supported")

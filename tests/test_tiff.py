@@ -20,10 +20,10 @@ rng = np.random.default_rng(20260814)
 
 
 def build_tiff(strips: list[bytes], tags: dict[int, tuple[int, list[int]]],
-               endian: str = "<") -> bytes:
+               endian: str = "<", tiled: bool = False) -> bytes:
     """Forward TIFF construction: header, pixel strips, value areas,
-    then one IFD. `tags` maps tag id → (type, values); StripOffsets is
-    filled in automatically."""
+    then one IFD. `tags` maps tag id → (type, values); StripOffsets
+    (or TileOffsets with ``tiled=True``) is filled in automatically."""
     e = endian
     out = bytearray(b"II*\x00" if e == "<" else b"MM\x00*")
     out += b"\x00" * 4  # IFD offset patched later
@@ -34,8 +34,9 @@ def build_tiff(strips: list[bytes], tags: dict[int, tuple[int, list[int]]],
     if len(out) % 2:
         out += b"\x00"
     tags = dict(tags)
-    tags[273] = (4, strip_offsets)
-    tags[279] = (4, [len(s) for s in strips])
+    off_tag, cnt_tag = (324, 325) if tiled else (273, 279)
+    tags[off_tag] = (4, strip_offsets)
+    tags[cnt_tag] = (4, [len(s) for s in strips])
 
     type_size = {1: 1, 3: 2, 4: 4}
     fmt = {1: "B", 3: "H", 4: "I"}
@@ -130,14 +131,19 @@ def test_errors():
     with pytest.raises(TiffError, match="compression"):
         decode_tiff(build_tiff([img.tobytes()], t))
     t = gray_tags(2, 2, 2)
-    t[322] = (3, [16])  # TileWidth
-    with pytest.raises(TiffError, match="tiled"):
+    t[322] = (3, [16])  # TileWidth without TileLength/TileOffsets
+    with pytest.raises(TiffError, match="323"):
         decode_tiff(build_tiff([img.tobytes()], t))
+    t = gray_tags(2, 2, 2)
+    t[322] = (3, [10])  # not a multiple of 16
+    t[323] = (3, [16])
+    with pytest.raises(TiffError, match="multiple of 16"):
+        decode_tiff(build_tiff([img.tobytes()], t, tiled=True))
     t = gray_tags(2, 2, 2)
     t[258] = (3, [16])
     with pytest.raises(TiffError, match="16-bit"):
         decode_tiff(build_tiff([img.tobytes()], t))
-    with pytest.raises(TiffError, match="truncated strip|strips cover"):
+    with pytest.raises(TiffError, match="truncated chunk|strips"):
         decode_tiff(build_tiff([img.tobytes()[:-1]], gray_tags(2, 2, 2)))
 
 
@@ -308,3 +314,120 @@ def test_deflate_bad_stream_raises():
     t[259] = (3, [8])
     with pytest.raises(TiffError, match="Deflate"):
         decode_tiff(build_tiff([b"\x99\x99\x99\x99"], t))
+
+
+# ------------------------------------------------- tiles and planar config
+
+def tile_split(img: np.ndarray, tw: int, tl: int) -> list[bytes]:
+    """Spec §15 tile chunking: row-major tiles, edge tiles padded to the
+    full tile size (pad bytes arbitrary — zeros here)."""
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    tiles = []
+    for y0 in range(0, h, tl):
+        for x0 in range(0, w, tw):
+            pad = np.zeros((tl, tw, spp), dtype=np.uint8)
+            blk = img[y0:y0 + tl, x0:x0 + tw].reshape(
+                min(tl, h - y0), min(tw, w - x0), spp)
+            pad[:blk.shape[0], :blk.shape[1]] = blk
+            tiles.append(pad.tobytes())
+    return tiles
+
+
+def test_tiled_gray_edge_clipping():
+    img = rng.integers(0, 256, size=(21, 37), dtype=np.uint8)
+    t = gray_tags(37, 21, 21)
+    del t[278]
+    t[322] = (3, [16])
+    t[323] = (3, [16])
+    out = decode_tiff(build_tiff(tile_split(img, 16, 16), t, tiled=True))
+    assert np.array_equal(out, img)
+
+
+def test_tiled_rgb_matches_strip_decode():
+    img = rng.integers(0, 256, size=(18, 20, 3), dtype=np.uint8)
+    t = {256: (3, [20]), 257: (3, [18]), 258: (3, [8, 8, 8]),
+         259: (3, [1]), 262: (3, [2]), 277: (3, [3])}
+    tiled = decode_tiff(build_tiff(tile_split(img, 16, 16),
+                                   {**t, 322: (3, [16]),
+                                    323: (3, [16])},
+                                   tiled=True))
+    striped = decode_tiff(build_tiff([img.tobytes()],
+                                     {**t, 278: (3, [18])}))
+    assert np.array_equal(tiled, striped)
+    assert np.array_equal(tiled, img)
+
+
+def test_tiled_lzw_compressed():
+    img = rng.integers(0, 4, size=(17, 19), dtype=np.uint8) * 80
+    t = gray_tags(19, 17, 17)
+    del t[278]
+    t[259] = (3, [5])
+    t[322] = (3, [16])
+    t[323] = (3, [16])
+    tiles = [tiff_lzw_encode(raw) for raw in tile_split(img, 16, 16)]
+    out = decode_tiff(build_tiff(tiles, t, tiled=True))
+    assert np.array_equal(out, img)
+
+
+def test_tiled_bilevel():
+    img = (rng.integers(0, 2, size=(20, 22), dtype=np.uint8))
+    packed_tiles = []
+    for y0 in range(0, 20, 16):
+        for x0 in range(0, 22, 16):
+            pad = np.zeros((16, 16), dtype=np.uint8)
+            blk = img[y0:y0 + 16, x0:x0 + 16]
+            pad[:blk.shape[0], :blk.shape[1]] = blk
+            packed_tiles.append(np.packbits(pad, axis=1).tobytes())
+    t = {256: (3, [22]), 257: (3, [20]), 258: (3, [1]),
+         259: (3, [1]), 262: (3, [1]), 277: (3, [1]),
+         322: (3, [16]), 323: (3, [16])}
+    out = decode_tiff(build_tiff(packed_tiles, t, tiled=True))
+    assert np.array_equal(out, img * 255)
+
+
+def test_planar2_strips_match_planar1():
+    img = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    base = {256: (3, [9]), 257: (3, [11]), 258: (3, [8, 8, 8]),
+            259: (3, [1]), 262: (3, [2]), 277: (3, [3]),
+            278: (3, [4])}
+    # planar 1: interleaved strips of 4 rows
+    s1 = [img[y:y + 4].tobytes() for y in range(0, 11, 4)]
+    # planar 2: plane 0's strips, then plane 1's, then plane 2's
+    s2 = [img[y:y + 4, :, p].tobytes()
+          for p in range(3) for y in range(0, 11, 4)]
+    out1 = decode_tiff(build_tiff(s1, base))
+    out2 = decode_tiff(build_tiff(s2, {**base, 284: (3, [2])}))
+    assert np.array_equal(out1, out2)
+    assert np.array_equal(out2, img)
+
+
+def test_planar2_tiled_rgb():
+    img = rng.integers(0, 256, size=(17, 18, 3), dtype=np.uint8)
+    tiles = []
+    for p in range(3):
+        tiles += tile_split(img[:, :, p], 16, 16)
+    t = {256: (3, [18]), 257: (3, [17]), 258: (3, [8, 8, 8]),
+         259: (3, [1]), 262: (3, [2]), 277: (3, [3]),
+         284: (3, [2]), 322: (3, [16]), 323: (3, [16])}
+    out = decode_tiff(build_tiff(tiles, t, tiled=True))
+    assert np.array_equal(out, img)
+
+
+def test_tile_and_strip_count_mismatch_raise():
+    img = rng.integers(0, 256, size=(17, 18), dtype=np.uint8)
+    t = gray_tags(18, 17, 17)
+    del t[278]
+    t[322] = (3, [16])
+    t[323] = (3, [16])
+    with pytest.raises(TiffError, match="expected 4 tiles"):
+        decode_tiff(build_tiff(tile_split(img, 16, 16)[:2], t,
+                               tiled=True))
+    base = {256: (3, [9]), 257: (3, [11]), 258: (3, [8, 8, 8]),
+            259: (3, [1]), 262: (3, [2]), 277: (3, [3]),
+            278: (3, [4]), 284: (3, [2])}
+    img2 = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    only_one_plane = [img2[y:y + 4, :, 0].tobytes()
+                      for y in range(0, 11, 4)]
+    with pytest.raises(TiffError, match="expected 9 strips"):
+        decode_tiff(build_tiff(only_one_plane, base))
