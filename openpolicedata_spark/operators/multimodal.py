@@ -231,12 +231,13 @@ def decode_audio(content: bytes, mime: str) -> "tuple[int, np.ndarray]":
     """REAL audio decode → (sample_rate, float64 samples in [-1, 1],
     shaped (n_frames, n_channels)).
 
-    WAV (RIFF PCM / IEEE float, incl. WAVE_FORMAT_EXTENSIBLE) decodes
-    fully in-repo via the stdlib codec (sources/wav.py). mp3/flac/ogg
-    would need a real audio codec (soundfile/ffmpeg, not in this
-    container) and still raise — clearly-marked gate. Dispatch is by
-    magic bytes, not the mime hint. Raw codec-free PCM (audio/L16)
-    bypasses this entirely via pcm_features."""
+    WAV (RIFF PCM / IEEE float, incl. WAVE_FORMAT_EXTENSIBLE) and FLAC
+    (sources/flac.py — full subframe/Rice/stereo-decorrelation
+    decoder) decode fully in-repo via the stdlib codecs. mp3/ogg would
+    need a real audio codec (soundfile/ffmpeg, not in this container)
+    and still raise — clearly-marked gate. Dispatch is by magic bytes,
+    not the mime hint. Raw codec-free PCM (audio/L16) bypasses this
+    entirely via pcm_features."""
     from openpolicedata_spark.sources import wav as _wav
 
     b = bytes(content)
@@ -251,9 +252,14 @@ def decode_audio(content: bytes, mime: str) -> "tuple[int, np.ndarray]":
         else:  # float32 / float64 are already nominal [-1, 1]
             norm = samples.astype(np.float64)
         return rate, norm
+    from openpolicedata_spark.sources import flac as _flac
+
+    if b[:4] == _flac.FLAC_SIGNATURE:
+        rate, bps, samples = _flac.read_flac(b)
+        return rate, samples.astype(np.float64) / float(1 << (bps - 1))
     raise NotImplementedError(
-        f"no stdlib codec for {mime!r} (magic {b[:4]!r}); WAV is "
-        "supported natively, compressed audio needs soundfile/ffmpeg; "
+        f"no stdlib codec for {mime!r} (magic {b[:4]!r}); WAV and FLAC "
+        "are supported natively, mp3/ogg need soundfile/ffmpeg; "
         "raw PCM (audio/L16) is handled codec-free by pcm_features")
 
 

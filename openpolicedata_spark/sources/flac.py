@@ -1,0 +1,528 @@
+"""Pure-stdlib/numpy FLAC decoder + subset encoder (xiph FLAC spec /
+RFC 9639).
+
+FLAC is lossless over integers, so — like the WAV/PNG/GIF codecs — a
+decode is bit-exact against the encoder input and DuckDB oracles can
+replay sample-derived hashes from the same md5 stream (q143).
+
+Decoder coverage:
+- STREAMINFO parsing (other metadata blocks skipped), frame sync with
+  CRC-8 header and CRC-16 frame checks, fixed + variable blocking,
+  UTF-8 coded frame/sample numbers, all block-size / sample-rate /
+  sample-size codes (8/12/16/20/24/32 bit)
+- channel layouts: 1-8 independent, left/side, right/side, mid/side
+  (the side channel carries one extra bit per the spec)
+- subframes: CONSTANT, VERBATIM, FIXED orders 0-4, LPC orders 1-32
+  (quantized coefficients + shift), wasted-bits unary prefix
+- residuals: both Rice methods (4- and 5-bit parameters), multi-level
+  partition orders, escape-coded raw partitions (incl. 0-bit)
+
+Encoder (for fixtures and the q143 oracle): fixed 4096-sample blocks,
+independent channels, FIXED predictor order chosen per subframe from
+{0, 1, 2} by estimated Rice cost, single-partition Rice residuals,
+STREAMINFO with the spec's unencoded-audio MD5. Always produces
+spec-conformant streams the reference decoders accept.
+
+The entropy loops are per-sample Python (the documented JPEG/GIF
+per-item ceiling applies); unary runs scan byte-at-a-time.
+
+Reference parity note: openpolicedata decodes no media at all — this
+codec exists for the multimodal pipeline operators (SURVEY.md §2's
+LLM-data-pipeline extensions), not reference parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["FlacError", "read_flac", "encode_flac", "FLAC_SIGNATURE"]
+
+FLAC_SIGNATURE = b"fLaC"
+
+
+class FlacError(ValueError):
+    """Malformed or unsupported FLAC payload."""
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for b in range(256):
+        r = b << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) if r & top else (r << 1)
+        table.append(r & mask)
+    return table
+
+
+_CRC8 = _crc_table(0x07, 8)
+_CRC16 = _crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = _CRC8[r ^ b]
+    return r
+
+
+def _crc16(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = _CRC16[((r >> 8) ^ b) & 0xFF] ^ ((r << 8) & 0xFFFF)
+    return r
+
+
+class _Bits:
+    """MSB-first bit reader over the whole stream."""
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.d = data
+        self.p = bitpos
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.p
+        end = p + n
+        if end > len(self.d) * 8:
+            raise FlacError("truncated bitstream")
+        b0, b1 = p >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(self.d[b0:b1], "big")
+        self.p = end
+        return (chunk >> ((b1 << 3) - end)) & ((1 << n) - 1)
+
+    def signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        """Count 0-bits up to the terminating 1 (FLAC unary)."""
+        d, p = self.d, self.p
+        count = 0
+        nbytes = len(d)
+        while True:
+            bi = p >> 3
+            if bi >= nbytes:
+                raise FlacError("truncated unary code")
+            cur = d[bi] & (0xFF >> (p & 7))
+            if cur == 0:
+                step = 8 - (p & 7)
+                count += step
+                p += step
+            else:
+                nz = (8 - (p & 7)) - cur.bit_length()
+                self.p = p + nz + 1
+                return count + nz
+
+    def align(self) -> None:
+        self.p = (self.p + 7) & ~7
+
+
+def _utf8_number(br: _Bits) -> int:
+    """FLAC's extended UTF-8 coded number (up to 36 bits)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    probe = b0
+    while probe & 0x40:
+        n += 1
+        probe <<= 1
+    if n == 0 or n > 6:
+        raise FlacError("bad UTF-8 coded number")
+    v = b0 & (0x3F >> n)
+    for _ in range(n):
+        c = br.read(8)
+        if c & 0xC0 != 0x80:
+            raise FlacError("bad UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+_BLOCKSIZE_FIXED = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+_RATE_FIXED = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+_BPS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+_FIXED_COEF = {1: (1,), 2: (2, -1), 3: (3, -3, 1), 4: (4, -6, 4, -1)}
+
+
+def _residual(br: _Bits, bs: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise FlacError(f"reserved residual method {method}")
+    pbits = 4 if method == 0 else 5
+    esc = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if bs % nparts:
+        raise FlacError("block size not divisible by partitions")
+    out: list[int] = []
+    for p in range(nparts):
+        n = (bs >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise FlacError("predictor order exceeds first partition")
+        param = br.read(pbits)
+        if param == esc:
+            nb = br.read(5)
+            if nb == 0:
+                out.extend([0] * n)
+            else:
+                out.extend(br.signed(nb) for _ in range(n))
+        else:
+            rd = br.read
+            un = br.unary
+            for _ in range(n):
+                q = un()
+                v = (q << param) | rd(param)
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+def _subframe(br: _Bits, bs: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise FlacError("subframe padding bit set")
+    t = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise FlacError("wasted bits exceed sample size")
+    if t == 0:                                   # CONSTANT
+        out = np.full(bs, br.signed(eff), dtype=np.int64)
+    elif t == 1:                                 # VERBATIM
+        sg = br.signed
+        out = np.array([sg(eff) for _ in range(bs)], dtype=np.int64)
+    elif 8 <= t <= 12:                           # FIXED order 0-4
+        order = t - 8
+        if order > bs:
+            raise FlacError("fixed order exceeds block size")
+        warm = [br.signed(eff) for _ in range(order)]
+        res = _residual(br, bs, order)
+        s = list(warm)
+        if order == 0:
+            s = res
+        else:
+            coef = _FIXED_COEF[order]
+            for r in res:
+                acc = r
+                for j, c in enumerate(coef):
+                    acc += c * s[-1 - j]
+                s.append(acc)
+        out = np.array(s, dtype=np.int64)
+    elif t >= 32:                                # LPC
+        order = (t & 0x1F) + 1
+        if order > bs:
+            raise FlacError("LPC order exceeds block size")
+        warm = [br.signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise FlacError("invalid LPC precision code")
+        prec += 1
+        shift = br.signed(5)
+        if shift < 0:
+            raise FlacError("negative LPC shift")
+        coefs = [br.signed(prec) for _ in range(order)]
+        res = _residual(br, bs, order)
+        s = list(warm)
+        for r in res:
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * s[-1 - j]
+            s.append(r + (acc >> shift))
+        out = np.array(s, dtype=np.int64)
+    else:
+        raise FlacError(f"reserved subframe type {t}")
+    if wasted:
+        out <<= wasted
+    return out
+
+
+def read_flac(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode FLAC bytes → (sample_rate, bits_per_sample,
+    int32 samples shaped (n_frames, n_channels))."""
+    if data[:4] != FLAC_SIGNATURE:
+        raise FlacError("not FLAC: bad signature")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(data):
+            raise FlacError("truncated metadata block header")
+        hdr = data[pos]
+        blen = int.from_bytes(data[pos + 1:pos + 4], "big")
+        if pos + 4 + blen > len(data):
+            raise FlacError("truncated metadata block")
+        if hdr & 0x7F == 0:                      # STREAMINFO
+            body = data[pos + 4:pos + 4 + blen]
+            if blen < 34:
+                raise FlacError("short STREAMINFO")
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            nch = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            info = (rate, nch, bps, total)
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise FlacError("missing STREAMINFO")
+    si_rate, si_nch, si_bps, total = info
+    if si_rate == 0:
+        raise FlacError("STREAMINFO sample rate 0")
+
+    chans: list[list[np.ndarray]] = [[] for _ in range(si_nch)]
+    got = 0
+    while pos < len(data) and (total == 0 or got < total):
+        frame_start = pos
+        br = _Bits(data, pos * 8)
+        if br.read(14) != 0x3FFE:
+            raise FlacError("lost frame sync")
+        if br.read(1):
+            raise FlacError("frame reserved bit set")
+        br.read(1)                               # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise FlacError("frame reserved bit set")
+        _utf8_number(br)
+        if bs_code == 0:
+            raise FlacError("reserved block size code")
+        elif bs_code == 6:
+            bs = br.read(8) + 1
+        elif bs_code == 7:
+            bs = br.read(16) + 1
+        elif bs_code in _BLOCKSIZE_FIXED:
+            bs = _BLOCKSIZE_FIXED[bs_code]
+        else:
+            bs = 256 << (bs_code - 8)
+        if sr_code == 0:
+            pass
+        elif sr_code in _RATE_FIXED:
+            pass
+        elif sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        else:
+            raise FlacError("invalid sample rate code")
+        if ss_code == 0:
+            bps = si_bps
+        elif ss_code in _BPS_CODE:
+            bps = _BPS_CODE[ss_code]
+        else:
+            raise FlacError("reserved sample size code")
+        hdr_end = (br.p + 7) >> 3
+        if _crc8(data[frame_start:hdr_end]) != br.read(8) or \
+                br.p != (hdr_end + 1) * 8:
+            raise FlacError("frame header CRC-8 mismatch")
+
+        if ch_code <= 7:
+            nch = ch_code + 1
+            if nch != si_nch:
+                raise FlacError("frame channel count != STREAMINFO")
+            subs = [_subframe(br, bs, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if si_nch != 2:
+                raise FlacError("stereo decorrelation in non-stereo "
+                                "stream")
+            # the side channel carries one extra bit
+            if ch_code == 8:                     # left/side
+                left = _subframe(br, bs, bps)
+                side = _subframe(br, bs, bps + 1)
+                subs = [left, left - side]
+            elif ch_code == 9:                   # right/side
+                side = _subframe(br, bs, bps + 1)
+                right = _subframe(br, bs, bps)
+                subs = [right + side, right]
+            else:                                # mid/side
+                mid = _subframe(br, bs, bps)
+                side = _subframe(br, bs, bps + 1)
+                mid2 = (mid << 1) | (side & 1)
+                subs = [(mid2 + side) >> 1, (mid2 - side) >> 1]
+        else:
+            raise FlacError(f"reserved channel assignment {ch_code}")
+
+        br.align()
+        body_end = br.p >> 3
+        if body_end + 2 > len(data):
+            raise FlacError("truncated frame footer")
+        (crc16,) = struct.unpack_from(">H", data, body_end)
+        if _crc16(data[frame_start:body_end]) != crc16:
+            raise FlacError("frame CRC-16 mismatch")
+        pos = body_end + 2
+        for c, s in enumerate(subs):
+            chans[c].append(s)
+        got += bs
+
+    if total and got != total:
+        raise FlacError(f"stream ended early: {got}/{total} samples")
+    if not chans[0]:
+        raise FlacError("no audio frames")
+    cols = [np.concatenate(c) for c in chans]
+    out = np.stack(cols, axis=1)
+    lo, hi = -(1 << (si_bps - 1)), (1 << (si_bps - 1)) - 1
+    if out.min() < lo or out.max() > hi:
+        raise FlacError("decoded samples exceed bits-per-sample range")
+    return si_rate, si_bps, out.astype(np.int32)
+
+
+# --------------------------------------------------------------- encoder
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def done(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _utf8_encode(v: int) -> bytes:
+    if v < 0x80:
+        return bytes([v])
+    out = []
+    nbits = v.bit_length()
+    n = 1
+    while nbits > 6 - n + 6 * n:  # payload capacity of an n+1-byte form
+        n += 1
+    for _ in range(n):
+        out.append(0x80 | (v & 0x3F))
+        v >>= 6
+    lead = (0xFF << (7 - n)) & 0xFF | v
+    return bytes([lead] + out[::-1])
+
+
+def _best_fixed(block: np.ndarray) -> tuple[int, np.ndarray]:
+    """Pick FIXED order 0-2 by summed |residual| (the standard cheap
+    heuristic); returns (order, residual after the warmup samples)."""
+    best_order, best_cost = 0, int(np.abs(block).sum())
+    prev = block
+    for order in (1, 2):
+        if len(block) <= order:
+            break
+        prev = np.diff(prev)
+        cost = int(np.abs(prev).sum())
+        if cost < best_cost:
+            best_order, best_cost = order, cost
+    return best_order, (block if best_order == 0
+                        else np.diff(block, n=best_order))
+
+
+def _rice_param(res: np.ndarray) -> int:
+    z = (np.abs(res.astype(np.int64)) << 1)
+    best_k, best_cost = 0, None
+    for k in range(15):
+        cost = int((z >> k).sum()) + len(z) * (k + 1)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
+def encode_flac(samples: np.ndarray, rate: int, bps: int = 16) -> bytes:
+    """Write a spec-conformant FLAC stream: independent channels,
+    4096-sample fixed blocks, FIXED-predictor subframes with
+    single-partition Rice residuals."""
+    import hashlib
+
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2:
+        raise FlacError("samples must be 1-D or 2-D (frames, channels)")
+    n, nch = a.shape
+    if not (1 <= nch <= 8):
+        raise FlacError("1-8 channels required")
+    if n == 0:
+        raise FlacError("no samples")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    a = a.astype(np.int64)
+    if a.min() < lo or a.max() > hi:
+        raise FlacError(f"samples exceed {bps}-bit range")
+
+    block = 4096
+    # STREAMINFO md5: interleaved samples, little-endian, bps/8 bytes
+    if bps % 8:
+        raise FlacError("encoder supports byte-aligned bps only")
+    width = bps // 8
+    le = np.zeros((n * nch, width), dtype=np.uint8)
+    flat = a.reshape(-1)
+    for byte_i in range(width):
+        le[:, byte_i] = (flat >> (8 * byte_i)) & 0xFF
+    md5 = hashlib.md5(le.tobytes()).digest()
+
+    out = bytearray(FLAC_SIGNATURE)
+    # min/max block size exclude the (possibly shorter) last block
+    info = bytearray()
+    info += struct.pack(">HH", block, block)
+    info += b"\x00\x00\x00" * 2                  # min/max frame size 0
+    packed = (rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | n
+    info += packed.to_bytes(8, "big")
+    info += md5
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+    for fi, start in enumerate(range(0, n, block)):
+        blk = a[start:start + block]
+        bs = blk.shape[0]
+        bw = _BitWriter()
+        bw.write(0x3FFE, 14)
+        bw.write(0, 1)                           # reserved
+        bw.write(0, 1)                           # fixed blocking
+        bw.write(7, 4)                           # 16-bit block size - 1
+        bw.write(0, 4)                           # rate from STREAMINFO
+        bw.write(nch - 1, 4)                     # independent channels
+        bw.write(ss_code, 3)
+        bw.write(0, 1)                           # reserved
+        for b in _utf8_encode(fi):
+            bw.write(b, 8)
+        bw.write(bs - 1, 16)
+        hdr = bw.done()
+        frame = bytearray(hdr)
+        frame.append(_crc8(bytes(frame)))
+
+        bw = _BitWriter()
+        for c in range(nch):
+            col = blk[:, c]
+            order, res = _best_fixed(col)
+            bw.write(0, 1)
+            bw.write(8 + order, 6)               # FIXED
+            bw.write(0, 1)                       # no wasted bits
+            for v in col[:order]:
+                bw.write(int(v), bps)
+            k = _rice_param(res)
+            bw.write(0, 2)                       # 4-bit Rice method
+            bw.write(0, 4)                       # partition order 0
+            bw.write(k, 4)
+            for v in res:
+                v = int(v)
+                z = (v << 1) if v >= 0 else ((-v) << 1) - 1
+                q = z >> k
+                bw.write(1, q + 1)               # q zeros then a 1
+                bw.write(z & ((1 << k) - 1), k)
+        frame += bw.done()
+        frame += struct.pack(">H", _crc16(bytes(frame)))
+        out += frame
+    return bytes(out)

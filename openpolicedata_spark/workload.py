@@ -6032,6 +6032,61 @@ _Q131_SQL = ("SELECT doc_id, md5("
              + ") AS pcm_md5, TRUE AS wav_ok FROM documents")
 
 
+def q143_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real compressed audio through the full multimodal path:
+    deterministic stereo int16 PCM from an md5 stream over doc text →
+    REAL FLAC encode (sources/flac.py — FIXED predictors + Rice
+    residuals, frame CRC-8/CRC-16) → REAL decode via decode_audio's
+    magic-byte dispatch (subframe + residual decode, channel
+    de-interleave, normalize) → de-normalize and md5 the recovered
+    sample hex. FLAC is lossless over integers and int16/32768 is a
+    power-of-two divide, so the whole chain is bit-exact and the
+    oracle replays the hash directly from the md5 stream: any defect
+    in frame sync, Rice coding, predictor reconstruction, CRC math, or
+    interleave order breaks it. `flac_ok` additionally pins the rate
+    and the stereo shape. One Arrow-batched mapInPandas pass; bytes
+    never leave the executor."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import decode_audio
+    from openpolicedata_spark.sources.flac import encode_flac
+
+    d = _read(spark, sf_dir, "documents")
+
+    def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = b"".join(
+                    _hl.md5(text.encode("utf-8") + b"f" + str(i).encode())
+                    .digest() for i in range(8))
+                pcm = np.frombuffer(raw, dtype="<i2").reshape(-1, 2)
+                blob = encode_flac(pcm, rate=22_050)
+                rate, norm = decode_audio(blob, "audio/flac")
+                back = np.rint(norm * 32768.0).astype("<i2")
+                ok = bool(rate == 22_050 and norm.shape == pcm.shape
+                          and back.tobytes() == raw)
+                rows.append((
+                    did,
+                    _hl.md5(back.tobytes().hex().encode()).hexdigest(),
+                    ok,
+                ))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "pcm_md5", "flac_ok"])
+
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
+        compute, "doc_id long, pcm_md5 string, flac_ok boolean")
+
+
+_Q143_SQL = ("SELECT doc_id, md5("
+             + " || ".join(f"md5(text || 'f{i}')" for i in range(8))
+             + ") AS pcm_md5, TRUE AS flac_ok FROM documents")
+
+
 # Replay: byte k of md5(text||'0') is hex digits 2k+1..2k+2; each byte
 # becomes a constant 8x8 tile, laid out row-major (top row pair then
 # bottom), so the pixel hex is two repeat() bands of 8 rows each.
@@ -6188,6 +6243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_priority_count": q140_priority_count,
         "q141_shipmode_priority": q141_shipmode_priority,
         "q142_progressive_jpeg": q142_progressive_jpeg_roundtrip,
+        "q143_flac_roundtrip": q143_flac_roundtrip,
     }
     return base
 
@@ -6339,4 +6395,5 @@ def oracle_sql() -> dict[str, str]:
         "q140_priority_count": _Q140_SQL,
         "q141_shipmode_priority": _Q141_SQL,
         "q142_progressive_jpeg": _Q142_SQL,
+        "q143_flac_roundtrip": _Q143_SQL,
     }

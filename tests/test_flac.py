@@ -1,0 +1,378 @@
+"""FLAC codec tests — fixtures written HERE forward from the xiph FLAC
+spec / RFC 9639 literals (frame header layout, subframe type codes,
+Rice residual structure, stereo decorrelation math, CRC polynomials),
+independent of sources/flac.py. The hand-built streams exercise paths
+the repo's subset encoder never produces: LPC, mid/left/right-side
+stereo, escape + multi-level partitions, wasted bits, VERBATIM and
+CONSTANT subframes, variable block-size codes."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from openpolicedata_spark.sources.flac import (
+    FlacError,
+    encode_flac,
+    read_flac,
+)
+
+rng = np.random.default_rng(20260814)
+
+
+# ------------------------------------------------ spec-literal writers
+
+def crc8(data: bytes) -> int:
+    """poly x^8 + x^2 + x + 1 = 0x07, init 0, MSB-first (bitwise)."""
+    r = 0
+    for b in data:
+        r ^= b
+        for _ in range(8):
+            r = ((r << 1) ^ 0x07) & 0xFF if r & 0x80 else (r << 1) & 0xFF
+    return r
+
+
+def crc16(data: bytes) -> int:
+    """poly x^16 + x^15 + x^2 + 1 = 0x8005, init 0, MSB-first."""
+    r = 0
+    for b in data:
+        r ^= b << 8
+        for _ in range(8):
+            r = ((r << 1) ^ 0x8005) & 0xFFFF if r & 0x8000 \
+                else (r << 1) & 0xFFFF
+    return r
+
+
+class W:
+    """MSB-first bit writer."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def w(self, v: int, n: int) -> "W":
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+        return self
+
+    def sw(self, v: int, n: int) -> "W":
+        return self.w(v & ((1 << n) - 1), n)
+
+    def unary(self, q: int) -> "W":
+        return self.w(1, q + 1)  # q zeros then a one
+
+    def rice(self, v: int, k: int) -> "W":
+        z = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        self.unary(z >> k)
+        return self.w(z & ((1 << k) - 1), k)
+
+    def done(self) -> bytes:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def streaminfo(rate: int, nch: int, bps: int, total: int) -> bytes:
+    body = struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+    packed = (rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | total
+    body += packed.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def frame_header(bs: int, ch_code: int, ss_code: int,
+                 frame_no: int = 0) -> bytes:
+    w = W()
+    w.w(0x3FFE, 14).w(0, 1).w(0, 1)
+    w.w(7, 4)              # block size: 16-bit value - 1 at header end
+    w.w(0, 4)              # rate from STREAMINFO
+    w.w(ch_code, 4)
+    w.w(ss_code, 3)
+    w.w(0, 1)
+    hdr = w.done() + bytes([frame_no]) + struct.pack(">H", bs - 1)
+    return hdr + bytes([crc8(hdr)])
+
+
+def finish_frame(hdr: bytes, body: W) -> bytes:
+    frame = hdr + body.done()
+    return frame + struct.pack(">H", crc16(frame))
+
+
+def sub_verbatim(w: W, vals, bps: int) -> None:
+    w.w(0, 1).w(1, 6).w(0, 1)
+    for v in vals:
+        w.sw(int(v), bps)
+
+
+def sub_constant(w: W, v: int, bps: int) -> None:
+    w.w(0, 1).w(0, 6).w(0, 1).sw(v, bps)
+
+
+def sub_fixed(w: W, vals, order: int, bps: int, k: int = 4,
+              porder: int = 0, escapes: dict | None = None) -> None:
+    """FIXED subframe; residuals computed here from the spec predictor
+    polynomials. `escapes` maps partition index -> raw bit width (15 =
+    escape code) for escape-coded partitions."""
+    vals = [int(v) for v in vals]
+    coef = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+            4: [4, -6, 4, -1]}[order]
+    res = []
+    for i in range(order, len(vals)):
+        pred = sum(c * vals[i - 1 - j] for j, c in enumerate(coef))
+        res.append(vals[i] - pred)
+    w.w(0, 1).w(8 + order, 6).w(0, 1)
+    for v in vals[:order]:
+        w.sw(v, bps)
+    w.w(0, 2).w(porder, 4)
+    bs = len(vals)
+    nparts = 1 << porder
+    pos = 0
+    for p in range(nparts):
+        n = (bs >> porder) - (order if p == 0 else 0)
+        raw_bits = (escapes or {}).get(p)
+        if raw_bits is not None:
+            w.w(15, 4).w(raw_bits, 5)
+            for v in res[pos:pos + n]:
+                w.sw(v, raw_bits)
+        else:
+            w.w(k, 4)
+            for v in res[pos:pos + n]:
+                w.rice(v, k)
+        pos += n
+
+
+def sub_lpc(w: W, vals, coefs, shift: int, bps: int, prec: int,
+            k: int = 6) -> None:
+    """LPC subframe; residuals computed here from the spec formula
+    s[i] - (sum(c[j] * s[i-1-j]) >> shift)."""
+    vals = [int(v) for v in vals]
+    order = len(coefs)
+    w.w(0, 1).w(32 + order - 1, 6).w(0, 1)
+    for v in vals[:order]:
+        w.sw(v, bps)
+    w.w(prec - 1, 4).sw(shift, 5)
+    for c in coefs:
+        w.sw(c, prec)
+    w.w(0, 2).w(0, 4).w(k, 4)
+    for i in range(order, len(vals)):
+        pred = sum(c * vals[i - 1 - j] for j, c in enumerate(coefs)) \
+            >> shift
+        w.rice(vals[i] - pred, k)
+
+
+# -------------------------------------------------- encoder roundtrips
+
+@pytest.mark.parametrize("n", [1, 63, 4096, 4097, 9001])
+def test_roundtrip_mono_int16(n):
+    a = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    rate, bps, out = read_flac(encode_flac(a, 16000))
+    assert (rate, bps) == (16000, 16)
+    assert np.array_equal(out[:, 0], a)
+
+
+def test_roundtrip_stereo_and_compression():
+    t = np.arange(12000)
+    smooth = np.stack([(2000 * np.sin(t / 23)).astype(np.int16),
+                       (999 * np.sin(t / 31)).astype(np.int16)], axis=1)
+    blob = encode_flac(smooth, 44100)
+    assert len(blob) < smooth.nbytes * 0.6  # FIXED predictors engage
+    rate, bps, out = read_flac(blob)
+    assert np.array_equal(out, smooth)
+
+
+def test_roundtrip_8_and_24_bit():
+    a8 = rng.integers(-128, 128, size=500).astype(np.int64)
+    rate, bps, out = read_flac(encode_flac(a8, 8000, bps=8))
+    assert bps == 8 and np.array_equal(out[:, 0], a8)
+    a24 = rng.integers(-(1 << 23), 1 << 23, size=500)
+    rate, bps, out = read_flac(encode_flac(a24, 8000, bps=24))
+    assert bps == 24 and np.array_equal(out[:, 0], a24)
+
+
+# ------------------------------------------- spec-literal decode pins
+
+def test_verbatim_and_constant():
+    vals = rng.integers(-32768, 32768, size=32).tolist()
+    w = W()
+    sub_verbatim(w, vals, 16)
+    blob = streaminfo(8000, 1, 16, 32) \
+        + finish_frame(frame_header(32, 0, 4), w)
+    _, _, out = read_flac(blob)
+    assert out[:, 0].tolist() == vals
+
+    w = W()
+    sub_constant(w, -7, 16)
+    blob = streaminfo(8000, 1, 16, 16) \
+        + finish_frame(frame_header(16, 0, 4), w)
+    _, _, out = read_flac(blob)
+    assert out[:, 0].tolist() == [-7] * 16
+
+
+@pytest.mark.parametrize("order", [0, 1, 2, 3, 4])
+def test_fixed_orders(order):
+    # a cubic-ish ramp keeps residuals small at every order
+    vals = [((i * i) // 8) - 40 + (i % 3) for i in range(48)]
+    w = W()
+    sub_fixed(w, vals, order, 16, k=6)
+    blob = streaminfo(8000, 1, 16, 48) \
+        + finish_frame(frame_header(48, 0, 4), w)
+    _, _, out = read_flac(blob)
+    assert out[:, 0].tolist() == vals
+
+
+def test_lpc_subframe():
+    # run the spec prediction forward in the test to build the signal
+    coefs = [3, -1]          # s[i] = r[i] + ((3*s[i-1] - s[i-2]) >> 1)
+    vals = [100, 90]
+    for i in range(2, 64):
+        pred = (coefs[0] * vals[i - 1] + coefs[1] * vals[i - 2]) >> 1
+        vals.append(pred + int(rng.integers(-5, 6)))
+    w = W()
+    sub_lpc(w, vals, coefs, shift=1, bps=16, prec=4)
+    blob = streaminfo(8000, 1, 16, 64) \
+        + finish_frame(frame_header(64, 0, 4), w)
+    _, _, out = read_flac(blob)
+    assert out[:, 0].tolist() == vals
+
+
+def test_stereo_decorrelation_all_three():
+    L = rng.integers(-20000, 20000, size=32).tolist()
+    R = rng.integers(-20000, 20000, size=32).tolist()
+    side = [a - b for a, b in zip(L, R)]
+    mid = [(a + b) >> 1 for a, b in zip(L, R)]
+
+    # left/side (ch_code 8): L at bps, side at bps+1
+    w = W()
+    sub_verbatim(w, L, 16)
+    sub_verbatim(w, side, 17)
+    blob = streaminfo(8000, 2, 16, 32) \
+        + finish_frame(frame_header(32, 8, 4), w)
+    _, _, out = read_flac(blob)
+    assert out[:, 0].tolist() == L and out[:, 1].tolist() == R
+
+    # right/side (ch_code 9): side at bps+1, R at bps
+    w = W()
+    sub_verbatim(w, side, 17)
+    sub_verbatim(w, R, 16)
+    blob = streaminfo(8000, 2, 16, 32) \
+        + finish_frame(frame_header(32, 9, 4), w)
+    _, _, out = read_flac(blob)
+    assert out[:, 0].tolist() == L and out[:, 1].tolist() == R
+
+    # mid/side (ch_code 10): mid at bps, side at bps+1
+    w = W()
+    sub_verbatim(w, mid, 16)
+    sub_verbatim(w, side, 17)
+    blob = streaminfo(8000, 2, 16, 32) \
+        + finish_frame(frame_header(32, 10, 4), w)
+    _, _, out = read_flac(blob)
+    assert out[:, 0].tolist() == L and out[:, 1].tolist() == R
+
+
+def test_partitions_and_escapes():
+    vals = rng.integers(-30, 30, size=64).tolist()
+    # porder=2 -> 4 partitions of 16; partition 1 escape-coded at 7
+    # bits, partition 3 escape-coded at 0 bits (all-zero residuals)
+    vals[48:] = [0] * 16   # order-0 residuals == values
+    w = W()
+    sub_fixed(w, vals, 0, 16, k=5, porder=2, escapes={1: 7, 3: 0})
+    blob = streaminfo(8000, 1, 16, 64) \
+        + finish_frame(frame_header(64, 0, 4), w)
+    _, _, out = read_flac(blob)
+    assert out[:, 0].tolist() == vals
+
+
+def test_wasted_bits():
+    vals = [v * 4 for v in rng.integers(-500, 500, size=16).tolist()]
+    w = W()
+    # VERBATIM with 2 wasted bits: flag 1, unary(2-1)=001, samples
+    # stored at bps-2 shifted right by 2
+    w.w(0, 1).w(1, 6).w(1, 1).unary(1)
+    for v in vals:
+        w.sw(v >> 2, 14)
+    blob = streaminfo(8000, 1, 16, 16) \
+        + finish_frame(frame_header(16, 0, 4), w)
+    _, _, out = read_flac(blob)
+    assert out[:, 0].tolist() == vals
+
+
+def test_multi_frame_and_8bit_code():
+    f1 = list(range(-8, 8))
+    f2 = list(range(16))
+    frames = b""
+    for i, vals in enumerate([f1, f2]):
+        w = W()
+        sub_verbatim(w, vals, 8)
+        frames += finish_frame(frame_header(16, 0, 1, frame_no=i), w)
+    blob = streaminfo(8000, 1, 8, 32) + frames
+    _, bps, out = read_flac(blob)
+    assert bps == 8
+    assert out[:, 0].tolist() == f1 + f2
+
+
+# ------------------------------------------------------------- errors
+
+def test_crc_mismatches_raise():
+    a = rng.integers(-100, 100, size=64, dtype=np.int16)
+    blob = bytearray(encode_flac(a, 8000))
+    good = bytes(blob)
+    # flip a bit in the frame body (after the 4+4+34 byte metadata)
+    blob[60] ^= 0x01
+    with pytest.raises(FlacError, match="CRC|sync|exceed|truncated|"
+                                        "reserved|order|unary"):
+        read_flac(bytes(blob))
+    read_flac(good)  # sanity: untouched stream still decodes
+
+
+def test_header_crc8_detects_header_corruption():
+    w = W()
+    sub_constant(w, 5, 16)
+    frame = bytearray(finish_frame(frame_header(16, 0, 4), w))
+    frame[2] ^= 0x10  # inside the header, before CRC-8
+    blob = streaminfo(8000, 1, 16, 16) + bytes(frame)
+    with pytest.raises(FlacError):
+        read_flac(blob)
+
+
+def test_truncation_never_leaks():
+    a = rng.integers(-3000, 3000, size=300, dtype=np.int16)
+    blob = encode_flac(a, 8000)
+    for cut in range(0, len(blob), 3):
+        try:
+            read_flac(blob[:cut])
+        except FlacError:
+            pass
+
+
+def test_junk_fuzz_raises_flacerror_only():
+    for seed in range(40):
+        r = np.random.default_rng(seed)
+        blob = b"fLaC" + bytes(r.integers(0, 256, size=200,
+                                          dtype=np.uint8))
+        try:
+            read_flac(blob)
+        except FlacError:
+            pass
+
+
+def test_not_flac():
+    with pytest.raises(FlacError, match="signature"):
+        read_flac(b"RIFF....WAVE")
+
+
+# ------------------------------------------------------ spark dispatch
+
+def test_decode_audio_dispatch():
+    from openpolicedata_spark.operators.multimodal import decode_audio
+
+    a = rng.integers(-32768, 32768, size=600, dtype=np.int16)
+    rate, norm = decode_audio(encode_flac(a, 22050), "audio/flac")
+    assert rate == 22050
+    back = np.rint(norm[:, 0] * 32768.0).astype(np.int16)
+    assert np.array_equal(back, a)
