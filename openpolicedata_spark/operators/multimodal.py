@@ -113,18 +113,26 @@ def decode_video(content: bytes,
     composited (H, W, 3) uint8 canvas.
 
     Animated GIF decodes fully in-repo (sources/gif.py — LZW +
-    disposal/transparency compositing), so the frame-sampling path
-    (``sample_frames``) can run on real container bytes. mp4/webm would
-    need ffmpeg (not in this container) and still raise — clearly-
-    marked gate. Dispatch is by magic bytes, not the mime hint."""
+    disposal/transparency compositing), as do Motion-JPEG MP4/MOV
+    tracks (sources/mp4.py walks the ISO BMFF sample tables and feeds
+    each sample through the in-repo JPEG decoder), so the
+    frame-sampling path (``sample_frames``) runs on real container
+    bytes. mp4 with a real inter-frame codec (h264/vp9/av1) and webm
+    would need ffmpeg (not in this container) and still raise —
+    clearly-marked gate. Dispatch is by magic bytes, not the mime
+    hint."""
     from openpolicedata_spark.sources import gif as _gif
+    from openpolicedata_spark.sources import mp4 as _mp4
 
     b = bytes(content)
     if b[:6] in _gif.GIF_SIGNATURES:
         return _gif.decode_gif(b)
+    if _mp4.looks_like_mp4(b):
+        return _mp4.read_mp4_video(b)
     raise NotImplementedError(
         f"no stdlib codec for {mime!r} (magic {b[:4]!r}); animated GIF "
-        "is supported natively, mp4/webm need ffmpeg")
+        "and Motion-JPEG MP4 are supported natively, inter-frame "
+        "codecs and webm need ffmpeg")
 
 
 def box_resize(img: "np.ndarray", h: int, w: int) -> "np.ndarray":

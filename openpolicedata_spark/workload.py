@@ -6087,6 +6087,75 @@ _Q143_SQL = ("SELECT doc_id, md5("
              + ") AS pcm_md5, TRUE AS flac_ok FROM documents")
 
 
+def q144_mp4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real VIDEO CONTAINER bytes through the full multimodal path:
+    per document a 3-frame Motion-JPEG MP4 (sources/mp4.py writes the
+    ISO BMFF box tree — ftyp/mdat/moov with real stts/stsc/stsz/stco
+    sample tables; each sample is a REAL baseline JPEG from
+    sources/jpeg.py, 2x2 flat 8x8 tiles drawn from md5(text)) →
+    decode_video's magic-byte dispatch walks the sample tables back
+    and Huffman+IDCT-decodes every sample → md5 over the concatenated
+    per-frame pixel hex. Flat blocks + unit quantization make the JPEG
+    layer bit-exact (q130's trick), and the container layer is
+    byte-exact plumbing, so the oracle replays the hash from the md5
+    stream: any defect in box framing, chunk/sample offset math, stts
+    deltas (pinned via `mp4_ok`'s delay check), or the JPEG layer
+    breaks it. One Arrow-batched mapInPandas pass; container bytes
+    never leave the executor."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import decode_video
+    from openpolicedata_spark.sources.jpeg import encode_jpeg
+    from openpolicedata_spark.sources.mp4 import encode_mp4_mjpeg
+
+    d = _read(spark, sf_dir, "documents")
+
+    def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                jpegs = []
+                for f in range(3):
+                    raw = _hl.md5(text.encode("utf-8")
+                                  + f"v{f}".encode()).digest()[:4]
+                    tiles = np.frombuffer(raw, dtype=np.uint8).reshape(2, 2)
+                    jpegs.append(encode_jpeg(
+                        tiles.repeat(8, axis=0).repeat(8, axis=1)))
+                blob = encode_mp4_mjpeg(jpegs, 16, 16,
+                                        timescale=600, delta=60)
+                frames, delays = decode_video(blob, "video/mp4")
+                ok = bool(delays == [10, 10, 10]
+                          and all(fr.shape == (16, 16, 3)
+                                  and (fr[..., 0] == fr[..., 1]).all()
+                                  and (fr[..., 0] == fr[..., 2]).all()
+                                  for fr in frames))
+                hexes = "".join(fr[..., 0].tobytes().hex()
+                                for fr in frames)
+                rows.append((did, _hl.md5(hexes.encode()).hexdigest(), ok))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "pix_md5", "mp4_ok"])
+
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
+        compute, "doc_id long, pix_md5 string, mp4_ok boolean")
+
+
+def _q144_band(salt: str) -> str:
+    h = f"md5(text || '{salt}')"
+    return (f" repeat(repeat(substr({h}, 1, 2), 8)"
+            f"        || repeat(substr({h}, 3, 2), 8), 8)"
+            f" || repeat(repeat(substr({h}, 5, 2), 8)"
+            f"           || repeat(substr({h}, 7, 2), 8), 8)")
+
+
+_Q144_SQL = ("SELECT doc_id, md5("
+             + " || ".join(_q144_band(f"v{f}") for f in range(3))
+             + ") AS pix_md5, TRUE AS mp4_ok FROM documents")
+
+
 # Replay: byte k of md5(text||'0') is hex digits 2k+1..2k+2; each byte
 # becomes a constant 8x8 tile, laid out row-major (top row pair then
 # bottom), so the pixel hex is two repeat() bands of 8 rows each.
@@ -6244,6 +6313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_shipmode_priority": q141_shipmode_priority,
         "q142_progressive_jpeg": q142_progressive_jpeg_roundtrip,
         "q143_flac_roundtrip": q143_flac_roundtrip,
+        "q144_mp4_roundtrip": q144_mp4_roundtrip,
     }
     return base
 
@@ -6396,4 +6466,5 @@ def oracle_sql() -> dict[str, str]:
         "q141_shipmode_priority": _Q141_SQL,
         "q142_progressive_jpeg": _Q142_SQL,
         "q143_flac_roundtrip": _Q143_SQL,
+        "q144_mp4_roundtrip": _Q144_SQL,
     }
