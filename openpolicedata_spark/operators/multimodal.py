@@ -121,18 +121,24 @@ def decode_video(content: bytes,
     would need ffmpeg (not in this container) and still raise —
     clearly-marked gate. Dispatch is by magic bytes, not the mime
     hint."""
+    from openpolicedata_spark.sources import avi as _avi
     from openpolicedata_spark.sources import gif as _gif
     from openpolicedata_spark.sources import mp4 as _mp4
+    from openpolicedata_spark.sources import webm as _webm
 
     b = bytes(content)
     if b[:6] in _gif.GIF_SIGNATURES:
         return _gif.decode_gif(b)
     if _mp4.looks_like_mp4(b):
         return _mp4.read_mp4_video(b)
+    if _avi.looks_like_avi(b):
+        return _avi.read_avi_video(b)
+    if _webm.looks_like_webm(b):
+        return _webm.read_webm_video(b)
     raise NotImplementedError(
         f"no stdlib codec for {mime!r} (magic {b[:4]!r}); animated GIF "
-        "and Motion-JPEG MP4 are supported natively, inter-frame "
-        "codecs and webm need ffmpeg")
+        "and Motion-JPEG MP4/AVI/Matroska are supported natively, "
+        "inter-frame codecs (h264/vp8/vp9/av1) need ffmpeg")
 
 
 def box_resize(img: "np.ndarray", h: int, w: int) -> "np.ndarray":

@@ -6156,6 +6156,72 @@ _Q144_SQL = ("SELECT doc_id, md5("
              + ") AS pix_md5, TRUE AS mp4_ok FROM documents")
 
 
+def q145_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video CONTAINER-LAYER parity: the same two Motion-JPEG frames
+    are muxed into all three real containers — ISO BMFF MP4
+    (sources/mp4.py), RIFF AVI (sources/avi.py), Matroska/WebM
+    (sources/webm.py) — and demuxed back through decode_video's
+    magic-byte dispatch. `parity_ok` pins that all three containers
+    return bit-identical frames AND the timing layer agrees (10 cs per
+    frame via three unrelated mechanisms: mdhd timescale + stts
+    deltas, strh dwScale/dwRate, TimestampScale × block timestamps).
+    The hash is then computed ONCE from the mp4-decoded frames and the
+    oracle replays it from the md5 stream (q130's flat-block JPEG
+    exactness) — a defect in ANY container's sample/offset/timestamp
+    math flips parity_ok and breaks the value hash comparison."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import decode_video
+    from openpolicedata_spark.sources.avi import encode_avi_mjpeg
+    from openpolicedata_spark.sources.jpeg import encode_jpeg
+    from openpolicedata_spark.sources.mp4 import encode_mp4_mjpeg
+    from openpolicedata_spark.sources.webm import encode_webm_mjpeg
+
+    d = _read(spark, sf_dir, "documents")
+
+    def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                jpegs = []
+                for f in range(2):
+                    raw = _hl.md5(text.encode("utf-8")
+                                  + f"c{f}".encode()).digest()[:4]
+                    tiles = np.frombuffer(raw, dtype=np.uint8).reshape(2, 2)
+                    jpegs.append(encode_jpeg(
+                        tiles.repeat(8, axis=0).repeat(8, axis=1)))
+                muxed = [
+                    encode_mp4_mjpeg(jpegs, 16, 16,
+                                     timescale=600, delta=60),
+                    encode_avi_mjpeg(jpegs, 16, 16, fps=10),
+                    encode_webm_mjpeg(jpegs, 16, 16, delta_ms=100),
+                ]
+                decoded = [decode_video(b, "video/*") for b in muxed]
+                ref_frames, ref_delays = decoded[0]
+                ok = bool(ref_delays == [10, 10] and all(
+                    dly == [10, 10]
+                    and all(np.array_equal(a, b)
+                            for a, b in zip(frs, ref_frames))
+                    for frs, dly in decoded[1:]))
+                hexes = "".join(fr[..., 0].tobytes().hex()
+                                for fr in ref_frames)
+                rows.append((did, _hl.md5(hexes.encode()).hexdigest(), ok))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "pix_md5", "parity_ok"])
+
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
+        compute, "doc_id long, pix_md5 string, parity_ok boolean")
+
+
+_Q145_SQL = ("SELECT doc_id, md5("
+             + " || ".join(_q144_band(f"c{f}") for f in range(2))
+             + ") AS pix_md5, TRUE AS parity_ok FROM documents")
+
+
 # Replay: byte k of md5(text||'0') is hex digits 2k+1..2k+2; each byte
 # becomes a constant 8x8 tile, laid out row-major (top row pair then
 # bottom), so the pixel hex is two repeat() bands of 8 rows each.
@@ -6314,6 +6380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_progressive_jpeg": q142_progressive_jpeg_roundtrip,
         "q143_flac_roundtrip": q143_flac_roundtrip,
         "q144_mp4_roundtrip": q144_mp4_roundtrip,
+        "q145_container_parity": q145_container_parity,
     }
     return base
 
@@ -6467,4 +6534,5 @@ def oracle_sql() -> dict[str, str]:
         "q142_progressive_jpeg": _Q142_SQL,
         "q143_flac_roundtrip": _Q143_SQL,
         "q144_mp4_roundtrip": _Q144_SQL,
+        "q145_container_parity": _Q145_SQL,
     }
