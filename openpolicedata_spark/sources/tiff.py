@@ -10,17 +10,22 @@ Coverage (TIFF 6.0 baseline):
 - Compression 1 (none), 5 (LZW — MSB-first, early code-width change),
   8/32946 (Deflate via zlib), and 32773 (PackBits) over any strip
   layout / RowsPerStrip
+- Compression 7 — TIFF-EP "new-style" JPEG-in-TIFF: each strip/tile
+  is a JPEG stream decoded by sources/jpeg.py, with abbreviated
+  streams sharing the tag-347 JPEGTables prelude (old-style
+  compression 6 stays gated)
 - PhotometricInterpretation 0/1 (grayscale, both polarities),
   2 (RGB, extra samples e.g. alpha dropped), 3 (palette via ColorMap,
-  16-bit entries downscaled to 8)
-- BitsPerSample 8 (and 1-bit bilevel for photometric 0/1)
+  16-bit entries downscaled to 8), 6 (YCbCr, via the JPEG path)
+- BitsPerSample 8 and 16 (16-bit downscales via the high byte to the
+  uint8 contract, byte-order aware), plus 1-bit bilevel for
+  photometric 0/1
 - multi-strip images; only the FIRST IFD (page) is decoded
 - tiled layout (§15: TileWidth/TileLength/TileOffsets/TileByteCounts,
   right/bottom edge tiles padded to full tile size and clipped on
   placement)
 - planar configuration 2 (per-sample planes, strip or tile chunking:
   the chunk list concatenates plane 0's chunks, then plane 1's, …)
-- JPEG compression and 16-bit samples raise ``TiffError`` clearly
 
 Decoding is ``np.frombuffer`` + reshape per strip/tile — memcpy-bound,
 no per-pixel Python (bilevel rows go through vectorized
@@ -146,6 +151,75 @@ def _lzw_decode(raw: bytes, expect: int) -> bytes:
     return bytes(out)
 
 
+def _decode_jpeg_tiff(data: bytes, tags: dict, one, width: int,
+                      height: int, tiled: bool) -> np.ndarray:
+    """Compression 7 (TIFF-EP 'new-style' JPEG): every strip/tile is a
+    JPEG stream decoded by sources/jpeg.py. Abbreviated streams (SOS
+    without tables) splice in the shared tag-347 JPEGTables stream
+    (SOI + DQT/DHT + EOI) after their own SOI."""
+    from openpolicedata_spark.sources.jpeg import JpegError, decode_jpeg
+
+    jt = tags.get(347)
+    tables = bytes(jt) if jt else b""
+    if tables and (tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9"
+                   or len(tables) < 4):
+        raise TiffError("malformed JPEGTables stream")
+
+    def decode_chunk(raw: bytes) -> np.ndarray:
+        if raw[:2] != b"\xff\xd8":
+            raise TiffError("JPEG chunk missing SOI")
+        # splice shared tables (if any) between the chunk's SOI and
+        # its remaining markers — harmless when the chunk already
+        # carries its own tables (later definitions win)
+        blob = b"\xff\xd8" + tables[2:-2] + raw[2:] if tables else raw
+        try:
+            img = decode_jpeg(blob)
+        except JpegError as exc:
+            raise TiffError(f"bad JPEG chunk: {exc}") from exc
+        return img if img.ndim == 3 else img[:, :, None]
+
+    spp = one(277, 1)
+    out = np.zeros((height, width, 3 if spp >= 3 else 1),
+                   dtype=np.uint8)
+    if tiled:
+        tw, tl = one(322), one(323)
+        offsets, counts = tags.get(324), tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("missing tile offsets/byte counts")
+        if tw == 0 or tl == 0 or tw % 16 or tl % 16:
+            raise TiffError("tile size must be a positive multiple of 16")
+        across = (width + tw - 1) // tw
+        down = (height + tl - 1) // tl
+        if len(offsets) != across * down:
+            raise TiffError(f"expected {across * down} tiles, "
+                            f"IFD lists {len(offsets)}")
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise TiffError("truncated tile data")
+            img = decode_chunk(data[off:off + cnt])
+            ty, tx = divmod(i, across)
+            y0, x0 = ty * tl, tx * tw
+            nr = min(tl, height - y0, img.shape[0])
+            nc = min(tw, width - x0, img.shape[1])
+            out[y0:y0 + nr, x0:x0 + nc] = img[:nr, :nc, :out.shape[2]]
+    else:
+        offsets, counts = tags.get(273), tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("missing strip offsets/byte counts")
+        rows_per_strip = one(278, height)
+        y = 0
+        for off, cnt in zip(offsets, counts):
+            if off + cnt > len(data):
+                raise TiffError("truncated strip data")
+            img = decode_chunk(data[off:off + cnt])
+            nr = min(rows_per_strip, height - y, img.shape[0])
+            out[y:y + nr, :, :] = img[:nr, :width, :out.shape[2]]
+            y += rows_per_strip
+        if y < height:
+            raise TiffError("strips cover fewer rows than ImageLength")
+    return out[:, :, 0] if out.shape[2] == 1 else out
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """Decode the first page of baseline TIFF bytes → uint8 array,
     (H, W) grayscale or (H, W, 3) RGB."""
@@ -179,9 +253,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if width == 0 or height == 0 or width * height > (1 << 28):
         raise TiffError("bad dimensions")
     compression = one(259, 1)
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 5, 7, 8, 32773, 32946):
         raise TiffError(f"compression {compression} not supported "
-                        "(uncompressed, LZW, Deflate, or PackBits)")
+                        "(uncompressed, LZW, JPEG, Deflate, PackBits)")
     planar = one(284, 1)
     if planar not in (1, 2):
         raise TiffError(f"planar configuration {planar} not supported")
@@ -192,14 +266,26 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise TiffError("mixed bits-per-sample not supported")
     bps = bits[0]
     tiled = 322 in tags or 323 in tags
+    if compression == 7:
+        # TIFF-EP JPEG-in-TIFF: chunks are JPEG streams (optionally
+        # abbreviated, sharing tag-347 JPEGTables); the JPEG layer owns
+        # sample depth and YCbCr conversion
+        if planar != 1:
+            raise TiffError("JPEG-in-TIFF with planar configuration 2 "
+                            "not supported")
+        if photometric not in (1, 2, 6):
+            raise TiffError(f"JPEG-in-TIFF photometric {photometric} "
+                            "not supported")
+        return _decode_jpeg_tiff(data, tags, one, width, height, tiled)
     bilevel = bps == 1 and photometric in (0, 1) and spp == 1
-    if not bilevel and bps != 8:
+    if not bilevel and bps not in (8, 16):
         raise TiffError(f"{bps}-bit samples not supported "
-                        "(8-bit, or 1-bit bilevel)")
+                        "(8/16-bit, or 1-bit bilevel)")
     # samples carried per pixel by one chunk (strip or tile): planar 2
     # stores each sample in its own chunk sequence
     csamp = 1 if planar == 2 else spp
     planes = spp if planar == 2 else 1
+    sb = 1 if bilevel else bps // 8   # bytes per sample (1 or 2)
 
     def _decompress(raw: bytes, need: int) -> bytes:
         if compression == 32773:
@@ -233,12 +319,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise TiffError(
                 f"expected {across * down * planes} tiles, "
                 f"IFD lists {len(offsets)}")
-        tile_row_bytes = (tw + 7) // 8 if bilevel else tw * csamp
+        tile_row_bytes = (tw + 7) // 8 if bilevel else tw * csamp * sb
         need = tl * tile_row_bytes
         if bilevel:
             px = np.empty((1, height, width), dtype=np.uint8)
         else:
-            px = np.empty((planes, height, width * csamp), dtype=np.uint8)
+            px = np.empty((planes, height, width * csamp * sb),
+                          dtype=np.uint8)
         for i, (off, cnt) in enumerate(zip(offsets, counts)):
             if off + cnt > len(data):
                 raise TiffError("truncated tile data")
@@ -254,8 +341,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 tpx = np.unpackbits(tile, axis=1)[:nr, :nc]
                 px[0, y0:y0 + nr, x0:x0 + nc] = tpx
             else:
-                px[p, y0:y0 + nr, x0 * csamp:(x0 + nc) * csamp] = \
-                    tile[:nr, :nc * csamp]
+                px[p, y0:y0 + nr,
+                   x0 * csamp * sb:(x0 + nc) * csamp * sb] = \
+                    tile[:nr, :nc * csamp * sb]
         if bilevel:
             bitsarr = px[0]  # tiles unpacked to 0/1 pixels on placement
     else:
@@ -269,7 +357,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise TiffError(
                 f"expected {per_plane * planes} strips, "
                 f"IFD lists {len(offsets)}")
-        row_bytes = (width + 7) // 8 if bilevel else width * csamp
+        row_bytes = (width + 7) // 8 if bilevel else width * csamp * sb
         px = np.empty((planes, height, row_bytes), dtype=np.uint8)
         for i, (off, cnt) in enumerate(zip(offsets, counts)):
             if off + cnt > len(data):
@@ -289,6 +377,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if photometric == 0:  # WhiteIsZero: 0 = white
             img = 255 - img
         return img
+    if sb == 2:
+        # 16-bit samples: byte-order-aware view, then the standard
+        # high-byte downscale to the uint8 contract
+        wide = px.reshape(planes * height, -1).tobytes()
+        arr = np.frombuffer(wide, dtype=f"{e}u2").reshape(
+            planes, height, width * csamp)
+        px = (arr >> 8).astype(np.uint8)
     if photometric in (0, 1):
         if spp != 1:
             raise TiffError("grayscale with extra samples not supported")
@@ -303,6 +398,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         rgb = px[0].reshape(height, width, spp)
         return np.ascontiguousarray(rgb[:, :, :3])  # drop alpha/extras
     if photometric == 3:
+        if bps != 8:
+            raise TiffError("palette images require 8-bit indices")
         cmap = tags.get(320)
         if not cmap or len(cmap) != 3 * (1 << bps):
             raise TiffError("palette image without a full ColorMap")

@@ -127,7 +127,7 @@ def test_errors():
     with pytest.raises(TiffError, match="signature"):
         decode_tiff(b"BM nope")
     t = gray_tags(2, 2, 2)
-    t[259] = (3, [7])  # JPEG-in-TIFF
+    t[259] = (3, [6])  # old-style JPEG-in-TIFF stays gated
     with pytest.raises(TiffError, match="compression"):
         decode_tiff(build_tiff([img.tobytes()], t))
     t = gray_tags(2, 2, 2)
@@ -140,8 +140,8 @@ def test_errors():
     with pytest.raises(TiffError, match="multiple of 16"):
         decode_tiff(build_tiff([img.tobytes()], t, tiled=True))
     t = gray_tags(2, 2, 2)
-    t[258] = (3, [16])
-    with pytest.raises(TiffError, match="16-bit"):
+    t[258] = (3, [32])  # 16-bit now decodes; 32-bit stays gated
+    with pytest.raises(TiffError, match="32-bit"):
         decode_tiff(build_tiff([img.tobytes()], t))
     with pytest.raises(TiffError, match="truncated chunk|strips"):
         decode_tiff(build_tiff([img.tobytes()[:-1]], gray_tags(2, 2, 2)))
@@ -431,3 +431,122 @@ def test_tile_and_strip_count_mismatch_raise():
                       for y in range(0, 11, 4)]
     with pytest.raises(TiffError, match="expected 9 strips"):
         decode_tiff(build_tiff(only_one_plane, base))
+
+
+# --------------------------------------------- 16-bit and JPEG-in-TIFF
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+def test_16bit_gray_high_byte_downscale(endian):
+    img16 = rng.integers(0, 65536, size=(6, 5), dtype=np.uint16)
+    body = img16.astype(f"{endian}u2").tobytes()
+    t = gray_tags(5, 6, 6)
+    t[258] = (3, [16])
+    out = decode_tiff(build_tiff([body], t, endian))
+    assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
+
+
+def test_16bit_rgb_tiled_and_planar2():
+    img16 = rng.integers(0, 65536, size=(17, 18, 3), dtype=np.uint16)
+    t = {256: (3, [18]), 257: (3, [17]), 258: (3, [16, 16, 16]),
+         259: (3, [1]), 262: (3, [2]), 277: (3, [3]),
+         322: (3, [16]), 323: (3, [16])}
+    tiles = []
+    for y0 in range(0, 17, 16):
+        for x0 in range(0, 18, 16):
+            pad = np.zeros((16, 16, 3), dtype="<u2")
+            blk = img16[y0:y0 + 16, x0:x0 + 16]
+            pad[:blk.shape[0], :blk.shape[1]] = blk
+            tiles.append(pad.tobytes())
+    out = decode_tiff(build_tiff(tiles, t, tiled=True))
+    assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
+    # planar-2 strips of the same image agree
+    base = {256: (3, [18]), 257: (3, [17]), 258: (3, [16, 16, 16]),
+            259: (3, [1]), 262: (3, [2]), 277: (3, [3]),
+            278: (3, [17]), 284: (3, [2])}
+    strips = [img16[:, :, p].astype("<u2").tobytes() for p in range(3)]
+    out2 = decode_tiff(build_tiff(strips, base))
+    assert np.array_equal(out2, (img16 >> 8).astype(np.uint8))
+
+
+def _flat_jpeg(tiles: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Flat-block grayscale JPEG (bit-exact with unit quantization)."""
+    from openpolicedata_spark.sources.jpeg import encode_jpeg
+    img = tiles.repeat(8, 0).repeat(8, 1)
+    return encode_jpeg(img), img
+
+
+def _split_tables(jpg: bytes) -> tuple[bytes, bytes]:
+    """Split a full JPEG into (JPEGTables stream, abbreviated stream)
+    by walking markers: DQT/DHT move to the tables stream."""
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos < len(jpg):
+        assert jpg[pos] == 0xFF
+        marker = jpg[pos + 1]
+        if marker == 0xD9:  # EOI
+            rest += jpg[pos:pos + 2]
+            break
+        (ln,) = struct.unpack_from(">H", jpg, pos + 2)
+        seg = jpg[pos:pos + 2 + ln]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+            if marker == 0xDA:  # SOS: entropy data to EOI
+                rest += jpg[pos + 2 + ln:]
+                break
+        pos += 2 + ln
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def test_jpeg_in_tiff_full_streams():
+    jpg1, img1 = _flat_jpeg(rng.integers(0, 256, (1, 2), dtype=np.uint8))
+    jpg2, img2 = _flat_jpeg(rng.integers(0, 256, (1, 2), dtype=np.uint8))
+    t = gray_tags(16, 16, 8)
+    t[259] = (3, [7])
+    out = decode_tiff(build_tiff([jpg1, jpg2], t))
+    assert np.array_equal(out[:8], img1)
+    assert np.array_equal(out[8:], img2)
+
+
+def test_jpeg_in_tiff_shared_jpegtables():
+    jpg, img = _flat_jpeg(rng.integers(0, 256, (2, 2), dtype=np.uint8))
+    tables, abbreviated = _split_tables(jpg)
+    assert b"\xff\xdb" in tables and b"\xff\xdb" not in abbreviated
+    t = gray_tags(16, 16, 16)
+    t[259] = (3, [7])
+    t[347] = (1, list(tables))
+    out = decode_tiff(build_tiff([abbreviated], t))
+    assert np.array_equal(out, img)
+
+
+def test_jpeg_in_tiff_tiled_rgb():
+    from openpolicedata_spark.sources.jpeg import encode_jpeg
+    tiles_px = []
+    full = np.zeros((16, 32, 3), dtype=np.uint8)
+    blobs = []
+    for tx in range(2):
+        tile = rng.integers(0, 256, (2, 2), dtype=np.uint8) \
+            .repeat(8, 0).repeat(8, 1)
+        rgb = np.stack([tile] * 3, axis=-1)
+        full[:, tx * 16:(tx + 1) * 16] = rgb
+        blobs.append(encode_jpeg(rgb))
+    t = {256: (3, [32]), 257: (3, [16]), 258: (3, [8, 8, 8]),
+         259: (3, [7]), 262: (3, [6]), 277: (3, [3]),
+         322: (3, [16]), 323: (3, [16])}
+    out = decode_tiff(build_tiff(blobs, t, tiled=True))
+    # RGB JPEG is 4:2:0 YCbCr — equal-channel gray stays equal-channel
+    # and flat blocks stay exact
+    assert np.array_equal(out, full)
+
+
+def test_jpeg_in_tiff_errors():
+    t = gray_tags(16, 16, 16)
+    t[259] = (3, [7])
+    with pytest.raises(TiffError, match="SOI"):
+        decode_tiff(build_tiff([b"\x00\x01\x02\x03"], t))
+    t[347] = (1, [0, 1, 2])
+    with pytest.raises(TiffError, match="JPEGTables"):
+        decode_tiff(build_tiff([b"\xff\xd8\xff\xd9"], t))
