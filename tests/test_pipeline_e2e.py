@@ -173,3 +173,93 @@ def test_pipeline_media_branch_real_codecs(spark, docs):
     kept_ids = {r["keep_id"] for r in reps.collect()}
     all_ids = {r["media_id"] for r in media.select("media_id").collect()}
     assert kept_ids <= all_ids
+
+
+def test_pipeline_video_branch_container_heterogeneous(spark, docs):
+    """Video dedup across MIXED real containers: the same frame family
+    is muxed into GIF, MP4, AVI, or Matroska depending on doc_id, so
+    the dedup chain (decode_video dispatch → per-frame ahash →
+    video_dup_pairs blocked join → connected components) must collapse
+    families ACROSS container formats — the container layer cannot
+    leak into the signature."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from openpolicedata_spark.operators.dedup import dup_clusters
+    from openpolicedata_spark.operators.multimodal import (
+        ahash_of_pixels,
+        decode_video,
+        video_dup_pairs,
+    )
+
+    base = docs.select("doc_id").where(F.col("doc_id") < 120)
+
+    def gen(batches):
+        from openpolicedata_spark.sources.avi import encode_avi_mjpeg
+        from openpolicedata_spark.sources.gif import encode_gif
+        from openpolicedata_spark.sources.jpeg import encode_jpeg
+        from openpolicedata_spark.sources.mp4 import encode_mp4_mjpeg
+        from openpolicedata_spark.sources.webm import encode_webm_mjpeg
+
+        pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fam = did % 10          # 10 planted families
+                grids = []
+                for f in range(3):
+                    raw = hashlib.md5(
+                        f"vid:{fam}:{f}".encode()).digest()
+                    tiles = np.frombuffer(raw, np.uint8).reshape(4, 4)
+                    grids.append(tiles.repeat(8, 0).repeat(8, 1))
+                kind = did % 4
+                if kind == 0:
+                    blob = encode_gif(grids, pal)
+                else:
+                    jpegs = [encode_jpeg(g) for g in grids]
+                    blob = [None,
+                            lambda: encode_mp4_mjpeg(jpegs, 32, 32),
+                            lambda: encode_avi_mjpeg(jpegs, 32, 32),
+                            lambda: encode_webm_mjpeg(jpegs, 32, 32),
+                            ][kind]()
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["vid_id", "content"])
+
+    videos = base.mapInPandas(gen, "vid_id long, content binary")
+
+    def hashes(batches):
+        for pdf in batches:
+            rows = []
+            for vid, blob in zip(pdf["vid_id"], pdf["content"]):
+                frames, _delays = decode_video(bytes(blob), "video/*")
+                for i, fr in enumerate(frames):
+                    rows.append((int(vid), i, ahash_of_pixels(fr)))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "frame_idx", "fhash"])
+
+    fh = videos.mapInPandas(hashes,
+                            "doc_id long, frame_idx int, fhash long")
+    # min_shared=2: a family's 3 frames may yield only 2 DISTINCT
+    # hashes (video_dup_pairs counts distinct shared values)
+    pairs = video_dup_pairs(fh, min_shared=2)
+    comp = dup_clusters(pairs)
+    covered = comp.count()
+    # every video pairs with its family (same hashes, any container)
+    assert covered == 120, covered
+    # no family ever SPLITS: all 12 members of a family (3 per
+    # container format) land in one cluster — the container layer
+    # cannot leak into the signature. (Distinct families may MERGE
+    # when coarse 64-bit ahashes collide; that is ahash behavior,
+    # not a container defect, so it is not pinned here.)
+    fam_clusters = (comp.withColumn("fam", F.col("doc_id") % 10)
+                    .groupBy("fam")
+                    .agg(F.countDistinct("cluster_id").alias("nc"),
+                         F.count("*").alias("n")))
+    rows = {r["fam"]: (r["nc"], r["n"]) for r in fam_clusters.collect()}
+    assert set(rows) == set(range(10))
+    assert all(nc == 1 and n == 12 for nc, n in rows.values()), rows
+    n_groups = comp.select("cluster_id").distinct().count()
+    assert 1 <= n_groups <= 10, n_groups
