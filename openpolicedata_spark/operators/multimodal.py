@@ -267,14 +267,24 @@ def decode_audio(content: bytes, mime: str) -> "tuple[int, np.ndarray]":
             norm = samples.astype(np.float64)
         return rate, norm
     from openpolicedata_spark.sources import flac as _flac
+    from openpolicedata_spark.sources import ogg as _ogg
 
     if b[:4] == _flac.FLAC_SIGNATURE:
         rate, bps, samples = _flac.read_flac(b)
         return rate, samples.astype(np.float64) / float(1 << (bps - 1))
+    if _ogg.looks_like_ogg(b):
+        rate, bps, samples = _ogg.read_ogg_audio(b)
+        return rate, samples.astype(np.float64) / float(1 << (bps - 1))
+    from openpolicedata_spark.sources import mp4 as _mp4
+
+    if _mp4.looks_like_mp4(b):
+        rate, bps, samples = _mp4.read_mp4_audio(b)
+        return rate, samples.astype(np.float64) / float(1 << (bps - 1))
     raise NotImplementedError(
-        f"no stdlib codec for {mime!r} (magic {b[:4]!r}); WAV and FLAC "
-        "are supported natively, mp3/ogg need soundfile/ffmpeg; "
-        "raw PCM (audio/L16) is handled codec-free by pcm_features")
+        f"no stdlib codec for {mime!r} (magic {b[:4]!r}); WAV, FLAC, "
+        "Ogg-FLAC, and MP4/MOV PCM+FLAC tracks are supported "
+        "natively, mp3/vorbis/opus/aac need soundfile/ffmpeg; raw PCM "
+        "(audio/L16) is handled codec-free by pcm_features")
 
 
 PCM_FEATURES_SCHEMA = ("media_id long, n_samples long, duration_s double, "

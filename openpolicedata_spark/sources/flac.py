@@ -37,7 +37,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["FlacError", "read_flac", "encode_flac", "FLAC_SIGNATURE"]
+__all__ = ["FlacError", "read_flac", "encode_flac",
+           "encode_flac_parts", "FLAC_SIGNATURE"]
 
 FLAC_SIGNATURE = b"fLaC"
 
@@ -445,6 +446,15 @@ def encode_flac(samples: np.ndarray, rate: int, bps: int = 16) -> bytes:
     """Write a spec-conformant FLAC stream: independent channels,
     4096-sample fixed blocks, FIXED-predictor subframes with
     single-partition Rice residuals."""
+    info_block, frames = encode_flac_parts(samples, rate, bps)
+    return FLAC_SIGNATURE + info_block + b"".join(frames)
+
+
+def encode_flac_parts(samples: np.ndarray, rate: int,
+                      bps: int = 16) -> tuple[bytes, list[bytes]]:
+    """The encoder's pieces: (STREAMINFO metadata block incl. its
+    4-byte header with the last-block flag set, [frame bytes]) — the
+    shape Ogg-FLAC needs (one packet per frame, sources/ogg.py)."""
     import hashlib
 
     a = np.asarray(samples)
@@ -473,7 +483,6 @@ def encode_flac(samples: np.ndarray, rate: int, bps: int = 16) -> bytes:
         le[:, byte_i] = (flat >> (8 * byte_i)) & 0xFF
     md5 = hashlib.md5(le.tobytes()).digest()
 
-    out = bytearray(FLAC_SIGNATURE)
     # min/max block size exclude the (possibly shorter) last block
     info = bytearray()
     info += struct.pack(">HH", block, block)
@@ -481,7 +490,8 @@ def encode_flac(samples: np.ndarray, rate: int, bps: int = 16) -> bytes:
     packed = (rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | n
     info += packed.to_bytes(8, "big")
     info += md5
-    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+    info_block = bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+    frames_out: list[bytes] = []
 
     ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
     for fi, start in enumerate(range(0, n, block)):
@@ -524,5 +534,5 @@ def encode_flac(samples: np.ndarray, rate: int, bps: int = 16) -> bytes:
                 bw.write(z & ((1 << k) - 1), k)
         frame += bw.done()
         frame += struct.pack(">H", _crc16(bytes(frame)))
-        out += frame
-    return bytes(out)
+        frames_out.append(bytes(frame))
+    return info_block, frames_out

@@ -6222,6 +6222,70 @@ _Q145_SQL = ("SELECT doc_id, md5("
              + ") AS pix_md5, TRUE AS parity_ok FROM documents")
 
 
+def q146_audio_container_parity(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Audio CONTAINER/CODEC parity: the same deterministic stereo
+    int16 PCM rides through FIVE real encode→decode chains — WAV
+    (RIFF), native FLAC, Ogg-FLAC (RFC 3533 pages + the xiph mapping),
+    MP4 QuickTime PCM ('sowt'), and ISO FLAC-in-MP4 ('fLaC' + dfLa) —
+    all via decode_audio's magic-byte dispatch. Every chain is
+    lossless over integers, so `parity_ok` pins bit-identical samples
+    and agreeing sample-rate metadata across all five, and the oracle
+    replays the sample hash from the md5 stream. A defect in any
+    page/box/frame layer (Ogg CRC or lacing reassembly, dfLa
+    STREAMINFO handling, AudioSampleEntry parsing, FLAC frame math)
+    breaks it. One Arrow-batched mapInPandas pass."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import decode_audio
+    from openpolicedata_spark.sources.flac import encode_flac
+    from openpolicedata_spark.sources.mp4 import encode_mp4_audio
+    from openpolicedata_spark.sources.ogg import encode_ogg_flac
+    from openpolicedata_spark.sources.wav import encode_wav
+
+    d = _read(spark, sf_dir, "documents")
+
+    def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = b"".join(
+                    _hl.md5(text.encode("utf-8") + b"a" + str(i).encode())
+                    .digest() for i in range(4))
+                pcm = np.frombuffer(raw, dtype="<i2").reshape(-1, 2)
+                blobs = [
+                    encode_wav(pcm, rate=16_000),
+                    encode_flac(pcm, rate=16_000),
+                    encode_ogg_flac(pcm, rate=16_000),
+                    encode_mp4_audio(pcm, rate=16_000, codec="sowt"),
+                    encode_mp4_audio(pcm, rate=16_000, codec="fLaC"),
+                ]
+                outs = [decode_audio(b, "audio/*") for b in blobs]
+                backs = [np.rint(n_ * 32768.0).astype("<i2")
+                         for _r, n_ in outs]
+                ok = bool(all(r == 16_000 for r, _n in outs)
+                          and all(b.tobytes() == raw for b in backs))
+                rows.append((
+                    did,
+                    _hl.md5(backs[0].tobytes().hex().encode()).hexdigest(),
+                    ok,
+                ))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "pcm_md5", "parity_ok"])
+
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
+        compute, "doc_id long, pcm_md5 string, parity_ok boolean")
+
+
+_Q146_SQL = ("SELECT doc_id, md5("
+             + " || ".join(f"md5(text || 'a{i}')" for i in range(4))
+             + ") AS pcm_md5, TRUE AS parity_ok FROM documents")
+
+
 # Replay: byte k of md5(text||'0') is hex digits 2k+1..2k+2; each byte
 # becomes a constant 8x8 tile, laid out row-major (top row pair then
 # bottom), so the pixel hex is two repeat() bands of 8 rows each.
@@ -6381,6 +6445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_flac_roundtrip": q143_flac_roundtrip,
         "q144_mp4_roundtrip": q144_mp4_roundtrip,
         "q145_container_parity": q145_container_parity,
+        "q146_audio_container_parity": q146_audio_container_parity,
     }
     return base
 
@@ -6535,4 +6600,5 @@ def oracle_sql() -> dict[str, str]:
         "q143_flac_roundtrip": _Q143_SQL,
         "q144_mp4_roundtrip": _Q144_SQL,
         "q145_container_parity": _Q145_SQL,
+        "q146_audio_container_parity": _Q146_SQL,
     }
