@@ -815,3 +815,105 @@ def media_dedup_sink(stream_df: DataFrame, out_path: str,
         compact_index(spark, index_path, compact_index_files)
 
     _run_merge_sink(stream_df, body, None, query_name, timeout_s)
+
+
+def video_dedup_sink(stream_df: DataFrame, out_path: str,
+                     index_path: str, min_shared: int = 3,
+                     content_col: str = "content",
+                     id_col: str = "media_id",
+                     decode=None,
+                     query_name: str = "videodedup",
+                     timeout_s: int = 300,
+                     compact_index_files: Optional[int] = 64) -> None:
+    """Streaming VIDEO near-dup suppression: drop videos sharing
+    enough exact frame signatures with anything ever admitted — the
+    multi-frame face of `media_dedup_sink`.
+
+    Per micro-batch: decode every container ONCE (`decode_video`
+    magic-byte dispatch — GIF/MP4/AVI/Matroska — or the injectable
+    `decode(bytes) -> [frames]` test stand-in) and perceptually hash
+    each frame (`ahash_of_pixels`), dedup WITHIN the batch
+    (`multimodal.video_dup_pairs` → `dedup.dup_clusters`, smallest id
+    survives), then check survivors against the persisted
+    (id, fhash) index by joining on the frame hash and counting
+    distinct shared signatures per (new, indexed) pair. Only novel
+    videos append to the output and the index.
+
+    A new video is a duplicate when it shares
+    ``least(min_shared, its own distinct-hash count)`` signatures —
+    the LEAST makes replay exact: a re-delivered video matches ALL of
+    its own indexed hashes, so even a clip with fewer than
+    `min_shared` distinct frames never re-admits. Scale: index state
+    is one long per distinct frame hash per admitted video; the
+    cross-batch join ships longs, never frames, and the index
+    self-compacts past `compact_index_files`."""
+    import glob as _glob
+    import os
+
+    from openpolicedata_spark.operators.dedup import dup_clusters
+    from openpolicedata_spark.operators.multimodal import video_dup_pairs
+
+    spark = stream_df.sparkSession
+
+    def frame_hash_frame(batch: DataFrame) -> DataFrame:
+        dec = decode
+
+        def gen(batches):
+            import pandas as pd
+
+            from openpolicedata_spark.operators.multimodal import (
+                ahash_of_pixels,
+                decode_video,
+            )
+            d = dec or (lambda b: decode_video(b, "video/*")[0])
+            for pdf in batches:
+                rows = []
+                for vid, blob in zip(pdf[id_col], pdf[content_col]):
+                    for fh in {ahash_of_pixels(fr)
+                               for fr in d(bytes(blob))}:
+                        rows.append((int(vid), fh))
+                yield pd.DataFrame(rows, columns=[id_col, "fhash"])
+
+        return batch.select(id_col, content_col).mapInPandas(
+            gen, f"{id_col} long, fhash long")
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        _recover_dir(index_path)
+        batch = batch.localCheckpoint(eager=True)
+        fh = frame_hash_frame(batch).localCheckpoint(eager=True)
+        # within-batch: smallest id survives each near-dup cluster
+        pairs = video_dup_pairs(fh, id_col=id_col,
+                                min_shared=min_shared)
+        clusters = dup_clusters(pairs)
+        drop = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
+                .select(F.col("doc_id").alias(id_col)))
+        keep = batch.join(drop, on=id_col, how="left_anti")
+        keep_fh = fh.join(drop, on=id_col, how="left_anti")
+        have_index = (os.path.isdir(index_path)
+                      and _glob.glob(os.path.join(index_path,
+                                                  "*.parquet")))
+        if have_index:
+            idx = spark.read.parquet(index_path)
+            n_own = keep_fh.groupBy(id_col).agg(
+                F.countDistinct("fhash").alias("n_own"))
+            shared = (keep_fh
+                      .join(idx.select(F.col(id_col).alias("idx_id"),
+                                       "fhash"), on="fhash")
+                      .groupBy(id_col, "idx_id")
+                      .agg(F.countDistinct("fhash").alias("n_shared")))
+            dup = (shared.join(n_own, on=id_col)
+                   .where(F.col("n_shared") >= F.least(
+                       F.lit(min_shared), F.col("n_own")))
+                   .select(id_col).distinct())
+            keep = keep.join(dup, on=id_col, how="left_anti")
+            keep_fh = keep_fh.join(dup, on=id_col, how="left_anti")
+        novel = keep.localCheckpoint(eager=True)
+        if not novel.head(1):
+            return
+        novel.write.mode("append").parquet(out_path)
+        keep_fh.write.mode("append").parquet(index_path)
+        compact_index(spark, index_path, compact_index_files)
+
+    _run_merge_sink(stream_df, body, None, query_name, timeout_s)

@@ -798,3 +798,102 @@ def test_attach_payload_matches_canonical_media_schema(spark):
     # simpleString compares names+types; nullability legitimately
     # differs (struct-of-literals planning marks meta non-nullable)
     assert media.schema.simpleString() == MEDIA_SCHEMA.simpleString()
+
+
+def test_video_dedup_sink_cross_batch_and_replay(spark, tmp_path):
+    """Streaming video near-dup on REAL container bytes (GIF in batch
+    1, the same frames as Motion-JPEG MP4 in batch 2): the cross-batch
+    frame-signature index drops the re-containered duplicate; fresh
+    content survives; a FULL replay re-admits nothing — including a
+    short clip with fewer distinct frame hashes than min_shared (the
+    least(min_shared, n_own) rule)."""
+    import hashlib
+
+    import numpy as np
+
+    from openpolicedata_spark.sources.gif import encode_gif
+    from openpolicedata_spark.sources.jpeg import encode_jpeg
+    from openpolicedata_spark.sources.mp4 import encode_mp4_mjpeg
+    from openpolicedata_spark.streaming import video_dedup_sink
+
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def grids(tag, n=3):
+        out = []
+        for f in range(n):
+            raw = hashlib.md5(f"{tag}:{f}".encode()).digest()
+            out.append(np.frombuffer(raw, np.uint8).reshape(4, 4)
+                       .repeat(8, 0).repeat(8, 1))
+        return out
+
+    fam_a, fam_b = grids("famA"), grids("famB")
+    short = grids("short", n=1)  # 1 distinct frame hash < min_shared
+
+    b1 = spark.createDataFrame(
+        [(1, encode_gif(fam_a, pal)),
+         (2, encode_gif(short, pal))],
+        "media_id long, content binary")
+    b2 = spark.createDataFrame(
+        [(3, encode_mp4_mjpeg([encode_jpeg(g) for g in fam_a], 32, 32)),
+         (4, encode_gif(fam_b, pal))],
+        "media_id long, content binary")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+
+    def run():
+        stream = (spark.readStream
+                  .schema("media_id long, content binary")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(f"{src}/*/"))
+        video_dedup_sink(stream, out, idx, min_shared=3)
+
+    run()
+    kept = sorted(r.media_id for r in spark.read.parquet(out).collect())
+    # 3 is the MP4 re-container of family A -> dropped cross-batch
+    assert kept == [1, 2, 4], kept
+    n_idx = spark.read.parquet(idx).count()
+    # full replay (fresh ephemeral checkpoint): nothing re-admitted,
+    # not even the single-frame clip (id 2)
+    run()
+    assert sorted(r.media_id
+                  for r in spark.read.parquet(out).collect()) == [1, 2, 4]
+    assert spark.read.parquet(idx).count() == n_idx
+
+
+def test_video_dedup_sink_batch_equals_stream(spark, tmp_path):
+    """One batch through the sink == the same rows deduped with the
+    batch operators (within-batch blocking identity)."""
+    import hashlib
+
+    import numpy as np
+
+    from openpolicedata_spark.sources.gif import encode_gif
+    from openpolicedata_spark.streaming import video_dedup_sink
+
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    rows = []
+    for vid in range(8):
+        fam = vid % 3
+        gs = []
+        for f in range(3):
+            raw = hashlib.md5(f"bs:{fam}:{f}".encode()).digest()
+            gs.append(np.frombuffer(raw, np.uint8).reshape(4, 4)
+                      .repeat(8, 0).repeat(8, 1))
+        rows.append((vid, encode_gif(gs, pal)))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "f1"))
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    stream = (spark.readStream.schema("media_id long, content binary")
+              .parquet(f"{src}/*/"))
+    video_dedup_sink(stream, out, idx, min_shared=3)
+    kept = sorted(r.media_id for r in spark.read.parquet(out).collect())
+    # smallest id per family survives: families 0,1,2 -> ids 0,1,2
+    assert kept == [0, 1, 2], kept
