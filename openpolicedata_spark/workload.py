@@ -6286,6 +6286,93 @@ _Q146_SQL = ("SELECT doc_id, md5("
              + ") AS pcm_md5, TRUE AS parity_ok FROM documents")
 
 
+_Q147_BODY = """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        FROM {l}
+        GROUP BY l_partkey, l_suppkey)
+    SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, n.n_name,
+           CAST(c.cost AS DOUBLE) AS supply_cost
+    FROM {p} p, {s} s, {n} n, {r} r, cost c
+    WHERE c.l_partkey = p.p_partkey
+      AND c.l_suppkey = s.s_suppkey
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE'
+      AND c.cost = (
+          SELECT MIN(c2.cost)
+          FROM cost c2, {s} s2, {n} n2, {r} r2
+          WHERE c2.l_partkey = p.p_partkey
+            AND c2.l_suppkey = s2.s_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+    ORDER BY p.p_partkey, s.s_suppkey
+    LIMIT 100
+"""
+
+
+def q147_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — a correlated scalar MIN over an aggregated,
+    multi-join subquery: for each European part/supplier pairing,
+    keep the supplier(s) achieving that part's minimum total supply
+    cost within the region. Catalyst decorrelates the scalar MIN into
+    a grouped aggregate re-joined on p_partkey (no per-row
+    re-execution, no BroadcastNestedLoopJoin), and the region/nation
+    dimensions broadcast. The lineitem aggregate substitutes for
+    TPC-H's partsupp (not in this schema); DECIMAL sums keep the
+    min-equality engine-portable, and (p_partkey, s_suppkey) ordering
+    makes the LIMIT deterministic under ties."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q147_l")
+    _read(spark, sf_dir, "part").createOrReplaceTempView("q147_p")
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("q147_s")
+    _read(spark, sf_dir, "nation").createOrReplaceTempView("q147_n")
+    _read(spark, sf_dir, "region").createOrReplaceTempView("q147_r")
+    return spark.sql(_Q147_BODY.format(
+        l="q147_l", p="q147_p", s="q147_s", n="q147_n", r="q147_r"))
+
+
+_Q147_SQL = _Q147_BODY.format(l="lineitem", p="part", s="supplier",
+                              n="nation", r="region")
+
+
+_Q148_BODY = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(2,0))
+                      - CAST(l_discount AS DECIMAL(4,4))))
+               AS total_revenue
+        FROM {l}
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM {s} s, revenue r
+    WHERE s.s_suppkey = r.supplier_no
+      AND r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+
+def q148_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — an aggregated view consumed twice: once as
+    the join input and once under an uncorrelated scalar MAX. Spark
+    plans the MAX as a one-row subquery stage and the view as a
+    grouped aggregate with map-side partials; the revenue equality is
+    DECIMAL-exact so the 'top supplier' set is engine-portable
+    (TPC-H's own Q15 comment notes the tie case — ORDER BY s_suppkey
+    pins it)."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q148_l")
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("q148_s")
+    return spark.sql(_Q148_BODY.format(l="q148_l", s="q148_s"))
+
+
+_Q148_SQL = _Q148_BODY.format(l="lineitem", s="supplier")
+
+
 # Replay: byte k of md5(text||'0') is hex digits 2k+1..2k+2; each byte
 # becomes a constant 8x8 tile, laid out row-major (top row pair then
 # bottom), so the pixel hex is two repeat() bands of 8 rows each.
@@ -6446,6 +6533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_mp4_roundtrip": q144_mp4_roundtrip,
         "q145_container_parity": q145_container_parity,
         "q146_audio_container_parity": q146_audio_container_parity,
+        "q147_min_cost_supplier": q147_min_cost_supplier,
+        "q148_top_supplier": q148_top_supplier,
     }
     return base
 
@@ -6601,4 +6690,6 @@ def oracle_sql() -> dict[str, str]:
         "q144_mp4_roundtrip": _Q144_SQL,
         "q145_container_parity": _Q145_SQL,
         "q146_audio_container_parity": _Q146_SQL,
+        "q147_min_cost_supplier": _Q147_SQL,
+        "q148_top_supplier": _Q148_SQL,
     }

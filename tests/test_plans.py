@@ -324,7 +324,13 @@ def test_q118_q120_subqueries_decorrelate_to_joins(spark, sf_dir):
                             # subquery stage; the NOT EXISTS is the join
                             ("q134_dormant_customers", 1),
                             # Q4 EXISTS -> left-semi on l_orderkey
-                            ("q140_priority_count", 1)):
+                            ("q140_priority_count", 1),
+                            # Q2 correlated scalar MIN -> grouped agg
+                            # re-joined on p_partkey + dim joins
+                            ("q147_min_cost_supplier", 3),
+                            # Q15 scalar MAX runs as a one-row
+                            # subquery stage; the view join remains
+                            ("q148_top_supplier", 1)):
         df = workload.queries()[name](spark, sf_dir)
         s = summarize_plan(df)
         assert s.n_broadcast_nl_joins == 0, (name, s.text)

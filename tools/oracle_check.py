@@ -92,8 +92,21 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    # `only` entries may be full names or prefixes (e.g. "q147");
+    # unmatched selectors are an error, not a silent no-op
+    if only:
+        matched = {name for name in qs
+                   for sel in only
+                   if name == sel or name.startswith(sel + "_")
+                   or name.startswith(sel)}
+        unmatched = {sel for sel in only
+                     if not any(n == sel or n.startswith(sel)
+                                for n in qs)}
+        if unmatched:
+            print(f"ERROR: selectors match no query: {sorted(unmatched)}")
+            return 2
     for name, fn in qs.items():
-        if only and name not in only:
+        if only and name not in matched:
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
