@@ -83,8 +83,10 @@ def _read(data, decode_jpeg):
     idx = 0
     for hb, he in _lists(data, 12, end, b"hdrl"):
         for sb, se in _lists(data, hb, he, b"strl"):
-            strh = next((b, e) for f, b, e in _chunks(data, sb, se)
-                        if f == b"strh")
+            strh = next(((b, e) for f, b, e in _chunks(data, sb, se)
+                         if f == b"strh"), None)
+            if strh is None:
+                raise AviError("strl LIST without a strh chunk")
             fcc_type = data[strh[0]:strh[0] + 4]
             if fcc_type == b"vids" and stream_no is None:
                 stream_no = idx

@@ -78,7 +78,7 @@ def _lzw_decode(min_code_size: int, data: bytes, expect: int) -> np.ndarray:
     code emits with ONE bytearray extend and each new entry is one C
     concatenation — no per-pixel Python (the old (prefix, suffix) chain
     walk did a numpy scalar read per output byte; this form measured
-    ~5× faster on noise frames, more on compressible ones). Total
+    ~5x faster on noise frames, more on compressible ones). Total
     dictionary byte volume between clears is bounded by the expanded
     output, so memory stays O(frame)."""
     if not (2 <= min_code_size <= 11):
@@ -90,7 +90,7 @@ def _lzw_decode(min_code_size: int, data: bytes, expect: int) -> np.ndarray:
 
     code_size = min_code_size + 1
     table = list(roots)
-    prev: Optional[bytes] = None
+    prev: bytes | None = None
     acc = 0
     nbits = 0
     for byte in data:

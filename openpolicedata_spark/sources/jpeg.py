@@ -96,7 +96,10 @@ class _Huff:
     decode on megapixel images). The 65536-entry build costs ~0.5 ms,
     which dominates tiny thumbnails — and real corpora reuse the same
     handful of tables (Annex K, libjpeg defaults) across every file, so
-    the compiled LUT is memoized per worker on the raw DHT bytes."""
+    the compiled LUT is memoized per worker on the raw DHT bytes. The
+    bound is small (each cached list is ~2.4 MB): a corpus of
+    per-image-table JPEGs (mozjpeg-optimized) just misses and pays the
+    old per-image build, never unbounded worker memory."""
 
     def __init__(self, counts: bytes, symbols: bytes):
         if len(counts) != 16 or len(symbols) != sum(counts):
@@ -104,7 +107,7 @@ class _Huff:
         self.lut = _compile_huff_lut(bytes(counts), bytes(symbols))
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=8)
 def _compile_huff_lut(counts: bytes, symbols: bytes) -> list:
     lut = np.zeros(1 << 16, dtype=np.uint32)
     code = 0

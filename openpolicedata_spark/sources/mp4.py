@@ -355,14 +355,15 @@ def encode_mp4_mjpeg(jpegs: list[bytes], width: int, height: int,
     n = len(jpegs)
     duration = n * delta
 
-    stsd_entry = (struct.pack(">I", 86 + 8) + b"jpeg"
-                  + bytes(6) + struct.pack(">H", 1)
+    entry_body = (bytes(6) + struct.pack(">H", 1)
                   + bytes(16)
                   + struct.pack(">HH", width, height)
                   + struct.pack(">II", 0x480000, 0x480000)
                   + bytes(4) + struct.pack(">H", 1)
                   + bytes(32)
                   + struct.pack(">Hh", 24, -1))
+    stsd_entry = (struct.pack(">I", 8 + len(entry_body)) + b"jpeg"
+                  + entry_body)
     stsd = _fullbox(b"stsd", struct.pack(">I", 1) + stsd_entry)
     stts = _fullbox(b"stts", struct.pack(">III", 1, n, delta))
     stsc = _fullbox(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))

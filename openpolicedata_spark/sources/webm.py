@@ -77,15 +77,45 @@ def _varint(data: bytes, pos: int,
     return v, pos + n, n
 
 
+# children a Cluster may contain ([Matroska]): an unknown-size Cluster
+# ends at the first element that is NOT one of these (typically the
+# next Cluster) — the spec's "first non-child element" rule
+_CLUSTER_CHILDREN = frozenset({0xE7, 0xA3, 0xA0, 0xA7, 0xAB, 0x5854,
+                               0xBF, 0xEC})  # + CRC-32, Void
+
+
+def _cluster_end(data: bytes, start: int, end: int) -> int:
+    """End offset of an unknown-size Cluster: walk its (known-size)
+    children until an id outside the Cluster child set appears."""
+    pos = start
+    while pos < end:
+        eid, p2, _ = _varint(data, pos, strip_marker=False)
+        if eid not in _CLUSTER_CHILDREN:
+            return pos
+        size, p2, slen = _varint(data, p2, strip_marker=True)
+        if size == (1 << (7 * slen)) - 1:
+            raise WebmError("unknown-size element inside a Cluster")
+        if p2 + size > end:
+            raise WebmError("Cluster child overruns the Segment")
+        pos = p2 + size
+    return end
+
+
 def _elements(data: bytes, start: int, end: int):
     """Yield (id, body_start, body_end) for the elements in a span.
-    An "unknown size" (all value bits set — live-muxed Segments and
-    Clusters) extends to the end of the container span."""
+    An "unknown size" (all value bits set — the live-mux convention)
+    extends to the end of the container span, EXCEPT an unknown-size
+    Cluster, which per the spec ends at its first non-child element
+    (so a following Cluster is a sibling, not swallowed content)."""
     pos = start
     while pos < end:
         eid, pos, _ = _varint(data, pos, strip_marker=False)
         size, pos, slen = _varint(data, pos, strip_marker=True)
-        body_end = end if size == (1 << (7 * slen)) - 1 else pos + size
+        if size == (1 << (7 * slen)) - 1:
+            body_end = _cluster_end(data, pos, end) \
+                if eid == _CLUSTER else end
+        else:
+            body_end = pos + size
         if body_end > end:
             raise WebmError(f"element 0x{eid:X} overruns its container")
         yield eid, pos, body_end
@@ -250,10 +280,17 @@ def encode_webm_mjpeg(jpegs: list[bytes], width: int, height: int,
                 + _el(_CODEC_ID, b"V_MJPEG")
                 + video)
     tracks = _el(_TRACKS, entry)
-    blocks = bytearray(_el_uint(_TIMESTAMP, 0))
-    for i, j in enumerate(jpegs):
-        body = b"\x81" + struct.pack(">h", i * delta_ms) + b"\x80" + j
-        blocks += _el(_SIMPLE_BLOCK, body)
-    cluster = _el(_CLUSTER, bytes(blocks))
-    segment = _el(_SEGMENT, info + tracks + cluster)
+    # SimpleBlock timestamps are int16 RELATIVE to their Cluster: start
+    # a new Cluster (absolute Timestamp) before the offset overflows
+    per_cluster = max(1, 0x7FFF // max(delta_ms, 1))
+    clusters = b""
+    for c0 in range(0, len(jpegs), per_cluster):
+        base_ms = c0 * delta_ms
+        blocks = bytearray(_el_uint(_TIMESTAMP, base_ms))
+        for i, j in enumerate(jpegs[c0:c0 + per_cluster]):
+            body = (b"\x81" + struct.pack(">h", i * delta_ms)
+                    + b"\x80" + j)
+            blocks += _el(_SIMPLE_BLOCK, body)
+        clusters += _el(_CLUSTER, bytes(blocks))
+    segment = _el(_SEGMENT, info + tracks + clusters)
     return header + segment

@@ -282,3 +282,35 @@ def test_decode_video_dispatch_all_containers():
             (encode_webm_mjpeg([j], 16, 16), "video/webm")]:
         out, _ = decode_video(blob, mime)
         assert np.array_equal(out[0][..., 0], f), mime
+
+
+def test_webm_unknown_size_cluster_followed_by_sibling():
+    """Live-mux pattern: EVERY Cluster declares the unknown size. The
+    spec ends an unknown-size Cluster at its first non-child element,
+    so cluster 2 is a sibling — not swallowed content (regression:
+    the old reader returned only cluster 1's frames)."""
+    f1, f2 = flat_frame(), flat_frame()
+    j1, j2 = encode_jpeg(f1), encode_jpeg(f2)
+    tracks = el(0x1654AE6B, track_entry(b"V_MJPEG"))
+    c1_body = euint(0xE7, 0) + simple_block(1, 0, j1)
+    c2_body = euint(0xE7, 100) + simple_block(1, 0, j2)
+    c1 = eid(0x1F43B675) + b"\xff" + c1_body
+    c2 = eid(0x1F43B675) + b"\xff" + c2_body
+    segment = eid(0x18538067) + b"\xff" + tracks + c1 + c2
+    out, delays = read_webm_video(ebml_header() + segment)
+    assert len(out) == 2, len(out)
+    assert delays == [10, 10]
+    assert np.array_equal(out[0][..., 0], f1)
+    assert np.array_equal(out[1][..., 0], f2)
+
+
+def test_webm_encoder_splits_clusters_for_long_clips():
+    """>327 frames at delta_ms=100 would overflow the int16 relative
+    block timestamp — the writer must start new Clusters instead
+    (regression: struct.error)."""
+    f = flat_frame()
+    j = encode_jpeg(f)
+    blob = encode_webm_mjpeg([j] * 400, 32, 32, delta_ms=100)
+    out, delays = read_webm_video(blob)
+    assert len(out) == 400
+    assert delays == [10] * 400

@@ -344,8 +344,13 @@ def test_decode_video_and_image_dispatch():
     # decode_image returns the first frame as a still
     still = decode_image(blob, "mislabeled/jpeg")  # magic wins
     assert np.array_equal(still[:, :, 0], fs[0])
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
+    # MP4 now routes to the real ISO BMFF parser (sources/mp4.py):
+    # truncated/garbage boxes fail there, not at the dispatch gate
+    from openpolicedata_spark.sources.mp4 import Mp4Error
+    with pytest.raises(Mp4Error):
         decode_video(b"\x00\x00\x00\x20ftypisom rest", "video/mp4")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_video(b"\x00unknown container bytes", "video/x-thing")
 
 
 def test_encode_gif_rejects_out_of_palette_indices():

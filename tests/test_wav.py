@@ -220,7 +220,10 @@ def test_decode_audio_magic_dispatch_and_normalization():
     u = np.array([0, 128, 255], dtype=np.uint8)
     _, norm = decode_audio(encode_wav(u, 8000), "audio/wav")
     assert np.allclose(norm[:, 0], (u.astype(float) - 128) / 128.0)
-    with pytest.raises(NotImplementedError, match="no stdlib codec"):
+    # FLAC now routes to the real decoder (sources/flac.py): garbage
+    # after the magic fails there, not at the dispatch gate
+    from openpolicedata_spark.sources.flac import FlacError
+    with pytest.raises(FlacError):
         decode_audio(b"fLaC rest", "audio/flac")
     with pytest.raises(NotImplementedError, match="no stdlib codec"):
         decode_audio(b"ID3\x04 mp3 bytes", "audio/mpeg")

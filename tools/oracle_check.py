@@ -96,9 +96,7 @@ def main() -> int:
     # unmatched selectors are an error, not a silent no-op
     if only:
         matched = {name for name in qs
-                   for sel in only
-                   if name == sel or name.startswith(sel + "_")
-                   or name.startswith(sel)}
+                   if any(name.startswith(sel) for sel in only)}
         unmatched = {sel for sel in only
                      if not any(n == sel or n.startswith(sel)
                                 for n in qs)}
