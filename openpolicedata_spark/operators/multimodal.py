@@ -101,10 +101,20 @@ def decode_image(content: bytes, mime: str) -> "np.ndarray":
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
         return img
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        # name the inner codec: VP8 (lossy), VP8L (lossless), VP8X
+        # (extended container). The VP8L spec's 120-entry 2D distance
+        # map can't be reproduced offline with confidence, so all
+        # three stay gated rather than risking silent wrong pixels.
+        variant = b[12:16].rstrip(b" ").decode("latin-1", "replace")
+        raise NotImplementedError(
+            f"WebP ({variant or 'unknown'} chunk) needs a real codec "
+            "(Pillow/cv2); the VP8L distance-map table is not "
+            "offline-reproducible")
     raise NotImplementedError(
         f"no stdlib codec for {mime!r} (magic {b[:4]!r}); PNG, "
-        "baseline JPEG, GIF, BMP, and uncompressed TIFF are supported "
-        "natively, other formats need Pillow/cv2")
+        "JPEG (baseline+progressive), GIF, BMP, and TIFF are "
+        "supported natively, other formats need Pillow/cv2")
 
 
 def decode_video(content: bytes,

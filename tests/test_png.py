@@ -172,9 +172,14 @@ def test_truncated_idat():
 
 
 def test_decode_image_unsupported_format_raises():
-    # PNG/JPEG/GIF/BMP/TIFF are real codecs now; WebP stays gated
-    with pytest.raises(NotImplementedError, match="no stdlib codec"):
+    # PNG/JPEG/GIF/BMP/TIFF are real codecs now; WebP stays gated but
+    # names the inner codec variant (VP8 lossy / VP8L / VP8X)
+    with pytest.raises(NotImplementedError, match="WebP.*VP8 "):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp")
+    with pytest.raises(NotImplementedError, match="WebP.*VP8L"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8L", "image/webp")
+    with pytest.raises(NotImplementedError, match="no stdlib codec"):
+        decode_image(b"\x00unknown image bytes", "image/x-thing")
 
 
 def test_to_rgb_shapes():

@@ -897,3 +897,53 @@ def test_video_dedup_sink_batch_equals_stream(spark, tmp_path):
     kept = sorted(r.media_id for r in spark.read.parquet(out).collect())
     # smallest id per family survives: families 0,1,2 -> ids 0,1,2
     assert kept == [0, 1, 2], kept
+
+
+def test_video_dedup_sink_binaryfile_ingestion(spark, tmp_path):
+    """Real ingestion shape: raw .gif/.mp4 FILES on disk read with the
+    binaryFile streaming source (path/length/content columns), the id
+    derived from the filename — the closest local analog of a media
+    bucket listing at 100 TB."""
+    import hashlib
+
+    import numpy as np
+
+    from openpolicedata_spark.sources.gif import encode_gif
+    from openpolicedata_spark.sources.jpeg import encode_jpeg
+    from openpolicedata_spark.sources.mp4 import encode_mp4_mjpeg
+    from openpolicedata_spark.streaming import video_dedup_sink
+
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def grids(tag):
+        out = []
+        for f in range(3):
+            raw = hashlib.md5(f"bf:{tag}:{f}".encode()).digest()
+            out.append(np.frombuffer(raw, np.uint8).reshape(4, 4)
+                       .repeat(8, 0).repeat(8, 1))
+        return out
+
+    media = tmp_path / "media"
+    media.mkdir()
+    fam = grids("x")
+    (media / "00001.gif").write_bytes(encode_gif(fam, pal))
+    (media / "00002.mp4").write_bytes(
+        encode_mp4_mjpeg([encode_jpeg(g) for g in fam], 32, 32))
+    (media / "00003.gif").write_bytes(encode_gif(grids("y"), pal))
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    schema = ("path string, modificationTime timestamp, "
+              "length long, content binary")
+    stream = (spark.readStream.format("binaryFile")
+              .schema(schema)
+              .load(str(media))
+              .select(
+                  F.regexp_extract(F.col("path"), r"(\d+)\.\w+$", 1)
+                  .cast("long").alias("media_id"),
+                  F.col("content")))
+    # these frames yield 2 distinct hashes per video (video_dup_pairs
+    # counts DISTINCT shared values), so the threshold is 2
+    video_dedup_sink(stream, out, idx, min_shared=2)
+    kept = sorted(r.media_id for r in spark.read.parquet(out).collect())
+    # 2 is the MP4 re-mux of 1's frames -> deduped; 3 is fresh
+    assert kept == [1, 3], kept
