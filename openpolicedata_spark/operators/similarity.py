@@ -670,3 +670,101 @@ def frequent_directions(
     while len(B) > ell:
         B = _fd_shrink(B, ell)
     return B
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the standard memory-compression path for
+# billion-scale embedding search (IVF-PQ): vectors compress to m small
+# codes; search scans codes with a tiny per-query lookup table instead
+# of touching float vectors.
+# ---------------------------------------------------------------------------
+
+def pq_train(corpus: DataFrame, m: int = 8, k: int = 16,
+             vec_col: str = "embedding", iters: int = 5,
+             seed: int = 42) -> list[list[list[float]]]:
+    """Train PQ codebooks: split each vector into `m` contiguous
+    subspaces and run the distributed Lloyd's pass (`kmeans_fit` — the
+    explode + map-side partial-mean shuffle that never moves vectors)
+    per subspace. Returns ``codebooks[s][j] = centroid j of subspace
+    s`` as plain floats, ready for `pq_encode` / `pq_adc_topk`.
+    Driver state is m×k×(dim/m) floats — the whole codebook is a few
+    KB at any corpus scale."""
+    dim = len(corpus.select(vec_col).head()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col))
+        books.append(kmeans_fit(sliced, k=k, vec_col=vec_col,
+                                iters=iters, seed=seed + s))
+    return books
+
+
+def _pq_dist_sql(vexpr: str, codebooks, s: int, j: int) -> str:
+    """Squared-distance SQL from subspace `s` of `vexpr` to centroid
+    `j` — fixed-order scalar arithmetic, so the doubles replay
+    bit-identically in an external SQL engine. Expressions are built
+    as SQL STRINGS, not Column trees: a k×dim codebook would otherwise
+    cost thousands of py4j round-trips just to CONSTRUCT (measured:
+    9 s of driver time for 8x16x8; one selectExpr string parses
+    JVM-side in milliseconds)."""
+    sub = len(codebooks[s][0])
+    base = s * sub
+    terms = []
+    for d in range(sub):
+        c = repr(float(codebooks[s][j][d]))
+        terms.append(f"((element_at({vexpr}, {base + d + 1}) - {c})"
+                     f" * (element_at({vexpr}, {base + d + 1}) - {c}))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_encode(corpus: DataFrame, codebooks,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode each vector to `m` 1-based centroid codes (columns
+    ``code_0..code_{m-1}``) — one codegen projection, no Python on the
+    hot path: per subspace the k squared distances form an array and
+    the code is ``array_position(arr, array_min(arr))`` (first minimum
+    wins, deterministically). At k ≤ 256 each code fits a byte: the
+    100 TB layout stores m bytes per vector instead of dim floats."""
+    vexpr = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    exprs = [id_col]
+    for s in range(len(codebooks)):
+        arr = "array(" + ", ".join(
+            _pq_dist_sql(vexpr, codebooks, s, j)
+            for j in range(len(codebooks[s]))) + ")"
+        exprs.append(f"CAST(array_position({arr}, array_min({arr})) "
+                     f"AS INT) AS code_{s}")
+    return corpus.selectExpr(*exprs)
+
+
+def pq_adc_topk(codes: DataFrame, codebooks, query_vec,
+                topk: int = 10, id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric distance computation: the query builds one m×k
+    lookup table of exact subspace distances (driver-side, tiny), and
+    every encoded vector scores as the fixed-order sum of m table
+    lookups (`element_at` on a literal array by the stored code) —
+    a scan over byte codes with zero float-vector I/O. Returns the
+    `topk` nearest (id tiebreak), ``adc_dist`` rounded for oracle
+    comparison while the ORDER BY uses the unrounded double."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    parts = []
+    for s in range(m):
+        table = []
+        for cent in codebooks[s]:
+            acc = 0.0
+            for d in range(sub):
+                t = q[s * sub + d] - float(cent[d])
+                acc += t * t
+            table.append(repr(acc))
+        parts.append(f"element_at(array({', '.join(table)}), code_{s})")
+    score = " + ".join(parts)
+    return (codes.selectExpr(id_col, f"({score}) AS _adc")
+            .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+            .limit(topk)
+            .select(id_col, F.round(F.col("_adc"), 6)
+                    .alias("adc_dist")))

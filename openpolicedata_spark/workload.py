@@ -6373,6 +6373,84 @@ def q148_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q148_SQL = _Q148_BODY.format(l="lineitem", s="supplier")
 
 
+def _pq_codebooks(m: int = 8, k: int = 16, sub: int = 8):
+    """Fixed deterministic PQ codebooks for q149: md5-derived integers
+    over a power-of-two denominator, so every centroid coordinate is
+    an EXACT double literal both engines evaluate identically (the
+    q117 fixed-weights precedent — production would use
+    similarity.pq_train)."""
+    import hashlib as _hl
+
+    return [[[ (int(_hl.md5(f"pq:{s}:{j}:{d}".encode()).hexdigest()[:4],
+                    16) % 129 - 64) / 64.0
+               for d in range(sub)]
+             for j in range(k)]
+            for s in range(m)]
+
+
+def q149_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the billion-scale memory-compression
+    path: every 64-dim embedding encodes to 8 one-byte centroid codes
+    (`similarity.pq_encode`: per subspace, array_position of the
+    minimum squared distance — ONE codegen projection, no Python), and
+    the query scans codes with an 8x16 lookup table
+    (`similarity.pq_adc_topk`: fixed-order sums of element_at on
+    literal arrays). Codebook coordinates are exact dyadic rationals
+    and all arithmetic is fixed-order double scalar math, so the
+    DuckDB oracle replays encode + ADC bit-identically. The single
+    bounded collect is the one query vector (vec_id 0)."""
+    from openpolicedata_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    books = _pq_codebooks()
+    e = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.where(F.col("vec_id") == 0).head()["embedding"]]
+    codes = pq_encode(e.where(F.col("vec_id") != 0), books)
+    return pq_adc_topk(codes, books, qvec, topk=10)
+
+
+def _q149_sql() -> str:
+    books = _pq_codebooks()
+    m, k, sub = len(books), len(books[0]), len(books[0][0])
+
+    def dist(vexpr: str, s: int, j: int) -> str:
+        terms = []
+        for d in range(sub):
+            c = repr(books[s][j][d])
+            terms.append(f"(({vexpr}[{s * sub + d + 1}] - {c})"
+                         f" * ({vexpr}[{s * sub + d + 1}] - {c}))")
+        return "(" + " + ".join(terms) + ")"
+
+    d_arrays = ",\n  ".join(
+        f"[{', '.join(dist('v', s, j) for j in range(k))}] AS d{s}"
+        for s in range(m))
+    code_cols = ", ".join(
+        f"list_position(d{s}, list_min(d{s})) AS code_{s}"
+        for s in range(m))
+    # ADC table from the query row's own vector, same fixed order
+    q_arrays = ", ".join(
+        f"[{', '.join(dist('qv', s, j) for j in range(k))}] AS t{s}"
+        for s in range(m))
+    score = " + ".join(f"q.t{s}[c.code_{s}]" for s in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+d AS (SELECT vec_id, v,
+  {d_arrays}
+  FROM e WHERE vec_id <> 0),
+c AS (SELECT vec_id, {code_cols} FROM d),
+q AS (SELECT {q_arrays}
+      FROM (SELECT v AS qv FROM e WHERE vec_id = 0))
+SELECT c.vec_id, ROUND({score}, 6) AS adc_dist
+FROM c, q
+ORDER BY {score} ASC, c.vec_id ASC
+LIMIT 10
+"""
+
+
 # Replay: byte k of md5(text||'0') is hex digits 2k+1..2k+2; each byte
 # becomes a constant 8x8 tile, laid out row-major (top row pair then
 # bottom), so the pixel hex is two repeat() bands of 8 rows each.
@@ -6535,6 +6613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_audio_container_parity": q146_audio_container_parity,
         "q147_min_cost_supplier": q147_min_cost_supplier,
         "q148_top_supplier": q148_top_supplier,
+        "q149_pq_search": q149_pq_search,
     }
     return base
 
@@ -6692,4 +6771,5 @@ def oracle_sql() -> dict[str, str]:
         "q146_audio_container_parity": _Q146_SQL,
         "q147_min_cost_supplier": _Q147_SQL,
         "q148_top_supplier": _Q148_SQL,
+        "q149_pq_search": _q149_sql(),
     }

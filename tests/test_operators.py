@@ -714,3 +714,63 @@ class TestExactDedupIngest:
             exact_dedup_ingest(self._batch(spark, [(1, "x")]),
                                str(tmp_path / "i"), str(tmp_path / "o"),
                                "../escape")
+
+
+def test_pq_trained_recall_and_code_compression(spark):
+    """PQ end-to-end on planted clusters: train codebooks, encode to m
+    byte-range codes, ADC-search — the true nearest neighbors (same
+    planted cluster as the query) dominate the top-k, and codes stay
+    within 1..k (byte-compressible)."""
+    import numpy as np
+
+    from openpolicedata_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 32))
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, (c + 0.05 * rng.normal(size=32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = pq_train(df, m=4, k=8, iters=3)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+
+    codes = pq_encode(df, books)
+    stats = codes.selectExpr(
+        *[f"min(code_{s}) as lo_{s}" for s in range(4)],
+        *[f"max(code_{s}) as hi_{s}" for s in range(4)]).head()
+    assert all(stats[f"lo_{s}"] >= 1 and stats[f"hi_{s}"] <= 8
+               for s in range(4))
+
+    qvec = rows[0][1]  # a cluster-0 member
+    got = pq_adc_topk(codes.where("vec_id <> 0"), books, qvec, topk=20)
+    ids = [r.vec_id for r in got.collect()]
+    same_cluster = sum(1 for i in ids if i % 4 == 0)
+    # ADC over quantized codes keeps most true neighbors in the top-20
+    assert same_cluster >= 15, (same_cluster, ids)
+    # and the distances are monotone non-decreasing
+    dists = [r.adc_dist for r in got.collect()]
+    assert dists == sorted(dists)
+
+
+def test_pq_encode_is_deterministic_and_python_free(spark):
+    from openpolicedata_spark.operators.similarity import pq_encode
+    from openpolicedata_spark.workload import _pq_codebooks
+    from tests.test_plans import assert_no_python_in_plan
+
+    df = spark.range(6).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 64), x -> cast(x * (id + 1) % 7 AS double)"
+        ") as embedding")
+    books = _pq_codebooks()
+    a = pq_encode(df, books).collect()
+    b = pq_encode(df.repartition(3), books).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert_no_python_in_plan(pq_encode(df, books))
