@@ -501,6 +501,81 @@ def image_dup_pairs(df: DataFrame, max_hamming: int = 3,
             .select("id_a", "id_b", "hamming"))
 
 
+def audio_energy_hash(samples: "np.ndarray", nblocks: int = 64) -> int:
+    """Integer-exact audio fingerprint — the audio face of
+    `ahash_of_pixels`: mix channels by integer sum, split into
+    `nblocks` equal blocks (trailing remainder dropped), sum |sample|
+    per block, and set bit j when ``block_sum * nblocks > total_sum``
+    (strict). All arithmetic is integer, so every bit replays in an
+    external SQL oracle (q150), and re-encodes through any LOSSLESS
+    audio chain (WAV/FLAC/Ogg-FLAC/MP4-PCM) hash identically. Returns
+    a SIGNED 64-bit value like the image/video hashes."""
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    mono = np.abs(a.astype(np.int64)).sum(axis=1)
+    n = (len(mono) // nblocks) * nblocks
+    if n == 0:
+        return 0
+    blocks = mono[:n].reshape(nblocks, -1).sum(axis=1)
+    total = int(blocks.sum())
+    v = 0
+    for j, b in enumerate(blocks):
+        if int(b) * nblocks > total:
+            v |= 1 << j
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def audio_ahash(df: DataFrame, content_col: str = "content",
+                id_col: str = "media_id", nblocks: int = 64,
+                decode=None) -> DataFrame:
+    """Energy fingerprint per audio payload: decode (real codecs via
+    `decode_audio`'s magic dispatch, or an injectable
+    ``decode(bytes) -> int array`` stand-in), de-normalize to int16,
+    hash with `audio_energy_hash`. One Arrow-batched pass; bytes never
+    leave the executor and the output is (id, ahash) longs."""
+    dec = decode
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                if dec is not None:
+                    samples = np.asarray(dec(bytes(blob)))
+                else:
+                    _rate, norm = decode_audio(bytes(blob), "audio/*")
+                    samples = np.rint(norm * 32768.0).astype(np.int64)
+                rows.append((int(mid),
+                             audio_energy_hash(samples, nblocks)))
+            yield pd.DataFrame(rows, columns=[id_col, "ahash"])
+
+    return df.select(id_col, content_col).mapInPandas(
+        gen, f"{id_col} long, ahash long")
+
+
+def audio_dup_pairs(df: DataFrame, max_hamming: int = 3,
+                    content_col: str = "content",
+                    id_col: str = "media_id", nblocks: int = 64,
+                    decode=None,
+                    max_bucket_size: Optional[int] = None) -> DataFrame:
+    """Near-duplicate audio pairs — the audio face of the blocked
+    near-dedup family. The energy hash decodes once; the pigeonhole
+    hamming join is SHARED with the image path (`image_dup_pairs`
+    blocks purely on the 64-bit hash via ``hashes=``), so the shuffle
+    carries longs, never samples, and the `max_bucket_size` skew guard
+    applies identically (a corpus full of silence collapses into one
+    bucket — the degenerate signature case)."""
+    hashes = audio_ahash(df, content_col, id_col, nblocks, decode)
+    return image_dup_pairs(df, max_hamming=max_hamming,
+                           content_col=content_col, id_col=id_col,
+                           max_bucket_size=max_bucket_size,
+                           hashes=hashes)
+
+
 def video_dup_pairs(frame_hashes: DataFrame, id_col: str = "doc_id",
                     hash_col: str = "fhash", min_shared: int = 3,
                     max_bucket_size: Optional[int] = None) -> DataFrame:

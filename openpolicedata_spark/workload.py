@@ -6412,6 +6412,102 @@ def q149_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, books, qvec, topk=10)
 
 
+def q150_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup — the audio face of the LSH dedup
+    family, completing the image (q137) / video (q139) modality
+    triple, pinned through the REAL compressed codec: deterministic
+    256-sample int16 clips (md5 stream; docs sharing a base family
+    share a base clip, `doc_id % 5 != 0` lifts one 4-sample block by
+    +128 each — a MODEST perturbation: a dominant block would drag the
+    global mean and collapse every perturbed clip toward a one-hot
+    hash whose all-zero chunks form a corpus-wide degenerate bucket,
+    the exact skew `max_bucket_size` exists for) → REAL FLAC encode → `audio_dup_pairs` (decode_audio →
+    integer energy fingerprint → the SAME pigeonhole hamming join as
+    images; the shuffle carries 64-bit hashes, never samples).
+
+    Exactness: FLAC is lossless and every fingerprint bit is a strict
+    INTEGER compare (block_sum * 64 > total_sum), so the oracle
+    rebuilds the samples from the md5 hex and replays the all-pairs
+    bit_count join bit-identically.
+
+    Scale: the family modulus is DENSITY-CONSTANT —
+    ``greatest(25, n_docs // 200)`` — so dup-group size (and therefore
+    bucket size and pair volume) stays ~200 at ANY corpus scale
+    instead of growing linearly and going quadratic in one bucket
+    (the q139 lesson, applied at construction). The count is one
+    bounded aggregate; the oracle computes the same modulus as a
+    scalar subquery."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import audio_dup_pairs
+    from openpolicedata_spark.sources.flac import encode_flac
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    fam_mod = max(25, d.count() // 200)
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed = f"aud:{did % fam_mod}"
+                raw = b"".join(
+                    _hl.md5((seed + str(i)).encode()).digest()
+                    for i in range(16))
+                s = np.frombuffer(raw, np.uint8).astype(np.int16).copy()
+                if did % 5:
+                    b = did % 64
+                    s[b * 4:(b + 1) * 4] += 128
+                rows.append((did, encode_flac(s, 8000)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    media = rebalance(d).mapInPandas(gen, "media_id long, content binary")
+    return audio_dup_pairs(media, max_hamming=3).orderBy("id_a", "id_b")
+
+
+_Q150_SQL = """
+WITH fm AS (
+  SELECT GREATEST(25, COUNT(*) // 200) AS m FROM documents),
+base AS (
+  SELECT doc_id,
+    """ + "\n      || ".join(
+    f"md5('aud:' || CAST(doc_id % fm.m AS VARCHAR) || '{i}')"
+    for i in range(16)) + """ AS hex
+  FROM documents, fm),
+cells AS (
+  SELECT b.doc_id, t.j,
+    CAST(('0x' || substr(b.hex, t.j * 2 + 1, 2)) AS INTEGER)
+      + CASE WHEN b.doc_id % 5 <> 0 AND t.j // 4 = b.doc_id % 64
+             THEN 128 ELSE 0 END AS v
+  FROM base b, range(256) t(j)),
+blocks AS (
+  SELECT doc_id, j // 4 AS blk, SUM(v) AS bs
+  FROM cells
+  GROUP BY doc_id, j // 4),
+totals AS (
+  SELECT doc_id, SUM(bs) AS ts FROM blocks GROUP BY doc_id),
+hashes AS (
+  SELECT b.doc_id,
+    CAST(COALESCE(SUM(CASE WHEN b.bs * 64 > t.ts
+                           THEN CAST(1 AS HUGEINT) << b.blk END), 0)
+         - CASE WHEN MAX(CASE WHEN b.bs * 64 > t.ts AND b.blk = 63
+                              THEN 1 ELSE 0 END) = 1
+                THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END
+         AS BIGINT) AS h
+  FROM blocks b JOIN totals t ON b.doc_id = t.doc_id
+  GROUP BY b.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def _q149_sql() -> str:
     books = _pq_codebooks()
     m, k, sub = len(books), len(books[0]), len(books[0][0])
@@ -6614,6 +6710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_min_cost_supplier": q147_min_cost_supplier,
         "q148_top_supplier": q148_top_supplier,
         "q149_pq_search": q149_pq_search,
+        "q150_audio_dup_pairs": q150_audio_dup_pairs,
     }
     return base
 
@@ -6772,4 +6869,5 @@ def oracle_sql() -> dict[str, str]:
         "q147_min_cost_supplier": _Q147_SQL,
         "q148_top_supplier": _Q148_SQL,
         "q149_pq_search": _q149_sql(),
+        "q150_audio_dup_pairs": _Q150_SQL,
     }

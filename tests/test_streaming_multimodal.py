@@ -947,3 +947,72 @@ def test_video_dedup_sink_binaryfile_ingestion(spark, tmp_path):
     kept = sorted(r.media_id for r in spark.read.parquet(out).collect())
     # 2 is the MP4 re-mux of 1's frames -> deduped; 3 is fresh
     assert kept == [1, 3], kept
+
+
+def test_audio_energy_hash_properties():
+    """Integer-exact audio fingerprint: stable through every lossless
+    chain, stereo mixes by sum, remainder samples drop, tiny inputs
+    hash to 0."""
+    import numpy as np
+
+    from openpolicedata_spark.operators.multimodal import (
+        audio_energy_hash,
+        decode_audio,
+    )
+    from openpolicedata_spark.sources.flac import encode_flac
+    from openpolicedata_spark.sources.mp4 import encode_mp4_audio
+    from openpolicedata_spark.sources.ogg import encode_ogg_flac
+    from openpolicedata_spark.sources.wav import encode_wav
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(-2000, 2000, size=256, dtype=np.int16)
+    h0 = audio_energy_hash(a)
+    assert h0 != 0
+    for enc in (lambda s: encode_wav(s, 8000),
+                lambda s: encode_flac(s, 8000),
+                lambda s: encode_ogg_flac(s, 8000),
+                lambda s: encode_mp4_audio(s, 8000, codec="sowt")):
+        _r, norm = decode_audio(enc(a), "audio/*")
+        back = np.rint(norm * 32768.0).astype(np.int64)
+        assert audio_energy_hash(back) == h0, enc
+    # stereo with mirrored magnitude mixes to the same |sum| profile
+    st = np.stack([a, a], axis=1)
+    assert audio_energy_hash(st) == audio_energy_hash(
+        np.abs(a.astype(np.int64)) * 2)
+    # 258 samples: the 2 trailing samples are dropped (256-aligned)
+    assert audio_energy_hash(np.concatenate([a, a[:2]])) == h0
+    assert audio_energy_hash(np.array([5], dtype=np.int16)) == 0
+
+
+def test_audio_dup_pairs_families_and_skew_guard(spark):
+    """Planted clip families survive the FLAC chain into hamming
+    pairs; a degenerate corpus (one shared clip) trips the
+    max_bucket_size guard instead of exploding one bucket."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from openpolicedata_spark.operators.multimodal import audio_dup_pairs
+    from openpolicedata_spark.sources.flac import encode_flac
+
+    rows = []
+    for i in range(30):
+        seed = f"fam:{i % 5}"
+        raw = b"".join(hashlib.md5((seed + str(k)).encode()).digest()
+                       for k in range(16))
+        s = np.frombuffer(raw, np.uint8).astype(np.int16).copy()
+        if i % 3:
+            b = i % 64
+            s[b * 4:(b + 1) * 4] = 4096
+        rows.append((i, encode_flac(s, 8000)))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = audio_dup_pairs(df, max_hamming=3).collect()
+    assert pairs and all(r.id_a % 5 == r.id_b % 5 for r in pairs)
+
+    same = [(i, rows[0][1]) for i in range(12)]  # all-identical corpus
+    dfs = spark.createDataFrame(same, "media_id long, content binary")
+    n_uncapped = len(audio_dup_pairs(dfs, max_hamming=3).collect())
+    assert n_uncapped == 12 * 11 // 2
+    capped = audio_dup_pairs(dfs, max_hamming=3, max_bucket_size=4)
+    assert len(capped.collect()) == 0  # all buckets oversized, dropped
