@@ -727,7 +727,8 @@ def media_dedup_sink(stream_df: DataFrame, out_path: str,
                      decode=None,
                      query_name: str = "mediadedup",
                      timeout_s: int = 300,
-                     compact_index_files: Optional[int] = 64) -> None:
+                     compact_index_files: Optional[int] = 64,
+                     hasher=None) -> None:
     """Streaming perceptual media dedup: drop images within
     `max_hamming` bits of anything ever admitted — the multimodal face
     of `semantic_dedup_sink`, with a 16-byte-per-item index instead of
@@ -770,6 +771,9 @@ def media_dedup_sink(stream_df: DataFrame, out_path: str,
     spark = stream_df.sparkSession
     n_chunks = max_hamming + 1
     nbits = grid * grid
+    if hasher is None:
+        def hasher(batch):
+            return image_ahash(batch, content_col, id_col, grid, decode)
 
     def body(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -778,9 +782,9 @@ def media_dedup_sink(stream_df: DataFrame, out_path: str,
         batch = batch.localCheckpoint(eager=True)
         # decode + hash every payload ONCE; everything downstream works
         # off the 64-bit hashes
-        ah = image_ahash(batch, content_col, id_col, grid,
-                         decode).localCheckpoint(eager=True)
+        ah = hasher(batch).localCheckpoint(eager=True)
         # within-batch: smallest id survives each near-dup cluster
+        # (the hamming join blocks purely on the precomputed hashes)
         pairs = image_dup_pairs(batch, max_hamming, content_col,
                                 id_col, grid, decode, hashes=ah)
         clusters = dup_clusters(pairs)
@@ -815,6 +819,33 @@ def media_dedup_sink(stream_df: DataFrame, out_path: str,
         compact_index(spark, index_path, compact_index_files)
 
     _run_merge_sink(stream_df, body, None, query_name, timeout_s)
+
+
+def audio_dedup_sink(stream_df: DataFrame, out_path: str,
+                     index_path: str, max_hamming: int = 3,
+                     content_col: str = "content",
+                     id_col: str = "media_id", nblocks: int = 64,
+                     decode=None,
+                     query_name: str = "audiodedup",
+                     timeout_s: int = 300,
+                     compact_index_files: Optional[int] = 64) -> None:
+    """Streaming perceptual AUDIO dedup — `media_dedup_sink` with the
+    integer energy fingerprint (`multimodal.audio_ahash`) instead of
+    the image ahash. Everything downstream of the hash (within-batch
+    clustering, the pigeonhole index probe, self-compaction, replay
+    safety) is the SAME code path, so batch (`audio_dup_pairs`) and
+    stream block identically and the index stays 16 bytes per admitted
+    clip. `decode` is the injectable ``bytes -> int samples`` stand-in;
+    the default routes real containers through `decode_audio`."""
+    from openpolicedata_spark.operators.multimodal import audio_ahash
+
+    media_dedup_sink(
+        stream_df, out_path, index_path, max_hamming=max_hamming,
+        content_col=content_col, id_col=id_col,
+        query_name=query_name, timeout_s=timeout_s,
+        compact_index_files=compact_index_files,
+        hasher=lambda batch: audio_ahash(batch, content_col, id_col,
+                                         nblocks, decode))
 
 
 def video_dedup_sink(stream_df: DataFrame, out_path: str,

@@ -1016,3 +1016,50 @@ def test_audio_dup_pairs_families_and_skew_guard(spark):
     assert n_uncapped == 12 * 11 // 2
     capped = audio_dup_pairs(dfs, max_hamming=3, max_bucket_size=4)
     assert len(capped.collect()) == 0  # all buckets oversized, dropped
+
+
+def test_audio_dedup_sink_cross_codec_and_replay(spark, tmp_path):
+    """Streaming perceptual audio dedup on REAL codec bytes: batch 2's
+    FLAC re-encode of batch 1's WAV clip is dropped via the persisted
+    energy-hash index (lossless chains hash identically); fresh content
+    survives; a FULL replay re-admits nothing."""
+    import hashlib
+
+    import numpy as np
+
+    from openpolicedata_spark.sources.flac import encode_flac
+    from openpolicedata_spark.sources.wav import encode_wav
+    from openpolicedata_spark.streaming import audio_dedup_sink
+
+    def clip(tag):
+        raw = b"".join(hashlib.md5((tag + str(k)).encode()).digest()
+                       for k in range(16))
+        return np.frombuffer(raw, np.uint8).astype(np.int16).copy()
+
+    a, b = clip("sinkA"), clip("sinkB")
+    b1 = spark.createDataFrame(
+        [(1, encode_wav(a, 8000))], "media_id long, content binary")
+    b2 = spark.createDataFrame(
+        [(2, encode_flac(a, 8000)),   # same clip, different codec
+         (3, encode_flac(b, 8000))],  # fresh
+        "media_id long, content binary")
+    src = tmp_path / "src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+
+    def run():
+        stream = (spark.readStream
+                  .schema("media_id long, content binary")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(f"{src}/*/"))
+        audio_dedup_sink(stream, out, idx)
+
+    run()
+    kept = sorted(r.media_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3], kept
+    run()  # full replay: fresh checkpoint, nothing re-admitted
+    assert sorted(r.media_id
+                  for r in spark.read.parquet(out).collect()) == [1, 3]
+    assert spark.read.parquet(idx).count() == 2
