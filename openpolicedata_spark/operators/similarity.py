@@ -740,15 +740,12 @@ def pq_encode(corpus: DataFrame, codebooks,
     return corpus.selectExpr(*exprs)
 
 
-def pq_adc_topk(codes: DataFrame, codebooks, query_vec,
-                topk: int = 10, id_col: str = "vec_id") -> DataFrame:
-    """Asymmetric distance computation: the query builds one m×k
-    lookup table of exact subspace distances (driver-side, tiny), and
-    every encoded vector scores as the fixed-order sum of m table
-    lookups (`element_at` on a literal array by the stored code) —
-    a scan over byte codes with zero float-vector I/O. Returns the
-    `topk` nearest (id tiebreak), ``adc_dist`` rounded for oracle
-    comparison while the ORDER BY uses the unrounded double."""
+def adc_score_sql(codebooks, query_vec) -> str:
+    """The ADC scoring expression as a SQL string: fixed-order sum of
+    per-subspace table lookups (element_at on literal arrays by the
+    stored code columns). Shared by `pq_adc_topk` and IVF-routed
+    search (q151), so single-probe and multi-list scoring are the
+    same arithmetic."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     q = [float(x) for x in query_vec]
@@ -762,7 +759,35 @@ def pq_adc_topk(codes: DataFrame, codebooks, query_vec,
                 acc += t * t
             table.append(repr(acc))
         parts.append(f"element_at(array({', '.join(table)}), code_{s})")
-    score = " + ".join(parts)
+    return " + ".join(parts)
+
+
+def ivf_route_sql(vexpr: str, coarse) -> str:
+    """1-based nearest-coarse-centroid expression (the IVF routing
+    step) as a SQL string — same fixed-order argmin arithmetic as the
+    PQ encoder, so an external engine routes identically."""
+    dists = []
+    for c in coarse:
+        terms = []
+        for d, x in enumerate(c):
+            lit = repr(float(x))
+            terms.append(f"((element_at({vexpr}, {d + 1}) - {lit})"
+                         f" * (element_at({vexpr}, {d + 1}) - {lit}))")
+        dists.append("(" + " + ".join(terms) + ")")
+    arr = "array(" + ", ".join(dists) + ")"
+    return f"CAST(array_position({arr}, array_min({arr})) AS INT)"
+
+
+def pq_adc_topk(codes: DataFrame, codebooks, query_vec,
+                topk: int = 10, id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric distance computation: the query builds one m×k
+    lookup table of exact subspace distances (driver-side, tiny), and
+    every encoded vector scores as the fixed-order sum of m table
+    lookups (`element_at` on a literal array by the stored code) —
+    a scan over byte codes with zero float-vector I/O. Returns the
+    `topk` nearest (id tiebreak), ``adc_dist`` rounded for oracle
+    comparison while the ORDER BY uses the unrounded double."""
+    score = adc_score_sql(codebooks, query_vec)
     return (codes.selectExpr(id_col, f"({score}) AS _adc")
             .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
             .limit(topk)

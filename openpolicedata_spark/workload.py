@@ -6412,6 +6412,128 @@ def q149_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, books, qvec, topk=10)
 
 
+def _ivf_coarse(n_lists: int = 4, dim: int = 64):
+    """Fixed deterministic coarse centroids for q151 (dyadic rationals
+    from md5 — exact double literals, the _pq_codebooks recipe)."""
+    import hashlib as _hl
+
+    return [[(int(_hl.md5(f"ivf:{l}:{d}".encode()).hexdigest()[:4], 16)
+              % 129 - 64) / 64.0
+             for d in range(dim)]
+            for l in range(n_lists)]
+
+
+def q151_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed PQ search — the production ANN composition (FAISS
+    IVFPQ, by_residual=false): route every vector to its nearest
+    coarse centroid (`similarity.ivf_route_sql` — the same fixed-order
+    argmin arithmetic as the PQ encoder), prune the scan to the
+    query's 2 nearest lists, and ADC-score only the surviving codes
+    (`similarity.adc_score_sql`, shared with q149's single-probe
+    path). At 100 TB the routing column is the partition key: nprobe/
+    n_lists of the corpus is even READ, and what is read is scanned as
+    byte codes. All arithmetic is fixed-order double math over exact
+    dyadic literals, so the oracle replays routing + pruning + ADC
+    bit-identically; the probe-list choice itself is derived from the
+    same distance expressions on both sides (ORDER BY dist, list)."""
+    from openpolicedata_spark.operators.similarity import (
+        adc_score_sql,
+        ivf_route_sql,
+        pq_encode,
+    )
+
+    books = _pq_codebooks()
+    coarse = _ivf_coarse()
+    e = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.where(F.col("vec_id") == 0).head()["embedding"]]
+    # driver-side probe selection — the same fixed-order doubles the
+    # SQL computes, tie-broken by list index
+    qd = []
+    for li, c in enumerate(coarse):
+        acc = 0.0
+        for d in range(64):
+            t = qvec[d] - c[d]
+            acc += t * t
+        qd.append((acc, li + 1))
+    probe = [li for _d, li in sorted(qd)[:2]]
+
+    routed = e.where(F.col("vec_id") != 0).selectExpr(
+        "vec_id", "embedding",
+        ivf_route_sql("CAST(embedding AS ARRAY<DOUBLE>)", coarse)
+        + " AS list_id").where(F.col("list_id").isin(probe))
+    codes = pq_encode(routed, books)
+    score = adc_score_sql(books, qvec)
+    return (codes.selectExpr("vec_id", f"({score}) AS _adc")
+            .orderBy(F.col("_adc").asc(), F.col("vec_id").asc())
+            .limit(10)
+            .selectExpr("vec_id", "ROUND(_adc, 6) AS adc_dist"))
+
+
+def _q151_sql() -> str:
+    books = _pq_codebooks()
+    coarse = _ivf_coarse()
+    m, k, sub = len(books), len(books[0]), len(books[0][0])
+
+    def dist(vexpr: str, s: int, j: int) -> str:
+        terms = []
+        for d in range(sub):
+            c = repr(books[s][j][d])
+            terms.append(f"(({vexpr}[{s * sub + d + 1}] - {c})"
+                         f" * ({vexpr}[{s * sub + d + 1}] - {c}))")
+        return "(" + " + ".join(terms) + ")"
+
+    def coarse_dist(vexpr: str, li: int) -> str:
+        terms = []
+        for d, x in enumerate(coarse[li]):
+            c = repr(float(x))
+            terms.append(f"(({vexpr}[{d + 1}] - {c})"
+                         f" * ({vexpr}[{d + 1}] - {c}))")
+        return "(" + " + ".join(terms) + ")"
+
+    route_arr = "[" + ", ".join(coarse_dist("v", li)
+                                for li in range(len(coarse))) + "]"
+    d_arrays = ",\n  ".join(
+        f"[{', '.join(dist('v', s, j) for j in range(k))}] AS d{s}"
+        for s in range(m))
+    code_cols = ", ".join(
+        f"list_position(d{s}, list_min(d{s})) AS code_{s}"
+        for s in range(m))
+    q_arrays = ", ".join(
+        f"[{', '.join(dist('qv', s, j) for j in range(k))}] AS t{s}"
+        for s in range(m))
+    qprobe_rows = "\n      UNION ALL ".join(
+        f"SELECT {li + 1} AS list_id, {coarse_dist('qv', li)} AS dd "
+        f"FROM qrow"
+        for li in range(len(coarse)))
+    score = " + ".join(f"q.t{s}[c.code_{s}]" for s in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+qrow AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT list_id FROM ({qprobe_rows})
+  ORDER BY dd ASC, list_id ASC LIMIT 2),
+routed AS (
+  SELECT vec_id, v,
+         CAST(list_position({route_arr},
+                            list_min({route_arr})) AS INT) AS list_id
+  FROM e WHERE vec_id <> 0),
+pruned AS (
+  SELECT r.* FROM routed r
+  WHERE r.list_id IN (SELECT list_id FROM probe)),
+d AS (SELECT vec_id, v,
+  {d_arrays}
+  FROM pruned),
+c AS (SELECT vec_id, {code_cols} FROM d),
+q AS (SELECT {q_arrays} FROM qrow)
+SELECT c.vec_id, ROUND({score}, 6) AS adc_dist
+FROM c, q
+ORDER BY {score} ASC, c.vec_id ASC
+LIMIT 10
+"""
+
+
 def q150_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual AUDIO near-dup — the audio face of the LSH dedup
     family, completing the image (q137) / video (q139) modality
@@ -6711,6 +6833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_top_supplier": q148_top_supplier,
         "q149_pq_search": q149_pq_search,
         "q150_audio_dup_pairs": q150_audio_dup_pairs,
+        "q151_ivfpq_search": q151_ivfpq_search,
     }
     return base
 
@@ -6870,4 +6993,5 @@ def oracle_sql() -> dict[str, str]:
         "q148_top_supplier": _Q148_SQL,
         "q149_pq_search": _q149_sql(),
         "q150_audio_dup_pairs": _Q150_SQL,
+        "q151_ivfpq_search": _q151_sql(),
     }
