@@ -6412,6 +6412,112 @@ def q149_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, books, qvec, topk=10)
 
 
+_Q152_BODY = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(2,0))
+                       - CAST(l.l_discount AS DECIMAL(4,4))))
+           AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM {l} l JOIN {p} p ON p.p_partkey = l.l_partkey
+    WHERE
+      (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+      OR
+      (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+      OR
+      (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q152_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — a disjunction of conjunctive predicates
+    spanning BOTH join sides. The planner must keep p_partkey =
+    l_partkey as the equi-join key and evaluate the OR-of-ANDs as a
+    post-join filter (naively pushing the disjunction would lose the
+    equi-key and fall into a nested-loop join); the per-side pieces
+    that CAN prune (the brand/size and quantity ranges' union) are
+    fair game for partial pushdown. Plan-pinned: no
+    BroadcastNestedLoopJoin. DECIMAL revenue keeps the oracle exact."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q152_l")
+    _read(spark, sf_dir, "part").createOrReplaceTempView("q152_p")
+    return spark.sql(_Q152_BODY.format(l="q152_l", p="q152_p"))
+
+
+_Q152_SQL = _Q152_BODY.format(l="lineitem", p="part")
+
+
+_Q153_BODY = """
+    SELECT ROUND(
+      100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'STANDARD%'
+        THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(2,0))
+                - CAST(l.l_discount AS DECIMAL(4,4)))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(2,0))
+                    - CAST(l.l_discount AS DECIMAL(4,4)))) AS DOUBLE)
+    , 6) AS standard_revenue_pct
+    FROM {l} l JOIN {p} p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-06-01'
+      AND l.l_shipdate <  TIMESTAMP '1995-07-01'
+"""
+
+
+def q153_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — a conditional-aggregate RATIO in one pass:
+    both the numerator (CASE on the dimension attribute) and the
+    denominator accumulate in the same grouped aggregate, so the join
+    output is consumed once (no self-join, no second scan). DECIMAL
+    sums make the ratio's double engine-portable; the date slice
+    reaches the scan as a pushed filter."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q153_l")
+    _read(spark, sf_dir, "part").createOrReplaceTempView("q153_p")
+    return spark.sql(_Q153_BODY.format(l="q153_l", p="q153_p"))
+
+
+_Q153_SQL = _Q153_BODY.format(l="lineitem", p="part")
+
+
+_Q154_BODY = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(2,0))
+                       - CAST(l.l_discount AS DECIMAL(4,4))))
+           AS DOUBLE) AS revenue
+    FROM {c} c
+    JOIN {o} o ON o.o_custkey = c.c_custkey
+    JOIN {l} l ON l.l_orderkey = o.o_orderkey
+    JOIN {n} n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+"""
+
+
+def q154_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — lost-revenue-per-customer top-20: a
+    fact-to-fact join (lineitem × orders) with the half-year and
+    return-flag slices pushed to both scans, dimension joins
+    (customer, nation) broadcast, one grouped aggregate with map-side
+    partials, and TakeOrderedAndProject for the limit. DECIMAL
+    revenue + c_custkey tiebreak pin the top-20 under ties."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q154_l")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q154_o")
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("q154_c")
+    _read(spark, sf_dir, "nation").createOrReplaceTempView("q154_n")
+    return spark.sql(_Q154_BODY.format(l="q154_l", o="q154_o",
+                                       c="q154_c", n="q154_n"))
+
+
+_Q154_SQL = _Q154_BODY.format(l="lineitem", o="orders", c="customer",
+                              n="nation")
+
+
 def _ivf_coarse(n_lists: int = 4, dim: int = 64):
     """Fixed deterministic coarse centroids for q151 (dyadic rationals
     from md5 — exact double literals, the _pq_codebooks recipe)."""
@@ -6834,6 +6940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_pq_search": q149_pq_search,
         "q150_audio_dup_pairs": q150_audio_dup_pairs,
         "q151_ivfpq_search": q151_ivfpq_search,
+        "q152_disjunctive_join": q152_disjunctive_join,
+        "q153_type_revenue_share": q153_type_revenue_share,
+        "q154_returned_revenue": q154_returned_revenue,
     }
     return base
 
@@ -6994,4 +7103,7 @@ def oracle_sql() -> dict[str, str]:
         "q149_pq_search": _q149_sql(),
         "q150_audio_dup_pairs": _Q150_SQL,
         "q151_ivfpq_search": _q151_sql(),
+        "q152_disjunctive_join": _Q152_SQL,
+        "q153_type_revenue_share": _Q153_SQL,
+        "q154_returned_revenue": _Q154_SQL,
     }

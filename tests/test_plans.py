@@ -330,7 +330,13 @@ def test_q118_q120_subqueries_decorrelate_to_joins(spark, sf_dir):
                             ("q147_min_cost_supplier", 3),
                             # Q15 scalar MAX runs as a one-row
                             # subquery stage; the view join remains
-                            ("q148_top_supplier", 1)):
+                            ("q148_top_supplier", 1),
+                            # Q19 OR-of-ANDs must keep the equi-key
+                            # (naive disjunction pushdown loses it and
+                            # falls into a nested loop)
+                            ("q152_disjunctive_join", 1),
+                            # Q10 fact-fact + broadcast dims
+                            ("q154_returned_revenue", 3)):
         df = workload.queries()[name](spark, sf_dir)
         s = summarize_plan(df)
         assert s.n_broadcast_nl_joins == 0, (name, s.text)
