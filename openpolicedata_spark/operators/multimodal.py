@@ -503,13 +503,19 @@ def image_dup_pairs(df: DataFrame, max_hamming: int = 3,
 
 def audio_energy_hash(samples: "np.ndarray", nblocks: int = 64) -> int:
     """Integer-exact audio fingerprint — the audio face of
-    `ahash_of_pixels`: mix channels by integer sum, split into
-    `nblocks` equal blocks (trailing remainder dropped), sum |sample|
-    per block, and set bit j when ``block_sum * nblocks > total_sum``
-    (strict). All arithmetic is integer, so every bit replays in an
-    external SQL oracle (q150), and re-encodes through any LOSSLESS
-    audio chain (WAV/FLAC/Ogg-FLAC/MP4-PCM) hash identically. Returns
-    a SIGNED 64-bit value like the image/video hashes."""
+    `ahash_of_pixels`: fold channels by summing PER-CHANNEL
+    magnitudes (|L| + |R|, not |L + R| — an out-of-phase stereo pair
+    hashes as loud, not as silence), split into `nblocks` equal
+    blocks (trailing remainder dropped), sum |sample| per block, and
+    set bit j when ``block_sum * nblocks > total_sum`` (strict). All
+    arithmetic is integer, so every bit replays in an external SQL
+    oracle (q150), and re-encodes through any LOSSLESS audio chain
+    (WAV/FLAC/Ogg-FLAC/MP4-PCM) hash identically. Returns a SIGNED
+    64-bit value like the image/video hashes; `nblocks` is capped at
+    64 so the value always fits the long schema."""
+    if not (1 <= nblocks <= 64):
+        raise ValueError(f"nblocks={nblocks} must be in 1..64 "
+                         "(the hash is a 64-bit long)")
     a = np.asarray(samples)
     if a.ndim == 1:
         a = a[:, None]
@@ -536,6 +542,9 @@ def audio_ahash(df: DataFrame, content_col: str = "content",
     ``decode(bytes) -> int array`` stand-in), de-normalize to int16,
     hash with `audio_energy_hash`. One Arrow-batched pass; bytes never
     leave the executor and the output is (id, ahash) longs."""
+    if not (1 <= nblocks <= 64):
+        raise ValueError(f"nblocks={nblocks} must be in 1..64 "
+                         "(the hash is a 64-bit long)")
     dec = decode
 
     def gen(batches):
@@ -568,7 +577,13 @@ def audio_dup_pairs(df: DataFrame, max_hamming: int = 3,
     blocks purely on the 64-bit hash via ``hashes=``), so the shuffle
     carries longs, never samples, and the `max_bucket_size` skew guard
     applies identically (a corpus full of silence collapses into one
-    bucket — the degenerate signature case)."""
+    bucket — the degenerate signature case). `nblocks` must be 64:
+    the shared pigeonhole blocking chunks a full 64-bit hash, and a
+    shorter hash would make the always-zero high chunks a corpus-wide
+    degenerate bucket."""
+    if nblocks != 64:
+        raise ValueError("audio_dup_pairs requires nblocks=64 (the "
+                         "shared hamming blocking chunks 64 bits)")
     hashes = audio_ahash(df, content_col, id_col, nblocks, decode)
     return image_dup_pairs(df, max_hamming=max_hamming,
                            content_col=content_col, id_col=id_col,

@@ -689,7 +689,11 @@ def pq_train(corpus: DataFrame, m: int = 8, k: int = 16,
     s`` as plain floats, ready for `pq_encode` / `pq_adc_topk`.
     Driver state is m×k×(dim/m) floats — the whole codebook is a few
     KB at any corpus scale."""
-    dim = len(corpus.select(vec_col).head()[0])
+    first = corpus.select(vec_col).head()
+    if first is None or first[0] is None:
+        raise ValueError("pq_train needs a non-empty corpus with "
+                         f"non-null {vec_col!r}")
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -702,22 +706,34 @@ def pq_train(corpus: DataFrame, m: int = 8, k: int = 16,
     return books
 
 
-def _pq_dist_sql(vexpr: str, codebooks, s: int, j: int) -> str:
+SPARK_INDEX = "element_at({v}, {i})"
+DUCKDB_INDEX = "{v}[{i}]"
+
+
+def pq_dist_sql(vexpr: str, codebooks, s: int, j: int,
+                indexer: str = SPARK_INDEX) -> str:
     """Squared-distance SQL from subspace `s` of `vexpr` to centroid
     `j` — fixed-order scalar arithmetic, so the doubles replay
-    bit-identically in an external SQL engine. Expressions are built
-    as SQL STRINGS, not Column trees: a k×dim codebook would otherwise
-    cost thousands of py4j round-trips just to CONSTRUCT (measured:
-    9 s of driver time for 8x16x8; one selectExpr string parses
-    JVM-side in milliseconds)."""
+    bit-identically in an external SQL engine. This is the ONE
+    implementation of the distance arithmetic: the Spark queries use
+    the default `element_at` indexer and the DuckDB oracles pass
+    `DUCKDB_INDEX` — the operand order and literal formatting (repr)
+    that the oracle bit-identity depends on cannot drift apart.
+    Expressions are built as SQL STRINGS, not Column trees: a k×dim
+    codebook would otherwise cost thousands of py4j round-trips just
+    to CONSTRUCT (measured: 9 s of driver time for 8x16x8; one
+    selectExpr string parses JVM-side in milliseconds)."""
     sub = len(codebooks[s][0])
     base = s * sub
     terms = []
     for d in range(sub):
         c = repr(float(codebooks[s][j][d]))
-        terms.append(f"((element_at({vexpr}, {base + d + 1}) - {c})"
-                     f" * (element_at({vexpr}, {base + d + 1}) - {c}))")
+        el = indexer.format(v=vexpr, i=base + d + 1)
+        terms.append(f"(({el} - {c}) * ({el} - {c}))")
     return "(" + " + ".join(terms) + ")"
+
+
+_pq_dist_sql = pq_dist_sql  # internal alias kept for callers below
 
 
 def pq_encode(corpus: DataFrame, codebooks,
@@ -727,7 +743,8 @@ def pq_encode(corpus: DataFrame, codebooks,
     ``code_0..code_{m-1}``) — one codegen projection, no Python on the
     hot path: per subspace the k squared distances form an array and
     the code is ``array_position(arr, array_min(arr))`` (first minimum
-    wins, deterministically). At k ≤ 256 each code fits a byte: the
+    wins, deterministically). Codes are 1-based, so at k ≤ 255 each
+    fits an unsigned byte as-is (store code-1 to use k = 256): the
     100 TB layout stores m bytes per vector instead of dim floats."""
     vexpr = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     exprs = [id_col]
@@ -762,19 +779,26 @@ def adc_score_sql(codebooks, query_vec) -> str:
     return " + ".join(parts)
 
 
-def ivf_route_sql(vexpr: str, coarse) -> str:
+def coarse_dist_sql(vexpr: str, centroid,
+                    indexer: str = SPARK_INDEX) -> str:
+    """Whole-vector squared distance to one coarse centroid — the
+    single implementation shared by Spark routing (`ivf_route_sql`)
+    and the DuckDB oracle (pass `DUCKDB_INDEX`)."""
+    terms = []
+    for d, x in enumerate(centroid):
+        lit = repr(float(x))
+        el = indexer.format(v=vexpr, i=d + 1)
+        terms.append(f"(({el} - {lit}) * ({el} - {lit}))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def ivf_route_sql(vexpr: str, coarse,
+                  indexer: str = SPARK_INDEX) -> str:
     """1-based nearest-coarse-centroid expression (the IVF routing
     step) as a SQL string — same fixed-order argmin arithmetic as the
     PQ encoder, so an external engine routes identically."""
-    dists = []
-    for c in coarse:
-        terms = []
-        for d, x in enumerate(c):
-            lit = repr(float(x))
-            terms.append(f"((element_at({vexpr}, {d + 1}) - {lit})"
-                         f" * (element_at({vexpr}, {d + 1}) - {lit}))")
-        dists.append("(" + " + ".join(terms) + ")")
-    arr = "array(" + ", ".join(dists) + ")"
+    arr = "array(" + ", ".join(coarse_dist_sql(vexpr, c, indexer)
+                               for c in coarse) + ")"
     return f"CAST(array_position({arr}, array_min({arr})) AS INT)"
 
 

@@ -836,7 +836,12 @@ def audio_dedup_sink(stream_df: DataFrame, out_path: str,
     safety) is the SAME code path, so batch (`audio_dup_pairs`) and
     stream block identically and the index stays 16 bytes per admitted
     clip. `decode` is the injectable ``bytes -> int samples`` stand-in;
-    the default routes real containers through `decode_audio`."""
+    the default routes real containers through `decode_audio`.
+    `nblocks` must be 64 (the index probe chunks a full 64-bit
+    hash)."""
+    if nblocks != 64:
+        raise ValueError("audio_dedup_sink requires nblocks=64 (the "
+                         "index probe chunks 64 bits)")
     from openpolicedata_spark.operators.multimodal import audio_ahash
 
     media_dedup_sink(

@@ -6577,25 +6577,22 @@ def q151_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q151_sql() -> str:
+    from openpolicedata_spark.operators.similarity import (
+        DUCKDB_INDEX,
+        pq_dist_sql,
+    )
+
     books = _pq_codebooks()
     coarse = _ivf_coarse()
-    m, k, sub = len(books), len(books[0]), len(books[0][0])
+    m, k = len(books), len(books[0])
 
     def dist(vexpr: str, s: int, j: int) -> str:
-        terms = []
-        for d in range(sub):
-            c = repr(books[s][j][d])
-            terms.append(f"(({vexpr}[{s * sub + d + 1}] - {c})"
-                         f" * ({vexpr}[{s * sub + d + 1}] - {c}))")
-        return "(" + " + ".join(terms) + ")"
+        return pq_dist_sql(vexpr, books, s, j, indexer=DUCKDB_INDEX)
+
+    from openpolicedata_spark.operators.similarity import coarse_dist_sql
 
     def coarse_dist(vexpr: str, li: int) -> str:
-        terms = []
-        for d, x in enumerate(coarse[li]):
-            c = repr(float(x))
-            terms.append(f"(({vexpr}[{d + 1}] - {c})"
-                         f" * ({vexpr}[{d + 1}] - {c}))")
-        return "(" + " + ".join(terms) + ")"
+        return coarse_dist_sql(vexpr, coarse[li], indexer=DUCKDB_INDEX)
 
     route_arr = "[" + ", ".join(coarse_dist("v", li)
                                 for li in range(len(coarse))) + "]"
@@ -6737,16 +6734,16 @@ ORDER BY id_a, id_b
 
 
 def _q149_sql() -> str:
+    from openpolicedata_spark.operators.similarity import (
+        DUCKDB_INDEX,
+        pq_dist_sql,
+    )
+
     books = _pq_codebooks()
-    m, k, sub = len(books), len(books[0]), len(books[0][0])
+    m, k = len(books), len(books[0])
 
     def dist(vexpr: str, s: int, j: int) -> str:
-        terms = []
-        for d in range(sub):
-            c = repr(books[s][j][d])
-            terms.append(f"(({vexpr}[{s * sub + d + 1}] - {c})"
-                         f" * ({vexpr}[{s * sub + d + 1}] - {c}))")
-        return "(" + " + ".join(terms) + ")"
+        return pq_dist_sql(vexpr, books, s, j, indexer=DUCKDB_INDEX)
 
     d_arrays = ",\n  ".join(
         f"[{', '.join(dist('v', s, j) for j in range(k))}] AS d{s}"

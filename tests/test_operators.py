@@ -724,7 +724,6 @@ def test_pq_trained_recall_and_code_compression(spark):
     import numpy as np
 
     from openpolicedata_spark.operators.similarity import (
-        brute_force_topk,
         pq_adc_topk,
         pq_encode,
         pq_train,
