@@ -376,3 +376,79 @@ def test_decode_audio_dispatch():
     assert rate == 22050
     back = np.rint(norm[:, 0] * 32768.0).astype(np.int16)
     assert np.array_equal(back, a)
+
+
+# --------------------------------------------- hypothesis properties
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_HSET = dict(deadline=None, max_examples=25)
+
+
+@settings(**_HSET)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=600),
+       st.sampled_from([1, 2]))
+def test_flac_roundtrip_property(samples, nch):
+    """ANY int16 signal (any length, mono or stereo) survives
+    encode_flac → read_flac bit-exactly."""
+    import numpy as np
+
+    n = (len(samples) // nch) * nch
+    if n == 0:
+        return
+    a = np.array(samples[:n], dtype=np.int16).reshape(-1, nch)
+    rate, bps, out = read_flac(encode_flac(a, 8000))
+    assert (rate, bps) == (8000, 16)
+    assert np.array_equal(out, a)
+
+
+@settings(**_HSET)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+       st.sampled_from(["ogg", "mp4_sowt", "mp4_twos", "mp4_flac"]))
+def test_audio_container_roundtrip_property(samples, container):
+    """ANY int16 signal survives every lossless container chain
+    bit-exactly (Ogg-FLAC pages, MP4 PCM both endians, FLAC-in-MP4)."""
+    import numpy as np
+
+    from openpolicedata_spark.sources.mp4 import (
+        encode_mp4_audio,
+        read_mp4_audio,
+    )
+    from openpolicedata_spark.sources.ogg import (
+        encode_ogg_flac,
+        read_ogg_audio,
+    )
+
+    a = np.array(samples, dtype=np.int16)
+    if container == "ogg":
+        rate, bps, out = read_ogg_audio(encode_ogg_flac(a, 8000))
+    else:
+        codec = {"mp4_sowt": "sowt", "mp4_twos": "twos",
+                 "mp4_flac": "fLaC"}[container]
+        rate, bps, out = read_mp4_audio(
+            encode_mp4_audio(a, 8000, codec=codec))
+    assert (rate, bps) == (8000, 16)
+    assert np.array_equal(out[:, 0], a)
+
+
+@settings(**_HSET)
+@given(st.lists(st.integers(-32768, 32767), min_size=64, max_size=640))
+def test_audio_energy_hash_lossless_invariance_property(samples):
+    """The energy fingerprint is invariant across EVERY lossless
+    encode→decode chain for ANY signal — the property the streaming
+    audio dedup index depends on."""
+    import numpy as np
+
+    from openpolicedata_spark.operators.multimodal import (
+        audio_energy_hash,
+        decode_audio,
+    )
+    from openpolicedata_spark.sources.wav import encode_wav
+
+    a = np.array(samples, dtype=np.int16)
+    h0 = audio_energy_hash(a)
+    for enc in (lambda s: encode_wav(s, 8000),
+                lambda s: encode_flac(s, 8000)):
+        _r, norm = decode_audio(enc(a), "audio/*")
+        back = np.rint(norm * 32768.0).astype(np.int64)
+        assert audio_energy_hash(back) == h0
