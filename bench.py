@@ -56,10 +56,34 @@ BENCH_QUERIES = [
 ]
 
 
+def calibrate() -> float:
+    """Fixed-work single-core CPU calibration: CRC32 over a 1 MiB buffer
+    2000 times (2 GiB hashed, pure C loop under the GIL — one core).
+
+    The wall-clock of this loop is a pure function of how much CPU this
+    host is actually giving us right now, so recording it before and after
+    the bench lets cross-round comparisons be normalized: if round N's
+    calibration is 1.3x round M's, a uniform 1.3x drift in the query
+    timings is ambient host load, not a code regression (judge round 6
+    asked for exactly this marker after an unattributable +29% swing).
+    """
+    import zlib
+
+    buf = bytes(range(256)) * 4096  # 1 MiB, deterministic content
+    t0 = time.perf_counter()
+    acc = 0
+    for _ in range(2000):
+        acc = zlib.crc32(buf, acc)
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    loadavg_before = os.getloadavg()
+    calib_before = calibrate()
 
     from openpolicedata_spark import get_spark
     from openpolicedata_spark import workload
@@ -122,12 +146,20 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    calib_after = calibrate()
+    loadavg_after = os.getloadavg()
     print(json.dumps({
         "metric": "total wall-clock of headline queries (min of 2 runs each)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # host-state markers (judge r6 task 1): fixed-work single-core CRC32
+        # loop (2 GiB) timed before/after, plus 1/5/15-min load averages.
+        # Normalize cross-round totals by the calibration ratio before
+        # calling a swing a regression.
+        "calib_crc32_2gib_sec": {"before": calib_before, "after": calib_after},
+        "loadavg": {"before": loadavg_before, "after": loadavg_after},
     }))
 
 

@@ -6225,16 +6225,22 @@ _Q145_SQL = ("SELECT doc_id, md5("
 def q146_audio_container_parity(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Audio CONTAINER/CODEC parity: the same deterministic stereo
-    int16 PCM rides through FIVE real encode→decode chains — WAV
+    int16 PCM rides through SEVEN real encode→decode chains — WAV
     (RIFF), native FLAC, Ogg-FLAC (RFC 3533 pages + the xiph mapping),
-    MP4 QuickTime PCM ('sowt'), and ISO FLAC-in-MP4 ('fLaC' + dfLa) —
-    all via decode_audio's magic-byte dispatch. Every chain is
-    lossless over integers, so `parity_ok` pins bit-identical samples
-    and agreeing sample-rate metadata across all five, and the oracle
-    replays the sample hash from the md5 stream. A defect in any
-    page/box/frame layer (Ogg CRC or lacing reassembly, dfLa
-    STREAMINFO handling, AudioSampleEntry parsing, FLAC frame math)
-    breaks it. One Arrow-batched mapInPandas pass."""
+    MP4 QuickTime PCM ('sowt'), ISO FLAC-in-MP4 ('fLaC' + dfLa), and
+    (round 7) G.711 µ-law + A-law WAV — all via decode_audio's
+    magic-byte dispatch. The first five chains are lossless over
+    integers; the two G.711 chains are lossless over G.711-QUANTIZED
+    PCM (encode→decode is the identity on decode-table levels, the
+    nearest-level property pinned in tests/test_wav_g711_adpcm.py),
+    so `parity_ok` pins bit-identical samples and agreeing
+    sample-rate metadata across all seven, and the oracle replays the
+    sample hash from the md5 stream. A defect in any page/box/frame
+    layer (Ogg CRC or lacing reassembly, dfLa STREAMINFO handling,
+    AudioSampleEntry parsing, FLAC frame math, the G.711 companding
+    tables) breaks it. One Arrow-batched mapInPandas pass. q158 pins
+    the G.711 tables VALUE-exactly against an SQL table replay; this
+    query pins their container round-trip."""
     import hashlib as _hl
 
     import numpy as np
@@ -6243,8 +6249,12 @@ def q146_audio_container_parity(spark: SparkSession,
     from openpolicedata_spark.sources.flac import encode_flac
     from openpolicedata_spark.sources.mp4 import encode_mp4_audio
     from openpolicedata_spark.sources.ogg import encode_ogg_flac
-    from openpolicedata_spark.sources.wav import encode_wav
+    from openpolicedata_spark.sources.wav import (
+        alaw_decode_table, encode_wav, linear_to_alaw, linear_to_ulaw,
+        ulaw_decode_table)
 
+    _g711 = (("ulaw", linear_to_ulaw, ulaw_decode_table()),
+             ("alaw", linear_to_alaw, alaw_decode_table()))
     d = _read(spark, sf_dir, "documents")
 
     def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -6267,6 +6277,15 @@ def q146_audio_container_parity(spark: SparkSession,
                          for _r, n_ in outs]
                 ok = bool(all(r == 16_000 for r, _n in outs)
                           and all(b.tobytes() == raw for b in backs))
+                # chains 6-7: G.711 on the QUANTIZED signal is exact
+                for _codec, _enc, _tab in _g711:
+                    q = _tab[_enc(pcm.astype(np.int32))]
+                    r6, n6 = decode_audio(
+                        encode_wav(q.astype(np.int16), rate=16_000,
+                                   codec=_codec), "audio/*")
+                    b6 = np.rint(n6 * 32768.0).astype("<i2")
+                    ok = ok and r6 == 16_000 and (
+                        b6.tobytes() == q.astype("<i2").tobytes())
                 rows.append((
                     did,
                     _hl.md5(backs[0].tobytes().hex().encode()).hexdigest(),
@@ -6516,6 +6535,230 @@ def q154_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q154_SQL = _Q154_BODY.format(l="lineitem", o="orders", c="customer",
                               n="nation")
+
+
+def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-law/A-law decode, VALUE-pinned against an independent
+    SQL replay of the spec formulas: 32 md5-stream bytes per document
+    become the raw payload of a hand-assembled mono 8 kHz µ-law WAV
+    (and the SAME bytes an A-law WAV), decoded through decode_audio's
+    magic-byte dispatch and the real sources/wav.py companding tables;
+    the query emits the plain and position-weighted integer sums of
+    the decoded int16 samples. The oracle recomputes both decode
+    tables FROM THE G.711 SEGMENT FORMULAS in pure SQL (ones-
+    complement/bias-0x84 expansion for µ-law, XOR-0x55 segment
+    expansion for A-law) — any divergence between sources/wav.py's
+    generated tables and the published expansion breaks the hash, so
+    this is the decode-table ground truth (q146's chains 6-7 pin the
+    container round-trip; the test file pins hand-derived anchors).
+    All integer math; telephony corpora (the most common real-world
+    speech payload a 100 TB pipeline ingests) decode through exactly
+    this path. One Arrow-batched mapInPandas pass."""
+    import hashlib as _hl
+    import struct as _st
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import decode_audio
+
+    d = _read(spark, sf_dir, "documents")
+
+    def _wav(payload: bytes, wtag: int) -> bytes:
+        fmt = _st.pack("<HHIIHH", wtag, 1, 8000, 8000, 1, 8)
+        body = (b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+                + b"fact" + _st.pack("<II", 4, len(payload))
+                + b"data" + _st.pack("<I", len(payload)) + payload)
+        return b"RIFF" + _st.pack("<I", len(body)) + body
+
+    def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        w = np.arange(1, 33, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (_hl.md5(text.encode("utf-8") + b"u0").digest()
+                       + _hl.md5(text.encode("utf-8") + b"u1").digest())
+                sums = []
+                for wtag in (7, 6):  # µ-law, then A-law
+                    _r, norm = decode_audio(_wav(raw, wtag), "audio/wav")
+                    v = np.rint(norm * 32768.0).astype(np.int64).ravel()
+                    sums += [int(v.sum()), int((w * v).sum())]
+                rows.append((did, sums[0], sums[1], sums[2], sums[3]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "ulaw_sum", "ulaw_whash",
+                "alaw_sum", "alaw_whash"])
+
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
+        compute, "doc_id long, ulaw_sum long, ulaw_whash long, "
+                 "alaw_sum long, alaw_whash long")
+
+
+# µ-law: u' = 255 - code (ones complement); seg = (u'//16)%8; mant = u'%16;
+# mag = ((mant*8)+132) << seg, minus the 0x84 bias; sign bit of u'.
+# A-law: a = code XOR 0x55; seg 0 linear (mant*16+8), else
+# ((mant*16)+264) << (seg-1); sign bit SET means positive.
+_Q158_SQL = """
+WITH b AS (
+    SELECT doc_id, md5(text || 'u0') || md5(text || 'u1') AS hx
+    FROM documents
+), v AS (
+    SELECT doc_id, j + 1 AS w,
+           CAST('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2) AS INTEGER)
+               AS byte
+    FROM b, range(32) t(j)
+), g AS (
+    SELECT doc_id, w, 255 - byte AS u, xor(byte, 85) AS a FROM v
+), dec AS (
+    SELECT doc_id, w,
+        CASE WHEN u >= 128
+             THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+             ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
+        END AS uval,
+        CASE WHEN a >= 128 THEN 1 ELSE -1 END
+        * CASE WHEN (a // 16) % 8 = 0
+               THEN (a % 16) * 16 + 8
+               ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+          END AS aval
+    FROM g
+)
+SELECT doc_id,
+       CAST(SUM(uval) AS BIGINT) AS ulaw_sum,
+       CAST(SUM(w * uval) AS BIGINT) AS ulaw_whash,
+       CAST(SUM(aval) AS BIGINT) AS alaw_sum,
+       CAST(SUM(w * aval) AS BIGINT) AS alaw_whash
+FROM dec GROUP BY doc_id
+"""
+
+
+def q159_adpcm_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA-ADPCM decode, state-machine-pinned against a DuckDB
+    `list_reduce` replay: 40 md5-stream bytes per document form one
+    self-contained ADPCM block (2-byte initial predictor, index byte
+    clamped to 88, reserved byte, then 36 data bytes = 72 low-first
+    nibbles). Every document's block is concatenated into ONE
+    multi-block mono WAV per Arrow batch (block_align 40), so a single
+    read_wav call decodes the whole batch through the lockstep
+    across-block vectorized path in sources/wav.py — the batch layout
+    also pins multi-block framing and the fact-chunk trim. Outputs are
+    the final predictor and a 31x+v rolling hash over the 72 decoded
+    samples, both integer-exact; the oracle replays the ENTIRE
+    adaptive state machine (step table, index adaptation, clamps) via
+    list_reduce with (hash, predictor, index) packed into one BIGINT —
+    hash<<23 | (pred+32768)<<7 | index, 55 bits. A wrong step-table
+    entry, clamp bound, nibble order, or channel-group layout breaks
+    it. Per-doc results are block-independent, so partitioning cannot
+    change them."""
+    import hashlib as _hl
+    import struct as _st
+
+    import numpy as np
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import decode_audio
+
+    d = _read(spark, sf_dir, "documents")
+
+    def compute(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            blocks = []
+            ids = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = b"".join(
+                    _hl.md5(text.encode("utf-8") + b"p" + str(i).encode())
+                    .digest() for i in range(3))[:40]
+                # clamp the index byte on the WIRE so the oracle replays
+                # the exact same initial state without modeling the
+                # decoder's defensive clamp
+                blocks.append(raw[:2] + bytes([min(raw[2], 88), raw[3]])
+                              + raw[4:])
+                ids.append(did)
+            payload = b"".join(blocks)
+            n = len(blocks)
+            fmt = _st.pack("<HHIIHHHH", 0x11, 1, 8000, 4056, 40, 4, 2, 73)
+            body = (b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+                    + b"fact" + _st.pack("<II", 4, 73 * n)
+                    + b"data" + _st.pack("<I", len(payload)) + payload)
+            blob = b"RIFF" + _st.pack("<I", len(body)) + body
+            _rate, norm = decode_audio(blob, "audio/wav")
+            v = np.rint(norm * 32768.0).astype(np.int64).reshape(n, 73)
+            h = np.zeros(n, dtype=np.int64)
+            for s in range(1, 73):
+                h = (h * 31 + (v[:, s] + 32768)) % 4294967296
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "final_pred": v[:, 72],
+                "state_hash": h,
+            })
+
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
+        compute, "doc_id long, final_pred long, state_hash long")
+
+
+_IMA_STEPS_SQL = ("[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,"
+                  "45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,"
+                  "209,230,253,279,307,337,371,408,449,494,544,598,658,724,"
+                  "796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,"
+                  "2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,"
+                  "7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,"
+                  "18500,20350,22385,24623,27086,29794,32767]")
+
+# state packing: acc = hash * 2^23 + (pred+32768) * 2^7 + index (55 bits).
+# The lambda unpacks, runs one spec step (diff = step/8 + bit-gated
+# step/4, step/2, step; sign; clamp; index adjust), folds the new sample
+# into hash = (hash*31 + pred+32768) mod 2^32, and repacks. Built from
+# named sub-expressions because DuckDB lambdas cannot bind temporaries —
+# the clamped new-predictor expression necessarily appears twice.
+_Q159_IX = "CAST(acc % 128 AS INT)"
+_Q159_STEP = f"list_extract({_IMA_STEPS_SQL}, {_Q159_IX} + 1)"
+_Q159_DIFF = (f"({_Q159_STEP} // 8"
+              f" + CASE WHEN n % 2 = 1 THEN {_Q159_STEP} // 4 ELSE 0 END"
+              f" + CASE WHEN (n // 2) % 2 = 1 THEN {_Q159_STEP} // 2"
+              f" ELSE 0 END"
+              f" + CASE WHEN (n // 4) % 2 = 1 THEN {_Q159_STEP}"
+              f" ELSE 0 END)")
+_Q159_NEWPV = (f"GREATEST(0, LEAST(65535, ((acc // 128) % 65536)"
+               f" + (CASE WHEN n >= 8 THEN -1 ELSE 1 END) * {_Q159_DIFF}))")
+_Q159_NEWIX = ("GREATEST(0, LEAST(88, (acc % 128)"
+               " + list_extract([-1,-1,-1,-1,2,4,6,8],"
+               " CAST(n % 8 AS INT) + 1)))")
+_Q159_NEWHASH = f"(((acc // 8388608) * 31 + {_Q159_NEWPV}) % 4294967296)"
+_Q159_LAMBDA = (f"{_Q159_NEWHASH} * 8388608 + {_Q159_NEWPV} * 128"
+                f" + {_Q159_NEWIX}")
+
+_Q159_SQL = f"""
+WITH b AS (
+    SELECT doc_id,
+           md5(text || 'p0') || md5(text || 'p1') || md5(text || 'p2') AS hx
+    FROM documents
+), bytes AS (
+    SELECT doc_id,
+           list_transform(range(0, 40),
+               j -> CAST('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2)
+                         AS INTEGER)) AS bs
+    FROM b
+), init AS (
+    SELECT doc_id,
+           (CASE WHEN bs[1] + bs[2] * 256 >= 32768
+                 THEN bs[1] + bs[2] * 256 - 65536
+                 ELSE bs[1] + bs[2] * 256 END + 32768) * 128
+           + LEAST(bs[3], 88) AS state0,
+           flatten(list_transform(bs[5:40], x -> [x % 16, x // 16])) AS nibs
+    FROM bytes
+), folded AS (
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(state0 AS BIGINT),
+                            list_transform(nibs, n -> CAST(n AS BIGINT))),
+               (acc, n) -> {_Q159_LAMBDA}) AS acc
+    FROM init
+)
+SELECT doc_id,
+       CAST((acc // 128) % 65536 - 32768 AS BIGINT) AS final_pred,
+       CAST(acc // 8388608 AS BIGINT) AS state_hash
+FROM folded
+"""
 
 
 def _ivf_coarse(n_lists: int = 4, dim: int = 64):
@@ -6940,6 +7183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_disjunctive_join": q152_disjunctive_join,
         "q153_type_revenue_share": q153_type_revenue_share,
         "q154_returned_revenue": q154_returned_revenue,
+        "q158_g711_decode": q158_g711_decode,
+        "q159_adpcm_fold": q159_adpcm_fold,
     }
     return base
 
@@ -7103,4 +7348,6 @@ def oracle_sql() -> dict[str, str]:
         "q152_disjunctive_join": _Q152_SQL,
         "q153_type_revenue_share": _Q153_SQL,
         "q154_returned_revenue": _Q154_SQL,
+        "q158_g711_decode": _Q158_SQL,
+        "q159_adpcm_fold": _Q159_SQL,
     }

@@ -1063,3 +1063,49 @@ def test_audio_dedup_sink_cross_codec_and_replay(spark, tmp_path):
     assert sorted(r.media_id
                   for r in spark.read.parquet(out).collect()) == [1, 3]
     assert spark.read.parquet(idx).count() == 2
+
+
+def test_audio_dedup_sink_mulaw_payload(spark, tmp_path):
+    """audio_dedup_sink over a G.711 µ-law WAV payload (the round-7
+    telephony decode path): batch 1 ingests a µ-law clip; batch 2's
+    FLAC re-encode of the SAME µ-law-quantized samples is suppressed
+    cross-codec (µ-law decode → int16 is exact on quantized PCM, so
+    both chains hash identically), while an A-law clip of different
+    content survives."""
+    import hashlib
+
+    import numpy as np
+
+    from openpolicedata_spark.sources.flac import encode_flac
+    from openpolicedata_spark.sources.wav import (
+        encode_wav, linear_to_alaw, linear_to_ulaw,
+        alaw_decode_table, ulaw_decode_table)
+    from openpolicedata_spark.streaming import audio_dedup_sink
+
+    def clip(tag, scale):
+        raw = b"".join(hashlib.md5((tag + str(k)).encode()).digest()
+                       for k in range(16))
+        return (np.frombuffer(raw, np.uint8).astype(np.int16) * scale
+                - scale * 128).astype(np.int16)
+
+    qa = ulaw_decode_table()[linear_to_ulaw(clip("mu", 96).astype(np.int32))]
+    qb = alaw_decode_table()[linear_to_alaw(clip("al", 64).astype(np.int32))]
+    b1 = spark.createDataFrame(
+        [(1, encode_wav(qa.astype(np.int16), 8000, codec="ulaw"))],
+        "media_id long, content binary")
+    b2 = spark.createDataFrame(
+        [(2, encode_flac(qa.astype(np.int16), 8000)),  # same samples
+         (3, encode_wav(qb.astype(np.int16), 8000, codec="alaw"))],
+        "media_id long, content binary")
+    src = tmp_path / "src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    stream = (spark.readStream
+              .schema("media_id long, content binary")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*/"))
+    audio_dedup_sink(stream, out, idx)
+    kept = sorted(r.media_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3], kept
