@@ -375,6 +375,9 @@ def remove_boilerplate_lines(
     )
 
 
+_EMPTY_RUNS = "CAST(array() AS array<struct<s:int,e:int>>)"
+
+
 def mask_repeated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -383,31 +386,49 @@ def mask_repeated_spans(
     min_docs: int = 2,
     out_col: str = "clean_text",
     broadcast_cuts: bool = True,
+    mode: str = "mask_all",
 ) -> DataFrame:
     """Approximate cross-document SUBSTRING dedup (the span-level
     counterpart of Lee et al. 2022's suffix-array dedup, arXiv:2107.06499):
     every k-token span that occurs in ≥ `min_docs` distinct documents is
-    masked out of every document, and the surviving tokens are
-    reassembled in order. Catches copied paragraphs inside otherwise
-    unique pages — the case document-level MinHash misses. (Suffix arrays
-    remove all-but-one occurrence; this masks all occurrences, the same
-    conservative choice as `remove_boilerplate_lines`.)
+    masked, and the surviving tokens are reassembled in order. Catches
+    copied paragraphs inside otherwise unique pages — the case
+    document-level MinHash misses.
+
+    mode='mask_all' (default) masks every occurrence — the conservative
+    `remove_boilerplate_lines` choice. mode='keep_first' matches
+    ExactSubstr's keep-one semantics: each hot span's deterministic
+    survivor is the MIN doc_id among documents containing it, and the
+    span is cut only from the other documents (per-span survivors, so a
+    long copied run whose constituent spans have different survivors is
+    an approximation of true maximal-substring keep-one — documented
+    trade vs building distributed suffix arrays).
+
+    Per-doc cut-sets are stored as MAXIMAL RUNS [start, end] (adjacent/
+    overlapping hot spans coalesce), so a copied paragraph is ONE cut
+    struct rather than one entry per covered token — the broadcast in
+    step 3 scales with the number of duplicated REGIONS, not their
+    length.
 
     Distributed shape — the corpus itself NEVER shuffles:
     1. shingle digests aggregate by md5 (map-side combined; the wire
-       carries 16-byte digests, not text) → the over-threshold `hot` set
-       broadcasts (repeated spans are few by definition);
-    2. hot span START positions per doc survive a broadcast semi-join,
-       explode to covered token positions, and collapse to one small
-       per-doc cut-set (the only other shuffle — proportional to the
-       duplicated volume, not the corpus);
-    3. the cut-sets broadcast back and each document filters its own
+       carries 16-byte digests, not text) → the over-threshold `hot`
+       set (digest + survivor id) broadcasts (repeated spans are few
+       by definition);
+    2. hot span START positions per doc survive a broadcast semi-join
+       and collapse to per-doc sorted start lists (the only other
+       shuffle — proportional to the number of duplicated spans, not
+       the corpus), then merge into runs with one interpreted-HOF fold
+       over each doc's (small) start list;
+    3. the run-sets broadcast back and each document filters its own
        tokens ROW-LOCALLY. Set `broadcast_cuts=False` on a heavily
        duplicated corpus to turn step 3 into a shuffle join on the id.
     Positions are 1-based over the normalized token stream; the output
     is the kept tokens space-joined (normalized casing/whitespace, like
     every shingle-space operator here).
     """
+    if mode not in ("mask_all", "keep_first"):
+        raise ValueError(f"unknown mode {mode!r}")
     from openpolicedata_spark.functions.text import (
         normalize_text_expr,
         shingles_expr,
@@ -421,28 +442,50 @@ def mask_repeated_spans(
     ).select(id_col, "i0", F.md5("s").alias("__d__"))
     hot = (
         sh.select(id_col, "__d__").distinct()
-        .groupBy("__d__").agg(F.count(F.lit(1)).alias("df"))
+        .groupBy("__d__").agg(F.count(F.lit(1)).alias("df"),
+                              F.min(id_col).alias("__surv__"))
         .where(F.col("df") >= min_docs)
-        .select(F.col("__d__").alias("__hd__"))
+        .select(F.col("__d__").alias("__hd__"), "__surv__")
     )
-    cov = (
-        sh.join(F.broadcast(hot), F.col("__d__") == F.col("__hd__"))
-        .select(id_col,
-                F.explode(F.sequence(F.col("i0") + 1,
-                                     F.col("i0") + k)).alias("pos"))
-        .groupBy(id_col)
-        .agg(F.collect_set("pos").alias("__cuts__"))
+    hits = sh.join(F.broadcast(hot), F.col("__d__") == F.col("__hd__"))
+    if mode == "keep_first":
+        hits = hits.where(F.col(id_col) != F.col("__surv__"))
+    starts = (
+        hits.groupBy(id_col)
+        .agg(F.sort_array(F.collect_set(F.col("i0") + 1)).alias("__ss__"))
+    )
+    # fold sorted span starts into maximal runs: spans are k long, so a
+    # start x extends the last run when x <= last.e + 1
+    def _merge(acc, x):
+        tail = F.element_at(acc, -1)
+        return F.when(
+            (F.size(acc) > 0) & (x <= tail["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    tail["s"].alias("s"),
+                    F.greatest(tail["e"], x + k - 1).alias("e"))),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                x.alias("s"), (x + k - 1).alias("e")))))
+
+    cov = starts.select(
+        F.col(id_col),
+        F.aggregate(F.col("__ss__"), F.expr(_EMPTY_RUNS),
+                    _merge).alias("__cuts__"),
     )
     if broadcast_cuts:
         cov = F.broadcast(cov)
     n = F.size(F.col("__toks__"))
+    runs = F.coalesce(F.col("__cuts__"), F.expr(_EMPTY_RUNS))
     kept_idx = F.when(
         n > 0,
         F.filter(
             F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: ~F.array_contains(
-                F.coalesce(F.col("__cuts__"), F.array().cast("array<int>")),
-                i.cast("int")),
+            lambda i: ~F.exists(
+                runs, lambda r: (i.cast("int") >= r["s"])
+                & (i.cast("int") <= r["e"])),
         ),
     ).otherwise(F.array().cast("array<int>"))
     return (

@@ -6537,6 +6537,58 @@ _Q154_SQL = _Q154_BODY.format(l="lineitem", o="orders", c="customer",
                               n="nation")
 
 
+def q155_keep_first_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr keep-one semantics (Lee et al. 2022, arXiv:2107.06499
+    §4: remove all but ONE occurrence of duplicated text):
+    `textpipe.mask_repeated_spans(mode='keep_first')` — every 5-token
+    span occurring in ≥2 documents is cut from every document EXCEPT
+    the deterministic survivor (min doc_id among holders). Cut-sets
+    travel as maximal coalesced RUNS, so a copied paragraph is one
+    struct on the broadcast, not one entry per token. The corpus never
+    shuffles: digests aggregate map-side, the hot (digest, survivor)
+    set broadcasts, per-doc run-sets broadcast back (q113 pins the
+    mask-all sibling; tests pin brute-force equivalence of both
+    modes)."""
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.textpipe import mask_repeated_spans
+
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return mask_repeated_spans(d, k=5, min_docs=2, mode="keep_first")
+
+
+_Q155_SQL = f"""
+WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         md5(array_to_string(toks[CAST(i AS INT) : CAST(i AS INT) + 4], ' ')) AS d
+  FROM toked, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) r(i)
+  WHERE len(toks) >= 5),
+hot AS (
+  SELECT d, surv FROM (
+      SELECT d, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS surv
+      FROM sh GROUP BY d)
+  WHERE df >= 2),
+cov AS (
+  SELECT DISTINCT sh.doc_id, i + o.o AS pos
+  FROM sh JOIN hot USING (d)
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS o) o
+  WHERE sh.doc_id <> hot.surv),
+kept AS (
+  SELECT t.doc_id, CAST(p AS BIGINT) AS pos,
+         t.toks[CAST(p AS INT)] AS tok
+  FROM toked t, unnest(range(1, len(toks) + 1)) r(p)
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = t.doc_id AND c.pos = p)),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM toked t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -6880,6 +6932,133 @@ LIMIT 10
 """
 
 
+def q156_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFPQ search — FAISS IVFPQ with by_residual=true, the
+    round-6 verdict's noted recall gap over q151's raw-vector codes:
+    vectors route to their nearest coarse centroid, the RESIDUAL
+    v − centroid[list] is PQ-encoded (`similarity.
+    ivfpq_residual_encode` — same pq_dist_sql arithmetic over a
+    residual array built by `residual_dim_sql`), the query's ADC
+    tables are built per probed list from the query's own residual
+    (`adc_residual_score_sql`), and scoring selects by (list_id,
+    code). Same probe-2-of-4 pruning and plan shape as q151: routing
+    is a partition key at 100 TB, codes are m bytes/vector, zero
+    exchanges before the top-k. All fixed-order doubles over exact
+    dyadic literals → the oracle replays routing, residuals, encoding,
+    per-list tables, and scoring bit-identically. The recall
+    improvement of residual over raw at equal m×k is measured in
+    tests/test_similarity.py (trained codebooks, clustered corpus)."""
+    from openpolicedata_spark.operators.similarity import (
+        adc_residual_score_sql,
+        ivfpq_residual_encode,
+    )
+
+    books = _pq_codebooks()
+    coarse = _ivf_coarse()
+    e = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.where(F.col("vec_id") == 0).head()["embedding"]]
+    qd = []
+    for li, c in enumerate(coarse):
+        acc = 0.0
+        for d in range(64):
+            t = qvec[d] - c[d]
+            acc += t * t
+        qd.append((acc, li + 1))
+    probe = [li for _d, li in sorted(qd)[:2]]
+
+    codes = ivfpq_residual_encode(e.where(F.col("vec_id") != 0),
+                                  books, coarse)
+    codes = codes.where(F.col("list_id").isin(probe))
+    score = adc_residual_score_sql(books, coarse, qvec)
+    return (codes.selectExpr("vec_id", f"({score}) AS _adc")
+            .orderBy(F.col("_adc").asc(), F.col("vec_id").asc())
+            .limit(10)
+            .selectExpr("vec_id", "ROUND(_adc, 6) AS adc_dist"))
+
+
+def _q156_sql() -> str:
+    from openpolicedata_spark.operators.similarity import (
+        DUCKDB_AT,
+        DUCKDB_INDEX,
+        coarse_dist_sql,
+        pq_dist_sql,
+        residual_dim_sql,
+    )
+
+    books = _pq_codebooks()
+    coarse = _ivf_coarse()
+    m, k, L, dim = len(books), len(books[0]), len(coarse), len(coarse[0])
+
+    def dist(vexpr: str, s: int, j: int) -> str:
+        return pq_dist_sql(vexpr, books, s, j, indexer=DUCKDB_INDEX)
+
+    def coarse_dist(vexpr: str, li: int) -> str:
+        return coarse_dist_sql(vexpr, coarse[li], indexer=DUCKDB_INDEX)
+
+    route_arr = "[" + ", ".join(coarse_dist("v", li)
+                                for li in range(L)) + "]"
+    res_dims = ", ".join(
+        residual_dim_sql("v", coarse, d, list_col="list_id",
+                         indexer=DUCKDB_INDEX, at=DUCKDB_AT)
+        for d in range(dim))
+    d_arrays = ",\n  ".join(
+        f"[{', '.join(dist('rv', s, j) for j in range(k))}] AS d{s}"
+        for s in range(m))
+    code_cols = ", ".join(
+        f"list_position(d{s}, list_min(d{s})) AS code_{s}"
+        for s in range(m))
+    # per-list query residuals and their ADC tables, recomputed in SQL
+    # from the raw query vector (same fixed-order ops as the driver)
+    qr_defs = ",\n  ".join(
+        "[" + ", ".join(f"(qv[{d + 1}] - {float(coarse[li][d])!r})"
+                        for d in range(dim)) + f"] AS qr{li}"
+        for li in range(L))
+    t_arrays = ",\n  ".join(
+        f"[{', '.join(dist(f'qr{li}', s, j) for j in range(k))}]"
+        f" AS t{li}_{s}"
+        for li in range(L) for s in range(m))
+    score = " + ".join(
+        "([" + ", ".join(f"q.t{li}_{s}[c.code_{s}]" for li in range(L))
+        + "])[c.list_id]"
+        for s in range(m))
+    qprobe_rows = "\n      UNION ALL ".join(
+        f"SELECT {li + 1} AS list_id, {coarse_dist('qv', li)} AS dd "
+        f"FROM qrow"
+        for li in range(L))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+qrow AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT list_id FROM ({qprobe_rows})
+  ORDER BY dd ASC, list_id ASC LIMIT 2),
+routed AS (
+  SELECT vec_id, v,
+         CAST(list_position({route_arr},
+                            list_min({route_arr})) AS INT) AS list_id
+  FROM e WHERE vec_id <> 0),
+pruned AS (
+  SELECT r.* FROM routed r
+  WHERE r.list_id IN (SELECT list_id FROM probe)),
+resid AS (
+  SELECT vec_id, list_id, [{res_dims}] AS rv FROM pruned),
+d AS (SELECT vec_id, list_id, rv,
+  {d_arrays}
+  FROM resid),
+c AS (SELECT vec_id, list_id, {code_cols} FROM d),
+q AS (SELECT
+  {t_arrays}
+  FROM (SELECT
+  {qr_defs}
+  FROM qrow))
+SELECT c.vec_id, ROUND({score}, 6) AS adc_dist
+FROM c, q
+ORDER BY {score} ASC, c.vec_id ASC
+LIMIT 10
+"""
+
+
 def q150_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual AUDIO near-dup — the audio face of the LSH dedup
     family, completing the image (q137) / video (q139) modality
@@ -7180,9 +7359,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_pq_search": q149_pq_search,
         "q150_audio_dup_pairs": q150_audio_dup_pairs,
         "q151_ivfpq_search": q151_ivfpq_search,
+        "q156_ivfpq_residual": q156_ivfpq_residual,
         "q152_disjunctive_join": q152_disjunctive_join,
         "q153_type_revenue_share": q153_type_revenue_share,
         "q154_returned_revenue": q154_returned_revenue,
+        "q155_keep_first_spans": q155_keep_first_spans,
         "q158_g711_decode": q158_g711_decode,
         "q159_adpcm_fold": q159_adpcm_fold,
     }
@@ -7345,9 +7526,11 @@ def oracle_sql() -> dict[str, str]:
         "q149_pq_search": _q149_sql(),
         "q150_audio_dup_pairs": _Q150_SQL,
         "q151_ivfpq_search": _q151_sql(),
+        "q156_ivfpq_residual": _q156_sql(),
         "q152_disjunctive_join": _Q152_SQL,
         "q153_type_revenue_share": _Q153_SQL,
         "q154_returned_revenue": _Q154_SQL,
+        "q155_keep_first_spans": _Q155_SQL,
         "q158_g711_decode": _Q158_SQL,
         "q159_adpcm_fold": _Q159_SQL,
     }

@@ -759,6 +759,86 @@ def test_pq_trained_recall_and_code_compression(spark):
     assert dists == sorted(dists)
 
 
+def test_ivfpq_residual_beats_raw_at_equal_budget(spark):
+    """FAISS's by_residual claim, measured: on a clustered corpus with
+    coarse structure ~20x the local noise, residual-encoded PQ
+    (codebooks trained on v - coarse_centroid[list]) must recall more
+    true neighbors than raw-vector PQ at the SAME m x k budget — the
+    raw codebooks waste their dynamic range re-encoding the cluster
+    geometry that IVF routing already captured (round-6 verdict item 5)."""
+    import numpy as np
+
+    from openpolicedata_spark.operators.similarity import (
+        adc_residual_score_sql,
+        adc_score_sql,
+        ivf_residual_corpus,
+        ivfpq_residual_encode,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = 20.0 * rng.normal(size=(4, 16))
+    vecs = []
+    for i in range(240):
+        vecs.append(centers[i % 4] + 0.5 * rng.normal(size=16))
+    qv = centers[0] + 0.5 * rng.normal(size=16)
+    X = np.array(vecs)
+    true10 = set(np.argsort(((X - qv) ** 2).sum(1))[:10].tolist())
+
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    coarse = [c.tolist() for c in centers]
+    qvec = qv.tolist()
+
+    raw_books = pq_train(df, m=8, k=8, iters=3)
+    res_books = pq_train(ivf_residual_corpus(df, coarse),
+                         m=8, k=8, iters=3)
+
+    raw_codes = pq_encode(df, raw_books)
+    raw_ids = [r.vec_id for r in raw_codes.selectExpr(
+        "vec_id", f"({adc_score_sql(raw_books, qvec)}) AS d")
+        .orderBy("d", "vec_id").limit(10).collect()]
+
+    res_codes = ivfpq_residual_encode(df, res_books, coarse)
+    res_ids = [r.vec_id for r in res_codes.selectExpr(
+        "vec_id",
+        f"({adc_residual_score_sql(res_books, coarse, qvec)}) AS d")
+        .orderBy("d", "vec_id").limit(10).collect()]
+
+    recall_raw = len(true10 & set(raw_ids)) / 10.0
+    recall_res = len(true10 & set(res_ids)) / 10.0
+    # measured with this seed: raw 0.3, residual 0.6 — the structural
+    # gap, not a marginal tie (all inputs deterministic)
+    assert recall_res > recall_raw, (recall_res, recall_raw)
+    assert recall_res >= 0.5, recall_res
+
+
+def test_ivfpq_residual_encode_shape_and_python_free(spark):
+    from openpolicedata_spark.operators.similarity import (
+        ivfpq_residual_encode,
+    )
+    from openpolicedata_spark.workload import _ivf_coarse, _pq_codebooks
+    from tests.test_plans import assert_no_python_in_plan
+
+    df = spark.range(8).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 64), x -> cast(x * (id + 1) % 7 AS double)"
+        ") as embedding")
+    out = ivfpq_residual_encode(df, _pq_codebooks(), _ivf_coarse())
+    rows = out.collect()
+    assert out.columns == ["vec_id", "list_id"] + [
+        f"code_{s}" for s in range(8)]
+    assert all(1 <= r.list_id <= 4 for r in rows)
+    assert all(1 <= r[f"code_{s}"] <= 16 for r in rows for s in range(8))
+    # deterministic under repartitioning, and all-JVM
+    again = ivfpq_residual_encode(df.repartition(3), _pq_codebooks(),
+                                  _ivf_coarse()).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    assert_no_python_in_plan(out)
+
+
 def test_pq_encode_is_deterministic_and_python_free(spark):
     from openpolicedata_spark.operators.similarity import pq_encode
     from openpolicedata_spark.workload import _pq_codebooks

@@ -376,6 +376,81 @@ class TestMaskRepeatedSpans:
             df, k=5, min_docs=2, broadcast_cuts=False).collect()))
         assert a == b
 
+    DOCS = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta COPY one two "
+            "three four five six seven END tail1"),
+        (2, "unique stuff here COPY one two three four five six seven "
+            "END more unique words after that"),
+        (3, "totally different document with nothing shared at all in "
+            "it whatsoever right now"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta something "
+            "else entirely here now ok"),
+        (5, "x COPY one two three four five six seven END y"),
+    ]
+
+    @classmethod
+    def _brute(cls, mode, k=5, min_docs=2):
+        """Independent per-doc reference: hash-free span table, survivor
+        = min doc_id, positional mask."""
+        import collections
+        import re
+
+        tok = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in cls.DOCS}
+        spans = collections.defaultdict(set)
+        for d, ts in tok.items():
+            for i in range(len(ts) - k + 1):
+                spans[tuple(ts[i:i + k])].add(d)
+        hot = {s: min(ds) for s, ds in spans.items() if len(ds) >= min_docs}
+        out = {}
+        for d, ts in tok.items():
+            cut = set()
+            for i in range(len(ts) - k + 1):
+                s = tuple(ts[i:i + k])
+                if s in hot and (mode == "mask_all" or hot[s] != d):
+                    cut.update(range(i, i + k))
+            kept = [t for j, t in enumerate(ts) if j not in cut]
+            out[d] = (" ".join(kept), len(kept))
+        return out
+
+    def test_brute_force_equivalence_both_modes(self, spark):
+        """mask_all AND keep_first match a from-scratch Python reference
+        on a corpus with two dup families, overlap, and a min-id doc
+        that must keep everything under keep_first."""
+        from openpolicedata_spark.operators.textpipe import mask_repeated_spans
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        for mode in ("mask_all", "keep_first"):
+            got = {r.doc_id: (r.clean_text, r.n_kept)
+                   for r in mask_repeated_spans(df, mode=mode).collect()}
+            assert got == self._brute(mode), mode
+        # keep_first keeps the survivor doc intact (doc 1 is min for
+        # both families) while mask_all guts it
+        kf = {r.doc_id: r.n_kept for r in
+              mask_repeated_spans(df, mode="keep_first").collect()}
+        ma = {r.doc_id: r.n_kept for r in
+              mask_repeated_spans(df, mode="mask_all").collect()}
+        assert kf[1] == 18 and ma[1] < kf[1]
+
+    def test_keep_first_identical_docs_one_survivor(self, spark):
+        from openpolicedata_spark.operators.textpipe import mask_repeated_spans
+
+        t = "a b c d e f g h i j"
+        df = spark.createDataFrame([(7, t), (9, t), (11, t)],
+                                   "doc_id long, text string")
+        out = {r.doc_id: r.clean_text for r in
+               mask_repeated_spans(df, mode="keep_first").collect()}
+        assert out[7] == "a b c d e f g h i j"
+        assert out[9] == "" and out[11] == ""
+
+    def test_unknown_mode_raises(self, spark):
+        import pytest
+
+        from openpolicedata_spark.operators.textpipe import mask_repeated_spans
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="mode"):
+            mask_repeated_spans(df, mode="keep_last")
+
 
 class TestPackFixedSequences:
     @staticmethod
