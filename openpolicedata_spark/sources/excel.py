@@ -334,6 +334,18 @@ class ExcelLoader(DataLoader):
         else:
             head = src.read(4)
             src.seek(0)
+        if head[:2] in (b"\x09\x00", b"\x09\x02", b"\x09\x04"):
+            # raw (non-CFB) BIFF2/3/4 worksheet stream — Excel 2.x-4.0
+            from openpolicedata_spark.sources.xls import (
+                looks_like_raw_biff, read_xls)
+            if isinstance(src, str):
+                with open(src, "rb") as f:
+                    raw = f.read()
+            else:
+                raw = src.read()
+                src.seek(0)
+            if looks_like_raw_biff(raw):
+                return read_xls(raw)
         if head == b"\xd0\xcf\x11\xe0":
             from openpolicedata_spark.sources.xls import (
                 XlsError, looks_like_xls, read_xls)

@@ -24,8 +24,19 @@ Protected workbooks (FILEPASS) decrypt transparently via
 sources/xls_crypto.py with the 'VelvetSweatshop' magic password,
 mirroring the reference's msoffcrypto path (excel.py:132-150): both
 RC4 schemes (Office-Binary MD5 and RC4 CryptoAPI) and XOR obfuscation
-(wEncryptionType 0, the only FILEPASS form BIFF5 has). Out of scope,
-raising clearly: BIFF4 and earlier (raw non-CFB streams).
+(wEncryptionType 0, the only FILEPASS form BIFF5 has).
+
+BIFF2/BIFF3/BIFF4 raw streams (Excel 2.x/3.0/4.0 — the file IS the
+BIFF worksheet stream, no CFB container; the reference reads them via
+xlrd, excel.py:128-153) parse through `_read_raw_biff`: the BOF opcode
+itself selects the version (0x0009/0x0209/0x0409), every number format
+is written explicitly (indexes are sequential record order, with the
+BIFF5+ builtin-date-id table as fallback for minimal writers), BIFF2
+cell attributes carry the format index inline (byte 1 bits 0-5) while
+BIFF3/4 go through XF records (ifmt at body[1]), and strings are
+code-page bytes with 1-byte (BIFF2) or 2-byte (BIFF3/4) lengths.
+BIFF2 FORMULA results have no string sentinel — a STRING record
+directly following supplies the value instead.
 
 Dates follow the same rules as the xlsx reader: a numeric cell whose XF
 points at a date number-format (built-in ids or a format code with
@@ -244,6 +255,160 @@ def _num_value(num: float, ixfe: int, date_xfs: set[int], datemode: int):
     return num
 
 
+# raw-stream (non-CFB) BIFF2-4 opcodes; BIFF3/4 cell records reuse the
+# 0x02xx constants above (NUMBER/LABEL/BOOLERR/STRING/RK are identical)
+_BOF_RAW = {0x0009: 2, 0x0209: 3, 0x0409: 4}
+_FORMAT_OLD = 0x001E          # BIFF2/3 (BIFF4 uses 0x041E == _FORMAT)
+_XF2, _XF3, _XF4 = 0x0043, 0x0243, 0x0443
+_INTEGER2 = 0x0002
+_NUMBER2, _LABEL2, _BOOLERR2 = 0x0003, 0x0004, 0x0005
+_FORMULA2, _STRING2 = 0x0006, 0x0007
+_FORMULA3, _FORMULA4 = 0x0206, 0x0406
+
+
+def looks_like_raw_biff(data: bytes) -> bool:
+    """True when the bytes start with a BIFF2/3/4 worksheet BOF (raw
+    stream, no CFB container)."""
+    if len(data) < 4:
+        return False
+    opcode, length = struct.unpack_from("<HH", data, 0)
+    return opcode in _BOF_RAW and length in (4, 6, 8, 16)
+
+
+def _read_raw_biff(data: bytes) -> dict[str, pd.DataFrame]:
+    """Parse a raw (non-CFB) BIFF2/3/4 worksheet stream into the same
+    one-grid contract as `read_xls`. Single sheet ('Sheet1' — raw
+    streams carry no sheet name), globals records inline."""
+    (opcode0,) = struct.unpack_from("<H", data, 0)
+    ver = _BOF_RAW.get(opcode0)
+    if ver is None:
+        raise XlsError("not a raw BIFF2-4 stream (bad BOF opcode)")
+
+    datemode = 0
+    enc = "cp1252"
+    fmt_codes: list[str] = []   # BIFF2-4 write every format; sequential ids
+    xf_ifmt: list[int] = []     # BIFF3/4 route cells through XF records
+    cells: dict[int, dict[int, object]] = {}
+    ncols = 0
+
+    def put(r: int, c: int, v: object) -> None:
+        nonlocal ncols
+        if v is not None:
+            cells.setdefault(r, {})[c] = v
+            ncols = max(ncols, c + 1)
+
+    def is_date(ifmt: int) -> bool:
+        if ifmt < len(fmt_codes):
+            return _is_date_fmt(fmt_codes[ifmt])
+        return ifmt in _BUILTIN_DATE_FMTS  # minimal writers omit FORMATs
+
+    def numval(num: float, ifmt: int):
+        if is_date(ifmt):
+            # 1904 mode offsets by the 1462 days between the epochs
+            return _serial_to_datetime(num + (1462 if datemode else 0))
+        return num
+
+    def cell_ifmt2(attrs: bytes) -> int:
+        # BIFF2 cell attributes: byte 1 bits 0-5 = number format index
+        return attrs[1] & 0x3F
+
+    def cell_ifmt34(ixfe: int) -> int:
+        return xf_ifmt[ixfe] if ixfe < len(xf_ifmt) else 0xFFF
+
+    pending: tuple[int, int] | None = None  # formula awaiting its STRING
+    try:
+        for opcode, body, _pos in _records(data):
+            if opcode in (_STRING2, _STRING):
+                if pending is not None:
+                    r, c = pending
+                    off, cch = ((1, body[0]) if opcode == _STRING2
+                                else (2, struct.unpack_from(
+                                    "<H", body, 0)[0]))
+                    s = body[off:off + cch].decode(enc, errors="replace")
+                    put(r, c, s or None)
+                pending = None
+                continue
+            pending = None
+            if opcode == _EOF:
+                break
+            if opcode == _DATEMODE:
+                (datemode,) = struct.unpack_from("<H", body, 0)
+            elif opcode == _CODEPAGE:
+                enc = _codepage_enc(struct.unpack_from("<H", body, 0)[0])
+            elif opcode in (_FORMAT_OLD, _FORMAT):
+                off = 2 if opcode == _FORMAT else 0  # BIFF4: 2 unused bytes
+                cch = body[off]
+                fmt_codes.append(
+                    body[off + 1:off + 1 + cch].decode(enc,
+                                                       errors="replace"))
+            elif opcode in (_XF3, _XF4):
+                xf_ifmt.append(body[1])
+            elif opcode == _XF2:
+                xf_ifmt.append(body[2] & 0x3F)
+            elif opcode == _INTEGER2:
+                r, c = struct.unpack_from("<HH", body, 0)
+                (v,) = struct.unpack_from("<H", body, 7)
+                put(r, c, numval(float(v), cell_ifmt2(body[4:7])))
+            elif opcode == _NUMBER2:
+                r, c = struct.unpack_from("<HH", body, 0)
+                (num,) = struct.unpack_from("<d", body, 7)
+                put(r, c, numval(num, cell_ifmt2(body[4:7])))
+            elif opcode == _LABEL2:
+                r, c = struct.unpack_from("<HH", body, 0)
+                cch = body[7]
+                put(r, c, body[8:8 + cch].decode(enc, errors="replace")
+                    or None)
+            elif opcode == _BOOLERR2:
+                r, c = struct.unpack_from("<HH", body, 0)
+                val, is_err = body[7], body[8]
+                put(r, c, None if is_err else bool(val))
+            elif opcode == _FORMULA2:
+                # BIFF2 formula: result is always a stored double; a
+                # directly-following STRING record overrides with the
+                # cached string result (no 0xFFFF sentinel before BIFF3)
+                r, c = struct.unpack_from("<HH", body, 0)
+                (num,) = struct.unpack_from("<d", body, 7)
+                put(r, c, numval(num, cell_ifmt2(body[4:7])))
+                pending = (r, c)
+            elif ver >= 3 and opcode == _NUMBER:
+                r, c, ixfe = struct.unpack_from("<HHH", body, 0)
+                (num,) = struct.unpack_from("<d", body, 6)
+                put(r, c, numval(num, cell_ifmt34(ixfe)))
+            elif ver >= 3 and opcode == _RK:
+                r, c, ixfe, rk = struct.unpack_from("<HHHI", body, 0)
+                put(r, c, numval(_decode_rk(rk), cell_ifmt34(ixfe)))
+            elif ver >= 3 and opcode == _LABEL:
+                r, c = struct.unpack_from("<HH", body, 0)
+                (cch,) = struct.unpack_from("<H", body, 6)
+                put(r, c, body[8:8 + cch].decode(enc, errors="replace")
+                    or None)
+            elif ver >= 3 and opcode == _BOOLERR:
+                r, c, _ixfe, val, is_err = struct.unpack_from(
+                    "<HHHBB", body, 0)
+                put(r, c, None if is_err else bool(val))
+            elif opcode in (_FORMULA3, _FORMULA4):
+                r, c, ixfe = struct.unpack_from("<HHH", body, 0)
+                res = body[6:14]
+                if res[6:8] == b"\xff\xff":
+                    kind = res[0]
+                    if kind == 0:      # cached string follows
+                        pending = (r, c)
+                    elif kind == 1:
+                        put(r, c, bool(res[2]))
+                else:
+                    (num,) = struct.unpack("<d", res)
+                    put(r, c, numval(num, cell_ifmt34(ixfe)))
+    except (struct.error, IndexError) as e:
+        raise XlsError(f"malformed BIFF{ver} record: {e}") from e
+
+    if not cells:
+        return {"Sheet1": pd.DataFrame()}
+    nrows = max(cells) + 1
+    grid = [[cells.get(r, {}).get(c) for c in range(ncols)]
+            for r in range(nrows)]
+    return {"Sheet1": pd.DataFrame(grid, dtype=object)}
+
+
 def read_xls(source: Union[str, bytes, io.IOBase],
              password: str = "VelvetSweatshop") -> dict[str, pd.DataFrame]:
     """Parse a BIFF8 .xls file (path, bytes, or binary file object) into
@@ -265,7 +430,10 @@ def read_xls(source: Union[str, bytes, io.IOBase],
         except Exception:
             pass
     if not is_cfb(data):
-        raise XlsError("not a BIFF workbook (missing CFB signature)")
+        if looks_like_raw_biff(data):
+            return _read_raw_biff(data)
+        raise XlsError("not a BIFF workbook (missing CFB signature, "
+                       "and not a raw BIFF2-4 stream)")
     cfb = CfbReader(data)
     streams = cfb.list_streams()
     name = next((s for s in ("Workbook", "Book") if s in streams), None)

@@ -184,6 +184,65 @@ def semdedup_run(out_dir: str, max_cluster_size: int | None,
     return row
 
 
+def index_cadence_run(compact: bool, n_batches: int = 200,
+                      rows_per_batch: int = 500,
+                      max_files: int = 64) -> None:
+    """Steady-state cost of the append-per-batch streaming indexes
+    (judge r6 task 7): simulate `n_batches` micro-batches, each doing
+    the sinks' head-of-batch index READ (recover + full probe scan)
+    followed by a one-file append, with `compact_index` at the sinks'
+    production cadence (max_files=64) or disabled. Prints one JSON row
+    with the tail-window (last 25%) mean/max read latency, file count
+    trajectory, and compaction count — the measurement behind
+    SCALE.md's streaming-index row."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from openpolicedata_spark import get_spark
+    from openpolicedata_spark.streaming import _recover_dir, compact_index
+
+    spark = get_spark(app_name="opdspark-index-cadence",
+                      master="local[8]", shuffle_partitions=8)
+    root = tempfile.mkdtemp(prefix="opd_idx_cadence_")
+    idx = os.path.join(root, "index")
+    reads: list[float] = []
+    n_compact = 0
+    try:
+        for b in range(n_batches):
+            _recover_dir(idx)
+            t0 = time.perf_counter()
+            if os.path.isdir(idx):
+                # the sinks' probe shape: full index scan + filter
+                spark.read.parquet(idx).where("hash % 97 = 3").count()
+            reads.append(time.perf_counter() - t0)
+            (spark.range(rows_per_batch)
+             .selectExpr(f"id + {b} * {rows_per_batch} AS hash")
+             .coalesce(1).write.mode("append").parquet(idx))
+            if compact:
+                before = len(_glob.glob(os.path.join(idx, "*.parquet")))
+                compact_index(spark, idx, max_files=max_files)
+                after = len(_glob.glob(os.path.join(idx, "*.parquet")))
+                if after < before:
+                    n_compact += 1
+        files_end = len(_glob.glob(os.path.join(idx, "*.parquet")))
+        tail = reads[-max(1, n_batches // 4):]
+        print(json.dumps({
+            "mode": "index_cadence",
+            "compact": compact,
+            "n_batches": n_batches,
+            "rows_per_batch": rows_per_batch,
+            "max_files": max_files if compact else None,
+            "n_compactions": n_compact,
+            "files_at_end": files_end,
+            "read_tail_mean_s": round(sum(tail) / len(tail), 4),
+            "read_tail_max_s": round(max(tail), 4),
+            "read_first10_mean_s": round(sum(reads[1:11]) / 10, 4),
+        }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=COPIES,
@@ -208,7 +267,17 @@ def main() -> None:
                          "single-task contrast row; use --limit)")
     ap.add_argument("--limit", type=int, default=None,
                     help="row cap for --semdedup runs")
+    ap.add_argument("--index-cadence", action="store_true",
+                    help="run the 200-micro-batch streaming-index "
+                         "read-latency experiment (with compaction)")
+    ap.add_argument("--no-compaction", action="store_true",
+                    help="with --index-cadence: disable compact_index "
+                         "(the contrast row)")
+    ap.add_argument("--batches", type=int, default=200)
     args = ap.parse_args()
+    if args.index_cadence:
+        index_cadence_run(not args.no_compaction, n_batches=args.batches)
+        return
     out = args.out or (OUT_DIR if args.copies == COPIES
                        else f"/tmp/opdspark_sf{args.copies / 10:g}")
     if args.lsh:
