@@ -6537,6 +6537,234 @@ _Q154_SQL = _Q154_BODY.format(l="lineitem", o="orders", c="customer",
                               n="nation")
 
 
+_Q160_BODY = """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(2,0))
+                       - CAST(l.l_discount AS DECIMAL(4,4))))
+                AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM {c} c, {o} o, {l} l
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+"""
+
+
+def q160_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape, SQL form — the declarative twin of q60 (which
+    hand-builds the same plan with the DataFrame API): from the bare
+    three-table SQL the optimizer must DERIVE the broadcast of the
+    filtered customer dimension, push both date predicates to the fact
+    scans, and plan TakeOrderedAndProject for the top-10 (plan-pinned:
+    no nested loop, >=2 real joins). DECIMAL revenue +
+    orderdate/orderkey tiebreaks make the limit deterministic."""
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("q160_c")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q160_o")
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q160_l")
+    return spark.sql(_Q160_BODY.format(c="q160_c", o="q160_o", l="q160_l"))
+
+
+_Q160_SQL = _Q160_BODY.format(c="customer", o="orders", l="lineitem")
+
+
+_Q161_BODY = """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(2,0))
+                       - CAST(l.l_discount AS DECIMAL(4,4))))
+                AS DOUBLE) AS revenue
+    FROM {c} c, {o} o, {l} l, {s} s, {n} n, {r} r
+    WHERE c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND l.l_suppkey = s.s_suppkey
+      AND c.c_nationkey = s.s_nationkey
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name ASC
+"""
+
+
+def q161_local_supplier_volume(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape, SQL form — the declarative twin of q59 (which
+    hand-orders the joins and broadcasts explicitly): the defining
+    constraint is the NON-hierarchical equi-join c_nationkey =
+    s_nationkey tying the customer side of one fact to the supplier
+    side of the other ("local" supplier), and from bare SQL the
+    optimizer must carry both nationkeys through the fact join and
+    close the cycle with hash joins, never a nested-loop (plan-pinned:
+    >=4 real joins, 0 BroadcastNestedLoopJoin)."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        _read(spark, sf_dir, t).createOrReplaceTempView(f"q161_{t[0]}")
+    return spark.sql(_Q161_BODY.format(
+        c="q161_c", o="q161_o", l="q161_l", s="q161_s", n="q161_n",
+        r="q161_r"))
+
+
+_Q161_SQL = _Q161_BODY.format(c="customer", o="orders", l="lineitem",
+                              s="supplier", n="nation", r="region")
+
+
+_Q162_BODY = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_qty
+    FROM {c} c, {o} o, {l} l
+    WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM {l}
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      AND c.c_custkey = o.o_custkey
+      AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+    LIMIT 100
+"""
+
+
+def q162_large_volume_customer(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape, SQL form — where q77 hand-builds the
+    HAVING-aggregate join, this is the textbook IN-subquery spelling
+    over a grouped HAVING aggregate of the SAME fact being joined:
+    Catalyst must rewrite the IN into a left-semi join against the
+    aggregated lineitem (one extra aggregate + semi-join, no per-row
+    re-execution), then re-aggregate the surviving orders (plan-pinned:
+    >=3 joins, no nested loop). DECIMAL sums + totalprice/orderkey
+    tiebreaks pin the top-100."""
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("q162_c")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q162_o")
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q162_l")
+    return spark.sql(_Q162_BODY.format(c="q162_c", o="q162_o",
+                                       l="q162_l"))
+
+
+_Q162_SQL = _Q162_BODY.format(c="customer", o="orders", l="lineitem")
+
+
+_Q163_BODY = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM {c} c LEFT OUTER JOIN {o} o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q163_customer_distribution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — LEFT OUTER join with a predicate on the INNER
+    side (it must stay in the join condition: pushing it below as a
+    filter would silently turn customers with only urgent orders into
+    dropped rows instead of c_count=0), followed by a double aggregate
+    (per-customer count, then a histogram of counts). COUNT of a
+    nullable column exercises the count-vs-count(*) null semantics
+    both engines must agree on."""
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("q163_c")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q163_o")
+    return spark.sql(_Q163_BODY.format(c="q163_c", o="q163_o"))
+
+
+_Q163_SQL = _Q163_BODY.format(c="customer", o="orders")
+
+
+def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection over REAL G.711 telephony
+    payloads (`multimodal.vad_stats` — the silence/dead-air filter a
+    speech corpus runs between decode and ASR/dedup): 64 md5-stream
+    bytes per document become a mono 8 kHz µ-law WAV, decode through
+    the real companding table, frame at 8 samples, and mark frames
+    whose exact int64 energy sum exceeds the threshold (~median, so
+    both speech and silence frames occur). first/last speech frame +
+    speech count + total energy are all integers; the oracle replays
+    the G.711 expansion AND the framing/threshold logic in pure SQL.
+    One Arrow-batched mapInPandas pass; at 100 TB this is
+    embarrassingly parallel and the output is 5 longs per clip."""
+    import hashlib as _hl
+    import struct as _st
+
+    import pandas as pd
+    from openpolicedata_spark.operators.multimodal import vad_stats
+
+    d = _read(spark, sf_dir, "documents")
+
+    def _wav(payload: bytes) -> bytes:
+        fmt = _st.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+        body = (b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+                + b"fact" + _st.pack("<II", 4, len(payload))
+                + b"data" + _st.pack("<I", len(payload)) + payload)
+        return b"RIFF" + _st.pack("<I", len(body)) + body
+
+    def build(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = b"".join(
+                    _hl.md5(text.encode("utf-8") + b"v" + str(i).encode())
+                    .digest() for i in range(4))
+                rows.append((did, _wav(raw)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    clips = rebalance(d.select("doc_id", "text")).mapInPandas(
+        build, "media_id long, content binary")
+    return (vad_stats(clips, frame_samples=8,
+                      energy_threshold=700_000_000)
+            .withColumnRenamed("media_id", "doc_id"))
+
+
+_Q164_SQL = """
+WITH b AS (
+    SELECT doc_id,
+           md5(text || 'v0') || md5(text || 'v1')
+           || md5(text || 'v2') || md5(text || 'v3') AS hx
+    FROM documents
+), v AS (
+    SELECT doc_id, j // 8 + 1 AS frame,
+           255 - CAST('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2)
+                      AS INTEGER) AS u
+    FROM b, range(64) t(j)
+), dec AS (
+    SELECT doc_id, frame,
+        CASE WHEN u >= 128
+             THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+             ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
+        END AS val
+    FROM v
+), fe AS (
+    SELECT doc_id, frame, SUM(val * val) AS energy
+    FROM dec GROUP BY doc_id, frame
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COUNT(*) FILTER (energy > 700000000) AS BIGINT) AS n_speech,
+       CAST(COALESCE(MIN(frame) FILTER (energy > 700000000), 0)
+            AS BIGINT) AS first_speech,
+       CAST(COALESCE(MAX(frame) FILTER (energy > 700000000), 0)
+            AS BIGINT) AS last_speech,
+       CAST(SUM(energy) AS BIGINT) AS total_energy
+FROM fe GROUP BY doc_id
+"""
+
+
 def q155_keep_first_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr keep-one semantics (Lee et al. 2022, arXiv:2107.06499
     §4: remove all but ONE occurrence of duplicated text):
@@ -7364,6 +7592,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_type_revenue_share": q153_type_revenue_share,
         "q154_returned_revenue": q154_returned_revenue,
         "q155_keep_first_spans": q155_keep_first_spans,
+        "q160_shipping_priority": q160_shipping_priority,
+        "q161_local_supplier_volume": q161_local_supplier_volume,
+        "q162_large_volume_customer": q162_large_volume_customer,
+        "q163_customer_distribution": q163_customer_distribution,
+        "q164_vad_segments": q164_vad_segments,
         "q158_g711_decode": q158_g711_decode,
         "q159_adpcm_fold": q159_adpcm_fold,
     }
@@ -7531,6 +7764,11 @@ def oracle_sql() -> dict[str, str]:
         "q153_type_revenue_share": _Q153_SQL,
         "q154_returned_revenue": _Q154_SQL,
         "q155_keep_first_spans": _Q155_SQL,
+        "q160_shipping_priority": _Q160_SQL,
+        "q161_local_supplier_volume": _Q161_SQL,
+        "q162_large_volume_customer": _Q162_SQL,
+        "q163_customer_distribution": _Q163_SQL,
+        "q164_vad_segments": _Q164_SQL,
         "q158_g711_decode": _Q158_SQL,
         "q159_adpcm_fold": _Q159_SQL,
     }

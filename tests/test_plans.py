@@ -336,7 +336,16 @@ def test_q118_q120_subqueries_decorrelate_to_joins(spark, sf_dir):
                             # falls into a nested loop)
                             ("q152_disjunctive_join", 1),
                             # Q10 fact-fact + broadcast dims
-                            ("q154_returned_revenue", 3)):
+                            ("q154_returned_revenue", 3),
+                            # Q3 segment dim + two fact scans
+                            ("q160_shipping_priority", 2),
+                            # Q5's c_nationkey = s_nationkey cycle must
+                            # close as hash joins
+                            ("q161_local_supplier_volume", 4),
+                            # Q18 IN-HAVING -> semi-join + fact joins
+                            ("q162_large_volume_customer", 3),
+                            # Q13 left-outer with ON-clause predicate
+                            ("q163_customer_distribution", 1)):
         df = workload.queries()[name](spark, sf_dir)
         s = summarize_plan(df)
         assert s.n_broadcast_nl_joins == 0, (name, s.text)

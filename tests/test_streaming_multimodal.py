@@ -304,6 +304,46 @@ def test_pcm_features_null_content_and_null_rate(spark):
     assert out[2].n_samples is None and out[2].rms is None
 
 
+def test_vad_stats_speech_silence_and_cross_codec(spark):
+    """vad_stats marks loud frames only, uses the fixed analysis grid
+    (trailing partial frame dropped), folds stereo to integer mono, and
+    produces identical stats for the same samples through WAV and FLAC
+    (decode_audio dispatch); null content → all-null row."""
+    import numpy as np
+
+    from openpolicedata_spark.operators.multimodal import vad_stats
+    from openpolicedata_spark.sources.flac import encode_flac
+    from openpolicedata_spark.sources.wav import encode_wav
+
+    # 4 frames of 4 samples + 2 leftover samples (dropped): frames
+    # 1 and 3 loud, 2 and 4 quiet
+    loud, quiet = 20000, 10
+    pcm = np.array([loud] * 4 + [quiet] * 4 + [-loud] * 4 + [quiet] * 4
+                   + [loud, loud], dtype=np.int16)
+    thr = 4 * quiet * quiet  # quiet frames score exactly 4*q^2 -> not >
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(pcm, 8000))),
+         (2, bytearray(encode_flac(pcm, 8000))),
+         (3, None)],
+        "media_id long, content binary")
+    out = {r.media_id: r for r in
+           vad_stats(df, frame_samples=4, energy_threshold=thr).collect()}
+    for mid in (1, 2):  # WAV and FLAC agree exactly
+        r = out[mid]
+        assert (r.n_frames, r.n_speech, r.first_speech, r.last_speech) \
+            == (4, 2, 1, 3)
+        assert r.total_energy == 2 * 4 * loud * loud + 2 * 4 * quiet * quiet
+    assert out[3].n_frames is None and out[3].total_energy is None
+
+    # stereo folds to integer mono before framing
+    st = np.stack([pcm, np.zeros_like(pcm)], axis=1)
+    half = {r.media_id: r for r in vad_stats(
+        spark.createDataFrame([(9, bytearray(encode_wav(st, 8000)))],
+                              "media_id long, content binary"),
+        frame_samples=4, energy_threshold=thr).collect()}[9]
+    assert half.total_energy == out[1].total_energy // 4  # (v/2)^2
+
+
 def test_streaming_standardize_rejects_streaming_sample(spark, tmp_path):
     from openpolicedata_spark.standardize import standardize
 
