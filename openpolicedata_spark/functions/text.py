@@ -143,6 +143,46 @@ def pii_redact_expr(col: Column) -> Column:
     return out
 
 
+# cp1252-in-UTF-8 double-encoding signatures (mojibake): each pair is
+# (what a UTF-8 byte sequence LOOKS like after a wrong cp1252 decode,
+# the character it should be). Derived mechanically from
+# ch.encode('utf-8').decode('cp1252') for the common Latin-1/Windows
+# punctuation set; '”' (right double quote) is excluded because its
+# UTF-8 contains 0x9D, undefined in cp1252 (real mojibake drops or
+# garbles it — unrecoverable by a literal map). No signature is a
+# substring of another and no replacement can create a signature, so
+# the replace chain is order-independent — but both engines apply the
+# same fixed order regardless.
+MOJIBAKE_CHARS = "éèêëàâäçîïôöùûüñÖÄÜß’‘“–—…€áíóúã"
+MOJIBAKE_MAP = [(c.encode("utf-8").decode("cp1252"), c)
+                for c in MOJIBAKE_CHARS]
+
+
+def mojibake_score_expr(col: Column) -> Column:
+    """Number of double-encoding signature hits in the text — the
+    detection half of the mojibake repair pass (a corpus-quality
+    signal: rank sources by how much of their text was mangled by a
+    cp1252 round trip). Pure length/replace arithmetic, exact integers,
+    engine-portable."""
+    total = F.lit(0).cast("long")
+    for sig, _fix in MOJIBAKE_MAP:
+        hits = (F.length(col) - F.length(F.replace(col, F.lit(sig),
+                                                   F.lit(""))))
+        total = total + (hits / F.lit(len(sig))).cast("long")
+    return total
+
+
+def fix_mojibake_expr(col: Column) -> Column:
+    """Repair cp1252-in-UTF-8 double encoding (the ftfy core case) with
+    a literal replace chain over MOJIBAKE_MAP — JVM-side, codegen, no
+    UDF, and the identical chain replays in any SQL engine. Idempotent
+    on clean text and on its own output."""
+    out = col
+    for sig, fix in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(sig), F.lit(fix))
+    return out
+
+
 def rolling_hash_expr(col: Column, base: int = 257, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash of the normalized text (Rabin-Karp style),
     computed with F.aggregate over the character codes — deterministic,

@@ -503,6 +503,55 @@ def mask_repeated_spans(
     )
 
 
+def chunk_chars(
+    df: DataFrame,
+    chunk_size: int = 200,
+    overlap: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CHARACTER-window sliding chunker — the byte/char-budget sibling
+    of `chunk_documents` above (that one windows by TOKEN count over
+    the normalized token array, q51): embedding APIs and splitters that
+    cap by characters/bytes need exact char offsets on the RAW text,
+    with `overlap` characters shared between neighbors so sentences
+    straddling a boundary stay findable from both sides.
+
+    Chunk starts are 1, 1+stride, ... with stride = chunk_size -
+    overlap; a document of length <= chunk_size is one chunk; the last
+    chunk may be shorter but always reaches the end of the document.
+    Pure expression pipeline (sequence + posexplode + substring — zero
+    Python, zero shuffles beyond the explode's natural partitioning),
+    so a 100 TB corpus chunks at scan speed and the SQL replays
+    engine-portably (q166). Emits (id, chunk_id 0-based, chunk_text,
+    chunk_len)."""
+    if not (0 <= overlap < chunk_size):
+        raise ValueError(f"need 0 <= overlap < chunk_size, got "
+                         f"{overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    n = F.length(F.col(text_col))
+    # ceil((len - chunk_size)/stride) + 1 via floor-div (engine-portable
+    # integer arithmetic, no double rounding)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        (F.floor((n - chunk_size + stride - 1) / stride) + 1).cast("int"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("__t__"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+            .alias("chunk_id", "__k__"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.expr(f"substring(__t__, chunk_id * {stride} + 1, "
+                   f"{chunk_size})").alias("chunk_text"),
+        )
+        .withColumn("chunk_len",
+                    F.length("chunk_text").cast("long"))
+    )
+
+
 def pack_fixed_sequences(
     df: DataFrame,
     seq_len: int,

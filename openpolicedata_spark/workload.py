@@ -6765,6 +6765,98 @@ FROM fe GROUP BY doc_id
 """
 
 
+def q165_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detection + repair (the ftfy core case — cp1252-
+    in-UTF-8 double encoding, endemic in web-scraped corpora): corrupt
+    each document deterministically (two signature injections), then
+    `functions.text.mojibake_score_expr` counts signature hits and
+    `fix_mojibake_expr` repairs via the literal MOJIBAKE_MAP replace
+    chain. Emits before/after scores and the repaired text's md5; the
+    oracle replays the identical corrupt→score→fix→score chain in SQL
+    (the map is generated from the codec round trip in ONE place and
+    rendered into both engines' expressions). All length/replace
+    integer arithmetic — zero UDFs, codegen end to end."""
+    from openpolicedata_spark.functions.text import (
+        MOJIBAKE_MAP,
+        fix_mojibake_expr,
+        mojibake_score_expr,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    sig_e = MOJIBAKE_MAP[0][0]    # 'é' signature
+    sig_q = dict((c, s) for s, c in MOJIBAKE_MAP)["’"]
+    corrupted = F.replace(
+        F.replace(F.col("text"), F.lit("e"), F.lit(sig_e)),
+        F.lit("T"), F.lit(sig_q))
+    step = d.select("doc_id", corrupted.alias("__c__"))
+    step = step.select(
+        "doc_id", "__c__", fix_mojibake_expr(F.col("__c__")).alias("__f__"))
+    return step.select(
+        "doc_id",
+        mojibake_score_expr(F.col("__c__")).alias("score_before"),
+        mojibake_score_expr(F.col("__f__")).alias("score_after"),
+        F.md5("__f__").alias("fixed_md5"),
+    )
+
+
+def _q165_sql() -> str:
+    from openpolicedata_spark.functions.text import MOJIBAKE_MAP
+
+    sig_e = MOJIBAKE_MAP[0][0]
+    sig_q = dict((c, s) for s, c in MOJIBAKE_MAP)["’"]
+    corrupt = f"replace(replace(text, 'e', '{sig_e}'), 'T', '{sig_q}')"
+    fix = "__c__"
+    for sig, good in MOJIBAKE_MAP:
+        fix = f"replace({fix}, '{sig}', '{good}')"
+
+    def score(col: str) -> str:
+        return " + ".join(
+            f"(length({col}) - length(replace({col}, '{sig}', '')))"
+            f" // {len(sig)}"
+            for sig, _ in MOJIBAKE_MAP)
+
+    return f"""
+WITH c AS (SELECT doc_id, {corrupt} AS __c__ FROM documents),
+f AS (SELECT doc_id, __c__, {fix} AS __f__ FROM c)
+SELECT doc_id,
+       CAST({score('__c__')} AS BIGINT) AS score_before,
+       CAST({score('__f__')} AS BIGINT) AS score_after,
+       md5(__f__) AS fixed_md5
+FROM f
+"""
+
+
+def q166_chunk_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval-corpus preparation, char-budget form:
+    `textpipe.chunk_chars` slides a 120-char window with 24-char
+    overlap over the RAW text (q51 covers the token-window sibling) over every document
+    (stride 96; last chunk reaches the end, short docs are one chunk).
+    Pure sequence+posexplode+substring expressions — chunking runs at
+    scan speed with no Python and no extra shuffle, and the identical
+    start/length arithmetic replays in SQL (chunks identified by md5
+    so the comparator never carries full text)."""
+    from openpolicedata_spark.operators.textpipe import chunk_chars
+
+    d = _read(spark, sf_dir, "documents")
+    ch = chunk_chars(d.select("doc_id", "text"),
+                     chunk_size=120, overlap=24)
+    return ch.select("doc_id", "chunk_id",
+                     F.md5("chunk_text").alias("chunk_md5"), "chunk_len")
+
+
+_Q166_SQL = """
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           substr(text, CAST(k * 96 + 1 AS INT), 120) AS chunk_text
+    FROM t, unnest(range(0, CASE WHEN n <= 120 THEN 1
+                                 ELSE (n - 120 + 95) // 96 + 1 END)) r(k))
+SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_md5,
+       CAST(length(chunk_text) AS BIGINT) AS chunk_len
+FROM c
+"""
+
+
 def q155_keep_first_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr keep-one semantics (Lee et al. 2022, arXiv:2107.06499
     §4: remove all but ONE occurrence of duplicated text):
@@ -7597,6 +7689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_large_volume_customer": q162_large_volume_customer,
         "q163_customer_distribution": q163_customer_distribution,
         "q164_vad_segments": q164_vad_segments,
+        "q165_mojibake_repair": q165_mojibake_repair,
+        "q166_chunk_chars": q166_chunk_chars,
         "q158_g711_decode": q158_g711_decode,
         "q159_adpcm_fold": q159_adpcm_fold,
     }
@@ -7769,6 +7863,8 @@ def oracle_sql() -> dict[str, str]:
         "q162_large_volume_customer": _Q162_SQL,
         "q163_customer_distribution": _Q163_SQL,
         "q164_vad_segments": _Q164_SQL,
+        "q165_mojibake_repair": _q165_sql(),
+        "q166_chunk_chars": _Q166_SQL,
         "q158_g711_decode": _Q158_SQL,
         "q159_adpcm_fold": _Q159_SQL,
     }

@@ -178,6 +178,81 @@ def test_repetition_stats(spark):
     assert out[3].n_tokens == 1 and out[3].top_bigram_frac == 0.0
 
 
+def test_mojibake_fix_real_double_encode_anchor(spark):
+    """The repair chain must fix REAL cp1252-in-UTF-8 damage produced by
+    the actual codec round trip (not by the map itself), be idempotent,
+    and leave clean text untouched; the score counts hits exactly."""
+    from pyspark.sql import functions as F
+
+    from openpolicedata_spark.functions.text import (
+        MOJIBAKE_CHARS,
+        fix_mojibake_expr,
+        mojibake_score_expr,
+    )
+
+    clean = f"naïve café — “quote” isn’t plain… {MOJIBAKE_CHARS}"
+    # genuine damage via the codec itself (excluding '”', whose UTF-8
+    # hits cp1252's undefined 0x9D byte)
+    damaged = clean.replace("”", "").encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame(
+        [(1, damaged), (2, "plain ascii text"), (3, None)],
+        "id long, t string")
+    out = {r.id: r for r in df.select(
+        "id",
+        fix_mojibake_expr(F.col("t")).alias("fixed"),
+        mojibake_score_expr(F.col("t")).alias("score"),
+    ).collect()}
+    assert out[1].fixed == clean.replace("”", "")
+    from openpolicedata_spark.functions.text import MOJIBAKE_MAP
+    expected = sum(damaged.count(sig) for sig, _ in MOJIBAKE_MAP)
+    assert out[1].score == expected and expected >= 38  # 32 map chars + 6
+    assert out[2].fixed == "plain ascii text" and out[2].score == 0
+    assert out[3].fixed is None
+    # idempotent: fixing fixed text changes nothing
+    again = df.select(fix_mojibake_expr(
+        fix_mojibake_expr(F.col("t"))).alias("f2")).collect()
+    assert again[0].f2 == out[1].fixed
+
+
+def test_chunk_chars_boundaries_and_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from openpolicedata_spark.operators.textpipe import chunk_chars
+
+    import pytest
+
+    texts = {
+        1: "a" * 50,                 # short: one chunk
+        2: "x" * 120,                # exactly chunk_size: one chunk
+        3: "".join(chr(97 + i % 26) for i in range(121)),  # one char over
+        4: "".join(chr(97 + i % 26) for i in range(500)),
+        5: "",                       # empty: one empty chunk
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    rows = chunk_chars(df, chunk_size=120, overlap=24).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == texts[1]
+    assert len(by_doc[2]) == 1
+    assert len(by_doc[3]) == 2  # 121 chars -> second chunk covers the tail
+    assert by_doc[3][1].chunk_text == texts[3][96:]
+    assert len(by_doc[5]) == 1 and by_doc[5][0].chunk_len == 0
+    # stride/overlap law: chunk k starts at k*96; neighbors share 24 chars
+    for r in by_doc[4]:
+        start = r.chunk_id * 96
+        assert r.chunk_text == texts[4][start:start + 120]
+    for a, b in zip(by_doc[4], by_doc[4][1:]):
+        assert a.chunk_text[-24:] == b.chunk_text[:24]
+    # full coverage: concatenating stride-prefixes + last chunk == doc
+    rebuilt = "".join(r.chunk_text[:96] for r in by_doc[4][:-1]) \
+        + by_doc[4][-1].chunk_text
+    assert rebuilt == texts[4]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_chars(df, chunk_size=10, overlap=10)
+
+
 def test_pii_redact(spark):
     from openpolicedata_spark.functions.text import pii_redact_expr
 
