@@ -112,6 +112,62 @@ def test_pipeline_is_deterministic(spark, docs):
     assert a == b
 
 
+def test_pipeline_text_repair_and_chunk_branch(spark, docs):
+    """Round-7 stages on REAL testdata: encoding repair runs AHEAD of
+    the quality gate (repair never perturbs clean docs and restores a
+    deterministically-corrupted slice exactly), then the RAG export
+    branch chunks the corpus with the char-window law intact
+    (sum(chunk_len) = len + overlap*(n_chunks-1) per doc)."""
+    from openpolicedata_spark.functions.text import (
+        MOJIBAKE_MAP,
+        fix_mojibake_expr,
+        mojibake_score_expr,
+    )
+    from openpolicedata_spark.operators.textpipe import chunk_chars
+
+    sig = MOJIBAKE_MAP[0][0]  # 'é' signature
+    corrupted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 3,
+               F.replace(F.col("text"), F.lit("e"), F.lit(sig)))
+        .otherwise(F.col("text")).alias("ctext"))
+    repaired = corrupted.select(
+        "doc_id",
+        mojibake_score_expr(F.col("ctext")).alias("score_before"),
+        fix_mojibake_expr(F.col("ctext")).alias("rtext"))
+    j = (docs.select("doc_id", F.col("text").alias("orig"))
+         .join(repaired, "doc_id"))
+    # clean docs pass through untouched
+    assert j.where((F.col("doc_id") % 7 != 3)
+                   & (F.col("rtext") != F.col("orig"))).count() == 0
+    # corrupted docs come back with 'e' -> 'é' (content restored modulo
+    # the uninvertible char identity, which is the repair's contract)
+    assert j.where((F.col("doc_id") % 7 == 3) & (F.col("rtext") != F.replace(
+        F.col("orig"), F.lit("e"), F.lit("é")))).count() == 0
+    # detection fires on every corrupted doc that had an 'e' to corrupt,
+    # and is silent after repair
+    assert j.where((F.col("doc_id") % 7 == 3)
+                   & (F.col("score_before") == 0)
+                   & (F.length("orig") > 0)
+                   & F.col("orig").contains("e")).count() == 0
+    after = repaired.select(
+        mojibake_score_expr(F.col("rtext")).alias("s")) \
+        .agg(F.max("s")).first()[0]
+    assert after == 0
+
+    # RAG branch: chunk the repaired corpus; per-doc conservation law
+    chunks = chunk_chars(repaired.select(
+        "doc_id", F.col("rtext").alias("text")), chunk_size=120, overlap=24)
+    law = (chunks.groupBy("doc_id")
+           .agg(F.sum("chunk_len").alias("total"),
+                F.count(F.lit(1)).alias("k"))
+           .join(repaired.select("doc_id",
+                                 F.length("rtext").alias("n")), "doc_id")
+           .where(F.col("total")
+                  != F.col("n") + 24 * (F.col("k") - 1)))
+    assert law.count() == 0
+
+
 def test_pipeline_media_branch_real_codecs(spark, docs):
     """The multimodal sibling of the text pipeline, on REAL codec bytes:
     generate a PNG per doc (grayscale, shared base per doc_id%25 with a

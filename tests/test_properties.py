@@ -546,3 +546,83 @@ def test_bmp_decode_property(bpp, h, w, top_down, seed):
     out = decode_bmp(build_bmp(img, bpp=bpp, palette=pal,
                                top_down=top_down))
     assert np.array_equal(out, want)
+
+
+@settings(**SETTINGS)
+@given(st.sampled_from(["ulaw", "alaw"]), st.integers(1, 300),
+       st.integers(1, 2), st.integers(0, 2**32 - 1))
+def test_g711_quantized_identity_property(codec, n, ch, seed):
+    """For ANY int16 input, one G.711 trip quantizes and every further
+    trip is the identity (decode levels are fixed points of
+    encode∘decode); quantization error is bounded by the largest
+    segment step and monotone ordering of inputs is preserved."""
+    import numpy as np
+
+    from openpolicedata_spark.sources.wav import encode_wav, read_wav
+
+    r = np.random.default_rng(seed)
+    a = r.integers(-2**15, 2**15, size=(n, ch)).astype(np.int16)
+    _, q1 = read_wav(encode_wav(a, 8000, codec=codec))
+    _, q2 = read_wav(encode_wav(q1, 8000, codec=codec))
+    assert np.array_equal(q1, q2)
+    assert np.abs(q1.astype(int) - a.astype(int)).max() <= 1024
+    order = np.argsort(a[:, 0], kind="stable")
+    assert np.all(np.diff(q1[order, 0].astype(int)) >= 0)
+
+
+@settings(**SETTINGS)
+@given(st.integers(1, 600), st.integers(1, 2), st.integers(2, 40),
+       st.integers(0, 2**32 - 1))
+def test_ima_adpcm_tracks_smooth_signals_property(n, ch, period,
+                                                  seed):
+    """IMA-ADPCM round trips any smooth (bounded-slope) signal with
+    bounded error, for any length (incl. partial final blocks) and
+    channel count; output shape/dtype always match the input."""
+    import numpy as np
+
+    from openpolicedata_spark.sources.wav import encode_wav, read_wav
+
+    r = np.random.default_rng(seed)
+    t = np.arange(n)
+    phase = r.uniform(0, 6.28, size=ch)
+    amp = r.integers(100, 8000, size=ch)
+    sig = np.stack([(amp[c] * np.sin(t / period + phase[c]))
+                    for c in range(ch)], axis=1).astype(np.int16)
+    rate, out = read_wav(encode_wav(sig, 8000, codec="ima_adpcm"))
+    assert rate == 8000 and out.shape == sig.shape
+    assert out.dtype == np.int16
+    # worst-case transient: block restarts re-adapt from step 7; slope
+    # <= amp/period per sample bounds the catch-up error
+    err = np.abs(out.astype(int) - sig.astype(int)).max()
+    bound = max(300, int(4 * amp.max() / period))
+    assert err <= bound, (err, bound)
+
+
+@settings(**SETTINGS)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 60))
+def test_mojibake_fix_inverts_codec_damage_property(seed, n_words):
+    """fix(damage(x)) == x for any text over the recoverable alphabet,
+    where damage is the REAL utf-8→cp1252 codec round trip; fix is
+    idempotent; score(clean ascii) == 0. (Pure-Python property — the
+    Spark expression shares the same MOJIBAKE_MAP literal.)"""
+    import random as _rnd
+
+    from openpolicedata_spark.functions.text import MOJIBAKE_CHARS
+
+    r = _rnd.Random(seed)
+    words = []
+    alphabet = "abc XYZ.,!?" + MOJIBAKE_CHARS
+    for _ in range(n_words):
+        words.append("".join(r.choice(alphabet)
+                             for _ in range(r.randint(1, 8))))
+    clean = " ".join(words)
+    damaged = clean.encode("utf-8").decode("cp1252")
+
+    def py_fix(s: str) -> str:
+        from openpolicedata_spark.functions.text import MOJIBAKE_MAP
+        for sig, good in MOJIBAKE_MAP:
+            s = s.replace(sig, good)
+        return s
+
+    assert py_fix(damaged) == clean
+    assert py_fix(py_fix(damaged)) == clean
