@@ -176,6 +176,40 @@ def test_empty_and_malformed_raw_streams():
         read_xls(trunc + EOF)
 
 
+def test_raw_biff_truncation_fuzz_never_leaks_struct_error():
+    """Every prefix truncation of a valid raw stream either parses or
+    raises XlsError — never struct.error/IndexError (the BIFF8 suite's
+    robustness property, applied to the BIFF2-4 path)."""
+    stream = (
+        bof(3)
+        + fmt2("General") + fmt2("YYYY-MM-DD")
+        + xf3(0) + xf3(1)
+        + rec(0x0203, struct.pack("<HHHd", 0, 0, 1, 45000.0))
+        + rec(0x0204, struct.pack("<HHHH", 0, 1, 0, 5) + b"hello")
+        + rec(0x027E, struct.pack("<HHHI", 1, 0, 0,
+                                  ((7 & 0x3FFFFFFF) << 2) | 0x02))
+        + EOF)
+    for cut in range(4, len(stream)):
+        try:
+            read_xls(stream[:cut])
+        except XlsError:
+            pass
+
+
+def test_raw_biff_random_junk_never_leaks_struct_error():
+    import random
+
+    rnd = random.Random(42)
+    for _ in range(200):
+        n = rnd.randrange(4, 200)
+        junk = bytes([0x09, rnd.choice([0x00, 0x02, 0x04])]) + bytes(
+            rnd.randrange(256) for _ in range(n))
+        try:
+            read_xls(junk)
+        except XlsError:
+            pass
+
+
 def test_excel_loader_end_to_end_on_raw_biff4(spark, tmp_path):
     """ExcelLoader routes a raw BIFF4 stream (magic sniff, no CFB) through
     the stdlib reader and yields a typed Spark DataFrame."""
