@@ -107,6 +107,37 @@ def latest_per_key(
     )
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_n: int,
+    order_cols: Sequence[str],
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Per-key row cap — the domain-cap step of web-corpus pipelines
+    (CCNet/Gopher keep at most N pages per registered domain so one
+    crawler-friendly site cannot dominate the mixture): deterministic
+    survivors are the first `max_n` rows per key ordered by
+    `order_cols` (strings or Column expressions, e.g. a .desc(); make
+    the last one unique — the id — so ties cannot flip under
+    partitioning).
+
+    One exchange on the key + in-partition sort (the row_number
+    window). Unlike `latest_per_key` (max_by, N=1, map-side combined)
+    a general N needs the sort; at 100 TB the key is the natural
+    partition column so AQE's skew split handles mega-domains, and the
+    output is immediately co-partitioned for the next per-domain
+    stage. `keep_rank=True` retains the 1-based rank column
+    `key_rank`."""
+    if max_n <= 0:
+        raise ValueError(f"max_n must be positive, got {max_n}")
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order_cols])
+    out = (df.withColumn("key_rank", F.row_number().over(w))
+           .where(F.col("key_rank") <= max_n))
+    return out if keep_rank else out.drop("key_rank")
+
+
 def budget_hash_expr(key: Column, seed: str = "") -> Column:
     """Non-negative portable numeric shuffle key: md5lower64(seed:key)
     taken mod 2^62. The power-of-two modulus makes Spark's signed

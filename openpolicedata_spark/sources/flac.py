@@ -19,12 +19,24 @@ Decoder coverage:
 
 Encoder (for fixtures and the q143 oracle): fixed 4096-sample blocks,
 independent channels, FIXED predictor order chosen per subframe from
-{0, 1, 2} by estimated Rice cost, single-partition Rice residuals,
+{0, 1, 2} by estimated Rice cost, single-partition Rice residuals
+(4-bit method for bps <= 16, 5-bit with k up to 30 for wider samples
+so 24/32-bit content never degenerates into huge unary runs),
 STREAMINFO with the spec's unencoded-audio MD5. Always produces
 spec-conformant streams the reference decoders accept.
 
-The entropy loops are per-sample Python (the documented JPEG/GIF
-per-item ceiling applies); unary runs scan byte-at-a-time.
+The entropy paths are VECTORIZED (round 7, the JPEG/GIF treatment):
+Rice decode re-expresses the unary scan over the positions of all
+1-bits (ones-count prefix gathers + a pointer-doubling orbit,
+log2(n) numpy gathers per partition), fixed-width reads are one fancy
+gather + matmul, FIXED reconstruction is seeded cumulative sums,
+frame CRC-16 is a GF(2)-linear gather/xor-reduce (bounded
+contribution table, scalar fallback outside [64, 64K] bytes), and the
+encoder writes whole partitions as scatter+packbits bit arrays.
+Measured 441k-frame stereo: decode 2.7 Msamp/s/core (3.8x round 6),
+encode 6.8 (8x); 64-frame clips match the old per-sample loops. Only
+the LPC recurrence (foreign-encoded files; genuinely IIR) remains a
+short exact-int Python loop.
 
 Reference parity note: openpolicedata decodes no media at all — this
 codec exists for the multimodal pipeline operators (SURVEY.md §2's
@@ -86,13 +98,20 @@ _CRC16_NP = np.array(_CRC16, dtype=np.uint16)
 _CRC16_T = _CRC16_NP[None, :].copy()  # row j: byte followed by j zero bytes
 
 
+_CRC16_T_MAX = 1 << 16  # 32 MB table cap; typical frames are ~4-20 KB
+
+
 def _crc16_vec(data: bytes) -> int:
     global _CRC16_T
     n = len(data)
-    if n < 64:
+    if n < 64 or n > _CRC16_T_MAX:
+        # tiny frames: gather overhead loses to the loop; giant frames
+        # (pathological/adversarial sizes): don't let the contribution
+        # table grow with them — the scalar loop is O(n) with no state
         return _crc16(data)
     if _CRC16_T.shape[0] < n:
-        grown = np.empty((max(n, 2 * _CRC16_T.shape[0]), 256),
+        grown = np.empty((min(_CRC16_T_MAX,
+                              max(n, 2 * _CRC16_T.shape[0])), 256),
                          dtype=np.uint16)
         have = _CRC16_T.shape[0]
         grown[:have] = _CRC16_T
@@ -567,10 +586,14 @@ def _best_fixed(block: np.ndarray) -> tuple[int, np.ndarray]:
                         else np.diff(block, n=best_order))
 
 
-def _rice_param(res: np.ndarray) -> int:
+def _rice_param(res: np.ndarray, kmax: int = 14) -> int:
+    """Cheapest Rice parameter in [0, kmax]. kmax is 14 for the 4-bit
+    method (15 = escape) and 30 for the 5-bit method (31 = escape) —
+    the encoder picks the method from bps so wide samples never fall
+    into the pathological tiny-k/огромный-unary regime."""
     z = (np.abs(res.astype(np.int64)) << 1)
     best_k, best_cost = 0, None
-    for k in range(15):
+    for k in range(kmax + 1):
         cost = int((z >> k).sum()) + len(z) * (k + 1)
         if best_cost is None or cost < best_cost:
             best_k, best_cost = k, cost
@@ -674,16 +697,20 @@ def encode_flac_parts(samples: np.ndarray, rate: int,
 
         parts = []
         mask = (1 << bps) - 1
+        # wide samples use the 5-bit Rice method (k up to 30): with the
+        # 4-bit cap a 32-bit residual would emit ~2^17-bit unary runs
+        method, pbits, kmax = (1, 5, 30) if bps > 16 else (0, 4, 14)
         for c in range(nch):
             col = blk[:, c]
             order, res = _best_fixed(col)
-            k = _rice_param(res)
+            k = _rice_param(res, kmax)
             # 1 pad bit + 6-bit FIXED type + 0 wasted-bits flag
             parts.append(_bits_of_scalar((8 + order) << 1, 8))
             for v in col[:order]:
                 parts.append(_bits_of_scalar(int(v) & mask, bps))
-            # 2-bit method 0 + 4-bit partition order 0 + 4-bit k
-            parts.append(_bits_of_scalar(k, 10))
+            # 2-bit method + 4-bit partition order 0 + 4/5-bit k
+            parts.append(_bits_of_scalar((method << (4 + pbits)) | k,
+                                         2 + 4 + pbits))
             parts.append(_rice_bits(res.astype(np.int64), k))
         body_bits = np.concatenate(parts)
         pad = (-body_bits.shape[0]) % 8

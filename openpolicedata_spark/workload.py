@@ -6857,6 +6857,40 @@ FROM c
 """
 
 
+def q167_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus caps (`sampling.cap_per_key` — the CCNet/
+    Gopher step that stops one crawler-friendly site from dominating
+    the mixture): keep at most 50 documents per source, deterministic
+    survivors = longest first with the doc id as the unique tiebreak
+    (all-integer ordering, so the rank replays exactly in any engine).
+    One exchange on the key; at 100 TB the source is the natural
+    partition column and AQE's skew split absorbs mega-domains."""
+    from openpolicedata_spark.operators.sampling import cap_per_key
+
+    d = _read(spark, sf_dir, "documents")
+    capped = cap_per_key(
+        d.select("doc_id", "source",
+                 F.length("text").alias("n_chars")),
+        key_col="source", max_n=50,
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id")],
+        keep_rank=True)
+    return capped.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("key_rank").cast("long").alias("key_rank"))
+
+
+_Q167_SQL = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rk AS BIGINT) AS key_rank
+FROM (
+    SELECT doc_id, source, length(text) AS n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY length(text) DESC, doc_id) AS rk
+    FROM documents)
+WHERE rk <= 50
+"""
+
+
 def q155_keep_first_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr keep-one semantics (Lee et al. 2022, arXiv:2107.06499
     §4: remove all but ONE occurrence of duplicated text):
@@ -7684,6 +7718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_type_revenue_share": q153_type_revenue_share,
         "q154_returned_revenue": q154_returned_revenue,
         "q155_keep_first_spans": q155_keep_first_spans,
+        "q167_domain_cap": q167_domain_cap,
         "q160_shipping_priority": q160_shipping_priority,
         "q161_local_supplier_volume": q161_local_supplier_volume,
         "q162_large_volume_customer": q162_large_volume_customer,
@@ -7858,6 +7893,7 @@ def oracle_sql() -> dict[str, str]:
         "q153_type_revenue_share": _Q153_SQL,
         "q154_returned_revenue": _Q154_SQL,
         "q155_keep_first_spans": _Q155_SQL,
+        "q167_domain_cap": _Q167_SQL,
         "q160_shipping_priority": _Q160_SQL,
         "q161_local_supplier_volume": _Q161_SQL,
         "q162_large_volume_customer": _Q162_SQL,

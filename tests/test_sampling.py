@@ -345,3 +345,36 @@ def test_write_training_shards_rejects_null_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="NULL"):
         write_training_shards(df, str(tmp_path / "s"), "n_tok", "doc_id",
                               n_shards=4)
+
+
+def test_cap_per_key_deterministic_survivors(spark):
+    """Per-key cap keeps exactly the first max_n by the given order
+    (desc expression + unique tiebreak), is partitioning-invariant, and
+    validates max_n."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from openpolicedata_spark.operators.sampling import cap_per_key
+
+    rows = [(i, f"d{i % 3}", (i * 7) % 5) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, domain string, w long")
+    out = cap_per_key(df, "domain", 4,
+                      [F.col("w").desc(), F.col("id")], keep_rank=True)
+    got = sorted((r.domain, r.key_rank, r.id) for r in out.collect())
+    # independent reference
+    import collections
+    by = collections.defaultdict(list)
+    for i, d, wv in rows:
+        by[d].append((-wv, i))
+    want = sorted((d, k + 1, i)
+                  for d, vs in by.items()
+                  for k, (_, i) in enumerate(sorted(vs)[:4]))
+    assert got == want
+    again = cap_per_key(df.repartition(7), "domain", 4,
+                        [F.col("w").desc(), F.col("id")], keep_rank=True)
+    assert sorted((r.domain, r.key_rank, r.id)
+                  for r in again.collect()) == want
+    assert "key_rank" not in cap_per_key(
+        df, "domain", 4, ["w", "id"]).columns
+    with pytest.raises(ValueError):
+        cap_per_key(df, "domain", 0, ["id"])
