@@ -150,9 +150,13 @@ def pii_redact_expr(col: Column) -> Column:
 # punctuation set; '”' (right double quote) is excluded because its
 # UTF-8 contains 0x9D, undefined in cp1252 (real mojibake drops or
 # garbles it — unrecoverable by a literal map). No signature is a
-# substring of another and no replacement can create a signature, so
-# the replace chain is order-independent — but both engines apply the
-# same fixed order regardless.
+# substring of another, but a replacement CAN create one on
+# adversarial nestings: fixing 'â‚¬' to '€' between an 'â' and a '™'
+# materializes 'â€™' after its own replace already ran, so the chain
+# is strictly SINGLE-PASS with one fixed order — which both engines
+# share, so oracles replay exactly. On genuine single-round cp1252
+# damage of text over the recoverable alphabet the pass inverts
+# exactly (property-tested); it is NOT idempotent on such nestings.
 MOJIBAKE_CHARS = "éèêëàâäçîïôöùûüñÖÄÜß’‘“–—…€áíóúã"
 MOJIBAKE_MAP = [(c.encode("utf-8").decode("cp1252"), c)
                 for c in MOJIBAKE_CHARS]
@@ -175,8 +179,10 @@ def mojibake_score_expr(col: Column) -> Column:
 def fix_mojibake_expr(col: Column) -> Column:
     """Repair cp1252-in-UTF-8 double encoding (the ftfy core case) with
     a literal replace chain over MOJIBAKE_MAP — JVM-side, codegen, no
-    UDF, and the identical chain replays in any SQL engine. Idempotent
-    on clean text and on its own output."""
+    UDF, and the identical chain replays in any SQL engine. Leaves
+    clean ASCII untouched and exactly inverts single-round codec
+    damage; run it ONCE per corpus pass — it is not idempotent on
+    adversarial nestings (see the MOJIBAKE_MAP comment)."""
     out = col
     for sig, fix in MOJIBAKE_MAP:
         out = F.replace(out, F.lit(sig), F.lit(fix))

@@ -418,8 +418,9 @@ def mask_repeated_spans(
     2. hot span START positions per doc survive a broadcast semi-join
        and collapse to per-doc sorted start lists (the only other
        shuffle — proportional to the number of duplicated spans, not
-       the corpus), then merge into runs with one interpreted-HOF fold
-       over each doc's (small) start list;
+       the corpus), then merge into runs with LINEAR boundary-marking
+       HOFs over each doc's start list (every element touched O(1)
+       times even when the whole doc is duplicated);
     3. the run-sets broadcast back and each document filters its own
        tokens ROW-LOCALLY. Set `broadcast_cuts=False` on a heavily
        duplicated corpus to turn step 3 into a shuffle join on the id.
@@ -454,26 +455,33 @@ def mask_repeated_spans(
         hits.groupBy(id_col)
         .agg(F.sort_array(F.collect_set(F.col("i0") + 1)).alias("__ss__"))
     )
-    # fold sorted span starts into maximal runs: spans are k long, so a
-    # start x extends the last run when x <= last.e + 1
-    def _merge(acc, x):
-        tail = F.element_at(acc, -1)
-        return F.when(
-            (F.size(acc) > 0) & (x <= tail["e"] + 1),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.struct(
-                    tail["s"].alias("s"),
-                    F.greatest(tail["e"], x + k - 1).alias("e"))),
-            ),
-        ).otherwise(
-            F.concat(acc, F.array(F.struct(
-                x.alias("s"), (x + k - 1).alias("e")))))
-
+    # merge sorted span starts into maximal runs — LINEAR form: since
+    # all spans are k long and starts ascend, run ends are monotone, so
+    # a start opens a new run iff its gap to the previous start exceeds
+    # k. Mark boundaries with one filter pass, then pair each boundary
+    # with the element before the next boundary (the 2-arg transform
+    # lambda's second argument IS the element index — used on purpose
+    # here). Every element is touched O(1) times, vs the
+    # slice+concat fold that recopied the accumulator per start
+    # (O(starts x runs) on exactly the boilerplate-heavy docs this
+    # operator targets).
+    ss = F.col("__ss__")
+    n_ss = F.size(ss)
+    bnd = F.filter(
+        F.sequence(F.lit(1), n_ss),
+        lambda i: F.get(ss, i - 2).isNull()  # i == 1 (0-based -1 -> null)
+        | (F.element_at(ss, i) > F.get(ss, i - 2) + k))
+    runs_expr = F.transform(
+        bnd,
+        lambda b, j: F.struct(
+            F.element_at(ss, b).alias("s"),
+            (F.element_at(
+                ss, F.coalesce(F.get(bnd, j + 1), n_ss + 1) - 1)
+             + (k - 1)).alias("e")))
     cov = starts.select(
         F.col(id_col),
-        F.aggregate(F.col("__ss__"), F.expr(_EMPTY_RUNS),
-                    _merge).alias("__cuts__"),
+        F.when(n_ss > 0, runs_expr)
+        .otherwise(F.expr(_EMPTY_RUNS)).alias("__cuts__"),
     )
     if broadcast_cuts:
         cov = F.broadcast(cov)

@@ -32,11 +32,15 @@ log2(n) numpy gathers per partition), fixed-width reads are one fancy
 gather + matmul, FIXED reconstruction is seeded cumulative sums,
 frame CRC-16 is a GF(2)-linear gather/xor-reduce (bounded
 contribution table, scalar fallback outside [64, 64K] bytes), and the
-encoder writes whole partitions as scatter+packbits bit arrays.
-Measured 441k-frame stereo: decode 2.7 Msamp/s/core (3.8x round 6),
-encode 6.8 (8x); 64-frame clips match the old per-sample loops. Only
-the LPC recurrence (foreign-encoded files; genuinely IIR) remains a
-short exact-int Python loop.
+encoder writes whole partitions as scatter+packbits bit arrays. The
+bit expansion is a bounded SLIDING WINDOW (1 MB of stream per build,
+grow-and-retry for oversized frames), so decode memory is O(window)
+~70 MB regardless of clip length — the review caught the whole-stream
+form holding ~100x the input. Measured 441k-frame stereo: decode
+2.2 Msamp/s/core (3.1x round 6; 3.9 on a 6M-sample clip), encode 6.8
+(8x); 64-frame clips stay within ~1.3x of the old per-sample loops.
+Only the LPC recurrence (foreign-encoded files; genuinely IIR)
+remains a short exact-int Python loop.
 
 Reference parity note: openpolicedata decodes no media at all — this
 codec exists for the multimodal pipeline operators (SURVEY.md §2's
@@ -200,26 +204,97 @@ _BPS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 _FIXED_COEF = {1: (1,), 2: (2, -1), 3: (3, -3, 1), 4: (4, -6, 4, -1)}
 
 
+class _NeedMoreBits(Exception):
+    """Internal: a vectorized read ran past the current bit WINDOW (not
+    the file) — the frame loop grows the window and retries the frame."""
+
+
+class _BitWindow:
+    """Bounded bit expansion of the stream: bits/ones-positions/
+    ones-count prefix for [base, base+size) bytes, rebuilt as decoding
+    advances. Decode memory is O(window), not O(file) — the round-7
+    review caught the whole-stream expansion holding ~100x the input
+    (bits are 8 B/byte plus two position arrays) for the entire decode.
+    Positions handed to the readers are ABSOLUTE bit offsets; the
+    window exposes `base_bit` for translation and `require()` to
+    distinguish window exhaustion (grow+retry) from true truncation.
+    int32 position arrays: a window never exceeds 2^28 bits."""
+
+    MIN_BYTES = 1 << 20  # 1 MB window = 8 MB bits; typical frame <= 64 KB
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.nbits_file = len(data) * 8
+        self._build(0, min(len(data), self.MIN_BYTES))
+
+    def _build(self, base: int, size: int) -> None:
+        self.base = base
+        self.size = size
+        self.base_bit = base * 8
+        chunk = np.frombuffer(self.data, dtype=np.uint8, count=size,
+                              offset=base)
+        self.bits = np.unpackbits(chunk)
+        self.ones = np.flatnonzero(self.bits).astype(np.int32)
+        cnt = np.empty(self.bits.shape[0] + 1, dtype=np.int32)
+        cnt[0] = 0
+        np.cumsum(self.bits, out=cnt[1:])
+        self.cnt = cnt
+
+    @property
+    def end_bit(self) -> int:
+        return (self.base + self.size) * 8
+
+    def reposition(self, byte_pos: int) -> None:
+        """Slide the window to start at `byte_pos` (frame boundary) when
+        the frame would otherwise start in the window's tail slack. A
+        window already reaching EOF never slides (no rebuild cascade on
+        the file tail — frames cannot need bits past EOF)."""
+        at_eof = self.base + self.size >= len(self.data)
+        if byte_pos < self.base or (
+                not at_eof
+                and byte_pos > self.base + self.size - (1 << 17)):
+            self._build(byte_pos,
+                        min(len(self.data) - byte_pos, self.MIN_BYTES))
+
+    def grow(self, frame_byte: int) -> bool:
+        """Double the window from the frame start; False when the file
+        is already fully covered (a retry would not help)."""
+        if self.base + self.size >= len(self.data)                 and self.base <= frame_byte:
+            return False
+        new_size = max(self.size * 2, self.MIN_BYTES)
+        self._build(frame_byte,
+                    min(len(self.data) - frame_byte, new_size))
+        return True
+
+    def require(self, end_bit_abs: int) -> None:
+        """The read needs bits up to `end_bit_abs` (exclusive)."""
+        if end_bit_abs <= self.end_bit:
+            return
+        if self.end_bit >= self.nbits_file:
+            raise FlacError("truncated bitstream")
+        raise _NeedMoreBits
+
+
 def _read_signed_vec(br: _Bits, n: int, nb: int,
-                     bits: np.ndarray) -> np.ndarray:
+                     win: "_BitWindow") -> np.ndarray:
     """Vectorized n consecutive signed nb-bit MSB-first reads: one fancy
     gather over the unpacked bit array + a powers-of-two matmul replaces
     n per-value _Bits.signed calls (escape partitions, VERBATIM)."""
     if nb == 0:
         return np.zeros(n, dtype=np.int64)
     s = br.p
-    if s + n * nb > bits.shape[0]:
-        raise FlacError("truncated bitstream")
-    idx = s + np.arange(n, dtype=np.int64)[:, None] * nb + np.arange(nb)
-    v = bits[idx].astype(np.int64) @ (
+    win.require(s + n * nb)
+    rel = s - win.base_bit
+    idx = rel + np.arange(n, dtype=np.int64)[:, None] * nb + np.arange(nb)
+    v = win.bits[idx].astype(np.int64) @ (
         np.int64(1) << np.arange(nb - 1, -1, -1, dtype=np.int64))
     v -= (v >> (nb - 1)) << nb  # sign extend
     br.p = s + n * nb
     return v
 
 
-def _rice_vec(br: _Bits, n: int, k: int, bits: np.ndarray,
-              ones: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+def _rice_vec(br: _Bits, n: int, k: int,
+              win: "_BitWindow") -> np.ndarray:
     """Vectorized Rice decode of n values with parameter k.
 
     The sequential scan (unary run, terminator 1, k remainder bits) is
@@ -235,13 +310,18 @@ def _rice_vec(br: _Bits, n: int, k: int, bits: np.ndarray,
     if n == 0:
         return np.empty(0, dtype=np.int64)
     s = br.p
-    j0 = int(cnt[s])  # ones strictly before bit s
+    win.require(s + 1)
+    rel_s = s - win.base_bit
+    cnt, ones = win.cnt, win.ones
+    j0 = int(cnt[rel_s])  # ones strictly before bit s (window-relative)
     w = ones[j0:j0 + n * (k + 1)]
     m = w.shape[0]
     if m == 0:
+        win.require(win.end_bit + 1)  # grow if the window cut us short
         raise FlacError("truncated bitstream")
     if k == 0:
         if m < n:
+            win.require(win.end_bit + 1)
             raise FlacError("truncated bitstream")
         t = w[:n]
     else:
@@ -266,28 +346,30 @@ def _rice_vec(br: _Bits, n: int, k: int, bits: np.ndarray,
             if filled < n and take == prev:
                 power = power[power]
         if orbit[-1] >= m:
+            win.require(win.end_bit + 1)
             raise FlacError("truncated bitstream")
         t = w[orbit]
-    end = int(t[-1]) + 1 + k
-    if end > bits.shape[0]:
-        raise FlacError("truncated bitstream")
+    end_rel = int(t[-1]) + 1 + k
+    win.require(win.base_bit + end_rel)
     q = np.empty(n, dtype=np.int64)
-    q[0] = int(t[0]) - s
+    q[0] = int(t[0]) - rel_s
     if n > 1:
-        np.subtract(t[1:], t[:-1], out=q[1:])
+        np.subtract(t[1:].astype(np.int64), t[:-1], out=q[1:])
         q[1:] -= 1 + k
     if k:
         v = q << k  # remainders fold in MSB-first via k shift-ors
+        bits = win.bits
+        tl = t.astype(np.int64)
         for j in range(k):
-            v |= bits[t + (1 + j)].astype(np.int64) << (k - 1 - j)
+            v |= bits[tl + (1 + j)].astype(np.int64) << (k - 1 - j)
     else:
         v = q
-    br.p = end
+    br.p = win.base_bit + end_rel
     return (v >> 1) ^ -(v & 1)
 
 
-def _residual(br: _Bits, bs: int, order: int, bits: np.ndarray,
-              ones: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+def _residual(br: _Bits, bs: int, order: int,
+              win: "_BitWindow") -> np.ndarray:
     method = br.read(2)
     if method > 1:
         raise FlacError(f"reserved residual method {method}")
@@ -305,9 +387,9 @@ def _residual(br: _Bits, bs: int, order: int, bits: np.ndarray,
         param = br.read(pbits)
         if param == esc:
             nb = br.read(5)
-            parts.append(_read_signed_vec(br, n, nb, bits))
+            parts.append(_read_signed_vec(br, n, nb, win))
         else:
-            parts.append(_rice_vec(br, n, param, bits, ones, cnt))
+            parts.append(_rice_vec(br, n, param, win))
     return parts[0] if nparts == 1 else np.concatenate(parts)
 
 
@@ -332,8 +414,8 @@ def _fixed_reconstruct(warm: list[int], res: np.ndarray,
     return out
 
 
-def _subframe(br: _Bits, bs: int, bps: int, bits: np.ndarray,
-              ones: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+def _subframe(br: _Bits, bs: int, bps: int,
+              win: "_BitWindow") -> np.ndarray:
     if br.read(1):
         raise FlacError("subframe padding bit set")
     t = br.read(6)
@@ -346,13 +428,13 @@ def _subframe(br: _Bits, bs: int, bps: int, bits: np.ndarray,
     if t == 0:                                   # CONSTANT
         out = np.full(bs, br.signed(eff), dtype=np.int64)
     elif t == 1:                                 # VERBATIM
-        out = _read_signed_vec(br, bs, eff, bits)
+        out = _read_signed_vec(br, bs, eff, win)
     elif 8 <= t <= 12:                           # FIXED order 0-4
         order = t - 8
         if order > bs:
             raise FlacError("fixed order exceeds block size")
         warm = [br.signed(eff) for _ in range(order)]
-        res = _residual(br, bs, order, bits, ones, cnt)
+        res = _residual(br, bs, order, win)
         out = res if order == 0 else _fixed_reconstruct(warm, res, order)
     elif t >= 32:                                # LPC
         order = (t & 0x1F) + 1
@@ -367,7 +449,7 @@ def _subframe(br: _Bits, bs: int, bps: int, bits: np.ndarray,
         if shift < 0:
             raise FlacError("negative LPC shift")
         coefs = [br.signed(prec) for _ in range(order)]
-        res = _residual(br, bs, order, bits, ones, cnt)
+        res = _residual(br, bs, order, win)
         # IIR recurrence: stays a short per-sample int loop (exact
         # arithmetic incl. the spec's arithmetic shift on the
         # accumulator), but over a plain Python list with hoisted
@@ -420,22 +502,17 @@ def read_flac(data: bytes) -> tuple[int, int, np.ndarray]:
     if si_rate == 0:
         raise FlacError("STREAMINFO sample rate 0")
 
-    # one-time whole-stream bit expansion for the vectorized entropy
-    # path (8 bytes of uint8 per input byte; gathers + searchsorted
-    # replace per-sample bit reads)
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-    ones = np.flatnonzero(bits).astype(np.int64)
-    # cnt[p] = number of 1-bits strictly before bit p (one extra slot so
-    # cnt[nbits] is valid): turns "first 1-bit >= p" into a gather
-    cnt = np.empty(bits.shape[0] + 1, dtype=np.int64)
-    cnt[0] = 0
-    np.cumsum(bits, out=cnt[1:])
+    # bounded sliding-window bit expansion for the vectorized entropy
+    # path (the whole-stream form held ~100x the input in memory —
+    # round-7 review); frames larger than the window trigger a
+    # grow-and-retry via _NeedMoreBits
+    win = _BitWindow(data)
 
     chans: list[list[np.ndarray]] = [[] for _ in range(si_nch)]
     got = 0
-    while pos < len(data) and (total == 0 or got < total):
-        frame_start = pos
-        br = _Bits(data, pos * 8)
+
+    def decode_frame(frame_start: int):
+        br = _Bits(data, frame_start * 8)
         if br.read(14) != 0x3FFE:
             raise FlacError("lost frame sync")
         if br.read(1):
@@ -483,7 +560,7 @@ def read_flac(data: bytes) -> tuple[int, int, np.ndarray]:
             nch = ch_code + 1
             if nch != si_nch:
                 raise FlacError("frame channel count != STREAMINFO")
-            subs = [_subframe(br, bs, bps, bits, ones, cnt)
+            subs = [_subframe(br, bs, bps, win)
                     for _ in range(nch)]
         elif ch_code in (8, 9, 10):
             if si_nch != 2:
@@ -491,16 +568,16 @@ def read_flac(data: bytes) -> tuple[int, int, np.ndarray]:
                                 "stream")
             # the side channel carries one extra bit
             if ch_code == 8:                     # left/side
-                left = _subframe(br, bs, bps, bits, ones, cnt)
-                side = _subframe(br, bs, bps + 1, bits, ones, cnt)
+                left = _subframe(br, bs, bps, win)
+                side = _subframe(br, bs, bps + 1, win)
                 subs = [left, left - side]
             elif ch_code == 9:                   # right/side
-                side = _subframe(br, bs, bps + 1, bits, ones, cnt)
-                right = _subframe(br, bs, bps, bits, ones, cnt)
+                side = _subframe(br, bs, bps + 1, win)
+                right = _subframe(br, bs, bps, win)
                 subs = [right + side, right]
             else:                                # mid/side
-                mid = _subframe(br, bs, bps, bits, ones, cnt)
-                side = _subframe(br, bs, bps + 1, bits, ones, cnt)
+                mid = _subframe(br, bs, bps, win)
+                side = _subframe(br, bs, bps + 1, win)
                 mid2 = (mid << 1) | (side & 1)
                 subs = [(mid2 + side) >> 1, (mid2 - side) >> 1]
         else:
@@ -513,7 +590,17 @@ def read_flac(data: bytes) -> tuple[int, int, np.ndarray]:
         (crc16,) = struct.unpack_from(">H", data, body_end)
         if _crc16_vec(data[frame_start:body_end]) != crc16:
             raise FlacError("frame CRC-16 mismatch")
-        pos = body_end + 2
+        return subs, bs, body_end + 2
+
+    while pos < len(data) and (total == 0 or got < total):
+        win.reposition(pos)
+        while True:
+            try:
+                subs, bs, pos = decode_frame(pos)
+                break
+            except _NeedMoreBits:
+                if not win.grow(pos):
+                    raise FlacError("truncated bitstream")
         for c, s in enumerate(subs):
             chans[c].append(s)
         got += bs
@@ -610,12 +697,14 @@ def _rice_bits(res: np.ndarray, k: int) -> np.ndarray:
     lengths q+1+k, exclusive-cumsum start offsets, then one scatter for
     the terminator 1s and k scatters for the remainder bits — the write
     mirror of _rice_vec, replacing two _BitWriter calls per sample."""
+    if res.shape[0] == 0:  # legal: a FIXED order equal to the block size
+        return np.zeros(0, dtype=np.uint8)
     z = (res << 1) ^ (res >> 63)  # int64 zigzag
     q = z >> k
     starts = np.empty(res.shape[0], dtype=np.int64)
     starts[0] = 0
     np.cumsum(q[:-1] + (1 + k), out=starts[1:])
-    total = int(starts[-1] + q[-1] + 1 + k) if res.shape[0] else 0
+    total = int(starts[-1] + q[-1] + 1 + k)
     arr = np.zeros(total, dtype=np.uint8)
     term = starts + q
     arr[term] = 1

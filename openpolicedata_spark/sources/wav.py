@@ -96,30 +96,44 @@ _ULAW_DECODE = ulaw_decode_table()
 _ALAW_DECODE = alaw_decode_table()
 
 
-def _nearest_level_encoder(decode_table: np.ndarray):
-    """Build a vectorized linear→code encoder as nearest-decode-level
-    quantization. Properties (test-pinned): exact on every decode level
-    (so decode(encode(decode(b))) == decode(b) for all 256 codes — the
-    lossless-on-quantized-PCM fact the q146 parity chains rely on) and
-    deterministic at midpoints. µ-law's two zero codes (0x7F/0xFF)
-    collapse to one canonical code, matching every real encoder."""
-    order = np.lexsort((np.arange(256), decode_table.astype(np.int32)))
-    vals = decode_table.astype(np.int32)[order]
-    codes = np.arange(256, dtype=np.uint8)[order]
-    keep = np.ones(256, dtype=bool)
-    keep[1:] = vals[1:] != vals[:-1]  # canonical code = lowest for dup values
-    vals, codes = vals[keep], codes[keep]
-    mids = (vals[:-1] + vals[1:] + 1) // 2  # upper boundary of each level
-
-    def encode(samples: np.ndarray) -> np.ndarray:
-        x = np.asarray(samples, dtype=np.int32)
-        return codes[np.searchsorted(mids, x, side="right")]
-
-    return encode
+# The STANDARD G.711 encoders (the Sun/CCITT g711.c algorithm used by
+# audioop, ffmpeg, and ITU-T G.191 STL): segment search over the 14-bit
+# (µ) / 13-bit (A) domain. Byte-for-byte equal to `audioop.lin2ulaw`/
+# `lin2alaw` on every int16 input (pinned exhaustively in tests when
+# audioop is importable), so fixtures interoperate with external
+# tooling. Both satisfy the level fixed-point property the q146 parity
+# chains rely on: encode(decode(c)) decodes back to decode(c) for all
+# 256 codes (µ-law's two zeros both canonicalize to 0xFF).
+_SEG_UEND = np.array([0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF,
+                      0x1FFF], dtype=np.int32)
+_SEG_AEND = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF,
+                      0xFFF], dtype=np.int32)
 
 
-linear_to_ulaw = _nearest_level_encoder(_ULAW_DECODE)
-linear_to_alaw = _nearest_level_encoder(_ALAW_DECODE)
+def linear_to_ulaw(samples: np.ndarray) -> np.ndarray:
+    """Vectorized standard µ-law encoder (16-bit in, 8-bit codes)."""
+    x = np.asarray(samples, dtype=np.int32) >> 2
+    neg = x < 0
+    mask = np.where(neg, 0x7F, 0xFF)
+    x = np.where(neg, -x, x)
+    x = np.minimum(x, 8159) + 33  # CLIP, then BIAS >> 2
+    seg = np.searchsorted(_SEG_UEND, x, side="left")
+    uval = (seg << 4) | ((x >> (seg + 1)) & 0xF)
+    return np.where(seg >= 8, 0x7F ^ mask,
+                    uval ^ mask).astype(np.uint8)
+
+
+def linear_to_alaw(samples: np.ndarray) -> np.ndarray:
+    """Vectorized standard A-law encoder (16-bit in, 8-bit codes)."""
+    x = np.asarray(samples, dtype=np.int32) >> 3
+    neg = x < 0
+    mask = np.where(neg, 0x55, 0xD5)
+    x = np.where(neg, -x - 1, x)
+    seg = np.searchsorted(_SEG_AEND, x, side="left")
+    aval = (seg << 4) | np.where(seg < 2, (x >> 1) & 0xF,
+                                 (x >> seg) & 0xF)
+    return np.where(seg >= 8, 0x7F ^ mask,
+                    aval ^ mask).astype(np.uint8)
 
 
 # --------------------------------------------------------------------------
@@ -344,7 +358,8 @@ def encode_wav(samples: np.ndarray, rate: int, codec: str | None = None,
     codec: None (linear PCM/float per dtype), or for int16 input one of
     'ulaw' / 'alaw' (G.711, lossy nearest-level companding) or
     'ima_adpcm' (4-bit IMA blocks; block_align defaults to
-    4*nch + 252*4*nch bytes = 505 samples/block/channel). Compressed
+    4*nch*253 bytes = 2017 samples per block per channel:
+    (block_align - 4*nch)*2/nch data samples + the header sample). Compressed
     encodes write the spec-required fact chunk (true frame count) and,
     for ADPCM, the wSamplesPerBlock extension."""
     a = np.asarray(samples)
@@ -367,6 +382,7 @@ def encode_wav(samples: np.ndarray, rate: int, codec: str | None = None,
             enc = linear_to_ulaw if codec == "ulaw" else linear_to_alaw
             payload = enc(a.astype(np.int32)).astype(np.uint8).tobytes()
             wtag, bits, ba = (7 if codec == "ulaw" else 6), 8, nch
+            extra = struct.pack("<H", 0)  # cbSize: required for tag != 1
         else:
             raise WavError(f"unknown codec {codec!r}")
         if codec == "ima_adpcm":

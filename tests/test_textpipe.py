@@ -208,7 +208,9 @@ def test_mojibake_fix_real_double_encode_anchor(spark):
     assert out[1].score == expected and expected >= 38  # 32 map chars + 6
     assert out[2].fixed == "plain ascii text" and out[2].score == 0
     assert out[3].fixed is None
-    # idempotent: fixing fixed text changes nothing
+    # stable on THIS input (no map chars adjacent in a sig-forming
+    # way); the chain is single-pass in general — not idempotent on
+    # adversarial nestings like 'â€–' (see MOJIBAKE_MAP comment)
     again = df.select(fix_mojibake_expr(
         fix_mojibake_expr(F.col("t"))).alias("f2")).collect()
     assert again[0].f2 == out[1].fixed

@@ -266,3 +266,25 @@ def test_decode_audio_normalizes_g711_and_adpcm():
         _, direct = W.read_wav(blob)
         assert np.array_equal(np.rint(norm * 32768.0).astype(np.int16),
                               direct)
+
+
+def test_g711_exhaustive_parity_with_audioop():
+    """EXTERNAL ground truth: decode tables and encoders match CPython's
+    audioop (the Sun/CCITT g711.c reference implementation) on every
+    code and every int16 input — byte-for-byte. Gated: audioop is
+    removed in Python 3.13."""
+    audioop = pytest.importorskip("audioop")
+
+    ut, at = W.ulaw_decode_table(), W.alaw_decode_table()
+    for table, dec in ((ut, audioop.ulaw2lin), (at, audioop.alaw2lin)):
+        ref = np.frombuffer(
+            b"".join(dec(bytes([c]), 2) for c in range(256)), "<i2")
+        assert np.array_equal(ref, table)
+    x = np.arange(-32768, 32768, dtype=np.int32)
+    pcm = x.astype("<i2").tobytes()
+    assert np.array_equal(
+        W.linear_to_ulaw(x),
+        np.frombuffer(audioop.lin2ulaw(pcm, 2), np.uint8))
+    assert np.array_equal(
+        W.linear_to_alaw(x),
+        np.frombuffer(audioop.lin2alaw(pcm, 2), np.uint8))
