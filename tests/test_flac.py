@@ -480,3 +480,52 @@ def test_wide_samples_use_5bit_rice_and_stay_fast():
     y = rng.randint(-(1 << 23), 1 << 23, size=4001, dtype=np.int64)
     rate, bps, out = read_flac(encode_flac(y, 8000, bps=24))
     assert bps == 24 and np.array_equal(out.ravel().astype(np.int64), y)
+
+
+def test_bit_window_reposition_and_grow_paths(monkeypatch):
+    """Force the sliding-window machinery through its slide AND
+    grow-retry paths by shrinking the window far below frame size:
+    decode must remain bit-exact (normal files never trigger growth,
+    so this pins the _NeedMoreBits retry loop explicitly)."""
+    import numpy as np
+
+    from openpolicedata_spark.sources import flac as F
+
+    rng = np.random.RandomState(5)
+    t = np.arange(20_000)
+    sig = (5000 * np.sin(t / 30)
+           + rng.randint(-500, 500, len(t))).astype(np.int16)
+    st = np.stack([sig, np.roll(sig, 3)], axis=1)
+    blob = F.encode_flac(st, 16000)
+    # frames here are ~10 KB; a 2 KB starting window must grow
+    monkeypatch.setattr(F._BitWindow, "MIN_BYTES", 2048)
+    rate, bps, out = F.read_flac(blob)
+    assert np.array_equal(out, st.astype(np.int32))
+    # truncation under a tiny window still raises FlacError (never the
+    # internal _NeedMoreBits, never IndexError)
+    import pytest
+
+    with pytest.raises(F.FlacError):
+        F.read_flac(blob[:len(blob) // 2])
+
+
+def test_decode_memory_stays_bounded():
+    """The sliding window keeps decode's peak numpy allocation far
+    below the whole-stream expansion (~8 bytes of bit array per input
+    byte + two position arrays, ~100x input): peak traced memory for a
+    6M-sample clip must stay under 200 MB where the old form needed
+    ~1 GB+ of position arrays alone."""
+    import tracemalloc
+
+    import numpy as np
+
+    from openpolicedata_spark.sources.flac import encode_flac, read_flac
+
+    sig = (6000 * np.sin(np.arange(3_000_000) / 40)).astype(np.int16)
+    blob = encode_flac(sig, 44100)
+    tracemalloc.start()
+    _, _, out = read_flac(blob)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert np.array_equal(out.ravel(), sig.astype(np.int32))
+    assert peak < 200 * 1024 * 1024, peak
