@@ -148,9 +148,18 @@ def main() -> None:
 
     calib_after = calibrate()
     loadavg_after = os.getloadavg()
+    # Calibration-normalized total (judge r7 task 7): rescale to the
+    # 0.52 s reference calibration the round-5/7 cross-round analysis
+    # used, so BENCH_r{N}.json totals compare in ONE field instead of a
+    # hand calculation. value_normalized == value exactly when the host
+    # delivers reference-speed single-core CPU during the run.
+    CALIB_REF = 0.52
+    calib_mean = (calib_before + calib_after) / 2.0
     print(json.dumps({
         "metric": "total wall-clock of headline queries (min of 2 runs each)",
         "value": round(total, 3),
+        "value_normalized": round(total * CALIB_REF / calib_mean, 3),
+        "calib_ref_sec": CALIB_REF,
         "unit": "sec",
         "queries": timings,
         "sf": sf,

@@ -839,6 +839,55 @@ def test_ivfpq_residual_encode_shape_and_python_free(spark):
     assert_no_python_in_plan(out)
 
 
+def test_pq_encode_arrow_matches_expression_encoders(spark):
+    """The Arrow kernel is bit-equal to the expression spec in all
+    three modes — raw PQ, IVF route + raw encode (q151), and residual
+    IVFPQ (q156) — including the first-minimum argmin tiebreak and the
+    in-kernel probe prune. This is the contract that lets the DuckDB
+    oracles keep replaying the SQL form while Spark runs the kernel."""
+    from openpolicedata_spark.operators.similarity import (
+        ivf_route_sql,
+        ivfpq_residual_encode,
+        pq_encode,
+        pq_encode_arrow,
+    )
+    from openpolicedata_spark.workload import _ivf_coarse, _pq_codebooks
+
+    books = _pq_codebooks()
+    coarse = _ivf_coarse()
+    df = spark.range(40).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 64), x -> cast(pmod(x * (id + 3), 13) - 6"
+        " AS double) / 4.0d) as embedding")
+
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+
+    # raw PQ (q149 path)
+    assert key(pq_encode_arrow(df, books).collect()) == \
+        key(pq_encode(df, books).collect())
+
+    # IVF route + raw encode (q151 path)
+    routed = df.selectExpr(
+        "vec_id",
+        ivf_route_sql("CAST(embedding AS ARRAY<DOUBLE>)", coarse)
+        + " AS list_id")
+    sql_151 = routed.join(pq_encode(df, books), "vec_id").select(
+        "vec_id", "list_id", *[f"code_{s}" for s in range(len(books))])
+    got_151 = pq_encode_arrow(df, books, coarse=coarse, residual=False)
+    assert got_151.columns == sql_151.columns
+    assert key(got_151.collect()) == key(sql_151.collect())
+
+    # residual IVFPQ (q156 path), plus the in-kernel probe prune
+    sql_156 = ivfpq_residual_encode(df, books, coarse)
+    got_156 = pq_encode_arrow(df, books, coarse=coarse, residual=True)
+    assert key(got_156.collect()) == key(sql_156.collect())
+    probe = [1, 3]
+    pruned = pq_encode_arrow(df, books, coarse=coarse, residual=True,
+                             probe=probe)
+    want = [t for t in map(tuple, sql_156.collect()) if t[1] in probe]
+    assert key(pruned.collect()) == sorted(want)
+
+
 def test_pq_encode_is_deterministic_and_python_free(spark):
     from openpolicedata_spark.operators.similarity import pq_encode
     from openpolicedata_spark.workload import _pq_codebooks

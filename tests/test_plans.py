@@ -345,13 +345,35 @@ def test_q118_q120_subqueries_decorrelate_to_joins(spark, sf_dir):
                             # Q18 IN-HAVING -> semi-join + fact joins
                             ("q162_large_volume_customer", 3),
                             # Q13 left-outer with ON-clause predicate
-                            ("q163_customer_distribution", 1)):
+                            ("q163_customer_distribution", 1),
+                            # Q11 HAVING vs global-total scalar
+                            # subquery: the total is a one-row stage,
+                            # never re-executed per group
+                            ("q168_important_stock", 2),
+                            # Q8 eight-relation market share: nation
+                            # joins twice, every equi-key kept
+                            ("q169_market_share", 5),
+                            # Q9 LIKE-filtered profit rollup
+                            ("q170_product_profit", 4)):
         df = workload.queries()[name](spark, sf_dir)
         s = summarize_plan(df)
         assert s.n_broadcast_nl_joins == 0, (name, s.text)
         assert s.n_broadcast_joins + s.n_sortmerge_joins >= min_joins, \
             (name, s.text)
         assert_no_python_in_plan(df)
+
+
+def test_q168_global_total_is_one_row_subquery_stage(spark, sf_dir):
+    """Q11 shape: the HAVING threshold must be planned as an
+    uncorrelated scalar-subquery stage (one row, computed once) —
+    the formatted plan carries a Subquery section hosting its own
+    aggregate, and the outer plan never nested-loops."""
+    df = workload.queries()["q168_important_stock"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert "Subquery" in t, t
+    s = summarize_plan(df)
+    assert s.n_broadcast_nl_joins == 0, s.text
+    assert_no_python_in_plan(df)
 
 
 def test_q121_range_frame_single_user_exchange(spark, sf_dir):
