@@ -435,6 +435,17 @@ def _subframe(br: _Bits, bs: int, bps: int,
             raise FlacError("fixed order exceeds block size")
         warm = [br.signed(eff) for _ in range(order)]
         res = _residual(br, bs, order, win)
+        # Guard the int64 headroom argument in _fixed_reconstruct: it
+        # holds for WELL-FORMED streams (|Δ^order s| ≤ 2^(eff+order)),
+        # but a corrupt-yet-parseable frame can Rice-encode quotients
+        # near the window size with k=30, giving residuals ~2^53 whose
+        # 65535-sample cumsum wraps int64 SILENTLY. Refuse loudly
+        # instead (the old per-sample Python-int path surfaced this as
+        # an OverflowError at np.array()).
+        if res.size and int(np.abs(res).max()) > (1 << (eff + order + 1)):
+            raise FlacError(
+                "residual magnitude exceeds sample width "
+                f"(bps={eff}, order={order}) — corrupt stream")
         out = res if order == 0 else _fixed_reconstruct(warm, res, order)
     elif t >= 32:                                # LPC
         order = (t & 0x1F) + 1

@@ -250,6 +250,30 @@ def _ima_encode_blocks(frames: np.ndarray,
     return payload.tobytes(), spb + 1
 
 
+def _ima_true_frames(n_payload: int, nch: int, block_align: int) -> int:
+    """Frame count actually ENCODED in an IMA-ADPCM payload of
+    `n_payload` bytes, honoring a truncated final block: the spec
+    requires a `fact` chunk for compressed WAV, but real-world writers
+    omit it, and decoding the zero-PADDING of a short final block
+    would silently append fabricated near-DC samples (the ceil-pad at
+    _ima_decode_blocks). A frame exists only when EVERY channel has
+    its nibble: data bytes rotate through channels in 4-byte groups
+    (8 nibbles), so within a partial round only the bytes past the
+    last channel's group start contribute complete frames."""
+    spb = (block_align - 4 * nch) * 2 // nch   # data samples per full block
+    full = n_payload // block_align
+    rem = n_payload % block_align
+    total = full * (spb + 1)
+    if rem >= 4 * nch:  # header complete → at least the predictor sample
+        db = rem - 4 * nch
+        extra = (db // (4 * nch)) * 8          # complete channel rounds
+        tail = db % (4 * nch) - 4 * (nch - 1)  # bytes into the LAST
+        if tail > 0:                           # channel's group, if any
+            extra += 2 * tail
+        total += 1 + min(extra, spb)
+    return total
+
+
 def _iter_chunks(data: bytes):
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise WavError("not a WAV: bad RIFF/WAVE header")
@@ -311,7 +335,11 @@ def read_wav(data: bytes) -> tuple[int, np.ndarray]:
         return rate, samples
     if wtag == 0x11:  # IMA/DVI ADPCM
         samples = _ima_decode_blocks(payload, nch, block_align)
-        total = fact_len if fact_len is not None else samples.shape[0]
+        # fact is spec-required for compressed WAV but often omitted;
+        # without it, trim to the frames the BYTES actually encode so a
+        # truncated final block never yields padding-decoded samples
+        total = (fact_len if fact_len is not None
+                 else _ima_true_frames(len(payload), nch, block_align))
         return rate, samples[:total]
 
     if wtag == 1:

@@ -529,3 +529,37 @@ def test_decode_memory_stays_bounded():
     tracemalloc.stop()
     assert np.array_equal(out.ravel(), sig.astype(np.int32))
     assert peak < 200 * 1024 * 1024, peak
+
+
+def test_corrupt_rice_residual_magnitude_raises_not_wraps():
+    """Round-7 ADVICE: a corrupt-but-parseable FIXED subframe can carry
+    residuals near 2^53 (escape partitions, nb up to 31, or huge Rice
+    quotients) whose cumulative-sum reconstruction would WRAP int64
+    silently; the decoder must refuse loudly against the bps+order
+    bound instead. A well-formed subframe with the same layout still
+    decodes."""
+    import pytest
+
+    from openpolicedata_spark.sources import flac as F
+
+    def build(res_val):
+        bw = F._BitWriter()
+        bw.write(0, 1)     # padding bit
+        bw.write(9, 6)     # FIXED order 1
+        bw.write(0, 1)     # no wasted bits
+        bw.write(0, 16)    # warm-up sample
+        bw.write(0, 2)     # residual method 0 (4-bit params)
+        bw.write(0, 4)     # partition order 0
+        bw.write(15, 4)    # param 15 = escape
+        bw.write(31, 5)    # 31-bit raw residuals
+        for _ in range(15):
+            bw.write(res_val & ((1 << 31) - 1), 31)
+        return bw.done()
+
+    good = build(1000)
+    out = F._subframe(F._Bits(good, 0), 16, 16, F._BitWindow(good))
+    assert out.shape == (16,)
+
+    bad = build(1 << 29)   # |res| = 2^29 >> 2^(16+1+1)
+    with pytest.raises(F.FlacError, match="residual magnitude"):
+        F._subframe(F._Bits(bad, 0), 16, 16, F._BitWindow(bad))

@@ -288,3 +288,54 @@ def test_g711_exhaustive_parity_with_audioop():
     assert np.array_equal(
         W.linear_to_alaw(x),
         np.frombuffer(audioop.lin2alaw(pcm, 2), np.uint8))
+
+
+def test_ima_no_fact_truncated_block_trims_to_real_bytes():
+    """Round-7 ADVICE: fact is spec-required for compressed WAV but
+    real writers omit it; a truncated final block must then yield ONLY
+    the frames its real bytes encode — never samples decoded from the
+    ceil-pad zeros. The emitted prefix must equal the untruncated
+    decode's prefix (per-channel decode depends only on that channel's
+    own earlier nibbles)."""
+    ba = 256
+    sig = ((np.arange(2000) * 17) % 3001 - 1500).astype(np.int16)
+    payload, _spb1 = W._ima_encode_blocks(sig.reshape(-1, 1), ba)
+    full = W._ima_decode_blocks(payload, 1, ba)
+
+    def wav_no_fact(trunc, nch, align):
+        fmt = struct.pack("<HHIIHHHH", 0x11, nch, 8000, 4000, align, 4,
+                          2, (align - 4 * nch) * 2 // nch + 1)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(trunc)) + trunc)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for cut in (1, 3, 4, 5, 17, 250, ba - 2):
+        trunc = payload[:len(payload) - cut]
+        rate, out = W.read_wav(wav_no_fact(trunc, 1, ba))
+        n = W._ima_true_frames(len(trunc), 1, ba)
+        # true-nibble accounting, mono: header (4B) = 1 frame, then 2/byte
+        rem = len(trunc) % ba
+        expect_tail = 0 if rem < 4 else 1 + 2 * (rem - 4)
+        assert n == (len(trunc) // ba) * 505 + expect_tail
+        assert out.shape[0] == n
+        assert np.array_equal(out.ravel(), full[:n].ravel())
+
+    # stereo: a frame needs BOTH channels' nibbles — truncating inside
+    # channel 0's group of the last round must not add frames
+    x = np.stack([sig[:1000], -sig[:1000]], axis=1).astype(np.int16)
+    ba2 = 4 * 2 + 4 * 2 * 9
+    payload2, _ = W._ima_encode_blocks(x, ba2)
+    full2 = W._ima_decode_blocks(payload2, 2, ba2)
+    for cut in (1, 2, 5, 7, 9, 12, 15, 70):
+        trunc = payload2[:len(payload2) - cut]
+        rate, out = W.read_wav(wav_no_fact(trunc, 2, ba2))
+        n = W._ima_true_frames(len(trunc), 2, ba2)
+        assert out.shape[0] == n
+        assert np.array_equal(out, full2[:n])
+        # independent accounting: frames limited by channel 1 (its
+        # 4-byte group comes SECOND in each 8-byte round)
+        rem = len(trunc) % ba2
+        if rem >= 8:
+            db = rem - 8
+            ch1_nibs = (db // 8) * 8 + max(db % 8 - 4, 0) * 2
+            assert n == (len(trunc) // ba2) * 73 + 1 + min(ch1_nibs, 72)
