@@ -395,6 +395,69 @@ def vad_stats(df: DataFrame, frame_samples: int = 80,
         compute, schema=VAD_STATS_SCHEMA)
 
 
+VAD_SEGMENTS_SCHEMA = ("media_id long, seg_idx long, start_frame long, "
+                       "end_frame long, n_frames long, start_ms long, "
+                       "end_ms long, seg_energy long")
+
+
+def vad_segments(df: DataFrame, frame_samples: int = 80,
+                 energy_threshold: int = 1_000_000_000,
+                 min_frames: int = 1,
+                 content_col: str = "content",
+                 id_col: str = "media_id") -> DataFrame:
+    """Per-SEGMENT VAD emission — the operator an ASR-prep pipeline
+    actually calls between decode and transcription (round-7 verdict
+    item 5): `vad_stats` summarizes a clip, this emits one row per
+    maximal run of consecutive speech frames so segments can feed
+    chunking/dedup/transcription like the text chunkers do. Same
+    decode/framing/threshold as `vad_stats` (exact int64 energies);
+    runs shorter than `min_frames` are dropped (the hangover-free
+    version of webrtcvad's min-duration), and `seg_idx` is 1-based
+    over EMITTED segments. Frame indices are 1-based inclusive
+    (matching q164's first/last convention); start_ms/end_ms are the
+    segment's [start, end) sample positions on the decoded clock in
+    integer floor milliseconds — all-integer outputs, so a SQL engine
+    replays the whole gaps-and-islands computation exactly (q171).
+    Arrow-batched mapInPandas; bytes never leave the executor, and a
+    clip emits at most n_frames/min_frames rows."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                if buf is None:
+                    continue
+                rate, norm = decode_audio(bytes(buf), "audio/*")
+                v = np.rint(norm * 32768.0).astype(np.int64)
+                mono = v.sum(axis=1) // v.shape[1]
+                nf = mono.shape[0] // frame_samples
+                fr = mono[:nf * frame_samples].reshape(nf, frame_samples)
+                energy = (fr * fr).sum(axis=1)
+                idx = np.flatnonzero(energy > energy_threshold)
+                if not idx.size:
+                    continue
+                brk = np.flatnonzero(np.diff(idx) > 1)
+                starts = np.concatenate(([idx[0]], idx[brk + 1]))
+                ends = np.concatenate((idx[brk], [idx[-1]]))
+                cs = np.concatenate(([0], np.cumsum(energy)))
+                seg = 0
+                for s0, e0 in zip(starts.tolist(), ends.tolist()):
+                    if e0 - s0 + 1 < min_frames:
+                        continue
+                    seg += 1
+                    rows.append((
+                        mid, seg, s0 + 1, e0 + 1, e0 - s0 + 1,
+                        s0 * frame_samples * 1000 // rate,
+                        (e0 + 1) * frame_samples * 1000 // rate,
+                        int(cs[e0 + 1] - cs[s0])))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "seg_idx", "start_frame", "end_frame",
+                "n_frames", "start_ms", "end_ms", "seg_energy"])
+
+    return df.select(id_col, content_col).mapInPandas(
+        compute, schema=VAD_SEGMENTS_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10, content_col: str = "content",
                   id_col: str = "media_id",
                   n_frames_col: str = "meta.n_frames") -> DataFrame:

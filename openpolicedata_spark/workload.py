@@ -6701,13 +6701,23 @@ def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the G.711 expansion AND the framing/threshold logic in pure SQL.
     One Arrow-batched mapInPandas pass; at 100 TB this is
     embarrassingly parallel and the output is 5 longs per clip."""
+    from openpolicedata_spark.operators.multimodal import vad_stats
+
+    clips = _g711_vad_clips(_read(spark, sf_dir, "documents"))
+    return (vad_stats(clips, frame_samples=8,
+                      energy_threshold=700_000_000)
+            .withColumnRenamed("media_id", "doc_id"))
+
+
+def _g711_vad_clips(d: DataFrame) -> DataFrame:
+    """Deterministic µ-law telephony clips for the VAD queries (q164,
+    q171): 64 md5-stream bytes per document wrapped as a mono 8 kHz
+    G.711 WAV — the same integer-exact construction both DuckDB
+    oracles replay from the raw hex."""
     import hashlib as _hl
     import struct as _st
 
     import pandas as pd
-    from openpolicedata_spark.operators.multimodal import vad_stats
-
-    d = _read(spark, sf_dir, "documents")
 
     def _wav(payload: bytes) -> bytes:
         fmt = _st.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
@@ -6728,14 +6738,14 @@ def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from openpolicedata_spark.operators.dedup import rebalance
 
-    clips = rebalance(d.select("doc_id", "text")).mapInPandas(
+    return rebalance(d.select("doc_id", "text")).mapInPandas(
         build, "media_id long, content binary")
-    return (vad_stats(clips, frame_samples=8,
-                      energy_threshold=700_000_000)
-            .withColumnRenamed("media_id", "doc_id"))
 
 
-_Q164_SQL = """
+# shared oracle prefix for q164/q171: replay the µ-law clip bytes from
+# the md5 hex, expand through the G.711 formula, frame, and sum exact
+# integer energies — ends at the per-(doc, frame) energy table `fe`
+_VAD_FE_CTE = """
 WITH b AS (
     SELECT doc_id,
            md5(text || 'v0') || md5(text || 'v1')
@@ -6757,6 +6767,9 @@ WITH b AS (
     SELECT doc_id, frame, SUM(val * val) AS energy
     FROM dec GROUP BY doc_id, frame
 )
+"""
+
+_Q164_SQL = _VAD_FE_CTE + """
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_frames,
        CAST(COUNT(*) FILTER (energy > 700000000) AS BIGINT) AS n_speech,
@@ -6766,6 +6779,51 @@ SELECT doc_id,
             AS BIGINT) AS last_speech,
        CAST(SUM(energy) AS BIGINT) AS total_energy
 FROM fe GROUP BY doc_id
+"""
+
+
+def q171_vad_segment_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment VAD EMISSION (`multimodal.vad_segments` — round-7
+    verdict item 5): instead of q164's per-clip summary, emit one row
+    per maximal run of consecutive speech frames — (seg_idx,
+    start/end frame, frame count, [start_ms, end_ms) on the decoded
+    8 kHz clock, exact int64 segment energy) — the rows an ASR-prep
+    pipeline feeds into transcription/chunking. Runs shorter than 2
+    frames are dropped BEFORE seg_idx is assigned (min-duration
+    filtering), so the oracle's gaps-and-islands replay (island =
+    frame − ROW_NUMBER) must reproduce the filter + renumbering too.
+    Same clip construction and energy math as q164 (shared
+    `_g711_vad_clips` + `_VAD_FE_CTE` prefix); all-integer outputs."""
+    from openpolicedata_spark.operators.multimodal import vad_segments
+
+    clips = _g711_vad_clips(_read(spark, sf_dir, "documents"))
+    return (vad_segments(clips, frame_samples=8,
+                         energy_threshold=700_000_000, min_frames=2)
+            .withColumnRenamed("media_id", "doc_id"))
+
+
+_Q171_SQL = _VAD_FE_CTE + """
+, sp AS (
+    SELECT doc_id, frame, energy,
+           frame - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY frame) AS isl
+    FROM fe WHERE energy > 700000000
+), seg AS (
+    SELECT doc_id, MIN(frame) AS start_frame, MAX(frame) AS end_frame,
+           COUNT(*) AS nf, SUM(energy) AS seg_energy
+    FROM sp GROUP BY doc_id, isl
+    HAVING COUNT(*) >= 2
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame)
+            AS BIGINT) AS seg_idx,
+       CAST(start_frame AS BIGINT) AS start_frame,
+       CAST(end_frame AS BIGINT) AS end_frame,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST((start_frame - 1) * 8 * 1000 // 8000 AS BIGINT) AS start_ms,
+       CAST(end_frame * 8 * 1000 // 8000 AS BIGINT) AS end_ms,
+       CAST(seg_energy AS BIGINT) AS seg_energy
+FROM seg
 """
 
 
@@ -7879,6 +7937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_important_stock": q168_important_stock,
         "q169_market_share": q169_market_share,
         "q170_product_profit": q170_product_profit,
+        "q171_vad_segment_rows": q171_vad_segment_rows,
     }
     return base
 
@@ -8057,4 +8116,5 @@ def oracle_sql() -> dict[str, str]:
         "q168_important_stock": _Q168_SQL,
         "q169_market_share": _Q169_SQL,
         "q170_product_profit": _Q170_SQL,
+        "q171_vad_segment_rows": _Q171_SQL,
     }

@@ -319,3 +319,72 @@ def test_pipeline_video_branch_container_heterogeneous(spark, docs):
     assert all(nc == 1 and n == 12 for nc, n in rows.values()), rows
     n_groups = comp.select("cluster_id").distinct().count()
     assert 1 <= n_groups <= 10, n_groups
+
+
+def test_pipeline_audio_branch_vad_segments_feed_downstream(spark, docs):
+    """ASR-prep audio branch: real codec bytes → vad_segments → the
+    per-segment rows drive a downstream keep/drop step (min-duration
+    gate) exactly like the text chunkers drive packing. Each doc gets
+    a planted burst layout (silence / speech runs derived from doc_id),
+    encoded as WAV for even ids and FLAC for odd ids — the container
+    must not leak: segment boundaries, counts, and energies depend
+    only on the samples. Asserts the planted layout is recovered, the
+    min_frames gate drops exactly the short bursts, and totals
+    reconcile with vad_stats."""
+    import numpy as np
+    import pandas as pd
+
+    from openpolicedata_spark.operators.multimodal import (
+        vad_segments,
+        vad_stats,
+    )
+    from openpolicedata_spark.sources.flac import encode_flac
+    from openpolicedata_spark.sources.wav import encode_wav
+
+    base = docs.select("doc_id").where(F.col("doc_id") < 64)
+    FR = 8  # samples per frame
+
+    def layout(did):
+        # frames: 2 quiet, (2 + did%3) loud, 2 quiet, 1 loud, 1 quiet
+        return ([0] * 2 + [1] * (2 + did % 3) + [0] * 2 + [1] + [0])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pat = layout(did)
+                pcm = np.array(
+                    sum(([18000 if f else 5] * FR for f in pat), []),
+                    dtype=np.int16)
+                enc = encode_wav(pcm, 8000) if did % 2 == 0 \
+                    else encode_flac(pcm, 8000)
+                rows.append((did, enc))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    clips = base.mapInPandas(gen, "media_id long, content binary")
+    thr = FR * 5 * 5
+    segs = vad_segments(clips, frame_samples=FR, energy_threshold=thr,
+                        min_frames=2).collect()
+    by_id = {}
+    for r in segs:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == set(range(64))
+    for did, rs in by_id.items():
+        # only the long burst survives min_frames=2 (the 1-frame burst
+        # at the tail is gated)
+        assert [r.seg_idx for r in rs] == [1]
+        r = rs[0]
+        assert (r.start_frame, r.end_frame) == (3, 4 + did % 3)
+        assert r.seg_energy == (2 + did % 3) * FR * 18000 * 18000
+        # 8 samples @8kHz = 1ms frames: [start,end) ms on the clock
+        assert (r.start_ms, r.end_ms) == (2, 4 + did % 3)
+
+    # downstream keep/drop: clips whose total speech (incl. the short
+    # burst) exceeds their emitted-segment coverage get flagged for a
+    # second pass — reconciles vad_stats vs vad_segments exactly
+    stats = {r.media_id: r for r in
+             vad_stats(clips, frame_samples=FR,
+                       energy_threshold=thr).collect()}
+    for did, rs in by_id.items():
+        assert stats[did].n_speech == sum(r.n_frames for r in rs) + 1

@@ -344,6 +344,53 @@ def test_vad_stats_speech_silence_and_cross_codec(spark):
     assert half.total_energy == out[1].total_energy // 4  # (v/2)^2
 
 
+def test_vad_segments_runs_minframes_and_ms_clock(spark):
+    """vad_segments emits one row per maximal consecutive speech run:
+    boundaries, per-segment exact energies, the min_frames filter
+    applied BEFORE seg_idx renumbering, and [start_ms, end_ms) on the
+    decoded clock. Pinned against a hand-computed layout and against
+    vad_stats totals; null content emits nothing."""
+    import numpy as np
+
+    from openpolicedata_spark.operators.multimodal import (
+        vad_segments,
+        vad_stats,
+    )
+    from openpolicedata_spark.sources.wav import encode_wav
+
+    loud, quiet = 20000, 10
+    # frame pattern (4 samples each): L L q L q q L -> runs [1,2], [4],
+    # [7]; min_frames=2 keeps only frames 1-2 as seg_idx 1
+    pat = [loud, loud, quiet, loud, quiet, quiet, loud]
+    pcm = np.array(sum(([v] * 4 for v in pat), []), dtype=np.int16)
+    thr = 4 * quiet * quiet
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(pcm, 8000))), (2, None)],
+        "media_id long, content binary")
+
+    segs = vad_segments(df, frame_samples=4, energy_threshold=thr,
+                        min_frames=2).collect()
+    assert len(segs) == 1
+    r = segs[0]
+    assert (r.media_id, r.seg_idx, r.start_frame, r.end_frame,
+            r.n_frames) == (1, 1, 1, 2, 2)
+    # 4 samples @8kHz = 0.5ms/frame, floor-ms: [0, 1)
+    assert (r.start_ms, r.end_ms) == (0, 1)
+    assert r.seg_energy == 2 * 4 * loud * loud
+
+    # min_frames=1 emits all three runs, renumbered 1..3, and their
+    # energies sum to vad_stats' speech share of total
+    all3 = vad_segments(df, frame_samples=4, energy_threshold=thr,
+                        min_frames=1).collect()
+    assert [(s.seg_idx, s.start_frame, s.end_frame) for s in all3] \
+        == [(1, 1, 2), (2, 4, 4), (3, 7, 7)]
+    stats = vad_stats(df, frame_samples=4, energy_threshold=thr).collect()
+    st = next(s for s in stats if s.media_id == 1)
+    assert sum(s.seg_energy for s in all3) \
+        == st.n_speech * 4 * loud * loud
+    assert st.first_speech == 1 and st.last_speech == 7
+
+
 def test_streaming_standardize_rejects_streaming_sample(spark, tmp_path):
     from openpolicedata_spark.standardize import standardize
 
