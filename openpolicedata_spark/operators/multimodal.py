@@ -293,8 +293,9 @@ def decode_audio(content: bytes, mime: str) -> "tuple[int, np.ndarray]":
     raise NotImplementedError(
         f"no stdlib codec for {mime!r} (magic {b[:4]!r}); WAV, FLAC, "
         "Ogg-FLAC, and MP4/MOV PCM+FLAC tracks are supported "
-        "natively, mp3/vorbis/opus/aac need soundfile/ffmpeg; raw PCM "
-        "(audio/L16) is handled codec-free by pcm_features")
+        "natively, mp3/vorbis/opus/aac PCM needs soundfile/ffmpeg "
+        "(mp3 METADATA scans work via mp3_scan — FIXTURES.md F10); "
+        "raw PCM (audio/L16) is handled codec-free by pcm_features")
 
 
 PCM_FEATURES_SCHEMA = ("media_id long, n_samples long, duration_s double, "
@@ -456,6 +457,52 @@ def vad_segments(df: DataFrame, frame_samples: int = 80,
 
     return df.select(id_col, content_col).mapInPandas(
         compute, schema=VAD_SEGMENTS_SCHEMA)
+
+
+MP3_SCAN_SCHEMA = ("media_id long, n_frames long, sample_rate long, "
+                   "duration_ms long, audio_bytes long, "
+                   "first_frame_offset long, bitrate_min_kbps long, "
+                   "bitrate_max_kbps long, bitrate_sum_kbps long, "
+                   "is_vbr boolean")
+
+
+def mp3_scan(df: DataFrame, content_col: str = "content",
+             id_col: str = "media_id") -> DataFrame:
+    """Metadata-only mp3 scan (`sources.mp3.mp3_stats` — ID3v2 skip +
+    MPEG-1 Layer III frame walk): duration on the sample clock, frame
+    count, bitrate profile, VBR flag — the ffprobe-style pass a speech
+    corpus runs to inventory/stratify audio BEFORE committing decode
+    compute. PCM decode stays gated (FIXTURES.md §F10: the Annex-B
+    Huffman tables / synthesis window are not offline-reproducible);
+    the container arithmetic here is pure recalled FORMULA
+    (144*bitrate//rate + padding, syncsafe sizes), pinned by
+    hand-computed fixtures and q172's parse-vs-generative-replay
+    oracle. Arrow-batched mapInPandas; unparseable payloads yield
+    null stats rather than failing the scan (the walker itself raises
+    loudly when called directly)."""
+    from openpolicedata_spark.sources.mp3 import Mp3Error, mp3_stats
+
+    cols = ["n_frames", "sample_rate", "duration_ms", "audio_bytes",
+            "first_frame_offset", "bitrate_min_kbps", "bitrate_max_kbps",
+            "bitrate_sum_kbps", "is_vbr"]
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                if buf is None:
+                    rows.append((mid,) + (None,) * len(cols))
+                    continue
+                try:
+                    st = mp3_stats(bytes(buf))
+                except Mp3Error:
+                    rows.append((mid,) + (None,) * len(cols))
+                    continue
+                rows.append((mid,) + tuple(st[c] for c in cols))
+            yield pd.DataFrame(rows, columns=[id_col] + cols)
+
+    return df.select(id_col, content_col).mapInPandas(
+        compute, schema=MP3_SCAN_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, content_col: str = "content",

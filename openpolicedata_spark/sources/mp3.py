@@ -1,0 +1,132 @@
+"""MPEG-1 Layer III (mp3) FRAME WALKER — metadata only, no PCM.
+
+PCM decode is blocked offline (FIXTURES.md §F10: the Annex-B Huffman
+tables, the 512-tap synthesis window, and the scalefactor-band layouts
+are irreducible spec DATA that cannot be recalled or derived with
+confidence, and a self round-trip would not validate them). What F10
+explicitly leaves UNBLOCKED is the container layer, which is pure
+formula: the 32-bit frame header, the bitrate/sample-rate ladders, the
+frame-size arithmetic ``144*bitrate//rate + padding``, and the ID3v2
+syncsafe skip. That layer is what a corpus-prep pipeline needs for
+metadata-only scans — duration, bitrate profile, VBR detection, frame
+counts — the ffprobe/mp3val use case (reference has no media handling
+at all; beyond-reference LLM-pipeline coverage).
+
+Scope is deliberately MPEG-1 Layer III only (the confidently-recalled
+subset): MPEG-2/2.5 headers, Layer I/II, and free-format streams raise
+loudly with the variant named. PCM decode requests keep raising in
+`multimodal.decode_audio`.
+"""
+
+from __future__ import annotations
+
+MP3_SAMPLES_PER_FRAME = 1152
+
+# MPEG-1 Layer III bitrate ladder (kbit/s); index 0 = free-format
+# (gated), index 15 = invalid
+MP3_BITRATES_KBPS = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                     192, 224, 256, 320)
+
+# sampling_frequency field (2 bits); 3 = reserved
+MP3_SAMPLE_RATES = (44100, 48000, 32000)
+
+
+class Mp3Error(ValueError):
+    pass
+
+
+def id3v2_size(data: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 when absent): 10-byte
+    header + syncsafe 28-bit size (+10 for the footer when flag 0x10
+    is set). Syncsafe = 7 payload bits per byte, MSB clear."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    flags = data[5]
+    if any(b & 0x80 for b in data[6:10]):
+        raise Mp3Error("corrupt ID3v2 header: non-syncsafe size byte")
+    size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    return 10 + size + (10 if flags & 0x10 else 0)
+
+
+def parse_frame_header(data: bytes, pos: int) -> tuple[int, int, int, int]:
+    """Parse one frame header at `pos` → (frame_size, bitrate_kbps,
+    sample_rate, padding). Raises Mp3Error naming the variant for
+    anything outside MPEG-1 Layer III with a fixed bitrate."""
+    if pos + 4 > len(data):
+        raise Mp3Error("truncated frame header")
+    b0, b1, b2, _b3 = data[pos:pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise Mp3Error(f"lost sync at byte {pos}")
+    version = (b1 >> 3) & 0x3   # 3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5
+    layer = (b1 >> 1) & 0x3     # 1=Layer III, 2=Layer II, 3=Layer I
+    if version != 3:
+        name = {2: "MPEG-2", 0: "MPEG-2.5"}.get(version, "reserved")
+        raise Mp3Error(f"{name} audio is gated (MPEG-1 only; "
+                       "FIXTURES.md F10)")
+    if layer != 1:
+        name = {3: "Layer I", 2: "Layer II"}.get(layer, "reserved")
+        raise Mp3Error(f"{name} is gated (Layer III only; "
+                       "FIXTURES.md F10)")
+    br_idx = (b2 >> 4) & 0xF
+    if br_idx == 0:
+        raise Mp3Error("free-format bitrate is gated (frame size is "
+                       "not derivable from the header)")
+    if br_idx == 15:
+        raise Mp3Error("invalid bitrate index 15")
+    sr_idx = (b2 >> 2) & 0x3
+    if sr_idx == 3:
+        raise Mp3Error("reserved sampling-frequency index 3")
+    bitrate = MP3_BITRATES_KBPS[br_idx]
+    rate = MP3_SAMPLE_RATES[sr_idx]
+    padding = (b2 >> 1) & 1
+    size = 144 * bitrate * 1000 // rate + padding
+    return size, bitrate, rate, padding
+
+
+def walk_frames(data: bytes) -> list[tuple[int, int, int, int]]:
+    """Walk every frame after an optional ID3v2 tag →
+    [(offset, size, bitrate_kbps, sample_rate), ...]. Trailing bytes
+    that are too short for a header (e.g. an ID3v1 'TAG' block, 128
+    bytes starting with 'TAG') are tolerated; anything else that is
+    not a sync word raises — a walker that silently resyncs would hide
+    corruption the pipeline should surface."""
+    pos = id3v2_size(data)
+    out = []
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 3] == b"TAG" and n - pos == 128:
+            break  # ID3v1 trailer
+        size, bitrate, rate, _pad = parse_frame_header(data, pos)
+        if pos + size > n:
+            raise Mp3Error(f"truncated final frame at byte {pos} "
+                           f"(needs {size} bytes, {n - pos} left)")
+        out.append((pos, size, bitrate, rate))
+        pos += size
+    if not out:
+        raise Mp3Error("no MPEG frames found")
+    return out
+
+
+def mp3_stats(data: bytes) -> dict:
+    """Metadata-only scan: frame count, duration on the sample clock
+    (integer floor ms), byte totals, bitrate profile, VBR flag. All
+    integers except none — replayable by a SQL engine that knows the
+    generative parameters (q172's oracle replays the construction,
+    Spark parses the BYTES; agreement pins the walker)."""
+    frames = walk_frames(data)
+    rates = {f[3] for f in frames}
+    if len(rates) > 1:
+        raise Mp3Error(f"mixed sample rates {sorted(rates)}")
+    rate = frames[0][3]
+    brs = [f[2] for f in frames]
+    return {
+        "n_frames": len(frames),
+        "sample_rate": rate,
+        "duration_ms": len(frames) * MP3_SAMPLES_PER_FRAME * 1000 // rate,
+        "audio_bytes": sum(f[1] for f in frames),
+        "first_frame_offset": frames[0][0],
+        "bitrate_min_kbps": min(brs),
+        "bitrate_max_kbps": max(brs),
+        "bitrate_sum_kbps": sum(brs),
+        "is_vbr": min(brs) != max(brs),
+    }

@@ -6827,6 +6827,90 @@ FROM seg
 """
 
 
+def q172_mp3_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only mp3 inventory (`multimodal.mp3_scan` — the
+    ffprobe-style pass that stratifies a speech corpus by duration/
+    bitrate BEFORE decode compute; PCM decode itself stays gated per
+    FIXTURES.md §F10). Each document becomes a synthetic-but-VALID
+    MPEG-1 Layer III byte stream: an ID3v2 tag of doc_id%200 payload
+    bytes (its 28-bit size syncsafe-encoded — >127 exercises the
+    multi-byte split), then 3+doc_id%5 frames whose bitrate index and
+    padding bit come from the md5 stream, each frame zero-filled to
+    its header-mandated size 144*bitrate/rate + pad. Spark PARSES the
+    bytes (sync check, ladder lookup, size walk); the oracle REPLAYS
+    the generative parameters in SQL — agreement pins the walker's
+    arithmetic end to end (the q129-q132 parse-vs-replay recipe).
+    Embarrassingly parallel, 9 scalars out per clip."""
+    import hashlib as _hl
+
+    import pandas as pd
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.multimodal import mp3_scan
+
+    d = _read(spark, sf_dir, "documents")
+
+    def build(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                sz = did % 200
+                tag = (b"ID3" + bytes([3, 0, 0]) +
+                       bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                              (sz >> 7) & 0x7F, sz & 0x7F]) +
+                       b"\x00" * sz)
+                frames = []
+                for i in range(3 + did % 5):
+                    h = _hl.md5(
+                        text.encode("utf-8") + b"m" + str(i).encode()
+                    ).hexdigest()
+                    br_idx = 1 + int(h[0], 16) % 14
+                    pad = int(h[1], 16) % 2
+                    size = (144 * (32, 40, 48, 56, 64, 80, 96, 112, 128,
+                                   160, 192, 224, 256, 320)[br_idx - 1]
+                            * 1000 // 44100 + pad)
+                    hdr = bytes([0xFF, 0xFB,
+                                 (br_idx << 4) | (0 << 2) | (pad << 1),
+                                 0x00])
+                    frames.append(hdr + b"\x00" * (size - 4))
+                rows.append((did, tag + b"".join(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    clips = rebalance(d.select("doc_id", "text")).mapInPandas(
+        build, "media_id long, content binary")
+    return mp3_scan(clips).withColumnRenamed("media_id", "doc_id")
+
+
+_Q172_SQL = """
+WITH f AS (
+    SELECT doc_id,
+           1 + CAST('0x' || substr(md5(text || 'm' || i), 1, 1)
+                    AS INTEGER) % 14 AS br_idx,
+           CAST('0x' || substr(md5(text || 'm' || i), 2, 1)
+                AS INTEGER) % 2 AS pad
+    FROM documents,
+         unnest(range(0, 3 + CAST(doc_id % 5 AS INT))) t(i)
+), sized AS (
+    SELECT doc_id,
+           ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[br_idx]
+               AS br,
+           pad
+    FROM f
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(44100 AS BIGINT) AS sample_rate,
+       CAST(COUNT(*) * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,
+       CAST(SUM(144 * br * 1000 // 44100 + pad) AS BIGINT) AS audio_bytes,
+       CAST(10 + doc_id % 200 AS BIGINT) AS first_frame_offset,
+       CAST(MIN(br) AS BIGINT) AS bitrate_min_kbps,
+       CAST(MAX(br) AS BIGINT) AS bitrate_max_kbps,
+       CAST(SUM(br) AS BIGINT) AS bitrate_sum_kbps,
+       MIN(br) <> MAX(br) AS is_vbr
+FROM sized GROUP BY doc_id
+"""
+
+
 def q165_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-damage detection + repair (the ftfy core case — cp1252-
     in-UTF-8 double encoding, endemic in web-scraped corpora): corrupt
@@ -7938,6 +8022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_market_share": q169_market_share,
         "q170_product_profit": q170_product_profit,
         "q171_vad_segment_rows": q171_vad_segment_rows,
+        "q172_mp3_inventory": q172_mp3_inventory,
     }
     return base
 
@@ -8117,4 +8202,5 @@ def oracle_sql() -> dict[str, str]:
         "q169_market_share": _Q169_SQL,
         "q170_product_profit": _Q170_SQL,
         "q171_vad_segment_rows": _Q171_SQL,
+        "q172_mp3_inventory": _Q172_SQL,
     }

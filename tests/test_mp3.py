@@ -1,0 +1,95 @@
+"""mp3 FRAME WALKER (metadata only — PCM decode is gated, FIXTURES.md
+F10): hand-computed frame sizes from the public header formula, ID3v2
+syncsafe skip, loud gates for every out-of-scope variant."""
+
+import pytest
+
+from openpolicedata_spark.sources import mp3 as M
+
+
+def frame(br_idx, sr_idx=0, pad=0, fill=b"\x00"):
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1), 0])
+    br = M.MP3_BITRATES_KBPS[br_idx]
+    rate = M.MP3_SAMPLE_RATES[sr_idx]
+    size = 144 * br * 1000 // rate + pad
+    return hdr + fill * (size - 4)
+
+
+def test_hand_computed_frame_sizes():
+    # 128 kbps @ 44100: 144*128000/44100 = 417.95... -> 417 (+pad)
+    assert M.parse_frame_header(frame(9), 0) == (417, 128, 44100, 0)
+    assert M.parse_frame_header(frame(9, pad=1), 0) == (418, 128, 44100, 1)
+    # 320 kbps @ 44100 -> 1044 ; 32 kbps @ 48000 -> 96 ; 40 @ 32000 -> 180
+    assert M.parse_frame_header(frame(14), 0)[0] == 1044
+    assert M.parse_frame_header(frame(1, sr_idx=1), 0) == (96, 32, 48000, 0)
+    assert M.parse_frame_header(frame(2, sr_idx=2), 0) == (180, 40, 32000, 0)
+
+
+def test_id3v2_syncsafe_skip_and_footer():
+    assert M.id3v2_size(b"\xff\xfbxx") == 0
+    # size 200 = syncsafe [0,0,1,72]
+    tag = b"ID3" + bytes([3, 0, 0, 0, 0, 1, 72]) + b"\x00" * 200
+    assert M.id3v2_size(tag) == 210
+    # footer flag 0x10 adds 10
+    tagf = b"ID3" + bytes([4, 0, 0x10, 0, 0, 1, 72])
+    assert M.id3v2_size(tagf + b"\x00" * 210) == 220
+    # a set MSB in a size byte is corruption, not a bigger tag
+    with pytest.raises(M.Mp3Error, match="syncsafe"):
+        M.id3v2_size(b"ID3" + bytes([3, 0, 0, 0, 0, 0x80, 0]))
+
+
+def test_walk_and_stats_vbr_cbr_and_trailers():
+    blob = frame(9) + frame(14, pad=1) + frame(9)
+    st = M.mp3_stats(blob)
+    assert st["n_frames"] == 3 and st["sample_rate"] == 44100
+    assert st["audio_bytes"] == 417 + 1045 + 417 == len(blob)
+    assert st["duration_ms"] == 3 * 1152 * 1000 // 44100 == 78
+    assert (st["bitrate_min_kbps"], st["bitrate_max_kbps"]) == (128, 320)
+    assert st["is_vbr"] is True and st["first_frame_offset"] == 0
+
+    tag = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 42]) + b"\x00" * 42
+    id3v1 = b"TAG" + b"\x00" * 125
+    st2 = M.mp3_stats(tag + frame(9) + frame(9) + id3v1)
+    assert st2["n_frames"] == 2 and st2["is_vbr"] is False
+    assert st2["first_frame_offset"] == 52
+
+
+def test_gates_name_the_variant():
+    f = bytearray(frame(9))
+    for mutate, msg in (
+        (lambda b: b.__setitem__(1, 0xF3), "MPEG-2"),        # version 10
+        (lambda b: b.__setitem__(1, 0xE3), "MPEG-2.5"),      # version 00
+        (lambda b: b.__setitem__(1, 0xFD), "Layer II"),
+        (lambda b: b.__setitem__(1, 0xFF), "Layer I"),
+        (lambda b: b.__setitem__(2, 0x00), "free-format"),
+        (lambda b: b.__setitem__(2, 0xF0), "invalid bitrate"),
+        (lambda b: b.__setitem__(2, 0x9C), "reserved sampling"),
+        (lambda b: b.__setitem__(0, 0x7F), "lost sync"),
+    ):
+        b = bytearray(f)
+        mutate(b)
+        with pytest.raises(M.Mp3Error, match=msg):
+            M.parse_frame_header(bytes(b), 0)
+
+    with pytest.raises(M.Mp3Error, match="truncated final frame"):
+        M.walk_frames(frame(9)[:-1])
+    with pytest.raises(M.Mp3Error, match="no MPEG frames"):
+        M.walk_frames(b"ID3" + bytes([3, 0, 0, 0, 0, 0, 0]))
+    with pytest.raises(M.Mp3Error, match="mixed sample rates"):
+        M.mp3_stats(frame(9) + frame(9, sr_idx=1))
+    # mid-stream garbage raises rather than silently resyncing
+    with pytest.raises(M.Mp3Error, match="lost sync"):
+        M.walk_frames(frame(9) + b"\x00" * 64)
+
+
+def test_mp3_scan_operator_nulls_and_values(spark):
+    from openpolicedata_spark.operators.multimodal import mp3_scan
+
+    blob = frame(9) + frame(14)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, None), (3, bytearray(b"not an mp3"))],
+        "media_id long, content binary")
+    out = {r.media_id: r for r in mp3_scan(df).collect()}
+    assert out[1].n_frames == 2 and out[1].audio_bytes == 417 + 1044
+    assert out[1].is_vbr is True
+    assert out[2].n_frames is None and out[3].duration_ms is None
