@@ -399,10 +399,19 @@ def mask_repeated_spans(
     `remove_boilerplate_lines` choice. mode='keep_first' matches
     ExactSubstr's keep-one semantics: each hot span's deterministic
     survivor is the MIN doc_id among documents containing it, and the
-    span is cut only from the other documents (per-span survivors, so a
-    long copied run whose constituent spans have different survivors is
-    an approximation of true maximal-substring keep-one — documented
-    trade vs building distributed suffix arrays).
+    span is cut only from the other documents. The gap to TRUE
+    maximal-substring keep-one is measured and EXACTLY characterized
+    (tests/test_textpipe.py::test_keep_first_vs_true_exactsubstr_
+    quantified, vs a brute-force pairwise-maximal-match oracle;
+    SCALE.md table): the approximation is ONE-SIDED — operator cuts
+    are always a SUBSET of true cuts (a hot span in doc d with a
+    smaller survivor is itself a cross-doc duplicate truth cuts too),
+    and the only under-cutting is WITHIN-survivor-doc repeats: the min
+    doc keeps ALL its copies of a block (and `min_docs` counts
+    distinct docs, so purely internal repetition is never cut) where
+    true keep-one keeps only the first occurrence. Cross-document
+    behavior matches true keep-one exactly on every measured corpus —
+    no distributed suffix array needed for it.
 
     Per-doc cut-sets are stored as MAXIMAL RUNS [start, end] (adjacent/
     overlapping hot spans coalesce), so a copied paragraph is ONE cut

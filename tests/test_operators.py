@@ -815,6 +815,62 @@ def test_ivfpq_residual_beats_raw_at_equal_budget(spark):
     assert recall_res >= 0.5, recall_res
 
 
+def test_ivfpq_residual_multiprobe_recall_curve(spark):
+    """The nprobe knob FAISS users tune first, measured on the residual
+    path (round-7 verdict item 6): on OVERLAPPING clusters (separation
+    ~2x the local noise, so true neighbors spill across coarse lists)
+    recall@10 must be monotone non-decreasing in nprobe and strictly
+    better at nprobe=4 than nprobe=1 — probing more lists recovers the
+    spilled neighbors. At this seed the true top-10 sits 5/8/10 in the
+    probe order's first 1/2/4 lists (the routing-side ceiling; ADC
+    quantization can only lower it). Numbers recorded in SCALE.md
+    ("Multi-probe recall")."""
+    import numpy as np
+
+    from openpolicedata_spark.operators.similarity import (
+        adc_residual_score_sql,
+        ivf_residual_corpus,
+        pq_encode_arrow,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = 6.0 * rng.normal(size=(4, 16))
+    vecs = [centers[i % 4] + 6.0 * rng.normal(size=16)
+            for i in range(240)]
+    qv = centers[0] + 6.0 * rng.normal(size=16)
+    X = np.array(vecs)
+    true10 = set(np.argsort(((X - qv) ** 2).sum(1))[:10].tolist())
+
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    coarse = [c.tolist() for c in centers]
+    qvec = qv.tolist()
+    books = pq_train(ivf_residual_corpus(df, coarse), m=8, k=8, iters=3)
+    codes = pq_encode_arrow(df, books, coarse=coarse,
+                            residual=True).cache()
+    score = adc_residual_score_sql(books, coarse, qvec)
+
+    # probe order = query's coarse distances, the q151/q156 rule
+    qd = sorted((sum((qv[d] - centers[li][d]) ** 2 for d in range(16)),
+                 li + 1) for li in range(4))
+    order = [li for _d, li in qd]
+
+    recall = {}
+    for nprobe in (1, 2, 4):
+        probe = order[:nprobe]
+        ids = [r.vec_id for r in codes
+               .where(F.col("list_id").isin(probe))
+               .selectExpr("vec_id", f"({score}) AS d")
+               .orderBy("d", "vec_id").limit(10).collect()]
+        recall[nprobe] = len(true10 & set(ids)) / 10.0
+    codes.unpersist()
+    assert recall[1] <= recall[2] <= recall[4], recall
+    assert recall[4] > recall[1], recall
+    assert recall[4] >= 0.5, recall
+
+
 def test_ivfpq_residual_encode_shape_and_python_free(spark):
     from openpolicedata_spark.operators.similarity import (
         ivfpq_residual_encode,

@@ -670,3 +670,109 @@ class TestBpeTrainApply:
             greedy = {r["doc_id"]: r["bpe_tokens"]
                       for r in bpe_apply(df, _Q127_MERGES).collect()}
             assert greedy == seq_segments(df)
+
+
+def _exactsubstr_truth_cuts(docs: dict, k: int) -> dict:
+    """Brute-force TRUE ExactSubstr keep-one ground truth (Lee et al.
+    2022 removal semantics): enumerate every left-maximal pairwise
+    suffix match of length >= k across all (doc, pos) occurrence pairs
+    in (doc_id, pos) order; the smaller occurrence survives, the
+    larger one's covered positions are cut. The union over all pairs
+    cuts every duplicated substring occurrence except its first —
+    including WITHIN-document repeats. O(positions^2 * len): fine for
+    the scenario corpora."""
+    ids = sorted(docs)
+    occ = [(d, i) for d in ids for i in range(len(docs[d]))]
+    cut = {d: set() for d in ids}
+    for a in range(len(occ)):
+        d1, p1 = occ[a]
+        t1 = docs[d1]
+        for b in range(a + 1, len(occ)):
+            d2, p2 = occ[b]
+            t2 = docs[d2]
+            if p1 > 0 and p2 > 0 and t1[p1 - 1] == t2[p2 - 1]:
+                continue  # not left-maximal: the extended pair covers it
+            m = 0
+            while (p1 + m < len(t1) and p2 + m < len(t2)
+                   and t1[p1 + m] == t2[p2 + m]):
+                m += 1
+            if m >= k:
+                cut[d2].update(range(p2, p2 + m))
+    return cut
+
+
+def test_keep_first_vs_true_exactsubstr_quantified(spark):
+    """Round-7 verdict item 4: measure per-span-survivor keep_first
+    against TRUE maximal-substring keep-one on corpora with known
+    ground truth. The result is sharper than the docstring's old
+    qualitative caveat and is now pinned: the approximation is
+    ONE-SIDED — operator cuts are a SUBSET of true cuts (over-cut = 0
+    ALWAYS: a hot span in doc d with survivor d' < d is itself a
+    pairwise duplicate that truth also cuts), and under-cutting occurs
+    EXACTLY on within-survivor-doc repeats (min_docs counts distinct
+    docs, and the min doc keeps all its copies while truth keeps only
+    the first occurrence). Table recorded in SCALE.md."""
+    from collections import Counter
+
+    from openpolicedata_spark.operators.textpipe import mask_repeated_spans
+
+    K = 5
+
+    def blk(name, n):
+        return [f"{name}{i}" for i in range(n)]
+
+    U = lambda d, n: [f"u{d}x{i}" for i in range(n)]  # noqa: E731
+    C, X, Y = blk("c", 12), blk("x", 6), blk("y", 6)
+    S1, S2, B = blk("s", 5), blk("t", 5), blk("b", 8)
+
+    scenarios = {
+        "clean_copy": {0: U(0, 8) + C + U(1, 8), 1: U(2, 8) + C + U(3, 8)},
+        "chain": {0: U(4, 4) + X + U(5, 4), 1: U(6, 4) + X + Y + U(7, 4),
+                  2: U(8, 4) + X + Y + U(9, 4)},
+        "prefix_share": {0: U(10, 4) + S1 + U(11, 4),
+                         2: U(12, 4) + S1 + S2 + U(13, 4),
+                         3: U(14, 4) + S1 + S2 + U(15, 4)},
+        "triple": {0: C[:10], 1: C[:10], 2: C[:10], 3: U(16, 10)},
+        "within_doc": {0: U(17, 4) + B + U(18, 4) + B + U(19, 4),
+                       1: U(20, 4) + B + U(21, 4)},
+        "within_doc_only": {0: U(22, 4) + B + U(23, 4) + B + U(24, 4),
+                            1: U(25, 12)},
+    }
+    # randomized small-vocab corpus: dense accidental shared spans;
+    # the one-sided property (over-cut == 0) must hold unconditionally
+    import random
+
+    rng = random.Random(13)
+    scenarios["random_dense"] = {
+        d: [rng.choice("abcd") for _ in range(40 + 7 * d)]
+        for d in range(8)}
+
+    table = {}
+    for name, docs in scenarios.items():
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()],
+            "doc_id long, text string")
+        out = {r.doc_id: r.clean_text.split() if r.clean_text else []
+               for r in mask_repeated_spans(
+                   df, k=K, mode="keep_first").collect()}
+        truth_cut = _exactsubstr_truth_cuts(docs, K)
+        over = under = 0
+        for d, toks in docs.items():
+            truth_kept = Counter(t for i, t in enumerate(toks)
+                                 if i not in truth_cut[d])
+            op_kept = Counter(out[d])
+            over += sum((truth_kept - op_kept).values())
+            under += sum((op_kept - truth_kept).values())
+        total = sum(len(t) for t in docs.values())
+        table[name] = (total, sum(len(c) for c in truth_cut.values()),
+                       over, under)
+        assert over == 0, (name, table[name])
+
+    # under-cut is EXACTLY the within-survivor-doc repeats
+    assert table["clean_copy"][3] == 0
+    assert table["chain"][3] == 0
+    assert table["prefix_share"][3] == 0
+    assert table["triple"][3] == 0
+    assert table["within_doc"][3] == len(B)        # doc0's 2nd B copy
+    assert table["within_doc_only"][3] == len(B)   # min_docs: distinct
+    print("KEEPFIRST_VS_TRUTH " + repr(table))
