@@ -7175,6 +7175,34 @@ _Q170_SQL = _Q170_BODY.format(p="part", s="supplier", l="lineitem",
                               o="orders", n="nation")
 
 
+_Q173_BODY = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l.l_discount AS DECIMAL(4,4))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM {l} l
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l.l_discount BETWEEN 0.05 AND 0.07
+      AND l.l_quantity < 24
+"""
+
+
+def q173_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure scan-aggregate: every predicate (date
+    window, discount band, quantity cap) must reach the parquet scan
+    as a pushed filter, the plan has ZERO joins, and the only exchange
+    is the one-row global-aggregate merge (map-side partials do the
+    work). Completes the declarative corpus: all 22 TPC-H query
+    shapes now have exact-oracle, plan-audited twins. DECIMAL product
+    keeps the revenue double engine-portable."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q173_l")
+    return spark.sql(_Q173_BODY.format(l="q173_l"))
+
+
+_Q173_SQL = _Q173_BODY.format(l="lineitem")
+
+
 def q155_keep_first_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr keep-one semantics (Lee et al. 2022, arXiv:2107.06499
     §4: remove all but ONE occurrence of duplicated text):
@@ -8023,6 +8051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_product_profit": q170_product_profit,
         "q171_vad_segment_rows": q171_vad_segment_rows,
         "q172_mp3_inventory": q172_mp3_inventory,
+        "q173_forecast_revenue": q173_forecast_revenue,
     }
     return base
 
@@ -8203,4 +8232,5 @@ def oracle_sql() -> dict[str, str]:
         "q170_product_profit": _Q170_SQL,
         "q171_vad_segment_rows": _Q171_SQL,
         "q172_mp3_inventory": _Q172_SQL,
+        "q173_forecast_revenue": _Q173_SQL,
     }

@@ -363,6 +363,21 @@ def test_q118_q120_subqueries_decorrelate_to_joins(spark, sf_dir):
         assert_no_python_in_plan(df)
 
 
+def test_q173_pure_scan_aggregate(spark, sf_dir):
+    """Q6 shape: all three predicates pushed to the parquet scan, zero
+    joins, and exactly one exchange (the one-row global-agg merge —
+    map-side partials do the work). The last of the 22 TPC-H shapes."""
+    df = workload.queries()["q173_forecast_revenue"](spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert_filter_pushed(df, col)
+    assert_column_pruned(df, "l_orderkey")
+    s = summarize_plan(df)
+    assert (s.n_broadcast_joins + s.n_sortmerge_joins
+            + s.n_broadcast_nl_joins) == 0, s.text
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+
+
 def test_q168_global_total_is_one_row_subquery_stage(spark, sf_dir):
     """Q11 shape: the HAVING threshold must be planned as an
     uncorrelated scalar-subquery stage (one row, computed once) —
