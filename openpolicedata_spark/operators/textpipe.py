@@ -387,6 +387,7 @@ def mask_repeated_spans(
     out_col: str = "clean_text",
     broadcast_cuts: bool = True,
     mode: str = "mask_all",
+    within_doc: bool = False,
 ) -> DataFrame:
     """Approximate cross-document SUBSTRING dedup (the span-level
     counterpart of Lee et al. 2022's suffix-array dedup, arXiv:2107.06499):
@@ -412,6 +413,19 @@ def mask_repeated_spans(
     true keep-one keeps only the first occurrence. Cross-document
     behavior matches true keep-one exactly on every measured corpus —
     no distributed suffix array needed for it.
+
+    `within_doc=True` (keep_first only) CLOSES that residual gap: a
+    span is hot when its total OCCURRENCE count (not distinct docs)
+    reaches `min_docs`, and the survivor is the lexicographically
+    first (doc_id, position) occurrence — every other occurrence is
+    cut, including later copies inside the survivor document. The
+    result equals true maximal-substring keep-one POSITION-EXACTLY
+    (proof sketch: a position is truth-cut iff some covering k-span
+    has an earlier occurrence, which is exactly "not the (doc, pos)
+    minimum"; equality is asserted against the brute-force oracle on
+    every scenario corpus including the adversarial random one). Same
+    plan shape: the hot aggregate gains one struct-min, nothing else
+    changes.
 
     Per-doc cut-sets are stored as MAXIMAL RUNS [start, end] (adjacent/
     overlapping hot spans coalesce), so a copied paragraph is ONE cut
@@ -439,6 +453,8 @@ def mask_repeated_spans(
     """
     if mode not in ("mask_all", "keep_first"):
         raise ValueError(f"unknown mode {mode!r}")
+    if within_doc and mode != "keep_first":
+        raise ValueError("within_doc=True requires mode='keep_first'")
     from openpolicedata_spark.functions.text import (
         normalize_text_expr,
         shingles_expr,
@@ -450,16 +466,33 @@ def mask_repeated_spans(
         F.col(id_col),
         F.posexplode(shingles_expr(F.col(text_col), k)).alias("i0", "s"),
     ).select(id_col, "i0", F.md5("s").alias("__d__"))
-    hot = (
-        sh.select(id_col, "__d__").distinct()
-        .groupBy("__d__").agg(F.count(F.lit(1)).alias("df"),
-                              F.min(id_col).alias("__surv__"))
-        .where(F.col("df") >= min_docs)
-        .select(F.col("__d__").alias("__hd__"), "__surv__")
-    )
-    hits = sh.join(F.broadcast(hot), F.col("__d__") == F.col("__hd__"))
-    if mode == "keep_first":
-        hits = hits.where(F.col(id_col) != F.col("__surv__"))
+    if within_doc:
+        # exact keep-one: hotness counts OCCURRENCES, the survivor is
+        # the lexicographic (doc, pos) minimum (one struct-min in the
+        # same map-side-combined aggregate)
+        hot = (
+            sh.groupBy("__d__")
+            .agg(F.count(F.lit(1)).alias("occ"),
+                 F.min(F.struct(F.col(id_col).alias("i"),
+                                F.col("i0").alias("p"))).alias("__fst__"))
+            .where(F.col("occ") >= min_docs)
+            .select(F.col("__d__").alias("__hd__"), "__fst__")
+        )
+        hits = (sh.join(F.broadcast(hot), F.col("__d__") == F.col("__hd__"))
+                .where(~((F.col(id_col) == F.col("__fst__.i"))
+                         & (F.col("i0") == F.col("__fst__.p")))))
+    else:
+        hot = (
+            sh.select(id_col, "__d__").distinct()
+            .groupBy("__d__").agg(F.count(F.lit(1)).alias("df"),
+                                  F.min(id_col).alias("__surv__"))
+            .where(F.col("df") >= min_docs)
+            .select(F.col("__d__").alias("__hd__"), "__surv__")
+        )
+        hits = sh.join(F.broadcast(hot),
+                       F.col("__d__") == F.col("__hd__"))
+        if mode == "keep_first":
+            hits = hits.where(F.col(id_col) != F.col("__surv__"))
     starts = (
         hits.groupBy(id_col)
         .agg(F.sort_array(F.collect_set(F.col("i0") + 1)).alias("__ss__"))

@@ -7255,6 +7255,58 @@ FROM toked t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q174_exact_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE ExactSubstr keep-one (`mask_repeated_spans(mode=
+    'keep_first', within_doc=True)` — the round-8 closure of the
+    keep-first approximation, proven position-exact against the
+    brute-force maximal-match oracle in tests): hotness counts span
+    OCCURRENCES (so within-doc repeats dedup too) and the survivor is
+    the lexicographically first (doc_id, position) occurrence. Same
+    corpus-never-shuffles plan as q155 — the hot aggregate gains one
+    struct-min. The oracle replays survivors by packing (doc, pos)
+    into one BIGINT and taking MIN."""
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.textpipe import mask_repeated_spans
+
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return mask_repeated_spans(d, k=5, min_docs=2, mode="keep_first",
+                               within_doc=True)
+
+
+_Q174_SQL = f"""
+WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         md5(array_to_string(toks[CAST(i AS INT) : CAST(i AS INT) + 4], ' ')) AS d
+  FROM toked, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) r(i)
+  WHERE len(toks) >= 5),
+hot AS (
+  SELECT d, surv_key FROM (
+      SELECT d, COUNT(*) AS occ,
+             MIN(doc_id * 4294967296 + i) AS surv_key
+      FROM sh GROUP BY d)
+  WHERE occ >= 2),
+cov AS (
+  SELECT DISTINCT sh.doc_id, i + o.o AS pos
+  FROM sh JOIN hot USING (d)
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS o) o
+  WHERE sh.doc_id * 4294967296 + sh.i <> hot.surv_key),
+kept AS (
+  SELECT t.doc_id, CAST(p AS BIGINT) AS pos,
+         t.toks[CAST(p AS INT)] AS tok
+  FROM toked t, unnest(range(1, len(toks) + 1)) r(p)
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = t.doc_id AND c.pos = p)),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM toked t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -8052,6 +8104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_vad_segment_rows": q171_vad_segment_rows,
         "q172_mp3_inventory": q172_mp3_inventory,
         "q173_forecast_revenue": q173_forecast_revenue,
+        "q174_exact_keep_one": q174_exact_keep_one,
     }
     return base
 
@@ -8233,4 +8286,5 @@ def oracle_sql() -> dict[str, str]:
         "q171_vad_segment_rows": _Q171_SQL,
         "q172_mp3_inventory": _Q172_SQL,
         "q173_forecast_revenue": _Q173_SQL,
+        "q174_exact_keep_one": _Q174_SQL,
     }

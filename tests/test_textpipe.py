@@ -776,3 +776,26 @@ def test_keep_first_vs_true_exactsubstr_quantified(spark):
     assert table["within_doc"][3] == len(B)        # doc0's 2nd B copy
     assert table["within_doc_only"][3] == len(B)   # min_docs: distinct
     print("KEEPFIRST_VS_TRUTH " + repr(table))
+
+    # within_doc=True closes the gap ENTIRELY: occurrence-based
+    # hotness + lexicographic (doc, pos) survivor == true
+    # maximal-substring keep-one, exactly, on every scenario
+    for name, docs in scenarios.items():
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()],
+            "doc_id long, text string")
+        out = {r.doc_id: r.clean_text.split() if r.clean_text else []
+               for r in mask_repeated_spans(
+                   df, k=K, mode="keep_first", within_doc=True).collect()}
+        truth_cut = _exactsubstr_truth_cuts(docs, K)
+        for d, toks in docs.items():
+            truth_kept = Counter(t for i, t in enumerate(toks)
+                                 if i not in truth_cut[d])
+            assert Counter(out[d]) == truth_kept, (name, d)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="within_doc"):
+        mask_repeated_spans(
+            spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+            mode="mask_all", within_doc=True)
