@@ -93,3 +93,49 @@ def test_mp3_scan_operator_nulls_and_values(spark):
     assert out[1].n_frames == 2 and out[1].audio_bytes == 417 + 1044
     assert out[1].is_vbr is True
     assert out[2].n_frames is None and out[3].duration_ms is None
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(1, 14), st.integers(0, 1)),
+             min_size=1, max_size=12),
+    st.integers(0, 2),       # sample-rate index
+    st.one_of(st.none(), st.integers(0, 300)),  # ID3v2 payload size
+    st.booleans(),           # ID3v1 trailer
+)
+def test_mp3_walk_roundtrip_property(frames_spec, sr_idx, id3_sz, id3v1):
+    """Generative round trip: any frame sequence assembled from the
+    header formula (random bitrate ladder indices, padding bits,
+    optional ID3v2 of random syncsafe size, optional ID3v1 trailer)
+    walks back to exactly its generative parameters — count, offsets,
+    per-frame sizes, duration on the chosen clock, VBR flag."""
+    parts = []
+    off0 = 0
+    if id3_sz is not None:
+        parts.append(b"ID3" + bytes([3, 0, 0,
+                                     (id3_sz >> 21) & 0x7F,
+                                     (id3_sz >> 14) & 0x7F,
+                                     (id3_sz >> 7) & 0x7F,
+                                     id3_sz & 0x7F]) + b"\xee" * id3_sz)
+        off0 = 10 + id3_sz
+    sizes = []
+    for br_idx, pad in frames_spec:
+        f = frame(br_idx, sr_idx=sr_idx, pad=pad, fill=b"\xa5")
+        sizes.append(len(f))
+        parts.append(f)
+    if id3v1:
+        parts.append(b"TAG" + b"\x01" * 125)
+    st_ = M.mp3_stats(b"".join(parts))
+    rate = M.MP3_SAMPLE_RATES[sr_idx]
+    brs = [M.MP3_BITRATES_KBPS[b] for b, _ in frames_spec]
+    assert st_["n_frames"] == len(frames_spec)
+    assert st_["first_frame_offset"] == off0
+    assert st_["audio_bytes"] == sum(sizes)
+    assert st_["sample_rate"] == rate
+    assert st_["duration_ms"] == len(frames_spec) * 1152 * 1000 // rate
+    assert (st_["bitrate_min_kbps"], st_["bitrate_max_kbps"],
+            st_["bitrate_sum_kbps"]) == (min(brs), max(brs), sum(brs))
+    assert st_["is_vbr"] == (min(brs) != max(brs))
