@@ -350,6 +350,21 @@ VAD_STATS_SCHEMA = ("media_id long, n_frames long, n_speech long, "
                     "total_energy long")
 
 
+def _frame_energies(buf: bytes,
+                    frame_samples: int) -> "tuple[int, np.ndarray]":
+    """The ONE integer-energy convention both VAD operators (and both
+    DuckDB oracles, q164/q171) share: decode any supported container,
+    fold to mono int64 (sum // n_channels), frame on the fixed grid
+    (trailing partial frame dropped), exact Σv² per frame. Returns
+    (sample_rate, int64 energies)."""
+    rate, norm = decode_audio(buf, "audio/*")
+    v = np.rint(norm * 32768.0).astype(np.int64)
+    mono = v.sum(axis=1) // v.shape[1]
+    nf = mono.shape[0] // frame_samples
+    fr = mono[:nf * frame_samples].reshape(nf, frame_samples)
+    return rate, (fr * fr).sum(axis=1)
+
+
 def vad_stats(df: DataFrame, frame_samples: int = 80,
               energy_threshold: int = 1_000_000_000,
               content_col: str = "content",
@@ -374,12 +389,8 @@ def vad_stats(df: DataFrame, frame_samples: int = 80,
                 if buf is None:
                     rows.append((mid, None, None, None, None, None))
                     continue
-                _rate, norm = decode_audio(bytes(buf), "audio/*")
-                v = np.rint(norm * 32768.0).astype(np.int64)
-                mono = v.sum(axis=1) // v.shape[1]  # integer mono fold
-                nf = mono.shape[0] // frame_samples
-                fr = mono[:nf * frame_samples].reshape(nf, frame_samples)
-                energy = (fr * fr).sum(axis=1)
+                _rate, energy = _frame_energies(bytes(buf), frame_samples)
+                nf = energy.shape[0]
                 speech = energy > energy_threshold
                 idx = np.flatnonzero(speech)
                 rows.append((
@@ -428,12 +439,7 @@ def vad_segments(df: DataFrame, frame_samples: int = 80,
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
                 if buf is None:
                     continue
-                rate, norm = decode_audio(bytes(buf), "audio/*")
-                v = np.rint(norm * 32768.0).astype(np.int64)
-                mono = v.sum(axis=1) // v.shape[1]
-                nf = mono.shape[0] // frame_samples
-                fr = mono[:nf * frame_samples].reshape(nf, frame_samples)
-                energy = (fr * fr).sum(axis=1)
+                rate, energy = _frame_energies(bytes(buf), frame_samples)
                 idx = np.flatnonzero(energy > energy_threshold)
                 if not idx.size:
                     continue

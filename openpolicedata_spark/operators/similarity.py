@@ -920,9 +920,29 @@ def pq_encode_arrow(corpus: DataFrame, codebooks, coarse=None,
 
     def encode(batches):
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
+            # NULL embeddings null-propagate exactly like the
+            # expression encoders (NULL list_id + NULL codes; under
+            # probe pruning they drop, matching NULL `isin` semantics)
+            null_mask = pdf[vec_col].isna()
+            null_ids = pdf[id_col][null_mask]
+            if null_mask.all():
+                pdf = None
+            else:
+                pdf = pdf[~null_mask].reset_index(drop=True)
+            if probe_arr is None and len(null_ids):
+                nd = {id_col: null_ids.reset_index(drop=True)}
+                if C is not None:
+                    nd["list_id"] = pd.array([None] * len(null_ids),
+                                             dtype="Int32")
+                for s in range(m):
+                    nd[f"code_{s}"] = pd.array([None] * len(null_ids),
+                                               dtype="Int32")
+                yield pd.DataFrame(nd)
+            if pdf is None:
+                continue
+            n = len(pdf)
             V = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
             ids = pdf[id_col]

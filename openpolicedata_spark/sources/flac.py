@@ -394,12 +394,21 @@ def _residual(br: _Bits, bs: int, order: int,
 
 
 def _fixed_reconstruct(warm: list[int], res: np.ndarray,
-                       order: int) -> np.ndarray:
+                       order: int, eff: int) -> np.ndarray:
     """FIXED predictors are exactly backward-difference operators:
     Δ^order s = res, so reconstruction is `order` cumulative sums, each
     seeded with the corresponding finite difference of the warm-up
     samples — whole-block numpy instead of the old per-sample loop.
-    int64 is ample headroom (|Δ^4 s| < 2^36, 65535-sample cumsum < 2^53)."""
+
+    Each integration LEVEL is magnitude-checked against the legit
+    bound for that level (|Δ^m s| ≤ 2^(eff-1+m) for true eff-bit
+    samples; we allow 2× slack): the per-residual guard in _subframe
+    alone is NOT enough, because a corrupt stream of in-bound
+    residuals can still blow up the NESTED sums (order 4 over 65535
+    samples multiplies the bound by ~n^4/4! ≈ 2^59) and wrap int64
+    silently. The induction also keeps every cumsum exact BEFORE its
+    check: level inputs pass the previous level's bound, so one
+    65535-term cumsum stays ≤ 2^(eff+m+2+16) < 2^63."""
     out = np.empty(order + res.shape[0], dtype=np.int64)
     out[:order] = warm
     d = np.array(warm, dtype=np.int64)
@@ -410,6 +419,10 @@ def _fixed_reconstruct(warm: list[int], res: np.ndarray,
     x = res
     for m in range(order - 1, -1, -1):
         x = seeds[m] + np.cumsum(x)
+        if x.size and int(np.abs(x).max()) > (1 << (eff + m + 1)):
+            raise FlacError(
+                f"FIXED reconstruction overflow at level {m} "
+                f"(bps={eff}) — corrupt stream")
     out[order:] = x
     return out
 
@@ -446,7 +459,8 @@ def _subframe(br: _Bits, bs: int, bps: int,
             raise FlacError(
                 "residual magnitude exceeds sample width "
                 f"(bps={eff}, order={order}) — corrupt stream")
-        out = res if order == 0 else _fixed_reconstruct(warm, res, order)
+        out = (res if order == 0
+               else _fixed_reconstruct(warm, res, order, eff))
     elif t >= 32:                                # LPC
         order = (t & 0x1F) + 1
         if order > bs:

@@ -85,17 +85,26 @@ def parse_frame_header(data: bytes, pos: int) -> tuple[int, int, int, int]:
 
 def walk_frames(data: bytes) -> list[tuple[int, int, int, int]]:
     """Walk every frame after an optional ID3v2 tag →
-    [(offset, size, bitrate_kbps, sample_rate), ...]. Trailing bytes
-    that are too short for a header (e.g. an ID3v1 'TAG' block, 128
-    bytes starting with 'TAG') are tolerated; anything else that is
-    not a sync word raises — a walker that silently resyncs would hide
-    corruption the pipeline should surface."""
+    [(offset, size, bitrate_kbps, sample_rate), ...].
+
+    Trailing-bytes policy (exactly this, nothing more): after at least
+    one decoded frame, the walk STOPS cleanly when the remainder is
+    (a) shorter than a 4-byte header, (b) an ID3v1 trailer — 'TAG'
+    prefix, whole or truncated (≤ 128 bytes), or (c) an APEv2 tag
+    ('APETAGEX' at the remainder start). Anything else that is not a
+    sync word raises — a walker that silently RESYNCS mid-stream would
+    hide corruption the pipeline should surface, while refusing a
+    fully-valid file over a stray pad byte would misreport it as
+    unparseable (review finding)."""
     pos = id3v2_size(data)
     out = []
     n = len(data)
     while pos < n:
-        if data[pos:pos + 3] == b"TAG" and n - pos == 128:
-            break  # ID3v1 trailer
+        rem = n - pos
+        if out and (rem < 4
+                    or (data[pos:pos + 3] == b"TAG" and rem <= 128)
+                    or data[pos:pos + 8] == b"APETAGEX"):
+            break
         size, bitrate, rate, _pad = parse_frame_header(data, pos)
         if pos + size > n:
             raise Mp3Error(f"truncated final frame at byte {pos} "

@@ -6846,6 +6846,7 @@ def q172_mp3_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from openpolicedata_spark.operators.dedup import rebalance
     from openpolicedata_spark.operators.multimodal import mp3_scan
+    from openpolicedata_spark.sources.mp3 import MP3_BITRATES_KBPS
 
     d = _read(spark, sf_dir, "documents")
 
@@ -6866,9 +6867,10 @@ def q172_mp3_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).hexdigest()
                     br_idx = 1 + int(h[0], 16) % 14
                     pad = int(h[1], 16) % 2
-                    size = (144 * (32, 40, 48, 56, 64, 80, 96, 112, 128,
-                                   160, 192, 224, 256, 320)[br_idx - 1]
-                            * 1000 // 44100 + pad)
+                    # the walker's own ladder: a future table fix can't
+                    # desynchronize builder and parser (review finding)
+                    size = (144 * MP3_BITRATES_KBPS[br_idx] * 1000
+                            // 44100 + pad)
                     hdr = bytes([0xFF, 0xFB,
                                  (br_idx << 4) | (0 << 2) | (pad << 1),
                                  0x00])

@@ -563,3 +563,31 @@ def test_corrupt_rice_residual_magnitude_raises_not_wraps():
     bad = build(1 << 29)   # |res| = 2^29 >> 2^(16+1+1)
     with pytest.raises(F.FlacError, match="residual magnitude"):
         F._subframe(F._Bits(bad, 0), 16, 16, F._BitWindow(bad))
+
+
+def test_corrupt_nested_cumsum_overflow_raises_not_wraps():
+    """Review finding: the per-residual guard alone is insufficient —
+    order-4 residuals that each PASS the magnitude check can still
+    blow the nested cumulative sums past int64 (bound multiplies by
+    ~n^order/order!). The reconstruction now checks each integration
+    level against its legit 2^(eff+m+1) bound and refuses loudly."""
+    import pytest
+
+    from openpolicedata_spark.sources import flac as F
+
+    bw = F._BitWriter()
+    bw.write(0, 1)      # padding bit
+    bw.write(12, 6)     # FIXED order 4
+    bw.write(0, 1)      # no wasted bits
+    for _ in range(4):
+        bw.write(0, 16)  # warm-up samples
+    bw.write(0, 2)      # residual method 0
+    bw.write(0, 4)      # partition order 0
+    bw.write(15, 4)     # escape
+    bw.write(23, 5)     # 23-bit raw residuals
+    n = 4096 - 4
+    for _ in range(n):
+        bw.write(1 << 21, 23)  # == 2^(16+4+1): passes the res guard
+    data = bw.done()
+    with pytest.raises(F.FlacError, match="reconstruction overflow"):
+        F._subframe(F._Bits(data, 0), 4096, 16, F._BitWindow(data))

@@ -82,6 +82,24 @@ def test_gates_name_the_variant():
         M.walk_frames(frame(9) + b"\x00" * 64)
 
 
+def test_trailing_bytes_policy():
+    """After >=1 frame the walk stops cleanly on: <4 remainder bytes,
+    a whole OR truncated ID3v1 'TAG' trailer, or an APEv2 footer tag.
+    The same bytes with no frame before them still raise, and a 4+
+    byte non-TAG remainder is still lost sync."""
+    f = frame(9)
+    for tail in (b"\x00", b"\xff\xff\xff",              # < 4 bytes
+                 b"TAG" + b"\x00" * 125,                # whole ID3v1
+                 b"TAG" + b"\x00" * 60,                 # truncated ID3v1
+                 b"APETAGEX" + b"\x00" * 200):          # APEv2
+        st = M.mp3_stats(f + f + tail)
+        assert st["n_frames"] == 2 and st["audio_bytes"] == 2 * 417
+    with pytest.raises(M.Mp3Error):
+        M.walk_frames(b"TAG" + b"\x00" * 60)  # trailer with no frames
+    with pytest.raises(M.Mp3Error, match="lost sync"):
+        M.walk_frames(f + b"JUNKJUNK")
+
+
 def test_mp3_scan_operator_nulls_and_values(spark):
     from openpolicedata_spark.operators.multimodal import mp3_scan
 

@@ -911,12 +911,17 @@ def test_pq_encode_arrow_matches_expression_encoders(spark):
 
     books = _pq_codebooks()
     coarse = _ivf_coarse()
-    df = spark.range(40).selectExpr(
+    # row 40 carries a NULL embedding: the kernel must null-propagate
+    # (NULL list_id + NULL codes) exactly like the expression form —
+    # review finding: np.stack over a None crashed the whole stage
+    df = spark.range(41).selectExpr(
         "id as vec_id",
+        "CASE WHEN id = 40 THEN NULL ELSE "
         "transform(sequence(1, 64), x -> cast(pmod(x * (id + 3), 13) - 6"
-        " AS double) / 4.0d) as embedding")
+        " AS double) / 4.0d) END as embedding")
 
-    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    key = lambda rows: sorted(  # noqa: E731
+        map(tuple, rows), key=lambda t: tuple((v is None, v) for v in t))
 
     # raw PQ (q149 path)
     assert key(pq_encode_arrow(df, books).collect()) == \
