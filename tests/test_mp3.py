@@ -157,3 +157,16 @@ def test_mp3_walk_roundtrip_property(frames_spec, sr_idx, id3_sz, id3v1):
     assert (st_["bitrate_min_kbps"], st_["bitrate_max_kbps"],
             st_["bitrate_sum_kbps"]) == (min(brs), max(brs), sum(brs))
     assert st_["is_vbr"] == (min(brs) != max(brs))
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_mp3_junk_fuzz_raises_mp3error_only(blob):
+    """Arbitrary bytes either parse (only if they happen to form valid
+    frames) or raise Mp3Error — never IndexError/struct.error/etc.
+    (the FLAC junk-fuzz contract, applied to the walker)."""
+    try:
+        st_ = M.mp3_stats(blob)
+    except M.Mp3Error:
+        return
+    assert st_["n_frames"] >= 1

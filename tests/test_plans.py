@@ -363,6 +363,19 @@ def test_q118_q120_subqueries_decorrelate_to_joins(spark, sf_dir):
         assert_no_python_in_plan(df)
 
 
+def test_q156_adc_tables_constant_fold_to_literals(spark, sf_dir):
+    """Round-7 verdict item 1, pinned: the residual-ADC tables must
+    reach execution as ONE folded nested-array Literal per subspace
+    (element_at(element_at([[..],..], list_id), code_s)) — never the
+    old eager form whose outer CreateArray evaluated all n_lists
+    lookups per row."""
+    df = workload.queries()["q156_ivfpq_residual"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("element_at(array(element_at") == 0
+    assert opt.count("element_at(element_at([[") >= 8, \
+        opt[:500]
+
+
 def test_q173_pure_scan_aggregate(spark, sf_dir):
     """Q6 shape: all three predicates pushed to the parquet scan, zero
     joins, and exactly one exchange (the one-row global-agg merge —
