@@ -465,11 +465,12 @@ def vad_segments(df: DataFrame, frame_samples: int = 80,
         compute, schema=VAD_SEGMENTS_SCHEMA)
 
 
-MP3_SCAN_SCHEMA = ("media_id long, n_frames long, sample_rate long, "
+MP3_SCAN_FIELDS = ("n_frames long, sample_rate long, "
                    "duration_ms long, audio_bytes long, "
                    "first_frame_offset long, bitrate_min_kbps long, "
                    "bitrate_max_kbps long, bitrate_sum_kbps long, "
                    "is_vbr boolean")
+MP3_SCAN_SCHEMA = "media_id long, " + MP3_SCAN_FIELDS
 
 
 def mp3_scan(df: DataFrame, content_col: str = "content",
@@ -485,7 +486,9 @@ def mp3_scan(df: DataFrame, content_col: str = "content",
     hand-computed fixtures and q172's parse-vs-generative-replay
     oracle. Arrow-batched mapInPandas; unparseable payloads yield
     null stats rather than failing the scan (the walker itself raises
-    loudly when called directly)."""
+    loudly when called directly). The id column keeps the caller's
+    `id_col` name — the schema is built from it (review finding: the
+    hardcoded 'media_id' schema broke any non-default id_col)."""
     from openpolicedata_spark.sources.mp3 import Mp3Error, mp3_stats
 
     cols = ["n_frames", "sample_rate", "duration_ms", "audio_bytes",
@@ -508,7 +511,7 @@ def mp3_scan(df: DataFrame, content_col: str = "content",
             yield pd.DataFrame(rows, columns=[id_col] + cols)
 
     return df.select(id_col, content_col).mapInPandas(
-        compute, schema=MP3_SCAN_SCHEMA)
+        compute, schema=f"{id_col} long, " + MP3_SCAN_FIELDS)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, content_col: str = "content",

@@ -897,7 +897,19 @@ def pq_encode_arrow(corpus: DataFrame, codebooks, coarse=None,
     encodes ``v − coarse[list_id]`` (FAISS by_residual); `probe` (an
     iterable of 1-based list ids) drops non-probed rows INSIDE the
     kernel — the IVF scan prune, with no external filter that
-    predicate-pushdown could duplicate below the Python stage."""
+    predicate-pushdown could duplicate below the Python stage.
+
+    Null semantics: a NULL embedding null-propagates (NULL list_id +
+    NULL codes) exactly like the expression form, and under probe
+    pruning such rows drop (NULL `isin`). An embedding with a null
+    ELEMENT (NaN after Arrow) also nulls the WHOLE row — deliberately
+    STRICTER than the expression form, whose per-subspace sums null
+    only the affected subspace's code (a partially-null vector is
+    corrupt either way; emitting some definite codes for it invites
+    garbage matches). With coarse routing the two behaviors coincide
+    anyway (a NaN anywhere nulls list_id, and NULL list nulls every
+    residual code); the bit-equality claim therefore covers all rows
+    with fully-defined embeddings plus the whole-NULL case."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     books = np.asarray(codebooks, dtype=np.float64)     # (m, k, sub)
@@ -922,15 +934,25 @@ def pq_encode_arrow(corpus: DataFrame, codebooks, coarse=None,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # NULL embeddings null-propagate exactly like the
-            # expression encoders (NULL list_id + NULL codes; under
-            # probe pruning they drop, matching NULL `isin` semantics)
-            null_mask = pdf[vec_col].isna()
-            null_ids = pdf[id_col][null_mask]
-            if null_mask.all():
-                pdf = None
+            # NULL embeddings AND embeddings with a NULL ELEMENT
+            # (Arrow hands those over as NaN) null-propagate exactly
+            # like the expression encoders: NULL distances → NULL
+            # list_id + NULL codes; under probe pruning they drop,
+            # matching NULL `isin` semantics. Without the NaN check,
+            # argmin over all-NaN distances silently returned row 0 →
+            # definite garbage codes (review finding).
+            null_mask = pdf[vec_col].isna().to_numpy()
+            if not null_mask.all():
+                stacked = np.stack([np.asarray(v, dtype=np.float64)
+                                    for v in pdf[vec_col][~null_mask]])
+                nan_rows = np.isnan(stacked).any(axis=1)
+                if nan_rows.any():
+                    null_mask = null_mask.copy()
+                    null_mask[np.flatnonzero(~null_mask)[nan_rows]] = True
+                    stacked = stacked[~nan_rows]
             else:
-                pdf = pdf[~null_mask].reset_index(drop=True)
+                stacked = None
+            null_ids = pdf[id_col][null_mask]
             if probe_arr is None and len(null_ids):
                 nd = {id_col: null_ids.reset_index(drop=True)}
                 if C is not None:
@@ -940,11 +962,11 @@ def pq_encode_arrow(corpus: DataFrame, codebooks, coarse=None,
                     nd[f"code_{s}"] = pd.array([None] * len(null_ids),
                                                dtype="Int32")
                 yield pd.DataFrame(nd)
-            if pdf is None:
+            if null_mask.all():
                 continue
+            pdf = pdf[~null_mask].reset_index(drop=True)
             n = len(pdf)
-            V = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf[vec_col]])
+            V = stacked
             ids = pdf[id_col]
             out = {}
             if C is not None:

@@ -486,6 +486,15 @@ def _subframe(br: _Bits, bs: int, bps: int,
             for j, c in enumerate(coefs):
                 acc += c * s[-1 - j]
             app(r + (acc >> shift))
+        # exact Python ints never wrap — but a corrupt stream can grow
+        # them past int64, and np.array() would escape with
+        # OverflowError where every other corruption path raises
+        # FlacError (the junk-fuzz contract; review finding — the
+        # FIXED branch got the same treatment)
+        if s and max(map(abs, s)) > (1 << (eff + 1)):
+            raise FlacError(
+                f"LPC reconstruction overflow (bps={eff}) — "
+                "corrupt stream")
         out = np.array(s, dtype=np.int64)
     else:
         raise FlacError(f"reserved subframe type {t}")

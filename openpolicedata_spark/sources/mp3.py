@@ -89,21 +89,24 @@ def walk_frames(data: bytes) -> list[tuple[int, int, int, int]]:
 
     Trailing-bytes policy (exactly this, nothing more): after at least
     one decoded frame, the walk STOPS cleanly when the remainder is
-    (a) shorter than a 4-byte header, (b) an ID3v1 trailer — 'TAG'
-    prefix, whole or truncated (≤ 128 bytes), or (c) an APEv2 tag
-    ('APETAGEX' at the remainder start). Anything else that is not a
-    sync word raises — a walker that silently RESYNCS mid-stream would
-    hide corruption the pipeline should surface, while refusing a
-    fully-valid file over a stray pad byte would misreport it as
-    unparseable (review finding)."""
+    (a) shorter than a 4-byte header, (b) a tag-family trailer stack —
+    anything starting with 'TAG' (ID3v1, whole or truncated, AND the
+    227-byte extended 'TAG+' that precedes it), 'APETAGEX' (APEv2), or
+    'LYRICSBEGIN' (Lyrics3 — itself followed by ID3v1). Anything else
+    that is not a sync word raises — a walker that silently RESYNCS
+    mid-stream would hide corruption the pipeline should surface,
+    while refusing a fully-valid file over a stray pad byte or a
+    stacked trailer would misreport it as unparseable (review
+    findings, both passes)."""
     pos = id3v2_size(data)
     out = []
     n = len(data)
     while pos < n:
         rem = n - pos
         if out and (rem < 4
-                    or (data[pos:pos + 3] == b"TAG" and rem <= 128)
-                    or data[pos:pos + 8] == b"APETAGEX"):
+                    or data[pos:pos + 3] == b"TAG"
+                    or data[pos:pos + 8] == b"APETAGEX"
+                    or data[pos:pos + 11] == b"LYRICSBEGIN"):
             break
         size, bitrate, rate, _pad = parse_frame_header(data, pos)
         if pos + size > n:

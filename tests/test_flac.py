@@ -591,3 +591,34 @@ def test_corrupt_nested_cumsum_overflow_raises_not_wraps():
     data = bw.done()
     with pytest.raises(F.FlacError, match="reconstruction overflow"):
         F._subframe(F._Bits(data, 0), 4096, 16, F._BitWindow(data))
+
+
+def test_corrupt_lpc_overflow_raises_flacerror_not_overflowerror():
+    """Second review pass: the LPC branch escaped with OverflowError
+    (not FlacError) when a corrupt stream grew the exact Python-int
+    recurrence past int64 — violating the junk-fuzz 'FlacError only'
+    contract the FIXED branch already honors."""
+    import pytest
+
+    from openpolicedata_spark.sources import flac as F
+
+    bw = F._BitWriter()
+    bw.write(0, 1)       # padding bit
+    bw.write(32 + 7, 6)  # LPC order 8
+    bw.write(0, 1)       # no wasted bits
+    for _ in range(8):
+        bw.write(20000 & 0xFFFF, 16)   # warm-up samples
+    bw.write(14, 4)      # precision code -> 15-bit coefficients
+    bw.write(0, 5)       # shift 0
+    for _ in range(8):
+        bw.write(0x3FFF, 15)           # huge positive coefficients
+    bw.write(0, 2)       # residual method 0
+    bw.write(0, 4)       # partition order 0
+    bw.write(15, 4)      # escape
+    bw.write(30, 5)      # 30-bit raw residuals
+    n = 256 - 8
+    for _ in range(n):
+        bw.write((1 << 29) - 1, 30)
+    data = bw.done()
+    with pytest.raises(F.FlacError, match="LPC reconstruction overflow"):
+        F._subframe(F._Bits(data, 0), 256, 16, F._BitWindow(data))

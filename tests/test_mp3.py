@@ -91,6 +91,10 @@ def test_trailing_bytes_policy():
     for tail in (b"\x00", b"\xff\xff\xff",              # < 4 bytes
                  b"TAG" + b"\x00" * 125,                # whole ID3v1
                  b"TAG" + b"\x00" * 60,                 # truncated ID3v1
+                 b"TAG+" + b"\x00" * 223                # extended ID3v1
+                 + b"TAG" + b"\x00" * 125,              #   stacked tag
+                 b"LYRICSBEGIN" + b"\x00" * 90          # Lyrics3 stack
+                 + b"TAG" + b"\x00" * 125,
                  b"APETAGEX" + b"\x00" * 200):          # APEv2
         st = M.mp3_stats(f + f + tail)
         assert st["n_frames"] == 2 and st["audio_bytes"] == 2 * 417
@@ -111,6 +115,13 @@ def test_mp3_scan_operator_nulls_and_values(spark):
     assert out[1].n_frames == 2 and out[1].audio_bytes == 417 + 1044
     assert out[1].is_vbr is True
     assert out[2].n_frames is None and out[3].duration_ms is None
+
+    # a non-default id column keeps its name in the output schema
+    # (review finding: the hardcoded schema name used to break this)
+    df2 = spark.createDataFrame([(7, bytearray(blob))],
+                                "doc_id long, content binary")
+    got = mp3_scan(df2, id_col="doc_id").collect()
+    assert got[0].doc_id == 7 and got[0].n_frames == 2
 
 
 from hypothesis import given, settings, strategies as st  # noqa: E402

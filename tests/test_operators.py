@@ -948,6 +948,22 @@ def test_pq_encode_arrow_matches_expression_encoders(spark):
     want = [t for t in map(tuple, sql_156.collect()) if t[1] in probe]
     assert key(pruned.collect()) == sorted(want)
 
+    # an embedding with a null ELEMENT (NaN after Arrow): the kernel
+    # nulls the WHOLE row (documented as stricter than the expression
+    # form's per-subspace nulls — argmin over NaN used to return
+    # definite garbage codes), and under probe pruning the row drops
+    # exactly like the expression form's NULL-list `isin`
+    dfn = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 32 + [None] + [1.0] * 31)],
+        "vec_id long, embedding array<double>")
+    rows_n = {r.vec_id: r for r in
+              pq_encode_arrow(dfn, books, coarse=coarse).collect()}
+    assert rows_n[0].list_id is not None
+    assert rows_n[1].list_id is None
+    assert all(rows_n[1][f"code_{s}"] is None for s in range(len(books)))
+    assert [r.vec_id for r in pq_encode_arrow(
+        dfn, books, coarse=coarse, probe=[1, 2, 3, 4]).collect()] == [0]
+
 
 def test_pq_encode_is_deterministic_and_python_free(spark):
     from openpolicedata_spark.operators.similarity import pq_encode
