@@ -21,7 +21,7 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from openpolicedata_spark.functions.text import (
@@ -599,6 +599,24 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             "max_iterations (rounds are O(diameter), one shuffle each)")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def keep_best(labeled: DataFrame, score_col: str = "quality",
+              id_col: str = "doc_id",
+              cluster_col: str = "cluster_id") -> DataFrame:
+    """Quality-aware survivor selection — the representative step a
+    production dedup runs AFTER clustering (SemDeDup §3 / CCNet keep
+    the best-scoring member, not the smallest id): for each cluster,
+    keep the row with the highest `score_col`, deterministic tiebreak
+    on the id. One row_number window = one keyed exchange on the
+    cluster id; components are tiny (fuzzy-copy groups), so no skew
+    concern at any corpus size. Input is `dup_clusters` output joined
+    with a per-doc score column; the output keeps every input column
+    of the winning row."""
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    return (labeled.withColumn("__rk__", F.row_number().over(w))
+            .where(F.col("__rk__") == 1).drop("__rk__"))
 
 
 def dedup_cascade(

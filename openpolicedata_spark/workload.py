@@ -7309,6 +7309,85 @@ FROM toked t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q175_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection (`dedup.keep_best` — the
+    representative step SemDeDup/CCNet run after clustering: keep the
+    BEST-scoring member, not the smallest id). Corpus: every document
+    plus a 300-char truncation of itself (variant gets the SMALLER id
+    2·doc, the full doc 2·doc+1), paired by the md5 of the normalized
+    300-char prefix, clustered by `dedup.dup_clusters`, scored by
+    `quality_score_expr`, survivor = argmax(quality, tiebreak id).
+    Where truncation actually bites (docs longer than 300 chars) the
+    winner is the FULL doc — the id-LARGER member, demonstrating the
+    selection is quality-driven, not min-id (min-id would pick every
+    truncated variant); short docs truncate to themselves, tie on
+    quality, and fall to the deterministic id tiebreak (measured at
+    sf0.01: 243 of 489 clusters keep the odd id — both paths
+    exercised). One keyed exchange for the window; the oracle replays
+    pairing, clustering (components = fp-group MIN), scoring, and the
+    rank in SQL."""
+    from openpolicedata_spark.operators.dedup import dup_clusters, keep_best
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (d.selectExpr("doc_id * 2 + 1 AS doc_id", "text")
+              .unionByName(d.selectExpr("doc_id * 2 AS doc_id",
+                                        "substring(text, 1, 300) AS text")))
+    scored = corpus.select(
+        "doc_id", "text",
+        F.round(quality_score_expr(F.col("text")), 6).alias("quality"))
+    fp = scored.select(
+        "doc_id", "quality",
+        F.md5(normalize_text_expr(
+            F.substring(F.col("text"), 1, 300))).alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (a.join(b, on=[F.col("a.fp") == F.col("b.fp"),
+                           F.col("a.doc_id") < F.col("b.doc_id")])
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    labeled = dup_clusters(pairs).join(fp.select("doc_id", "quality"),
+                                       "doc_id")
+    best = keep_best(labeled)
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return (best.join(sizes, "cluster_id")
+            .select("cluster_id", F.col("doc_id").alias("keep_id"),
+                    "n_members", F.col("quality").alias("best_quality")))
+
+
+_Q175_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 AS doc_id, substr(text, 1, 300) AS text FROM documents),
+m AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) AS n_punct,
+    CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|a|in|is|it|that|for|on|with|as|was|at|by|an|be|this|are)\b')) AS DOUBLE) AS n_stop,
+    md5(trim(regexp_replace(lower(substr(text, 1, 300)), '\s+', ' ', 'g'))) AS fp
+  FROM corpus),
+q AS (
+  SELECT doc_id, fp,
+    ROUND(
+      LEAST(CAST(n_chars AS DOUBLE)/500.0, 1.0)*0.4
+      + LEAST((n_stop / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) ELSE 1.0 END))*4.0, 1.0)*0.4
+      + (1.0 - LEAST((n_punct / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) ELSE 1.0 END))*5.0, 1.0))*0.2
+    , 6) AS quality
+  FROM m),
+labeled AS (
+  SELECT doc_id, quality,
+         MIN(doc_id) OVER (PARTITION BY fp) AS cluster_id,
+         COUNT(*) OVER (PARTITION BY fp) AS n,
+         ROW_NUMBER() OVER (PARTITION BY fp
+                            ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM q)
+SELECT cluster_id, doc_id AS keep_id, CAST(n AS BIGINT) AS n_members,
+       quality AS best_quality
+FROM labeled WHERE n > 1 AND rk = 1
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -8107,6 +8186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_mp3_inventory": q172_mp3_inventory,
         "q173_forecast_revenue": q173_forecast_revenue,
         "q174_exact_keep_one": q174_exact_keep_one,
+        "q175_quality_survivors": q175_quality_survivors,
     }
     return base
 
@@ -8289,4 +8369,5 @@ def oracle_sql() -> dict[str, str]:
         "q172_mp3_inventory": _Q172_SQL,
         "q173_forecast_revenue": _Q173_SQL,
         "q174_exact_keep_one": _Q174_SQL,
+        "q175_quality_survivors": _Q175_SQL,
     }

@@ -979,3 +979,19 @@ def test_pq_encode_is_deterministic_and_python_free(spark):
     b = pq_encode(df.repartition(3), books).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert_no_python_in_plan(pq_encode(df, books))
+
+
+def test_keep_best_survivor_selection(spark):
+    """keep_best keeps the highest-score member per cluster with a
+    deterministic id tiebreak — NOT the smallest id (the min-id
+    convention dup_clusters' cluster_id uses)."""
+    from openpolicedata_spark.operators.dedup import keep_best
+
+    labeled = spark.createDataFrame(
+        [(1, 10, 0.3), (2, 10, 0.9), (3, 10, 0.9),   # tie: min id wins
+         (7, 70, 0.5),                               # singleton
+         (8, 80, 0.1), (9, 80, 0.7)],
+        "doc_id long, cluster_id long, quality double")
+    got = {r.cluster_id: (r.doc_id, r.quality)
+           for r in keep_best(labeled).collect()}
+    assert got == {10: (2, 0.9), 70: (7, 0.5), 80: (9, 0.7)}
