@@ -230,6 +230,28 @@ def test_pipeline_media_branch_real_codecs(spark, docs):
     all_ids = {r["media_id"] for r in media.select("media_id").collect()}
     assert kept_ids <= all_ids
 
+    # quality-aware representative selection (dedup.keep_best): score
+    # each member by payload size (a real pipeline scores resolution/
+    # sharpness) — the survivor per cluster must be the argmax-size
+    # member with the id tiebreak, NOT blanket min-id
+    from openpolicedata_spark.operators.dedup import keep_best
+
+    sized = (media.select("media_id",
+                          F.length("content").alias("quality"))
+             .join(comp.withColumnRenamed("doc_id", "media_id"),
+                   on="media_id")
+             .withColumnRenamed("media_id", "doc_id"))
+    best = keep_best(sized).collect()
+    by_cluster = {}
+    for r in sized.collect():
+        by_cluster.setdefault(r.cluster_id, []).append(
+            (r.doc_id, r.quality))
+    assert len(best) == len(by_cluster)
+    for r in best:
+        want = sorted(by_cluster[r.cluster_id],
+                      key=lambda t: (-t[1], t[0]))[0]
+        assert (r.doc_id, r.quality) == want, r.cluster_id
+
 
 def test_pipeline_video_branch_container_heterogeneous(spark, docs):
     """Video dedup across MIXED real containers: the same frame family
