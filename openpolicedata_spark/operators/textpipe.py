@@ -553,6 +553,38 @@ def mask_repeated_spans(
     )
 
 
+def extract_html_text(df: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Boilerplate-stripping HTML → text over a corpus column (the
+    FineWeb/trafilatura extraction step between crawl and
+    quality/dedup): `sources.htmltable.html_to_text` per row —
+    script/style/head dropped, block boundaries become newlines,
+    inline whitespace collapsed, entities decoded. Arrow-batched
+    mapInPandas (the parse is genuinely imperative — the sanctioned
+    escape); output is (id, text, n_blocks). Embarrassingly parallel,
+    bytes never leave the executor; NULL html → NULL text. q176 pins
+    the extractor against a generative SQL replay."""
+    from openpolicedata_spark.sources.htmltable import html_to_text
+
+    def run(batches):
+        for pdf in batches:
+            texts, blocks = [], []
+            for h in pdf[html_col]:
+                if h is None:
+                    texts.append(None)
+                    blocks.append(None)
+                    continue
+                t = html_to_text(h)
+                texts.append(t)
+                blocks.append(len(t.split("\n")) if t else 0)
+            yield pd.DataFrame({id_col: pdf[id_col], "text": texts,
+                                "n_blocks": pd.array(blocks,
+                                                     dtype="Int64")})
+
+    return df.select(id_col, html_col).mapInPandas(
+        run, schema=f"{id_col} long, text string, n_blocks long")
+
+
 def chunk_chars(
     df: DataFrame,
     chunk_size: int = 200,

@@ -188,3 +188,69 @@ def read_html_tables(html: str) -> list[pd.DataFrame]:
     while p._stack:  # unclosed <table> at EOF
         p.handle_endtag("table")
     return [t for t in p.tables if not t.empty or len(t.columns)]
+
+
+_TEXT_SKIP_TAGS = {"script", "style", "noscript", "template", "head",
+                   "svg", "iframe"}
+_TEXT_BLOCK_TAGS = {"p", "div", "br", "li", "tr", "td", "th", "table",
+                    "ul", "ol", "dl", "dt", "dd", "section", "article",
+                    "header", "footer", "nav", "aside", "main",
+                    "blockquote", "pre", "hr", "form", "figure",
+                    "figcaption", "h1", "h2", "h3", "h4", "h5", "h6"}
+
+
+class _TextExtractor(HTMLParser):
+    """Boilerplate-stripping HTML → text (the trafilatura-shaped step a
+    web-corpus pipeline runs before quality/dedup — FineWeb §3.1;
+    stdlib-only like the table parser above): content inside
+    script/style/head/svg/… is dropped entirely, BLOCK-level tag
+    boundaries flush the current inline run as one text block
+    (internal whitespace collapsed, edges stripped, entities decoded
+    by convert_charrefs), and the result is blocks joined with
+    newlines. Deterministic by construction — q176 pins it against a
+    generative SQL replay (build HTML from known text, extract,
+    compare against the expected string assembled in DuckDB)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self._buf: list[str] = []
+        self.blocks: list[str] = []
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._buf).split())
+        self._buf = []
+        if text:
+            self.blocks.append(text)
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _TEXT_SKIP_TAGS:
+            self._skip += 1
+        elif tag in _TEXT_BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _TEXT_SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in _TEXT_BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in _TEXT_BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if not self._skip:
+            self._buf.append(data)
+
+
+def html_to_text(html: str) -> str:
+    """Extract readable text from an HTML document: one line per
+    block-level region, inline whitespace collapsed, entities decoded,
+    script/style/head content dropped. Tolerant of unclosed tags and
+    attribute junk (html.parser's recovery rules)."""
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    p._flush()
+    return "\n".join(p.blocks)

@@ -7388,6 +7388,64 @@ FROM labeled WHERE n > 1 AND rk = 1
 """
 
 
+def q176_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-stripping HTML extraction (`textpipe.
+    extract_html_text` / `sources.htmltable.html_to_text` — the
+    FineWeb/trafilatura step between crawl and quality/dedup). Each
+    document is wrapped into a deterministic HTML page: head with
+    title + a script whose BODY contains fake tags (the parser must
+    treat script content as opaque), an h1 from the first 40 chars, a
+    p from the next 240 plus an '&amp;' entity suffix, a comment, and
+    a div holding the tail. Spark PARSES the page (tag recovery,
+    skip-regions, block flushing, entity decoding, whitespace
+    collapse); the oracle ASSEMBLES the expected extraction from the
+    same substrings in SQL — trim + whitespace-collapse per block,
+    empties dropped, newline-joined — and compares counts + the md5
+    of the full extracted text (the q172 parse-vs-generative-replay
+    recipe on markup instead of frames)."""
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.textpipe import extract_html_text
+
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    pages = d.selectExpr(
+        "doc_id",
+        "concat('<html><head><title>SKIPPED</title>',"
+        "'<script>var x = \"<p>not text</p>\";</script>',"
+        "'<style>.c { color: red }</style></head><body><h1>',"
+        "substring(text, 1, 40),"
+        "'</h1><p>', substring(text, 41, 240), ' &amp; done</p>',"
+        "'<!-- skipped comment --><div>', substring(text, 281),"
+        "'</div></body></html>') AS html")
+    out = extract_html_text(pages)
+    return out.select(
+        "doc_id", "n_blocks",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"))
+
+
+_Q176_SQL = r"""
+WITH pieces AS (
+  SELECT doc_id,
+    nullif(trim(regexp_replace(substr(text, 1, 40), '\s+', ' ', 'g')), '')
+        AS b1,
+    nullif(trim(regexp_replace(substr(text, 41, 240) || ' & done',
+                               '\s+', ' ', 'g')), '') AS b2,
+    nullif(trim(regexp_replace(substr(text, 281), '\s+', ' ', 'g')), '')
+        AS b3
+  FROM documents),
+joined AS (
+  SELECT doc_id, concat_ws(chr(10), b1, b2, b3) AS extracted,
+         (CASE WHEN b1 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN b2 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN b3 IS NULL THEN 0 ELSE 1 END) AS n_blocks
+  FROM pieces)
+SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(length(extracted) AS BIGINT) AS n_chars,
+       md5(extracted) AS text_md5
+FROM joined
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -8187,6 +8245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_forecast_revenue": q173_forecast_revenue,
         "q174_exact_keep_one": q174_exact_keep_one,
         "q175_quality_survivors": q175_quality_survivors,
+        "q176_html_extract": q176_html_extract,
     }
     return base
 
@@ -8370,4 +8429,5 @@ def oracle_sql() -> dict[str, str]:
         "q173_forecast_revenue": _Q173_SQL,
         "q174_exact_keep_one": _Q174_SQL,
         "q175_quality_survivors": _Q175_SQL,
+        "q176_html_extract": _Q176_SQL,
     }

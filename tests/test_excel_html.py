@@ -138,3 +138,53 @@ def test_maybe_decrypt_passthrough_without_codec(tmp_path):
         p = tmp_path / "plain.xlsx"
         p.write_bytes(b"PK\x03\x04 plain zip bytes")
         assert ExcelLoader._maybe_decrypt(str(p)) == str(p)
+
+
+class TestHtmlToText:
+    def test_skip_regions_blocks_entities(self):
+        from openpolicedata_spark.sources.htmltable import html_to_text
+
+        h = ('<HTML><head><title>skip</title>'
+             '<script>var x = "<p>not text</p>";</script>'
+             '<style>.c{color:red}</style></head>'
+             '<body><h1> Big   Title </h1>'
+             '<p>para &amp; <b>bold</b> tail</p><!-- gone -->'
+             '<div><div>nested</div>rest</div>after<br/>line</body>')
+        assert html_to_text(h) == \
+            "Big Title\npara & bold tail\nnested\nrest\nafter\nline"
+        # numeric + named entities, list items as blocks
+        assert html_to_text("<p>a&lt;b &#65;</p><ul><li>x</li><li>y</li>"
+                            "</ul>") == "a<b A\nx\ny"
+        # no tags at all: the whole input is one block
+        assert html_to_text("  plain   text  ") == "plain text"
+        assert html_to_text("") == ""
+
+    def test_tolerates_malformed_markup(self):
+        from openpolicedata_spark.sources.htmltable import html_to_text
+
+        # unclosed tags, stray '>', attribute junk, uppercase tags
+        h = ('<DIV class="a" data-x=">">one<P>two'
+             '<span>three</div>')
+        out = html_to_text(h)
+        # inline tags with no surrounding whitespace do NOT introduce a
+        # word break (browser semantics: "two<span>three" -> "twothree")
+        assert out == "one\ntwothree"
+        # unclosed script at EOF swallows the rest (skip region) but
+        # earlier blocks survive
+        assert html_to_text("<p>kept</p><script>var a=1;") == "kept"
+        # nested svg/iframe content is dropped
+        assert html_to_text("<p>k</p><svg><text>no</text></svg>"
+                            "<iframe>no</iframe><p>k2</p>") == "k\nk2"
+
+    def test_extract_operator_nulls_and_counts(self, spark):
+        from openpolicedata_spark.operators.textpipe import (
+            extract_html_text,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "<p>a</p><p>b</p>"), (2, None), (3, "<script>x</script>")],
+            "doc_id long, html string")
+        out = {r.doc_id: r for r in extract_html_text(df).collect()}
+        assert out[1].text == "a\nb" and out[1].n_blocks == 2
+        assert out[2].text is None and out[2].n_blocks is None
+        assert out[3].text == "" and out[3].n_blocks == 0
