@@ -608,11 +608,26 @@ def keep_best(labeled: DataFrame, score_col: str = "quality",
     production dedup runs AFTER clustering (SemDeDup §3 / CCNet keep
     the best-scoring member, not the smallest id): for each cluster,
     keep the row with the highest `score_col`, deterministic tiebreak
-    on the id. One row_number window = one keyed exchange on the
-    cluster id; components are tiny (fuzzy-copy groups), so no skew
-    concern at any corpus size. Input is `dup_clusters` output joined
-    with a per-doc score column; the output keeps every input column
-    of the winning row."""
+    on the SMALLEST id. Input is `dup_clusters` output joined with a
+    per-doc score column; the output keeps every input column of the
+    winning row.
+
+    Plan: for numeric ids this is a `max_by` GROUPED AGGREGATE keyed
+    by `(score, -id)` — partial aggregation runs map-side, so a
+    boilerplate/template MEGA-cluster (millions of members in one
+    component — exactly the skew class every LSH blocker here caps)
+    costs each reducer O(partitions), never a single-task full sort.
+    Non-numeric ids fall back to a row_number window (one task sorts
+    each cluster) — fine for the tiny fuzzy-copy components but
+    documented as the skew-exposed path."""
+    from pyspark.sql.types import NumericType
+
+    if isinstance(labeled.schema[id_col].dataType, NumericType):
+        key = F.struct(F.col(score_col).alias("s"),
+                       (-F.col(id_col)).alias("i"))
+        row = F.max_by(F.struct(*labeled.columns), key)
+        return (labeled.groupBy(cluster_col)
+                .agg(row.alias("__best__")).select("__best__.*"))
     w = Window.partitionBy(cluster_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc())
     return (labeled.withColumn("__rk__", F.row_number().over(w))

@@ -481,20 +481,24 @@ def _subframe(br: _Bits, bs: int, bps: int,
         # residual ints — the entropy decode above it is vectorized
         s = list(warm)
         app = s.append
+        # exact Python ints never wrap — but a corrupt stream can grow
+        # them past int64 (np.array() would escape with OverflowError
+        # where every other corruption path raises FlacError), and the
+        # growth is QUADRATIC in time/memory if left unchecked (review
+        # pass 3 measured 1 GB / 8 s at bs=32768 from a ~1 KB frame
+        # with a post-loop check). Guard PER SAMPLE: one comparison
+        # per append keeps both the ints and the loop bounded.
+        lim = 1 << (eff + 1)
         for r in res.tolist():
             acc = 0
             for j, c in enumerate(coefs):
                 acc += c * s[-1 - j]
-            app(r + (acc >> shift))
-        # exact Python ints never wrap — but a corrupt stream can grow
-        # them past int64, and np.array() would escape with
-        # OverflowError where every other corruption path raises
-        # FlacError (the junk-fuzz contract; review finding — the
-        # FIXED branch got the same treatment)
-        if s and max(map(abs, s)) > (1 << (eff + 1)):
-            raise FlacError(
-                f"LPC reconstruction overflow (bps={eff}) — "
-                "corrupt stream")
+            v = r + (acc >> shift)
+            if v > lim or v < -lim:
+                raise FlacError(
+                    f"LPC reconstruction overflow (bps={eff}) — "
+                    "corrupt stream")
+            app(v)
         out = np.array(s, dtype=np.int64)
     else:
         raise FlacError(f"reserved subframe type {t}")

@@ -191,7 +191,7 @@ def read_html_tables(html: str) -> list[pd.DataFrame]:
 
 
 _TEXT_SKIP_TAGS = {"script", "style", "noscript", "template", "head",
-                   "svg", "iframe"}
+                   "svg", "iframe", "title"}
 _TEXT_BLOCK_TAGS = {"p", "div", "br", "li", "tr", "td", "th", "table",
                     "ul", "ol", "dl", "dt", "dd", "section", "article",
                     "header", "footer", "nav", "aside", "main",
@@ -226,17 +226,21 @@ class _TextExtractor(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in _TEXT_SKIP_TAGS:
             self._skip += 1
-        elif tag in _TEXT_BLOCK_TAGS:
+        elif tag in _TEXT_BLOCK_TAGS and not self._skip:
+            # block tags INSIDE a dropped region must not create
+            # boundaries: the same visible content would otherwise
+            # split differently depending on invisible markup
+            # (review pass 3: 'a<iframe><p>x</p></iframe>b')
             self._flush()
 
     def handle_endtag(self, tag):
         if tag in _TEXT_SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
-        elif tag in _TEXT_BLOCK_TAGS:
+        elif tag in _TEXT_BLOCK_TAGS and not self._skip:
             self._flush()
 
     def handle_startendtag(self, tag, attrs):
-        if tag in _TEXT_BLOCK_TAGS:
+        if tag in _TEXT_BLOCK_TAGS and not self._skip:
             self._flush()
 
     def handle_data(self, data):

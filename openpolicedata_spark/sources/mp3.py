@@ -89,22 +89,25 @@ def walk_frames(data: bytes) -> list[tuple[int, int, int, int]]:
 
     Trailing-bytes policy (exactly this, nothing more): after at least
     one decoded frame, the walk STOPS cleanly when the remainder is
-    (a) shorter than a 4-byte header, (b) a tag-family trailer stack —
-    anything starting with 'TAG' (ID3v1, whole or truncated, AND the
-    227-byte extended 'TAG+' that precedes it), 'APETAGEX' (APEv2), or
-    'LYRICSBEGIN' (Lyrics3 — itself followed by ID3v1). Anything else
-    that is not a sync word raises — a walker that silently RESYNCS
-    mid-stream would hide corruption the pipeline should surface,
-    while refusing a fully-valid file over a stray pad byte or a
-    stacked trailer would misreport it as unparseable (review
-    findings, both passes)."""
+    (a) shorter than a 4-byte header, (b) a 'TAG'-prefixed remainder
+    of AT MOST 355 bytes — ID3v1 (128, whole or truncated) or the
+    227-byte extended 'TAG+' stacked with ID3v1 (227+128; an
+    UNBOUNDED TAG arm would silently swallow further valid frames
+    hidden behind a stray 'TAG', review pass 3), or (c) 'APETAGEX'
+    (APEv2) / 'LYRICSBEGIN' (Lyrics3) at the remainder start —
+    inherently variable-size tag bodies behind specific magics.
+    Anything else that is not a sync word raises — a walker that
+    silently RESYNCS mid-stream would hide corruption the pipeline
+    should surface, while refusing a fully-valid file over a stray
+    pad byte or a stacked trailer would misreport it as unparseable
+    (review findings, all passes)."""
     pos = id3v2_size(data)
     out = []
     n = len(data)
     while pos < n:
         rem = n - pos
         if out and (rem < 4
-                    or data[pos:pos + 3] == b"TAG"
+                    or (data[pos:pos + 3] == b"TAG" and rem <= 355)
                     or data[pos:pos + 8] == b"APETAGEX"
                     or data[pos:pos + 11] == b"LYRICSBEGIN"):
             break

@@ -7407,15 +7407,26 @@ def q176_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openpolicedata_spark.operators.textpipe import extract_html_text
 
     d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    # cut the RAW text first (the oracle cuts at the same positions),
+    # then escape each piece before embedding — exactly what a real
+    # page would carry; the parser's entity decoding inverts the
+    # escape, so the oracle keeps assembling expectations from the
+    # raw substrings with no dependence on the fixture being
+    # metachar-free (review pass 3). Escaping BEFORE cutting would
+    # shift the cut boundaries on metachar-bearing text.
+    esc = ("replace(replace(replace({p}, '&', '&amp;'), '<', '&lt;'),"
+           " '>', '&gt;')")
     pages = d.selectExpr(
         "doc_id",
         "concat('<html><head><title>SKIPPED</title>',"
         "'<script>var x = \"<p>not text</p>\";</script>',"
         "'<style>.c { color: red }</style></head><body><h1>',"
-        "substring(text, 1, 40),"
-        "'</h1><p>', substring(text, 41, 240), ' &amp; done</p>',"
-        "'<!-- skipped comment --><div>', substring(text, 281),"
-        "'</div></body></html>') AS html")
+        + esc.format(p="substring(text, 1, 40)") +
+        ", '</h1><p>', " + esc.format(p="substring(text, 41, 240)") +
+        ", ' &amp; done</p>',"
+        "'<!-- skipped comment --><div>', "
+        + esc.format(p="substring(text, 281)") +
+        ", '</div></body></html>') AS html")
     out = extract_html_text(pages)
     return out.select(
         "doc_id", "n_blocks",

@@ -102,6 +102,11 @@ def test_trailing_bytes_policy():
         M.walk_frames(b"TAG" + b"\x00" * 60)  # trailer with no frames
     with pytest.raises(M.Mp3Error, match="lost sync"):
         M.walk_frames(f + b"JUNKJUNK")
+    # the TAG arm is BOUNDED (<= 355 = TAG+ 227 + ID3v1 128): a stray
+    # 'TAG' hiding further valid frames must raise, not silently
+    # truncate the stats (review pass 3)
+    with pytest.raises(M.Mp3Error, match="lost sync"):
+        M.walk_frames(f + b"TAG" + b"\x00" * 125 + f + f + f)
 
 
 def test_mp3_scan_operator_nulls_and_values(spark):

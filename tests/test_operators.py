@@ -995,3 +995,13 @@ def test_keep_best_survivor_selection(spark):
     got = {r.cluster_id: (r.doc_id, r.quality)
            for r in keep_best(labeled).collect()}
     assert got == {10: (2, 0.9), 70: (7, 0.5), 80: (9, 0.7)}
+    # numeric ids take the skew-safe max_by aggregate (no Window node)
+    assert "Window" not in keep_best(labeled)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+
+    # string ids fall back to the window path with identical semantics
+    s = labeled.selectExpr("concat('d', doc_id) AS doc_id",
+                           "cluster_id", "quality")
+    got_s = {r.cluster_id: (r.doc_id, r.quality)
+             for r in keep_best(s).collect()}
+    assert got_s == {10: ("d2", 0.9), 70: ("d7", 0.5), 80: ("d9", 0.7)}
