@@ -487,8 +487,13 @@ def mp3_scan(df: DataFrame, content_col: str = "content",
     oracle. Arrow-batched mapInPandas; unparseable payloads yield
     null stats rather than failing the scan (the walker itself raises
     loudly when called directly). The id column keeps the caller's
-    `id_col` name — the schema is built from it (review finding: the
-    hardcoded 'media_id' schema broke any non-default id_col)."""
+    `id_col` name AND the caller's id TYPE — both are read off the
+    input schema (review finding: the hardcoded 'media_id' schema
+    broke any non-default id_col; ADVICE r8: a hardcoded `long` broke
+    any string/decimal id at Arrow conversion)."""
+    from pyspark.sql.types import (BooleanType, LongType, StructField,
+                                   StructType)
+
     from openpolicedata_spark.sources.mp3 import Mp3Error, mp3_stats
 
     cols = ["n_frames", "sample_rate", "duration_ms", "audio_bytes",
@@ -510,8 +515,12 @@ def mp3_scan(df: DataFrame, content_col: str = "content",
                 rows.append((mid,) + tuple(st[c] for c in cols))
             yield pd.DataFrame(rows, columns=[id_col] + cols)
 
+    schema = StructType(
+        [StructField(id_col, df.schema[id_col].dataType, True)]
+        + [StructField(c, BooleanType() if c == "is_vbr" else LongType(),
+                       True) for c in cols])
     return df.select(id_col, content_col).mapInPandas(
-        compute, schema=f"{id_col} long, " + MP3_SCAN_FIELDS)
+        compute, schema=schema)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, content_col: str = "content",

@@ -916,6 +916,10 @@ def pq_encode_arrow(corpus: DataFrame, codebooks, coarse=None,
     m, _k, sub = books.shape
     C = (np.asarray(coarse, dtype=np.float64)
          if coarse is not None else None)               # (L, dim)
+    if C is not None and C.shape[1] != m * sub:
+        raise ValueError(
+            f"pq_encode_arrow: coarse centroid dimension {C.shape[1]} "
+            f"!= codebook dimension {m * sub}")
     if probe is not None and C is None:
         raise ValueError("probe pruning requires coarse centroids")
     probe_arr = (np.asarray(sorted({int(p) for p in probe}))
@@ -943,6 +947,20 @@ def pq_encode_arrow(corpus: DataFrame, codebooks, coarse=None,
             # definite garbage codes (review finding).
             null_mask = pdf[vec_col].isna().to_numpy()
             if not null_mask.all():
+                # Ragged batches crash np.stack with an opaque Arrow
+                # traceback (ADVICE r8): validate lengths against the
+                # codebook dimension FIRST and name the offender —
+                # unlike NULL/NaN (data corruption handled per-row), a
+                # wrong-dimension vector is a schema/model mismatch
+                # that silent null-propagation would hide.
+                dim = m * sub
+                for vid, v in zip(pdf[id_col][~null_mask],
+                                  pdf[vec_col][~null_mask]):
+                    if len(v) != dim:
+                        raise ValueError(
+                            f"pq_encode_arrow: embedding length {len(v)} "
+                            f"!= codebook dimension {dim} (m={m} "
+                            f"subspaces x {sub}) at {id_col}={vid!r}")
                 stacked = np.stack([np.asarray(v, dtype=np.float64)
                                     for v in pdf[vec_col][~null_mask]])
                 nan_rows = np.isnan(stacked).any(axis=1)

@@ -581,8 +581,16 @@ def extract_html_text(df: DataFrame, html_col: str = "html",
                                 "n_blocks": pd.array(blocks,
                                                      dtype="Int64")})
 
-    return df.select(id_col, html_col).mapInPandas(
-        run, schema=f"{id_col} long, text string, n_blocks long")
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    # id keeps the caller's TYPE too, not just its name (ADVICE r8: a
+    # hardcoded `long` failed Arrow conversion for string ids)
+    schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType, True),
+        StructField("text", StringType(), True),
+        StructField("n_blocks", LongType(), True)])
+    return df.select(id_col, html_col).mapInPandas(run, schema=schema)
 
 
 def chunk_chars(

@@ -402,7 +402,8 @@ def _fixed_reconstruct(warm: list[int], res: np.ndarray,
 
     Each integration LEVEL is magnitude-checked against the legit
     bound for that level (|Δ^m s| ≤ 2^(eff-1+m) for true eff-bit
-    samples; we allow 2× slack): the per-residual guard in _subframe
+    samples; the 1 << (eff+m+1) guard allows 4× slack): the
+    per-residual guard in _subframe
     alone is NOT enough, because a corrupt stream of in-bound
     residuals can still blow up the NESTED sums (order 4 over 65535
     samples multiplies the bound by ~n^4/4! ≈ 2^59) and wrap int64

@@ -19,6 +19,7 @@ asserts exactly one table, as the reference does.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 import pandas as pd
@@ -190,6 +191,7 @@ def read_html_tables(html: str) -> list[pd.DataFrame]:
     return [t for t in p.tables if not t.empty or len(t.columns)]
 
 
+_ASCII_WS = re.compile("[ \t\n\r\f\v]+")
 _TEXT_SKIP_TAGS = {"script", "style", "noscript", "template", "head",
                    "svg", "iframe", "title"}
 _TEXT_BLOCK_TAGS = {"p", "div", "br", "li", "tr", "td", "th", "table",
@@ -218,7 +220,12 @@ class _TextExtractor(HTMLParser):
         self.blocks: list[str] = []
 
     def _flush(self) -> None:
-        text = " ".join("".join(self._buf).split())
+        # ASCII whitespace ONLY (not str.split(), whose Unicode \s eats
+        # \xa0/ /\x85): the q176 oracle collapses with RE2 '\s+'
+        # and Spark's Java regex \s is ASCII too — a page containing
+        # NBSP must round-trip identically through all three engines.
+        text = " ".join(
+            t for t in _ASCII_WS.split("".join(self._buf)) if t)
         self._buf = []
         if text:
             self.blocks.append(text)

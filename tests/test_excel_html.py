@@ -159,6 +159,22 @@ class TestHtmlToText:
         assert html_to_text("  plain   text  ") == "plain text"
         assert html_to_text("") == ""
 
+    def test_ascii_whitespace_only_collapse(self):
+        # ADVICE r8: collapse must use the ASCII class, matching the
+        # q176 oracle's RE2 '\s+' (and Spark's Java '\s') — NBSP and
+        # other Unicode whitespace are CONTENT, not separators.
+        from openpolicedata_spark.sources.htmltable import html_to_text
+
+        assert html_to_text("<p>a\xa0b</p>") == "a\xa0b"
+        assert html_to_text("<p> a \xa0 b </p>") == "a \xa0 b"
+        assert html_to_text("<p>x y\x85z</p>") == "x y\x85z"
+        # &nbsp; decodes to \xa0 and survives as content too
+        assert html_to_text("<p>a&nbsp;b</p>") == "a\xa0b"
+        # a block of ONLY Unicode whitespace is a (non-empty) block
+        assert html_to_text("<p>\xa0</p><p>t</p>") == "\xa0\nt"
+        # ASCII controls in the class still collapse
+        assert html_to_text("<p>a \t\r\n\f\v b</p>") == "a b"
+
     def test_tolerates_malformed_markup(self):
         from openpolicedata_spark.sources.htmltable import html_to_text
 
@@ -188,3 +204,10 @@ class TestHtmlToText:
         assert out[1].text == "a\nb" and out[1].n_blocks == 2
         assert out[2].text is None and out[2].n_blocks is None
         assert out[3].text == "" and out[3].n_blocks == 0
+
+        # non-long id columns keep their TYPE in the output schema
+        # (ADVICE r8: the hardcoded `long` failed Arrow conversion)
+        df2 = spark.createDataFrame([("u-1", "<p>hi</p>")],
+                                    "url string, html string")
+        got = extract_html_text(df2, id_col="url").collect()
+        assert got[0].url == "u-1" and got[0].text == "hi"

@@ -128,6 +128,13 @@ def test_mp3_scan_operator_nulls_and_values(spark):
     got = mp3_scan(df2, id_col="doc_id").collect()
     assert got[0].doc_id == 7 and got[0].n_frames == 2
 
+    # ... and a non-long id TYPE survives Arrow conversion (ADVICE r8:
+    # the schema hardcoded `long` even after the name fix)
+    df3 = spark.createDataFrame([("clip-a", bytearray(blob))],
+                                "doc_id string, content binary")
+    got3 = mp3_scan(df3, id_col="doc_id").collect()
+    assert got3[0].doc_id == "clip-a" and got3[0].n_frames == 2
+
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
 

@@ -964,6 +964,21 @@ def test_pq_encode_arrow_matches_expression_encoders(spark):
     assert [r.vec_id for r in pq_encode_arrow(
         dfn, books, coarse=coarse, probe=[1, 2, 3, 4]).collect()] == [0]
 
+    # a WRONG-LENGTH embedding is a schema/model mismatch, not data
+    # corruption: the kernel names the offender instead of crashing
+    # np.stack with an opaque ragged-array error (ADVICE r8), and a
+    # coarse model whose dimension disagrees with the codebooks is
+    # refused at construction
+    import pytest as _pytest
+
+    dfr = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 63)],
+        "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="embedding length 63"):
+        pq_encode_arrow(dfr, books).collect()
+    with _pytest.raises(ValueError, match="coarse centroid dimension"):
+        pq_encode_arrow(df, books, coarse=[[0.0] * 63] * 4)
+
 
 def test_pq_encode_is_deterministic_and_python_free(spark):
     from openpolicedata_spark.operators.similarity import pq_encode
