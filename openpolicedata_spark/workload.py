@@ -1129,19 +1129,20 @@ _Q40_SQL = _Q27_SQL
 
 def q41_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over exact-duplicate pairs → canonical-survivor
-    labels. The pair graph comes from fingerprint equality, so the oracle
-    is a window MIN over fingerprint groups (restricted to docs that have
-    a duplicate, since only they appear in the pair graph)."""
-    from openpolicedata_spark.operators.dedup import dup_clusters
+    labels. The pair graph comes from fingerprint EQUALITY, so components
+    are the fingerprint groups and `dedup.dup_clusters_by_key` computes
+    the labels with one aggregation — no pair materialization, no label-
+    propagation rounds (round-9: the iterative path measured 3.79 s warm
+    at sf0.1 on an answer the key already determined; the general
+    `dup_clusters` still serves LSH-derived pairs, equivalence pinned in
+    tests). The oracle is a window MIN over fingerprint groups
+    (restricted to docs that have a duplicate, since only they appear in
+    the pair graph)."""
+    from openpolicedata_spark.operators.dedup import dup_clusters_by_key
 
     d = _docs_with_dups(spark, sf_dir)
     fp = d.select("doc_id", fingerprint_md5_expr(F.col("text")).alias("fp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    pairs = (a.join(b, on=[F.col("a.fp") == F.col("b.fp"),
-                           F.col("a.doc_id") < F.col("b.doc_id")])
-             .select(F.col("a.doc_id").alias("id_a"),
-                     F.col("b.doc_id").alias("id_b")))
-    return dup_clusters(pairs)
+    return dup_clusters_by_key(fp, "fp")
 
 
 _Q41_SQL = f"""
@@ -7315,7 +7316,9 @@ def q175_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEST-scoring member, not the smallest id). Corpus: every document
     plus a 300-char truncation of itself (variant gets the SMALLER id
     2·doc, the full doc 2·doc+1), paired by the md5 of the normalized
-    300-char prefix, clustered by `dedup.dup_clusters`, scored by
+    300-char prefix, clustered by `dedup.dup_clusters_by_key` (the
+    pairing key is an EQUALITY fingerprint, so components are the key
+    groups — zero label-propagation rounds; round-9 item 1), scored by
     `quality_score_expr`, survivor = argmax(quality, tiebreak id).
     Where truncation actually bites (docs longer than 300 chars) the
     winner is the FULL doc — the id-LARGER member, demonstrating the
@@ -7326,7 +7329,8 @@ def q175_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised). One keyed exchange for the window; the oracle replays
     pairing, clustering (components = fp-group MIN), scoring, and the
     rank in SQL."""
-    from openpolicedata_spark.operators.dedup import dup_clusters, keep_best
+    from openpolicedata_spark.operators.dedup import (dup_clusters_by_key,
+                                                      keep_best)
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = (d.selectExpr("doc_id * 2 + 1 AS doc_id", "text")
@@ -7339,13 +7343,8 @@ def q175_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "quality",
         F.md5(normalize_text_expr(
             F.substring(F.col("text"), 1, 300))).alias("fp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    pairs = (a.join(b, on=[F.col("a.fp") == F.col("b.fp"),
-                           F.col("a.doc_id") < F.col("b.doc_id")])
-             .select(F.col("a.doc_id").alias("id_a"),
-                     F.col("b.doc_id").alias("id_b")))
-    labeled = dup_clusters(pairs).join(fp.select("doc_id", "quality"),
-                                       "doc_id")
+    labeled = dup_clusters_by_key(fp, "fp").join(
+        fp.select("doc_id", "quality"), "doc_id")
     best = keep_best(labeled)
     sizes = labeled.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"))

@@ -170,6 +170,40 @@ def test_dup_clusters_connected_components(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_dup_clusters_by_key_equals_pair_path(spark):
+    """The equality-key fast path (one aggregation, zero iterations)
+    is label-identical to running `dup_clusters` over the pairs the
+    same key's self-join would generate — on a randomized keyed corpus
+    covering singleton keys (never in the pair graph), big groups, and
+    NULL keys (never match an equality join, so never clustered)."""
+    import random
+
+    from openpolicedata_spark.operators.dedup import (dup_clusters,
+                                                      dup_clusters_by_key)
+
+    rnd = random.Random(41)
+    rows = [(i, rnd.choice([None, "k0", "k1", "k2", "k3", "k4", "k5",
+                            f"solo{i}"]))
+            for i in range(80)]
+    keyed = spark.createDataFrame(rows, "doc_id long, fp string")
+
+    fast = {(r.doc_id, r.cluster_id)
+            for r in dup_clusters_by_key(keyed, "fp").collect()}
+
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (a.join(b, on=[F.col("a.fp") == F.col("b.fp"),
+                           F.col("a.doc_id") < F.col("b.doc_id")])
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    slow = {(r.doc_id, r.cluster_id)
+            for r in dup_clusters(pairs).collect()}
+    assert fast == slow and len(fast) > 0
+
+    # no NULL-keyed or singleton doc leaks into the labels
+    null_or_solo = {i for i, k in rows if k is None or k.startswith("solo")}
+    assert not null_or_solo & {d for d, _ in fast}
+
+
 def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     from openpolicedata_spark.operators.similarity import (
         brute_force_topk, ivf_assign, ivf_topk, train_ivf_centroids)
