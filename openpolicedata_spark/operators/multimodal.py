@@ -476,7 +476,8 @@ MP3_SCAN_SCHEMA = "media_id long, " + MP3_SCAN_FIELDS
 def mp3_scan(df: DataFrame, content_col: str = "content",
              id_col: str = "media_id") -> DataFrame:
     """Metadata-only mp3 scan (`sources.mp3.mp3_stats` — ID3v2 skip +
-    MPEG-1 Layer III frame walk): duration on the sample clock, frame
+    frame walk over every MPEG version x layer combination, round-9
+    widened): duration on the sample clock, frame
     count, bitrate profile, VBR flag — the ffprobe-style pass a speech
     corpus runs to inventory/stratify audio BEFORE committing decode
     compute. PCM decode stays gated (FIXTURES.md §F10: the Annex-B

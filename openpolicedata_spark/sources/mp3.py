@@ -1,4 +1,4 @@
-"""MPEG-1 Layer III (mp3) FRAME WALKER — metadata only, no PCM.
+"""MPEG audio (mp3-family) FRAME WALKER — metadata only, no PCM.
 
 PCM decode is blocked offline (FIXTURES.md §F10: the Annex-B Huffman
 tables, the 512-tap synthesis window, and the scalefactor-band layouts
@@ -6,29 +6,64 @@ are irreducible spec DATA that cannot be recalled or derived with
 confidence, and a self round-trip would not validate them). What F10
 explicitly leaves UNBLOCKED is the container layer, which is pure
 formula: the 32-bit frame header, the bitrate/sample-rate ladders, the
-frame-size arithmetic ``144*bitrate//rate + padding``, and the ID3v2
-syncsafe skip. That layer is what a corpus-prep pipeline needs for
-metadata-only scans — duration, bitrate profile, VBR detection, frame
-counts — the ffprobe/mp3val use case (reference has no media handling
-at all; beyond-reference LLM-pipeline coverage).
+frame-size arithmetic, and the ID3v2 syncsafe skip. That layer is what
+a corpus-prep pipeline needs for metadata-only scans — duration,
+bitrate profile, VBR detection, frame counts — the ffprobe/mp3val use
+case (reference has no media handling at all; beyond-reference
+LLM-pipeline coverage).
 
-Scope is deliberately MPEG-1 Layer III only (the confidently-recalled
-subset): MPEG-2/2.5 headers, Layer I/II, and free-format streams raise
-loudly with the variant named. PCM decode requests keep raising in
+Round 9 widens the walker from MPEG-1 Layer III to ALL version/layer
+combinations (MPEG-1 / MPEG-2 / MPEG-2.5 × Layer I/II/III) — real
+speech scrapes mix in 22.05 kHz MPEG-2 and 8-16 kHz MPEG-2.5 files,
+which previously inventoried as null stats. The extension is the same
+confidence class as the original path (short recalled FORMULAS and
+ladders, not the F10-blocked spec data): samples/frame is 384 for
+Layer I, 1152 for Layer II everywhere and MPEG-1 Layer III, 576 for
+MPEG-2/2.5 Layer III; frame size is ``(spf/8)*bitrate//rate + pad``
+with a 4-byte slot for Layer I (``(12*bitrate//rate + pad) * 4``).
+Free-format streams (bitrate index 0) and reserved version/layer/rate
+fields still raise loudly. PCM decode requests keep raising in
 `multimodal.decode_audio`.
 """
 
 from __future__ import annotations
 
+# Back-compat aliases: the MPEG-1 Layer III constants round 8 shipped
+# (q172's builder and the hand-computed fixtures key off them).
 MP3_SAMPLES_PER_FRAME = 1152
 
-# MPEG-1 Layer III bitrate ladder (kbit/s); index 0 = free-format
-# (gated), index 15 = invalid
-MP3_BITRATES_KBPS = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
-                     192, 224, 256, 320)
+# Bitrate ladders (kbit/s), indexed by the 4-bit bitrate field; index
+# 0 = free-format (gated), index 15 = invalid. Keyed by (version
+# class, layer) where version class 1 = MPEG-1 and 2 = MPEG-2/2.5
+# (which share ladders), layer in {1, 2, 3}.
+MP3_BITRATE_LADDERS = {
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+}
+MP3_BITRATES_KBPS = MP3_BITRATE_LADDERS[(1, 3)]
 
-# sampling_frequency field (2 bits); 3 = reserved
-MP3_SAMPLE_RATES = (44100, 48000, 32000)
+# sampling_frequency field (2 bits; 3 = reserved), keyed by the raw
+# 2-bit version field: 3 = MPEG-1, 2 = MPEG-2, 0 = MPEG-2.5 (exact
+# halving/quartering of the MPEG-1 rates). All nine rates are
+# DISTINCT, so a stream's sample rate pins its version.
+MP3_SAMPLE_RATES_BY_VERSION = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+MP3_SAMPLE_RATES = MP3_SAMPLE_RATES_BY_VERSION[3]
+
+MP3_VERSION_NAMES = {3: "MPEG-1", 2: "MPEG-2", 0: "MPEG-2.5"}
 
 
 class Mp3Error(ValueError):
@@ -48,25 +83,34 @@ def id3v2_size(data: bytes) -> int:
     return 10 + size + (10 if flags & 0x10 else 0)
 
 
-def parse_frame_header(data: bytes, pos: int) -> tuple[int, int, int, int]:
+def parse_frame_header(
+        data: bytes, pos: int) -> tuple[int, int, int, int, int]:
     """Parse one frame header at `pos` → (frame_size, bitrate_kbps,
-    sample_rate, padding). Raises Mp3Error naming the variant for
-    anything outside MPEG-1 Layer III with a fixed bitrate."""
+    sample_rate, padding, samples_per_frame). Covers every MPEG
+    version (1 / 2 / 2.5) × layer (I / II / III) combination; raises
+    Mp3Error naming the variant for free-format bitrate and reserved
+    version/layer/sample-rate fields.
+
+    Frame-size formulas (public header spec, pure arithmetic):
+      Layer I:          (12  * bitrate // rate + padding) * 4
+      Layer II:          144 * bitrate // rate + padding
+      Layer III MPEG-1:  144 * bitrate // rate + padding
+      Layer III v2/2.5:   72 * bitrate // rate + padding
+    i.e. (spf/8) * bitrate // rate in slot units, slot = 4 bytes for
+    Layer I (so its padding bit adds 4 bytes), 1 byte otherwise."""
     if pos + 4 > len(data):
         raise Mp3Error("truncated frame header")
     b0, b1, b2, _b3 = data[pos:pos + 4]
     if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
         raise Mp3Error(f"lost sync at byte {pos}")
-    version = (b1 >> 3) & 0x3   # 3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5
-    layer = (b1 >> 1) & 0x3     # 1=Layer III, 2=Layer II, 3=Layer I
-    if version != 3:
-        name = {2: "MPEG-2", 0: "MPEG-2.5"}.get(version, "reserved")
-        raise Mp3Error(f"{name} audio is gated (MPEG-1 only; "
-                       "FIXTURES.md F10)")
-    if layer != 1:
-        name = {3: "Layer I", 2: "Layer II"}.get(layer, "reserved")
-        raise Mp3Error(f"{name} is gated (Layer III only; "
-                       "FIXTURES.md F10)")
+    version = (b1 >> 3) & 0x3   # 3=MPEG-1, 2=MPEG-2, 1=reserved, 0=MPEG-2.5
+    layer_bits = (b1 >> 1) & 0x3  # 1=Layer III, 2=Layer II, 3=Layer I
+    if version == 1:
+        raise Mp3Error("reserved MPEG version field")
+    if layer_bits == 0:
+        raise Mp3Error("reserved layer field")
+    layer = 4 - layer_bits        # 1 = Layer I, 2 = II, 3 = III
+    vclass = 1 if version == 3 else 2
     br_idx = (b2 >> 4) & 0xF
     if br_idx == 0:
         raise Mp3Error("free-format bitrate is gated (frame size is "
@@ -76,16 +120,21 @@ def parse_frame_header(data: bytes, pos: int) -> tuple[int, int, int, int]:
     sr_idx = (b2 >> 2) & 0x3
     if sr_idx == 3:
         raise Mp3Error("reserved sampling-frequency index 3")
-    bitrate = MP3_BITRATES_KBPS[br_idx]
-    rate = MP3_SAMPLE_RATES[sr_idx]
+    bitrate = MP3_BITRATE_LADDERS[(vclass, layer)][br_idx]
+    rate = MP3_SAMPLE_RATES_BY_VERSION[version][sr_idx]
     padding = (b2 >> 1) & 1
-    size = 144 * bitrate * 1000 // rate + padding
-    return size, bitrate, rate, padding
+    if layer == 1:
+        spf = 384
+        size = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        spf = 576 if (layer == 3 and vclass == 2) else 1152
+        size = (spf // 8) * bitrate * 1000 // rate + padding
+    return size, bitrate, rate, padding, spf
 
 
-def walk_frames(data: bytes) -> list[tuple[int, int, int, int]]:
+def walk_frames(data: bytes) -> list[tuple[int, int, int, int, int]]:
     """Walk every frame after an optional ID3v2 tag →
-    [(offset, size, bitrate_kbps, sample_rate), ...].
+    [(offset, size, bitrate_kbps, sample_rate, samples_per_frame), ...].
 
     Trailing-bytes policy (exactly this, nothing more): after at least
     one decoded frame, the walk STOPS cleanly when the remainder is
@@ -111,11 +160,11 @@ def walk_frames(data: bytes) -> list[tuple[int, int, int, int]]:
                     or data[pos:pos + 8] == b"APETAGEX"
                     or data[pos:pos + 11] == b"LYRICSBEGIN"):
             break
-        size, bitrate, rate, _pad = parse_frame_header(data, pos)
+        size, bitrate, rate, _pad, spf = parse_frame_header(data, pos)
         if pos + size > n:
             raise Mp3Error(f"truncated final frame at byte {pos} "
                            f"(needs {size} bytes, {n - pos} left)")
-        out.append((pos, size, bitrate, rate))
+        out.append((pos, size, bitrate, rate, spf))
         pos += size
     if not out:
         raise Mp3Error("no MPEG frames found")
@@ -134,10 +183,14 @@ def mp3_stats(data: bytes) -> dict:
         raise Mp3Error(f"mixed sample rates {sorted(rates)}")
     rate = frames[0][3]
     brs = [f[2] for f in frames]
+    # duration sums PER-FRAME samples: exact even if layers mix within
+    # one stream (same rate pins the version, but Layer I frames carry
+    # 384 samples vs 1152/576); for a uniform MPEG-1 Layer III stream
+    # this equals the round-8 n_frames*1152 formula bit-for-bit
     return {
         "n_frames": len(frames),
         "sample_rate": rate,
-        "duration_ms": len(frames) * MP3_SAMPLES_PER_FRAME * 1000 // rate,
+        "duration_ms": sum(f[4] for f in frames) * 1000 // rate,
         "audio_bytes": sum(f[1] for f in frames),
         "first_frame_offset": frames[0][0],
         "bitrate_min_kbps": min(brs),

@@ -7456,6 +7456,126 @@ FROM joined
 """
 
 
+def q177_mp3_multiversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 mp3-walker widening: metadata inventory across ALL
+    MPEG version x layer combinations (real speech scrapes mix
+    22.05 kHz MPEG-2 and 8-16 kHz MPEG-2.5 files in; these used to
+    inventory as null stats). Each document becomes a clip whose
+    (version, layer) is doc_id % 9 — covering MPEG-1/2/2.5 x Layer
+    I/II/III — and sample-rate index doc_id % 3; 2+doc_id%4 frames
+    draw bitrate index and padding from the md5 stream; each frame
+    is zero-filled to its header-mandated size ((12*br//rate+pad)*4
+    for Layer I's 4-byte slots, (spf/8)*br//rate+pad otherwise, spf
+    576 for MPEG-2/2.5 Layer III). Spark PARSES the bytes
+    (`multimodal.mp3_scan` → the widened walker's ladder lookup +
+    size walk); the oracle REPLAYS the construction in SQL with the
+    six bitrate ladders and nine sample rates as LITERALS — the
+    independent pin on every table the walker carries (q172 keeps
+    covering ID3v2 skip + trailers on the MPEG-1 path)."""
+    import hashlib as _hl
+
+    import pandas as pd
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.multimodal import mp3_scan
+    from openpolicedata_spark.sources.mp3 import (
+        MP3_BITRATE_LADDERS,
+        MP3_SAMPLE_RATES_BY_VERSION,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    ver_bits_by_vidx = (3, 2, 0)   # MPEG-1, MPEG-2, MPEG-2.5
+
+    def build(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                vidx, layer = (did % 9) // 3, (did % 9) % 3 + 1
+                ver = ver_bits_by_vidx[vidx]
+                vclass = 1 if ver == 3 else 2
+                sr_idx = did % 3
+                rate = MP3_SAMPLE_RATES_BY_VERSION[ver][sr_idx]
+                ladder = MP3_BITRATE_LADDERS[(vclass, layer)]
+                frames = []
+                for i in range(2 + did % 4):
+                    h = _hl.md5(
+                        text.encode("utf-8") + b"v" + str(i).encode()
+                    ).hexdigest()
+                    br_idx = 1 + int(h[0], 16) % 14
+                    pad = int(h[1], 16) % 2
+                    br = ladder[br_idx]
+                    if layer == 1:
+                        size = (12 * br * 1000 // rate + pad) * 4
+                    else:
+                        spf = 576 if (layer == 3 and vclass == 2) else 1152
+                        size = spf // 8 * br * 1000 // rate + pad
+                    hdr = bytes([
+                        0xFF,
+                        0xE0 | (ver << 3) | ((4 - layer) << 1) | 1,
+                        (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                        0x00])
+                    frames.append(hdr + b"\x00" * (size - 4))
+                rows.append((did, b"".join(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    clips = rebalance(d.select("doc_id", "text")).mapInPandas(
+        build, "media_id long, content binary")
+    return (mp3_scan(clips).withColumnRenamed("media_id", "doc_id")
+            .drop("first_frame_offset"))
+
+
+_Q177_SQL = """
+WITH f AS (
+    SELECT doc_id,
+           CAST(doc_id % 9 AS INT) // 3 AS vidx,
+           CAST(doc_id % 9 AS INT) % 3 + 1 AS layer,
+           CAST(doc_id % 3 AS INT) AS sr_idx,
+           1 + CAST('0x' || substr(md5(text || 'v' || i), 1, 1)
+                    AS INTEGER) % 14 AS br_idx,
+           CAST('0x' || substr(md5(text || 'v' || i), 2, 1)
+                AS INTEGER) % 2 AS pad
+    FROM documents,
+         unnest(range(0, 2 + CAST(doc_id % 4 AS INT))) t(i)
+), p AS (
+    SELECT doc_id,
+           CASE WHEN vidx = 0 THEN ([44100, 48000, 32000])[sr_idx + 1]
+                WHEN vidx = 1 THEN ([22050, 24000, 16000])[sr_idx + 1]
+                ELSE ([11025, 12000, 8000])[sr_idx + 1] END AS rate,
+           CASE
+             WHEN vidx = 0 AND layer = 1 THEN
+               ([32,64,96,128,160,192,224,256,288,320,352,384,416,448])[br_idx]
+             WHEN vidx = 0 AND layer = 2 THEN
+               ([32,48,56,64,80,96,112,128,160,192,224,256,320,384])[br_idx]
+             WHEN vidx = 0 THEN
+               ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[br_idx]
+             WHEN layer = 1 THEN
+               ([32,48,56,64,80,96,112,128,144,160,176,192,224,256])[br_idx]
+             ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[br_idx]
+           END AS br,
+           CASE WHEN layer = 1 THEN 384
+                WHEN layer = 3 AND vidx > 0 THEN 576
+                ELSE 1152 END AS spf,
+           pad, layer
+    FROM f
+), sized AS (
+    SELECT doc_id, rate, br, spf,
+           CASE WHEN layer = 1 THEN (12 * br * 1000 // rate + pad) * 4
+                ELSE spf // 8 * br * 1000 // rate + pad END AS fsize
+    FROM p
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(MIN(rate) AS BIGINT) AS sample_rate,
+       CAST(SUM(spf) * 1000 // MIN(rate) AS BIGINT) AS duration_ms,
+       CAST(SUM(fsize) AS BIGINT) AS audio_bytes,
+       CAST(MIN(br) AS BIGINT) AS bitrate_min_kbps,
+       CAST(MAX(br) AS BIGINT) AS bitrate_max_kbps,
+       CAST(SUM(br) AS BIGINT) AS bitrate_sum_kbps,
+       MIN(br) <> MAX(br) AS is_vbr
+FROM sized GROUP BY doc_id
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -8256,6 +8376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_exact_keep_one": q174_exact_keep_one,
         "q175_quality_survivors": q175_quality_survivors,
         "q176_html_extract": q176_html_extract,
+        "q177_mp3_multiversion": q177_mp3_multiversion,
     }
     return base
 
@@ -8440,4 +8561,5 @@ def oracle_sql() -> dict[str, str]:
         "q174_exact_keep_one": _Q174_SQL,
         "q175_quality_survivors": _Q175_SQL,
         "q176_html_extract": _Q176_SQL,
+        "q177_mp3_multiversion": _Q177_SQL,
     }

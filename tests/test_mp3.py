@@ -15,14 +15,74 @@ def frame(br_idx, sr_idx=0, pad=0, fill=b"\x00"):
     return hdr + fill * (size - 4)
 
 
+def frame_v(ver_bits, layer_bits, br_idx, sr_idx=0, pad=0, fill=b"\x00"):
+    """Any version/layer frame, sized by the TEST'S OWN copy of the
+    header formulas (so builder and parser are independent)."""
+    hdr = bytes([0xFF, 0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1,
+                 (br_idx << 4) | (sr_idx << 2) | (pad << 1), 0])
+    vclass = 1 if ver_bits == 3 else 2
+    layer = 4 - layer_bits
+    br = M.MP3_BITRATE_LADDERS[(vclass, layer)][br_idx]
+    rate = M.MP3_SAMPLE_RATES_BY_VERSION[ver_bits][sr_idx]
+    if layer == 1:
+        size = (12 * br * 1000 // rate + pad) * 4
+    else:
+        spf = 576 if (layer == 3 and vclass == 2) else 1152
+        size = spf // 8 * br * 1000 // rate + pad
+    return hdr + fill * (size - 4)
+
+
 def test_hand_computed_frame_sizes():
     # 128 kbps @ 44100: 144*128000/44100 = 417.95... -> 417 (+pad)
-    assert M.parse_frame_header(frame(9), 0) == (417, 128, 44100, 0)
-    assert M.parse_frame_header(frame(9, pad=1), 0) == (418, 128, 44100, 1)
+    assert M.parse_frame_header(frame(9), 0) == (417, 128, 44100, 0, 1152)
+    assert M.parse_frame_header(frame(9, pad=1), 0) == \
+        (418, 128, 44100, 1, 1152)
     # 320 kbps @ 44100 -> 1044 ; 32 kbps @ 48000 -> 96 ; 40 @ 32000 -> 180
     assert M.parse_frame_header(frame(14), 0)[0] == 1044
-    assert M.parse_frame_header(frame(1, sr_idx=1), 0) == (96, 32, 48000, 0)
-    assert M.parse_frame_header(frame(2, sr_idx=2), 0) == (180, 40, 32000, 0)
+    assert M.parse_frame_header(frame(1, sr_idx=1), 0) == \
+        (96, 32, 48000, 0, 1152)
+    assert M.parse_frame_header(frame(2, sr_idx=2), 0) == \
+        (180, 40, 32000, 0, 1152)
+
+
+def test_hand_computed_all_version_layer_combos():
+    """Round-9 widening: every MPEG version x layer combination, each
+    size computed BY HAND here (ladder value, formula, floor) — the
+    builder helper independently re-derives them, and the two must
+    agree with the parser."""
+    # MPEG-1 Layer I 448 kbps @ 44100 (idx 14): (12*448000//44100)*4
+    #   = 121*4 = 484; the padding SLOT is 4 bytes for Layer I
+    assert M.parse_frame_header(frame_v(3, 3, 14), 0) == \
+        (484, 448, 44100, 0, 384)
+    assert M.parse_frame_header(frame_v(3, 3, 14, pad=1), 0)[0] == 488
+    # MPEG-1 Layer II 384 kbps @ 44100: 144*384000//44100 = 1253
+    assert M.parse_frame_header(frame_v(3, 2, 14), 0) == \
+        (1253, 384, 44100, 0, 1152)
+    # MPEG-2 Layer III 64 kbps @ 22050 (idx 8 on the v2 ladder):
+    #   72*64000//22050 = 208, 576 samples/frame
+    assert M.parse_frame_header(frame_v(2, 1, 8), 0) == \
+        (208, 64, 22050, 0, 576)
+    # MPEG-2.5 Layer III 8 kbps @ 8000 (idx 1, sr_idx 2): 72*8000//8000
+    assert M.parse_frame_header(frame_v(0, 1, 1, sr_idx=2), 0) == \
+        (72, 8, 8000, 0, 576)
+    # MPEG-2 Layer I 256 kbps @ 24000 (idx 14, sr_idx 1):
+    #   (12*256000//24000)*4 = 128*4 = 512
+    assert M.parse_frame_header(frame_v(2, 3, 14, sr_idx=1), 0) == \
+        (512, 256, 24000, 0, 384)
+    # MPEG-2.5 Layer II 144 kbps @ 11025 (idx 13): 144*144000//11025
+    assert M.parse_frame_header(frame_v(0, 2, 13), 0) == \
+        (1880, 144, 11025, 0, 1152)
+
+    # mixed LAYERS at one rate are a walkable stream; duration sums
+    # per-frame samples (384 + 1152 @ 44100)
+    st_ = M.mp3_stats(frame_v(3, 3, 14) + frame_v(3, 1, 9))
+    assert st_["n_frames"] == 2
+    assert st_["duration_ms"] == (384 + 1152) * 1000 // 44100
+    assert st_["audio_bytes"] == 484 + 417
+    # mixed VERSIONS necessarily mix rates (the nine rates are
+    # distinct) and still raise
+    with pytest.raises(M.Mp3Error, match="mixed sample rates"):
+        M.mp3_stats(frame(9) + frame_v(2, 1, 8))
 
 
 def test_id3v2_syncsafe_skip_and_footer():
@@ -57,10 +117,8 @@ def test_walk_and_stats_vbr_cbr_and_trailers():
 def test_gates_name_the_variant():
     f = bytearray(frame(9))
     for mutate, msg in (
-        (lambda b: b.__setitem__(1, 0xF3), "MPEG-2"),        # version 10
-        (lambda b: b.__setitem__(1, 0xE3), "MPEG-2.5"),      # version 00
-        (lambda b: b.__setitem__(1, 0xFD), "Layer II"),
-        (lambda b: b.__setitem__(1, 0xFF), "Layer I"),
+        (lambda b: b.__setitem__(1, 0xEB), "reserved MPEG version"),
+        (lambda b: b.__setitem__(1, 0xF9), "reserved layer"),
         (lambda b: b.__setitem__(2, 0x00), "free-format"),
         (lambda b: b.__setitem__(2, 0xF0), "invalid bitrate"),
         (lambda b: b.__setitem__(2, 0x9C), "reserved sampling"),
@@ -139,20 +197,24 @@ def test_mp3_scan_operator_nulls_and_values(spark):
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=80, deadline=None)
 @given(
-    st.lists(st.tuples(st.integers(1, 14), st.integers(0, 1)),
+    st.lists(st.tuples(st.integers(1, 14), st.integers(0, 1),
+                       st.sampled_from([1, 2, 3])),   # (br, pad, layer)
              min_size=1, max_size=12),
-    st.integers(0, 2),       # sample-rate index
+    st.sampled_from([3, 2, 0]),  # version bits: MPEG-1 / 2 / 2.5
+    st.integers(0, 2),           # sample-rate index
     st.one_of(st.none(), st.integers(0, 300)),  # ID3v2 payload size
-    st.booleans(),           # ID3v1 trailer
+    st.booleans(),               # ID3v1 trailer
 )
-def test_mp3_walk_roundtrip_property(frames_spec, sr_idx, id3_sz, id3v1):
-    """Generative round trip: any frame sequence assembled from the
-    header formula (random bitrate ladder indices, padding bits,
-    optional ID3v2 of random syncsafe size, optional ID3v1 trailer)
-    walks back to exactly its generative parameters — count, offsets,
-    per-frame sizes, duration on the chosen clock, VBR flag."""
+def test_mp3_walk_roundtrip_property(frames_spec, ver_bits, sr_idx,
+                                     id3_sz, id3v1):
+    """Generative round trip across ALL version/layer combos: any frame
+    sequence assembled from the header formulas (random version, random
+    per-frame layer/bitrate-index/padding, optional ID3v2 of random
+    syncsafe size, optional ID3v1 trailer) walks back to exactly its
+    generative parameters — count, offsets, per-frame sizes, duration
+    on the chosen clock (summing per-frame samples), VBR flag."""
     parts = []
     off0 = 0
     if id3_sz is not None:
@@ -162,21 +224,25 @@ def test_mp3_walk_roundtrip_property(frames_spec, sr_idx, id3_sz, id3v1):
                                      (id3_sz >> 7) & 0x7F,
                                      id3_sz & 0x7F]) + b"\xee" * id3_sz)
         off0 = 10 + id3_sz
-    sizes = []
-    for br_idx, pad in frames_spec:
-        f = frame(br_idx, sr_idx=sr_idx, pad=pad, fill=b"\xa5")
+    vclass = 1 if ver_bits == 3 else 2
+    sizes, brs, spfs = [], [], []
+    for br_idx, pad, layer in frames_spec:
+        f = frame_v(ver_bits, 4 - layer, br_idx, sr_idx=sr_idx, pad=pad,
+                    fill=b"\xa5")
         sizes.append(len(f))
+        brs.append(M.MP3_BITRATE_LADDERS[(vclass, layer)][br_idx])
+        spfs.append(384 if layer == 1
+                    else 576 if (layer == 3 and vclass == 2) else 1152)
         parts.append(f)
     if id3v1:
         parts.append(b"TAG" + b"\x01" * 125)
     st_ = M.mp3_stats(b"".join(parts))
-    rate = M.MP3_SAMPLE_RATES[sr_idx]
-    brs = [M.MP3_BITRATES_KBPS[b] for b, _ in frames_spec]
+    rate = M.MP3_SAMPLE_RATES_BY_VERSION[ver_bits][sr_idx]
     assert st_["n_frames"] == len(frames_spec)
     assert st_["first_frame_offset"] == off0
     assert st_["audio_bytes"] == sum(sizes)
     assert st_["sample_rate"] == rate
-    assert st_["duration_ms"] == len(frames_spec) * 1152 * 1000 // rate
+    assert st_["duration_ms"] == sum(spfs) * 1000 // rate
     assert (st_["bitrate_min_kbps"], st_["bitrate_max_kbps"],
             st_["bitrate_sum_kbps"]) == (min(brs), max(brs), sum(brs))
     assert st_["is_vbr"] == (min(brs) != max(brs))
