@@ -35,6 +35,30 @@ def _span(val) -> int:
         return 1
 
 
+class _TolerantDeclMixin:
+    """CPython's html.parser delegates ``<!...`` / ``<![...`` regions to
+    _markupbase, which raises BARE AssertionError on malformed marked
+    sections and doctype subsets ('<![<script>', junk inside an internal
+    subset) — found by the round-9 tag-soup fuzz. Real crawl data hits
+    this; recover the way browsers treat bogus markup: swallow up to
+    and including the next '>' (or to EOF) as an ignored declaration
+    and keep parsing. Applied to BOTH parsers in this module."""
+
+    def parse_declaration(self, i: int) -> int:
+        try:
+            return super().parse_declaration(i)
+        except AssertionError:
+            k = self.rawdata.find(">", i)
+            return k + 1 if k >= 0 else len(self.rawdata)
+
+    def parse_marked_section(self, i: int, report: int = 1) -> int:
+        try:
+            return super().parse_marked_section(i, report)
+        except AssertionError:
+            k = self.rawdata.find(">", i)
+            return k + 1 if k >= 0 else len(self.rawdata)
+
+
 class _TableBuilder:
     """Accumulates cells into sparse {col: value} rows. Rowspan cells park
     in ``_pending`` and occupy their column in later rows, so new cells in
@@ -105,7 +129,7 @@ class _TableBuilder:
         return pd.DataFrame(body, columns=cols, dtype=object)
 
 
-class _TableParser(HTMLParser):
+class _TableParser(_TolerantDeclMixin, HTMLParser):
     _SKIP = {"script", "style"}
 
     def __init__(self):
@@ -201,7 +225,7 @@ _TEXT_BLOCK_TAGS = {"p", "div", "br", "li", "tr", "td", "th", "table",
                     "figcaption", "h1", "h2", "h3", "h4", "h5", "h6"}
 
 
-class _TextExtractor(HTMLParser):
+class _TextExtractor(_TolerantDeclMixin, HTMLParser):
     """Boilerplate-stripping HTML → text (the trafilatura-shaped step a
     web-corpus pipeline runs before quality/dedup — FineWeb §3.1;
     stdlib-only like the table parser above): content inside

@@ -211,3 +211,47 @@ class TestHtmlToText:
                                     "url string, html string")
         got = extract_html_text(df2, id_col="url").collect()
         assert got[0].url == "u-1" and got[0].text == "hi"
+
+
+# ---- adversarial html_to_text fuzz (round-9 verdict item 4) ----
+
+from hypothesis import given, settings, strategies as hst  # noqa: E402
+
+_SOUP_ATOMS = [
+    "<script>", "</script>", "<SCRIPT >", "<style>", "</style>",
+    "<p>", "</p>", "<P>", "<div ", "<div>", "</div>", "<br/>", "<br>",
+    "<iframe>", "</iframe>", "<svg>", "</svg>", "<head>", "</head>",
+    "<table><tr><td>", "</td></tr></table>", "<li>", "</li>",
+    "<!--", "-->", "<!-- <p>x</p> -->", "<![CDATA[", "]]>", "<!",
+    "<![", "<!DOCTYPE html>", "<?php echo ?>", "<", ">", "</", "/>",
+    "&", "&#", "&#x", "&#x41;", "&#65;", "&amp", "&amp;", "&nbsp;",
+    "&notanentity;", "&#xZZ;", "&#999999999;", "< p>", "</ p>", "<p",
+    'attr="unclosed', "'", '"', "\x00", "\xa0", " ",
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(hst.lists(
+    hst.one_of(hst.sampled_from(_SOUP_ATOMS),
+               hst.text(max_size=12)),
+    max_size=25).map("".join))
+def test_html_to_text_tag_soup_fuzz(soup):
+    """Adversarial tag soup — unclosed scripts/styles, overlapping
+    blocks, truncated entities, comments containing tags, CDATA,
+    NULs, Unicode whitespace: html_to_text must (a) never raise,
+    (b) emit only non-empty blocks, (c) be a fixpoint of its OWN
+    whitespace collapse (no ASCII-whitespace runs, no edge
+    whitespace per block — so re-collapsing changes nothing)."""
+    import re
+
+    from openpolicedata_spark.sources.htmltable import html_to_text
+
+    out = html_to_text(soup)
+    assert isinstance(out, str)
+    for block in out.split("\n") if out else []:
+        assert block != ""
+        # ASCII-collapse fixpoint: single spaces only, no edge ASCII
+        # whitespace (a plain .strip() here would be wrong — it strips
+        # UNICODE whitespace like \x85, which is deliberately content)
+        assert re.sub("[ \t\n\r\f\v]+", " ", block) == block
+        assert not block.startswith(" ") and not block.endswith(" ")
