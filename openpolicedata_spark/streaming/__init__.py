@@ -953,3 +953,70 @@ def video_dedup_sink(stream_df: DataFrame, out_path: str,
         compact_index(spark, index_path, compact_index_files)
 
     _run_merge_sink(stream_df, body, None, query_name, timeout_s)
+
+
+def media_scan_sink(stream_df: DataFrame, out_path: str,
+                    index_path: str, scan,
+                    content_col: str = "content",
+                    id_col: str = "media_id",
+                    query_name: str = "mediascan",
+                    timeout_s: int = 300,
+                    compact_index_files: Optional[int] = 64) -> None:
+    """Streaming media INVENTORY ingest — the metadata face of the
+    dedup sinks (round-9 verdict item 5): apply a per-payload scan
+    operator (`multimodal.mp3_scan`, `multimodal.vad_segments`, or
+    any ``df(id, content) -> DataFrame``) to each micro-batch and
+    append its rows EXACTLY ONCE, so an audio-ingest stream can
+    inventory / silence-trim incrementally exactly like the dedup
+    sinks admit content — previously only hashes/features streamed.
+
+    Replay guard: the persisted index holds one (id, payload-md5) row
+    per scanned clip; a redelivered batch anti-joins against it and
+    contributes nothing (full replays re-scan nothing), while the
+    SAME id arriving with CHANGED bytes is a new scan — deliberately
+    admitted, since the inventory of an updated clip differs. NULL
+    payloads digest to '' so their replays drop too (a NULL-keyed
+    anti-join would never match, re-appending them every replay).
+    Within one batch, duplicate (id, digest) deliveries collapse
+    before scanning.
+
+    Scale: the per-clip scan is the mapInPandas pass the batch
+    operator already runs (bytes never leave executors; ≤ a few rows
+    out per clip); the cross-batch state is 16-ish bytes per clip and
+    self-compacts past `compact_index_files` (crash-safe swap, same
+    machinery as every other sink here). Crash between the output and
+    index appends re-delivers at-least-once into `out_path` — the
+    documented semantics shared with semantic/media_dedup_sink (dedup
+    downstream on the id or use a transactional format)."""
+    import glob as _glob
+    import os
+
+    spark = stream_df.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        _recover_dir(index_path)
+        keyed = (batch.select(
+            id_col, content_col,
+            F.coalesce(F.md5(F.col(content_col)), F.lit(""))
+            .alias("__dg__"))
+            .dropDuplicates([id_col, "__dg__"]))
+        have_index = (os.path.isdir(index_path)
+                      and _glob.glob(os.path.join(index_path,
+                                                  "*.parquet")))
+        if have_index:
+            idx = spark.read.parquet(index_path) \
+                .select(id_col, "__dg__")
+            keyed = keyed.join(idx, on=[id_col, "__dg__"],
+                               how="left_anti")
+        novel = keyed.localCheckpoint(eager=True)
+        if not novel.head(1):
+            return
+        scan(novel.select(id_col, content_col)) \
+            .write.mode("append").parquet(out_path)
+        novel.select(id_col, "__dg__").write.mode("append") \
+            .parquet(index_path)
+        compact_index(spark, index_path, compact_index_files)
+
+    _run_merge_sink(stream_df, body, None, query_name, timeout_s)

@@ -1196,3 +1196,99 @@ def test_audio_dedup_sink_mulaw_payload(spark, tmp_path):
     audio_dedup_sink(stream, out, idx)
     kept = sorted(r.media_id for r in spark.read.parquet(out).collect())
     assert kept == [1, 3], kept
+
+
+def test_media_scan_sink_mp3_inventory_exactly_once(spark, tmp_path):
+    """Streaming media INVENTORY ingest (round-9): mp3_scan rows land
+    exactly once per (id, payload) — an identical redelivery in a
+    later batch contributes nothing, the SAME id with CHANGED bytes is
+    a fresh scan, a NULL payload's null-stats row is emitted once and
+    never re-emitted on replay, and a FULL replay after index
+    compaction (compact_index_files=1 forces it every batch) re-scans
+    nothing."""
+    from openpolicedata_spark.operators.multimodal import mp3_scan
+    from openpolicedata_spark.sources.mp3 import (
+        MP3_BITRATES_KBPS,
+        MP3_SAMPLE_RATES,
+    )
+    from openpolicedata_spark.streaming import media_scan_sink
+
+    def blob(n, br_idx=9):
+        out = []
+        for _ in range(n):
+            size = 144 * MP3_BITRATES_KBPS[br_idx] * 1000 \
+                // MP3_SAMPLE_RATES[0]
+            out.append(bytes([0xFF, 0xFB, br_idx << 4, 0])
+                       + b"\x00" * (size - 4))
+        return b"".join(out)
+
+    schema = "media_id long, content binary"
+    src = tmp_path / "src"
+    src.mkdir()
+    a, b, b2, c = blob(2), blob(3), blob(3, br_idx=14), blob(4)
+    spark.createDataFrame(
+        [(1, a), (2, b), (3, None)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(1, a),        # identical redelivery: must NOT re-scan
+         (2, b2),       # same id, changed bytes: fresh scan
+         (4, c)], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(f"{src}/*/"))
+        media_scan_sink(stream, out, idx, scan=mp3_scan,
+                        compact_index_files=1)
+
+    run()
+    rows = sorted((r.media_id, r.n_frames)
+                  for r in spark.read.parquet(out).collect())
+    assert rows == [(1, 2), (2, 3), (2, 3), (3, None), (4, 4)]
+    assert spark.read.parquet(idx).count() == 5
+    # full replay (fresh ephemeral checkpoint): nothing re-scanned,
+    # including the null-payload row ('' digest) and the compacted index
+    run()
+    assert sorted((r.media_id, r.n_frames)
+                  for r in spark.read.parquet(out).collect()) == rows
+    assert spark.read.parquet(idx).count() == 5
+
+
+def test_media_scan_sink_vad_segments_batch_stream_parity(spark, tmp_path):
+    """Multi-row-per-clip scans stream too: vad_segments rows produced
+    through the sink equal the batch operator's rows on the same
+    clips (batch = stream when everything arrives in one batch)."""
+    import numpy as np
+
+    from openpolicedata_spark.operators.multimodal import vad_segments
+    from openpolicedata_spark.sources.wav import encode_wav
+    from openpolicedata_spark.streaming import media_scan_sink
+
+    loud, quiet = 20000, 10
+    pat = [loud, loud, quiet, loud, quiet, quiet, loud]
+    pcm = np.array(sum(([v] * 4 for v in pat), []), dtype=np.int16)
+    thr = 4 * quiet * quiet
+    schema = "media_id long, content binary"
+    rows = [(1, bytearray(encode_wav(pcm, 8000))),
+            (2, bytearray(encode_wav(pcm[::-1].copy(), 8000)))]
+    df = spark.createDataFrame(rows, schema)
+
+    def scan(d):
+        return vad_segments(d, frame_samples=4, energy_threshold=thr,
+                            min_frames=1)
+
+    want = sorted(map(tuple, scan(df).collect()))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "f1"))
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    media_scan_sink(
+        (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(f"{src}/*/")),
+        out, idx, scan=scan, query_name="vadscan")
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == want and len(got) == 6
