@@ -205,23 +205,47 @@ def rolling_hash_expr(col: Column, base: int = 257, mod: int = 1_000_000_007) ->
 def shingles_expr(col: Column, k: int = 5) -> Column:
     """Word k-shingles (k consecutive tokens joined by space) — the unit set
     for MinHash / Jaccard dedup. Expression-only: sequence + transform +
-    slice over the token array."""
+    slice over the token array.
+
+    The token array is BOUND to a lambda variable via a one-element
+    outer transform before the per-shingle loop touches it. This is
+    load-bearing, not style: interpreted HOF lambdas re-evaluate every
+    non-lambda subexpression they reference PER ELEMENT, so the naive
+    `transform(idx, i -> slice(toks, i, k))` re-ran the whole
+    normalize+regex-split tokenizer once per shingle — O(n²) with a
+    regex each step, hidden in what read as a linear pass (round-9
+    rig: 98 s -> 0.6 s on 200 x 3000-token docs, values identical; the
+    lambda variable is O(1) to read)."""
     toks = tokens_expr(normalize_text_expr(col))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.when(n >= k,
-                  F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-                  ).otherwise(F.array())
+
+    def body(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+        return F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.get(F.transform(F.array(toks), body), 0)
 
 
 def char_ngrams_expr(col: Column, n: int = 3) -> Column:
-    """Character n-grams of the normalized text (for n-gram Jaccard)."""
+    """Character n-grams of the normalized text (for n-gram Jaccard).
+    The normalized string is bound to a lambda variable first — same
+    rationale (and same measured quadratic) as `shingles_expr`: a
+    naive `substring(s, i, n)` inside the HOF re-runs the
+    regexp_replace normalization chain once per n-gram."""
     s = normalize_text_expr(col)
-    ln = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(0)))
-    return F.when(ln >= n,
-                  F.transform(idx, lambda i: F.substring(s, i, n))
-                  ).otherwise(F.array())
+
+    def body(sv: Column) -> Column:
+        ln = F.length(sv)
+        idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(0)))
+        return F.when(
+            ln >= n,
+            F.transform(idx, lambda i: F.substring(sv, i, n)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.get(F.transform(F.array(s), body), 0)
 
 
 # --------------------------------------------------------------------------

@@ -497,29 +497,35 @@ def mask_repeated_spans(
         hits.groupBy(id_col)
         .agg(F.sort_array(F.collect_set(F.col("i0") + 1)).alias("__ss__"))
     )
-    # merge sorted span starts into maximal runs — LINEAR form: since
-    # all spans are k long and starts ascend, run ends are monotone, so
-    # a start opens a new run iff its gap to the previous start exceeds
-    # k. Mark boundaries with one filter pass, then pair each boundary
-    # with the element before the next boundary (the 2-arg transform
-    # lambda's second argument IS the element index — used on purpose
-    # here). Every element is touched O(1) times, vs the
-    # slice+concat fold that recopied the accumulator per start
-    # (O(starts x runs) on exactly the boilerplate-heavy docs this
-    # operator targets).
+    # merge sorted span starts into maximal runs — TRULY linear form:
+    # since all spans are k long and starts ascend, run ends are
+    # monotone, so a start OPENS a run iff its gap to the previous
+    # start exceeds k, and CLOSES one iff the next start's gap does
+    # (or it is last). Two boundary filters zipped positionally (each
+    # run has exactly one opener and one closer, in order). zip_with
+    # is load-bearing: its lambda references only its OWN arguments
+    # plus materialized column attributes, so nothing re-evaluates.
+    # The round-8 form paired boundaries via F.get(bnd, j+1) INSIDE
+    # transform(bnd, ...) — interpreted HOFs do no CSE, so every
+    # element re-evaluated the whole bnd filter: O(starts x runs)
+    # hidden in what read as a linear pass (round-9 rig: 84 s at 500
+    # non-adjacent runs/doc x 200 docs; seconds after this rewrite —
+    # SCALE.md).
     ss = F.col("__ss__")
     n_ss = F.size(ss)
-    bnd = F.filter(
+    opens = F.filter(
         F.sequence(F.lit(1), n_ss),
         lambda i: F.get(ss, i - 2).isNull()  # i == 1 (0-based -1 -> null)
         | (F.element_at(ss, i) > F.get(ss, i - 2) + k))
-    runs_expr = F.transform(
-        bnd,
-        lambda b, j: F.struct(
+    closes = F.filter(
+        F.sequence(F.lit(1), n_ss),
+        lambda i: F.get(ss, i).isNull()      # i == n_ss (0-based i)
+        | (F.get(ss, i) > F.element_at(ss, i) + k))
+    runs_expr = F.zip_with(
+        opens, closes,
+        lambda b, e: F.struct(
             F.element_at(ss, b).alias("s"),
-            (F.element_at(
-                ss, F.coalesce(F.get(bnd, j + 1), n_ss + 1) - 1)
-             + (k - 1)).alias("e")))
+            (F.element_at(ss, e) + (k - 1)).alias("e")))
     cov = starts.select(
         F.col(id_col),
         F.when(n_ss > 0, runs_expr)
@@ -529,14 +535,35 @@ def mask_repeated_spans(
         cov = F.broadcast(cov)
     n = F.size(F.col("__toks__"))
     runs = F.coalesce(F.col("__cuts__"), F.expr(_EMPTY_RUNS))
+    # kept indices = the COMPLEMENT of the cut runs, built as the gap
+    # sequences between consecutive runs — O(runs + kept tokens), not
+    # the old O(tokens x runs) per-position `exists` scan (round-8
+    # verdict carried note; the adversarial corpus — hundreds of
+    # non-coalescing hot runs per doc — measured quadratic: 6.1 s at
+    # 50 runs/doc -> 84 s at 500 over 200 docs; seconds after this
+    # rewrite, SCALE.md table). Gap j spans [end_{j-1}+1, start_j - 1]
+    # with lo defaulting to 1 before the first run and hi to n after
+    # the last; interior gaps are non-empty by maximality but edge
+    # gaps can be empty, hence the per-gap guard (and the least(n)
+    # clamp is pure defense — runs never exceed the token count).
+    # zip_with on purpose: its lambda sees only its own arguments, so
+    # the gap arrays evaluate ONCE per row; indexing a transform()'d
+    # array with F.get inside another HOF would re-evaluate it per
+    # element (no CSE in interpreted HOFs — the trap the run-merge
+    # above documents). Output order (ascending) and values are
+    # IDENTICAL to the filter form — pinned by the brute-force
+    # equivalence tests.
+    gap_lo = F.concat(F.array(F.lit(1)),
+                      F.transform(runs, lambda r: r["e"] + 1))
+    gap_hi = F.concat(F.transform(runs, lambda r: r["s"] - 1),
+                      F.array(n))
     kept_idx = F.when(
         n > 0,
-        F.filter(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: ~F.exists(
-                runs, lambda r: (i.cast("int") >= r["s"])
-                & (i.cast("int") <= r["e"])),
-        ),
+        F.flatten(F.zip_with(
+            gap_lo, gap_hi,
+            lambda lo, hi: F.when(
+                lo <= F.least(hi, n), F.sequence(lo, F.least(hi, n)))
+            .otherwise(F.array().cast("array<int>")))),
     ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(F.col(id_col), toks.alias("__toks__"))

@@ -528,6 +528,35 @@ class TestMaskRepeatedSpans:
         with pytest.raises(ValueError, match="mode"):
             mask_repeated_spans(df, mode="keep_last")
 
+    def test_many_nonadjacent_runs_gap_complement(self, spark):
+        """Round-9 rewrite pin: the kept-token set is now built as the
+        gap COMPLEMENT of the run list (O(runs+kept), replacing the
+        O(tokens x runs) per-position exists scan). Adversarial shape:
+        many non-coalescing hot runs per doc, with the FIRST and LAST
+        tokens inside hot runs so both edge gaps are empty (the guard
+        branch), separators of width 1 (minimal interior gaps)."""
+        from openpolicedata_spark.operators.textpipe import (
+            mask_repeated_spans,
+        )
+
+        R = 40
+
+        def doc(d):
+            parts = []
+            for j in range(R):
+                parts.append(f"blk{j} alpha beta gamma delta")
+                if j < R - 1:
+                    parts.append(f"u{d}x{j}")
+            return " ".join(parts)
+
+        df = spark.createDataFrame([(0, doc(0)), (1, doc(1))],
+                                   "doc_id long, text string")
+        out = {r.doc_id: (r.clean_text, r.n_kept)
+               for r in mask_repeated_spans(df, k=5).collect()}
+        for d in (0, 1):
+            want = " ".join(f"u{d}x{j}" for j in range(R - 1))
+            assert out[d] == (want, R - 1)
+
 
 class TestPackFixedSequences:
     @staticmethod
