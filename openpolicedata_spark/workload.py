@@ -7576,6 +7576,104 @@ FROM sized GROUP BY doc_id
 """
 
 
+_Q178_BODY = """
+    WITH monthly AS (
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+               month(o.o_orderdate) AS mon,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS sales
+        FROM {o} o, {c} c, {n} n
+        WHERE o.o_custkey = c.c_custkey
+          AND c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate), month(o.o_orderdate)
+    ), v AS (
+        SELECT nation, yr, mon, sales,
+               CAST(SUM(sales) OVER (PARTITION BY nation, yr) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY nation, yr) AS avg_year,
+               LAG(sales) OVER (PARTITION BY nation ORDER BY yr, mon)
+                   AS prev_sales,
+               LEAD(sales) OVER (PARTITION BY nation ORDER BY yr, mon)
+                   AS next_sales
+        FROM monthly
+    )
+    SELECT nation, yr, mon,
+           CAST(sales AS DOUBLE) AS sales,
+           ROUND(CAST(sales AS DOUBLE) - avg_year, 6) AS dev,
+           CAST(prev_sales AS DOUBLE) AS prev_sales,
+           CAST(next_sales AS DOUBLE) AS next_sales
+    FROM v
+    WHERE avg_year > 0
+      AND abs(CAST(sales AS DOUBLE) - avg_year) > avg_year * 0.05
+    ORDER BY dev DESC, nation ASC, yr ASC, mon ASC
+"""
+
+
+def q178_sales_deviation_window(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-DS Q47 shape (round-9: the window-after-aggregate
+    decorrelation class TPC-H doesn't exercise): monthly sales per
+    nation from a 3-table join, then THREE window functions over the
+    aggregate — a yearly average on one partitioning (nation, yr) and
+    lag/lead neighbors on another (nation, ordered by month) — and a
+    deviation filter against the windowed average. The optimizer must
+    aggregate FIRST and window over the AGGREGATE output (never the
+    raw join), sharing one sort for lag+lead (plan-pinned: exactly 2
+    Window nodes above the aggregate). Window arithmetic is kept
+    engine-portable: the average is SUM(DECIMAL) cast to DOUBLE over
+    COUNT(*) — both engines sum exactly and divide identically, so
+    ROUND(.,6) pins values bit-for-bit (AVG(DECIMAL) would be exact
+    decimal division in Spark but double in DuckDB)."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q178_o")
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("q178_c")
+    _read(spark, sf_dir, "nation").createOrReplaceTempView("q178_n")
+    return spark.sql(_Q178_BODY.format(o="q178_o", c="q178_c",
+                                       n="q178_n"))
+
+
+_Q178_SQL = _Q178_BODY.format(o="orders", c="customer", n="nation")
+
+
+_Q179_BODY = """
+    WITH multi_supp AS (
+        SELECT DISTINCT l1.l_orderkey
+        FROM {l} l1, {l} l2
+        WHERE l1.l_orderkey = l2.l_orderkey
+          AND l1.l_suppkey <> l2.l_suppkey
+    )
+    SELECT COUNT(DISTINCT o.o_orderkey) AS order_count,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS total_price
+    FROM {o} o, {l} l
+    WHERE o.o_orderkey = l.l_orderkey
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+      AND EXISTS (SELECT 1 FROM multi_supp m
+                  WHERE m.l_orderkey = o.o_orderkey)
+      AND EXISTS (SELECT 1 FROM {l} lr, multi_supp m2
+                  WHERE lr.l_orderkey = o.o_orderkey
+                    AND m2.l_orderkey = lr.l_orderkey
+                    AND lr.l_returnflag = 'R')
+"""
+
+
+def q179_multi_supplier_returns(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-DS Q95 shape (round-9): a CTE that self-joins the fact on
+    the order key ("shipped by more than one supplier" = Q95's
+    two-warehouse ws_wh) REUSED by two EXISTS predicates — one plain,
+    one additionally joined through the returns slice of the same
+    fact — under a one-year date window, producing a single
+    count-distinct + sum row. Catalyst must decorrelate BOTH EXISTS
+    into left-semi joins and must never fall back to a nested loop
+    (plan-pinned: >=2 LeftSemi, 0 BroadcastNestedLoopJoin). One
+    output row of exact-integer count + DECIMAL-sum double."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q179_o")
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q179_l")
+    return spark.sql(_Q179_BODY.format(o="q179_o", l="q179_l"))
+
+
+_Q179_SQL = _Q179_BODY.format(o="orders", l="lineitem")
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -8377,6 +8475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_quality_survivors": q175_quality_survivors,
         "q176_html_extract": q176_html_extract,
         "q177_mp3_multiversion": q177_mp3_multiversion,
+        "q178_sales_deviation_window": q178_sales_deviation_window,
+        "q179_multi_supplier_returns": q179_multi_supplier_returns,
     }
     return base
 
@@ -8562,4 +8662,6 @@ def oracle_sql() -> dict[str, str]:
         "q175_quality_survivors": _Q175_SQL,
         "q176_html_extract": _Q176_SQL,
         "q177_mp3_multiversion": _Q177_SQL,
+        "q178_sales_deviation_window": _Q178_SQL,
+        "q179_multi_supplier_returns": _Q179_SQL,
     }

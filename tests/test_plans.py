@@ -363,6 +363,45 @@ def test_q118_q120_subqueries_decorrelate_to_joins(spark, sf_dir):
         assert_no_python_in_plan(df)
 
 
+def test_q178_windows_run_over_aggregate_not_raw_join(spark, sf_dir):
+    """TPC-DS Q47 shape (round-9): exactly two Window nodes — the
+    (nation, yr) average and the shared (nation) sort for lag+lead —
+    both planned ABOVE the monthly aggregate (the Window detail
+    sections must reference the aggregated `sales`, and aggregates
+    must not outnumber the pre-window stages: windowing the raw
+    3-table join first would be a corpus-sized sort), dims broadcast,
+    no nested loop, no Python."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q178_sales_deviation_window"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Window") == 2, t[:800]
+    s = summarize_plan(df)
+    assert s.n_broadcast_nl_joins == 0, s.text
+    assert s.n_broadcast_joins + s.n_sortmerge_joins >= 2, s.text
+    # the windows consume the aggregate's output column, not a raw
+    # fact column: every Window argument list mentions the aggregated
+    # alias `sales`
+    import re as _re
+
+    win_args = _re.findall(r"\(\d+\) Window\n[^(]*Arguments: \[([^\]]*)",
+                           t)
+    assert len(win_args) == 2 and all("sales" in w for w in win_args), t
+    assert_no_python_in_plan(df)
+
+
+def test_q179_exists_chain_decorrelates_to_semi_joins(spark, sf_dir):
+    """TPC-DS Q95 shape (round-9): both EXISTS over the reused
+    self-join CTE must decorrelate to LeftSemi joins (never a nested
+    loop), with the count-distinct aggregate on top."""
+    df = workload.queries()["q179_multi_supplier_returns"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert t.count("LeftSemi") >= 2, t[:800]
+    s = summarize_plan(df)
+    assert s.n_broadcast_nl_joins == 0, s.text
+    assert_no_python_in_plan(df)
+
+
 def test_q156_adc_tables_constant_fold_to_literals(spark, sf_dir):
     """Round-7 verdict item 1, pinned: the residual-ADC tables must
     reach execution as ONE folded nested-array Literal per subspace
