@@ -392,7 +392,14 @@ def simhash_expr(text: Column, num_bits: int = 64) -> Column:
         F.filter(F.split(normalize_text_expr(text), " "), lambda t: t != "")
     )
     hashed = F.transform(toks, lambda t: F.xxhash64(t))
-    return _simhash_from_hashed(hashed, num_bits)
+    # bind the hashed array ONCE as a lambda variable: the 64 per-bit
+    # aggregates below each reference their input, and interpreted HOF
+    # evaluation re-runs referenced outer expressions per reference —
+    # unbound, the normalize+split+xxhash chain executed num_bits
+    # times per row (the round-9 CLAUDE.md HOF rule; values identical)
+    return F.get(
+        F.transform(F.array(hashed),
+                    lambda h: _simhash_from_hashed(h, num_bits)), 0)
 
 
 def _simhash_from_hashed(hashed: Column, num_bits: int = 64) -> Column:
@@ -423,6 +430,12 @@ def _simhash_udf(num_bits: int = 64):
     def sh(hs: pd.Series) -> pd.Series:
         out = np.zeros(len(hs), dtype=np.int64)
         for i, h in enumerate(hs):
+            # NULL text -> NULL token-hash array: signature 0, exactly
+            # like an empty token set (the expression spec's no-votes
+            # case) — np.asarray(None) used to crash the whole stage
+            # (round-9 equivalence test finding)
+            if h is None:
+                continue
             hv = np.asarray(h, dtype=np.int64).view(np.uint64)
             if hv.size == 0:
                 continue

@@ -7674,6 +7674,78 @@ def q179_multi_supplier_returns(spark: SparkSession,
 _Q179_SQL = _Q179_BODY.format(o="orders", l="lineitem")
 
 
+_Q180_BODY = """
+    WITH a AS (
+        SELECT l.l_partkey AS item, month(l.l_shipdate) AS mon,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM {l} l
+        WHERE l.l_linenumber % 2 = 0 AND l.l_partkey % 25 = 0
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+        GROUP BY l.l_partkey, month(l.l_shipdate)
+    ), b AS (
+        SELECT l.l_partkey AS item, month(l.l_shipdate) AS mon,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM {l} l
+        WHERE l.l_linenumber % 2 = 1 AND l.l_partkey % 25 = 0
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+        GROUP BY l.l_partkey, month(l.l_shipdate)
+    ), ac AS (
+        SELECT item, mon,
+               SUM(rev) OVER (PARTITION BY item ORDER BY mon
+                              ROWS UNBOUNDED PRECEDING) AS cume
+        FROM a
+    ), bc AS (
+        SELECT item, mon,
+               SUM(rev) OVER (PARTITION BY item ORDER BY mon
+                              ROWS UNBOUNDED PRECEDING) AS cume
+        FROM b
+    ), j AS (
+        SELECT COALESCE(ac.item, bc.item) AS item,
+               COALESCE(ac.mon, bc.mon) AS mon,
+               ac.cume AS a_cume, bc.cume AS b_cume
+        FROM ac FULL OUTER JOIN bc
+          ON ac.item = bc.item AND ac.mon = bc.mon
+    ), w AS (
+        SELECT item, mon,
+               MAX(a_cume) OVER (PARTITION BY item ORDER BY mon
+                                 ROWS UNBOUNDED PRECEDING) AS a_run,
+               MAX(b_cume) OVER (PARTITION BY item ORDER BY mon
+                                 ROWS UNBOUNDED PRECEDING) AS b_run
+        FROM j
+    )
+    SELECT CAST(item AS BIGINT) AS item, CAST(mon AS BIGINT) AS mon,
+           CAST(a_run AS DOUBLE) AS even_cume,
+           CAST(b_run AS DOUBLE) AS odd_cume
+    FROM w
+    WHERE a_run > b_run OR b_run IS NULL
+    ORDER BY item, mon
+"""
+
+
+def q180_cumulative_crossover(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape (round-9: the FULL OUTER + windowed-cumulative
+    class — the only join type the corpus didn't yet exercise): two
+    channel slices of the same fact aggregate to (item, month)
+    revenue, each gets a running cumulative sum, the two series FULL
+    OUTER join on (item, month) — months present in only one channel
+    must survive with nulls — and a second window carries each side's
+    max-so-far across the merged timeline before the crossover filter.
+    Spark must plan the full outer as a SortMergeJoin (broadcast hash
+    doesn't support it; the nested-loop fallback is pinned out) and
+    fuse both max-so-far columns into ONE Window node (identical
+    partitioning/order). All sums are DECIMAL-exact and (item, mon) is
+    unique per side, so every window is deterministic and the DuckDB
+    replay is bit-for-bit."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q180_l")
+    return spark.sql(_Q180_BODY.format(l="q180_l"))
+
+
+_Q180_SQL = _Q180_BODY.format(l="lineitem")
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -8477,6 +8549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_mp3_multiversion": q177_mp3_multiversion,
         "q178_sales_deviation_window": q178_sales_deviation_window,
         "q179_multi_supplier_returns": q179_multi_supplier_returns,
+        "q180_cumulative_crossover": q180_cumulative_crossover,
     }
     return base
 
@@ -8664,4 +8737,5 @@ def oracle_sql() -> dict[str, str]:
         "q177_mp3_multiversion": _Q177_SQL,
         "q178_sales_deviation_window": _Q178_SQL,
         "q179_multi_supplier_returns": _Q179_SQL,
+        "q180_cumulative_crossover": _Q180_SQL,
     }

@@ -113,6 +113,24 @@ class TestDedup:
         assert (1, 2) in got
         assert (1, 4) not in got
 
+    def test_simhash_expr_equals_udf_path(self, spark, docs):
+        """The expression SPEC form (64 per-bit aggregate votes, now
+        with the hashed array bound as a lambda variable — round-9 HOF
+        rule) equals the production numpy-UDF signatures bit for bit,
+        including empty and NULL text (both land at signature 0)."""
+        from openpolicedata_spark.operators.dedup import (
+            simhash_expr,
+            simhash_signatures,
+        )
+
+        extra = docs.unionByName(spark.createDataFrame(
+            [(90, ""), (91, None)], "doc_id int, text string"))
+        exp = {r.doc_id: r.sim for r in extra.select(
+            "doc_id", simhash_expr(F.col("text")).alias("sim")).collect()}
+        udf = {r.doc_id: r.sim
+               for r in simhash_signatures(extra).collect()}
+        assert exp == udf and exp[90] == 0 and exp[91] == 0
+
     def test_ngram_jaccard(self, spark, docs):
         pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a int, id_b int")
         out = {(r.id_a, r.id_b): r.jaccard

@@ -402,6 +402,26 @@ def test_q179_exists_chain_decorrelates_to_semi_joins(spark, sf_dir):
     assert_no_python_in_plan(df)
 
 
+def test_q180_full_outer_sortmerge_and_fused_maxsofar_window(spark,
+                                                             sf_dir):
+    """TPC-DS Q51 shape (round-9): the FULL OUTER join must plan as a
+    SortMergeJoin FullOuter (broadcast hash can't do full outer; the
+    nested-loop fallback is pinned out), and the plan carries exactly
+    three Window nodes — one running cume per channel plus ONE fused
+    node computing both max-so-far columns (identical partitioning and
+    order must share a Window)."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q180_cumulative_crossover"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert "FullOuter" in t, t[:800]
+    assert _n_nodes(t, "Window") == 3, t[:800]
+    s = summarize_plan(df)
+    assert s.n_broadcast_nl_joins == 0, s.text
+    assert s.n_sortmerge_joins >= 1, s.text
+    assert_no_python_in_plan(df)
+
+
 def test_q156_adc_tables_constant_fold_to_literals(spark, sf_dir):
     """Round-7 verdict item 1, pinned: the residual-ADC tables must
     reach execution as ONE folded nested-array Literal per subspace
