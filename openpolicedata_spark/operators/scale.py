@@ -416,3 +416,43 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     _swap_dir(tmp, path)
     return (len(files),
             len(_glob.glob(os.path.join(path, "*.parquet"))))
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-pass data profiling — the scan a pipeline runs before join
+    discovery / quality triage on an unfamiliar table (round 9): per
+    column, row count, null count, EXACT distinct count, bytewise
+    min/max, and the top value with a deterministic tiebreak
+    (highest count, then smallest value; NULL never wins top).
+
+    Shape: ONE scan feeds a `stack` unpivot to (col_name, value)
+    rows — every value stringified, so heterogeneous column types
+    share one shuffle — then two keyed aggregations: (col, value)
+    counts (map-side combined; this is also where exact distinct
+    becomes a plain COUNT) and the per-column rollup whose top-value
+    pick is a `min_by` over the (-count, value) struct key. At 100 TB
+    the wire carries (col, value, count) partial aggregates, never
+    raw rows twice, and the output is `len(cols)` rows. Stringifying
+    integers is exact; floats/timestamps profile on their string
+    forms (documented — cast upstream if a numeric min/max is
+    needed)."""
+    n = len(cols)
+    if n == 0:
+        raise ValueError("profile_columns needs at least one column")
+    args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    melted = df.selectExpr(f"stack({n}, {args}) AS (col_name, value)")
+    counts = melted.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    nn = F.col("value").isNotNull()
+    top_key = F.when(nn, F.struct((-F.col("cnt")).alias("nc"),
+                                  F.col("value").alias("v")))
+    return counts.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(nn, F.lit(0)).otherwise(F.col("cnt")))
+        .alias("n_nulls"),
+        F.count(F.when(nn, F.lit(1))).alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min_by("value", top_key).alias("top_value"),
+        F.max(F.when(nn, F.col("cnt"))).alias("top_count"),
+    )

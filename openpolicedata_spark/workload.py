@@ -7746,6 +7746,116 @@ def q180_cumulative_crossover(spark: SparkSession,
 _Q180_SQL = _Q180_BODY.format(l="lineitem")
 
 
+_Q181_MESSY = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'HTTP://HOST' || substr(md5(text), 1, 4)
+                  || '.COM:80/A' || CAST(doc_id % 9 AS INT)
+                  || '/?utm_source=x&b=2&a=1#f'
+      WHEN 1 THEN 'https://Host' || substr(md5(text), 1, 4)
+                  || '.com:443/p' || CAST(doc_id % 9 AS INT) || '/q/'
+      WHEN 2 THEN 'http://host' || substr(md5(text), 1, 4) || '.com'
+      ELSE 'HTTPS://host' || substr(md5(text), 1, 4) || '.com/x'
+           || CAST(doc_id % 9 AS INT) || '?gclid=1&z=5&y=4'
+    END
+"""
+
+
+def q181_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (`functions.web.canonical_url_expr` /
+    `host_expr` — the CCNet/C4 normalization that turns a crawl's URL
+    column into a dedup/domain-cap key; round-9 beyond-reference web
+    coverage). Each document gets a deterministically MESSY url —
+    doc_id%4 selects uppercase scheme+host with default port +
+    tracking params + unsorted query + fragment / https:443 with a
+    trailing slash / bare host / mixed-case https with gclid — and
+    Spark runs the full expression rule set (fragment drop, lowercase,
+    default-port strip, tracking filter, bytewise param sort,
+    trailing-slash trim). The oracle REBUILDS the expected canonical
+    string and host per case from the same generative parameters (the
+    q172 parse-vs-replay recipe on strings): any rule drifting —
+    sort order, port logic, prefix matching — breaks the compare.
+    Zero UDFs, zero exchanges before the comparator's own sort."""
+    from openpolicedata_spark.functions.web import (
+        canonical_url_expr,
+        host_expr,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    messy = d.selectExpr("doc_id", _Q181_MESSY + " AS url")
+    return messy.select(
+        "doc_id",
+        canonical_url_expr(F.col("url")).alias("canon"),
+        host_expr(F.col("url")).alias("host"))
+
+
+_Q181_SQL = """
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'http://host' || substr(md5(text), 1, 4) || '.com/A'
+                || CAST(doc_id % 9 AS INT) || '?a=1&b=2'
+    WHEN 1 THEN 'https://host' || substr(md5(text), 1, 4) || '.com/p'
+                || CAST(doc_id % 9 AS INT) || '/q'
+    WHEN 2 THEN 'http://host' || substr(md5(text), 1, 4) || '.com'
+    ELSE 'https://host' || substr(md5(text), 1, 4) || '.com/x'
+         || CAST(doc_id % 9 AS INT) || '?y=4&z=5'
+  END AS canon,
+  'host' || substr(md5(text), 1, 4) || '.com' AS host
+FROM documents
+"""
+
+
+def q182_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (`scale.profile_columns` — the
+    unfamiliar-table triage scan before join discovery, round 9):
+    five orders columns of three types (bigint, string,
+    timestamp — the timestamp profiles on its ISO string form, which
+    both engines render identically) unpivot through ONE `stack`
+    scan into (col, value) counts, then roll up to per-column rows /
+    nulls / exact distincts / bytewise min-max / deterministic top
+    value (max count, tie → smallest value). The oracle replays the
+    unpivot as a UNION ALL and the top pick as an ordered
+    array_agg[1] — every number exact, strings compare bytewise in
+    both engines."""
+    from openpolicedata_spark.operators.scale import profile_columns
+
+    d = _read(spark, sf_dir, "orders")
+    return profile_columns(
+        d, ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_orderdate"])
+
+
+_Q182_SQL = """
+WITH m AS (
+    SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+), c AS (
+    SELECT col_name, value, COUNT(*) AS cnt
+    FROM m GROUP BY col_name, value
+)
+SELECT col_name,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN value IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       CAST(COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_distinct,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       (ARRAY_AGG(value ORDER BY cnt DESC, value ASC)
+            FILTER (WHERE value IS NOT NULL))[1] AS top_value,
+       CAST(MAX(cnt) FILTER (WHERE value IS NOT NULL) AS BIGINT)
+           AS top_count
+FROM c GROUP BY col_name
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -8550,6 +8660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_sales_deviation_window": q178_sales_deviation_window,
         "q179_multi_supplier_returns": q179_multi_supplier_returns,
         "q180_cumulative_crossover": q180_cumulative_crossover,
+        "q181_url_canonicalize": q181_url_canonicalize,
+        "q182_profile_columns": q182_profile_columns,
     }
     return base
 
@@ -8738,4 +8850,6 @@ def oracle_sql() -> dict[str, str]:
         "q178_sales_deviation_window": _Q178_SQL,
         "q179_multi_supplier_returns": _Q179_SQL,
         "q180_cumulative_crossover": _Q180_SQL,
+        "q181_url_canonicalize": _Q181_SQL,
+        "q182_profile_columns": _Q182_SQL,
     }

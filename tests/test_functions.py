@@ -403,3 +403,68 @@ def test_md5lower64_matches_python_on_nasty_strings(spark):
         signed = unsigned - (1 << 64) if unsigned >= (1 << 63) else unsigned
         assert got[s][0] == signed, s
         assert got[s][1] == unsigned % (1 << 62), s
+
+
+class TestWebCanonicalUrl:
+    CASES = [
+        # (input, canonical, host)
+        ("HTTP://WWW.Example.COM:80/A/B/?b=2&utm_source=x&a=1#frag",
+         "http://www.example.com/A/B?a=1&b=2", "www.example.com"),
+        ("https://example.com:443/path/", "https://example.com/path",
+         "example.com"),
+        # root slash is KEPT; path/query case preserved
+        ("https://example.com/", "https://example.com/", "example.com"),
+        ("http://example.com", "http://example.com", "example.com"),
+        # emptied query drops its '?'
+        ("http://h/p?utm_a=1&gclid=2", "http://h/p", "h"),
+        # empty params drop, survivors sort bytewise
+        ("http://h/p?x=1&&y=2", "http://h/p?x=1&y=2", "h"),
+        # userinfo/port in authority; non-default port kept
+        ("http://user@Host.com:8080/P?ref=r&z=9",
+         "http://user@host.com:8080/P?z=9", "host.com"),
+        # no scheme: only fragment/query/trailing-slash rules apply
+        ("no-scheme/path/?b=1&a=2", "no-scheme/path?a=2&b=1", None),
+        # a SECOND '?' belongs to the query body (first-occurrence
+        # splits, never substring_index(-1)); stacked fragments drop
+        ("http://h/a?q=1?weird#f#g", "http://h/a?q=1?weird", "h"),
+        # :80 only strips for http, :443 only for https
+        ("https://h:80/x", "https://h:80/x", "h"),
+        ("http://h:443/x", "http://h:443/x", "h"),
+    ]
+
+    def test_pinned_rule_set(self, spark):
+        from openpolicedata_spark.functions.web import (
+            canonical_url_expr,
+            host_expr,
+        )
+
+        df = spark.createDataFrame(
+            [(i, c[0]) for i, c in enumerate(self.CASES)],
+            "i long, url string")
+        got = {r.i: (r.c, r.h) for r in df.select(
+            "i", canonical_url_expr(F.col("url")).alias("c"),
+            host_expr(F.col("url")).alias("h")).collect()}
+        for i, (_url, canon, host) in enumerate(self.CASES):
+            assert got[i] == (canon, host), (i, self.CASES[i], got[i])
+        # NULL propagates
+        dfn = spark.createDataFrame([(0, None)], "i long, url string")
+        r = dfn.select(canonical_url_expr(F.col("url")).alias("c"),
+                       host_expr(F.col("url")).alias("h")).collect()[0]
+        assert r.c is None and r.h is None
+
+    def test_idempotent_and_python_free(self, spark):
+        """Canonicalizing a canonical URL is a no-op, and the whole
+        rule set stays in codegen (zero Python nodes)."""
+        from openpolicedata_spark.functions.web import canonical_url_expr
+        from tests.test_plans import assert_no_python_in_plan
+
+        df = spark.createDataFrame(
+            [(i, c[0]) for i, c in enumerate(self.CASES)],
+            "i long, url string")
+        once = df.select("i",
+                         canonical_url_expr(F.col("url")).alias("url"))
+        twice = once.select(
+            "i", canonical_url_expr(F.col("url")).alias("url"))
+        assert sorted(map(tuple, once.collect())) == \
+            sorted(map(tuple, twice.collect()))
+        assert_no_python_in_plan(once)

@@ -472,3 +472,40 @@ def test_compact_parquet_dir_refuses_partitioned_and_aborts_on_append(
     assert n_out < n_in
     assert sorted(r["id"] for r in spark.read.parquet(flat).collect()) \
         == list(range(20))
+
+
+def test_profile_columns_nulls_ties_and_types(spark):
+    """Round-9 profiler: exact distincts exclude NULL, n_nulls counts
+    them, min/max are bytewise over the stringified values, and the
+    top pick breaks count ties on the SMALLEST value with NULL never
+    winning (even when NULL is the most frequent cell)."""
+    from openpolicedata_spark.operators.scale import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, "a", None), (2, "b", None),
+         (10, None, "only")],
+        "k long, s string, mostly_null string")
+    out = {r.col_name: r for r in
+           profile_columns(df, ["k", "s", "mostly_null"]).collect()}
+    k = out["k"]
+    assert (k.n_rows, k.n_nulls, k.n_distinct) == (4, 0, 3)
+    # bytewise on strings: '10' < '2', so max is '2' not '10'
+    assert (k.min_value, k.max_value) == ("1", "2")
+    assert (k.top_value, k.top_count) == ("2", 2)
+    s = out["s"]
+    assert (s.n_rows, s.n_nulls, s.n_distinct) == (4, 1, 2)
+    # tie a=1... b=2 -> b wins on count; make a tie too:
+    assert (s.top_value, s.top_count) == ("b", 2)
+    m = out["mostly_null"]
+    assert (m.n_nulls, m.n_distinct) == (3, 1)
+    assert (m.top_value, m.top_count) == ("only", 1)
+    assert m.min_value == "only" and m.max_value == "only"
+
+    # pure tie: both values count 1 -> smallest value wins
+    df2 = spark.createDataFrame([("y",), ("x",)], "t string")
+    r2 = profile_columns(df2, ["t"]).collect()[0]
+    assert (r2.top_value, r2.top_count) == ("x", 1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one column"):
+        profile_columns(df, [])
