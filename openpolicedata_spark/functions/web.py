@@ -63,10 +63,15 @@ def _is_tracking(p: Column) -> Column:
 
 def host_expr(url: Column) -> Column:
     """Lowercased host (no port, no userinfo, no path/query/fragment)
-    of a scheme-ful URL; NULL when there is no '://'."""
+    of a scheme-ful URL; NULL when there is no '://'. Bracketed IPv6
+    authorities keep their brackets (`[::1]:80` → `[::1]`) — the
+    colon-strip rule only applies OUTSIDE brackets."""
     rest = _after(_before(_before(url, "#"), "?"), "://")
-    auth = _before(rest, "/")
-    host = _before(F.substring_index(auth, "@", -1), ":")
+    auth = F.substring_index(_before(rest, "/"), "@", -1)
+    bracket_end = F.instr(auth, "]")
+    host = F.when(auth.startswith("["),
+                  auth.substr(F.lit(1), bracket_end)) \
+        .otherwise(_before(auth, ":"))
     return F.lower(host)
 
 

@@ -430,6 +430,12 @@ class TestWebCanonicalUrl:
         # :80 only strips for http, :443 only for https
         ("https://h:80/x", "https://h:80/x", "h"),
         ("http://h:443/x", "http://h:443/x", "h"),
+        # bracketed IPv6: port strips, host keeps its brackets
+        ("http://[::1]:80/x", "http://[::1]/x", "[::1]"),
+        ("https://[2001:DB8::1]:8443/y", "https://[2001:db8::1]:8443/y",
+         "[2001:db8::1]"),
+        # query directly after the authority (no path slash)
+        ("http://h?b=2&a=1", "http://h?a=1&b=2", "h"),
     ]
 
     def test_pinned_rule_set(self, spark):
