@@ -69,8 +69,12 @@ def host_expr(url: Column) -> Column:
     rest = _after(_before(_before(url, "#"), "?"), "://")
     auth = F.substring_index(_before(rest, "/"), "@", -1)
     bracket_end = F.instr(auth, "]")
+    # an unterminated '[' yields NULL, not '' (review r9: '' would
+    # silently bucket every bracket-malformed URL under one empty
+    # domain; NULL keeps the unparseable-input signal)
     host = F.when(auth.startswith("["),
-                  auth.substr(F.lit(1), bracket_end)) \
+                  F.when(bracket_end > 0,
+                         auth.substr(F.lit(1), bracket_end))) \
         .otherwise(_before(auth, ":"))
     return F.lower(host)
 
@@ -93,21 +97,23 @@ def canonical_url_expr(url: Column) -> Column:
         (scheme == "https") & auth.endswith(":443"),
         auth.substr(F.lit(1), F.length(auth) - 4),
     ).otherwise(auth)
-    # 6. trailing slash on a non-root path drops. `path` here EXCLUDES
-    # the leading '/': '' means root-or-none — both keep `rest` as-is.
-    path_n = F.when(
-        (F.length(path) > 0) & path.endswith("/"),
-        path.substr(F.lit(1), F.length(path) - 1),
-    ).otherwise(path)
+    # 6. trailing slashes on a non-root path drop — ALL of them, not
+    # one (review r9: single-strip made 'http://h/a//' canonicalize to
+    # 'http://h/a/', which canonicalizes again — not a fixpoint, and
+    # the two spellings got different dedup keys). `path` here
+    # EXCLUDES the leading '/', so an all-slash path empties and the
+    # root collapses to a single '/'; 'http://h///' ≡ 'http://h/'.
+    path_n = F.regexp_replace(path, "/+$", "")
     base_n = F.when(
         base.contains("://"),
         F.concat(scheme, F.lit("://"), auth_n,
                  F.when(rest.contains("/"), F.concat(F.lit("/"), path_n))
                  .otherwise(F.lit(""))),
     ).otherwise(
-        # no scheme: apply only the trailing-slash rule to the whole
-        F.when((F.length(base) > 1) & base.endswith("/"),
-               base.substr(F.lit(1), F.length(base) - 1)).otherwise(base)
+        # no scheme: only the trailing-slash rule applies; an ALL-slash
+        # base ('/', '//') stays as-is (nothing non-slash to anchor to)
+        F.when(base.rlike("^/*$"), base)
+        .otherwise(F.regexp_replace(base, "/+$", ""))
     )
 
     # 4+5. drop tracking + empties, sort bytewise, rejoin

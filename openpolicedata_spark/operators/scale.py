@@ -436,11 +436,22 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     integers is exact; floats/timestamps profile on their string
     forms (documented — cast upstream if a numeric min/max is
     needed)."""
-    n = len(cols)
-    if n == 0:
+    if len(cols) == 0:
         raise ValueError("profile_columns needs at least one column")
-    args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
-    melted = df.selectExpr(f"stack({n}, {args}) AS (col_name, value)")
+    # explode-of-structs rather than a stack() SQL string (review r9):
+    # interpolating raw column names into selectExpr broke on exactly
+    # the header shapes the CSV/Excel/portal loaders emit — spaces,
+    # dots, quotes, reserved words. A backtick-quoted F.col resolves
+    # ANY name literally (dots included — bare df[c] still parses '.'
+    # as struct nesting) and F.lit(c) needs no escaping; the plan is
+    # the same single scan + Generate.
+    kv = F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col("`" + c.replace("`", "``") + "`")
+                 .cast("string").alias("value"))
+        for c in cols])
+    melted = (df.select(F.explode(kv).alias("__kv__"))
+              .select("__kv__.col_name", "__kv__.value"))
     counts = melted.groupBy("col_name", "value").agg(
         F.count(F.lit(1)).alias("cnt"))
     nn = F.col("value").isNotNull()

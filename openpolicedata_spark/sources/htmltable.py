@@ -215,7 +215,11 @@ def read_html_tables(html: str) -> list[pd.DataFrame]:
     return [t for t in p.tables if not t.empty or len(t.columns)]
 
 
-_ASCII_WS = re.compile("[ \t\n\r\f\v]+")
+# NO \v on purpose (round-9 review): HTML5's "ASCII whitespace" is
+# exactly space/\t/\n/\f/\r, and RE2's \s — what the q176 DuckDB
+# oracle collapses with — is the same set, while Python's str.split
+# and Java's \s both include \v. A vertical tab is CONTENT here.
+_ASCII_WS = re.compile("[ \t\n\r\f]+")
 _TEXT_SKIP_TAGS = {"script", "style", "noscript", "template", "head",
                    "svg", "iframe", "title"}
 _TEXT_BLOCK_TAGS = {"p", "div", "br", "li", "tr", "td", "th", "table",
@@ -244,10 +248,10 @@ class _TextExtractor(_TolerantDeclMixin, HTMLParser):
         self.blocks: list[str] = []
 
     def _flush(self) -> None:
-        # ASCII whitespace ONLY (not str.split(), whose Unicode \s eats
-        # \xa0/ /\x85): the q176 oracle collapses with RE2 '\s+'
-        # and Spark's Java regex \s is ASCII too — a page containing
-        # NBSP must round-trip identically through all three engines.
+        # HTML5 ASCII whitespace ONLY (not str.split(), whose Unicode
+        # \s eats \xa0/ /\x85, and not \v, which RE2 excludes): the
+        # q176 oracle collapses with RE2 '\s+', so a page containing
+        # NBSP or a vertical tab must round-trip identically.
         text = " ".join(
             t for t in _ASCII_WS.split("".join(self._buf)) if t)
         self._buf = []

@@ -1006,10 +1006,18 @@ def media_scan_sink(stream_df: DataFrame, out_path: str,
                       and _glob.glob(os.path.join(index_path,
                                                   "*.parquet")))
         if have_index:
-            idx = spark.read.parquet(index_path) \
-                .select(id_col, "__dg__")
-            keyed = keyed.join(idx, on=[id_col, "__dg__"],
-                               how="left_anti")
+            # NULL-SAFE on the id (review r9): a plain on=[id_col, ...]
+            # anti-join never matches a NULL id (NULL=NULL is NULL), so
+            # a NULL-id clip would be re-scanned on every replay — the
+            # same hole the '' digest coalesce closes for NULL payloads
+            idx = (spark.read.parquet(index_path)
+                   .select(F.col(id_col).alias("__iid__"),
+                           F.col("__dg__").alias("__idg__")))
+            keyed = keyed.join(
+                idx,
+                on=[keyed[id_col].eqNullSafe(idx["__iid__"]),
+                    keyed["__dg__"] == idx["__idg__"]],
+                how="left_anti")
         novel = keyed.localCheckpoint(eager=True)
         if not novel.head(1):
             return

@@ -172,8 +172,12 @@ class TestHtmlToText:
         assert html_to_text("<p>a&nbsp;b</p>") == "a\xa0b"
         # a block of ONLY Unicode whitespace is a (non-empty) block
         assert html_to_text("<p>\xa0</p><p>t</p>") == "\xa0\nt"
-        # ASCII controls in the class still collapse
-        assert html_to_text("<p>a \t\r\n\f\v b</p>") == "a b"
+        # HTML5 ASCII whitespace collapses; \v does NOT (review r9:
+        # RE2's \s — the q176 oracle — excludes it, and so does the
+        # HTML5 "ASCII whitespace" definition)
+        assert html_to_text("<p>a \t\r\n\f b</p>") == "a b"
+        assert html_to_text("<p>a\x0bb</p>") == "a\x0bb"
+        assert html_to_text("<p> \x0b </p>") == "\x0b"
 
     def test_tolerates_malformed_markup(self):
         from openpolicedata_spark.sources.htmltable import html_to_text
@@ -250,8 +254,9 @@ def test_html_to_text_tag_soup_fuzz(soup):
     assert isinstance(out, str)
     for block in out.split("\n") if out else []:
         assert block != ""
-        # ASCII-collapse fixpoint: single spaces only, no edge ASCII
+        # ASCII-collapse fixpoint: single spaces only, no edge HTML5
         # whitespace (a plain .strip() here would be wrong — it strips
-        # UNICODE whitespace like \x85, which is deliberately content)
-        assert re.sub("[ \t\n\r\f\v]+", " ", block) == block
+        # UNICODE whitespace like \x85 and \v, which are deliberately
+        # content; the class below is the extractor's own)
+        assert re.sub("[ \t\n\r\f]+", " ", block) == block
         assert not block.startswith(" ") and not block.endswith(" ")

@@ -436,6 +436,18 @@ class TestWebCanonicalUrl:
          "[2001:db8::1]"),
         # query directly after the authority (no path slash)
         ("http://h?b=2&a=1", "http://h?a=1&b=2", "h"),
+        # MULTI trailing slashes all strip (review r9: single-strip
+        # wasn't a fixpoint and split the dedup key)
+        ("http://h/a//", "http://h/a", "h"),
+        ("http://h///", "http://h/", "h"),
+        ("no-scheme/path//", "no-scheme/path", None),
+        ("/", "/", None),
+        ("//", "//", None),
+        # unterminated IPv6 bracket: host is NULL (not ''), keeping
+        # the unparseable signal distinct from a real empty host; the
+        # canonical form still applies the textual rules (the ':80'
+        # suffix reads as a port — garbage in, documented garbage out)
+        ("http://[::1:80/x", "http://[::1/x", None),
     ]
 
     def test_pinned_rule_set(self, spark):

@@ -509,3 +509,15 @@ def test_profile_columns_nulls_ties_and_types(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least one column"):
         profile_columns(df, [])
+
+    # portal/Excel-shaped column names — spaces, dots, quotes,
+    # reserved words (review r9: the stack() SQL-string form broke on
+    # every one of these)
+    df3 = spark.createDataFrame([(1, "a", "x"), (2, "a", "y")],
+                                ["Incident Date", "officer's r.ace",
+                                 "select"])
+    out3 = {r.col_name: r for r in profile_columns(
+        df3, ["Incident Date", "officer's r.ace", "select"]).collect()}
+    assert out3["Incident Date"].n_distinct == 2
+    assert out3["officer's r.ace"].top_count == 2
+    assert out3["select"].n_rows == 2

@@ -1227,11 +1227,13 @@ def test_media_scan_sink_mp3_inventory_exactly_once(spark, tmp_path):
     src.mkdir()
     a, b, b2, c = blob(2), blob(3), blob(3, br_idx=14), blob(4)
     spark.createDataFrame(
-        [(1, a), (2, b), (3, None)], schema
+        [(1, a), (2, b), (3, None), (None, blob(5))], schema
     ).coalesce(1).write.parquet(str(src / "f1"))
     spark.createDataFrame(
         [(1, a),        # identical redelivery: must NOT re-scan
          (2, b2),       # same id, changed bytes: fresh scan
+         (None, blob(5)),  # NULL-id redelivery: needs the NULL-SAFE
+                           # index join (review r9) or it re-scans
          (4, c)], schema
     ).coalesce(1).write.parquet(str(src / "f2"))
 
@@ -1245,16 +1247,20 @@ def test_media_scan_sink_mp3_inventory_exactly_once(spark, tmp_path):
                         compact_index_files=1)
 
     run()
-    rows = sorted((r.media_id, r.n_frames)
-                  for r in spark.read.parquet(out).collect())
-    assert rows == [(1, 2), (2, 3), (2, 3), (3, None), (4, 4)]
-    assert spark.read.parquet(idx).count() == 5
+    rows = sorted(((r.media_id, r.n_frames)
+                   for r in spark.read.parquet(out).collect()),
+                  key=lambda t: (t[0] is None, t[0] or 0, t[1] or 0))
+    assert rows == [(1, 2), (2, 3), (2, 3), (3, None), (4, 4), (None, 5)]
+    assert spark.read.parquet(idx).count() == 6
     # full replay (fresh ephemeral checkpoint): nothing re-scanned,
-    # including the null-payload row ('' digest) and the compacted index
+    # including the null-payload row ('' digest), the NULL-id row
+    # (null-safe index join), and the compacted index
     run()
-    assert sorted((r.media_id, r.n_frames)
-                  for r in spark.read.parquet(out).collect()) == rows
-    assert spark.read.parquet(idx).count() == 5
+    assert sorted(((r.media_id, r.n_frames)
+                   for r in spark.read.parquet(out).collect()),
+                  key=lambda t: (t[0] is None, t[0] or 0, t[1] or 0)) \
+        == rows
+    assert spark.read.parquet(idx).count() == 6
 
 
 def test_media_scan_sink_vad_segments_batch_stream_parity(spark, tmp_path):
