@@ -230,7 +230,7 @@ _SOUP_ATOMS = [
     "<![", "<!DOCTYPE html>", "<?php echo ?>", "<", ">", "</", "/>",
     "&", "&#", "&#x", "&#x41;", "&#65;", "&amp", "&amp;", "&nbsp;",
     "&notanentity;", "&#xZZ;", "&#999999999;", "< p>", "</ p>", "<p",
-    'attr="unclosed', "'", '"', "\x00", "\xa0", " ",
+    'attr="unclosed', "'", '"', "\x00", "\xa0", "\x0b", " ",
 ]
 
 

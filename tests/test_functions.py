@@ -470,6 +470,68 @@ class TestWebCanonicalUrl:
                        host_expr(F.col("url")).alias("h")).collect()[0]
         assert r.c is None and r.h is None
 
+    def test_matches_python_reference_on_random_urls(self, spark):
+        """A from-scratch Python implementation of the pinned rule set
+        agrees with the Spark expression on 300 seeded-random messy
+        URLs (parts drawn independently: scheme case, userinfo, ports,
+        multi-slash paths, tracking/ordinary params, fragments,
+        schemeless forms) — an independent spec, not a replay of the
+        expression's own structure."""
+        import random
+
+        from openpolicedata_spark.functions.web import canonical_url_expr
+
+        def ref(url):
+            u = url.split("#", 1)[0]
+            base, q = (u.split("?", 1) + [None])[:2]
+            if "://" in base:
+                scheme, rest = base.split("://", 1)
+                scheme = scheme.lower()
+                auth, slash, path = rest.partition("/")
+                auth = auth.lower()
+                if scheme == "http" and auth.endswith(":80"):
+                    auth = auth[:-3]
+                elif scheme == "https" and auth.endswith(":443"):
+                    auth = auth[:-4]
+                base = scheme + "://" + auth + (
+                    "/" + path.rstrip("/") if slash else "")
+            elif base.strip("/") != "":
+                base = base.rstrip("/")
+            if q is not None:
+                keep = sorted(
+                    p for p in q.split("&")
+                    if p and not p.split("=", 1)[0].startswith("utm_")
+                    and p.split("=", 1)[0] not in ("gclid", "fbclid",
+                                                   "msclkid", "ref"))
+                if keep:
+                    return base + "?" + "&".join(keep)
+            return base
+
+        rnd = random.Random(181)
+        urls = []
+        for _ in range(300):
+            scheme = rnd.choice(["http", "HTTP", "https", "HTTPS", ""])
+            user = rnd.choice(["", "User@"])
+            host = rnd.choice(["Ex.COM", "h", "a.b.c"])
+            port = rnd.choice(["", ":80", ":443", ":8080"])
+            path = "".join(rnd.choice(["/Seg", "/x1", "/"])
+                           for _ in range(rnd.randint(0, 3)))
+            params = "&".join(rnd.sample(
+                ["a=1", "B=2", "utm_source=s", "gclid=9", "z=Z", "",
+                 "ref=r", "q=what?is", "dup=1", "dup=1"],
+                rnd.randint(0, 5)))
+            frag = rnd.choice(["", "#f", "#a#b"])
+            u = (f"{scheme}://" if scheme else "") + user + host + port \
+                + path + (("?" + params) if rnd.random() < 0.7 else "") \
+                + frag
+            urls.append(u)
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, url string")
+        got = {r.i: r.c for r in df.select(
+            "i", canonical_url_expr(F.col("url")).alias("c")).collect()}
+        for i, u in enumerate(urls):
+            assert got[i] == ref(u), (u, got[i], ref(u))
+
     def test_idempotent_and_python_free(self, spark):
         """Canonicalizing a canonical URL is a no-op, and the whole
         rule set stays in codegen (zero Python nodes)."""
