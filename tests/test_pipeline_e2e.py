@@ -410,3 +410,60 @@ def test_pipeline_audio_branch_vad_segments_feed_downstream(spark, docs):
                        energy_threshold=thr).collect()}
     for did, rs in by_id.items():
         assert stats[did].n_speech == sum(r.n_frames for r in rs) + 1
+
+
+def test_pipeline_url_ingest_branch(spark, docs):
+    """Round-9 web branch: crawl-side URL keying chained the way a
+    real ingest runs it — messy URL → `web.canonical_url_expr` →
+    URL-level exact dedup (min doc_id per canonical key) →
+    `sampling.cap_per_key` on the canonical HOST. Two spellings of
+    the same resource (tracking params + default port + case +
+    trailing slash vs plain) must collapse to ONE kept row, hosts cap
+    at the limit, and the whole branch is deterministic."""
+    from openpolicedata_spark.functions.web import (
+        canonical_url_expr,
+        host_expr,
+    )
+    from openpolicedata_spark.operators.sampling import cap_per_key
+
+    base = docs.select("doc_id").where(F.col("doc_id") < 400)
+    # consecutive (2k, 2k+1) ids name the SAME resource k: spelling A
+    # (messy) for even ids, spelling B (already-canonical) for odd
+    urls = base.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 2 = 0 THEN "
+        "  'HTTP://Site' || CAST(CAST(doc_id / 2 AS INT) % 5 AS STRING)"
+        "  || '.COM:80/r/' || CAST(CAST(doc_id / 2 AS INT) AS STRING)"
+        "  || '/?utm_source=x&v=1' "
+        "ELSE "
+        "  'http://site' || CAST(CAST(doc_id / 2 AS INT) % 5 AS STRING)"
+        "  || '.com/r/' || CAST(CAST(doc_id / 2 AS INT) AS STRING)"
+        "  || '?v=1' END AS url")
+
+    keyed = urls.select(
+        "doc_id",
+        canonical_url_expr(F.col("url")).alias("canon"),
+        host_expr(F.col("url")).alias("host"))
+    # URL-level exact dedup: min doc_id per canonical key
+    kept = (keyed.groupBy("canon")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.first("host").alias("host"),
+                 F.count(F.lit(1)).alias("n_spellings")))
+    rows = kept.collect()
+    # every resource seen twice, survivor is the even (messy) spelling
+    assert all(r.n_spellings == 2 for r in rows)
+    assert len(rows) == 200 and all(r.doc_id % 2 == 0 for r in rows)
+    # the canonical string equals the already-canonical spelling B
+    sample = {r.doc_id: r.canon for r in rows}
+    assert sample[0] == "http://site0.com/r/0?v=1"
+
+    # per-domain cap: 5 hosts x 40 resources -> cap 25 keeps 125
+    capped = cap_per_key(kept, "host", 25, ["doc_id"])
+    per_host = {r.host: r.cnt for r in
+                capped.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("cnt")).collect()}
+    assert len(per_host) == 5 and all(v == 25 for v in per_host.values())
+    # deterministic rerun
+    again = sorted(r.doc_id for r in
+                   cap_per_key(kept, "host", 25, ["doc_id"]).collect())
+    assert again == sorted(r.doc_id for r in capped.collect())
