@@ -7856,6 +7856,80 @@ FROM c GROUP BY col_name
 """
 
 
+_Q183_BODY = """
+    WITH y95 AS (
+        SELECT DISTINCT o_custkey FROM {o}
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+    ), y96 AS (
+        SELECT DISTINCT o_custkey FROM {o}
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT 'both' AS cohort, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT o_custkey FROM y95 INTERSECT
+          SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'only_1995', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_custkey FROM y95 EXCEPT
+          SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'only_1996', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_custkey FROM y96 EXCEPT
+          SELECT o_custkey FROM y95)
+"""
+
+
+def q183_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set-operator shapes (round-9: the corpus
+    exercised UNION and dropDuplicates but never the other two ANSI
+    set ops): year-cohort retention — customers active in both 1995
+    and 1996, churned, and newly acquired. Spark must plan INTERSECT
+    as a LeftSemi join and EXCEPT as LeftAnti over the
+    distinct-projected year slices (plan-pinned; the nested-loop
+    fallback is pinned out). Counts are exact integers."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q183_o")
+    return spark.sql(_Q183_BODY.format(o="q183_o"))
+
+
+_Q183_SQL = _Q183_BODY.format(o="orders")
+
+
+_Q184_BODY = """
+    WITH RECURSIVE t(id, depth) AS (
+        SELECT CAST(1 AS BIGINT), 0
+        FROM {d} WHERE doc_id = 1
+        UNION ALL
+        SELECT d.doc_id, t.depth + 1
+        FROM {d} d, t
+        WHERE d.doc_id >= 2
+          AND CAST(floor(d.doc_id / 2) AS BIGINT) = t.id
+    )
+    SELECT id AS doc_id, CAST(depth AS BIGINT) AS depth FROM t
+"""
+
+
+def q184_recursive_tree_depth(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (round-9: Spark 4's WITH RECURSIVE — iterative
+    transitive closure, the plan class nothing else here exercises):
+    documents form an implicit binary heap (parent(n) = floor(n/2)),
+    and the recursion walks depth level by level from doc 1 — each
+    iteration is one join of the frontier against the node table, so
+    rounds = tree depth (~log2 N) and the frontier rows are (id,
+    depth) pairs only. DuckDB executes the IDENTICAL recursive SQL
+    (both engines iterate; the closed form depth = floor(log2(id)) is
+    additionally pinned in tests as an independent check).
+    floor(x/2) is used instead of integer division on purpose:
+    DuckDB's CAST(double AS BIGINT) ROUNDS while Spark's truncates,
+    but floor() before the cast is exact in both."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("q184_d")
+    return spark.sql(_Q184_BODY.format(d="q184_d"))
+
+
+_Q184_SQL = _Q184_BODY.format(d="documents")
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -8662,6 +8736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_cumulative_crossover": q180_cumulative_crossover,
         "q181_url_canonicalize": q181_url_canonicalize,
         "q182_profile_columns": q182_profile_columns,
+        "q183_customer_set_ops": q183_customer_set_ops,
+        "q184_recursive_tree_depth": q184_recursive_tree_depth,
     }
     return base
 
@@ -8852,4 +8928,6 @@ def oracle_sql() -> dict[str, str]:
         "q180_cumulative_crossover": _Q180_SQL,
         "q181_url_canonicalize": _Q181_SQL,
         "q182_profile_columns": _Q182_SQL,
+        "q183_customer_set_ops": _Q183_SQL,
+        "q184_recursive_tree_depth": _Q184_SQL,
     }

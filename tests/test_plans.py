@@ -422,6 +422,36 @@ def test_q180_full_outer_sortmerge_and_fused_maxsofar_window(spark,
     assert_no_python_in_plan(df)
 
 
+def test_q183_set_ops_plan_as_semi_and_anti_joins(spark, sf_dir):
+    """INTERSECT must plan as LeftSemi and both EXCEPTs as LeftAnti
+    over the distinct year slices — never a nested loop (round-9: the
+    two ANSI set ops the corpus previously lacked)."""
+    df = workload.queries()["q183_customer_set_ops"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert t.count("LeftSemi") >= 2, t[:800]    # tree + detail
+    assert t.count("LeftAnti") >= 4, t[:800]    # two joins x2
+    s = summarize_plan(df)
+    assert s.n_broadcast_nl_joins == 0, s.text
+    assert_no_python_in_plan(df)
+
+
+def test_q184_recursive_cte_unionloop_and_closed_form(spark, sf_dir):
+    """Spark 4 WITH RECURSIVE plans as a UnionLoop whose recursion
+    frontier is (id, depth) pairs; the computed depths must equal the
+    binary-heap closed form floor(log2(id)) — an independent check on
+    the iteration, not a replay of it."""
+    import math
+
+    df = workload.queries()["q184_recursive_tree_depth"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert "UnionLoop" in t, t[:800]
+    assert_no_python_in_plan(df)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.depth == int(math.floor(math.log2(r.doc_id))), r
+
+
 def test_q156_adc_tables_constant_fold_to_literals(spark, sf_dir):
     """Round-7 verdict item 1, pinned: the residual-ADC tables must
     reach execution as ONE folded nested-array Literal per subspace
