@@ -1,20 +1,38 @@
 """URL canonicalization — the web-pipeline normalization step a crawl
 corpus runs BEFORE URL-level dedup and per-domain capping (CCNet /
 C4 build their URL keys this way; the reference has no web handling —
-beyond-reference LLM-pipeline coverage, round 9).
+beyond-reference LLM-pipeline coverage, rounds 9-10).
 
-Expression-only (zero UDFs, codegen end to end) with a DELIBERATELY
-pinned rule set so a SQL oracle can replay every step:
+Expression-only (zero UDFs, codegen/JVM end to end) with a
+DELIBERATELY pinned rule set so a SQL oracle can replay every step:
 
-1. scheme and authority lowercase (path/query case is preserved — it
-   is significant on most servers);
+0. percent-escape normalization over the whole URL (after the
+   fragment drop, BEFORE every other rule, so they all see decoded
+   spellings): an escape of an RFC 3986 §2.3 UNRESERVED character
+   (ALPHA / DIGIT / ``-`` ``.`` ``_`` ``~``) decodes to the bare
+   character (``%7E`` ≡ ``~``); every other VALID escape keeps its
+   ``%`` but uppercases the hex digits (``%2f`` ≡ ``%2F``); a ``%``
+   not followed by two hex digits is preserved verbatim (malformed
+   input stays malformed). Decoding an unreserved character can never
+   create a delimiter — ``/ ? # & = : @ %`` are all outside the
+   unreserved set — so normalizing first is safe, and the step is a
+   fixpoint (decoded output contains ``%`` only in preserved escapes).
+1. scheme and host[:port] lowercase (path/query case is preserved —
+   it is significant on most servers; USERINFO case is preserved too,
+   it is case-sensitive per RFC 3986 — ADVICE r9);
 2. the fragment is dropped (`#...` never reaches the server);
 3. default ports are stripped (`:80` for http, `:443` for https);
 4. tracking query parameters are dropped: any key starting with
    `utm_`, plus `gclid` / `fbclid` / `msclkid` / `ref` exactly;
 5. surviving query params are SORTED bytewise (`?b=2&a=1` ≡
    `?a=1&b=2`) and empty params drop (`a=1&&b=2`);
-6. an emptied query drops its `?`; a trailing `/` on a non-root path
+6. dot segments in the path of a scheme-ful URL resolve with RFC 3986
+   §5.2.4 stack semantics (`/a/./b` ≡ `/a/b`, `/a/../b` ≡ `/b`;
+   `..` at the root is ignored; EMPTY segments — `//` mid-path — are
+   ordinary stack entries, so `..` pops them like a browser does).
+   Where the RFC would leave a trailing slash (`/a/..` → `/a/`),
+   rule 7 strips it, so the composed canonical form is identical.
+7. an emptied query drops its `?`; a trailing `/` on a non-root path
    is removed (`http://h/a/` ≡ `http://h/a`; the root `http://h/`
    keeps its slash).
 
@@ -22,11 +40,11 @@ Every split is FIRST-occurrence (`instr` + `substr`), never a
 last-occurrence shortcut — a second `?` or `#` belongs to the query/
 fragment body, and DuckDB's `strpos`+`substr` replays the identical
 semantics. NOT done (documented, same discipline as the codec
-gates): percent-escape normalization (`%7E` vs `~` needs the full
-RFC 3986 unreserved table), IDN/punycode, and path dot-segment
-resolution (`/a/../b`) — each needs state a string expression
-shouldn't fake. Inputs without `://` get steps 2/4/5/6 only (no
-scheme/authority rules to apply).
+gates): IDN/punycode (needs the full nameprep tables — irreducible
+spec data, the F9 confidence class) and `+`-as-space in queries (a
+form-encoding convention, not part of the URL itself — decoding it
+would merge genuinely distinct keys). Inputs without `://` get steps
+0/2/4/5/7 only (no scheme/authority/path rules to apply).
 """
 
 from __future__ import annotations
@@ -37,6 +55,9 @@ from pyspark.sql import functions as F
 # query keys dropped by canonical_url_expr (prefix match for utm_)
 TRACKING_PARAM_PREFIXES = ("utm_",)
 TRACKING_PARAM_KEYS = ("gclid", "fbclid", "msclkid", "ref")
+
+# a path segment that is exactly '.' or '..' (bounded by '/' or ends)
+_DOT_SEGMENT_RE = "(^|/)\\.\\.?(/|$)"
 
 
 def _before(col: Column, sep: str) -> Column:
@@ -61,11 +82,66 @@ def _is_tracking(p: Column) -> Column:
     return cond
 
 
+def pct_normalize_expr(url: Column) -> Column:
+    """Rule 0: percent-escape normalization (see module doc). One
+    split on '%'; each following piece either decodes (unreserved),
+    re-emits '%' + UPPERCASED hex (other valid escapes), or is
+    preserved verbatim behind its '%' (malformed). Per-piece work
+    reads only the lambda variable — the interpreted-HOF
+    re-evaluation gotcha never touches an outer expression here."""
+    parts = F.split(url, "%")
+
+    def fix(p: Column) -> Column:
+        valid = p.rlike("^[0-9A-Fa-f]{2}")
+        hex2 = F.upper(p.substr(F.lit(1), F.lit(2)))
+        # conv() only evaluates under the valid branch (CASE WHEN is
+        # lazy in both codegen and interpreted eval)
+        code = F.when(valid, F.conv(hex2, 16, 10).cast("int"))
+        unreserved = (
+            ((code >= 48) & (code <= 57))       # DIGIT
+            | ((code >= 65) & (code <= 90))     # ALPHA upper
+            | ((code >= 97) & (code <= 122))    # ALPHA lower
+            | code.isin(45, 46, 95, 126))       # - . _ ~
+        rest = p.substr(F.lit(3), F.length(p))
+        return (F.when(valid & unreserved, F.concat(F.char(code), rest))
+                .when(valid, F.concat(F.lit("%"), hex2, rest))
+                .otherwise(F.concat(F.lit("%"), p)))
+
+    tail = F.transform(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))), fix)
+    return F.concat(F.get(parts, 0), F.array_join(tail, ""))
+
+
+def _resolve_dot_segments(path: Column) -> Column:
+    """Rule 6: RFC 3986 §5.2.4 remove_dot_segments over a path WITHOUT
+    its leading '/': '.' drops, '..' pops (ignored at the root), any
+    other segment — including an empty one — pushes. The stack is an
+    array-accumulator `aggregate` whose lambda touches only its own
+    variables (acc, s), so the interpreted-HOF re-evaluation gotcha
+    doesn't bite; paths have few segments, so the O(len) array append
+    per step stays trivial. Gated behind a cheap rlike so the vast
+    majority of paths (no dot segments) skip the aggregate."""
+    segs = F.split(path, "/")
+    resolved = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            .when(s == "..",
+                  F.slice(acc, F.lit(1),
+                          F.greatest(F.size(acc) - 1, F.lit(0))))
+            .otherwise(F.concat(acc, F.array(s)))))
+    return (F.when(path.rlike(_DOT_SEGMENT_RE), F.array_join(resolved, "/"))
+            .otherwise(path))
+
+
 def host_expr(url: Column) -> Column:
     """Lowercased host (no port, no userinfo, no path/query/fragment)
     of a scheme-ful URL; NULL when there is no '://'. Bracketed IPv6
     authorities keep their brackets (`[::1]:80` → `[::1]`) — the
-    colon-strip rule only applies OUTSIDE brackets."""
+    colon-strip rule only applies OUTSIDE brackets. Percent-escapes
+    are NOT decoded here (escaped hosts are outside the pinned rule
+    set — pair with `pct_normalize_expr` upstream if needed)."""
     rest = _after(_before(_before(url, "#"), "?"), "://")
     auth = F.substring_index(_before(rest, "/"), "@", -1)
     bracket_end = F.instr(auth, "]")
@@ -79,16 +155,46 @@ def host_expr(url: Column) -> Column:
     return F.lower(host)
 
 
-def canonical_url_expr(url: Column) -> Column:
-    """Canonical form of `url` under the module's pinned rule set."""
-    u = _before(url, "#")                          # 2. drop fragment
-    base = _before(u, "?")
-    query = _after(u, "?")                         # NULL when no query
+def _bind(expr: Column, f) -> Column:
+    """Evaluate `expr` ONCE and hand it to `f` as a lambda variable —
+    the one-element transform trick from the interpreted-HOF gotcha.
+    A lambda-variable read is O(1); referencing a computed expression
+    TEXTUALLY DUPLICATES its tree, so an expression referenced k times
+    whose input is referenced k times again grows k² — composing
+    canonical_url_expr with itself (the idempotence property) measured
+    MINUTES of Catalyst analysis before these bindings and milliseconds
+    after (round 10)."""
+    return F.get(F.transform(F.array(expr), f), 0)
 
-    # 1+3. lowercase scheme+authority, strip the scheme's default port
+
+def canonical_url_expr(url: Column) -> Column:
+    """Canonical form of `url` under the module's pinned rule set.
+
+    `url` is referenced exactly ONCE and every multiply-referenced
+    intermediate (the escape-normalized string, base, query) is bound
+    as a lambda variable via `_bind`, so composing this expression —
+    with itself or downstream consumers — grows the tree ADDITIVELY,
+    never multiplicatively."""
+    u0 = pct_normalize_expr(_before(url, "#"))     # 2 then 0
+    return _bind(u0, lambda u: _bind(
+        F.struct(_before(u, "?").alias("b"),
+                 _after(u, "?").alias("q")),
+        lambda s: _canonical_of(s["b"], s["q"])))
+
+
+def _canonical_of(base: Column, query: Column) -> Column:
+    """Rules 1/3-7 over the escape-normalized (base, query) pair; both
+    arguments are lambda variables (O(1) reads)."""
+    # 1+3. lowercase scheme + host[:port] (userinfo keeps its case —
+    # it is case-sensitive per RFC 3986, ADVICE r9), strip the
+    # scheme's default port
     scheme = F.lower(_before(base, "://"))
     rest = _after(base, "://")                     # authority[/path...]
-    auth = F.lower(_before(rest, "/"))
+    auth_raw = _before(rest, "/")
+    hostport = F.substring_index(auth_raw, "@", -1)  # after LAST '@'
+    userinfo = auth_raw.substr(                      # incl. its '@'
+        F.lit(1), F.length(auth_raw) - F.length(hostport))
+    auth = F.concat(userinfo, F.lower(hostport))
     path = F.coalesce(_after(rest, "/"), F.lit(""))  # after FIRST '/'
     auth_n = F.when(
         (scheme == "http") & auth.endswith(":80"),
@@ -97,13 +203,16 @@ def canonical_url_expr(url: Column) -> Column:
         (scheme == "https") & auth.endswith(":443"),
         auth.substr(F.lit(1), F.length(auth) - 4),
     ).otherwise(auth)
-    # 6. trailing slashes on a non-root path drop — ALL of them, not
+    # 7. trailing slashes on a non-root path drop — ALL of them, not
     # one (review r9: single-strip made 'http://h/a//' canonicalize to
     # 'http://h/a/', which canonicalizes again — not a fixpoint, and
     # the two spellings got different dedup keys). `path` here
     # EXCLUDES the leading '/', so an all-slash path empties and the
     # root collapses to a single '/'; 'http://h///' ≡ 'http://h/'.
-    path_n = F.regexp_replace(path, "/+$", "")
+    # Dot segments resolve FIRST (rule 6), so 'a/..' empties to the
+    # root form and '/a/../' ≡ '/a/..' ≡ '/' (rule 7 absorbs the
+    # RFC's would-be trailing slash).
+    path_n = F.regexp_replace(_resolve_dot_segments(path), "/+$", "")
     base_n = F.when(
         base.contains("://"),
         F.concat(scheme, F.lit("://"), auth_n,

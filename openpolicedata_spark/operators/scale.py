@@ -425,9 +425,11 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     min/max, and the top value with a deterministic tiebreak
     (highest count, then smallest value; NULL never wins top).
 
-    Shape: ONE scan feeds a `stack` unpivot to (col_name, value)
-    rows — every value stringified, so heterogeneous column types
-    share one shuffle — then two keyed aggregations: (col, value)
+    Shape: ONE scan feeds an explode-of-structs unpivot (a single
+    Generate node — see the inline comment for why `stack` was
+    abandoned) to (col_name, value) rows — every value stringified,
+    so heterogeneous column types share one shuffle — then two keyed
+    aggregations: (col, value)
     counts (map-side combined; this is also where exact distinct
     becomes a plain COUNT) and the per-column rollup whose top-value
     pick is a `min_by` over the (-count, value) struct key. At 100 TB
@@ -438,6 +440,11 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     needed)."""
     if len(cols) == 0:
         raise ValueError("profile_columns needs at least one column")
+    if len(set(cols)) != len(cols):
+        # both structs of a repeated name share one col_name group, so
+        # n_rows/n_nulls/top_count would silently DOUBLE (ADVICE r9)
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        raise ValueError(f"profile_columns: duplicate column names {dupes}")
     # explode-of-structs rather than a stack() SQL string (review r9):
     # interpolating raw column names into selectExpr broke on exactly
     # the header shapes the CSV/Excel/portal loaders emit — spaces,

@@ -954,15 +954,21 @@ def pq_encode_arrow(corpus: DataFrame, codebooks, coarse=None,
                 # wrong-dimension vector is a schema/model mismatch
                 # that silent null-propagation would hide.
                 dim = m * sub
-                for vid, v in zip(pdf[id_col][~null_mask],
-                                  pdf[vec_col][~null_mask]):
-                    if len(v) != dim:
-                        raise ValueError(
-                            f"pq_encode_arrow: embedding length {len(v)} "
-                            f"!= codebook dimension {dim} (m={m} "
-                            f"subspaces x {sub}) at {id_col}={vid!r}")
+                vals = pdf[vec_col][~null_mask]
+                lens = np.fromiter(map(len, vals), dtype=np.int64,
+                                   count=len(vals))
+                if (lens != dim).any():
+                    # locate the offender only on the error path: the
+                    # happy path stays one vectorized compare, not a
+                    # per-row Python zip loop (ADVICE r9)
+                    bad = int(np.flatnonzero(lens != dim)[0])
+                    vid = pdf[id_col][~null_mask].iloc[bad]
+                    raise ValueError(
+                        f"pq_encode_arrow: embedding length "
+                        f"{int(lens[bad])} != codebook dimension {dim} "
+                        f"(m={m} subspaces x {sub}) at {id_col}={vid!r}")
                 stacked = np.stack([np.asarray(v, dtype=np.float64)
-                                    for v in pdf[vec_col][~null_mask]])
+                                    for v in vals])
                 nan_rows = np.isnan(stacked).any(axis=1)
                 if nan_rows.any():
                     null_mask = null_mask.copy()

@@ -21,9 +21,18 @@ ladders, not the F10-blocked spec data): samples/frame is 384 for
 Layer I, 1152 for Layer II everywhere and MPEG-1 Layer III, 576 for
 MPEG-2/2.5 Layer III; frame size is ``(spf/8)*bitrate//rate + pad``
 with a 4-byte slot for Layer I (``(12*bitrate//rate + pad) * 4``).
-Free-format streams (bitrate index 0) and reserved version/layer/rate
-fields still raise loudly. PCM decode requests keep raising in
-`multimodal.decode_audio`.
+Round 10 adds FREE-FORMAT streams (bitrate index 0): their frame size
+is a stream property, derived by scanning from the first frame to the
+next sync word whose header matches the stream's (version, layer,
+rate) and is itself free-format — pure stream arithmetic, no spec
+data, so it stays inside the F10 determination (the round-9 verdict's
+"one unblocked sliver"). The spec fixes free format to a constant
+bitrate, so the derived base size walks the whole stream with only
+the per-frame padding slot varying; the reported bitrate_kbps is the
+FLOOR inverse of the frame-size formula (free-format bitrates need
+not be whole kbit/s — pinned convention, replayed by q187's oracle).
+Reserved version/layer/rate fields still raise loudly. PCM decode
+requests keep raising in `multimodal.decode_audio`.
 """
 
 from __future__ import annotations
@@ -83,21 +92,11 @@ def id3v2_size(data: bytes) -> int:
     return 10 + size + (10 if flags & 0x10 else 0)
 
 
-def parse_frame_header(
-        data: bytes, pos: int) -> tuple[int, int, int, int, int]:
-    """Parse one frame header at `pos` → (frame_size, bitrate_kbps,
-    sample_rate, padding, samples_per_frame). Covers every MPEG
-    version (1 / 2 / 2.5) × layer (I / II / III) combination; raises
-    Mp3Error naming the variant for free-format bitrate and reserved
-    version/layer/sample-rate fields.
-
-    Frame-size formulas (public header spec, pure arithmetic):
-      Layer I:          (12  * bitrate // rate + padding) * 4
-      Layer II:          144 * bitrate // rate + padding
-      Layer III MPEG-1:  144 * bitrate // rate + padding
-      Layer III v2/2.5:   72 * bitrate // rate + padding
-    i.e. (spf/8) * bitrate // rate in slot units, slot = 4 bytes for
-    Layer I (so its padding bit adds 4 bytes), 1 byte otherwise."""
+def _header_fields(data: bytes, pos: int) -> tuple:
+    """Raw header fields at `pos` → (version, layer, vclass, br_idx,
+    sr_idx, padding, rate, spf, slot). Validates sync and reserved
+    fields but does NOT resolve the bitrate — free-format (br_idx 0)
+    is legal here and resolved by the walker's stream-level scan."""
     if pos + 4 > len(data):
         raise Mp3Error("truncated frame header")
     b0, b1, b2, _b3 = data[pos:pos + 4]
@@ -112,24 +111,90 @@ def parse_frame_header(
     layer = 4 - layer_bits        # 1 = Layer I, 2 = II, 3 = III
     vclass = 1 if version == 3 else 2
     br_idx = (b2 >> 4) & 0xF
-    if br_idx == 0:
-        raise Mp3Error("free-format bitrate is gated (frame size is "
-                       "not derivable from the header)")
     if br_idx == 15:
         raise Mp3Error("invalid bitrate index 15")
     sr_idx = (b2 >> 2) & 0x3
     if sr_idx == 3:
         raise Mp3Error("reserved sampling-frequency index 3")
-    bitrate = MP3_BITRATE_LADDERS[(vclass, layer)][br_idx]
     rate = MP3_SAMPLE_RATES_BY_VERSION[version][sr_idx]
     padding = (b2 >> 1) & 1
+    spf = 384 if layer == 1 else (576 if (layer == 3 and vclass == 2)
+                                  else 1152)
+    slot = 4 if layer == 1 else 1
+    return version, layer, vclass, br_idx, sr_idx, padding, rate, spf, slot
+
+
+def parse_frame_header(
+        data: bytes, pos: int) -> tuple[int, int, int, int, int]:
+    """Parse one FIXED-BITRATE frame header at `pos` → (frame_size,
+    bitrate_kbps, sample_rate, padding, samples_per_frame). Covers
+    every MPEG version (1 / 2 / 2.5) × layer (I / II / III)
+    combination; raises Mp3Error naming the variant for reserved
+    version/layer/sample-rate fields — and for free-format bitrate,
+    whose frame size is a STREAM property, not a header property
+    (`walk_frames` handles it by scanning to the next sync word).
+
+    Frame-size formulas (public header spec, pure arithmetic):
+      Layer I:          (12  * bitrate // rate + padding) * 4
+      Layer II:          144 * bitrate // rate + padding
+      Layer III MPEG-1:  144 * bitrate // rate + padding
+      Layer III v2/2.5:   72 * bitrate // rate + padding
+    i.e. (spf/8) * bitrate // rate in slot units, slot = 4 bytes for
+    Layer I (so its padding bit adds 4 bytes), 1 byte otherwise."""
+    (version, layer, vclass, br_idx, sr_idx, padding, rate, spf,
+     _slot) = _header_fields(data, pos)
+    if br_idx == 0:
+        raise Mp3Error("free-format bitrate: frame size is a stream "
+                       "property — use walk_frames, not the "
+                       "single-header parser")
+    bitrate = MP3_BITRATE_LADDERS[(vclass, layer)][br_idx]
     if layer == 1:
-        spf = 384
         size = (12 * bitrate * 1000 // rate + padding) * 4
     else:
-        spf = 576 if (layer == 3 and vclass == 2) else 1152
         size = (spf // 8) * bitrate * 1000 // rate + padding
     return size, bitrate, rate, padding, spf
+
+
+def _free_frame_base(data: bytes, pos: int, first_b1: int, sr_idx: int,
+                     padding: int, slot: int) -> int:
+    """Padding-less frame size of a FREE-FORMAT stream (round 10,
+    verdict item 4 — the one unblocked F10 sliver): scan from the
+    first frame's payload to the next sync word whose header matches
+    the stream's (version, layer, sample-rate) AND is itself
+    free-format — 13 matching bits; the protection/private/channel
+    bits may differ frame to frame, so they are masked out. The
+    distance minus the first frame's padding slot is the constant
+    base size (the spec fixes free-format to one bitrate, so frames
+    vary only by the padding slot). Pure stream arithmetic — no spec
+    DATA involved, the F10 confidence class. The first matching
+    candidate wins; a false sync inside payload bytes would derail
+    the walk on the very next frame (lost-sync raise), so corruption
+    surfaces rather than silently misparsing."""
+    n = len(data)
+    off = data.find(b"\xff", pos + 4)
+    while 0 <= off <= n - 4:
+        b1, b2 = data[off + 1], data[off + 2]
+        # bits 7..1 of b1: sync+version+layer (protection masked);
+        # top 6 bits of b2: br_idx (must be 0) + sr_idx
+        if (b1 >> 1) == (first_b1 >> 1) and (b2 >> 2) == sr_idx:
+            base = (off - pos) - padding * slot
+            if base >= 4:
+                return base
+        off = data.find(b"\xff", off + 1)
+    raise Mp3Error(
+        "free-format bitrate: no second matching sync word to derive "
+        "the frame size (a single-frame free-format stream is "
+        "underdetermined)")
+
+
+def _free_bitrate_kbps(base: int, rate: int, spf: int, layer: int) -> int:
+    """Derived kbit/s of a free-format stream from its padding-less
+    frame size — the FLOOR inverse of the frame-size formula (pinned:
+    free-format bitrates need not be whole kbit/s; the floor is the
+    documented convention and what the q187 oracle replays)."""
+    if layer == 1:
+        return (base // 4) * rate // 12000
+    return base * rate // ((spf // 8) * 1000)
 
 
 def walk_frames(data: bytes) -> list[tuple[int, int, int, int, int]]:
@@ -153,6 +218,8 @@ def walk_frames(data: bytes) -> list[tuple[int, int, int, int, int]]:
     pos = id3v2_size(data)
     out = []
     n = len(data)
+    free_sig = None   # (b1 >> 1, sr_idx) of a free-format stream
+    free_base = None  # its constant padding-less frame size
     while pos < n:
         rem = n - pos
         if out and (rem < 4
@@ -160,7 +227,30 @@ def walk_frames(data: bytes) -> list[tuple[int, int, int, int, int]]:
                     or data[pos:pos + 8] == b"APETAGEX"
                     or data[pos:pos + 11] == b"LYRICSBEGIN"):
             break
-        size, bitrate, rate, _pad, spf = parse_frame_header(data, pos)
+        (_version, layer, _vclass, br_idx, sr_idx, padding, rate, spf,
+         slot) = _header_fields(data, pos)
+        if br_idx == 0:
+            # free-format: constant base size derived ONCE from the
+            # sync-word distance, then walked like any other stream;
+            # mixing free and fixed frames (or changing version/layer/
+            # rate mid-stream) is corruption and raises (round 10)
+            if free_base is None:
+                if out:
+                    raise Mp3Error("free-format frame after "
+                                   "fixed-bitrate frames")
+                free_sig = (data[pos + 1] >> 1, sr_idx)
+                free_base = _free_frame_base(
+                    data, pos, data[pos + 1], sr_idx, padding, slot)
+            elif (data[pos + 1] >> 1, sr_idx) != free_sig:
+                raise Mp3Error("free-format stream changed version/"
+                               "layer/rate mid-stream")
+            size = free_base + padding * slot
+            bitrate = _free_bitrate_kbps(free_base, rate, spf, layer)
+        else:
+            if free_base is not None:
+                raise Mp3Error("fixed-bitrate frame in a free-format "
+                               "stream")
+            size, bitrate, rate, _pad, spf = parse_frame_header(data, pos)
         if pos + size > n:
             raise Mp3Error(f"truncated final frame at byte {pos} "
                            f"(needs {size} bytes, {n - pos} left)")

@@ -7809,8 +7809,9 @@ def q182_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfamiliar-table triage scan before join discovery, round 9):
     five orders columns of three types (bigint, string,
     timestamp — the timestamp profiles on its ISO string form, which
-    both engines render identically) unpivot through ONE `stack`
-    scan into (col, value) counts, then roll up to per-column rows /
+    both engines render identically) unpivot through ONE
+    explode-of-structs scan (a single Generate node) into (col,
+    value) counts, then roll up to per-column rows /
     nulls / exact distincts / bytewise min-max / deterministic top
     value (max count, tie → smallest value). The oracle replays the
     unpivot as a UNION ALL and the top pick as an ordered
@@ -7928,6 +7929,268 @@ def q184_recursive_tree_depth(spark: SparkSession,
 
 
 _Q184_SQL = _Q184_BODY.format(d="documents")
+
+
+_Q185_MESSY = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'http://H' || substr(md5(text), 1, 4)
+                  || '.com/%7Ea' || CAST(doc_id % 9 AS INT)
+                  || '/b/../c?x=%2f&utm_x=1'
+      WHEN 1 THEN 'https://User@H' || substr(md5(text), 1, 4)
+                  || '.com:443/a/./b' || CAST(doc_id % 9 AS INT) || '/'
+      WHEN 2 THEN 'http://h' || substr(md5(text), 1, 4)
+                  || '.com/a/../../x%41' || CAST(doc_id % 9 AS INT)
+      ELSE 'http://h' || substr(md5(text), 1, 4)
+           || '.com/p?%62=2&a=%7a&c=%zz#f'
+    END
+"""
+
+
+def q185_url_escape_normalize(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Round-10 URL canonicalization extension (the round-9 verdict's
+    #1 'real-user gap'): percent-escape normalization — unreserved
+    escapes decode (`%7E` ≡ `~`, `%41` ≡ `A`, even inside query KEYS
+    so decoded params re-sort), other valid escapes uppercase their
+    hex (`%2f` ≡ `%2F`), malformed `%` sequences survive verbatim
+    (`%zz`) — plus RFC 3986 §5.2.4 dot-segment resolution (`/b/../c`,
+    `/a/./b`, `..` past the root) and the ADVICE-r9 userinfo rule
+    (`User@` keeps its case while the host lowercases). Four messy
+    spellings per doc_id class; the oracle REBUILDS the expected
+    canonical string and host from the same generative parameters
+    (the q181 recipe), so any drift in the decode table, the segment
+    stack, or the rule ORDERING (escapes decode before dot segments:
+    case 0 mixes both) breaks the hash. Zero UDFs; the escape pass is
+    one split + transform, the segment stack one rlike-gated
+    aggregate — both read only their lambda variables (the
+    interpreted-HOF re-evaluation gotcha)."""
+    from openpolicedata_spark.functions.web import (
+        canonical_url_expr,
+        host_expr,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    messy = d.selectExpr("doc_id", _Q185_MESSY + " AS url")
+    return messy.select(
+        "doc_id",
+        canonical_url_expr(F.col("url")).alias("canon"),
+        host_expr(F.col("url")).alias("host"))
+
+
+_Q185_SQL = """
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'http://h' || substr(md5(text), 1, 4) || '.com/~a'
+                || CAST(doc_id % 9 AS INT) || '/c?x=%2F'
+    WHEN 1 THEN 'https://User@h' || substr(md5(text), 1, 4)
+                || '.com/a/b' || CAST(doc_id % 9 AS INT)
+    WHEN 2 THEN 'http://h' || substr(md5(text), 1, 4) || '.com/xA'
+                || CAST(doc_id % 9 AS INT)
+    ELSE 'http://h' || substr(md5(text), 1, 4)
+         || '.com/p?a=z&b=2&c=%zz'
+  END AS canon,
+  'h' || substr(md5(text), 1, 4) || '.com' AS host
+FROM documents
+"""
+
+
+def q186_chain_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE connected components with an exact oracle (round-10
+    verdict item 2: q41/q175's move to the equality fast path left
+    label propagation — the path LSH-derived near-dup graphs actually
+    need — without workload coverage). Documents chain doc i to i+1
+    within 16-blocks (multi-hop PATHS, not equality cliques — the
+    by_key fast path cannot answer this), and `dedup.dup_clusters`
+    resolves each chain by pointer-jumping label propagation
+    (propagate + label(label) shortcut per round — O(log diameter)
+    rounds, verdict item 3; old-vs-new equality and the round-count
+    drop are pinned in tests/SCALE.md). DuckDB replays the components
+    with a WITH RECURSIVE transitive closure over the SAME pair list
+    and takes MIN over each node's reachable set — engine-independent
+    ground truth for the iterative path (the q184 recursion machinery
+    aimed at a graph instead of a tree)."""
+    from openpolicedata_spark.operators.dedup import dup_clusters
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    pairs = (
+        d.select(F.col("doc_id").alias("id_a"))
+        .join(d.select(F.col("doc_id").alias("id_b")),
+              F.col("id_b") == F.col("id_a") + F.lit(1))
+        .where(F.col("id_a") % 16 != 15)
+    )
+    return dup_clusters(pairs)
+
+
+_Q186_SQL = """
+WITH RECURSIVE pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 16 <> 15
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+), r(node, l) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.node, e.dst FROM r JOIN edges e ON e.src = r.l
+)
+SELECT node AS doc_id, MIN(l) AS cluster_id FROM r GROUP BY node
+"""
+
+
+def q187_mp3_free_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-format mp3 streams (round-10 verdict item 4 — the one
+    unblocked F10 sliver): bitrate index 0 means the frame size is a
+    STREAM property, derived by scanning to the next matching sync
+    word; the spec pins free format to a constant bitrate, so the
+    derived base walks the whole stream with only the padding slot
+    varying. Each document becomes a free-format clip whose (version,
+    layer) is doc_id % 9 and sample-rate index doc_id % 3 (the q177
+    grid); the padding-less base size and per-frame padding bits come
+    from the md5 stream, and payloads are 0x7F-masked md5 bytes (no
+    false sync words — a real encoder also avoids them by
+    construction; corruption still surfaces as a lost-sync raise on
+    the NEXT frame). Spark PARSES the bytes (`multimodal.mp3_scan` →
+    the walker's sync-distance derivation); the oracle REPLAYS the
+    construction — sizes, duration on the sample clock, and the
+    pinned FLOOR-inverse bitrate formula — in pure SQL."""
+    import hashlib as _hl
+
+    import pandas as pd
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.multimodal import mp3_scan
+    from openpolicedata_spark.sources.mp3 import MP3_SAMPLE_RATES_BY_VERSION
+
+    d = _read(spark, sf_dir, "documents")
+    ver_bits_by_vidx = (3, 2, 0)   # MPEG-1, MPEG-2, MPEG-2.5
+
+    def build(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                vidx, layer = (did % 9) // 3, (did % 9) % 3 + 1
+                ver = ver_bits_by_vidx[vidx]
+                vclass = 1 if ver == 3 else 2
+                sr_idx = did % 3
+                slot = 4 if layer == 1 else 1
+                hb = _hl.md5(text.encode("utf-8") + b"fb").hexdigest()
+                raw = 160 + int(hb[:2], 16)          # 160..415 slots-ish
+                base = raw * 4 if layer == 1 else raw
+                frames = []
+                for i in range(3 + did % 3):
+                    h = _hl.md5(
+                        text.encode("utf-8") + b"p" + str(i).encode()
+                    ).hexdigest()
+                    pad = int(h[0], 16) % 2
+                    size = base + pad * slot
+                    hdr = bytes([
+                        0xFF,
+                        0xE0 | (ver << 3) | ((4 - layer) << 1) | 1,
+                        (0 << 4) | (sr_idx << 2) | (pad << 1),
+                        0x00])
+                    payload = bytearray()
+                    while len(payload) < size - 4:
+                        payload += _hl.md5(
+                            text.encode("utf-8") + b"y"
+                            + bytes([i, len(payload) % 251])).digest()
+                    frames.append(
+                        hdr + bytes(b & 0x7F for b in payload[:size - 4]))
+                rows.append((did, b"".join(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    clips = rebalance(d.select("doc_id", "text")).mapInPandas(
+        build, "media_id long, content binary")
+    return (mp3_scan(clips).withColumnRenamed("media_id", "doc_id")
+            .drop("first_frame_offset"))
+
+
+_Q187_SQL = """
+WITH g AS (
+    SELECT doc_id,
+           CAST(doc_id % 9 AS INT) // 3 AS vidx,
+           CAST(doc_id % 9 AS INT) % 3 + 1 AS layer,
+           CAST(doc_id % 3 AS INT) AS sr_idx,
+           3 + CAST(doc_id % 3 AS INT) AS n_frames,
+           160 + CAST('0x' || substr(md5(text || 'fb'), 1, 2)
+                      AS INTEGER) AS raw,
+           text
+    FROM documents
+), p AS (
+    SELECT doc_id, n_frames,
+           CASE WHEN vidx = 0 THEN ([44100, 48000, 32000])[sr_idx + 1]
+                WHEN vidx = 1 THEN ([22050, 24000, 16000])[sr_idx + 1]
+                ELSE ([11025, 12000, 8000])[sr_idx + 1] END AS rate,
+           CASE WHEN layer = 1 THEN 384
+                WHEN layer = 3 AND vidx > 0 THEN 576
+                ELSE 1152 END AS spf,
+           CASE WHEN layer = 1 THEN raw * 4 ELSE raw END AS base,
+           CASE WHEN layer = 1 THEN 4 ELSE 1 END AS slot,
+           layer, text
+    FROM g
+), padsum AS (
+    SELECT doc_id,
+           SUM(CAST('0x' || substr(md5(text || 'p' || i), 1, 1)
+                    AS INTEGER) % 2) AS pads
+    FROM p, unnest(range(0, n_frames)) t(i)
+    GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_frames AS BIGINT) AS n_frames,
+       CAST(p.rate AS BIGINT) AS sample_rate,
+       CAST(p.n_frames * p.spf * 1000 // p.rate AS BIGINT) AS duration_ms,
+       CAST(p.n_frames * p.base + p.slot * s.pads AS BIGINT)
+           AS audio_bytes,
+       CAST(CASE WHEN p.layer = 1
+                 THEN (p.base // 4) * p.rate // 12000
+                 ELSE p.base * p.rate // (p.spf // 8 * 1000) END
+            AS BIGINT) AS bitrate_min_kbps,
+       CAST(CASE WHEN p.layer = 1
+                 THEN (p.base // 4) * p.rate // 12000
+                 ELSE p.base * p.rate // (p.spf // 8 * 1000) END
+            AS BIGINT) AS bitrate_max_kbps,
+       CAST(p.n_frames * (CASE WHEN p.layer = 1
+                 THEN (p.base // 4) * p.rate // 12000
+                 ELSE p.base * p.rate // (p.spf // 8 * 1000) END)
+            AS BIGINT) AS bitrate_sum_kbps,
+       FALSE AS is_vbr
+FROM p JOIN padsum s ON s.doc_id = p.doc_id
+"""
+
+
+_Q188_BODY = """
+    SELECT CAST(2 * GROUPING(o_orderpriority)
+                + GROUPING(o_orderstatus) AS INTEGER) AS gid,
+           o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_price
+    FROM {o}
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+"""
+
+
+def q188_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC grouping sets (round-10 verdict item 5: q75 pins the
+    full CUBE; this is the set list neither ROLLUP nor CUBE can spell
+    — (priority, status) / (priority) / (status), no grand total):
+    the reporting-layer plan class a 100 TB rollup leans on. Spark
+    must execute ALL THREE groupings in ONE pass — a single Expand
+    node replicating each input row once per set, feeding one
+    hash aggregate whose partials combine map-side — never N unioned
+    scans of the fact table (plan-pinned alongside q75's CUBE in
+    tests/test_plans.py). GROUPING() bits disambiguate a real NULL
+    group from a rolled-up one; DECIMAL sums keep both engines
+    bit-exact."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q188_o")
+    return spark.sql(_Q188_BODY.format(o="q188_o"))
+
+
+_Q188_SQL = _Q188_BODY.format(o="orders")
 
 
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8738,6 +9001,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_profile_columns": q182_profile_columns,
         "q183_customer_set_ops": q183_customer_set_ops,
         "q184_recursive_tree_depth": q184_recursive_tree_depth,
+        "q185_url_escape_normalize": q185_url_escape_normalize,
+        "q186_chain_clusters": q186_chain_clusters,
+        "q187_mp3_free_format": q187_mp3_free_format,
+        "q188_grouping_sets": q188_grouping_sets,
     }
     return base
 
@@ -8930,4 +9197,8 @@ def oracle_sql() -> dict[str, str]:
         "q182_profile_columns": _Q182_SQL,
         "q183_customer_set_ops": _Q183_SQL,
         "q184_recursive_tree_depth": _Q184_SQL,
+        "q185_url_escape_normalize": _Q185_SQL,
+        "q186_chain_clusters": _Q186_SQL,
+        "q187_mp3_free_format": _Q187_SQL,
+        "q188_grouping_sets": _Q188_SQL,
     }

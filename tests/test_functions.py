@@ -448,6 +448,36 @@ class TestWebCanonicalUrl:
         # canonical form still applies the textual rules (the ':80'
         # suffix reads as a port — garbage in, documented garbage out)
         ("http://[::1:80/x", "http://[::1/x", None),
+        # --- round 10: percent-escape normalization (rule 0) ---
+        # unreserved escapes decode (either hex case); other valid
+        # escapes uppercase their hex; malformed '%' preserved verbatim
+        ("http://h/%7Ea%7eb", "http://h/~a~b", "h"),
+        ("http://h/p?x=%2f&y=%2F", "http://h/p?x=%2F&y=%2F", "h"),
+        ("http://h/%41%5a%30%2d%2E%5F", "http://h/AZ0-._", "h"),
+        ("http://h/a%zz%4", "http://h/a%zz%4", "h"),
+        ("http://h/a%", "http://h/a%", "h"),
+        ("http://h/a%%41", "http://h/a%A", "h"),          # %% then %41
+        ("http://h/%25x", "http://h/%25x", "h"),          # %25='%' stays
+        # decoded escapes feed the LATER rules: a tracking key spelled
+        # with an escape is recognized, decoded params re-sort
+        ("http://h/p?%75tm_source=s&b=1", "http://h/p?b=1", "h"),
+        # --- round 10: dot-segment resolution (rule 6) ---
+        ("http://h/a/./b", "http://h/a/b", "h"),
+        ("http://h/a/../b", "http://h/b", "h"),
+        ("http://h/a/b/../../c", "http://h/c", "h"),
+        ("http://h/../a", "http://h/a", "h"),             # root ignores ..
+        ("http://h/a/..", "http://h/", "h"),              # empties to root
+        ("http://h/a/../", "http://h/", "h"),
+        ("http://h/a//../b", "http://h/a/b", "h"),        # .. pops ''
+        ("http://h/..a/.b", "http://h/..a/.b", "h"),      # NOT dot segs
+        # escape decodes FIRST, so %2E segments resolve as dots
+        ("http://h/a/%2E%2E/b", "http://h/b", "h"),
+        # schemeless inputs get no path rules (pinned: can't tell a
+        # path from an opaque string without an authority)
+        ("no-scheme/a/../b", "no-scheme/a/../b", None),
+        # --- round 10: userinfo keeps its case (ADVICE r9) ---
+        ("http://User@Host.com/x", "http://User@host.com/x", "host.com"),
+        ("HTTPS://U:Pw@H.COM:443/", "https://U:Pw@h.com/", "h.com"),
     ]
 
     def test_pinned_rule_set(self, spark):
@@ -472,29 +502,54 @@ class TestWebCanonicalUrl:
 
     def test_matches_python_reference_on_random_urls(self, spark):
         """A from-scratch Python implementation of the pinned rule set
-        agrees with the Spark expression on 300 seeded-random messy
+        agrees with the Spark expression on 400 seeded-random messy
         URLs (parts drawn independently: scheme case, userinfo, ports,
-        multi-slash paths, tracking/ordinary params, fragments,
-        schemeless forms) — an independent spec, not a replay of the
-        expression's own structure."""
+        multi-slash paths, PERCENT ESCAPES in every flavor, dot
+        segments, tracking/ordinary params, fragments, schemeless
+        forms) — an independent spec, not a replay of the expression's
+        own structure."""
         import random
+        import re
 
         from openpolicedata_spark.functions.web import canonical_url_expr
 
+        unreserved = set(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+            "0123456789-._~")
+
+        def pct(s):
+            def one(m):
+                ch = chr(int(m.group(1), 16))
+                return ch if ch in unreserved else "%" + m.group(1).upper()
+            return re.sub("%([0-9A-Fa-f]{2})", one, s)
+
+        def dots(path):                       # path WITHOUT leading '/'
+            stack = []
+            for seg in path.split("/"):
+                if seg == ".":
+                    continue
+                if seg == "..":
+                    if stack:
+                        stack.pop()
+                    continue
+                stack.append(seg)
+            return "/".join(stack)
+
         def ref(url):
-            u = url.split("#", 1)[0]
+            u = pct(url.split("#", 1)[0])
             base, q = (u.split("?", 1) + [None])[:2]
             if "://" in base:
                 scheme, rest = base.split("://", 1)
                 scheme = scheme.lower()
                 auth, slash, path = rest.partition("/")
-                auth = auth.lower()
+                ui, at, hostport = auth.rpartition("@")
+                auth = ui + at + hostport.lower()
                 if scheme == "http" and auth.endswith(":80"):
                     auth = auth[:-3]
                 elif scheme == "https" and auth.endswith(":443"):
                     auth = auth[:-4]
                 base = scheme + "://" + auth + (
-                    "/" + path.rstrip("/") if slash else "")
+                    "/" + dots(path).rstrip("/") if slash else "")
             elif base.strip("/") != "":
                 base = base.rstrip("/")
             if q is not None:
@@ -509,16 +564,19 @@ class TestWebCanonicalUrl:
 
         rnd = random.Random(181)
         urls = []
-        for _ in range(300):
+        for _ in range(400):
             scheme = rnd.choice(["http", "HTTP", "https", "HTTPS", ""])
-            user = rnd.choice(["", "User@"])
+            user = rnd.choice(["", "User@", "U:Pw@"])
             host = rnd.choice(["Ex.COM", "h", "a.b.c"])
             port = rnd.choice(["", ":80", ":443", ":8080"])
-            path = "".join(rnd.choice(["/Seg", "/x1", "/"])
-                           for _ in range(rnd.randint(0, 3)))
+            path = "".join(rnd.choice(
+                ["/Seg", "/x1", "/", "/.", "/..", "/%7Ea", "/%2f",
+                 "/%2F", "/a%", "/%zz", "/%41B", "/%2E%2E", "/..a"])
+                for _ in range(rnd.randint(0, 4)))
             params = "&".join(rnd.sample(
                 ["a=1", "B=2", "utm_source=s", "gclid=9", "z=Z", "",
-                 "ref=r", "q=what?is", "dup=1", "dup=1"],
+                 "ref=r", "q=what?is", "dup=1", "dup=1", "e=%7e",
+                 "f=%3D", "%67=x"],
                 rnd.randint(0, 5)))
             frag = rnd.choice(["", "#f", "#a#b"])
             u = (f"{scheme}://" if scheme else "") + user + host + port \

@@ -248,6 +248,101 @@ def test_mp3_walk_roundtrip_property(frames_spec, ver_bits, sr_idx,
     assert st_["is_vbr"] == (min(brs) != max(brs))
 
 
+def free_frame(ver_bits, layer_bits, size, sr_idx=0, pad=0,
+               fill=b"\x25"):
+    """One FREE-FORMAT frame (br_idx 0) of an EXPLICIT size — the
+    test's own builder, independent of the walker's derivation."""
+    hdr = bytes([0xFF, 0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1,
+                 (0 << 4) | (sr_idx << 2) | (pad << 1), 0])
+    return hdr + fill * (size - 4)
+
+
+class TestFreeFormat:
+    """Round 10 (verdict item 4): free-format frame size derived from
+    the sync-word distance — pure stream arithmetic, the unblocked F10
+    sliver."""
+
+    def test_hand_computed_base_and_derived_bitrate(self):
+        # MPEG-1 Layer III @44100, base 417 (not on any ladder slot
+        # boundary by construction of the padding mix): sizes walk
+        # base + pad, bitrate = floor(417*44100/144000) = 127 kbps
+        pads = [1, 0, 1, 1, 0]
+        data = b"".join(free_frame(3, 1, 417 + p, pad=p) for p in pads)
+        fr = M.walk_frames(data)
+        assert [f[1] for f in fr] == [417 + p for p in pads]
+        assert fr[0][2] == 417 * 44100 // 144000 == 127
+        st_ = M.mp3_stats(data)
+        assert st_["audio_bytes"] == 5 * 417 + 3
+        assert st_["is_vbr"] is False
+        # Layer I MPEG-2 @24000: 4-byte slots, base 400 ->
+        # floor((400/4)*24000/12000) = 200 kbps
+        data = (free_frame(2, 3, 400, sr_idx=1)
+                + free_frame(2, 3, 404, sr_idx=1, pad=1)
+                + free_frame(2, 3, 400, sr_idx=1))
+        fr = M.walk_frames(data)
+        assert [f[1] for f in fr] == [400, 404, 400]
+        assert fr[0][2] == 200 and fr[0][4] == 384
+
+    def test_payload_ff_bytes_do_not_false_sync(self):
+        # 0xFF bytes in the payload whose following byte does NOT
+        # complete the stream's 13-bit signature are skipped by the
+        # derivation scan
+        f1 = free_frame(3, 1, 300, fill=b"\xff")[:4] \
+            + b"\xff\x00" * 148   # 0xFF always followed by 0x00
+        f2 = free_frame(3, 1, 300)
+        fr = M.walk_frames(f1 + f2)
+        assert [f[1] for f in fr] == [300, 300]
+
+    def test_single_frame_and_mixed_raise(self):
+        with pytest.raises(M.Mp3Error, match="no second matching sync"):
+            M.walk_frames(free_frame(3, 1, 417))
+        # free frames after fixed frames (and vice versa) are corruption
+        with pytest.raises(M.Mp3Error, match="free-format frame after"):
+            M.walk_frames(frame(9) + free_frame(3, 1, 417) * 2)
+        with pytest.raises(M.Mp3Error, match="fixed-bitrate frame in"):
+            M.walk_frames(free_frame(3, 1, 417) * 2 + frame(9))
+        # version/layer/rate change mid free-format stream
+        with pytest.raises(M.Mp3Error, match="changed version"):
+            M.walk_frames(free_frame(3, 1, 417) * 2
+                          + free_frame(3, 1, 417, sr_idx=1))
+        # the single-header parser still gates free format loudly
+        with pytest.raises(M.Mp3Error, match="free-format"):
+            M.parse_frame_header(free_frame(3, 1, 417), 0)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(80, 600),                  # base size (slots for L1)
+        st.lists(st.integers(0, 1), min_size=2, max_size=10),  # pads
+        st.sampled_from([(3, 1), (3, 2), (3, 3), (2, 1), (2, 3),
+                         (0, 1), (0, 2)]),     # (version, layer_bits)
+        st.integers(0, 2),                     # sample-rate index
+    )
+    def test_free_format_roundtrip_property(self, base, pads, vl,
+                                            sr_idx):
+        """Any constant-base free-format stream (random version/layer/
+        rate/base/padding pattern) walks back to its generative sizes
+        and the pinned floor-inverse bitrate."""
+        ver_bits, layer_bits = vl
+        layer = 4 - layer_bits
+        slot = 4 if layer == 1 else 1
+        base_b = base * slot if layer == 1 else base
+        data = b"".join(
+            free_frame(ver_bits, layer_bits, base_b + p * slot,
+                       sr_idx=sr_idx, pad=p) for p in pads)
+        fr = M.walk_frames(data)
+        assert [f[1] for f in fr] == [base_b + p * slot for p in pads]
+        rate = M.MP3_SAMPLE_RATES_BY_VERSION[ver_bits][sr_idx]
+        vclass = 1 if ver_bits == 3 else 2
+        spf = (384 if layer == 1
+               else 576 if (layer == 3 and vclass == 2) else 1152)
+        want_br = ((base_b // 4) * rate // 12000 if layer == 1
+                   else base_b * rate // ((spf // 8) * 1000))
+        assert all(f[2] == want_br and f[4] == spf for f in fr)
+        st_ = M.mp3_stats(data)
+        assert st_["n_frames"] == len(pads)
+        assert st_["duration_ms"] == len(pads) * spf * 1000 // rate
+
+
 @settings(max_examples=80, deadline=None)
 @given(st.binary(min_size=0, max_size=600))
 def test_mp3_junk_fuzz_raises_mp3error_only(blob):

@@ -452,6 +452,22 @@ def test_q184_recursive_cte_unionloop_and_closed_form(spark, sf_dir):
         assert r.depth == int(math.floor(math.log2(r.doc_id))), r
 
 
+def test_q188_q75_multi_grouping_single_expand(spark, sf_dir):
+    """Multi-grouping aggregates (round 10: q188's asymmetric GROUPING
+    SETS; q75's full CUBE pinned alongside) must plan as ONE Expand
+    node — each input row replicated once per grouping set into a
+    single map-side-combining aggregate — never N unioned re-scans of
+    the fact table."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    for name in ("q188_grouping_sets", "q75_cube_order_stats"):
+        df = workload.queries()[name](spark, sf_dir)
+        t = formatted_plan(df)
+        assert _n_nodes(t, "Expand") == 1, (name, t[:800])
+        assert _n_nodes(t, "Scan parquet") <= 1, (name, t[:800])
+        assert_no_python_in_plan(df)
+
+
 def test_q156_adc_tables_constant_fold_to_literals(spark, sf_dir):
     """Round-7 verdict item 1, pinned: the residual-ADC tables must
     reach execution as ONE folded nested-array Literal per subspace
