@@ -590,6 +590,33 @@ class TestWebCanonicalUrl:
         for i, u in enumerate(urls):
             assert got[i] == ref(u), (u, got[i], ref(u))
 
+    def test_unreserved_escape_decode_matches_urllib(self, spark):
+        """Exhaustive %00..%FF (both hex cases): the escapes our rule 0
+        decodes are exactly the RFC 3986 unreserved set, and for those
+        stdlib urllib.parse.unquote agrees byte for byte; every other
+        valid escape is preserved with UPPERCASE hex."""
+        import string
+        from urllib.parse import unquote
+
+        from openpolicedata_spark.functions.web import canonical_url_expr
+
+        unreserved = set(string.ascii_letters + string.digits + "-._~")
+        cases = [f"%{b:02x}" for b in range(256)] \
+            + [f"%{b:02X}" for b in range(256)]
+        df = spark.createDataFrame(
+            [(i, "http://h/x" + e + "y") for i, e in enumerate(cases)],
+            "i long, url string")
+        got = {r.i: r.c for r in df.select(
+            "i", canonical_url_expr(F.col("url")).alias("c")).collect()}
+        for i, esc in enumerate(cases):
+            ch = chr(int(esc[1:], 16))
+            if ch in unreserved:
+                want = "http://h/x" + unquote(esc) + "y"
+                assert unquote(esc) == ch  # stdlib agreement
+            else:
+                want = "http://h/x" + esc.upper() + "y"
+            assert got[i] == want, (esc, got[i], want)
+
     def test_idempotent_and_python_free(self, spark):
         """Canonicalizing a canonical URL is a no-op, and the whole
         rule set stays in codegen (zero Python nodes)."""
