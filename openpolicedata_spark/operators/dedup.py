@@ -569,20 +569,25 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     """Connected components over near-duplicate pairs → (doc_id, cluster_id)
     with cluster_id = min doc id in the component (the canonical survivor).
 
-    Iterative smallest-label propagation with POINTER JUMPING (round 10,
-    verdict item 3): each round every node first adopts the minimum label
-    among itself and its neighbors (one shuffle join + groupBy), then
-    shortcuts through the label map itself — ``label ← label(label)`` —
-    one more keyed join. Propagation alone moves the component minimum
-    ONE hop per round (O(diameter) rounds — the round-8/9 verdicts
-    measured multi-second per-round driver-action overhead on q41's
-    graph); the shortcut step compounds the reach roughly geometrically
-    (measured on 16-chains: 6 rounds → 4; on 64-chains: 9 rounds vs 63 —
-    SCALE.md "Pointer jumping"), so rounds are O(log diameter) for the
-    chain/path-shaped components an edit-cascade near-dup graph produces.
+    Iterative smallest-label propagation with ADAPTIVE POINTER JUMPING
+    (round 10, verdict item 3): each round every node adopts the minimum
+    label among itself and its neighbors (one shuffle join + groupBy);
+    from round 3 onward the round additionally shortcuts through the
+    label map itself — ``label ← label(label)`` — one more keyed join.
+    Propagation alone moves the component minimum ONE hop per round
+    (O(diameter) rounds — the round-8/9 verdicts measured multi-second
+    per-round driver-action overhead on q41's graph); the shortcut
+    compounds the reach roughly geometrically, so rounds are
+    O(log diameter) for the chain/path-shaped components an edit-cascade
+    near-dup graph produces (SCALE.md "Pointer jumping": sf1 16-chains
+    6 rounds vs 16). The jump is DELAYED two rounds because the common
+    near-dup component is a pair/clique/star that converges in ≤2
+    propagation rounds — there the shortcut join would be pure overhead
+    (dedup_cascade and the streaming dedup sinks ride this default).
     Convergence is checked with a count of changed labels so the loop
     runs no longer than the data needs; ``compress=False`` keeps the
-    plain one-hop rounds (old-vs-new equality is pinned in tests).
+    plain one-hop rounds everywhere (old-vs-new equality is pinned in
+    tests).
 
     Invariant both steps preserve: label(n) ≤ n and label(n) is in n's
     component — so label values are always themselves nodes of the map,
@@ -603,7 +608,7 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, on=[edges.dst == labels.node])
             .groupBy("src")
@@ -619,7 +624,7 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                         F.coalesce("nmin", F.col("label"))).alias("label"),
             )
         )
-        if compress:
+        if compress and it >= 2:
             # shortcut: follow the (possibly stale) label one more step
             # through THIS round's map. label(m) ≤ m, so coalesce only
             # fires if a label value somehow weren't a node (it always

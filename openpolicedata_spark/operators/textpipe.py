@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from openpolicedata_spark.functions.text import (
+    md5lower64_expr,
     normalize_text_expr,
     token_count_expr,
     tokens_expr,
@@ -666,6 +667,99 @@ def chunk_chars(
         )
         .withColumn("chunk_len",
                     F.length("chunk_text").cast("long"))
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    mask_bits: int = 4,
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (FastCDC/rsync's boundary idea at the
+    token level — round 10, beyond-reference): a chunk boundary falls
+    AFTER token j+window-1 whenever the hash of the window ending
+    there ≡ 0 (mod 2^mask_bits), so boundaries are a function of local
+    CONTENT, not of position. Insert a sentence into a document and
+    only the chunks touching the edit change — every downstream chunk
+    keeps its text and hash — which is exactly what fixed-stride
+    chunkers (`chunk_documents`/`chunk_chars`) cannot give an
+    incremental dedup/embedding pipeline: there one insertion shifts
+    every later window and re-embeds the whole tail. Expected chunk
+    length ≈ 2^mask_bits grams (+ window-1 tokens).
+
+    Pure expression pipeline (zero Python, zero shuffles beyond the
+    explode): tokens → window grams → portable md5lower64 gram hashes
+    → cut positions → zip_with start/end pairs → one posexplode. Every
+    multiply-referenced array is BOUND as a lambda variable (the
+    interpreted-HOF re-evaluation gotcha), and the modulus is a power
+    of two so `pmod(signed, 2^k)` replays as DuckDB's unsigned
+    `md5_number_lower(...) % 2^k` (q189's oracle). Emits (id,
+    chunk_idx, n_tokens, chunk_text, chunk_hash); a document shorter
+    than `window` tokens is one chunk; an empty/whitespace document
+    emits no rows."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not (1 <= mask_bits <= 62):
+        raise ValueError(f"mask_bits must be in 1..62, got {mask_bits}")
+    mod = 1 << mask_bits
+    toks = tokens_expr(F.col(text_col))
+
+    def chunks_of(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(0)))
+        grams = F.when(
+            n >= window,
+            F.transform(idx,
+                        lambda j: F.concat_ws(" ", F.slice(t, j, window))),
+        ).otherwise(F.array().cast("array<string>"))
+        hashes = F.transform(
+            grams, lambda g: F.pmod(md5lower64_expr(g), F.lit(mod)))
+
+        def with_hashes(h: Column) -> Column:
+            # gram j (1-based) covers tokens j-1..j+window-2 (0-based);
+            # a zero hash cuts after that gram, so the NEXT chunk
+            # starts at 0-based token j+window-1. A cut at the very
+            # last gram would start an empty chunk at n — filtered.
+            cuts = F.filter(F.sequence(F.lit(1), F.size(h)),
+                            lambda j: F.get(h, j - 1) == 0)
+            starts = F.filter(
+                F.concat(F.array(F.lit(0)),
+                         F.transform(cuts, lambda j: j + (window - 1))),
+                lambda s: s < n)
+
+            def with_starts(s: Column) -> Column:
+                ends = F.transform(
+                    F.sequence(F.lit(1), F.size(s)),
+                    lambda i: F.coalesce(F.get(s, i), n))
+                return F.zip_with(
+                    s, ends,
+                    lambda a, b: F.struct(
+                        (b - a).cast("long").alias("n_tokens"),
+                        F.concat_ws(" ", F.slice(t, a + 1, b - a))
+                        .alias("chunk_text")))
+
+            # size(starts) >= 1 here (n > 0 keeps the 0 start), so the
+            # inner sequence(1, size) never runs descending
+            return F.get(F.transform(F.array(starts), with_starts), 0)
+
+        return F.when(n > 0,
+                      F.get(F.transform(F.array(hashes), with_hashes), 0)) \
+            .otherwise(F.array().cast(
+                "array<struct<n_tokens:bigint,chunk_text:string>>"))
+
+    bound = F.get(F.transform(F.array(toks), chunks_of), 0)
+    return (
+        df.select(F.col(id_col), F.posexplode(bound)
+                  .alias("chunk_idx", "__c__"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("__c__.n_tokens").alias("n_tokens"),
+            F.col("__c__.chunk_text").alias("chunk_text"),
+            F.md5("__c__.chunk_text").alias("chunk_hash"),
+        )
     )
 
 

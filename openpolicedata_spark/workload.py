@@ -8174,6 +8174,63 @@ _Q188_BODY = """
 """
 
 
+def q189_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (`textpipe.cdc_chunks`, round 10 —
+    FastCDC's boundary idea at the token level): a chunk ends wherever
+    the hash of the 4-token window ≡ 0 (mod 2^4), so boundaries follow
+    CONTENT and an insertion re-chunks only its neighborhood (the
+    property fixed-stride chunkers lack; pinned by a shift-robustness
+    test). Zero Python, zero shuffles beyond the posexplode; every
+    intermediate array is lambda-bound per the interpreted-HOF rule.
+    The oracle replays the whole pipeline — whitespace tokens, window
+    grams, md5_number_lower % 2^4 cuts (power-of-two so unsigned %
+    equals Spark's signed pmod), start/end pairing, md5 chunk hashes
+    — in pure DuckDB SQL. The input rebalances first (the testdata
+    single-row-group gotcha: this stage is expression-heavy — measured
+    1.75 → 0.41 s at sf0.1)."""
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.textpipe import cdc_chunks
+
+    d = rebalance(_read(spark, sf_dir, "documents"))
+    return cdc_chunks(d, window=4, mask_bits=4).drop("chunk_text")
+
+
+_Q189_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), g AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) >= 4 THEN
+           list_transform(range(1, len(tk) - 2),
+                          j -> array_to_string(tk[j:j+3], ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM toks
+), c AS (
+  SELECT doc_id, tk, n,
+         list_filter(range(1, len(grams) + 1),
+                     j -> md5_number_lower(grams[j]) % 16 = 0) AS cuts
+  FROM g
+), s AS (
+  SELECT doc_id, tk, n,
+         list_filter(list_concat([0], list_transform(cuts, j -> j + 3)),
+                     x -> x < n) AS starts
+  FROM c WHERE n > 0
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS chunk_idx,
+       CAST((CASE WHEN i < len(starts) THEN starts[i + 1] ELSE n END)
+            - starts[i] AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+           tk[starts[i] + 1 :
+              CASE WHEN i < len(starts) THEN starts[i + 1] ELSE n END],
+           ' ')) AS chunk_hash
+FROM s, unnest(range(1, len(starts) + 1)) t(i)
+"""
+
+
 def q188_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC grouping sets (round-10 verdict item 5: q75 pins the
     full CUBE; this is the set list neither ROLLUP nor CUBE can spell
@@ -9005,6 +9062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_chain_clusters": q186_chain_clusters,
         "q187_mp3_free_format": q187_mp3_free_format,
         "q188_grouping_sets": q188_grouping_sets,
+        "q189_cdc_chunks": q189_cdc_chunks,
     }
     return base
 
@@ -9201,4 +9259,5 @@ def oracle_sql() -> dict[str, str]:
         "q186_chain_clusters": _Q186_SQL,
         "q187_mp3_free_format": _Q187_SQL,
         "q188_grouping_sets": _Q188_SQL,
+        "q189_cdc_chunks": _Q189_SQL,
     }

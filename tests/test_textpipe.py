@@ -828,3 +828,110 @@ def test_keep_first_vs_true_exactsubstr_quantified(spark):
         mask_repeated_spans(
             spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
             mode="mask_all", within_doc=True)
+
+
+class TestCdcChunks:
+    """Content-defined chunking (round 10): equivalence with an
+    independent Python reference, the shift-robustness property that
+    motivates CDC over fixed-stride chunkers, and the expression-only
+    plan."""
+
+    @staticmethod
+    def _ref(text, w=4, mb=4):
+        import hashlib
+
+        tk = [x for x in text.split() if x]
+        n = len(tk)
+        if n == 0:
+            return []
+        grams = ([" ".join(tk[j:j + w]) for j in range(0, n - w + 1)]
+                 if n >= w else [])
+
+        def h64(s):
+            d = hashlib.md5(s.encode()).digest()
+            return int.from_bytes(d[8:16], "little")
+
+        cuts = [j + 1 for j, g in enumerate(grams)
+                if h64(g) % (1 << mb) == 0]
+        starts = [s for s in [0] + [j + w - 1 for j in cuts] if s < n]
+        out = []
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < len(starts) else n
+            txt = " ".join(tk[s:e])
+            out.append((i, e - s, txt,
+                        hashlib.md5(txt.encode()).hexdigest()))
+        return out
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from openpolicedata_spark.operators.textpipe import cdc_chunks
+
+        rnd = random.Random(189)
+        texts = {}
+        for i in range(60):
+            n = rnd.randint(0, 120)
+            t = " ".join(rnd.choice(["aa", "bb", "cc", "dd", "ee", "ff"])
+                         for _ in range(n))
+            if i % 7 == 0:
+                t = "  " + t + "   "      # whitespace-run tokenization
+            texts[i] = t
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        got = {}
+        for r in cdc_chunks(df).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.n_tokens, r.chunk_text, r.chunk_hash))
+        for i, t in texts.items():
+            assert sorted(got.get(i, [])) == self._ref(t), i
+        # chunks reassemble the exact token stream
+        for i, t in texts.items():
+            toks = [x for x in t.split() if x]
+            joined = " ".join(c[2] for c in sorted(got.get(i, [])))
+            assert joined == " ".join(toks), i
+
+    def test_shift_robustness_vs_fixed_stride(self, spark):
+        """Prepend a sentence: CDC preserves (almost) every downstream
+        chunk hash; the fixed-stride chunker preserves NONE — the
+        measurable reason this operator exists."""
+        from openpolicedata_spark.operators.textpipe import (
+            cdc_chunks,
+            chunk_documents,
+        )
+
+        base = " ".join(f"tok{i}" for i in range(400))
+        edited = "inserted new sentence here " + base
+        df = spark.createDataFrame([(0, base), (1, edited)],
+                                   "doc_id long, text string")
+        cdc = {}
+        for r in cdc_chunks(df).collect():
+            cdc.setdefault(r.doc_id, set()).add(r.chunk_hash)
+        shared = len(cdc[0] & cdc[1])
+        assert shared >= len(cdc[0]) - 2, (shared, len(cdc[0]))
+        fixed = {}
+        for r in chunk_documents(df, chunk_tokens=16, stride=16).collect():
+            fixed.setdefault(r.doc_id, set()).add(
+                __import__("hashlib").md5(
+                    r.chunk_text.encode()).hexdigest())
+        assert len(fixed[0] & fixed[1]) <= 1   # only luck overlaps
+
+    def test_validation_and_python_free(self, spark):
+        import pytest as _pt
+
+        from openpolicedata_spark.operators.textpipe import cdc_chunks
+        from tests.test_plans import assert_no_python_in_plan
+
+        df = spark.createDataFrame([(0, "a b c d e")],
+                                   "doc_id long, text string")
+        with _pt.raises(ValueError, match="window"):
+            cdc_chunks(df, window=0)
+        with _pt.raises(ValueError, match="mask_bits"):
+            cdc_chunks(df, mask_bits=0)
+        out = cdc_chunks(df)
+        assert_no_python_in_plan(out)
+        rows = out.collect()
+        assert [r.n_tokens for r in rows] == [5]   # < 2^4 grams: 1 chunk
+        # empty and whitespace-only docs emit no rows
+        dfe = spark.createDataFrame([(0, ""), (1, "   ")],
+                                    "doc_id long, text string")
+        assert cdc_chunks(dfe).count() == 0
