@@ -8174,6 +8174,69 @@ _Q188_BODY = """
 """
 
 
+_Q190_JSON = """
+    CASE WHEN event_id % 11 = 0 THEN '{"user": {'
+    ELSE '{"user": {"id": ' || CAST(user_id AS STRING)
+         || ', "tier": "' || event_type || '"}, "metrics": ['
+         || CAST(event_id % 7 AS STRING) || ', '
+         || CAST(event_id % 5 AS STRING) || ', '
+         || CAST(user_id % 9 AS STRING) || ']'
+         || CASE WHEN event_id % 3 = 0
+                 THEN ', "tag": "t' || CAST(event_id % 4 AS STRING) || '"'
+                 ELSE '' END
+         || '}'
+    END
+"""
+
+
+def q190_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion (round 10 — the semi-structured type
+    class nothing else here exercises, the q184 recursive-CTE recipe
+    applied to storage): each event becomes a nested JSON payload
+    (generatively, from its own columns — every 11th row MALFORMED by
+    truncation, every 3rd carrying an optional "tag" field), parsed
+    with `try_parse_json` into a VARIANT column and extracted with
+    typed `try_variant_get` paths — nested object ($.user.id), array
+    index ($.metrics[2]), optional field ($.tag, NULL on miss),
+    malformed → NULL variant (the whole row lands in the NULL-tier
+    group). The aggregate replays from the SOURCE columns in DuckDB —
+    no JSON on the oracle side at all — so any drift in parse/path/
+    cast semantics breaks the hash. Expression-only; the aggregation
+    combines map-side."""
+    e = _read(spark, sf_dir, "events")
+    j = e.selectExpr(_Q190_JSON + " AS j")
+    v = j.select(
+        F.try_parse_json(F.col("j")).alias("v"))
+    ext = v.select(
+        F.try_variant_get(F.col("v"), "$.user.tier", "string")
+        .alias("tier"),
+        F.try_variant_get(F.col("v"), "$.user.id", "long").alias("uid"),
+        F.try_variant_get(F.col("v"), "$.metrics[2]", "long")
+        .alias("m2"),
+        F.try_variant_get(F.col("v"), "$.tag", "string").alias("tag"),
+    )
+    return ext.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("uid").alias("sum_uid"),
+        F.sum("m2").alias("sum_m2"),
+        F.count("tag").alias("n_tag"),
+    )
+
+
+_Q190_SQL = """
+SELECT CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_id % 11 = 0 THEN NULL
+                     ELSE user_id END) AS BIGINT) AS sum_uid,
+       CAST(SUM(CASE WHEN event_id % 11 = 0 THEN NULL
+                     ELSE user_id % 9 END) AS BIGINT) AS sum_m2,
+       CAST(COUNT(CASE WHEN event_id % 11 <> 0 AND event_id % 3 = 0
+                       THEN 1 END) AS BIGINT) AS n_tag
+FROM events
+GROUP BY 1
+"""
+
+
 def q189_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (`textpipe.cdc_chunks`, round 10 —
     FastCDC's boundary idea at the token level): a chunk ends wherever
@@ -9063,6 +9126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_mp3_free_format": q187_mp3_free_format,
         "q188_grouping_sets": q188_grouping_sets,
         "q189_cdc_chunks": q189_cdc_chunks,
+        "q190_variant_extract": q190_variant_extract,
     }
     return base
 
@@ -9260,4 +9324,5 @@ def oracle_sql() -> dict[str, str]:
         "q187_mp3_free_format": _Q187_SQL,
         "q188_grouping_sets": _Q188_SQL,
         "q189_cdc_chunks": _Q189_SQL,
+        "q190_variant_extract": _Q190_SQL,
     }

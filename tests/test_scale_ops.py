@@ -509,6 +509,10 @@ def test_profile_columns_nulls_ties_and_types(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least one column"):
         profile_columns(df, [])
+    # duplicate names would silently double n_rows/top_count for the
+    # shared col_name group (ADVICE r9) — refused loudly
+    with _pytest.raises(ValueError, match="duplicate column names"):
+        profile_columns(df, ["k", "s", "k"])
 
     # portal/Excel-shaped column names — spaces, dots, quotes,
     # reserved words (review r9: the stack() SQL-string form broke on
