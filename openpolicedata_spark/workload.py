@@ -8237,6 +8237,45 @@ GROUP BY 1
 """
 
 
+_Q191_BODY = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_never_urgent,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_acctbal
+    FROM {c} c
+    WHERE c.c_custkey NOT IN (
+        SELECT CASE WHEN o.o_totalprice < 0 THEN NULL
+                    ELSE o.o_custkey END
+        FROM {o} o
+        WHERE o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+"""
+
+
+def q191_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-AWARE anti join (round 10 — the one anti-join flavor the
+    corpus lacked): `NOT IN` over a column the optimizer cannot prove
+    non-null (the CASE keeps compile-time nullability while never
+    producing a runtime NULL) forces Spark's null-aware anti join —
+    a BroadcastHashJoin LeftAnti with isNullAwareAntiJoin=true that
+    must additionally check the broadcast side for NULLs, because
+    ONE NULL in the subquery makes
+    `x NOT IN (...)` never-true (three-valued logic; the poisoned
+    variant returning ZERO rows is pinned in tests/test_plans.py
+    alongside the plan marker). Customers with no URGENT order,
+    rolled up per market segment — DuckDB executes the identical
+    NOT IN with identical semantics. At scale the null-aware build
+    side must broadcast (Spark refuses to shuffle it); the subquery
+    projects one column of a filtered fact, exactly the shape that
+    stays broadcastable."""
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("q191_c")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q191_o")
+    return spark.sql(_Q191_BODY.format(c="q191_c", o="q191_o"))
+
+
+_Q191_SQL = _Q191_BODY.format(c="customer", o="orders")
+
+
 def q189_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (`textpipe.cdc_chunks`, round 10 —
     FastCDC's boundary idea at the token level): a chunk ends wherever
@@ -9127,6 +9166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_grouping_sets": q188_grouping_sets,
         "q189_cdc_chunks": q189_cdc_chunks,
         "q190_variant_extract": q190_variant_extract,
+        "q191_null_aware_anti": q191_null_aware_anti,
     }
     return base
 
@@ -9325,4 +9365,5 @@ def oracle_sql() -> dict[str, str]:
         "q188_grouping_sets": _Q188_SQL,
         "q189_cdc_chunks": _Q189_SQL,
         "q190_variant_extract": _Q190_SQL,
+        "q191_null_aware_anti": _Q191_SQL,
     }

@@ -468,6 +468,33 @@ def test_q188_q75_multi_grouping_single_expand(spark, sf_dir):
         assert_no_python_in_plan(df)
 
 
+def test_q191_null_aware_anti_join_and_three_valued_nulls(spark,
+                                                          sf_dir):
+    """NOT IN over a compile-time-nullable subquery column must plan
+    as Spark's null-aware anti join (a broadcast LeftAnti with
+    isNullAwareAntiJoin=true — never a per-row nested loop), and the
+    three-valued semantics hold: ONE actual NULL in the subquery
+    empties the result."""
+    df = workload.queries()["q191_null_aware_anti"](spark, sf_dir)
+    # the isNullAwareAntiJoin flag prints as the bare trailing `true`
+    # in BroadcastHashJoin's simple string (Spark 4.1 shows it there,
+    # not in formatted explain): "..., LeftAnti, BuildRight, true"
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in simple, simple[:1200]
+    assert_no_python_in_plan(df)
+    assert df.count() > 0
+    # poison the inner side with a real NULL: x NOT IN (...) is now
+    # never TRUE, so the SAME query shape returns zero rows
+    poisoned = spark.sql("""
+        SELECT c_custkey FROM q191_c
+        WHERE c_custkey NOT IN (
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                        ELSE o_custkey END
+            FROM q191_o)
+    """)
+    assert poisoned.count() == 0
+
+
 def test_q156_adc_tables_constant_fold_to_literals(spark, sf_dir):
     """Round-7 verdict item 1, pinned: the residual-ADC tables must
     reach execution as ONE folded nested-array Literal per subspace
