@@ -16,6 +16,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from openpolicedata_spark.defs import Columns
 
@@ -117,3 +118,51 @@ def merge_tables(
     if std_id and key in out.columns:
         out = out.withColumnRenamed(key, Columns.INCIDENT_ID)
     return out
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: "list[str]",
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 builder (round 10, beyond-
+    reference — the lakehouse step that turns a CDC/change LOG into
+    versioned dimension rows): per key, order the change events,
+    COMPRESS consecutive no-op changes (every value column equal to
+    the previous change — re-emitted unchanged records are the normal
+    CDC noise), then close each surviving version at the next one's
+    timestamp: `valid_from` = its own ts, `valid_to` = lead(ts) (NULL
+    on the current version), `is_current` = no later change.
+
+    Plan shape: ONE hash exchange on the key feeds everything — the
+    ordering window, the lag-compare compression, and the lead close
+    all share the same partitioning, so Spark plans window → filter →
+    window with no second shuffle. State per key is one sort, never
+    the whole log in memory. `tiebreak_col` (e.g. the change id)
+    makes same-timestamp changes deterministic — REQUIRED for an
+    exact replay if the log can carry timestamp ties."""
+    if not value_cols:
+        raise ValueError("scd2_intervals needs at least one value column")
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_same = None
+    for c in value_cols:
+        eq = F.lag(c).over(w).eqNullSafe(F.col(c))
+        prev_same = eq if prev_same is None else (prev_same & eq)
+    # first change per key: lag is NULL on every column -> eqNullSafe
+    # is only true if the value is ALSO null; guard with row_number
+    first = F.row_number().over(w) == 1
+    kept = (changes
+            .withColumn("__noop__", ~first & prev_same)
+            .where(~F.col("__noop__")))
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return kept.select(
+        key_col,
+        *value_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

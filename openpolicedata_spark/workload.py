@@ -8352,6 +8352,147 @@ def q188_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q188_SQL = _Q188_BODY.format(o="orders")
 
 
+def q192_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resample + LOCF forward fill (`events.gap_fill`,
+    round 10 — the regularization step every time-series/feature
+    pipeline runs before training, and the IGNORE-NULLS window class
+    nothing else in the corpus exercises): per user, hourly buckets
+    over the user's OWN activity span (max value per observed bucket),
+    missing hours materialized from a sequence explode and filled with
+    `last(value, ignorenulls=True)` — the latest earlier observation —
+    plus an `is_gap` flag. Every stage is keyed (bucket aggregate with
+    map-side partials, per-key span, keyed left join, per-key window);
+    the first bucket of a key is observed by construction, so no
+    leading NULL survives. The oracle replays the grid with
+    `unnest(range(...))` and the fill with DuckDB's
+    `last_value(v IGNORE NULLS)` over the identical frame — bucket
+    indices are unique per key, so RANGE and ROWS frames agree."""
+    from openpolicedata_spark.operators.events import gap_fill
+
+    e = _read(spark, sf_dir, "events")
+    out = gap_fill(e, key_col="user_id", ts_col="ts",
+                   value_col="value", step_seconds=3600)
+    return out.select(
+        "user_id", "bucket_ts",
+        F.round(F.col("value"), 6).alias("value"), "is_gap")
+
+
+_Q192_SQL = """
+WITH b AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bidx, value
+  FROM events
+), obs AS (
+  SELECT user_id, bidx, MAX(value) AS v FROM b GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(bidx) AS mn, MAX(bidx) AS mx FROM obs GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(range(mn, mx + 1)) AS bidx FROM span
+), j AS (
+  SELECT g.user_id, g.bidx, o.v
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bidx = g.bidx
+)
+SELECT user_id,
+       make_timestamp(bidx * 3600 * 1000000) AS bucket_ts,
+       ROUND(last_value(v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY bidx), 6) AS value,
+       v IS NULL AS is_gap
+FROM j
+"""
+
+
+def q193_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a change log
+    (`merge.scd2_intervals`, round 10 — the lakehouse step that turns
+    CDC events into versioned rows): per user the event stream is a
+    change log of `event_type`; consecutive re-emissions of the same
+    value COMPRESS away (null-safe lag compare; the first change per
+    key always survives via a row_number guard), and each surviving
+    version closes at the next one's timestamp — valid_from/valid_to
+    half-open intervals with `is_current` on the open tail. ONE hash
+    exchange on the key feeds the lag+row_number window, the filter,
+    and the lead close (same partitioning — no second shuffle;
+    plan-pinned). `event_id` tiebreaks timestamp ties so the replay
+    is exact; DuckDB runs the identical two-window pipeline."""
+    from openpolicedata_spark.operators.merge import scd2_intervals
+
+    e = _read(spark, sf_dir, "events")
+    return scd2_intervals(e, "user_id", "ts", ["event_type"],
+                          tiebreak_col="event_id")
+
+
+_Q193_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), kept AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM kept
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q194_reused_aggregate_join(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Aggregate-once self-join (round 10 — the ReuseExchange plan
+    class nothing else pins: TPC-DS Q4/Q11's year-over-year CTE
+    compares one aggregate against itself): per-customer-per-year
+    DECIMAL order totals self-joined on the customer with BOTH
+    growth conditions as non-equi residuals (`a.yr > b.yr`,
+    `a.total * 10 > b.total * 11` — decimal integer math, no float
+    boundary), rolled up to pairs/customers per later year. The MERGE
+    hint keeps both sides on the shuffle path, where the two subtrees
+    are IDENTICAL — Spark must plan the aggregation ONCE and feed the
+    second side from a ReusedExchange (pinned in tests/test_plans.py);
+    without reuse a 100 TB fact would be scanned and aggregated twice.
+    The yr inequality must stay OUT of the equi-join keys (keys would
+    make the two exchanges hash different columns and kill the reuse);
+    the oracle replays the identical CTE self-join in DuckDB."""
+    o = _read(spark, sf_dir, "orders")
+    yr = o.groupBy(
+        F.col("o_custkey"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+          .alias("total"))
+    a, b = yr.alias("a"), yr.alias("b")
+    pairs = a.hint("merge").join(
+        b.hint("merge"),
+        on=[
+            F.col("a.o_custkey") == F.col("b.o_custkey"),
+            F.col("a.yr") > F.col("b.yr"),
+            F.col("a.total") * 10 > F.col("b.total") * 11,
+        ],
+    )
+    return pairs.groupBy(F.col("a.yr").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct(F.col("a.o_custkey")).alias("n_cust"),
+    )
+
+
+_Q194_SQL = """
+WITH yr AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS total
+  FROM orders GROUP BY 1, 2
+)
+SELECT a.yr AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT a.o_custkey) AS BIGINT) AS n_cust
+FROM yr a JOIN yr b
+  ON a.o_custkey = b.o_custkey AND a.yr > b.yr
+ AND a.total * 10 > b.total * 11
+GROUP BY 1
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -9167,6 +9308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_cdc_chunks": q189_cdc_chunks,
         "q190_variant_extract": q190_variant_extract,
         "q191_null_aware_anti": q191_null_aware_anti,
+        "q192_gap_fill": q192_gap_fill,
+        "q193_scd2_intervals": q193_scd2_intervals,
+        "q194_reused_aggregate_join": q194_reused_aggregate_join,
     }
     return base
 
@@ -9366,4 +9510,7 @@ def oracle_sql() -> dict[str, str]:
         "q189_cdc_chunks": _Q189_SQL,
         "q190_variant_extract": _Q190_SQL,
         "q191_null_aware_anti": _Q191_SQL,
+        "q192_gap_fill": _Q192_SQL,
+        "q193_scd2_intervals": _Q193_SQL,
+        "q194_reused_aggregate_join": _Q194_SQL,
     }

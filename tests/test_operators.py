@@ -1104,3 +1104,102 @@ def test_keep_best_survivor_selection(spark):
     got_s = {r.cluster_id: (r.doc_id, r.quality)
              for r in keep_best(s).collect()}
     assert got_s == {10: ("d2", 0.9), 70: ("d7", 0.5), 80: ("d9", 0.7)}
+
+
+class TestGapFill:
+    def _events(self, spark):
+        # user 1: observations in hours 0, 3 (two rows in hour 3), 4
+        # user 2: single observation (degenerate grid)
+        rows = [
+            (1, "2024-01-01 00:10:00", 1.0),
+            (1, "2024-01-01 03:20:00", 2.0),
+            (1, "2024-01-01 03:50:00", 5.0),
+            (1, "2024-01-01 04:05:00", 3.0),
+            (2, "2024-01-02 07:59:59", 9.0),
+        ]
+        return spark.createDataFrame(
+            rows, "user_id int, t string, value double",
+        ).select("user_id",
+                 F.col("t").cast("timestamp_ntz").alias("ts"), "value")
+
+    def test_grid_fill_and_gap_flags(self, spark):
+        from openpolicedata_spark.operators.events import gap_fill
+
+        out = gap_fill(self._events(spark), key_col="user_id",
+                       ts_col="ts", value_col="value",
+                       step_seconds=3600)
+        rows = {(r.user_id, str(r.bucket_ts)): (r.value, r.is_gap)
+                for r in out.collect()}
+        # user 1: hours 0..4 — gaps at 1 and 2 carry hour 0's value;
+        # hour 3 takes the bucket MAX of its two rows
+        assert rows[(1, "2024-01-01 00:00:00")] == (1.0, False)
+        assert rows[(1, "2024-01-01 01:00:00")] == (1.0, True)
+        assert rows[(1, "2024-01-01 02:00:00")] == (1.0, True)
+        assert rows[(1, "2024-01-01 03:00:00")] == (5.0, False)
+        assert rows[(1, "2024-01-01 04:00:00")] == (3.0, False)
+        # user 2: one bucket, no gaps
+        assert rows[(2, "2024-01-02 07:00:00")] == (9.0, False)
+        assert len(rows) == 6
+        # no leading NULL anywhere: every value is filled
+        assert all(v is not None for v, _ in rows.values())
+
+    def test_step_validation(self, spark):
+        from openpolicedata_spark.operators.events import gap_fill
+
+        with pytest.raises(ValueError, match="step_seconds"):
+            gap_fill(self._events(spark), step_seconds=0)
+
+
+class TestScd2Intervals:
+    def test_compression_and_intervals(self, spark):
+        from openpolicedata_spark.operators.merge import scd2_intervals
+
+        rows = [
+            # key 1: A, A (noop), B, B (noop), A  -> 3 versions
+            (1, 10, "2024-01-01 00:00:00", "A"),
+            (1, 11, "2024-01-02 00:00:00", "A"),
+            (1, 12, "2024-01-03 00:00:00", "B"),
+            (1, 13, "2024-01-04 00:00:00", "B"),
+            (1, 14, "2024-01-05 00:00:00", "A"),
+            # key 2: NULL first (kept), NULL again (noop), then X
+            (2, 20, "2024-01-01 00:00:00", None),
+            (2, 21, "2024-01-02 00:00:00", None),
+            (2, 22, "2024-01-03 00:00:00", "X"),
+        ]
+        df = spark.createDataFrame(
+            rows, "k int, cid int, t string, v string"
+        ).select("k", "cid",
+                 F.col("t").cast("timestamp_ntz").alias("ts"), "v")
+        out = scd2_intervals(df, "k", "ts", ["v"], tiebreak_col="cid")
+        got = sorted(
+            ((r.k, str(r.valid_from)[:10], r.v,
+              None if r.valid_to is None else str(r.valid_to)[:10],
+              r.is_current) for r in out.collect()))
+        assert got == [
+            (1, "2024-01-01", "A", "2024-01-03", False),
+            (1, "2024-01-03", "B", "2024-01-05", False),
+            (1, "2024-01-05", "A", None, True),
+            (2, "2024-01-01", None, "2024-01-03", False),
+            (2, "2024-01-03", "X", None, True),
+        ]
+
+    def test_tiebreak_orders_same_timestamp_changes(self, spark):
+        from openpolicedata_spark.operators.merge import scd2_intervals
+
+        rows = [(1, 2, "2024-01-01 00:00:00", "B"),
+                (1, 1, "2024-01-01 00:00:00", "A")]
+        df = spark.createDataFrame(
+            rows, "k int, cid int, t string, v string"
+        ).select("k", "cid",
+                 F.col("t").cast("timestamp_ntz").alias("ts"), "v")
+        out = scd2_intervals(df, "k", "ts", ["v"], tiebreak_col="cid")
+        got = sorted((r.v, r.is_current) for r in out.collect())
+        # cid orders A before B: A closes, B is current
+        assert got == [("A", False), ("B", True)]
+
+    def test_needs_value_cols(self, spark):
+        from openpolicedata_spark.operators.merge import scd2_intervals
+
+        df = spark.createDataFrame([(1,)], "k int")
+        with pytest.raises(ValueError, match="value column"):
+            scd2_intervals(df, "k", "ts", [])

@@ -583,3 +583,52 @@ def test_q136_temperature_mix_corpus_never_shuffles_rows(spark, sf_dir):
     assert s.n_broadcast_joins >= 2, s.text
     assert s.n_sortmerge_joins == 0, s.text
     assert_no_python_in_plan(df)
+
+
+def test_q192_locf_single_keyed_window_ignore_nulls(spark, sf_dir):
+    """Gap-fill LOCF (round-10): the fill must be ONE per-key Window
+    whose `last` runs with ignoreNulls=true (the IGNORE NULLS class),
+    every join keyed (no nested loop), zero Python."""
+    import re as _re
+
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q192_gap_fill"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Window") == 1, t[:800]
+    assert _re.search(r"last\(__v__#\d+, true\)", t), t[:1500]
+    s = summarize_plan(df)
+    assert s.n_broadcast_nl_joins == 0, s.text
+    assert_no_python_in_plan(df)
+
+
+def test_q193_scd2_one_exchange_two_windows(spark, sf_dir):
+    """SCD2 build (round-10): the lag+row_number compression window,
+    the filter, and the lead close must all ride ONE hash exchange on
+    the key (same partitioning — a second shuffle would double the
+    wire cost of a 100 TB change log), exactly two Window nodes, zero
+    Python."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q193_scd2_intervals"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Window") == 2, t[:800]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+
+
+def test_q194_self_join_reuses_aggregate_exchange(spark, sf_dir):
+    """Aggregate-once self-join (round-10): under the MERGE hint the
+    two join inputs are identical subtrees — the FINAL adaptive plan
+    must contain a ReusedExchange (the base aggregate is computed
+    ONCE; without reuse a 100 TB fact is scanned and aggregated
+    twice) feeding a SortMergeJoin whose residual carries the two
+    non-equi growth conditions."""
+    from openpolicedata_spark.plans import plan_text
+
+    df = workload.queries()["q194_reused_aggregate_join"](spark, sf_dir)
+    df.collect()
+    final = plan_text(df)
+    assert "ReusedExchange" in final, final[:2000]
+    assert "SortMergeJoin" in final, final[:2000]
+    assert_no_python_in_plan(df)
