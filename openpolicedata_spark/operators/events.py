@@ -94,6 +94,11 @@ def gap_fill(
     bidx = F.floor(secs / step_seconds)
     obs = (
         df.select(k.alias(key_col), bidx.alias("__b__"), v.alias("__v__"))
+        # NULL values are non-observations: without this, a bucket whose
+        # rows are all NULL would anchor the span (or the LOCF start)
+        # with nothing to carry — the "no leading NULL" guarantee below
+        # only holds if the first bucket has a real value (review r10)
+        .where(F.col("__v__").isNotNull())
         .groupBy(key_col, "__b__")
         .agg(agg(F.col("__v__")).alias("__v__"))
     )

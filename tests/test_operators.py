@@ -1149,6 +1149,23 @@ class TestGapFill:
         with pytest.raises(ValueError, match="step_seconds"):
             gap_fill(self._events(spark), step_seconds=0)
 
+    def test_null_values_are_non_observations(self, spark):
+        from openpolicedata_spark.operators.events import gap_fill
+
+        rows = [(1, "2024-01-01 00:30:00", None),   # NULL-only bucket
+                (1, "2024-01-01 01:30:00", 7.0),
+                (1, "2024-01-01 03:30:00", None)]   # NULL-only tail
+        df = spark.createDataFrame(
+            rows, "user_id int, t string, value double",
+        ).select("user_id",
+                 F.col("t").cast("timestamp_ntz").alias("ts"), "value")
+        out = gap_fill(df, key_col="user_id", ts_col="ts",
+                       value_col="value", step_seconds=3600)
+        got = sorted((str(r.bucket_ts), r.value, r.is_gap)
+                     for r in out.collect())
+        # NULL rows anchor nothing: span is the single real observation
+        assert got == [("2024-01-01 01:00:00", 7.0, False)]
+
 
 class TestScd2Intervals:
     def test_compression_and_intervals(self, spark):

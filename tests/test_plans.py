@@ -632,3 +632,29 @@ def test_q194_self_join_reuses_aggregate_exchange(spark, sf_dir):
     assert "ReusedExchange" in final, final[:2000]
     assert "SortMergeJoin" in final, final[:2000]
     assert_no_python_in_plan(df)
+
+
+def test_dynamic_partition_pruning_reaches_partition_filters(
+        spark, sf_dir, tmp_path):
+    """Dynamic partition pruning (round-10 pin): at 100 TB the fact is
+    partition-laid-out, and a selective dim filter must prune fact
+    PARTITIONS at runtime — the broadcast result feeds back into the
+    scan as a dynamicpruningexpression in PartitionFilters, so the
+    engine never lists (let alone reads) the other years' files. The
+    flat single-file testdata can't show this in the workload, so the
+    pin builds a partitioned copy once; values must equal the
+    statically filtered count."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fact = o.withColumn("yr", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_by_year")
+    fact.write.partitionBy("yr").parquet(path)
+    part = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == 1995 else "drop") for y in range(1992, 1999)],
+        "yr int, tag string")
+    j = part.join(F.broadcast(dim.where(F.col("tag") == "keep")), "yr")
+    t = formatted_plan(j)
+    assert "dynamicpruningexpression" in t.lower(), t[:2000]
+    pf = [ln for ln in t.splitlines() if "PartitionFilters" in ln]
+    assert pf and "dynamicpruning" in pf[0], pf
+    assert j.count() == fact.where(F.col("yr") == 1995).count()
