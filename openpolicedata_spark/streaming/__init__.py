@@ -245,6 +245,65 @@ def _output_mode(df: DataFrame) -> str:
     return "append"
 
 
+def stateful_cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    max_n: int,
+    order_cols: "tuple[str, ...]",
+) -> DataFrame:
+    """Streaming per-key ADMISSION cap — the streaming face of
+    `sampling.cap_per_key` (q167's domain cap): admit a row iff fewer
+    than `max_n` rows of its key have been admitted so far, with state
+    = ONE counter per key (applyInPandasWithState; round 10). This is
+    the ingest-time form of the crawl-pipeline domain cap: rows are
+    emitted (not aggregated), so the admitted stream feeds the next
+    stage directly, and state is O(keys) longs regardless of volume.
+
+    Ordering semantics, pinned honestly: WITHIN a micro-batch rows are
+    admitted in `order_cols` order (plain column names, ascending —
+    make the last one unique, same contract as cap_per_key), so a
+    single-batch availableNow drain equals the batch operator EXACTLY;
+    ACROSS batches admission follows arrival order — a stream cannot
+    hold back early rows for better ones that haven't arrived. The
+    per-key admitted COUNT (min(total, max_n)) is order-invariant
+    either way. Batch input delegates to `sampling.cap_per_key` —
+    one semantics, two execution modes."""
+    import pandas as pd
+
+    from openpolicedata_spark.operators.sampling import cap_per_key
+
+    if max_n <= 0:
+        raise ValueError(f"max_n must be positive, got {max_n}")
+    if not df.isStreaming:
+        return cap_per_key(df, key_col, max_n, list(order_cols))
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = df.schema
+    out_cols = [f.name for f in out_schema.fields]
+    sort_cols = list(order_cols)
+
+    def update(key, pdfs, state: GroupState):
+        taken = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        room = max_n - taken
+        if room > 0:
+            out = batch.sort_values(sort_cols, kind="mergesort").iloc[:room]
+            state.update((taken + len(out),))
+            yield out[out_cols]
+        else:
+            # state already saturated: admit nothing, keep the counter
+            state.update((taken,))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_totals(events: DataFrame,
                         watermark: str = "1 day") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user

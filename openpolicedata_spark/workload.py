@@ -8493,6 +8493,48 @@ GROUP BY 1
 """
 
 
+def q195_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 `listagg ... WITHIN GROUP`,
+    round 10 — the ONE safe form of collect-to-list: an unordered
+    collect_list is nondeterministic under partitioning, which is why
+    the corpus bans array outputs; the WITHIN GROUP sort makes the
+    concatenation a pure function of the data): per market segment,
+    the year-ordered timeline of order counts as a CSV string — the
+    reporting-layer 'sparkline' export shape. Two keyed aggregates
+    (the (segment, year) counts combine map-side; the listagg sorts
+    WITHIN each segment's group, never globally) over a
+    dimension-broadcast join; DuckDB replays with
+    `string_agg(... ORDER BY yr)` — identical ordered-concat
+    semantics, and any partitioning-order leak breaks the hash (this
+    is ALSO the 17-partition sweep's favorite failure shape, pinned
+    green there)."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey",
+                                                "c_mktsegment")
+    o = _read(spark, sf_dir, "orders")
+    per = (o.join(c, o["o_custkey"] == c["c_custkey"])
+           .groupBy("c_mktsegment",
+                    F.year("o_orderdate").cast("long").alias("yr"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    return per.groupBy("c_mktsegment").agg(
+        F.expr("listagg(CAST(n AS STRING), ',') WITHIN GROUP (ORDER BY yr)")
+        .alias("timeline"),
+        F.sum("n").alias("n_orders"),
+    )
+
+
+_Q195_SQL = """
+WITH per AS (
+  SELECT c_mktsegment, year(o_orderdate) AS yr, COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       string_agg(CAST(n AS VARCHAR), ',' ORDER BY yr) AS timeline,
+       CAST(SUM(n) AS BIGINT) AS n_orders
+FROM per GROUP BY 1
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -9311,6 +9353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_gap_fill": q192_gap_fill,
         "q193_scd2_intervals": q193_scd2_intervals,
         "q194_reused_aggregate_join": q194_reused_aggregate_join,
+        "q195_ordered_listagg": q195_ordered_listagg,
     }
     return base
 
@@ -9513,4 +9556,5 @@ def oracle_sql() -> dict[str, str]:
         "q192_gap_fill": _Q192_SQL,
         "q193_scd2_intervals": _Q193_SQL,
         "q194_reused_aggregate_join": _Q194_SQL,
+        "q195_ordered_listagg": _Q195_SQL,
     }

@@ -1298,3 +1298,74 @@ def test_media_scan_sink_vad_segments_batch_stream_parity(spark, tmp_path):
         out, idx, scan=scan, query_name="vadscan")
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == want and len(got) == 6
+
+
+def test_stateful_cap_per_key_single_batch_equals_batch(spark, sf_dir):
+    """Streaming per-key admission cap: one availableNow batch must
+    admit EXACTLY the batch operator's survivors (same order contract),
+    not merely the same counts."""
+    from openpolicedata_spark.streaming import stateful_cap_per_key
+
+    batch = _events_batch(spark, sf_dir).select(
+        "event_id", "user_id", "event_type")
+    expected = {r.event_id for r in stateful_cap_per_key(
+        batch, "user_id", 5, ("event_id",)).collect()}
+
+    stream = read_events_stream(spark, _events_path(sf_dir)).select(
+        "event_id", "user_id", "event_type")
+    got_df = run_available_now(
+        stateful_cap_per_key(stream, "user_id", 5, ("event_id",)),
+        "cap_single")
+    got = {r.event_id for r in got_df.collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_stateful_cap_per_key_multi_batch_counts(spark, sf_dir, tmp_path):
+    """Across micro-batches the admitted COUNT per key is order-invariant:
+    min(total, max_n) — and never exceeds the cap even when the same
+    key arrives in every batch."""
+    import shutil
+
+    from openpolicedata_spark.streaming import stateful_cap_per_key
+
+    watch = tmp_path / "events_multi"
+    watch.mkdir()
+    # same file twice -> duplicate event_ids across TWO micro-batches
+    shutil.copy(_events_path(sf_dir), watch / "a.parquet")
+    shutil.copy(_events_path(sf_dir), watch / "b.parquet")
+
+    batch = _events_batch(spark, sf_dir)
+    totals = {r.user_id: 2 * r.n for r in
+              batch.groupBy("user_id").agg(F.count("*").alias("n"))
+              .collect()}
+
+    # maxFilesPerTrigger=1 forces one file per micro-batch, so the
+    # counter state genuinely carries across batches
+    stream = read_events_stream(
+        spark, str(watch), max_files_per_trigger=1).select(
+        "event_id", "user_id", "event_type")
+    s = stateful_cap_per_key(stream, "user_id", 7, ("event_id",))
+    got_df = run_available_now(s, "cap_multi")
+    got = {r.user_id: r.n for r in
+           got_df.groupBy("user_id").agg(F.count("*").alias("n"))
+           .collect()}
+    assert set(got) == set(totals)
+    for u, total in totals.items():
+        assert got[u] == min(total, 7), (u, total, got[u])
+
+
+def test_stateful_cap_per_key_batch_delegates(spark, sf_dir):
+    """Batch input runs sampling.cap_per_key - one semantics, two modes."""
+    import pytest as _pytest
+
+    from openpolicedata_spark.operators.sampling import cap_per_key
+    from openpolicedata_spark.streaming import stateful_cap_per_key
+
+    batch = _events_batch(spark, sf_dir)
+    a = {r.event_id for r in stateful_cap_per_key(
+        batch, "user_id", 3, ("event_id",)).collect()}
+    b = {r.event_id for r in cap_per_key(
+        batch, "user_id", 3, ["event_id"]).collect()}
+    assert a == b and len(a) > 0
+    with _pytest.raises(ValueError, match="max_n"):
+        stateful_cap_per_key(batch, "user_id", 0, ("event_id",))
