@@ -8535,6 +8535,40 @@ FROM per GROUP BY 1
 """
 
 
+_Q196_BODY = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(t.total) AS DOUBLE) AS sum_total
+    FROM {c} c, LATERAL (
+        SELECT SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS total
+        FROM {o} o WHERE o.o_custkey = c.c_custkey
+    ) t
+    WHERE t.total > 1000
+    GROUP BY c.c_mktsegment
+"""
+
+
+def q196_lateral_decorrelate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (round 10 — the lateral-join
+    decorrelation class; q118-q120 pin WHERE-clause subqueries, this
+    is the FROM-clause form): per customer a lateral scalar aggregate
+    of their order total, filtered and rolled up per segment. A naive
+    engine evaluates the subquery per outer row (O(customers) scans);
+    Spark must DECORRELATE it into a per-custkey aggregate joined back
+    — pinned: zero nested-loop joins, the aggregate runs below the
+    join. The scalar-aggregate lateral keeps CROSS JOIN semantics
+    honest (one row per customer even with no orders — total NULL,
+    dropped by the filter), which DuckDB executes from the IDENTICAL
+    SQL body; DECIMAL sums keep the engines bit-exact."""
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("q196_c")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q196_o")
+    return spark.sql(_Q196_BODY.format(c="q196_c", o="q196_o"))
+
+
+_Q196_SQL = _Q196_BODY.format(c="customer", o="orders")
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -9354,6 +9388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_scd2_intervals": q193_scd2_intervals,
         "q194_reused_aggregate_join": q194_reused_aggregate_join,
         "q195_ordered_listagg": q195_ordered_listagg,
+        "q196_lateral_decorrelate": q196_lateral_decorrelate,
     }
     return base
 
@@ -9557,4 +9592,5 @@ def oracle_sql() -> dict[str, str]:
         "q193_scd2_intervals": _Q193_SQL,
         "q194_reused_aggregate_join": _Q194_SQL,
         "q195_ordered_listagg": _Q195_SQL,
+        "q196_lateral_decorrelate": _Q196_SQL,
     }

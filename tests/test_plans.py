@@ -658,3 +658,20 @@ def test_dynamic_partition_pruning_reaches_partition_filters(
     pf = [ln for ln in t.splitlines() if "PartitionFilters" in ln]
     assert pf and "dynamicpruning" in pf[0], pf
     assert j.count() == fact.where(F.col("yr") == 1995).count()
+
+
+def test_q196_lateral_decorrelates_no_nested_loop(spark, sf_dir):
+    """Correlated LATERAL subquery (round-10): the per-customer scalar
+    aggregate must decorrelate to a keyed aggregate JOINED back —
+    never a per-row nested-loop re-execution — with the order
+    aggregation planned BELOW the join."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q196_lateral_decorrelate"](spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_broadcast_nl_joins == 0, s.text
+    assert s.n_broadcast_joins + s.n_sortmerge_joins >= 1, s.text
+    # the lateral's SUM must appear as a real aggregate node (the
+    # decorrelated per-custkey rollup), not a subquery marker
+    assert _n_nodes(s.text, "HashAggregate") >= 3, s.text
+    assert_no_python_in_plan(df)
