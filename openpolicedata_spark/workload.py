@@ -8569,6 +8569,70 @@ def q196_lateral_decorrelate(spark: SparkSession,
 _Q196_SQL = _Q196_BODY.format(c="customer", o="orders")
 
 
+def q197_spatial_radius_pairs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial radius self-join (`geo.radius_pairs`,
+    round 10 — the spatial analog of the banded-LSH blockers: block on
+    a grid cell, candidate-join the 9 neighbor cells, verify exactly,
+    cap degenerate cells): synthetic lon/lat per document (|lat| ≤ 60,
+    the q84 derivation), all pairs within 2° in the DEGREE metric —
+    every blocking/threshold comparison is IEEE basic arithmetic
+    (floor, multiply, compare), so DuckDB replays pair MEMBERSHIP
+    bit-exactly, not just rounded values (haversine is the production
+    metric; its ~1-ulp slack is fine for distances, not for set
+    membership — the unit tests pin that path). The max_cell_size cap
+    is replayed by the oracle too (a HAVING over cell counts), proving
+    the skew guard is part of the CONTRACT, not a fudge. Output:
+    (id_a, id_b, dist rounded 6)."""
+    from openpolicedata_spark.operators.geo import radius_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    # md5-scattered coordinates (the codec-query recipe): a linear
+    # doc_id*prime lattice never lands two points within the radius
+    h1 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("text"), 9, 8), 16, 10).cast("long")
+    pts = d.select(
+        "doc_id",
+        ((h1 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((h2 % 12000) / 100.0 - 60.0).alias("lat"),
+    )
+    out = radius_pairs(pts, "doc_id", "lon", "lat", radius=2.0,
+                       metric="degree", max_cell_size=200)
+    return out.select("id_a", "id_b",
+                      F.round(F.col("dist"), 6).alias("dist_deg"))
+
+
+_Q197_SQL = """
+WITH pts AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 36000
+             / 100.0 - 180.0 AS lon,
+         CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 12000
+             / 100.0 - 60.0 AS lat
+  FROM documents
+), cells AS (
+  SELECT doc_id, lon, lat,
+         CAST(floor(lon / 2.0) AS INT) AS cx,
+         CAST(floor(lat / 2.0) AS INT) AS cy
+  FROM pts
+), ok AS (
+  SELECT cx, cy FROM cells GROUP BY cx, cy HAVING COUNT(*) <= 200
+), kept AS (
+  SELECT c.* FROM cells c JOIN ok USING (cx, cy)
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         (a.lat - b.lat) * (a.lat - b.lat)
+         + (a.lon - b.lon) * (a.lon - b.lon) AS dd
+  FROM kept a JOIN kept b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(sqrt(dd), 6) AS dist_deg
+FROM cand WHERE dd <= 2.0 * 2.0
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -9389,6 +9453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_reused_aggregate_join": q194_reused_aggregate_join,
         "q195_ordered_listagg": q195_ordered_listagg,
         "q196_lateral_decorrelate": q196_lateral_decorrelate,
+        "q197_spatial_radius_pairs": q197_spatial_radius_pairs,
     }
     return base
 
@@ -9593,4 +9658,5 @@ def oracle_sql() -> dict[str, str]:
         "q194_reused_aggregate_join": _Q194_SQL,
         "q195_ordered_listagg": _Q195_SQL,
         "q196_lateral_decorrelate": _Q196_SQL,
+        "q197_spatial_radius_pairs": _Q197_SQL,
     }

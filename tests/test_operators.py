@@ -1220,3 +1220,72 @@ class TestScd2Intervals:
         df = spark.createDataFrame([(1,)], "k int")
         with pytest.raises(ValueError, match="value column"):
             scd2_intervals(df, "k", "ts", [])
+
+
+class TestRadiusPairs:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, lon double, lat double")
+
+    def test_degree_metric_blocks_and_verifies(self, spark):
+        from openpolicedata_spark.operators.geo import radius_pairs
+
+        rows = [(1, 0.0, 0.0), (2, 0.3, 0.4),     # dist 0.5
+                (3, 10.0, 10.0), (4, 10.6, 10.8),  # dist 1.0 > r
+                (5, -0.2, -0.2)]                   # near 1 across cells
+        out = radius_pairs(self._pts(spark, rows), "id", "lon", "lat",
+                           radius=0.6, metric="degree")
+        got = {(r.id_a, r.id_b): round(r.dist, 6) for r in out.collect()}
+        assert set(got) == {(1, 2), (1, 5)}
+        assert got[(1, 2)] == 0.5
+        # neighbor-cell candidates found the cross-cell pair (1,5)
+        assert abs(got[(1, 5)] - 0.282843) < 1e-6
+
+    def test_haversine_metric_and_symmetric_single_match(self, spark):
+        from openpolicedata_spark.functions.geo import haversine_km_expr
+        from openpolicedata_spark.operators.geo import radius_pairs
+
+        # ~111 km per degree of latitude at any longitude
+        rows = [(1, 12.0, 45.0), (2, 12.0, 45.5), (3, 12.0, 47.0)]
+        out = radius_pairs(self._pts(spark, rows), "id", "lon", "lat",
+                           radius=60.0, metric="haversine")
+        got = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+        assert set(got) == {(1, 2)}   # each pair exactly once
+        assert 55.0 < got[(1, 2)] < 56.0
+
+    def test_cell_cap_drops_degenerate_cells(self, spark):
+        from openpolicedata_spark.operators.geo import radius_pairs
+
+        # 10 co-located points (one hot cell) + a normal pair far away
+        rows = ([(i, 0.01, 0.01) for i in range(10)]
+                + [(100, 50.0, 50.0), (101, 50.1, 50.1)])
+        df = self._pts(spark, rows)
+        capped = radius_pairs(df, "id", "lon", "lat", radius=0.5,
+                              metric="degree", max_cell_size=5)
+        got = {(r.id_a, r.id_b) for r in capped.collect()}
+        assert got == {(100, 101)}   # hot cell dropped, contract kept
+        full = radius_pairs(df, "id", "lon", "lat", radius=0.5,
+                            metric="degree")
+        assert len(full.collect()) == 45 + 1
+
+    def test_polar_rows_raise_loudly_on_haversine(self, spark):
+        from openpolicedata_spark.operators.geo import radius_pairs
+
+        rows = [(1, 0.0, 80.0), (2, 0.0, 80.1)]
+        out = radius_pairs(self._pts(spark, rows), "id", "lon", "lat",
+                           radius=10.0, metric="haversine",
+                           lat_cap_deg=66.0)
+        with pytest.raises(Exception, match="lat_cap_deg"):
+            out.collect()
+
+    def test_validation(self, spark):
+        from openpolicedata_spark.operators.geo import radius_pairs
+
+        df = self._pts(spark, [(1, 0.0, 0.0)])
+        with pytest.raises(ValueError, match="radius"):
+            radius_pairs(df, "id", "lon", "lat", radius=0.0)
+        with pytest.raises(ValueError, match="metric"):
+            radius_pairs(df, "id", "lon", "lat", radius=1.0,
+                         metric="euclid")
+        with pytest.raises(ValueError, match="max_cell_size"):
+            radius_pairs(df, "id", "lon", "lat", radius=1.0,
+                         max_cell_size=0)
