@@ -1267,15 +1267,19 @@ class TestRadiusPairs:
                             metric="degree")
         assert len(full.collect()) == 45 + 1
 
-    def test_polar_rows_raise_loudly_on_haversine(self, spark):
+    def test_polar_and_antimeridian_pairs_via_radius_join(self, spark):
+        """The haversine branch delegates to scale.radius_join, so it
+        inherits the latitude-adaptive fan-out (polar pairs) and the
+        antimeridian wrap (seam pairs) for free."""
         from openpolicedata_spark.operators.geo import radius_pairs
 
-        rows = [(1, 0.0, 80.0), (2, 0.0, 80.1)]
+        rows = [(1, 0.0, 80.0), (2, 0.3, 80.05),      # polar, ~8 km
+                (3, 179.99, 0.0), (4, -179.99, 0.0),  # seam, ~2.2 km
+                (5, 90.0, 0.0)]                       # far from both
         out = radius_pairs(self._pts(spark, rows), "id", "lon", "lat",
-                           radius=10.0, metric="haversine",
-                           lat_cap_deg=66.0)
-        with pytest.raises(Exception, match="lat_cap_deg"):
-            out.collect()
+                           radius=10.0, metric="haversine")
+        got = {(r.id_a, r.id_b) for r in out.collect()}
+        assert got == {(1, 2), (3, 4)}
 
     def test_validation(self, spark):
         from openpolicedata_spark.operators.geo import radius_pairs
