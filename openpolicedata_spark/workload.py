@@ -8633,6 +8633,69 @@ FROM cand WHERE dd <= 2.0 * 2.0
 """
 
 
+def q198_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (`events.gap_fill(mode='interp')`,
+    round 10 — q192's LOCF sibling): every gap bucket is INTERIOR by
+    construction (the grid spans observed-min..max), so the previous
+    and next observations arrive as `last`/`first(..., ignorenulls)`
+    structs over the preceding/following frames of ONE ordered per-key
+    window, and the fill is prev + (next−prev)·(b−prev_b)/(next_b−
+    prev_b) — written in that exact operation order on BOTH engines,
+    so the RAW doubles replay bit-for-bit (no ROUND: near-tie
+    interpolation rationals expose the engines' differing ROUND
+    tie paths, while the unrounded values are deterministic). A quarter of
+    the users (user_id % 4 = 1) keeps the comparator cheap; the
+    operator is identical for all."""
+    from openpolicedata_spark.operators.events import gap_fill
+
+    e = _read(spark, sf_dir, "events").where(
+        F.col("user_id") % 4 == F.lit(1))
+    out = gap_fill(e, key_col="user_id", ts_col="ts",
+                   value_col="value", step_seconds=3600, mode="interp")
+    # NO round: every op here is IEEE basic arithmetic in one pinned
+    # order, so the raw doubles are bit-identical across engines --
+    # and ROUND itself is NOT (near-tie rationals like k/6400 round
+    # HALF_UP in Spark but through a x*1e6 path in DuckDB; 3 rows
+    # flipped at the 6th decimal before this was dropped)
+    return out.select("user_id", "bucket_ts", "value", "is_gap")
+
+
+_Q198_SQL = """
+WITH b AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bidx, value
+  FROM events WHERE user_id % 4 = 1
+), obs AS (
+  SELECT user_id, bidx, MAX(value) AS v FROM b GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(bidx) AS mn, MAX(bidx) AS mx FROM obs GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(range(mn, mx + 1)) AS bidx FROM span
+), j AS (
+  SELECT g.user_id, g.bidx, o.v
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bidx = g.bidx
+), n AS (
+  SELECT user_id, bidx, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN bidx END IGNORE NULLS)
+             OVER wp AS pb,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN bidx END IGNORE NULLS)
+             OVER wn AS nb
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bidx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY bidx
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       make_timestamp(bidx * 3600 * 1000000) AS bucket_ts,
+       COALESCE(v, pv + (nv - pv) * CAST(bidx - pb AS DOUBLE)
+                       / CAST(nb - pb AS DOUBLE)) AS value,
+       v IS NULL AS is_gap
+FROM n
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -9454,6 +9517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_ordered_listagg": q195_ordered_listagg,
         "q196_lateral_decorrelate": q196_lateral_decorrelate,
         "q197_spatial_radius_pairs": q197_spatial_radius_pairs,
+        "q198_gap_interpolate": q198_gap_interpolate,
     }
     return base
 
@@ -9659,4 +9723,5 @@ def oracle_sql() -> dict[str, str]:
         "q195_ordered_listagg": _Q195_SQL,
         "q196_lateral_decorrelate": _Q196_SQL,
         "q197_spatial_radius_pairs": _Q197_SQL,
+        "q198_gap_interpolate": _Q198_SQL,
     }

@@ -1149,6 +1149,30 @@ class TestGapFill:
         with pytest.raises(ValueError, match="step_seconds"):
             gap_fill(self._events(spark), step_seconds=0)
 
+    def test_interp_mode_linear_between_neighbors(self, spark):
+        from openpolicedata_spark.operators.events import gap_fill
+
+        rows = [(1, "2024-01-01 00:10:00", 1.0),
+                (1, "2024-01-01 04:20:00", 9.0)]   # 4-bucket gap span
+        df = spark.createDataFrame(
+            rows, "user_id int, t string, value double",
+        ).select("user_id",
+                 F.col("t").cast("timestamp_ntz").alias("ts"), "value")
+        out = gap_fill(df, key_col="user_id", ts_col="ts",
+                       value_col="value", step_seconds=3600,
+                       mode="interp")
+        got = {str(r.bucket_ts): (r.value, r.is_gap)
+               for r in out.collect()}
+        assert got == {
+            "2024-01-01 00:00:00": (1.0, False),
+            "2024-01-01 01:00:00": (3.0, True),
+            "2024-01-01 02:00:00": (5.0, True),
+            "2024-01-01 03:00:00": (7.0, True),
+            "2024-01-01 04:00:00": (9.0, False),
+        }
+        with pytest.raises(ValueError, match="mode"):
+            gap_fill(df, mode="cubic")
+
     def test_null_values_are_non_observations(self, spark):
         from openpolicedata_spark.operators.events import gap_fill
 
