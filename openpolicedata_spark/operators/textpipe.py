@@ -308,6 +308,50 @@ def weighted_mix(
     return df.where(keep)
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup with first-occurrence
+    survivors (the FineWeb-style line dedup; round 10 —
+    `remove_boilerplate_lines`'s sibling: that one drops lines FREQUENT
+    across documents, this one keeps every distinct line exactly ONCE
+    corpus-wide, in its earliest position): split each document on
+    newlines, keep a line iff no earlier (doc, position) carries the
+    same text, and reassemble each document from its surviving lines in
+    original order. Blank/whitespace-only lines are ALWAYS kept
+    (pinned rule — deduping them would merge paragraph structure).
+
+    Plan shape: one posexplode, ONE hash exchange on the line digest
+    for the first-occurrence window (row_number over (digest) ordered
+    by (doc, position) — ties impossible), one keyed re-aggregation per
+    document whose ordered reassembly is `listagg ... WITHIN GROUP`
+    (the deterministic collect). The wire carries (digest, doc,
+    position) triples and surviving lines — never documents twice.
+    Output: (id, out_col, n_kept, n_dropped); a document whose every
+    line was seen earlier comes back as the empty string."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__idx__", "__line__"),
+    )
+    blank = F.trim(F.col("__line__")) == ""
+    w = Window.partitionBy("__dig__").orderBy(id_col, "__idx__")
+    ranked = (lines
+              .withColumn("__dig__", F.md5("__line__"))
+              .withColumn("__keep__",
+                          blank | (F.row_number().over(w) == 1)))
+    return (ranked.groupBy(id_col).agg(
+        F.expr("listagg(CASE WHEN __keep__ THEN __line__ END, '\n') "
+               "WITHIN GROUP (ORDER BY __idx__)").alias(out_col),
+        F.sum(F.when(F.col("__keep__"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("__keep__"), 0).otherwise(1))
+        .alias("n_dropped"))
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(""))))
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",

@@ -8696,6 +8696,61 @@ FROM n
 """
 
 
+_Q199_MULTI = """
+    text || chr(10) || 'COMMON FOOTER LINE' || chr(10)
+         || upper(substr(text, 1, 40)) || chr(10)
+         || CASE WHEN doc_id % 3 = 0 THEN 'SHARED LINE A'
+                 ELSE 'SHARED LINE B' END
+"""
+
+
+def q199_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level exact dedup (`textpipe.dedup_lines`,
+    round 10 — the FineWeb line-dedup step): each document becomes
+    four lines generatively (its own text, a footer every doc shares,
+    an uppercase prefix, one of two shared markers), so the first doc
+    in (doc, position) order keeps the shared lines and every later
+    copy drops — then documents reassemble from their survivors in
+    original order via `listagg ... WITHIN GROUP`. The oracle replays
+    the whole pipeline (split, first-occurrence window over the line
+    digest ordered by (doc, position), ordered string_agg) in DuckDB;
+    output text md5-fingerprinted so the comparator never sorts
+    multi-line cells."""
+    from openpolicedata_spark.operators.textpipe import dedup_lines
+
+    d = _read(spark, sf_dir, "documents")
+    multi = d.selectExpr("doc_id", _Q199_MULTI + " AS text")
+    out = dedup_lines(multi)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"),
+        "n_kept", "n_dropped")
+
+
+_Q199_SQL = """
+WITH multi AS (
+  SELECT doc_id, {m} AS text FROM documents
+), lines AS (
+  SELECT doc_id, i - 1 AS idx, ln[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM multi),
+       unnest(range(1, len(ln) + 1)) t(i)
+), ranked AS (
+  SELECT doc_id, idx, line,
+         trim(line) = '' AS blank,
+         row_number() OVER (PARTITION BY md5(line)
+                            ORDER BY doc_id, idx) AS rn
+  FROM lines
+)
+SELECT doc_id,
+       md5(COALESCE(string_agg(CASE WHEN blank OR rn = 1 THEN line END,
+                               chr(10) ORDER BY idx), '')) AS clean_md5,
+       CAST(SUM(CASE WHEN blank OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN blank OR rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_dropped
+FROM ranked GROUP BY doc_id
+""".format(m=_Q199_MULTI)
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -9518,6 +9573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_lateral_decorrelate": q196_lateral_decorrelate,
         "q197_spatial_radius_pairs": q197_spatial_radius_pairs,
         "q198_gap_interpolate": q198_gap_interpolate,
+        "q199_line_dedup": q199_line_dedup,
     }
     return base
 
@@ -9724,4 +9780,5 @@ def oracle_sql() -> dict[str, str]:
         "q196_lateral_decorrelate": _Q196_SQL,
         "q197_spatial_radius_pairs": _Q197_SQL,
         "q198_gap_interpolate": _Q198_SQL,
+        "q199_line_dedup": _Q199_SQL,
     }

@@ -935,3 +935,20 @@ class TestCdcChunks:
         dfe = spark.createDataFrame([(0, ""), (1, "   ")],
                                     "doc_id long, text string")
         assert cdc_chunks(dfe).count() == 0
+
+
+def test_dedup_lines_first_occurrence_and_reassembly(spark):
+    """Corpus-wide line dedup: first (doc, position) keeps the line,
+    later copies drop, blanks always survive, docs reassemble in
+    original order (empty string when everything was seen before)."""
+    from openpolicedata_spark.operators.textpipe import dedup_lines
+
+    rows = [(1, "a\nb\n\nc"),
+            (2, "b\nx\n\na"),
+            (3, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+           for r in dedup_lines(df).collect()}
+    assert got[1] == ("a\nb\n\nc", 4, 0)
+    assert got[2] == ("x\n", 2, 2)     # b and a seen earlier; blank kept
+    assert got[3] == ("", 0, 1)
