@@ -274,6 +274,10 @@ def stateful_cap_per_key(
 
     if max_n <= 0:
         raise ValueError(f"max_n must be positive, got {max_n}")
+    if not order_cols:
+        raise ValueError("stateful_cap_per_key needs order_cols (make "
+                         "the last one unique, same contract as "
+                         "cap_per_key)")
     if not df.isStreaming:
         return cap_per_key(df, key_col, max_n, list(order_cols))
 
