@@ -74,10 +74,11 @@ def gap_fill(
     The first bucket of every key is observed by construction, so no
     leading NULL survives. `mode='interp'` LINEARLY interpolates
     instead: every gap is INTERIOR (the span runs observed-min to
-    observed-max), so both neighbors exist — the previous and next
-    observations arrive as `last`/`first(..., ignorenulls)` over the
-    preceding/following frames of the SAME ordered window (one
-    exchange either way), and the fill is
+    observed-max), so both neighbors exist — each arrives as
+    `last(..., ignorenulls)` over a RUNNING frame, ascending for the
+    previous observation and DESCENDING for the next (one hash
+    exchange either way; see the inline comment for why the obvious
+    unbounded-FOLLOWING frame is quadratic), and the fill is
     prev + (next − prev) · (b − prev_b) / (next_b − prev_b), written
     in exactly that operation order so any engine replays it
     bit-for-bit.

@@ -485,3 +485,62 @@ def test_pipeline_url_ingest_branch(spark, docs):
     again = sorted(r.doc_id for r in
                    cap_per_key(kept, "host", 25, ["doc_id"]).collect())
     assert again == sorted(r.doc_id for r in capped.collect())
+
+
+def test_pipeline_timeseries_branch_gap_fill_scd2(spark, sf_dir):
+    """Round-10 time-series branch: the feature-store path an event log
+    takes — gap_fill regularizes per-user activity onto the hour grid
+    (LOCF), the interp twin fills the same grid, and scd2_intervals
+    versions each user's event_type — composed on REAL events data
+    with the laws each stage guarantees."""
+    from openpolicedata_spark.operators.events import gap_fill
+    from openpolicedata_spark.operators.merge import scd2_intervals
+    from openpolicedata_spark.sources.file import read_parquet_repaired
+
+    events = read_parquet_repaired(spark, f"{sf_dir}/events.parquet") \
+        .where(F.col("user_id") % 8 == 3)
+
+    locf = gap_fill(events, "user_id", "ts", "value", 3600)
+    interp = gap_fill(events, "user_id", "ts", "value", 3600,
+                      mode="interp")
+    a = locf.agg(F.count("*"), F.sum(F.when(F.col("is_gap"), 1))).first()
+    b = interp.agg(F.count("*"),
+                   F.sum(F.when(F.col("is_gap"), 1))).first()
+    # same grid, same gap set, no NULLs in either fill
+    assert (a[0], a[1]) == (b[0], b[1]) and a[0] > 0 and a[1] > 0
+    assert locf.where(F.col("value").isNull()).count() == 0
+    assert interp.where(F.col("value").isNull()).count() == 0
+
+    scd = scd2_intervals(events, "user_id", "ts", ["event_type"],
+                         tiebreak_col="event_id")
+    per_user = scd.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("is_current"), 1).otherwise(0)).alias("cur"))
+    rows = per_user.collect()
+    assert len(rows) > 0 and all(r.cur == 1 for r in rows)
+    # compression never creates versions: n versions <= n events per user
+    totals = {r.user_id: r.n for r in
+              events.groupBy("user_id").agg(F.count("*").alias("n"))
+              .collect()}
+    assert all(r.n <= totals[r.user_id] for r in rows)
+
+
+def test_pipeline_line_dedup_branch(spark, docs):
+    """Round-10 line-dedup branch: corpus-wide first-occurrence line
+    dedup conserves every line exactly once across kept/dropped, and
+    re-running over the CLEANED corpus is a fixpoint (nothing left to
+    drop — each surviving line appears once)."""
+    from openpolicedata_spark.operators.textpipe import dedup_lines
+
+    multi = docs.limit(200).selectExpr(
+        "doc_id",
+        "text || chr(10) || 'FOOTER' || chr(10) || substr(text, 1, 30)"
+        " AS text")
+    out = dedup_lines(multi)
+    tot = out.agg(F.sum("n_kept"), F.sum("n_dropped")).first()
+    n_lines = multi.select(
+        F.sum(F.size(F.split("text", "\n")))).first()[0]
+    assert tot[0] + tot[1] == n_lines
+    again = dedup_lines(out.where(F.col("n_kept") > 0).selectExpr(
+        "doc_id", "clean_text AS text"))
+    assert again.agg(F.sum("n_dropped")).first()[0] == 0
