@@ -178,7 +178,11 @@ def _free_frame_base(data: bytes, pos: int, first_b1: int, sr_idx: int,
         # top 6 bits of b2: br_idx (must be 0) + sr_idx
         if (b1 >> 1) == (first_b1 >> 1) and (b2 >> 2) == sr_idx:
             base = (off - pos) - padding * slot
-            if base >= 4:
+            # frame sizes are whole SLOTS (4 bytes in Layer I): a
+            # candidate that is not slot-aligned is a false sync in
+            # payload bytes, not the next frame — keep scanning
+            # (round-10 review)
+            if base >= 4 and base % slot == 0:
                 return base
         off = data.find(b"\xff", off + 1)
     raise Mp3Error(

@@ -354,3 +354,24 @@ def test_mp3_junk_fuzz_raises_mp3error_only(blob):
     except M.Mp3Error:
         return
     assert st_["n_frames"] >= 1
+
+
+def test_free_format_layer1_skips_misaligned_false_sync():
+    """Layer I frame sizes are whole 4-byte slots: a matching sync word
+    at a non-slot-aligned distance is payload noise, and the derivation
+    must skip it and lock onto the real (aligned) next frame."""
+    from openpolicedata_spark.sources import mp3
+
+    sr_idx, pad = 0, 0
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (3 << 1) | 1,
+                 (0 << 4) | (sr_idx << 2) | (pad << 1), 0x00])
+    base = 96 * 4
+    payload = bytearray(b"\x01" * (base - 4))
+    # plant a fake matching sync at absolute offset 203 (distance 203
+    # from frame start: matches all 13 bits but 203 % 4 != 0 — payload
+    # noise, not a slot boundary)
+    payload[199:203] = hdr
+    frames = hdr + bytes(payload) + hdr + b"\x01" * (base - 4)
+    assert len(frames) == 2 * base
+    out = mp3.walk_frames(frames)
+    assert [(o, s) for o, s, *_ in out] == [(0, base), (base, base)]

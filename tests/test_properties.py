@@ -632,3 +632,113 @@ def test_mojibake_fix_inverts_codec_damage_property(seed, n_words):
     # NOTE deliberately NOT asserting py_fix(py_fix(...)): the chain is
     # single-pass only — e.g. x = 'â€–' survives one fix (output == x)
     # but a second pass would eat the 'â€“' it contains
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(0, 2),            # key
+              st.integers(0, 400_000),      # seconds offset
+              st.integers(-50, 50)),        # value
+    min_size=1, max_size=40))
+def test_gap_fill_locf_laws(spark, obs):
+    """LOCF laws on arbitrary event sets: per key the grid is exactly
+    contiguous min..max observed buckets, the first bucket is never a
+    gap, no output value is NULL, and every gap bucket carries the
+    value of the latest earlier observed bucket."""
+    from openpolicedata_spark.operators.events import gap_fill
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(k, base + dt.timedelta(seconds=s), float(v))
+            for k, s, v in obs]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, value double")
+    out = gap_fill(df, key_col="k", ts_col="ts", value_col="value",
+                   step_seconds=3600)
+    got = sorted((r.k, r.bucket_ts, r.value, r.is_gap)
+                 for r in out.collect())
+    # python reference
+    import collections
+    buckets = collections.defaultdict(dict)
+    for k, s, v in obs:
+        b = s // 3600
+        cur = buckets[k].get(b)
+        buckets[k][b] = max(cur, float(v)) if cur is not None else float(v)
+    want = []
+    for k, bs in buckets.items():
+        lo, hi = min(bs), max(bs)
+        last = None
+        for b in range(lo, hi + 1):
+            if b in bs:
+                last = bs[b]
+                want.append((k, base + dt.timedelta(hours=b), last, False))
+            else:
+                want.append((k, base + dt.timedelta(hours=b), last, True))
+    assert got == sorted(want)
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(0, 2),           # key
+              st.integers(0, 30),          # day offset (ties allowed)
+              st.sampled_from("ABC")),     # value
+    min_size=1, max_size=30))
+def test_scd2_intervals_tile_and_compress(spark, log):
+    """SCD2 laws on arbitrary change logs: per key the intervals TILE
+    (each valid_to equals the next valid_from, exactly one open
+    current version), consecutive versions always differ, and version
+    count equals the reference run-length encoding of the
+    (ts, change_id)-ordered value sequence."""
+    from openpolicedata_spark.operators.merge import scd2_intervals
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(k, i, base + dt.timedelta(days=d), v)
+            for i, (k, d, v) in enumerate(log)]
+    df = spark.createDataFrame(rows, "k long, cid long, ts timestamp_ntz, v string")
+    out = sorted(((r.k, r.valid_from, r.v, r.valid_to, r.is_current)
+                  for r in scd2_intervals(
+                      df, "k", "ts", ["v"],
+                      tiebreak_col="cid").collect()))
+    # reference RLE over the ordered log
+    import collections
+    ordered = collections.defaultdict(list)
+    for k, cid, ts, v in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        seq = ordered[k]
+        if not seq or seq[-1][1] != v:
+            seq.append((ts, v))
+    want = []
+    for k, seq in ordered.items():
+        for i, (ts, v) in enumerate(seq):
+            nxt = seq[i + 1][0] if i + 1 < len(seq) else None
+            want.append((k, ts, v, nxt, nxt is None))
+    assert out == sorted(want)
+    per_key_current = collections.Counter(k for k, *_ , cur in out if cur)
+    assert all(c == 1 for c in per_key_current.values())
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(-1800, 1800), st.integers(-590, 590)),
+    min_size=2, max_size=25, unique=True))
+def test_radius_pairs_equals_brute_force(spark, pts):
+    """Grid-blocked degree-metric pairs must equal the O(n²) brute
+    force exactly (membership AND distance) for arbitrary point sets —
+    including points straddling cell boundaries."""
+    from openpolicedata_spark.operators.geo import radius_pairs
+
+    rows = [(i, x / 10.0, y / 10.0) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    out = {(r.id_a, r.id_b): r.dist
+           for r in radius_pairs(df, "id", "lon", "lat",
+                                 radius=1.5, metric="degree").collect()}
+    import math
+    want = {}
+    for i, (xi, yi) in enumerate(pts):
+        for j in range(i + 1, len(pts)):
+            xj, yj = pts[j]
+            dlat = yi / 10.0 - yj / 10.0
+            dlon = xi / 10.0 - xj / 10.0
+            dd = dlat * dlat + dlon * dlon
+            if dd <= 1.5 * 1.5:
+                want[(i, j)] = math.sqrt(dd)
+    assert set(out) == set(want)
+    for k2, v in want.items():
+        assert out[k2] == v, (k2, out[k2], v)
