@@ -126,6 +126,8 @@ def scd2_intervals(
     ts_col: str,
     value_cols: "list[str]",
     tiebreak_col: Optional[str] = None,
+    op_col: Optional[str] = None,
+    delete_marker: str = "D",
 ) -> DataFrame:
     """Slowly-changing-dimension type-2 builder (round 10, beyond-
     reference — the lakehouse step that turns a CDC/change LOG into
@@ -135,6 +137,17 @@ def scd2_intervals(
     CDC noise), then close each surviving version at the next one's
     timestamp: `valid_from` = its own ts, `valid_to` = lead(ts) (NULL
     on the current version), `is_current` = no later change.
+
+    `op_col` makes the builder DELETE-aware (real CDC logs carry
+    insert/update/delete): a row whose op equals `delete_marker`
+    CLOSES the open version at its timestamp without opening one —
+    the key simply has no current version until the next upsert.
+    Delete runs compress like value runs (the second consecutive
+    delete is a no-op), a re-insert after a delete is a NEW version
+    even when the value matches the pre-delete one (the gap is real),
+    and a delete row's value columns are ignored (CDC delete payloads
+    are junk by convention). Without `op_col` every row is an upsert
+    — the original semantics, unchanged.
 
     Plan shape: ONE hash exchange on the key feeds everything — the
     ordering window, the lag-compare compression, and the lead close
@@ -148,21 +161,31 @@ def scd2_intervals(
     order = [F.col(ts_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col is not None else [])
     w = Window.partitionBy(key_col).orderBy(*order)
+    is_del = (F.col(op_col) == F.lit(delete_marker)) if op_col \
+        else F.lit(False)
+    # run-state = (is_delete, values masked NULL on deletes): masking
+    # makes consecutive deletes equal whatever junk their payload
+    # carries, while the is_delete flag splits a value run around a
+    # delete (re-insert after delete = new version)
+    state_cols = [is_del] + [
+        F.when(~is_del, F.col(c)) for c in value_cols]
     prev_same = None
-    for c in value_cols:
-        eq = F.lag(c).over(w).eqNullSafe(F.col(c))
+    for s in state_cols:
+        eq = F.lag(s).over(w).eqNullSafe(s)
         prev_same = eq if prev_same is None else (prev_same & eq)
     # first change per key: lag is NULL on every column -> eqNullSafe
     # is only true if the value is ALSO null; guard with row_number
     first = F.row_number().over(w) == 1
     kept = (changes
+            .withColumn("__del__", is_del)
             .withColumn("__noop__", ~first & prev_same)
             .where(~F.col("__noop__")))
     w2 = Window.partitionBy(key_col).orderBy(*order)
-    return kept.select(
+    return (kept.select(
         key_col,
         *value_cols,
+        F.col("__del__"),
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
-    )
+    ).where(~F.col("__del__")).drop("__del__"))

@@ -8751,6 +8751,60 @@ FROM ranked GROUP BY doc_id
 """.format(m=_Q199_MULTI)
 
 
+def q200_scd2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware SCD2 (q193 + the op column every real CDC log
+    carries): every 7th event is a DELETE — it CLOSES the user's open
+    version at its timestamp without opening one, delete runs
+    compress, a re-insert after a delete is a new version even when
+    the value matches (the gap is real), and a key can end with no
+    current version. Delete payloads are junked generatively (reversed
+    event_type) to pin that they're ignored. The oracle replays the
+    identical two-window pipeline — masked run-state lag compare, then
+    lead close over the boundary rows, emitting non-deletes — in
+    DuckDB."""
+    from openpolicedata_spark.operators.merge import scd2_intervals
+
+    e = _read(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "ts",
+        "CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op",
+        "CASE WHEN event_id % 7 = 0 THEN reverse(event_type) "
+        "ELSE event_type END AS event_type")
+    return scd2_intervals(e, "user_id", "ts", ["event_type"],
+                          tiebreak_col="event_id", op_col="op")
+
+
+_Q200_SQL = """
+WITH src AS (
+  SELECT user_id, event_id, ts,
+         event_id % 7 = 0 AS is_del,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE event_type END AS mv,
+         event_type
+  FROM events
+), o AS (
+  SELECT user_id, event_id, ts, is_del, mv, event_type,
+         lag(is_del) OVER w AS p_del,
+         lag(mv) OVER w AS p_mv,
+         row_number() OVER w AS rn
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), kept AS (
+  SELECT user_id, event_id, ts, is_del,
+         CASE WHEN is_del THEN NULL ELSE event_type END AS event_type
+  FROM o
+  WHERE rn = 1 OR p_del IS DISTINCT FROM is_del
+     OR p_mv IS DISTINCT FROM mv
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM kept
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY NOT is_del
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -9574,6 +9628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_spatial_radius_pairs": q197_spatial_radius_pairs,
         "q198_gap_interpolate": q198_gap_interpolate,
         "q199_line_dedup": q199_line_dedup,
+        "q200_scd2_deletes": q200_scd2_deletes,
     }
     return base
 
@@ -9781,4 +9836,5 @@ def oracle_sql() -> dict[str, str]:
         "q197_spatial_radius_pairs": _Q197_SQL,
         "q198_gap_interpolate": _Q198_SQL,
         "q199_line_dedup": _Q199_SQL,
+        "q200_scd2_deletes": _Q200_SQL,
     }

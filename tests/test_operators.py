@@ -1245,6 +1245,40 @@ class TestScd2Intervals:
         with pytest.raises(ValueError, match="value column"):
             scd2_intervals(df, "k", "ts", [])
 
+    def test_delete_aware_cdc_log(self, spark):
+        from openpolicedata_spark.operators.merge import scd2_intervals
+
+        rows = [
+            # A, delete (closes), delete (noop, junk payload differs),
+            # A again (NEW version despite equal value), B, trailing
+            # delete (closes, key ends with no current version)
+            (1, 10, "2024-01-01", "U", "A"),
+            (1, 11, "2024-01-02", "D", "zz"),
+            (1, 12, "2024-01-03", "D", "yy"),
+            (1, 13, "2024-01-04", "U", "A"),
+            (1, 14, "2024-01-05", "U", "B"),
+            (1, 15, "2024-01-06", "D", None),
+            # key 2: starts with a delete (emits nothing), then X
+            (2, 20, "2024-01-01", "D", None),
+            (2, 21, "2024-01-02", "U", "X"),
+        ]
+        df = spark.createDataFrame(
+            rows, "k int, cid int, t string, op string, v string"
+        ).select("k", "cid", "op",
+                 F.col("t").cast("timestamp_ntz").alias("ts"), "v")
+        out = sorted((r.k, str(r.valid_from)[:10], r.v,
+                      None if r.valid_to is None else str(r.valid_to)[:10],
+                      r.is_current)
+                     for r in scd2_intervals(
+                         df, "k", "ts", ["v"], tiebreak_col="cid",
+                         op_col="op").collect())
+        assert out == [
+            (1, "2024-01-01", "A", "2024-01-02", False),
+            (1, "2024-01-04", "A", "2024-01-05", False),
+            (1, "2024-01-05", "B", "2024-01-06", False),
+            (2, "2024-01-02", "X", None, True),
+        ]
+
 
 class TestRadiusPairs:
     def _pts(self, spark, rows):
