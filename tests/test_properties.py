@@ -742,3 +742,46 @@ def test_radius_pairs_equals_brute_force(spark, pts):
     assert set(out) == set(want)
     for k2, v in want.items():
         assert out[k2] == v, (k2, out[k2], v)
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(-1790, 1790), st.integers(-800, 800)),
+    min_size=2, max_size=18, unique=True))
+def test_radius_pairs_haversine_equals_brute_force(spark, pts):
+    """The haversine branch (delegating to scale.radius_join) must find
+    exactly the brute-force great-circle pairs — polar latitudes and
+    seam-adjacent longitudes included. Pairs within 1e-6 km of the
+    radius are exempt from membership (Python libm and the JVM may
+    differ in the last ulp); any matched pair's distance must agree to
+    1e-9 km."""
+    import math
+
+    from openpolicedata_spark.operators.geo import radius_pairs
+
+    R, RADIUS = 6371.0088, 500.0
+    rows = [(i, x / 10.0, y / 10.0) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    out = {(r.id_a, r.id_b): r.dist
+           for r in radius_pairs(df, "id", "lon", "lat",
+                                 radius=RADIUS,
+                                 metric="haversine").collect()}
+
+    def hav(p, q):
+        lon1, lat1 = p[0] / 10.0, p[1] / 10.0
+        lon2, lat2 = q[0] / 10.0, q[1] / 10.0
+        a = (math.sin(math.radians(lat2 - lat1) / 2) ** 2
+             + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+             * math.sin(math.radians(lon2 - lon1) / 2) ** 2)
+        return 2 * R * math.asin(math.sqrt(a))
+
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d = hav(pts[i], pts[j])
+            if abs(d - RADIUS) < 1e-6:
+                continue  # boundary ulp exemption
+            if d < RADIUS:
+                assert (i, j) in out, (pts[i], pts[j], d)
+                assert abs(out[(i, j)] - d) < 1e-9, (out[(i, j)], d)
+            else:
+                assert (i, j) not in out, (pts[i], pts[j], d)
