@@ -313,6 +313,7 @@ def dedup_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "clean_text",
+    min_line_chars: int = 1,
 ) -> DataFrame:
     """Corpus-wide LINE-level exact dedup with first-occurrence
     survivors (the FineWeb-style line dedup; round 10 —
@@ -321,8 +322,11 @@ def dedup_lines(
     corpus-wide, in its earliest position): split each document on
     newlines, keep a line iff no earlier (doc, position) carries the
     same text, and reassemble each document from its surviving lines in
-    original order. Blank/whitespace-only lines are ALWAYS kept
-    (pinned rule — deduping them would merge paragraph structure).
+    original order. Lines with fewer than `min_line_chars` non-space
+    characters are ALWAYS kept (pinned rule — blanks carry paragraph
+    structure and short lines like "Yes." are legitimately common;
+    the FineWeb-style setting dedups only substantial lines. The
+    default 1 exempts exactly the blank/whitespace-only lines).
 
     Plan shape: one posexplode, ONE hash exchange on the line digest
     for the first-occurrence window (row_number over (digest) ordered
@@ -332,12 +336,16 @@ def dedup_lines(
     position) triples and surviving lines — never documents twice.
     Output: (id, out_col, n_kept, n_dropped); a document whose every
     line was seen earlier comes back as the empty string."""
+    if min_line_chars < 1:
+        raise ValueError(
+            f"min_line_chars must be >= 1, got {min_line_chars}")
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("__idx__", "__line__"),
     )
-    blank = F.trim(F.col("__line__")) == ""
+    blank = (F.length(F.regexp_replace(F.col("__line__"), r"\s", ""))
+             < min_line_chars)
     w = Window.partitionBy("__dig__").orderBy(id_col, "__idx__")
     ranked = (lines
               .withColumn("__dig__", F.md5("__line__"))

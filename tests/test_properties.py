@@ -785,3 +785,36 @@ def test_radius_pairs_haversine_equals_brute_force(spark, pts):
                 assert abs(out[(i, j)] - d) < 1e-9, (out[(i, j)], d)
             else:
                 assert (i, j) not in out, (pts[i], pts[j], d)
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc dd", "", " ", "x"]),
+             min_size=0, max_size=6),
+    min_size=1, max_size=12), st.integers(1, 3))
+def test_dedup_lines_matches_python_reference(spark, docs, min_chars):
+    """dedup_lines equals the obvious sequential reference for any
+    corpus and min_line_chars: scan docs in id order, keep a line's
+    first occurrence, always keep lines with < min_chars non-space
+    characters."""
+    from openpolicedata_spark.operators.textpipe import dedup_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+           for r in dedup_lines(df, min_line_chars=min_chars).collect()}
+    seen = set()
+    for i, lines in enumerate(docs):
+        lines = ("\n".join(lines)).split("\n")   # '' doc -> ['']
+        kept = []
+        dropped = 0
+        for ln in lines:
+            exempt = len(ln.replace(" ", "")) < min_chars
+            if exempt or ln not in seen:
+                kept.append(ln)
+                if not exempt:
+                    seen.add(ln)
+            else:
+                dropped += 1
+        assert got[i] == ("\n".join(kept), len(kept), dropped), (
+            i, lines, got[i])
