@@ -60,6 +60,7 @@ def gap_fill(
     step_seconds: int = 3600,
     agg: Callable[[Column], Column] = F.max,
     mode: str = "locf",
+    max_span_buckets: "int | None" = None,
 ) -> DataFrame:
     """Regularize an irregular event series onto a fixed time grid and
     forward-fill the gaps (LOCF — the resample + last-observation-
@@ -88,11 +89,21 @@ def gap_fill(
     width is the key's own span, one keyed left join, one per-key
     window. Nothing is driver-side and no stage holds more than a
     key's grid in memory; skew follows key activity span, not row
-    count. Output: (key, bucket_ts, value — filled, is_gap)."""
+    count — which is exactly the hazard `max_span_buckets` caps: ONE
+    corrupted timestamp (epoch 0 against 2024 data) would explode a
+    ~470k-hour grid for that key. Keys whose span exceeds the cap are
+    DROPPED ENTIRELY (the LSH-bucket-cap contract: documented loss
+    instead of a blown-up stage — a span that wide is corruption, not
+    signal; audit the dropped keys upstream with `profile_columns` or
+    a min/max scan). Output: (key, bucket_ts, value — filled,
+    is_gap)."""
     if step_seconds < 1:
         raise ValueError(f"step_seconds must be >= 1, got {step_seconds}")
     if mode not in ("locf", "interp"):
         raise ValueError(f"unknown mode {mode!r}")
+    if max_span_buckets is not None and max_span_buckets < 1:
+        raise ValueError(
+            f"max_span_buckets must be >= 1, got {max_span_buckets}")
     k, v = F.col(key_col), F.col(value_col)
     # tz-independent bucketing: everything runs on the NAIVE clock
     # (TIMESTAMP_NTZ in = no conversion at all; TIMESTAMP_LTZ in =
@@ -116,6 +127,9 @@ def gap_fill(
     )
     span = obs.groupBy(key_col).agg(
         F.min("__b__").alias("__mn__"), F.max("__b__").alias("__mx__"))
+    if max_span_buckets is not None:
+        span = span.where(
+            F.col("__mx__") - F.col("__mn__") < max_span_buckets)
     grid = span.select(
         key_col,
         F.explode(F.sequence("__mn__", "__mx__")).alias("__b__"))

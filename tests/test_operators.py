@@ -1173,6 +1173,26 @@ class TestGapFill:
         with pytest.raises(ValueError, match="mode"):
             gap_fill(df, mode="cubic")
 
+    def test_max_span_buckets_drops_corrupted_epoch_key(self, spark):
+        from openpolicedata_spark.operators.events import gap_fill
+
+        rows = [(1, "2024-01-01 00:10:00", 1.0),
+                (1, "2024-01-01 02:10:00", 2.0),
+                (2, "1970-01-01 00:00:01", 5.0),   # corrupted epoch...
+                (2, "2024-01-01 00:00:00", 6.0)]   # ...against 2024
+        df = spark.createDataFrame(
+            rows, "user_id int, t string, value double",
+        ).select("user_id",
+                 F.col("t").cast("timestamp_ntz").alias("ts"), "value")
+        out = gap_fill(df, key_col="user_id", ts_col="ts",
+                       value_col="value", step_seconds=3600,
+                       max_span_buckets=1000)
+        got = {(r.user_id) for r in out.collect()}
+        assert got == {1}   # the 470k-bucket key dropped entirely
+        assert out.count() == 3
+        with pytest.raises(ValueError, match="max_span_buckets"):
+            gap_fill(df, max_span_buckets=0)
+
     def test_null_values_are_non_observations(self, spark):
         from openpolicedata_spark.operators.events import gap_fill
 
