@@ -8805,6 +8805,34 @@ QUALIFY NOT is_del
 """
 
 
+_Q201_BODY = """
+    SELECT metric,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           MIN(val) AS min_val, MAX(val) AS max_val
+    FROM {l} UNPIVOT (val FOR metric IN
+        (l_quantity, l_extendedprice, l_discount, l_tax))
+    GROUP BY metric
+"""
+
+
+def q201_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative UNPIVOT (round 10 — the SQL surface of the
+    explode-of-structs unpivot `profile_columns` hand-builds): four
+    lineitem measures melt to (metric, val) rows in ONE pass — Spark
+    plans the same Expand node the GROUPING SETS class uses (never
+    four unioned scans of the fact) — then a per-metric rollup whose
+    DECIMAL(18,6) sum is order-independent (the raw doubles are exact
+    at ≤2 decimals, so the cast loses nothing and both engines agree
+    bit-for-bit). The IDENTICAL SQL body runs on DuckDB (its UNPIVOT
+    shares the syntax)."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q201_l")
+    return spark.sql(_Q201_BODY.format(l="q201_l"))
+
+
+_Q201_SQL = _Q201_BODY.format(l="lineitem")
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -9629,6 +9657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_gap_interpolate": q198_gap_interpolate,
         "q199_line_dedup": q199_line_dedup,
         "q200_scd2_deletes": q200_scd2_deletes,
+        "q201_unpivot_metrics": q201_unpivot_metrics,
     }
     return base
 
@@ -9837,4 +9866,5 @@ def oracle_sql() -> dict[str, str]:
         "q198_gap_interpolate": _Q198_SQL,
         "q199_line_dedup": _Q199_SQL,
         "q200_scd2_deletes": _Q200_SQL,
+        "q201_unpivot_metrics": _Q201_SQL,
     }

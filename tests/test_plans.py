@@ -675,3 +675,16 @@ def test_q196_lateral_decorrelates_no_nested_loop(spark, sf_dir):
     # decorrelated per-custkey rollup), not a subquery marker
     assert _n_nodes(s.text, "HashAggregate") >= 3, s.text
     assert_no_python_in_plan(df)
+
+
+def test_q201_unpivot_one_expand_one_scan(spark, sf_dir):
+    """Declarative UNPIVOT (round-10): the four-measure melt must plan
+    as ONE Expand over ONE fact scan — four unioned scans would read
+    a 100 TB lineitem four times."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q201_unpivot_metrics"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Expand") == 1, t[:800]
+    assert _n_nodes(t, "Scan") == 1, t[:800]
+    assert_no_python_in_plan(df)
