@@ -26,6 +26,7 @@ from openpolicedata_spark.operators.textpipe import (
     cdc_chunks,
     chunk_documents,
     contamination_pairs,
+    dedup_lines,
     pack_documents,
     repetition_stats,
     weighted_mix,
@@ -35,7 +36,8 @@ __all__ = [
     "merge_tables", "find_id_column", "scd2_intervals", "expand",
     "exact_dedup", "dedup_cascade",
     "asof_join", "pack_documents", "chunk_documents", "cdc_chunks",
-    "contamination_pairs", "repetition_stats", "weighted_mix",
+    "contamination_pairs", "dedup_lines", "repetition_stats",
+    "weighted_mix",
     "bucketed_interval_join", "radius_join", "radius_pairs",
     "salted_agg", "salted_broadcast_join",
     "funnel", "gap_fill", "range_cluster_layout", "zorder_layout",

@@ -322,11 +322,17 @@ def dedup_lines(
     corpus-wide, in its earliest position): split each document on
     newlines, keep a line iff no earlier (doc, position) carries the
     same text, and reassemble each document from its surviving lines in
-    original order. Lines with fewer than `min_line_chars` non-space
-    characters are ALWAYS kept (pinned rule — blanks carry paragraph
-    structure and short lines like "Yes." are legitimately common;
-    the FineWeb-style setting dedups only substantial lines. The
-    default 1 exempts exactly the blank/whitespace-only lines).
+    original order. Lines with fewer than `min_line_chars`
+    non-whitespace characters are ALWAYS kept (pinned rule — blanks
+    carry paragraph structure and short lines like "Yes." are
+    legitimately common; the FineWeb-style setting dedups only
+    substantial lines. The default 1 exempts exactly the blank/
+    whitespace-only lines). "Whitespace" is pinned to the EXPLICIT
+    class [ \\t\\r\\f] — identical in Java regex and RE2, so the
+    operator, the q199 DuckDB oracle, and the hypothesis reference all
+    agree on a tab-only or CR-bearing line (Java \\s additionally
+    matches \\v, the same divergence the html_to_text fix closed;
+    \\n can't appear, lines are split on it).
 
     Plan shape: one posexplode, ONE hash exchange on the line digest
     for the first-occurrence window (row_number over (digest) ordered
@@ -344,7 +350,7 @@ def dedup_lines(
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("__idx__", "__line__"),
     )
-    blank = (F.length(F.regexp_replace(F.col("__line__"), r"\s", ""))
+    blank = (F.length(F.regexp_replace(F.col("__line__"), "[ \t\r\f]", ""))
              < min_line_chars)
     w = Window.partitionBy("__dig__").orderBy(id_col, "__idx__")
     ranked = (lines

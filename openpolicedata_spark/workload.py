@@ -8363,13 +8363,23 @@ def q192_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus an `is_gap` flag. Every stage is keyed (bucket aggregate with
     map-side partials, per-key span, keyed left join, per-key window);
     the first bucket of a key is observed by construction, so no
-    leading NULL survives. The oracle replays the grid with
-    `unnest(range(...))` and the fill with DuckDB's
-    `last_value(v IGNORE NULLS)` over the identical frame — bucket
-    indices are unique per key, so RANGE and ROWS frames agree."""
+    leading NULL survives. ~5% of values are junked to NULL
+    generatively (event_id % 19 — the q200 delete-payload pattern;
+    round 11) to pin the operator's "NULL values are
+    non-observations" pre-filter IN the oracle: an all-NULL bucket
+    must anchor neither the span nor the fill, so the replay's obs
+    CTE carries the same `WHERE value IS NOT NULL`
+    (tests/test_operators.py asserts the injection really produces
+    NULLs — without that the rule was vacuously green, VERDICT r10).
+    The oracle replays the grid with `unnest(range(...))` and the
+    fill with DuckDB's `last_value(v IGNORE NULLS)` over the
+    identical frame — bucket indices are unique per key, so RANGE
+    and ROWS frames agree."""
     from openpolicedata_spark.operators.events import gap_fill
 
-    e = _read(spark, sf_dir, "events")
+    e = _read(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_id") % 19 == 0, F.lit(None))
+        .otherwise(F.col("value")))
     out = gap_fill(e, key_col="user_id", ts_col="ts",
                    value_col="value", step_seconds=3600)
     return out.select(
@@ -8379,10 +8389,12 @@ def q192_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q192_SQL = """
 WITH b AS (
-  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bidx, value
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bidx,
+         CASE WHEN event_id % 19 = 0 THEN NULL ELSE value END AS value
   FROM events
 ), obs AS (
-  SELECT user_id, bidx, MAX(value) AS v FROM b GROUP BY 1, 2
+  SELECT user_id, bidx, MAX(value) AS v FROM b
+  WHERE value IS NOT NULL GROUP BY 1, 2
 ), span AS (
   SELECT user_id, MIN(bidx) AS mn, MAX(bidx) AS mx FROM obs GROUP BY 1
 ), grid AS (
@@ -8580,10 +8592,19 @@ def q197_spatial_radius_pairs(spark: SparkSession,
     (floor, multiply, compare), so DuckDB replays pair MEMBERSHIP
     bit-exactly, not just rounded values (haversine is the production
     metric; its ~1-ulp slack is fine for distances, not for set
-    membership — the unit tests pin that path). The max_cell_size cap
-    is replayed by the oracle too (a HAVING over cell counts), proving
-    the skew guard is part of the CONTRACT, not a fudge. Output:
-    (id_a, id_b, dist rounded 6)."""
+    membership — the unit tests pin that path). The longitude grid is
+    a RING (round 11): cell 0 and cell 179 join through pmod'd
+    offsets and the verify wraps Δlon modulo 360, so pairs straddling
+    ±180° are found and the oracle replays the wrap with the same
+    abs/least/subtract ops. Every 17th doc is remapped into a
+    [177°, 180°) ∪ [−180°, −177°) seam band (IEEE add/divide/
+    subtract in pinned order) so seam-crossing pairs exist at EVERY
+    scale factor, including the driver's sf0.01 gate — the wrap is
+    exercised, not decorative (2 crossing pairs at sf0.01, 126 at
+    sf0.1, measured).
+    The max_cell_size cap is replayed by the oracle too (a HAVING
+    over cell counts), proving the skew guard is part of the
+    CONTRACT, not a fudge. Output: (id_a, id_b, dist rounded 6)."""
     from openpolicedata_spark.operators.geo import radius_pairs
 
     d = _read(spark, sf_dir, "documents")
@@ -8591,9 +8612,14 @@ def q197_spatial_radius_pairs(spark: SparkSession,
     # doc_id*prime lattice never lands two points within the radius
     h1 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(F.md5("text"), 9, 8), 16, 10).cast("long")
+    seam_v = F.lit(177.0) + (h1 % 600) / F.lit(100.0)
+    lon = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.when(seam_v >= 180.0, seam_v - F.lit(360.0)).otherwise(seam_v),
+    ).otherwise((h1 % 36000) / 100.0 - 180.0)
     pts = d.select(
         "doc_id",
-        ((h1 % 36000) / 100.0 - 180.0).alias("lon"),
+        lon.alias("lon"),
         ((h2 % 12000) / 100.0 - 60.0).alias("lat"),
     )
     out = radius_pairs(pts, "doc_id", "lon", "lat", radius=2.0,
@@ -8603,16 +8629,23 @@ def q197_spatial_radius_pairs(spark: SparkSession,
 
 
 _Q197_SQL = """
-WITH pts AS (
+WITH h AS (
   SELECT doc_id,
-         CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 36000
-             / 100.0 - 180.0 AS lon,
-         CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 12000
-             / 100.0 - 60.0 AS lat
+         CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) AS h2
   FROM documents
+), pts AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN
+           CASE WHEN 177.0 + (h1 % 600) / 100.0 >= 180.0
+                THEN (177.0 + (h1 % 600) / 100.0) - 360.0
+                ELSE 177.0 + (h1 % 600) / 100.0 END
+         ELSE (h1 % 36000) / 100.0 - 180.0 END AS lon,
+         (h2 % 12000) / 100.0 - 60.0 AS lat
+  FROM h
 ), cells AS (
   SELECT doc_id, lon, lat,
-         CAST(floor(lon / 2.0) AS INT) AS cx,
+         CAST(floor((lon + 180.0) / 2.0) AS INT) % 180 AS cx,
          CAST(floor(lat / 2.0) AS INT) AS cy
   FROM pts
 ), ok AS (
@@ -8622,9 +8655,10 @@ WITH pts AS (
 ), cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          (a.lat - b.lat) * (a.lat - b.lat)
-         + (a.lon - b.lon) * (a.lon - b.lon) AS dd
+         + LEAST(abs(a.lon - b.lon), 360.0 - abs(a.lon - b.lon))
+           * LEAST(abs(a.lon - b.lon), 360.0 - abs(a.lon - b.lon)) AS dd
   FROM kept a JOIN kept b
-    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+    ON b.cx IN ((a.cx + 179) % 180, a.cx, (a.cx + 1) % 180)
    AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
    AND a.doc_id < b.doc_id
 )
@@ -8645,11 +8679,17 @@ def q198_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation rationals expose the engines' differing ROUND
     tie paths, while the unrounded values are deterministic). A quarter of
     the users (user_id % 4 = 1) keeps the comparator cheap; the
-    operator is identical for all."""
+    operator is identical for all. ~5% of values junk to NULL
+    generatively (event_id % 19, round 11 — see q192) so the
+    NULL-is-a-non-observation pre-filter is oracle-pinned in the
+    interp mode too: a bucket whose rows are all NULL must
+    interpolate like any other gap, never anchor a neighbor."""
     from openpolicedata_spark.operators.events import gap_fill
 
     e = _read(spark, sf_dir, "events").where(
-        F.col("user_id") % 4 == F.lit(1))
+        F.col("user_id") % 4 == F.lit(1)).withColumn(
+        "value", F.when(F.col("event_id") % 19 == 0, F.lit(None))
+        .otherwise(F.col("value")))
     out = gap_fill(e, key_col="user_id", ts_col="ts",
                    value_col="value", step_seconds=3600, mode="interp")
     # NO round: every op here is IEEE basic arithmetic in one pinned
@@ -8662,10 +8702,12 @@ def q198_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q198_SQL = """
 WITH b AS (
-  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bidx, value
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bidx,
+         CASE WHEN event_id % 19 = 0 THEN NULL ELSE value END AS value
   FROM events WHERE user_id % 4 = 1
 ), obs AS (
-  SELECT user_id, bidx, MAX(value) AS v FROM b GROUP BY 1, 2
+  SELECT user_id, bidx, MAX(value) AS v FROM b
+  WHERE value IS NOT NULL GROUP BY 1, 2
 ), span AS (
   SELECT user_id, MIN(bidx) AS mn, MAX(bidx) AS mx FROM obs GROUP BY 1
 ), grid AS (
@@ -8735,7 +8777,7 @@ WITH multi AS (
        unnest(range(1, len(ln) + 1)) t(i)
 ), ranked AS (
   SELECT doc_id, idx, line,
-         trim(line) = '' AS blank,
+         length(regexp_replace(line, '[ \t\r\f]', '', 'g')) = 0 AS blank,
          row_number() OVER (PARTITION BY md5(line)
                             ORDER BY doc_id, idx) AS rn
   FROM lines

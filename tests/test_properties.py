@@ -716,27 +716,41 @@ def test_scd2_intervals_tile_and_compress(spark, log):
 
 @settings(**SETTINGS)
 @given(st.lists(
-    st.tuples(st.integers(-1800, 1800), st.integers(-590, 590)),
+    st.tuples(st.integers(-1800, 1800), st.integers(-590, 590),
+              st.booleans()),
     min_size=2, max_size=25, unique=True))
 def test_radius_pairs_equals_brute_force(spark, pts):
     """Grid-blocked degree-metric pairs must equal the O(n²) brute
     force exactly (membership AND distance) for arbitrary point sets —
-    including points straddling cell boundaries."""
+    including points straddling cell boundaries AND the ±180° seam
+    (round 11: seam-flagged points are remapped into
+    [176°, 180°] ∪ [−180°, −176°], and the reference measures the
+    WRAPPED longitude difference min(|Δ|, 360−|Δ|) in the operator's
+    exact IEEE op order, so crossing pairs must match bit-for-bit)."""
     from openpolicedata_spark.operators.geo import radius_pairs
 
-    rows = [(i, x / 10.0, y / 10.0) for i, (x, y) in enumerate(pts)]
+    def _lon(x, seam):
+        if not seam:
+            return x / 10.0
+        # fold into [176, 184) then wrap past 180 to the negative side
+        v = 176.0 + ((x + 1800) % 80) / 10.0
+        return v - 360.0 if v >= 180.0 else v
+
+    coords = [(_lon(x, s), y / 10.0) for (x, y, s) in pts]
+    rows = [(i, lo, la) for i, (lo, la) in enumerate(coords)]
     df = spark.createDataFrame(rows, "id long, lon double, lat double")
     out = {(r.id_a, r.id_b): r.dist
            for r in radius_pairs(df, "id", "lon", "lat",
                                  radius=1.5, metric="degree").collect()}
     import math
     want = {}
-    for i, (xi, yi) in enumerate(pts):
-        for j in range(i + 1, len(pts)):
-            xj, yj = pts[j]
-            dlat = yi / 10.0 - yj / 10.0
-            dlon = xi / 10.0 - xj / 10.0
-            dd = dlat * dlat + dlon * dlon
+    for i, (xi, yi) in enumerate(coords):
+        for j in range(i + 1, len(coords)):
+            xj, yj = coords[j]
+            dlat = yi - yj
+            adl = abs(xi - xj)
+            wdl = min(adl, 360.0 - adl)
+            dd = dlat * dlat + wdl * wdl
             if dd <= 1.5 * 1.5:
                 want[(i, j)] = math.sqrt(dd)
     assert set(out) == set(want)
@@ -789,14 +803,21 @@ def test_radius_pairs_haversine_equals_brute_force(spark, pts):
 
 @settings(**SETTINGS)
 @given(st.lists(
-    st.lists(st.sampled_from(["a", "bb", "ccc dd", "", " ", "x"]),
+    st.lists(st.sampled_from(["a", "bb", "ccc dd", "", " ", "x",
+                              "\t", " \t ", "y\r", "\r"]),
              min_size=0, max_size=6),
     min_size=1, max_size=12), st.integers(1, 3))
 def test_dedup_lines_matches_python_reference(spark, docs, min_chars):
     """dedup_lines equals the obvious sequential reference for any
     corpus and min_line_chars: scan docs in id order, keep a line's
-    first occurrence, always keep lines with < min_chars non-space
-    characters."""
+    first occurrence, always keep lines with < min_chars
+    non-whitespace characters — whitespace pinned to the explicit
+    [ \\t\\r\\f] class on BOTH sides (the operator's regex and this
+    reference), so tab-only and CR-bearing lines exercise the same
+    rule (ADVICE r10: the old space-only reference vacuously agreed
+    with a \\s-classed operator)."""
+    import re
+
     from openpolicedata_spark.operators.textpipe import dedup_lines
 
     rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
@@ -809,7 +830,7 @@ def test_dedup_lines_matches_python_reference(spark, docs, min_chars):
         kept = []
         dropped = 0
         for ln in lines:
-            exempt = len(ln.replace(" ", "")) < min_chars
+            exempt = len(re.sub(r"[ \t\r\f]", "", ln)) < min_chars
             if exempt or ln not in seen:
                 kept.append(ln)
                 if not exempt:
