@@ -1091,3 +1091,250 @@ def media_scan_sink(stream_df: DataFrame, out_path: str,
         compact_index(spark, index_path, compact_index_files)
 
     _run_merge_sink(stream_df, body, None, query_name, timeout_s)
+
+def read_scd2(spark: SparkSession, path: str) -> DataFrame:
+    """Public read of an `scd2_sink` dimension: version rows only —
+    the in-table state/marker rows and bookkeeping columns stripped.
+    Schema: (key, *value_cols, valid_from, valid_to, is_current)."""
+    t = spark.read.parquet(path)
+    drop = [c for c in ("__kind__", "__del__", "__tb__", "__bid__")
+            if c in t.columns]
+    return t.where(F.col("__kind__") == "v").drop(*drop)
+
+
+def scd2_sink(stream_df: DataFrame, path: str,
+              key_col: str, ts_col: str, value_cols: "list[str]",
+              tiebreak_col: Optional[str] = None,
+              op_col: Optional[str] = None,
+              delete_marker: str = "D",
+              late_policy: str = "error",
+              checkpoint_dir: Optional[str] = None,
+              query_name: str = "scd2",
+              timeout_s: int = 300) -> None:
+    """Streaming delete-aware SCD type-2 sink (round 11 — the streaming
+    face of `operators.merge.scd2_intervals`; round-10's one operator
+    family with no sink): fold micro-batches of CDC change events into
+    a versioned parquet dimension at `path`, with EXACTLY the batch
+    operator's semantics — consecutive no-op re-emissions compress
+    away (null-safe run-state compare), each surviving version closes
+    at the next change's timestamp, a `delete_marker` op CLOSES the
+    open version without opening one (delete runs compress, delete
+    payloads are ignored, a re-insert after a delete is a NEW version
+    even when the value matches). Batch ≡ stream is a LAW here, tested
+    against `scd2_intervals` on the q200 generative log under
+    arbitrary in-order batch splits.
+
+    State the fold carries per key is O(keys), the
+    `stateful_cap_per_key` discipline: ONE 's'-kind row — the last
+    event's (is_delete, masked values, ts, tiebreak) — which is all
+    the run-state the compression window and the close need at the
+    batch boundary (the open version itself stays a normal 'v' row). State
+    rows, version rows, and replay-marker rows live in the SAME
+    parquet table, discriminated by `__kind__`, so every batch commits
+    atomically in one `_swap_dir` rename — no crash point can separate
+    versions from the state that describes them (the countmin_sink
+    marker argument). Read the dimension with `read_scd2`.
+
+    Exactly-once: with a persistent `checkpoint_dir`, batch ids are
+    monotonic across restarts and each applied id is recorded as an
+    'm'-kind marker row in the same atomic swap — a failure-recovery
+    redelivery is skipped outright. With the default ephemeral
+    checkpoint the guard is disabled (ids restart at 0 — same
+    discipline and reasoning as countmin_sink). Independently of the
+    markers, an INDIVIDUAL redelivered change row is absorbed by the
+    compression itself whenever order holds (its state equals the
+    stored last-event state — a no-op), so at-least-once row delivery
+    converges even unguarded.
+
+    Ordering contract: within a batch any order is fine (the window
+    sorts); ACROSS batches rows must not regress before their key's
+    stored last event — real CDC logs are per-key ordered. A LATE row
+    ((ts, tiebreak) strictly below the state row's) would require
+    rewriting closed history; `late_policy='error'` (default) fails
+    the batch loudly, `'drop'` discards late rows and folds the rest.
+
+    Scale: the merge is read-merge-rewrite — O(table) per batch, the
+    documented `upsert_sink` trade, right for bounded dimensions
+    (users, products); at 100 TB the same fold targets a MERGE-capable
+    format (Delta/Iceberg) keyed on (key, valid_from) and becomes
+    O(touched files) — nothing upstream of the sink changes. Every
+    stage is keyed on `key_col` (one hash exchange feeds the window,
+    the compression, and the close, exactly like the batch operator).
+
+    Cites: reference has no streaming (SURVEY.md §2.11); semantics
+    parity target is operators/merge.py scd2_intervals."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if not value_cols:
+        raise ValueError("scd2_sink needs at least one value column")
+    if late_policy not in ("error", "drop"):
+        raise ValueError(f"unknown late_policy {late_policy!r}")
+    spark = stream_df.sparkSession
+    guarded = checkpoint_dir is not None
+    sch = stream_df.schema
+    key_t = sch[key_col].dataType
+    ts_t = sch[ts_col].dataType
+    tb_t = sch[tiebreak_col].dataType if tiebreak_col else T.LongType()
+    canon = ([(key_col, key_t)]
+             + [(c, sch[c].dataType) for c in value_cols]
+             + [("valid_from", ts_t), ("valid_to", ts_t),
+                ("is_current", T.BooleanType()),
+                ("__del__", T.BooleanType()),
+                ("__tb__", tb_t), ("__bid__", T.LongType())])
+
+    def unify(df: DataFrame, kind: str) -> DataFrame:
+        out = df
+        for name, dt in canon:
+            if name not in out.columns:
+                out = out.withColumn(name, F.lit(None).cast(dt))
+        return out.select(
+            *[F.col(n) for n, _ in canon], F.lit(kind).alias("__kind__"))
+
+    order_tail = ["__tb__"] if tiebreak_col else []
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        _recover_dir(path)
+        prev = spark.read.parquet(path) if os.path.isdir(path) else None
+        if guarded and prev is not None:
+            applied = {r["__bid__"] for r in
+                       prev.where(F.col("__kind__") == "m")
+                       .select("__bid__").collect()}
+            if batch_id in applied:
+                return  # failure-recovery replay: already folded
+        is_del = (F.col(op_col) == F.lit(delete_marker)) if op_col \
+            else F.lit(False)
+        # masked values: delete payloads are junk by CDC convention —
+        # masking makes consecutive deletes equal whatever they carry
+        norm = batch.select(
+            F.col(key_col),
+            F.col(ts_col).alias("__ts__"),
+            (F.col(tiebreak_col) if tiebreak_col
+             else F.lit(None).cast("long")).alias("__tb__"),
+            is_del.alias("__del__"),
+            *[F.when(~is_del, F.col(c)).alias(c) for c in value_cols],
+        )
+        state = (prev.where(F.col("__kind__") == "s")
+                 if prev is not None else None)
+        if state is not None:
+            st = state.select(
+                F.col(key_col),
+                F.col("valid_from").alias("__sts__"),
+                F.col("__tb__").alias("__stb__"))
+            j = norm.join(st, on=key_col, how="left")
+            late = F.col("__ts__") < F.col("__sts__")
+            if tiebreak_col:
+                late = late | ((F.col("__ts__") == F.col("__sts__"))
+                               & (F.col("__tb__") < F.col("__stb__")))
+            if late_policy == "error":
+                bad = j.where(late).select(key_col, "__ts__").head(1)
+                if bad:
+                    raise ValueError(
+                        f"scd2_sink: late change for key "
+                        f"{bad[0][0]!r} at {bad[0][1]} regresses before "
+                        f"its stored last event (late_policy='error'; "
+                        f"CDC feeds must be per-key ordered across "
+                        f"batches)")
+            else:
+                norm = (j.where(~F.coalesce(late, F.lit(False)))
+                        .select(*norm.columns))
+        norm = norm.localCheckpoint(eager=False)
+        withseq = norm.withColumn("__seq__", F.lit(1))
+        if state is not None:
+            prev_rows = state.select(
+                F.col(key_col),
+                F.col("valid_from").alias("__ts__"),
+                F.col("__tb__"),
+                F.col("__del__"),
+                *[F.col(c) for c in value_cols],
+            ).withColumn("__seq__", F.lit(0))
+            withseq = prev_rows.unionByName(withseq)
+        # the synthetic state row sorts FIRST per key (__seq__ 0):
+        # lateness is already excluded, so batch rows never precede it
+        w = Window.partitionBy(key_col).orderBy(
+            "__seq__", "__ts__", *order_tail)
+        state_cols = [F.col("__del__")] + [F.col(c) for c in value_cols]
+        prev_same = None
+        for s in state_cols:
+            eq = F.lag(s).over(w).eqNullSafe(s)
+            prev_same = eq if prev_same is None else (prev_same & eq)
+        first = F.row_number().over(w) == 1
+        kept = (withseq
+                .withColumn("__keep__",
+                            (F.col("__seq__") == 1)
+                            & (first | ~prev_same))
+                .where(F.col("__keep__"))
+                .select(key_col, "__ts__", "__tb__", "__del__",
+                        *value_cols)
+                .localCheckpoint(eager=False))
+        # within-batch close: identical to the batch operator's w2
+        w2 = Window.partitionBy(key_col).orderBy("__ts__", *order_tail)
+        new_versions = kept.select(
+            F.col(key_col), *[F.col(c) for c in value_cols],
+            F.col("__del__"),
+            F.col("__ts__").alias("valid_from"),
+            F.lead("__ts__").over(w2).alias("valid_to"),
+            F.lead("__ts__").over(w2).isNull().alias("is_current"),
+        ).where(~F.col("__del__")).drop("__del__")
+        # cross-batch close: the first kept change (upsert OR delete)
+        # closes the key's stored open version
+        firsts = kept.groupBy(key_col).agg(
+            F.min("__ts__").alias("__close__"))
+        if prev is not None:
+            versions = (prev.where(F.col("__kind__") == "v")
+                        .join(firsts, on=key_col, how="left")
+                        .withColumn(
+                            "valid_to",
+                            F.when(F.col("is_current")
+                                   & F.col("__close__").isNotNull(),
+                                   F.col("__close__"))
+                            .otherwise(F.col("valid_to")))
+                        .withColumn(
+                            "is_current",
+                            F.when(F.col("__close__").isNotNull(),
+                                   F.lit(False))
+                            .otherwise(F.col("is_current")))
+                        .drop("__close__"))
+        else:
+            versions = None
+        # new per-key state: the LAST batch event (kept or no-op) —
+        # its masked values equal the last kept change's by the run
+        # law, and its (ts, tiebreak) is the lateness high-water mark
+        last_state = (norm.groupBy(key_col)
+                      .agg(F.max_by(
+                          F.struct("__ts__", "__tb__", "__del__",
+                                   *value_cols),
+                          F.struct("__ts__", *order_tail)).alias("__s__"))
+                      .select(key_col, "__s__.*"))
+        new_state = last_state.select(
+            F.col(key_col), *[F.col(c) for c in value_cols],
+            F.col("__ts__").alias("valid_from"),
+            F.col("__del__"), F.col("__tb__"))
+        parts = [unify(new_versions, "v"), unify(new_state, "s")]
+        if versions is not None:
+            parts.append(unify(versions, "v"))
+        if state is not None:
+            parts.append(unify(
+                state.join(last_state.select(key_col),
+                           on=key_col, how="left_anti"), "s"))
+        if prev is not None:
+            parts.append(unify(prev.where(F.col("__kind__") == "m"),
+                               "m"))
+        if guarded:
+            parts.append(unify(
+                spark.range(1).select(
+                    F.lit(batch_id).cast("long").alias("__bid__")),
+                "m"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        tmp = path.rstrip("/") + f".__stage_{batch_id}__"
+        out.write.mode("overwrite").parquet(tmp)
+        _swap_dir(tmp, path)
+
+    _run_merge_sink(stream_df, body, checkpoint_dir, query_name,
+                    timeout_s)
