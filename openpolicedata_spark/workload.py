@@ -8858,6 +8858,148 @@ _Q201_BODY = """
 """
 
 
+_Q202_BODY = """
+WITH freq AS (
+  SELECT l_partkey AS pk
+  FROM {l} GROUP BY l_partkey HAVING COUNT(*) >= 6
+)
+SELECT yr,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM (
+  SELECT 1995 AS yr, l_extendedprice
+  FROM {l} JOIN {o} ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1995 AND l_partkey IN (SELECT pk FROM freq)
+  UNION ALL
+  SELECT 1996 AS yr, l_extendedprice
+  FROM {l} JOIN {o} ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1996 AND l_partkey IN (SELECT pk FROM freq)
+  UNION ALL
+  SELECT 1997 AS yr, l_extendedprice
+  FROM {l} JOIN {o} ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1997 AND l_partkey IN (SELECT pk FROM freq)
+  UNION ALL
+  SELECT 1998 AS yr, l_extendedprice
+  FROM {l} JOIN {o} ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1998 AND l_partkey IN (SELECT pk FROM freq)
+)
+GROUP BY yr
+"""
+
+
+def q202_multi_consumer_reuse(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Multi-consumer CTE reuse (round 11 — the TPC-DS Q23 class: a
+    frequent-items CTE consumed FOUR times across channels; q194 pins
+    reuse across a self-join's TWO consumers, this pins the four-way
+    fan-in where accidental plan divergence actually bites): the
+    frequent-parts aggregate (parts on ≥6 lineitems) gates four
+    year-sliced order channels via IN-subqueries. Every consumer
+    prunes freq to the SAME single column, so the four aggregate
+    subtrees stay IDENTICAL — Spark must build the broadcast hash
+    relation ONCE and feed the other three consumers from
+    ReusedExchange nodes (pinned: exactly 3 in the final adaptive
+    plan; the q91 gotcha — column pruning splitting 'identical'
+    subtrees — is exactly what the single-column projection guards
+    against). Without reuse a 100 TB fact is scanned and aggregated
+    four times. DuckDB runs the identical body; DECIMAL sums keep the
+    engines bit-exact."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q202_l")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q202_o")
+    return spark.sql(_Q202_BODY.format(l="q202_l", o="q202_o"))
+
+
+_Q202_SQL = _Q202_BODY.format(l="lineitem", o="orders")
+
+
+def q203_skewed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately skewed fact-fact sort-merge join (round 11 — the
+    input shape AQE's OptimizeSkewedJoin exists for, which the corpus
+    handled only MANUALLY until now via salted_agg/salted_join
+    q38/q72 and the q128 audit): 60% of lineitem rows collapse onto
+    one synthetic join key (k=0 — 363k of 600k rows at sf0.1, the
+    measured hot partition) and join a 97-row unique-key side forced
+    onto the shuffle path by MERGE hints. Values are plain
+    DECIMAL-sum rollups — trivially exact in DuckDB — while the plan
+    is the interesting part: with the AQE skew knobs on, Spark splits
+    the hot reduce partition by MAPPER RANGES and duplicates the
+    matching build rows (SortMergeJoin(skew=true), pinned in
+    tests/test_plans.py under BOTH 8 and 17 shuffle partitions).
+    The `rebalance` is load-bearing at two levels: (a) the testdata
+    gotcha — single-row-group parquet gives the shuffle ONE map task;
+    (b) the round-11 measured engine finding — AQE can only split a
+    skewed reduce partition along mapper boundaries, so a
+    single-mapper stage is UNSPLITTABLE however skewed (SCALE.md
+    'AQE skew-join'); a 100 TB scan has thousands of mappers, the
+    local stand-in needs the round-robin exchange to get any."""
+    from openpolicedata_spark.operators.dedup import rebalance
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    a = rebalance(li).select(
+        F.when(F.col("l_orderkey") % 5 < 3, 0)
+        .otherwise(F.col("l_orderkey") % 97).alias("k"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("price"))
+    b = (o.where(F.col("o_orderkey") <= 97)
+         .select((F.col("o_orderkey") % 97).alias("k"),
+                 F.col("o_totalprice").cast("decimal(14,2)")
+                 .alias("weight")))
+    j = a.hint("merge").join(b.hint("merge"), on="k")
+    return (j.groupBy((F.col("k") % 8).cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("price").cast("double").alias("total_price"),
+                 F.sum("weight").cast("double").alias("total_weight")))
+
+
+_Q203_SQL = """
+WITH a AS (
+  SELECT CASE WHEN l_orderkey % 5 < 3 THEN 0 ELSE l_orderkey % 97 END AS k,
+         CAST(l_extendedprice AS DECIMAL(14,2)) AS price
+  FROM lineitem
+), b AS (
+  SELECT o_orderkey % 97 AS k,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS weight
+  FROM orders WHERE o_orderkey <= 97
+)
+SELECT CAST(a.k % 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(a.price) AS DOUBLE) AS total_price,
+       CAST(SUM(b.weight) AS DOUBLE) AS total_weight
+FROM a JOIN b ON a.k = b.k
+GROUP BY a.k % 8
+"""
+
+
+_Q204_BODY = """
+SELECT rf,
+       CAST(o_qty AS DOUBLE) AS o_qty,
+       CAST(f_qty AS DOUBLE) AS f_qty
+FROM (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(l_quantity AS DECIMAL(14,2)) AS qty
+  FROM {l}
+) PIVOT (SUM(qty) FOR ls IN ('O' AS o_qty, 'F' AS f_qty))
+"""
+
+
+def q204_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL PIVOT (round 11 — q201's UNPIVOT twin and
+    q13's SQL-surface sibling: the reporting layer writes `PIVOT`,
+    not groupBy().pivot()): lineitem quantities pivot linestatus
+    values into columns per returnflag. Spark lowers the clause to a
+    two-phase aggregate over ONE scan (pinned: one Scan, zero
+    Expand/Union — four filtered re-reads of a 100 TB fact would be
+    the naive lowering); the DECIMAL(14,2) sums are
+    order-independent, and the IDENTICAL SQL body runs on DuckDB
+    (its SQL-standard PIVOT form shares the syntax, including the
+    'O' AS o_qty value aliases)."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q204_l")
+    return spark.sql(_Q204_BODY.format(l="q204_l"))
+
+
+_Q204_SQL = _Q204_BODY.format(l="lineitem")
+
+
 def q201_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative UNPIVOT (round 10 — the SQL surface of the
     explode-of-structs unpivot `profile_columns` hand-builds): four
@@ -9700,6 +9842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_line_dedup": q199_line_dedup,
         "q200_scd2_deletes": q200_scd2_deletes,
         "q201_unpivot_metrics": q201_unpivot_metrics,
+        "q202_multi_consumer_reuse": q202_multi_consumer_reuse,
+        "q203_skewed_fact_join": q203_skewed_fact_join,
+        "q204_sql_pivot": q204_sql_pivot,
     }
     return base
 
@@ -9909,4 +10054,7 @@ def oracle_sql() -> dict[str, str]:
         "q199_line_dedup": _Q199_SQL,
         "q200_scd2_deletes": _Q200_SQL,
         "q201_unpivot_metrics": _Q201_SQL,
+        "q202_multi_consumer_reuse": _Q202_SQL,
+        "q203_skewed_fact_join": _Q203_SQL,
+        "q204_sql_pivot": _Q204_SQL,
     }

@@ -4,6 +4,7 @@ shuffle budget, JVM-only hot paths) asserted on real plans — per the
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from openpolicedata_spark import workload
@@ -687,4 +688,89 @@ def test_q201_unpivot_one_expand_one_scan(spark, sf_dir):
     t = formatted_plan(df)
     assert _n_nodes(t, "Expand") == 1, t[:800]
     assert _n_nodes(t, "Scan") == 1, t[:800]
+    assert_no_python_in_plan(df)
+
+
+def test_q202_freq_cte_planned_once_three_reuses(spark, sf_dir):
+    """Multi-consumer CTE reuse (round 11, TPC-DS Q23 class): the
+    frequent-parts aggregate feeds FOUR IN-subquery consumers — the
+    final adaptive plan must build it ONCE and feed the other three
+    from ReusedExchange nodes (counted in the simple-tree final plan,
+    where each consumer prints one line; the formatted-explain
+    double-print gotcha doesn't apply to plan_text)."""
+    import re as _re
+
+    from openpolicedata_spark.plans import plan_text
+
+    df = workload.queries()["q202_multi_consumer_reuse"](spark, sf_dir)
+    df.collect()
+    final = plan_text(df)
+    # strip the "== Initial Plan ==" section: reuse is a physical-plan
+    # property of the FINAL plan only
+    final = final.split("== Initial Plan ==")[0]
+    assert len(_re.findall(r"ReusedExchange", final)) == 3, final[:3000]
+    assert_no_python_in_plan(df)
+
+
+@pytest.mark.parametrize("parts", [8, 17])
+def test_q203_aqe_splits_skewed_partition(spark, sf_dir, parts):
+    """AQE skew-join pin (round 11): with the skew knobs on, the hot
+    synthetic key's reduce partition must be SPLIT by mapper ranges —
+    SortMergeJoin(skew=true) in the FINAL adaptive plan (the
+    collect-first gotcha applies) under both the default and the
+    17-partition sweep parallelism. The knobs are set only inside
+    this test and restored; the workload query itself is
+    correctness-only (exact DuckDB oracle)."""
+    import re as _re
+
+    from openpolicedata_spark.plans import plan_text
+
+    knobs = {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # thresholds scaled to the sf0.001 test data (the hot
+        # partition is ~6k rows ≈ tens of KB compressed; production
+        # defaults are 256MB/64MB — the MECHANISM, not the numbers,
+        # is what's pinned)
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "4096",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {}
+    for k, v in knobs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = workload.queries()["q203_skewed_fact_join"](spark, sf_dir)
+        rows = {r.bucket: r.n_rows for r in df.collect()}
+        final = plan_text(df)
+        assert _re.search(r"SortMergeJoin\(skew=true\)", final), \
+            final[:3000]
+        assert "skewed" in final, final[:3000]   # AQEShuffleRead ... skewed
+        # the hot bucket really is hot (the split had something to do)
+        assert rows[0] > 10 * max(v for k2, v in rows.items() if k2 != 0)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_q204_pivot_one_scan_no_expand(spark, sf_dir):
+    """Declarative SQL PIVOT (round 11): the two-column pivot must
+    plan as aggregates over ONE fact scan — never per-value filtered
+    re-reads (Union) or an Expand fan-out."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q204_sql_pivot"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Scan") == 1, t[:800]
+    assert _n_nodes(t, "Expand") == 0, t[:800]
+    assert _n_nodes(t, "Union") == 0, t[:800]
     assert_no_python_in_plan(df)
