@@ -239,7 +239,11 @@ def run_available_now(stream_df: DataFrame, query_name: str,
 def _output_mode(df: DataFrame) -> str:
     plan = df._jdf.queryExecution().analyzed().toString()
     if "FlatMapGroupsInPandasWithState" in plan:
-        return "update"   # applyInPandasWithState(update) requires it
+        # the sink mode must MATCH the mode the operator was declared
+        # with (update for the cap/totals ops, append for
+        # stateful_gap_fill's emit-once rows) — the analyzed plan
+        # prints it in the node args
+        return "append" if ", Append," in plan else "update"
     if "Aggregate" in plan:
         return "complete"
     return "append"
@@ -1338,3 +1342,176 @@ def scd2_sink(stream_df: DataFrame, path: str,
 
     _run_merge_sink(stream_df, body, checkpoint_dir, query_name,
                     timeout_s)
+
+def stateful_gap_fill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+    mode: str = "locf",
+    late_policy: str = "error",
+    flush_delay: "Optional[str]" = "0 seconds",
+) -> DataFrame:
+    """Streaming time-grid gap fill — the incremental face of
+    `events.gap_fill` (round 11, the VERDICT r10 #7 probe, resolved as
+    BUILDABLE): per key, emit one row per `step_seconds` bucket from
+    the key's first observation onward, gaps filled by LOCF or linear
+    interpolation, with state = ONE open observation per key
+    (applyInPandasWithState; O(keys), the stateful_cap_per_key
+    discipline).
+
+    The probe's feared blocker — unbounded grid emission for idle keys
+    — does not exist for THESE semantics: the batch operator's grid
+    ends at each key's own max OBSERVED bucket, so the stream never
+    emits into wall-clock time at all. A bucket is emitted when it
+    CLOSES: a later-bucket observation arrives (emitting the open
+    bucket plus its trailing gap rows — for 'interp' the gap values
+    need the closing neighbor, which is exactly why emission waits for
+    the close; LOCF waits too so a still-accumulating open bucket
+    can't emit a stale max), or the EVENT-TIME watermark passes the
+    open bucket's end by `flush_delay` and the key's state times out,
+    flushing the span's tail (EventTimeTimeout — watermark-driven like
+    every other state eviction in this module). Hence the parity LAW,
+    tested: over in-order batches with no flush (`flush_delay=None`),
+    emitted rows ≡ batch `gap_fill` minus each key's final-bucket row;
+    once the watermark passes every open bucket (any later event
+    advances it — a heartbeat row with a NULL value works, NULLs being
+    non-observations), ≡ batch `gap_fill` EXACTLY. A flush closes the
+    span — a key reactivating later starts a NEW span
+    (live-feature-store semantics; replaying history in one span is
+    what batch backfill is for).
+
+    Why event-time and not processing-time flushes: measured round 11,
+    a ProcessingTimeTimeout keeps a `trigger(availableNow)` drain
+    running FOREVER (the engine holds the query open for future timer
+    batches even with zero live state — 40 s probe, never terminated),
+    while event-time timeouts resolve against the data's own watermark
+    and the drain stops when the data ends. The same reasoning makes
+    event-time the right production semantics: a stalled feed should
+    NOT flush tails just because wall-clock passed.
+
+    Aggregation within a bucket is pinned to MAX (the batch default —
+    an open bucket accumulates across micro-batches, so the agg must
+    be a semigroup merge; arbitrary `agg` callables stay batch-only).
+    NULL values are non-observations, exactly like batch. A row whose
+    bucket precedes the key's open bucket would rewrite emitted
+    history: `late_policy='error'` (default) fails the query loudly,
+    `'drop'` discards it. Batch input delegates to `events.gap_fill`
+    — one semantics, two execution modes."""
+    import pandas as pd
+
+    from openpolicedata_spark.operators.events import gap_fill
+
+    if mode not in ("locf", "interp"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if late_policy not in ("error", "drop"):
+        raise ValueError(f"unknown late_policy {late_policy!r}")
+    if step_seconds < 1:
+        raise ValueError(f"step_seconds must be >= 1, got {step_seconds}")
+    if not df.isStreaming:
+        return gap_fill(df, key_col=key_col, ts_col=ts_col,
+                        value_col=value_col, step_seconds=step_seconds,
+                        mode=mode)
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_t = df.schema[key_col].dataType
+    out_schema = T.StructType([
+        T.StructField(key_col, key_t),
+        T.StructField("bucket_ts", T.TimestampNTZType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("is_gap", T.BooleanType()),
+    ])
+    step = int(step_seconds)
+    interp = mode == "interp"
+    flushing = flush_delay is not None
+
+    def _rows(key, buckets, values, gaps):
+        return pd.DataFrame({
+            key_col: [key] * len(buckets),
+            "bucket_ts": pd.to_datetime(
+                [b * step for b in buckets], unit="s"),
+            "value": values,
+            "is_gap": gaps,
+        })
+
+    def _arm(state):
+        # flush when the watermark passes the open bucket's end; the
+        # engine rejects timestamps <= the current watermark, so a
+        # bucket already behind it arms one ms ahead (flushes at the
+        # next watermark advance)
+        ob, _ = state.get
+        state.setTimeoutTimestamp(
+            max((ob + 1) * step * 1000,
+                state.getCurrentWatermarkMs() + 1))
+
+    def update(key, pdfs, state: GroupState):
+        k = key[0]
+        if state.hasTimedOut:
+            ob, ov = state.get
+            state.remove()
+            yield _rows(k, [ob], [ov], [False])
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch[value_col].notna()]
+        if len(batch) == 0:
+            if state.exists and flushing:
+                _arm(state)
+            return
+        tser = batch[ts_col]
+        if getattr(tser.dtype, "tz", None) is not None:
+            # the flush path casts ts to tz-aware TIMESTAMP (watermarks
+            # require it); session tz is pinned UTC so the naive view
+            # is the same instant the ntz arithmetic uses
+            tser = tser.dt.tz_convert("UTC").dt.tz_localize(None)
+        secs = (tser.astype("datetime64[s]").astype("int64"))
+        agg = (pd.DataFrame({"b": secs // step,
+                             "v": batch[value_col].astype(float)})
+               .groupby("b")["v"].max().sort_index())
+        ob, ov = state.get if state.exists else (None, None)
+        bs, vs, gs = [], [], []
+        for b, v in agg.items():
+            b = int(b)
+            if ob is None:
+                ob, ov = b, float(v)
+                continue
+            if b < ob:
+                if late_policy == "error":
+                    raise ValueError(
+                        f"stateful_gap_fill: late row for key {k!r} "
+                        f"(bucket {b} < open bucket {ob}); emitted "
+                        f"history is immutable (late_policy='error')")
+                continue
+            if b == ob:
+                ov = max(ov, float(v))
+                continue
+            nv = float(v)
+            bs.append(ob); vs.append(ov); gs.append(False)
+            for g in range(ob + 1, b):
+                fill = (ov + (nv - ov) * float(g - ob) / float(b - ob)
+                        if interp else ov)
+                bs.append(g); vs.append(fill); gs.append(True)
+            ob, ov = b, nv
+        state.update((ob, ov))
+        if flushing:
+            _arm(state)
+        if bs:
+            yield _rows(k, bs, vs, gs)
+
+    if flushing:
+        # watermarks require the tz-aware TIMESTAMP type; the session tz
+        # is pinned UTC so an ntz column casts value-preservingly
+        df = (df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+              .withWatermark(ts_col, flush_delay))
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="ob long, ov double",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
