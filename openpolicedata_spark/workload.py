@@ -9000,6 +9000,102 @@ def q204_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q204_SQL = _Q204_BODY.format(l="lineitem")
 
 
+_Q205_SNAPS = ["2024-01-08 00:00:00", "2024-01-16 12:00:00",
+               "2024-01-25 06:00:00"]
+
+
+def q205_scd2_point_in_time(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 snapshot reconstruction (round 11 — THE
+    temporal-correctness query of a training-data pipeline: joining
+    features valid AS OF each example's timestamp is what prevents
+    time-travel leakage; q193 builds the versioned dimension, this
+    consumes it): for three snapshot instants, count users per
+    event_type version valid at that instant — `valid_from <= snap <
+    valid_to` with an open tail (`valid_to IS NULL`). The snapshot
+    side is a THREE-ROW literal broadcast, so the containment join is
+    a documented tiny-broadcast nested-loop (the PLANS.md class —
+    every fact row tests 3 literals; for a big snapshot table the
+    same query routes through scale.bucketed_interval_join instead).
+    Each user has at most one valid version per instant by SCD2
+    construction, so COUNT(*) is the user count. The oracle replays
+    the q193 dimension CTE plus the identical containment in
+    DuckDB."""
+    from openpolicedata_spark.operators.merge import scd2_intervals
+
+    e = _read(spark, sf_dir, "events")
+    dim = scd2_intervals(e, "user_id", "ts", ["event_type"],
+                         tiebreak_col="event_id")
+    snaps = spark.createDataFrame(
+        [(s,) for s in _Q205_SNAPS], "s string").select(
+        F.col("s").cast("timestamp_ntz").alias("snap_ts"))
+    j = dim.join(
+        F.broadcast(snaps),
+        (F.col("valid_from") <= F.col("snap_ts"))
+        & (F.col("valid_to").isNull()
+           | (F.col("snap_ts") < F.col("valid_to"))))
+    return (j.groupBy("snap_ts", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+_Q205_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), kept AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+), dim AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
+  FROM kept
+), snaps AS (
+  SELECT unnest(['{s0}','{s1}','{s2}']::TIMESTAMP[]) AS snap_ts
+)
+SELECT snap_ts, event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM dim, snaps
+WHERE valid_from <= snap_ts AND (valid_to IS NULL OR snap_ts < valid_to)
+GROUP BY 1, 2
+""".format(s0=_Q205_SNAPS[0], s1=_Q205_SNAPS[1], s2=_Q205_SNAPS[2])
+
+
+_Q206_BODY = """
+SELECT
+  CAST((SELECT COUNT(*) FROM {l} WHERE l_quantity > 30)
+       AS BIGINT) AS n_hi,
+  CAST((SELECT SUM(CAST(l_extendedprice AS DECIMAL(14,2))) FROM {l}
+        WHERE l_quantity > 30) AS DOUBLE) AS sum_hi,
+  CAST((SELECT MAX(l_extendedprice) FROM {l} WHERE l_quantity > 30)
+       AS DOUBLE) AS max_hi,
+  CAST((SELECT MIN(l_extendedprice) FROM {l} WHERE l_quantity > 30)
+       AS DOUBLE) AS min_hi
+"""
+
+
+def q206_merged_scalar_subqueries(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Scalar-subquery merging (round 11 — the TPC-DS Q9/Q28 dashboard
+    shape and the LAST uncovered subquery-optimizer class: four
+    scalar aggregates over the same filtered fact): Spark's
+    MergeScalarSubqueries must fuse the four subplans into ONE
+    aggregate computing a struct of all four functions over ONE scan
+    (pinned: a single 'Scan parquet' in the whole formatted plan
+    incl. the Subqueries section, ReusedSubquery markers for the
+    other three) — a naive engine reads a 100 TB fact four times for
+    one dashboard row. In Spark 4 the merge materializes only in the
+    FINAL adaptive plan (the collect-first gotcha — measured: 4
+    scans/0 reuses before execution, 1/3 after). The identical SQL
+    body runs on DuckDB; the filter pushes into the one scan
+    (PushedFilters pinned)."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q206_l")
+    return spark.sql(_Q206_BODY.format(l="q206_l"))
+
+
+_Q206_SQL = _Q206_BODY.format(l="lineitem")
+
+
 def q201_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative UNPIVOT (round 10 — the SQL surface of the
     explode-of-structs unpivot `profile_columns` hand-builds): four
@@ -9845,6 +9941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_multi_consumer_reuse": q202_multi_consumer_reuse,
         "q203_skewed_fact_join": q203_skewed_fact_join,
         "q204_sql_pivot": q204_sql_pivot,
+        "q205_scd2_point_in_time": q205_scd2_point_in_time,
+        "q206_merged_scalar_subqueries": q206_merged_scalar_subqueries,
     }
     return base
 
@@ -10057,4 +10155,6 @@ def oracle_sql() -> dict[str, str]:
         "q202_multi_consumer_reuse": _Q202_SQL,
         "q203_skewed_fact_join": _Q203_SQL,
         "q204_sql_pivot": _Q204_SQL,
+        "q205_scd2_point_in_time": _Q205_SQL,
+        "q206_merged_scalar_subqueries": _Q206_SQL,
     }

@@ -774,3 +774,49 @@ def test_q204_pivot_one_scan_no_expand(spark, sf_dir):
     assert _n_nodes(t, "Expand") == 0, t[:800]
     assert _n_nodes(t, "Union") == 0, t[:800]
     assert_no_python_in_plan(df)
+
+
+def test_q205_point_in_time_small_broadcast_one_exchange(spark, sf_dir):
+    """Point-in-time SCD2 snapshot (round 11): the dimension build
+    keeps q193's one-keyed-exchange + two-window shape, and the
+    3-literal snapshot side joins as a tiny BROADCAST (the documented
+    small-broadcast nested-loop class — a range condition over three
+    literals), never a shuffle of the versions."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q205_scd2_point_in_time"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Window") == 2, t[:800]
+    assert _n_nodes(t, "BroadcastNestedLoopJoin") == 1, t[:800]
+    # exchanges: the key hash for the windows, the broadcast of the
+    # 3-row snapshot list, and the final groupBy — never more
+    s = summarize_plan(df)
+    assert s.n_exchanges <= 3, s.text
+    assert_no_python_in_plan(df)
+
+
+def test_q206_scalar_subqueries_merge_to_one_scan(spark, sf_dir):
+    """Scalar-subquery merging (round 11): four scalar aggregates over
+    the same filtered fact must fuse into ONE aggregate over ONE
+    'Scan parquet' (counted across the whole formatted plan including
+    the Subqueries section), with ReusedSubquery markers for the other
+    three — and the shared filter pushed into that one scan. In
+    Spark 4 the merge only materializes in the FINAL adaptive plan
+    (the collect-first gotcha, measured round 11: 4 scans / 0
+    ReusedSubquery before execution, 1 / 3 after)."""
+    import re as _re
+
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q206_merged_scalar_subqueries"](spark,
+                                                             sf_dir)
+    df.collect()
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Scan parquet") == 1, t[:1200]
+    assert "ReusedSubquery" in t, t[:1200]
+    # all four functions fused into the single aggregate
+    m = _re.search(r"Functions \[4\]: \[partial_count.*partial_sum"
+                   r".*partial_max.*partial_min", t, _re.DOTALL)
+    assert m, t[:2500]
+    assert_filter_pushed(df, "GreaterThan(l_quantity")
+    assert_no_python_in_plan(df)

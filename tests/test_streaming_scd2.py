@@ -262,3 +262,55 @@ def test_scd2_sink_redelivered_row_is_absorbed_unguarded(spark,
                  for r in read_scd2(spark, out).collect())
     assert got == [(1, "A", "2024-01-01", False),
                    (1, "B", "2024-01-02", True)]
+
+
+def test_scd2_sink_row_per_batch_maximal_boundary_stress(spark,
+                                                         tmp_path):
+    """EVERY adjacent-row boundary becomes a batch boundary (one row
+    per micro-batch) on a crafted log packing the nasty shapes —
+    timestamp ties resolved by tiebreak, no-op runs, delete runs,
+    re-insert after delete, interleaved keys — and the fold must still
+    equal scd2_intervals exactly. This is the strongest split the
+    in-order contract allows."""
+    from openpolicedata_spark.operators.merge import scd2_intervals
+    from openpolicedata_spark.streaming import scd2_sink
+
+    schema = "k long, cid long, t string, op string, v string"
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "U", "A"),
+        (2, 2, "2024-01-01 00:00:00", "U", "X"),
+        (1, 3, "2024-01-02 00:00:00", "U", "A"),   # no-op
+        (1, 4, "2024-01-02 00:00:00", "U", "B"),   # tie, tiebreak wins
+        (2, 5, "2024-01-03 00:00:00", "D", "junk"),
+        (2, 6, "2024-01-03 00:00:00", "D", "junk2"),  # delete run, tie
+        (1, 7, "2024-01-04 00:00:00", "U", "B"),   # no-op
+        (2, 8, "2024-01-05 00:00:00", "U", "X"),   # re-insert post-del
+        (1, 9, "2024-01-06 00:00:00", "D", "zzz"),
+        (1, 10, "2024-01-07 00:00:00", "U", "B"),  # re-insert same val
+        (2, 11, "2024-01-07 00:00:00", "U", "Y"),
+        (1, 12, "2024-01-08 00:00:00", "U", "B"),  # trailing no-op
+    ]
+    frame = (spark.createDataFrame(rows, schema)
+             .withColumn("ts", F.col("t").cast("timestamp_ntz"))
+             .drop("t").select("k", "cid", "ts", "op", "v"))
+    expected = {tuple(r) for r in scd2_intervals(
+        frame, "k", "ts", ["v"], tiebreak_col="cid", op_col="op")
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .collect()}
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, row in enumerate(rows):
+        (spark.createDataFrame([row], schema)
+         .withColumn("ts", F.col("t").cast("timestamp_ntz"))
+         .drop("t").select("k", "cid", "ts", "op", "v")
+         .coalesce(1).write.parquet(str(src / f"b{i:02d}")))
+    out = str(tmp_path / "dim")
+    scd2_sink(_stream(spark, frame, src), out, "k", "ts", ["v"],
+              tiebreak_col="cid", op_col="op", timeout_s=600)
+    from openpolicedata_spark.streaming import read_scd2
+
+    got = {tuple(r) for r in read_scd2(spark, out)
+           .select("k", "v", "valid_from", "valid_to", "is_current")
+           .collect()}
+    assert got == expected
