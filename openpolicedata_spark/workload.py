@@ -9096,6 +9096,108 @@ def q206_merged_scalar_subqueries(spark: SparkSession,
 _Q206_SQL = _Q206_BODY.format(l="lineitem")
 
 
+def q207_runtime_bloom_join(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (round 11 — InjectRuntimeFilter,
+    the THIRD adaptive/runtime plan class after DPP and skew-split,
+    and the one that matters when the fact is NOT partition-laid-out):
+    a selective part filter (p_size < 3) joined to lineitem on the
+    shuffle path. With the runtime-filter knobs on, Spark builds a
+    bloom_filter_agg over the dim's join keys and injects
+    `might_contain(...)` into the FACT scan's filter — at 100 TB that
+    turns a full-fact shuffle into a shuffle of only
+    plausibly-matching rows, the engine-native form of
+    sketch.bloom_probe's decontamination join. Values are plain
+    DECIMAL rollups per p_size (trivially exact in DuckDB); the bloom
+    injection is pinned in tests/test_plans.py with the thresholds
+    scaled to the test data (the MERGE hints keep the join on the
+    shuffle path — a broadcast join gets no runtime filter)."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    dim = p.where(F.col("p_size") < 3).select("p_partkey", "p_size")
+    j = li.hint("merge").join(
+        dim.hint("merge"), li["l_partkey"] == dim["p_partkey"])
+    return (j.groupBy("p_size")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+                 .cast("double").alias("revenue")))
+
+
+_Q207_SQL = """
+SELECT p_size,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size < 3
+GROUP BY p_size
+"""
+
+
+_Q208_GOOD = """concat('<doc id="', doc_id, '"><lang>', lang,
+    '</lang><score>', CAST(n_chars AS STRING), '</score><body>',
+    substring(md5(text), 1, 12), '</body><amp>a&amp;', lang,
+    '</amp></doc>')"""
+
+
+def q208_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML parsing (round 11 — Spark 4's built-in `from_xml`,
+    the q190 VARIANT sibling for the other semi-structured format a
+    crawl pipeline ingests): each document becomes a generative XML
+    payload (id attribute, three elements, an entity-escaped field);
+    every 13th doc truncates mid-tag to pin the malformed contract
+    (from_xml returns an all-NULL struct — measured, like
+    try_parse_json's NULL). The parse is load-bearing in the oracle:
+    per parsed lang (malformed rows group under '__bad__'), count,
+    summed parsed score, an ordered md5 fingerprint of the parsed
+    bodies, and an entity-decode check (`a&amp;` must come back as
+    'a&'). DuckDB replays the expected values FROM THE SOURCE COLUMNS
+    (generative replay — any mis-parse, mis-unescape, or
+    malformed-row leak breaks the hash). XML work is row-local
+    expressions: zero exchanges before the final rollup."""
+    d = _read(spark, sf_dir, "documents")
+    xml = d.selectExpr(
+        "doc_id",
+        f"""CASE WHEN doc_id % 13 = 0
+             THEN substring({_Q208_GOOD}, 1, 25)
+             ELSE {_Q208_GOOD} END AS payload""")
+    parsed = xml.select(
+        F.from_xml(
+            "payload",
+            "_id BIGINT, lang STRING, score BIGINT, body STRING, "
+            "amp STRING").alias("x"))
+    return (parsed
+            .groupBy(F.coalesce(F.col("x.lang"), F.lit("__bad__"))
+                     .alias("lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("x.score").alias("sum_score"),
+                 F.md5(F.coalesce(
+                     F.expr("listagg(x.body, '') "
+                            "WITHIN GROUP (ORDER BY x._id)"),
+                     F.lit(""))).alias("bodies_md5"),
+                 F.sum(F.when(F.col("x.amp")
+                              == F.concat(F.lit("a&"), F.col("x.lang")),
+                              1).otherwise(0)).alias("n_amp_ok")))
+
+
+_Q208_SQL = """
+WITH src AS (
+  SELECT doc_id, lang, n_chars, substring(md5(text), 1, 12) AS body,
+         doc_id % 13 = 0 AS bad
+  FROM documents
+)
+SELECT CASE WHEN bad THEN '__bad__' ELSE lang END AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN bad THEN NULL ELSE n_chars END) AS BIGINT)
+           AS sum_score,
+       md5(COALESCE(string_agg(CASE WHEN bad THEN NULL ELSE body END,
+                               '' ORDER BY doc_id), '')) AS bodies_md5,
+       CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT) AS n_amp_ok
+FROM src
+GROUP BY 1
+"""
+
+
 def q201_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative UNPIVOT (round 10 — the SQL surface of the
     explode-of-structs unpivot `profile_columns` hand-builds): four
@@ -9943,6 +10045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_sql_pivot": q204_sql_pivot,
         "q205_scd2_point_in_time": q205_scd2_point_in_time,
         "q206_merged_scalar_subqueries": q206_merged_scalar_subqueries,
+        "q207_runtime_bloom_join": q207_runtime_bloom_join,
+        "q208_xml_roundtrip": q208_xml_roundtrip,
     }
     return base
 
@@ -10157,4 +10261,6 @@ def oracle_sql() -> dict[str, str]:
         "q204_sql_pivot": _Q204_SQL,
         "q205_scd2_point_in_time": _Q205_SQL,
         "q206_merged_scalar_subqueries": _Q206_SQL,
+        "q207_runtime_bloom_join": _Q207_SQL,
+        "q208_xml_roundtrip": _Q208_SQL,
     }

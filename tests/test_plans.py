@@ -820,3 +820,62 @@ def test_q206_scalar_subqueries_merge_to_one_scan(spark, sf_dir):
     assert m, t[:2500]
     assert_filter_pushed(df, "GreaterThan(l_quantity")
     assert_no_python_in_plan(df)
+
+
+def test_q207_runtime_bloom_filter_injected(spark, sf_dir):
+    """InjectRuntimeFilter (round 11 — the third runtime plan class
+    after DPP and skew-split): with the runtime-filter knobs on, the
+    selective dim side must build a bloom_filter_agg over its join
+    keys and the FACT side's filter must gain might_contain(...) —
+    the engine-native decontamination join. Knobs are set only here
+    (thresholds scaled to the test data) and restored; the workload
+    query stays correctness-only."""
+    knobs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        # the rule SKIPS joins whose build side could broadcast by
+        # size (a broadcast join needs no runtime filter) — the tiny
+        # test dim must look non-broadcastable for injection to apply
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in knobs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = workload.queries()["q207_runtime_bloom_join"](spark,
+                                                           sf_dir)
+        t = formatted_plan(df)
+        assert "bloom_filter_agg" in t, t[:2000]
+        assert "might_contain" in t, t[:2000]
+        # the injected probe sits in the FACT side's Filter condition
+        probe = [ln for ln in t.splitlines()
+                 if "Condition" in ln and "might_contain" in ln]
+        assert probe and "l_partkey" in probe[0], probe
+        assert_no_python_in_plan(df)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_q208_xml_parse_is_row_local(spark, sf_dir):
+    """from_xml round trip (round 11): all XML construction and
+    parsing is row-local expression work — exactly ONE exchange (the
+    final lang rollup), one scan, zero Python."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q208_xml_roundtrip"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Scan parquet") == 1, t[:800]
+    assert "from_xml" in t, t[:800]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
