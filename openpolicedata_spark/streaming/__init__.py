@@ -1148,7 +1148,12 @@ def scd2_sink(stream_df: DataFrame, path: str,
     markers, an INDIVIDUAL redelivered change row is absorbed by the
     compression itself whenever order holds (its state equals the
     stored last-event state — a no-op), so at-least-once row delivery
-    converges even unguarded.
+    converges even unguarded. The guard matters for FULL-batch
+    replays of batches carrying several changes for one key: the
+    non-final changes then sit BEFORE the stored last event and trip
+    the late detector (loudly, under 'error') — crash-recovery
+    redelivery without a persistent checkpoint is only safe when
+    each key changes at most once per batch.
 
     Ordering contract: within a batch any order is fine (the window
     sorts); ACROSS batches rows must not regress before their key's

@@ -544,3 +544,49 @@ def test_pipeline_line_dedup_branch(spark, docs):
     again = dedup_lines(out.where(F.col("n_kept") > 0).selectExpr(
         "doc_id", "clean_text AS text"))
     assert again.agg(F.sum("n_dropped")).first()[0] == 0
+
+
+def test_pipeline_point_in_time_feature_branch(spark, sf_dir):
+    """Round-11 temporal-correctness branch (the training-data
+    leakage guard end-to-end): version each user's event_type with
+    scd2_intervals, then point-in-time-join every event against the
+    dimension at the event's OWN timestamp. Laws: the intervals TILE —
+    every event matches exactly one version — and the matched value
+    equals the independent running-last-change computed straight off
+    the log (any leakage of a FUTURE version breaks it)."""
+    from pyspark.sql import Window
+
+    from openpolicedata_spark.operators.merge import scd2_intervals
+    from openpolicedata_spark.sources.file import read_parquet_repaired
+
+    events = read_parquet_repaired(spark, f"{sf_dir}/events.parquet") \
+        .where(F.col("user_id") % 8 == 5)
+    dim = scd2_intervals(events, "user_id", "ts", ["event_type"],
+                         tiebreak_col="event_id")
+
+    ev = events.select("user_id", "ts", "event_id", "event_type")
+    d = dim.select(F.col("user_id").alias("u"),
+                   F.col("event_type").alias("v_type"),
+                   "valid_from", "valid_to")
+    j = ev.join(d, (ev["user_id"] == d["u"])
+                & (d["valid_from"] <= ev["ts"])
+                & (d["valid_to"].isNull()
+                   | (ev["ts"] < d["valid_to"])))
+    n_ev = ev.count()
+    assert j.count() == n_ev        # tiling: exactly one match each
+
+    # independent truth: the running last change at each event's
+    # (ts, event_id) — computed off the raw log, no intervals involved
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    truth = ev.withColumn("run_type", F.last("event_type").over(w))
+    # the dimension's value at ts reflects the LAST change at that ts
+    # (zero-length same-ts versions are skipped by the half-open
+    # containment), so compare against the running value at the last
+    # event of each (user, ts) group
+    last_at_ts = (truth.groupBy("user_id", "ts")
+                  .agg(F.max_by("run_type", "event_id").alias("want")))
+    chk = (j.select(ev["user_id"], ev["ts"], "v_type").distinct()
+           .join(last_at_ts, on=["user_id", "ts"]))
+    assert chk.where(F.col("v_type") != F.col("want")).count() == 0
+    assert chk.count() > 0
