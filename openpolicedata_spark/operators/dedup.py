@@ -630,6 +630,15 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             # fires if a label value somehow weren't a node (it always
             # is — see invariant); least() is unnecessary for the same
             # reason but costs nothing and makes monotonicity textual.
+            # prop is BOTH sides of this self-join, so the propagate
+            # subtree evaluates twice per round. A localCheckpoint here
+            # was A/B-MEASURED on a quiet host (r11, VERDICT r10 note)
+            # and is a WASH: q186 chain graph min-of-3, sf0.1 3.6 vs
+            # 3.0 s, sf1 6.5 vs 6.6 s — the subtree (one join+groupBy
+            # over already-checkpointed labels) costs about what its
+            # materialization would. Keeping the simpler no-checkpoint
+            # form; re-measure if a heavier propagate stage ever
+            # dominates a round.
             lab2 = prop.select(F.col("node").alias("__pn__"),
                                F.col("label").alias("__pl__"))
             prop = (
