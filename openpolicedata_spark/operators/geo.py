@@ -171,10 +171,9 @@ def radius_pairs(
         F.col(id_col).alias("id_b"),
         F.col("__lon__").alias("__blon__"),
         F.col("__lat__").alias("__blat__"),
-        F.col("__cx__").cast("int").alias("__jx__"),
+        F.col("__cx__").alias("__jx__"),
         F.col("__cy__").alias("__jy__"),
     )
-    a = a.withColumn("__jx__", F.col("__jx__").cast("int"))
     cand = a.join(b, on=["__jx__", "__jy__"]).where(
         F.col("id_a") < F.col("id_b"))
     # plain products, not pow(): x*x is one IEEE rounding on every

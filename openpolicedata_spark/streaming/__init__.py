@@ -1357,6 +1357,7 @@ def stateful_gap_fill(
     mode: str = "locf",
     late_policy: str = "error",
     flush_delay: "Optional[str]" = "0 seconds",
+    max_span_buckets: "Optional[int]" = None,
 ) -> DataFrame:
     """Streaming time-grid gap fill — the incremental face of
     `events.gap_fill` (round 11, the VERDICT r10 #7 probe, resolved as
@@ -1399,11 +1400,25 @@ def stateful_gap_fill(
     Aggregation within a bucket is pinned to MAX (the batch default —
     an open bucket accumulates across micro-batches, so the agg must
     be a semigroup merge; arbitrary `agg` callables stay batch-only).
-    NULL values are non-observations, exactly like batch. A row whose
-    bucket precedes the key's open bucket would rewrite emitted
-    history: `late_policy='error'` (default) fails the query loudly,
-    `'drop'` discards it. Batch input delegates to `events.gap_fill`
-    — one semantics, two execution modes."""
+    NULL values AND NULL timestamps are non-observations, exactly like
+    batch (a NULL ts never joins the batch grid; here it is dropped
+    before bucketing — review r11). A row whose bucket precedes the
+    key's open bucket would rewrite emitted history:
+    `late_policy='error'` (default) fails the query loudly, `'drop'`
+    discards it. `max_span_buckets` is the corrupted-epoch guard the
+    batch twin carries, re-expressed for a stream: a CLOSE whose gap
+    run spans >= that many buckets (one epoch-0 timestamp against 2024
+    data = a ~470k-bucket run materialized in the worker) RAISES
+    before materializing anything — a stream can't retro-drop the
+    key like batch does, so corruption stops the feed loudly instead.
+    Timestamps are interpreted on the session-zone naive clock in BOTH
+    modes (the flush path casts through the session tz and converts
+    back with the same zone in the worker, so bucket indices equal the
+    batch operator's NTZ arithmetic on any session timezone — review
+    r11; flush-timeout instants localize DST-aware). Batch input
+    delegates to `events.gap_fill` — one semantics, two execution
+    modes, same output column names (the filled column is
+    `value_col`)."""
     import pandas as pd
 
     from openpolicedata_spark.operators.events import gap_fill
@@ -1414,10 +1429,13 @@ def stateful_gap_fill(
         raise ValueError(f"unknown late_policy {late_policy!r}")
     if step_seconds < 1:
         raise ValueError(f"step_seconds must be >= 1, got {step_seconds}")
+    if max_span_buckets is not None and max_span_buckets < 1:
+        raise ValueError(
+            f"max_span_buckets must be >= 1, got {max_span_buckets}")
     if not df.isStreaming:
         return gap_fill(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, step_seconds=step_seconds,
-                        mode=mode)
+                        mode=mode, max_span_buckets=max_span_buckets)
 
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1426,30 +1444,39 @@ def stateful_gap_fill(
     out_schema = T.StructType([
         T.StructField(key_col, key_t),
         T.StructField("bucket_ts", T.TimestampNTZType()),
-        T.StructField("value", T.DoubleType()),
+        T.StructField(value_col, T.DoubleType()),
         T.StructField("is_gap", T.BooleanType()),
     ])
     step = int(step_seconds)
     interp = mode == "interp"
     flushing = flush_delay is not None
+    # session-zone string captured at BUILD time: the worker undoes the
+    # flush path's to-tz-aware cast with the SAME zone, so bucket
+    # arithmetic equals the batch operator's session-naive clock
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def _rows(key, buckets, values, gaps):
         return pd.DataFrame({
             key_col: [key] * len(buckets),
             "bucket_ts": pd.to_datetime(
                 [b * step for b in buckets], unit="s"),
-            "value": values,
+            value_col: values,
             "is_gap": gaps,
         })
 
     def _arm(state):
         # flush when the watermark passes the open bucket's end; the
+        # watermark clock is EPOCH ms while buckets live on the
+        # session-naive clock, so the bucket end localizes through the
+        # session zone (DST-aware; identity under the UTC pin). The
         # engine rejects timestamps <= the current watermark, so a
         # bucket already behind it arms one ms ahead (flushes at the
-        # next watermark advance)
+        # next watermark advance).
         ob, _ = state.get
+        end = pd.Timestamp((ob + 1) * step, unit="s").tz_localize(
+            session_tz, ambiguous=True, nonexistent="shift_forward")
         state.setTimeoutTimestamp(
-            max((ob + 1) * step * 1000,
+            max(end.value // 1_000_000,
                 state.getCurrentWatermarkMs() + 1))
 
     def update(key, pdfs, state: GroupState):
@@ -1460,7 +1487,7 @@ def stateful_gap_fill(
             yield _rows(k, [ob], [ov], [False])
             return
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch[batch[value_col].notna()]
+        batch = batch[batch[value_col].notna() & batch[ts_col].notna()]
         if len(batch) == 0:
             if state.exists and flushing:
                 _arm(state)
@@ -1468,9 +1495,10 @@ def stateful_gap_fill(
         tser = batch[ts_col]
         if getattr(tser.dtype, "tz", None) is not None:
             # the flush path casts ts to tz-aware TIMESTAMP (watermarks
-            # require it); session tz is pinned UTC so the naive view
-            # is the same instant the ntz arithmetic uses
-            tser = tser.dt.tz_convert("UTC").dt.tz_localize(None)
+            # require it); converting back through the SAME session
+            # zone recovers the naive wall clock the batch operator's
+            # NTZ arithmetic uses — on any session timezone
+            tser = tser.dt.tz_convert(session_tz).dt.tz_localize(None)
         secs = (tser.astype("datetime64[s]").astype("int64"))
         agg = (pd.DataFrame({"b": secs // step,
                              "v": batch[value_col].astype(float)})
@@ -1493,6 +1521,15 @@ def stateful_gap_fill(
                 ov = max(ov, float(v))
                 continue
             nv = float(v)
+            if (max_span_buckets is not None
+                    and b - ob >= max_span_buckets):
+                raise ValueError(
+                    f"stateful_gap_fill: key {k!r} closes a gap run of "
+                    f"{b - ob} buckets (max_span_buckets="
+                    f"{max_span_buckets}) — a span that wide is a "
+                    f"corrupted timestamp, not signal; a stream cannot "
+                    f"retro-drop the key, so it fails loudly (audit "
+                    f"the feed upstream)")
             bs.append(ob); vs.append(ov); gs.append(False)
             for g in range(ob + 1, b):
                 fill = (ov + (nv - ov) * float(g - ob) / float(b - ob)

@@ -8,6 +8,9 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from _stream_helpers import file_stream as _stream
+from _stream_helpers import write_ordered_splits as _write_ordered_splits
+
 
 def _frame(spark, sf_dir):
     from openpolicedata_spark.sources.file import read_parquet_repaired
@@ -15,22 +18,6 @@ def _frame(spark, sf_dir):
     e = read_parquet_repaired(spark, f"{sf_dir}/events.parquet")
     return (e.where(F.col("user_id") % 10 == 3)
             .select("user_id", "ts", "value", "event_id"))
-
-
-def _write_ordered_splits(frame, src, n_files):
-    w = Window.orderBy("ts", "event_id")
-    ranked = frame.withColumn("__rn__", F.row_number().over(w))
-    n = frame.count()
-    per = (n + n_files - 1) // n_files
-    for i in range(n_files):
-        (ranked.where((F.col("__rn__") > i * per)
-                      & (F.col("__rn__") <= (i + 1) * per))
-         .drop("__rn__").coalesce(1).write.parquet(str(src / f"b{i}")))
-
-
-def _stream(spark, schema_df, src):
-    return (spark.readStream.schema(schema_df.schema)
-            .option("maxFilesPerTrigger", 1).parquet(f"{src}/*/"))
 
 
 def _rows(df, drop_key=None):
@@ -202,3 +189,101 @@ def test_batch_input_delegates_to_gap_fill(spark, sf_dir):
     b = _rows(gap_fill(frame, key_col="user_id", ts_col="ts",
                        value_col="value", step_seconds=3600))
     assert a == b and len(a) > 0
+
+
+def test_null_ts_custom_value_col_and_span_guard(spark, tmp_path):
+    """Review r11 fixes, pinned: (a) a NULL-timestamp row is a
+    non-observation (batch parity — it would never join the batch
+    grid); (b) the streaming output's filled column is named
+    `value_col`, matching the batch twin's schema; (c) a corrupted
+    epoch that would materialize a ~470k-bucket gap run raises loudly
+    under max_span_buckets instead of OOMing the worker."""
+    from openpolicedata_spark.streaming import (
+        run_available_now,
+        stateful_gap_fill,
+    )
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "k long, t string, temp double, event_id long",
+        ).select("k", F.col("t").cast("timestamp_ntz").alias("when"),
+                 "temp", "event_id")
+
+    b1 = _df([(1, "2024-01-01 00:30:00", 1.0, 1),
+              (1, None, 99.0, 2),                  # NULL ts: ignored
+              (1, "2024-01-01 02:30:00", 3.0, 3)])
+    src = tmp_path / "src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "b0"))
+    s = stateful_gap_fill(_stream(spark, b1, src), key_col="k",
+                          ts_col="when", value_col="temp",
+                          step_seconds=3600, flush_delay=None)
+    out = run_available_now(s, "gapfill_naming")
+    assert out.columns == ["k", "bucket_ts", "temp", "is_gap"]
+    got = {(str(r.bucket_ts), r.temp, r.is_gap) for r in out.collect()}
+    # hour 0 closed by hour 2's arrival; the NULL-ts 99.0 anchors
+    # nothing; hour 2 stays open (no flush)
+    assert got == {("2024-01-01 00:00:00", 1.0, False),
+                   ("2024-01-01 01:00:00", 1.0, True)}
+    # batch delegation carries the same names (one semantics)
+    assert stateful_gap_fill(
+        b1, key_col="k", ts_col="when", value_col="temp",
+        step_seconds=3600).columns == ["k", "bucket_ts", "temp",
+                                       "is_gap"]
+
+    b2 = _df([(2, "1970-01-01 00:00:01", 5.0, 4),   # corrupted epoch...
+              (2, "2024-01-01 00:00:00", 6.0, 5)])  # ...against 2024
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    b2.coalesce(1).write.parquet(str(src2 / "b0"))
+    s2 = stateful_gap_fill(_stream(spark, b2, src2), key_col="k",
+                           ts_col="when", value_col="temp",
+                           step_seconds=3600, flush_delay=None,
+                           max_span_buckets=100000)
+    with pytest.raises(Exception, match="max_span_buckets"):
+        run_available_now(s2, "gapfill_span")
+    with pytest.raises(ValueError, match="max_span_buckets"):
+        stateful_gap_fill(b2, key_col="k", ts_col="when",
+                          value_col="temp", max_span_buckets=0)
+
+
+def test_flush_parity_holds_on_non_utc_session(spark, tmp_path):
+    """Review r11: the flush path casts ts through the SESSION zone
+    for the watermark and must convert back with the same zone in the
+    worker — bucket indices equal the batch operator's session-naive
+    arithmetic on ANY session timezone, not just the repo's UTC pin."""
+    from openpolicedata_spark.operators.events import gap_fill
+    from openpolicedata_spark.streaming import (
+        run_available_now,
+        stateful_gap_fill,
+    )
+
+    rows = [(1, "2024-01-01 00:10:00", 1.0, 1),
+            (1, "2024-01-01 03:20:00", 7.0, 2)]
+    frame = spark.createDataFrame(
+        rows, "user_id long, t string, value double, event_id long",
+    ).select("user_id", F.col("t").cast("timestamp_ntz").alias("ts"),
+             "value", "event_id")
+    sentinel = spark.createDataFrame(
+        [(-1, "2024-06-01 00:00:00", 1.0, 0)],
+        "user_id long, t string, value double, event_id long",
+    ).select("user_id", F.col("t").cast("timestamp_ntz").alias("ts"),
+             "value", "event_id")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        expected = _rows(gap_fill(frame, key_col="user_id",
+                                  ts_col="ts", value_col="value",
+                                  step_seconds=3600))
+        src = tmp_path / "src"
+        src.mkdir()
+        frame.coalesce(1).write.parquet(str(src / "b0"))
+        sentinel.coalesce(1).write.parquet(str(src / "zz"))
+        s = stateful_gap_fill(_stream(spark, frame, src),
+                              key_col="user_id", ts_col="ts",
+                              value_col="value", step_seconds=3600,
+                              flush_delay="0 seconds")
+        got = _rows(run_available_now(s, "gapfill_tz"), drop_key=-1)
+        assert got == expected and len(got) == 4
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

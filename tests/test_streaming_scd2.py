@@ -6,6 +6,9 @@ marker-row exactly-once replay, and the late-row policy."""
 import pytest
 from pyspark.sql import functions as F
 
+from _stream_helpers import file_stream as _stream
+from _stream_helpers import write_ordered_splits as _write_ordered_splits
+
 
 def _q200_frame(spark, sf_dir):
     """The q200 generative delete-aware CDC log: every 7th event is a
@@ -19,26 +22,6 @@ def _q200_frame(spark, sf_dir):
         "CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op",
         "CASE WHEN event_id % 7 = 0 THEN reverse(event_type) "
         "ELSE event_type END AS event_type")
-
-
-def _write_ordered_splits(frame, src, n_files):
-    """Split a change log into n in-order files by (ts, event_id) row
-    ranges — the per-key-ordered delivery a real CDC feed guarantees."""
-    from pyspark.sql import Window
-
-    w = Window.orderBy("ts", "event_id")
-    ranked = frame.withColumn("__rn__", F.row_number().over(w))
-    n = frame.count()
-    per = (n + n_files - 1) // n_files
-    for i in range(n_files):
-        (ranked.where((F.col("__rn__") > i * per)
-                      & (F.col("__rn__") <= (i + 1) * per))
-         .drop("__rn__").coalesce(1).write.parquet(str(src / f"b{i}")))
-
-
-def _stream(spark, frame, src):
-    return (spark.readStream.schema(frame.schema)
-            .option("maxFilesPerTrigger", 1).parquet(f"{src}/*/"))
 
 
 def _versions(spark, out):
