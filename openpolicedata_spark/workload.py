@@ -9215,6 +9215,98 @@ def q201_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q201_SQL = _Q201_BODY.format(l="lineitem")
 
 
+def q209_per_key_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key OLS trend fit via closed-form sufficient statistics
+    (round 11 — the per-entity feature-fit every training pipeline
+    runs: activity slope per user, drift per sensor — as ONE
+    aggregate, no UDF, no per-group iteration): per user, slope of
+    y over hourly bucket index x computed from (n, Σx, Σy, Σxy, Σx²)
+    — map-side-combined exact INTEGER sums (y is a generative integer
+    so every statistic is exact; n·Σxy−ΣxΣy stays far inside BIGINT),
+    then one division of two exactly-converted doubles — the only
+    rounding in the whole query, identical on both engines.
+    Degenerate keys (a single bucket) yield NULL. A grouped
+    applyInPandas sklearn fit is the slow-path twin; the closed form
+    IS the 100 TB plan: one keyed exchange of five longs per key."""
+    e = _read(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    x = F.floor(F.timestamp_diff(
+        "SECOND", epoch, F.col("ts").cast("timestamp_ntz")) / 3600)
+    pts = (e.where(F.col("user_id") % 10 == 7)
+           .select("user_id", x.alias("x"),
+                   (F.col("event_id") % 997).alias("y")))
+    s = (pts.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    den = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+    num = s["n"] * s["sxy"] - s["sx"] * s["sy"]
+    return s.select(
+        "user_id", "n",
+        F.when(den == 0, F.lit(None)).otherwise(
+            num.cast("double") / den.cast("double")).alias("slope"))
+
+
+_Q209_SQL = """
+WITH pts AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS x,
+         event_id % 997 AS y
+  FROM events WHERE user_id % 10 = 7
+), s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+         SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+FROM s
+"""
+
+
+def q210_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based sessionization in BATCH mode (round 11 —
+    `F.session_window` is exercised by the streaming suite but had no
+    exact-oracle query; this pins Spark's session OPERATOR against the
+    classic SQL gaps-and-islands form): per user, 30-minute-gap
+    sessions with start / end / event count, where Spark's session end
+    is the last event + gap — the oracle rebuilds the identical
+    sessions in DuckDB with a lag-break cumulative-sum island id and
+    MAX(ts) + INTERVAL. Timestamp ties are safe by construction: a
+    tied pair's within-tie order flips only WHICH row carries the
+    break flag, never the island membership. One keyed exchange."""
+    e = _read(spark, sf_dir, "events").where(F.col("user_id") % 20 == 4)
+    return (e.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                      "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("s_start"),
+                    F.col("w.end").alias("s_end"), "n_events"))
+
+
+_Q210_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id % 20 = 4
+), g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, MIN(ts) AS s_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -10047,6 +10139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_merged_scalar_subqueries": q206_merged_scalar_subqueries,
         "q207_runtime_bloom_join": q207_runtime_bloom_join,
         "q208_xml_roundtrip": q208_xml_roundtrip,
+        "q209_per_key_trend": q209_per_key_trend,
+        "q210_session_windows": q210_session_windows,
     }
     return base
 
@@ -10263,4 +10357,6 @@ def oracle_sql() -> dict[str, str]:
         "q206_merged_scalar_subqueries": _Q206_SQL,
         "q207_runtime_bloom_join": _Q207_SQL,
         "q208_xml_roundtrip": _Q208_SQL,
+        "q209_per_key_trend": _Q209_SQL,
+        "q210_session_windows": _Q210_SQL,
     }

@@ -879,3 +879,30 @@ def test_q208_xml_parse_is_row_local(spark, sf_dir):
     assert "from_xml" in t, t[:800]
     assert_max_exchanges(df, 1)
     assert_no_python_in_plan(df)
+
+
+def test_q209_trend_single_keyed_aggregate(spark, sf_dir):
+    """Per-key OLS trend (round 11): the whole fit is ONE keyed
+    aggregate of five integer sufficient statistics (map-side
+    combined) — no join, no window, no Python; the slope division is
+    a post-aggregation projection."""
+    df = workload.queries()["q209_per_key_trend"](spark, sf_dir)
+    s = summarize_plan(df)
+    assert "partial_" in s.text, s.text[:800]
+    assert s.n_broadcast_joins + s.n_sortmerge_joins == 0, s.text
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+
+
+def test_q210_session_window_single_keyed_exchange(spark, sf_dir):
+    """Batch session_window (round 11): Spark's native gap-session
+    operator must ride ONE hash exchange on the key (session merging
+    happens in-partition after the shuffle) with zero joins and zero
+    Python."""
+    df = workload.queries()["q210_session_windows"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert "session_window" in t, t[:800]
+    s = summarize_plan(df)
+    assert s.n_broadcast_joins + s.n_sortmerge_joins == 0, s.text
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
