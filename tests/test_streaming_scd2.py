@@ -297,3 +297,28 @@ def test_scd2_sink_row_per_batch_maximal_boundary_stress(spark,
            .select("k", "v", "valid_from", "valid_to", "is_current")
            .collect()}
     assert got == expected
+
+
+def test_scd2_sink_table_is_self_compacting(spark, tmp_path):
+    """Each batch rewrites the dimension in ONE atomic swap, so the
+    table's data-file count is bounded by the writer's partitioning —
+    it must NOT grow with the number of folded batches (the
+    append-style sinks need compact_index for this; the swap rewrite
+    IS the compaction here)."""
+    import glob
+
+    from openpolicedata_spark.streaming import scd2_sink
+
+    frame = _q200_frame(spark, "/root/testdata/sf0.001").where(
+        F.col("user_id") % 10 == 6)
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_ordered_splits(frame, src, 6)
+    out = str(tmp_path / "dim")
+    scd2_sink(_stream(spark, frame, src), out, "user_id", "ts",
+              ["event_type"], tiebreak_col="event_id", op_col="op")
+    n_files = len(glob.glob(f"{out}/*.parquet"))
+    assert 0 < n_files <= spark.sparkContext.defaultParallelism + 1, \
+        n_files
+    assert not glob.glob(f"{out}.__stage_*__"), "stage dir leaked"
+    assert not glob.glob(f"{out}.__old__"), "swap-aside dir leaked"
