@@ -1357,7 +1357,7 @@ def stateful_gap_fill(
     mode: str = "locf",
     late_policy: str = "error",
     flush_delay: "Optional[str]" = "0 seconds",
-    max_span_buckets: "Optional[int]" = None,
+    max_gap_buckets: "Optional[int]" = None,
 ) -> DataFrame:
     """Streaming time-grid gap fill — the incremental face of
     `events.gap_fill` (round 11, the VERDICT r10 #7 probe, resolved as
@@ -1405,19 +1405,26 @@ def stateful_gap_fill(
     before bucketing — review r11). A row whose bucket precedes the
     key's open bucket would rewrite emitted history:
     `late_policy='error'` (default) fails the query loudly, `'drop'`
-    discards it. `max_span_buckets` is the corrupted-epoch guard the
-    batch twin carries, re-expressed for a stream: a CLOSE whose gap
-    run spans >= that many buckets (one epoch-0 timestamp against 2024
-    data = a ~470k-bucket run materialized in the worker) RAISES
-    before materializing anything — a stream can't retro-drop the
-    key like batch does, so corruption stops the feed loudly instead.
-    Timestamps are interpreted on the session-zone naive clock in BOTH
-    modes (the flush path casts through the session tz and converts
-    back with the same zone in the worker, so bucket indices equal the
-    batch operator's NTZ arithmetic on any session timezone — review
-    r11; flush-timeout instants localize DST-aware). Batch input
-    delegates to `events.gap_fill` — one semantics, two execution
-    modes, same output column names (the filled column is
+    discards it. `max_gap_buckets` is the corrupted-epoch guard,
+    DELIBERATELY named differently from batch `max_span_buckets`
+    because it bounds a DIFFERENT quantity (second review pass r11):
+    batch drops a key whose TOTAL span exceeds the cap — a stream can
+    neither know the final span nor retro-drop emitted rows — so the
+    streaming guard bounds each gap RUN at close time (one epoch-0
+    timestamp against 2024 data = a ~470k-bucket run materialized in
+    the worker) and RAISES before materializing anything; corruption
+    stops the feed loudly. Passing it with batch input raises — use
+    `gap_fill(max_span_buckets=...)` for the batch semantics.
+    Timestamps: bucket arithmetic runs on the ORIGINAL NTZ values in
+    both modes — the flush path's watermark lives on a SEPARATE
+    tz-aware column, so no NTZ value ever round-trips through the
+    session zone (a round-trip silently moves wall times that fall in
+    a DST spring-forward gap — second review pass r11); a genuinely
+    tz-aware input column is converted through the session zone,
+    exactly the batch operator's cast-to-NTZ semantics.
+    Flush-timeout instants localize DST-aware (timing only). Batch
+    input delegates to `events.gap_fill` — one semantics, two
+    execution modes, same output column names (the filled column is
     `value_col`)."""
     import pandas as pd
 
@@ -1429,13 +1436,19 @@ def stateful_gap_fill(
         raise ValueError(f"unknown late_policy {late_policy!r}")
     if step_seconds < 1:
         raise ValueError(f"step_seconds must be >= 1, got {step_seconds}")
-    if max_span_buckets is not None and max_span_buckets < 1:
+    if max_gap_buckets is not None and max_gap_buckets < 1:
         raise ValueError(
-            f"max_span_buckets must be >= 1, got {max_span_buckets}")
+            f"max_gap_buckets must be >= 1, got {max_gap_buckets}")
     if not df.isStreaming:
+        if max_gap_buckets is not None:
+            raise ValueError(
+                "max_gap_buckets is the streaming per-gap-run guard; "
+                "for batch input use events.gap_fill(max_span_buckets"
+                "=...) — the total-span key drop (the two quantities "
+                "differ, see the docstring)")
         return gap_fill(df, key_col=key_col, ts_col=ts_col,
                         value_col=value_col, step_seconds=step_seconds,
-                        mode=mode, max_span_buckets=max_span_buckets)
+                        mode=mode)
 
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1494,10 +1507,10 @@ def stateful_gap_fill(
             return
         tser = batch[ts_col]
         if getattr(tser.dtype, "tz", None) is not None:
-            # the flush path casts ts to tz-aware TIMESTAMP (watermarks
-            # require it); converting back through the SAME session
-            # zone recovers the naive wall clock the batch operator's
-            # NTZ arithmetic uses — on any session timezone
+            # a genuinely tz-aware INPUT column: convert through the
+            # session zone, exactly the batch operator's cast-to-NTZ
+            # semantics (NTZ inputs arrive naive untouched — the
+            # flush watermark rides a separate column)
             tser = tser.dt.tz_convert(session_tz).dt.tz_localize(None)
         secs = (tser.astype("datetime64[s]").astype("int64"))
         agg = (pd.DataFrame({"b": secs // step,
@@ -1521,12 +1534,12 @@ def stateful_gap_fill(
                 ov = max(ov, float(v))
                 continue
             nv = float(v)
-            if (max_span_buckets is not None
-                    and b - ob >= max_span_buckets):
+            if (max_gap_buckets is not None
+                    and b - ob >= max_gap_buckets):
                 raise ValueError(
                     f"stateful_gap_fill: key {k!r} closes a gap run of "
-                    f"{b - ob} buckets (max_span_buckets="
-                    f"{max_span_buckets}) — a span that wide is a "
+                    f"{b - ob} buckets (max_gap_buckets="
+                    f"{max_gap_buckets}) — a run that wide is a "
                     f"corrupted timestamp, not signal; a stream cannot "
                     f"retro-drop the key, so it fails loudly (audit "
                     f"the feed upstream)")
@@ -1543,10 +1556,13 @@ def stateful_gap_fill(
             yield _rows(k, bs, vs, gs)
 
     if flushing:
-        # watermarks require the tz-aware TIMESTAMP type; the session tz
-        # is pinned UTC so an ntz column casts value-preservingly
-        df = (df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-              .withWatermark(ts_col, flush_delay))
+        # watermarks require a tz-aware TIMESTAMP, but casting ts_col
+        # itself would round-trip NTZ wall times through the session
+        # zone (DST spring-forward gaps silently move them — second
+        # review pass r11): the watermark rides a SEPARATE column and
+        # ts_col reaches the worker untouched
+        df = (df.withColumn("__wm__", F.col(ts_col).cast("timestamp"))
+              .withWatermark("__wm__", flush_delay))
         timeout = GroupStateTimeout.EventTimeTimeout
     else:
         timeout = GroupStateTimeout.NoTimeout

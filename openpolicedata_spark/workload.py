@@ -9221,15 +9221,20 @@ def q209_per_key_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs: activity slope per user, drift per sensor — as ONE
     aggregate, no UDF, no per-group iteration): per user, slope of
     y over hourly bucket index x computed from (n, Σx, Σy, Σxy, Σx²)
-    — map-side-combined exact INTEGER sums (y is a generative integer
-    so every statistic is exact; n·Σxy−ΣxΣy stays far inside BIGINT),
-    then one division of two exactly-converted doubles — the only
-    rounding in the whole query, identical on both engines.
-    Degenerate keys (a single bucket) yield NULL. A grouped
-    applyInPandas sklearn fit is the slow-path twin; the closed form
+    — map-side-combined exact INTEGER sums. Overflow is ENGINEERED
+    away, not assumed (second review pass r11: 1970-based hour
+    indices squared overflow BIGINT at ~6.4k rows/key): x is rebased
+    to the data epoch (hours since 2024-01-01, ≤ ~9k for a year) so
+    the BIGINT sums are exact to ~10¹¹ rows/key, and the n·Σxy−ΣΣ
+    products run in DECIMAL(38,0) (HUGEINT on DuckDB) — exact 128-bit
+    integers on both engines to ~10¹⁵ rows/key. The slope is one
+    division of two exactly-converted doubles — the only rounding in
+    the whole query, identical on both engines. Degenerate keys (a
+    single bucket) yield NULL. The grouped applyInPandas numpy fit is
+    the slow-path twin (equivalence pinned in tests); the closed form
     IS the 100 TB plan: one keyed exchange of five longs per key."""
     e = _read(spark, sf_dir, "events")
-    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    epoch = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
     x = F.floor(F.timestamp_diff(
         "SECOND", epoch, F.col("ts").cast("timestamp_ntz")) / 3600)
     pts = (e.where(F.col("user_id") % 10 == 7)
@@ -9240,8 +9245,11 @@ def q209_per_key_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum("y").alias("sy"),
               F.sum(F.col("x") * F.col("y")).alias("sxy"),
               F.sum(F.col("x") * F.col("x")).alias("sxx")))
-    den = s["n"] * s["sxx"] - s["sx"] * s["sx"]
-    num = s["n"] * s["sxy"] - s["sx"] * s["sy"]
+    d38 = "decimal(38,0)"
+    den = (s["n"].cast(d38) * s["sxx"].cast(d38)
+           - s["sx"].cast(d38) * s["sx"].cast(d38))
+    num = (s["n"].cast(d38) * s["sxy"].cast(d38)
+           - s["sx"].cast(d38) * s["sy"].cast(d38))
     return s.select(
         "user_id", "n",
         F.when(den == 0, F.lit(None)).otherwise(
@@ -9250,12 +9258,16 @@ def q209_per_key_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q209_SQL = """
 WITH pts AS (
-  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS x,
+  SELECT user_id,
+         CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01'))
+                    / 3600) AS BIGINT) AS x,
          event_id % 997 AS y
   FROM events WHERE user_id % 10 = 7
 ), s AS (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
-         SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx
   FROM pts GROUP BY user_id
 )
 SELECT user_id, n,

@@ -1423,7 +1423,11 @@ def test_per_key_trend_closed_form_equals_apply_in_pandas(spark, sf_dir):
     numpy fit — the slow-path twin a pipeline would reach for first.
     Pins both the algebra and the claim that the aggregate IS the
     right plan (the pandas path ships whole groups; the closed form
-    ships five longs per key)."""
+    ships five longs per key). DELIBERATELY uses the 1970 epoch for x
+    while q209 rebases to 2024 (its overflow-headroom fix): the OLS
+    slope is exactly translation-invariant in integer arithmetic
+    (nΣ(x−c)y − Σ(x−c)Σy ≡ nΣxy − ΣxΣy), so equality here also pins
+    that the rebase changed nothing but headroom."""
     import numpy as np
     import pandas as pd
 

@@ -239,12 +239,17 @@ def test_null_ts_custom_value_col_and_span_guard(spark, tmp_path):
     s2 = stateful_gap_fill(_stream(spark, b2, src2), key_col="k",
                            ts_col="when", value_col="temp",
                            step_seconds=3600, flush_delay=None,
-                           max_span_buckets=100000)
-    with pytest.raises(Exception, match="max_span_buckets"):
+                           max_gap_buckets=100000)
+    with pytest.raises(Exception, match="max_gap_buckets"):
         run_available_now(s2, "gapfill_span")
+    with pytest.raises(ValueError, match="max_gap_buckets"):
+        stateful_gap_fill(b2, key_col="k", ts_col="when",
+                          value_col="temp", max_gap_buckets=0)
+    # batch input must refuse the streaming guard by name: the batch
+    # quantity is a different cap (gap_fill's max_span_buckets)
     with pytest.raises(ValueError, match="max_span_buckets"):
         stateful_gap_fill(b2, key_col="k", ts_col="when",
-                          value_col="temp", max_span_buckets=0)
+                          value_col="temp", max_gap_buckets=10)
 
 
 def test_flush_parity_holds_on_non_utc_session(spark, tmp_path):
