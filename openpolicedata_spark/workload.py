@@ -9319,6 +9319,66 @@ FROM g GROUP BY user_id, sid
 """
 
 
+def q211_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (round 11 — Spark 4's
+    `CREATE FUNCTION ... RETURN <expr>`, the UDF surface that does NOT
+    leave the JVM: the body INLINES into the plan as an expression, so
+    whole-stage codegen, pushdown, and the zero-Python rule all hold —
+    pinned: no Python eval nodes, one scan. This is the
+    reference's custom-converter surface done right at 100 TB: users
+    write reusable SQL logic, the optimizer sees through it). The
+    discounted-price function computes in DECIMAL so the rollup is
+    order-independent; the oracle inlines the identical expression in
+    DuckDB — any divergence between the function body and its
+    registration breaks the hash."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q211_l")
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION q211_disc_price(p DOUBLE, d DOUBLE)
+RETURNS DECIMAL(18,4)
+RETURN CAST(p AS DECIMAL(14,2)) * CAST(1.0 - d AS DECIMAL(3,2))
+""")
+    return spark.sql("""
+SELECT l_returnflag AS rf,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(q211_disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+           AS rev
+FROM q211_l GROUP BY l_returnflag
+""")
+
+
+_Q211_SQL = """
+SELECT l_returnflag AS rf,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE)
+           AS rev
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+_Q212_BODY = """
+SELECT l_returnflag AS rf, l_linestatus AS ls,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty
+FROM {l}
+GROUP BY ALL
+"""
+
+
+def q212_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (round 11 — the analyst-surface sugar both engines
+    share: every non-aggregate select item becomes a grouping key, so
+    adding a dimension to the SELECT can't silently change the
+    grouping): the IDENTICAL SQL body runs on Spark and DuckDB. Plans
+    exactly like the explicit GROUP BY (one partial+final aggregate
+    over one scan — the sugar must cost nothing, pinned)."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q212_l")
+    return spark.sql(_Q212_BODY.format(l="q212_l"))
+
+
+_Q212_SQL = _Q212_BODY.format(l="lineitem")
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -10153,6 +10213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_xml_roundtrip": q208_xml_roundtrip,
         "q209_per_key_trend": q209_per_key_trend,
         "q210_session_windows": q210_session_windows,
+        "q211_sql_udf": q211_sql_udf,
+        "q212_group_by_all": q212_group_by_all,
     }
     return base
 
@@ -10371,4 +10433,6 @@ def oracle_sql() -> dict[str, str]:
         "q208_xml_roundtrip": _Q208_SQL,
         "q209_per_key_trend": _Q209_SQL,
         "q210_session_windows": _Q210_SQL,
+        "q211_sql_udf": _Q211_SQL,
+        "q212_group_by_all": _Q212_SQL,
     }

@@ -906,3 +906,33 @@ def test_q210_session_window_single_keyed_exchange(spark, sf_dir):
     assert s.n_broadcast_joins + s.n_sortmerge_joins == 0, s.text
     assert_max_exchanges(df, 1)
     assert_no_python_in_plan(df)
+
+
+def test_q211_sql_udf_inlines_no_python(spark, sf_dir):
+    """SQL-defined function (round 11): the body must INLINE into the
+    plan as a JVM expression — zero Python eval nodes, one scan, the
+    decimal multiply visible in the aggregate (the UDF surface that
+    keeps whole-stage codegen)."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q211_sql_udf"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Scan parquet") == 1, t[:800]
+    assert "partial_sum" in t, t[:800]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+
+
+def test_q212_group_by_all_plans_like_explicit(spark, sf_dir):
+    """GROUP BY ALL (round 11): the sugar must plan exactly like the
+    explicit grouping — one map-side-combined aggregate over one scan,
+    nothing extra."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q212_group_by_all"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Scan parquet") == 1, t[:800]
+    assert _n_nodes(t, "HashAggregate") == 2, t[:800]
+    assert "partial_" in t, t[:800]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
