@@ -146,8 +146,12 @@ def scd2_intervals(
     delete is a no-op), a re-insert after a delete is a NEW version
     even when the value matches the pre-delete one (the gap is real),
     and a delete row's value columns are ignored (CDC delete payloads
-    are junk by convention). Without `op_col` every row is an upsert
-    — the original semantics, unchanged.
+    are junk by convention). A NULL op is an UPSERT — pinned (ADVICE
+    r11): CDC feeds use NULL/absent op for plain inserts, and without
+    the coalesce three-valued logic would silently mask the row's
+    values AND drop it from versions (a delete-like ghost). Without
+    `op_col` every row is an upsert — the original semantics,
+    unchanged.
 
     Plan shape: ONE hash exchange on the key feeds everything — the
     ordering window, the lag-compare compression, and the lead close
@@ -161,8 +165,9 @@ def scd2_intervals(
     order = [F.col(ts_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col is not None else [])
     w = Window.partitionBy(key_col).orderBy(*order)
-    is_del = (F.col(op_col) == F.lit(delete_marker)) if op_col \
-        else F.lit(False)
+    # NULL op coalesces to not-a-delete (upsert) — see docstring
+    is_del = (F.coalesce(F.col(op_col) == F.lit(delete_marker),
+                         F.lit(False)) if op_col else F.lit(False))
     # run-state = (is_delete, values masked NULL on deletes): masking
     # makes consecutive deletes equal whatever junk their payload
     # carries, while the is_delete flag splits a value run around a

@@ -8800,7 +8800,12 @@ def q200_scd2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     compress, a re-insert after a delete is a new version even when
     the value matches (the gap is real), and a key can end with no
     current version. Delete payloads are junked generatively (reversed
-    event_type) to pin that they're ignored. The oracle replays the
+    event_type) to pin that they're ignored. Every 11th non-delete op
+    is NULL (round 12, ADVICE r11): a NULL op is an UPSERT by pinned
+    CDC convention — the oracle's generative is_del (event_id % 7 = 0)
+    already says so, so dropping the coalesce in scd2_intervals would
+    resurrect the three-valued-logic ghost and break the hash. The
+    oracle replays the
     identical two-window pipeline — masked run-state lag compare, then
     lead close over the boundary rows, emitting non-deletes — in
     DuckDB."""
@@ -8808,7 +8813,8 @@ def q200_scd2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _read(spark, sf_dir, "events").selectExpr(
         "user_id", "event_id", "ts",
-        "CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op",
+        "CASE WHEN event_id % 7 = 0 THEN 'D' "
+        "WHEN event_id % 11 = 0 THEN NULL ELSE 'U' END AS op",
         "CASE WHEN event_id % 7 = 0 THEN reverse(event_type) "
         "ELSE event_type END AS event_type")
     return scd2_intervals(e, "user_id", "ts", ["event_type"],

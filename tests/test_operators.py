@@ -1326,6 +1326,41 @@ class TestScd2Intervals:
             (2, "2024-01-02", "X", None, True),
         ]
 
+    def test_null_op_is_an_upsert(self, spark):
+        """A NULL op is an UPSERT, pinned (ADVICE r11): without the
+        coalesce, three-valued logic masked the row's values to NULL
+        (breaking run compression) AND dropped it from versions (a
+        delete-like ghost). The log must fold exactly as if op='U'."""
+        from openpolicedata_spark.operators.merge import scd2_intervals
+
+        rows = [
+            (1, 10, "2024-01-01", None, "A"),   # NULL-op open
+            (1, 11, "2024-01-02", "U", "A"),    # no-op vs NULL-op row
+            (1, 12, "2024-01-03", None, "B"),   # NULL-op real change
+            (1, 13, "2024-01-04", "D", "zz"),   # delete closes it
+            (2, 20, "2024-01-01", None, "X"),   # NULL-op only key
+        ]
+        df = spark.createDataFrame(
+            rows, "k int, cid int, t string, op string, v string"
+        ).select("k", "cid", "op",
+                 F.col("t").cast("timestamp_ntz").alias("ts"), "v")
+        out = scd2_intervals(df, "k", "ts", ["v"], tiebreak_col="cid",
+                             op_col="op")
+        got = sorted((r.k, str(r.valid_from)[:10], r.v,
+                      None if r.valid_to is None else str(r.valid_to)[:10],
+                      r.is_current) for r in out.collect())
+        upserted = scd2_intervals(
+            df.withColumn("op", F.coalesce("op", F.lit("U"))),
+            "k", "ts", ["v"], tiebreak_col="cid", op_col="op")
+        want = sorted((r.k, str(r.valid_from)[:10], r.v,
+                       None if r.valid_to is None else str(r.valid_to)[:10],
+                       r.is_current) for r in upserted.collect())
+        assert got == want == [
+            (1, "2024-01-01", "A", "2024-01-03", False),
+            (1, "2024-01-03", "B", "2024-01-04", False),
+            (2, "2024-01-01", "X", None, True),
+        ]
+
 
 class TestRadiusPairs:
     def _pts(self, spark, rows):

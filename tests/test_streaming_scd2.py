@@ -13,13 +13,16 @@ from _stream_helpers import write_ordered_splits as _write_ordered_splits
 def _q200_frame(spark, sf_dir):
     """The q200 generative delete-aware CDC log: every 7th event is a
     DELETE with a junked payload (reversed event_type) that must be
-    ignored."""
+    ignored, and every 11th non-delete op is NULL — an UPSERT by the
+    pinned CDC convention (ADVICE r11), so the parity laws pin the
+    NULL-op coalesce in the sink too."""
     from openpolicedata_spark.sources.file import read_parquet_repaired
 
     e = read_parquet_repaired(spark, f"{sf_dir}/events.parquet")
     return e.selectExpr(
         "user_id", "event_id", "ts",
-        "CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op",
+        "CASE WHEN event_id % 7 = 0 THEN 'D' "
+        "WHEN event_id % 11 = 0 THEN NULL ELSE 'U' END AS op",
         "CASE WHEN event_id % 7 = 0 THEN reverse(event_type) "
         "ELSE event_type END AS event_type")
 
