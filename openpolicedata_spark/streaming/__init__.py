@@ -1108,12 +1108,65 @@ def media_scan_sink(stream_df: DataFrame, out_path: str,
 
     _run_merge_sink(stream_df, body, None, query_name, timeout_s)
 
+def _scd2_bucket_dir(path: str, b: int) -> str:
+    import os
+
+    return os.path.join(path, f"bkt={b}")
+
+
+def _recover_scd2_buckets(path: str) -> None:
+    """Crash recovery for scd2_sink's PER-BUCKET rename-aside swaps:
+    a process that died between the two renames of one bucket leaves
+    the bucket only as its hidden `.old_bkt_K` aside — restore it; a
+    death after the replacement landed but before the aside cleanup
+    leaves a stale aside next to a live bucket — drop it. Hidden
+    names (leading dot) keep Spark's partition discovery blind to
+    both. Called at the head of every fold and every read."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        return
+    for name in os.listdir(path):
+        if not name.startswith(".old_bkt_"):
+            continue
+        aside = os.path.join(path, name)
+        live = os.path.join(path, f"bkt={name[len('.old_bkt_'):]}")
+        if os.path.isdir(live):
+            shutil.rmtree(aside)
+        else:
+            os.rename(aside, live)
+
+
+def _swap_scd2_bucket(stage_dir: str, path: str, b: int) -> None:
+    """Atomically (rename-aside) replace ONE bucket directory. Same
+    crash discipline as `_swap_dir`, scoped to the bucket: no crash
+    point loses the bucket, `_recover_scd2_buckets` finishes an
+    interrupted swap either direction."""
+    import os
+    import shutil
+
+    live = _scd2_bucket_dir(path, b)
+    aside = os.path.join(path, f".old_bkt_{b}")
+    if os.path.isdir(live):
+        if os.path.isdir(aside):
+            shutil.rmtree(aside)
+        os.rename(live, aside)
+        os.rename(stage_dir, live)
+        shutil.rmtree(aside)
+    else:
+        os.rename(stage_dir, live)
+
+
 def read_scd2(spark: SparkSession, path: str) -> DataFrame:
     """Public read of an `scd2_sink` dimension: version rows only —
-    the in-table state/marker rows and bookkeeping columns stripped.
+    the in-table state/marker rows, bookkeeping columns, and the
+    bucket partition column stripped.
     Schema: (key, *value_cols, valid_from, valid_to, is_current)."""
+    _recover_scd2_buckets(path)
     t = spark.read.parquet(path)
-    drop = [c for c in ("__kind__", "__del__", "__tb__", "__bid__")
+    drop = [c for c in ("__kind__", "__del__", "__tb__", "__bid__",
+                        "bkt")
             if c in t.columns]
     return t.where(F.col("__kind__") == "v").drop(*drop)
 
@@ -1125,6 +1178,7 @@ def scd2_sink(stream_df: DataFrame, path: str,
               delete_marker: str = "D",
               late_policy: str = "error",
               checkpoint_dir: Optional[str] = None,
+              n_buckets: int = 16,
               query_name: str = "scd2",
               timeout_s: int = 300) -> None:
     """Streaming delete-aware SCD type-2 sink (round 11 — the streaming
@@ -1144,19 +1198,35 @@ def scd2_sink(stream_df: DataFrame, path: str,
     `stateful_cap_per_key` discipline: ONE 's'-kind row — the last
     event's (is_delete, masked values, ts, tiebreak) — which is all
     the run-state the compression window and the close need at the
-    batch boundary (the open version itself stays a normal 'v' row). State
-    rows, version rows, and replay-marker rows live in the SAME
-    parquet table, discriminated by `__kind__`, so every batch commits
-    atomically in one `_swap_dir` rename — no crash point can separate
-    versions from the state that describes them (the countmin_sink
-    marker argument). Read the dimension with `read_scd2`.
+    batch boundary (the open version itself stays a normal 'v' row).
+
+    Layout (round 12 — the O(touched) rewrite, VERDICT r11 #1): the
+    dimension is hash-partitioned into `n_buckets` fixed key buckets
+    (`pmod(xxhash64(key), n_buckets)` — deterministic across runs;
+    the bucket count is stamped into a hidden `.n_buckets` file and a
+    mismatched re-open raises) stored as hive-style `bkt=K`
+    subdirectories. Each micro-batch folds ONLY the buckets its keys
+    touch — per-batch cost is O(touched buckets), flat as the
+    dimension grows (measured: SCALE.md 'scd2_sink bucketed
+    rewrite') — and each touched bucket's state rows, version rows,
+    and replay marker land together in ONE per-bucket rename-aside
+    swap, so no crash point can separate a bucket's versions from the
+    state that describes them (the countmin_sink marker argument,
+    now scoped per bucket). Read the dimension with `read_scd2`.
 
     Exactly-once: with a persistent `checkpoint_dir`, batch ids are
-    monotonic across restarts and each applied id is recorded as an
-    'm'-kind marker row in the same atomic swap — a failure-recovery
-    redelivery is skipped outright. With the default ephemeral
-    checkpoint the guard is disabled (ids restart at 0 — same
-    discipline and reasoning as countmin_sink). Independently of the
+    monotonic across restarts, and each touched bucket's swap carries
+    ONE 'm'-kind high-water marker row (`__bid__` = the last batch id
+    folded into that bucket — O(1) marker state per bucket, not the
+    r11 O(batches) id set; monotonicity is what makes `hwm >=
+    batch_id` ≡ "already applied"). A failure-recovery redelivery
+    skips exactly the buckets whose swap completed and folds the
+    rest — a crash BETWEEN bucket swaps of one batch recovers to the
+    correct table, which the whole-table design got by a single swap
+    and this design gets from the per-bucket markers. With the
+    default ephemeral checkpoint the guard is disabled (ids restart
+    at 0 — same discipline and reasoning as countmin_sink).
+    Independently of the
     markers, an INDIVIDUAL redelivered change row is absorbed by the
     compression itself whenever order holds (its state equals the
     stored last-event state — a no-op), so at-least-once row delivery
@@ -1174,13 +1244,19 @@ def scd2_sink(stream_df: DataFrame, path: str,
     rewriting closed history; `late_policy='error'` (default) fails
     the batch loudly, `'drop'` discards late rows and folds the rest.
 
-    Scale: the merge is read-merge-rewrite — O(table) per batch, the
-    documented `upsert_sink` trade, right for bounded dimensions
-    (users, products); at 100 TB the same fold targets a MERGE-capable
-    format (Delta/Iceberg) keyed on (key, valid_from) and becomes
-    O(touched files) — nothing upstream of the sink changes. Every
+    Scale: the fold is read-merge-rewrite over TOUCHED buckets only —
+    O(touched) per batch with plain parquet, the local form of what a
+    MERGE-capable format (Delta/Iceberg) does with O(touched files)
+    at 100 TB; size `n_buckets` ≈ dimension_size / the rewrite volume
+    you can afford per batch (a 1-key batch rewrites 1/n_buckets of
+    the table; a batch touching every bucket degrades gracefully to
+    the old whole-table cost). Every
     stage is keyed on `key_col` (one hash exchange feeds the window,
-    the compression, and the close, exactly like the batch operator).
+    the compression, and the close, exactly like the batch operator;
+    the bucket id is a function of the key, so bucketing adds no
+    exchange), and the only driver-side state is the touched-bucket
+    id list and per-bucket high-water marks — both bounded by
+    `n_buckets`.
 
     Cites: reference has no streaming (SURVEY.md §2.11); semantics
     parity target is operators/merge.py scd2_intervals."""
@@ -1193,6 +1269,13 @@ def scd2_sink(stream_df: DataFrame, path: str,
         raise ValueError("scd2_sink needs at least one value column")
     if late_policy not in ("error", "drop"):
         raise ValueError(f"unknown late_policy {late_policy!r}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    reserved = {"bkt", "__kind__", "__del__", "__tb__", "__bid__"}
+    clash = reserved & set([key_col, ts_col, *value_cols])
+    if clash:
+        raise ValueError(f"column names {sorted(clash)} are reserved "
+                         f"by scd2_sink's bookkeeping")
     spark = stream_df.sparkSession
     guarded = checkpoint_dir is not None
     sch = stream_df.schema
@@ -1212,21 +1295,56 @@ def scd2_sink(stream_df: DataFrame, path: str,
             if name not in out.columns:
                 out = out.withColumn(name, F.lit(None).cast(dt))
         return out.select(
-            *[F.col(n) for n, _ in canon], F.lit(kind).alias("__kind__"))
+            *[F.col(n) for n, _ in canon], F.lit(kind).alias("__kind__"),
+            F.col("bkt"))
 
     order_tail = ["__tb__"] if tiebreak_col else []
 
     def body(batch: DataFrame, batch_id: int) -> None:
+        import glob as _glob
+        import shutil
+
         if not batch.head(1):
             return
-        _recover_dir(path)
-        prev = spark.read.parquet(path) if os.path.isdir(path) else None
+        _recover_scd2_buckets(path)
+        # a crashed previous attempt may have left a stage dir behind
+        for stale in _glob.glob(path.rstrip("/") + ".__stage_*__"):
+            shutil.rmtree(stale)
+        nb_file = os.path.join(path, ".n_buckets")
+        if os.path.isfile(nb_file):
+            with open(nb_file) as fh:
+                stored = int(fh.read())
+            if stored != n_buckets:
+                raise ValueError(
+                    f"scd2_sink: table at {path} was built with "
+                    f"n_buckets={stored}, reopened with {n_buckets} — "
+                    f"the key→bucket map would change and split keys "
+                    f"across buckets; reuse the original bucket count")
+        batch = batch.withColumn(
+            "bkt", F.pmod(F.xxhash64(F.col(key_col)),
+                          F.lit(n_buckets)).cast("int"))
+        # bounded driver state: ≤ n_buckets ints
+        touched = sorted(r["bkt"] for r in
+                         batch.select("bkt").distinct().collect())
+        existing = [b for b in touched
+                    if os.path.isdir(_scd2_bucket_dir(path, b))]
+        prev = (spark.read.option("basePath", path)
+                .parquet(*[_scd2_bucket_dir(path, b) for b in existing])
+                if existing else None)
         if guarded and prev is not None:
-            applied = {r["__bid__"] for r in
-                       prev.where(F.col("__kind__") == "m")
-                       .select("__bid__").collect()}
-            if batch_id in applied:
-                return  # failure-recovery replay: already folded
+            # per-bucket high-water marks: ≤ n_buckets rows collected
+            done = [r["bkt"] for r in
+                    prev.where(F.col("__kind__") == "m")
+                    .groupBy("bkt").agg(F.max("__bid__").alias("hwm"))
+                    .where(F.col("hwm") >= F.lit(batch_id)).collect()]
+            if done:
+                # failure-recovery replay: these buckets' swaps already
+                # landed — fold only the rest
+                touched = [b for b in touched if b not in set(done)]
+                if not touched:
+                    return
+                batch = batch.where(~F.col("bkt").isin(done))
+                prev = prev.where(~F.col("bkt").isin(done))
         # NULL op coalesces to not-a-delete (upsert) — same pinned
         # choice as merge.scd2_intervals (ADVICE r11: without the
         # coalesce, three-valued logic made a NULL-op row a
@@ -1236,7 +1354,7 @@ def scd2_sink(stream_df: DataFrame, path: str,
         # masked values: delete payloads are junk by CDC convention —
         # masking makes consecutive deletes equal whatever they carry
         norm = batch.select(
-            F.col(key_col),
+            F.col(key_col), F.col("bkt"),
             F.col(ts_col).alias("__ts__"),
             (F.col(tiebreak_col) if tiebreak_col
              else F.lit(None).cast("long")).alias("__tb__"),
@@ -1271,7 +1389,7 @@ def scd2_sink(stream_df: DataFrame, path: str,
         withseq = norm.withColumn("__seq__", F.lit(1))
         if state is not None:
             prev_rows = state.select(
-                F.col(key_col),
+                F.col(key_col), F.col("bkt"),
                 F.col("valid_from").alias("__ts__"),
                 F.col("__tb__"),
                 F.col("__del__"),
@@ -1293,13 +1411,14 @@ def scd2_sink(stream_df: DataFrame, path: str,
                             (F.col("__seq__") == 1)
                             & (first | ~prev_same))
                 .where(F.col("__keep__"))
-                .select(key_col, "__ts__", "__tb__", "__del__",
+                .select(key_col, "bkt", "__ts__", "__tb__", "__del__",
                         *value_cols)
                 .localCheckpoint(eager=False))
         # within-batch close: identical to the batch operator's w2
         w2 = Window.partitionBy(key_col).orderBy("__ts__", *order_tail)
         new_versions = kept.select(
-            F.col(key_col), *[F.col(c) for c in value_cols],
+            F.col(key_col), F.col("bkt"),
+            *[F.col(c) for c in value_cols],
             F.col("__del__"),
             F.col("__ts__").alias("valid_from"),
             F.lead("__ts__").over(w2).alias("valid_to"),
@@ -1329,14 +1448,16 @@ def scd2_sink(stream_df: DataFrame, path: str,
         # new per-key state: the LAST batch event (kept or no-op) —
         # its masked values equal the last kept change's by the run
         # law, and its (ts, tiebreak) is the lateness high-water mark
-        last_state = (norm.groupBy(key_col)
+        # (bkt is a function of the key, so grouping by both is free)
+        last_state = (norm.groupBy(key_col, "bkt")
                       .agg(F.max_by(
                           F.struct("__ts__", "__tb__", "__del__",
                                    *value_cols),
                           F.struct("__ts__", *order_tail)).alias("__s__"))
-                      .select(key_col, "__s__.*"))
+                      .select(key_col, "bkt", "__s__.*"))
         new_state = last_state.select(
-            F.col(key_col), *[F.col(c) for c in value_cols],
+            F.col(key_col), F.col("bkt"),
+            *[F.col(c) for c in value_cols],
             F.col("__ts__").alias("valid_from"),
             F.col("__del__"), F.col("__tb__"))
         parts = [unify(new_versions, "v"), unify(new_state, "s")]
@@ -1346,20 +1467,32 @@ def scd2_sink(stream_df: DataFrame, path: str,
             parts.append(unify(
                 state.join(last_state.select(key_col),
                            on=key_col, how="left_anti"), "s"))
-        if prev is not None:
-            parts.append(unify(prev.where(F.col("__kind__") == "m"),
-                               "m"))
         if guarded:
+            # ONE high-water marker row per touched bucket (__bid__ =
+            # this batch id; ids are monotonic) — replaces the bucket's
+            # previous marker instead of accumulating one row per batch
             parts.append(unify(
-                spark.range(1).select(
-                    F.lit(batch_id).cast("long").alias("__bid__")),
-                "m"))
+                spark.createDataFrame([(b,) for b in touched],
+                                      "bkt int")
+                .withColumn("__bid__",
+                            F.lit(batch_id).cast("long")), "m"))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        tmp = path.rstrip("/") + f".__stage_{batch_id}__"
-        out.write.mode("overwrite").parquet(tmp)
-        _swap_dir(tmp, path)
+        stage = path.rstrip("/") + f".__stage_{batch_id}__"
+        # one output partition per touched bucket → one data file per
+        # bucket dir: the table stays self-compacted per bucket
+        (out.repartition(len(touched), "bkt")
+            .write.partitionBy("bkt").mode("overwrite").parquet(stage))
+        os.makedirs(path, exist_ok=True)
+        if not os.path.isfile(nb_file):
+            with open(nb_file, "w") as fh:
+                fh.write(str(n_buckets))
+        for b in touched:
+            sdir = os.path.join(stage, f"bkt={b}")
+            if os.path.isdir(sdir):
+                _swap_scd2_bucket(sdir, path, b)
+        shutil.rmtree(stage)
 
     _run_merge_sink(stream_df, body, checkpoint_dir, query_name,
                     timeout_s)
@@ -1372,6 +1505,101 @@ def scd2_sink(stream_df: DataFrame, path: str,
 # the literal) so the batch-delegation check can tell "default" from
 # "explicitly passed 100000" (the latter still raises on batch input).
 _GAP_GUARD_DEFAULT = int("100000")
+
+
+def scd2_enrich_sink(stream_df: DataFrame, dim_path: str,
+                     out_path: str, key_col: str, ts_col: str,
+                     dim_prefix: str = "dim_",
+                     unmatched: str = "keep",
+                     checkpoint_dir: Optional[str] = None,
+                     query_name: str = "scd2enrich",
+                     timeout_s: int = 300) -> None:
+    """Streaming point-in-time enrichment against an `scd2_sink`
+    dimension (round 12, VERDICT r11 #5 — the live-feature-store face
+    of q205: joining each example to the feature version valid AS OF
+    its own event time is what prevents time-travel leakage, and the
+    q205 batch query is exactly what this computes incrementally):
+    every micro-batch left-joins `read_scd2(dim_path)` on
+    `key AND valid_from <= ts < coalesce(valid_to, ∞)` and appends the
+    enriched rows to `out_path`. SCD2 intervals TILE per key (the e2e
+    tiling law), so each event matches AT MOST one version; an event
+    in a delete gap or before the key's first version is unmatched —
+    `unmatched='keep'` (default) emits it with NULL features,
+    `'drop'` discards it. Dimension value columns arrive prefixed
+    with `dim_prefix` (plus `{prefix}valid_from`, the feature's
+    as-of provenance).
+
+    Ordering contract: the dimension fold must run AHEAD of the
+    enrichment (the feature-store discipline) — an event arriving
+    before its version has been folded matches the older version,
+    exactly as a live lookup would; replaying history against the
+    finished dimension is the batch q205 job, not this sink's.
+
+    Exactly-once: with a persistent `checkpoint_dir`, a single
+    high-water-mark file (`out_path + '.__hwm__'`, atomically
+    os.replace'd — batch ids are monotonic, the scd2_sink argument)
+    skips failure-recovery redeliveries; O(1) driver state. A crash
+    between the append and the hwm bump re-appends that one batch —
+    the documented at-least-once window every append-style sink here
+    shares (media_scan_sink); dedup downstream on a unique event id
+    or target a transactional format. Ephemeral checkpoints disable
+    the guard (ids restart at 0 — countmin_sink discipline).
+
+    Scale: per batch this is one bounded-dimension join — Spark
+    broadcasts the dimension when it fits (AQE decides from runtime
+    size), else an SMJ keyed on `key_col`; the non-equi containment
+    rides as the join's post-condition, never a cartesian. Only the
+    batch's rows and the dimension's version rows move; output
+    appends are the batch's own size.
+
+    Cites: reference has no streaming (SURVEY.md §2.11); semantics
+    parity target is the q205 containment join over
+    merge.scd2_intervals output."""
+    import os
+
+    if unmatched not in ("keep", "drop"):
+        raise ValueError(f"unknown unmatched policy {unmatched!r}")
+    spark = stream_df.sparkSession
+    guarded = checkpoint_dir is not None
+    hwm_file = out_path.rstrip("/") + ".__hwm__"
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        if guarded and os.path.isfile(hwm_file):
+            with open(hwm_file) as fh:
+                if batch_id <= int(fh.read()):
+                    return  # failure-recovery replay: already appended
+        dim = read_scd2(spark, dim_path)
+        feat = [c for c in dim.columns
+                if c not in (key_col, "valid_to", "is_current")]
+        clash = [f"{dim_prefix}{c}" for c in feat
+                 if f"{dim_prefix}{c}" in batch.columns]
+        if clash:
+            raise ValueError(
+                f"dim_prefix {dim_prefix!r} collides with stream "
+                f"columns {clash}; pass a different dim_prefix")
+        d = dim.select(
+            F.col(key_col).alias("__dk__"),
+            F.col("valid_from").alias("__vf__"),
+            F.col("valid_to").alias("__vt__"),
+            *[F.col(c).alias(f"{dim_prefix}{c}") for c in feat])
+        cond = ((batch[key_col] == d["__dk__"])
+                & (d["__vf__"] <= batch[ts_col])
+                & (d["__vt__"].isNull()
+                   | (batch[ts_col] < d["__vt__"])))
+        how = "left" if unmatched == "keep" else "inner"
+        out = (batch.join(d, cond, how)
+               .drop("__dk__", "__vf__", "__vt__"))
+        out.write.mode("append").parquet(out_path)
+        if guarded:
+            tmp = hwm_file + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(batch_id))
+            os.replace(tmp, hwm_file)
+
+    _run_merge_sink(stream_df, body, checkpoint_dir, query_name,
+                    timeout_s)
 
 
 def stateful_gap_fill(

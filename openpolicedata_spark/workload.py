@@ -9385,6 +9385,124 @@ def q212_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q212_SQL = _Q212_BODY.format(l="lineitem")
 
 
+_Q213_BODY = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk,
+       CAST(o_totalprice AS DOUBLE) AS price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey)
+             AS rnk
+  FROM {o}
+) WHERE rnk <= 3
+"""
+
+
+def q213_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-k via rank-limit pushdown (round 12, VERDICT r11
+    #2 — the `row_number() <= k` idiom every retrieval/dedup pipeline
+    writes, and the last unexercised window-optimizer class): top-3
+    orders per customer by price. Spark 3.5+/4's InferWindowGroupLimit
+    plans the filter as a WindowGroupLimit node BELOW the window —
+    and, crucially for 100 TB, a PARTIAL WindowGroupLimit below the
+    exchange too, so each map task forwards at most k rows per key
+    and the shuffle + window state carry O(keys × k), not O(rows)
+    (pinned in tests/test_plans.py: Partial+Final pair present, and
+    absent with spark.sql.optimizer.windowGroupLimitThreshold=-1;
+    measured at sf1 in SCALE.md). The o_orderkey tiebreak makes the
+    top-3 exact; the IDENTICAL body runs on DuckDB."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q213_o")
+    return spark.sql(_Q213_BODY.format(o="q213_o"))
+
+
+_Q213_SQL = _Q213_BODY.format(o="orders")
+
+
+_Q214_BODY = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS revenue
+FROM {l}
+JOIN {o} ON l_orderkey = o_orderkey
+JOIN {c} ON o_custkey = c_custkey
+JOIN {n} ON c_nationkey = n_nationkey
+WHERE n_name IN ('NATION_7', 'NATION_19')
+GROUP BY n_name
+"""
+
+
+def q214_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately badly-ordered 4-table join (round 12, VERDICT r11
+    #3 — the cost-based-optimizer surface: catalog statistics driving
+    join REORDERING, the one optimizer input family the corpus never
+    exercised; AQE reacts to runtime shuffle sizes, CBO plans from
+    ANALYZE TABLE stats before anything runs): the FROM order joins
+    fact⋈fact first (lineitem⋈orders) and saves the 2-of-25-nations
+    selective dimension chain for last. The workload entry runs on
+    the default session (plain exact aggregate — DuckDB plans its own
+    order); tests/test_plans.py rebuilds it over ANALYZEd catalog
+    tables with spark.sql.cbo.{enabled,joinReorder.enabled}=true and
+    pins that the optimized join tree moves the nation⋈customer
+    reduction BELOW the fact join (the q203 discipline: the query
+    exists to pin the mechanism; the salt-vs-AQE-vs-CBO decision rule
+    lives in SCALE.md)."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q214_l")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q214_o")
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("q214_c")
+    _read(spark, sf_dir, "nation").createOrReplaceTempView("q214_n")
+    return spark.sql(_Q214_BODY.format(l="q214_l", o="q214_o",
+                                       c="q214_c", n="q214_n"))
+
+
+_Q214_SQL = _Q214_BODY.format(l="lineitem", o="orders",
+                              c="customer", n="nation")
+
+
+_Q215_BODY = """
+SELECT rf, ls, CAST(sm AS BIGINT) AS sm,
+       CAST(total AS DOUBLE) AS total,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT rf, ls, sm, total,
+         rank() OVER (PARTITION BY rf
+                      ORDER BY total DESC, ls ASC NULLS FIRST,
+                               sm ASC NULLS FIRST) AS rk
+  FROM (
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+           month(l_shipdate) AS sm,
+           SUM(CAST(l_quantity AS DECIMAL(14,2))) AS total
+    FROM {l}
+    GROUP BY ROLLUP (l_returnflag, l_linestatus, month(l_shipdate))
+  )
+) WHERE rk <= 3
+"""
+
+
+def q215_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67-class shape (round 12, VERDICT r11 #6): windowed
+    top-k over a ROLLUP — rank the rollup hierarchy's rows (detail,
+    per-linestatus, per-returnflag, grand total) within each
+    returnflag partition and keep the top 3 by quantity. Composes the
+    GROUPING SETS class (q188) with q213's rank-limit pushdown: the
+    plan must be ONE Expand feeding the aggregate, then a
+    WindowGroupLimit BEFORE the full window sort — at 100 TB the
+    rollup multiplies rows ×4 and the rank-limit is what keeps the
+    window's buffered state bounded at O(partitions × k) (pinned in
+    tests/test_plans.py). Exactness: DECIMAL sums, and the window
+    order is total — a total order because each partition's (ls, sm)
+    pairs are distinct across rollup levels (the ship month is never
+    NULL in the data, so a detail row can't collide with a subtotal
+    row);
+    NULLS FIRST is explicit because the engines' defaults differ.
+    The IDENTICAL body runs on DuckDB."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q215_l")
+    return spark.sql(_Q215_BODY.format(l="q215_l"))
+
+
+_Q215_SQL = _Q215_BODY.format(l="lineitem")
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -10221,6 +10339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_session_windows": q210_session_windows,
         "q211_sql_udf": q211_sql_udf,
         "q212_group_by_all": q212_group_by_all,
+        "q213_topk_per_key": q213_topk_per_key,
+        "q214_cbo_join_reorder": q214_cbo_join_reorder,
+        "q215_rollup_topk": q215_rollup_topk,
     }
     return base
 
@@ -10441,4 +10562,7 @@ def oracle_sql() -> dict[str, str]:
         "q210_session_windows": _Q210_SQL,
         "q211_sql_udf": _Q211_SQL,
         "q212_group_by_all": _Q212_SQL,
+        "q213_topk_per_key": _Q213_SQL,
+        "q214_cbo_join_reorder": _Q214_SQL,
+        "q215_rollup_topk": _Q215_SQL,
     }

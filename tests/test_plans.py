@@ -936,3 +936,120 @@ def test_q212_group_by_all_plans_like_explicit(spark, sf_dir):
     assert "partial_" in t, t[:800]
     assert_max_exchanges(df, 1)
     assert_no_python_in_plan(df)
+
+
+def test_q213_window_group_limit_partial_and_final(spark, sf_dir):
+    """Rank-limit pushdown (round 12): `row_number() <= 3` must plan a
+    WindowGroupLimit pair — PARTIAL below the exchange (each map task
+    forwards at most k rows per key, so the shuffle carries
+    O(keys × k)) and FINAL above it, before the full Window sort.
+    Turning the optimizer rule off (threshold = -1) must remove both —
+    proving the pin tests the rule, not a coincidence of the shape."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q213_topk_per_key"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "WindowGroupLimit") == 2, t[:1200]
+    assert "Partial" in t and "Final" in t, t[:1200]
+    # exactly one true Window node ("Window" also prefix-matches the
+    # WindowGroupLimit headers, hence the subtraction)
+    assert (_n_nodes(t, "Window")
+            - _n_nodes(t, "WindowGroupLimit")) == 1, t[:1200]
+    assert_no_python_in_plan(df)
+
+    knob = "spark.sql.optimizer.windowGroupLimitThreshold"
+    old = spark.conf.get(knob, None)
+    spark.conf.set(knob, "-1")
+    try:
+        off = formatted_plan(
+            workload.queries()["q213_topk_per_key"](spark, sf_dir))
+        assert _n_nodes(off, "WindowGroupLimit") == 0, off[:1200]
+    finally:
+        if old is None:
+            spark.conf.unset(knob)
+        else:
+            spark.conf.set(knob, old)
+
+
+def test_q214_cbo_reorders_bad_join_order(spark, sf_dir):
+    """Cost-based join reorder (round 12): over ANALYZEd catalog
+    tables with CBO + joinReorder on, the deliberately bad FROM order
+    (fact⋈fact first, selective dims last) must be REORDERED so the
+    nation-filtered customer reduction joins FIRST and the lineitem
+    fact joins LAST; without CBO the syntactic order survives. Tables
+    are external (LOCATION over the testdata parquet — stats in the
+    session catalog, no data copied) and dropped after. The workload
+    entry itself runs statless on the default session (exact-oracle
+    correctness only) — the q203 discipline."""
+    import re as _re
+
+    from openpolicedata_spark.workload import _Q214_BODY
+
+    names = ("lineitem", "orders", "customer", "nation")
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+        spark.sql(f"CREATE TABLE cbo_{t} USING parquet "
+                  f"LOCATION '{sf_dir}/{t}.parquet'")
+        spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE cbo_lineitem COMPUTE STATISTICS "
+              "FOR COLUMNS l_orderkey")
+    spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS "
+              "FOR COLUMNS o_orderkey, o_custkey")
+    spark.sql("ANALYZE TABLE cbo_customer COMPUTE STATISTICS "
+              "FOR COLUMNS c_custkey, c_nationkey")
+    spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS "
+              "FOR COLUMNS n_nationkey, n_name")
+    body = _Q214_BODY.format(l="cbo_lineitem", o="cbo_orders",
+                             c="cbo_customer", n="cbo_nation")
+
+    def relation_order():
+        opt = spark.sql(body)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        return [m for m in _re.findall(r"\.cbo_(\w+)\[", opt)]
+
+    knobs = {"spark.sql.cbo.enabled": "true",
+             "spark.sql.cbo.joinReorder.enabled": "true"}
+    old = {k: spark.conf.get(k) for k in knobs}
+    try:
+        # baseline: the syntactic (bad) order survives without CBO
+        assert relation_order() == ["lineitem", "orders",
+                                    "customer", "nation"]
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        reordered = relation_order()
+        # the deepest (first-listed) relation must now be the
+        # selective dim chain, and the big fact must join last
+        assert reordered[0] in ("customer", "nation"), reordered
+        assert reordered[-1] == "lineitem", reordered
+        # ...and the answer is unchanged (the exact oracle's values)
+        got = {(r.n_name, r.n_items)
+               for r in spark.sql(body)
+               .select("n_name", "n_items").collect()}
+        noncbo = {(r.n_name, r.n_items) for r in
+                  workload.queries()["q214_cbo_join_reorder"](
+                      spark, sf_dir)
+                  .select("n_name", "n_items").collect()}
+        assert got == noncbo and len(got) == 2
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+        for t in names:
+            spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+
+
+def test_q215_rollup_topk_one_expand_group_limited(spark, sf_dir):
+    """TPC-DS Q67-class (round 12): the ROLLUP must plan as ONE Expand
+    feeding one aggregate pair (never per-level re-scans), and the
+    rank filter must push a WindowGroupLimit below the full Window —
+    the composition that keeps window state bounded after the ×4
+    rollup fan-out."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q215_rollup_topk"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Scan parquet") == 1, t[:1200]
+    assert _n_nodes(t, "Expand") == 1, t[:1200]
+    assert _n_nodes(t, "WindowGroupLimit") >= 1, t[:1200]
+    assert (_n_nodes(t, "Window")
+            - _n_nodes(t, "WindowGroupLimit")) == 1, t[:1200]
+    assert_no_python_in_plan(df)

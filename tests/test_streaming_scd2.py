@@ -109,9 +109,22 @@ def test_scd2_sink_cross_batch_semantics(spark, tmp_path):
     ]
 
 
+def _marker_stats(spark, out):
+    """(max marker rows in any one bucket, global max __bid__) — the
+    round-12 O(1) invariant: every bucket holds AT MOST ONE high-water
+    marker row however many batches folded into it."""
+    r = (spark.read.parquet(out).where(F.col("__kind__") == "m")
+         .groupBy("bkt").agg(F.count(F.lit(1)).alias("n"),
+                             F.max("__bid__").alias("hwm"))
+         .agg(F.max("n").alias("worst"), F.max("hwm").alias("hwm"))
+         .first())
+    return r.worst, r.hwm
+
+
 def test_scd2_sink_marker_replay_guard_and_incremental(spark, tmp_path):
-    """With a persistent checkpoint: applied batch ids ride as marker
-    rows inside the atomically-swapped table; re-invoking after new
+    """With a persistent checkpoint: each touched bucket carries ONE
+    high-water marker row (O(1) marker state per bucket — round 12,
+    VERDICT r11 #1 — not one row per batch); re-invoking after new
     data folds only the new file (never re-folding the old ones), and
     the version output stays exactly scd2_intervals of everything
     delivered so far."""
@@ -137,8 +150,9 @@ def test_scd2_sink_marker_replay_guard_and_incremental(spark, tmp_path):
                   checkpoint_dir=ckpt)
 
     drain()
-    raw = spark.read.parquet(out)
-    assert raw.where(F.col("__kind__") == "m").count() == 2
+    # two batches folded (ids 0, 1), yet every bucket holds exactly
+    # one marker row — the high-water rollup, not an id set
+    assert _marker_stats(spark, out) == (1, 1)
     from pyspark.sql import Window
 
     w = Window.orderBy("ts", "event_id")
@@ -153,13 +167,13 @@ def test_scd2_sink_marker_replay_guard_and_incremental(spark, tmp_path):
                 "is_current").collect()}
     assert _versions(spark, out) == exp1
 
-    # re-drain with nothing new: no change, no extra markers
+    # re-drain with nothing new: no change, markers untouched
     drain()
-    assert spark.read.parquet(out).where(
-        F.col("__kind__") == "m").count() == 2
+    assert _marker_stats(spark, out) == (1, 1)
     assert _versions(spark, out) == exp1
 
-    # release the held file: exactly one more fold, full-log parity
+    # release the held file: exactly one more fold, full-log parity,
+    # still one marker row per bucket (hwm advanced to batch id 2)
     os.rename(held, str(src / "b2"))
     drain()
     expected = {tuple(r) for r in scd2_intervals(
@@ -168,8 +182,7 @@ def test_scd2_sink_marker_replay_guard_and_incremental(spark, tmp_path):
         .select("user_id", "event_type", "valid_from", "valid_to",
                 "is_current").collect()}
     assert _versions(spark, out) == expected
-    assert spark.read.parquet(out).where(
-        F.col("__kind__") == "m").count() == 3
+    assert _marker_stats(spark, out) == (1, 2)
 
 
 def test_scd2_sink_late_rows_error_and_drop(spark, tmp_path):
@@ -303,11 +316,10 @@ def test_scd2_sink_row_per_batch_maximal_boundary_stress(spark,
 
 
 def test_scd2_sink_table_is_self_compacting(spark, tmp_path):
-    """Each batch rewrites the dimension in ONE atomic swap, so the
-    table's data-file count is bounded by the writer's partitioning —
-    it must NOT grow with the number of folded batches (the
-    append-style sinks need compact_index for this; the swap rewrite
-    IS the compaction here)."""
+    """Each batch rewrites every touched bucket into ONE data file per
+    bucket (the per-bucket swap IS the compaction), so the table's
+    data-file count is bounded by n_buckets — it must NOT grow with
+    the number of folded batches — and no stage/aside dirs leak."""
     import glob
 
     from openpolicedata_spark.streaming import scd2_sink
@@ -319,9 +331,279 @@ def test_scd2_sink_table_is_self_compacting(spark, tmp_path):
     _write_ordered_splits(frame, src, 6)
     out = str(tmp_path / "dim")
     scd2_sink(_stream(spark, frame, src), out, "user_id", "ts",
-              ["event_type"], tiebreak_col="event_id", op_col="op")
-    n_files = len(glob.glob(f"{out}/*.parquet"))
-    assert 0 < n_files <= spark.sparkContext.defaultParallelism + 1, \
-        n_files
+              ["event_type"], tiebreak_col="event_id", op_col="op",
+              n_buckets=8)
+    per_bucket = {
+        d: len(glob.glob(f"{d}/*.parquet"))
+        for d in glob.glob(f"{out}/bkt=*")}
+    assert 0 < len(per_bucket) <= 8
+    assert all(n == 1 for n in per_bucket.values()), per_bucket
     assert not glob.glob(f"{out}.__stage_*__"), "stage dir leaked"
-    assert not glob.glob(f"{out}.__old__"), "swap-aside dir leaked"
+    assert not glob.glob(f"{out}/.old_bkt_*"), "swap-aside dir leaked"
+
+
+def test_scd2_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """THE round-12 property (VERDICT r11 #1): a batch touching one
+    key rewrites exactly that key's bucket — every other bucket
+    directory's file set (names AND bytes-identity via mtime+size) is
+    untouched. Per-batch cost is O(touched buckets), not O(table)."""
+    import os
+
+    from openpolicedata_spark.streaming import read_scd2, scd2_sink
+
+    frame = _q200_frame(spark, "/root/testdata/sf0.001").where(
+        F.col("user_id") % 2 == 1)
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_ordered_splits(frame, src, 1)
+    out = str(tmp_path / "dim")
+    scd2_sink(_stream(spark, frame, src), out, "user_id", "ts",
+              ["event_type"], tiebreak_col="event_id", op_col="op",
+              n_buckets=16)
+
+    def snapshot():
+        snap = {}
+        for bdir in os.listdir(out):
+            if not bdir.startswith("bkt="):
+                continue
+            full = os.path.join(out, bdir)
+            snap[bdir] = sorted(
+                (f, os.path.getmtime(os.path.join(full, f)),
+                 os.path.getsize(os.path.join(full, f)))
+                for f in os.listdir(full) if f.endswith(".parquet"))
+        return snap
+
+    before = snapshot()
+    assert len(before) > 3   # the log spreads over many buckets
+
+    # one-key follow-up batch (a key known to exist: smallest user)
+    k = frame.agg(F.min("user_id")).first()[0]
+    one = (spark.createDataFrame(
+        [(int(k), 10**9, "2025-06-01 00:00:00", "U", "ZZZ")],
+        "user_id long, event_id long, t string, op string, "
+        "event_type string")
+        .withColumn("ts", F.col("t").cast("timestamp_ntz")).drop("t")
+        .select("user_id", "event_id", "ts", "op", "event_type"))
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    one.coalesce(1).write.parquet(str(src2 / "b0"))
+    scd2_sink(_stream(spark, one, src2), out, "user_id", "ts",
+              ["event_type"], tiebreak_col="event_id", op_col="op",
+              n_buckets=16)
+    after = snapshot()
+    changed = [b for b in before
+               if after.get(b) != before[b]]
+    assert len(changed) == 1, changed   # exactly the key's bucket
+    # and the fold is semantically right: the new version is current
+    cur = (read_scd2(spark, out)
+           .where((F.col("user_id") == k) & F.col("is_current"))
+           .select("event_type").collect())
+    assert [r.event_type for r in cur] == ["ZZZ"]
+
+
+def test_scd2_sink_partial_batch_crash_recovery(spark, tmp_path):
+    """Crash BETWEEN bucket swaps of one batch (the new crash window
+    of the O(touched) design): after a guarded 2-batch run, one
+    bucket is reverted to its pre-batch-1 content (simulating a swap
+    that never landed) and the engine's commit record for batch 1 is
+    removed, so the restart REDELIVERS batch 1. The per-bucket
+    high-water markers must skip the buckets whose swap completed
+    (their batch-1 rows would otherwise trip the late detector) and
+    fold ONLY the reverted bucket — converging to exactly the
+    uncrashed table."""
+    import os
+    import shutil
+
+    from openpolicedata_spark.operators.merge import scd2_intervals
+    from openpolicedata_spark.streaming import scd2_sink
+
+    frame = _q200_frame(spark, "/root/testdata/sf0.001").where(
+        F.col("user_id") % 10 == 7)
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_ordered_splits(frame, src, 2)
+    held = str(tmp_path / "held")
+    os.rename(str(src / "b1"), held)
+    out = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        scd2_sink(_stream(spark, frame, src), out, "user_id", "ts",
+                  ["event_type"], tiebreak_col="event_id", op_col="op",
+                  checkpoint_dir=ckpt, n_buckets=8)
+
+    drain()                              # batch 0 only
+    # snapshot every bucket's post-batch-0 content
+    snap = str(tmp_path / "snap")
+    shutil.copytree(out, snap)
+    os.rename(held, str(src / "b1"))
+    drain()                              # batch 1 folds everywhere
+    expected = _versions(spark, out)
+    assert expected != _versions(spark, snap)  # batch 1 changed things
+
+    # simulate the crash: one bucket's batch-1 swap "never happened"
+    victim = sorted(d for d in os.listdir(out)
+                    if d.startswith("bkt="))[0]
+    shutil.rmtree(os.path.join(out, victim))
+    shutil.copytree(os.path.join(snap, victim),
+                    os.path.join(out, victim))
+    # ...and the engine never recorded batch 1 as committed (the local
+    # checksum FS shadows every log file with a .crc — drop both)
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.isfile(crc):
+        os.remove(crc)
+
+    drain()                              # batch 1 REDELIVERED (id 1)
+    assert _versions(spark, out) == expected
+    assert _marker_stats(spark, out) == (1, 1)
+
+
+def test_scd2_sink_n_buckets_is_stamped_and_validated(spark, tmp_path):
+    """The key→bucket map is part of the table: reopening with a
+    different n_buckets would split keys across buckets, so the sink
+    stamps the count and refuses a mismatch loudly."""
+    import pytest
+
+    from openpolicedata_spark.streaming import scd2_sink
+
+    b1 = (spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "U", "A")],
+        "k long, cid long, t string, op string, v string")
+        .withColumn("ts", F.col("t").cast("timestamp_ntz")).drop("t")
+        .select("k", "cid", "ts", "op", "v"))
+    src = tmp_path / "src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "b0"))
+    out = str(tmp_path / "dim")
+    scd2_sink(_stream(spark, b1, src), out, "k", "ts", ["v"],
+              tiebreak_col="cid", op_col="op", n_buckets=4)
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    b1.coalesce(1).write.parquet(str(src2 / "b0"))
+    with pytest.raises(Exception, match="n_buckets"):
+        scd2_sink(_stream(spark, b1, src2), out, "k", "ts", ["v"],
+                  tiebreak_col="cid", op_col="op", n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        scd2_sink(b1, out, "k", "ts", ["v"], n_buckets=0)
+    with pytest.raises(ValueError, match="reserved"):
+        scd2_sink(b1.withColumnRenamed("v", "bkt"), out, "k", "ts",
+                  ["bkt"])
+
+
+def _enrich_expected(spark, events, dim_out, unmatched="keep"):
+    """Batch q205-shape containment join — the parity truth."""
+    from openpolicedata_spark.streaming import read_scd2
+
+    d = read_scd2(spark, dim_out).select(
+        F.col("user_id").alias("dk"),
+        F.col("valid_from").alias("vf"),
+        F.col("valid_to").alias("vt"),
+        F.col("event_type").alias("dim_event_type"),
+        F.col("valid_from").alias("dim_valid_from"))
+    cond = ((events["user_id"] == d["dk"])
+            & (d["vf"] <= events["ts"])
+            & (d["vt"].isNull() | (events["ts"] < d["vt"])))
+    j = events.join(d, cond, "left" if unmatched == "keep" else "inner")
+    return {tuple(r) for r in
+            j.select("event_id", "dim_event_type", "dim_valid_from")
+            .collect()}
+
+
+def test_scd2_enrich_sink_batch_stream_parity_and_policies(
+        spark, tmp_path):
+    """Streaming point-in-time enrichment (round 12, VERDICT r11 #5):
+    enriching the q200 log's own events in 3 micro-batches against
+    the finished scd2_sink dimension equals the batch q205-shape
+    containment join EXACTLY — including delete-gap events (NULL
+    features under 'keep', absent under 'drop') and events at ties.
+    Every event matches at most one version (the tiling law)."""
+    from openpolicedata_spark.streaming import scd2_enrich_sink, scd2_sink
+
+    frame = _q200_frame(spark, "/root/testdata/sf0.001").where(
+        F.col("user_id") % 10 == 4)
+    # build the dimension first (the feed-ahead discipline)
+    dsrc = tmp_path / "dsrc"
+    dsrc.mkdir()
+    _write_ordered_splits(frame, dsrc, 2)
+    dim_out = str(tmp_path / "dim")
+    scd2_sink(_stream(spark, frame, dsrc), dim_out, "user_id", "ts",
+              ["event_type"], tiebreak_col="event_id", op_col="op")
+
+    events = frame.select("user_id", "event_id", "ts")
+    for policy in ("keep", "drop"):
+        esrc = tmp_path / f"esrc_{policy}"
+        esrc.mkdir()
+        _write_ordered_splits(events, esrc, 3)
+        out = str(tmp_path / f"enriched_{policy}")
+        scd2_enrich_sink(_stream(spark, events, esrc), dim_out, out,
+                         "user_id", "ts", unmatched=policy)
+        got = {tuple(r) for r in
+               spark.read.parquet(out)
+               .select("event_id", "dim_event_type", "dim_valid_from")
+               .collect()}
+        assert got == _enrich_expected(spark, events, dim_out, policy)
+        assert len(got) > 0
+    # at most one version per event (tiling through the stream path)
+    per_ev = (spark.read.parquet(str(tmp_path / "enriched_keep"))
+              .groupBy("event_id").count().agg(F.max("count")).first()[0])
+    assert per_ev == 1
+    # 'keep' really carried unmatched delete-gap events as NULLs
+    nulls = (spark.read.parquet(str(tmp_path / "enriched_keep"))
+             .where(F.col("dim_event_type").isNull()).count())
+    assert nulls > 0
+    with pytest.raises(ValueError, match="unmatched"):
+        scd2_enrich_sink(events, dim_out, "x", "user_id", "ts",
+                         unmatched="error")
+
+
+def test_scd2_enrich_sink_replay_guard_and_clash(spark, tmp_path):
+    """Guarded enrichment skips a redelivered batch via the O(1)
+    high-water file (no duplicate appends); a dim_prefix that collides
+    with a stream column raises."""
+    import os
+
+    from openpolicedata_spark.streaming import scd2_enrich_sink, scd2_sink
+
+    frame = _q200_frame(spark, "/root/testdata/sf0.001").where(
+        F.col("user_id") % 10 == 9)
+    dsrc = tmp_path / "dsrc"
+    dsrc.mkdir()
+    _write_ordered_splits(frame, dsrc, 1)
+    dim_out = str(tmp_path / "dim")
+    scd2_sink(_stream(spark, frame, dsrc), dim_out, "user_id", "ts",
+              ["event_type"], tiebreak_col="event_id", op_col="op")
+
+    events = frame.select("user_id", "event_id", "ts")
+    esrc = tmp_path / "esrc"
+    esrc.mkdir()
+    _write_ordered_splits(events, esrc, 2)
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        scd2_enrich_sink(_stream(spark, events, esrc), dim_out, out,
+                         "user_id", "ts", checkpoint_dir=ckpt)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == events.count()
+    # crash-recovery redelivery of batch 1: engine committed offsets
+    # but not the commit record — the hwm file must absorb the replay
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.isfile(crc):
+        os.remove(crc)
+    drain()
+    assert spark.read.parquet(out).count() == n1
+    with open(out + ".__hwm__") as fh:
+        assert int(fh.read()) == 1
+
+    # prefix collision raises loudly inside the fold
+    esrc2 = tmp_path / "esrc2"
+    esrc2.mkdir()
+    ev2 = events.withColumn("dim_event_type", F.lit("boom"))
+    ev2.coalesce(1).write.parquet(str(esrc2 / "b0"))
+    with pytest.raises(Exception, match="dim_prefix"):
+        scd2_enrich_sink(_stream(spark, ev2, esrc2), dim_out,
+                         str(tmp_path / "enriched2"), "user_id", "ts")
