@@ -39,17 +39,22 @@ DELIBERATELY pinned rule set so a SQL oracle can replay every step:
 Every split is FIRST-occurrence (`instr` + `substr`), never a
 last-occurrence shortcut — a second `?` or `#` belongs to the query/
 fragment body, and DuckDB's `strpos`+`substr` replays the identical
-semantics. NOT done (documented, same discipline as the codec
-gates): IDN/punycode (needs the full nameprep tables — irreducible
-spec data, the F9 confidence class) and `+`-as-space in queries (a
-form-encoding convention, not part of the URL itself — decoding it
-would merge genuinely distinct keys). Inputs without `://` get steps
-0/2/4/5/7 only (no scheme/authority/path rules to apply).
+semantics. IDN/punycode host folding — gated in rounds 9-11 as "needs
+the full nameprep tables" — is now DONE (round 12) via
+`fold_idn_hosts`: the tables ship INSIDE the stdlib `encodings.idna`
+codec (the html.parser sourcing discipline — no external fixture
+needed), as a vectorized Arrow stage since bootstring+nameprep are
+genuinely not expressible as SQL expressions. Still NOT done
+(documented): `+`-as-space in queries (a form-encoding convention,
+not part of the URL itself — decoding it would merge genuinely
+distinct keys). Inputs without `://` get steps 0/2/4/5/7 only (no
+scheme/authority/path rules to apply).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import pandas as pd  # top-level: pandas_udf type hints resolve here
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # query keys dropped by canonical_url_expr (prefix match for utm_)
@@ -153,6 +158,85 @@ def host_expr(url: Column) -> Column:
                          auth.substr(F.lit(1), bracket_end))) \
         .otherwise(_before(auth, ":"))
     return F.lower(host)
+
+
+def _fold_one_idn(u: str) -> str:
+    """Rewrite the HOST of one scheme-ful URL to its RFC 3490 ToASCII
+    (punycode) form, leaving scheme/userinfo/port/path/query/fragment
+    byte-identical. Malformed hosts (a label >63 chars, or non-ASCII yet
+    already carrying the xn-- ACE prefix) return the input
+    unchanged — malformed stays malformed, the rule-0 discipline."""
+    import encodings.idna as _idna
+
+    if "://" not in u:
+        return u  # scheme-less: no authority rules (module doc)
+    scheme, _, rest = u.partition("://")
+    # authority ends at the first of / ? #
+    cut = len(rest)
+    for ch in "/?#":
+        p = rest.find(ch)
+        if p != -1:
+            cut = min(cut, p)
+    auth, tail = rest[:cut], rest[cut:]
+    if "@" in auth:
+        ui, _, hostport = auth.rpartition("@")
+        ui += "@"
+    else:
+        ui, hostport = "", auth
+    if hostport.startswith("["):
+        return u  # IPv6 literal: IDNA does not apply
+    host, colon, port = hostport.partition(":")
+    if host.isascii():
+        return u  # the non-ASCII bytes were elsewhere (path, userinfo)
+    try:
+        host2 = ".".join(
+            lb if lb.isascii()
+            else _idna.ToASCII(lb).decode("ascii")
+            for lb in host.split("."))
+    except UnicodeError:
+        return u
+    return f"{scheme}://{ui}{host2}{colon}{port}{tail}"
+
+
+def fold_idn_hosts(df: DataFrame, url_col: str,
+                   out_col: "str | None" = None) -> DataFrame:
+    """IDN host folding (round 12 — closes the r9-r11 documented gate,
+    the first gap a multilingual crawl hits): rewrite every
+    internationalized hostname to its punycode (RFC 3490 ToASCII,
+    IDNA2003) form so `http://bücher.de` and `http://xn--bcher-kva.de`
+    get the SAME dedup key. The nameprep tables ship inside the stdlib
+    `encodings.idna` codec — the html.parser sourcing discipline, no
+    external spec fixture — and nameprep+bootstring are genuinely not
+    SQL-expressible, so this is a DataFrame-level Arrow stage (the
+    documented escape hatch), not an expression like the rest of this
+    module: compose as `fold_idn_hosts(df, col)` on the column that
+    feeds `canonical_url_expr` (either order converges — ToASCII
+    nameprep-lowercases the label it encodes, canonical rule 1
+    lowercases the rest).
+
+    Cost: ONE vectorized pandas_udf pass; the all-ASCII fast path is a
+    pandas regex mask INSIDE the udf — a CASE-gated Python UDF would
+    be extracted into an unconditional ArrowEvalPython node anyway
+    (the extraction gotcha), so the honest design pays one Arrow
+    round-trip and near-zero Python per ASCII row. Scheme-less inputs,
+    IPv6 literals, and hosts with a label that fails ToASCII (oversize,
+    non-ASCII yet already carrying `xn--`) pass through unchanged
+    (empty labels are ASCII and pass through label-wise);
+    userinfo/port/path bytes are never touched (asserted in tests).
+    IDNA2003 semantics pinned (the stdlib codec; IDNA2008 differs on
+    ß/ZWJ classes — revisit only if the `idna` package ever lands)."""
+    out = out_col or url_col
+
+    @F.pandas_udf("string")
+    def _fold(urls: pd.Series) -> pd.Series:
+        mask = urls.notna() & urls.str.contains("[^\x00-\x7f]",
+                                                regex=True)
+        res = urls.copy()
+        for i in urls.index[mask]:
+            res[i] = _fold_one_idn(urls[i])
+        return res
+
+    return df.withColumn(out, _fold(F.col(url_col)))
 
 
 def _bind(expr: Column, f) -> Column:

@@ -9503,6 +9503,66 @@ def q215_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q215_SQL = _Q215_BODY.format(l="lineitem")
 
 
+# q216: the 8 generative IDN labels and their RFC 3490 ToASCII forms
+# (computed once from the stdlib codec — note 'groß' NAMEPREP-maps to
+# plain 'gross', no ACE prefix: the IDNA2003 pin)
+_Q216_LABELS = ["bücher", "münchen", "café", "niño",
+                "über", "groß", "中文", "русский"]
+_Q216_PUNY = ["xn--bcher-kva", "xn--mnchen-3ya", "xn--caf-dma",
+              "xn--nio-8ma", "xn--ber-goa", "gross",
+              "xn--fiq228c", "xn--h1acbxfam"]
+
+
+def q216_idn_host_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN host folding + canonicalization end to end (round 12 —
+    closes the r9-r11 documented IDN gate, the first gap a
+    multilingual crawl hits; the nameprep tables ship inside stdlib
+    `encodings.idna`, so the F9-class blocker dissolved): each
+    document synthesizes a messy internationalized URL (mixed-case
+    unicode host label by doc_id % 8, :80 port, dot-segment path,
+    tracking + unsorted params), which `fold_idn_hosts` punycodes and
+    `canonical_url_expr` normalizes; the query groups by the final
+    canonical URL. The oracle rebuilds the EXPECTED canonical string
+    from the label→punycode literal mapping above (the q177
+    ladders-as-SQL-literals discipline) — any drift in the fold, the
+    nameprep lowercasing, the ß→ss IDNA2003 mapping, or any
+    canonicalization rule breaks the hash. The fold is the module's
+    ONE deliberate Arrow stage (bootstring is not SQL-expressible);
+    everything else stays JVM expressions."""
+    from openpolicedata_spark.functions.web import (
+        canonical_url_expr,
+        fold_idn_hosts,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in _Q216_LABELS]),
+        (F.col("doc_id") % 8 + 1).cast("int"))
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("http://WWW."), label,
+                 F.lit(".Example.COM:80/p/"), F.col("doc_id"),
+                 F.lit("/../x?utm_s=1&b=2&a=1")).alias("url"))
+    folded = fold_idn_hosts(urls, "url")
+    return (folded
+            .select("doc_id",
+                    canonical_url_expr(F.col("url")).alias("curl"))
+            .groupBy("curl")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+_Q216_CASE = " ".join(
+    f"WHEN {i} THEN '{p}'" for i, p in enumerate(_Q216_PUNY))
+_Q216_SQL = f"""
+SELECT 'http://www.' || (CASE doc_id % 8 {_Q216_CASE} END)
+       || '.example.com/p/x?a=1&b=2' AS curl,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY 1
+"""
+
+
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
     SQL replay of the spec formulas: 32 md5-stream bytes per document
@@ -10342,6 +10402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_topk_per_key": q213_topk_per_key,
         "q214_cbo_join_reorder": q214_cbo_join_reorder,
         "q215_rollup_topk": q215_rollup_topk,
+        "q216_idn_host_fold": q216_idn_host_fold,
     }
     return base
 
@@ -10565,4 +10626,5 @@ def oracle_sql() -> dict[str, str]:
         "q213_topk_per_key": _Q213_SQL,
         "q214_cbo_join_reorder": _Q214_SQL,
         "q215_rollup_topk": _Q215_SQL,
+        "q216_idn_host_fold": _Q216_SQL,
     }
