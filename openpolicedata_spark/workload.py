@@ -9562,6 +9562,35 @@ SELECT 'http://www.' || (CASE doc_id % 8 {_Q216_CASE} END)
 FROM documents GROUP BY 1
 """
 
+_Q217_BODY = """
+SELECT l_returnflag AS rf,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS gross,
+       gross * 0.1 AS fee,
+       gross - fee AS net
+FROM {l} GROUP BY l_returnflag
+"""
+
+
+def q217_lateral_column_alias(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Lateral column aliases (round 12 — the analyst-surface family
+    q212's GROUP BY ALL belongs to: a SELECT item references a PRIOR
+    alias in the SAME list, so derived-metric chains are written once
+    instead of re-pasting the aggregate expression): fee derives from
+    gross, net from both. Spark resolves the chain into stacked
+    Projects over ONE aggregate — the sum computes once, no
+    re-evaluation, no extra exchange (pinned in tests/test_plans.py)
+    — and the IDENTICAL body runs on DuckDB. Exactness: the DECIMAL
+    sum is order-independent; fee/net are single IEEE ops on the
+    exact double, bit-identical across engines."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q217_l")
+    return spark.sql(_Q217_BODY.format(l="q217_l"))
+
+
+_Q217_SQL = _Q217_BODY.format(l="lineitem")
+
+
 
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
@@ -10403,6 +10432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_cbo_join_reorder": q214_cbo_join_reorder,
         "q215_rollup_topk": q215_rollup_topk,
         "q216_idn_host_fold": q216_idn_host_fold,
+        "q217_lateral_column_alias": q217_lateral_column_alias,
     }
     return base
 
@@ -10627,4 +10657,5 @@ def oracle_sql() -> dict[str, str]:
         "q214_cbo_join_reorder": _Q214_SQL,
         "q215_rollup_topk": _Q215_SQL,
         "q216_idn_host_fold": _Q216_SQL,
+        "q217_lateral_column_alias": _Q217_SQL,
     }

@@ -486,6 +486,20 @@ def test_pipeline_url_ingest_branch(spark, docs):
                    cap_per_key(kept, "host", 25, ["doc_id"]).collect())
     assert again == sorted(r.doc_id for r in capped.collect())
 
+    # round-12 IDN arm: the unicode and punycode spellings of one
+    # site collapse to ONE key once fold_idn_hosts joins the chain
+    from openpolicedata_spark.functions.web import fold_idn_hosts
+
+    idn = spark.createDataFrame(
+        [(1, "http://BÜCHER.de:80/r/?utm_x=1"),
+         (2, "http://xn--bcher-kva.de/r")],
+        "doc_id long, url string")
+    ks = {r.canon for r in
+          fold_idn_hosts(idn, "url")
+          .select(canonical_url_expr(F.col("url")).alias("canon"))
+          .collect()}
+    assert ks == {"http://xn--bcher-kva.de/r"}
+
 
 def test_pipeline_timeseries_branch_gap_fill_scd2(spark, sf_dir):
     """Round-10 time-series branch: the feature-store path an event log

@@ -1053,3 +1053,19 @@ def test_q215_rollup_topk_one_expand_group_limited(spark, sf_dir):
     assert (_n_nodes(t, "Window")
             - _n_nodes(t, "WindowGroupLimit")) == 1, t[:1200]
     assert_no_python_in_plan(df)
+
+
+def test_q217_lateral_alias_single_aggregate(spark, sf_dir):
+    """Lateral column aliases (round 12): the fee/net chain must
+    resolve into projections over ONE aggregate pair and one scan —
+    the sum computes once (no re-evaluation per alias, no extra
+    exchange), exactly as if the expression were pasted."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q217_lateral_column_alias"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Scan parquet") == 1, t[:800]
+    assert _n_nodes(t, "HashAggregate") == 2, t[:800]
+    assert "partial_sum" in t, t[:800]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
