@@ -229,8 +229,9 @@ def fold_idn_hosts(df: DataFrame, url_col: str,
 
     @F.pandas_udf("string")
     def _fold(urls: pd.Series) -> pd.Series:
-        mask = urls.notna() & urls.str.contains("[^\x00-\x7f]",
-                                                regex=True)
+        # na=False keeps the mask a clean bool Series (str.contains
+        # propagates NaN for NULL rows otherwise — review r12)
+        mask = urls.str.contains("[^\x00-\x7f]", regex=True, na=False)
         res = urls.copy()
         for i in urls.index[mask]:
             res[i] = _fold_one_idn(urls[i])

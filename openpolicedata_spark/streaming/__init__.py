@@ -1363,12 +1363,19 @@ def scd2_sink(stream_df: DataFrame, path: str,
         )
         state = (prev.where(F.col("__kind__") == "s")
                  if prev is not None else None)
+        # all three state joins below are NULL-SAFE on the key (review
+        # r12): batch scd2_intervals' window treats a NULL key as an
+        # ordinary group, so the sink must too — a plain on=key join
+        # never matches NULL and would leak duplicate state rows /
+        # never-closing versions for a NULL-keyed feed
         if state is not None:
             st = state.select(
-                F.col(key_col),
+                F.col(key_col).alias("__sk__"),
                 F.col("valid_from").alias("__sts__"),
                 F.col("__tb__").alias("__stb__"))
-            j = norm.join(st, on=key_col, how="left")
+            j = norm.join(
+                st, on=norm[key_col].eqNullSafe(st["__sk__"]),
+                how="left")
             late = F.col("__ts__") < F.col("__sts__")
             if tiebreak_col:
                 late = late | ((F.col("__ts__") == F.col("__sts__"))
@@ -1425,12 +1432,17 @@ def scd2_sink(stream_df: DataFrame, path: str,
             F.lead("__ts__").over(w2).isNull().alias("is_current"),
         ).where(~F.col("__del__")).drop("__del__")
         # cross-batch close: the first kept change (upsert OR delete)
-        # closes the key's stored open version
+        # closes the key's stored open version (null-safe: see above)
         firsts = kept.groupBy(key_col).agg(
-            F.min("__ts__").alias("__close__"))
+            F.min("__ts__").alias("__close__")).select(
+            F.col(key_col).alias("__fk__"), "__close__")
         if prev is not None:
-            versions = (prev.where(F.col("__kind__") == "v")
-                        .join(firsts, on=key_col, how="left")
+            pv = prev.where(F.col("__kind__") == "v")
+            versions = (pv
+                        .join(firsts,
+                              on=pv[key_col].eqNullSafe(firsts["__fk__"]),
+                              how="left")
+                        .drop("__fk__")
                         .withColumn(
                             "valid_to",
                             F.when(F.col("is_current")
@@ -1464,9 +1476,11 @@ def scd2_sink(stream_df: DataFrame, path: str,
         if versions is not None:
             parts.append(unify(versions, "v"))
         if state is not None:
+            lk = last_state.select(F.col(key_col).alias("__lk__"))
             parts.append(unify(
-                state.join(last_state.select(key_col),
-                           on=key_col, how="left_anti"), "s"))
+                state.join(lk,
+                           on=state[key_col].eqNullSafe(lk["__lk__"]),
+                           how="left_anti"), "s"))
         if guarded:
             # ONE high-water marker row per touched bucket (__bid__ =
             # this batch id; ids are monotonic) — replaces the bucket's
@@ -1559,6 +1573,10 @@ def scd2_enrich_sink(stream_df: DataFrame, dim_path: str,
 
     if unmatched not in ("keep", "drop"):
         raise ValueError(f"unknown unmatched policy {unmatched!r}")
+    clash = {"__dk__", "__vf__", "__vt__"} & set(stream_df.columns)
+    if clash:
+        raise ValueError(f"stream columns {sorted(clash)} are "
+                         f"reserved by scd2_enrich_sink's join")
     spark = stream_df.sparkSession
     guarded = checkpoint_dir is not None
     hwm_file = out_path.rstrip("/") + ".__hwm__"

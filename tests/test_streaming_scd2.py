@@ -607,3 +607,51 @@ def test_scd2_enrich_sink_replay_guard_and_clash(spark, tmp_path):
     with pytest.raises(Exception, match="dim_prefix"):
         scd2_enrich_sink(_stream(spark, ev2, esrc2), dim_out,
                          str(tmp_path / "enriched2"), "user_id", "ts")
+
+
+def test_scd2_sink_null_key_matches_batch(spark, tmp_path):
+    """Review r12: batch scd2_intervals' window treats a NULL key as
+    an ordinary group, so the sink's state joins must be NULL-SAFE —
+    a plain on=key join never matches NULL, leaking duplicate state
+    rows and never-closing versions. NULL-keyed changes split across
+    batches must compress, close, and delete exactly like batch."""
+    from openpolicedata_spark.operators.merge import scd2_intervals
+    from openpolicedata_spark.streaming import read_scd2, scd2_sink
+
+    schema = "k long, cid long, t string, op string, v string"
+    rows1 = [(None, 1, "2024-01-01", "U", "A"),
+             (7, 2, "2024-01-01", "U", "X")]
+    rows2 = [(None, 3, "2024-01-02", "U", "A"),   # no-op across batches
+             (None, 4, "2024-01-03", "U", "B"),   # real change
+             (7, 5, "2024-01-03", "U", "X")]      # no-op
+    rows3 = [(None, 6, "2024-01-04", "D", "zz")]  # delete closes NULL
+
+    def _df(rows):
+        return (spark.createDataFrame(rows, schema)
+                .withColumn("ts", F.col("t").cast("timestamp_ntz"))
+                .drop("t").select("k", "cid", "ts", "op", "v"))
+
+    full = _df(rows1 + rows2 + rows3)
+    expected = {(r.k, r.v, str(r.valid_from)[:10],
+                 None if r.valid_to is None else str(r.valid_to)[:10],
+                 r.is_current)
+                for r in scd2_intervals(
+                    full, "k", "ts", ["v"], tiebreak_col="cid",
+                    op_col="op").collect()}
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate((rows1, rows2, rows3)):
+        _df(rows).coalesce(1).write.parquet(str(src / f"b{i}"))
+    out = str(tmp_path / "dim")
+    scd2_sink(_stream(spark, full, src), out, "k", "ts", ["v"],
+              tiebreak_col="cid", op_col="op")
+    got = {(r.k, r.v, str(r.valid_from)[:10],
+            None if r.valid_to is None else str(r.valid_to)[:10],
+            r.is_current)
+           for r in read_scd2(spark, out).collect()}
+    assert got == expected
+    # ...and exactly ONE state row survives for the NULL key
+    n_null_state = (spark.read.parquet(out)
+                    .where((F.col("__kind__") == "s")
+                           & F.col("k").isNull()).count())
+    assert n_null_state == 1
