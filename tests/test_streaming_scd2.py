@@ -655,3 +655,25 @@ def test_scd2_sink_null_key_matches_batch(spark, tmp_path):
                     .where((F.col("__kind__") == "s")
                            & F.col("k").isNull()).count())
     assert n_null_state == 1
+
+
+def test_scd2_sink_bucket_count_invariance(spark, tmp_path):
+    """The bucket layout is pure STORAGE: folding the same log under
+    1, 3, and 16 buckets must produce identical read_scd2 output (and
+    n_buckets=1 IS the old whole-table design, so this is also the
+    old-vs-new equivalence pin)."""
+    from openpolicedata_spark.streaming import scd2_sink
+
+    frame = _q200_frame(spark, "/root/testdata/sf0.001").where(
+        F.col("user_id") % 10 == 2)
+    outs = []
+    for nb in (1, 3, 16):
+        src = tmp_path / f"src_{nb}"
+        src.mkdir()
+        _write_ordered_splits(frame, src, 3)
+        out = str(tmp_path / f"dim_{nb}")
+        scd2_sink(_stream(spark, frame, src), out, "user_id", "ts",
+                  ["event_type"], tiebreak_col="event_id", op_col="op",
+                  n_buckets=nb)
+        outs.append(_versions(spark, out))
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
