@@ -677,3 +677,60 @@ def test_scd2_sink_bucket_count_invariance(spark, tmp_path):
                   n_buckets=nb)
         outs.append(_versions(spark, out))
     assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
+
+
+def test_scd2_enrich_sink_sees_dimension_as_of_fold_time(spark,
+                                                         tmp_path):
+    """The live-lookup semantics: each enrichment batch joins the
+    dimension AS CURRENTLY FOLDED — events enriched before a
+    dimension change see the old version set, later batches see the
+    new one (exactly what a feature-store lookup does; replaying
+    history against the finished dimension is the batch q205 job)."""
+    from openpolicedata_spark.streaming import scd2_enrich_sink, scd2_sink
+
+    schema = "k long, cid long, t string, op string, v string"
+
+    def _dim_rows(rows, src_name):
+        df = (spark.createDataFrame(rows, schema)
+              .withColumn("ts", F.col("t").cast("timestamp_ntz"))
+              .drop("t").select("k", "cid", "ts", "op", "v"))
+        src = tmp_path / src_name
+        src.mkdir()
+        df.coalesce(1).write.parquet(str(src / "b0"))
+        return df, src
+
+    dim_out = str(tmp_path / "dim")
+    d1, dsrc1 = _dim_rows([(1, 1, "2024-01-01", "U", "A")], "d1")
+    scd2_sink(_stream(spark, d1, dsrc1), dim_out, "k", "ts", ["v"],
+              tiebreak_col="cid", op_col="op", n_buckets=4)
+
+    ev_schema = "k long, event_id long, t string"
+
+    def _events(rows, src_name):
+        df = (spark.createDataFrame(rows, ev_schema)
+              .withColumn("ts", F.col("t").cast("timestamp_ntz"))
+              .drop("t").select("k", "event_id", "ts"))
+        src = tmp_path / src_name
+        src.mkdir()
+        df.coalesce(1).write.parquet(str(src / "b0"))
+        return df, src
+
+    out = str(tmp_path / "enriched")
+    # e1 enriches while the dimension only knows version A
+    e1, esrc1 = _events([(1, 100, "2024-02-01")], "e1")
+    scd2_enrich_sink(_stream(spark, e1, esrc1), dim_out, out, "k", "ts")
+    # the dimension then learns of a LATER change (B from 2024-03-01)
+    d2, dsrc2 = _dim_rows([(1, 2, "2024-03-01", "U", "B")], "d2")
+    scd2_sink(_stream(spark, d2, dsrc2), dim_out, "k", "ts", ["v"],
+              tiebreak_col="cid", op_col="op", n_buckets=4)
+    # e2: same key, one event still in A's interval, one in B's
+    e2, esrc2 = _events([(1, 101, "2024-02-02"),
+                         (1, 102, "2024-03-02")], "e2")
+    scd2_enrich_sink(_stream(spark, e2, esrc2), dim_out, out, "k", "ts")
+
+    got = {(r.event_id, r.dim_v) for r in
+           spark.read.parquet(out).select("event_id", "dim_v").collect()}
+    # 100 was enriched against the pre-change dimension: version A was
+    # still open, so it matched A; 101 lands in A's (now closed)
+    # interval; 102 in B's open interval
+    assert got == {(100, "A"), (101, "A"), (102, "B")}
