@@ -9590,6 +9590,41 @@ def q217_lateral_column_alias(spark: SparkSession,
 
 _Q217_SQL = _Q217_BODY.format(l="lineitem")
 
+_Q218_BODY = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(l_orderkey) AS BIGINT) AS n_keys,
+       CAST(MIN(l_orderkey) AS BIGINT) AS key_lo,
+       CAST(MAX(l_orderkey) AS BIGINT) AS key_hi,
+       MIN(l_quantity) AS qty_lo,
+       MAX(l_quantity) AS qty_hi,
+       MIN(l_extendedprice) AS price_lo,
+       MAX(l_extendedprice) AS price_hi
+FROM {l}
+"""
+
+
+def q218_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table statistics panel — COUNT/MIN/MAX over the fact (round 12:
+    the shape Spark's V2 parquet AGGREGATE PUSHDOWN answers from row-
+    group FOOTERS without reading a single data page — at 100 TB the
+    difference between a metadata sweep and a full scan). The workload
+    entry runs on the default session (plain exact aggregate — the
+    q203/q214 discipline: `spark.sql.sources.useV1SourceList` is a
+    session-wide reader switch, so the knobs live in the plan pin);
+    tests/test_plans.py rebuilds it with the V2 reader +
+    `spark.sql.parquet.aggregatePushdown=true` and pins
+    `PushedAggregation: [COUNT(*), ...]` on the BatchScan, plus the
+    measured engine rule that MIN/MAX of TIMESTAMP_NTZ columns are NOT
+    pushable (parquet stats limitation) — keep stats panels numeric or
+    the whole pushdown silently degrades to a scan. sf1 timing in
+    SCALE.md."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q218_l")
+    return spark.sql(_Q218_BODY.format(l="q218_l"))
+
+
+_Q218_SQL = _Q218_BODY.format(l="lineitem")
+
+
 
 
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10433,6 +10468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_rollup_topk": q215_rollup_topk,
         "q216_idn_host_fold": q216_idn_host_fold,
         "q217_lateral_column_alias": q217_lateral_column_alias,
+        "q218_stats_panel": q218_stats_panel,
     }
     return base
 
@@ -10658,4 +10694,5 @@ def oracle_sql() -> dict[str, str]:
         "q215_rollup_topk": _Q215_SQL,
         "q216_idn_host_fold": _Q216_SQL,
         "q217_lateral_column_alias": _Q217_SQL,
+        "q218_stats_panel": _Q218_SQL,
     }

@@ -1069,3 +1069,54 @@ def test_q217_lateral_alias_single_aggregate(spark, sf_dir):
     assert "partial_sum" in t, t[:800]
     assert_max_exchanges(df, 1)
     assert_no_python_in_plan(df)
+
+
+def test_q218_aggregate_pushdown_to_parquet_footers(spark, sf_dir):
+    """V2 parquet aggregate pushdown (round 12): with the V2 reader +
+    aggregatePushdown on, the COUNT/MIN/MAX panel must land in the
+    scan as PushedAggregation (answered from row-group footers — a
+    metadata sweep, not a data scan, at 100 TB), with values identical
+    to the default-session run; and the measured limitation is pinned:
+    one TIMESTAMP_NTZ MIN in the panel silently disables the WHOLE
+    pushdown (parquet stats limitation) — keep stats panels numeric."""
+    import re as _re
+
+    base = workload.queries()["q218_stats_panel"](spark, sf_dir)
+    want = base.collect()
+    knobs = {"spark.sql.parquet.aggregatePushdown": "true",
+             "spark.sql.sources.useV1SourceList": "",
+             # the scan's metadata string truncates at 100 chars by
+             # default and would cut the pushed list mid-bracket
+             "spark.sql.maxMetadataStringLength": "2000"}
+    old = {}
+    for k, v in knobs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = workload.queries()["q218_stats_panel"](spark, sf_dir)
+        t = df._jdf.queryExecution().executedPlan().toString()
+        m = _re.search(r"PushedAggregation: \[([^\]]*)\]", t)
+        assert m, t[:1200]
+        pushed = m.group(1)
+        for agg in ("COUNT(*)", "COUNT(l_orderkey)", "MIN(l_orderkey)",
+                    "MAX(l_orderkey)", "MIN(l_quantity)",
+                    "MAX(l_extendedprice)"):
+            assert agg in pushed, (agg, pushed)
+        assert df.collect() == want
+        # the NTZ poison pill: one timestamp MIN degrades to a scan
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+            .createOrReplaceTempView("q218_ntz")
+        t2 = spark.sql(
+            "SELECT COUNT(*) AS n, MIN(l_shipdate) AS lo FROM q218_ntz"
+        )._jdf.queryExecution().executedPlan().toString()
+        m2 = _re.search(r"PushedAggregation: \[([^\]]*)\]", t2)
+        assert m2 is not None and m2.group(1) == "", t2[:1200]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
