@@ -140,6 +140,7 @@ def enrich_within_window(
     window: str = "30 minutes",
     watermark: str = "1 day",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or batch-batch) time-bounded enrichment: every right
     row within ±`window` of a left row for the same key — the
@@ -152,7 +153,18 @@ def enrich_within_window(
     is the standard production substitute; widen `window` to trade state
     for recall. Batch mode plans the same expression as a plain range
     join (use `scale.bucketed_interval_join` for big batch sides).
+
+    `how='left'` (round 12) keeps unmatched left rows with NULL right
+    columns — the OUTER stream-stream class, with its engine-defined
+    DELAY: a streaming left row emits as unmatched only once the join
+    watermark (the MIN of both sides') passes its whole ±window, since
+    until then a matching right row could still arrive. So a drain's
+    tail rows may be withheld — exactly the stateful_gap_fill tail
+    rule; a far-future heartbeat on BOTH sides flushes them, and the
+    parity law (stream ≡ batch left join) is tested under that flush.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r} (inner or left)")
     clash = [f"{right_prefix}{c}" for c in right.columns
              if c != key and f"{right_prefix}{c}" in left.columns]
     if clash:
@@ -172,7 +184,7 @@ def enrich_within_window(
     cond = ((left[key] == r[key])
             & (r[f"{right_prefix}{ts_col}"] >= left[ts_col] - w)
             & (r[f"{right_prefix}{ts_col}"] < left[ts_col] + w))
-    return left.join(r, cond, "inner").drop(r[key])
+    return left.join(r, cond, how).drop(r[key])
 
 
 def dedup_events(events: DataFrame, keys: tuple[str, ...] = ("event_id",),

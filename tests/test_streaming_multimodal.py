@@ -190,6 +190,72 @@ def test_stream_stream_window_join_equals_batch(spark, sf_dir):
     assert got == expected and len(got) > 0
 
 
+def test_stream_stream_left_outer_join_equals_batch(spark, sf_dir,
+                                                    tmp_path):
+    """Round 12: the OUTER stream-stream class — unmatched left rows
+    must emit with NULL right columns once the join watermark passes
+    their window (a far-future heartbeat on BOTH sides flushes the
+    tail), equaling the batch left range join exactly."""
+    import shutil
+
+    from openpolicedata_spark.streaming import enrich_within_window
+
+    watch = tmp_path / "ev"
+    watch.mkdir()
+    shutil.copy(_events_path(sf_dir), str(watch / "a.parquet"))
+    batch = _events_batch(spark, sf_dir)
+    ts_t = dict(batch.dtypes)["ts"]
+    # the click heartbeat must SURVIVE the right side's user_id % 3
+    # filter or the right watermark never advances (the join watermark
+    # is the MIN of both sides') — and Spark's % is sign-following, so
+    # -1 % 3 = -1: use -3 (-3 % 3 = 0). Distinct keys keep the two
+    # heartbeats from matching each other or any real row.
+    hb = (spark.createDataFrame(
+        [(10**9, "2030-01-01 00:00:00", -1, "purchase", 0.0, "{}"),
+         (10**9 + 1, "2030-01-01 00:00:00", -3, "click", 0.0, "{}")],
+        "event_id long, t string, user_id long, event_type string, "
+        "value double, props string")
+        .withColumn("ts", F.col("t").cast(ts_t)).drop("t")
+        .select(*batch.columns))
+    # the file source does NOT recurse into subdirectories: land the
+    # heartbeat as a plain FILE next to a.parquet, not a parquet dir
+    import glob as _glob
+
+    hbdir = tmp_path / "hb_stage"
+    hb.coalesce(1).write.parquet(str(hbdir))
+    shutil.move(_glob.glob(str(hbdir / "part-*.parquet"))[0],
+                str(watch / "b.parquet"))
+
+    def sides(df):
+        l = (df.where(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id"))
+        r = (df.where((F.col("event_type") == "click")
+                      & (F.col("user_id") % 3 == 0))
+             .select("user_id", "ts", "event_id"))
+        return l, r
+
+    lb, rb = sides(batch.unionByName(hb))
+    expected = {(r.event_id, r.r_event_id) for r in enrich_within_window(
+        lb, rb, window="30 minutes", how="left").collect()
+        if r.event_id < 10**9}
+    assert any(re is None for _, re in expected)   # real unmatched rows
+    assert any(re is not None for _, re in expected)
+
+    s = read_events_stream(spark, str(watch))
+    ls, rs = sides(s)
+    got_df = run_available_now(
+        enrich_within_window(ls, rs, window="30 minutes", how="left"),
+        "ss_left_join")
+    got = {(r.event_id, r.r_event_id) for r in got_df.collect()
+           if r.event_id < 10**9}
+    assert got == expected
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="how"):
+        enrich_within_window(lb, rb, how="full")
+
+
 def test_pcm_features_exact(spark):
     """Raw-PCM audio features are REAL math: a known int16 buffer yields
     the analytically-computed sample count, duration, RMS, and peak."""
