@@ -9624,6 +9624,46 @@ def q218_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q218_SQL = _Q218_BODY.format(l="lineitem")
 
+_Q219_BODY = """
+SELECT user_id, event_id,
+       CAST(rn AS BIGINT) AS rn,
+       CAST(cum AS DOUBLE) AS cum,
+       mx
+FROM (
+  SELECT user_id, event_id,
+         row_number() OVER w AS rn,
+         SUM(CAST(value AS DECIMAL(14,2))) OVER w AS cum,
+         MAX(value) OVER w AS mx
+  FROM {e}
+  WHERE user_id % 25 = 11
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id)
+)
+"""
+
+
+def q219_collapsed_windows(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """CollapseWindow pin (round 12 — the window-optimizer rule every
+    feature pipeline leans on: a SELECT computing several analytics
+    over the SAME window spec must evaluate them in ONE Window node
+    over one sort/exchange, never one pass per function): rank,
+    running DECIMAL sum, and running max share spec `w`. Pinned in
+    tests/test_plans.py: exactly 1 Window node, 1 exchange — three
+    windowed columns, one shuffle+sort, which at 100 TB is the
+    difference between one pass over the fact and three. Differing
+    FRAMES don't block the merge (row_number's ROWS frame vs the
+    aggregates' RANGE default live in the same node). The IDENTICAL
+    body runs on DuckDB (WINDOW clause + explicit NULLS FIRST — the
+    engines' order defaults differ); (ts, event_id) is unique per
+    key, so the running values are exact."""
+    _read(spark, sf_dir, "events").createOrReplaceTempView("q219_e")
+    return spark.sql(_Q219_BODY.format(e="q219_e"))
+
+
+_Q219_SQL = _Q219_BODY.format(e="events")
+
+
 
 
 
@@ -10469,6 +10509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_idn_host_fold": q216_idn_host_fold,
         "q217_lateral_column_alias": q217_lateral_column_alias,
         "q218_stats_panel": q218_stats_panel,
+        "q219_collapsed_windows": q219_collapsed_windows,
     }
     return base
 
@@ -10695,4 +10736,5 @@ def oracle_sql() -> dict[str, str]:
         "q216_idn_host_fold": _Q216_SQL,
         "q217_lateral_column_alias": _Q217_SQL,
         "q218_stats_panel": _Q218_SQL,
+        "q219_collapsed_windows": _Q219_SQL,
     }

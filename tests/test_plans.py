@@ -1120,3 +1120,19 @@ def test_q218_aggregate_pushdown_to_parquet_footers(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q219_same_spec_windows_collapse_to_one_node(spark, sf_dir):
+    """CollapseWindow (round 12): three analytics over one window spec
+    — rank, running DECIMAL sum, running max, with two different
+    frame kinds — must share ONE Window node over ONE exchange (three
+    windowed columns, one shuffle+sort)."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q219_collapsed_windows"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert (_n_nodes(t, "Window")
+            - _n_nodes(t, "WindowGroupLimit")) == 1, t[:1200]
+    assert _n_nodes(t, "Sort") == 1, t[:1200]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
