@@ -350,3 +350,53 @@ def test_output_mode_is_derived_structurally(spark, tmp_path):
         stream.withColumn("ts", F.col("ts").cast("timestamp"))
         .withColumn("event_type", F.lit("x")))) == "complete"
     assert _output_mode(stream.where(F.col("value") > 0)) == "append"
+
+
+def test_stateful_ops_run_on_rocksdb_state_store(spark, tmp_path):
+    """Round 12: the 100 TB state-scaling knob is CONFIG-ONLY — the
+    same stateful operators (gap fill's applyInPandasWithState state,
+    the cap's counters) must produce identical output under the
+    RocksDB state-store provider (state spills to executor-local disk
+    instead of living on-heap) as under the default HDFS-backed one."""
+    from openpolicedata_spark.streaming import (
+        run_available_now,
+        stateful_cap_per_key,
+        stateful_gap_fill,
+    )
+
+    rows = [(1, "2024-01-01 00:30:00", 1.0, 1),
+            (1, "2024-01-01 03:30:00", 4.0, 2),
+            (2, "2024-01-01 01:10:00", 2.0, 3),
+            (2, "2024-01-01 02:20:00", 5.0, 4),
+            (2, "2024-01-01 05:20:00", 6.0, 5)]
+    frame = (spark.createDataFrame(
+        rows, "user_id long, t string, value double, event_id long")
+        .select("user_id", F.col("t").cast("timestamp_ntz").alias("ts"),
+                "value", "event_id"))
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_ordered_splits(frame, src, 3)
+    knob = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+
+    def gap(tag):
+        s = stateful_gap_fill(_stream(spark, frame, src),
+                              key_col="user_id", ts_col="ts",
+                              value_col="value", step_seconds=3600,
+                              flush_delay=None)
+        return _rows(run_available_now(s, f"gap_{tag}"))
+
+    def cap(tag):
+        s = stateful_cap_per_key(_stream(spark, frame, src),
+                                 "user_id", 2, ("event_id",))
+        return {r.event_id for r in
+                run_available_now(s, f"cap_{tag}").collect()}
+
+    base_gap, base_cap = gap("heap"), cap("heap")
+    spark.conf.set(knob, rocks)
+    try:
+        assert gap("rocks") == base_gap and len(base_gap) > 0
+        assert cap("rocks") == base_cap == {1, 2, 3, 4}
+    finally:
+        spark.conf.unset(knob)
