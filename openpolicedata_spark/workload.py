@@ -9663,6 +9663,37 @@ def q219_collapsed_windows(spark: SparkSession,
 
 _Q219_SQL = _Q219_BODY.format(e="events")
 
+_Q220_BODY = """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS total
+FROM {o}
+GROUP BY o_custkey
+ORDER BY total DESC, o_custkey
+LIMIT 5 OFFSET 10
+"""
+
+
+def q220_paged_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-native pagination (round 12 — the OFFSET surface, the
+    declarative twin of q09's nrows/offset API row): page 3 of the
+    top customers by spend. Spark plans ONE
+    TakeOrderedAndProject(limit=15, offset=10) — per-partition
+    top-15 HEAPS feed a driver merge that skips 10, so no partition
+    ever sorts more than limit+offset rows and nothing global sorts
+    (pinned in tests/test_plans.py: zero Sort nodes). The classic
+    100 TB warning is also why limit+offset is the plan's cost:
+    page N costs O(N·page) — deep pagination belongs on a keyset
+    predicate (WHERE total < last_seen), which is just q213's
+    rank-limit family. Full ORDER BY tiebreak (total, custkey) makes
+    the page exact; the IDENTICAL body runs on DuckDB."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q220_o")
+    return spark.sql(_Q220_BODY.format(o="q220_o"))
+
+
+_Q220_SQL = _Q220_BODY.format(o="orders")
+
+
 
 
 
@@ -10510,6 +10541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_lateral_column_alias": q217_lateral_column_alias,
         "q218_stats_panel": q218_stats_panel,
         "q219_collapsed_windows": q219_collapsed_windows,
+        "q220_paged_topn": q220_paged_topn,
     }
     return base
 
@@ -10737,4 +10769,5 @@ def oracle_sql() -> dict[str, str]:
         "q217_lateral_column_alias": _Q217_SQL,
         "q218_stats_panel": _Q218_SQL,
         "q219_collapsed_windows": _Q219_SQL,
+        "q220_paged_topn": _Q220_SQL,
     }

@@ -1136,3 +1136,72 @@ def test_q219_same_spec_windows_collapse_to_one_node(spark, sf_dir):
     assert _n_nodes(t, "Sort") == 1, t[:1200]
     assert_max_exchanges(df, 1)
     assert_no_python_in_plan(df)
+
+
+def test_q220_offset_plans_heap_take_no_global_sort(spark, sf_dir):
+    """OFFSET pagination (round 12): LIMIT 5 OFFSET 10 must plan ONE
+    TakeOrderedAndProject(limit=15, offset=10) — per-partition heaps
+    + a driver merge that skips the offset — with NO Sort node (a
+    global sort of the aggregate would be the naive plan)."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q220_paged_topn"](spark, sf_dir)
+    import re as _re
+
+    t = formatted_plan(df)
+    assert _n_nodes(t, "TakeOrderedAndProject") == 1, t[:1200]
+    # formatted detail renders the node as
+    # "Arguments: <limit+offset>, [order...], [output...], <offset>"
+    assert _re.search(r"Arguments: 15, \[total.*, 10\n", t), t[:1200]
+    assert _n_nodes(t, "Sort") == 0, t[:1200]
+    assert_no_python_in_plan(df)
+
+
+def test_limit_pushes_through_unpartitioned_window(spark, sf_dir):
+    """LimitPushDownThroughWindow (round 12, plan-pin-only — the DPP
+    precedent: a bare LIMIT over a window is semantically
+    order-unspecified, so it gets no oracle query): `LIMIT k` directly
+    over an UNPARTITIONED row_number window must push a
+    TakeOrderedAndProject(limit=k) BELOW the Window — the window ranks
+    k rows, not the table, and the full Sort disappears. Excluding the
+    rule restores the global Sort, proving the pin tests the rule."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("lpw_o")
+    q = """
+    SELECT * FROM (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_totalprice DESC,
+                                o_orderkey) AS rn
+      FROM lpw_o) LIMIT 7"""
+    import re as _re
+
+    t = formatted_plan(spark.sql(q))
+    assert "TakeOrderedAndProject" in t, t[:1200]
+    assert _re.search(r"Arguments: 7, \[o_totalprice", t), t[:1200]
+    assert _n_nodes(t, "Sort") == 0, t[:1200]
+    # the TakeOrdered must be BELOW the Window: in formatted explain
+    # node ids grow leaf→root, so the pushed TakeOrdered's id is
+    # SMALLER than the Window's
+    ids = {name: int(n) for n, name in
+           _re.findall(r"\((\d+)\) (TakeOrderedAndProject|Window)\b", t)}
+    assert ids["TakeOrderedAndProject"] < ids["Window"], t[:1200]
+
+    knob = "spark.sql.optimizer.excludedRules"
+    try:
+        old = spark.conf.get(knob)
+    except Exception:
+        old = None
+    spark.conf.set(
+        knob,
+        "org.apache.spark.sql.catalyst.optimizer."
+        "LimitPushDownThroughWindow")
+    try:
+        t2 = formatted_plan(spark.sql(q))
+        assert _n_nodes(t2, "Sort") >= 1, t2[:1200]
+    finally:
+        if old is None:
+            spark.conf.unset(knob)
+        else:
+            spark.conf.set(knob, old)
