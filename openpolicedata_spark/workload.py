@@ -9693,6 +9693,109 @@ def q220_paged_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q220_SQL = _Q220_BODY.format(o="orders")
 
+# q221: the SAME aggregate twice — classic form (the oracle, and the
+# plan-equality reference) and Spark 4.1 pipe syntax. The bodies must
+# stay semantically identical: the test pins optimizedPlan(pipe) ==
+# optimizedPlan(classic) up to expression ids.
+_Q221_CLASSIC_BODY = """
+SELECT l_returnflag AS rf, l_linestatus AS ls,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS rev
+FROM {l}
+WHERE l_quantity < 25
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q221_PIPE_BODY = """
+FROM {l}
+|> WHERE l_quantity < 25
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))
+                  AS DOUBLE) AS rev
+   GROUP BY l_returnflag AS rf, l_linestatus AS ls
+"""
+
+
+def q221_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (round 13, VERDICT r12 #5 — Spark 4.1's `|>`
+    operator chain, the q212/q217 analyst-surface family): the
+    pricing-summary-class aggregate written as FROM |> WHERE |>
+    AGGREGATE … GROUP BY. The sugar must cost NOTHING: the test pins
+    the OPTIMIZED plan equal (up to expression ids) to the classic
+    SELECT/WHERE/GROUP BY form — same filter-before-scan pushdown,
+    same single partial+final aggregate, and pipe AGGREGATE emits
+    grouping keys first then aggregates, so the column order matches
+    the classic projection too. The oracle runs the classic body on
+    DuckDB (pipe syntax is Spark-side sugar; value parity proves the
+    two forms compute the same thing). DECIMAL sum → exact."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q221_l")
+    return spark.sql(_Q221_PIPE_BODY.format(l="q221_l"))
+
+
+_Q221_SQL = _Q221_CLASSIC_BODY.format(l="lineitem")
+
+# q222: keyset pagination — page 3 of q220's exact ordering fetched by
+# BOUNDARY PREDICATE instead of OFFSET. Production passes the boundary
+# as literals from the previous page's last row (the whole point: page
+# N+1 costs O(page), not O(N·page)); here the boundary derives
+# in-query from page 2's tail purely so the oracle is closed-form.
+_Q222_BODY = """
+WITH totals AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS total
+  FROM {o} GROUP BY o_custkey
+), boundary AS (
+  SELECT total AS b_total, o_custkey AS b_key
+  FROM (SELECT total, o_custkey FROM totals
+        ORDER BY total DESC, o_custkey LIMIT 10)
+  ORDER BY total ASC, o_custkey DESC LIMIT 1
+)
+SELECT o_custkey, total
+FROM totals, boundary
+WHERE total < b_total OR (total = b_total AND o_custkey > b_key)
+ORDER BY total DESC, o_custkey
+LIMIT 5
+"""
+
+
+def q222_keyset_pagination(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination (round 13, VERDICT r12 #6 —
+    the scale-correct sibling q220's own docstring names): page 3 of
+    the top customers by spend, fetched as
+    `WHERE (total, key) after-boundary ORDER BY … LIMIT 5` instead of
+    OFFSET 10. The ordering is (total DESC, key ASC), so
+    "after the boundary" is the explicit disjunction
+    `total < b_total OR (total = b_total AND key > b_key)` — a struct
+    compare can't mix sort directions. Plan (pinned in
+    tests/test_plans.py): the page is ONE
+    TakeOrderedAndProject(limit=5) over the filtered aggregate with
+    ZERO Sort nodes — the heap holds 5 rows wherever the page sits,
+    while the OFFSET form's heap is limit+offset (the pin contrasts a
+    deep OFFSET page planning an O(N·page) heap against this staying
+    at 5). The one-row boundary rides a broadcast nested loop — the
+    documented snapshot-literal broadcast class. Oracle: DuckDB
+    computes the SAME page via LIMIT 5 OFFSET 10 — value parity IS
+    the keyset ≡ offset proof. Full (total, key) tiebreak makes the
+    page exact."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q222_o")
+    return spark.sql(_Q222_BODY.format(o="q222_o"))
+
+
+_Q222_SQL = """
+WITH totals AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total FROM totals
+ORDER BY total DESC, o_custkey
+LIMIT 5 OFFSET 10
+"""
+
 
 
 
@@ -10542,6 +10645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_stats_panel": q218_stats_panel,
         "q219_collapsed_windows": q219_collapsed_windows,
         "q220_paged_topn": q220_paged_topn,
+        "q221_pipe_syntax": q221_pipe_syntax,
+        "q222_keyset_pagination": q222_keyset_pagination,
     }
     return base
 
@@ -10770,4 +10875,6 @@ def oracle_sql() -> dict[str, str]:
         "q218_stats_panel": _Q218_SQL,
         "q219_collapsed_windows": _Q219_SQL,
         "q220_paged_topn": _Q220_SQL,
+        "q221_pipe_syntax": _Q221_SQL,
+        "q222_keyset_pagination": _Q222_SQL,
     }

@@ -1205,3 +1205,70 @@ def test_limit_pushes_through_unpartitioned_window(spark, sf_dir):
             spark.conf.unset(knob)
         else:
             spark.conf.set(knob, old)
+
+
+def test_q221_pipe_syntax_plans_identical_to_classic(spark, sf_dir):
+    """SQL pipe syntax (round 13): FROM |> WHERE |> AGGREGATE must
+    OPTIMIZE to the exact plan of the classic SELECT form — identical
+    optimized logical plans up to expression ids (the q212/q217
+    sugar-must-cost-nothing rule, taken to full plan equality), same
+    pushed filter, one partial+final aggregate."""
+    import re as _re
+
+    from openpolicedata_spark.plans import _n_nodes
+    from openpolicedata_spark.workload import (
+        _Q221_CLASSIC_BODY,
+        _Q221_PIPE_BODY,
+    )
+
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .createOrReplaceTempView("q221_pin_l")
+
+    def norm(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return _re.sub(r"#\d+", "#x", s)
+
+    pipe = spark.sql(_Q221_PIPE_BODY.format(l="q221_pin_l"))
+    classic = spark.sql(_Q221_CLASSIC_BODY.format(l="q221_pin_l"))
+    assert pipe.columns == classic.columns
+    assert norm(pipe) == norm(classic), (
+        norm(pipe)[:600] + "\n!=\n" + norm(classic)[:600])
+    t = formatted_plan(pipe)
+    assert_filter_pushed(pipe, "l_quantity")
+    assert _n_nodes(t, "HashAggregate") == 2, t[:800]
+    assert_max_exchanges(pipe, 1)
+    assert_no_python_in_plan(pipe)
+
+
+def test_q222_keyset_page_is_constant_size_heap(spark, sf_dir):
+    """Keyset pagination (round 13): the page must come from ONE
+    TakeOrderedAndProject(limit=5, offset 0) over the boundary-
+    filtered aggregate, ZERO Sort nodes anywhere — the heap is page-
+    sized wherever the page sits. Contrast: the OFFSET form's heap
+    grows with page depth (page 1001 plans Arguments: 5015, the
+    O(N·page) cost q220's docstring warns about) while the keyset
+    plan is byte-identical in shape for a deep boundary."""
+    import re as _re
+
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q222_keyset_pagination"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Sort") == 0, t[:1500]
+    takes = _re.findall(r"Arguments: (\d+), \[", t)
+    # boundary derivation (10-row page-2 tail, 1-row min) + the page
+    assert sorted(int(x) for x in takes) == [1, 5, 10], t[:1500]
+    assert_no_python_in_plan(df)
+
+    # the OFFSET form at depth: heap = limit+offset (5015), vs the
+    # keyset page staying at 5 however deep the boundary
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("q222_pin_o")
+    deep = spark.sql("""
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                    AS DOUBLE) AS total
+        FROM q222_pin_o GROUP BY o_custkey
+        ORDER BY total DESC, o_custkey LIMIT 5 OFFSET 5010""")
+    td = formatted_plan(deep)
+    assert _re.search(r"Arguments: 5015, \[total", td), td[:1200]

@@ -558,8 +558,10 @@ def test_scd2_enrich_sink_batch_stream_parity_and_policies(
 
 
 def test_scd2_enrich_sink_replay_guard_and_clash(spark, tmp_path):
-    """Guarded enrichment skips a redelivered batch via the O(1)
-    high-water file (no duplicate appends); a dim_prefix that collides
+    """Guarded enrichment skips a redelivered batch because its
+    `batch=<id>` directory already landed (round 13 — directory
+    presence IS the marker, published by one atomic rename, so there
+    is no append-then-mark crash window); a dim_prefix that collides
     with a stream column raises."""
     import os
 
@@ -596,8 +598,10 @@ def test_scd2_enrich_sink_replay_guard_and_clash(spark, tmp_path):
         os.remove(crc)
     drain()
     assert spark.read.parquet(out).count() == n1
-    with open(out + ".__hwm__") as fh:
-        assert int(fh.read()) == 1
+    # guarded dirs are the bare monotonic ids; no stage dir leaked
+    assert sorted(d for d in os.listdir(out)
+                  if d.startswith("batch=")) == ["batch=0", "batch=1"]
+    assert not [d for d in os.listdir(out) if d.startswith(".stage_")]
 
     # prefix collision raises loudly inside the fold
     esrc2 = tmp_path / "esrc2"
@@ -734,3 +738,303 @@ def test_scd2_enrich_sink_sees_dimension_as_of_fold_time(spark,
     # still open, so it matched A; 101 lands in A's (now closed)
     # interval; 102 in B's open interval
     assert got == {(100, "A"), (101, "A"), (102, "B")}
+
+
+def test_scd2_recovery_read_path_is_restore_only(spark, tmp_path):
+    """ADVICE r12 (medium): a reader's recovery may run CONCURRENTLY
+    with the fold, so the read path must never delete an aside (to a
+    reader, a swap in flight looks exactly like a crash) — it only
+    restores a MISSING bucket, tolerating lost races. The writer path
+    keeps the full cleanup."""
+    import os
+
+    from openpolicedata_spark.streaming import (
+        _recover_scd2_buckets,
+        _swap_scd2_bucket,
+    )
+
+    root = tmp_path / "dim"
+    root.mkdir()
+    # state A: live + stale aside (post-swap crash before cleanup)
+    (root / "bkt=0").mkdir()
+    (root / ".old_bkt_0").mkdir()
+    _recover_scd2_buckets(str(root), writer=False)
+    assert (root / ".old_bkt_0").is_dir(), "read path deleted an aside"
+    _recover_scd2_buckets(str(root), writer=True)
+    assert not (root / ".old_bkt_0").exists()
+    # state B: aside only (mid-swap crash) — BOTH paths restore
+    os.rename(str(root / "bkt=0"), str(root / ".old_bkt_0"))
+    _recover_scd2_buckets(str(root), writer=False)
+    assert (root / "bkt=0").is_dir()
+
+    # the swap retry: a reader restores the aside BETWEEN the writer's
+    # two renames; the writer must move it aside again and land
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    (stage / "marker.txt").write_text("new")
+    (root / "bkt=0" / "old.txt").write_text("old")
+    real_rename = os.rename
+    fired = {"n": 0}
+
+    def racing_rename(src, dst):
+        if src == str(stage) and fired["n"] == 0:
+            fired["n"] = 1
+            # the racing reader restores the aside first
+            real_rename(str(root / ".old_bkt_0"), str(root / "bkt=0"))
+        return real_rename(src, dst)
+
+    os.rename = racing_rename
+    try:
+        _swap_scd2_bucket(str(stage), str(root), 0)
+    finally:
+        os.rename = real_rename
+    assert (root / "bkt=0" / "marker.txt").is_file()
+    assert not (root / ".old_bkt_0").exists()
+    assert fired["n"] == 1  # the race really happened
+
+
+def test_scd2_sink_reserved_op_and_tiebreak_cols(spark, tmp_path):
+    """ADVICE r12: op_col/tiebreak_col named after a bookkeeping
+    column would be silently overwritten (tiebreak_col='bkt' would
+    tiebreak on the bucket id) — both now refuse loudly."""
+    b1 = (spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "U", "A")],
+        "k long, bkt long, t string, __bid__ string, v string")
+        .withColumn("ts", F.col("t").cast("timestamp_ntz")).drop("t"))
+    from openpolicedata_spark.streaming import scd2_sink
+
+    with pytest.raises(ValueError, match="reserved"):
+        scd2_sink(b1, str(tmp_path / "x"), "k", "ts", ["v"],
+                  tiebreak_col="bkt")
+    with pytest.raises(ValueError, match="reserved"):
+        scd2_sink(b1, str(tmp_path / "x"), "k", "ts", ["v"],
+                  op_col="__bid__")
+
+
+def test_scd2_layout_guard_refuses_unbucketed_table(spark, tmp_path):
+    """ADVICE r12: root-level parquet with no .n_buckets stamp is a
+    pre-r12 unbucketed table (or a foreign dir) — both fold and read
+    must raise the migration error instead of forking state."""
+    from openpolicedata_spark.streaming import read_scd2, scd2_sink
+
+    flat = tmp_path / "flat"
+    (spark.range(3).withColumn("__kind__", F.lit("v"))
+     .coalesce(1).write.parquet(str(flat)))
+    with pytest.raises(Exception, match="n_buckets stamp"):
+        read_scd2(spark, str(flat))
+    b1 = (spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "A")], "k long, t string, v string")
+        .withColumn("ts", F.col("t").cast("timestamp_ntz")).drop("t"))
+    src = tmp_path / "src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "b0"))
+    from _stream_helpers import file_stream as _fs
+
+    with pytest.raises(Exception, match="n_buckets stamp"):
+        scd2_sink(_fs(spark, b1, src), str(flat), "k", "ts", ["v"])
+
+
+def test_scd2_enrich_sink_null_key_enriches(spark, tmp_path):
+    """ADVICE r12: the containment join is NULL-SAFE on the key for
+    consistency with the sink (NULL keys are ordinary groups) — a
+    NULL-keyed event must pick up its NULL-keyed dimension version."""
+    from openpolicedata_spark.streaming import (
+        read_enriched,
+        scd2_enrich_sink,
+        scd2_sink,
+    )
+
+    schema = "k long, cid long, t string, op string, v string"
+    d1 = (spark.createDataFrame(
+        [(None, 1, "2024-01-01", "U", "NULLV"),
+         (5, 2, "2024-01-01", "U", "FIVE")], schema)
+        .withColumn("ts", F.col("t").cast("timestamp_ntz"))
+        .drop("t").select("k", "cid", "ts", "op", "v"))
+    dsrc = tmp_path / "dsrc"
+    dsrc.mkdir()
+    d1.coalesce(1).write.parquet(str(dsrc / "b0"))
+    dim_out = str(tmp_path / "dim")
+    scd2_sink(_stream(spark, d1, dsrc), dim_out, "k", "ts", ["v"],
+              tiebreak_col="cid", op_col="op")
+
+    ev = (spark.createDataFrame(
+        [(None, 100, "2024-02-01"), (5, 101, "2024-02-01")],
+        "k long, event_id long, t string")
+        .withColumn("ts", F.col("t").cast("timestamp_ntz"))
+        .drop("t").select("k", "event_id", "ts"))
+    esrc = tmp_path / "esrc"
+    esrc.mkdir()
+    ev.coalesce(1).write.parquet(str(esrc / "b0"))
+    out = str(tmp_path / "enriched")
+    scd2_enrich_sink(_stream(spark, ev, esrc), dim_out, out, "k", "ts")
+    got = {(r.event_id, r.dim_v) for r in
+           read_enriched(spark, out).select("event_id", "dim_v")
+           .collect()}
+    assert got == {(100, "NULLV"), (101, "FIVE")}
+
+
+def test_scd2_enrich_sink_exactly_once_no_crash_window(spark,
+                                                       tmp_path):
+    """Round 13 (VERDICT r12 #2): the old append-then-bump-hwm design
+    re-appended a batch if the crash landed between the two steps.
+    Now the batch directory is published by ONE rename — simulate the
+    crash-before-publish state (a stale hidden stage dir, no final
+    dir) plus a redelivery, and assert the rows land exactly once and
+    the stale stage is swept; a replay whose dir already landed is
+    skipped outright."""
+    import os
+
+    from openpolicedata_spark.streaming import (
+        read_enriched,
+        scd2_enrich_sink,
+        scd2_sink,
+    )
+
+    frame = _q200_frame(spark, "/root/testdata/sf0.001").where(
+        F.col("user_id") % 10 == 1)
+    dsrc = tmp_path / "dsrc"
+    dsrc.mkdir()
+    _write_ordered_splits(frame, dsrc, 1)
+    dim_out = str(tmp_path / "dim")
+    scd2_sink(_stream(spark, frame, dsrc), dim_out, "user_id", "ts",
+              ["event_type"], tiebreak_col="event_id", op_col="op")
+
+    events = frame.select("user_id", "event_id", "ts")
+    esrc = tmp_path / "esrc"
+    esrc.mkdir()
+    _write_ordered_splits(events, esrc, 2)
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+    # the crash-before-publish state a dead process would leave
+    os.makedirs(out)
+    stale = os.path.join(out, ".stage_0__")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "wb") as fh:
+        fh.write(b"\x00")
+
+    def drain():
+        scd2_enrich_sink(_stream(spark, events, esrc), dim_out, out,
+                         "user_id", "ts", checkpoint_dir=ckpt)
+
+    drain()
+    n = events.count()
+    assert read_enriched(spark, out).count() == n
+    assert not [d for d in os.listdir(out) if d.startswith(".stage_")]
+    # full redelivery of batch 1 (commit record dropped): presence of
+    # batch=1 skips it — counts unchanged, ids unchanged
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.isfile(crc):
+        os.remove(crc)
+    drain()
+    assert read_enriched(spark, out).count() == n
+    per_ev = (read_enriched(spark, out).groupBy("event_id").count()
+              .agg(F.max("count")).first()[0])
+    assert per_ev == 1
+
+    # UNGUARDED runs namespace their dirs per run: a second drain of
+    # the same source APPENDS (ids restart at 0 — a bare id layout
+    # would silently skip), and read_enriched sees both runs
+    out2 = str(tmp_path / "enriched2")
+    esrc2 = tmp_path / "esrc2"
+    esrc2.mkdir()
+    _write_ordered_splits(events, esrc2, 1)
+    scd2_enrich_sink(_stream(spark, events, esrc2), dim_out, out2,
+                     "user_id", "ts")
+    scd2_enrich_sink(_stream(spark, events, esrc2), dim_out, out2,
+                     "user_id", "ts")
+    assert read_enriched(spark, out2).count() == 2 * n
+
+
+def test_rebucket_scd2_migration(spark, tmp_path):
+    """Round 13 (VERDICT r12 #1): rebucket(4→16) must equal a
+    from-scratch 16-bucket fold of the same log under read_scd2, carry
+    re-stamped hwm=global-max markers in EVERY new bucket, keep
+    folding correctly afterwards (same checkpoint: replayed ids skip,
+    new ids fold), refuse the OLD bucket count after migration, and
+    recover from a crash mid-swap."""
+    import os
+    import shutil
+
+    from openpolicedata_spark.operators.merge import scd2_intervals
+    from openpolicedata_spark.streaming import (
+        read_scd2,
+        rebucket_scd2,
+        scd2_sink,
+    )
+
+    frame = _q200_frame(spark, "/root/testdata/sf0.001").where(
+        F.col("user_id") % 10 == 5)
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_ordered_splits(frame, src, 3)
+    held = str(tmp_path / "held")
+    os.rename(str(src / "b2"), held)
+    out = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(nb):
+        scd2_sink(_stream(spark, frame, src), out, "user_id", "ts",
+                  ["event_type"], tiebreak_col="event_id", op_col="op",
+                  checkpoint_dir=ckpt, n_buckets=nb)
+
+    drain(4)                      # batches 0,1 into 4 buckets
+    # from-scratch 16-bucket fold of the same two batches = the target
+    src_ref = tmp_path / "src_ref"
+    src_ref.mkdir()
+    shutil.copytree(str(src / "b0"), str(src_ref / "b0"))
+    shutil.copytree(str(src / "b1"), str(src_ref / "b1"))
+    ref = str(tmp_path / "dim_ref")
+    scd2_sink(_stream(spark, frame, src_ref), ref, "user_id", "ts",
+              ["event_type"], tiebreak_col="event_id", op_col="op",
+              n_buckets=16)
+
+    rebucket_scd2(spark, out, 16)
+    assert _versions(spark, out) == _versions(spark, ref)
+    # the stamp moved and a stale migration stage never leaks
+    with open(os.path.join(out, ".n_buckets")) as fh:
+        assert int(fh.read()) == 16
+    assert not os.path.isdir(out + ".__stage_rebucket__")
+    # EVERY new bucket carries exactly one marker at hwm = global max
+    m = (spark.read.parquet(out).where(F.col("__kind__") == "m")
+         .groupBy("bkt").agg(F.count(F.lit(1)).alias("n"),
+                             F.max("__bid__").alias("hwm")).collect())
+    assert len(m) == 16
+    assert all(r.n == 1 and r.hwm == 1 for r in m)
+    # per-key/bucket placement matches the sink's own hash (NULL keys
+    # included by construction of pmod(xxhash64(k), 16))
+    misplaced = (spark.read.parquet(out)
+                 .where(F.col("__kind__") != "m")
+                 .where(F.pmod(F.xxhash64(F.col("user_id")), F.lit(16))
+                        .cast("int") != F.col("bkt")).count())
+    assert misplaced == 0
+
+    # continued folding: the old count now refuses...
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    shutil.copytree(str(src / "b0"), str(src2 / "b0"))
+    with pytest.raises(Exception, match="n_buckets"):
+        scd2_sink(_stream(spark, frame, src2), out, "user_id", "ts",
+                  ["event_type"], tiebreak_col="event_id", op_col="op",
+                  n_buckets=4)
+    # ...and the new count picks up where the table left off: batch 2
+    # folds, full-log parity
+    os.rename(held, str(src / "b2"))
+    drain(16)
+    expected = {tuple(r) for r in scd2_intervals(
+        frame, "user_id", "ts", ["event_type"],
+        tiebreak_col="event_id", op_col="op")
+        .select("user_id", "event_type", "valid_from", "valid_to",
+                "is_current").collect()}
+    assert _versions(spark, out) == expected
+
+    # crash mid-swap: the table moved aside, replacement not yet in
+    # place — any read (or the next rebucket/fold) restores it
+    os.rename(out, out + ".__old__")
+    assert _versions(spark, out) == expected
+    # a bad count refuses before touching anything
+    with pytest.raises(ValueError, match="new_n_buckets"):
+        rebucket_scd2(spark, out, 0)
+    # a non-scd2 dir refuses
+    with pytest.raises(Exception, match="n_buckets"):
+        rebucket_scd2(spark, str(tmp_path / "nope"), 4)
