@@ -187,6 +187,119 @@ def enrich_within_window(
     return left.join(r, cond, how).drop(r[key])
 
 
+def enriched_window_counts(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    join_window: str = "30 minutes",
+    agg_window: str = "6 hours",
+    watermark: str = "1 day",
+    right_prefix: str = "r_",
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Multi-stateful chaining (round 13, VERDICT r12 #3 — the shape
+    every streaming feature pipeline composes and the corpus ran only
+    in isolation): a stream-stream time-bounded INNER join
+    (`enrich_within_window`) chained into a tumbling-window aggregate
+    in ONE streaming query — two stateful operators, one plan. Spark
+    propagates the watermark THROUGH the join (the output watermark
+    is the min of both sides' minus the join interval), so the
+    downstream window finalizes only when no join output can still
+    arrive for it; late rows are evicted at the JOIN's state (the
+    progress log attributes them to `symmetricHashJoin`, not the
+    aggregate — pinned in tests). Chained stateful queries must run
+    in APPEND mode (each window emits once, on close) — pass
+    `output_mode='append'` to `run_available_now` when draining.
+
+    Emits one row per (window start, key): the number of joined pairs
+    and, with `value_col`, the DECIMAL-exact sum of the right side's
+    value. Batch inputs plan the same expression as a plain range
+    join + aggregate — batch ≡ stream is tested under the two-sided
+    heartbeat flush (heartbeat keys never pair, so the inner join
+    drops them on both paths identically).
+
+    Scale: join state is O(rows per ±join_window × keys), aggregate
+    state O(open windows × keys) — both watermark-bounded; the chain
+    shares one keyed exchange into the join, then re-keys once for
+    the window aggregate. Cites: reference has no streaming
+    (SURVEY.md §2.11)."""
+    j = enrich_within_window(left, right, key=key, ts_col=ts_col,
+                             window=join_window, watermark=watermark,
+                             right_prefix=right_prefix, how="inner")
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(f"{right_prefix}{value_col}")
+                  .cast("decimal(14,2)")).cast("double")
+            .alias("sum_value"))
+    out_cols = ["n_pairs"] + (["sum_value"] if value_col else [])
+    return (j.groupBy(F.window(F.col(ts_col), agg_window).alias("w"),
+                      F.col(key))
+            .agg(*aggs)
+            .select(F.col("w.start").alias("w_start"), F.col(key),
+                    *out_cols))
+
+
+def observe_rows(df: DataFrame, name: str = "opd_metrics",
+                 exprs: "Optional[dict]" = None) -> DataFrame:
+    """Attach engine-computed per-batch OBSERVED METRICS to a (batch
+    or streaming) DataFrame (round 13, VERDICT r12 #4 — the
+    observability surface): `df.observe(name, …)` evaluates the
+    aggregate expressions over exactly the rows each micro-batch
+    passes through this point, at zero extra passes (the metrics ride
+    the existing plan), and surfaces them in every
+    StreamingQueryProgress under `observedMetrics[name]` — folded /
+    late / admitted counts per batch without a second query or a
+    foreachBatch count(). `exprs` maps metric name → aggregate Column
+    (default: row count as `rows`). Measured caveat (round 13): the
+    metrics accumulate across EVERY evaluation of the plan within one
+    batch — a foreachBatch body that probes its frame (head(1) guard)
+    or re-evaluates it adds those rows to the batch's numbers;
+    localCheckpoint the frame first if exact-once metrics matter."""
+    if exprs is None:
+        exprs = {"rows": F.count(F.lit(1))}
+    return df.observe(name, *[v.alias(k) for k, v in exprs.items()])
+
+
+def observed_metrics(query, name: str = "opd_metrics") -> "list":
+    """Collect one (batch_id, metrics-dict) pair per micro-batch that
+    reported the named observation, from a (finished or running)
+    StreamingQuery's progress log — the reader half of
+    `observe_rows`. Batches whose trigger processed no data report
+    nothing and are skipped."""
+    import json
+
+    out = []
+    for p in query.recentProgress:
+        d = json.loads(p.json) if hasattr(p, "json") else p
+        m = (d.get("observedMetrics") or {}).get(name)
+        if m is not None:
+            out.append((d["batchId"], m))
+    return out
+
+
+def read_query_state(spark: SparkSession, checkpoint_dir: str,
+                     flatten: bool = True) -> DataFrame:
+    """Read a stateful streaming query's LIVE STATE off its checkpoint
+    via Spark 4's state data source (round 13, VERDICT r12 #4):
+    `spark.read.format('statestore').load(checkpoint)` returns one row
+    per state entry as (key struct, value struct, partition_id) — for
+    `stateful_gap_fill` that is exactly the one-open-observation-per-
+    key invariant, auditable without touching the running query.
+    `flatten=True` unnests the key and value structs (the
+    applyInPandasWithState layout nests the declared state under
+    `value.groupState`). State files are versioned by the engine;
+    reads see the last COMMITTED batch's state."""
+    st = spark.read.format("statestore").load(checkpoint_dir)
+    if not flatten:
+        return st
+    vcols = st.schema["value"].dataType.fieldNames()
+    inner = (F.col("value.groupState.*")
+             if "groupState" in vcols else F.col("value.*"))
+    return st.select(F.col("key.*"), inner, "partition_id")
+
+
 def dedup_events(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
                  watermark: str = "1 day") -> DataFrame:
     """Exactly-once repair for at-least-once transports: drop redundant
@@ -226,16 +339,20 @@ def dedup_by_content(df: DataFrame, text_col: str = "text",
 
 
 def run_available_now(stream_df: DataFrame, query_name: str,
-                      timeout_s: int = 120) -> DataFrame:
+                      timeout_s: int = 120,
+                      output_mode: Optional[str] = None) -> DataFrame:
     """Drain everything currently available through the streaming engine
     into an in-memory table and return it as a DataFrame (test/backfill
-    helper; trigger(availableNow) = incremental batches then stop)."""
+    helper; trigger(availableNow) = incremental batches then stop).
+    `output_mode` overrides the plan-derived default — CHAINED stateful
+    queries (aggregate after a stream-stream join) must run in append
+    mode, which the Aggregate-node walk alone can't know (round 13)."""
     with tempfile.TemporaryDirectory(prefix="opd_ckpt_") as ckpt:
         q = (
             stream_df.writeStream
             .format("memory")
             .queryName(query_name)
-            .outputMode(_output_mode(stream_df))
+            .outputMode(output_mode or _output_mode(stream_df))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -516,7 +633,7 @@ def near_dedup_sink(stream_df: DataFrame, out_path: str, index_path: str,
                     shingle_k: int = 3, seed: int = 42,
                     query_name: str = "near_dedup",
                     timeout_s: int = 300,
-                    compact_index_files: Optional[int] = 64) -> None:
+                    compact_index_files: Optional[int] = 64) -> "list":
     """Streaming NEAR-duplicate suppression via a persistent LSH band
     index (foreachBatch): each micro-batch MinHash-signs its documents
     (`operators.dedup.shingle_minhash` — the same signature family as the
@@ -587,15 +704,19 @@ def near_dedup_sink(stream_df: DataFrame, out_path: str, index_path: str,
          .write.mode("append").parquet(index_path))
         compact_index(spark, index_path, compact_index_files)
 
-    _run_merge_sink(stream_df, body, None, query_name, timeout_s)
+    return _run_merge_sink(stream_df, body, None, query_name, timeout_s)
 
 
 def _run_merge_sink(stream_df: DataFrame, body, checkpoint_dir: Optional[str],
-                    query_name: str, timeout_s: int) -> None:
+                    query_name: str, timeout_s: int) -> "list":
     """Shared foreachBatch runner for the merge sinks (countmin/bloom):
     persistent checkpoint when given, ephemeral otherwise; availableNow
-    drain; bounded stop."""
+    drain; bounded stop. Returns the drain's per-batch progress dicts
+    (round 13 — `observe_rows` metrics attached upstream of a sink
+    surface here under observedMetrics, so a sink run is auditable
+    per batch without a second query)."""
     import contextlib
+    import json
 
     ctx = (contextlib.nullcontext(checkpoint_dir)
            if checkpoint_dir is not None
@@ -613,13 +734,14 @@ def _run_merge_sink(stream_df: DataFrame, body, checkpoint_dir: Optional[str],
         if q.isActive:
             q.stop()
             q.awaitTermination(30)
+        return [json.loads(p.json) for p in q.recentProgress]
 
 
 def countmin_sink(stream_df: DataFrame, key: str, path: str,
                   depth: int = 4, width: int = 1024,
                   checkpoint_dir: Optional[str] = None,
                   query_name: str = "countmin",
-                  timeout_s: int = 300) -> None:
+                  timeout_s: int = 300) -> "list":
     """Streaming frequency tracking: maintain a Count-Min sketch of a
     key column over an unbounded stream (foreachBatch + merge).
 
@@ -676,14 +798,14 @@ def countmin_sink(stream_df: DataFrame, key: str, path: str,
         partial.coalesce(1).write.mode("overwrite").parquet(tmp)
         _swap_dir(tmp, path)
 
-    _run_merge_sink(stream_df, body, checkpoint_dir, query_name, timeout_s)
+    return _run_merge_sink(stream_df, body, checkpoint_dir, query_name, timeout_s)
 
 
 def bloom_sink(stream_df: DataFrame, key: str, path: str,
                k: int = 3, m: int = 65536,
                checkpoint_dir: Optional[str] = None,
                query_name: str = "bloom",
-               timeout_s: int = 300) -> None:
+               timeout_s: int = 300) -> "list":
     """Streaming Bloom-filter maintenance: keep a membership filter of
     every key ever seen on an unbounded stream (foreachBatch + merge) —
     the streaming half of decontamination: the benchmark/blocklist
@@ -717,7 +839,7 @@ def bloom_sink(stream_df: DataFrame, key: str, path: str,
         partial.coalesce(1).write.mode("overwrite").parquet(tmp)
         _swap_dir(tmp, path)
 
-    _run_merge_sink(stream_df, body, checkpoint_dir, query_name, timeout_s)
+    return _run_merge_sink(stream_df, body, checkpoint_dir, query_name, timeout_s)
 
 
 def semantic_dedup_sink(stream_df: DataFrame, out_path: str,
@@ -728,7 +850,7 @@ def semantic_dedup_sink(stream_df: DataFrame, out_path: str,
                         id_col: str = "vec_id",
                         query_name: str = "semdedup",
                         timeout_s: int = 300,
-                        compact_index_files: Optional[int] = 64) -> None:
+                        compact_index_files: Optional[int] = 64) -> "list":
     """Streaming SemDeDup: drop vectors semantically near anything ever
     admitted. Per micro-batch: `similarity.semdedup` dedups WITHIN the
     batch (smallest id survives per near-dup set), then survivors are
@@ -814,7 +936,7 @@ def semantic_dedup_sink(stream_df: DataFrame, out_path: str,
         novel.write.mode("append").parquet(index_path)
         compact_index(spark, index_path, compact_index_files)
 
-    _run_merge_sink(stream_df, body, None, query_name, timeout_s)
+    return _run_merge_sink(stream_df, body, None, query_name, timeout_s)
 
 
 def media_dedup_sink(stream_df: DataFrame, out_path: str,
@@ -825,7 +947,7 @@ def media_dedup_sink(stream_df: DataFrame, out_path: str,
                      query_name: str = "mediadedup",
                      timeout_s: int = 300,
                      compact_index_files: Optional[int] = 64,
-                     hasher=None) -> None:
+                     hasher=None) -> "list":
     """Streaming perceptual media dedup: drop images within
     `max_hamming` bits of anything ever admitted — the multimodal face
     of `semantic_dedup_sink`, with a 16-byte-per-item index instead of
@@ -915,7 +1037,7 @@ def media_dedup_sink(stream_df: DataFrame, out_path: str,
             .parquet(index_path)
         compact_index(spark, index_path, compact_index_files)
 
-    _run_merge_sink(stream_df, body, None, query_name, timeout_s)
+    return _run_merge_sink(stream_df, body, None, query_name, timeout_s)
 
 
 def audio_dedup_sink(stream_df: DataFrame, out_path: str,
@@ -925,7 +1047,7 @@ def audio_dedup_sink(stream_df: DataFrame, out_path: str,
                      decode=None,
                      query_name: str = "audiodedup",
                      timeout_s: int = 300,
-                     compact_index_files: Optional[int] = 64) -> None:
+                     compact_index_files: Optional[int] = 64) -> "list":
     """Streaming perceptual AUDIO dedup — `media_dedup_sink` with the
     integer energy fingerprint (`multimodal.audio_ahash`) instead of
     the image ahash. Everything downstream of the hash (within-batch
@@ -941,7 +1063,7 @@ def audio_dedup_sink(stream_df: DataFrame, out_path: str,
                          "index probe chunks 64 bits)")
     from openpolicedata_spark.operators.multimodal import audio_ahash
 
-    media_dedup_sink(
+    return media_dedup_sink(
         stream_df, out_path, index_path, max_hamming=max_hamming,
         content_col=content_col, id_col=id_col,
         query_name=query_name, timeout_s=timeout_s,
@@ -957,7 +1079,7 @@ def video_dedup_sink(stream_df: DataFrame, out_path: str,
                      decode=None,
                      query_name: str = "videodedup",
                      timeout_s: int = 300,
-                     compact_index_files: Optional[int] = 64) -> None:
+                     compact_index_files: Optional[int] = 64) -> "list":
     """Streaming VIDEO near-dup suppression: drop videos sharing
     enough exact frame signatures with anything ever admitted — the
     multi-frame face of `media_dedup_sink`.
@@ -1049,7 +1171,7 @@ def video_dedup_sink(stream_df: DataFrame, out_path: str,
         keep_fh.write.mode("append").parquet(index_path)
         compact_index(spark, index_path, compact_index_files)
 
-    _run_merge_sink(stream_df, body, None, query_name, timeout_s)
+    return _run_merge_sink(stream_df, body, None, query_name, timeout_s)
 
 
 def media_scan_sink(stream_df: DataFrame, out_path: str,
@@ -1058,7 +1180,7 @@ def media_scan_sink(stream_df: DataFrame, out_path: str,
                     id_col: str = "media_id",
                     query_name: str = "mediascan",
                     timeout_s: int = 300,
-                    compact_index_files: Optional[int] = 64) -> None:
+                    compact_index_files: Optional[int] = 64) -> "list":
     """Streaming media INVENTORY ingest — the metadata face of the
     dedup sinks (round-9 verdict item 5): apply a per-payload scan
     operator (`multimodal.mp3_scan`, `multimodal.vad_segments`, or
@@ -1124,7 +1246,7 @@ def media_scan_sink(stream_df: DataFrame, out_path: str,
             .parquet(index_path)
         compact_index(spark, index_path, compact_index_files)
 
-    _run_merge_sink(stream_df, body, None, query_name, timeout_s)
+    return _run_merge_sink(stream_df, body, None, query_name, timeout_s)
 
 def _scd2_bucket_dir(path: str, b: int) -> str:
     import os
@@ -1268,7 +1390,7 @@ def scd2_sink(stream_df: DataFrame, path: str,
               checkpoint_dir: Optional[str] = None,
               n_buckets: int = 16,
               query_name: str = "scd2",
-              timeout_s: int = 300) -> None:
+              timeout_s: int = 300) -> "list":
     """Streaming delete-aware SCD type-2 sink (round 11 — the streaming
     face of `operators.merge.scd2_intervals`; round-10's one operator
     family with no sink): fold micro-batches of CDC change events into
@@ -1602,7 +1724,7 @@ def scd2_sink(stream_df: DataFrame, path: str,
                 _swap_scd2_bucket(sdir, path, b)
         shutil.rmtree(stage)
 
-    _run_merge_sink(stream_df, body, checkpoint_dir, query_name,
+    return _run_merge_sink(stream_df, body, checkpoint_dir, query_name,
                     timeout_s)
 
 
@@ -1713,7 +1835,7 @@ def scd2_enrich_sink(stream_df: DataFrame, dim_path: str,
                      unmatched: str = "keep",
                      checkpoint_dir: Optional[str] = None,
                      query_name: str = "scd2enrich",
-                     timeout_s: int = 300) -> None:
+                     timeout_s: int = 300) -> "list":
     """Streaming point-in-time enrichment against an `scd2_sink`
     dimension (round 12, VERDICT r11 #5 — the live-feature-store face
     of q205: joining each example to the feature version valid AS OF
@@ -1829,7 +1951,7 @@ def scd2_enrich_sink(stream_df: DataFrame, dim_path: str,
         out.write.mode("overwrite").parquet(stage)
         os.rename(stage, final)  # atomic publish = idempotent marker
 
-    _run_merge_sink(stream_df, body, checkpoint_dir, query_name,
+    return _run_merge_sink(stream_df, body, checkpoint_dir, query_name,
                     timeout_s)
 
 
