@@ -9796,6 +9796,146 @@ ORDER BY total DESC, o_custkey
 LIMIT 5 OFFSET 10
 """
 
+# q223: the parameter-marker body (Spark runs it with args=...) and its
+# literal-substituted twin (the oracle, and the plan-equality reference)
+_Q223_PARAM_BODY = """
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS total
+FROM {o}
+WHERE o_orderstatus = :status AND o_custkey % :buckets = :sel
+GROUP BY o_orderpriority
+"""
+_Q223_LITERAL_BODY = """
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS total
+FROM {o}
+WHERE o_orderstatus = 'O' AND o_custkey % 4 = 1
+GROUP BY o_orderpriority
+"""
+_Q223_ARGS = {"status": "O", "buckets": 4, "sel": 1}
+
+
+def q223_parameterized_sql(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Parameterized SQL (round 13 — Spark 4's named parameter
+    markers, the injection-safe surface every SQL-serving layer
+    should use instead of string interpolation): the SAME body runs
+    with `spark.sql(body, args={...})`. Parameters bind as LITERALS
+    at analysis time, so the optimized plan is IDENTICAL to the
+    literal-substituted query — including constant-folding the
+    parameter into the parquet PushedFilters (pinned in
+    tests/test_plans.py: plan equality up to expression ids + the
+    pushed o_orderstatus filter). The oracle runs the literal twin
+    on DuckDB."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q223_o")
+    return spark.sql(_Q223_PARAM_BODY.format(o="q223_o"),
+                     args=dict(_Q223_ARGS))
+
+
+_Q223_SQL = _Q223_LITERAL_BODY.format(o="orders")
+
+_Q224_INNER = ("SELECT o_orderpriority AS pri, "
+               "CAST(COUNT(*) AS BIGINT) AS n, "
+               "CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) "
+               "AS DOUBLE) AS total "
+               "FROM IDENTIFIER(:t) GROUP BY o_orderpriority")
+
+
+def q224_dynamic_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL, made safe (round 13 — the Spark 4 trio a
+    multi-tenant platform composes instead of f-string SQL: session
+    VARIABLEs hold state, EXECUTE IMMEDIATE runs a query held in a
+    string, IDENTIFIER() binds a parameter as a table NAME without
+    opening the injection hole): the table name travels through a
+    session variable into IDENTIFIER(:t). Resolution happens at
+    analysis time, so the optimized plan is IDENTICAL to naming the
+    table directly (pinned in tests/test_plans.py). The oracle is the
+    static form on DuckDB — value parity proves the indirection
+    changed nothing."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q224_o")
+    spark.sql("DECLARE OR REPLACE VARIABLE q224_tbl STRING")
+    spark.sql("SET VAR q224_tbl = 'q224_o'")
+    return spark.sql(
+        f"EXECUTE IMMEDIATE '{_Q224_INNER}' USING q224_tbl AS t")
+
+
+_Q224_SQL = """
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+_Q225_BODY = """
+SELECT o_orderstatus AS status, o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS total
+FROM {o}
+GROUP BY ALL
+ORDER BY ALL
+LIMIT 7
+"""
+
+
+def q225_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL (round 13 — q212's GROUP BY ALL sibling, the
+    other half of the duo both engines share): order by every output
+    column left-to-right. The IDENTICAL body runs on DuckDB (both
+    engines define ALL as the full left-to-right column list;
+    ascending default matches — no NULLs here, where the engines'
+    NULL-order defaults would diverge). Sugar must cost nothing: the
+    optimized plan is IDENTICAL to the explicit ORDER BY (pinned),
+    and with the LIMIT it is ONE TakeOrderedAndProject — a
+    deterministic page because (status, pri) is unique after the
+    grouping."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q225_o")
+    return spark.sql(_Q225_BODY.format(o="q225_o"))
+
+
+_Q225_SQL = _Q225_BODY.format(o="orders")
+
+# Spark spells it * EXCEPT (...), DuckDB * EXCLUDE (...) — same
+# projection sugar; the oracle uses DuckDB's spelling.
+_Q226_EXCLUDED = ("l_partkey, l_suppkey, l_extendedprice, l_discount, "
+                  "l_tax, l_shipdate")
+_Q226_OUTER = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(l_orderkey) AS BIGINT) AS key_lo,
+       CAST(MAX(l_orderkey) AS BIGINT) AS key_hi,
+       CAST(MAX(l_linenumber) AS BIGINT) AS line_hi,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty,
+       MIN(l_returnflag) AS rf_lo,
+       MAX(l_linestatus) AS ls_hi
+FROM kept
+"""
+
+
+def q226_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT (round 13 — the wide-table projection idiom:
+    'everything but the heavy columns', written without enumerating
+    the 200 survivors): the inner projection drops 6 of lineitem's 11
+    columns, the outer aggregate consumes EVERY survivor (so the
+    except-list, not the aggregate, is what bounds the scan). Pinned
+    in tests/test_plans.py: the parquet ReadSchema carries exactly
+    the 5 kept columns — the sugar prunes like an explicit
+    projection, which at 100 TB is the difference between reading 5
+    and 11 column chunks. Oracle: DuckDB's spelling of the same
+    sugar (* EXCLUDE)."""
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("q226_l")
+    return spark.sql(
+        f"WITH kept AS (SELECT * EXCEPT ({_Q226_EXCLUDED}) "
+        f"FROM q226_l) {_Q226_OUTER}")
+
+
+_Q226_SQL = (f"WITH kept AS (SELECT * EXCLUDE ({_Q226_EXCLUDED}) "
+             f"FROM lineitem) {_Q226_OUTER}")
+
 
 
 
@@ -10647,6 +10787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_paged_topn": q220_paged_topn,
         "q221_pipe_syntax": q221_pipe_syntax,
         "q222_keyset_pagination": q222_keyset_pagination,
+        "q223_parameterized_sql": q223_parameterized_sql,
+        "q224_dynamic_sql": q224_dynamic_sql,
+        "q225_order_by_all": q225_order_by_all,
+        "q226_star_except": q226_star_except,
     }
     return base
 
@@ -10877,4 +11021,8 @@ def oracle_sql() -> dict[str, str]:
         "q220_paged_topn": _Q220_SQL,
         "q221_pipe_syntax": _Q221_SQL,
         "q222_keyset_pagination": _Q222_SQL,
+        "q223_parameterized_sql": _Q223_SQL,
+        "q224_dynamic_sql": _Q224_SQL,
+        "q225_order_by_all": _Q225_SQL,
+        "q226_star_except": _Q226_SQL,
     }

@@ -1272,3 +1272,112 @@ def test_q222_keyset_page_is_constant_size_heap(spark, sf_dir):
         ORDER BY total DESC, o_custkey LIMIT 5 OFFSET 5010""")
     td = formatted_plan(deep)
     assert _re.search(r"Arguments: 5015, \[total", td), td[:1200]
+
+
+def test_q223_parameterized_plans_identical_to_literal(spark, sf_dir):
+    """Named parameter markers (round 13): args bind as literals at
+    analysis time, so the optimized plan must be IDENTICAL to the
+    literal-substituted query up to expression ids — including the
+    parameter value constant-folded into the parquet PushedFilters."""
+    import re as _re
+
+    from openpolicedata_spark.workload import (
+        _Q223_ARGS,
+        _Q223_LITERAL_BODY,
+        _Q223_PARAM_BODY,
+    )
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("q223_pin_o")
+
+    def norm(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return _re.sub(r"#\d+", "#x", s)
+
+    p = spark.sql(_Q223_PARAM_BODY.format(o="q223_pin_o"),
+                  args=dict(_Q223_ARGS))
+    l = spark.sql(_Q223_LITERAL_BODY.format(o="q223_pin_o"))
+    assert norm(p) == norm(l), norm(p)[:600] + "\n!=\n" + norm(l)[:600]
+    s = assert_filter_pushed(p, "o_orderstatus")
+    assert any("EqualTo(o_orderstatus,O)" in f for f in
+               s.pushed_filters), s.pushed_filters
+    assert_no_python_in_plan(p)
+
+
+def test_q224_identifier_resolves_like_direct_reference(spark, sf_dir):
+    """EXECUTE IMMEDIATE + session variable + IDENTIFIER() (round 13):
+    the dynamic form must optimize to EXACTLY the plan of naming the
+    table directly — the indirection is an analysis-time binding, not
+    a runtime layer."""
+    import re as _re
+
+    from openpolicedata_spark.workload import _Q224_INNER
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("q224_pin_o")
+    spark.sql("DECLARE OR REPLACE VARIABLE q224_pin_tbl STRING")
+    spark.sql("SET VAR q224_pin_tbl = 'q224_pin_o'")
+
+    def norm(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return _re.sub(r"#\d+", "#x", s)
+
+    dyn = spark.sql(f"EXECUTE IMMEDIATE '{_Q224_INNER}' "
+                    f"USING q224_pin_tbl AS t")
+    static = spark.sql(_Q224_INNER.replace("IDENTIFIER(:t)",
+                                           "q224_pin_o"))
+    assert norm(dyn) == norm(static), (
+        norm(dyn)[:600] + "\n!=\n" + norm(static)[:600])
+    assert_no_python_in_plan(dyn)
+
+
+def test_q225_order_by_all_plans_like_explicit(spark, sf_dir):
+    """ORDER BY ALL (round 13): must optimize to the explicit
+    left-to-right column order — with the LIMIT, one
+    TakeOrderedAndProject over the aggregate, zero Sort nodes."""
+    import re as _re
+
+    from openpolicedata_spark.plans import _n_nodes
+    from openpolicedata_spark.workload import _Q225_BODY
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("q225_pin_o")
+
+    def norm(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return _re.sub(r"#\d+", "#x", s)
+
+    sugar = spark.sql(_Q225_BODY.format(o="q225_pin_o"))
+    explicit = spark.sql("""
+        SELECT o_orderstatus AS status, o_orderpriority AS pri,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                    AS DOUBLE) AS total
+        FROM q225_pin_o
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY status, pri, n, total LIMIT 7""")
+    assert norm(sugar) == norm(explicit), (
+        norm(sugar)[:600] + "\n!=\n" + norm(explicit)[:600])
+    t = formatted_plan(sugar)
+    assert _n_nodes(t, "TakeOrderedAndProject") == 1, t[:1000]
+    assert _n_nodes(t, "Sort") == 0, t[:1000]
+    assert_no_python_in_plan(sugar)
+
+
+def test_q226_star_except_prunes_scan(spark, sf_dir):
+    """SELECT * EXCEPT (round 13): the sugar must prune the parquet
+    scan to exactly the kept columns — every excepted column absent
+    from ReadSchema, every kept column present (the outer aggregate
+    consumes all five, so the except-list is the binding bound)."""
+    df = workload.queries()["q226_star_except"](spark, sf_dir)
+    for gone in ("l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"):
+        assert_column_pruned(df, gone)
+    t = formatted_plan(df)
+    import re as _re
+
+    rs = _re.search(r"ReadSchema: struct<([^>]*)>", t).group(1)
+    kept = sorted(c.split(":")[0] for c in rs.split(",") if c)
+    assert kept == ["l_linenumber", "l_linestatus", "l_orderkey",
+                    "l_quantity", "l_returnflag"], kept
+    assert_no_python_in_plan(df)
