@@ -308,6 +308,46 @@ def weighted_mix(
     return df.where(keep)
 
 
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Unicode normalization (round 13 — the canonicalization step a
+    multilingual dedup pipeline needs BEFORE any exact/minhash
+    fingerprint: 'é' as one codepoint and 'e'+combining-acute are the
+    same text but different bytes, so unnormalized corpora leak
+    duplicates past every digest): rewrite `text_col` to the given
+    normalization form (NFC default; NFD/NFKC/NFKD accepted —
+    stdlib `unicodedata`, the html.parser sourcing discipline).
+
+    Spark has no normalization expression, so this is ONE vectorized
+    Arrow stage — the fold_idn_hosts design: the ASCII fast path is a
+    pandas regex mask INSIDE the udf (ASCII is normalized under every
+    form by construction; a CASE-gated UDF would extract into an
+    unconditional ArrowEvalPython node anyway — the r12 gotcha), and
+    only non-ASCII rows pay the per-row C-level normalize call. NULLs
+    pass through. Idempotence (normalize∘normalize ≡ normalize) is a
+    Unicode guarantee and is property-tested; the q227 oracle replays
+    the whole construct through DuckDB's nfc_normalize."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out = out_col or text_col
+
+    @F.pandas_udf("string")
+    def _norm(texts: pd.Series) -> pd.Series:
+        mask = texts.str.contains("[^\x00-\x7f]", regex=True, na=False)
+        res = texts.copy()
+        for i in texts.index[mask]:
+            res[i] = unicodedata.normalize(form, texts[i])
+        return res
+
+    return df.withColumn(out, _norm(F.col(text_col)))
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

@@ -9936,6 +9936,95 @@ def q226_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q226_SQL = (f"WITH kept AS (SELECT * EXCLUDE ({_Q226_EXCLUDED}) "
              f"FROM lineitem) {_Q226_OUTER}")
 
+# q227: deterministic DENORMALIZED suffixes — combining marks that NFC
+# precomposes (U+0301 acute, U+0302 circumflex + U+0303 tilde); doc_id
+# % 3 == 0 stays pure ASCII so the fast path and changed=false rows
+# are both exercised. The literals are embedded as UTF-8 in BOTH
+# engines' SQL (Spark's chr() is mod-256 ASCII — it cannot build
+# these codepoints).
+_Q227_SUF1 = "é"
+_Q227_SUF2 = "ôñ"
+_Q227_DECORATE = (
+    "concat(text, CASE CAST(doc_id % 3 AS INT) "
+    f"WHEN 1 THEN '{_Q227_SUF1}' WHEN 2 THEN '{_Q227_SUF2}' "
+    "ELSE ' ascii' END) AS raw"
+)
+
+
+def q227_unicode_normalize(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (round 13 —
+    `textpipe.normalize_unicode`, the canonicalization step every
+    multilingual dedup pipeline needs before fingerprinting: composed
+    and decomposed spellings are the same text but different bytes).
+    Each document gains a deterministic decomposed suffix (or stays
+    ASCII), the operator's ONE Arrow stage normalizes it, and the
+    query emits whether normalization changed the string plus the md5
+    of the normalized UTF-8 — DuckDB's native `nfc_normalize` replays
+    the whole construct, so the stdlib-unicodedata tables are pinned
+    against an independent ICU-derived implementation, byte for byte.
+    Rebalanced ahead of the Arrow stage (single-row-group input)."""
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.textpipe import normalize_unicode
+
+    d = _read(spark, sf_dir, "documents")
+    dec = rebalance(d.selectExpr("doc_id", _Q227_DECORATE))
+    n = normalize_unicode(dec, "raw", form="NFC", out_col="norm")
+    return n.select(
+        "doc_id",
+        (F.col("norm") != F.col("raw")).alias("changed"),
+        F.md5(F.col("norm").cast("binary")).alias("h"))
+
+
+_Q227_SQL = f"""
+WITH dec AS (
+  SELECT doc_id, {_Q227_DECORATE}
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw) != raw AS changed,
+       md5(nfc_normalize(raw)) AS h
+FROM dec
+"""
+
+_Q228_MIXED = ("CASE WHEN doc_id % 2 = 0 THEN upper(lang) "
+               "ELSE lower(lang) END")
+
+
+def q228_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (round 13 — Spark 4's COLLATE, the
+    engine-native form of case-insensitive semantics that otherwise
+    hides in lower() calls scattered through a pipeline): languages
+    arrive in mixed case (deterministically upper/lower by doc
+    parity) and group under UTF8_LCASE as ONE key per language —
+    collation is a property of the string TYPE, so the comparison,
+    the grouping hash, and the equality filter are all
+    case-insensitive with zero expression rewriting (one ordinary
+    aggregate, no extra nodes — pinned in tests/test_plans.py along
+    with a collated-equality filter law). The group REPRESENTATIVE
+    under a case-insensitive collation is whichever spelling the
+    engine saw first — nondeterministic by design — so the output
+    key is lower()ed for the exact oracle, which replays the
+    semantics on DuckDB as grouping by lower()."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("q228_d")
+    return spark.sql(f"""
+SELECT lower(k) AS lang_ci,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM (SELECT ({_Q228_MIXED}) COLLATE UTF8_LCASE AS k, n_chars
+      FROM q228_d)
+GROUP BY k
+""")
+
+
+_Q228_SQL = f"""
+SELECT lower({_Q228_MIXED}) AS lang_ci,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY lang_ci
+"""
+
 
 
 
@@ -10791,6 +10880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_dynamic_sql": q224_dynamic_sql,
         "q225_order_by_all": q225_order_by_all,
         "q226_star_except": q226_star_except,
+        "q227_unicode_normalize": q227_unicode_normalize,
+        "q228_collated_group": q228_collated_group,
     }
     return base
 
@@ -11025,4 +11116,6 @@ def oracle_sql() -> dict[str, str]:
         "q224_dynamic_sql": _Q224_SQL,
         "q225_order_by_all": _Q225_SQL,
         "q226_star_except": _Q226_SQL,
+        "q227_unicode_normalize": _Q227_SQL,
+        "q228_collated_group": _Q228_SQL,
     }

@@ -1381,3 +1381,29 @@ def test_q226_star_except_prunes_scan(spark, sf_dir):
     assert kept == ["l_linenumber", "l_linestatus", "l_orderkey",
                     "l_quantity", "l_returnflag"], kept
     assert_no_python_in_plan(df)
+
+
+def test_q228_collation_costs_sort_aggregate(spark, sf_dir):
+    """Collated grouping (round 13) — the honest cost pin: a
+    UTF8_LCASE group key DISABLES hash aggregation (measured: Spark
+    4.1 plans SortAggregate pairs for collated keys), but the shape
+    is still partial+final over ONE exchange, so the map-side combine
+    survives. The semantics pin: collated equality equals the lower()
+    rewrite exactly."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q228_collated_group"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "SortAggregate") == 2, t[:1000]
+    assert _n_nodes(t, "HashAggregate") == 0, t[:1000]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .createOrReplaceTempView("q228_pin_d")
+    a = spark.sql("SELECT count(*) FROM (SELECT upper(lang) COLLATE "
+                  "UTF8_LCASE AS k FROM q228_pin_d) WHERE k = 'en'"
+                  ).first()[0]
+    b = spark.sql("SELECT count(*) FROM q228_pin_d "
+                  "WHERE lower(lang) = 'en'").first()[0]
+    assert a == b and a > 0

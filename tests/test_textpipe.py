@@ -952,3 +952,44 @@ def test_dedup_lines_first_occurrence_and_reassembly(spark):
     assert got[1] == ("a\nb\n\nc", 4, 0)
     assert got[2] == ("x\n", 2, 2)     # b and a seen earlier; blank kept
     assert got[3] == ("", 0, 1)
+
+
+def test_normalize_unicode_laws(spark):
+    """textpipe.normalize_unicode (round 13): NFC precomposes
+    combining sequences, is idempotent (a Unicode guarantee,
+    asserted through the operator), leaves ASCII and NULLs untouched
+    via the masked fast path, and NFKC folds compatibility forms NFC
+    must preserve (the ligature case). Inputs built from EXPLICIT
+    escapes so the decomposed forms are really decomposed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from openpolicedata_spark.operators.textpipe import normalize_unicode
+
+    rows = [(1, "caf\u0065\u0301"),   # e + combining acute -> caf\u00e9
+            (2, "plain ascii"),
+            (3, None),
+            (4, "\ufb01le"),            # fi ligature: NFC keeps it
+            (5, "A\u030a")]            # A + combining ring -> \u00c5
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.text for r in
+           normalize_unicode(df, "text").collect()}
+    assert out[1] == "caf\u00e9" and out[1] != rows[0][1]
+    assert out[2] == "plain ascii"
+    assert out[3] is None
+    assert out[4] == "\ufb01le"         # NFC preserves ligatures
+    assert out[5] == "\u00c5" and len(out[5]) == 1
+    # idempotence through the operator (composed twice)
+    twice = {r.id: r.text for r in normalize_unicode(
+        normalize_unicode(df, "text"), "text").collect()}
+    assert twice == out
+    # NFKC folds the ligature where NFC must not
+    nfkc = {r.id: r.text for r in
+            normalize_unicode(df, "text", form="NFKC").collect()}
+    assert nfkc[4] == "file"
+    # out_col leaves the input column intact
+    both = normalize_unicode(df, "text", out_col="norm").collect()
+    assert {(r.text, r.norm) for r in both if r.id == 1} == {
+        ("caf\u0065\u0301", "caf\u00e9")}
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(df, "text", form="NFX")
