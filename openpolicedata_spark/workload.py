@@ -10025,6 +10025,91 @@ FROM documents
 GROUP BY lang_ci
 """
 
+# percent_rank/cume_dist emit RAW doubles: each is ONE IEEE division
+# ((rank-1)/(n-1), rank'/n) on integer inputs — bit-identical across
+# engines (the q198 raw-doubles rule; ROUND(…,6) is the only
+# non-portable step on tie rationals, so it is omitted).
+_Q229_BODY = """
+SELECT o_orderkey,
+       percent_rank() OVER w AS pr,
+       cume_dist()    OVER w AS cd,
+       CAST(ntile(4)  OVER w AS BIGINT) AS quartile,
+       lag(o_orderkey)  OVER w AS prev_key,
+       lead(o_orderkey) OVER w AS next_key
+FROM {o}
+WHERE o_custkey % 25 = 9
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q229_analytic_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-analytic panel (round 13 — the remaining window-function
+    family the corpus hadn't oracle-pinned: percent_rank, cume_dist,
+    ntile, lag AND lead over ONE shared spec): five analytics, one
+    IDENTICAL body on both engines. CollapseWindow must fuse all five
+    into ONE Window node over one exchange+sort (pinned in
+    tests/test_plans.py — the rank family's growing frame, ntile's
+    whole-partition frame, and the offset functions coexist in one
+    node). (o_totalprice, o_orderkey) is a unique ordering, so every
+    rank — and hence every division — is deterministic; the divisions
+    are single IEEE ops on integer ranks, emitted raw (the q198
+    engine-portability rule). An UNPARTITIONED window is the honest
+    shape for percentiles-of-everything: one task sorts the filtered
+    slice — at 100 TB you either pre-filter (as here) or use q102's
+    broadcast percentile-boundary form."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q229_o")
+    return spark.sql(_Q229_BODY.format(o="q229_o"))
+
+
+_Q229_SQL = _Q229_BODY.format(o="orders")
+
+# Bitmap exact-distinct: a bitmap covers 32768 key positions per
+# bucket, so the construct MUST also group by bitmap_bucket_number —
+# grouping by the status alone silently UNDERCOUNTS (keys alias within
+# one bitmap across buckets; measured round 13: 147 vs 148 on sf0.001
+# custkeys). DuckDB has no bitmap aggregate family; the oracle is
+# plain COUNT(DISTINCT …), which is the semantic spec.
+_Q230_BODY = """
+SELECT st, CAST(SUM(nd) AS BIGINT) AS n_customers,
+       CAST(SUM(n) AS BIGINT) AS n_orders
+FROM (
+  SELECT o_orderstatus AS st,
+         bitmap_bucket_number(o_custkey) AS bkt,
+         bitmap_count(bitmap_construct_agg(
+             bitmap_bit_position(o_custkey))) AS nd,
+         COUNT(*) AS n
+  FROM {o}
+  GROUP BY st, bkt
+)
+GROUP BY st
+"""
+
+
+def q230_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (round 13 —
+    Spark 3.5+'s bitmap family, the engine-native way to carry
+    exact-distinct state as fixed-size bytes instead of per-key rows:
+    each (group, bucket) partial is a ≤4 KB bitmap, map-side
+    combinable, so the shuffle for a billion-key distinct carries
+    O(groups × buckets) bitmaps where COUNT(DISTINCT) shuffles every
+    key once): distinct customers per order status, two stacked
+    map-combinable aggregates, NO distinct expansion. The measured
+    sharp edge is in the comment above _Q230_BODY: omit the
+    bucket-number grouping and the count silently aliases. Oracle:
+    COUNT(DISTINCT) on DuckDB — the equivalence IS the correctness
+    claim."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q230_o")
+    return spark.sql(_Q230_BODY.format(o="q230_o"))
+
+
+_Q230_SQL = """
+SELECT o_orderstatus AS st,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY st
+"""
+
 
 
 
@@ -10882,6 +10967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_star_except": q226_star_except,
         "q227_unicode_normalize": q227_unicode_normalize,
         "q228_collated_group": q228_collated_group,
+        "q229_analytic_panel": q229_analytic_panel,
+        "q230_bitmap_distinct": q230_bitmap_distinct,
     }
     return base
 
@@ -11118,4 +11205,6 @@ def oracle_sql() -> dict[str, str]:
         "q226_star_except": _Q226_SQL,
         "q227_unicode_normalize": _Q227_SQL,
         "q228_collated_group": _Q228_SQL,
+        "q229_analytic_panel": _Q229_SQL,
+        "q230_bitmap_distinct": _Q230_SQL,
     }

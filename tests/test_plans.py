@@ -1407,3 +1407,49 @@ def test_q228_collation_costs_sort_aggregate(spark, sf_dir):
     b = spark.sql("SELECT count(*) FROM q228_pin_d "
                   "WHERE lower(lang) = 'en'").first()[0]
     assert a == b and a > 0
+
+
+def test_q229_five_analytics_one_window_node(spark, sf_dir):
+    """Rank-analytic panel (round 13): percent_rank, cume_dist,
+    ntile, lag, and lead over one shared spec must fuse into ONE
+    Window node over ONE exchange (CollapseWindow across the rank,
+    whole-partition, and offset families)."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q229_analytic_panel"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert (_n_nodes(t, "Window")
+            - _n_nodes(t, "WindowGroupLimit")) == 1, t[:1200]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+
+
+def test_q230_bitmap_distinct_no_expand_two_aggregates(spark, sf_dir):
+    """Bitmap exact-distinct (round 13): two stacked map-combinable
+    aggregates — partial bitmaps combine map-side, the shuffle
+    carries (group, bucket, bitmap) rows, and there is NO Expand
+    node (multi-distinct's fan-out) anywhere. The naive form's
+    silent aliasing is pinned numerically: dropping the bucket
+    grouping must UNDERCOUNT the true distinct."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q230_bitmap_distinct"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Expand") == 0, t[:1000]
+    # the bitmap construct is a TypedImperativeAggregate — it plans as
+    # a SortAggregate pair (measured; no hash-agg for byte-buffer
+    # state), the outer SUM as the usual HashAggregate pair
+    assert _n_nodes(t, "SortAggregate") == 2, t[:1000]
+    assert _n_nodes(t, "HashAggregate") == 2, t[:1000]
+    assert "bitmap_construct_agg" in t, t[:800]
+    assert_no_python_in_plan(df)
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("q230_pin_o")
+    naive = spark.sql("""
+        SELECT bitmap_count(bitmap_construct_agg(
+                   bitmap_bit_position(o_custkey))) AS nd
+        FROM q230_pin_o""").first().nd
+    true_nd = spark.sql("SELECT COUNT(DISTINCT o_custkey) AS n "
+                        "FROM q230_pin_o").first().n
+    assert naive < true_nd, (naive, true_nd)  # aliasing really bites
