@@ -83,6 +83,26 @@ def read_events_stream(spark: SparkSession, path: str,
     return df
 
 
+def _with_watermark_once(df: DataFrame, ts_col: str,
+                         delay: str) -> DataFrame:
+    """Apply a watermark only if the plan doesn't already carry one
+    (round 13 — measured: with chained stateful operators the engine
+    REJECTS a second withWatermark downstream, 'Redefining watermark
+    is disallowed'; the composable contract is set-once-upstream,
+    every operator here propagates). Batch frames pass through."""
+    if not df.isStreaming:
+        return df
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "EventTimeWatermark":
+            return df
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return df.withWatermark(ts_col, delay)
+
+
 def windowed_event_counts(events: DataFrame, window: str = "6 hours",
                           watermark: str = "1 day") -> DataFrame:
     """Tumbling-window counts + exact value sums per event_type.
@@ -90,8 +110,7 @@ def windowed_event_counts(events: DataFrame, window: str = "6 hours",
     Works identically on a batch DataFrame (no watermark applied) and a
     stream (watermark bounds state / handles late data). Sums accumulate
     on DECIMAL so results are order-independent."""
-    if events.isStreaming:
-        events = events.withWatermark("ts", watermark)
+    events = _with_watermark_once(events, "ts", watermark)
     return (
         events.groupBy(
             F.window("ts", window).alias("w"),
@@ -115,8 +134,7 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
     """Gap-based sessions per user via native session_window: session
     closes after `gap` of inactivity. Streaming state is bounded by the
     watermark; batch mode plans the same expression as a regular agg."""
-    if events.isStreaming:
-        events = events.withWatermark("ts", watermark)
+    events = _with_watermark_once(events, "ts", watermark)
     return (
         events.groupBy(
             F.session_window("ts", gap).alias("s"),
@@ -171,10 +189,8 @@ def enrich_within_window(
         raise ValueError(
             f"right_prefix {right_prefix!r} collides with left columns "
             f"{clash}; pass a different right_prefix")
-    if left.isStreaming:
-        left = left.withWatermark(ts_col, watermark)
-    if right.isStreaming:
-        right = right.withWatermark(ts_col, watermark)
+    left = _with_watermark_once(left, ts_col, watermark)
+    right = _with_watermark_once(right, ts_col, watermark)
     r = right.select(
         F.col(key),
         *[F.col(c).alias(f"{right_prefix}{c}")
@@ -312,7 +328,7 @@ def dedup_events(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
     computes the same result the live path converged to)."""
     ks = list(keys)
     if events.isStreaming:
-        return (events.withWatermark("ts", watermark)
+        return (_with_watermark_once(events, "ts", watermark)
                 .dropDuplicatesWithinWatermark(ks))
     return events.dropDuplicates(ks)
 
@@ -331,7 +347,7 @@ def dedup_by_content(df: DataFrame, text_col: str = "text",
 
     with_fp = df.withColumn("__fp__", fingerprint_md5_expr(F.col(text_col)))
     if df.isStreaming:
-        out = (with_fp.withWatermark(ts_col, watermark)
+        out = (_with_watermark_once(with_fp, ts_col, watermark)
                .dropDuplicatesWithinWatermark(["__fp__"]))
     else:
         out = with_fp.dropDuplicates(["__fp__"])
@@ -484,7 +500,7 @@ def running_user_totals(events: DataFrame,
                             "total_value": [round(total, 2)]})
 
     return (
-        events.withWatermark("ts", watermark)
+        _with_watermark_once(events, "ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,

@@ -611,3 +611,38 @@ def test_pipeline_point_in_time_feature_branch(spark, sf_dir):
            .join(last_at_ts, on=["user_id", "ts"]))
     assert chk.where(F.col("v_type") != F.col("want")).count() == 0
     assert chk.count() > 0
+
+
+def test_pipeline_unicode_normalize_branch(spark, docs):
+    """Round-13 normalization branch: composed and decomposed
+    spellings of the SAME document are different bytes (exact dedup
+    keeps both) until normalize_unicode runs ahead of the digest —
+    then the twins collapse to one survivor and pure-ASCII docs are
+    byte-identical through the stage (the masked fast path)."""
+    from openpolicedata_spark.operators.dedup import exact_dedup
+    from openpolicedata_spark.operators.textpipe import normalize_unicode
+
+    base = docs.limit(120).select("doc_id", "text")
+    # twin every doc: composed copy (id+10^9) with the same text BUT
+    # a decomposed e+combining-acute suffix vs the composed e-acute
+    composed = base.selectExpr(
+        "doc_id + 1000000000 AS doc_id",
+        "text || 'é' AS text")
+    decomposed = base.selectExpr("doc_id", "text || 'é' AS text")
+    corpus = decomposed.unionByName(composed)
+
+    # without normalization the twins survive dedup separately
+    raw_kept = exact_dedup(corpus).count()
+    assert raw_kept == 2 * base.count()
+
+    # normalized, each twin pair collapses; min doc_id survives
+    norm = normalize_unicode(corpus, "text")
+    kept = exact_dedup(norm)
+    assert kept.count() == base.count()
+    assert kept.agg(F.max("doc_id")).first()[0] < 1000000000
+
+    # ASCII docs pass the stage byte-identical (fast-path exactness)
+    ascii_only = base.selectExpr(
+        "doc_id", "regexp_replace(text, '[^\\x00-\\x7f]', '') AS text")
+    thru = normalize_unicode(ascii_only, "text", out_col="norm")
+    assert thru.where(F.col("norm") != F.col("text")).count() == 0

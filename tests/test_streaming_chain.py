@@ -271,3 +271,42 @@ def test_read_query_state_matches_gap_fill_invariant(spark, tmp_path):
     # raw (unflattened) shape carries the engine's key/value structs
     raw = read_query_state(spark, ck, flatten=False)
     assert {"key", "value", "partition_id"} <= set(raw.columns)
+
+
+def test_chained_dedup_then_window_agg_equals_batch(spark, sf_dir,
+                                                    tmp_path):
+    """The OTHER multi-stateful pair a real ingest runs (round 13):
+    dropDuplicatesWithinWatermark chained into a tumbling-window
+    count in one query — at-least-once repair feeding the aggregate
+    directly. Duplicate delivery simulated by doubling the source
+    file; the chain must equal the batch dropDuplicates + groupBy on
+    the single copy."""
+    import shutil
+
+    from openpolicedata_spark.streaming import (
+        dedup_events,
+        windowed_event_counts,
+    )
+
+    watch = tmp_path / "ev"
+    watch.mkdir()
+    shutil.copy(_events_path(sf_dir), str(watch / "a.parquet"))
+    shutil.copy(_events_path(sf_dir), str(watch / "b.parquet"))
+
+    batch = _events_batch(spark, sf_dir)
+    expected = {(r.w_start, r.event_type): (r.n_events, r.sum_value)
+                for r in windowed_event_counts(
+                    dedup_events(batch), window="6 hours").collect()}
+
+    s = read_events_stream(spark, str(watch))
+    got_df = run_available_now(
+        windowed_event_counts(dedup_events(s), window="6 hours"),
+        "dedup_chain", timeout_s=300, output_mode="append")
+    got = {(r.w_start, r.event_type): (r.n_events, r.sum_value)
+           for r in got_df.collect()}
+    # the stream's final windows may be withheld (no event advances
+    # the watermark past them) — every emitted window must match the
+    # batch value, and most windows must have emitted
+    assert len(got) > 0.8 * len(expected)
+    for k, v in got.items():
+        assert expected[k] == v, (k, v, expected[k])
