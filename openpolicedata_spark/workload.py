@@ -10110,6 +10110,45 @@ FROM orders
 GROUP BY st
 """
 
+_Q231_BODY = """
+WITH buyers AS (
+  SELECT o_custkey AS k FROM {o} WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM {o} WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM {o} WHERE o_orderpriority LIKE '1-%'
+)
+SELECT metric, v FROM (
+  SELECT 'n_buyers' AS metric, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM buyers
+  UNION ALL
+  SELECT 'spend' AS metric,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS v
+  FROM {o} JOIN buyers ON o_custkey = buyers.k
+)
+"""
+
+
+def q231_cross_channel_buyers(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-DS Q14-class cross-channel INTERSECT with CTE reuse (round
+    13 — the one set-op shape the corpus hadn't pinned: a THREE-way
+    INTERSECT building a qualifying-key set that TWO downstream
+    consumers read): customers present in all three order slices,
+    counted once and joined back against the fact for their spend.
+    Spark plans each INTERSECT as a distinct-aggregate + LeftSemi
+    join, and the second consumer reads the buyers subtree through
+    ReusedExchange instead of recomputing the three-scan INTERSECT
+    tree (exactly 2 reuses pinned in tests/test_plans.py — the q202
+    discipline; the reuse materializes at AQE time, so the pin
+    collects first — the q206 rule measured again here). The IDENTICAL body runs on DuckDB (INTERSECT is
+    distinct-set semantics in both engines); DECIMAL spend → exact."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q231_o")
+    return spark.sql(_Q231_BODY.format(o="q231_o"))
+
+
+_Q231_SQL = _Q231_BODY.format(o="orders")
+
 
 
 
@@ -10969,6 +11008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_collated_group": q228_collated_group,
         "q229_analytic_panel": q229_analytic_panel,
         "q230_bitmap_distinct": q230_bitmap_distinct,
+        "q231_cross_channel_buyers": q231_cross_channel_buyers,
     }
     return base
 
@@ -11207,4 +11247,5 @@ def oracle_sql() -> dict[str, str]:
         "q228_collated_group": _Q228_SQL,
         "q229_analytic_panel": _Q229_SQL,
         "q230_bitmap_distinct": _Q230_SQL,
+        "q231_cross_channel_buyers": _Q231_SQL,
     }

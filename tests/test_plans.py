@@ -1453,3 +1453,23 @@ def test_q230_bitmap_distinct_no_expand_two_aggregates(spark, sf_dir):
     true_nd = spark.sql("SELECT COUNT(DISTINCT o_custkey) AS n "
                         "FROM q230_pin_o").first().n
     assert naive < true_nd, (naive, true_nd)  # aliasing really bites
+
+
+def test_q231_intersect_cte_reused_not_recomputed(spark, sf_dir):
+    """Q14-class INTERSECT + CTE reuse (round 13): the three-scan
+    buyers INTERSECT tree must be computed ONCE — the second consumer
+    reads it through ReusedExchange (2 reuses), so the whole query
+    scans orders 7 times, not 3+3+1+… per consumer; each INTERSECT
+    arm plans as a distinct aggregate + LeftSemi join."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q231_cross_channel_buyers"](spark, sf_dir)
+    # exchange reuse materializes at AQE time — collect FIRST (the
+    # q206 gotcha, measured again here: 0 ReusedExchange before
+    # execution, 2 after)
+    df.collect()
+    t = formatted_plan(df)
+    assert _n_nodes(t, "ReusedExchange") == 2, t[:1500]
+    assert _n_nodes(t, "Scan parquet") == 7, t[:1500]
+    assert "LeftSemi" in t, t[:800]
+    assert_no_python_in_plan(df)
