@@ -839,3 +839,28 @@ def test_dedup_lines_matches_python_reference(spark, docs, min_chars):
                 dropped += 1
         assert got[i] == ("\n".join(kept), len(kept), dropped), (
             i, lines, got[i])
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=24),
+       st.sampled_from(["NFC", "NFKC"]))
+def test_normalize_unicode_matches_reference_and_is_idempotent(
+        spark, texts, form):
+    """normalize_unicode == stdlib unicodedata row-for-row on
+    arbitrary unicode (surrogates excluded by st.text), and the
+    operator composed with itself is a fixpoint — through the Arrow
+    stage and the ASCII fast-path mask, not just the library call."""
+    import unicodedata
+
+    from openpolicedata_spark.operators.textpipe import normalize_unicode
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.text for r in
+           normalize_unicode(df, "text", form=form).collect()}
+    for i, t in rows:
+        assert got[i] == unicodedata.normalize(form, t), (form, t)
+    twice = {r.id: r.text for r in normalize_unicode(
+        normalize_unicode(df, "text", form=form), "text",
+        form=form).collect()}
+    assert twice == got
