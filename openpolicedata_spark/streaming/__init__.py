@@ -159,10 +159,23 @@ def enrich_within_window(
     watermark: str = "1 day",
     right_prefix: str = "r_",
     how: str = "inner",
+    drop_right_time: bool = False,
 ) -> DataFrame:
     """Stream-stream (or batch-batch) time-bounded enrichment: every right
     row within ±`window` of a left row for the same key — the
     streaming-legal form of an as-of/interval join.
+
+    `drop_right_time=True` (round 13) drops the right side's
+    watermarked timestamp from the output — REQUIRED when the result
+    feeds a SECOND stream-stream join (measured chaining boundary:
+    the engine rejects a join whose input carries two event-time
+    columns — 'ensure there is at most one event time column per
+    stream' — while a downstream time-window AGGREGATE tolerates
+    both, and a downstream applyInPandasWithState needs append mode;
+    all three pinned in tests/test_streaming_chain.py). Chain
+    three-stream enrichments as
+    enrich_within_window(enrich_within_window(A, B,
+    drop_right_time=True), C).
 
     In streaming, Spark requires BOTH watermarks and a time-range join
     condition so each side's buffered state can be evicted once the
@@ -200,7 +213,10 @@ def enrich_within_window(
     cond = ((left[key] == r[key])
             & (r[f"{right_prefix}{ts_col}"] >= left[ts_col] - w)
             & (r[f"{right_prefix}{ts_col}"] < left[ts_col] + w))
-    return left.join(r, cond, how).drop(r[key])
+    out = left.join(r, cond, how).drop(r[key])
+    if drop_right_time:
+        out = out.drop(f"{right_prefix}{ts_col}")
+    return out
 
 
 def enriched_window_counts(

@@ -10149,6 +10149,74 @@ def q231_cross_channel_buyers(spark: SparkSession,
 
 _Q231_SQL = _Q231_BODY.format(o="orders")
 
+_Q232_BODY = """
+WITH yearly AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+              AS DECIMAL(18,2)) AS spend
+  FROM {o}
+  GROUP BY o_custkey, year(o_orderdate)
+)
+SELECT o_custkey, yr,
+       CAST(spend AS DOUBLE) AS spend,
+       CAST(prev AS DOUBLE) AS prev_spend,
+       CAST(spend AS DOUBLE) / CAST(prev AS DOUBLE) AS growth
+FROM (
+  SELECT o_custkey, yr, spend,
+         lag(spend) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev,
+         lag(yr)    OVER (PARTITION BY o_custkey ORDER BY yr)
+             AS prev_yr
+  FROM yearly
+)
+WHERE prev IS NOT NULL AND yr = prev_yr + 1 AND spend > prev
+"""
+
+# the naive TPC-DS Q11-style formulation of the SAME question — the
+# aggregate self-joined on (custkey, yr = yr+1); the plan-pin test
+# runs it for the contrast, equality with _Q232_BODY is asserted
+_Q232_SELF_JOIN = """
+WITH yearly AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+              AS DECIMAL(18,2)) AS spend
+  FROM {o}
+  GROUP BY o_custkey, year(o_orderdate)
+)
+SELECT cur.o_custkey, cur.yr,
+       CAST(cur.spend AS DOUBLE) AS spend,
+       CAST(prev.spend AS DOUBLE) AS prev_spend,
+       CAST(cur.spend AS DOUBLE) / CAST(prev.spend AS DOUBLE)
+           AS growth
+FROM yearly cur JOIN yearly prev
+  ON cur.o_custkey = prev.o_custkey AND cur.yr = prev.yr + 1
+WHERE cur.spend > prev.spend
+"""
+
+
+def q232_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth (round 13 — the TPC-DS Q11/Q4 class,
+    written the RIGHT way: consecutive-period comparison is a
+    lag() window over the per-(customer, year) aggregate — ONE scan,
+    one aggregate, one window — where the classic formulation
+    self-joins the aggregate on yr = yr+1 and pays a join exchange
+    plus a second aggregate build (or an AQE reuse at best). Both
+    forms are computed and pinned EQUAL in tests/test_plans.py,
+    with the plan contrast (lag: zero joins; self-join: one) — the
+    optimization is a rewrite, not a different question. The growth
+    ratio is ONE IEEE division of exact decimal sums (raw doubles,
+    the q198 portability rule). Subtlety the rewrite must handle:
+    lag returns the previous EXISTING year — when a customer skips a
+    year that is yr-2, which the self-join's `yr = prev.yr + 1`
+    would exclude — so the lag form carries `lag(yr)` too and
+    filters `yr = prev_yr + 1`, aligning both forms on strictly
+    consecutive years (real on this data: customers do skip
+    years)."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q232_o")
+    return spark.sql(_Q232_BODY.format(o="q232_o"))
+
+
+_Q232_SQL = _Q232_BODY.format(o="orders")
+
 
 
 
@@ -11009,6 +11077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_analytic_panel": q229_analytic_panel,
         "q230_bitmap_distinct": q230_bitmap_distinct,
         "q231_cross_channel_buyers": q231_cross_channel_buyers,
+        "q232_yoy_growth": q232_yoy_growth,
     }
     return base
 
@@ -11248,4 +11317,5 @@ def oracle_sql() -> dict[str, str]:
         "q229_analytic_panel": _Q229_SQL,
         "q230_bitmap_distinct": _Q230_SQL,
         "q231_cross_channel_buyers": _Q231_SQL,
+        "q232_yoy_growth": _Q232_SQL,
     }

@@ -1473,3 +1473,38 @@ def test_q231_intersect_cte_reused_not_recomputed(spark, sf_dir):
     assert _n_nodes(t, "Scan parquet") == 7, t[:1500]
     assert "LeftSemi" in t, t[:800]
     assert_no_python_in_plan(df)
+
+
+def test_q232_lag_form_equals_and_beats_self_join(spark, sf_dir):
+    """YoY growth (round 13): the window-lag rewrite must produce
+    EXACTLY the self-join formulation's rows (consecutive-year
+    alignment included — lag(yr) filtering handles skipped years)
+    with ZERO join nodes: one scan + one aggregate + one Window,
+    where the self-join pays a join and a second aggregate build."""
+    from openpolicedata_spark.plans import _n_nodes
+    from openpolicedata_spark.workload import (
+        _Q232_BODY,
+        _Q232_SELF_JOIN,
+    )
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("q232_pin_o")
+    lag_df = spark.sql(_Q232_BODY.format(o="q232_pin_o"))
+    join_df = spark.sql(_Q232_SELF_JOIN.format(o="q232_pin_o"))
+    lag_rows = {tuple(r) for r in lag_df.collect()}
+    join_rows = {tuple(r) for r in join_df.collect()}
+    assert lag_rows == join_rows and len(lag_rows) > 0
+
+    # fresh frame for the shape pins: a collected frame's formatted
+    # plan carries Initial+Final AQE sections and double-counts nodes
+    lag_df = spark.sql(_Q232_BODY.format(o="q232_pin_o"))
+    t = formatted_plan(lag_df)
+    s = summarize_plan(lag_df)
+    assert (s.n_broadcast_joins + s.n_sortmerge_joins
+            + s.n_broadcast_nl_joins) == 0, s.text
+    assert _n_nodes(t, "Scan parquet") == 1, t[:800]
+    assert (_n_nodes(t, "Window")
+            - _n_nodes(t, "WindowGroupLimit")) == 1, t[:800]
+    tj = formatted_plan(join_df)
+    assert "Join" in tj, tj[:400]   # the contrast really joins
+    assert_no_python_in_plan(lag_df)

@@ -310,3 +310,99 @@ def test_chained_dedup_then_window_agg_equals_batch(spark, sf_dir,
     assert len(got) > 0.8 * len(expected)
     for k, v in got.items():
         assert expected[k] == v, (k, v, expected[k])
+
+
+def test_three_stream_join_chain_and_boundaries(spark, tmp_path):
+    """The measured chaining boundary map (round 13): a SECOND
+    stream-stream join requires its input to carry exactly ONE
+    event-time column (drop_right_time=True on the first enrich),
+    while keeping both raises the engine's multiple-event-time error;
+    a custom stateful operator after a join needs APPEND mode (update
+    is rejected). The three-stream chain equals the batch double
+    range join exactly under the all-sides heartbeat flush."""
+    import os
+
+    # crafted overlaps: key 1 has a,b,c inside 20 min (1 triple via
+    # two b-matches x one c), key 2 misses the c window, key 3 has
+    # no b match; heartbeats flush all three watermarks
+    a_rows = [(1, "2024-01-01 00:10:00", 100),
+              (2, "2024-01-01 02:00:00", 101),
+              (3, "2024-01-01 04:00:00", 102),
+              (-9, "2030-01-01 00:00:00", 900)]
+    b_rows = [(1, "2024-01-01 00:15:00", 200),
+              (1, "2024-01-01 00:25:00", 201),
+              (2, "2024-01-01 02:05:00", 202),
+              (-9, "2030-01-01 00:00:00", 901)]
+    c_rows = [(1, "2024-01-01 00:20:00", 300),
+              (2, "2024-01-01 03:00:00", 301),   # outside 20 min
+              (3, "2024-01-01 04:05:00", 302),
+              (-9, "2030-01-01 00:00:00", 902)]
+    schema = "user_id long, t string, event_id long"
+
+    def _mk(rows):
+        return (spark.createDataFrame(rows, schema)
+                .withColumn("ts", F.col("t").cast("timestamp"))
+                .drop("t").select("user_id", "ts", "event_id"))
+
+    dirs = {}
+    for nm, rows in (("a", a_rows), ("b", b_rows), ("c", c_rows)):
+        d = str(tmp_path / nm)
+        _mk(rows).coalesce(1).write.parquet(d)
+        dirs[nm] = d
+
+    def chain(a, b, c):
+        ab = enrich_within_window(a, b, window="20 minutes",
+                                  right_prefix="b_",
+                                  drop_right_time=True)
+        return enrich_within_window(ab, c, window="20 minutes",
+                                    right_prefix="c_")
+
+    expected = {(r.event_id, r.b_event_id, r.c_event_id)
+                for r in chain(_mk(a_rows), _mk(b_rows),
+                               _mk(c_rows)).collect()
+                if r.event_id < 900}
+    assert expected == {(100, 200, 300), (100, 201, 300)}
+
+    def streams():
+        return [spark.readStream.schema(_mk(a_rows).schema)
+                .parquet(dirs[nm]) for nm in ("a", "b", "c")]
+
+    got_df = run_available_now(chain(*streams()), "chain3",
+                               timeout_s=300)
+    got = {(r.event_id, r.b_event_id, r.c_event_id)
+           for r in got_df.collect() if r.event_id < 900}
+    assert got == expected
+
+    # boundary 1: WITHOUT drop_right_time the second join must refuse
+    # (two event-time columns reach it)
+    a, b, c = streams()
+    ab_two_ts = enrich_within_window(a, b, window="20 minutes",
+                                     right_prefix="b_")
+    with pytest.raises(Exception,
+                       match="event time|EVENT_TIME"):
+        run_available_now(
+            enrich_within_window(ab_two_ts, c, window="20 minutes",
+                                 right_prefix="c_"),
+            "chain3_two_ts", timeout_s=120)
+
+    # boundary 2: custom stateful after a join needs APPEND mode
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def upd(key, pdfs, state):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for p in pdfs:
+            n += len(p)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    a, b, _ = streams()
+    ab = enrich_within_window(a, b, window="20 minutes",
+                              right_prefix="b_",
+                              drop_right_time=True)
+    upd_mode = ab.groupBy("user_id").applyInPandasWithState(
+        upd, "user_id long, n long", "n long", "update",
+        GroupStateTimeout.NoTimeout)
+    with pytest.raises(Exception, match="[Uu]pdate output mode"):
+        run_available_now(upd_mode, "chain3_update", timeout_s=120)
