@@ -265,7 +265,8 @@ def enriched_window_counts(
             F.sum(F.col(f"{right_prefix}{value_col}")
                   .cast("decimal(14,2)")).cast("double")
             .alias("sum_value"))
-    out_cols = ["n_pairs"] + (["sum_value"] if value_col else [])
+    out_cols = (["n_pairs"]
+                + (["sum_value"] if value_col is not None else []))
     return (j.groupBy(F.window(F.col(ts_col), agg_window).alias("w"),
                       F.col(key))
             .agg(*aggs)
@@ -1908,6 +1909,11 @@ def scd2_enrich_sink(stream_df: DataFrame, dim_path: str,
     Read the result with `read_enriched` (plain
     spark.read.parquet(out_path) also works — `batch=<id>` is an
     ordinary hive partition, surfaced as a provenance column).
+    One WRITER per out_path: the stale-stage sweep at each batch head
+    assumes any leftover hidden stage is a crash residue of this
+    query (foreachBatch serializes batches within a query; a second
+    concurrent enrich query sharing out_path could have its in-flight
+    stage swept — point it at its own directory).
 
     Scale: per batch this is one bounded-dimension join — Spark
     broadcasts the dimension when it fits (AQE decides from runtime
