@@ -348,6 +348,37 @@ def normalize_unicode(
     return df.withColumn(out, _norm(F.col(text_col)))
 
 
+def strip_accents(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Accent/diacritic stripping (round 13 — `normalize_unicode`'s
+    sibling, the OTHER canonical key a search/dedup pipeline derives:
+    'café' and 'cafe' under one key): NFD-decompose, drop every
+    combining mark (Unicode category Mn), keep everything else
+    byte-for-byte. Same masked-Arrow design as normalize_unicode
+    (ASCII rows skip the Python path entirely). Deliberately NOT a
+    transliterator: ø/ß/æ carry no combining marks and pass through —
+    matching DuckDB's `strip_accents`, which the q234 oracle pins this
+    against on composed AND decomposed inputs. NULLs pass through."""
+    import unicodedata
+
+    out = out_col or text_col
+
+    @F.pandas_udf("string")
+    def _strip(texts: pd.Series) -> pd.Series:
+        mask = texts.str.contains("[^\x00-\x7f]", regex=True, na=False)
+        res = texts.copy()
+        for i in texts.index[mask]:
+            res[i] = "".join(
+                c for c in unicodedata.normalize("NFD", texts[i])
+                if unicodedata.category(c) != "Mn")
+        return res
+
+    return df.withColumn(out, _strip(F.col(text_col)))
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

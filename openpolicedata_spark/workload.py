@@ -10217,6 +10217,85 @@ def q232_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q232_SQL = _Q232_BODY.format(o="orders")
 
+_Q233_BODY = """
+SELECT o_orderstatus AS st,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+       {est} AS within_5pct
+FROM {o}
+GROUP BY o_orderstatus
+"""
+
+
+def q233_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct via Datasketches HLL (round 13 — the
+    approx-distinct surface q230's exact bitmaps complement: at 100 TB
+    an HLL sketch is ~KBs per group at ANY cardinality, where bitmaps
+    grow with the key range; the price is bounded error): per order
+    status, the exact distinct count anchors the values and the query
+    asserts the ENGINE-side law `|hll_estimate − exact| ≤ 5%·exact`
+    as a boolean column — the oracle emits literal TRUE, so an HLL
+    drift past the bound breaks the hash (exact-oracle discipline for
+    an approximate operator). The estimate itself is DETERMINISTIC
+    and partition-order-invariant (sketch merge is commutative —
+    verified under repartition(13)); it is kept out of the output
+    because its exact value is an implementation detail of the
+    Datasketches build, not a portable semantic."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q233_o")
+    est = ("abs(hll_sketch_estimate(hll_sketch_agg(o_custkey)) - "
+           "COUNT(DISTINCT o_custkey)) <= "
+           "0.05 * COUNT(DISTINCT o_custkey)")
+    return spark.sql(_Q233_BODY.format(o="q233_o", est=est))
+
+
+_Q233_SQL = _Q233_BODY.format(o="orders", est="TRUE")
+
+# q234: inputs constructed IDENTICALLY in both engines — ASCII base +
+# a deterministic accent suffix that is PRECOMPOSED for some docs and
+# COMBINING-MARK for others (both spellings must strip to the same
+# bytes; Spark chr() is mod-256, so the literals are embedded)
+_Q234_PRE = "caf\u00e9"              # precomposed e-acute
+_Q234_COMB = "ne\u0301e o\u0302"    # combining acute + circumflex
+_Q234_DECORATE = (
+    "concat(text, CASE CAST(doc_id % 3 AS INT) "
+    f"WHEN 1 THEN ' {_Q234_PRE}' WHEN 2 THEN ' {_Q234_COMB}' "
+    "ELSE ' plain' END) AS raw"
+)
+
+
+def q234_strip_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent stripping (round 13 — `textpipe.strip_accents`, the
+    search-normalization key): documents gain deterministic accent
+    suffixes — PRECOMPOSED for one third, COMBINING-MARK for another,
+    pure ASCII for the rest — and the operator's NFD-drop-Mn Arrow
+    stage must agree byte-for-byte with DuckDB's independent
+    `strip_accents` on every row (both spellings collapse to the same
+    stripped bytes; the ASCII third exercises the masked fast path;
+    the corpus text itself is pure ASCII at every SF — verified — so
+    the construct is byte-identical across engines).
+    Emits changed-flag + md5 of the stripped UTF-8 per doc."""
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.textpipe import strip_accents
+
+    d = _read(spark, sf_dir, "documents")
+    dec = rebalance(d.selectExpr("doc_id", _Q234_DECORATE))
+    out = strip_accents(dec, "raw", out_col="stripped")
+    return out.select(
+        "doc_id",
+        (F.col("stripped") != F.col("raw")).alias("changed"),
+        F.md5(F.col("stripped").cast("binary")).alias("h"))
+
+
+_Q234_SQL = f"""
+WITH dec AS (
+  SELECT doc_id, {_Q234_DECORATE}
+  FROM documents
+)
+SELECT doc_id,
+       strip_accents(raw) != raw AS changed,
+       md5(strip_accents(raw)) AS h
+FROM dec
+"""
+
 
 
 
@@ -11078,6 +11157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q230_bitmap_distinct": q230_bitmap_distinct,
         "q231_cross_channel_buyers": q231_cross_channel_buyers,
         "q232_yoy_growth": q232_yoy_growth,
+        "q233_hll_distinct": q233_hll_distinct,
+        "q234_strip_accents": q234_strip_accents,
     }
     return base
 
@@ -11318,4 +11399,6 @@ def oracle_sql() -> dict[str, str]:
         "q230_bitmap_distinct": _Q230_SQL,
         "q231_cross_channel_buyers": _Q231_SQL,
         "q232_yoy_growth": _Q232_SQL,
+        "q233_hll_distinct": _Q233_SQL,
+        "q234_strip_accents": _Q234_SQL,
     }

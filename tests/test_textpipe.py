@@ -993,3 +993,29 @@ def test_normalize_unicode_laws(spark):
         ("caf\u0065\u0301", "caf\u00e9")}
     with pytest.raises(ValueError, match="normalization form"):
         normalize_unicode(df, "text", form="NFX")
+
+
+def test_strip_accents_laws(spark):
+    """textpipe.strip_accents (round 13): precomposed and combining
+    spellings strip to the same bytes; non-mark letters (\u00f8,
+    \u00df, \u00e6) pass through — it strips accents, it does not
+    transliterate (the DuckDB strip_accents contract q234 pins);
+    ASCII and NULLs ride the masked fast path; idempotent."""
+    from openpolicedata_spark.operators.textpipe import strip_accents
+
+    rows = [(1, "caf\u00e9"),          # precomposed
+            (2, "cafe\u0301"),         # combining
+            (3, "plain"),
+            (4, None),
+            (5, "\u00f8\u00df\u00e6x"),  # o-slash, sharp-s, ae
+            (6, "A\u030a ring")]       # combining ring
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.text for r in strip_accents(df, "text").collect()}
+    assert out[1] == out[2] == "cafe"
+    assert out[3] == "plain"
+    assert out[4] is None
+    assert out[5] == "\u00f8\u00df\u00e6x"   # untouched
+    assert out[6] == "A ring"
+    twice = {r.id: r.text for r in strip_accents(
+        strip_accents(df, "text"), "text").collect()}
+    assert twice == out
