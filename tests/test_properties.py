@@ -864,3 +864,37 @@ def test_normalize_unicode_matches_reference_and_is_idempotent(
         normalize_unicode(df, "text", form=form), "text",
         form=form).collect()}
     assert twice == got
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=24))
+def test_strip_accents_matches_reference_and_is_idempotent(spark,
+                                                           texts):
+    """strip_accents == NFD-drop-Mn reference row-for-row on
+    arbitrary unicode, idempotent through the operator, and
+    stripping commutes with NFC normalization (both orders land on
+    the same bytes — the pipeline-ordering law)."""
+    import unicodedata
+
+    from openpolicedata_spark.operators.textpipe import (
+        normalize_unicode,
+        strip_accents,
+    )
+
+    def ref(t):
+        return "".join(c for c in unicodedata.normalize("NFD", t)
+                       if unicodedata.category(c) != "Mn")
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.text for r in strip_accents(df, "text").collect()}
+    for i, t in rows:
+        assert got[i] == ref(t), t
+    twice = {r.id: r.text for r in strip_accents(
+        strip_accents(df, "text"), "text").collect()}
+    assert twice == got
+    # strip∘NFC ≡ strip (normalizing first cannot change what the
+    # strip removes — decomposition re-splits any recomposed marks)
+    via_nfc = {r.id: r.text for r in strip_accents(
+        normalize_unicode(df, "text"), "text").collect()}
+    assert via_nfc == got
