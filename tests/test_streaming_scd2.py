@@ -1038,3 +1038,87 @@ def test_rebucket_scd2_migration(spark, tmp_path):
     # a non-scd2 dir refuses
     with pytest.raises(Exception, match="n_buckets"):
         rebucket_scd2(spark, str(tmp_path / "nope"), 4)
+
+
+def test_enrichment_continues_across_rebucket_migration(spark,
+                                                        tmp_path):
+    """The full operational story (round 13): fold a dimension at 4
+    buckets, enrich a first wave of events, STOP, rebucket to 8,
+    resume folding NEW changes from the same checkpoint, enrich a
+    second wave — every enriched row must carry the feature version
+    that was live at its fold time, exactly as if the migration never
+    happened (the as-of semantics survive the layout change)."""
+    from openpolicedata_spark.streaming import (
+        read_enriched,
+        rebucket_scd2,
+        scd2_enrich_sink,
+        scd2_sink,
+    )
+
+    schema = "k long, cid long, t string, op string, v string"
+
+    def _dim(rows, name):
+        df = (spark.createDataFrame(rows, schema)
+              .withColumn("ts", F.col("t").cast("timestamp_ntz"))
+              .drop("t").select("k", "cid", "ts", "op", "v"))
+        src = tmp_path / name
+        src.mkdir()
+        df.coalesce(1).write.parquet(str(src / "b0"))
+        return df, src
+
+    dim_out = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "dim_ckpt")
+    d1, s1 = _dim([(1, 1, "2024-01-01", "U", "A"),
+                   (2, 2, "2024-01-01", "U", "X")], "d1")
+    scd2_sink(_stream(spark, d1, s1), dim_out, "k", "ts", ["v"],
+              tiebreak_col="cid", op_col="op", n_buckets=4,
+              checkpoint_dir=ckpt)
+
+    ev_schema = "k long, event_id long, t string"
+
+    def _ev(rows, name):
+        df = (spark.createDataFrame(rows, ev_schema)
+              .withColumn("ts", F.col("t").cast("timestamp_ntz"))
+              .drop("t").select("k", "event_id", "ts"))
+        src = tmp_path / name
+        src.mkdir()
+        df.coalesce(1).write.parquet(str(src / "b0"))
+        return df, src
+
+    out = str(tmp_path / "enriched")
+    e1, es1 = _ev([(1, 100, "2024-02-01"), (2, 101, "2024-02-01")],
+                  "e1")
+    scd2_enrich_sink(_stream(spark, e1, es1), dim_out, out, "k", "ts")
+
+    # OFFLINE migration 4 -> 8 (sink stopped)
+    rebucket_scd2(spark, dim_out, 8)
+
+    # resume folding NEW changes against the migrated table from the
+    # SAME checkpoint with the new count
+    src2 = tmp_path / "d2"
+    src2.mkdir()
+    import shutil
+
+    shutil.copytree(str(s1 / "b0"), str(src2 / "b0"))  # already folded
+    d2b = (spark.createDataFrame(
+        [(1, 3, "2024-03-01", "U", "B"),
+         (2, 4, "2024-03-01", "D", "junk")], schema)
+        .withColumn("ts", F.col("t").cast("timestamp_ntz"))
+        .drop("t").select("k", "cid", "ts", "op", "v"))
+    d2b.coalesce(1).write.parquet(str(src2 / "b1"))
+    scd2_sink(_stream(spark, d2b, src2), dim_out, "k", "ts", ["v"],
+              tiebreak_col="cid", op_col="op", n_buckets=8,
+              checkpoint_dir=ckpt)
+
+    # second wave: key 1 events straddle the change; key 2's event in
+    # the delete gap arrives unmatched
+    e2, es2 = _ev([(1, 102, "2024-02-15"), (1, 103, "2024-03-15"),
+                   (2, 104, "2024-03-15")], "e2")
+    scd2_enrich_sink(_stream(spark, e2, es2), dim_out, out, "k", "ts")
+
+    got = {(r.event_id, r.dim_v) for r in
+           read_enriched(spark, out).select("event_id", "dim_v")
+           .collect()}
+    assert got == {(100, "A"), (101, "X"),       # pre-migration wave
+                   (102, "A"), (103, "B"),       # straddling key 1
+                   (104, None)}                  # delete gap -> NULL
