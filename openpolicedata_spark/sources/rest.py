@@ -185,6 +185,47 @@ class RestLoader(DataLoader):
             df = df.orderBy(self.date_field)
         return df
 
+    def load_stream(self, date: DateInput = None, *,
+                    agency: Optional[str] = None,
+                    select: Optional[list[str]] = None) -> DataFrame:
+        """STREAMING portal ingest (round 13 — the incremental face of
+        `load`, via the Python streaming data source API): returns a
+        streaming DataFrame whose micro-batches page through the
+        portal in its stable order, the committed row offset living in
+        the query checkpoint — so a scheduled `trigger(availableNow)`
+        drain (or a long-running processing-time trigger) ingests each
+        portal row exactly once across restarts, fetching ONLY rows
+        beyond the last committed offset. Filters must be ACCURATE
+        (single-clause) — the text-date LIKE families and residual
+        re-filters would break the linear offset, so they raise here;
+        an availableNow drain advances one page per trigger (loop to
+        catch a backlog up — semantics in PortalStreamReader)."""
+        opts = self._base_options()
+        client = self._client()
+        wheres, accurate = self._wheres(date, agency, client.dialect)
+        if not accurate:
+            raise ValueError(
+                "load_stream needs an ACCURATE pushed filter (the "
+                "residual re-filter would change row positions and "
+                "break the stream's linear offset); use a timestamp "
+                "date_format or filter downstream")
+        clauses = [w for w in wheres if w.clause]
+        if len(clauses) == 1:
+            opts["where"] = clauses[0].clause
+        elif clauses:
+            raise ValueError(
+                "load_stream supports at most one WHERE clause "
+                f"(got {len(clauses)})")
+        if select:
+            opts["select"] = ", ".join(select)
+        if self.page_size:
+            opts["page_size"] = str(self.page_size)
+        df = (self.spark.readStream.format(self.format_name)
+              .options(**opts).load())
+        if select:
+            df = df.select(*select)
+        return df
+
     def _residual_date_filter(self, df: DataFrame, date: DateInput) -> DataFrame:
         """Exact re-filter after inaccurate pushdown. Day-precision formats
         use a plain between; coarser formats (quarter/year) use *period
