@@ -601,6 +601,31 @@ class Source:
             url=row["URL"],
         )
 
+    def load_stream(self, table_type: str, date=None, *,
+                    agency: Optional[str] = None,
+                    select: Optional[list[str]] = None,
+                    url: Optional[str] = None,
+                    id: Optional[str] = None):
+        """STREAMING query path (round 13 — the incremental face of
+        `load`, beyond the reference): resolve the catalog row exactly
+        like `load`, then return the loader's streaming DataFrame
+        (`RestLoader.load_stream` — the portal pages incrementally,
+        the committed row offset lives in the query checkpoint, so a
+        scheduled drain ingests only rows that arrived since the last
+        run). Portal sources only (a file-backed catalog row should
+        use Spark's file stream source directly); filters must be
+        accurate single-clause — see RestLoader.load_stream. Returns
+        a raw streaming DataFrame, not a Table (streams compose with
+        writeStream, not the Table verbs)."""
+        row = self.filter(table_type, date, url=url, id=id)
+        loader = self._get_loader(row)
+        if not hasattr(loader, "load_stream"):
+            raise NotImplementedError(
+                f"dataset {row['URL']!r} is file-backed — stream it "
+                f"with spark.readStream over the files instead")
+        return loader.load_stream(date=date, agency=agency,
+                                  select=select)
+
     def load_iter(self, table_type: str, date=None, nbatch: int = 100_000, **kwargs):
         """Batched iteration (reference data.py:1102-1162). In Spark this is
         rarely needed — `toLocalIterator` streams partitions without

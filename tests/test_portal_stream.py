@@ -137,3 +137,40 @@ def test_portal_stream_filter_and_restrictions(spark, tmp_path):
                   date_format=DateFormat.MONTH_ABBREV_TEXT.value)
     with pytest.raises(ValueError, match="ACCURATE|one WHERE"):
         txt.load_stream(date=2020)
+
+
+def test_source_load_stream_routes_and_refuses_files(spark):
+    """Source.load_stream (round 13): a portal-backed catalog row
+    resolves exactly like load() and returns the loader's streaming
+    DataFrame; a file-backed row refuses with the file-stream hint
+    (Spark's own file source is the right tool there)."""
+    from openpolicedata_spark.catalog import Catalog
+    from openpolicedata_spark.data import Source
+
+    cat = Catalog([
+        dict(State="Ohio", SourceName="Columbus", Agency="Columbus",
+             TableType="STOPS", Year="MULTI", DataType="Socrata",
+             URL="fake.portal", dataset_id="abcd-1234",
+             date_field="incident_date", agency_field="agency"),
+        dict(State="Ohio", SourceName="Columbus", Agency="Columbus",
+             TableType="ARRESTS", Year=2020, DataType="CSV",
+             URL="http://x/a.csv"),
+    ])
+    src = Source("Columbus", catalog=cat, spark=spark)
+    server = FakePortal("socrata", rows=make_rows(40))
+    fake_loader = _loader(spark, server, page_size=25)
+    src._get_loader = lambda row: (
+        fake_loader if row["DataType"] == "Socrata"
+        else Source._get_loader(src, row))
+    s = src.load_stream("STOPS")
+    assert s.isStreaming
+    seen: dict = {}
+    import tempfile
+
+    _drain_into(s.select("case_id"), tempfile.mkdtemp(), seen)
+    assert sum(len(v) for v in seen.values()) == 25  # first page
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="file-backed"):
+        src.load_stream("ARRESTS", 2020)
