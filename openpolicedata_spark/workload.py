@@ -10296,7 +10296,315 @@ SELECT doc_id,
 FROM dec
 """
 
+# q235: the table-function body and its direct twin share this SELECT
+_Q235_DIRECT_BODY = """
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS total
+FROM {o}
+WHERE o_orderstatus = '{st}'
+GROUP BY o_orderpriority
+"""
 
+
+def q235_sql_table_function(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """SQL table function (round 13 — `CREATE TEMPORARY FUNCTION …
+    RETURNS TABLE … RETURN SELECT`, the q211 scalar-UDF sibling: the
+    reusable-view-with-parameters surface a platform publishes so
+    consumers never copy aggregate bodies): a parameterized
+    priority-summary function over orders, invoked as
+    `SELECT * FROM f('O')`. Like q211's scalar form, the body must
+    INLINE at analysis time: the test pins the OPTIMIZED plan of the
+    invocation IDENTICAL (up to expression ids) to the direct
+    WHERE/GROUP BY query — the function is an analysis-time macro,
+    not a runtime layer, so the parameter constant-folds into the
+    parquet PushedFilters exactly like q223's markers. Oracle: the
+    direct twin on DuckDB. DECIMAL sum → exact."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q235_o")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q235_pri_summary"
+        "(st STRING) RETURNS TABLE (pri STRING, n BIGINT, "
+        "total DOUBLE) RETURN "
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) "
+        "FROM q235_o WHERE o_orderstatus = st "
+        "GROUP BY o_orderpriority")
+    return spark.sql("SELECT * FROM q235_pri_summary('O')")
+
+
+_Q235_SQL = _Q235_DIRECT_BODY.format(o="orders", st="O")
+
+# q236: the scripted form SETs the cutoff from a scalar subquery, then
+# runs the final SELECT with the variable; the oracle inlines the same
+# cutoff as a CTE. The cutoff is ONE IEEE division of an exact DECIMAL
+# sum by an exact count (raw doubles — the q198 portability rule), so
+# the variable's value is bit-identical across engines.
+_Q236_FINAL_BODY = """
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS total
+FROM {o}
+WHERE CAST(o_totalprice AS DOUBLE) > {cutoff}
+GROUP BY o_orderpriority
+"""
+_Q236_CUTOFF = ("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) "
+                "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")
+
+
+def q236_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (round 13 — Spark 4's BEGIN…END compound
+    statements: DECLARE a session-local variable, SET it from a
+    scalar subquery, use it in the final statement — the procedural
+    control-flow surface an orchestration layer uses instead of
+    driver-side glue code): the script computes the mean order value
+    into a variable, then aggregates the above-mean orders per
+    priority; the script's RESULT is its last statement's DataFrame.
+    The honest division of labor is pinned: the LOOP-free script
+    body stays declarative (each statement is one Catalyst plan —
+    scripting sequences plans, it never iterates rows), and the
+    final statement's plan is IDENTICAL to the same query with the
+    variable's value as a literal (tests/test_plans.py). Oracle:
+    DuckDB computes the identical cutoff in a CTE — the variable is
+    one exact-sum IEEE division, bit-identical across engines."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q236_o")
+    body = _Q236_FINAL_BODY.format(o="q236_o", cutoff="cutoff")
+    return spark.sql(f"""
+    BEGIN
+      DECLARE cutoff DOUBLE DEFAULT 0.0;
+      SET cutoff = (SELECT {_Q236_CUTOFF} FROM q236_o);
+      {body};
+    END""")
+
+
+_Q236_SQL = f"""
+WITH c AS (SELECT {_Q236_CUTOFF} AS cutoff FROM orders)
+SELECT o_orderpriority AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS total
+FROM orders, c
+WHERE CAST(o_totalprice AS DOUBLE) > c.cutoff
+GROUP BY o_orderpriority
+"""
+
+# q237: ancestor walk up the implicit binary-tree numbering of
+# customer keys (parent = key DIV 2, dense TPC-H keys → every parent
+# exists until the root). DIV is Spark's integer division; DuckDB
+# spells the same floor-division `//` (both exact on positive
+# BIGINTs). The walk still requires the JOIN (the frontier must prove
+# the parent row exists), so each iteration is one equi-join of the
+# shrinking frontier against the table.
+_Q237_BODY = """
+WITH RECURSIVE up(start_key, cur, depth) AS (
+  SELECT c_custkey, c_custkey, 0
+  FROM {c} WHERE c_custkey % 97 = 1
+  UNION ALL
+  SELECT u.start_key, p.c_custkey, u.depth + 1
+  FROM up u JOIN {c} p ON p.c_custkey = u.cur {div} 2
+  WHERE u.cur > 1
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(start_key) AS BIGINT) AS key_sum,
+       CAST(MIN(cur) AS BIGINT) AS min_cur
+FROM up
+GROUP BY depth
+"""
+
+
+def q237_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (round 13 — Spark 4.1 executes recursive
+    CTEs in-engine; every earlier round ran recursion only as the
+    DuckDB oracle for iterative operators like q186's components): an
+    ancestor walk up the implicit binary-tree numbering of customer
+    keys (parent = key DIV 2), one frontier-vs-table equi-join per
+    level until every chain reaches the root. The plan pins the
+    UnionLoop/UnionLoopRef nodes and zero Python — the ENGINE owns
+    the fixpoint loop (contrast q186's driver-side convergence loop);
+    depth is log2(max key) ≈ 14-17 here, far under the recursion
+    limit. Deliberately a DIMENSION-table walk — the 100 TB rule this
+    query encodes: recursion re-scans its build side once PER LEVEL,
+    so hierarchy walks (org charts, category trees) belong on
+    dimension-sized tables; the same walk pointed at the orders fact
+    table measured 4.3 s at sf0.1 → 31 s at sf1 (depth × full-scan
+    per level), while q186's batched pointer-jumping remains the
+    corpus's fact-scale transitive-closure path (O(log diameter)
+    SHUFFLES, not O(depth) rescans). Oracle: DuckDB runs the same
+    recursion with its `//` floor division. All-integer → exact."""
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("q237_c")
+    return spark.sql(_Q237_BODY.format(c="q237_c", div="DIV"))
+
+
+_Q237_SQL = _Q237_BODY.format(c="customer", div="//")
+
+# q238: partial HLL sketches per key-disjoint group, unioned to the
+# global estimate — the distributed-mergeability law every 100 TB
+# sketch rollup stands on (partials materialize per partition/day and
+# union later; the law says the rollup loses NOTHING vs re-sketching).
+_Q238_BODY = """
+WITH parts AS (
+  SELECT {g} AS g, hll_sketch_agg(o_custkey) AS s
+  FROM {o} GROUP BY {g}
+),
+merged AS (
+  SELECT hll_sketch_estimate(hll_union_agg(s)) AS est_u FROM parts
+),
+glob AS (
+  SELECT hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS est_g,
+         COUNT(DISTINCT o_custkey) AS exact_nd
+  FROM {o}
+)
+SELECT CAST(exact_nd AS BIGINT) AS exact_nd,
+       {law_merge} AS union_agrees,
+       {law_err} AS within_5pct
+FROM merged, glob
+"""
+
+
+def q238_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY (round 13 — q233's scale story made
+    explicit: sketch per key-disjoint group, union the partials,
+    compare against sketching the whole column in one pass): 8
+    `hll_sketch_agg` partials over pmod(custkey, 8) groups feed ONE
+    `hll_union_agg`, and the query asserts the two operational laws
+    engine-side as booleans the oracle fixes to TRUE — (a) the union
+    estimate agrees with the direct global estimate within 4%, and
+    (b) the q233 ≤5% error law against the exact distinct count.
+    MEASURED finding behind the band (NOT exact equality): the
+    register STATE merge is lossless (max is associative), but
+    Datasketches' union ESTIMATOR forgoes the direct sketch's HIP
+    estimator, and the union estimate even varies with merge order
+    (1489 vs 1490 at sf0.01 across 8 vs 16 shuffle partitions;
+    15149 vs direct 15120 at sf0.1 — observed gap ≤0.27%, band 4% ≈
+    2.5× the lgK=12 standard error) — so a 100 TB per-day sketch
+    rollup must pin BANDS, never bit-equality, on unioned sketches.
+    Estimates stay out of the output (q233's implementation-detail
+    rule); the exact count anchors the values."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q238_o")
+    return spark.sql(_Q238_BODY.format(
+        o="q238_o", g="pmod(o_custkey, 8)",
+        law_merge="abs(est_u - est_g) <= 0.04 * est_g",
+        law_err="abs(est_u - exact_nd) <= 0.05 * exact_nd"))
+
+
+_Q238_SQL = """
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+       TRUE AS union_agrees,
+       TRUE AS within_5pct
+FROM orders
+"""
+
+# q239: the three try_* arms and their engineered failure populations;
+# aggregate FILTER clauses count each failure class per status. The
+# divide arm value-matches because BOTH engines yield NULL on a zero
+# divisor: under Spark 4's ANSI default, PLAIN division raises
+# DIVIDE_BY_ZERO (even for doubles — pre-ANSI Spark gave Infinity),
+# try_divide converts that error to NULL, and DuckDB's native `/`
+# NULLs — so try_* IS the portability bridge (pinned in
+# tests/test_plans.py). MIN/MAX of the surviving IEEE quotients are
+# exact selections (no float accumulation); cast/overflow arms are
+# integer-exact.
+_Q239_BODY = """
+SELECT o_orderstatus AS st,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE d IS NULL) AS BIGINT) AS n_div0,
+       CAST(COUNT(*) FILTER (WHERE i IS NULL) AS BIGINT) AS n_badcast,
+       CAST(COUNT(*) FILTER (WHERE a IS NULL) AS BIGINT) AS n_overflow,
+       MIN(d) AS min_ratio,
+       MAX(d) AS max_ratio,
+       CAST(SUM(i) AS BIGINT) AS i_sum
+FROM (
+  SELECT o_orderstatus,
+         {div} AS d,
+         {cast} AS i,
+         {add} AS a
+  FROM {o}
+)
+GROUP BY o_orderstatus
+"""
+_Q239_CAST_INNER = ("CASE WHEN o_orderkey % 7 = 0 "
+                    "THEN concat('#', o_orderpriority) "
+                    "ELSE CAST(o_orderkey AS STRING) END")
+_Q239_ADD_INNER = ("CASE WHEN o_orderkey % 3 = 0 THEN CAST(0 AS BIGINT) "
+                   "ELSE CAST(1 AS BIGINT) END")
+
+
+def q239_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic + aggregate FILTER (round 13 — the
+    `try_*` family is how an ANSI-mode pipeline survives dirty data
+    without abandoning strictness: the expression NULLs instead of
+    failing the 1000-executor job): three engineered failure
+    populations over orders — division by zero (custkey%5 hits 0),
+    unparseable casts (every 7th key gets a '#'-prefixed string),
+    BIGINT overflow (max_int64 + 1 except every 3rd key) — counted
+    per status with aggregate FILTER clauses, plus MIN/MAX of the
+    surviving quotients and the exact sum of the surviving casts.
+    Oracle: DuckDB's native semantics agree arm by arm — its `/`
+    NULLs on a zero divisor, which is exactly what try_divide
+    produces by converting ANSI's DIVIDE_BY_ZERO error (plain Spark
+    division RAISES under the ANSI default, even for doubles —
+    pinned in tests/test_plans.py), TRY_CAST is the same function,
+    and the overflow arm is spelled as its closed form. All outputs
+    exact (counts, integer sums, IEEE-exact MIN/MAX selections)."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q239_o")
+    return spark.sql(_Q239_BODY.format(
+        o="q239_o",
+        div=("try_divide(CAST(o_totalprice AS DOUBLE), "
+             "CAST(o_custkey % 5 AS DOUBLE))"),
+        cast=f"try_cast({_Q239_CAST_INNER} AS INT)",
+        add=f"try_add(9223372036854775807, {_Q239_ADD_INNER})"))
+
+
+_Q239_SQL = _Q239_BODY.format(
+    o="orders",
+    div=("CAST(o_totalprice AS DOUBLE) / "
+         "CAST(o_custkey % 5 AS DOUBLE)"),
+    cast=f"TRY_CAST({_Q239_CAST_INNER} AS INT)",
+    add=(f"CASE WHEN o_orderkey % 3 = 0 THEN 9223372036854775807 "
+         f"ELSE NULL END"))
+
+# q240: the strategy-hinted join. SHUFFLE_HASH is the one join
+# strategy no other query plans (broadcast and sort-merge are
+# everywhere); the hint must OVERRIDE the size-based choice — at
+# these SFs customer is broadcastable and the optimizer would pick
+# BroadcastHashJoin on its own (pinned, with the MERGE and BROADCAST
+# triplet, in tests/test_plans.py).
+_Q240_BODY = """
+SELECT {hint} c.c_mktsegment AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS total
+FROM {o} o JOIN {c} c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q240_join_strategy_hint(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Join strategy hints (round 13 — the escape hatch when the
+    planner's size estimates are wrong at 100 TB: a build side whose
+    compressed parquet footprint lies under the broadcast threshold
+    but explodes decoded, or a dimension the operator KNOWS fits
+    memory): the segment-revenue join runs under /*+ SHUFFLE_HASH(c) */
+    — the one strategy no unhinted query in the corpus plans, because
+    size-based selection always prefers broadcast for these dims. The
+    test pins the full triplet (BROADCAST→BroadcastHashJoin,
+    MERGE→SortMergeJoin, SHUFFLE_HASH→ShuffledHashJoin), that each
+    hint OVERRIDES the default choice, and that all three strategies
+    return identical rows — strategy changes cost, never semantics.
+    At scale the hash build is O(build partition) memory with no sort
+    on either side; vs SMJ it trades the two sorts for a per-partition
+    hash table. Oracle: the unhinted join on DuckDB."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q240_o")
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("q240_c")
+    return spark.sql(_Q240_BODY.format(
+        hint="/*+ SHUFFLE_HASH(c) */", o="q240_o", c="q240_c"))
+
+
+_Q240_SQL = _Q240_BODY.format(hint="", o="orders", c="customer")
 
 
 
@@ -11159,6 +11467,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_yoy_growth": q232_yoy_growth,
         "q233_hll_distinct": q233_hll_distinct,
         "q234_strip_accents": q234_strip_accents,
+        "q235_sql_table_function": q235_sql_table_function,
+        "q236_sql_scripting": q236_sql_scripting,
+        "q237_recursive_cte": q237_recursive_cte,
+        "q238_hll_union_merge": q238_hll_union_merge,
+        "q239_try_arithmetic": q239_try_arithmetic,
+        "q240_join_strategy_hint": q240_join_strategy_hint,
     }
     return base
 
@@ -11401,4 +11715,10 @@ def oracle_sql() -> dict[str, str]:
         "q232_yoy_growth": _Q232_SQL,
         "q233_hll_distinct": _Q233_SQL,
         "q234_strip_accents": _Q234_SQL,
+        "q235_sql_table_function": _Q235_SQL,
+        "q236_sql_scripting": _Q236_SQL,
+        "q237_recursive_cte": _Q237_SQL,
+        "q238_hll_union_merge": _Q238_SQL,
+        "q239_try_arithmetic": _Q239_SQL,
+        "q240_join_strategy_hint": _Q240_SQL,
     }

@@ -1508,3 +1508,191 @@ def test_q232_lag_form_equals_and_beats_self_join(spark, sf_dir):
     tj = formatted_plan(join_df)
     assert "Join" in tj, tj[:400]   # the contrast really joins
     assert_no_python_in_plan(lag_df)
+
+
+def test_q235_table_function_inlines_to_direct_plan(spark, sf_dir):
+    """SQL table function (round 13): `SELECT * FROM f('O')` must
+    OPTIMIZE to the identical plan of the direct WHERE/GROUP BY query
+    (up to expression ids) — the RETURNS TABLE function is an
+    analysis-time macro, and its argument constant-folds into the
+    parquet PushedFilters exactly like q223's parameter markers."""
+    import re as _re
+
+    from openpolicedata_spark.workload import _Q235_DIRECT_BODY
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("q235_pin_o")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q235_pin_f(st STRING) "
+        "RETURNS TABLE (pri STRING, n BIGINT, total DOUBLE) RETURN "
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) "
+        "FROM q235_pin_o WHERE o_orderstatus = st "
+        "GROUP BY o_orderpriority")
+
+    def norm(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return _re.sub(r"#\d+", "#x", s)
+
+    tf = spark.sql("SELECT * FROM q235_pin_f('F')")
+    direct = spark.sql(_Q235_DIRECT_BODY.format(o="q235_pin_o", st="F"))
+    assert tf.columns == direct.columns
+    assert norm(tf) == norm(direct), (
+        norm(tf)[:600] + "\n!=\n" + norm(direct)[:600])
+    s = assert_filter_pushed(tf, "o_orderstatus")
+    assert any("EqualTo(o_orderstatus,F)" in f for f in
+               s.pushed_filters), s.pushed_filters
+    assert_no_python_in_plan(tf)
+
+
+def test_q236_scripting_executes_eagerly_and_folds_variable(spark, sf_dir):
+    """SQL scripting (round 13) — two measured behaviors pinned:
+    (a) `spark.sql(BEGIN…END)` executes the script EAGERLY and returns
+    the last statement's ROWS as a LocalRelation (each statement is
+    its own distributed Catalyst plan, but the script's return value
+    is already-materialized driver-side rows — size the final
+    statement accordingly); (b) the session variable binds into the
+    final statement as a plain LITERAL — rerunning that statement
+    with the same value as a parameter marker produces the identical
+    filter constant, and the scripted rows equal the parameterized
+    rows exactly."""
+    from openpolicedata_spark.workload import (
+        _Q236_CUTOFF,
+        _Q236_FINAL_BODY,
+    )
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("q236_pin_o")
+    script = spark.sql(f"""
+    BEGIN
+      DECLARE cutoff DOUBLE DEFAULT 0.0;
+      SET cutoff = (SELECT {_Q236_CUTOFF} FROM q236_pin_o);
+      {_Q236_FINAL_BODY.format(o="q236_pin_o", cutoff="cutoff")};
+    END""")
+    # (a) eager execution: the result is a materialized LocalRelation
+    opt = script._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in opt, opt[:400]
+
+    val = spark.sql(f"SELECT {_Q236_CUTOFF} FROM q236_pin_o") \
+        .collect()[0][0]
+    lit = spark.sql(_Q236_FINAL_BODY.format(o="q236_pin_o",
+                                            cutoff=":cut"),
+                    args={"cut": val})
+    # (b) the variable folded to the literal the parameter binds
+    lopt = lit._jdf.queryExecution().optimizedPlan().toString()
+    assert repr(val) in lopt, (repr(val), lopt[:500])
+    assert {tuple(r) for r in script.collect()} \
+        == {tuple(r) for r in lit.collect()}
+    assert_no_python_in_plan(lit)
+
+
+def test_q237_recursive_cte_plans_union_loop(spark, sf_dir):
+    """Native WITH RECURSIVE (round 13): the plan must carry the
+    UnionLoop node (the engine-owned fixpoint loop) with its
+    UnionLoopRef frontier reference — recursion executes in-engine,
+    zero Python, and the walk genuinely recurses (depths well beyond
+    the seed level, every chain terminating at the root)."""
+    from openpolicedata_spark.plans import _n_nodes
+    from openpolicedata_spark.workload import _Q237_BODY
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .createOrReplaceTempView("q237_pin_c")
+    df = spark.sql(_Q237_BODY.format(c="q237_pin_c", div="DIV"))
+    t = formatted_plan(df)
+    assert _n_nodes(t, "UnionLoop") >= 1, t[:1200]
+    assert "UnionLoopRef" in t, t[:1200]
+    assert_no_python_in_plan(df)
+    rows = {r["depth"]: r["n"] for r in df.collect()}
+    assert 0 in rows and max(rows) >= 5, rows
+    # monotone frontier: each level's survivors are a subset walk
+    assert all(rows[d] <= rows[0] for d in rows), rows
+
+
+def test_q238_hll_partials_are_object_hash_and_order_invariant(
+        spark, sf_dir):
+    """HLL union rollup (round 13): sketch aggregates are
+    TypedImperative (byte-buffer) aggs, so they plan as
+    ObjectHashAggregate pairs — partial sketches built map-side, ONE
+    exchange per aggregate — and the q238 law booleans must be
+    invariant to partitioning (the union ESTIMATE itself is NOT
+    bit-stable across merge orders — measured 1489 vs 1490 at
+    sf0.01 under 8 vs 16 shuffle partitions — which is exactly why
+    the query pins bands, not equality; the bands must hold under
+    any layout)."""
+    df = workload.queries()["q238_hll_union_merge"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert "ObjectHashAggregate" in t, t[:1200]
+    assert_no_python_in_plan(df)
+    base = df.collect()[0]
+    assert base["union_agrees"] and base["within_5pct"], base
+
+    # partitioning invariance of the LAWS (13-way reshuffle upstream)
+    from openpolicedata_spark.workload import _Q238_BODY, _read
+    _read(spark, sf_dir, "orders").repartition(13) \
+        .createOrReplaceTempView("q238_pin_o")
+    alt = spark.sql(_Q238_BODY.format(
+        o="q238_pin_o", g="pmod(o_custkey, 8)",
+        law_merge="abs(est_u - est_g) <= 0.04 * est_g",
+        law_err="abs(est_u - exact_nd) <= 0.05 * exact_nd")) \
+        .collect()[0]
+    assert alt["union_agrees"] and alt["within_5pct"], alt
+
+
+def test_q239_try_divide_double_zero_is_null_not_infinity(spark, sf_dir):
+    """try_* semantics (round 13): the arms the q239 oracle depends
+    on, pinned in isolation — under Spark 4's ANSI default, plain
+    division by a zero divisor RAISES (DIVIDE_BY_ZERO — even for
+    DOUBLEs, where pre-ANSI Spark yielded Infinity), while try_divide
+    yields NULL, which is exactly DuckDB's native `/` behavior — plus
+    the overflow and cast arms, and the plan shape: the FILTER-clause
+    aggregate stays ONE HashAggregate pair over one scan, no
+    Expand."""
+    r = spark.sql(
+        "SELECT try_divide(1.0D, 0.0D) a, "
+        "try_add(9223372036854775807, 1) c, "
+        "try_cast('x1' AS INT) d").collect()[0]
+    assert r["a"] is None and r["c"] is None and r["d"] is None, r
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.sql("SELECT 1.0D / 0.0D b").collect()
+
+    from openpolicedata_spark.plans import _n_nodes
+    df = workload.queries()["q239_try_arithmetic"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "HashAggregate") == 2, t[:900]
+    assert _n_nodes(t, "Expand") == 0, t[:900]
+    assert _n_nodes(t, "Scan parquet") == 1, t[:900]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+
+
+def test_q240_hint_triplet_overrides_size_based_choice(spark, sf_dir):
+    """Join strategy hints (round 13): customer is broadcastable at
+    test SFs, so the UNHINTED plan picks BroadcastHashJoin — each hint
+    must OVERRIDE that choice (BROADCAST→BroadcastHashJoin,
+    MERGE→SortMergeJoin, SHUFFLE_HASH→ShuffledHashJoin), and all
+    three strategies must return identical rows: strategy changes
+    cost, never semantics."""
+    from openpolicedata_spark.workload import _Q240_BODY
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("q240_pin_o")
+    spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .createOrReplaceTempView("q240_pin_c")
+
+    def run(hint):
+        df = spark.sql(_Q240_BODY.format(
+            hint=hint, o="q240_pin_o", c="q240_pin_c"))
+        rows = {tuple(r) for r in df.collect()}
+        p = df._jdf.queryExecution().executedPlan().toString()
+        kinds = [k for k in ("BroadcastHashJoin", "SortMergeJoin",
+                             "ShuffledHashJoin") if k in p]
+        return rows, kinds
+
+    base_rows, base_kinds = run("")
+    assert base_kinds == ["BroadcastHashJoin"], base_kinds
+    for hint, expect in [("/*+ BROADCAST(c) */", "BroadcastHashJoin"),
+                         ("/*+ MERGE(c) */", "SortMergeJoin"),
+                         ("/*+ SHUFFLE_HASH(c) */", "ShuffledHashJoin")]:
+        rows, kinds = run(hint)
+        assert kinds == [expect], (hint, kinds)
+        assert rows == base_rows, hint
