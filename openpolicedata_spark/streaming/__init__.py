@@ -193,9 +193,21 @@ def enrich_within_window(
     tail rows may be withheld — exactly the stateful_gap_fill tail
     rule; a far-future heartbeat on BOTH sides flushes them, and the
     parity law (stream ≡ batch left join) is tested under that flush.
-    """
-    if how not in ("inner", "left"):
-        raise ValueError(f"unknown how {how!r} (inner or left)")
+
+    Round 13 completes the streaming-legal join-type matrix:
+    `how='left_semi'` keeps exactly the left rows that HAVE a right
+    row in-window (an existence filter — no right columns, no row
+    multiplication when several right rows match; matched rows emit
+    as soon as the match arrives, unmatched state simply evicts at
+    the watermark), and `how='full'` keeps unmatched rows from BOTH
+    sides (the output `key` column is coalesced across sides so
+    right-only rows keep their key; both sides' unmatched rows obey
+    the left-outer emission delay). Right-outer is the left-outer
+    with the frames swapped — compose it that way rather than
+    widening this surface."""
+    if how not in ("inner", "left", "left_semi", "full"):
+        raise ValueError(
+            f"unknown how {how!r} (inner, left, left_semi or full)")
     clash = [f"{right_prefix}{c}" for c in right.columns
              if c != key and f"{right_prefix}{c}" in left.columns]
     if clash:
@@ -213,7 +225,29 @@ def enrich_within_window(
     cond = ((left[key] == r[key])
             & (r[f"{right_prefix}{ts_col}"] >= left[ts_col] - w)
             & (r[f"{right_prefix}{ts_col}"] < left[ts_col] + w))
-    out = left.join(r, cond, how).drop(r[key])
+    if how == "left_semi":
+        return left.join(r, cond, "left_semi")
+    if how == "full":
+        # both sides may come from the SAME source frame (a filtered
+        # event stream split in two), and a post-join select through
+        # dataset references trips Spark's ambiguous-self-join check —
+        # so the right key is RENAMED pre-join and every reference is
+        # by unique column name, then the output key coalesces across
+        # sides (right-only rows keep their key)
+        if "__rk__" in left.columns or "__rk__" in right.columns:
+            raise ValueError("column name '__rk__' is reserved by "
+                             "enrich_within_window(how='full')")
+        rr = r.withColumnRenamed(key, "__rk__")
+        cond = ((F.col(key) == F.col("__rk__"))
+                & (F.col(f"{right_prefix}{ts_col}")
+                   >= F.col(ts_col) - w)
+                & (F.col(f"{right_prefix}{ts_col}")
+                   < F.col(ts_col) + w))
+        out = left.join(rr, cond, "full_outer")
+        out = out.withColumn(
+            key, F.coalesce(F.col(key), F.col("__rk__"))).drop("__rk__")
+    else:
+        out = left.join(r, cond, how).drop(r[key])
     if drop_right_time:
         out = out.drop(f"{right_prefix}{ts_col}")
     return out

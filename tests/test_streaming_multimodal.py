@@ -253,7 +253,111 @@ def test_stream_stream_left_outer_join_equals_batch(spark, sf_dir,
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="how"):
-        enrich_within_window(lb, rb, how="full")
+        enrich_within_window(lb, rb, how="cross")
+
+
+def test_stream_stream_semi_join_equals_batch(spark, sf_dir):
+    """Round 13: `how='left_semi'` — the existence-filter class (keep
+    left rows with at least one in-window right row, NO right columns,
+    NO row multiplication on multi-match) must equal the batch semi
+    join. Matched rows emit on match, so no heartbeat flush is needed
+    for the matched set."""
+    from openpolicedata_spark.streaming import enrich_within_window
+
+    batch = _events_batch(spark, sf_dir)
+    purchases = batch.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id")
+    clicks = batch.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    sem = enrich_within_window(purchases, clicks, window="6 hours",
+                               how="left_semi")
+    assert sem.columns == ["user_id", "ts", "event_id"]  # no right cols
+    expected = {r.event_id for r in sem.collect()}
+    inner_ids = [r.event_id for r in enrich_within_window(
+        purchases, clicks, window="6 hours").collect()]
+    # semi = DISTINCT left side of inner; multi-match rows collapse
+    assert expected == set(inner_ids) and len(inner_ids) > len(expected)
+
+    s = read_events_stream(spark, _events_path(sf_dir))
+    sp = s.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id")
+    sc = s.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    got_df = run_available_now(
+        enrich_within_window(sp, sc, window="6 hours",
+                             how="left_semi"), "ss_semi_join")
+    got = {r.event_id for r in got_df.collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_stream_stream_full_outer_join_equals_batch(spark, sf_dir,
+                                                    tmp_path):
+    """Round 13: `how='full'` — unmatched rows from BOTH sides must
+    emit with NULLs on the other side once the join watermark passes
+    their window (two-sided heartbeat flush, as in the left-outer
+    test), equaling the batch full range join; the output key is
+    coalesced so right-only rows keep their user_id."""
+    import glob as _glob
+    import shutil
+
+    from openpolicedata_spark.streaming import enrich_within_window
+
+    watch = tmp_path / "ev"
+    watch.mkdir()
+    shutil.copy(_events_path(sf_dir), str(watch / "a.parquet"))
+    batch = _events_batch(spark, sf_dir)
+    ts_t = dict(batch.dtypes)["ts"]
+    # heartbeats must survive each side's filter (user_id % 3 == 0 on
+    # the right; Spark's % is sign-following, so -3 not -1) and never
+    # match a real row or each other
+    hb = (spark.createDataFrame(
+        [(10**9, "2030-01-01 00:00:00", -1, "purchase", 0.0, "{}"),
+         (10**9 + 1, "2030-01-01 00:00:00", -3, "click", 0.0, "{}")],
+        "event_id long, t string, user_id long, event_type string, "
+        "value double, props string")
+        .withColumn("ts", F.col("t").cast(ts_t)).drop("t")
+        .select(*batch.columns))
+    hbdir = tmp_path / "hb_stage"
+    hb.coalesce(1).write.parquet(str(hbdir))
+    shutil.move(_glob.glob(str(hbdir / "part-*.parquet"))[0],
+                str(watch / "b.parquet"))
+
+    def sides(df):
+        l = (df.where(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id"))
+        r = (df.where((F.col("event_type") == "click")
+                      & (F.col("user_id") % 3 == 0))
+             .select("user_id", "ts", "event_id"))
+        return l, r
+
+    def keyset(rows):
+        out = set()
+        for r in rows:
+            le, re = r.event_id, r.r_event_id
+            if (le is not None and le >= 10**9) or \
+                    (re is not None and re >= 10**9):
+                continue   # heartbeat rows
+            out.add((r.user_id, le, re))
+        return out
+
+    lb, rb = sides(batch.unionByName(hb))
+    full_b = enrich_within_window(lb, rb, window="30 minutes",
+                                  how="full")
+    expected = keyset(full_b.collect())
+    # all three populations are real: matched, left-only, right-only —
+    # and right-only rows carry their coalesced user_id
+    assert any(le is None and u is not None for u, le, _ in expected)
+    assert any(re is None for _, _, re in expected)
+    assert any(le is not None and re is not None
+               for _, le, re in expected)
+
+    s = read_events_stream(spark, str(watch))
+    ls, rs = sides(s)
+    got_df = run_available_now(
+        enrich_within_window(ls, rs, window="30 minutes", how="full"),
+        "ss_full_join")
+    got = keyset(got_df.collect())
+    assert got == expected
 
 
 def test_pcm_features_exact(spark):
