@@ -10606,6 +10606,138 @@ def q240_join_strategy_hint(spark: SparkSession,
 
 _Q240_SQL = _Q240_BODY.format(hint="", o="orders", c="customer")
 
+# q241: the approx-percentile error law. Exact percentile values are
+# the anchors (Spark `percentile` and DuckDB `quantile_cont`
+# interpolate identically on doubles — the q102 precedent); the
+# approx arm rides as booleans the oracle fixes to TRUE.
+_Q241_BODY = """
+WITH ap AS (
+  SELECT o_orderstatus AS st,
+         approx_percentile(CAST(o_totalprice AS DOUBLE),
+                           array(0.5D, 0.9D), 10000) AS ap
+  FROM {o} GROUP BY o_orderstatus
+),
+ex AS (
+  SELECT o_orderstatus AS st,
+         percentile(CAST(o_totalprice AS DOUBLE),
+                    array(0.5D, 0.9D)) AS ex
+  FROM {o} GROUP BY o_orderstatus
+)
+SELECT ap.st AS st,
+       CAST(ex.ex[0] AS DOUBLE) AS p50_exact,
+       CAST(ex.ex[1] AS DOUBLE) AS p90_exact,
+       abs(ap.ap[0] - ex.ex[0]) <= 0.01 * ex.ex[0] AS p50_close,
+       abs(ap.ap[1] - ex.ex[1]) <= 0.01 * ex.ex[1] AS p90_close
+FROM ap JOIN ex ON ap.st = ex.st
+"""
+
+
+def q241_approx_percentile_law(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Approx-percentile error law (round 13 — the missing pin behind
+    the corpus's own scale rule: CLAUDE.md's gotcha says exact
+    `percentile` buffers EVERY distinct value into one final merge,
+    so planning boundaries at 100 TB must use `approx_percentile`;
+    this query pins that the approximation is actually usable): per
+    order status, exact p50/p90 anchor the values (Spark `percentile`
+    ≡ DuckDB `quantile_cont` on doubles — the verified q102
+    interpolation identity), and the approx arm (accuracy=10000, the
+    sampling operator's setting) asserts |approx − exact| ≤ 1%·exact
+    engine-side as booleans the oracle fixes to TRUE. The GK-sketch
+    guarantee is on RANK (n/accuracy), so the VALUE band holds on any
+    distribution without pathological density plateaus — totalprice
+    here is smooth; the 1% band is ~40× the observed error. Sketch
+    merges are partition-count-insensitive within the band (the q238
+    band discipline)."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q241_o")
+    return spark.sql(_Q241_BODY.format(o="q241_o"))
+
+
+_Q241_SQL = """
+SELECT o_orderstatus AS st,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
+       TRUE AS p50_close,
+       TRUE AS p90_close
+FROM orders GROUP BY o_orderstatus
+"""
+
+# q242: the SQL higher-order-function surface over per-key arrays.
+# All arithmetic runs in BIGINT cents (decimal→cents is exact), so
+# folds are order-exact; the sorted array makes element_at and the
+# index-weighted sum deterministic (equal values commute under tied
+# weights). Lambdas reference ONLY their own arguments — the
+# interpreted-HOF re-evaluation gotcha never fires.
+_Q242_BODY = """
+WITH arr AS (
+  SELECT o_custkey,
+         array_sort(collect_list(
+             CAST(o_totalprice AS DECIMAL(14,2)))) AS a
+  FROM {o} GROUP BY o_custkey
+), cents AS (
+  SELECT o_custkey, a,
+         transform(a, x -> CAST(x * 100 AS BIGINT)) AS c
+  FROM arr
+)
+SELECT o_custkey,
+       CAST(size(a) AS BIGINT) AS n,
+       CAST(element_at(a, 1) AS DOUBLE) AS lo,
+       CAST(element_at(a, -1) AS DOUBLE) AS hi,
+       aggregate(filter(c, x -> x > 10000000),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x)
+           AS big_cents,
+       aggregate(transform(c, (x, i) -> x * CAST(i + 1 AS BIGINT)),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x)
+           AS wsum_cents,
+       aggregate(zip_with(c, reverse(c), (x, y) -> x + y),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x)
+           AS pal_cents
+FROM cents
+"""
+
+
+def q242_array_hof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL higher-order-function surface (round 13 — the corpus
+    USES HOFs inside operators everywhere, but no query pinned the
+    user-facing SQL forms end-to-end against an independent engine):
+    per-customer sorted order-value arrays exercised through
+    collect_list → array_sort → element_at(±1) → transform (with the
+    INDEX lambda parameter) → filter → zip_with(reverse) → aggregate
+    folds. Everything folds in BIGINT cents, so every output is
+    exact; the index-weighted sum is deterministic on ties (equal
+    values commute under tied weights). DuckDB replays via its list_*
+    family — list_sort/list_filter/list_transform's own (x, i)
+    1-based index lambda — and the zip_with-with-reverse arm by its
+    closed form 2·sum (the value, not the mechanics, is the
+    contract). Per the interpreted-HOF gotcha the lambdas reference
+    only their own arguments; per-element work is one add/multiply,
+    the shape where interpreted evaluation is fine at any scale."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q242_o")
+    return spark.sql(_Q242_BODY.format(o="q242_o"))
+
+
+_Q242_SQL = """
+WITH arr AS (
+  SELECT o_custkey,
+         list_sort(list(CAST(o_totalprice AS DECIMAL(14,2)))) AS a
+  FROM orders GROUP BY o_custkey
+), cents AS (
+  SELECT o_custkey, a,
+         list_transform(a, x -> CAST(x * 100 AS BIGINT)) AS c
+  FROM arr
+)
+SELECT o_custkey,
+       CAST(len(a) AS BIGINT) AS n,
+       CAST(a[1] AS DOUBLE) AS lo,
+       CAST(a[-1] AS DOUBLE) AS hi,
+       CAST(coalesce(list_sum(list_filter(c, x -> x > 10000000)), 0)
+            AS BIGINT) AS big_cents,
+       CAST(list_sum(list_transform(c, (x, i) -> x * i))
+            AS BIGINT) AS wsum_cents,
+       CAST(2 * list_sum(c) AS BIGINT) AS pal_cents
+FROM cents
+"""
+
 
 
 
@@ -11473,6 +11605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q238_hll_union_merge": q238_hll_union_merge,
         "q239_try_arithmetic": q239_try_arithmetic,
         "q240_join_strategy_hint": q240_join_strategy_hint,
+        "q241_approx_percentile_law": q241_approx_percentile_law,
+        "q242_array_hof_sql": q242_array_hof_sql,
     }
     return base
 
@@ -11721,4 +11855,6 @@ def oracle_sql() -> dict[str, str]:
         "q238_hll_union_merge": _Q238_SQL,
         "q239_try_arithmetic": _Q239_SQL,
         "q240_join_strategy_hint": _Q240_SQL,
+        "q241_approx_percentile_law": _Q241_SQL,
+        "q242_array_hof_sql": _Q242_SQL,
     }

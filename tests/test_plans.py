@@ -1696,3 +1696,50 @@ def test_q240_hint_triplet_overrides_size_based_choice(spark, sf_dir):
         rows, kinds = run(hint)
         assert kinds == [expect], (hint, kinds)
         assert rows == base_rows, hint
+
+
+def test_q241_approx_and_exact_percentile_aggregate_shapes(spark, sf_dir):
+    """Approx-percentile law (round 13): both percentile families are
+    TypedImperative (byte-buffer) aggregates — ObjectHashAggregate
+    pairs, partial sketches map-side — and the law booleans must hold
+    under a different partitioning (the q238 band discipline: the
+    sketch VALUE may move within the band, the law may not)."""
+    df = workload.queries()["q241_approx_percentile_law"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert "ObjectHashAggregate" in t, t[:1200]
+    assert_no_python_in_plan(df)
+    for r in df.collect():
+        assert r["p50_close"] and r["p90_close"], r
+
+    from openpolicedata_spark.workload import _Q241_BODY, _read
+    _read(spark, sf_dir, "orders").repartition(13) \
+        .createOrReplaceTempView("q241_pin_o")
+    for r in spark.sql(_Q241_BODY.format(o="q241_pin_o")).collect():
+        assert r["p50_close"] and r["p90_close"], r
+
+
+def test_q242_hof_panel_is_one_exchange_no_python(spark, sf_dir):
+    """SQL HOF surface (round 13): the whole
+    collect_list→sort→transform/filter/zip_with/aggregate panel is
+    ONE keyed exchange (the groupBy) with every fold a JVM expression
+    — zero Python nodes, zero extra shuffles, one scan; and the
+    pal_cents zip_with(reverse) arm equals its 2·sum closed form
+    row-for-row (the law the DuckDB oracle replays)."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q242_array_hof_sql"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Scan parquet") == 1, t[:900]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+    # closed form: pal = 2 * sum(cents)
+    chk = df.selectExpr("o_custkey", "pal_cents")
+    from openpolicedata_spark.workload import _read
+    sums = (_read(spark, sf_dir, "orders")
+            .selectExpr("o_custkey",
+                        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) "
+                        "* 100 AS BIGINT) AS cents")
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").alias("s")))
+    joined = chk.join(sums, "o_custkey")
+    assert joined.where("pal_cents != 2 * s").count() == 0
