@@ -10738,6 +10738,126 @@ SELECT o_custkey,
 FROM cents
 """
 
+# q243: the date-spine densification — a calendar spine from the data's
+# own bounds, crossed with the dimension, left-joined to the monthly
+# counts, zero-filled. Months ride as year*100+month ints (portable).
+_Q243_BODY = """
+WITH bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM {o}
+), spine AS (
+  {spine_select}
+), sts AS (
+  SELECT DISTINCT o_orderstatus AS st FROM {o}
+), counts AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         o_orderstatus AS st,
+         COUNT(*) AS n
+  FROM {o} GROUP BY 1, 2
+)
+SELECT CAST(year(spine.m) * 100 + month(spine.m) AS BIGINT) AS ym,
+       sts.st AS st,
+       CAST(coalesce(counts.n, 0) AS BIGINT) AS n,
+       counts.n IS NULL AS filled
+FROM spine CROSS JOIN sts
+LEFT JOIN counts ON counts.m = spine.m AND counts.st = sts.st
+"""
+_Q243_SPARK_SPINE = ("SELECT explode(sequence(lo, hi, INTERVAL 1 MONTH))"
+                     " AS m FROM bounds")
+_Q243_DUCK_SPINE = (
+    "SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), "
+    "CAST(hi AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS m "
+    "FROM bounds")
+
+
+def q243_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification (round 13 — the reporting pattern
+    every BI layer builds on top of a warehouse: a complete calendar
+    spine × dimension grid with ZERO-FILLED gaps, so a month with no
+    orders still charts as 0 instead of vanishing): the spine
+    generates from the data's own month bounds via
+    `explode(sequence(lo, hi, INTERVAL 1 MONTH))` — one row of
+    bounds, so the spine and the 3-row status grid ride the
+    documented one-row broadcast class, and the only real exchange
+    is the monthly count aggregate; the left join back marks which
+    grid cells were filled. This is the BATCH face of
+    events.gap_fill's bucket densification (that operator owns the
+    per-key streaming form). Oracle: DuckDB builds the same spine
+    with `unnest(generate_series(...))` — the scalar-list form per
+    the documented lateral rule. Counts and year*100+month ints →
+    exact."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q243_o")
+    return spark.sql(_Q243_BODY.format(
+        o="q243_o", spine_select=_Q243_SPARK_SPINE))
+
+
+_Q243_SQL = _Q243_BODY.format(o="orders",
+                              spine_select=_Q243_DUCK_SPINE)
+
+# q244: the regexp extraction surface. Patterns stay in the Java∩RE2
+# portable subset (no backrefs/lookaround; ASCII classes); the
+# decorated column guarantees BOTH arms deterministically — every
+# doc_id % 5 == 0 row is a digit-free literal (the no-match arm),
+# every other row gains digit runs. first_pos replays in DuckDB as
+# strpos(s, first_match): for '[0-9]+' the leftmost match starts at
+# the first digit, and any occurrence of the matched string starts
+# with a digit, so first-occurrence == match position.
+_Q244_DECORATE = (
+    "CASE WHEN doc_id % 5 = 0 THEN 'no digits here' "
+    "ELSE concat(text, ' id', CAST(doc_id % 100 AS STRING), "
+    "' code ', CAST((doc_id * 7) % 1000 AS STRING), '-', "
+    "CAST(doc_id % 97 AS STRING)) END")
+
+
+def q244_regexp_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp extraction panel (round 13 — q55 pinned regexp_replace;
+    this pins the EXTRACTION family a text pipeline tags with:
+    regexp_extract_all flattened to a joined string — never an array
+    output column, per the comparator rule — regexp_count,
+    regexp_substr's first match, and the first-match position): over
+    deterministically decorated documents where every 5th row is a
+    digit-free literal (the no-match arm: empty join-string, count 0,
+    NULL first match, position 0 — all pinned by the oracle) and the
+    rest carry injected digit runs. DuckDB replays extraction via its
+    RE2 regexp_extract_all (the patterns sit in the Java∩RE2
+    portable subset) and the position via strpos of the first match
+    (== match position for '[0-9]+', where the leftmost match starts
+    at the first digit). All row-local JVM expressions — one scan,
+    zero exchanges, zero Python."""
+    _read(spark, sf_dir, "documents") \
+        .createOrReplaceTempView("q244_d")
+    return spark.sql(f"""
+WITH dec AS (
+  SELECT doc_id, {_Q244_DECORATE} AS s FROM q244_d
+)
+SELECT doc_id,
+       array_join(regexp_extract_all(s, '[0-9]+', 0), ' ')
+           AS all_nums,
+       CAST(regexp_count(s, '[0-9]+') AS BIGINT) AS n_nums,
+       regexp_substr(s, '[0-9]+') AS first_num,
+       CAST(regexp_instr(s, '[0-9]+') AS BIGINT) AS first_pos
+FROM dec
+""")
+
+
+_Q244_SQL = f"""
+WITH dec AS (
+  SELECT doc_id, {_Q244_DECORATE} AS s FROM documents
+)
+SELECT doc_id,
+       -- DuckDB array_to_string([]) is NULL where Spark array_join
+       --([]) is '' — coalesce aligns the no-match arm
+       coalesce(array_to_string(regexp_extract_all(s, '[0-9]+'), ' '),
+                '') AS all_nums,
+       CAST(len(regexp_extract_all(s, '[0-9]+')) AS BIGINT) AS n_nums,
+       nullif(regexp_extract(s, '[0-9]+'), '') AS first_num,
+       CAST(CASE WHEN regexp_extract(s, '[0-9]+') = '' THEN 0
+                 ELSE strpos(s, regexp_extract(s, '[0-9]+'))
+            END AS BIGINT) AS first_pos
+FROM dec
+"""
+
 
 
 
@@ -11607,6 +11727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_join_strategy_hint": q240_join_strategy_hint,
         "q241_approx_percentile_law": q241_approx_percentile_law,
         "q242_array_hof_sql": q242_array_hof_sql,
+        "q243_date_spine": q243_date_spine,
+        "q244_regexp_panel": q244_regexp_panel,
     }
     return base
 
@@ -11857,4 +11979,6 @@ def oracle_sql() -> dict[str, str]:
         "q240_join_strategy_hint": _Q240_SQL,
         "q241_approx_percentile_law": _Q241_SQL,
         "q242_array_hof_sql": _Q242_SQL,
+        "q243_date_spine": _Q243_SQL,
+        "q244_regexp_panel": _Q244_SQL,
     }

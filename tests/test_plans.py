@@ -1743,3 +1743,47 @@ def test_q242_hof_panel_is_one_exchange_no_python(spark, sf_dir):
             .agg(F.sum("cents").alias("s")))
     joined = chk.join(sums, "o_custkey")
     assert joined.where("pal_cents != 2 * s").count() == 0
+
+
+def test_q243_spine_rides_broadcasts_one_real_exchange(spark, sf_dir):
+    """Date spine (round 13): the calendar spine explodes from a
+    ONE-ROW bounds aggregate and the status grid is 3 rows — both
+    ride broadcast joins (the documented one-row/snapshot-literal
+    class); the only shuffling aggregate is the monthly counts. The
+    densification is real: zero-filled grid cells exist and carry
+    n = 0."""
+    df = workload.queries()["q243_date_spine"](spark, sf_dir)
+    s = summarize_plan(df)
+    assert s.n_sortmerge_joins == 0, s.text
+    assert_no_python_in_plan(df)
+    rows = df.collect()
+    filled = [r for r in rows if r["filled"]]
+    assert filled and all(r["n"] == 0 for r in filled)
+    real = [r for r in rows if not r["filled"]]
+    assert sum(r["n"] for r in real) > 0
+    # the grid is complete: |spine| x |statuses| rows
+    months = {r["ym"] for r in rows}
+    sts = {r["st"] for r in rows}
+    assert len(rows) == len(months) * len(sts)
+
+
+def test_q244_regexp_panel_rowlocal_zero_exchanges(spark, sf_dir):
+    """Regexp panel (round 13): the whole extraction family is
+    row-local JVM expressions — one scan, ZERO exchanges, zero
+    Python; both arms deterministically present (every 5th doc is the
+    digit-free literal: empty join-string, count 0, NULL first match,
+    position 0)."""
+    df = workload.queries()["q244_regexp_panel"](spark, sf_dir)
+    t = formatted_plan(df)
+    from openpolicedata_spark.plans import _n_nodes
+    assert _n_nodes(t, "Scan parquet") == 1, t[:900]
+    assert_max_exchanges(df, 0)
+    assert_no_python_in_plan(df)
+    rows = df.collect()
+    none = [r for r in rows if r["doc_id"] % 5 == 0]
+    assert none and all(
+        r["all_nums"] == "" and r["n_nums"] == 0
+        and r["first_num"] is None and r["first_pos"] == 0
+        for r in none)
+    hit = [r for r in rows if r["doc_id"] % 5 != 0]
+    assert hit and all(r["n_nums"] >= 3 for r in hit)  # injected runs
