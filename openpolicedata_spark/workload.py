@@ -10858,6 +10858,93 @@ SELECT doc_id,
 FROM dec
 """
 
+# q245: bag-semantics set ops. The identical body runs on both engines
+# (both implement multiset INTERSECT/EXCEPT ALL); the output aggregates
+# the multisets to (key, multiplicity) so rows are deterministic.
+_Q245_BODY = """
+WITH o_keys AS (
+  SELECT o_custkey FROM {o} WHERE o_orderstatus = 'O'
+), f_keys AS (
+  SELECT o_custkey FROM {o} WHERE o_orderstatus = 'F'
+), ia AS (
+  SELECT o_custkey FROM o_keys INTERSECT ALL
+  SELECT o_custkey FROM f_keys
+), ea AS (
+  SELECT o_custkey FROM o_keys EXCEPT ALL
+  SELECT o_custkey FROM f_keys
+)
+SELECT 'both' AS arm, o_custkey, CAST(COUNT(*) AS BIGINT) AS mult
+FROM ia GROUP BY o_custkey
+UNION ALL
+SELECT 'o_surplus' AS arm, o_custkey, CAST(COUNT(*) AS BIGINT) AS mult
+FROM ea GROUP BY o_custkey
+"""
+
+
+def q245_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (round 13 — q183 pinned the SET
+    forms; INTERSECT ALL / EXCEPT ALL carry MULTIPLICITY, the form
+    dedup accounting actually needs: how many of a customer's open
+    orders are matched one-for-one by filled ones): per-customer
+    order multisets by status, intersected and differenced ALL, then
+    aggregated to (key, multiplicity). The optimizer shape is the
+    reason this query exists (pinned in tests/test_plans.py): Spark
+    rewrites both ALL ops JOIN-FREE — one Union of the two arms with
+    tag columns, ONE aggregate counting both tags per key, then a
+    `Generate replicaterows(min/diff)` re-expands the multiset — so
+    the whole bag algebra costs one keyed exchange per op, never a
+    join, and multiplicities arrive as counts, not row storms.
+    DuckDB runs the identical body (its bag semantics match the
+    standard). All-integer output → exact."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q245_o")
+    return spark.sql(_Q245_BODY.format(o="q245_o"))
+
+
+_Q245_SQL = _Q245_BODY.format(o="orders")
+
+# q246: OR-of-EXISTS — NOT decorrelatable to plain semi joins (a semi
+# join can only FILTER; a disjunction needs each arm's verdict as a
+# VALUE), so Catalyst plans ExistenceJoin: a join type that appends a
+# boolean column instead of filtering or multiplying rows.
+_Q246_BODY = """
+SELECT c_custkey,
+       EXISTS (SELECT 1 FROM {o} o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderstatus = 'F') AS has_filled,
+       EXISTS (SELECT 1 FROM {o} o2
+               WHERE o2.o_custkey = c.c_custkey
+                 AND o2.o_totalprice > 400000.0) AS has_big
+FROM {c} c
+WHERE EXISTS (SELECT 1 FROM {o} o3
+              WHERE o3.o_custkey = c.c_custkey
+                AND o3.o_orderstatus = 'F')
+   OR EXISTS (SELECT 1 FROM {o} o4
+              WHERE o4.o_custkey = c.c_custkey
+                AND o4.o_totalprice > 400000.0)
+"""
+
+
+def q246_exists_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExistenceJoin (round 13 — the one join type the corpus had
+    never planned: q179's EXISTS chains decorrelate to LeftSemi
+    because they're CONJUNCTIVE filters, but an EXISTS inside a
+    DISJUNCTION — or projected as a column — can't filter rows away
+    per-arm, so Catalyst plans ExistenceJoin, which appends the
+    arm's boolean verdict without filtering or multiplying rows,
+    then evaluates the OR as a plain Filter): customers with a
+    filled order OR a >400k order, each arm's verdict also projected.
+    Pinned: the executed plan carries ExistenceJoin hash joins and a
+    disjunctive Filter over the exists flags, zero row explosion. At
+    scale each arm is one hash join whose build side is the
+    filtered subquery — the OR costs two joins, not a union of two
+    semi-joined scans. Oracle: DuckDB evaluates the same projected
+    EXISTS + WHERE disjunction. TPC-DS Q10/Q35 class."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q246_o")
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("q246_c")
+    return spark.sql(_Q246_BODY.format(o="q246_o", c="q246_c"))
+
+
+_Q246_SQL = _Q246_BODY.format(o="orders", c="customer")
 
 
 
@@ -11729,6 +11816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q242_array_hof_sql": q242_array_hof_sql,
         "q243_date_spine": q243_date_spine,
         "q244_regexp_panel": q244_regexp_panel,
+        "q245_multiset_ops": q245_multiset_ops,
+        "q246_exists_or": q246_exists_or,
     }
     return base
 
@@ -11981,4 +12070,6 @@ def oracle_sql() -> dict[str, str]:
         "q242_array_hof_sql": _Q242_SQL,
         "q243_date_spine": _Q243_SQL,
         "q244_regexp_panel": _Q244_SQL,
+        "q245_multiset_ops": _Q245_SQL,
+        "q246_exists_or": _Q246_SQL,
     }

@@ -1787,3 +1787,54 @@ def test_q244_regexp_panel_rowlocal_zero_exchanges(spark, sf_dir):
         for r in none)
     hit = [r for r in rows if r["doc_id"] % 5 != 0]
     assert hit and all(r["n_nums"] >= 3 for r in hit)  # injected runs
+
+
+def test_q245_intersect_all_is_join_free_replicaterows(spark, sf_dir):
+    """Bag set ops (round 13): Spark must rewrite INTERSECT ALL and
+    EXCEPT ALL JOIN-FREE — tagged Union → ONE aggregate counting both
+    tags per key → Generate replicaterows re-expanding the multiset.
+    Zero joins of any kind in the whole two-arm plan."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q245_multiset_ops"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert t.count("replicaterows") >= 2, t[:1200]   # both ALL ops
+    s = summarize_plan(df)
+    assert (s.n_broadcast_joins + s.n_sortmerge_joins
+            + s.n_broadcast_nl_joins) == 0, s.text
+    assert "Join" not in t, t[:1200]
+    assert_no_python_in_plan(df)
+    # bag law: mult(both) = min(nO, nF); mult(o_surplus) = nO - nF > 0
+    from openpolicedata_spark.workload import _read
+    counts = (_read(spark, sf_dir, "orders")
+              .groupBy("o_custkey")
+              .agg(F.sum(F.expr("IF(o_orderstatus = 'O', 1, 0)"))
+                   .alias("no"),
+                   F.sum(F.expr("IF(o_orderstatus = 'F', 1, 0)"))
+                   .alias("nf")))
+    got = df.join(counts, "o_custkey")
+    assert got.where(
+        "(arm = 'both' AND mult != least(no, nf)) OR "
+        "(arm = 'o_surplus' AND mult != no - nf)").count() == 0
+
+
+def test_q246_or_of_exists_plans_existence_joins(spark, sf_dir):
+    """ExistenceJoin (round 13): an EXISTS inside a disjunction (or
+    projected as a column) cannot decorrelate to LeftSemi — the plan
+    must carry ExistenceJoin nodes appending boolean verdicts and a
+    disjunctive Filter over them, with NO row multiplication (output
+    keys stay unique). Contrast: q179's conjunctive chains DO plan
+    LeftSemi."""
+    df = workload.queries()["q246_exists_or"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("ExistenceJoin") >= 2, p[:1200]
+    assert "LeftSemi" not in p, p[:1200]
+    fresh = workload.queries()["q246_exists_or"](spark, sf_dir)
+    assert_no_python_in_plan(fresh)
+    rows = fresh.collect()
+    keys = [r["c_custkey"] for r in rows]
+    assert len(keys) == len(set(keys)) and len(keys) > 0
+    assert all(r["has_filled"] or r["has_big"] for r in rows)
+    assert any(not r["has_filled"] for r in rows)   # OR is real
+    assert any(not r["has_big"] for r in rows)
