@@ -10946,6 +10946,124 @@ def q246_exists_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q246_SQL = _Q246_BODY.format(o="orders", c="customer")
 
+# q247: the null-safe equi-join. Both sides aggregate over an
+# engineered NULLable key; {eq} is `<=>` on Spark and
+# `IS NOT DISTINCT FROM` on DuckDB (same operator, two spellings).
+_Q247_BODY = """
+WITH a AS (
+  SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL
+              ELSE o_custkey END AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_open
+  FROM {o} WHERE o_orderstatus = 'O' GROUP BY 1
+), b AS (
+  SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL
+              ELSE o_custkey END AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_filled
+  FROM {o} WHERE o_orderstatus = 'F' GROUP BY 1
+)
+SELECT a.k AS k, n_open, n_filled
+FROM a JOIN b ON a.k {eq} b.k
+"""
+
+
+def q247_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (round 13 — the join spelling that treats
+    NULL as an ordinary key value, which the streaming SCD2 sink
+    already depends on internally (its state joins are eqNullSafe);
+    this query pins the SQL surface and its PLAN): every 7th customer
+    key folds to NULL on both aggregated sides, and `a.k <=> b.k`
+    must match the NULL group to the NULL group — AND still plan a
+    HASH join, not a nested loop: Catalyst rewrites null-safe
+    equality into a hashable key (coalesce/isnull pairing), pinned in
+    tests/test_plans.py alongside the contrast that a plain `=` join
+    silently drops the NULL rows (the bug class eqNullSafe exists to
+    prevent). Oracle: DuckDB's `IS NOT DISTINCT FROM` — the standard
+    spelling of the same operator. Counts → exact."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q247_o")
+    return spark.sql(_Q247_BODY.format(o="q247_o", eq="<=>"))
+
+
+_Q247_SQL = _Q247_BODY.format(o="orders", eq="IS NOT DISTINCT FROM")
+
+# q248: native regression aggregates, law-pinned against the q209
+# exact-OLS discipline: y rides as BIGINT cents so all five sums are
+# exact (DECIMAL(38,0) / HUGEINT); the closed forms take ONE division
+# of exactly-converted doubles. r² is scale-free, slope/intercept are
+# compared in cents (×100). Bands are 1e-9 relative — ~1e4× the
+# observed single-pass float error, far under any real drift.
+_Q248_BODY = """
+WITH pts AS (
+  SELECT o_orderstatus AS st,
+         o_custkey AS x,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             AS y
+  FROM {o}
+), s AS (
+  SELECT st,
+         CAST(COUNT(*) AS {big}) AS n,
+         SUM(CAST(x AS {big})) AS sx,
+         SUM(CAST(y AS {big})) AS sy,
+         SUM(CAST(x * y AS {big})) AS sxy,
+         SUM(CAST(x * x AS {big})) AS sxx,
+         SUM(CAST(y AS {big}) * CAST(y AS {big})) AS syy,
+         regr_slope(CAST(y AS DOUBLE) / 100.0, CAST(x AS DOUBLE))
+             AS rslope,
+         regr_intercept(CAST(y AS DOUBLE) / 100.0, CAST(x AS DOUBLE))
+             AS ricept,
+         regr_r2(CAST(y AS DOUBLE) / 100.0, CAST(x AS DOUBLE)) AS rr2
+  FROM pts GROUP BY st
+), closed AS (
+  SELECT st, n, rslope, ricept, rr2,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS numd,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS dend,
+         CAST(n * syy - sy * sy AS DOUBLE) AS syyd,
+         CAST(sy * sxx - sx * sxy AS DOUBLE) AS inumd
+  FROM s
+)
+SELECT st,
+       CAST(n AS BIGINT) AS n,
+       numd / dend / 100.0 AS slope_exact,
+       inumd / dend / 100.0 AS icept_exact,
+       {law_slope} AS slope_ok,
+       {law_icept} AS icept_ok,
+       {law_r2} AS r2_ok
+FROM closed
+"""
+_Q248_LAWS = dict(
+    law_slope=("abs(rslope - numd / dend / 100.0) <= "
+               "1e-9 * greatest(abs(numd / dend / 100.0), 1.0)"),
+    law_icept=("abs(ricept - inumd / dend / 100.0) <= "
+               "1e-9 * greatest(abs(inumd / dend / 100.0), 1.0)"),
+    law_r2="abs(rr2 - numd * numd / (dend * syyd)) <= 1e-9")
+
+
+def q248_regr_aggregates_law(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Native regression aggregates (round 13 — regr_slope /
+    regr_intercept / regr_r2, the one-call surface analysts reach for
+    where q209 hand-builds the exact closed form): per order status,
+    the EXACT OLS fit anchors the values (the q209 discipline:
+    BIGINT-cents y, DECIMAL(38,0)/HUGEINT sums, one division of
+    exactly-converted doubles — bit-identical across engines), and
+    the native aggregates are pinned within 1e-9 relative of the
+    exact forms as booleans the oracle fixes to TRUE (measured
+    agreement ~1e-13; the single-pass float accumulators are
+    order-sensitive at ~1e-15, so the band is partition-safe — the
+    q238 discipline). r² is scale-invariant so the cents ride cancels
+    there; slope/intercept compare in dollars via the ×100 rescale.
+    One ObjectHash-free grouped aggregate carries the five exact sums
+    AND the three native aggregates in a single pass."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q248_o")
+    return spark.sql(_Q248_BODY.format(o="q248_o", big="DECIMAL(38,0)",
+                                       **_Q248_LAWS))
+
+
+# the oracle fixes the law booleans to TRUE (q233 discipline); DuckDB
+# recomputes the exact anchors from the same HUGEINT sums
+_Q248_SQL = _Q248_BODY.format(o="orders", big="HUGEINT",
+                              law_slope="TRUE", law_icept="TRUE",
+                              law_r2="TRUE")
+
 
 
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11818,6 +11936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_regexp_panel": q244_regexp_panel,
         "q245_multiset_ops": q245_multiset_ops,
         "q246_exists_or": q246_exists_or,
+        "q247_nullsafe_join": q247_nullsafe_join,
+        "q248_regr_aggregates_law": q248_regr_aggregates_law,
     }
     return base
 
@@ -12072,4 +12192,6 @@ def oracle_sql() -> dict[str, str]:
         "q244_regexp_panel": _Q244_SQL,
         "q245_multiset_ops": _Q245_SQL,
         "q246_exists_or": _Q246_SQL,
+        "q247_nullsafe_join": _Q247_SQL,
+        "q248_regr_aggregates_law": _Q248_SQL,
     }

@@ -1838,3 +1838,60 @@ def test_q246_or_of_exists_plans_existence_joins(spark, sf_dir):
     assert all(r["has_filled"] or r["has_big"] for r in rows)
     assert any(not r["has_filled"] for r in rows)   # OR is real
     assert any(not r["has_big"] for r in rows)
+
+
+def test_q247_nullsafe_join_hashes_and_keeps_null_group(spark, sf_dir):
+    """Null-safe join (round 13): `<=>` must still plan a HASH join
+    (Catalyst rewrites null-safe equality into a hashable key — no
+    nested loop), and the NULL group must survive the join with both
+    sides' counts; the plain `=` contrast silently drops it."""
+    from openpolicedata_spark.workload import _Q247_BODY
+
+    df = workload.queries()["q247_nullsafe_join"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert ("BroadcastHashJoin" in p or "SortMergeJoin" in p
+            or "ShuffledHashJoin" in p), p[:900]
+    assert "NestedLoop" not in p, p[:900]
+    fresh = workload.queries()["q247_nullsafe_join"](spark, sf_dir)
+    assert_no_python_in_plan(fresh)
+    rows = fresh.collect()
+    nulls = [r for r in rows if r["k"] is None]
+    assert len(nulls) == 1, nulls
+    assert nulls[0]["n_open"] > 0 and nulls[0]["n_filled"] > 0
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("q247_pin_o")
+    eq = spark.sql(_Q247_BODY.format(o="q247_pin_o", eq="="))
+    assert all(r["k"] is not None for r in eq.collect())
+    assert len(rows) == eq.count() + 1
+
+
+def test_q248_regr_laws_one_pass_and_partition_invariant(spark, sf_dir):
+    """regr_* law (round 13): the five exact sums and the three
+    native regression aggregates ride ONE grouped aggregate pass
+    (one exchange, one partial+final pair), and the 1e-9 law
+    booleans hold under a different partitioning (single-pass float
+    accumulators are order-sensitive at ~1e-15 — the band must
+    absorb that, the q238 discipline)."""
+    from openpolicedata_spark.plans import _n_nodes
+    from openpolicedata_spark.workload import (
+        _Q248_BODY,
+        _Q248_LAWS,
+        _read,
+    )
+
+    df = workload.queries()["q248_regr_aggregates_law"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "HashAggregate") == 2, t[:900]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+    for r in df.collect():
+        assert r["slope_ok"] and r["icept_ok"] and r["r2_ok"], r
+
+    _read(spark, sf_dir, "orders").repartition(13) \
+        .createOrReplaceTempView("q248_pin_o")
+    alt = spark.sql(_Q248_BODY.format(
+        o="q248_pin_o", big="DECIMAL(38,0)", **_Q248_LAWS))
+    for r in alt.collect():
+        assert r["slope_ok"] and r["icept_ok"] and r["r2_ok"], r
