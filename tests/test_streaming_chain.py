@@ -406,3 +406,71 @@ def test_three_stream_join_chain_and_boundaries(spark, tmp_path):
         GroupStateTimeout.NoTimeout)
     with pytest.raises(Exception, match="[Uu]pdate output mode"):
         run_available_now(upd_mode, "chain3_update", timeout_s=120)
+
+
+def test_state_schema_change_on_checkpoint_is_refused(spark, tmp_path):
+    """Round 13 (operational pin): a stateful query's STATE STRUCT is
+    part of its checkpoint contract — resuming the SAME checkpoint
+    with a widened state schema must FAIL LOUDLY (the engine's state
+    schema compatibility check), never silently reinterpret persisted
+    state bytes. The operational path at 100 TB is a NEW checkpoint +
+    backfill; this pins that the engine enforces it."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    rows = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "k long, v long")
+    rows.coalesce(1).write.parquet(str(src / "b0"))
+    stream = (spark.readStream.schema(rows.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*/"))
+
+    def drain(state_schema, fn):
+        # foreachBatch, not the memory sink: memory refuses checkpoint
+        # RECOVERY outright ("does not support recovering"), so only a
+        # recoverable sink reaches the state schema check at all
+        got = []
+
+        def sink(bdf, _bid):
+            got.extend(tuple(r) for r in bdf.collect())
+
+        out = (stream.groupBy("k").applyInPandasWithState(
+            fn, "k long, n long", state_schema,
+            "update", GroupStateTimeout.NoTimeout))
+        q = (out.writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return got
+
+    def count_fn(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+    assert set(drain("n long", count_fn)) == {(1, 2), (2, 1)}
+
+    # second batch arrives; the operator now wants a WIDER state
+    rows2 = spark.createDataFrame([(1, 12)], "k long, v long")
+    rows2.coalesce(1).write.parquet(str(src / "b1"))
+
+    def count_fn_wide(key, pdfs, state):
+        n, extra = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n, extra + 1))
+        yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+    with pytest.raises(Exception) as ei:
+        drain("n long, extra long", count_fn_wide)
+    msg = str(ei.value)
+    assert ("STATE_STORE" in msg or "StateSchema" in msg
+            or "state schema" in msg.lower()), msg[:500]
+
+    # same schema resumes cleanly and folds the new batch
+    assert (1, 3) in set(drain("n long", count_fn))
