@@ -11124,6 +11124,58 @@ FROM per
 GROUP BY o_custkey
 """
 
+# q250: IGNORE NULLS analytics. The two engines place the modifier
+# differently — Spark `last_value(v) IGNORE NULLS`, DuckDB
+# `last_value(v IGNORE NULLS)` — so the body takes the three analytic
+# expressions as template slots; the SEMANTICS are identical (probed
+# on a hand-case first). One shared running frame keeps all three in
+# one Window node (CollapseWindow), and every output is a SELECTED
+# double (no accumulation) over a unique ordering key → exact.
+_Q250_FRAME = ("OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+_Q250_BODY = """
+WITH base AS (
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN NULL
+              ELSE CAST(o_totalprice AS DOUBLE) END AS v
+  FROM {o}
+)
+SELECT o_custkey, o_orderkey, v,
+       {locf} {frame} AS locf,
+       {fv} {frame} AS first_seen,
+       {nv2} {frame} AS second_seen
+FROM base
+"""
+
+
+def q250_ignore_nulls_analytics(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window analytics (round 13 — the SQL face of the
+    LOCF machinery events.gap_fill/q192 builds with the DataFrame
+    API: last-observation-carried-forward, first-seen, and
+    second-seen per key as plain SELECT expressions): every 4th
+    order's value is NULLed deterministically, then
+    last_value/first_value/nth_value(2) ALL with IGNORE NULLS over
+    ONE shared running frame — so CollapseWindow fuses the three
+    into a single Window node with one keyed exchange (pinned). The
+    oracle runs the same body on DuckDB with its modifier placement
+    (`f(v IGNORE NULLS)` vs Spark's `f(v) IGNORE NULLS` — the only
+    difference; semantics probed identical). Unique ordering key +
+    selected-not-accumulated doubles → exact."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q250_o")
+    return spark.sql(_Q250_BODY.format(
+        o="q250_o", frame=_Q250_FRAME,
+        locf="last_value(v) IGNORE NULLS",
+        fv="first_value(v) IGNORE NULLS",
+        nv2="nth_value(v, 2) IGNORE NULLS"))
+
+
+_Q250_SQL = _Q250_BODY.format(
+    o="orders", frame=_Q250_FRAME,
+    locf="last_value(v IGNORE NULLS)",
+    fv="first_value(v IGNORE NULLS)",
+    nv2="nth_value(v, 2 IGNORE NULLS)")
+
 
 
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11999,6 +12051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q247_nullsafe_join": q247_nullsafe_join,
         "q248_regr_aggregates_law": q248_regr_aggregates_law,
         "q249_map_functions": q249_map_functions,
+        "q250_ignore_nulls_analytics": q250_ignore_nulls_analytics,
     }
     return base
 
@@ -12256,4 +12309,5 @@ def oracle_sql() -> dict[str, str]:
         "q247_nullsafe_join": _Q247_SQL,
         "q248_regr_aggregates_law": _Q248_SQL,
         "q249_map_functions": _Q249_SQL,
+        "q250_ignore_nulls_analytics": _Q250_SQL,
     }

@@ -1921,3 +1921,83 @@ def test_q249_map_panel_two_aggregates_no_python(spark, sf_dir):
     assert any("," in r["big_entries"] for r in rows)
     assert any(r["big_entries"] == "" for r in rows) or all(
         r["big_entries"] for r in rows)
+
+
+def test_q250_three_ignore_nulls_one_window_node(spark, sf_dir):
+    """IGNORE NULLS analytics (round 13): the three analytics share
+    one frame, so CollapseWindow must fuse them into ONE Window node
+    with one keyed exchange; and the LOCF law holds: locf is v
+    wherever v is non-NULL, and never NULL after the key's first
+    observation."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q250_ignore_nulls_analytics"](
+        spark, sf_dir)
+    t = formatted_plan(df)
+    assert (_n_nodes(t, "Window")
+            - _n_nodes(t, "WindowGroupLimit")) == 1, t[:900]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+    rows = df.collect()
+    assert any(r["v"] is None for r in rows)
+    for r in rows:
+        if r["v"] is not None:
+            assert r["locf"] == r["v"], r
+        if r["first_seen"] is not None:
+            assert r["locf"] is not None, r
+
+
+def test_static_partition_pruning_on_partitioned_writes(spark, sf_dir,
+                                                        tmp_path):
+    """Physical layout (round 13): a `partitionBy` write produces
+    hive-style dirs and a filter on the partition column must prune
+    at PLANNING time — PartitionFilters on the scan, zero
+    PushedFilters needed, and the scan only lists the one matching
+    directory (the static sibling of the pinned DPP rule; the scd2
+    sink's bkt= layout relies on exactly this)."""
+    out = str(tmp_path / "part")
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .write.partitionBy("o_orderstatus").parquet(out)
+    df = spark.read.parquet(out).where(F.col("o_orderstatus") == "O") \
+        .groupBy().count()
+    t = formatted_plan(df)
+    assert "PartitionFilters" in t, t[:900]
+    import re as _re
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", t)
+    assert m and "o_orderstatus" in m.group(1), t[:900]
+    # the partition column never reaches data filters
+    pf = _re.search(r"PushedFilters: \[([^\]]*)\]", t)
+    assert pf is None or "o_orderstatus" not in pf.group(1), t[:900]
+    # and the count only sees the 'O' partition's rows
+    n_o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .where("o_orderstatus = 'O'").count())
+    assert df.collect()[0][0] == n_o
+
+
+def test_tablesample_is_layout_sensitive_unlike_weighted_sample(
+        spark, sf_dir):
+    """Sampling determinism (round 13, the rule behind
+    sampling.weighted_sample's existence, now MEASURED): TABLESAMPLE
+    ... REPEATABLE(seed) is Bernoulli over the PHYSICAL row stream,
+    so the selected set changes with partitioning — repartition(13)
+    yields a different sample under the same seed — while the
+    deterministic Efraimidis-Spirakis operator selects the identical
+    rows under any layout. Seeded != deterministic at cluster scale;
+    only key-hash-derived sampling survives a layout change."""
+    from openpolicedata_spark.operators.sampling import weighted_sample
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base.createOrReplaceTempView("ts_pin_o")
+    base.repartition(13).createOrReplaceTempView("ts_pin_o13")
+    q = "SELECT o_orderkey FROM {t} TABLESAMPLE (20 PERCENT) REPEATABLE (7)"
+    a = {r[0] for r in spark.sql(q.format(t="ts_pin_o")).collect()}
+    b = {r[0] for r in spark.sql(q.format(t="ts_pin_o13")).collect()}
+    assert a != b, "TABLESAMPLE unexpectedly layout-stable"
+
+    w1 = {r[0] for r in weighted_sample(
+        base, 50, "o_totalprice",
+        "o_orderkey").select("o_orderkey").collect()}
+    w2 = {r[0] for r in weighted_sample(
+        base.repartition(13), 50, "o_totalprice",
+        "o_orderkey").select("o_orderkey").collect()}
+    assert w1 == w2 and len(w1) == 50
