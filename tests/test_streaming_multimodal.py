@@ -1539,3 +1539,38 @@ def test_stateful_cap_per_key_batch_delegates(spark, sf_dir):
     assert a == b and len(a) > 0
     with _pytest.raises(ValueError, match="max_n"):
         stateful_cap_per_key(batch, "user_id", 0, ("event_id",))
+
+
+def test_stream_static_dim_join_equals_batch(spark, sf_dir):
+    """Round 13: the stream-STATIC join — the stateless enrichment
+    class (dimension lookup per micro-batch: no watermark, no join
+    state, the static side broadcasts into each batch) the
+    stream-stream family deliberately doesn't cover. Inner and left
+    parity with the batch join; a filtered dimension leaves real
+    unmatched rows, and the left arm keeps them with NULL dim
+    columns."""
+    from openpolicedata_spark.sources.file import read_parquet_repaired
+
+    batch = _events_batch(spark, sf_dir)
+    dim = (read_parquet_repaired(spark, f"{sf_dir}/customer.parquet")
+           .where(F.col("c_custkey") % 3 != 1)
+           .select(F.col("c_custkey").alias("user_id"),
+                   "c_mktsegment"))
+
+    def enrich(df, how):
+        return (df.select("event_id", "user_id")
+                .join(dim, "user_id", how)
+                .select("event_id", "user_id", "c_mktsegment"))
+
+    exp_inner = {tuple(r) for r in enrich(batch, "inner").collect()}
+    exp_left = {tuple(r) for r in enrich(batch, "left").collect()}
+    assert len(exp_left) > len(exp_inner)          # unmatched kept
+    assert any(r[2] is None for r in exp_left)     # with NULL dims
+
+    s = read_events_stream(spark, _events_path(sf_dir))
+    got_inner = {tuple(r) for r in run_available_now(
+        enrich(s, "inner"), "ss_dim_inner").collect()}
+    got_left = {tuple(r) for r in run_available_now(
+        enrich(s, "left"), "ss_dim_left").collect()}
+    assert got_inner == exp_inner
+    assert got_left == exp_left
