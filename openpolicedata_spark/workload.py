@@ -11176,6 +11176,97 @@ _Q250_SQL = _Q250_BODY.format(
     fv="first_value(v IGNORE NULLS)",
     nv2="nth_value(v, 2 IGNORE NULLS)")
 
+# q251: conditional/selection aggregates. The max_by/min_by ordering
+# value is made UNIQUE (cents·10^8 + orderkey — exact BIGINTs, unique
+# while orderkey < 10^8, true through sf1's 6·10^7) because ties make
+# arg-extrema nondeterministic; mode()'s winner is engineered strict
+# (half the rows share one sentinel value, every other value ≤ ~13%).
+_Q251_BODY = """
+WITH base AS (
+  SELECT o_orderstatus AS st, o_orderkey, o_custkey,
+         CAST(o_totalprice AS DOUBLE) AS price,
+         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             * 100000000 + o_orderkey AS uniq,
+         CASE WHEN o_custkey % 2 = 0 THEN -1
+              ELSE CAST(o_custkey % 5 AS INT) END AS m
+  FROM {o}
+)
+SELECT st,
+       CAST(count_if(price > 300000.0) AS BIGINT) AS n_big,
+       {every}(o_custkey >= 1) AS all_pos,
+       {any}(o_custkey % 997 = 0) AS has_997,
+       max_by(o_orderkey, uniq) AS priciest_key,
+       min_by(o_orderkey, uniq) AS cheapest_key,
+       CAST(mode(m) AS BIGINT) AS common_m
+FROM base GROUP BY st
+"""
+
+
+def q251_selection_aggregates(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Conditional + selection aggregates (round 13 — count_if /
+    every / any / max_by / min_by / mode, the one-call forms of the
+    CASE-WHEN-SUM and struct-min idioms the corpus hand-builds
+    elsewhere, e.g. q25's min_by dedup survivor): per order status.
+    The two determinism rules this query encodes (both bitten
+    elsewhere in this repo): arg-extrema (max_by/min_by) are
+    NONDETERMINISTIC under ordering ties — the ordering value here is
+    engineered unique (cents·10^8 + key, exact BIGINT) — and mode()
+    ties are engine-arbitrary, so the modal value is engineered a
+    strict majority winner. DuckDB spells every/any as
+    bool_and/bool_or (Spark accepts every/any; the oracle uses the
+    portable names). All outputs exact."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q251_o")
+    return spark.sql(_Q251_BODY.format(o="q251_o", every="every",
+                                       any="any"))
+
+
+_Q251_SQL = _Q251_BODY.format(o="orders", every="bool_and",
+                              any="bool_or")
+
+# q252: width_bucket histogram. DuckDB has no width_bucket — the
+# oracle replicates Spark's EXACT operand order ((v-min) divided by
+# the precomputed width (max-min)/n, floored, +1; <min → 0, >=max →
+# n+1), so boundary-sitting values bucket identically (same IEEE ops
+# in the same order — the q198 portability argument).
+_Q252_SPARK_BUCKET = ("width_bucket(CAST(o_totalprice AS DOUBLE), "
+                      "0.0D, 600000.0D, 12)")
+_Q252_DUCK_BUCKET = """
+CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN 0
+     WHEN CAST(o_totalprice AS DOUBLE) >= 600000.0 THEN 13
+     ELSE CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
+                     / ((600000.0 - 0.0) / 12)) AS BIGINT) + 1
+END"""
+_Q252_BODY = """
+SELECT o_orderstatus AS st,
+       CAST({bucket} AS BIGINT) AS bkt,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM {o}
+GROUP BY 1, 2
+"""
+
+
+def q252_width_bucket_histogram(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (round 13 — the
+    fixed-bounds binning surface; q102's percentile bins are the
+    data-driven sibling): order values bucketed into 12 equal bins
+    per status, with the under/overflow buckets 0 and n+1 that make
+    width_bucket total. DuckDB lacks the function, so the oracle
+    replays Spark's exact operand order — (v − min) / ((max −
+    min)/n), floored, +1 — which is bit-identical IEEE arithmetic,
+    so even a price sitting exactly on a bin boundary buckets the
+    same way. At 100 TB this is ONE map-side-combined aggregate (no
+    percentile state, no sort): the histogram every profiler
+    dashboard starts from. Counts + min-key anchor → exact."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q252_o")
+    return spark.sql(_Q252_BODY.format(o="q252_o",
+                                       bucket=_Q252_SPARK_BUCKET))
+
+
+_Q252_SQL = _Q252_BODY.format(o="orders", bucket=_Q252_DUCK_BUCKET)
+
 
 
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12052,6 +12143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_regr_aggregates_law": q248_regr_aggregates_law,
         "q249_map_functions": q249_map_functions,
         "q250_ignore_nulls_analytics": q250_ignore_nulls_analytics,
+        "q251_selection_aggregates": q251_selection_aggregates,
+        "q252_width_bucket_histogram": q252_width_bucket_histogram,
     }
     return base
 
@@ -12310,4 +12403,6 @@ def oracle_sql() -> dict[str, str]:
         "q248_regr_aggregates_law": _Q248_SQL,
         "q249_map_functions": _Q249_SQL,
         "q250_ignore_nulls_analytics": _Q250_SQL,
+        "q251_selection_aggregates": _Q251_SQL,
+        "q252_width_bucket_histogram": _Q252_SQL,
     }

@@ -2001,3 +2001,56 @@ def test_tablesample_is_layout_sensitive_unlike_weighted_sample(
         base.repartition(13), 50, "o_totalprice",
         "o_orderkey").select("o_orderkey").collect()}
     assert w1 == w2 and len(w1) == 50
+
+
+def test_q251_selection_aggregates_one_pass(spark, sf_dir):
+    """Selection aggregates (round 13): all six ride ONE grouped
+    aggregate pass — one exchange, a partial+final pair, zero
+    Python; and the engineered determinism holds: the modal sentinel
+    (-1) wins strictly in every group, and the max_by/min_by
+    ordering values are unique so the extrema keys are stable under
+    a 13-way reshuffle."""
+    from openpolicedata_spark.plans import _n_nodes
+    from openpolicedata_spark.workload import _Q251_BODY, _read
+
+    df = workload.queries()["q251_selection_aggregates"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert_max_exchanges(df, 1)
+    assert _n_nodes(t, "Scan parquet") == 1, t[:900]
+    assert_no_python_in_plan(df)
+    rows = {r["st"]: r for r in df.collect()}
+    assert rows and all(r["common_m"] == -1 for r in rows.values())
+
+    _read(spark, sf_dir, "orders").repartition(13) \
+        .createOrReplaceTempView("q251_pin_o")
+    alt = {r["st"]: r for r in spark.sql(_Q251_BODY.format(
+        o="q251_pin_o", every="every", any="any")).collect()}
+    for st, r in rows.items():
+        assert (r["priciest_key"], r["cheapest_key"]) \
+            == (alt[st]["priciest_key"], alt[st]["cheapest_key"]), st
+
+
+def test_q252_histogram_is_total_and_map_combined(spark, sf_dir):
+    """width_bucket histogram (round 13): ONE map-side-combined
+    aggregate (partial+final, one exchange, no sort, no percentile
+    state); the bucketing is TOTAL — per-status bucket counts sum to
+    the status row counts — and bucket ids stay within [0, n+1]."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q252_width_bucket_histogram"](
+        spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "HashAggregate") == 2, t[:900]
+    assert _n_nodes(t, "Sort") == 0, t[:900]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+    rows = df.collect()
+    assert all(0 <= r["bkt"] <= 13 for r in rows)
+    import collections
+    per_st = collections.Counter()
+    for r in rows:
+        per_st[r["st"]] += r["n"]
+    totals = {r["o_orderstatus"]: r["count"] for r in
+              spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .groupBy("o_orderstatus").count().collect()}
+    assert dict(per_st) == totals
