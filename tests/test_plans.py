@@ -2054,3 +2054,31 @@ def test_q252_histogram_is_total_and_map_combined(spark, sf_dir):
               spark.read.parquet(f"{sf_dir}/orders.parquet")
               .groupBy("o_orderstatus").count().collect()}
     assert dict(per_st) == totals
+
+
+def test_cluster_by_is_local_sort_no_global_order(spark, sf_dir):
+    """CLUSTER BY / DISTRIBUTE BY … SORT BY (round 13, plan-pin-only
+    — their row order is UNSPECIFIED SQL, the
+    LimitPushDownThroughWindow/DPP precedent): both forms must plan
+    ONE hash-partitioning Exchange plus a PARTITION-LOCAL Sort
+    (global=false) — never a global order (range partitioning). This
+    is the pre-write layout primitive: co-locate by key, sort within
+    files, cost one shuffle."""
+    import re as _re
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("cb_pin_o")
+    for q in ("SELECT o_custkey, o_orderkey FROM cb_pin_o "
+              "CLUSTER BY o_custkey",
+              "SELECT o_custkey, o_orderkey FROM cb_pin_o "
+              "DISTRIBUTE BY o_custkey SORT BY o_orderkey"):
+        df = spark.sql(q)
+        t = formatted_plan(df)
+        from openpolicedata_spark.plans import _n_nodes
+        assert _n_nodes(t, "Sort") == 1, t[:900]
+        assert "hashpartitioning(o_custkey" in t, t[:900]
+        assert "rangepartitioning" not in t, t[:900]
+        m = _re.search(r"\(\d+\) Sort\b.*?Arguments: \[([^\]]*)\], (\w+)",
+                       t, _re.S)
+        assert m and m.group(2) == "false", (m and m.groups(), t[:900])
+        assert_max_exchanges(df, 1)
