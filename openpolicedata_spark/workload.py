@@ -11267,6 +11267,50 @@ def q252_width_bucket_histogram(spark: SparkSession,
 
 _Q252_SQL = _Q252_BODY.format(o="orders", bucket=_Q252_DUCK_BUCKET)
 
+# q253: bitwise aggregates — identical body on both engines; the
+# masks derive from keys via portable integer arithmetic. AND/OR/XOR
+# are commutative+associative, so partial aggregation and any
+# partition order fold identically (unlike float sums, bit folds are
+# EXACT under reordering — the reason flag rollups can map-side
+# combine fearlessly at 100 TB).
+_Q253_BODY = """
+WITH flags AS (
+  SELECT o_orderstatus AS st,
+         CAST(1 AS BIGINT) * CAST(pow(2, o_custkey % 7) AS BIGINT)
+             AS one_hot,
+         o_custkey % 64 AS low6,
+         o_orderkey AS k
+  FROM {o}
+)
+SELECT st,
+       bit_or(one_hot) AS seen_mask,
+       bit_and(15 + low6 - (low6 % 16)) AS common_bits,
+       bit_xor(k) AS key_parity,
+       CAST(bit_count(bit_or(one_hot)) AS BIGINT) AS n_distinct_slots
+FROM flags GROUP BY st
+"""
+
+
+def q253_bitwise_aggregates(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Bitwise aggregate panel (round 13 — bit_or as the one-hot flag
+    rollup, bit_and as the all-rows-share-these-bits probe, bit_xor
+    as the order-free parity/checksum; q230's bitmap family handles
+    POSITIONS, these handle packed FLAG WORDS): per status, a
+    one-hot mask of custkey residue classes OR-folded to "which
+    slots occur", an AND-fold whose low nibble is forced to 1111
+    (so the common bits are provably the engineered ones), the XOR
+    parity of all order keys, and bit_count over the OR mask. The
+    scale point: AND/OR/XOR are commutative + associative, so these
+    fold EXACTLY under map-side combine and any partition order —
+    the property float sums lack — pinned by the 13-partition sweep.
+    Identical body on DuckDB. All-integer → exact."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q253_o")
+    return spark.sql(_Q253_BODY.format(o="q253_o"))
+
+
+_Q253_SQL = _Q253_BODY.format(o="orders")
+
 
 
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12145,6 +12189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_ignore_nulls_analytics": q250_ignore_nulls_analytics,
         "q251_selection_aggregates": q251_selection_aggregates,
         "q252_width_bucket_histogram": q252_width_bucket_histogram,
+        "q253_bitwise_aggregates": q253_bitwise_aggregates,
     }
     return base
 
@@ -12405,4 +12450,5 @@ def oracle_sql() -> dict[str, str]:
         "q250_ignore_nulls_analytics": _Q250_SQL,
         "q251_selection_aggregates": _Q251_SQL,
         "q252_width_bucket_histogram": _Q252_SQL,
+        "q253_bitwise_aggregates": _Q253_SQL,
     }

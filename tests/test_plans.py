@@ -2082,3 +2082,46 @@ def test_cluster_by_is_local_sort_no_global_order(spark, sf_dir):
                        t, _re.S)
         assert m and m.group(2) == "false", (m and m.groups(), t[:900])
         assert_max_exchanges(df, 1)
+
+
+def test_q253_bit_folds_map_combine_and_shuffle_invariance(spark, sf_dir):
+    """Bitwise aggregates (round 13): one partial+final pass (the
+    folds map-side combine — AND/OR/XOR are commutative+associative,
+    EXACT under any reorder, unlike float sums), and the engineered
+    invariants hold: the AND-fold's low nibble is all-ones, the OR
+    mask covers exactly the 7 one-hot slots, bit_count agrees."""
+    from openpolicedata_spark.plans import _n_nodes
+    from openpolicedata_spark.workload import _Q253_BODY, _read
+
+    df = workload.queries()["q253_bitwise_aggregates"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "HashAggregate") == 2, t[:900]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+    rows = df.collect()
+    for r in rows:
+        assert r["common_bits"] & 15 == 15, r
+        assert r["seen_mask"] == 127, r          # all 7 slots occur
+        assert r["n_distinct_slots"] == 7, r
+
+    _read(spark, sf_dir, "orders").repartition(13) \
+        .createOrReplaceTempView("q253_pin_o")
+    alt = {r["st"]: tuple(r) for r in
+           spark.sql(_Q253_BODY.format(o="q253_pin_o")).collect()}
+    assert {r["st"]: tuple(r) for r in rows} == alt
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """AQE partition coalescing (round 13 — the latency knob the
+    session enables by default): a small aggregate shuffled across
+    the configured 8 partitions must coalesce at AQE time — the
+    final adaptive plan carries an AQEShuffleRead marked `coalesced`
+    — so a 3-group aggregate never schedules 8 near-empty reduce
+    tasks. At 100 TB the same rule right-sizes every stage after a
+    selective filter without hand-tuning shuffle.partitions."""
+    df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .groupBy("o_orderstatus").count())
+    df.collect()
+    t = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in t, t[:800]
+    assert "coalesced" in t, t[:800]
