@@ -11311,6 +11311,56 @@ def q253_bitwise_aggregates(spark: SparkSession,
 
 _Q253_SQL = _Q253_BODY.format(o="orders")
 
+# q254: 16-digit candidate identifiers built deterministically from
+# keys; ~10% carry the correct Luhn check digit. The oracle replays
+# the full ISO/IEC 7812 digit fold (double every second digit from
+# the right, subtract 9 on overflow, sum % 10 == 0) independently —
+# the G.711-style spec-replay discipline: any divergence between the
+# engine builtin and the published algorithm breaks the hash.
+_Q254_CAND = ("concat(lpad(CAST(o_orderkey AS STRING), 9, '0'), "
+              "lpad(CAST(o_custkey % 1000000 AS STRING), 6, '0'), "
+              "CAST(o_orderkey % 10 AS STRING))")
+
+
+def q254_luhn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation (round 13 — `luhn_check`, the
+    identifier-validation pass a PII/compliance pipeline runs over
+    card-like digit strings before redaction routing; q55 redacts,
+    this VALIDATES): every order yields a deterministic 16-digit
+    candidate (9 key digits + 6 customer digits + a pseudo check
+    digit), and the engine builtin classifies it. The oracle does
+    NOT trust a reimplementation of luhn_check on the Spark side —
+    DuckDB independently replays the ISO/IEC 7812 fold itself
+    (list_transform over digit positions: double every second digit
+    from the right, subtract 9 on overflow, sum % 10 == 0), so the
+    builtin is pinned against the published algorithm, the
+    G.711-table discipline. Row-local, one scan, zero exchanges for
+    the validation itself; per-status counts aggregate on top.
+    ~10% of candidates validate (one check digit in ten is right)."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q254_o")
+    return spark.sql(f"""
+SELECT o_orderkey,
+       {_Q254_CAND} AS cand,
+       luhn_check({_Q254_CAND}) AS is_valid
+FROM q254_o
+""")
+
+
+_Q254_SQL = f"""
+WITH c AS (
+  SELECT o_orderkey, {_Q254_CAND} AS cand FROM orders
+)
+SELECT o_orderkey, cand,
+       list_sum(list_transform(range(1, len(cand) + 1), i ->
+         CASE WHEN (len(cand) - i) % 2 = 1
+              THEN CASE WHEN 2*CAST(substr(cand, i, 1) AS INT) > 9
+                        THEN 2*CAST(substr(cand, i, 1) AS INT) - 9
+                        ELSE 2*CAST(substr(cand, i, 1) AS INT) END
+              ELSE CAST(substr(cand, i, 1) AS INT) END)) % 10 = 0
+           AS is_valid
+FROM c
+"""
+
 
 
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12190,6 +12240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q251_selection_aggregates": q251_selection_aggregates,
         "q252_width_bucket_histogram": q252_width_bucket_histogram,
         "q253_bitwise_aggregates": q253_bitwise_aggregates,
+        "q254_luhn_validation": q254_luhn_validation,
     }
     return base
 
@@ -12451,4 +12502,5 @@ def oracle_sql() -> dict[str, str]:
         "q251_selection_aggregates": _Q251_SQL,
         "q252_width_bucket_histogram": _Q252_SQL,
         "q253_bitwise_aggregates": _Q253_SQL,
+        "q254_luhn_validation": _Q254_SQL,
     }

@@ -2125,3 +2125,24 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     t = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in t, t[:800]
     assert "coalesced" in t, t[:800]
+
+
+def test_q254_luhn_rowlocal_and_both_arms(spark, sf_dir):
+    """Luhn validation (round 13): row-local JVM expression — one
+    scan, zero exchanges, zero Python; both verdicts genuinely
+    present, the valid fraction ≈ 1/10 (exactly one check digit in
+    ten validates any 15-digit prefix), and the canonical
+    test-vector identity holds engine-side."""
+    df = workload.queries()["q254_luhn_validation"](spark, sf_dir)
+    from openpolicedata_spark.plans import _n_nodes
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Scan parquet") == 1, t[:800]
+    assert_max_exchanges(df, 0)
+    assert_no_python_in_plan(df)
+    rows = df.collect()
+    n_valid = sum(1 for r in rows if r["is_valid"])
+    assert 0 < n_valid < len(rows)
+    assert abs(n_valid / len(rows) - 0.1) < 0.03, n_valid
+    r = spark.sql("SELECT luhn_check('79927398713') a, "
+                  "luhn_check('79927398710') b").collect()[0]
+    assert r["a"] is True and r["b"] is False
