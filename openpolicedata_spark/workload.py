@@ -11225,17 +11225,20 @@ _Q251_SQL = _Q251_BODY.format(o="orders", every="bool_and",
                               any="bool_or")
 
 # q252: width_bucket histogram. DuckDB has no width_bucket — the
-# oracle replicates Spark's EXACT operand order ((v-min) divided by
-# the precomputed width (max-min)/n, floored, +1; <min → 0, >=max →
-# n+1), so boundary-sitting values bucket identically (same IEEE ops
-# in the same order — the q198 portability argument).
+# oracle replicates Spark's EXACT operand order:
+# n·(v−min) FIRST, then divided by (max−min), floored, +1 (<min → 0,
+# >=max → n+1). Operand order is LOAD-BEARING: both other groupings —
+# (v-min)/((max-min)/n) and ((v-min)/(max-min))·n — flip one bucket
+# on boundary values in the last ulp; the 2000-case seeded-random pin
+# in tests/test_plans.py caught 32/2000 flips under EACH wrong form
+# before this one matched every case.
 _Q252_SPARK_BUCKET = ("width_bucket(CAST(o_totalprice AS DOUBLE), "
                       "0.0D, 600000.0D, 12)")
 _Q252_DUCK_BUCKET = """
 CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN 0
      WHEN CAST(o_totalprice AS DOUBLE) >= 600000.0 THEN 13
-     ELSE CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
-                     / ((600000.0 - 0.0) / 12)) AS BIGINT) + 1
+     ELSE CAST(FLOOR((12 * (CAST(o_totalprice AS DOUBLE) - 0.0))
+                     / (600000.0 - 0.0)) AS BIGINT) + 1
 END"""
 _Q252_BODY = """
 SELECT o_orderstatus AS st,
@@ -11254,10 +11257,13 @@ def q252_width_bucket_histogram(spark: SparkSession,
     data-driven sibling): order values bucketed into 12 equal bins
     per status, with the under/overflow buckets 0 and n+1 that make
     width_bucket total. DuckDB lacks the function, so the oracle
-    replays Spark's exact operand order — (v − min) / ((max −
-    min)/n), floored, +1 — which is bit-identical IEEE arithmetic,
-    so even a price sitting exactly on a bin boundary buckets the
-    same way. At 100 TB this is ONE map-side-combined aggregate (no
+    replays Spark's exact operand order — n·(v − min) first, then
+    / (max − min), floored, +1 — which is bit-identical IEEE
+    arithmetic, so even a price sitting exactly on a bin boundary
+    buckets the same way (BOTH wrong groupings — precomputed width,
+    or ratio-then-scale — flip boundary buckets in the last ulp;
+    pinned by the randomized operand-order test in
+    tests/test_plans.py). At 100 TB this is ONE map-side-combined aggregate (no
     percentile state, no sort): the histogram every profiler
     dashboard starts from. Counts + min-key anchor → exact."""
     _read(spark, sf_dir, "orders").createOrReplaceTempView("q252_o")

@@ -2146,3 +2146,40 @@ def test_q254_luhn_rowlocal_and_both_arms(spark, sf_dir):
     r = spark.sql("SELECT luhn_check('79927398713') a, "
                   "luhn_check('79927398710') b").collect()[0]
     assert r["a"] is True and r["b"] is False
+
+
+def test_width_bucket_matches_spelled_formula_randomized(spark):
+    """q252's oracle rests on the EXACT operand order of Spark's
+    width_bucket: `floor(n * (v - lo) / (hi - lo)) + 1` — n times
+    the offset FIRST, then one division (Spark's
+    WidthBucket.computeBucketNumber). BOTH other groupings flipped
+    32/2000 seeded-random boundary cases when this test ran against
+    them — `(v-lo)/((hi-lo)/n)` (precomputed width) and
+    `((v-lo)/(hi-lo))*n` (ratio then scale) each differ from the
+    builtin in the last ulp exactly on boundaries. Pinned on 2000
+    cases INSIDE Spark, 30% constructed to land on boundaries; with
+    the operand order matched, the DuckDB replay only needs IEEE
+    determinism, which multiply, divide, and floor guarantee."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    lo = rng.uniform(-1e6, 1e6, 2000)
+    hi = lo + rng.uniform(1e-3, 1e6, 2000)
+    n = rng.integers(1, 65, 2000)
+    v = np.where(rng.random(2000) < 0.3,
+                 # 30% land EXACTLY on a bucket boundary (of the
+                 # width-form — adversarial for the operand order)
+                 lo + (hi - lo) / n * rng.integers(0, 66, 2000),
+                 rng.uniform(lo - 1e5, hi + 1e5))
+    pdf = pd.DataFrame({"v": v, "lo": lo, "hi": hi,
+                        "n": n.astype("int64")})
+    df = spark.createDataFrame(pdf)
+    bad = df.selectExpr(
+        "width_bucket(v, lo, hi, n) AS builtin",
+        "CASE WHEN v < lo THEN CAST(0 AS BIGINT) "
+        "     WHEN v >= hi THEN n + 1 "
+        "     ELSE CAST(FLOOR((n * (v - lo)) / (hi - lo)) AS BIGINT)"
+        "          + 1 END AS spelled"
+    ).where("builtin IS DISTINCT FROM spelled")
+    assert bad.count() == 0, bad.take(5)
