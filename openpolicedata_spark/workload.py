@@ -11368,6 +11368,45 @@ FROM c
 """
 
 
+def q255_weighted_percentile(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Weighted exact percentile (round 13 — `percentile(x, p, freq)`:
+    the token-weighted quality-cutoff shape, where a document's
+    influence on the threshold is its token count, not 1; q102's
+    unweighted bins are the freq=1 special case): per status, the
+    weighted p50/p90 of order value under a deterministic integer
+    weight (orderkey%7+1). Semantically freq means "this row, that
+    many times", so the oracle EXPANDS each row by its weight in
+    DuckDB (unnest(range(w)) — the scalar-list lateral form) and
+    takes plain quantile_cont, riding the verified q102 interpolation
+    identity. Raw doubles out (IEEE-exact interpolation both
+    engines). The exact-percentile scale gotcha applies doubly here —
+    the buffer is Σfreq values, not row count; q241's approx law is
+    the 100 TB form."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("q255_o")
+    return spark.sql("""
+WITH p AS (
+  SELECT o_orderstatus AS st,
+         percentile(CAST(o_totalprice AS DOUBLE),
+                    array(0.5D, 0.9D), o_orderkey % 7 + 1) AS pct
+  FROM q255_o GROUP BY o_orderstatus
+)
+SELECT st, pct[0] AS p50_w, pct[1] AS p90_w FROM p
+""")
+
+
+_Q255_SQL = """
+WITH expanded AS (
+  SELECT o_orderstatus AS st, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders, unnest(range(o_orderkey % 7 + 1))
+)
+SELECT st,
+       quantile_cont(v, 0.5) AS p50_w,
+       quantile_cont(v, 0.9) AS p90_w
+FROM expanded GROUP BY st
+"""
+
+
 
 def q158_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 µ-law/A-law decode, VALUE-pinned against an independent
@@ -12247,6 +12286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_width_bucket_histogram": q252_width_bucket_histogram,
         "q253_bitwise_aggregates": q253_bitwise_aggregates,
         "q254_luhn_validation": q254_luhn_validation,
+        "q255_weighted_percentile": q255_weighted_percentile,
     }
     return base
 
@@ -12509,4 +12549,5 @@ def oracle_sql() -> dict[str, str]:
         "q252_width_bucket_histogram": _Q252_SQL,
         "q253_bitwise_aggregates": _Q253_SQL,
         "q254_luhn_validation": _Q254_SQL,
+        "q255_weighted_percentile": _Q255_SQL,
     }

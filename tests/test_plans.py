@@ -2183,3 +2183,30 @@ def test_width_bucket_matches_spelled_formula_randomized(spark):
         "          + 1 END AS spelled"
     ).where("builtin IS DISTINCT FROM spelled")
     assert bad.count() == 0, bad.take(5)
+
+
+def test_q255_weighted_percentile_equals_expansion(spark, sf_dir):
+    """Weighted percentile (round 13): the freq argument must equal
+    EXPANDING each row freq times — pinned in-engine by exploding
+    the weights and taking the unweighted percentile (bit-equal
+    doubles), plus the plan shape: ObjectHashAggregate (percentile
+    is TypedImperative), one exchange."""
+    df = workload.queries()["q255_weighted_percentile"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert "ObjectHashAggregate" in t, t[:900]
+    assert_max_exchanges(df, 1)
+    assert_no_python_in_plan(df)
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("q255_pin_o")
+    exp = spark.sql("""
+        SELECT o_orderstatus AS st,
+               percentile(CAST(o_totalprice AS DOUBLE),
+                          array(0.5D, 0.9D)) AS pct
+        FROM (SELECT o_orderstatus, o_totalprice,
+                     explode(sequence(1, o_orderkey % 7 + 1))
+              FROM q255_pin_o)
+        GROUP BY o_orderstatus""")
+    want = {r["st"]: (r["pct"][0], r["pct"][1]) for r in exp.collect()}
+    got = {r["st"]: (r["p50_w"], r["p90_w"]) for r in df.collect()}
+    assert got == want and len(got) == 3
