@@ -2210,3 +2210,30 @@ def test_q255_weighted_percentile_equals_expansion(spark, sf_dir):
     want = {r["st"]: (r["pct"][0], r["pct"][1]) for r in exp.collect()}
     got = {r["st"]: (r["p50_w"], r["p90_w"]) for r in df.collect()}
     assert got == want and len(got) == 3
+
+
+def test_q244_instr_equals_strpos_of_first_match_randomized(spark):
+    """q244's oracle replays regexp_instr as strpos(s, first_match) —
+    valid for '[0-9]+' because the leftmost match starts at the
+    FIRST digit and any occurrence of the matched string must itself
+    start with a digit. Pinned on 3000 seeded-random alnum strings
+    INSIDE Spark: regexp_instr(s, '[0-9]+') equals
+    CASE WHEN no match THEN 0 ELSE instr(s, regexp_substr(...)) END
+    on every row."""
+    import random
+    import string
+
+    import pandas as pd
+
+    rnd = random.Random(42)
+    alphabet = string.ascii_lowercase + string.digits
+    rows = ["".join(rnd.choice(alphabet)
+                    for _ in range(rnd.randint(0, 24)))
+            for _ in range(3000)]
+    df = spark.createDataFrame(pd.DataFrame({"s": rows}))
+    bad = df.selectExpr(
+        "regexp_instr(s, '[0-9]+') AS builtin",
+        "CASE WHEN regexp_substr(s, '[0-9]+') IS NULL THEN 0 "
+        "     ELSE instr(s, regexp_substr(s, '[0-9]+')) END AS spelled"
+    ).where("builtin != spelled")
+    assert bad.count() == 0, bad.take(5)
