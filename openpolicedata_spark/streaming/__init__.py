@@ -2036,6 +2036,106 @@ def read_enriched(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.parquet(out_path).drop("batch")
 
 
+def windowed_topk_sink(events: DataFrame, out_path: str, k: int = 3,
+                       window: str = "6 hours",
+                       watermark: str = "1 day",
+                       key_col: str = "event_type",
+                       ts_col: str = "ts",
+                       checkpoint_dir: Optional[str] = None,
+                       query_name: str = "wtopk",
+                       timeout_s: int = 300) -> "list":
+    """Per-window top-k (round 13 — the trending-topics shape: "the k
+    busiest keys of every closed window", published exactly-once as
+    each window closes): a tumbling-window count aggregate runs in
+    APPEND mode, so a (window, key) row reaches the sink exactly once
+    — when the watermark passes the window's end — and EVERY key of
+    that window arrives in the SAME micro-batch (they all close at
+    the same watermark crossing; late rows after that are dropped by
+    the watermark, never re-opening the window). That invariant is
+    what makes the per-batch rank correct: the foreachBatch body
+    ranks rows per window (count desc, key asc — the full tiebreak
+    that keeps top-k deterministic) entirely within the batch, keeps
+    rank ≤ k, and publishes the batch as its own `batch=<id>/`
+    directory via the rename-aside stage (directory presence IS the
+    replay marker — the scd2_enrich_sink exactly-once discipline,
+    incl. the per-run namespace token under ephemeral checkpoints
+    and the stale-stage sweep; one writer per out_path). Read with
+    `read_topk`.
+
+    Why a sink at all: streaming cannot chain a rank WINDOW FUNCTION
+    after an aggregate (analytic windows are unsupported on
+    streaming DataFrames, and rank-after-agg would be a second
+    stateful op in a shape the engine rejects) — the batch boundary
+    of append-mode emission is exactly where the rank becomes a
+    plain batch computation over complete windows.
+
+    Scale: aggregate state is O(open windows × keys) watermark-
+    bounded; each batch holds only freshly-closed windows' (key,
+    count) rows — the rank is over those, never the stream. Batch ≡
+    stream parity and replay are tested in
+    tests/test_streaming_chain.py. Cites: reference has no streaming
+    (SURVEY.md §2.11)."""
+    import os
+    import uuid
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    clash = {"batch", "__rank__", "w_start", "n"} & set(events.columns)
+    if clash - {ts_col, key_col}:
+        raise ValueError(f"event columns {sorted(clash)} are reserved "
+                         f"by windowed_topk_sink's layout")
+    counts = (
+        _with_watermark_once(events, ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), F.col(key_col),
+                F.col("n")))
+    guarded = checkpoint_dir is not None
+    run_tok = "" if guarded else uuid.uuid4().hex[:8] + "-"
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        # FULL consumption first: the upstream aggregate is STATEFUL,
+        # and Spark 4 validates that foreachBatch commits every
+        # partition's state store (STATE_STORE_COMMIT_VALIDATION_
+        # FAILED on a head(1) guard or an early return — measured
+        # round 13; a stateless sink like scd2_enrich_sink never
+        # trips this, which is why its head(1) guard is fine)
+        n_rows = batch.count()
+        if n_rows == 0:
+            return
+        final = os.path.join(out_path, f"batch={run_tok}{batch_id}")
+        if os.path.isdir(final):
+            return  # replay: this batch already published atomically
+        from pyspark.sql import Window as W
+        ranked = batch.withColumn(
+            "__rank__",
+            F.row_number().over(
+                W.partitionBy("w_start")
+                .orderBy(F.col("n").desc(), F.col(key_col))))
+        out = ranked.where(F.col("__rank__") <= k) \
+            .withColumnRenamed("__rank__", "rank")
+        import glob as _glob
+        import shutil
+
+        os.makedirs(out_path, exist_ok=True)
+        for stale in _glob.glob(os.path.join(out_path, ".stage_*")):
+            shutil.rmtree(stale, ignore_errors=True)
+        stage = os.path.join(out_path,
+                             f".stage_{run_tok}{batch_id}__")
+        out.write.mode("overwrite").parquet(stage)
+        os.rename(stage, final)  # atomic publish = idempotent marker
+
+    return _run_merge_sink(counts, body, checkpoint_dir, query_name,
+                           timeout_s)
+
+
+def read_topk(spark: SparkSession, out_path: str) -> DataFrame:
+    """Public read of a `windowed_topk_sink` output — hive-partitioned
+    per publishing batch; the provenance column drops here (read the
+    path directly to keep it)."""
+    return spark.read.parquet(out_path).drop("batch")
+
+
 def stateful_gap_fill(
     df: DataFrame,
     key_col: str = "user_id",

@@ -474,3 +474,122 @@ def test_state_schema_change_on_checkpoint_is_refused(spark, tmp_path):
 
     # same schema resumes cleanly and folds the new batch
     assert (1, 3) in set(drain("n long", count_fn))
+
+
+def _topk_expected(spark, frame, k=2):
+    from pyspark.sql import Window as W
+
+    counts = (frame.groupBy(F.window("ts", "6 hours").alias("w"),
+                            "event_type")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("w_start"),
+                      "event_type", "n"))
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(
+            W.partitionBy("w_start")
+            .orderBy(F.col("n").desc(), F.col("event_type"))))
+    return {tuple(r) for r in ranked.where(
+        (F.col("rank") <= k) & (F.col("w_start") <
+                                F.lit("2029-01-01").cast("timestamp")))
+        .collect()}
+
+
+def test_windowed_topk_sink_equals_batch(spark, sf_dir, tmp_path):
+    """Round 13: the per-window top-k sink must publish, for every
+    CLOSED window, exactly the batch top-k (count desc, key asc
+    tiebreak) — a far-future heartbeat closes every real window, and
+    its own window is excluded from both sides. Also pins the
+    closure invariant the sink's rank depends on: every published
+    window carries at least k distinct keys' rows from ONE batch."""
+    import glob as _glob
+    import shutil
+
+    from openpolicedata_spark.streaming import (
+        read_events_stream,
+        read_topk,
+        windowed_topk_sink,
+    )
+
+    watch = tmp_path / "ev"
+    watch.mkdir()
+    shutil.copy(_events_path(sf_dir), str(watch / "a.parquet"))
+    batch = _events_batch(spark, sf_dir)
+    ts_t = dict(batch.dtypes)["ts"]
+    hb = (spark.createDataFrame(
+        [(10**9, "2030-01-01 00:00:00", -1, "hb", 0.0, "{}")],
+        "event_id long, t string, user_id long, event_type string, "
+        "value double, props string")
+        .withColumn("ts", F.col("t").cast(ts_t)).drop("t")
+        .select(*batch.columns))
+    hbdir = tmp_path / "hb_stage"
+    hb.coalesce(1).write.parquet(str(hbdir))
+    shutil.move(_glob.glob(str(hbdir / "part-*.parquet"))[0],
+                str(watch / "b.parquet"))
+
+    expected = _topk_expected(spark, batch.unionByName(hb), k=2)
+    assert expected and len({w for w, _, _, _ in expected}) > 1
+    # ties exist in real data → the key tiebreak is load-bearing
+    out = str(tmp_path / "topk")
+    s = read_events_stream(spark, str(watch))
+    windowed_topk_sink(s, out, k=2, window="6 hours",
+                       watermark="0 seconds", query_name="wtopk_t1")
+    got = {tuple(r) for r in read_topk(spark, out).where(
+        F.col("w_start") < F.lit("2029-01-01").cast("timestamp"))
+        .select("w_start", "event_type", "n", "rank").collect()}
+    assert got == expected
+
+
+def test_windowed_topk_sink_replay_is_exactly_once(spark, sf_dir,
+                                                   tmp_path):
+    """Round 13: redelivering a committed batch (commits-log deletion,
+    the established crash simulation) must NOT duplicate any window's
+    rows — directory presence is the marker."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from openpolicedata_spark.streaming import (
+        read_events_stream,
+        read_topk,
+        windowed_topk_sink,
+    )
+
+    watch = tmp_path / "ev"
+    watch.mkdir()
+    shutil.copy(_events_path(sf_dir), str(watch / "a.parquet"))
+    batch = _events_batch(spark, sf_dir)
+    ts_t = dict(batch.dtypes)["ts"]
+    hb = (spark.createDataFrame(
+        [(10**9, "2030-01-01 00:00:00", -1, "hb", 0.0, "{}")],
+        "event_id long, t string, user_id long, event_type string, "
+        "value double, props string")
+        .withColumn("ts", F.col("t").cast(ts_t)).drop("t")
+        .select(*batch.columns))
+    hbdir = tmp_path / "hb_stage"
+    hb.coalesce(1).write.parquet(str(hbdir))
+    shutil.move(_glob.glob(str(hbdir / "part-*.parquet"))[0],
+                str(watch / "b.parquet"))
+
+    out = str(tmp_path / "topk")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(name):
+        s = read_events_stream(spark, str(watch),
+                               max_files_per_trigger=1)
+        windowed_topk_sink(s, out, k=2, window="6 hours",
+                           watermark="0 seconds", checkpoint_dir=ckpt,
+                           query_name=name)
+
+    drain("wtopk_r1")
+    first = sorted(tuple(r) for r in read_topk(spark, out).collect())
+    assert first
+    # redeliver the last committed batch
+    last = max(int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+               if f.isdigit())
+    os.remove(os.path.join(ckpt, "commits", str(last)))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.isfile(crc):
+        os.remove(crc)
+    drain("wtopk_r2")
+    again = sorted(tuple(r) for r in read_topk(spark, out).collect())
+    assert again == first
