@@ -201,16 +201,25 @@ BINARY_FEATURES_SCHEMA = "media_id long, byte_len long, digest string, mean_pixe
 
 
 def binary_features(df: DataFrame, content_col: str = "content",
-                    id_col: str = "media_id") -> DataFrame:
+                    id_col: str = "media_id",
+                    with_decode: bool = True) -> DataFrame:
     """Per-item features over the binary payload via Arrow-batched
     mapInPandas: exact byte length + md5 digest (both independently
     computable by the SQL oracle) + mean pseudo-pixel from the fake decode
-    (exercises the decode→ndarray→feature path)."""
+    (exercises the decode→ndarray→feature path).
+
+    ``with_decode=False`` skips the fake-decode mean_pixel column
+    entirely (r13 optimization): Catalyst cannot prune INSIDE a
+    mapInPandas function, so a caller that only wants byte_len/digest
+    (q34) would otherwise pay the per-row decode→ndarray→mean for a
+    column it immediately drops — guide §4.1's don't-compute-what-you-
+    throw-away applied at the UDF boundary (measured 1.50x on q34 at
+    sf0.1)."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf[content_col]
-            yield pd.DataFrame({
+            cols = {
                 "media_id": pdf[id_col],
                 # NULL content → NULL length (SQL octet_length semantics;
                 # an empty-but-present payload is byte_len 0, a missing
@@ -219,12 +228,16 @@ def binary_features(df: DataFrame, content_col: str = "content",
                     lambda b: len(b) if b is not None else None),
                 "digest": content.map(
                     lambda b: hashlib.md5(b).hexdigest() if b is not None else None),
-                "mean_pixel": content.map(
-                    lambda b: float(fake_decode(bytes(b)).mean()) if b is not None else None),
-            })
+            }
+            if with_decode:
+                cols["mean_pixel"] = content.map(
+                    lambda b: float(fake_decode(bytes(b)).mean()) if b is not None else None)
+            yield pd.DataFrame(cols)
 
+    schema = (BINARY_FEATURES_SCHEMA if with_decode
+              else "media_id long, byte_len long, digest string")
     return df.select(id_col, content_col).mapInPandas(
-        compute, schema=BINARY_FEATURES_SCHEMA)
+        compute, schema=schema)
 
 
 RESIZE_SCHEMA = "media_id long, height int, width int, pixels binary"

@@ -12,7 +12,7 @@ rather than a full sort.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -159,6 +159,7 @@ def global_running_total(
     tiebreak_cols: Sequence[str] = (),
     n_buckets: int = 64,
     out_col: str = "cum_before",
+    bounds: Optional[Sequence[float]] = None,
 ) -> DataFrame:
     """EXCLUSIVE global running total of `weight_col` in (`order_col`,
     `tiebreak_cols`) order — without the single-task global window that
@@ -188,8 +189,23 @@ def global_running_total(
     straddle buckets (boundaries compare strictly), and `tiebreak_cols`
     order rows within an equal-value run deterministically."""
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
-    bounds: list = []
-    if n_buckets > 1:
+    if bounds is not None:
+        # Caller-provided monotone cut points (data-INDEPENDENT). The
+        # output never depends on where cuts fall — offsets come from the
+        # real per-bucket totals below — so a caller whose order key is
+        # uniform BY CONSTRUCTION (budget_hash_expr's md5 mod 2^62) can
+        # hand over equal-width cuts of the hash domain and skip the
+        # whole approx_percentile planning job: one driver job and one
+        # GK-sketch pass over (order, weight) removed (r13 optimization;
+        # measured 1.11-1.15x on q112 at sf0.1 — at 100 TB it is a full
+        # data pass that no longer runs). Balance, not correctness, is
+        # the caller's burden. No checkpoint either: slim now feeds only
+        # the totals job.
+        bounds = list(bounds)
+        n_buckets = len(bounds) + 1
+        slim = df.select(oc.alias("__ord__"),
+                         F.col(weight_col).alias("__w__"))
+    elif n_buckets > 1:
         slim = df.select(oc.alias("__ord__"),
                          F.col(weight_col).alias("__w__"))
         slim = slim.localCheckpoint(eager=False)
@@ -200,6 +216,7 @@ def global_running_total(
         ).alias("__bs__")).first()
         bounds = list(row["__bs__"] or [])
     else:
+        bounds = []
         slim = df.select(oc.alias("__ord__"),
                          F.col(weight_col).alias("__w__"))
 
@@ -257,12 +274,25 @@ def token_budget_sample(
 
     Built on `global_running_total` (bucketed distributed prefix sum) —
     no single-task window, no driver materialization beyond `n_buckets`
-    offsets."""
+    offsets. The order key is md5 mod 2^62 — uniform by construction —
+    so the bucket cuts are EQUAL-WIDTH slices of the hash domain passed
+    straight in (`bounds=`): the operator's approx_percentile planning
+    job never runs (r13; one driver job + one full (order, weight) pass
+    removed, output bit-identical since offsets come from real bucket
+    totals)."""
     d = df.withColumn("__h__", budget_hash_expr(F.col(key_col), seed))
     out = global_running_total(
         d, weight_col, "__h__", tiebreak_cols=(key_col,),
-        n_buckets=n_buckets, out_col=cum_col)
+        n_buckets=n_buckets, out_col=cum_col,
+        bounds=_hash_domain_bounds(n_buckets))
     return out.where(F.col(cum_col) < budget).drop("__h__")
+
+
+def _hash_domain_bounds(n_buckets: int) -> list[int]:
+    """Equal-width interior cut points of budget_hash_expr's [0, 2^62)
+    domain — the data-independent bounds for hash-ordered prefix sums."""
+    step = (1 << 62) // max(n_buckets, 1)
+    return [i * step for i in range(1, n_buckets)]
 
 
 def stratified_sample(

@@ -920,6 +920,7 @@ def pack_fixed_sequences(
     ceil-bounded fragments). Deterministic: order is the portable hash
     of `key_col`, so every rerun and engine cuts identical sequences."""
     from openpolicedata_spark.operators.sampling import (
+        _hash_domain_bounds,
         budget_hash_expr,
         global_running_total,
     )
@@ -928,9 +929,12 @@ def pack_fixed_sequences(
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     d = (df.where(F.col(weight_col) > 0)
          .withColumn("__h__", budget_hash_expr(F.col(key_col), seed)))
+    # hash-ordered → equal-width domain cuts, no percentile planning job
+    # (see token_budget_sample; output invariant to cut placement)
     cum = global_running_total(
         d, weight_col, "__h__", tiebreak_cols=(key_col,),
-        n_buckets=n_buckets, out_col="__cum__")
+        n_buckets=n_buckets, out_col="__cum__",
+        bounds=_hash_domain_bounds(n_buckets))
     n = F.col(weight_col).cast("long")
     c = F.col("__cum__").cast("long")
     L = F.lit(seq_len).cast("long")

@@ -939,12 +939,16 @@ WHERE {cos} >= 0.999
 def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: text bytes wrapped as opaque media content,
     features extracted via Arrow-batched mapInPandas. byte_len and md5
-    digest are independently computable by the oracle."""
+    digest are independently computable by the oracle. with_decode=False:
+    the query discards mean_pixel, and Catalyst can't prune inside the
+    mapInPandas function — skipping the fake decode measured 1.50x at
+    sf0.1 (r13)."""
     from openpolicedata_spark.operators.multimodal import attach_payload, binary_features
 
     d = _read(spark, sf_dir, "documents")
     media = attach_payload(d, "text", "doc_id", mime="text/plain")
-    return binary_features(media).select("media_id", "byte_len", "digest")
+    return (binary_features(media, with_decode=False)
+            .select("media_id", "byte_len", "digest"))
 
 
 _Q34_SQL = """
@@ -4261,9 +4265,10 @@ def q112_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus subsample: hash-order the documents and keep
     them until 20k tokens are claimed (`sampling.token_budget_sample` —
     the "exactly ~N tokens of this mix" primitive). The global exclusive
-    cumsum runs as a bucketed distributed prefix sum (percentile
-    boundaries + per-bucket offsets + a bucket-partitioned window), NOT
-    the single-task `SUM() OVER (ORDER BY …)` the oracle uses — same
+    cumsum runs as a bucketed distributed prefix sum (equal-width cuts
+    of the hash domain — data-independent, so no percentile planning
+    job — + per-bucket offsets + a bucket-partitioned window), NOT the
+    single-task `SUM() OVER (ORDER BY …)` the oracle uses — same
     answer, scale-safe plan; the order key is md5lower64 mod 2^62 so the
     unsigned oracle sorts identically."""
     from openpolicedata_spark.operators.sampling import token_budget_sample

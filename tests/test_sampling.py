@@ -218,6 +218,49 @@ class TestTokenBudgetSample:
         assert "SinglePartition" in formatted_plan(naive)
 
 
+def test_global_running_total_explicit_bounds_identical(spark):
+    """r13 fast path: caller-provided monotone cut points must give
+    byte-identical output to the approx_percentile planning path (the
+    documented invariant: offsets come from real per-bucket totals, so
+    ANY monotone cut is correct), including degenerate cuts that leave
+    buckets empty."""
+    from openpolicedata_spark.operators.sampling import (
+        _hash_domain_bounds,
+        global_running_total,
+    )
+
+    df = spark.createDataFrame([(i, 1 + (i * 13) % 9) for i in range(200)],
+                               "doc_id long, w long")
+    oc = F.col("doc_id").cast("double")
+    base = {r["doc_id"]: r["cum_before"]
+            for r in global_running_total(
+                df, "w", oc, tiebreak_cols=("doc_id",), n_buckets=8).collect()}
+    for bounds in ([25.0, 50.0, 100.0, 150.0],    # uneven cuts
+                   [500.0, 600.0],                # all rows in bucket 1
+                   [-5.0, -1.0],                  # all rows in the last
+                   _hash_domain_bounds(8)):       # way out of range too
+        got = {r["doc_id"]: r["cum_before"]
+               for r in global_running_total(
+                   df, "w", oc, tiebreak_cols=("doc_id",),
+                   bounds=bounds).collect()}
+        assert got == base, bounds
+
+
+def test_token_budget_sample_skips_percentile_planning(spark):
+    """token_budget_sample's order key is uniform by construction, so
+    its plan must NOT contain an approx_percentile planning pass (the
+    r13 fast path) — while still bucketing the window."""
+    from openpolicedata_spark.operators.sampling import token_budget_sample
+    from openpolicedata_spark.plans import formatted_plan
+
+    df = spark.createDataFrame([(i, 10) for i in range(100)],
+                               "doc_id long, w long")
+    out = token_budget_sample(df, 200, "w", "doc_id", n_buckets=8)
+    t = formatted_plan(out)
+    assert "approx_percentile" not in t
+    assert "hashpartitioning(__bucket__" in t
+
+
 def test_global_running_total_float_weights_not_truncated(spark):
     """Offsets collected from float weights must keep their fraction —
     int() truncation would shift every later bucket's cumsum."""

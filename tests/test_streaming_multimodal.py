@@ -83,6 +83,24 @@ def test_attach_payload_and_features(spark):
     assert feats[3].byte_len is None and feats[3].digest is None
 
 
+def test_binary_features_without_decode(spark):
+    """r13: with_decode=False must drop mean_pixel from the OUTPUT
+    SCHEMA (so the per-row fake decode never runs — Catalyst cannot
+    prune inside mapInPandas) while byte_len/digest stay identical to
+    the full path, including the NULL-payload row."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark at scale"), (3, None)],
+        "media_id long, text string")
+    media = attach_payload(df, "text", "media_id", mime="text/plain")
+    slim = binary_features(media, with_decode=False)
+    assert [f.name for f in slim.schema.fields] == [
+        "media_id", "byte_len", "digest"]
+    want = {r.media_id: (r.byte_len, r.digest)
+            for r in binary_features(media).collect()}
+    got = {r.media_id: (r.byte_len, r.digest) for r in slim.collect()}
+    assert got == want
+
+
 def test_resize_images_batch_shape(spark):
     df = spark.createDataFrame([(1, bytearray(b"imgbytes"))],
                                "media_id long, content binary")

@@ -1,0 +1,625 @@
+#!/usr/bin/env python
+"""Round-13 optimization A/B rig: candidate restructures vs the shipped
+queries, timed interleaved in ONE session (min of N), plus a row-level
+equality check of old vs new output so a restructure can't silently
+change what a query computes.
+
+Usage: python tools/ab_candidates.py [--reps 3] [pair-name ...]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import pandas as pd  # noqa: F401
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# candidates
+# --------------------------------------------------------------------------
+
+def q88_new(spark, sf_dir):
+    """Two-level aggregation: (doc_id, token) counts first, then derive
+    both the corpus frequency table and the per-doc rollup from that ONE
+    aggregate — the tokenize+explode runs once (shared exchange) instead
+    of once per branch (guide §2.3 aggregate-before-shuffle, §2.4 shared
+    exchange; the old plan shows TWO Generate+scan subtrees because
+    column pruning split the 'shared' rebalance exchanges)."""
+    from openpolicedata_spark.functions.text import (
+        normalize_text_expr,
+        tokens_expr,
+    )
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.workload import _read
+
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = d.select(
+        "doc_id",
+        F.explode(tokens_expr(normalize_text_expr(F.col("text")))).alias("token"),
+    )
+    dt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = dt.groupBy("token").agg(F.sum("cnt").alias("cf"))
+    return (
+        dt.join(freq, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.when(F.col("cf") <= 2, F.col("cnt"))
+                  .otherwise(F.lit(0).cast("long"))).alias("n_rare"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_rare",
+            F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias("rare_share"),
+        )
+    )
+
+
+def q98_new(spark, sf_dir):
+    """Token counts ONCE, then both the CMS cells (weighted by count)
+    and the top-20 derive from the same aggregate: sum-of-counts per cell
+    == count-of-occurrences per cell, so the sketch is identical while
+    the tokenize and the 4-way cell explode run over distinct tokens
+    instead of every occurrence."""
+    from openpolicedata_spark.functions.text import (
+        md5lower64_expr,
+        normalize_text_expr,
+    )
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.sketch import (
+        countmin_lookup,
+        _salted,
+    )
+    from openpolicedata_spark.workload import _read
+
+    d = rebalance(_read(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(F.filter(
+            F.split(normalize_text_expr(F.col("text")), " "),
+            lambda t: t != "")).alias("token"))
+    tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    h = _salted(md5lower64_expr)
+    depth, width = 4, 512
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 F.pmod(h(F.col("token"), i), F.lit(width)).alias("bucket"))
+        for i in range(depth)
+    ])
+    cms = (tc.select(F.explode(rows).alias("c"), "true_cnt")
+           .groupBy(F.col("c.row").alias("row"),
+                    F.col("c.bucket").alias("bucket"))
+           .agg(F.sum("true_cnt").alias("cnt")))
+    top = (tc.orderBy(F.desc("true_cnt"), F.asc("token")).limit(20))
+    return countmin_lookup(cms, top, "token", depth=depth, width=width,
+                           hash_fn=md5lower64_expr)
+
+
+def q100_new(spark, sf_dir):
+    """Top-20 via TakeOrdered directly on the bigram counts (no window,
+    no full sort of the vocab²-row table); the denominator c_a joins back
+    onto just the 20 winners. cab feeds both branches through one
+    exchange."""
+    from openpolicedata_spark.functions.text import normalize_text_expr
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.workload import _read
+
+    d = rebalance(_read(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(normalize_text_expr(F.col("text")), " "),
+                    lambda t: t != "")
+    n = F.size(toks)
+    big = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    cab = (
+        d.select(F.explode(big).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    top = cab.orderBy(F.desc("c_ab"), F.asc("w1"), F.asc("w2")).limit(20)
+    ca = cab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    return (
+        top.join(ca, on="w1")
+        .select("w1", "w2", "c_ab",
+                F.round(F.col("c_ab") / F.col("c_a").cast("double"), 6)
+                .alias("cond_p"))
+    )
+
+
+def q108_new(spark, sf_dir):
+    """One tokenize for the whole query: a single Generate emits the
+    bigram stream AND a unigram stream (w2 = NULL marker) so the vocab
+    count no longer re-tokenizes the corpus; cab derives from per_doc
+    (sum of per-doc multiplicities == corpus count) so the bigram stream
+    shuffles once, not twice; per_doc is checkpointed (it is the reused
+    intermediate now)."""
+    from openpolicedata_spark.functions.text import (
+        normalize_text_expr,
+        tokens_expr,
+    )
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.workload import _read
+
+    d = rebalance(_read(spark, sf_dir, "documents"))
+    toks = tokens_expr(normalize_text_expr(F.col("text")))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    unigrams = F.transform(
+        toks, lambda t: F.struct(t.alias("w1"),
+                                 F.lit(None).cast("string").alias("w2")))
+    both = d.select(
+        "doc_id", F.explode(F.concat(bigrams, unigrams)).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    both = both.localCheckpoint(eager=False)
+    db = both.where(F.col("w2").isNotNull())
+    per_doc = db.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m"))
+    cab = per_doc.groupBy("w1", "w2").agg(F.sum("m").alias("c_ab"))
+    ca = cab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    vocab = both.where(F.col("w2").isNull()).agg(
+        F.count_distinct("w1").alias("v"))
+    lm = (cab.join(ca, on="w1")
+          .crossJoin(F.broadcast(vocab))
+          .select("w1", "w2",
+                  F.log((F.col("c_ab") + 1)
+                        / (F.col("c_a") + F.col("v")).cast("double"))
+                  .alias("logp")))
+    return (
+        per_doc.join(lm, on=["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.round(
+                (-F.sum((F.col("m") * F.col("logp")).cast("decimal(28,12)"))
+                 / F.sum("m")).cast("double"), 6).alias("ce"),
+        )
+    )
+
+
+def q108_b(spark, sf_dir):
+    """Variant B: keep the vocab branch (parallel tokenize) but derive
+    cab from per_doc (sum of per-doc multiplicities == corpus count) and
+    drop the localCheckpoint — per_doc's exchange is consumed by both
+    the lm chain and the probe join, so AQE's ReuseExchange runs the
+    tokenize+zip+explode once WITHOUT a materialization barrier, and the
+    (w1,w2) shuffle now carries per_doc rows instead of the full bigram
+    stream."""
+    from openpolicedata_spark.functions.text import (
+        normalize_text_expr,
+        tokens_expr,
+    )
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.workload import _read
+
+    d = rebalance(_read(spark, sf_dir, "documents"))
+    toks = tokens_expr(normalize_text_expr(F.col("text")))
+    n = F.size(toks)
+    big = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    db = d.select("doc_id", F.explode(big).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    per_doc = db.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m"))
+    cab = per_doc.groupBy("w1", "w2").agg(F.sum("m").alias("c_ab"))
+    ca = cab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    vocab = d.select(F.explode(toks).alias("t")).agg(
+        F.count_distinct("t").alias("v"))
+    lm = (cab.join(ca, on="w1")
+          .crossJoin(F.broadcast(vocab))
+          .select("w1", "w2",
+                  F.log((F.col("c_ab") + 1)
+                        / (F.col("c_a") + F.col("v")).cast("double"))
+                  .alias("logp")))
+    return (
+        per_doc.join(lm, on=["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.round(
+                (-F.sum((F.col("m") * F.col("logp")).cast("decimal(28,12)"))
+                 / F.sum("m")).cast("double"), 6).alias("ce"),
+        )
+    )
+
+
+def q112_new(spark, sf_dir):
+    """Data-independent bucket bounds: the prefix-sum order key is the
+    portable hash mod 2^62 — uniform by construction — so equal-width
+    cuts of the hash domain replace the approx_percentile planning job
+    (one driver job and a GK sketch pass removed; the output is
+    invariant to where monotone cuts fall because offsets come from the
+    real per-bucket totals)."""
+    from openpolicedata_spark.operators.sampling import (
+        budget_hash_expr,
+        global_running_total,
+    )
+    from openpolicedata_spark.workload import _read, token_count_expr
+
+    n_buckets = 16
+    d = (_read(spark, sf_dir, "documents")
+         .select("doc_id", token_count_expr(F.col("text")).alias("n_tok"))
+         .withColumn("__h__", budget_hash_expr(F.col("doc_id"), "mix1")))
+    step = (1 << 62) // n_buckets
+    bounds = [i * step for i in range(1, n_buckets)]
+    out = _grt_with_bounds(
+        d, "n_tok", "__h__", bounds, tiebreak_cols=("doc_id",),
+        out_col="cum_before")
+    return out.where(F.col("cum_before") < 20000).drop("__h__")
+
+
+def _grt_with_bounds(df, weight_col, order_col, bounds, tiebreak_cols=(),
+                     out_col="cum_before"):
+    """global_running_total with caller-provided monotone cut points —
+    candidate form of the sampling operator's fast path."""
+    oc = F.col(order_col)
+
+    def bucket_of(ord_col: Column) -> Column:
+        b = F.lit(1)
+        for v in bounds:
+            b = b + F.when(F.lit(v) < ord_col, 1).otherwise(0)
+        return b
+
+    slim = df.select(oc.alias("__ord__"), F.col(weight_col).alias("__w__"))
+    totals = {
+        r["__bucket__"]: r["t"]
+        for r in slim.groupBy(bucket_of(F.col("__ord__")).alias("__bucket__"))
+        .agg(F.sum("__w__").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(1, len(bounds) + 2):
+        offsets.append(acc)
+        acc += totals.get(b, 0) or 0
+    off = F.element_at(F.array(*[F.lit(o) for o in offsets]),
+                       F.col("__bucket__"))
+    d = (df.withColumn("__ord__", oc)
+         .withColumn("__bucket__", bucket_of(F.col("__ord__"))))
+    w = (Window.partitionBy("__bucket__")
+         .orderBy(F.col("__ord__").asc(),
+                  *[F.col(c).asc() for c in tiebreak_cols])
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        d.withColumn(out_col,
+                     off + F.coalesce(F.sum(weight_col).over(w), F.lit(0)))
+        .drop("__ord__", "__bucket__")
+    )
+
+
+def q11_new(spark, sf_dir):
+    """Join-order fix (guide §3 / TPC-H Q5's textbook plan): reduce
+    orders through the selective dim chain (region→nation→customer)
+    BEFORE the fact join, so the lineitem⋈orders side carries 1/5 of the
+    orders instead of all of them. Same inner-join result."""
+    from openpolicedata_spark.workload import _read, _revenue_expr
+
+    l = _read(spark, sf_dir, "lineitem")  # noqa: E741
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dims = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    o_asia = o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+    return (
+        l.join(o_asia, l.l_orderkey == o_asia.o_orderkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def _bitmap_bloom_probe(bloom, keys, key, k=3, m=65536, hash_fn=None,
+                        hit_col="bloom_hit"):
+    """Candidate bloom_probe: pack the positions table into ONE row
+    holding a dense array of m/64 bit-words and test membership with JVM
+    bit ops behind a single one-row broadcast cross join — the positions
+    subtree is computed once instead of once per probe join, element_at
+    on the dense array is O(1) (a map would linear-scan), and duplicate
+    positions are harmless (bit_or), so the defensive distinct goes too."""
+    from openpolicedata_spark.operators.sketch import _salted
+
+    h = _salted(hash_fn)
+    col = F.col(key)
+    n_words = (m + 63) // 64
+    words = bloom.groupBy(F.shiftright(F.col("pos"), 6).alias("w")).agg(
+        F.bit_or(F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
+        ).alias("bits"))
+    sparse = words.agg(F.map_from_arrays(
+        F.collect_list("w"), F.collect_list("bits")).alias("__wm__"))
+    dense = sparse.select(F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.coalesce(F.element_at(F.col("__wm__"), w.cast("long")),
+                             F.lit(0).cast("long")),
+    ).alias("__bm__"))
+    out = keys.crossJoin(F.broadcast(dense))
+    hit = F.lit(True)
+    pos_cols = []
+    for i in range(k):
+        pc = f"__pos{i}__"
+        pos_cols.append(pc)
+        out = out.withColumn(pc, F.pmod(h(col, i), F.lit(m)))
+        hit = hit & (F.expr(
+            f"(element_at(__bm__, CAST(shiftright({pc}, 6) AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod({pc}, 64) AS INT)))"
+        ) != 0)
+    return (out.withColumn(hit_col, F.coalesce(hit, F.lit(False)))
+            .drop("__bm__", *pos_cols))
+
+
+def q111_new(spark, sf_dir):
+    """q111 with the bitmap probe (prod xxhash64 variant, as benched)."""
+    from openpolicedata_spark.functions.text import shingles_expr
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.sketch import bloom_build
+    from openpolicedata_spark.workload import _read
+
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(shingles_expr(F.col("text"), 5)))
+                  .alias("shingle"))
+    bench = sh.where(F.col("doc_id") % 7 == 0).select("shingle").distinct()
+    train = sh.where(F.col("doc_id") % 7 != 0)
+    bloom = bloom_build(bench, "shingle", k=3, m=65536, hash_fn=None)
+    probed = _bitmap_bloom_probe(bloom, train, "shingle", k=3, m=65536,
+                                 hash_fn=None)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("n_hits"),
+            F.round(F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+                    / F.count(F.lit(1)).cast("double"), 6).alias("hit_share"),
+        )
+    )
+
+
+def q108_nockpt(spark, sf_dir):
+    """q108 exactly as shipped minus the localCheckpoint barrier — the
+    tokenize+zip explode recomputes per branch but the branches run in
+    parallel."""
+    from openpolicedata_spark.functions.text import (
+        normalize_text_expr,
+        tokens_expr,
+    )
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.workload import _read
+
+    d = rebalance(_read(spark, sf_dir, "documents"))
+    toks = tokens_expr(normalize_text_expr(F.col("text")))
+    n = F.size(toks)
+    big = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    db = d.select("doc_id", F.explode(big).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    per_doc = db.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m"))
+    cab = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = cab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    vocab = d.select(F.explode(toks).alias("t")).agg(
+        F.count_distinct("t").alias("v"))
+    lm = (cab.join(ca, on="w1")
+          .crossJoin(F.broadcast(vocab))
+          .select("w1", "w2",
+                  F.log((F.col("c_ab") + 1)
+                        / (F.col("c_a") + F.col("v")).cast("double"))
+                  .alias("logp")))
+    return (
+        per_doc.join(lm, on=["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.round(
+                (-F.sum((F.col("m") * F.col("logp")).cast("decimal(28,12)"))
+                 / F.sum("m")).cast("double"), 6).alias("ce"),
+        )
+    )
+
+
+def q102_nockpt(spark, sf_dir):
+    """q102 minus the localCheckpoint: the regex quality score
+    recomputes in the (parallel) percentile-bounds branch."""
+    from openpolicedata_spark.workload import _read, quality_score_expr
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", F.round(quality_score_expr(F.col("text")), 6).alias("q"),
+    )
+    bounds = scored.agg(F.percentile(
+        "q", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])).alias("bs"))
+    binned = scored.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "q",
+        (F.lit(1) + F.size(F.filter(
+            F.col("bs"), lambda b: b < F.col("q")))).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(F.col("q").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("avg_q"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )
+
+
+def q111_ckpt(spark, sf_dir):
+    """q111 as shipped but with the bloom positions table checkpointed —
+    the three probe joins broadcast ONE computed positions table instead
+    of three copies of the whole bench-shingle subtree."""
+    from openpolicedata_spark.functions.text import shingles_expr
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.sketch import bloom_build, bloom_probe
+    from openpolicedata_spark.workload import _read
+
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(shingles_expr(F.col("text"), 5)))
+                  .alias("shingle"))
+    bench = sh.where(F.col("doc_id") % 7 == 0).select("shingle").distinct()
+    train = sh.where(F.col("doc_id") % 7 != 0)
+    bloom = bloom_build(bench, "shingle", k=3, m=65536,
+                        hash_fn=None).localCheckpoint(eager=False)
+    probed = bloom_probe(bloom, train, "shingle", k=3, m=65536,
+                         hash_fn=None)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("n_hits"),
+            F.round(F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+                    / F.count(F.lit(1)).cast("double"), 6).alias("hit_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# rig
+# --------------------------------------------------------------------------
+
+PAIRS = {
+    # name -> (old_query_name_in_workload_or_fn, new_fn)
+    "q88": ("q88_rare_token_share", q88_new),
+    "q98": ("q98_countmin_freq", q98_new),
+    "q100": ("q100_bigram_lm", q100_new),
+    "q108": ("q108_perplexity_filter", q108_new),
+    "q108b": ("q108_perplexity_filter", q108_b),
+    "q112": ("q112_token_budget", q112_new),
+    "q108nc": ("q108_perplexity_filter", q108_nockpt),
+    "q102nc": ("q102_curriculum_bins", q102_nockpt),
+    "q111ck": ("q111_bloom_decontaminate_prod", q111_ckpt),
+    "q11": ("q11_star_join", q11_new),
+    "q111": ("q111_bloom_decontaminate_prod", q111_new),
+}
+
+
+def _rows_equal(a: DataFrame, b: DataFrame) -> bool:
+    pa = a.toPandas().sort_values(by=sorted(a.columns)).reset_index(drop=True)
+    pb = b.toPandas().sort_values(by=sorted(b.columns)).reset_index(drop=True)
+    pa = pa[sorted(pa.columns)]
+    pb = pb[sorted(pb.columns)]
+    if list(pa.columns) != list(pb.columns) or len(pa) != len(pb):
+        return False
+    return pa.equals(pb)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", default=[])
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from openpolicedata_spark import get_spark, workload
+
+    spark = get_spark(app_name="opdspark-ab")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        import numpy as _np
+        return x + _np.int64(0)
+    spark.range(1000).repartition(64).select(_warm("id")).collect()
+
+    names = args.names or list(PAIRS)
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    for nm in names:
+        old_name, new_fn = PAIRS[nm]
+        old_fn = getattr(workload, old_name)
+        # equality check at the small SF first
+        if not _rows_equal(old_fn(spark, warm_dir), new_fn(spark, warm_dir)):
+            print(f"{nm}: MISMATCH at sf0.001 — skipping", flush=True)
+            continue
+        # codegen warm-up
+        for fn in (old_fn, new_fn):
+            fn(spark, warm_dir).count()
+        t_old = t_new = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            old_fn(spark, sf_dir).count()
+            t_old = min(t_old, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            new_fn(spark, sf_dir).count()
+            t_new = min(t_new, time.perf_counter() - t0)
+        # equality at the benched SF too
+        eq = _rows_equal(old_fn(spark, sf_dir), new_fn(spark, sf_dir))
+        print(f"{nm}: old={t_old:.3f}s new={t_new:.3f}s "
+              f"({t_old / t_new:.2f}x) rows_equal={eq}", flush=True)
+
+
+
+
+def q28_nomat(spark, sf_dir):
+    """q28 prod with materialize=False: the Arrow signature stage
+    recomputes per branch (banding + verify) but without the checkpoint
+    barrier."""
+    from openpolicedata_spark.operators.dedup import minhash_lsh_dup_pairs
+    from openpolicedata_spark.workload import _docs_with_dups
+
+    return minhash_lsh_dup_pairs(
+        _docs_with_dups(spark, sf_dir), num_hashes=32, bands=8,
+        shingle_k=3, jaccard_threshold=0.8, token_hash="xxhash64",
+        materialize=False,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q34_new(spark, sf_dir):
+    """binary_features without the fake_decode mean-pixel column the
+    query immediately discards (mapInPandas output can't be pruned by
+    Catalyst — guide §4.1: don't compute what you throw away)."""
+    import hashlib
+    from typing import Iterator
+
+    from openpolicedata_spark.operators.multimodal import attach_payload
+    from openpolicedata_spark.workload import _read
+
+    d = _read(spark, sf_dir, "documents")
+    media = attach_payload(d, "text", "doc_id", mime="text/plain")
+
+    def compute(batches):
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "byte_len": content.map(
+                    lambda b: len(b) if b is not None else None),
+                "digest": content.map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                    if b is not None else None),
+            })
+
+    return media.select("media_id", "content").mapInPandas(
+        compute, schema="media_id long, byte_len long, digest string")
+
+
+PAIRS["q34"] = ("q34_multimodal_features", q34_new)
+PAIRS["q28nm"] = ("q28_minhash_pairs_prod", q28_nomat)
+
+if __name__ == "__main__":
+    main()
