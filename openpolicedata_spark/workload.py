@@ -3926,14 +3926,21 @@ def q108_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Wenzek et al. 2020 use a KenLM 5-gram; the bigram form is the same
     pipeline shape). ce = -Σ m(w1,w2)·ln((c(w1,w2)+1)/(c(w1)+V)) / Σ m.
 
-    Plan: the corpus explodes to bigrams ONCE and shuffles twice — (w1,w2)
-    for corpus counts and (doc,w1,w2) for per-doc multiplicities; the
+    Plan (r13): the corpus explodes to bigrams ONCE and shuffles ONCE —
+    on (doc,w1,w2) into the per-doc multiplicity table, which is the
+    checkpointed intermediate; the corpus counts derive from it
+    (sum of per-doc multiplicities == corpus count), so the (w1,w2)
+    shuffle carries the compact count table, not the raw stream. The
     count table is enriched with its w1 totals BEFORE rejoining the
     per-doc stream (cab⋈ca is vocab²-sized, far smaller than the doc
-    stream), so the big side shuffles on (w1,w2) exactly once. Zipf-
-    skewed bigram keys ride AQE's skew split like q88. Per-bucket log
-    terms are deterministic doubles (one ln per DISTINCT bigram); the
-    per-doc reduction is DECIMAL so partitioning can't move it."""
+    stream). Zipf-skewed bigram keys ride AQE's skew split like q88.
+    Per-bucket log terms are deterministic doubles (one ln per DISTINCT
+    bigram); the per-doc reduction is DECIMAL so partitioning can't
+    move it. (r13 A/B: checkpointing per_doc instead of the raw bigram
+    stream measured 1.37-1.49x at sf0.1 and 1.01x at sf1 — one
+    full-stream shuffle and the big materialization both gone; the
+    no-checkpoint and single-generate variants both measured SLOWER —
+    OPTIMIZATION_r13.md.)"""
     from openpolicedata_spark.functions.text import tokens_expr
     from openpolicedata_spark.operators.dedup import rebalance
 
@@ -3950,14 +3957,14 @@ def q108_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array())
     db = d.select("doc_id", F.explode(big).alias("bg")).select(
         "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    # both the per-doc multiplicities and the corpus counts consume this
-    # stream: checkpoint so the tokenize+zip explode runs ONCE, not once
-    # per branch (measured 1.95 -> 1.81 s warm at sf0.1; at corpus scale
-    # the explode is the heaviest stage)
-    db = db.localCheckpoint(eager=False)
+    # checkpoint AFTER the (doc,w1,w2) aggregation, not the raw stream:
+    # the lm chain and the final probe join both read the compact
+    # multiplicity table, the raw bigram stream shuffles exactly once
+    # (map-side combined), and the materialized RDD is the aggregate,
+    # not the explode (r13; 1.37-1.49x at sf0.1, 1.01x at sf1)
     per_doc = db.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("m"))
-    cab = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+        F.count(F.lit(1)).alias("m")).localCheckpoint(eager=False)
+    cab = per_doc.groupBy("w1", "w2").agg(F.sum("m").alias("c_ab"))
     ca = cab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
     vocab = d.select(F.explode(toks).alias("t")).agg(
         F.count_distinct("t").alias("v"))
