@@ -360,10 +360,17 @@ def minhash_lsh_dup_pairs(
     # here only the candidates' shingle arrays shuffle through the pair
     # regroup — candidates ≪ corpus by construction. Measured 5.1s → 2.6s
     # cold, 1.9s → 1.6s warm at sf0.1 (pre-checkpoint numbers).
+    # The melt is ONE explode(array(id_a, id_b)), not a unionByName of two
+    # cand projections: cand is NOT materialized, so the union form
+    # evaluated the whole banding→buckets→pairs→distinct subtree once per
+    # branch (two identical Union arms, 2 extra Exchanges in the plan).
+    # Same row multiset, single subtree — measured 1.08-1.11× on q28 at
+    # sf0.1 (r13, interleaved min-of-5).
     sh = ms.select(F.col(id_col).alias("__sid__"), F.col("__sh__"))
     melted = (
-        cand.select("id_a", "id_b", F.col("id_a").alias("__sid__"))
-        .unionByName(cand.select("id_a", "id_b", F.col("id_b").alias("__sid__")))
+        cand.select(
+            "id_a", "id_b",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("__sid__"))
         .join(sh, on="__sid__")
     )
     per_pair = melted.groupBy("id_a", "id_b").agg(
@@ -540,10 +547,14 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("__sid__"),
         F.array_distinct(char_ngrams_expr(F.col(text_col), n)).alias("__g__"),
     )
+    # ONE explode(array(...)) instead of unionByName of two projections:
+    # `pairs` (and its .distinct() above) is unmaterialized, so the union
+    # form evaluates that subtree once per branch (r13, same rationale as
+    # the MinHash verify melt).
     melted = (
-        pairs.select("id_a", "id_b", F.col("id_a").alias("__sid__"))
-        .unionByName(pairs.select("id_a", "id_b",
-                                  F.col("id_b").alias("__sid__")))
+        pairs.select(
+            "id_a", "id_b",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("__sid__"))
         .join(g, on="__sid__")
     )
     per_pair = melted.groupBy("id_a", "id_b").agg(
@@ -597,11 +608,22 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     If the pairs come from an EQUALITY-key self-join, don't call this at
     all — `dup_clusters_by_key` computes the identical labels with one
     aggregation and no iteration (components are the key groups)."""
+    # Edges are loop-invariant but were rebuilt from `pairs` EVERY round
+    # (and twice per build — the symmetrization union evaluated the
+    # unmaterialized pairs subtree once per branch). r13: symmetrize with
+    # ONE explode of the (src,dst)/(dst,src) struct pair and eagerly
+    # localCheckpoint — the pairs subtree (often a join/LSH pipeline) now
+    # runs exactly once per call instead of 2× per round. Interleaved
+    # A/B on q186's chain graph at sf0.1: 1.40× (explode+ckpt) vs 1.25×
+    # (union+ckpt) vs 0.96× (explode alone); rows identical.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"),
-                                  F.col(id_a).alias("dst")))
+        pairs.select(F.explode(F.array(
+            F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+            F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+        )).alias("__e__"))
+        .select("__e__.src", "__e__.dst")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))

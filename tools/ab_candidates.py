@@ -598,6 +598,169 @@ def q28_nomat(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _minhash_pairs_explode_melt(df, token_hash):
+    """minhash_lsh_dup_pairs with the verify melt built by ONE
+    explode(array(id_a, id_b)) instead of unionByName of two cand
+    projections: cand is NOT materialized, so the union form evaluates
+    the whole banding->buckets->pairs->distinct subtree once per branch
+    (two identical Union arms in the q28 plan, 2 extra Exchanges). The
+    explode form is the same row multiset from a single cand subtree
+    (guide 2.4: remove duplicated subtrees/exchanges)."""
+    from openpolicedata_spark.operators.dedup import (
+        band_hash_col,
+        bucket_pairs,
+        check_banding,
+        shingle_minhash,
+    )
+
+    num_hashes, bands, shingle_k, jaccard_threshold = 32, 8, 3, 0.8
+    rows_per_band = check_banding(num_hashes, bands)
+    ms = shingle_minhash(df, "text", "doc_id", num_hashes, shingle_k, 42,
+                         token_hash=token_hash)
+    ms = ms.localCheckpoint(eager=False)
+    banded = ms.select(
+        F.col("doc_id"),
+        band_hash_col(F.col("minhash"), bands, rows_per_band)
+        .alias("band_id", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    cand = bucket_pairs(
+        buckets, "ids",
+        lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")))
+    sh = ms.select(F.col("doc_id").alias("__sid__"), F.col("__sh__"))
+    melted = (
+        cand.select(
+            "id_a", "id_b",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("__sid__"))
+        .join(sh, on="__sid__")
+    )
+    per_pair = melted.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("__sid__") == F.col("id_a"),
+                     F.col("__sh__"))).alias("sh_a"),
+        F.max(F.when(F.col("__sid__") == F.col("id_b"),
+                     F.col("__sh__"))).alias("sh_b"),
+    )
+    return (
+        per_pair.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def q28_explode_melt(spark, sf_dir):
+    from openpolicedata_spark.workload import _docs_with_dups
+    return _minhash_pairs_explode_melt(
+        _docs_with_dups(spark, sf_dir), token_hash="xxhash64")
+
+
+def _dup_clusters_variant(pairs, edges_explode=True, edges_ckpt=False,
+                          max_iterations=20, compress=True):
+    """dup_clusters copy with (a) edges built by ONE explode of the
+    symmetric struct pair instead of unionByName (the pairs subtree is
+    unmaterialized and re-evaluates per branch AND per loop iteration),
+    and (b) optional eager localCheckpoint of the loop-invariant edges
+    (joined every round; today the pairs subtree re-runs every round)."""
+    id_a, id_b = "id_a", "id_b"
+    if edges_explode:
+        edges = (
+            pairs.select(F.explode(F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+            )).alias("__e__"))
+            .select("__e__.src", "__e__.dst")
+            .distinct()
+        )
+    else:
+        edges = (
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                      F.col(id_a).alias("dst")))
+            .distinct()
+        )
+    if edges_ckpt:
+        edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for it in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, on=[edges.dst == labels.node])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        prop = (
+            labels.join(neighbor_min, on=[labels.node == neighbor_min.src],
+                        how="left")
+            .select(
+                F.col("node"),
+                F.col("label").alias("__orig__"),
+                F.least(F.col("label"),
+                        F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+        )
+        if compress and it >= 2:
+            lab2 = prop.select(F.col("node").alias("__pn__"),
+                               F.col("label").alias("__pl__"))
+            prop = (
+                prop.join(lab2, on=[prop["label"] == lab2["__pn__"]],
+                          how="left")
+                .select(
+                    "node", "__orig__",
+                    F.least(F.col("label"),
+                            F.coalesce("__pl__", F.col("label")))
+                    .alias("label"),
+                )
+            )
+        new_labels = prop.select(
+            "node", "label", (F.col("label") < F.col("__orig__"))
+            .alias("changed"))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("no convergence")
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def _q186_pairs(spark, sf_dir):
+    from openpolicedata_spark.workload import _read
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    return (
+        d.select(F.col("doc_id").alias("id_a"))
+        .join(d.select(F.col("doc_id").alias("id_b")),
+              F.col("id_b") == F.col("id_a") + F.lit(1))
+        .where(F.col("id_a") % 16 != 15)
+    )
+
+
+def q186_em(spark, sf_dir):
+    return _dup_clusters_variant(_q186_pairs(spark, sf_dir),
+                                 edges_explode=True, edges_ckpt=False)
+
+
+def q186_ck(spark, sf_dir):
+    return _dup_clusters_variant(_q186_pairs(spark, sf_dir),
+                                 edges_explode=True, edges_ckpt=True)
+
+
+def q186_ck2(spark, sf_dir):
+    return _dup_clusters_variant(_q186_pairs(spark, sf_dir),
+                                 edges_explode=False, edges_ckpt=True)
+
+
 def q34_new(spark, sf_dir):
     """binary_features without the fake_decode mean-pixel column the
     query immediately discards (mapInPandas output can't be pruned by
@@ -784,6 +947,10 @@ PAIRS["q100ck"] = ("q100_bigram_lm", q100_ck)
 PAIRS["q108pd"] = ("q108_perplexity_filter", q108_pd)
 PAIRS["q34"] = ("q34_multimodal_features", q34_new)
 PAIRS["q28nm"] = ("q28_minhash_pairs_prod", q28_nomat)
+PAIRS["q28em"] = ("q28_minhash_pairs_prod", q28_explode_melt)
+PAIRS["q186em"] = ("q186_chain_clusters", q186_em)
+PAIRS["q186ck"] = ("q186_chain_clusters", q186_ck)
+PAIRS["q186ck2"] = ("q186_chain_clusters", q186_ck2)
 
 if __name__ == "__main__":
     main()
