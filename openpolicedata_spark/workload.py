@@ -2847,13 +2847,25 @@ def q88_rare_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(tokens_expr(normalize_text_expr(F.col("text")))).alias("token"),
     )
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    # Aggregate to (doc_id, token) counts ONCE and checkpoint: the corpus
+    # frequency table and the per-doc rollup both derive from this compact
+    # intermediate, so the tokenize+explode runs once instead of once per
+    # branch (column pruning split the "shared" rebalance exchange into two
+    # full Generate subtrees — r13 plan diff: 2 Generate -> 1) and the
+    # token stream shuffles pre-combined counts. sum(cnt)==count(*) and
+    # sum(cnt | cf<=2)==count(rare occurrences), so the output is
+    # identical (oracle + row-equality proven). 1.05-1.09x warm at sf0.1;
+    # at scale it removes a second full corpus read+tokenize.
+    dt = (tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+          .localCheckpoint(eager=False))
+    freq = dt.groupBy("token").agg(F.sum("cnt").alias("cf"))
     return (
-        tok.join(freq, on="token")
+        dt.join(freq, on="token")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("cf") <= 2, 1).otherwise(0)).alias("n_rare"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.when(F.col("cf") <= 2, F.col("cnt"))
+                  .otherwise(F.lit(0).cast("long"))).alias("n_rare"),
         )
         .select(
             "doc_id", "n_tokens", "n_rare",
