@@ -941,6 +941,67 @@ def q100_ck(spark, sf_dir):
     )
 
 
+def q105_ck(spark, sf_dir):
+    """q105 with ONE distinct (source, token) aggregate checkpointed —
+    the linear-count occupancy AND the exact distinct count both derive
+    from it, so the tokenize+explode runs once instead of once per
+    branch (2 Generate subtrees -> 1) and the token stream shuffles
+    once (the truth branch already paid a full distinct-token shuffle)."""
+    from openpolicedata_spark.functions.text import md5lower64_expr
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.sketch import linear_count
+    from openpolicedata_spark.functions.text import normalize_text_expr
+    from openpolicedata_spark.workload import _read
+
+    d = rebalance(_read(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source",
+        F.explode(F.filter(
+            F.split(normalize_text_expr(F.col("text")), " "),
+            lambda t: t != "")).alias("token"))
+    st = toks.distinct().localCheckpoint(eager=False)
+    est = linear_count(st, "token", group_by=["source"], m=4096,
+                       hash_fn=md5lower64_expr)
+    truth = st.groupBy("source").agg(
+        F.count(F.lit(1)).alias("true_distinct"))
+    return est.join(truth, on="source")
+
+
+def q114_em(spark, sf_dir):
+    """knn_graph with the symmetrization built by ONE explode of the
+    (src,dst)/(dst,src) struct pair instead of unionByName of two pairs
+    projections: embedding_dup_pairs checkpoints only the banded INDEX,
+    so the bucket self-join + pair distinct + cosine verify above it
+    re-evaluates once per union branch (same pattern as q28's melt and
+    dup_clusters' edges)."""
+    from openpolicedata_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+    from openpolicedata_spark.workload import _read, make_random_planes
+
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = make_random_planes(64, num_planes=8)
+    pairs = embedding_dup_pairs(emb, planes, threshold=-1.0,
+                                vec_col="embedding", id_col="vec_id",
+                                bands=1, max_bucket_size=None)
+    pairs = pairs.select("id_a", "id_b",
+                         F.round("cosine", 6).alias("score"))
+    sym = pairs.select(
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+        )).alias("__e__"), "score",
+    ).select("__e__.src", "__e__.dst", "score")
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+PAIRS["q114em"] = ("q114_knn_graph", q114_em)
+PAIRS["q105ck"] = ("q105_linear_count", q105_ck)
 PAIRS["q88ck"] = ("q88_rare_token_share", q88_ck)
 PAIRS["q98ck"] = ("q98_countmin_freq", q98_ck)
 PAIRS["q100ck"] = ("q100_bigram_lm", q100_ck)
