@@ -693,10 +693,18 @@ def test_scd2_intervals_tile_and_compress(spark, log):
     rows = [(k, i, base + dt.timedelta(days=d), v)
             for i, (k, d, v) in enumerate(log)]
     df = spark.createDataFrame(rows, "k long, cid long, ts timestamp_ntz, v string")
+    # None-safe sort key: an all-tied-timestamp log (e.g. A/B/A at one
+    # instant) legitimately yields two versions sharing (k, valid_from,
+    # v) where one valid_to is an open NULL — a plain tuple sort would
+    # compare None < datetime and raise (hypothesis-found, r13).
+    def _vkey(t):
+        k, vf, v, vt, cur = t
+        return (k, vf, v, vt is None, vt or dt.datetime.min, cur)
+
     out = sorted(((r.k, r.valid_from, r.v, r.valid_to, r.is_current)
                   for r in scd2_intervals(
                       df, "k", "ts", ["v"],
-                      tiebreak_col="cid").collect()))
+                      tiebreak_col="cid").collect()), key=_vkey)
     # reference RLE over the ordered log
     import collections
     ordered = collections.defaultdict(list)
@@ -709,7 +717,7 @@ def test_scd2_intervals_tile_and_compress(spark, log):
         for i, (ts, v) in enumerate(seq):
             nxt = seq[i + 1][0] if i + 1 < len(seq) else None
             want.append((k, ts, v, nxt, nxt is None))
-    assert out == sorted(want)
+    assert out == sorted(want, key=_vkey)
     per_key_current = collections.Counter(k for k, *_ , cur in out if cur)
     assert all(c == 1 for c in per_key_current.values())
 
