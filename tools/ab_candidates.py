@@ -661,6 +661,65 @@ def q28_explode_melt(spark, sf_dir):
         _docs_with_dups(spark, sf_dir), token_hash="xxhash64")
 
 
+def _minhash_pairs_union_melt(df, token_hash):
+    """The PRE-r13 union-of-two-projections verify melt (the shipped
+    form until commit 850a1e6) — kept as the A/B contrast so the melt
+    decision can be re-measured at other scales."""
+    from openpolicedata_spark.operators.dedup import (
+        band_hash_col,
+        bucket_pairs,
+        check_banding,
+        shingle_minhash,
+    )
+
+    num_hashes, bands = 32, 8
+    rows_per_band = check_banding(num_hashes, bands)
+    ms = shingle_minhash(df, "text", "doc_id", num_hashes, 3, 42,
+                         token_hash=token_hash)
+    ms = ms.localCheckpoint(eager=False)
+    banded = ms.select(
+        F.col("doc_id"),
+        band_hash_col(F.col("minhash"), bands, rows_per_band)
+        .alias("band_id", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    cand = bucket_pairs(
+        buckets, "ids",
+        lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")))
+    sh = ms.select(F.col("doc_id").alias("__sid__"), F.col("__sh__"))
+    melted = (
+        cand.select("id_a", "id_b", F.col("id_a").alias("__sid__"))
+        .unionByName(cand.select("id_a", "id_b",
+                                 F.col("id_b").alias("__sid__")))
+        .join(sh, on="__sid__")
+    )
+    per_pair = melted.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("__sid__") == F.col("id_a"),
+                     F.col("__sh__"))).alias("sh_a"),
+        F.max(F.when(F.col("__sid__") == F.col("id_b"),
+                     F.col("__sh__"))).alias("sh_b"),
+    )
+    return (
+        per_pair.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def q28_union_melt(spark, sf_dir):
+    from openpolicedata_spark.workload import _docs_with_dups
+    return _minhash_pairs_union_melt(
+        _docs_with_dups(spark, sf_dir), token_hash="xxhash64")
+
+
 def _dup_clusters_variant(pairs, edges_explode=True, edges_ckpt=False,
                           max_iterations=20, compress=True):
     """dup_clusters copy with (a) edges built by ONE explode of the
@@ -1009,9 +1068,22 @@ PAIRS["q108pd"] = ("q108_perplexity_filter", q108_pd)
 PAIRS["q34"] = ("q34_multimodal_features", q34_new)
 PAIRS["q28nm"] = ("q28_minhash_pairs_prod", q28_nomat)
 PAIRS["q28em"] = ("q28_minhash_pairs_prod", q28_explode_melt)
+PAIRS["q28um"] = ("q28_minhash_pairs_prod", q28_union_melt)
 PAIRS["q186em"] = ("q186_chain_clusters", q186_em)
 PAIRS["q186ck"] = ("q186_chain_clusters", q186_ck)
 PAIRS["q186ck2"] = ("q186_chain_clusters", q186_ck2)
+
+
+
+def q186_old(spark, sf_dir):
+    """The PRE-r13 dup_clusters edge build (union of two pairs
+    projections, no edge checkpoint) — the shipped form until commit
+    850a1e6; kept as the A/B contrast for other scales."""
+    return _dup_clusters_variant(_q186_pairs(spark, sf_dir),
+                                 edges_explode=False, edges_ckpt=False)
+
+
+PAIRS["q186old"] = ("q186_chain_clusters", q186_old)
 
 if __name__ == "__main__":
     main()
