@@ -97,6 +97,21 @@ def normalize_text_expr(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def norm_tokens_expr(col: Column) -> Column:
+    """`tokens_expr(normalize_text_expr(col))` with the whitespace-collapse
+    pass fused away: splitting trim(lower(x)) on `\\s+` (empty strings
+    filtered) yields exactly the maximal non-whitespace runs of lower(x) —
+    the same token list the collapse-then-split composition produces,
+    because both use the same Java `\\s` class and the filter removes the
+    boundary empties the collapse used to pre-trim. One full-text regex
+    pass instead of two (r13 measured: tokenize stage 2.14→1.29 s at
+    sf0.1 isolated; token equality verified on the whole corpus). Use
+    this whenever only the TOKENS of the normalized text are consumed;
+    keep normalize_text_expr where the normalized STRING itself matters
+    (fingerprints)."""
+    return F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: t != "")
+
+
 def fingerprint_md5_expr(col: Column) -> Column:
     """Content fingerprint = md5 of the normalized text. Engine-portable
     (md5 is standardized), used for exact dedup at scale: group on the
@@ -216,7 +231,7 @@ def shingles_expr(col: Column, k: int = 5) -> Column:
     regex each step, hidden in what read as a linear pass (round-9
     rig: 98 s -> 0.6 s on 200 x 3000-token docs, values identical; the
     lambda variable is O(1) to read)."""
-    toks = tokens_expr(normalize_text_expr(col))
+    toks = norm_tokens_expr(col)
 
     def body(t: Column) -> Column:
         n = F.size(t)
@@ -267,7 +282,7 @@ def lang_hits_expr(col: Column, stopwords: list[str]) -> Column:
     """Number of tokens that are stopwords of one language (not distinct —
     frequency matters)."""
     stops = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(tokens_expr(normalize_text_expr(col)),
+    return F.size(F.filter(norm_tokens_expr(col),
                            lambda t: F.array_contains(stops, t)))
 
 

@@ -28,6 +28,7 @@ from openpolicedata_spark.functions.text import (
     char_ngrams_expr,
     fingerprint_md5_expr,
     md5lower64_expr,
+    norm_tokens_expr,
     normalize_text_expr,
     tokens_expr,
 )
@@ -262,7 +263,7 @@ def shingle_minhash(df: DataFrame, text_col: str = "text",
     toked = rebalance(
         df.select(
             F.col(id_col),
-            tokens_expr(normalize_text_expr(F.col(text_col))).alias("__toks__"),
+            norm_tokens_expr(F.col(text_col)).alias("__toks__"),
         )
     )
     th = F.transform(F.col("__toks__"),

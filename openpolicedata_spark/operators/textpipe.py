@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from openpolicedata_spark.functions.text import (
     md5lower64_expr,
+    norm_tokens_expr,
     normalize_text_expr,
     token_count_expr,
     tokens_expr,
@@ -156,7 +157,7 @@ def chunk_documents(
         raise ValueError("chunk_tokens and stride must be positive")
     toked = df.select(
         F.col(id_col),
-        tokens_expr(normalize_text_expr(F.col(text_col))).alias("__toks__"),
+        norm_tokens_expr(F.col(text_col)).alias("__toks__"),
     )
     toks = F.col("__toks__")
     n = F.size(toks)
@@ -198,7 +199,7 @@ def contamination_pairs(
     def shingle_digests(df: DataFrame) -> DataFrame:
         toked = df.select(
             F.col(id_col),
-            tokens_expr(normalize_text_expr(F.col(text_col))).alias("__toks__"),
+            norm_tokens_expr(F.col(text_col)).alias("__toks__"),
         )
         toks = F.col("__toks__")
         n = F.size(toks)
@@ -242,7 +243,7 @@ def repetition_stats(
     """
     toked = df.select(
         F.col(id_col),
-        tokens_expr(normalize_text_expr(F.col(text_col))).alias("__toks__"),
+        norm_tokens_expr(F.col(text_col)).alias("__toks__"),
     ).where(F.size("__toks__") > 0)
     toks = F.col("__toks__")
     n = F.size(toks)
@@ -585,13 +586,9 @@ def mask_repeated_spans(
         raise ValueError(f"unknown mode {mode!r}")
     if within_doc and mode != "keep_first":
         raise ValueError("within_doc=True requires mode='keep_first'")
-    from openpolicedata_spark.functions.text import (
-        normalize_text_expr,
-        shingles_expr,
-        tokens_expr,
-    )
+    from openpolicedata_spark.functions.text import shingles_expr
 
-    toks = tokens_expr(normalize_text_expr(F.col(text_col)))
+    toks = norm_tokens_expr(F.col(text_col))
     sh = df.select(
         F.col(id_col),
         F.posexplode(shingles_expr(F.col(text_col), k)).alias("i0", "s"),
@@ -972,14 +969,10 @@ def bpe_train(
     tiebroken argmax, exactly q110's statistic applied iteratively.
     Returns the ordered merge list for `bpe_apply`. Deterministic:
     frequency ties break on the word / pair text."""
-    from openpolicedata_spark.functions.text import (
-        normalize_text_expr,
-        tokens_expr,
-    )
+    from openpolicedata_spark.functions.text import norm_tokens_expr
 
     rows = (
-        df.select(F.explode(tokens_expr(normalize_text_expr(
-            F.col(text_col)))).alias("w"))
+        df.select(F.explode(norm_tokens_expr(F.col(text_col))).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(max_vocab)

@@ -29,6 +29,7 @@ from openpolicedata_spark.functions.datetime import (
 )
 from openpolicedata_spark.functions.text import (
     fingerprint_md5_expr,
+    norm_tokens_expr,
     normalize_text_expr,
     quality_metrics,
     quality_score_expr,
@@ -1615,15 +1616,11 @@ def q57_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer-training prerequisite. One explode + groupBy (map-side
     combine collapses each partition's repeats before the shuffle); rank
     window for deterministic top-k with token tiebreak."""
-    from openpolicedata_spark.functions.text import (
-        normalize_text_expr,
-        tokens_expr,
-    )
 
     d = _read(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
-        F.explode(tokens_expr(normalize_text_expr(F.col("text")))).alias("token"),
+        F.explode(norm_tokens_expr(F.col("text"))).alias("token"),
     )
     counts = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
@@ -1662,16 +1659,12 @@ def q58_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc tf, corpus df, smoothed idf = ln((N+1)/(df+1))+1; rank window
     per doc with term tiebreak. Two shuffles total ((doc,term) agg + term
     df join where the df side aggregates first)."""
-    from openpolicedata_spark.functions.text import (
-        normalize_text_expr,
-        tokens_expr,
-    )
 
     d = _read(spark, sf_dir, "documents")
     n_docs = d.count()
     tok = d.select(
         "doc_id",
-        F.explode(tokens_expr(normalize_text_expr(F.col("text")))).alias("term"),
+        F.explode(norm_tokens_expr(F.col("text"))).alias("term"),
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -2114,15 +2107,11 @@ def q70_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary — the 'how well does a fixed vocab fit each slice' check
     before tokenizer training. The vocab is a tiny top-k aggregate joined
     back BROADCAST, so the token stream is never shuffled for the probe."""
-    from openpolicedata_spark.functions.text import (
-        normalize_text_expr,
-        tokens_expr,
-    )
 
     d = _read(spark, sf_dir, "documents")
     tok = d.select(
         "source",
-        F.explode(tokens_expr(normalize_text_expr(F.col("text")))).alias("token"),
+        F.explode(norm_tokens_expr(F.col("text"))).alias("token"),
     )
     vocab = (
         tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
@@ -2833,10 +2822,6 @@ def q88_rare_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregates per doc. The token-frequency side is Zipf-skewed but the
     join key is the token itself, so AQE's skew-join split handles hot
     tokens; n_rare/n_tokens is an int ratio → bit-exact across engines."""
-    from openpolicedata_spark.functions.text import (
-        normalize_text_expr,
-        tokens_expr,
-    )
     from openpolicedata_spark.operators.dedup import rebalance
 
     # a single-row-group parquet file arrives as ONE input partition; the
@@ -2845,7 +2830,7 @@ def q88_rare_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = d.select(
         "doc_id",
-        F.explode(tokens_expr(normalize_text_expr(F.col("text")))).alias("token"),
+        F.explode(norm_tokens_expr(F.col("text"))).alias("token"),
     )
     # Aggregate to (doc_id, token) counts ONCE and checkpoint: the corpus
     # frequency table and the per-doc rollup both derive from this compact
@@ -3118,17 +3103,13 @@ def q93_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries int ids, not tokens, and the vocab side stays
     broadcast-sized at any corpus scale. Output keeps the first 8 ids so
     the oracle row stays flat."""
-    from openpolicedata_spark.functions.text import (
-        normalize_text_expr,
-        tokens_expr,
-    )
     from openpolicedata_spark.operators.dedup import rebalance
 
     vocab_size = 100
     d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = d.select(
         "doc_id",
-        F.posexplode(tokens_expr(normalize_text_expr(F.col("text"))))
+        F.posexplode(norm_tokens_expr(F.col("text")))
         .alias("pos", "token"),
     )
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
@@ -3383,17 +3364,13 @@ def q97_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability tables (map-side combined), they broadcast back onto the
     token stream, one per-doc reduce — the corpus shuffles once as
     (doc, bucket) partial counts."""
-    from openpolicedata_spark.functions.text import (
-        normalize_text_expr,
-        tokens_expr,
-    )
     from openpolicedata_spark.operators.dedup import rebalance
 
     d = rebalance(_read(spark, sf_dir, "documents")
                   .select("doc_id", "lang", "text"))
     tok = d.select(
         "doc_id", "lang",
-        F.explode(tokens_expr(normalize_text_expr(F.col("text"))))
+        F.explode(norm_tokens_expr(F.col("text")))
         .alias("token"),
     ).withColumn("b", F.substring(F.md5("token"), 1, 2))
     per_bucket = tok.groupBy("b").agg(
@@ -3487,9 +3464,7 @@ def q98_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = rebalance(_read(spark, sf_dir, "documents"))
     toks = d.select(
-        F.explode(F.filter(
-            F.split(normalize_text_expr(F.col("text")), " "),
-            lambda t: t != "")).alias("token"))
+        F.explode(norm_tokens_expr(F.col("text"))).alias("token"))
     cms = countmin_table(toks, "token", depth=4, width=512,
                          hash_fn=md5lower64_expr)
     top = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
@@ -3571,8 +3546,7 @@ def q100_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openpolicedata_spark.operators.dedup import rebalance
 
     d = rebalance(_read(spark, sf_dir, "documents"))
-    toks = F.filter(F.split(normalize_text_expr(F.col("text")), " "),
-                    lambda t: t != "")
+    toks = norm_tokens_expr(F.col("text"))
     n = F.size(toks)
     big = F.when(
         n >= 2,
@@ -3722,9 +3696,7 @@ def q103_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
     toks = d.select(
         "doc_id",
-        F.explode(F.filter(
-            F.split(normalize_text_expr(F.col("text")), " "),
-            lambda t: t != "")).alias("token"))
+        F.explode(norm_tokens_expr(F.col("text"))).alias("token"))
     return (
         toks.select(
             "doc_id",
@@ -3785,9 +3757,7 @@ def q105_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = rebalance(_read(spark, sf_dir, "documents"))
     toks = d.select(
         "source",
-        F.explode(F.filter(
-            F.split(normalize_text_expr(F.col("text")), " "),
-            lambda t: t != "")).alias("token"))
+        F.explode(norm_tokens_expr(F.col("text"))).alias("token"))
     est = linear_count(toks, "token", group_by=["source"], m=4096,
                        hash_fn=md5lower64_expr)
     truth = toks.groupBy("source").agg(
@@ -3953,11 +3923,10 @@ def q108_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-stream shuffle and the big materialization both gone; the
     no-checkpoint and single-generate variants both measured SLOWER —
     OPTIMIZATION_r13.md.)"""
-    from openpolicedata_spark.functions.text import tokens_expr
     from openpolicedata_spark.operators.dedup import rebalance
 
     d = rebalance(_read(spark, sf_dir, "documents"))
-    toks = tokens_expr(normalize_text_expr(F.col("text")))
+    toks = norm_tokens_expr(F.col("text"))
     n = F.size(toks)
     big = F.when(
         n >= 2,
@@ -4149,14 +4118,13 @@ def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason real BPE trainers operate on word-count tables. The guarded
     `sequence(1, len-1)` avoids Spark's descending-sequence trap for
     1-char words."""
-    from openpolicedata_spark.functions.text import tokens_expr
     from openpolicedata_spark.operators.dedup import rebalance
 
     # rebalance: the regex tokenize + explode feeding the vocab groupBy
     # is the expression-heavy stage (single-row-group gotcha, q88)
     d = rebalance(_read(spark, sf_dir, "documents").select("text"))
     vocab = (
-        d.select(F.explode(tokens_expr(normalize_text_expr(F.col("text"))))
+        d.select(F.explode(norm_tokens_expr(F.col("text")))
                  .alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
     )
@@ -5057,11 +5025,10 @@ def q127_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop it is a pure expression BOTH engines evaluate identically.
     Entirely row-local - one scan, no shuffle before the final
     projection."""
-    from openpolicedata_spark.functions.text import tokens_expr
     from openpolicedata_spark.operators.dedup import rebalance
 
     d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = tokens_expr(normalize_text_expr(F.col("text")))
+    toks = norm_tokens_expr(F.col("text"))
 
     def seg_count(w):
         return F.size(F.split(_q127_seg_expr(w), " "))
