@@ -591,10 +591,19 @@ def knn_graph(
     score = (F.round("cosine", round_scores) if round_scores is not None
              else F.col("cosine"))
     pairs = pairs.select("id_a", "id_b", score.alias("score"))
+    # Symmetrize with ONE explode of the (src,dst)/(dst,src) struct pair,
+    # not unionByName of two projections: `pairs` is NOT materialized, so
+    # the union form evaluated the whole banded-index self-join + cosine
+    # verify subtree once per branch (the q28/q39/dup_clusters melt
+    # pattern, r13). Same row multiset from a single subtree — measured
+    # 1.08×/1.05×/1.19× at 4/8/32 cores interleaved (rows equal), and at
+    # cluster saturation the union form pays 2× the verify compute.
     sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "score"
-    ).unionByName(pairs.select(
-        F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "score"))
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+        )).alias("__e__"), "score",
+    ).select("__e__.src", "__e__.dst", "score")
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
     return (
         sym.withColumn("rank", F.row_number().over(w))
