@@ -1085,5 +1085,82 @@ def q186_old(spark, sf_dir):
 
 PAIRS["q186old"] = ("q186_chain_clusters", q186_old)
 
+def q100_tk(spark, sf_dir):
+    """Session-3 combination of the two separately-rejected q100 forms:
+    checkpoint cab (computed ONCE), global top-20 via TakeOrdered (heap,
+    no full sort/exchange of the bigram table), and the denominator
+    c_a aggregated from cab FILTERED to the 20 winners' w1 keys
+    (broadcast semi-filter) instead of a w1 window over every distinct
+    bigram. Same rows: c_a is an order-independent integer sum and the
+    top-20 tiebreak is total."""
+    from openpolicedata_spark.functions.text import norm_tokens_expr
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.workload import _read
+
+    d = rebalance(_read(spark, sf_dir, "documents"))
+    toks = norm_tokens_expr(F.col("text"))
+    n = F.size(toks)
+    big = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    cab = (
+        d.select(F.explode(big).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
+    top = cab.orderBy(F.desc("c_ab"), F.asc("w1"), F.asc("w2")).limit(20)
+    ca = (cab.join(F.broadcast(top.select("w1").distinct()), on="w1")
+          .groupBy("w1").agg(F.sum("c_ab").alias("c_a")))
+    return (
+        top.join(F.broadcast(ca), on="w1")
+        .select("w1", "w2", "c_ab",
+                F.round(F.col("c_ab") / F.col("c_a").cast("double"), 6)
+                .alias("cond_p"))
+    )
+
+
+PAIRS["q100tk"] = ("q100_bigram_lm", q100_tk)
+
+
+
+
+def q114_old(spark, sf_dir):
+    """PRE-r13-session-3 knn_graph form (unionByName symmetrize) for the
+    sf1 contrast against the shipped explode form — the union evaluates
+    the unmaterialized banded-index+cosine-verify subtree once per
+    branch."""
+    from openpolicedata_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+    from openpolicedata_spark.workload import _read, make_random_planes
+
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = make_random_planes(64, num_planes=8)
+    pairs = embedding_dup_pairs(emb, planes, threshold=-1.0,
+                                vec_col="embedding", id_col="vec_id",
+                                bands=1, max_bucket_size=None)
+    pairs = pairs.select("id_a", "id_b",
+                         F.round("cosine", 6).alias("score"))
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "score"
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "score"))
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+PAIRS["q114old"] = ("q114_knn_graph", q114_old)
+
+
 if __name__ == "__main__":
     main()

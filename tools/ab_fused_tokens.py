@@ -1,14 +1,13 @@
 #!/usr/bin/env python
-"""Round-13 session-3 A/B: fused tokenizer (split once on \\s+ of
-trim(lower(x))) vs the two-pass normalize-then-split composition, on the
-affected bench queries. The NEW side is built with normalize_text_expr
-monkeypatched to lower() at CONSTRUCTION time only — composed with
-tokens_expr (filter(split(trim(.), \\s+), != '')) that is exactly the
-fused form; fingerprint users are not in the test set and the patch is
-reverted before the old side builds.
+"""Round-13 session-3 A/B: fused tokenizer (shipped: one split on \\s+ of
+trim(lower(x))) vs the pre-session two-pass normalize-then-split
+composition. The OLD side is built with norm_tokens_expr monkeypatched
+back to the two-pass form at CONSTRUCTION time; construction is lazy, so
+each DataFrame keeps its own expressions.
 
-Interleaved min-of-N in ONE session; row equality at sf0.001 and sf0.1.
-"""
+Interleaved min-of-N in ONE session; row equality at the warm SF when
+available (skipped at sf1 — equality is proven at sf0.001/sf0.01/sf0.1
+plus the full oracle batteries)."""
 
 import os
 import sys
@@ -27,21 +26,28 @@ def _rows_equal(a, b):
     return list(pa.columns) == list(pb.columns) and len(pa) == len(pb) and pa.equals(pb)
 
 
-class patched:
-    """Patch every module alias of normalize_text_expr to lower()."""
+def _two_pass_tokens(c):
+    # tokens_expr(normalize_text_expr(c)) verbatim — the pre-session form
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), r"\s+"),
+        lambda t: t != "")
+
+
+class two_pass:
+    """Patch every module alias of norm_tokens_expr to the old form."""
 
     def __enter__(self):
         import openpolicedata_spark.functions.text as T
         import openpolicedata_spark.operators.dedup as D
         import openpolicedata_spark.operators.textpipe as TP
         import openpolicedata_spark.workload as W
-        self.saved = [(m, m.normalize_text_expr) for m in (T, D, TP, W)]
+        self.saved = [(m, m.norm_tokens_expr) for m in (T, D, TP, W)]
         for m, _ in self.saved:
-            m.normalize_text_expr = lambda c: F.lower(c)
+            m.norm_tokens_expr = _two_pass_tokens
 
     def __exit__(self, *a):
         for m, fn in self.saved:
-            m.normalize_text_expr = fn
+            m.norm_tokens_expr = fn
 
 
 def main():
@@ -57,33 +63,36 @@ def main():
     spark = get_spark(app_name="ab-fused-tokens")
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    have_warm = os.path.isdir(warm_dir)
     for nm in names:
         fn = getattr(W, nm)
-        old_small = fn(spark, warm_dir)
-        with patched():
+        if have_warm:
+            with two_pass():
+                old_small = fn(spark, warm_dir)
             new_small = fn(spark, warm_dir)
-        if not _rows_equal(old_small, new_small):
-            print(f"{nm}: MISMATCH at sf0.001 — skip", flush=True)
-            continue
-        old_df = fn(spark, sf_dir)
-        with patched():
-            new_df = fn(spark, sf_dir)
+            if not _rows_equal(old_small, new_small):
+                print(f"{nm}: MISMATCH at {warm_dir} — skip", flush=True)
+                continue
+        with two_pass():
+            old_df = fn(spark, sf_dir)
+        new_df = fn(spark, sf_dir)
         # codegen warm
-        fn(spark, warm_dir).count()
-        with patched():
-            fn(spark, warm_dir).count()
+        wd = warm_dir if have_warm else sf_dir
+        with two_pass():
+            fn(spark, wd).count()
+        fn(spark, wd).count()
         t_old = t_new = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            t_old = min(t_old, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            with patched():
+            with two_pass():
                 d = fn(spark, sf_dir)
             d.count()
+            t_old = min(t_old, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
             t_new = min(t_new, time.perf_counter() - t0)
-        eq = _rows_equal(old_df, new_df)
-        print(f"{nm}: old={t_old:.3f}s new={t_new:.3f}s "
+        eq = _rows_equal(old_df, new_df) if have_warm else None
+        print(f"{nm}: old(two-pass)={t_old:.3f}s new(fused)={t_new:.3f}s "
               f"({t_old/t_new:.2f}x) rows_equal={eq}", flush=True)
 
     spark.stop()
