@@ -764,3 +764,40 @@ class TestFoldIdnHosts:
             assert want_host.lower() in f1.lower(), (u, f1, want_host)
             checked += 1
         assert checked > 50
+
+
+def test_norm_tokens_expr_equals_two_pass_composition(spark):
+    """r13 session-3 fused tokenizer: norm_tokens_expr (ONE split of
+    trim(lower(x)) on \\s+) must produce the exact token LIST of the
+    two-pass tokens_expr(normalize_text_expr(x)) composition it
+    replaced — pinned on adversarial whitespace (every Java \\s char,
+    leading/trailing runs, empty/all-whitespace strings, NULL, mixed
+    case) plus randomized strings over a whitespace-heavy alphabet."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from openpolicedata_spark.functions.text import (
+        norm_tokens_expr,
+        normalize_text_expr,
+        tokens_expr,
+    )
+
+    adversarial = [
+        "", " ", "\t", "\n\r\f\x0b", "  a  ", "\ta\tb\t", "a\nb\rc",
+        "A  B\t\tC", "word", " Mixed CASE\ttoks \n", "a", "  ",
+        "x\x0by", "one two  three   four", "\r\n\r\n", "tab\tend\t",
+        None,
+    ]
+    rnd = random.Random(7)
+    alphabet = "ab A\t\n\r\f\x0b  "
+    rows = adversarial + ["".join(rnd.choice(alphabet)
+                                  for _ in range(rnd.randint(0, 30)))
+                          for _ in range(2000)]
+    df = spark.createDataFrame(pd.DataFrame({"s": rows}))
+    bad = df.select(
+        norm_tokens_expr(F.col("s")).alias("fused"),
+        tokens_expr(normalize_text_expr(F.col("s"))).alias("two_pass"),
+    ).where(~(F.col("fused").eqNullSafe(F.col("two_pass"))))
+    assert bad.count() == 0, bad.take(5)

@@ -2237,3 +2237,18 @@ def test_q244_instr_equals_strpos_of_first_match_randomized(spark):
         "     ELSE instr(s, regexp_substr(s, '[0-9]+')) END AS spelled"
     ).where("builtin != spelled")
     assert bad.count() == 0, bad.take(5)
+
+
+def test_q114_knn_graph_single_subtree_symmetrize(spark, sf_dir):
+    """r13 session-3: knn_graph symmetrizes its edge list with ONE
+    explode of the (src,dst)/(dst,src) struct pair — no Union of two
+    projections of the unmaterialized pairs frame (the union form
+    re-evaluated the banded-index + cosine-verify subtree per branch
+    UNLESS AQE exchange reuse happened to fire). Pin: zero Union nodes,
+    at most 2 exchanges (banding agg + rank window)."""
+    from openpolicedata_spark.plans import _n_nodes
+
+    df = workload.queries()["q114_knn_graph"](spark, sf_dir)
+    t = formatted_plan(df)
+    assert _n_nodes(t, "Union") == 0, t[:800]
+    assert_max_exchanges(df, 2)
