@@ -172,76 +172,113 @@ def rebalance(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     return df
 
 
-def _minhash_shingle_udf(coeffs: list[tuple[int, int]], shingle_k: int):
-    """Vectorized (Arrow/numpy) shingling + minhash over per-token hashes.
+def _minhash_shingle_kernel(coeffs: list[tuple[int, int]], shingle_k: int):
+    """Vectorized (Arrow/numpy) shingling + minhash over per-token hashes,
+    as a mapInArrow batch function over (id, token-hash array) batches.
 
-    Input: one array<long> of xxhash64 token hashes per document. The UDF
-    rolls a window of `shingle_k` token hashes into one 64-bit shingle hash
-    (odd-multiplier polynomial, bijective per position mod 2^64, then a
-    splitmix64-style avalanche), dedups with np.unique, and takes the
-    `num_hashes` universal-hash minima — all in a handful of numpy
-    broadcasts per document.
+    Input column 1: one array<long> of xxhash64 token hashes per document.
+    The kernel rolls a window of `shingle_k` token hashes into one 64-bit
+    shingle hash (odd-multiplier polynomial, bijective per position mod
+    2^64, then a splitmix64-style avalanche), dedups with np.unique, and
+    takes the `num_hashes` universal-hash minima — all in a handful of
+    numpy broadcasts per document.
 
     Why here and not Catalyst: higher-order `transform` lambdas execute
     interpreted (no codegen, no CSE), so per-shingle `slice`+`concat_ws`+
     `xxhash64` costs O(k) string work per shingle (~3.5 s for 10k docs at
     sf0.1), and the per-hash-function min costs another 64 interpreted
-    passes. This UDF replaces both with vectorized integer math, and the
-    Arrow transfer carries n_tokens longs instead of n_shingles strings.
+    passes. This kernel replaces both with vectorized integer math, and
+    the Arrow transfer carries n_tokens longs instead of n_shingles
+    strings.
 
-    Returns struct<shingles, minhash>: the distinct shingle set feeds the
-    exact-Jaccard verify, the signature feeds LSH banding — one pass, one
-    materialization for both consumers."""
-    from pyspark.sql.functions import pandas_udf
+    Why mapInArrow and not a pandas_udf (r13 session 4, guide §4.2): the
+    pandas boundary materializes one python ndarray object per list CELL
+    on input and re-infers each cell from a pandas object column on
+    output; mapInArrow reads the list column as ONE values buffer + an
+    offsets array (zero-copy numpy view) and writes the result the same
+    way — identical per-doc math, measured 1.16–1.23× on q28 end-to-end
+    at sf0.1 (interleaved min-of-5, twice).
 
+    Output columns: id (passed through untouched), __sh__ (distinct
+    shingle set → the exact-Jaccard verify), minhash (signature → LSH
+    banding) — one pass, one materialization for both consumers."""
     A = np.array([c[0] for c in coeffs], dtype=np.int64)[:, None]
     B = np.array([c[1] for c in coeffs], dtype=np.int64)[:, None]
+    H = A.shape[0]
+    k = shingle_k
 
     # Shingle-less (tiny) docs get the all-sentinel signature instead of a
     # null + filter: ANY predicate on the signature column gets pushed below
-    # the exchange and re-evaluates the UDF twice. Sentinel docs collide
+    # the exchange and re-evaluates the kernel twice. Sentinel docs collide
     # only with each other and are dropped by the Jaccard verify (0/0 →
     # null similarity).
-    sentinel = np.full(A.shape[0], _MERSENNE_31, dtype=np.int64)
+    sentinel = np.full(H, _MERSENNE_31, dtype=np.int64)
     empty = np.empty(0, dtype=np.int64)
     # odd constant → every power is odd → multiplication is a bijection
     # mod 2^64; numpy uint64 arithmetic wraps, which is exactly mod 2^64.
     P = np.uint64(0x9E3779B97F4A7C15)
-    powers = P ** np.arange(shingle_k - 1, -1, -1, dtype=np.uint64)
+    powers = P ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    u30, u27, u31 = np.uint64(30), np.uint64(27), np.uint64(31)
+    m1, m2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+    uM = np.uint64(_MERSENNE_31)
 
-    def _avalanche(x: np.ndarray) -> np.ndarray:
-        # splitmix64 finalizer: spreads the polynomial sums so the later
-        # mod-p projection sees uniform bits.
-        x = x.copy()
-        x ^= x >> np.uint64(30)
-        x *= np.uint64(0xBF58476D1CE4E5B9)
-        x ^= x >> np.uint64(27)
-        x *= np.uint64(0x94D049BB133111EB)
-        x ^= x >> np.uint64(31)
-        return x
+    def kernel(batches):
+        import pyarrow as pa
 
-    @pandas_udf("struct<shingles: array<long>, minhash: array<long>>")
-    def mh(ths: pd.Series) -> pd.DataFrame:
-        shingles_out, minhash_out = [], []
-        for th in ths:
-            t = np.asarray(th, dtype=np.int64).view(np.uint64)
-            n_sh = t.size - (shingle_k - 1)
-            if n_sh <= 0:
-                shingles_out.append(empty)
-                minhash_out.append(sentinel)
-                continue
-            acc = t[0:n_sh] * powers[0]
-            for j in range(1, shingle_k):
-                acc = acc + t[j:j + n_sh] * powers[j]
-            uniq = np.unique(_avalanche(acc))
-            # universe [0, p): a < p < 2^31 and h' < p keep a*h'+b < 2^62,
-            # no int64 overflow in the universal hashes.
-            hv = (uniq % np.uint64(_MERSENNE_31)).astype(np.int64)
-            shingles_out.append(uniq.view(np.int64))
-            minhash_out.append(((A * hv + B) % _MERSENNE_31).min(axis=1))
-        return pd.DataFrame({"shingles": shingles_out, "minhash": minhash_out})
+        for b in batches:
+            n = b.num_rows
+            ids = b.column(0)
+            la = b.column(1)
+            off = la.offsets.to_numpy()
+            vals = la.values.to_numpy(zero_copy_only=False).view(np.uint64)
+            # a NULL token array (NULL text) behaves like an empty one:
+            # sentinel signature, empty shingle set (the pandas path
+            # crashed the stage on NULL — kernel-level hardening, same
+            # convention as _simhash_udf's round-9 fix)
+            valid = (None if la.null_count == 0
+                     else np.asarray(la.is_valid()))
+            mh_flat = np.empty(n * H, dtype=np.int64)
+            sh_parts = []
+            sh_off = np.empty(n + 1, dtype=np.int32)
+            sh_off[0] = 0
+            for i in range(n):
+                t = (vals[off[i]:off[i + 1]]
+                     if valid is None or valid[i] else empty)
+                n_sh = t.size - (k - 1)
+                if n_sh <= 0:
+                    sh_parts.append(empty)
+                    sh_off[i + 1] = sh_off[i]
+                    mh_flat[i * H:(i + 1) * H] = sentinel
+                    continue
+                acc = t[0:n_sh] * powers[0]
+                for j in range(1, k):
+                    acc = acc + t[j:j + n_sh] * powers[j]
+                # splitmix64 finalizer: spreads the polynomial sums so the
+                # later mod-p projection sees uniform bits.
+                x = acc.copy()
+                x ^= x >> u30
+                x *= m1
+                x ^= x >> u27
+                x *= m2
+                x ^= x >> u31
+                uniq = np.unique(x)
+                # universe [0, p): a < p < 2^31 and h' < p keep
+                # a*h'+b < 2^62, no int64 overflow in the universal hashes.
+                hv = (uniq % uM).astype(np.int64)
+                sh_parts.append(uniq.view(np.int64))
+                sh_off[i + 1] = sh_off[i] + uniq.size
+                mh_flat[i * H:(i + 1) * H] = ((A * hv + B) % _MERSENNE_31).min(axis=1)
+            sh_vals = (np.concatenate(sh_parts) if sh_parts
+                       else np.empty(0, np.int64))
+            sh_arr = pa.ListArray.from_arrays(
+                pa.array(sh_off, type=pa.int32()), pa.array(sh_vals))
+            mh_off = np.arange(0, (n + 1) * H, H, dtype=np.int32)
+            mh_arr = pa.ListArray.from_arrays(
+                pa.array(mh_off, type=pa.int32()), pa.array(mh_flat))
+            yield pa.RecordBatch.from_arrays(
+                [ids, sh_arr, mh_arr], names=["__id__", "__sh__", "minhash"])
 
-    return mh
+    return kernel
 
 
 def shingle_minhash(df: DataFrame, text_col: str = "text",
@@ -255,9 +292,11 @@ def shingle_minhash(df: DataFrame, text_col: str = "text",
     BASELINE.json north star): tokenize + per-token xxhash64 stay JVM-side
     (one interpreted lambda over n_tokens — cheap integer work), then ONE
     Arrow round trip computes shingle rolling-hashes, the distinct shingle
-    set, and the signature together (`_minhash_shingle_udf`). The token
-    projection is materialized at the rebalance exchange, so ArrowEvalPython
-    reads attributes instead of re-evaluating the tokenizer.
+    set, and the signature together (`_minhash_shingle_kernel`, a
+    mapInArrow stage: the list columns cross the boundary as values+offsets
+    buffers, not per-cell pandas objects). The token projection is
+    materialized at the rebalance exchange, so the Python stage reads
+    attributes instead of re-evaluating the tokenizer.
 
     Deterministic: output depends only on (text, num_hashes, k, seed)."""
     toked = rebalance(
@@ -268,12 +307,15 @@ def shingle_minhash(df: DataFrame, text_col: str = "text",
     )
     th = F.transform(F.col("__toks__"),
                      lambda t: _token_hash_expr(t, token_hash))
-    mh = _minhash_shingle_udf(_hash_coeffs(num_hashes, seed), shingle_k)
+    thdf = toked.select(F.col(id_col), th.alias("__th__"))
+    kernel = _minhash_shingle_kernel(_hash_coeffs(num_hashes, seed),
+                                     shingle_k)
+    id_dt = thdf.schema[id_col].dataType.simpleString()
     return (
-        toked.select(F.col(id_col), th.alias("__th__"))
-        .select(F.col(id_col), mh(F.col("__th__")).alias("__ms__"))
-        .select(F.col(id_col), F.col("__ms__.shingles").alias("__sh__"),
-                F.col("__ms__.minhash").alias("minhash"))
+        thdf.mapInArrow(
+            kernel,
+            f"__id__ {id_dt}, __sh__ array<bigint>, minhash array<bigint>")
+        .withColumnRenamed("__id__", id_col)
     )
 
 
@@ -431,14 +473,25 @@ def _simhash_from_hashed(hashed: Column, num_bits: int = 64) -> Column:
 
 def _simhash_udf(num_bits: int = 64):
     """Vectorized per-bit majority vote (same contract as
-    `_simhash_from_hashed`, which runs interpreted per element)."""
+    `_simhash_from_hashed`, which runs interpreted per element).
+
+    Batch-vectorized (r13 session 4): ONE (total_tokens, num_bits) bit
+    expansion over the whole Arrow batch + a single np.add.reduceat per
+    document segment replaces the per-doc python loop — np.add.reduceat
+    has a real fast path (unlike the minimum.reduceat that sank the
+    analogous minhash attempt, r13 session 1). Values bit-identical
+    (pinned by the expr==UDF equivalence test); 1.04–1.07× on the
+    signature stage at sf0.1, strictly less per-task Python overhead."""
     from pyspark.sql.functions import pandas_udf
 
     shifts = np.arange(num_bits, dtype=np.uint64)
+    powers = np.uint64(1) << shifts
 
     @pandas_udf("long")
     def sh(hs: pd.Series) -> pd.Series:
-        out = np.zeros(len(hs), dtype=np.int64)
+        n = len(hs)
+        lens = np.zeros(n, dtype=np.int64)
+        parts = []
         for i, h in enumerate(hs):
             # NULL text -> NULL token-hash array: signature 0, exactly
             # like an empty token set (the expression spec's no-votes
@@ -446,16 +499,27 @@ def _simhash_udf(num_bits: int = 64):
             # (round-9 equivalence test finding)
             if h is None:
                 continue
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            if hv.size == 0:
-                continue
-            bits = (hv[:, None] >> shifts) & np.uint64(1)        # (n_tok, 64)
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)   # +1/-1 per bit
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig.astype(np.uint64).view(np.int64))
-        return pd.Series(out)
+            a = np.asarray(h, dtype=np.int64)
+            if a.size:
+                lens[i] = a.size
+                parts.append(a)
+        if not parts:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        allh = np.concatenate(parts).view(np.uint64)
+        bits = ((allh[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        # empty docs would alias the next doc's reduceat boundary, so
+        # reduceat over the non-empty segments only and scatter back
+        # (empty doc = zero votes = signature 0, the spec's no-votes case)
+        nz = lens > 0
+        off_nz = np.zeros(int(nz.sum()), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=off_nz[1:])
+        votes = np.add.reduceat(2 * bits - 1, off_nz, axis=0)
+        # sum of DISTINCT powers of two == the bitwise-OR the per-doc
+        # loop built bit by bit; uint64 sum cannot overflow
+        sig_nz = ((votes > 0).astype(np.uint64) * powers).sum(axis=1)
+        out = np.zeros(n, dtype=np.uint64)
+        out[nz] = sig_nz
+        return pd.Series(out.view(np.int64))
 
     return sh
 

@@ -66,6 +66,7 @@ def summarize_plan(df: DataFrame, execute: bool = False) -> PlanSummary:
     s.n_broadcast_nl_joins = _n_nodes(t, "BroadcastNestedLoopJoin")
     s.n_python_eval = (_n_nodes(t, "ArrowEvalPython")
                        + _n_nodes(t, "MapInPandas")
+                       + _n_nodes(t, "MapInArrow")
                        + _n_nodes(t, "BatchEvalPython"))
     # under AQE, codegen stage markers ("*(n)" / WholeStageCodegen) exist
     # only in the FINAL plan of an executed query — collect() drives THIS

@@ -131,6 +131,39 @@ class TestDedup:
                for r in simhash_signatures(extra).collect()}
         assert exp == udf and exp[90] == 0 and exp[91] == 0
 
+    def test_shingle_minhash_arrow_boundary(self, spark, docs):
+        """r13 session 4: the signature stage crosses the Python boundary
+        via mapInArrow (values+offsets buffers), NOT a pandas_udf —
+        exactly one MapInArrow node, zero ArrowEvalPython/MapInPandas —
+        with the sentinel/NULL conventions preserved: a doc with fewer
+        than k tokens gets the all-sentinel signature + empty shingle
+        set, NULL text behaves like the empty token set, and identical
+        docs get identical (shingles, signature)."""
+        from openpolicedata_spark.operators.dedup import (
+            _MERSENNE_31,
+            shingle_minhash,
+        )
+        from openpolicedata_spark.plans import _n_nodes, formatted_plan
+
+        extra = docs.unionByName(spark.createDataFrame(
+            [(90, "tiny"), (91, None)], "doc_id int, text string"))
+        ms = shingle_minhash(extra, num_hashes=8, shingle_k=3)
+        t = formatted_plan(ms)
+        assert _n_nodes(t, "MapInArrow") == 1
+        assert _n_nodes(t, "ArrowEvalPython") == 0
+        assert _n_nodes(t, "MapInPandas") == 0
+        rows = {r["doc_id"]: (list(r["__sh__"]), list(r["minhash"]))
+                for r in ms.collect()}
+        assert rows[1] == rows[2]  # exact dup: identical shingles+sig
+        assert rows[90] == ([], [_MERSENNE_31] * 8)  # < k tokens
+        assert rows[91] == ([], [_MERSENNE_31] * 8)  # NULL text
+        # real docs: 8 signature values, each in [0, p); distinct shingles
+        # (np.unique sorts in the uint64 domain, so the int64 view is
+        # distinct but not int64-ascending)
+        sh1, mh1 = rows[1]
+        assert len(mh1) == 8 and all(0 <= v < _MERSENNE_31 for v in mh1)
+        assert len(sh1) > 0 and len(set(sh1)) == len(sh1)
+
     def test_ngram_jaccard(self, spark, docs):
         pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a int, id_b int")
         out = {(r.id_a, r.id_b): r.jaccard

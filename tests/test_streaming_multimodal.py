@@ -99,6 +99,13 @@ def test_binary_features_without_decode(spark):
             for r in binary_features(media).collect()}
     got = {r.media_id: (r.byte_len, r.digest) for r in slim.collect()}
     assert got == want
+    # r13 session 4: with the decode gone, byte_len/digest are computed
+    # by JVM built-ins (octet_length/md5) — the no-decode path must have
+    # NO Python boundary at all (guide §4.1), while the full path keeps
+    # its mapInPandas stage for the codec work
+    from openpolicedata_spark.plans import summarize_plan
+    assert summarize_plan(slim).n_python_eval == 0
+    assert summarize_plan(binary_features(media)).n_python_eval == 1
 
 
 def test_resize_images_batch_shape(spark):

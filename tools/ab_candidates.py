@@ -553,7 +553,8 @@ def main() -> None:
         warm_dir = None
     for nm in names:
         old_name, new_fn = PAIRS[nm]
-        old_fn = getattr(workload, old_name)
+        old_fn = (old_name if callable(old_name)
+                  else getattr(workload, old_name))
         if warm_dir:
             # equality check at the small SF first
             if not _rows_equal(old_fn(spark, warm_dir), new_fn(spark, warm_dir)):
@@ -1160,6 +1161,386 @@ def q114_old(spark, sf_dir):
 
 
 PAIRS["q114old"] = ("q114_knn_graph", q114_old)
+
+
+# ---------------------------------------------------------------------------
+# session 4: mapInArrow boundary for the minhash signature stage
+# ---------------------------------------------------------------------------
+
+def _shingle_minhash_arrow(df, text_col, id_col, num_hashes, shingle_k,
+                           seed, token_hash):
+    """shingle_minhash with the Arrow kernel run via mapInArrow instead of
+    a pandas_udf: identical per-doc numpy math, but the JVM<->Python
+    boundary moves list<int64> cells as ONE values buffer + offsets array
+    (zero-copy numpy view) instead of materializing a python ndarray
+    object per row on input and re-inferring each list cell from a pandas
+    object column on output (guide 4.2: offsets re-slicing)."""
+    from openpolicedata_spark.functions.text import norm_tokens_expr
+    from openpolicedata_spark.operators.dedup import (
+        _MERSENNE_31,
+        _hash_coeffs,
+        _token_hash_expr,
+        rebalance,
+    )
+
+    coeffs = _hash_coeffs(num_hashes, seed)
+    k = shingle_k
+    M = _MERSENNE_31
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        A = np.array([c[0] for c in coeffs], dtype=np.int64)[:, None]
+        B = np.array([c[1] for c in coeffs], dtype=np.int64)[:, None]
+        H = A.shape[0]
+        sentinel = np.full(H, M, dtype=np.int64)
+        empty = np.empty(0, dtype=np.int64)
+        P = np.uint64(0x9E3779B97F4A7C15)
+        powers = P ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        u30, u27, u31 = np.uint64(30), np.uint64(27), np.uint64(31)
+        m1, m2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+        uM = np.uint64(M)
+
+        for b in batches:
+            n = b.num_rows
+            ids = b.column(0)
+            la = b.column(1)
+            off = la.offsets.to_numpy()
+            vals = la.values.to_numpy(zero_copy_only=False).view(np.uint64)
+            valid = (np.ones(n, dtype=bool) if la.null_count == 0
+                     else ~np.asarray(la.is_null()))
+            mh_flat = np.empty(n * H, dtype=np.int64)
+            sh_parts = []
+            sh_off = np.empty(n + 1, dtype=np.int32)
+            sh_off[0] = 0
+            for i in range(n):
+                t = vals[off[i]:off[i + 1]] if valid[i] else empty
+                n_sh = t.size - (k - 1)
+                if n_sh <= 0:
+                    sh_parts.append(empty)
+                    sh_off[i + 1] = sh_off[i]
+                    mh_flat[i * H:(i + 1) * H] = sentinel
+                    continue
+                acc = t[0:n_sh] * powers[0]
+                for j in range(1, k):
+                    acc = acc + t[j:j + n_sh] * powers[j]
+                x = acc.copy()
+                x ^= x >> u30
+                x *= m1
+                x ^= x >> u27
+                x *= m2
+                x ^= x >> u31
+                uniq = np.unique(x)
+                hv = (uniq % uM).astype(np.int64)
+                sh_parts.append(uniq.view(np.int64))
+                sh_off[i + 1] = sh_off[i] + uniq.size
+                mh_flat[i * H:(i + 1) * H] = ((A * hv + B) % M).min(axis=1)
+            sh_vals = (np.concatenate(sh_parts) if sh_parts
+                       else np.empty(0, np.int64))
+            sh_arr = pa.ListArray.from_arrays(
+                pa.array(sh_off, type=pa.int32()), pa.array(sh_vals))
+            mh_off = np.arange(0, (n + 1) * H, H, dtype=np.int32)
+            mh_arr = pa.ListArray.from_arrays(
+                pa.array(mh_off, type=pa.int32()), pa.array(mh_flat))
+            yield pa.RecordBatch.from_arrays(
+                [ids, sh_arr, mh_arr], names=["__id__", "__sh__", "minhash"])
+
+    toked = rebalance(
+        df.select(F.col(id_col),
+                  norm_tokens_expr(F.col(text_col)).alias("__toks__")))
+    th = F.transform(F.col("__toks__"),
+                     lambda t: _token_hash_expr(t, token_hash))
+    thdf = toked.select(F.col(id_col), th.alias("__th__"))
+    id_dt = thdf.schema[id_col].dataType.simpleString()
+    out = thdf.mapInArrow(
+        kernel,
+        f"__id__ {id_dt}, __sh__ array<bigint>, minhash array<bigint>")
+    return out.withColumnRenamed("__id__", id_col)
+
+
+def _minhash_pairs_arrowmap(df, token_hash):
+    """q28 prod pipeline with the signature stage from
+    _shingle_minhash_arrow; everything downstream identical to
+    minhash_lsh_dup_pairs."""
+    from openpolicedata_spark.operators.dedup import (
+        band_hash_col,
+        bucket_pairs,
+        check_banding,
+    )
+
+    num_hashes, bands, shingle_k = 32, 8, 3
+    rows_per_band = check_banding(num_hashes, bands)
+    ms = _shingle_minhash_arrow(df, "text", "doc_id", num_hashes,
+                                shingle_k, 42, token_hash)
+    ms = ms.localCheckpoint(eager=False)
+    banded = ms.select(
+        F.col("doc_id"),
+        band_hash_col(F.col("minhash"), bands, rows_per_band)
+        .alias("band_id", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    cand = bucket_pairs(
+        buckets, "ids",
+        lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")))
+    sh = ms.select(F.col("doc_id").alias("__sid__"), F.col("__sh__"))
+    melted = (
+        cand.select(
+            "id_a", "id_b",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("__sid__"))
+        .join(sh, on="__sid__")
+    )
+    per_pair = melted.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("__sid__") == F.col("id_a"),
+                     F.col("__sh__"))).alias("sh_a"),
+        F.max(F.when(F.col("__sid__") == F.col("id_b"),
+                     F.col("__sh__"))).alias("sh_b"),
+    )
+    return (
+        per_pair.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def q28_arrowmap(spark, sf_dir):
+    from openpolicedata_spark.workload import _docs_with_dups
+    return _minhash_pairs_arrowmap(
+        _docs_with_dups(spark, sf_dir).select("doc_id", "text"), "xxhash64")
+
+
+PAIRS["q28am"] = ("q28_minhash_pairs_prod", q28_arrowmap)
+
+
+def _shingle_minhash_pandas(df, text_col, id_col, num_hashes, shingle_k,
+                            seed, token_hash):
+    """The PRE-session-4 pandas_udf signature stage, preserved verbatim
+    for future re-contrast (the q186old/q114old precedent): after §9
+    shipped, the registered q28 runs the mapInArrow stage, so q28am
+    compares shipped-vs-shipped; THIS is the old boundary form."""
+    from openpolicedata_spark.functions.text import norm_tokens_expr
+    from openpolicedata_spark.operators.dedup import (
+        _MERSENNE_31,
+        _hash_coeffs,
+        _token_hash_expr,
+        rebalance,
+    )
+    from pyspark.sql.functions import pandas_udf
+    import numpy as np
+
+    coeffs = _hash_coeffs(num_hashes, seed)
+    A = np.array([c[0] for c in coeffs], dtype=np.int64)[:, None]
+    B = np.array([c[1] for c in coeffs], dtype=np.int64)[:, None]
+    sentinel = np.full(A.shape[0], _MERSENNE_31, dtype=np.int64)
+    empty = np.empty(0, dtype=np.int64)
+    P = np.uint64(0x9E3779B97F4A7C15)
+    powers = P ** np.arange(shingle_k - 1, -1, -1, dtype=np.uint64)
+
+    def _avalanche(x):
+        import numpy as np
+        x = x.copy()
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x
+
+    @pandas_udf("struct<shingles: array<long>, minhash: array<long>>")
+    def mh(ths: pd.Series) -> pd.DataFrame:
+        import numpy as np
+        shingles_out, minhash_out = [], []
+        for th in ths:
+            t = np.asarray(th, dtype=np.int64).view(np.uint64)
+            n_sh = t.size - (shingle_k - 1)
+            if n_sh <= 0:
+                shingles_out.append(empty)
+                minhash_out.append(sentinel)
+                continue
+            acc = t[0:n_sh] * powers[0]
+            for j in range(1, shingle_k):
+                acc = acc + t[j:j + n_sh] * powers[j]
+            uniq = np.unique(_avalanche(acc))
+            hv = (uniq % np.uint64(_MERSENNE_31)).astype(np.int64)
+            shingles_out.append(uniq.view(np.int64))
+            minhash_out.append(((A * hv + B) % _MERSENNE_31).min(axis=1))
+        return pd.DataFrame({"shingles": shingles_out, "minhash": minhash_out})
+
+    toked = rebalance(
+        df.select(F.col(id_col),
+                  norm_tokens_expr(F.col(text_col)).alias("__toks__")))
+    th = F.transform(F.col("__toks__"),
+                     lambda t: _token_hash_expr(t, token_hash))
+    return (
+        toked.select(F.col(id_col), th.alias("__th__"))
+        .select(F.col(id_col), mh(F.col("__th__")).alias("__ms__"))
+        .select(F.col(id_col), F.col("__ms__.shingles").alias("__sh__"),
+                F.col("__ms__.minhash").alias("minhash"))
+    )
+
+
+def q28_pandas_sig(spark, sf_dir):
+    """q28 prod with the OLD pandas_udf signature boundary (everything
+    downstream identical) — expected ratio < 1 vs the shipped form."""
+    from openpolicedata_spark.operators.dedup import (
+        band_hash_col,
+        bucket_pairs,
+        check_banding,
+    )
+    from openpolicedata_spark.workload import _docs_with_dups
+
+    df = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
+    num_hashes, bands = 32, 8
+    rows_per_band = check_banding(num_hashes, bands)
+    ms = _shingle_minhash_pandas(df, "text", "doc_id", num_hashes, 3, 42,
+                                 "xxhash64").localCheckpoint(eager=False)
+    banded = ms.select(
+        F.col("doc_id"),
+        band_hash_col(F.col("minhash"), bands, rows_per_band)
+        .alias("band_id", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    cand = bucket_pairs(
+        buckets, "ids",
+        lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")))
+    sh = ms.select(F.col("doc_id").alias("__sid__"), F.col("__sh__"))
+    melted = (
+        cand.select(
+            "id_a", "id_b",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("__sid__"))
+        .join(sh, on="__sid__")
+    )
+    per_pair = melted.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("__sid__") == F.col("id_a"),
+                     F.col("__sh__"))).alias("sh_a"),
+        F.max(F.when(F.col("__sid__") == F.col("id_b"),
+                     F.col("__sh__"))).alias("sh_b"),
+    )
+    return (
+        per_pair.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+PAIRS["q28ps"] = ("q28_minhash_pairs_prod", q28_pandas_sig)
+
+
+def q34_builtin(spark, sf_dir):
+    """q34 with the no-decode feature path computed by JVM built-ins:
+    byte_len IS octet_length and digest IS md5 — with the fake decode
+    already skipped (r13 session 1) nothing in the function needs Python,
+    so the mapInPandas boundary itself is removable (guide 4.1: prefer
+    built-ins; the with_decode=True path keeps the Python stage for the
+    real codecs)."""
+    from openpolicedata_spark.operators.multimodal import attach_payload
+    from openpolicedata_spark.workload import _read
+
+    d = _read(spark, sf_dir, "documents")
+    media = attach_payload(d, "text", "doc_id", mime="text/plain")
+    return media.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.octet_length(F.col("content")).cast("long").alias("byte_len"),
+        F.md5(F.col("content")).alias("digest"),
+    )
+
+
+PAIRS["q34bi"] = ("q34_multimodal_features", q34_builtin)
+
+
+def simhash_old(spark, sf_dir):
+    from openpolicedata_spark.operators.dedup import simhash_signatures
+    from openpolicedata_spark.workload import _docs_with_dups
+    return simhash_signatures(_docs_with_dups(spark, sf_dir))
+
+
+def simhash_reduceat(spark, sf_dir):
+    """simhash vote kernel batch-vectorized: ONE (total_tokens, 64) bit
+    expansion + np.add.reduceat per Arrow batch instead of a per-doc
+    python loop (np.add.reduceat has a real fast path, unlike the
+    minimum.reduceat that sank the minhash attempt)."""
+    from openpolicedata_spark.functions.text import normalize_text_expr
+    from openpolicedata_spark.operators.dedup import (
+        _token_hash_expr,
+        rebalance,
+    )
+    from openpolicedata_spark.workload import _docs_with_dups
+    from pyspark.sql.functions import pandas_udf
+
+    num_bits = 64
+
+    def make_udf():
+        import numpy as np
+
+        shifts = np.arange(num_bits, dtype=np.uint64)
+        powers = (np.uint64(1) << shifts)
+
+        @pandas_udf("long")
+        def sh(hs: pd.Series) -> pd.Series:
+            import numpy as np
+            n = len(hs)
+            lens = np.empty(n, dtype=np.int64)
+            parts = []
+            for i, h in enumerate(hs):
+                if h is None:
+                    lens[i] = 0
+                    continue
+                a = np.asarray(h, dtype=np.int64)
+                lens[i] = a.size
+                if a.size:
+                    parts.append(a)
+            if not parts:
+                return pd.Series(np.zeros(n, dtype=np.int64))
+            allh = np.concatenate(parts).view(np.uint64)
+            bits = ((allh[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            # empty docs would alias the next doc's reduceat boundary:
+            # reduceat over non-empty offsets only, scatter back (empty
+            # doc = zero votes = signature 0, the spec's no-votes case)
+            nz = lens > 0
+            off_nz = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=off_nz[1:])
+            v = np.add.reduceat(2 * bits - 1, off_nz, axis=0)
+            sig_nz = ((v > 0).astype(np.uint64) * powers).sum(axis=1)
+            out = np.zeros(n, dtype=np.uint64)
+            out[nz] = sig_nz
+            return pd.Series(out.view(np.int64))
+
+        return sh
+
+    sh = make_udf()
+    return (
+        rebalance(_docs_with_dups(spark, sf_dir))
+        .select(
+            F.col("doc_id"),
+            F.transform(
+                F.array_distinct(
+                    F.filter(F.split(normalize_text_expr(F.col("text")), " "),
+                             lambda t: t != "")
+                ),
+                lambda t: _token_hash_expr(t, "xxhash64"),
+            ).alias("__h__"),
+        )
+        .select(F.col("doc_id"), sh(F.col("__h__")).alias("sim"))
+    )
+
+
+PAIRS["simhashra"] = (simhash_old, simhash_reduceat)
 
 
 if __name__ == "__main__":

@@ -38,7 +38,7 @@ def main():
     from openpolicedata_spark.functions.text import (
         normalize_text_expr, tokens_expr)
     from openpolicedata_spark.operators.dedup import (
-        _hash_coeffs, _minhash_shingle_udf, _token_hash_expr, rebalance,
+        _hash_coeffs, _minhash_shingle_kernel, _token_hash_expr, rebalance,
         _MERSENNE_31)
     from openpolicedata_spark.workload import _docs_with_dups
 
@@ -90,15 +90,17 @@ def main():
 
     # ---- C. + kernel -------------------------------------------------------
     coeffs = _hash_coeffs(64, 42)
-    mh = _minhash_shingle_udf(coeffs, 5)
+    kernel = _minhash_shingle_kernel(coeffs, 5)
 
     def full(tok_expr):
         def run():
             t = rebalance(d.select(F.col("doc_id"), tok_expr.alias("t")))
             th = t.select("doc_id", F.transform(
                 F.col("t"), lambda x: _token_hash_expr(x, "xxhash64")).alias("th"))
-            ms = th.select("doc_id", mh(F.col("th")).alias("ms"))
-            ms.select(F.sum(F.size("ms.minhash")), F.sum(F.size("ms.shingles"))).collect()
+            ms = th.mapInArrow(
+                kernel,
+                "__id__ bigint, __sh__ array<bigint>, minhash array<bigint>")
+            ms.select(F.sum(F.size("minhash")), F.sum(F.size("__sh__"))).collect()
         return run
 
     timed("C1 full signature stage current", full(tokens_expr(normalize_text_expr(F.col("text")))))
