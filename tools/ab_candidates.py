@@ -1464,6 +1464,38 @@ def q34_builtin(spark, sf_dir):
 PAIRS["q34bi"] = ("q34_multimodal_features", q34_builtin)
 
 
+def q34_pandas(spark, sf_dir):
+    """The PRE-session-4 q34 no-decode path (mapInPandas with per-row
+    len/md5 maps), preserved verbatim for re-contrast after §8 shipped
+    the built-ins form into the registered query."""
+    import hashlib
+
+    from openpolicedata_spark.operators.multimodal import attach_payload
+    from openpolicedata_spark.workload import _read
+
+    def compute(batches):
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "byte_len": content.map(
+                    lambda b: len(b) if b is not None else None),
+                "digest": content.map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                    if b is not None else None),
+            })
+
+    d = _read(spark, sf_dir, "documents")
+    media = attach_payload(d, "text", "doc_id", mime="text/plain")
+    return (media.select("media_id", "content")
+            .mapInPandas(compute,
+                         schema="media_id long, byte_len long, digest string")
+            .select("media_id", "byte_len", "digest"))
+
+
+PAIRS["q34ps"] = ("q34_multimodal_features", q34_pandas)
+
+
 def simhash_old(spark, sf_dir):
     from openpolicedata_spark.operators.dedup import simhash_signatures
     from openpolicedata_spark.workload import _docs_with_dups
