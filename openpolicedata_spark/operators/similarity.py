@@ -354,6 +354,16 @@ def kmeans_fit(corpus: DataFrame, k: int = 16, vec_col: str = "embedding",
     the vector bytes (seeded), ties impossible for distinct vectors;
     empty clusters keep their previous centroid. Returns plain
     `list[list[float]]` ready for `ivf_assign` / `ivf_topk`."""
+    # Bind the input ONCE (the round-10 `_bind` composition rule, at the
+    # DataFrame level): this loop re-reads its corpus 1 + iters times,
+    # and the input is often an expression tree (a residual projection,
+    # a subspace slice) that would otherwise re-inline into every pass —
+    # measured: the 16-dim residual route expression re-inlined into the
+    # per-iteration filter/projection grew the generated method past
+    # janino's 64 KB limit, and 24 failed multi-second compiles put
+    # pq_train at 121 s for a 240-vector corpus (round 14). With the
+    # checkpoint each iteration reads the materialized rows: 121 -> ~8 s.
+    corpus = corpus.select(vec_col).localCheckpoint(eager=False)
     init_rows = (
         corpus.select(vec_col)
         .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)).asc())
@@ -706,12 +716,29 @@ def pq_train(corpus: DataFrame, m: int = 8, k: int = 16,
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = []
-    for s in range(m):
+    # Bind the corpus ONCE before the per-subspace loop: each of the m
+    # kmeans_fit calls would otherwise re-evaluate the full input
+    # expression tree (e.g. ivf_residual_corpus's routed residual) under
+    # its slice — m x (1 + iters) evaluations of the heaviest projection
+    # in the family (round 14; same rule as kmeans_fit's own binding).
+    corpus = corpus.select(vec_col).localCheckpoint(eager=False)
+
+    # The m subspace fits are INDEPENDENT (each reads its own slice of
+    # the bound corpus, seeded per subspace) and each is a chain of tiny
+    # latency-bound jobs, so run them from a small thread pool (guide
+    # §2.6 "overlap independent jobs"): the scheduler back-fills idle
+    # cores with the next subspace's tasks. Deterministic — identical
+    # per-subspace math and seeds, order restored by index.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fit(s: int) -> list[list[float]]:
         sliced = corpus.select(
             F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col))
-        books.append(kmeans_fit(sliced, k=k, vec_col=vec_col,
-                                iters=iters, seed=seed + s))
+        return kmeans_fit(sliced, k=k, vec_col=vec_col,
+                          iters=iters, seed=seed + s)
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        books = list(pool.map(fit, range(m)))
     return books
 
 

@@ -246,7 +246,14 @@ def _revenue_expr() -> Column:
 
 def q11_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped star join: revenue by nation within one region.
-    Dims broadcast; the only shuffle is the final small aggregation."""
+    Dims broadcast AUTOMATICALLY (size-based + AQE), the only shuffle is
+    the final small aggregation. The explicit F.broadcast() hints were
+    removed in round 14: a hint FORCES the strategy at any scale, so a
+    1000x customer dimension would hit the 8 GB broadcast cap and fail
+    the job, where the size-based choice degrades gracefully to a
+    sort-merge join (guide §3.1). Locally the plan is byte-identical —
+    every dim is far under the 10 MB auto threshold
+    (plans/r14/q11_star_join_{before,after}.txt)."""
     l = _read(spark, sf_dir, "lineitem")
     o = _read(spark, sf_dir, "orders")
     c = _read(spark, sf_dir, "customer")
@@ -254,9 +261,9 @@ def q11_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))

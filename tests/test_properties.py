@@ -864,14 +864,16 @@ def test_normalize_unicode_matches_reference_and_is_idempotent(
 
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "id long, text string")
-    got = {r.id: r.text for r in
-           normalize_unicode(df, "text", form=form).collect()}
+    # ONE plan carries both the single and the composed application
+    # (still two chained Arrow stages — same composition coverage,
+    # half the Spark jobs per hypothesis example)
+    once = normalize_unicode(df, "text", form=form)
+    both = normalize_unicode(
+        once.withColumn("once", F.col("text")), "text", form=form)
+    res = {r.id: (r.once, r.text) for r in both.collect()}
     for i, t in rows:
-        assert got[i] == unicodedata.normalize(form, t), (form, t)
-    twice = {r.id: r.text for r in normalize_unicode(
-        normalize_unicode(df, "text", form=form), "text",
-        form=form).collect()}
-    assert twice == got
+        assert res[i][0] == unicodedata.normalize(form, t), (form, t)
+        assert res[i][1] == res[i][0], (form, t)
 
 
 @settings(**SETTINGS)
@@ -895,14 +897,23 @@ def test_strip_accents_matches_reference_and_is_idempotent(spark,
 
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "id long, text string")
-    got = {r.id: r.text for r in strip_accents(df, "text").collect()}
+    # ONE plan carries the single application, the composed application
+    # (idempotence), and the strip∘NFC order (the pipeline-ordering
+    # law: normalizing first cannot change what the strip removes —
+    # decomposition re-splits any recomposed marks). Same Arrow-stage
+    # compositions as three separate collects, one Spark job per
+    # hypothesis example instead of three.
+    once = strip_accents(df.withColumn("orig", F.col("text")), "text")
+    twice = strip_accents(
+        once.withColumn("once", F.col("text")), "text")
+    chained = strip_accents(
+        normalize_unicode(
+            twice.withColumn("twice", F.col("text"))
+                 .withColumn("text", F.col("orig")),
+            "text"),
+        "text")
+    res = {r.id: (r.once, r.twice, r.text) for r in chained.collect()}
     for i, t in rows:
-        assert got[i] == ref(t), t
-    twice = {r.id: r.text for r in strip_accents(
-        strip_accents(df, "text"), "text").collect()}
-    assert twice == got
-    # strip∘NFC ≡ strip (normalizing first cannot change what the
-    # strip removes — decomposition re-splits any recomposed marks)
-    via_nfc = {r.id: r.text for r in strip_accents(
-        normalize_unicode(df, "text"), "text").collect()}
-    assert via_nfc == got
+        assert res[i][0] == ref(t), t
+        assert res[i][1] == res[i][0], t
+        assert res[i][2] == res[i][0], t

@@ -38,7 +38,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans", os.environ.get("OPD_PLANS_ROUND", "r14"))
     os.makedirs(plans_dir, exist_ok=True)
 
     from openpolicedata_spark import get_spark, workload
