@@ -6,7 +6,7 @@ def spark():
     from openpolicedata_spark import get_spark
 
     spark = get_spark(app_name="opdspark-tests", master="local[8]",
-                      shuffle_partitions=8)
+                      shuffle_partitions=4)
     yield spark
 
 

@@ -17,6 +17,7 @@ import pandas as pd  # noqa: F401
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: E402
+from pyspark.sql.functions import pandas_udf  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
@@ -346,13 +347,23 @@ def _bitmap_bloom_probe(bloom, keys, key, k=3, m=65536, hash_fn=None,
         F.bit_or(F.expr(
             "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
         ).alias("bits"))
-    sparse = words.agg(F.map_from_arrays(
-        F.collect_list("w"), F.collect_list("bits")).alias("__wm__"))
-    dense = sparse.select(F.transform(
-        F.sequence(F.lit(0), F.lit(n_words - 1)),
-        lambda w: F.coalesce(F.element_at(F.col("__wm__"), w.cast("long")),
-                             F.lit(0).cast("long")),
-    ).alias("__bm__"))
+    sparse = words.agg(F.collect_list("w").alias("__ws__"),
+                       F.collect_list("bits").alias("__bs__"))
+
+    # dense scatter in ONE vectorized kernel (round 14): the previous
+    # transform(sequence)+element_at(map) build linear-scanned the map
+    # per word — O(n_words x set_words), 30e9 comparisons at m=2^24
+    @pandas_udf("array<long>")
+    def _scatter(ws: pd.Series, bs: pd.Series) -> pd.Series:
+        import numpy as np
+        out = []
+        for w, b in zip(ws, bs):
+            a = np.zeros(n_words, dtype=np.int64)
+            a[np.asarray(w, dtype=np.int64)] = np.asarray(b, dtype=np.int64)
+            out.append(a)
+        return pd.Series(out)
+
+    dense = sparse.select(_scatter("__ws__", "__bs__").alias("__bm__"))
     out = keys.crossJoin(F.broadcast(dense))
     hit = F.lit(True)
     pos_cols = []
@@ -1573,6 +1584,159 @@ def simhash_reduceat(spark, sf_dir):
 
 
 PAIRS["simhashra"] = (simhash_old, simhash_reduceat)
+
+
+
+
+def _q111_at_m(spark, sf_dir, m, bitmap):
+    """q111 pipeline (prod xxhash64) at a caller-chosen filter width m:
+    the round-14 item-6 probe — at m=65536 the 3-broadcast-join probe
+    won (r13 table); the verdict asks where the crossover sits when m
+    grows past 2^20 (positions table ~ 3x|bench shingles| regardless of
+    m, the packed bitmap m/64 longs regardless of the bench size)."""
+    from openpolicedata_spark.functions.text import shingles_expr
+    from openpolicedata_spark.operators.dedup import rebalance
+    from openpolicedata_spark.operators.sketch import bloom_build, bloom_probe
+    from openpolicedata_spark.workload import _read
+
+    d = rebalance(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(shingles_expr(F.col("text"), 5)))
+                  .alias("shingle"))
+    bench = sh.where(F.col("doc_id") % 7 == 0).select("shingle").distinct()
+    train = sh.where(F.col("doc_id") % 7 != 0)
+    bloom = bloom_build(bench, "shingle", k=3, m=m, hash_fn=None)
+    probe = _bitmap_bloom_probe if bitmap else bloom_probe
+    probed = probe(bloom, train, "shingle", k=3, m=m, hash_fn=None)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("n_hits"),
+            F.round(F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+                    / F.count(F.lit(1)).cast("double"), 6).alias("hit_share"),
+        )
+    )
+
+
+PAIRS["q111m20"] = (
+    lambda s, d: _q111_at_m(s, d, 1 << 20, bitmap=False),
+    lambda s, d: _q111_at_m(s, d, 1 << 20, bitmap=True),
+)
+PAIRS["q111m24"] = (
+    lambda s, d: _q111_at_m(s, d, 1 << 24, bitmap=False),
+    lambda s, d: _q111_at_m(s, d, 1 << 24, bitmap=True),
+)
+
+
+
+def _reliable_dir(spark):
+    """Idempotent reliable-checkpoint dir for the round-14 item-5 probe."""
+    spark.sparkContext.setCheckpointDir("/tmp/opd_reliable_ckpt")
+
+
+def q28_reliable(spark, sf_dir):
+    """q28 prod with the signature materialization swapped from
+    localCheckpoint (executor-local, lost with the executor) to a
+    RELIABLE .checkpoint() (checkpoint-dir-backed, survives executor
+    loss) - the round-14 item-5 loss-semantics alternative, measured."""
+    from openpolicedata_spark.operators.dedup import (
+        band_hash_col, bucket_pairs, check_banding, shingle_minhash)
+    from openpolicedata_spark.workload import _docs_with_dups
+
+    _reliable_dir(spark)
+    num_hashes, bands, shingle_k, thresh = 32, 8, 3, 0.8
+    rows_per_band = check_banding(num_hashes, bands)
+    ms = shingle_minhash(_docs_with_dups(spark, sf_dir), "text", "doc_id",
+                         num_hashes, shingle_k, 42, token_hash="xxhash64")
+    ms = ms.checkpoint(eager=False)
+    banded = ms.select(
+        F.col("doc_id"),
+        band_hash_col(F.col("minhash"), bands, rows_per_band)
+        .alias("band_id", "band_hash"))
+    buckets = (banded.groupBy("band_id", "band_hash")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .where(F.size("ids") > 1))
+    cand = bucket_pairs(
+        buckets, "ids",
+        lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")))
+    sh = ms.select(F.col("doc_id").alias("__sid__"), F.col("__sh__"))
+    melted = (cand.select(
+        "id_a", "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("__sid__"))
+        .join(sh, on="__sid__"))
+    per_pair = melted.groupBy("id_a", "id_b").agg(
+        F.max(F.when(F.col("__sid__") == F.col("id_a"),
+                     F.col("__sh__"))).alias("sh_a"),
+        F.max(F.when(F.col("__sid__") == F.col("id_b"),
+                     F.col("__sh__"))).alias("sh_b"))
+    return (per_pair.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")))
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def _dup_clusters_reliable(pairs, max_iterations=20, compress=True):
+    """_dup_clusters_variant with every materialization RELIABLE
+    (.checkpoint()) instead of localCheckpoint - same math."""
+    id_a, id_b = "id_a", "id_b"
+    edges = (
+        pairs.select(F.explode(F.array(
+            F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+            F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+        )).alias("__e__"))
+        .select("__e__.src", "__e__.dst")
+        .distinct()
+    ).checkpoint(eager=True)
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for it in range(max_iterations):
+        neighbor_min = (edges.join(labels, on=[edges.dst == labels.node])
+                        .groupBy("src").agg(F.min("label").alias("nmin")))
+        prop = (labels.join(neighbor_min,
+                            on=[labels.node == neighbor_min.src], how="left")
+                .select(F.col("node"), F.col("label").alias("__orig__"),
+                        F.least(F.col("label"),
+                                F.coalesce("nmin", F.col("label")))
+                        .alias("label")))
+        if compress and it >= 2:
+            lab2 = prop.select(F.col("node").alias("__pn__"),
+                               F.col("label").alias("__pl__"))
+            prop = (prop.join(lab2, on=[prop["label"] == lab2["__pn__"]],
+                              how="left")
+                    .select("node", "__orig__",
+                            F.least(F.col("label"),
+                                    F.coalesce("__pl__", F.col("label")))
+                            .alias("label")))
+        new_labels = prop.select(
+            "node", "label",
+            (F.col("label") < F.col("__orig__")).alias("changed"))
+        new_labels = new_labels.checkpoint(eager=True)
+        changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("no convergence")
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def q186_reliable(spark, sf_dir):
+    _reliable_dir(spark)
+    return _dup_clusters_reliable(_q186_pairs(spark, sf_dir))
+
+
+def _q186_shipped(spark, sf_dir):
+    from openpolicedata_spark.operators.dedup import dup_clusters
+    return dup_clusters(_q186_pairs(spark, sf_dir))
+
+
+PAIRS["q28rel"] = ("q28_minhash_pairs_prod", q28_reliable)
+PAIRS["q186rel"] = (_q186_shipped, q186_reliable)
+
 
 
 if __name__ == "__main__":

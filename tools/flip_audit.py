@@ -61,7 +61,7 @@ def main() -> None:
         for k in THRESH_KEYS:
             spark.conf.set(k, v)
 
-    defaults = {k: spark.conf.get(k) for k in THRESH_KEYS}
+    defaults = {k: spark.conf.get(k, None) for k in THRESH_KEYS}
 
     for name, fn in queries.items():
         # warm codegen both configs
@@ -70,7 +70,8 @@ def main() -> None:
                 set_thresh(v)
             fn(spark, args.sf_dir).count()
             for k, d in defaults.items():
-                spark.conf.set(k, d)
+                (spark.conf.unset(k) if d is None
+                 else spark.conf.set(k, d))
 
         t_def = t_flip = float("inf")
         for _ in range(args.reps):
@@ -82,7 +83,8 @@ def main() -> None:
             fn(spark, args.sf_dir).count()
             t_flip = min(t_flip, time.perf_counter() - t0)
             for k, d in defaults.items():
-                spark.conf.set(k, d)
+                (spark.conf.unset(k) if d is None
+                 else spark.conf.set(k, d))
 
         # row equality default vs flipped
         a = fn(spark, args.sf_dir).toPandas()
@@ -101,7 +103,8 @@ def main() -> None:
             flipped.explain("formatted")
         plan = buf.getvalue()
         for k, d in defaults.items():
-            spark.conf.set(k, d)
+            (spark.conf.unset(k) if d is None
+             else spark.conf.set(k, d))
         out = os.path.join(plans_dir, f"{name}_smjflip.txt")
         with open(out, "w") as f:
             f.write(plan)
